@@ -56,7 +56,21 @@ object NessusSynth {
         info.as("info_count"))
   }
 
-  /** lineitem → (scan_run_id, nessus_host_id, plugin_id, line_no, rid). */
+  /** Partitioned surrogate-id base: ids are `parent_key * IdStride + rank
+    * within parent`. Unique and deterministic like AUTO_INCREMENT, but the
+    * rank window partitions on the parent key — parallel at any scale, no
+    * single-partition global window, no extra pass for offsets (SURVEY
+    * §7.5#4). IdStride bounds children per parent; 1e6 leaves headroom up to
+    * ~9e12 parents in a long.
+    */
+  val IdStride = 1000000L
+
+  /** lineitem → (scan_run_id, nessus_host_id, plugin_id, line_no, rid).
+    * rid ordering covers every column whose values flow downstream, so rows
+    * identical on the full key are interchangeable and the output set is
+    * engine-independent (the testdata has duplicate (orderkey, linenumber)
+    * pairs).
+    */
   def li(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .select(
@@ -66,11 +80,23 @@ object NessusSynth {
         col("l_linenumber").cast("long").as("line_no"))
       .withColumn(
         "rid",
-        row_number()
-          .over(Window.orderBy("scan_run_id", "line_no", "plugin_id", "nessus_host_id"))
-          .cast("long"))
+        col("scan_run_id") * IdStride + row_number().over(
+          Window
+            .partitionBy("scan_run_id")
+            .orderBy("line_no", "plugin_id", "nessus_host_id")))
 
-  def apply(spark: SparkSession, dir: String): NessusWarehouse = {
+  /** Warehouses are memoized per source dir: the synthesis is shared fixture
+    * derivation, and its tables are re-read by every query in a Verify/Bench
+    * run. Cached tables are tiny relative to executor memory at test scale;
+    * the 100 TB equivalent is materializing the normalized tables as parquet
+    * once and reading them per query.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, NessusWarehouse]()
+
+  def apply(spark: SparkSession, dir: String): NessusWarehouse =
+    memo.computeIfAbsent(dir, _ => build(spark, dir))
+
+  private def build(spark: SparkSession, dir: String): NessusWarehouse = {
     val folder = t(spark, dir, "region").select(
       col("r_regionkey").cast("long").as("folder_id"),
       lit("custom").as("type"),
@@ -151,7 +177,8 @@ object NessusSynth {
       .distinct()
       .withColumn(
         "host_id",
-        row_number().over(Window.orderBy("scan_run_id", "nessus_host_id")).cast("long"))
+        col("scan_run_id") * IdStride + row_number().over(
+          Window.partitionBy("scan_run_id").orderBy("nessus_host_id")))
       .join(runKeys.select("scan_run_id", "scan_id"), Seq("scan_run_id"))
       .join(hostSev, Seq("scan_run_id", "nessus_host_id"))
       .select(
@@ -175,6 +202,20 @@ object NessusSynth {
         col("low_count"),
         col("info_count"))
 
-    NessusWarehouse(folder, scan, scanRun, host, hostVuln, plugin, vulnOutput)
+    val w = NessusWarehouse(
+      folder.cache(),
+      scan.cache(),
+      scanRun.cache(),
+      host.cache(),
+      hostVuln.cache(),
+      plugin.cache(),
+      vulnOutput.cache())
+    // Warm sequentially: materializing several InMemoryRelations inside one
+    // downstream action thrashes (measured 16-120 s for a 1 s query at
+    // sf0.1); one-at-a-time materialization is stable and each later query
+    // then reads warm columnar blocks.
+    Seq(w.plugin, w.folder, w.scan, w.hostVuln, w.vulnOutput, w.scanRun, w.host)
+      .foreach(_.count())
+    w
   }
 }

@@ -30,7 +30,8 @@ li AS (
          CAST(l_suppkey AS BIGINT) AS nessus_host_id,
          CAST(l_partkey AS BIGINT) AS plugin_id,
          CAST(l_linenumber AS BIGINT) AS line_no,
-         CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS rid
+         CAST(l_orderkey AS BIGINT) * 1000000 + ROW_NUMBER() OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS rid
   FROM lineitem
 ),
 plugin AS (
@@ -95,7 +96,8 @@ scan_run AS (
   LEFT JOIN run_sev rs ON rs.scan_run_id = rk.scan_run_id
 ),
 host AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hk.scan_run_id, hk.nessus_host_id) AS BIGINT) AS host_id,
+  SELECT hk.scan_run_id * 1000000 + ROW_NUMBER() OVER (
+           PARTITION BY hk.scan_run_id ORDER BY hk.nessus_host_id) AS host_id,
          hk.nessus_host_id, hk.scan_run_id, rk.scan_id,
          '10.0.' || CAST(hk.nessus_host_id // 256 AS VARCHAR) || '.' || CAST(hk.nessus_host_id % 256 AS VARCHAR) AS host_ip,
          'host-' || CAST(hk.nessus_host_id AS VARCHAR) || '.example.com' AS host_fqdn,
