@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // events.parquet carries TIMESTAMP(NANOS); Spark reads it as LongType
+  // (nanos since epoch) under this flag instead of failing the scan.
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
+  // Catalyst constraint propagation blows up on this engine's deep cached
+  // lineages + wide selects (measured: 10-17 s analysis per results query
+  // at sf0.1 with it on, <2 s off). All our filters are explicit; the
+  // inferred-filter optimization buys nothing here.
+  "-Dspark.sql.constraintPropagation.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

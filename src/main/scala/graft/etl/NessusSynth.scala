@@ -85,16 +85,39 @@ object NessusSynth {
             .partitionBy("scan_run_id")
             .orderBy("line_no", "plugin_id", "nessus_host_id")))
 
-  /** Warehouses are memoized per source dir: the synthesis is shared fixture
-    * derivation, and its tables are re-read by every query in a Verify/Bench
-    * run. Cached tables are tiny relative to executor memory at test scale;
-    * the 100 TB equivalent is materializing the normalized tables as parquet
-    * once and reading them per query.
+  /** Warehouses are memoized per source dir and MATERIALIZED AS PARQUET in a
+    * per-JVM temp dir — the same layout a 100 TB deployment uses (normalize
+    * once, serve queries from columnar storage). Compared to cache()/
+    * localCheckpoint, parquet re-reads are vectorized, plans are single-leaf,
+    * and nothing occupies executor memory between queries (on-heap residency
+    * of materialized tables GC-thrashed unrelated queries on the default 8g
+    * driver: same query measured anywhere from 1 s to 41 s).
     */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, NessusWarehouse]()
 
   def apply(spark: SparkSession, dir: String): NessusWarehouse =
-    memo.computeIfAbsent(dir, _ => build(spark, dir))
+    memo.computeIfAbsent(
+      dir,
+      _ => {
+        val t0 = System.nanoTime()
+        val key = Materialize.sourceKey(
+          dir,
+          Seq("region", "nation", "orders", "lineitem", "part"))
+        lazy val w = build(spark, dir)
+        def mat(df: => DataFrame, name: String): DataFrame =
+          Materialize.getOrWrite(spark, key, name, df)
+        val m = NessusWarehouse(
+          mat(w.folder, "folder"),
+          mat(w.scan, "scan"),
+          mat(w.scanRun, "scan_run"),
+          mat(w.host, "host"),
+          mat(w.hostVuln, "host_vuln"),
+          mat(w.plugin, "plugin"),
+          mat(w.vulnOutput, "vuln_output"))
+        System.err.println(
+          f"[synth] warehouse ready for $dir in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        m
+      })
 
   private def build(spark: SparkSession, dir: String): NessusWarehouse = {
     val folder = t(spark, dir, "region").select(
@@ -202,20 +225,6 @@ object NessusSynth {
         col("low_count"),
         col("info_count"))
 
-    val w = NessusWarehouse(
-      folder.cache(),
-      scan.cache(),
-      scanRun.cache(),
-      host.cache(),
-      hostVuln.cache(),
-      plugin.cache(),
-      vulnOutput.cache())
-    // Warm sequentially: materializing several InMemoryRelations inside one
-    // downstream action thrashes (measured 16-120 s for a 1 s query at
-    // sf0.1); one-at-a-time materialization is stable and each later query
-    // then reads warm columnar blocks.
-    Seq(w.plugin, w.folder, w.scan, w.hostVuln, w.vulnOutput, w.scanRun, w.host)
-      .foreach(_.count())
-    w
+    NessusWarehouse(folder, scan, scanRun, host, hostVuln, plugin, vulnOutput)
   }
 }
