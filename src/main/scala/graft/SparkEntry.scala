@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{NessusSynth, NessusSynthSql}
-import graft.queries.{EtlQueries, ScanQueries}
+import graft.queries.{EtlQueries, OpsQueries, ScanQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
     ScanQueries.folderResults(w, fid = 1, pid = None, offset = 0)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = EtlQueries.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EtlQueries.queries ++ OpsQueries.queries ++ Map(
     "scan_stats" -> { (s, dir) =>
       ScanQueries.scanStats(NessusSynth(s, dir), sid = 7, offset = 1)
     },
@@ -68,7 +69,8 @@ object SparkEntry {
        |  WHERE rn = ${offset + 1}
        |)""".stripMargin
 
-  def oracleSql: Map[String, String] = EtlQueries.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    EtlQueries.oracleSql ++ OpsQueries.oracleSql ++ Map(
     "scan_stats" ->
       s"${NessusSynthSql.withCtes(nthCte("scan_id = 7", 1))}\n$statsSelect",
     "scan_results" ->

@@ -1,0 +1,313 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries for the training-data-pipeline extension
+  * operators (SURVEY §7.4): dedup (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force and sign-LSH
+  * top-k), text analysis (quality, language-ID, token stats), multimodal
+  * plumbing, and a tumbling-window event aggregation.
+  *
+  * The corpus has planted *near*-dups but no exact dups and no high-cosine
+  * embedding pairs, so the exact/embedding variants run on a corpus with
+  * deterministically planted duplicates (mirrored in the oracle SQL).
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String) =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ re-inserted copies of every 10th doc (planted exact dups). */
+  private def dupDocs(s: SparkSession, dir: String) = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  /** embeddings ∪ exact copies of every 20th vector (planted dup vectors). */
+  private def dupEmbs(s: SparkSession, dir: String) = {
+    val e = embs(s, dir).select("vec_id", "embedding")
+    e.unionAll(
+      e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) => Dedup.exactGroups(dupDocs(s, dir)) },
+    "dedup_minhash_lsh" -> { (s, dir) => Dedup.minHashLsh(docs(s, dir)) },
+    "dedup_simhash" -> { (s, dir) => Dedup.simHash(docs(s, dir)) },
+    "dedup_ngram_jaccard" -> { (s, dir) => Dedup.ngramJaccard(docs(s, dir)) },
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Dedup.embeddingCosine(dupEmbs(s, dir))
+    },
+    "similarity_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
+    "similarity_topk_lsh" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
+    "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
+    "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
+    "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
+    "events_window_agg" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("event_type"),
+          col("value"))
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("sv"))
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"),
+          col("n"),
+          col("sv").cast("double").as("sum_value"))
+    },
+    "multimodal_features" -> { (s, dir) =>
+      Multimodal
+        .extractFeatures(s, Multimodal.asMedia(docs(s, dir), "text", "text/plain"))
+        .toDF()
+        .select("doc_id", "kind", "n_bytes", "media_md5")
+    },
+    "sessionize" -> { (s, dir) =>
+      import s.implicits._
+      val ev = s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          expr("ts div 1000000000").cast("long").as("ts_secs"))
+        .as[graft.streaming.Evt]
+      graft.streaming.EventsStream.sessionizeBatch(ev, gapSecs = 1800)
+    }
+  )
+
+  // ---- oracle SQL ----
+
+  /** (id, tok) distinct token sets + per-doc token lists, as CTEs. */
+  private val tokCtes =
+    """tokraw AS (
+      |  SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents),
+      |tok AS (SELECT DISTINCT id, tok FROM tokraw WHERE tok <> ''),
+      |tks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  private def jaccardSql(interSrc: String, threshold: Double, extraCols: String = "") =
+    s"""SELECT i.doc_a, i.doc_b, $extraCols
+       |       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+       |FROM $interSrc i
+       |JOIN sizes sa ON sa.id = i.doc_a
+       |JOIN sizes sb ON sb.id = i.doc_b
+       |WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= $threshold""".stripMargin
+
+  private val simhashVotes = (0 until 16)
+    .map(i =>
+      s"SUM(CASE WHEN substr(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$i")
+    .mkString(",\n         ")
+
+  private val simhashValue = (0 until 16)
+    .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
+
+  /** embeddings CTE with norm + sign bucket; `src` supplies (vec_id, embedding). */
+  private def embCte(src: String, bits: Int = 8) = {
+    val bucket = (0 until bits)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""e AS (
+       |  SELECT vec_id AS id, embedding AS v,
+       |         CAST($bucket AS BIGINT) AS bucket,
+       |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM ($src))""".stripMargin
+  }
+
+  private val dotSql =
+    "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM corpus)
+        |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+        |FROM fp GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $tokCtes,
+         |shingles AS (
+         |  SELECT doc_id AS id,
+         |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS tok
+         |  FROM tks WHERE len(tk) >= 3),
+         |mh AS (
+         |  SELECT id,
+         |         MIN(substr(md5('0:' || tok), 1, 16)) AS mh0,
+         |         MIN(substr(md5('1:' || tok), 1, 16)) AS mh1,
+         |         MIN(substr(md5('2:' || tok), 1, 16)) AS mh2,
+         |         MIN(substr(md5('3:' || tok), 1, 16)) AS mh3,
+         |         MIN(substr(md5('4:' || tok), 1, 16)) AS mh4,
+         |         MIN(substr(md5('5:' || tok), 1, 16)) AS mh5,
+         |         MIN(substr(md5('6:' || tok), 1, 16)) AS mh6,
+         |         MIN(substr(md5('7:' || tok), 1, 16)) AS mh7
+         |  FROM shingles GROUP BY id),
+         |bands AS (
+         |  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM mh
+         |  UNION ALL SELECT id, 1, mh2 || '|' || mh3 FROM mh
+         |  UNION ALL SELECT id, 2, mh4 || '|' || mh5 FROM mh
+         |  UNION ALL SELECT id, 3, mh6 || '|' || mh7 FROM mh),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN shingles a ON a.id = c.doc_a
+         |  JOIN shingles b ON b.id = c.doc_b AND b.tok = a.tok
+         |  GROUP BY c.doc_a, c.doc_b)
+         |${jaccardSql("inter", 0.8)}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $tokCtes,
+         |th AS (SELECT DISTINCT id, md5(tok) AS h FROM tok),
+         |votes AS (
+         |  SELECT id,
+         |         $simhashVotes
+         |  FROM th GROUP BY id)
+         |SELECT id AS doc_id, CAST($simhashValue AS BIGINT) AS simhash FROM votes""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $tokCtes,
+         |grams AS (
+         |  SELECT doc_id AS id,
+         |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+         |  FROM tks WHERE len(tk) >= 3),
+         |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) <= 20),
+         |g AS (SELECT id, gram FROM grams WHERE gram IN (SELECT gram FROM rare)),
+         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY id),
+         |pr AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |${jaccardSql("pr", 0.8, "i.inter,")}""".stripMargin,
+    "dedup_embedding_cosine" -> {
+      val src =
+        """SELECT vec_id, embedding FROM embeddings
+          |        UNION ALL
+          |        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+      s"""WITH ${embCte(src)}
+         |SELECT q.id AS vec_a, c.id AS vec_b,
+         |       round($dotSql / (q.nrm * c.nrm), 4) AS cosine
+         |FROM e q JOIN e c ON q.bucket = c.bucket AND q.id < c.id
+         |WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.99""".stripMargin
+    },
+    "similarity_topk" ->
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_topk_lsh" ->
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.id < 8 AND c.id <> q.id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "text_quality" ->
+      s"""WITH $tokCtes
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / greatest(len(tk), 1), 4) AS avg_token_len,
+         |  round(CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE) / greatest(len(tk), 1), 4) AS stopword_ratio,
+         |  round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) *
+         |        (1.0 - CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE) / greatest(len(tk), 1)), 4) AS quality_score
+         |FROM tks""".stripMargin,
+    "text_langid" -> {
+      val scores = TextAnalysis.LangMarkers
+        .map { case (lang, markers) =>
+          val lst = markers.map(m => s"'$m'").mkString(", ")
+          s"CAST(len(list_filter(tk, t -> t IN ($lst))) AS BIGINT) AS s_$lang"
+        }
+        .mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val chain = langs.init.zipWithIndex
+        .map { case (lang, i) =>
+          val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }
+        .mkString(" ")
+      s"""WITH $tokCtes,
+         |scored AS (
+         |  SELECT doc_id,
+         |  $scores
+         |  FROM tks)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         |       CASE $chain ELSE '${langs.last}' END AS lang_pred
+         |FROM scored""".stripMargin
+    },
+    "text_tokens" ->
+      s"""WITH $tokCtes
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM tks""".stripMargin,
+    "events_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "multimodal_features" ->
+      """SELECT doc_id, 'text/plain' AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS media_md5
+        |FROM documents""".stripMargin,
+    "sessionize" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) // 1000000 AS ts_secs
+        |  FROM events),
+        |x AS (
+        |  SELECT *, LAG(ts_secs) OVER (PARTITION BY user_id ORDER BY ts_secs) AS prev
+        |  FROM ev),
+        |y AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_secs - prev > 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts_secs ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM y)
+        |SELECT user_id, MIN(ts_secs) AS session_start, MAX(ts_secs) AS session_end,
+        |       CAST(COUNT(*) AS INT) AS n_events
+        |FROM z GROUP BY user_id, sno""".stripMargin
+  )
+}

