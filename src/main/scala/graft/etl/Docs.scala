@@ -56,24 +56,16 @@ object Docs {
     Seq("critical_count", "high_count", "medium_count", "low_count", "info_count")
 
   def scanRunDocs(w: NessusWarehouse): DataFrame = {
-    // outputs per (run, host, plugin, output-text): ports collected as a map
-    // keyed by port (the reference's raw shape, export.py:144-149).
+    // outputs per (run, host, plugin): distinct {port, output} pairs — the
+    // formatted doc shape (P2 already applied, export.py:144-149).
     val outputsNested = w.vulnOutput
       .join(
         w.hostVuln.select("host_vuln_id", "nessus_host_id", "scan_run_id", "plugin_id"),
         Seq("host_vuln_id"))
-      .groupBy("scan_run_id", "nessus_host_id", "plugin_id", "output")
-      .agg(sort_array(array_distinct(collect_list(col("port")))).as("ports_arr"))
-      .select(
-        col("scan_run_id"),
-        col("nessus_host_id"),
-        col("plugin_id"),
-        struct(
-          map_from_arrays(col("ports_arr"), transform(col("ports_arr"), _ => lit(1)))
-            .as("ports"),
-          col("output").as("plugin_output")).as("out_elem"))
       .groupBy("scan_run_id", "nessus_host_id", "plugin_id")
-      .agg(collect_list("out_elem").as("outputs"))
+      .agg(
+        array_distinct(collect_list(struct(col("port"), col("output"))))
+          .as("outputs"))
 
     val pluginStruct = struct(
       col("plugin_id"),

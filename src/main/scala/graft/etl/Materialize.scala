@@ -15,7 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
 
   /** Bump when NessusSynth/Docs derivation logic changes. */
-  val Version = 1
+  val Version = 2
 
   private val root: String =
     sys.env.getOrElse(

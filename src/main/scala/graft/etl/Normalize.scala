@@ -118,9 +118,9 @@ object Normalize {
         col("v.plugin.mod_date").as("mod_date"))
       .dropDuplicates("plugin_id")
 
-  /** vuln_output rows (P2, `export.py:144-149`): one row per outputs element
-    * per key of its ports map — the port string is a map KEY, the output
-    * text repeats for every port. Surrogate id = partitioned rank within the
+  /** vuln_output rows: the doc's outputs are already unnested {port,
+    * output} pairs (P2 ran at formatting time, `export.py:144-149` — see
+    * [[FormatDocs.unnestPorts]]). Surrogate id = partitioned rank within the
     * run over the natural key.
     */
   def vulnOutput(docs: DataFrame): DataFrame =
@@ -134,8 +134,8 @@ object Normalize {
         col("scan_run_id"),
         col("nessus_host_id"),
         col("plugin_id"),
-        explode(map_keys(col("o.ports"))).as("port"),
-        col("o.plugin_output").as("output"))
+        col("o.port").as("port"),
+        col("o.output").as("output"))
       .withColumn(
         "vuln_output_id",
         col("scan_run_id") * NessusSynth.IdStride + row_number().over(

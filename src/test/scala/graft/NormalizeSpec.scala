@@ -11,7 +11,7 @@ case class PluginDoc(
     cvss3_vector: String, pluginattributes: PluginAttrs, pub_date: String,
     mod_date: String)
 case class HostVulnDoc(nessus_host_id: Long, scan_run_id: Long, plugin_id: Long)
-case class OutputDoc(ports: Map[String, Int], plugin_output: String)
+case class OutputDoc(port: String, output: String)
 case class VulnDoc(plugin: PluginDoc, host_vuln: HostVulnDoc, outputs: Seq[OutputDoc])
 case class HostInfo(host_ip: String, host_fqdn: String, host_start: String, host_end: String, os: String)
 case class TargetDoc(
@@ -44,17 +44,18 @@ class NormalizeSpec extends SparkSpec {
               VulnDoc(
                 mkPlugin(41L, Seq("https://a", "https://b")),
                 HostVulnDoc(7L, 100L, 41L),
-                // multi-port map: P2 must emit one row per KEY with the
-                // same output text (export.py:144-149)
-                Seq(OutputDoc(Map("443 / tcp" -> 1, "8443 / tcp" -> 1), "out-41"))),
+                // P2 ran at formatting time: one pair per port, output repeats
+                Seq(
+                  OutputDoc("443 / tcp", "out-41"),
+                  OutputDoc("8443 / tcp", "out-41"))),
               VulnDoc(
                 mkPlugin(42L, null), // absent see_also → ref null (P1)
                 HostVulnDoc(7L, 100L, 42L),
-                Seq(OutputDoc(Map("22 / tcp" -> 1), "out-42")))))))
+                Seq(OutputDoc("22 / tcp", "out-42")))))))
     ).toDF()
   }
 
-  test("P2: multi-port map explodes to one row per port, same output") {
+  test("vulnOutput: one row per {port, output} pair (P2 applied upstream)") {
     val vo = Normalize.vulnOutput(docs)
     val ports =
       vo.filter(col("plugin_id") === 41).select("port", "output").collect()
