@@ -1,0 +1,101 @@
+package graft
+
+import graft.etl.{Incremental, NessusSynth}
+import graft.queries.ScanQueries
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5.2#3). Spark-facing properties run
+  * few, large cases (one Spark job per case is the cost model — many tiny
+  * cases would be all overhead). Raw ScalaCheck generators with fixed
+  * seeds (the scalatest bridge isn't in the offline cache); deterministic
+  * by construction.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def cases[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  lazy val w = NessusSynth(spark, sf)
+
+  test("folder_results(f, None, o) == union of scan_results(s, o) over scans in f") {
+    for (offset <- Seq(0, 1)) {
+      val viaFolder = ScanQueries.folderResults(w, 1, None, offset)
+      val scanIds = w.scan
+        .filter(col("folder_id") === 1)
+        .select("scan_id").collect().map(_.getLong(0))
+      val viaUnion = scanIds
+        .map(sid => ScanQueries.scanResults(w, sid, offset))
+        .reduce(_ unionAll _)
+      assert(viaFolder.exceptAll(viaUnion).count() == 0)
+      assert(viaUnion.exceptAll(viaFolder).count() == 0)
+    }
+  }
+
+  test("dedupLatest is idempotent and never increases multiplicity") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(
+      200,
+      for {
+        k <- Gen.chooseNum(1L, 20L)
+        ts <- Gen.chooseNum(0L, 50L)
+        v <- Gen.chooseNum(0L, 1000L)
+      } yield (k, ts, v))
+    cases(gen, 3).foreach { rows =>
+      val df = rows.toDF("k", "ts", "v")
+      val once = Incremental.dedupLatest(df, Seq("k"), Seq(col("ts").desc, col("v").desc))
+      val twice = Incremental.dedupLatest(once, Seq("k"), Seq(col("ts").desc, col("v").desc))
+      assert(once.count() == rows.map(_._1).distinct.size)
+      assert(twice.exceptAll(once).count() == 0 && once.exceptAll(twice).count() == 0)
+    }
+  }
+
+  test("watermark is monotone: adding keys never moves it backwards") {
+    val s = spark
+    import s.implicits._
+    val keyGen = for {
+      dep <- Gen.oneOf("depA", "depB")
+      day <- Gen.chooseNum(1, 28)
+      ok <- Gen.frequency(4 -> true, 1 -> false)
+    } yield
+      if (ok) f"$dep/202401$day%02d/scan.json"
+      else s"$dep/junk$day/scan.json"
+    cases(Gen.zip(Gen.listOfN(30, keyGen), Gen.listOfN(10, keyGen)), 3).foreach {
+      case (base, extra) =>
+        def wm(keys: Seq[String]) =
+          Incremental
+            .watermarks(keys.toDF("key"))
+            .collect()
+            .map(r => r.getString(0) -> r.getDate(1)).toMap
+        val before = wm(base)
+        val after = wm(base ++ extra)
+        before.foreach { case (dep, d) =>
+          assert(!after(dep).before(d), s"watermark for $dep went backwards")
+        }
+    }
+  }
+
+  test("severity pivot: bucket sums always total the non-null input counts (fixed mode)") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(
+      300,
+      for {
+        key <- Gen.chooseNum(1L, 10L)
+        sev <- Gen.chooseNum(0L, 4L)
+        cnt <- Gen.chooseNum(0L, 9L)
+      } yield (key, sev, cnt))
+    cases(gen, 3).foreach { rows =>
+      val df = rows.toDF("k", "severity", "cnt")
+      val piv = NessusSynth.severityPivot(df, Seq("k"), col("cnt"))
+      val total = piv
+        .select(
+          (col("critical_count") + col("high_count") + col("medium_count") +
+            col("low_count") + col("info_count")).as("t"))
+        .agg(sum("t")).collect().head.getLong(0)
+      assert(total == rows.map(_._3).sum)
+    }
+  }
+}
