@@ -209,8 +209,7 @@ object Dedup {
     val withB = embs.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
-      b.as("bucket"),
-      Similarity.norm(col(vecCol)).as("nrm"))
+      b.as("bucket"))
     withB
       .as("x")
       .join(
@@ -219,8 +218,7 @@ object Dedup {
       .select(
         col("x.id").as("vec_a"),
         col("y.id").as("vec_b"),
-        round(Similarity.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")), 4)
-          .as("cosine"))
+        round(Similarity.cosine(col("x.v"), col("y.v")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
