@@ -98,6 +98,16 @@ class OpsSpec extends SparkSpec {
     assert(lsh.toSet.subsetOf(lsh.toSet | brute))
   }
 
+  test("bpeTokens splits on word boundaries keeping punctuation tokens") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "Don't panic, world!")).toDF("doc_id", "text")
+    val toks = df
+      .select(graft.ops.TextAnalysis.bpeTokens(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("don't", "panic", ",", "world", "!"))
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
