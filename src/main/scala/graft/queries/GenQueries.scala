@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** General analytics queries over the TPC-H-ish star — operator breadth
+  * beyond the reference's inner-equi-join-only surface: exact decimal
+  * aggregation, a multi-join revenue rollup with broadcastable dimensions,
+  * and an anti-join. Sums over doubles cast to DECIMAL first so both
+  * engines aggregate exactly (FP summation order is engine-dependent;
+  * decimals are not).
+  */
+object GenQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: grouped decimal aggregation
+    "gen_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1998-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).cast("long").as("count_order"))
+    },
+    // revenue by nation: fact -> supplier -> nation -> region joins
+    // (dimensions broadcast), grouped decimal sum, deterministic order
+    "gen_nation_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+    },
+    // orders with no lineitems: left anti join (the testdata has 257 at sf0.01)
+    "gen_orders_without_items" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_anti")
+        .select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice"))
+    }
+  )
+
+  private val discPrice =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "gen_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(COUNT(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "gen_nation_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
+    "gen_orders_without_items" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+  )
+}
