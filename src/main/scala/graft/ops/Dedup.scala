@@ -91,10 +91,20 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8,
       shingle: Int = 3,
+      maxBucket: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val shingles = gramSet(docs, shingle, textCol, idCol)
-    val bands = lshBands(minHashSignature(shingles, numHashes), numHashes, rowsPerBand)
+    val bands0 = lshBands(minHashSignature(shingles, numHashes), numHashes, rowsPerBand)
+    // hot-bucket guard: a bucket of boilerplate text with B members yields
+    // B² candidate pairs; capping bucket size bounds the self-join skew
+    // (pairs in dropped buckets can still surface via their other bands)
+    val okBuckets = bands0
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("band", "bkey")
+    val bands = bands0.join(okBuckets, Seq("band", "bkey"), "left_semi")
     val candidates = bands
       .as("x")
       .join(

@@ -169,11 +169,13 @@ object OpsQueries {
          |         MIN(substr(md5('6:' || tok), 1, 16)) AS mh6,
          |         MIN(substr(md5('7:' || tok), 1, 16)) AS mh7
          |  FROM shingles GROUP BY id),
-         |bands AS (
+         |bands0 AS (
          |  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM mh
          |  UNION ALL SELECT id, 1, mh2 || '|' || mh3 FROM mh
          |  UNION ALL SELECT id, 2, mh4 || '|' || mh5 FROM mh
          |  UNION ALL SELECT id, 3, mh6 || '|' || mh7 FROM mh),
+         |okb AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey HAVING COUNT(*) <= 50),
+         |bands AS (SELECT b.* FROM bands0 b JOIN okb USING (band, bkey)),
          |cand AS (
          |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
          |  FROM bands x JOIN bands y
