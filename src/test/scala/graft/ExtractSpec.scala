@@ -18,6 +18,9 @@ case class FakeFactory(responses: Map[String, String]) extends ApiFactory {
 
 class ExtractSpec extends SparkSpec {
 
+  /** Shared fixture world (also used by ApiSpec). */
+  def worldFixture: Map[String, String] = world
+
   private val world: Map[String, String] = Map(
     Endpoints.Scans ->
       """{"scans": [{"id": 1, "folder_id": 100, "type": "local", "name": "s1"},
