@@ -97,6 +97,99 @@ object Similarity {
       k)
   }
 
+  /** IVF coarse quantizer: k-means over the corpus (deterministic init =
+    * the `nCentroids` lowest-id vectors; fixed Lloyd iterations). Returns
+    * (centroid_id, centroid) with centroids as array<float>.
+    *
+    * Iterative FP means-of-means are not oracle-mirrorable (summation order
+    * differs across engines), so IVF ships with a rows-only driver check
+    * and a recall-vs-brute-force spec instead.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c0 = corpus
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col(idCol))).as("centroid_id"),
+        col(vecCol).as("centroid"))
+    (1 to iters).foldLeft(c0) { (cents, _) =>
+      val assigned = assign(corpus, cents, idCol, vecCol)
+      // element-wise mean per cell: posexplode → avg per dimension → re-pack
+      assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("col")).cast("float").as("m"))
+        .groupBy("centroid_id")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("centroid"))
+    }
+  }
+
+  /** Nearest-centroid assignment (centroids broadcast). */
+  private def assign(
+      corpus: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol))
+            .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+
+  /** IVF top-k: assign the corpus to cells once, probe each query's
+    * `nProbe` nearest cells, exact-cosine rerank within the probed
+    * candidates. The cross join shrinks from |Q|x|corpus| to
+    * |Q|x(probed cells' members) — the standard recall/cost dial.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids, iters = 3, idCol, vecCol)
+    val cells = assign(corpus, cents, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn(
+        "prn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    rank(
+      probes
+        .join(cells, Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_r")),
+      k)
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored

@@ -54,6 +54,12 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // IVF is FP-iterative (k-means) → not oracle-mirrorable; declared
+    // without oracleSql for the driver's rows-only check
+    "similarity_topk_ivf" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },

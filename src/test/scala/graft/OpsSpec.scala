@@ -108,6 +108,19 @@ class OpsSpec extends SparkSpec {
     assert(toks == Seq("don't", "panic", ",", "world", "!"))
   }
 
+  test("ivfTopK: probing finds most of the brute-force neighbors (recall)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(q, e, k = 5))
+    val ivf = hits(Similarity.ivfTopK(q, e, k = 5, nCentroids = 8, nProbe = 4))
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, f"IVF recall $recall%.2f too low vs brute force")
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
