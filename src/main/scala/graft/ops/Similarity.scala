@@ -111,17 +111,27 @@ object Similarity {
       iters: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c0 = corpus
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Deterministic init: the nCentroids lowest-id vectors, ids assigned on
+    // the driver (centroid sets are tiny by construction — never a global
+    // window / single-partition exchange for this).
+    var cents: Seq[(Int, Seq[Float])] = corpus
       .orderBy(col(idCol))
       .limit(nCentroids)
-      .select(
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(idCol))).as("centroid_id"),
-        col(vecCol).as("centroid"))
-    (1 to iters).foldLeft(c0) { (cents, _) =>
-      val assigned = assign(corpus, cents, idCol, vecCol)
+      .select(col(vecCol))
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) }
+    // Each Lloyd iteration materializes its centroids back to a driver-side
+    // literal (<= nCentroids rows). Without this, iteration N's plan embeds
+    // iterations 1..N-1 and every downstream reference re-evaluates the whole
+    // k-means lineage — the classic iterative-algorithm anti-pattern.
+    (1 to iters).foreach { _ =>
+      val assigned = assign(corpus, cents.toDF("centroid_id", "centroid"), idCol, vecCol)
       // element-wise mean per cell: posexplode → avg per dimension → re-pack
-      assigned
+      cents = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy("centroid_id", "pos")
         .agg(avg(col("col")).cast("float").as("m"))
@@ -130,7 +140,11 @@ object Similarity {
           transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
             s => s.getField("m")).as("centroid"))
+        .collect()
+        .toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
     }
+    cents.toDF("centroid_id", "centroid")
   }
 
   /** Nearest-centroid assignment (centroids broadcast). */
