@@ -19,12 +19,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arithmetic contract (oracle parity): elements widen to double and
   * accumulate sequentially in index order — bit-identical to the HOF path
-  * and to the DuckDB mirror `list_sum(list_transform(...))`. Result is
-  * `dot / (sqrt(na) * sqrt(nb))`; length mismatch truncates to the shorter
-  * vector; null input → null.
+  * and to the DuckDB mirror `list_sum(list_transform(...))` on well-formed
+  * inputs. Degenerate inputs are defined (not left to FP accident): null
+  * input → null; an array containing a null element → null (matching the
+  * zip_with+aggregate path, which folds null absorbingly); a zero-norm or
+  * empty vector → null (the HOF path yields 0/0 = NaN there — NaN compares
+  * GREATER than every threshold under Spark's ordering, so a raw NaN would
+  * silently pass `>= t` filters); length mismatch truncates to the shorter
+  * vector.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  /** Element null-checks are emitted only when the input type admits null
+    * elements — parquet-read embeddings are `array<float> containsNull=true`
+    * even when no nulls exist, but the check is a cheap bitmap probe.
+    */
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -45,11 +62,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = elementsNullable
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -57,7 +76,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,15 +92,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
         val nb = ctx.freshName("nb")
         val xi = ctx.freshName("xi")
         val yi = ctx.freshName("yi")
+        val denom = ctx.freshName("denom")
+        val nullCheck =
+          if (elementsNullable)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  $nullCheck
            |  double $xi = (double) $a.getFloat($i);
            |  double $yi = (double) $b.getFloat($i);
            |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+           |if (!${ev.isNull}) {
+           |  if ($denom == 0.0) { ${ev.isNull} = true; }
+           |  else { ${ev.value} = $dot / $denom; }
+           |}
          """.stripMargin
       })
 

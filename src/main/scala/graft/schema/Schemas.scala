@@ -199,9 +199,11 @@ object Schemas {
           StructField("ports", MapType(StringType, IntegerType)),
           StructField("plugin_output", StringType)))))))))))))))
 
-  /** scan detail `history` entries (export.py:231-237). */
+  /** scan detail `history` entries (export.py:231-237). The response has no
+    * top-level scan_id — the caller threads the request's id through
+    * structurally (see Extract.newRuns).
+    */
   val historyDoc: StructType = StructType(Seq(
-    StructField("scan_id", LongType),
     StructField("history", ArrayType(StructType(Seq(
       StructField("history_id", LongType),
       StructField("status", StringType),

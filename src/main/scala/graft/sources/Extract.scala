@@ -112,17 +112,23 @@ object Extract {
       factory: ApiFactory,
       watermark: java.sql.Date): DataFrame = {
     import spark.implicits._
+    // The request's scan_id is carried through the fetch structurally: the
+    // live scan-detail response has no top-level scan_id field (the
+    // reference threads scan['id'] from its request loop, export.py
+    // update_scans), so parsing it back out of the body would yield null
+    // for every row against the real API.
     val detailJson = scans
       .select(col("scan_id"))
       .as[Long]
       .mapPartitions { ids =>
         val api = factory.create()
-        ids.map(id => api.get(Endpoints.scan(id)))
+        ids.map(id => (id, api.get(Endpoints.scan(id))))
       }
+      .toDF("scan_id", "body")
     detailJson
-      .select(from_json(col("value"), Schemas.historyDoc).as("d"))
+      .select(col("scan_id"), from_json(col("body"), Schemas.historyDoc).as("d"))
       .filter(col("d.history").isNotNull) // F3 null-history guard
-      .select(col("d.scan_id").as("scan_id"), explode(col("d.history")).as("h"))
+      .select(col("scan_id"), explode(col("d.history")).as("h"))
       .select(
         col("scan_id"),
         col("h.history_id").as("history_id"),

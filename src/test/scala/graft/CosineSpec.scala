@@ -31,6 +31,33 @@ class CosineSpec extends SparkSpec {
     assert(viaSql >= -1.0 && viaSql <= 1.0)
   }
 
+  test("degenerate inputs are defined: null elements and zero-norm vectors yield null") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("ok", Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      ("null_elem", Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](1f, 2f, 3f)),
+      ("zero_norm", Seq[java.lang.Float](0f, 0f, 0f), Seq[java.lang.Float](1f, 2f, 3f)),
+      ("both_empty", Seq.empty[java.lang.Float], Seq.empty[java.lang.Float]))
+      .toDF("kind", "a", "b")
+    // interpreted path (literal-free projection over a local relation may
+    // still codegen; force both by checking the collected values only)
+    val out = rows
+      .select(col("kind"), cosine_similarity(col("a"), col("b")).as("c"))
+      .collect()
+      .map(r => r.getString(0) -> Option(if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out("ok").exists(v => math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12))
+    assert(out("null_elem").isEmpty, "null element must yield null, not garbage floats")
+    assert(out("zero_norm").isEmpty, "zero-norm must yield null, not NaN (NaN passes >= filters)")
+    assert(out("both_empty").isEmpty)
+    // and a threshold filter must DROP the degenerate rows (the NaN trap)
+    val kept = rows
+      .filter(cosine_similarity(col("a"), col("b")) >= 0.5)
+      .select("kind").as[String].collect().toSet
+    assert(kept == Set("ok"))
+  }
+
   test("timing: native vs HOF on an all-pairs sweep (informational)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet").cache()
     e.count()

@@ -26,12 +26,15 @@ class ExtractSpec extends SparkSpec {
       """{"scans": [{"id": 1, "folder_id": 100, "type": "local", "name": "s1"},
         |           {"id": 2, "folder_id": 100, "type": "local", "name": "s2"}],
         | "folders": [{"id": 100, "type": "custom", "name": "f"}]}""".stripMargin,
+    // NOTE the real scan-detail response carries NO top-level scan_id — the
+    // fixture deliberately omits it so a regression back to parsing the id
+    // out of the body fails here (newRuns threads the request's id through).
     Endpoints.scan(1) ->
-      """{"scan_id": 1, "history": [
+      """{"history": [
         |  {"history_id": 10, "status": "completed", "last_modification_date": 1704758400},
         |  {"history_id": 9,  "status": "completed", "last_modification_date": 1104538000},
         |  {"history_id": 11, "status": "running",   "last_modification_date": 1704758400}]}""".stripMargin,
-    Endpoints.scan(2) -> """{"scan_id": 2, "history": null}""",
+    Endpoints.scan(2) -> """{"history": null}""",
     Endpoints.scanRun(1, 10) ->
       """{"info": {"scan_start": 1704750000, "scan_end": 1704753600, "hostcount": 1},
         | "hosts": [{"host_id": 7}]}""".stripMargin,
