@@ -108,17 +108,40 @@ class OpsSpec extends SparkSpec {
     assert(toks == Seq("don't", "panic", ",", "world", "!"))
   }
 
-  test("ivfTopK: probing finds most of the brute-force neighbors (recall)") {
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val q = e.filter(col("vec_id") < 8)
+  test("ivfTopK: >= 0.9 recall vs brute force on a clustered corpus") {
+    // 8 well-separated clusters on disjoint dimension pairs: cluster c lives
+    // on dims (2c, 2c+1), so cross-cluster cosine is exactly 0 and
+    // within-cluster cosine is ~0.99+. Ids interleave clusters (id = j*8+c)
+    // so the deterministic init (8 lowest ids) seeds one centroid per
+    // cluster; with nProbe=4 every query probes its own cell, so brute-force
+    // top-k (all same-cluster) must be fully recovered — the assertion
+    // actually certifies the probe-and-rerank machinery, not luck.
+    val s = spark
+    import s.implicits._
+    val clustered = (for {
+      c <- 0 until 8
+      j <- 0 until 20
+    } yield {
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.01f * (j % 5)
+      (j * 8L + c, v)
+    }).toDF("vec_id", "embedding")
+    val q = clustered.filter(col("vec_id") < 8) // one query per cluster
     def hits(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = hits(Similarity.bruteForceTopK(q, e, k = 5))
-    val ivf = hits(Similarity.ivfTopK(q, e, k = 5, nCentroids = 8, nProbe = 4))
+    val brute = hits(Similarity.bruteForceTopK(q, clustered, k = 5))
+    val ivf = hits(Similarity.ivfTopK(q, clustered, k = 5, nCentroids = 8, nProbe = 4))
     assert(ivf.nonEmpty)
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.4, f"IVF recall $recall%.2f too low vs brute force")
+    assert(recall >= 0.9, f"IVF recall $recall%.2f below 0.9 on separable clusters")
+    // and on the real (unstructured) embeddings, probing still beats chance
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qe = e.filter(col("vec_id") < 8)
+    val bruteE = hits(Similarity.bruteForceTopK(qe, e, k = 5))
+    val ivfE = hits(Similarity.ivfTopK(qe, e, k = 5, nCentroids = 8, nProbe = 4))
+    assert((bruteE & ivfE).size.toDouble / bruteE.size >= 0.4)
   }
 
   test("langId prefers the language whose markers dominate") {

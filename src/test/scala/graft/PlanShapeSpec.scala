@@ -46,4 +46,69 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("/host"), "stats query must not scan the host table")
     assert(!p.contains("/vuln_output"), "stats query must not scan vuln_output")
   }
+
+  // ---- dedup family: the self-join shapes that must never regress --------
+
+  private lazy val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("minHashLsh: no cartesian product; shingles/bands materialized before reuse") {
+    val df = graft.ops.Dedup.minHashLsh(docsDf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "candidate join must be an equi-join on (band,bkey)")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join must not nest-loop")
+    // the checkpoint guard: both multi-consumer subtrees enter the plan as
+    // materialized scans, not as re-executions of the shingle explode. If
+    // someone removes the localCheckpoint, the explode/generate reappears
+    // many times and this count blows past the budget.
+    assert(
+      "Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      "shingles and bands must be localCheckpoint-materialized before the self-join:\n" +
+        p.take(2000))
+    assert(
+      "Generate explode".r.findAllIn(p).size <= 1,
+      "the shingle explode must be evaluated once, not once per consumer")
+  }
+
+  test("minHashLsh: hot-bucket cap filters upstream of the candidate self-join") {
+    // the window-count bucket guard must run BEFORE the join (on the
+    // checkpointed bands), so a boilerplate bucket can never produce B²
+    // join rows. The materialization boundary hides the window from the
+    // final plan, so assert on the bands subtree itself.
+    val shingles = docsDf
+      .select(col("doc_id").as("id"), explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+    val bands = graft.ops.Dedup.lshBands(
+      graft.ops.Dedup.minHashSignature(shingles, 8), 8, 2)
+    val capped = bands
+      .withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= 50)
+    val p = plan(capped)
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("SinglePartition"), "bucket-count window must partition by (band,bkey)")
+  }
+
+  test("ngramJaccard: no cartesian product; inverted index materialized once") {
+    val df = graft.ops.Dedup.ngramJaccard(docsDf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"))
+    assert(
+      "Scan ExistingRDD".r.findAllIn(p).size >= 1,
+      "inverted index must be localCheckpoint-materialized before sizes + self-join")
+    assert(
+      "Generate explode".r.findAllIn(p).size <= 1,
+      "the gram explode must be evaluated once, not once per consumer")
+  }
+
+  test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))
+    assert(!pDedup.contains("CartesianProduct"), "sign-LSH blocking must equi-join on bucket")
+    val q = embs.filter(col("vec_id") < 4)
+    val pIvf = plan(graft.ops.Similarity.ivfTopK(q, embs, k = 5, nCentroids = 8, nProbe = 2))
+    assert(pIvf.contains("BroadcastNestedLoopJoin") || pIvf.contains("BroadcastExchange"),
+      "centroid assignment must broadcast the (tiny) centroid side")
+    assert(!pIvf.contains("SinglePartition"), "no global-window centroid id assignment")
+  }
 }
