@@ -18,6 +18,30 @@ import org.apache.spark.sql.types.StructType
   */
 object LandingZone {
 
+  /** Deployment seam: map the reference's S3 config block
+    * (`config.ini.example`; consumed at `export.py:68-73,89-108` via
+    * boto3) onto Hadoop s3a properties, so every reader/writer here works
+    * unchanged against `s3a://bucket/...` paths. Endpoint may be blank
+    * (AWS-default); a custom endpoint (MinIO/on-prem) also switches on
+    * path-style access, which such endpoints require.
+    *
+    * Returns the landing root URI for the configured bucket.
+    */
+  def configure(spark: SparkSession, cfg: graft.sources.NessusConfig): String = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.access.key", cfg.s3AccessKey)
+    hc.set("fs.s3a.secret.key", cfg.s3SecretKey)
+    if (cfg.s3Region.nonEmpty) hc.set("fs.s3a.endpoint.region", cfg.s3Region)
+    if (cfg.s3Endpoint.nonEmpty) {
+      hc.set("fs.s3a.endpoint", cfg.s3Endpoint)
+      hc.set("fs.s3a.path.style.access", "true")
+    }
+    // bounded retries instead of the reference's silent try/except (Q3)
+    hc.setIfUnset("fs.s3a.attempts.maximum", "5")
+    hc.setIfUnset("fs.s3a.retry.limit", "5")
+    s"s3a://${cfg.s3Bucket}"
+  }
+
   /** Read one landed document type across all deployments/days. The
     * partition columns materialize from the directory layout.
     */
@@ -61,4 +85,33 @@ object LandingZone {
     docs
       .withColumn("deployment_id", lit(deploymentId))
       .withColumn("ingest_date", date_format(current_date(), "yyyyMMdd"))
+
+  /** S8 input: enumerate landed partitions as reference-shaped S3 keys
+    * `{deployment_id}/{YYYYMMDD}/{file_type}.json` (export.py:75-87), from a
+    * layout `root/{file_type}/deployment_id=X/ingest_date=Y`. Listing is a
+    * metadata-only operation against the store (driver-side, like the
+    * reference's bucket list); the watermark itself is computed relationally
+    * by [[graft.etl.Incremental.watermarks]].
+    */
+  def listKeys(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys =
+      if (!fs.exists(rootPath)) Seq.empty[String]
+      else
+        Option(
+          fs.globStatus(
+            new org.apache.hadoop.fs.Path(root, "*/deployment_id=*/ingest_date=*")))
+          .map(_.toSeq)
+          .getOrElse(Seq.empty)
+          .map { st =>
+            val p = st.getPath
+            val date = p.getName.stripPrefix("ingest_date=")
+            val dep = p.getParent.getName.stripPrefix("deployment_id=")
+            val fileType = p.getParent.getParent.getName
+            s"$dep/$date/$fileType.json"
+          }
+    keys.toDF("key")
+  }
 }

@@ -110,7 +110,17 @@ object Extract {
       spark: SparkSession,
       scans: DataFrame,
       factory: ApiFactory,
-      watermark: java.sql.Date): DataFrame = {
+      watermark: java.sql.Date): DataFrame =
+    newRuns(spark, scans, factory, lit(watermark))
+
+  /** Column-watermark variant: F2's fixed lookback passes
+    * `date_sub(current_date(), 30)` here (export_last_month.py:208).
+    */
+  def newRuns(
+      spark: SparkSession,
+      scans: DataFrame,
+      factory: ApiFactory,
+      watermark: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
     // The request's scan_id is carried through the fetch structurally: the
     // live scan-detail response has no top-level scan_id field (the
@@ -135,7 +145,7 @@ object Extract {
         col("h.status").as("status"),
         col("h.last_modification_date").as("last_modification_date"))
       .transform(df =>
-        graft.etl.Incremental.newCompletedRuns(df, lit(watermark)))
+        graft.etl.Incremental.newCompletedRuns(df, watermark))
       .select("scan_id", "history_id")
   }
 

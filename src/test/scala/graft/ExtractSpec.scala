@@ -124,4 +124,39 @@ class ExtractSpec extends SparkSpec {
     assert(!LandingZone.writeSnapshots(docs, empty, root + "/snap", snapshotAlways = false))
     assert(LandingZone.writeSnapshots(docs, empty, root + "/snap", snapshotAlways = true))
   }
+
+  test("object-store seam: config maps onto s3a properties; landing round-trips through a URI basePath") {
+    val cfg = NessusConfig(
+      NessusConfig.RequiredKeys.map {
+        case k @ "s3_bucket" => s"$k = nessus-landing"
+        case k @ "s3_region" => s"$k = eu-west-1"
+        case k @ "s3_endpoint" => s"$k = https://minio.internal:9000"
+        case k => s"$k = v_$k"
+      }.mkString("\n"))
+    val root = LandingZone.configure(spark, cfg)
+    assert(root == "s3a://nessus-landing")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "v_s3_access_key")
+    assert(hc.get("fs.s3a.secret.key") == "v_s3_secret_key")
+    assert(hc.get("fs.s3a.endpoint.region") == "eu-west-1")
+    assert(hc.get("fs.s3a.endpoint") == "https://minio.internal:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.attempts.maximum") == "5")
+
+    // the writer/reader contract holds through a fully-qualified URI root,
+    // not just a bare local path (s3a:// is unexercisable offline; the URI
+    // scheme handling is what this pins)
+    val s = spark
+    import s.implicits._
+    val uriRoot = "file://" + java.nio.file.Files.createTempDirectory("graft_uri_").toString
+    val raw = Extract.fetchRawRunDocs(Seq((1L, 10L)).toDS(), factory)
+    LandingZone.write(LandingZone.stamped(FormatDocs(raw), "dep-uri"), uriRoot + "/scan_runs")
+    val back = LandingZone.readScanRunDocs(spark, uriRoot + "/scan_runs")
+    assert(back.count() == 1)
+    assert(back.select("deployment_id").head().getString(0) == "dep-uri")
+    assert(
+      LandingZone.listKeys(spark, uriRoot).collect().map(_.getString(0)).toSeq
+        .forall(_.startsWith("dep-uri/")))
+    assert(LandingZone.listKeys(spark, uriRoot).count() == 1)
+  }
 }
