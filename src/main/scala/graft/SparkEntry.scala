@@ -37,6 +37,13 @@ object SparkEntry {
     },
     "folder_results_plugin" -> { (s, dir) =>
       ScanQueries.folderResults(NessusSynth(s, dir), fid = 3, pid = Some(34L), offset = 0)
+    },
+    "deployment_client_rollup" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      ScanQueries.clientResults(
+        NessusSynth(s, dir).scanRun
+          .withColumn("deployment_uuid", NessusSynth.runDeploymentUuid(col("scan_run_id"))),
+        NessusSynth.scanerDeployments(s, dir))
     }
   )
 
@@ -80,6 +87,18 @@ object SparkEntry {
     "folder_results" ->
       s"${NessusSynthSql.withCtes(nthCte("scan_id IN (SELECT scan_id FROM scan WHERE folder_id = 1)", 0))}\n$resultsSelect",
     "folder_results_plugin" ->
-      s"${NessusSynthSql.withCtes(nthCte("scan_id IN (SELECT scan_id FROM scan WHERE folder_id = 3)", 0))}\n$resultsSelect AND hv.plugin_id = 34"
+      s"${NessusSynthSql.withCtes(nthCte("scan_id IN (SELECT scan_id FROM scan WHERE folder_id = 3)", 0))}\n$resultsSelect AND hv.plugin_id = 34",
+    "deployment_client_rollup" ->
+      s"""${NessusSynthSql.withCtes(NessusSynthSql.deploymentCtes)}
+         |SELECT client_id,
+         |       CAST(COUNT(DISTINCT deployment_uuid) AS BIGINT) AS n_deployments,
+         |       CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |       CAST(SUM(critical_count) AS BIGINT) AS critical_count,
+         |       CAST(SUM(high_count) AS BIGINT) AS high_count,
+         |       CAST(SUM(medium_count) AS BIGINT) AS medium_count,
+         |       CAST(SUM(low_count) AS BIGINT) AS low_count,
+         |       CAST(SUM(info_count) AS BIGINT) AS info_count
+         |FROM runs_dep JOIN scaner_deployments USING (deployment_uuid)
+         |GROUP BY client_id""".stripMargin
   )
 }

@@ -46,6 +46,16 @@ final class Nessus(spark: SparkSession, warehouseDir: String) {
   /** `CALL get_folder_results(fid, pid, offset)` — pid optional (F5). */
   def getFolderResults(fid: Long, pid: Option[Long] = None, offset: Int = 0): DataFrame =
     ScanQueries.folderResults(warehouse, fid, pid, offset)
+
+  /** Cross-client rollup (reference README.md:16-20): scan_run's landed
+    * deployment_uuid joined to the operator-maintained `scaner_deployments`
+    * table. Requires a warehouse loaded from landed docs (where the landing
+    * partition supplies deployment_uuid) plus [[Nessus.loadDeployments]].
+    */
+  def getClientResults(): DataFrame =
+    ScanQueries.clientResults(
+      table("scan_run", Schemas.scanRunDep),
+      table("scaner_deployments", Schemas.scanerDeployment))
 }
 
 object Nessus {
@@ -112,4 +122,16 @@ object Nessus {
         .select("vuln_output_id", "host_vuln_id", "port", "output"),
       "vuln_output")
   }
+
+  /** Load the operator-maintained `scaner_deployments` table (reference
+    * README.md:16-20; rows are created by hand per scanner install — there
+    * is no API source for it). Input must match
+    * [[graft.schema.Schemas.scanerDeployment]]'s columns.
+    */
+  def loadDeployments(deployments: DataFrame, warehouseDir: String): Unit =
+    deployments
+      .select(Schemas.scanerDeployment.fieldNames.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$warehouseDir/scaner_deployments")
 }

@@ -119,6 +119,34 @@ object NessusSynth {
         m
       })
 
+  /** The `nessusdb2.scaner_deployments` operational table (reference
+    * README.md:16-20): deployment-UUID → client mapping, maintained by
+    * operators per scanner install. Synthesized deterministically from
+    * `customer` (40 deployments across 10 clients); `deployment_uuid` is
+    * md5-derived so it is opaque-but-reproducible in both engines.
+    */
+  def scanerDeployments(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .filter(col("c_custkey") <= 40)
+      .select(
+        col("c_custkey").cast("long").as("scaner_deployment_id"),
+        (col("c_custkey") % 10).cast("long").as("client_id"),
+        col("c_name").as("location"),
+        md5(concat(lit("dep:"), (col("c_custkey") % 40).cast("string")))
+          .as("deployment_uuid"),
+        when(col("c_custkey") % 2 === 0, lit("internal"))
+          .otherwise(lit("external"))
+          .as("scanner_type"),
+        col("c_mktsegment").as("hardware"))
+
+  /** Which deployment landed a given run, in the synthetic world: the same
+    * opaque uuid scheme as [[scanerDeployments]] (in production this column
+    * comes from the landing partition's deployment_id — see
+    * [[Normalize.scanRun]]).
+    */
+  def runDeploymentUuid(runId: Column): Column =
+    md5(concat(lit("dep:"), (runId % 40).cast("string")))
+
   private def build(spark: SparkSession, dir: String): NessusWarehouse = {
     val folder = t(spark, dir, "region").select(
       col("r_regionkey").cast("long").as("folder_id"),

@@ -113,4 +113,21 @@ host AS (
   /** `WITH <ctes>, <extra>` helper. */
   def withCtes(extra: String = ""): String =
     if (extra.isEmpty) s"WITH $ctes" else s"WITH $ctes,\n$extra"
+
+  /** DuckDB mirror of [[NessusSynth.scanerDeployments]] +
+    * [[NessusSynth.runDeploymentUuid]], as extra CTEs.
+    */
+  val deploymentCtes: String = """scaner_deployments AS (
+  SELECT CAST(c_custkey AS BIGINT) AS scaner_deployment_id,
+         CAST(c_custkey % 10 AS BIGINT) AS client_id,
+         c_name AS location,
+         md5('dep:' || CAST(c_custkey % 40 AS VARCHAR)) AS deployment_uuid,
+         CASE WHEN c_custkey % 2 = 0 THEN 'internal' ELSE 'external' END AS scanner_type,
+         c_mktsegment AS hardware
+  FROM customer WHERE c_custkey <= 40
+),
+runs_dep AS (
+  SELECT sr.*, md5('dep:' || CAST(sr.scan_run_id % 40 AS VARCHAR)) AS deployment_uuid
+  FROM scan_run sr
+)"""
 }

@@ -36,17 +36,24 @@ object Normalize {
 
   /** scan_run rows (reference `export.py:196-208` projection P5, reversed).
     * `targets` is the serialized host tree (C9/Q2: the doc's targets alias
-    * the fully formatted hosts).
+    * the fully formatted hosts). Docs read from the landing zone carry the
+    * partition's deployment_id; it is kept as `deployment_uuid` — the join
+    * key to `scaner_deployments` for cross-client rollups.
     */
-  def scanRun(docs: DataFrame): DataFrame =
-    docs.select(
-      Seq(
-        col("history_id").as("scan_run_id"),
-        col("scan_id"),
-        col("scanner_start").as("scan_start"),
-        col("scanner_end").as("scan_end"),
-        to_json(col("targets")).as("targets"),
-        col("host_count")) ++ sevCols.map(col): _*)
+  def scanRun(docs: DataFrame): DataFrame = {
+    val base = Seq(
+      col("history_id").as("scan_run_id"),
+      col("scan_id"),
+      col("scanner_start").as("scan_start"),
+      col("scanner_end").as("scan_end"),
+      to_json(col("targets")).as("targets"),
+      col("host_count")) ++ sevCols.map(col)
+    val withDep =
+      if (docs.columns.contains("deployment_id"))
+        base :+ col("deployment_id").as("deployment_uuid")
+      else base
+    docs.select(withDep: _*)
+  }
 
   /** host rows (P4 enrichment, reversed). Surrogate host_id follows the
     * partitioned-id spec: scan_run_id * IdStride + rank of nessus_host_id

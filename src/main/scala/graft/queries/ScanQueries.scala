@@ -100,4 +100,25 @@ object ScanQueries {
     val joined = resultsJoin(w, nthLatestRun(runs, offset))
     pid.fold(joined)(p => joined.filter(col("plugin_id") === p))
   }
+
+  /** Cross-client rollup over `scaner_deployments` (reference
+    * README.md:16-20): per client, how many deployments reported, how many
+    * runs landed, and the summed severity counts. `scanRun` must carry a
+    * `deployment_uuid` column (landed docs do — Normalize.scanRun keeps the
+    * partition's deployment_id). The deployments table is operator-sized,
+    * so it broadcasts; the fact side shuffles once on client_id with
+    * map-side partial aggregation.
+    */
+  def clientResults(scanRun: DataFrame, deployments: DataFrame): DataFrame =
+    scanRun
+      .join(broadcast(deployments), Seq("deployment_uuid"))
+      .groupBy("client_id")
+      .agg(
+        countDistinct("deployment_uuid").cast("long").as("n_deployments"),
+        count(lit(1)).cast("long").as("n_runs"),
+        sum("critical_count").cast("long").as("critical_count"),
+        sum("high_count").cast("long").as("high_count"),
+        sum("medium_count").cast("long").as("medium_count"),
+        sum("low_count").cast("long").as("low_count"),
+        sum("info_count").cast("long").as("info_count"))
 }

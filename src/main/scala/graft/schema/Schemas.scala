@@ -37,6 +37,23 @@ object Schemas {
     StructField("low_count", LongType),
     StructField("info_count", LongType)))
 
+  /** scan_run + the landing partition's deployment uuid (present when the
+    * table was loaded from landed docs; see [[graft.etl.Normalize.scanRun]]).
+    */
+  val scanRunDep: StructType =
+    scanRun.add(StructField("deployment_uuid", StringType))
+
+  /** `nessusdb2.scaner_deployments` (reference README.md:16-20): the
+    * operator-maintained deployment-UUID → client mapping.
+    */
+  val scanerDeployment: StructType = StructType(Seq(
+    StructField("scaner_deployment_id", LongType, nullable = false),
+    StructField("client_id", LongType),
+    StructField("location", StringType),
+    StructField("deployment_uuid", StringType),
+    StructField("scanner_type", StringType),
+    StructField("hardware", StringType)))
+
   val host: StructType = StructType(Seq(
     StructField("host_id", LongType, nullable = false),
     StructField("nessus_host_id", LongType),

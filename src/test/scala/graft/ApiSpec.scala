@@ -46,4 +46,37 @@ class ApiSpec extends SparkSpec {
     assert(api.getFolderResults(100L, pid = Some(42L)).count() == 1)
     assert(api.getFolderStats(100L).count() == 1) // scan 2 has no runs
   }
+
+  test("client rollup: landed deployment_uuid joins scaner_deployments") {
+    val s = spark
+    import s.implicits._
+    val world = new ExtractSpec().worldFixture
+    val factory = FakeFactory(world)
+    // landed docs carry the landing partition's deployment_id
+    val docs = graft.io.LandingZone.stamped(
+      FormatDocs(Extract.fetchRawRunDocs(Seq((1L, 10L)).toDS(), factory)),
+      "uuid-scanner-7")
+    val snap = Seq(world(graft.sources.Endpoints.Scans)).toDF("value")
+      .select(from_json(col("value"), graft.schema.Schemas.scanDoc).as("d"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh_dep_").toString
+    Nessus.load(
+      spark, docs,
+      snap.select(col("d.folders").as("folders")),
+      snap.select(col("d.scans").as("scans")),
+      dir)
+    Nessus.loadDeployments(
+      Seq(
+        (1L, 10L, "hq", "uuid-scanner-7", "internal", "rack"),
+        (2L, 20L, "dc2", "uuid-scanner-9", "internal", "rack"))
+        .toDF(graft.schema.Schemas.scanerDeployment.fieldNames: _*),
+      dir)
+    val rollup = new Nessus(spark, dir).getClientResults().collect()
+    assert(rollup.length == 1) // only client 10's deployment landed docs
+    val r = rollup.head
+    assert(r.getAs[Long]("client_id") == 10L)
+    assert(r.getAs[Long]("n_deployments") == 1L)
+    assert(r.getAs[Long]("n_runs") == 1L)
+    assert(r.getAs[Long]("critical_count") == 2L)
+    assert(r.getAs[Long]("info_count") == 3L)
+  }
 }
