@@ -6,6 +6,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 case class Evt(user_id: Long, ts_secs: Long)
 case class SessionState(start: Long, last: Long, n: Int)
+
+/** Per-user state: the open session fragments, disjoint and sorted by
+  * start. Size is bounded by the number of sessions IN FLIGHT (batch time
+  * span / gap), never by event count — a hot user (bot traffic) with
+  * millions of events in a micro-batch still holds only its handful of
+  * fragments.
+  */
+case class OpenSessions(frags: Seq[SessionState])
 case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
 
 /** Structured-Streaming incarnation of the engine's incremental semantics
@@ -68,36 +76,69 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Merge one event into the sorted disjoint fragment set. Session
+    * membership is the transitive closure of "gap <= gapSecs", which is
+    * order-independent — so streaming the iterator one event at a time
+    * yields exactly what sort-then-fold would, WITHOUT materializing the
+    * group (the old `rows.toSeq.sortBy` buffered a whole user per batch;
+    * a hot user would OOM the task).
+    */
+  private[streaming] def merge(
+      frags: scala.collection.mutable.ArrayBuffer[SessionState],
+      ts: Long,
+      gapSecs: Long): Unit = {
+    // first fragment starting after ts; pred is the one before it
+    val idx = frags.indexWhere(_.start > ts) match {
+      case -1 => frags.size
+      case i => i
+    }
+    val joinsPred = idx > 0 && ts - frags(idx - 1).last <= gapSecs
+    val joinsSucc = idx < frags.size && frags(idx).start - ts <= gapSecs
+    (joinsPred, joinsSucc) match {
+      case (true, true) => // event bridges two fragments: coalesce
+        val p = frags(idx - 1)
+        val s = frags(idx)
+        frags(idx - 1) = SessionState(p.start, math.max(p.last, s.last), p.n + s.n + 1)
+        frags.remove(idx)
+      case (true, false) =>
+        val p = frags(idx - 1)
+        frags(idx - 1) = p.copy(last = math.max(p.last, ts), n = p.n + 1)
+      case (false, true) =>
+        val s = frags(idx)
+        frags(idx) = s.copy(start = ts, n = s.n + 1)
+      case (false, false) =>
+        frags.insert(idx, SessionState(ts, ts, 1))
+    }
+  }
+
   /** Gap-based sessionization: events of a user belong to one session while
-    * consecutive gaps are <= gapSecs. Closed sessions are emitted; the open
-    * session is carried in [[GroupState]] across micro-batches (and emitted
-    * as open=closed at end of input in batch mode, where state never
-    * persists).
+    * consecutive gaps are <= gapSecs. At the end of each micro-batch every
+    * fragment except the newest is emitted closed (the same cross-batch
+    * ordering assumption the reference's daily batches make); the newest is
+    * carried in [[GroupState]]. Out-of-order arrivals WITHIN a batch land in
+    * their correct session via fragment merging; a cross-batch straggler
+    * older than (open session start - gap) becomes its own session rather
+    * than buffering unbounded history.
     */
   def sessionize(events: Dataset[Evt], gapSecs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[OpenSessions, Session](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout) { (uid, rows, state: GroupState[SessionState]) =>
-        val sorted = rows.toSeq.sortBy(e => (e.ts_secs))
-        var cur = state.getOption
-        val closed = Seq.newBuilder[Session]
-        sorted.foreach { e =>
-          cur match {
-            case Some(s) if e.ts_secs - s.last <= gapSecs =>
-              cur = Some(s.copy(last = e.ts_secs, n = s.n + 1))
-            case Some(s) =>
-              closed += Session(uid, s.start, s.last, s.n)
-              cur = Some(SessionState(e.ts_secs, e.ts_secs, 1))
-            case None =>
-              cur = Some(SessionState(e.ts_secs, e.ts_secs, 1))
-          }
+        GroupStateTimeout.NoTimeout) { (uid, rows, state: GroupState[OpenSessions]) =>
+        val frags = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+        state.getOption.foreach(_.frags.foreach(frags += _))
+        rows.foreach(e => merge(frags, e.ts_secs, gapSecs))
+        if (frags.isEmpty) Iterator.empty
+        else {
+          // disjoint + sorted by start → the last fragment has the max
+          // `last`; it alone may still grow
+          val open = frags.remove(frags.size - 1)
+          state.update(OpenSessions(Seq(open)))
+          frags.iterator.map(f => Session(uid, f.start, f.last, f.n))
         }
-        cur.foreach(state.update)
-        closed.result().iterator
       }
   }
 

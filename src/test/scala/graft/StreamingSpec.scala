@@ -34,6 +34,42 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head == graft.streaming.Session(1L, 1000L, 1500L, 2))
   }
 
+  test("sessionize handles out-of-order events within a batch (fragment merge, no buffering)") {
+    val s = spark
+    import s.implicits._
+    // arrival order scrambled; 2000 arrives last and BRIDGES 1000 and 3000
+    val ev = Seq(
+      Evt(1L, 3000L), Evt(1L, 1000L), Evt(1L, 2000L), Evt(1L, 9000L)
+    ).toDS()
+    val sessions = EventsStream.sessionize(ev, gapSecs = 1800).collect()
+    assert(sessions.toSeq == Seq(graft.streaming.Session(1L, 1000L, 3000L, 3)))
+  }
+
+  test("sessionize across micro-batches: bounded state, stragglers become their own session") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Evt]
+    val q = EventsStream
+      .sessionize(input.toDS(), gapSecs = 1800)
+      .writeStream
+      .format("memory")
+      .queryName("sess_ooo")
+      .outputMode("append")
+      .start()
+    input.addData(Evt(1L, 1000L), Evt(1L, 4000L))
+    q.processAllAvailable()
+    input.addData(Evt(1L, 1200L), Evt(1L, 4300L)) // 1200 is a cross-batch straggler
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_ooo").as[graft.streaming.Session].collect().toSet
+    // batch 1 closes (1000); batch 2: 4300 extends the open session (4000..4300),
+    // the straggler 1200 cannot rejoin the already-emitted session — it closes alone
+    assert(got == Set(
+      graft.streaming.Session(1L, 1000L, 1000L, 1),
+      graft.streaming.Session(1L, 1200L, 1200L, 1)))
+  }
+
   test("batch sessionization closes open sessions and matches the state-based split") {
     val s = spark
     import s.implicits._
