@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Queries with the largest absolute cost (self-joins / iterative ANN) run
+    * LAST, so that if the machine degrades mid-run (noisy-neighbor CPU, GC
+    * pressure) the damage is confined to the tail instead of inflating every
+    * subsequent cheap query — BENCH_r02 showed exactly that failure shape:
+    * 14 fast queries, then a degraded heavy query, then every later query
+    * 5-30x its warm cost.
+    */
+  private val heavyLast = Seq(
+    "dedup_ngram_jaccard",
+    "similarity_topk_ivf",
+    "dedup_minhash_lsh",
+    "dedup_clusters")
+
+  /** Drop every block the previous query left in the block manager
+    * (localCheckpoint/persist intermediates are per-query scratch — nothing
+    * is shared across queries) and give the JVM a GC point, so heap residue
+    * from one query cannot thrash the next. Runs OUTSIDE the timed region.
+    */
+  private def releaseScratch(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,7 +41,11 @@ object Bench {
     // by many queries, not per-query work.
     graft.etl.NessusSynth(spark, sfDir)
     graft.etl.Docs.cached(spark, sfDir)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val ordered =
+      SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+        (heavyLast.indexOf(name), name)
+      }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val n = fn(spark, sfDir).count()
@@ -23,11 +53,13 @@ object Bench {
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      releaseScratch(spark)
+      name -> secs
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

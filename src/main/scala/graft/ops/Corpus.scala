@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators for training-data pipelines: deterministic
+  * train/val/test assignment and PII redaction. Both are pure per-row
+  * column expressions — no shuffle, no state, embarrassingly parallel at
+  * any scale — and both are engine-portable (md5 / strpos / RE2-safe
+  * regexes), so the DuckDB oracle mirrors them exactly.
+  */
+object Corpus {
+
+  /** Deterministic hash split: bucket = first two hex digits of
+    * md5(doc_id) in 0..255, assigned train/val/test by fixed cutoffs
+    * (default 179/217 ≈ 70/15/15). Hash-based assignment is the
+    * standard trick that keeps the split stable under corpus growth and
+    * reshuffling — a doc's split never depends on what else is in the
+    * corpus, so incremental ingests cannot leak val/test docs into train.
+    */
+  def splitAssign(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      trainCut: Int = 179,
+      valCut: Int = 217): DataFrame = {
+    val hexpos = (i: Int) =>
+      expr(s"locate(substring(md5(cast(doc_id as string)), $i, 1), '0123456789abcdef')") - 1
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("bucket", (hexpos(1) * 16 + hexpos(2)).cast("long"))
+      .withColumn(
+        "split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+  }
+
+  /** ASCII-safe PII patterns (identical semantics under Java regex and
+    * DuckDB's RE2: no backrefs, no lookaround, \b and \d are ASCII).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redacted text: emails, then IPv4s, then phone-like digit runs, each
+    * replaced with a typed token. Chained in a fixed order so the result
+    * is deterministic (and oracle-mirrorable) even where patterns abut.
+    */
+  def redacted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+      PhoneRe,
+      "<PHONE>")
+
+  /** Per-doc PII audit + redaction digest: match counts per category on the
+    * ORIGINAL text, and md5 of the redacted text (the digest keeps the
+    * oracle comparison compact — asserting the full redacted string would
+    * work too, it is deterministic).
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(redacted(col(textCol))).as("clean_md5"))
+}

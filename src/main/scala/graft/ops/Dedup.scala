@@ -152,6 +152,57 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over near-dup pairs: every doc that appears in a
+    * pair gets `cluster_id` = the minimum doc id reachable through the pair
+    * graph. This is the step that turns pairwise dedup output into an
+    * actionable keep/drop decision (keep `doc_id == cluster_id`, drop the
+    * rest) — without it, transitive groups A~B, B~C leave both pairs in the
+    * corpus.
+    *
+    * Execution shape: Pregel-style min-label propagation — one shuffle
+    * (edges ⋈ labels, then min-agg) per iteration, iterated to fixpoint with
+    * a driver-side scalar convergence check (the standard distributed-CC
+    * control loop; the data never visits the driver). Labels are
+    * materialized per iteration so iteration N's plan does not embed
+    * 1..N-1 (the IVF lineage lesson). Iteration count is bounded by the
+    * component diameter; near-dup clusters are shallow (pairs share LSH
+    * buckets), so 2-4 iterations converge in practice. At 100 TB the same
+    * loop holds: each step is an equi-join shuffle on uniformly-hashed ids,
+    * and a hot component caps out as one skewed-but-bounded aggregation key.
+    */
+  def clusterPairs(
+      pairs: DataFrame,
+      aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd
+      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("label"))
+      val next = neighborLabels
+        .unionAll(labels)
+        .groupBy("id")
+        .agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
+        .filter(col("label") < col("prev"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: bit i votes +1 when the i-th
     * hex digit of md5(token) has its high bit set (8..f), else -1; the
     * fingerprint bit is the vote sign. Pure string ops — engine-portable.

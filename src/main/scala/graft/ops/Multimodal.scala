@@ -14,17 +14,110 @@ case class MediaFeatures(
     media_md5: String,
     features: Array[Float])
 
+/** Per-image statistics decoded from real BMP bytes. */
+case class BmpStats(doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Per-clip statistics decoded from real WAV bytes. */
+case class WavStats(doc_id: Long, n_samples: Long, sum_sq: Long, peak: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
-  * The DECODE step is a STUB — this container ships no image/audio codecs —
-  * but everything around it is real and tested: the (id, kind, n_bytes,
-  * media) schema, the partition-parallel batch loop (`mapPartitions` over a
-  * typed Dataset — the Scala analogue of `mapInPandas`), and the
-  * fixed-width feature-vector output shape a downstream ANN index consumes.
-  * Swap [[decodeStub]] for a JNI/ONNX decoder without touching the plumbing.
+  * The decode step is REAL for two pure-JVM formats — uncompressed 24bpp BMP
+  * ([[decodeBmp]]: header-field reads, stride math, bottom-up row walk) and
+  * PCM16 mono WAV ([[decodeWav]]: RIFF chunk scan, `fmt ` validation,
+  * little-endian sample extraction). Formats needing native codecs
+  * (JPEG/MP3/video) still go through [[decodeStub]]; swapping it for a
+  * JNI/ONNX decoder touches nothing else: the (id, kind, n_bytes, media)
+  * schema, the partition-parallel batch loop (`mapPartitions` over a typed
+  * Dataset — the Scala analogue of `mapInPandas`), and the fixed-width
+  * feature-vector output shape are the same seam for every format.
   */
 object Multimodal {
+
+  /** Parse an uncompressed 24bpp BMP and accumulate per-channel pixel sums.
+    * Reads the actual header fields (pixel-array offset, dimensions, bpp,
+    * compression) and walks the padded bottom-up rows — channel sums are
+    * order-independent, so stats match the generator's (x, y) enumeration.
+    */
+  def decodeBmp(id: Long, bytes: Array[Byte]): BmpStats = {
+    require(
+      bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc $id: not a BMP")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(
+      bpp == 24 && compression == 0 && width > 0 && height > 0,
+      s"doc $id: unsupported BMP (bpp=$bpp comp=$compression ${width}x$height)")
+    val stride = ((3 * width + 3) / 4) * 4
+    require(bytes.length >= pixelOff + stride * height, s"doc $id: truncated BMP")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var row = 0
+    while (row < height) {
+      val base = pixelOff + row * stride
+      var x = 0
+      while (x < width) {
+        val o = base + 3 * x
+        sb += bytes(o) & 0xff // disk order is BGR
+        sg += bytes(o + 1) & 0xff
+        sr += bytes(o + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    BmpStats(id, width, height, sr, sg, sb)
+  }
+
+  /** Parse a PCM16 mono WAV by scanning RIFF chunks (not fixed offsets —
+    * real files carry LIST/INFO chunks before `data`), validating the
+    * `fmt ` chunk, and folding sum-of-squares and peak over the samples.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+    require(
+      bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $id: not a WAV")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOk = false
+    var stats: WavStats = null
+    while (off + 8 <= bytes.length) {
+      val chunkId = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      chunkId match {
+        case "fmt " =>
+          val audioFormat = buf.getShort(off + 8)
+          val channels = buf.getShort(off + 10)
+          val bits = buf.getShort(off + 22)
+          require(
+            audioFormat == 1 && channels == 1 && bits == 16,
+            s"doc $id: unsupported WAV (fmt=$audioFormat ch=$channels bits=$bits)")
+          fmtOk = true
+        case "data" =>
+          require(fmtOk, s"doc $id: data chunk before fmt")
+          val n = size / 2
+          var sumSq = 0L; var peak = 0L
+          var i = 0
+          while (i < n) {
+            val s = buf.getShort(off + 8 + 2 * i).toLong
+            sumSq += s * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            i += 1
+          }
+          stats = WavStats(id, n.toLong, sumSq, peak)
+        case _ => // skip unknown chunks (LIST, INFO, ...)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(stats != null, s"doc $id: no data chunk")
+    stats
+  }
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes (first 8
     * bytes scaled to [0,1]). A real deployment replaces this with the actual
@@ -55,6 +148,53 @@ object Multimodal {
       lit(kind).as("kind"),
       octet_length(col(binCol).cast("binary")).cast("long").as("n_bytes"),
       col(binCol).cast("binary").as("media"))
+
+  /** Decoded image statistics over generated-but-genuine BMP bytes: the
+    * fixture synthesizes a structurally valid BMP per doc
+    * ([[graft.etl.MediaSynth.docBmp]]), the decoder parses it for real, and
+    * the per-channel means are computed declaratively on the decoded sums so
+    * the arithmetic (and its rounding) mirrors the oracle exactly.
+    */
+  def bmpFeatures(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val px = col("width").cast("long") * col("height")
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // per-partition decoder scope (codec init amortization point)
+        ids.map(id => decodeBmp(id, graft.etl.MediaSynth.docBmp(id)))
+      }
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("sum_r").cast("double") / px, 4).as("mean_r"),
+        round(col("sum_g").cast("double") / px, 4).as("mean_g"),
+        round(col("sum_b").cast("double") / px, 4).as("mean_b"))
+  }
+
+  /** Decoded audio statistics over generated-but-genuine PCM16 WAV bytes —
+    * same construction as [[bmpFeatures]] with a RIFF chunk walk instead of
+    * a pixel walk. RMS = sqrt(sum_sq / n) evaluated in IEEE double on both
+    * engines (integer sums are exact, so no summation-order hazard).
+    */
+  def wavFeatures(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => decodeWav(id, graft.etl.MediaSynth.docWav(id)))
+      }
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("n_samples"),
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms"),
+        col("peak"))
+  }
 
   /** Batch feature extraction: one decoder instance per partition, streamed
     * over the partition's rows — the mapPartitions batch shape that

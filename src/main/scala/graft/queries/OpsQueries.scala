@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +46,20 @@ object OpsQueries {
     "dedup_embedding_cosine" -> { (s, dir) =>
       Dedup.embeddingCosine(dupEmbs(s, dir))
     },
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.clusterPairs(Dedup.minHashLsh(docs(s, dir)))
+    },
+    "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
+    "text_pii_redact" -> { (s, dir) =>
+      Corpus.piiRedact(
+        docs(s, dir).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".77 or call 555-0142")).as("text")))
+    },
     "similarity_topk" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
@@ -85,6 +99,12 @@ object OpsQueries {
         .extractFeatures(s, Multimodal.asMedia(docs(s, dir), "text", "text/plain"))
         .toDF()
         .select("doc_id", "kind", "n_bytes", "media_md5")
+    },
+    "multimodal_decode_bmp" -> { (s, dir) =>
+      Multimodal.bmpFeatures(s, docs(s, dir))
+    },
+    "multimodal_decode_wav" -> { (s, dir) =>
+      Multimodal.wavFeatures(s, docs(s, dir))
     },
     "sessionize" -> { (s, dir) =>
       import s.implicits._
@@ -145,7 +165,94 @@ object OpsQueries {
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
 
+  /** Shared by `dedup_minhash_lsh` and (as a nested CTE body) by
+    * `dedup_clusters`' recursive closure.
+    */
+  private val minhashLshSql =
+    s"""WITH $tokCtes,
+       |shingles AS (
+       |  SELECT doc_id AS id,
+       |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS tok
+       |  FROM tks WHERE len(tk) >= 3),
+       |mh AS (
+       |  SELECT id,
+       |         MIN(substr(md5('0:' || tok), 1, 16)) AS mh0,
+       |         MIN(substr(md5('1:' || tok), 1, 16)) AS mh1,
+       |         MIN(substr(md5('2:' || tok), 1, 16)) AS mh2,
+       |         MIN(substr(md5('3:' || tok), 1, 16)) AS mh3,
+       |         MIN(substr(md5('4:' || tok), 1, 16)) AS mh4,
+       |         MIN(substr(md5('5:' || tok), 1, 16)) AS mh5,
+       |         MIN(substr(md5('6:' || tok), 1, 16)) AS mh6,
+       |         MIN(substr(md5('7:' || tok), 1, 16)) AS mh7
+       |  FROM shingles GROUP BY id),
+       |bands0 AS (
+       |  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM mh
+       |  UNION ALL SELECT id, 1, mh2 || '|' || mh3 FROM mh
+       |  UNION ALL SELECT id, 2, mh4 || '|' || mh5 FROM mh
+       |  UNION ALL SELECT id, 3, mh6 || '|' || mh7 FROM mh),
+       |okb AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey HAVING COUNT(*) <= 50),
+       |bands AS (SELECT b.* FROM bands0 b JOIN okb USING (band, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN shingles a ON a.id = c.doc_a
+       |  JOIN shingles b ON b.id = c.doc_b AND b.tok = a.tok
+       |  GROUP BY c.doc_a, c.doc_b)
+       |${jaccardSql("inter", 0.8)}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashLshSql,
+    // Transitive closure over the minhash near-dup pairs: min reachable id
+    // per vertex = the cluster representative. The Spark side iterates
+    // min-label propagation to fixpoint; the closure below is the same
+    // fixpoint expressed recursively.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashLshSql
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "corpus_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |       CASE WHEN bucket < 179 THEN 'train'
+        |            WHEN bucket < 217 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    "text_pii_redact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |              || '.77 or call 555-0142' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |        '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS clean_md5
+        |FROM corpus""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -157,43 +264,6 @@ object OpsQueries {
         |  FROM corpus)
         |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH $tokCtes,
-         |shingles AS (
-         |  SELECT doc_id AS id,
-         |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
-         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS tok
-         |  FROM tks WHERE len(tk) >= 3),
-         |mh AS (
-         |  SELECT id,
-         |         MIN(substr(md5('0:' || tok), 1, 16)) AS mh0,
-         |         MIN(substr(md5('1:' || tok), 1, 16)) AS mh1,
-         |         MIN(substr(md5('2:' || tok), 1, 16)) AS mh2,
-         |         MIN(substr(md5('3:' || tok), 1, 16)) AS mh3,
-         |         MIN(substr(md5('4:' || tok), 1, 16)) AS mh4,
-         |         MIN(substr(md5('5:' || tok), 1, 16)) AS mh5,
-         |         MIN(substr(md5('6:' || tok), 1, 16)) AS mh6,
-         |         MIN(substr(md5('7:' || tok), 1, 16)) AS mh7
-         |  FROM shingles GROUP BY id),
-         |bands0 AS (
-         |  SELECT id, 0 AS band, mh0 || '|' || mh1 AS bkey FROM mh
-         |  UNION ALL SELECT id, 1, mh2 || '|' || mh3 FROM mh
-         |  UNION ALL SELECT id, 2, mh4 || '|' || mh5 FROM mh
-         |  UNION ALL SELECT id, 3, mh6 || '|' || mh7 FROM mh),
-         |okb AS (SELECT band, bkey FROM bands0 GROUP BY band, bkey HAVING COUNT(*) <= 50),
-         |bands AS (SELECT b.* FROM bands0 b JOIN okb USING (band, bkey)),
-         |cand AS (
-         |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
-         |sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-         |  FROM cand c
-         |  JOIN shingles a ON a.id = c.doc_a
-         |  JOIN shingles b ON b.id = c.doc_b AND b.tok = a.tok
-         |  GROUP BY c.doc_a, c.doc_b)
-         |${jaccardSql("inter", 0.8)}""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $tokCtes,
          |th AS (SELECT DISTINCT id, md5(tok) AS h FROM tok),
@@ -300,6 +370,34 @@ object OpsQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       md5(text) AS media_md5
         |FROM documents""".stripMargin,
+    // Mirrors MediaSynth.docBmp's generating formula: the Spark side decodes
+    // the actual BMP bytes; the oracle enumerates the same (x, y) grid
+    // arithmetically (k % w = x, k // w = y). Integer channel sums are
+    // exact, so only the final round(mean, 4) is FP — identical both sides.
+    "multimodal_decode_bmp" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |         list_sum(list_transform(range(0, w*h), k -> (doc_id + 7*(k % w) + 13*(k // w)) % 256)) AS sr,
+        |         list_sum(list_transform(range(0, w*h), k -> (doc_id*3 + 5*(k % w) + 11*(k // w)) % 256)) AS sg,
+        |         list_sum(list_transform(range(0, w*h), k -> (doc_id*5 + 3*(k % w) + 17*(k // w)) % 256)) AS sb
+        |  FROM dims)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       round(CAST(sr AS DOUBLE) / (w*h), 4) AS mean_r,
+        |       round(CAST(sg AS DOUBLE) / (w*h), 4) AS mean_g,
+        |       round(CAST(sb AS DOUBLE) / (w*h), 4) AS mean_b
+        |FROM px""".stripMargin,
+    "multimodal_decode_wav" ->
+      """WITH s AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n,
+        |         list_transform(range(0, 64 + doc_id % 64),
+        |                        i -> (doc_id*73 + i*179) % 65536 - 32768) AS smp
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       round(sqrt(CAST(list_sum(list_transform(smp, v -> v*v)) AS DOUBLE) / n), 4) AS rms,
+        |       CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT) AS peak
+        |FROM s""".stripMargin,
     "sessionize" ->
       """WITH ev AS (
         |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) // 1000000 AS ts_secs

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("clusterPairs: transitive groups collapse to min-id components") {
+    val s = spark
+    import s.implicits._
+    // components: {1,2,3} (chain), {10,11}, and 5 appears in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusterPairs converges past the propagation radius of one iteration") {
+    val s = spark
+    import s.implicits._
+    // a path graph 1-2-3-4-5-6: min label must travel 5 hops
+    val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 6L).toSet)
+  }
+
+  test("splitAssign: deterministic, total, and respects cutoffs") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 512L).toDF("doc_id")
+    val a = Corpus.splitAssign(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(a.length == 512)
+    assert(a.forall { case (_, b, _) => b >= 0 && b <= 255 })
+    assert(a.forall {
+      case (_, b, sp) =>
+        sp == (if (b < 179) "train" else if (b < 217) "val" else "test")
+    })
+    // stable under re-evaluation (pure function of the id)
+    val again = Corpus.splitAssign(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket"), r.getAs[String]("split")))
+    assert(a.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // bucket really is the first md5 byte
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected42 = (md.digest("42".getBytes("UTF-8"))(0) & 0xff).toLong
+    assert(a.find(_._1 == 42L).get._2 == expected42)
+  }
+
+  test("piiRedact counts and scrubs emails, IPs, phone patterns") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "reach me at alice.smith+x@corp.example.org or 192.168.1.7, tel 555-0199"),
+      (2L, "no pii here, just 3.14 and v1.2.3 strings")
+    ).toDF("doc_id", "text")
+    val got = Corpus.piiRedact(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 1)
+    assert(got(1L).getAs[Long]("n_ips") == 1)
+    assert(got(1L).getAs[Long]("n_phones") == 1)
+    assert(got(2L).getAs[Long]("n_emails") == 0)
+    assert(got(2L).getAs[Long]("n_ips") == 0) // 1.2.3 is not 4 octets
+    assert(got(2L).getAs[Long]("n_phones") == 0)
+    // the scrubbed text no longer matches any pattern
+    val clean = docs
+      .select(col("doc_id"), Corpus.redacted(col("text")).as("text"))
+    val rescan = Corpus.piiRedact(clean).agg(
+      sum("n_emails").as("e"), sum("n_ips").as("i"), sum("n_phones").as("p")).collect().head
+    assert(rescan.getLong(0) == 0 && rescan.getLong(1) == 0 && rescan.getLong(2) == 0)
+    assert(got(1L).getAs[String]("clean_md5") != got(2L).getAs[String]("clean_md5"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.etl.MediaSynth
+import graft.ops.Multimodal
+
+/** Hand-computed expectations for the real BMP/WAV decoders: the byte-level
+  * layout cases (BGR order, bottom-up rows, stride padding, RIFF chunk
+  * skipping) that a formula-mirroring oracle cannot distinguish from a
+  * decoder that never reads the bytes.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeBmp reads a hand-built 2x2 BMP: BGR order, bottom-up rows, stride pad") {
+    // 2x2, stride = ((3*2+3)/4)*4 = 8 => 2 pad bytes per row.
+    // Pixels: (0,0)=R only, (1,0)=G only, (0,1)=B only, (1,1)=white.
+    val px = Map((0, 0) -> (255, 0, 0), (1, 0) -> (0, 255, 0), (0, 1) -> (0, 0, 255), (1, 1) -> (255, 255, 255))
+    val bytes = MediaSynth.bmp(2, 2, (x, y) => px((x, y)))
+    assert(bytes.length == 54 + 8 * 2)
+    // file stores the BOTTOM row (y=1) first, channels as B,G,R
+    assert((bytes(54) & 0xff, bytes(55) & 0xff, bytes(56) & 0xff) == ((255, 0, 0))) // (0,1) blue => B=255
+    assert((bytes(57) & 0xff, bytes(58) & 0xff, bytes(59) & 0xff) == ((255, 255, 255))) // (1,1) white
+    val s = Multimodal.decodeBmp(7L, bytes)
+    assert(s.width == 2 && s.height == 2)
+    assert(s.sum_r == 255L + 255L)
+    assert(s.sum_g == 255L + 255L)
+    assert(s.sum_b == 255L + 255L)
+  }
+
+  test("decodeBmp rejects non-BMP and truncated bytes") {
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(1L, Array[Byte](1, 2, 3)))
+    val ok = MediaSynth.bmp(4, 3, (_, _) => (1, 2, 3))
+    intercept[IllegalArgumentException](Multimodal.decodeBmp(1L, ok.take(ok.length - 5)))
+  }
+
+  test("decodeWav computes sum-of-squares and peak; skips unknown RIFF chunks") {
+    val samples = Array[Short](3, -4, 0, 32767, -32768)
+    val bytes = MediaSynth.wav(samples)
+    val s = Multimodal.decodeWav(9L, bytes)
+    assert(s.n_samples == 5L)
+    assert(s.sum_sq == 9L + 16L + 0L + 32767L * 32767 + 32768L * 32768)
+    assert(s.peak == 32768L)
+
+    // splice a LIST chunk between fmt and data — a real-file layout the
+    // fixed-offset parse would misread
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = bytes.take(36) ++ listChunk ++ bytes.drop(36)
+    // patch RIFF size (bytes 4..7, LE) to cover the extra 12 bytes
+    val riffSize = java.nio.ByteBuffer.wrap(spliced, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riffSize.putInt(spliced.length - 8)
+    val s2 = Multimodal.decodeWav(9L, spliced)
+    assert(s2 == s.copy())
+  }
+
+  test("docBmp/docWav round-trip: decoded stats equal the generating formula") {
+    val id = 41L
+    val b = Multimodal.decodeBmp(id, MediaSynth.docBmp(id))
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    assert(b.width == w && b.height == h)
+    val grid = for { x <- 0 until w; y <- 0 until h } yield (x, y)
+    assert(b.sum_r == grid.map { case (x, y) => (id + 7L * x + 13L * y) % 256 }.sum)
+    assert(b.sum_g == grid.map { case (x, y) => (id * 3 + 5L * x + 11L * y) % 256 }.sum)
+    assert(b.sum_b == grid.map { case (x, y) => (id * 5 + 3L * x + 17L * y) % 256 }.sum)
+
+    val a = Multimodal.decodeWav(id, MediaSynth.docWav(id))
+    val n = (64 + id % 64).toInt
+    val smp = (0 until n).map(i => (id * 73 + i.toLong * 179) % 65536 - 32768)
+    assert(a.n_samples == n.toLong)
+    assert(a.sum_sq == smp.map(v => v * v).sum)
+    assert(a.peak == smp.map(math.abs).max)
+  }
+
+  test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val bf = Multimodal.bmpFeatures(s, docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(bf(2L).getAs[Long]("width") == 4 + 2 % 5)
+    assert(bf(2L).getAs[Long]("height") == 3 + 2 % 4)
+    val wf = Multimodal.wavFeatures(s, docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(wf(3L).getAs[Long]("n_samples") == 64 + 3 % 64)
+    assert(wf(3L).getAs[Long]("peak") > 0)
+  }
+}
