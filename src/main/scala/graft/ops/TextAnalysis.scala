@@ -100,4 +100,110 @@ object TextAnalysis {
   /** Normalized-text fingerprint (C9-adjacent; the dedup-exact key). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column,
+    * NON-distinct (repetition analysis needs the multiplicity that
+    * [[graft.ops.Dedup]]'s shingle sets discard). `tk` must be a projected
+    * attribute, not the `tokens(...)` expression inline: higher-order
+    * lambdas evaluate interpreted, and an inline expression re-splits the
+    * string at every `element_at` reference (measured 13.5 s vs 1.5 s at
+    * sf0.1 for [[repetition]]). Empty for docs shorter than n tokens —
+    * `sequence(0, negative)` would count DOWN and feed element_at an
+    * illegal index.
+    */
+  private def ngrams(tk: Column, n: Int): Column =
+    when(
+      size(tk) >= n,
+      transform(
+        sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals: for word 2-grams and 3-grams, the
+    * fraction of occurrences taken by the single most frequent gram
+    * (`top2_frac`, `top3_frac`) and the fraction that are repeats of an
+    * earlier occurrence (`dup2_frac`). High values flag boilerplate /
+    * degenerate generations — the standard pretraining-corpus filter that
+    * pure length/stopword heuristics miss.
+    *
+    * Execution shape: explode → per-(doc, gram) count → per-doc agg. Two
+    * hash-agg shuffles keyed by doc_id (uniform), linear in corpus size;
+    * docs shorter than n tokens drop out (inner join, mirrored in the
+    * oracle).
+    */
+  def repetition(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      // tokenize ONCE into a column (see ngrams), then ONE explode pass over
+      // both gram sizes, tagged (n, gram) — the downstream aggs key on
+      // doc_id so both sizes ride the same shuffle
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(
+        col("doc_id"),
+        explode(
+          concat(
+            transform(ngrams(col("tk"), 2), g => struct(lit(2).as("n"), g.as("g"))),
+            transform(ngrams(col("tk"), 3), g => struct(lit(3).as("n"), g.as("g")))))
+          .as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy("doc_id", "n", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("n") === 2, col("c"))).cast("long").as("total2"),
+        count(when(col("n") === 2, lit(1))).cast("long").as("distinct2"),
+        max(when(col("n") === 2, col("c"))).cast("long").as("max2"),
+        sum(when(col("n") === 3, col("c"))).cast("long").as("total3"),
+        max(when(col("n") === 3, col("c"))).cast("long").as("max3"))
+      // docs need >= 3 tokens to have both gram sizes (inner-join semantics,
+      // mirrored by the oracle's s2 JOIN s3)
+      .filter(col("total2").isNotNull && col("total3").isNotNull)
+      .select(
+        col("doc_id"),
+        col("total2").as("n_2grams"),
+        round(col("max2").cast("double") / col("total2"), 4).as("top2_frac"),
+        round(lit(1.0) - col("distinct2").cast("double") / col("total2"), 4).as("dup2_frac"),
+        round(col("max3").cast("double") / col("total3"), 4).as("top3_frac"))
+
+  /** Per-document top-k distinctive terms by tf/df (tf-idf with a rational
+    * score instead of a log — same ordering for a fixed corpus, and exactly
+    * expressible in both engines: one IEEE division, no transcendentals).
+    *
+    * Execution shape: one explode + (doc, token) count, materialized once
+    * and reused for the document-frequency aggregation AND the score join
+    * (the multi-consumer recompute guard); then a per-doc top-k window.
+    * All shuffles key on uniform hashes (token, doc_id); df for ubiquitous
+    * tokens is a bounded aggregation key, not a join hot spot, because the
+    * join back is on `token` AFTER the df table has collapsed to one row
+    * per token.
+    */
+  def topTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val scored = tf
+      .join(df, Seq("tok"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")
+            .orderBy(col("score").desc, col("tok"))))
+      .filter(col("rank") <= k)
+      .select(
+        col("doc_id"),
+        col("rank").cast("int").as("rank"),
+        col("tok"),
+        col("tf"),
+        col("df"),
+        round(col("score"), 6).as("score"))
+  }
 }

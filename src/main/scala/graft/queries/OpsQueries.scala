@@ -75,6 +75,8 @@ object OpsQueries {
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
+    "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
+    "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
     "events_window_agg" -> { (s, dir) =>
@@ -330,6 +332,46 @@ object OpsQueries {
          |  round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) *
          |        (1.0 - CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE) / greatest(len(tk), 1)), 4) AS quality_score
          |FROM tks""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $tokCtes,
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |                        i -> tk[i] || ' ' || tk[i+1])) AS g
+         |  FROM tks WHERE len(tk) >= 2),
+         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |s2 AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total2,
+         |         CAST(COUNT(*) AS BIGINT) AS distinct2, CAST(MAX(c) AS BIGINT) AS max2
+         |  FROM c2 GROUP BY doc_id),
+         |g3 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+         |                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM tks WHERE len(tk) >= 3),
+         |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |s3 AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total3, CAST(MAX(c) AS BIGINT) AS max3
+         |  FROM c3 GROUP BY doc_id)
+         |SELECT s2.doc_id, total2 AS n_2grams,
+         |       round(CAST(max2 AS DOUBLE) / total2, 4) AS top2_frac,
+         |       round(1.0 - CAST(distinct2 AS DOUBLE) / total2, 4) AS dup2_frac,
+         |       round(CAST(max3 AS DOUBLE) / total3, 4) AS top3_frac
+         |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id""".stripMargin,
+    "text_top_terms" ->
+      s"""WITH $tokCtes,
+         |tf AS (SELECT id AS doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tokraw WHERE tok <> '' GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |         CAST(tf.tf AS DOUBLE) / df.df AS score
+         |  FROM tf JOIN df ON tf.tok = df.tok)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, tok, tf, df,
+         |       round(score, 6) AS score
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
     "text_langid" -> {
       val scores = TextAnalysis.LangMarkers
         .map { case (lang, markers) =>

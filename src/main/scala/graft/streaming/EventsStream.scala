@@ -142,6 +142,18 @@ object EventsStream {
       }
   }
 
+  /** Streaming exact-dedup: first occurrence of each key wins, duplicates in
+    * later micro-batches are dropped. Built on the engine-native
+    * `dropDuplicatesWithinWatermark` rather than custom state — the state
+    * store keeps one entry per key only until the watermark passes it, so
+    * state is bounded by the dedup horizon, not by stream length (an
+    * unbounded `dropDuplicates` on a 100 TB/day stream is a slow OOM).
+    */
+  def dedupeStream(events: DataFrame, keyCol: String, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("t", horizon)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Batch-mode sessionization including the still-open trailing session per
     * user (state does not persist across invocations in batch).
     */

@@ -169,6 +169,38 @@ class OpsSpec extends SparkSpec {
     assert(q(1L) > q(2L))
   }
 
+  test("repetition: hand-computed n-gram fractions") {
+    val s = spark
+    import s.implicits._
+    // 2-grams of "a b a b c": [a b, b a, a b, b c] → total 4, distinct 3, max 2
+    // 3-grams: [a b a, b a b, a b c] → total 3, max 1
+    val d = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect().head
+    assert(r.getAs[Long]("n_2grams") == 4L)
+    assert(r.getAs[Double]("top2_frac") == 0.5)
+    assert(r.getAs[Double]("dup2_frac") == 0.25)
+    assert(r.getAs[Double]("top3_frac") == 0.3333)
+    // short docs: 2 tokens → no 3-grams → dropped; 1 token → no grams at all
+    val short = Seq((1L, "a b"), (2L, "a"), (3L, "x y z")).toDF("doc_id", "text")
+    val ids = TextAnalysis.repetition(short).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids == Seq(3L))
+  }
+
+  test("topTerms ranks by tf/df with token tie-break") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(d).collect()
+      .map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"), r.getAs[String]("tok"),
+          r.getAs[Double]("score")))
+      .toSet
+    // df: x=1, y=2, z=1 → doc 1: x 2.0, y 0.5; doc 2: z 1.0, y 0.5
+    assert(got == Set(
+      (1L, 1, "x", 2.0), (1L, 2, "y", 0.5),
+      (2L, 1, "z", 1.0), (2L, 2, "y", 0.5)))
+  }
+
   test("multimodal: feature extraction is deterministic and byte-derived") {
     val m = Multimodal.asMedia(fixture, "text", "text/plain")
     val f = Multimodal.extractFeatures(spark, m).collect().sortBy(_.doc_id)

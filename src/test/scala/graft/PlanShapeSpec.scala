@@ -101,6 +101,35 @@ class PlanShapeSpec extends SparkSpec {
       "the gram explode must be evaluated once, not once per consumer")
   }
 
+  test("clusterPairs: label propagation is equi-join + partial agg, never cartesian") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val p = plan(graft.ops.Dedup.clusterPairs(pairs))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), "labels must stay hash-partitioned by id")
+    // converged labels come from the per-iteration materialization boundary
+    assert(p.contains("Scan ExistingRDD"), p.take(1500))
+  }
+
+  test("corpus ops are shuffle-free row-local projections") {
+    val pSplit = plan(graft.ops.Corpus.splitAssign(docsDf))
+    assert(!pSplit.contains("Exchange"), "hash split must not shuffle:\n" + pSplit.take(1500))
+    val pPii = plan(graft.ops.Corpus.piiRedact(docsDf))
+    assert(!pPii.contains("Exchange"), "redaction must not shuffle:\n" + pPii.take(1500))
+    // both stay inside whole-stage codegen ("*(n)" stage markers) and prune
+    // the scan down to the columns they read
+    assert(pSplit.contains("*(1)"), pSplit.take(800))
+    assert(pPii.contains("*(1)"), pPii.take(800))
+    assert(pSplit.contains("ReadSchema: struct<doc_id:bigint>"), "split must scan only doc_id")
+  }
+
+  test("multimodal decode: partition-parallel map, no exchange before the decode") {
+    val p = plan(graft.ops.Multimodal.bmpFeatures(spark, docsDf))
+    assert(!p.contains("Exchange"), "decode is per-row; a shuffle would be pure overhead:\n" + p.take(1500))
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p.take(1500))
+  }
+
   test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))

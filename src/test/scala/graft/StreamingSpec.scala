@@ -70,6 +70,30 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.Session(1L, 1200L, 1200L, 1)))
   }
 
+  test("dedupeStream drops cross-batch duplicates within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = input
+      .toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("t"))
+    val q = EventsStream
+      .dedupeStream(events, "event_id")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream")
+      .outputMode("append")
+      .start()
+    input.addData((1L, 1000L), (2L, 1010L), (1L, 1020L)) // in-batch dup of 1
+    q.processAllAvailable()
+    input.addData((2L, 1030L), (3L, 1040L)) // cross-batch dup of 2
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("batch sessionization closes open sessions and matches the state-based split") {
     val s = spark
     import s.implicits._
