@@ -33,23 +33,6 @@ object Dedup {
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .distinct()
 
-  /** (id, gram) pairs, distinct — the word n-gram shingle set. Unigrams on a
-    * small vocabulary make every pair look similar; n>=3 shingles separate
-    * true near-dups (planted pairs score ~0.99, random pairs ~0.1).
-    */
-  private def gramSet(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
-      .filter(size(col("tks")) >= n)
-      .select(
-        col("id"),
-        explode(
-          array_distinct(
-            transform(
-              sequence(lit(0), size(col("tks")) - n),
-              i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))
-          .as("tok"))
-
   /** MinHash signatures: K simulated hash functions h_k(t) = md5(k ':' t),
     * minimum taken lexicographically over the 16-hex-char prefix. String
     * min == numeric min of the underlying 64 bits, and md5 is identical in
@@ -87,12 +70,13 @@ object Dedup {
     * collisions, verified with exact token-set Jaccard >= `threshold`.
     * Returns (doc_a, doc_b, jaccard) with jaccard rounded to 4 places.
     *
-    * Scale/execution shape: `shingles` (the explode) and `bands` (the
-    * signature agg) each feed multiple downstream consumers — both sides of
-    * the candidate self-join, and the verify joins — so both are
-    * materialized with `localCheckpoint` before reuse. Without that, Spark
-    * re-executes the whole shingle→signature tree at every reference
-    * (measured ~20x recompute, 499 s at sf0.1 vs <10 s materialized).
+    * Scale/execution shape: shingle sets and signatures are row-local array
+    * computations (no explode, no signature shuffle); the only shuffles are
+    * the band-bucket window and the candidate equi-join. The two
+    * multi-consumer intermediates (`withSh`: both verify sides; `bands`:
+    * both self-join sides) are materialized with `localCheckpoint` — the
+    * unmaterialized version of this pipeline re-executed its subtree per
+    * consumer (measured ~20x recompute, 499 s at sf0.1 vs <10 s).
     */
   def minHashLsh(
       docs: DataFrame,
@@ -103,8 +87,31 @@ object Dedup {
       maxBucket: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val shingles = gramSet(docs, shingle, textCol, idCol).localCheckpoint()
-    val bands0 = lshBands(minHashSignature(shingles, numHashes), numHashes, rowsPerBand)
+    // Shingle SETS and minhash signatures are computed ROW-LOCALLY: one
+    // array column per doc instead of an exploded (id, shingle) table. This
+    // removes the widest shuffle of the old shape (explode to ~200 rows/doc,
+    // then an 8-way min hash-agg back to one row/doc) and shrinks the
+    // materialized intermediate from |corpus|·|shingles| rows to |corpus|
+    // rows — the executor-memory profile that survives a noisy/contended
+    // host. `tks` is projected to a column before the gram lambda references
+    // it (HOF lambdas evaluate interpreted; an inline tokens() expression
+    // re-splits the text per element_at).
+    val withSh = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
+      .filter(size(col("tks")) >= shingle)
+      .select(
+        col("id"),
+        array_distinct(
+          transform(
+            sequence(lit(0), size(col("tks")) - shingle),
+            i => concat_ws(" ", (0 until shingle).map(j => element_at(col("tks"), i + j + 1)): _*)))
+          .as("sh"))
+      .localCheckpoint() // one row/doc; reused by bands + both verify sides
+    val sig = withSh.select(
+      col("id") +: (0 until numHashes).map(k =>
+        array_min(transform(col("sh"), t => substring(md5(concat(lit(s"$k:"), t)), 1, 16)))
+          .as(s"mh$k")): _*)
+    val bands0 = lshBands(sig, numHashes, rowsPerBand)
     // hot-bucket guard: a bucket of boilerplate text with B members yields
     // B² candidate pairs; capping bucket size bounds the self-join skew
     // (pairs in dropped buckets can still surface via their other bands).
@@ -117,7 +124,7 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
       .filter(col("bn") <= maxBucket)
       .drop("bn")
-      .localCheckpoint()
+      .localCheckpoint() // numBands rows/doc; both sides of the self-join
     val candidates = bands
       .as("x")
       .join(
@@ -126,28 +133,19 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
-    verifyJaccard(candidates, shingles, threshold)
-  }
-
-  /** Exact token-set Jaccard for candidate pairs; keeps pairs >= threshold. */
-  private def verifyJaccard(
-      candidates: DataFrame,
-      tokens: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = tokens.groupBy("id").agg(count(lit(1)).cast("long").as("n"))
+    // verify: exact set Jaccard via array_intersect on the per-doc shingle
+    // arrays — candidates are band-collision survivors (bounded by the
+    // bucket cap), so this join moves only |candidates| array payloads.
     candidates
-      .join(tokens.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
-      .join(
-        tokens.withColumnRenamed("id", "doc_b").withColumnRenamed("tok", "tok2"),
-        Seq("doc_b"))
-      .filter(col("tok") === col("tok2"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).cast("long").as("inter"))
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .join(withSh.select(col("id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(withSh.select(col("id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn(
         "jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4))
+        round(
+          col("inter").cast("double") /
+            (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")),
+          4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
