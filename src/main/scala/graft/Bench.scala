@@ -13,7 +13,8 @@ object Bench {
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
-    "dedup_clusters")
+    "dedup_clusters",
+    "dedup_keep")
 
   /** Drop every block the previous query left in the block manager
     * (localCheckpoint/persist intermediates are per-query scratch — nothing

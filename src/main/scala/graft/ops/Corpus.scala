@@ -18,21 +18,53 @@ object Corpus {
     * reshuffling — a doc's split never depends on what else is in the
     * corpus, so incremental ingests cannot leak val/test docs into train.
     */
+  /** Bucket 0..255 = first md5 byte of the stringified id (hex-digit
+    * positions, portable to any engine with md5 + strpos).
+    */
+  private def md5Bucket(idCol: String): Column = {
+    val hexpos = (i: Int) =>
+      expr(s"locate(substring(md5(cast($idCol as string)), $i, 1), '0123456789abcdef')") - 1
+    (hexpos(1) * 16 + hexpos(2)).cast("long")
+  }
+
   def splitAssign(
       docs: DataFrame,
       idCol: String = "doc_id",
       trainCut: Int = 179,
-      valCut: Int = 217): DataFrame = {
-    val hexpos = (i: Int) =>
-      expr(s"locate(substring(md5(cast(doc_id as string)), $i, 1), '0123456789abcdef')") - 1
+      valCut: Int = 217): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .withColumn("bucket", (hexpos(1) * 16 + hexpos(2)).cast("long"))
+      .withColumn("bucket", md5Bucket("doc_id"))
       .withColumn(
         "split",
         when(col("bucket") < trainCut, "train")
           .when(col("bucket") < valCut, "val")
           .otherwise("test"))
+
+  /** Stratified downsampling: per-language keep-rates expressed as bucket
+    * cutoffs out of 256 (e.g. "en" -> 128 keeps ~half the English docs,
+    * everything else default 256 = keep all). Rebalancing a web-scale
+    * corpus away from its dominant language is the canonical use. Same
+    * hash-bucket construction as [[splitAssign]], so sampling is
+    * deterministic, stratum-stable under corpus growth, and composes with
+    * the split (a doc's bucket is the same in both).
+    */
+  def sampleStratified(
+      docs: DataFrame,
+      cutoffs: Map[String, Int] = Map("en" -> 128),
+      defaultCutoff: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lang = TextAnalysis
+      .langId(docs, textCol, idCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("lang_pred"))
+    val cutoff = cutoffs.foldLeft(lit(defaultCutoff): Column) {
+      case (acc, (l, c)) => when(col("lang_pred") === l, lit(c)).otherwise(acc)
+    }
+    lang
+      .withColumn("bucket", md5Bucket("doc_id"))
+      .filter(col("bucket") < cutoff)
+      .select("doc_id", "lang_pred", "bucket")
   }
 
   /** ASCII-safe PII patterns (identical semantics under Java regex and

@@ -201,6 +201,20 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The dedup endgame: the corpus with every non-representative cluster
+    * member dropped (representative = min doc id per connected component).
+    * One left-anti join against the (small) drop-list — the shape that
+    * holds when the corpus is 100 TB and the dup clusters are a fraction
+    * of it.
+    */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(
+        clusterPairs(pairs).filter(col("cluster_id") =!= col("doc_id")),
+        Seq("doc_id"),
+        "left_anti")
+
   /** 16-bit SimHash from token md5 nibbles: bit i votes +1 when the i-th
     * hex digit of md5(token) has its high bit set (8..f), else -1; the
     * fingerprint bit is the vote sign. Pure string ops — engine-portable.

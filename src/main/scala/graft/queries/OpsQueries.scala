@@ -50,6 +50,10 @@ object OpsQueries {
       Dedup.clusterPairs(Dedup.minHashLsh(docs(s, dir)))
     },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
+    "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
+    "dedup_keep" -> { (s, dir) =>
+      Dedup.keepRepresentatives(docs(s, dir), Dedup.minHashLsh(docs(s, dir)))
+    },
     "text_pii_redact" -> { (s, dir) =>
       Corpus.piiRedact(
         docs(s, dir).select(
@@ -166,6 +170,28 @@ object OpsQueries {
 
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
+
+  /** Per-language marker-count select list (shared: `text_langid`,
+    * `corpus_sample`).
+    */
+  private val langScoresSql = TextAnalysis.LangMarkers
+    .map { case (lang, markers) =>
+      val lst = markers.map(m => s"'$m'").mkString(", ")
+      s"CAST(len(list_filter(tk, t -> t IN ($lst))) AS BIGINT) AS s_$lang"
+    }
+    .mkString(",\n  ")
+
+  /** Declaration-order argmax CASE chain over the s_<lang> columns. */
+  private val langCaseSql = {
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val chain = langs.init.zipWithIndex
+      .map { case (lang, i) =>
+        val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }
+      .mkString(" ")
+    s"CASE $chain ELSE '${langs.last}' END"
+  }
 
   /** Shared by `dedup_minhash_lsh` and (as a nested CTE body) by
     * `dedup_clusters`' recursive closure.
@@ -372,29 +398,50 @@ object OpsQueries {
          |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
-    "text_langid" -> {
-      val scores = TextAnalysis.LangMarkers
-        .map { case (lang, markers) =>
-          val lst = markers.map(m => s"'$m'").mkString(", ")
-          s"CAST(len(list_filter(tk, t -> t IN ($lst))) AS BIGINT) AS s_$lang"
-        }
-        .mkString(",\n  ")
-      val langs = TextAnalysis.LangMarkers.map(_._1)
-      val chain = langs.init.zipWithIndex
-        .map { case (lang, i) =>
-          val conds = langs.drop(i + 1).map(o => s"s_$lang >= s_$o").mkString(" AND ")
-          s"WHEN $conds THEN '$lang'"
-        }
-        .mkString(" ")
+    "text_langid" ->
       s"""WITH $tokCtes,
          |scored AS (
          |  SELECT doc_id,
-         |  $scores
+         |  $langScoresSql
          |  FROM tks)
          |SELECT doc_id, s_en, s_de, s_es, s_fr,
-         |       CASE $chain ELSE '${langs.last}' END AS lang_pred
-         |FROM scored""".stripMargin
-    },
+         |       $langCaseSql AS lang_pred
+         |FROM scored""".stripMargin,
+    // Stratified sampling: language from the langid CASE chain, keep-rate a
+    // per-language bucket cutoff on the same md5 bucket as corpus_split.
+    "corpus_sample" ->
+      s"""WITH $tokCtes,
+         |scored AS (
+         |  SELECT doc_id,
+         |  $langScoresSql
+         |  FROM tks),
+         |lang AS (SELECT doc_id, $langCaseSql AS lang_pred FROM scored),
+         |h AS (
+         |  SELECT doc_id,
+         |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+         |  FROM documents)
+         |SELECT l.doc_id, l.lang_pred, CAST(h.bucket AS BIGINT) AS bucket
+         |FROM lang l JOIN h ON l.doc_id = h.doc_id
+         |WHERE h.bucket < CASE WHEN l.lang_pred = 'en' THEN 128 ELSE 256 END""".stripMargin,
+    // The dedup endgame over the same minhash pair graph as dedup_clusters:
+    // every doc except non-representative cluster members.
+    "dedup_keep" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashLshSql
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id, MIN(r) AS clu FROM reach GROUP BY id)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN cl ON cl.id = d.doc_id
+         |WHERE cl.id IS NULL OR cl.clu = d.doc_id""".stripMargin,
     "text_tokens" ->
       s"""WITH $tokCtes
          |SELECT doc_id,

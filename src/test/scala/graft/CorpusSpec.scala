@@ -48,6 +48,33 @@ class CorpusSpec extends SparkSpec {
     assert(a.find(_._1 == 42L).get._2 == expected42)
   }
 
+  test("keepRepresentatives drops exactly the non-min members of each cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepRepresentatives(docs, pairs).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // 2,3 fold into 1; 6 into 5; 4 untouched
+  }
+
+  test("sampleStratified keeps all non-en docs and the sub-cutoff en buckets") {
+    val s = spark
+    import s.implicits._
+    // "the and of is" scores en; "der die und ist" scores de
+    val docs = (0L until 64L)
+      .map(i => (i, if (i % 2 == 0) "the and of is" else "der die und ist"))
+      .toDF("doc_id", "text")
+    val kept = Corpus.sampleStratified(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"), r.getAs[Long]("bucket")))
+    // every kept en doc has bucket < 128; every de doc survives
+    assert(kept.filter(_._2 == "en").forall(_._3 < 128))
+    assert(kept.count(_._2 == "de") == 32)
+    // the split bucket and the sample bucket agree (same hash construction)
+    val buckets = Corpus.splitAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(kept.forall { case (id, _, b) => buckets(id) == b })
+  }
+
   test("piiRedact counts and scrubs emails, IPs, phone patterns") {
     val s = spark
     import s.implicits._
