@@ -107,10 +107,16 @@ object Dedup {
             i => concat_ws(" ", (0 until shingle).map(j => element_at(col("tks"), i + j + 1)): _*)))
           .as("sh"))
       .localCheckpoint() // one row/doc; reused by bands + both verify sides
-    val sig = withSh.select(
-      col("id") +: (0 until numHashes).map(k =>
-        array_min(transform(col("sh"), t => substring(md5(concat(lit(s"$k:"), t)), 1, 16)))
-          .as(s"mh$k")): _*)
+    // signature via the native expression (one compiled pass per row; the
+    // HOF equivalent pays interpreted-lambda + allocation costs per
+    // (element, hash) — MinHashSpec asserts bit-identity between the two)
+    val sig = withSh
+      .select(
+        col("id"),
+        graft.functions.MinHashSignature.minhash_signature(col("sh"), numHashes).as("mhs"))
+      .select(
+        col("id") +: (0 until numHashes).map(k =>
+          element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
     val bands0 = lshBands(sig, numHashes, rowsPerBand)
     // hot-bucket guard: a bucket of boilerplate text with B members yields
     // B² candidate pairs; capping bucket size bounds the self-join skew
