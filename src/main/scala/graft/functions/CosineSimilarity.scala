@@ -127,10 +127,25 @@ object functions {
   def cosine_similarity(a: Column, b: Column): Column =
     shim.column(CosineSimilarity(shim.expression(a), shim.expression(b)))
 
-  /** Register engine SQL functions on a session (`cosine_similarity`). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register engine SQL functions on a session (`cosine_similarity`,
+    * `minhash_signature`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs =>
+        MinHashSignature(
+          exprs(0),
+          exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other =>
+              throw new IllegalArgumentException(
+                s"minhash_signature numHashes must be an integer literal, got $other")
+          }),
+      "scala_udf")
+  }
 }

@@ -63,6 +63,19 @@ class MinHashSpec extends SparkSpec {
     assert(got(3L) == null)
   }
 
+  test("SQL registration: minhash_signature callable from spark.sql") {
+    graft.functions.functions.register(spark)
+    val got = spark
+      .sql("SELECT minhash_signature(array('alpha','beta','gamma'), 2) AS m")
+      .collect()
+      .head
+      .getSeq[String](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(kv: String): String =
+      md.digest(kv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(got(0) == Seq("0:alpha", "0:beta", "0:gamma").map(h).min)
+  }
+
   test("expression survives whole-stage codegen (no fallback to interpreted projection)") {
     // parquet-backed source: a local Seq would constant-fold into a
     // LocalTableScan and never exercise doGenCode
