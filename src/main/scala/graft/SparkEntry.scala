@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.{NessusSynth, NessusSynthSql}
-import graft.queries.{EtlQueries, GenQueries, OpsQueries, ScanQueries}
+import graft.queries.{EtlQueries, GenQueries, OpsQueries, RelQueries, ScanQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see SURVEY.md §7 and the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries ++ OpsQueries.queries ++ GenQueries.queries ++ Map(
+    EtlQueries.queries ++ OpsQueries.queries ++ GenQueries.queries ++ RelQueries.queries ++ Map(
     "scan_stats" -> { (s, dir) =>
       ScanQueries.scanStats(NessusSynth(s, dir), sid = 7, offset = 1)
     },
@@ -77,7 +77,7 @@ object SparkEntry {
        |)""".stripMargin
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracleSql ++ OpsQueries.oracleSql ++ GenQueries.oracleSql ++ Map(
+    EtlQueries.oracleSql ++ OpsQueries.oracleSql ++ GenQueries.oracleSql ++ RelQueries.oracleSql ++ Map(
     "scan_stats" ->
       s"${NessusSynthSql.withCtes(nthCte("scan_id = 7", 1))}\n$statsSelect",
     "scan_results" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-management operators for training-data pipelines: deterministic
@@ -83,6 +84,53 @@ object Corpus {
       regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
       PhoneRe,
       "<PHONE>")
+
+  /** Train/test n-gram contamination audit — the standard "is my benchmark
+    * leaking into the training set" check (PaLM/GPT-3 style, word-n-gram
+    * overlap). For every TEST doc: how many of its distinct word n-grams
+    * also occur anywhere in the TRAIN split.
+    *
+    * Execution shape (one pass over the exploded grams, no recompute):
+    * tokenize -> explode n-grams -> DISTINCT (doc, gram, split) -> a
+    * per-gram window marks grams seen in train -> filter to test rows ->
+    * per-doc aggregate. Three shuffles (gram-triple distinct, gram window,
+    * doc agg), all on near-uniform keys: distinct word n-grams are heavy-
+    * tailed but the per-doc DISTINCT caps any doc's contribution, and a
+    * 5-gram hot enough to skew a partition is exactly the boilerplate the
+    * audit exists to surface. Docs shorter than n tokens produce no grams
+    * and drop out (mirrored in the oracle).
+    *
+    * The token array is projected to a named column before the n-gram
+    * lambda (see [[TextAnalysis.ngrams]]'s interpreted-HOF caveat).
+    */
+  def contaminationNgrams(
+      docs: DataFrame,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      trainCut: Int = 179,
+      valCut: Int = 217): DataFrame = {
+    val withSplit = splitAssign(docs, idCol, trainCut, valCut)
+      .select(col("doc_id"), col("split"))
+      .join(docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")), "doc_id")
+    val grams = withSplit
+      .filter(col("split").isin("train", "test"))
+      .select(col("doc_id"), col("split"), TextAnalysis.tokens(col("__text")).as("__tk"))
+      .select(col("doc_id"), col("split"), explode(TextAnalysis.ngrams(col("__tk"), n)).as("gram"))
+      .distinct()
+    val inTrain = max(when(col("split") === "train", 1).otherwise(0))
+      .over(Window.partitionBy("gram"))
+    grams
+      .withColumn("__in_train", inTrain)
+      .filter(col("split") === "test")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum("__in_train").cast("long").as("n_contaminated"))
+      .withColumn(
+        "contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4))
+  }
 
   /** Per-doc PII audit + redaction digest: match counts per category on the
     * ORIGINAL text, and md5 of the redacted text (the digest keeps the

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over a corpus, computed exactly but in the
+  * shape that scales: aggregate FIRST, then analyze the (tiny) aggregate.
+  */
+object Stats {
+
+  /** Exact per-group discrete quantiles of an integer-valued column via a
+    * value histogram + cumulative window.
+    *
+    * `groupBy(group, value).count()` compacts the input to one row per
+    * DISTINCT (group, value) — for bounded-domain measures (doc lengths,
+    * token counts, scores) that is orders of magnitude smaller than the
+    * data, and it is the only full-data shuffle. The cumulative-count
+    * window then runs over the compact histogram, so the per-group sort
+    * that makes naive exact quantiles unscalable touches thousands of
+    * rows, not billions. (A sketch — approx_percentile / t-digest — is the
+    * fallback for unbounded domains, at the cost of exactness; here the
+    * exact answer is cheap AND oracle-hashable.)
+    *
+    * Quantile rule: nearest-rank with integer arithmetic — the p-th
+    * quantile (p out of 100) is the smallest value whose cumulative count
+    * satisfies `cum * 100 >= p * total`. Pure integer compares keep the
+    * result bit-identical across engines (no float `ceil(p*n)` whose
+    * rounding could differ between a DECIMAL-literal and a DOUBLE-literal
+    * dialect).
+    *
+    * Output: group, n_rows, p{p} for each requested p — all BIGINT.
+    */
+  def quantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val cumW = Window
+      .partitionBy(groupCol)
+      .orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(cumW))
+      .withColumn("tot", sum("cnt").over(totW))
+    val qCols: Seq[Column] = percents.map { p =>
+      min(when(col("cum") * 100 >= col("tot") * p, col(valueCol)))
+        .cast("long")
+        .as(s"p$p")
+    }
+    cum
+      .groupBy(col(groupCol))
+      .agg(max("tot").cast("long").as("n_rows"), qCols: _*)
+  }
+}

@@ -111,7 +111,7 @@ object TextAnalysis {
     * `sequence(0, negative)` would count DOWN and feed element_at an
     * illegal index.
     */
-  private def ngrams(tk: Column, n: Int): Column =
+  private[ops] def ngrams(tk: Column, n: Int): Column =
     when(
       size(tk) >= n,
       transform(

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.ops.{Corpus, Relational, Stats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational-extension and corpus-statistics queries: as-of join, interval
+  * range join, hopping-window aggregation, train/test contamination, exact
+  * group quantiles. Each entry has a DuckDB oracle mirror; timestamps flow
+  * as integer microseconds end-to-end (`ts div 1000` on the Spark side —
+  * events.ts arrives as nanos-as-long, see build.sbt — `epoch_us(ts)` in
+  * DuckDB), so no engine-specific timestamp semantics can leak into the
+  * hash compare.
+  */
+object RelQueries {
+
+  /** 30 minutes in microseconds: the incident window and hop width. */
+  private val HalfHourUs = 1800000000L
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .parquet(s"$dir/events.parquet")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts div 1000").as("ts_us"),
+        col("event_type"),
+        col("value"))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For every purchase, the user's most recent click at-or-before it:
+    // the canonical attribution as-of join.
+    "asof_join_events" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoin(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"))
+    },
+    // Every event falling inside a 30-minute window opened by a severe
+    // error ("incident"), aggregated per incident. Incidents are rare, so
+    // the interval side broadcasts and the event stream is never shuffled.
+    "range_join_incidents" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 200)
+        .select(col("event_id").as("incident_id"), col("ts_us").as("start_us"))
+      Relational
+        .rangeJoinBucketed(
+          ev.select("ts_us", "value"),
+          incidents,
+          tsCol = "ts_us",
+          startCol = "start_us",
+          lengthUnits = HalfHourUs)
+        .groupBy("incident_id", "start_us")
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+    },
+    // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
+    // event lands in exactly two windows.
+    "events_hopping_agg" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("event_type"),
+          col("value"))
+        .groupBy(window(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(14,2)")).as("sv"))
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"),
+          col("n"),
+          col("sv").cast("double").as("sum_value"))
+    },
+    "contamination_ngrams" -> { (s, dir) =>
+      Corpus.contaminationNgrams(docs(s, dir), n = 5)
+    },
+    "stats_quantiles" -> { (s, dir) =>
+      Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "asof_join_events" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+        |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts,
+        |         CASE WHEN event_type = 'click' THEN value END AS c_val
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attached AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |         LAST_VALUE(c_ts IGNORE NULLS) OVER win AS click_ts_us,
+        |         LAST_VALUE(c_val IGNORE NULLS) OVER win AS click_value
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_us, click_ts_us, click_value
+        |FROM attached WHERE side = 1""".stripMargin,
+    "range_join_incidents" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us
+        |  FROM events WHERE event_type = 'error' AND value > 200
+        |)
+        |SELECT i.incident_id, i.start_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM inc i
+        |JOIN events e ON epoch_us(e.ts) >= i.start_us
+        |             AND epoch_us(e.ts) < i.start_us + 1800000000
+        |GROUP BY 1, 2""".stripMargin,
+    "events_hopping_agg" ->
+      """SELECT window_start_us, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - offs AS window_start_us,
+        |         event_type, value
+        |  FROM events
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS d(offs))
+        |GROUP BY 1, 2""".stripMargin,
+    "contamination_ngrams" ->
+      """WITH split AS (
+        |  SELECT doc_id,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM documents),
+        |labeled AS (
+        |  SELECT doc_id,
+        |         CASE WHEN bucket < 179 THEN 'train'
+        |              WHEN bucket < 217 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM split),
+        |tks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT t.doc_id, l.split,
+        |         unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+        |                               i -> array_to_string(list_slice(tk, i, i + 4), ' '))) AS gram
+        |  FROM tks t JOIN labeled l USING (doc_id)
+        |  WHERE l.split IN ('train', 'test')),
+        |train_g AS (SELECT DISTINCT gram FROM grams WHERE split = 'train'),
+        |test_g AS (SELECT doc_id, gram FROM grams WHERE split = 'test')
+        |SELECT t.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(tr.gram) AS BIGINT) AS n_contaminated,
+        |       round(CAST(COUNT(tr.gram) AS DOUBLE) / COUNT(*), 4) AS contamination
+        |FROM test_g t LEFT JOIN train_g tr USING (gram)
+        |GROUP BY 1""".stripMargin,
+    "stats_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, n_chars,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS tot
+        |  FROM h)
+        |SELECT lang, CAST(MAX(tot) AS BIGINT) AS n_rows,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 25 THEN n_chars END) AS BIGINT) AS p25,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN n_chars END) AS BIGINT) AS p50,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 75 THEN n_chars END) AS BIGINT) AS p75,
+        |       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN n_chars END) AS BIGINT) AS p90
+        |FROM c GROUP BY lang""".stripMargin
+  )
+}

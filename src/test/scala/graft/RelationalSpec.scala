@@ -1,0 +1,147 @@
+package graft
+
+import graft.ops.{Corpus, Relational, Stats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit semantics + plan-shape guards for the relational-extension
+  * operators: as-of join, bucketized range join, exact group quantiles,
+  * and n-gram contamination.
+  */
+class RelationalSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def planOf(df: DataFrame): String = {
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // ---- as-of join ---------------------------------------------------------
+
+  private lazy val trades = Seq(
+    // (event_id, key, ts)
+    (100L, 1L, 10L),
+    (101L, 1L, 20L),
+    (102L, 1L, 5L),
+    (103L, 2L, 50L),
+    (104L, 3L, 7L)
+  ).toDF("event_id", "user_id", "ts_us")
+
+  private lazy val quotes = Seq(
+    // (event_id, key, ts, q_ts, q_val)
+    (1L, 1L, 8L, 8L, 1.0),
+    (2L, 1L, 10L, 10L, 2.0), // equal-ts quote: prior-OR-EQUAL must pick it
+    (3L, 1L, 15L, 15L, 3.0),
+    (4L, 2L, 60L, 60L, 4.0) // after the only key-2 trade: no match
+  ).toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+
+  private lazy val asof: Map[Long, (Option[Long], Option[Double])] = Relational
+    .asOfJoin(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+    .select("event_id", "q_ts", "q_val")
+    .collect()
+    .map(r =>
+      r.getLong(0) -> ((
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))))
+    .toMap
+
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    assert(asof(100L) == (Some(10L), Some(2.0))) // equal ts counts
+    assert(asof(101L) == (Some(15L), Some(3.0)))
+    assert(asof(102L) == (None, None)) // earliest trade precedes all quotes
+  }
+
+  test("asOfJoin yields nulls when the right side has no prior row for the key") {
+    assert(asof(103L) == (None, None)) // quote is after the trade
+    assert(asof(104L) == (None, None)) // key has no quotes at all
+  }
+
+  test("asOfJoin at equal ts with multiple right rows picks the highest ordCol deterministically") {
+    val r = Seq((1L, 1L, 10L, 7.0), (2L, 1L, 10L, 9.0))
+      .toDF("event_id", "user_id", "ts_us", "q_val")
+    val l = Seq((50L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val out = Relational.asOfJoin(l, r, "user_id", "ts_us", "event_id", Seq("q_val")).collect()
+    assert(out.head.getAs[Double]("q_val") == 9.0)
+  }
+
+  test("asOfJoin plan: one exchange on the key, a sort, and NO join operator") {
+    val p = planOf(
+      Relational.asOfJoin(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val")))
+    assert(!p.contains("Join"), "as-of must be union+window, not a join:\n" + p.take(1500))
+    val nEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(nEx >= 1 && nEx <= 2,
+      "at most one exchange on the key per union branch (no extra shuffles):\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"), "no global-window single-partition exchange")
+  }
+
+  // ---- bucketized range join ---------------------------------------------
+
+  test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket containment") {
+    val probe = Seq((0L, "at_start"), (99L, "inside"), (100L, "at_end"), (150L, "cross"), (250L, "outside"))
+      .toDF("ts_us", "tag")
+    // interval [0, 100) and [120, 220): the second spans a bucket boundary (bucket width 100)
+    val ivals = Seq((10L, 0L), (20L, 120L)).toDF("ival_id", "start_us")
+    val got = Relational
+      .rangeJoinBucketed(probe, ivals, "ts_us", "start_us", 100L)
+      .select("ival_id", "tag")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got == Set((10L, "at_start"), (10L, "inside"), (20L, "cross")))
+  }
+
+  test("rangeJoinBucketed plan: broadcast hash equi-join, no nested loop") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(expr("ts div 1000").as("ts_us"), col("event_id"))
+    val iv = ev.limit(5).select(col("event_id").as("ival_id"), col("ts_us").as("start_us"))
+    val p = planOf(Relational.rangeJoinBucketed(ev, iv, "ts_us", "start_us", 1800000000L))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join must not nest-loop:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  // ---- exact group quantiles ---------------------------------------------
+
+  test("quantilesByGroup: nearest-rank quantiles by hand on a known distribution") {
+    // group "a": values 1..10 once each -> p25=3, p50=5, p75=8, p90=9
+    // (smallest v with cum*100 >= p*10)
+    val df = (1 to 10).map(v => ("a", v.toLong)).toDF("g", "v")
+    val r = Stats.quantilesByGroup(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("p25") == 3L)
+    assert(r.getAs[Long]("p50") == 5L)
+    assert(r.getAs[Long]("p75") == 8L)
+    assert(r.getAs[Long]("p90") == 9L)
+  }
+
+  test("quantilesByGroup: skewed multiplicities resolve to the dominating value") {
+    // 99x value 7 and 1x value 1000: every quantile below p99 is 7
+    val df = (Seq.fill(99)(7L) :+ 1000L).map(("b", _)).toDF("g", "v")
+    val r = Stats.quantilesByGroup(df, "g", "v").collect().head
+    assert(Seq("p25", "p50", "p75", "p90").forall(r.getAs[Long](_) == 7L))
+  }
+
+  // ---- contamination ------------------------------------------------------
+
+  test("contaminationNgrams: planted overlap is found, clean docs score zero") {
+    // Find real train/test ids under the default split so the planted text
+    // determines the result, not the hash assignment.
+    val ids = spark.range(0, 2000).toDF("doc_id")
+    val sp = Corpus.splitAssign(ids).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = sp.collectFirst { case (id, "train") => id }.get
+    val testHit = sp.collectFirst { case (id, "test") => id }.get
+    val testClean = sp.collect { case (id, "test") => id }.find(_ != testHit).get
+    val docs = Seq(
+      (trainId, "alpha beta gamma delta epsilon zeta"),
+      (testHit, "alpha beta gamma delta epsilon eta"), // shares 2 of its 2 5-grams? no: 1 of 2
+      (testClean, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = Corpus.contaminationNgrams(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated")))
+      .toMap
+    // testHit: 5-grams = {alpha..epsilon, beta..eta}; first is in train
+    assert(out(testHit) == (2L, 1L))
+    assert(out(testClean) == (2L, 0L))
+    assert(!out.contains(trainId), "train docs are not audited")
+  }
+}
