@@ -132,6 +132,43 @@ object Corpus {
         round(col("n_contaminated").cast("double") / col("n_grams"), 4))
   }
 
+  /** Greedy sequence packing — the concat-and-split batching used to fill
+    * fixed-size context windows for LLM training: documents are laid
+    * end-to-end in a deterministic order and cut every `ctxTokens` tokens;
+    * a doc belongs to the chunk where it STARTS.
+    *
+    * A single global layout would serialize on one partition, so packing
+    * is shard-local: docs are grouped into shards of `shardSize`
+    * consecutive ids and each shard packs independently (the running
+    * token-offset window partitions by shard). That is exactly how
+    * production packers scale — perfect global packing is not worth a
+    * global sort, and shard-local packing wastes at most one partial
+    * chunk per shard. Returns per-chunk occupancy (n_docs, n_tokens),
+    * the quantity a pipeline monitors for padding waste.
+    */
+  def packGreedy(
+      docs: DataFrame,
+      ctxTokens: Int = 2048,
+      shardSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window
+      .partitionBy("shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("shard", expr(s"doc_id div $shardSize"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk", expr(s"(cum - n_tokens) div $ctxTokens"))
+      .groupBy("shard", "chunk")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"))
+  }
+
   /** Per-doc PII audit + redaction digest: match counts per category on the
     * ORIGINAL text, and md5 of the redacted text (the digest keeps the
     * oracle comparison compact — asserting the full redacted string would

@@ -206,4 +206,25 @@ object TextAnalysis {
         col("df"),
         round(col("score"), 6).as("score"))
   }
+
+  /** Corpus vocabulary with document frequency: one row per distinct token
+    * with its df (docs containing it) and tf (total occurrences), filtered
+    * to `df >= minDf` — the vocabulary-build step of any tokenizer/featurizer
+    * training pass. One explode + one hash aggregation keyed by token;
+    * count(DISTINCT doc_id) expands to a (token, doc_id) partial aggregate
+    * first, so even a token appearing in every document aggregates
+    * tree-wise instead of funneling raw rows to one reducer.
+    */
+  def vocabulary(
+      docs: DataFrame,
+      minDf: Long = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(
+        countDistinct(col("doc_id")).cast("long").as("df"),
+        count(lit(1)).cast("long").as("tf"))
+      .filter(col("df") >= minDf)
 }

@@ -98,6 +98,26 @@ object RelQueries {
     },
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
+    },
+    "corpus_pack" -> { (s, dir) =>
+      Corpus.packGreedy(docs(s, dir), ctxTokens = 2048, shardSize = 256)
+    },
+    "vocab_min_df" -> { (s, dir) =>
+      graft.ops.TextAnalysis.vocabulary(docs(s, dir), minDf = 2)
+    },
+    // Top-k rows per group via ranked window — Catalyst turns the
+    // rank-then-filter into a map-side WindowGroupLimit, so each partition
+    // forwards at most k rows per group to the shuffle.
+    "topk_per_group" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .withColumn(
+          "rk",
+          row_number()
+            .over(Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id")))
+            .cast("int"))
+        .filter(col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", "rk")
     }
   )
 
@@ -171,6 +191,35 @@ object RelQueries {
         |       round(CAST(COUNT(tr.gram) AS DOUBLE) / COUNT(*), 4) AS contamination
         |FROM test_g t LEFT JOIN train_g tr USING (gram)
         |GROUP BY 1""".stripMargin,
+    "corpus_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, doc_id // 256 AS shard, n_tokens,
+        |         SUM(n_tokens) OVER (PARTITION BY doc_id // 256 ORDER BY doc_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tk)
+        |SELECT shard, (cum - n_tokens) // 2048 AS chunk,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "vocab_min_df" ->
+      """SELECT tok AS token,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+        |       CAST(COUNT(*) AS BIGINT) AS tf
+        |FROM (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents)
+        |GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "topk_per_group" ->
+      """SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 3""".stripMargin,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -121,6 +121,47 @@ class RelationalSpec extends SparkSpec {
     assert(Seq("p25", "p50", "p75", "p90").forall(r.getAs[Long](_) == 7L))
   }
 
+  // ---- sequence packing ---------------------------------------------------
+
+  test("packGreedy: docs cut into ctx-sized chunks by running token offset, shard-local") {
+    // 4 docs of 3 tokens each, ctx=5, shard=1000 (all one shard):
+    // offsets 0,3,6,9 -> chunks 0,0,1,1
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f"), (2L, "g h i"), (3L, "j k l")
+    ).toDF("doc_id", "text")
+    val out = Corpus.packGreedy(docs, ctxTokens = 5, shardSize = 1000)
+      .collect().map(r => (r.getLong(1), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet
+    assert(out == Set((0L, 2L, 6L), (1L, 2L, 6L)))
+  }
+
+  test("packGreedy: shard boundary restarts the offset") {
+    // shardSize=2: docs 0,1 in shard 0; docs 2,3 in shard 1 — each shard
+    // starts its own chunk 0 even though the global offset would not.
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f"), (2L, "g h i"), (3L, "j k l")
+    ).toDF("doc_id", "text")
+    val out = Corpus.packGreedy(docs, ctxTokens = 5, shardSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_docs"))).toSet
+    // each shard restarts at offset 0: both its docs (offsets 0 and 3) start in chunk 0
+    assert(out == Set((0L, 0L, 2L), (1L, 0L, 2L)))
+  }
+
+  test("topk_per_group plan: rank-filter compiles to map-side WindowGroupLimit") {
+    val p = planOf(graft.queries.RelQueries.queries("topk_per_group")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+  }
+
+  // ---- vocabulary ---------------------------------------------------------
+
+  test("vocabulary: df counts docs not occurrences; min_df filters") {
+    val docs = Seq(
+      (1L, "spark spark rows"), (2L, "spark rows"), (3L, "only")
+    ).toDF("doc_id", "text")
+    val v = graft.ops.TextAnalysis.vocabulary(docs, minDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getAs[Long]("df"), r.getAs[Long]("tf"))).toMap
+    assert(v == Map("spark" -> (2L, 3L), "rows" -> (2L, 2L)))
+  }
+
   // ---- contamination ------------------------------------------------------
 
   test("contaminationNgrams: planted overlap is found, clean docs score zero") {
