@@ -57,6 +57,29 @@ object EventsStream {
         col("event_type"),
         col("n"))
 
+  /** Sliding (hopping) window counts on the stream: 1-hour windows every
+    * `slide`, so each event contributes to size/slide windows. Same
+    * watermark/append semantics as [[windowedCounts]]; the batch mirror is
+    * the oracle-checked `events_hopping_agg` query.
+    */
+  def slidingCounts(events: DataFrame, slide: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour", slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"),
+        col("n"))
+
+  /** Stream-static enrichment join: each micro-batch hash-joins against
+    * the static dimension; Spark re-plans the static side per batch, and
+    * a small dimension broadcasts — no stream-side shuffle, no state. The
+    * canonical "attach user/deployment metadata on ingest" shape.
+    */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Run a streaming DataFrame to a memory sink with AvailableNow (process
     * everything currently in the source, then stop) and return the sink
     * contents.

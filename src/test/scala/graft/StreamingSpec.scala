@@ -20,6 +20,41 @@ class StreamingSpec extends SparkSpec {
     assert(got > batch / 2 && got <= batch)
   }
 
+  test("streaming sliding windows: each finalized window's count matches the batch hopping agg") {
+    val streaming = EventsStream.slidingCounts(EventsStream.source(spark, sf))
+    val got = EventsStream
+      .runToMemory(spark, streaming, "slide_counts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = graft.queries.RelQueries
+      .queries("events_hopping_agg")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got.nonEmpty)
+    // every window the stream finalized must agree exactly with batch
+    got.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
+  }
+
+  test("stream-static enrichment join broadcasts the dimension, no stream state") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((0L, "alpha"), (1L, "beta")).toDF("user_id", "cohort")
+    val streaming = EventsStream
+      .enriched(EventsStream.source(spark, sf).withColumn("user_id", col("user_id") % 2), dim, "user_id")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+    val rows = EventsStream
+      .runToMemory(spark, streaming, "enriched_counts", org.apache.spark.sql.streaming.OutputMode.Complete)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.keySet == Set("alpha", "beta"))
+    assert(rows.values.sum == total)
+  }
+
   test("flatMapGroupsWithState sessionization splits on gaps") {
     val s = spark
     import s.implicits._
