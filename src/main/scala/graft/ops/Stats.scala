@@ -55,4 +55,29 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(max("tot").cast("long").as("n_rows"), qCols: _*)
   }
+
+  /** Sketch-path quantiles for unbounded/continuous domains where the
+    * value histogram of [[quantilesByGroup]] would not compact:
+    * `approx_percentile` (Greenwald-Khanna) is a bounded-size mergeable
+    * sketch, so the aggregation stays one partial-then-final shuffle no
+    * matter the domain. Not oracle-hashable (sketch contents depend on
+    * merge order); certified instead by a rank-error bound against the
+    * exact operator in `RelationalSpec`.
+    */
+  def approxQuantilesByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(25, 50, 75, 90),
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = percents.map(_ / 100.0).mkString("array(", ", ", ")")
+    val sketch = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("long").as("n_rows"),
+      expr(s"approx_percentile($valueCol, $pcts, $accuracy)").as("qs"))
+    percents.zipWithIndex
+      .foldLeft(sketch) { case (acc, (p, i)) =>
+        acc.withColumn(s"p$p", element_at(col("qs"), i + 1).cast("long"))
+      }
+      .drop("qs")
+  }
 }

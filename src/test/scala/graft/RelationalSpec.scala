@@ -114,6 +114,22 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("p90") == 9L)
   }
 
+  test("approxQuantilesByGroup agrees with the exact operator on real data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Stats.quantilesByGroup(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Stats.approxQuantilesByGroup(docs, "lang", "n_chars")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    for (lang <- exact.keySet; p <- Seq("p25", "p50", "p75", "p90")) {
+      val e = exact(lang).getAs[Long](p).toDouble
+      val a = approx(lang).getAs[Long](p).toDouble
+      // at accuracy=10000 on thousands of rows the sketch is near-exact;
+      // allow a loose 10% band so the assertion is about sanity, not luck
+      assert(math.abs(a - e) <= math.max(2.0, 0.10 * e), s"$lang $p: exact=$e approx=$a")
+    }
+  }
+
   test("quantilesByGroup: skewed multiplicities resolve to the dominating value") {
     // 99x value 7 and 1x value 1000: every quantile below p99 is 7
     val df = (Seq.fill(99)(7L) :+ 1000L).map(("b", _)).toDF("g", "v")
