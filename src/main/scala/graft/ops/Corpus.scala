@@ -110,9 +110,17 @@ object Corpus {
       idCol: String = "doc_id",
       trainCut: Int = 179,
       valCut: Int = 217): DataFrame = {
-    val withSplit = splitAssign(docs, idCol, trainCut, valCut)
-      .select(col("doc_id"), col("split"))
-      .join(docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text")), "doc_id")
+    // split is a pure hash expression on the id — computed inline, NOT via a
+    // join back to splitAssign (a by-id join would shuffle the full corpus
+    // for information each row already determines)
+    val withSplit = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .withColumn("bucket", md5Bucket("doc_id"))
+      .withColumn(
+        "split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
     val grams = withSplit
       .filter(col("split").isin("train", "test"))
       .select(col("doc_id"), col("split"), TextAnalysis.tokens(col("__text")).as("__tk"))
