@@ -1,0 +1,84 @@
+package graft.api
+
+import graft.ops.{Corpus, Dedup, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** User-facing facade for the training-data side of the engine: the
+  * standard corpus-preparation pipeline (quality filter → language ID →
+  * near-dup removal → train/val/test split → sequence packing) as one
+  * composed, lazily-planned DataFrame program.
+  *
+  * Each stage is the library operator documented in `OPERATORS.md`; this
+  * class only wires them. Everything stays declarative — one Spark job
+  * graph, no driver-side materialization between stages — so Catalyst
+  * prunes columns across stage boundaries and AQE sizes the shuffles of
+  * the whole composition, exactly as it would for a hand-written query.
+  *
+  * Scale shape: the per-row stages (quality, langid, split) are
+  * zero-shuffle column programs; the only wide stages are minhash-LSH
+  * candidate generation (banded equi-join, hot-bucket-capped) and the
+  * per-shard packing window. The keep-list anti-join broadcasts when the
+  * drop-list is small — the common case for near-dup rates.
+  */
+final class Pipeline(
+    minQuality: Double = 0.1,
+    keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
+    ctxTokens: Int = 2048) {
+
+  /** Doc ids passing the quality floor and the language allow-list, with
+    * their predicted language and score attached.
+    */
+  def filtered(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis
+      .quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val l = TextAnalysis
+      .langId(docs)
+      .select(col("doc_id"), col("lang_pred"))
+    q.join(l, "doc_id")
+      .filter(col("quality_score") >= minQuality && col("lang_pred").isin(keepLangs: _*))
+  }
+
+  /** The full preparation run: returns the surviving docs with language,
+    * quality, split, and pack-chunk assignment — the manifest a trainer
+    * consumes.
+    */
+  def prepare(docs: DataFrame): DataFrame = {
+    val kept = filtered(docs)
+    val pairs = Dedup.minHashLsh(docs)
+    val deduped = Dedup
+      .keepRepresentatives(docs, pairs)
+      .join(kept, "doc_id") // inner: quality+lang filter AND dedup keep-list
+    val split = Corpus
+      .splitAssign(docs)
+      .select(col("doc_id"), col("split"))
+    deduped
+      .join(split, "doc_id")
+      .join(chunkOf(docs, deduped, ctxTokens), "doc_id")
+  }
+
+  /** Per-doc chunk assignment for the surviving docs (same layout rule as
+    * [[Corpus.packGreedy]], exposed per doc instead of per chunk).
+    */
+  private def chunkOf(docs: DataFrame, survivors: DataFrame, ctx: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .join(survivors.select("doc_id"), "doc_id")
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window
+      .partitionBy("shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("shard", expr("doc_id div 256"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        expr(s"(cum - n_tokens) div $ctx").as("chunk"),
+        col("n_tokens"))
+  }
+}

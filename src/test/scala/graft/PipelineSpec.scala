@@ -1,0 +1,52 @@
+package graft
+
+import graft.api.Pipeline
+import graft.ops.{Corpus, Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-preparation facade: the composed pipeline must agree
+  * stage-by-stage with the individual operators it wires.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = SparkSpec.spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val prepared = new Pipeline().prepare(docs).cache()
+
+  test("prepare emits one row per surviving doc with lang, quality, split, chunk") {
+    val n = prepared.count()
+    assert(n > 0 && n <= docs.count())
+    assert(
+      prepared.columns.toSet ==
+        Set("doc_id", "quality_score", "lang_pred", "split", "shard", "chunk", "n_tokens"))
+    assert(prepared.select("doc_id").distinct().count() == n, "one row per doc")
+  }
+
+  test("survivors = quality/lang filter ∩ dedup keep-list") {
+    val kept = new Pipeline().filtered(docs).select("doc_id")
+    val reps = Dedup.keepRepresentatives(docs, Dedup.minHashLsh(docs))
+    val expected = kept.join(reps, "doc_id").count()
+    assert(prepared.count() == expected)
+  }
+
+  test("split assignment matches Corpus.splitAssign on every surviving doc") {
+    val mismatch = prepared
+      .join(Corpus.splitAssign(docs).withColumnRenamed("split", "expected"), "doc_id")
+      .filter(col("split") =!= col("expected"))
+      .count()
+    assert(mismatch == 0)
+  }
+
+  test("chunk assignment is the packGreedy layout over the SURVIVING corpus") {
+    // per-(shard, chunk) doc counts from the per-doc manifest must equal
+    // packGreedy's per-chunk occupancy over the same surviving docs
+    val survivors = docs.join(prepared.select("doc_id"), "doc_id")
+    val fromOp = Corpus.packGreedy(survivors, ctxTokens = 2048)
+      .select("shard", "chunk", "n_docs")
+    val fromManifest = prepared.groupBy("shard", "chunk")
+      .agg(count(lit(1)).cast("long").as("m"))
+    val diff = fromOp.join(fromManifest, Seq("shard", "chunk"), "full")
+      .filter(col("n_docs").isNull || col("m").isNull || col("n_docs") =!= col("m"))
+      .count()
+    assert(diff == 0)
+  }
+}
