@@ -72,6 +72,48 @@ object Multimodal {
     BmpStats(id, width, height, sr, sg, sb)
   }
 
+  /** Nearest-neighbor resize of a real BMP to `tw` x `th`, returning the
+    * resized image's channel sums. Unlike the order-independent stats of
+    * [[decodeBmp]], resampling needs true pixel addressing: source pixel
+    * (sx, sy) of image coordinates lives at disk offset
+    * `pixelOff + (height-1-sy)*stride + 3*sx` (BMP rows are bottom-up).
+    * Integer source indices `sx = x*width div tw` keep the kernel exact
+    * and engine-portable (the oracle mirrors the same arithmetic over the
+    * generator formula).
+    */
+  def resizeBmpNearest(id: Long, bytes: Array[Byte], tw: Int, th: Int): BmpStats = {
+    require(
+      bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc $id: not a BMP")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(
+      bpp == 24 && compression == 0 && width > 0 && height > 0,
+      s"doc $id: unsupported BMP (bpp=$bpp comp=$compression ${width}x$height)")
+    val stride = ((3 * width + 3) / 4) * 4
+    require(bytes.length >= pixelOff + stride * height, s"doc $id: truncated BMP")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < th) {
+      val sy = y * height / th
+      val base = pixelOff + (height - 1 - sy) * stride
+      var x = 0
+      while (x < tw) {
+        val o = base + 3 * (x * width / tw)
+        sb += bytes(o) & 0xff
+        sg += bytes(o + 1) & 0xff
+        sr += bytes(o + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(id, tw, th, sr, sg, sb)
+  }
+
   /** Parse a PCM16 mono WAV by scanning RIFF chunks (not fixed offsets —
     * real files carry LIST/INFO chunks before `data`), validating the
     * `fmt ` chunk, and folding sum-of-squares and peak over the samples.
@@ -173,6 +215,28 @@ object Multimodal {
         round(col("sum_r").cast("double") / px, 4).as("mean_r"),
         round(col("sum_g").cast("double") / px, 4).as("mean_g"),
         round(col("sum_b").cast("double") / px, 4).as("mean_b"))
+  }
+
+  /** Channel sums of every BMP nearest-neighbor-resized to `tw` x `th` —
+    * the resize verb of the multimodal surface, over real decoded pixels.
+    * Integer-exact end to end, so the DuckDB oracle mirrors the resample
+    * index arithmetic over the generating formula.
+    */
+  def bmpResized(
+      spark: SparkSession,
+      docs: DataFrame,
+      tw: Int = 2,
+      th: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => resizeBmpNearest(id, graft.etl.MediaSynth.docBmp(id), tw, th))
+      }
+      .toDF()
+      .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
   /** Decoded audio statistics over generated-but-genuine PCM16 WAV bytes —

@@ -112,6 +112,9 @@ object OpsQueries {
     "multimodal_decode_wav" -> { (s, dir) =>
       Multimodal.wavFeatures(s, docs(s, dir))
     },
+    "multimodal_resize_bmp" -> { (s, dir) =>
+      Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
+    },
     "sessionize" -> { (s, dir) =>
       import s.implicits._
       val ev = s.read
@@ -463,6 +466,21 @@ object OpsQueries {
     // the actual BMP bytes; the oracle enumerates the same (x, y) grid
     // arithmetically (k % w = x, k // w = y). Integer channel sums are
     // exact, so only the final round(mean, 4) is FP — identical both sides.
+    // Mirrors resizeBmpNearest's index arithmetic over the generator
+    // formula: target pixel (x, y) of the 2x2 resample reads source pixel
+    // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.
+    "multimodal_resize_bmp" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 4), k -> (doc_id   + 7*(((k % 2) * w) // 2) + 13*(((k // 2) * h) // 2)) % 256)) AS sr,
+        |    list_sum(list_transform(range(0, 4), k -> (doc_id*3 + 5*(((k % 2) * w) // 2) + 11*(((k // 2) * h) // 2)) % 256)) AS sg,
+        |    list_sum(list_transform(range(0, 4), k -> (doc_id*5 + 3*(((k % 2) * w) // 2) + 17*(((k // 2) * h) // 2)) % 256)) AS sb
+        |  FROM dims)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+        |       CAST(sb AS BIGINT) AS sum_b
+        |FROM s""".stripMargin,
     "multimodal_decode_bmp" ->
       """WITH dims AS (
         |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),

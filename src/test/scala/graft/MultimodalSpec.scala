@@ -71,6 +71,23 @@ class MultimodalSpec extends SparkSpec {
     assert(a.peak == smp.map(math.abs).max)
   }
 
+  test("resizeBmpNearest: full-size resample reproduces decode sums; 2x2 matches the index formula") {
+    for (id <- Seq(0L, 3L, 7L, 12L)) {
+      val bytes = MediaSynth.docBmp(id)
+      val full = Multimodal.decodeBmp(id, bytes)
+      // identity resize must touch every pixel exactly once
+      val same = Multimodal.resizeBmpNearest(id, bytes, full.width, full.height)
+      assert((same.sum_r, same.sum_g, same.sum_b) == (full.sum_r, full.sum_g, full.sum_b))
+      // 2x2: target (x,y) samples source (x*w div 2, y*h div 2)
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      val pts = for (y <- 0 until 2; x <- 0 until 2) yield (x * w / 2, y * h / 2)
+      val expR = pts.map { case (sx, sy) => (id + 7L * sx + 13L * sy) % 256 }.sum
+      val r = Multimodal.resizeBmpNearest(id, bytes, 2, 2)
+      assert(r.sum_r == expR, s"id=$id")
+    }
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
     val s = spark
     import s.implicits._
