@@ -90,4 +90,37 @@ object MediaSynth {
     val n = (64 + id % 64).toInt
     wav(Array.tabulate(n)(i => (((id * 73 + i.toLong * 179) % 65536) - 32768).toShort))
   }
+
+  /** Minimal frame container: magic "GVID", frame count, then each frame as
+    * a length-prefixed full BMP. Stand-in for a video container whose codec
+    * is unavailable pure-JVM — the container walk, length-prefix framing,
+    * and per-frame decode are the real work frame sampling does.
+    */
+  def video(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val buf = ByteBuffer
+      .allocate(8 + frames.map(4 + _.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GVID".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Per-doc clip: 3..6 frames of the doc's BMP geometry; frame f shifts the
+    * red channel by 19·f — mirrored in the oracle as
+    * `(doc_id + 19*f + 7*(k % w) + 13*(k // w)) % 256`.
+    */
+  def docVideo(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val nf = (3 + id % 4).toInt
+    video((0 until nf).map(f =>
+      bmp(
+        w,
+        h,
+        (x, y) =>
+          (
+            ((id + 19L * f + 7L * x + 13L * y) % 256).toInt,
+            ((id * 3 + 19L * f + 5L * x + 11L * y) % 256).toInt,
+            ((id * 5 + 19L * f + 3L * x + 17L * y) % 256).toInt))))
+  }
 }

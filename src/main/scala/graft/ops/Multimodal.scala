@@ -20,6 +20,9 @@ case class BmpStats(doc_id: Long, width: Int, height: Int, sum_r: Long, sum_g: L
 /** Per-clip statistics decoded from real WAV bytes. */
 case class WavStats(doc_id: Long, n_samples: Long, sum_sq: Long, peak: Long)
 
+/** Per-sampled-frame statistics from a frame container. */
+case class FrameStats(doc_id: Long, frame_id: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
@@ -237,6 +240,54 @@ object Multimodal {
       }
       .toDF()
       .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  /** Walk a GVID frame container and decode every `every`-th frame — the
+    * frame-sampling verb: stride over the length-prefixed frame index
+    * WITHOUT decoding skipped frames (the point of sampling a video is to
+    * not pay for the frames you drop), then run the real BMP decode on the
+    * selected ones.
+    */
+  def sampleFrames(id: Long, bytes: Array[Byte], every: Int): Seq[FrameStats] = {
+    require(
+      bytes.length >= 8 && new String(bytes, 0, 4, "US-ASCII") == "GVID",
+      s"doc $id: not a GVID container")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nFrames = buf.getInt(4)
+    var off = 8
+    val out = Seq.newBuilder[FrameStats]
+    var f = 0
+    while (f < nFrames) {
+      require(bytes.length >= off + 4, s"doc $id: truncated frame index")
+      val len = buf.getInt(off)
+      off += 4
+      require(bytes.length >= off + len, s"doc $id: truncated frame $f")
+      if (f % every == 0) {
+        val frame = java.util.Arrays.copyOfRange(bytes, off, off + len)
+        val s = decodeBmp(id, frame)
+        out += FrameStats(id, f, s.sum_r, s.sum_g, s.sum_b)
+      }
+      off += len
+      f += 1
+    }
+    out.result()
+  }
+
+  /** DataFrame face of [[sampleFrames]]: one row per sampled frame per doc. */
+  def frameSamples(
+      spark: SparkSession,
+      docs: DataFrame,
+      every: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap(id => sampleFrames(id, graft.etl.MediaSynth.docVideo(id), every))
+      }
+      .toDF()
+      .select(col("doc_id"), col("frame_id"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
   /** Decoded audio statistics over generated-but-genuine PCM16 WAV bytes —

@@ -115,6 +115,9 @@ object OpsQueries {
     "multimodal_resize_bmp" -> { (s, dir) =>
       Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
     },
+    "multimodal_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSamples(s, docs(s, dir), every = 2)
+    },
     "sessionize" -> { (s, dir) =>
       import s.implicits._
       val ev = s.read
@@ -466,6 +469,24 @@ object OpsQueries {
     // the actual BMP bytes; the oracle enumerates the same (x, y) grid
     // arithmetically (k % w = x, k // w = y). Integer channel sums are
     // exact, so only the final round(mean, 4) is FP — identical both sides.
+    // Mirrors sampleFrames+decodeBmp over docVideo's generator: frames
+    // 0, 2, 4 of nf = 3 + doc_id % 4; frame f shifts every channel by 19*f.
+    "multimodal_frame_sample" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |         3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+        |s AS (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_id,
+        |    list_sum(list_transform(range(0, w*h), k -> (doc_id   + 19*f + 7*(k % w) + 13*(k // w)) % 256)) AS sr,
+        |    list_sum(list_transform(range(0, w*h), k -> (doc_id*3 + 19*f + 5*(k % w) + 11*(k // w)) % 256)) AS sg,
+        |    list_sum(list_transform(range(0, w*h), k -> (doc_id*5 + 19*f + 3*(k % w) + 17*(k // w)) % 256)) AS sb
+        |  FROM fr WHERE f % 2 = 0)
+        |SELECT doc_id, frame_id, CAST(sr AS BIGINT) AS sum_r,
+        |       CAST(sg AS BIGINT) AS sum_g, CAST(sb AS BIGINT) AS sum_b
+        |FROM s""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel
     // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.

@@ -88,6 +88,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames strides the container index, decodes only selected frames") {
+    val id = 5L // nf = 3 + 5%4 = 4 -> frames 0, 2 at every=2
+    val got = Multimodal.sampleFrames(id, MediaSynth.docVideo(id), every = 2)
+    assert(got.map(_.frame_id) == Seq(0, 2))
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    for (fs <- got) {
+      val exp = (for (y <- 0 until h; x <- 0 until w)
+        yield (id + 19L * fs.frame_id + 7L * x + 13L * y) % 256).sum
+      assert(fs.sum_r == exp, s"frame ${fs.frame_id}")
+    }
+    // every=1 returns all frames
+    assert(Multimodal.sampleFrames(id, MediaSynth.docVideo(id), every = 1).size == 4)
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
     val s = spark
     import s.implicits._
