@@ -86,6 +86,45 @@ object LandingZone {
       .withColumn("deployment_id", lit(deploymentId))
       .withColumn("ingest_date", date_format(current_date(), "yyyyMMdd"))
 
+  /** Small-file compaction for a warehouse/landing parquet directory: the
+    * maintenance job every object-store deployment needs once daily
+    * incremental writes accumulate (each micro-ingest lands its own files;
+    * a year of dailies = thousands of tiny objects, and scan cost on S3 is
+    * per-request). Rewrites `srcDir` into `destDir` with
+    * ceil(totalBytes / targetBytes) output files.
+    *
+    * Sizing comes from a filesystem LISTING (metadata-only), not from
+    * reading the data twice; the rewrite itself is one pass with a
+    * `repartition` — a full shuffle, which is correct here: compaction IS
+    * the act of re-laying-out bytes, and `coalesce` instead would collapse
+    * the read parallelism of the single pass. Write-to-new-location (no
+    * in-place overwrite of an actively-read dir) is deliberate: the
+    * caller swaps atomically (rename / pointer flip) after success.
+    *
+    * Returns the number of output partitions.
+    */
+  def compact(
+      spark: SparkSession,
+      srcDir: String,
+      destDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs
+      .listStatus(path)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen)
+      .sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read
+      .parquet(srcDir)
+      .repartition(n)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(destDir)
+    n
+  }
+
   /** S8 input: enumerate landed partitions as reference-shaped S3 keys
     * `{deployment_id}/{YYYYMMDD}/{file_type}.json` (export.py:75-87), from a
     * layout `root/{file_type}/deployment_id=X/ingest_date=Y`. Listing is a

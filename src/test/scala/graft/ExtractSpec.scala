@@ -125,6 +125,27 @@ class ExtractSpec extends SparkSpec {
     assert(LandingZone.writeSnapshots(docs, empty, root + "/snap", snapshotAlways = true))
   }
 
+  test("compact: fragmented parquet dir rewrites to ceil(bytes/target) files, data intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = s"$dir/frag"
+    val dest = s"$dir/tight"
+    (1L to 5000L).toDF("id").repartition(64).write.parquet(src)
+    val srcFiles = new java.io.File(src).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(srcFiles == 64, "fixture must be fragmented")
+    val total = new java.io.File(src).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.length).sum
+    val target = total / 4 + 1 // expect ~4 output files
+    val n = graft.io.LandingZone.compact(spark, src, dest, target)
+    val destFiles = new java.io.File(dest).listFiles.count(f => f.getName.endsWith(".parquet"))
+    assert(n < 64 && destFiles == n, s"n=$n destFiles=$destFiles")
+    assert(spark.read.parquet(dest).count() == 5000L)
+    assert(
+      spark.read.parquet(dest).agg(sum("id")).head.getLong(0) ==
+        spark.read.parquet(src).agg(sum("id")).head.getLong(0))
+  }
+
   test("object-store seam: config maps onto s3a properties; landing round-trips through a URI basePath") {
     val cfg = NessusConfig(
       NessusConfig.RequiredKeys.map {
