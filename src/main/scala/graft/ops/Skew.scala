@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-mitigation for hot-key shuffles.
+  *
+  * AQE's skew-join splitting covers sort-merge joins whose skew is visible
+  * at runtime, but two cases still need manual salting at 100 TB: (a)
+  * shuffle HASH joins and aggregations, which AQE does not split, and (b)
+  * skew so extreme that one key exceeds a single executor's memory even
+  * after AQE's partition-size splitting. Salting trades `saltFactor`-way
+  * duplication of the (small, but not broadcastable) build side for an
+  * even re-spread of the hot probe keys.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the probe side derives a deterministic salt in
+    * `[0, saltFactor)` from a high-cardinality column (a row id — NOT the
+    * join key, whose whole problem is low entropy), and the build side is
+    * replicated once per salt value, so the join key becomes (key, salt)
+    * and a hot key's rows spread across `saltFactor` partitions.
+    *
+    * Equivalent to `probe.join(build, key)` row-for-row — salting is pure
+    * execution strategy. Build-side growth is `saltFactor` x |build|: pick
+    * saltFactor ~ (hot-key rows / target partition rows), keeping the
+    * replicated build side well under shuffle-partition size.
+    */
+  def saltedJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      disambig: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = probe.withColumn("__salt", pmod(hash(col(disambig)), lit(saltFactor)))
+    val replicated = build.withColumn(
+      "__salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    salted
+      .join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

@@ -58,6 +58,45 @@ object GenQueries {
           col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus"),
           col("o_totalprice"))
+    },
+    // grouping sets: ROLLUP over (region, nation) with the grouping-id
+    // bitmask disambiguating subtotal levels from genuine nulls
+    "gen_revenue_rollup" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum(
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+    },
+    // window frames: 7-row moving aggregate over the (small, pre-aggregated)
+    // daily series, partitioned by year so no global-order single partition
+    "gen_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"),
+          count(lit(1)).cast("long").as("n_orders"))
+      val w = Window
+        .partitionBy(year(col("d").cast("timestamp")))
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("msum", sum("tot").over(w))
+        .withColumn("mcnt", count(lit(1)).over(w))
+        .select(
+          unix_micros(col("d").cast("timestamp")).as("d_us"),
+          col("tot").cast("double").as("tot"),
+          col("n_orders"),
+          round(col("msum").cast("double") / col("mcnt"), 4).as("mavg7"))
     }
   )
 
@@ -87,6 +126,32 @@ object GenQueries {
     "gen_orders_without_items" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus, o_totalprice
         |FROM orders o
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+    "gen_revenue_rollup" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "gen_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |win AS (
+        |  SELECT d, tot, n_orders,
+        |         SUM(tot) OVER w AS msum,
+        |         COUNT(*) OVER w AS mcnt
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY year(d) ORDER BY d
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT epoch_us(d) AS d_us, CAST(tot AS DOUBLE) AS tot, n_orders,
+        |       round(CAST(msum AS DOUBLE) / mcnt, 4) AS mavg7
+        |FROM win""".stripMargin
   )
 }

@@ -99,6 +99,21 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    // Hot-key join via explicit salting: event_type has 5 values (extreme
+    // key skew), so the per-type dim joins on (type, salt) with the dim
+    // replicated salt-ways. Row-identical to the plain join the oracle runs.
+    "skew_salted_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val dim = ev
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("type_total"))
+      graft.ops.Skew
+        .saltedJoin(ev, dim, key = "event_type", disambig = "event_id", saltFactor = 8)
+        .groupBy("event_type", "type_total")
+        .agg(
+          count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+    },
     "corpus_pack" -> { (s, dir) =>
       Corpus.packGreedy(docs(s, dir), ctxTokens = 2048, shardSize = 256)
     },
@@ -191,6 +206,15 @@ object RelQueries {
         |       round(CAST(COUNT(tr.gram) AS DOUBLE) / COUNT(*), 4) AS contamination
         |FROM test_g t LEFT JOIN train_g tr USING (gram)
         |GROUP BY 1""".stripMargin,
+    "skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, d.type_total,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1, 2""".stripMargin,
     "corpus_pack" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -100,6 +100,27 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  // ---- salted join --------------------------------------------------------
+
+  test("saltedJoin is row-identical to the plain join on a skewed fixture") {
+    val probe = (1L to 2000L).map(i => (if (i % 10 == 0) "cold" else "hot", i))
+      .toDF("k", "row_id")
+    val build = Seq(("hot", 100L), ("cold", 200L)).toDF("k", "v")
+    val salted = graft.ops.Skew.saltedJoin(probe, build, "k", "row_id", saltFactor = 4)
+    val plain = probe.join(build, "k")
+    assert(salted.count() == plain.count())
+    assert(
+      salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0,
+      "salting must not change join semantics")
+  }
+
+  test("saltedJoin plan: exchange keys include the salt, no broadcast of the probe") {
+    val probe = (1L to 2000L).map(i => ("hot", i)).toDF("k", "row_id")
+    val build = Seq(("hot", 100L)).toDF("k", "v")
+    val p = planOf(graft.ops.Skew.saltedJoin(probe, build, "k", "row_id", saltFactor = 4))
+    assert(p.contains("__salt"), "join must key on (k, __salt):\n" + p.take(1500))
+  }
+
   // ---- exact group quantiles ---------------------------------------------
 
   test("quantilesByGroup: nearest-rank quantiles by hand on a known distribution") {
