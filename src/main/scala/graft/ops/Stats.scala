@@ -80,4 +80,20 @@ object Stats {
       }
       .drop("qs")
   }
+
+  /** Per-group distinct cardinality, exact and sketched side by side:
+    * `n_exact` via count-distinct (expands to a (group, value) partial
+    * aggregate — tree-safe but O(distinct) state), `n_approx` via
+    * HyperLogLog++ (fixed ~1.5 KB of state per group at 2% rsd — the only
+    * option when distinct cardinality itself is cluster-scale). The spec
+    * bounds the sketch's relative error against the exact count.
+    */
+  def distinctCounts(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      rsd: Double = 0.02): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      countDistinct(col(valueCol)).cast("long").as("n_exact"),
+      approx_count_distinct(col(valueCol), rsd).cast("long").as("n_approx"))
 }

@@ -76,6 +76,21 @@ object GenQueries {
             .cast("double").as("revenue"),
           count(lit(1)).cast("long").as("n_items"))
     },
+    // time-series gap fill: the complete daily calendar (from the series'
+    // own bounds — a 1-row aggregate exploded, broadcast to nothing) left-
+    // joined against observed daily totals, absent days zero-filled
+    "gen_gap_fill" -> { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(unix_micros(col("o_orderdate").cast("timestamp")).as("d_us"))
+        .agg(count(lit(1)).cast("long").as("n_orders"))
+      val dayUs = 86400000000L
+      val calendar = daily
+        .agg(min("d_us").as("lo"), max("d_us").as("hi"))
+        .select(explode(expr(s"sequence(lo, hi, $dayUs)")).as("d_us"))
+      calendar
+        .join(daily, Seq("d_us"), "left")
+        .select(col("d_us"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
     // window frames: 7-row moving aggregate over the (small, pre-aggregated)
     // daily series, partitioned by year so no global-order single partition
     "gen_moving_avg" -> { (s, dir) =>
@@ -137,6 +152,15 @@ object GenQueries {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "gen_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(o_orderdate) AS d_us, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(d_us) AS lo, max(d_us) AS hi FROM daily),
+        |cal AS (
+        |  SELECT unnest(range(lo, hi + 1, 86400000000)) AS d_us FROM bounds)
+        |SELECT c.d_us, CAST(COALESCE(dy.n_orders, 0) AS BIGINT) AS n_orders
+        |FROM cal c LEFT JOIN daily dy USING (d_us)""".stripMargin,
     "gen_moving_avg" ->
       """WITH daily AS (
         |  SELECT o_orderdate AS d,

@@ -199,6 +199,17 @@ class RelationalSpec extends SparkSpec {
     assert(v == Map("spark" -> (2L, 3L), "rows" -> (2L, 2L)))
   }
 
+  test("distinctCounts: HLL sketch tracks the exact cardinality within rsd bounds") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rows = Stats.distinctCounts(ev, "event_type", "user_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Long]("n_exact").toDouble
+      val a = r.getAs[Long]("n_approx").toDouble
+      assert(math.abs(a - e) <= math.max(2.0, 0.10 * e), s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   // ---- contamination ------------------------------------------------------
 
   test("contaminationNgrams: planted overlap is found, clean docs score zero") {
