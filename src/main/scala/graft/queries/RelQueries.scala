@@ -114,6 +114,67 @@ object RelQueries {
           count(lit(1)).cast("long").as("n"),
           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
     },
+    // SCD2 validity intervals from an event stream: each user's events
+    // become [ts, next-ts) rows, the open row marked by a null valid_to —
+    // the standard dimension-history build, one window per key.
+    "scd2_intervals" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("valid_from", col("ts_us"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select("user_id", "event_id", "valid_from", "valid_to", "value")
+    },
+    // pivot: event counts per user bucketed by type, wide — the
+    // fixed-value-list pivot (dynamic discovery would be a driver round
+    // trip; production pipelines pin the list for exactly that reason)
+    "events_pivot" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)).cast("long"))
+        .select(
+          col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"))
+    },
+    // unpivot (melt) back to long form: wide per-user counts -> (user,
+    // metric, n) rows; stack() stays whole-stage-codegen, one narrow pass
+    "events_unpivot" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1)).cast("long"))
+        .select(
+          col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .select(
+          col("user_id"),
+          expr("stack(2, 'click', n_click, 'view', n_view) AS (metric, n)"))
+    },
+    // ntile: spend quartiles per user from total purchase value, ordered
+    // deterministically (value desc, then user_id). A global ranking is a
+    // single-partition window by definition — legitimate ONLY because it
+    // runs over the per-user aggregate (|users|, not |events|); at a scale
+    // where even that is too large, quartiles come from quantile cutoffs
+    // (Stats.quantilesByGroup) joined back instead of a global sort.
+    "events_ntile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(14,2)")).as("spend"))
+        .withColumn(
+          "quartile",
+          ntile(4).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("int"))
+        .select(col("user_id"), col("spend").cast("double").as("spend"), col("quartile"))
+    },
     "corpus_pack" -> { (s, dir) =>
       Corpus.packGreedy(docs(s, dir), ctxTokens = 2048, shardSize = 256)
     },
@@ -206,6 +267,36 @@ object RelQueries {
         |       round(CAST(COUNT(tr.gram) AS DOUBLE) / COUNT(*), 4) AS contamination
         |FROM test_g t LEFT JOIN train_g tr USING (gram)
         |GROUP BY 1""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+        |       LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |       value
+        |FROM events WHERE event_type = 'signup'""".stripMargin,
+    "events_pivot" ->
+      """SELECT user_id,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup
+        |FROM events GROUP BY 1""".stripMargin,
+    "events_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        |    CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, 'click' AS metric, n_click AS n FROM wide
+        |UNION ALL
+        |SELECT user_id, 'view' AS metric, n_view AS n FROM wide""".stripMargin,
+    "events_ntile" ->
+      """WITH spend AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(14,2))) AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id, CAST(spend AS DOUBLE) AS spend,
+        |       CAST(NTILE(4) OVER (ORDER BY spend DESC, user_id) AS INT) AS quartile
+        |FROM spend""".stripMargin,
     "skew_salted_join" ->
       """WITH dim AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_total
