@@ -114,6 +114,21 @@ object RelQueries {
           count(lit(1)).cast("long").as("n"),
           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
     },
+    // semi-structured extraction: the props column is a JSON string;
+    // schema-on-read pulls k out per row (from_json with an explicit
+    // schema — codegen-friendly, no sampling pass) and aggregates on it
+    "events_json_extract" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField(
+              "k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).cast("long").as("n"), max("k").cast("long").as("max_k"))
+    },
     // SCD2 validity intervals from an event stream: each user's events
     // become [ts, next-ts) rows, the open row marked by a null valid_to —
     // the standard dimension-history build, one window per key.
@@ -267,6 +282,12 @@ object RelQueries {
         |       round(CAST(COUNT(tr.gram) AS DOUBLE) / COUNT(*), 4) AS contamination
         |FROM test_g t LEFT JOIN train_g tr USING (gram)
         |GROUP BY 1""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "scd2_intervals" ->
       """SELECT user_id, event_id, epoch_us(ts) AS valid_from,
         |       LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id
