@@ -10,6 +10,8 @@ object Bench {
     * 5-30x its warm cost.
     */
   private val heavyLast = Seq(
+    "text_repetition",
+    "contamination_ngrams",
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
