@@ -72,6 +72,49 @@ object EventsStream {
         col("event_type"),
         col("n"))
 
+  /** Stream-stream interval join — purchase attribution in flight: every
+    * purchase pairs with the same user's clicks from the preceding
+    * `horizon`. Both sides carry watermarks and the join condition bounds
+    * event time in BOTH directions, so Spark can size the state store
+    * exactly (a click is droppable once the watermark passes click_t +
+    * horizon; a purchase once its own watermark passes) — the canonical
+    * bounded-state stream-stream join. Without the time bound the state
+    * would grow forever; this is the streaming analogue of
+    * [[graft.ops.Relational.asOfJoin]]'s batch shape.
+    */
+  def purchaseAttribution(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id"),
+        col("t").as("click_t"),
+        col("event_id").as("click_id"),
+        col("value").as("click_value"))
+      .withWatermark("click_t", horizon)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("t").as("purchase_t"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_t", horizon)
+    purchases
+      .as("p")
+      .join(
+        clicks.as("c"),
+        expr(s"""
+          p.user_id = c.user_id AND
+          c.click_t <= p.purchase_t AND
+          c.click_t >= p.purchase_t - INTERVAL '$horizon'
+        """))
+      .select(
+        col("p.user_id").as("user_id"),
+        col("purchase_id"),
+        col("purchase_t"),
+        col("click_id"),
+        col("click_value"))
+  }
+
   /** Stream-static enrichment join: each micro-batch hash-joins against
     * the static dimension; Spark re-plans the static side per batch, and
     * a small dimension broadcasts — no stream-side shuffle, no state. The
@@ -79,6 +122,28 @@ object EventsStream {
     */
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Exactly-once landing sink: each micro-batch lands under its own
+    * `batch_id=<n>` directory with overwrite semantics, so a retried batch
+    * (same checkpointed id) rewrites its directory instead of duplicating —
+    * idempotence comes from the deterministic (batchId -> path) mapping
+    * plus the checkpoint, the standard foreachBatch exactly-once recipe
+    * for file sinks that need layouts the built-in file sink can't write.
+    */
+  def landingSink(
+      stream: DataFrame,
+      root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .json(s"$root/batch_id=$batchId")
+        ()
+      }
+      .start()
 
   /** Run a streaming DataFrame to a memory sink with AvailableNow (process
     * everything currently in the source, then stop) and return the sink
