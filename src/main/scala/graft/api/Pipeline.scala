@@ -53,32 +53,11 @@ final class Pipeline(
     val split = Corpus
       .splitAssign(docs)
       .select(col("doc_id"), col("split"))
+    val layout = Corpus.packLayout(
+      docs.join(deduped.select("doc_id"), "doc_id"),
+      ctxTokens)
     deduped
       .join(split, "doc_id")
-      .join(chunkOf(docs, deduped, ctxTokens), "doc_id")
-  }
-
-  /** Per-doc chunk assignment for the surviving docs (same layout rule as
-    * [[Corpus.packGreedy]], exposed per doc instead of per chunk).
-    */
-  private def chunkOf(docs: DataFrame, survivors: DataFrame, ctx: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .join(survivors.select("doc_id"), "doc_id")
-      .select(
-        col("doc_id").cast("long").as("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window
-      .partitionBy("shard")
-      .orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toks
-      .withColumn("shard", expr("doc_id div 256"))
-      .withColumn("cum", sum("n_tokens").over(w))
-      .select(
-        col("doc_id"),
-        col("shard"),
-        expr(s"(cum - n_tokens) div $ctx").as("chunk"),
-        col("n_tokens"))
+      .join(layout, "doc_id")
   }
 }

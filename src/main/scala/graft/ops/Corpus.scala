@@ -154,7 +154,11 @@ object Corpus {
     * chunk per shard. Returns per-chunk occupancy (n_docs, n_tokens),
     * the quantity a pipeline monitors for padding waste.
     */
-  def packGreedy(
+  /** Per-doc packing layout: (doc_id, shard, chunk, n_tokens) under the
+    * shard-local running-offset rule — the per-doc face [[packGreedy]]
+    * aggregates and the manifest face `api.Pipeline` joins.
+    */
+  def packLayout(
       docs: DataFrame,
       ctxTokens: Int = 2048,
       shardSize: Int = 256,
@@ -170,12 +174,24 @@ object Corpus {
     toks
       .withColumn("shard", expr(s"doc_id div $shardSize"))
       .withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("chunk", expr(s"(cum - n_tokens) div $ctxTokens"))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        expr(s"(cum - n_tokens) div $ctxTokens").as("chunk"),
+        col("n_tokens"))
+  }
+
+  def packGreedy(
+      docs: DataFrame,
+      ctxTokens: Int = 2048,
+      shardSize: Int = 256,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    packLayout(docs, ctxTokens, shardSize, textCol, idCol)
       .groupBy("shard", "chunk")
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"))
-  }
 
   /** Per-doc PII audit + redaction digest: match counts per category on the
     * ORIGINAL text, and md5 of the redacted text (the digest keeps the
