@@ -134,6 +134,9 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val chunkId = new String(bytes, off, 4, "US-ASCII")
       val size = buf.getInt(off + 4)
+      require(
+        size >= 0 && off + 8 + size <= bytes.length,
+        s"doc $id: bad $chunkId chunk size $size at offset $off")
       chunkId match {
         case "fmt " =>
           val audioFormat = buf.getShort(off + 8)
@@ -249,6 +252,7 @@ object Multimodal {
     * selected ones.
     */
   def sampleFrames(id: Long, bytes: Array[Byte], every: Int): Seq[FrameStats] = {
+    require(every > 0, s"every must be positive (got $every)")
     require(
       bytes.length >= 8 && new String(bytes, 0, 4, "US-ASCII") == "GVID",
       s"doc $id: not a GVID container")
@@ -279,6 +283,7 @@ object Multimodal {
       docs: DataFrame,
       every: Int = 2,
       idCol: String = "doc_id"): DataFrame = {
+    require(every > 0, s"every must be positive (got $every)")
     import spark.implicits._
     docs
       .select(col(idCol).cast("long"))

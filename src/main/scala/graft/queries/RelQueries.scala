@@ -337,7 +337,7 @@ object RelQueries {
         |         SUM(n_tokens) OVER (PARTITION BY doc_id // 256 ORDER BY doc_id
         |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM tk)
-        |SELECT shard, (cum - n_tokens) // 2048 AS chunk,
+        |SELECT shard, CAST((cum - n_tokens) // 2048 AS BIGINT) AS chunk,
         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,

@@ -52,6 +52,20 @@ class MultimodalSpec extends SparkSpec {
     assert(s2 == s.copy())
   }
 
+  test("decodeWav rejects malformed chunk sizes instead of looping or overreading") {
+    val bytes = MediaSynth.wav(Array[Short](1, 2, 3))
+    // negative size: would make the chunk walk non-advancing
+    val neg = bytes.clone()
+    java.nio.ByteBuffer.wrap(neg, 16, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-8)
+    val e1 = intercept[IllegalArgumentException](Multimodal.decodeWav(9L, neg))
+    assert(e1.getMessage.contains("bad"))
+    // oversized size: would read past the buffer
+    val big = bytes.clone()
+    java.nio.ByteBuffer.wrap(big, 40, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1 << 20)
+    val e2 = intercept[IllegalArgumentException](Multimodal.decodeWav(9L, big))
+    assert(e2.getMessage.contains("bad"))
+  }
+
   test("docBmp/docWav round-trip: decoded stats equal the generating formula") {
     val id = 41L
     val b = Multimodal.decodeBmp(id, MediaSynth.docBmp(id))
@@ -101,6 +115,13 @@ class MultimodalSpec extends SparkSpec {
     }
     // every=1 returns all frames
     assert(Multimodal.sampleFrames(id, MediaSynth.docVideo(id), every = 1).size == 4)
+    // every <= 0 is a clear argument error, not a mid-task ArithmeticException
+    intercept[IllegalArgumentException](
+      Multimodal.sampleFrames(id, MediaSynth.docVideo(id), every = 0))
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException](
+      Multimodal.frameSamples(spark, Seq(1L).toDF("doc_id"), every = -1))
   }
 
   test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
