@@ -165,6 +165,59 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id"))
 
+  /** IVF top-k with a FLAT deterministic coarse quantizer: the seed
+    * centroids are the corpus vectors with `id < nCentroids`, no Lloyd
+    * refinement. Cell assignment, probe selection and rerank all rank by
+    * cosine rounded to 6 places (ties → lower centroid id), on unmodified
+    * input vectors — every stage is oracle-mirrorable, so this is the
+    * hash-checked face of the IVF machinery. [[ivfTopK]] swaps in
+    * k-means-refined centroid VALUES (iterative FP means, rows-only
+    * check) but shares the assign→probe→rerank shape and scale posture:
+    * centroids broadcast, cross join bounded by |corpus|·nCentroids
+    * comparisons map-side, candidate join bounded by probed cells.
+    */
+  def ivfFlatTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+    val cells = corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
+      .withColumn(
+        "prn",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    rank(
+      probes
+        .join(cells, Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(cosine(col("qv"), col("cv")), 6).as("cos_r")),
+      k)
+  }
+
   /** IVF top-k: assign the corpus to cells once, probe each query's
     * `nProbe` nearest cells, exact-cosine rerank within the probed
     * candidates. The cross join shrinks from |Q|x|corpus| to

@@ -78,6 +78,12 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // flat (seed-vector) coarse quantizer: same assign→probe→rerank shape
+    // as ivfTopK but deterministic end-to-end → full hash check
+    "similarity_topk_ivf_flat" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
     "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
@@ -349,6 +355,28 @@ object OpsQueries {
          |  SELECT q.id AS query_id, c.id AS neighbor_id,
          |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
          |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.id < 8 AND c.id <> q.id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_topk_ivf_flat" ->
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |asg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM e q JOIN e c ON c.id < 16),
+         |cells AS (SELECT vid, cid FROM asg WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 8 AND rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, m.vid AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM probes p
+         |  JOIN cells m ON p.cid = m.cid AND m.vid <> p.query_id
+         |  JOIN e q ON q.id = p.query_id
+         |  JOIN e c ON c.id = m.vid)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank

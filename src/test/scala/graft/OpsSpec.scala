@@ -144,6 +144,36 @@ class OpsSpec extends SparkSpec {
     assert((bruteE & ivfE).size.toDouble / bruteE.size >= 0.4)
   }
 
+  test("ivfFlatTopK: full recall on the clustered corpus; k rows per query on real embeddings") {
+    // same separable fixture as the k-means test: seeds (ids < 8) land one
+    // per cluster, nProbe=4 covers each query's own cell, so the flat
+    // quantizer must also recover brute-force exactly
+    val s = spark
+    import s.implicits._
+    val clustered = (for {
+      c <- 0 until 8
+      j <- 0 until 20
+    } yield {
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.01f * (j % 5)
+      (j * 8L + c, v)
+    }).toDF("vec_id", "embedding")
+    val q = clustered.filter(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(q, clustered, k = 5))
+    val flat = hits(Similarity.ivfFlatTopK(q, clustered, k = 5, nCentroids = 8, nProbe = 4))
+    assert((brute & flat).size.toDouble / brute.size >= 0.9)
+    // real embeddings: exactly k ranked rows per query, ranks 1..k
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val res = Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5).collect()
+    val byQ = res.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.values.foreach(rs => assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
