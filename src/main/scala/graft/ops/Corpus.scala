@@ -68,6 +68,82 @@ object Corpus {
       .select("doc_id", "lang_pred", "bucket")
   }
 
+  /** Quality gate with a per-source adaptive threshold: keep documents
+    * whose integerized quality score (score x 10000, rounded) is at or
+    * above their source's p`pct` quantile of the same score. Absolute
+    * thresholds decay as the corpus mix shifts; a per-source quantile gate
+    * makes each source compete only with itself — the standard fix when
+    * one crawl's "good" is another's median.
+    *
+    * Scale shape: the score is a stateless per-row projection;
+    * [[Stats.quantilesByGroup]] compacts it to a (source, score) histogram
+    * (score domain is 0..10000, so the histogram is tiny regardless of
+    * corpus size) in the only full-data shuffle; the thresholds table
+    * (|sources| rows) broadcast-joins back, so the gate itself is
+    * map-side. The score projection IS evaluated twice (quantile pass +
+    * gate pass) — deliberate: recomputing a stateless expression beats
+    * materializing a corpus-sized intermediate; swap in `.persist()` only
+    * when executor memory at the target scale allows it.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      pct: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val scored = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"),
+      round(TextAnalysis.qualityScore(col(textCol)) * 10000, 0).cast("long").as("q_i"))
+    val th = Stats
+      .quantilesByGroup(scored, "source", "q_i", Seq(pct))
+      .select(col("source"), col(s"p$pct").as("q_threshold"))
+    scored
+      .join(broadcast(th), Seq("source"))
+      .filter(col("q_i") >= col("q_threshold"))
+      .select("doc_id", "source", "q_i", "q_threshold")
+  }
+
+  /** Token-budget mixture sampling: split `budgetTokens` equally across
+    * sources, turn each source's share into a keep rate out of 256
+    * (`min(256, share * 256 div sourceTokens)`), and keep a doc iff its
+    * md5 bucket falls under its source's rate — the "rebalance the mixture
+    * to a token budget" step of assembling a training run from
+    * heterogeneous crawls. Hash-based keeps are deterministic and
+    * stratum-stable: a doc's fate never depends on what else arrived, so
+    * re-runs and incremental ingests agree.
+    *
+    * Scale shape: per-source token totals are one agg shuffle of
+    * |sources| keys; rates derive from the tiny totals table (its own
+    * single-row count joined by cross — both broadcast); the keep filter
+    * is a map-side broadcast join. The corpus itself is never shuffled.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val totals = counted.groupBy("source").agg(sum("n_tokens").as("t_src"))
+    val nSrc = totals.agg(count(lit(1)).as("n_src"))
+    val rates = totals
+      .crossJoin(broadcast(nSrc))
+      .select(
+        col("source"),
+        least(
+          lit(256L),
+          expr(s"($budgetTokens div n_src) * 256 div t_src")).as("rate_256"))
+    counted
+      .withColumn("bucket", md5Bucket("doc_id"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate_256"))
+      .select("doc_id", "source", "n_tokens", "bucket", "rate_256")
+  }
+
   /** ASCII-safe PII patterns (identical semantics under Java regex and
     * DuckDB's RE2: no backrefs, no lookaround, \b and \d are ASCII).
     */

@@ -27,6 +27,34 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Incremental dedup: rows of `batch` whose exact-content fingerprint
+    * ([[TextAnalysis.fingerprint]]: md5 of whitespace-normalized lowercase
+    * text) appears neither in the already-ingested corpus `seen` nor
+    * earlier in the batch itself (lowest id wins within a batch group).
+    *
+    * This is the re-crawl shape: every ingest round deduplicates the new
+    * batch against the full history without ever re-reading history TEXT —
+    * the anti join prunes `seen` to its fingerprint column (parquet column
+    * pruning), and both sides shuffle on uniformly distributed md5 keys.
+    * At deployment the seen-side fingerprints are a stored artifact of
+    * previous rounds (append-only parquet), so round N does one shuffle of
+    * |batch| + |history fingerprints| — no rescan of 100 TB of text.
+    */
+  def incrementalNew(
+      batch: DataFrame,
+      seen: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val seenFps = seen.select(fp.as("fingerprint")).distinct()
+    batch
+      .select(col(idCol).as("doc_id"), fp.as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .join(seenFps, Seq("fingerprint"), "left_anti")
+      .select("doc_id", "fingerprint")
+  }
+
   /** (id, token) pairs, distinct — the unigram shingle set. */
   private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs

@@ -47,10 +47,21 @@ object TextAnalysis {
           greatest(nTok, lit(1L)),
         4).as("avg_token_len"),
       round(stopHits.cast("double") / greatest(nTok, lit(1L)), 4).as("stopword_ratio"),
-      round(
-        least(nTok.cast("double") / 100.0, lit(1.0)) *
-          (lit(1.0) - stopHits.cast("double") / greatest(nTok, lit(1L))),
-        4).as("quality_score"))
+      qualityScore(col(textCol)).as("quality_score"))
+  }
+
+  /** The composite [0,1] quality score of [[quality]] as a standalone
+    * column expression (length saturation x non-stopword density, rounded
+    * to 4 places) — the shared definition for any gate built on it.
+    */
+  def qualityScore(text: Column): Column = {
+    val tk = tokens(text)
+    val nTok = size(tk).cast("long")
+    val stopHits = size(filter(tk, t => t.isin(Stopwords: _*))).cast("long")
+    round(
+      least(nTok.cast("double") / 100.0, lit(1.0)) *
+        (lit(1.0) - stopHits.cast("double") / greatest(nTok, lit(1L))),
+      4)
   }
 
   /** Marker-token sets per language for the n-gram/stopword language-ID

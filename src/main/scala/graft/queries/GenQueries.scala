@@ -112,6 +112,23 @@ object GenQueries {
           col("tot").cast("double").as("tot"),
           col("n_orders"),
           round(col("msum").cast("double") / col("mcnt"), 4).as("mavg7"))
+    },
+    // bloom-prefiltered semi join: lineitem rows whose part is size-1,
+    // probe side pruned map-side by a bloom sketch of the build keys
+    // before any shuffle; exact join removes false positives, so the
+    // oracle is the plain IN-subquery
+    "gen_bloom_semi_join" -> { (s, dir) =>
+      graft.ops.BloomJoin
+        .semiJoinBloom(
+          t(s, dir, "lineitem"),
+          t(s, dir, "part").filter(col("p_size") === 1),
+          "l_partkey",
+          "p_partkey",
+          expectedItems = 10000L)
+        .groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).cast("long").as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
     }
   )
 
@@ -120,6 +137,13 @@ object GenQueries {
       |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "gen_bloom_semi_join" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+        |GROUP BY 1""".stripMargin,
     "gen_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

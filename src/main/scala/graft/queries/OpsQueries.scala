@@ -51,6 +51,28 @@ object OpsQueries {
     },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
     "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
+    "corpus_quality_gate" -> { (s, dir) => Corpus.qualityGate(docs(s, dir)) },
+    "corpus_mixture" -> { (s, dir) =>
+      Corpus.mixtureSample(docs(s, dir), budgetTokens = 10000L)
+    },
+    // re-crawl ingest: a batch of half re-fetched (identical text, new id)
+    // and half genuinely new docs, deduplicated against the full history
+    // by content fingerprint — only the new half survives
+    "dedup_incremental" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .unionAll(
+          d.filter(col("doc_id") % 10 === 5)
+            .select(
+              (col("doc_id") + 2000000).as("doc_id"),
+              concat(
+                col("text"),
+                lit(" fresh crawl "),
+                col("doc_id").cast("string")).as("text")))
+      Dedup.incrementalNew(batch, d)
+    },
     "dedup_keep" -> { (s, dir) =>
       Dedup.keepRepresentatives(docs(s, dir), Dedup.minHashLsh(docs(s, dir)))
     },
@@ -360,6 +382,64 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "corpus_quality_gate" ->
+      s"""WITH $tokCtes,
+         |q AS (
+         |  SELECT d.doc_id, d.source,
+         |         CAST(round(round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) *
+         |              (1.0 - CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE)
+         |                / greatest(len(tk), 1)), 4) * 10000, 0) AS BIGINT) AS q_i
+         |  FROM tks JOIN documents d ON d.doc_id = tks.doc_id),
+         |h AS (SELECT source, q_i, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+         |c AS (
+         |  SELECT source, q_i,
+         |         SUM(cnt) OVER (PARTITION BY source ORDER BY q_i
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY source) AS tot
+         |  FROM h),
+         |th AS (
+         |  SELECT source,
+         |         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN q_i END) AS BIGINT) AS q_threshold
+         |  FROM c GROUP BY 1)
+         |SELECT q.doc_id, q.source, q.q_i, th.q_threshold
+         |FROM q JOIN th ON q.source = th.source
+         |WHERE q.q_i >= th.q_threshold""".stripMargin,
+    "corpus_mixture" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t_src FROM tc GROUP BY 1),
+        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM tot),
+        |rates AS (
+        |  SELECT source, CAST(least(256, (10000 // n_src) * 256 // t_src) AS BIGINT) AS rate_256
+        |  FROM tot, ns),
+        |b AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM tc)
+        |SELECT b.doc_id, b.source, b.n_tokens, CAST(b.bucket AS BIGINT) AS bucket, r.rate_256
+        |FROM b JOIN rates r ON b.source = r.source
+        |WHERE b.bucket < r.rate_256""".stripMargin,
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT d.doc_id + 1000000 AS doc_id, d.text
+        |  FROM documents d WHERE d.doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT d.doc_id + 2000000 AS doc_id,
+        |         d.text || ' fresh crawl ' || CAST(d.doc_id AS VARCHAR) AS text
+        |  FROM documents d WHERE d.doc_id % 10 = 5),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM batch),
+        |grp AS (SELECT fingerprint, MIN(doc_id) AS doc_id FROM fp GROUP BY 1),
+        |seen AS (
+        |  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents)
+        |SELECT g.doc_id, g.fingerprint FROM grp g
+        |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = g.fingerprint)""".stripMargin,
     "similarity_topk_ivf_flat" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |asg AS (

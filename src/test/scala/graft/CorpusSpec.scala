@@ -97,4 +97,69 @@ class CorpusSpec extends SparkSpec {
     assert(rescan.getLong(0) == 0 && rescan.getLong(1) == 0 && rescan.getLong(2) == 0)
     assert(got(1L).getAs[String]("clean_md5") != got(2L).getAs[String]("clean_md5"))
   }
+
+  test("qualityGate keeps exactly the docs at or above their source's median score") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = Corpus.qualityGate(docs).collect()
+    assert(kept.nonEmpty)
+    // every kept row satisfies its own threshold column
+    assert(kept.forall(r => r.getAs[Long]("q_i") >= r.getAs[Long]("q_threshold")))
+    // nearest-rank p50 keeps at least half of each source, never all of a
+    // source with score spread, and agrees with a driver-side recompute
+    val scored = graft.ops.TextAnalysis
+      .quality(docs)
+      .select(col("doc_id"), round(col("quality_score") * 10000, 0).cast("long").as("q_i"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("q_i"), r.getAs[String]("source")))
+    val bySource = scored.groupBy(_._3)
+    val expected = bySource.toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val tot = sorted.length
+      val thr = sorted.find(v => (sorted.count(_ <= v)) * 100 >= tot * 50).get
+      rows.filter(_._2 >= thr).map(_._1).toSeq
+    }.toSet
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
+  test("mixtureSample: per-source keep rates follow the token budget; keeps = bucket<rate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val budget = 10000L
+    val kept = Corpus.mixtureSample(docs, budget).collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(r => r.getAs[Long]("bucket") < r.getAs[Long]("rate_256")))
+    // recompute rates on the driver and check they match what was applied
+    val tok = graft.ops.TextAnalysis.tokenStats(docs)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens")))
+    val totals = tok.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val share = budget / totals.size
+    val expRates = totals.map { case (s, t) => s -> math.min(256L, share * 256 / t) }
+    val gotRates = kept.map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_256")).toMap
+    gotRates.foreach { case (s, r) => assert(r == expRates(s), s"source $s") }
+    // a rate under 256 actually drops docs for that source
+    val partial = expRates.filter(_._2 < 256).keySet
+    if (partial.nonEmpty) {
+      val perSourceTotal = tok.groupBy(_._1).view.mapValues(_.size).toMap
+      val perSourceKept = kept.groupBy(_.getAs[String]("source")).view.mapValues(_.size).toMap
+      assert(partial.exists(s => perSourceKept.getOrElse(s, 0) < perSourceTotal(s)))
+    }
+  }
+
+  test("incrementalNew drops re-crawled content, keeps genuinely new docs, min-id within batch") {
+    val s = spark
+    import s.implicits._
+    val seen = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "Alpha  beta   GAMMA"), // normalizes to a seen fingerprint -> dropped
+      (11L, "zeta eta theta"), // new -> kept
+      (12L, "zeta eta theta"), // in-batch dup of 11 -> collapsed to min id
+      (13L, "iota kappa") // new -> kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNew(batch, seen).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(got == Seq(11L, 13L))
+  }
 }
