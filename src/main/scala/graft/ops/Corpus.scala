@@ -114,9 +114,11 @@ object Corpus {
     * re-runs and incremental ingests agree.
     *
     * Scale shape: per-source token totals are one agg shuffle of
-    * |sources| keys; rates derive from the tiny totals table (its own
-    * single-row count joined by cross — both broadcast); the keep filter
-    * is a map-side broadcast join. The corpus itself is never shuffled.
+    * |sources| keys, collected to the driver (the mixture table IS
+    * driver-sized) so the rate arithmetic never re-evaluates the
+    * tokenization lineage — rates rejoin as a broadcast literal and the
+    * keep filter is map-side. The corpus is tokenized exactly twice
+    * (totals pass + keep pass) and never shuffled.
     */
   def mixtureSample(
       docs: DataFrame,
@@ -124,19 +126,21 @@ object Corpus {
       textCol: String = "text",
       idCol: String = "doc_id",
       srcCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val counted = docs.select(
       col(idCol).cast("long").as("doc_id"),
       col(srcCol).as("source"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
-    val totals = counted.groupBy("source").agg(sum("n_tokens").as("t_src"))
-    val nSrc = totals.agg(count(lit(1)).as("n_src"))
-    val rates = totals
-      .crossJoin(broadcast(nSrc))
-      .select(
-        col("source"),
-        least(
-          lit(256L),
-          expr(s"($budgetTokens div n_src) * 256 div t_src")).as("rate_256"))
+    val totals = counted
+      .groupBy("source")
+      .agg(sum("n_tokens").as("t_src"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t_src"))
+    val share = budgetTokens / totals.length
+    val rates = totals.toSeq
+      .map { case (s, t) => (s, math.min(256L, share * 256 / t)) }
+      .toDF("source", "rate_256")
     counted
       .withColumn("bucket", md5Bucket("doc_id"))
       .join(broadcast(rates), Seq("source"))
