@@ -91,6 +91,112 @@ object Relational {
     *
     * Returns probe columns + interval columns, one row per containment.
     */
+  /** Exact global ranking WITHOUT a single-partition window. A global
+    * `row_number() over (order by ...)` forces every row through one
+    * partition — the pattern SCALE.md forbids. Instead:
+    *
+    *   1. `repartitionByRange` on the sort columns (one shuffle, bounds
+    *      from Spark's range sampler) + a per-partition sort, materialized
+    *      once via `localCheckpoint` so the two consumers below don't
+    *      re-shuffle;
+    *   2. per-partition row counts (a |partitions|-row aggregate) → the
+    *      driver computes each partition's global rank offset;
+    *   3. a narrow `mapPartitions` adds `offset + local position` — no
+    *      second shuffle, no exchange at all past the range partitioning.
+    *
+    * `sortCols` MUST be a total order (include a unique tiebreaker):
+    * ranks within a run of equal sort keys would otherwise depend on
+    * physical placement. Partition bounds from the sampler vary run to
+    * run, but offsets are computed from the actual counts, so the rank
+    * assignment is exact and deterministic regardless of where the
+    * boundaries land.
+    *
+    * Appends `rankCol` (1-based, long). The output keeps the range
+    * partitioning (ordered by rank across partitions).
+    */
+  def globalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String = "rank",
+      parts: Int = 0): DataFrame =
+    globalRankWithTotal(df, sortCols, rankCol, parts)._1
+
+  private def globalRankWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String,
+      parts: Int): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    // The partition id is materialized as a COLUMN during the checkpoint
+    // job, not read from TaskContext at use time: a downstream coalesce
+    // (e.g. `.coalesce(1).write`) fuses many checkpoint partitions into
+    // one task, where TaskContext.getPartitionId() would be 0 for all of
+    // them and every offset would collapse to zero. Rows carry their own
+    // pid, so the rank assignment survives any later narrow re-packing.
+    val ranged = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged
+      .groupBy(col("__pid"))
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+      (0 to maxPid)
+        .scanLeft(0 -> 0L) { case ((_, acc), pid) =>
+          pid -> (acc + counts.getOrElse(pid - 1, 0L))
+        }
+        .toMap
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol, org.apache.spark.sql.types.LongType, false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    // Each checkpoint partition holds exactly one __pid as one contiguous
+    // run, so resetting the counter on pid change is correct both when
+    // this runs one-task-per-partition and when partitions are fused.
+    val ranked = ranged.mapPartitions { it =>
+      var cur = Int.MinValue
+      var r = 0L
+      it.map { row =>
+        val pid = row.getInt(row.length - 1)
+        if (pid != cur) { cur = pid; r = offsets.getOrElse(pid, 0L) }
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1) :+ r)
+      }
+    }(enc)
+    (ranked, counts.values.sum)
+  }
+
+  /** Exact NTILE(n) on top of [[globalRank]] — SQL semantics (the first
+    * `total mod n` buckets get the extra row), integer arithmetic only, so
+    * the result hash-matches `NTILE(n) OVER (ORDER BY ...)` while scaling
+    * as a range shuffle instead of a single-partition sort.
+    */
+  def globalNtile(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      n: Int,
+      tileCol: String = "ntile",
+      parts: Int = 0): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive (got $n)")
+    val (ranked, total) = globalRankWithTotal(df, sortCols, "__grank", parts)
+    val q = total / n
+    val rem = total % n
+    val rank = col("__grank")
+    val tile =
+      when(rank <= rem * (q + 1), (rank - 1) / (q + 1))
+        .otherwise(lit(rem) + (rank - rem * (q + 1) - 1) / math.max(q, 1L))
+    ranked
+      .withColumn(tileCol, (tile + 1).cast("int"))
+      .drop("__grank")
+  }
+
   def rangeJoinBucketed(
       probe: DataFrame,
       intervals: DataFrame,

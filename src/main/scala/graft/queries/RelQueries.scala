@@ -174,20 +174,17 @@ object RelQueries {
           expr("stack(2, 'click', n_click, 'view', n_view) AS (metric, n)"))
     },
     // ntile: spend quartiles per user from total purchase value, ordered
-    // deterministically (value desc, then user_id). A global ranking is a
-    // single-partition window by definition — legitimate ONLY because it
-    // runs over the per-user aggregate (|users|, not |events|); at a scale
-    // where even that is too large, quartiles come from quantile cutoffs
-    // (Stats.quantilesByGroup) joined back instead of a global sort.
+    // deterministically (value desc, then user_id). Computed by
+    // Relational.globalNtile — range shuffle + partition offsets, NOT the
+    // single-partition global window NTILE forces — and hash-identical to
+    // the oracle's NTILE(4) OVER (ORDER BY ...) by the SQL bucket rule.
     "events_ntile" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      events(s, dir)
+      val spend = events(s, dir)
         .filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(sum(col("value").cast("decimal(14,2)")).as("spend"))
-        .withColumn(
-          "quartile",
-          ntile(4).over(Window.orderBy(col("spend").desc, col("user_id"))).cast("int"))
+      graft.ops.Relational
+        .globalNtile(spend, Seq(col("spend").desc, col("user_id")), n = 4, tileCol = "quartile")
         .select(col("user_id"), col("spend").cast("double").as("spend"), col("quartile"))
     },
     "corpus_pack" -> { (s, dir) =>

@@ -233,4 +233,59 @@ class RelationalSpec extends SparkSpec {
     assert(out(testClean) == (2L, 0L))
     assert(!out.contains(trainId), "train docs are not audited")
   }
+
+  test("globalRank matches the single-partition window rank on a total order") {
+    // values with heavy ties on v, tiebroken by id -> total order
+    val df = (0L until 997L).map(i => (i, i % 13)).toDF("id", "v")
+    val got = Relational
+      .globalRank(df, Seq(col("v").desc, col("id")), rankCol = "r", parts = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toMap
+    val exp = df
+      .withColumn(
+        "r",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong))
+      .toMap
+    assert(got == exp)
+  }
+
+  test("globalNtile matches SQL NTILE semantics including the uneven-remainder buckets") {
+    // 10 rows into 4 buckets -> sizes 3,3,2,2 ; and a < n case (3 rows, 4 buckets)
+    for (rows <- Seq(10L, 3L, 997L)) {
+      val df = (0L until rows).map(i => (i, (i * 37) % 11)).toDF("id", "v")
+      // coalesce(1) fuses all ranked partitions into one task — the exact
+      // shape Verify's single-file write uses; offsets must survive it
+      val got = Relational
+        .globalNtile(df, Seq(col("v").desc, col("id")), n = 4, tileCol = "t", parts = 5)
+        .coalesce(1)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)))
+        .toMap
+      val exp = df
+        .withColumn(
+          "t",
+          ntile(4).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("v").desc, col("id"))))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(2)))
+        .toMap
+      assert(got == exp, s"rows=$rows")
+    }
+  }
+
+  test("globalRank plan: range exchange only, no SinglePartition, output spread over partitions") {
+    val df = (0L until 5000L).map(i => (i, i % 17)).toDF("id", "v")
+    val ranked = Relational.globalRank(df, Seq(col("v"), col("id")), parts = 8)
+    val p = ranked.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    val perPart = ranked
+      .groupBy(spark_partition_id().as("pid"))
+      .count()
+      .collect()
+    assert(perPart.length > 1, "ranked output must not collapse to one partition")
+  }
 }
