@@ -218,6 +218,53 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  /** Lexical relevance top-k: the k highest-scoring documents for a bag of
+    * query terms, scored BM25-shaped but integer-exact:
+    * `score_milli = Σ_term tf(doc, term) * idf_milli(term)` with
+    * `idf_milli = round(1000 * (N - df + 0.5) / (df + 0.5))` — the
+    * Robertson idf WITHOUT the log. Dropping the log keeps each term's
+    * weight rational (engine-portable, hashable integer score) and
+    * preserves per-term ranking; cross-term weighting is steeper than
+    * true BM25 — swap in log-idf (and tf saturation) when cross-engine
+    * reproducibility isn't a requirement.
+    *
+    * Scale shape: only postings of the QUERY terms survive the explode
+    * filter, so the tf aggregation shuffles |terms|-bounded rows, not the
+    * corpus; the per-term weights (|terms| rows) broadcast back; and the
+    * final top-k is `orderBy(...).limit(k)` — Spark plans it as
+    * TakeOrderedAndProject (per-partition heap, driver merges k·P rows),
+    * never a global sort or single-partition window.
+    */
+  def searchTopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "query term set must not be empty")
+    val n = docs.count()
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val weights = postings
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_milli",
+        round(lit(1000.0) * (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5), 0)
+          .cast("long"))
+    postings
+      .join(broadcast(weights), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf") * col("idf_milli")).cast("long").as("score_milli"),
+        count(lit(1)).cast("long").as("n_terms"))
+      .orderBy(col("score_milli").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus vocabulary with document frequency: one row per distinct token
     * with its df (docs containing it) and tf (total occurrences), filtered
     * to `df >= minDf` — the vocabulary-build step of any tokenizer/featurizer

@@ -107,6 +107,9 @@ object OpsQueries {
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
+    "text_search" -> { (s, dir) =>
+      TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
+    },
     "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
     "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
@@ -462,6 +465,23 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "text_search" ->
+      s"""WITH $tokCtes,
+         |p AS (
+         |  SELECT id AS doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tokraw WHERE tok IN ('window', 'merge', 'scan') GROUP BY 1, 2),
+         |w AS (
+         |  SELECT tok,
+         |         CAST(round(1000.0 * ((SELECT COUNT(*) FROM documents) - COUNT(*) + 0.5)
+         |                    / (COUNT(*) + 0.5), 0) AS BIGINT) AS idf_milli
+         |  FROM p GROUP BY tok)
+         |SELECT p.doc_id,
+         |       CAST(SUM(p.tf * w.idf_milli) AS BIGINT) AS score_milli,
+         |       CAST(COUNT(*) AS BIGINT) AS n_terms
+         |FROM p JOIN w ON p.tok = w.tok
+         |GROUP BY p.doc_id
+         |ORDER BY score_milli DESC, p.doc_id
+         |LIMIT 20""".stripMargin,
     "text_quality" ->
       s"""WITH $tokCtes
          |SELECT doc_id,

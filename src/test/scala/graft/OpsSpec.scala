@@ -174,6 +174,27 @@ class OpsSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 5)))
   }
 
+  test("searchTopK: hand-computed scores, rarer terms weigh more, top-k plan is TakeOrdered") {
+    val s = spark
+    import s.implicits._
+    // N=4; 'rare' df=1, 'common' df=4 -> idf_milli(rare)=2333, idf_milli(common)=111
+    val docsDf = Seq(
+      (1L, "rare common common"),
+      (2L, "common"),
+      (3L, "common common common"),
+      (4L, "common other words")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.searchTopK(docsDf, Seq("rare", "common"), k = 3)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // idf_milli: rare = round(1000*(4-1+0.5)/1.5) = 2333; common = round(1000*0.5/4.5) = 111
+    // doc1 = 1*2333 + 2*111 = 2555; doc3 = 3*111 = 333; doc2 = 111; doc4 = 111
+    assert(rows.take(2).toSeq == Seq((1L, 2555L, 2L), (3L, 333L, 1L)))
+    assert(rows(2) == ((2L, 111L, 1L))) // tie with doc4 broken by doc_id; k=3 cuts doc4
+    assert(rows.length == 3)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
