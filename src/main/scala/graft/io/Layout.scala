@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning: Z-order clustering.
+  *
+  * Parquet (and every engine reading it) skips row groups / files whose
+  * column min/max statistics exclude a filter — but statistics only help
+  * if the writer CLUSTERED the data. Sorting by one column gives perfect
+  * pruning on that column and none on the others; interleaving the bits
+  * of several columns' bucket ranks (the Z-order curve) gives each
+  * clustered column locality proportional to its share of the bits, so a
+  * selective filter on ANY of them prunes most files. This is the same
+  * construction Delta/Iceberg `OPTIMIZE ZORDER BY` applies; here it is a
+  * plain column expression + `repartitionByRange` so it works on vanilla
+  * parquet.
+  *
+  * Mechanics: each clustered column is bucketized into `2^bitsPerCol`
+  * rank buckets by approximate quantiles (a driver-sized array of
+  * boundaries — the sketch pass never shuffles the data), the bucket ids
+  * are bit-interleaved into the z-value, and the frame is range-written
+  * so each output file covers a compact z-range. Everything after the
+  * quantile sketch is stateless per-row arithmetic.
+  */
+object Layout {
+
+  /** Bucket id (0..nBuckets-1) of `c` given ascending split points. */
+  private def bucketOf(c: Column, splits: Array[Double]): Column =
+    splits.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (s, i)) => when(c.cast("double") >= s, lit(i + 1)).otherwise(acc)
+    }
+
+  /** Bit-interleave of per-column bucket ids: bit j of column i lands at
+    * position `j * nCols + i` — the Z-order (Morton) index as a long
+    * column expression (pure integer shifts/masks, codegen-friendly).
+    */
+  def interleaveBits(bucketCols: Seq[Column], bitsPerCol: Int): Column = {
+    val nCols = bucketCols.length
+    val terms = for {
+      (c, i) <- bucketCols.zipWithIndex
+      j <- 0 until bitsPerCol
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * nCols + i)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** The z-value column for `df` over `cols`, bucket boundaries from an
+    * approximate-quantile sketch (`relErr` rank error is fine: boundaries
+    * only steer locality, never correctness).
+    */
+  def zValue(
+      df: DataFrame,
+      cols: Seq[String],
+      bitsPerCol: Int = 4,
+      relErr: Double = 0.01): Column = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    val nBuckets = 1 << bitsPerCol
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val buckets = cols.map { c =>
+      val splits = df.stat.approxQuantile(c, probs, relErr).distinct.sorted
+      bucketOf(col(c), splits)
+    }
+    interleaveBits(buckets, bitsPerCol)
+  }
+
+  /** Write `df` as parquet clustered on the Z-order curve over `cols`,
+    * `targetFiles` output files each covering a compact z-range. After
+    * this, a selective filter on any clustered column skips most files on
+    * min/max statistics alone.
+    */
+  def zOrderWrite(
+      df: DataFrame,
+      cols: Seq[String],
+      path: String,
+      targetFiles: Int = 32,
+      bitsPerCol: Int = 4): Unit =
+    df.withColumn("__z", zValue(df, cols, bitsPerCol))
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write
+      .mode("overwrite")
+      .parquet(path)
+}

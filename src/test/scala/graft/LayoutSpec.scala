@@ -1,0 +1,48 @@
+package graft
+
+import graft.io.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+
+  test("interleaveBits places column i's bit j at position j*nCols+i") {
+    val s = spark
+    import s.implicits._
+    val row = Seq((3L, 5L)).toDF("a", "b")
+    // a=0b011 -> bits 0,1 at even positions 0,2 ; b=0b101 -> bits 0,2 at odd positions 1,5
+    val z = row
+      .select(Layout.interleaveBits(Seq(col("a"), col("b")), 4).as("z"))
+      .head()
+      .getLong(0)
+    assert(z == ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)), s"got $z")
+  }
+
+  test("zOrderWrite: per-file min/max spans shrink on BOTH clustered columns") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").cast("double").as("ck"), col("o_totalprice").as("tp"))
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+    Layout.zOrderWrite(orders, Seq("ck", "tp"), out, targetFiles = 16)
+    val g = orders.agg(
+      (max("ck") - min("ck")).as("ckspan"),
+      (max("tp") - min("tp")).as("tpspan")).head()
+    val (gCk, gTp) = (g.getDouble(0), g.getDouble(1))
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"expected several files, got ${files.length}")
+    val spans = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+      val r = d.agg(
+        (max("ck") - min("ck")).as("ckspan"),
+        (max("tp") - min("tp")).as("tpspan")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val avgCk = spans.map(_._1).sum / spans.length
+    val avgTp = spans.map(_._2).sum / spans.length
+    // 16 z-range files over 4-bit buckets give each dimension ~2 effective
+    // bits of locality (ideal span/4; boundary overlap erodes some) — a
+    // plain unclustered write would cover ~100% of both on every file
+    assert(avgCk < 0.6 * gCk, s"custkey span $avgCk vs global $gCk")
+    assert(avgTp < 0.6 * gTp, s"totalprice span $avgTp vs global $gTp")
+    // round-trip row fidelity
+    assert(spark.read.parquet(out).count() == orders.count())
+  }
+}
