@@ -257,6 +257,43 @@ object Similarity {
       k)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max|x|, elements mapped to round(127 * x / scale) — the standard
+    * 4x memory/bandwidth reduction that makes billion-vector ANN fit a
+    * cluster's RAM (dequantize ≈ q * scale / 127). Stateless per-row
+    * arithmetic: no shuffle, embarrassingly parallel, deterministic, so
+    * the digest of the quantized codes is oracle-hashable.
+    *
+    * The max-abs is projected to a named column BEFORE the quantizing
+    * lambda: referenced inline it would re-scan the array per element
+    * (interpreted-HOF re-evaluation).
+    *
+    * Output: id, scale_r (rounded 6), q_sum / q_md5 (integer sum and
+    * joined-code digest of the int8 codes — the hashable faces; callers
+    * wanting the codes themselves use the `q` column pre-projection).
+    */
+  def quantizeInt8(
+      embs: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withMab = embs.select(
+      col(idCol),
+      col(vecCol).as("v"),
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))).as("mab"))
+    val quantized = withMab.select(
+      col(idCol),
+      round(col("mab"), 6).as("scale_r"),
+      when(col("mab") === 0.0, transform(col("v"), _ => lit(0L)))
+        .otherwise(
+          transform(col("v"), x => round(lit(127.0) * x.cast("double") / col("mab"), 0).cast("long")))
+        .as("q"))
+    quantized.select(
+      col(idCol),
+      col("scale_r"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored

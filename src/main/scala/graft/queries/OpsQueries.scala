@@ -106,6 +106,7 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_search" -> { (s, dir) =>
       TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
@@ -385,6 +386,22 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "embedding_quantize" ->
+      """SELECT vec_id,
+        |  round(mab, 6) AS scale_r,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  md5(array_to_string(q, ',')) AS q_md5
+        |FROM (
+        |  SELECT vec_id, mab,
+        |         CASE WHEN mab = 0
+        |           THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |           ELSE list_transform(embedding,
+        |                  x -> CAST(round(127.0 * CAST(x AS DOUBLE) / mab, 0) AS BIGINT))
+        |         END AS q
+        |  FROM (
+        |    SELECT vec_id, embedding,
+        |           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mab
+        |    FROM embeddings))""".stripMargin,
     "corpus_quality_gate" ->
       s"""WITH $tokCtes,
          |q AS (

@@ -195,6 +195,44 @@ class OpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("quantizeInt8: codes bounded to [-127,127], hand-check, zero-vector guard, dequant error small") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0 -> codes 64,-127,32
+      (2L, Array(0.0f, 0.0f)) // zero vector -> all-zero codes, no div-by-zero
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("scale_r") == 1.0)
+    assert(out(1L).getAs[Long]("q_sum") == 64L - 127L + 32L)
+    assert(out(2L).getAs[Long]("q_sum") == 0L)
+    // on real embeddings: every code within [-127,127] via min/max of the
+    // dequantization identity, and cosine of dequantized vs original high
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val mab = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val withQ = e
+      .select(col("vec_id"), col("embedding").as("v"), mab.as("mab"))
+      .withColumn(
+        "q",
+        transform(col("v"), x => round(lit(127.0) * x.cast("double") / col("mab"), 0).cast("long")))
+    val bounds = withQ
+      .select(array_max(col("q")).as("hi"), array_min(col("q")).as("lo"))
+      .agg(max("hi").as("hi"), min("lo").as("lo"))
+      .head()
+    assert(bounds.getLong(0) <= 127L && bounds.getLong(1) >= -127L)
+    val fidelity = withQ
+      .select(
+        Similarity
+          .cosine(
+            col("v"),
+            transform(col("q"), c => (c.cast("double") * col("mab") / 127.0).cast("float")))
+          .as("c"))
+      .agg(min("c"))
+      .head()
+      .getDouble(0)
+    assert(fidelity > 0.99, s"worst dequantized cosine $fidelity")
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
