@@ -106,6 +106,42 @@ object Dedup {
     * unmaterialized version of this pipeline re-executed its subtree per
     * consumer (measured ~20x recompute, 499 s at sf0.1 vs <10 s).
     */
+  /** Row-local distinct shingle arrays, one row per doc, checkpointed
+    * (multi-consumer: band derivation + verify sides). See the execution
+    * notes on [[minHashLsh]].
+    */
+  private def shingleArrays(
+      docs: DataFrame,
+      shingle: Int,
+      textCol: String,
+      idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
+      .filter(size(col("tks")) >= shingle)
+      .select(
+        col("id"),
+        array_distinct(
+          transform(
+            sequence(lit(0), size(col("tks")) - shingle),
+            i => concat_ws(" ", (0 until shingle).map(j => element_at(col("tks"), i + j + 1)): _*)))
+          .as("sh"))
+      .localCheckpoint()
+
+  /** (id, band, bkey) rows from the native minhash signature (one compiled
+    * pass per row; the HOF equivalent pays interpreted-lambda + allocation
+    * costs per (element, hash) — MinHashSpec asserts bit-identity).
+    */
+  private def bandTable(withSh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val sig = withSh
+      .select(
+        col("id"),
+        graft.functions.MinHashSignature.minhash_signature(col("sh"), numHashes).as("mhs"))
+      .select(
+        col("id") +: (0 until numHashes).map(k =>
+          element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
+    lshBands(sig, numHashes, rowsPerBand)
+  }
+
   def minHashLsh(
       docs: DataFrame,
       numHashes: Int = 8,
@@ -124,28 +160,8 @@ object Dedup {
     // host. `tks` is projected to a column before the gram lambda references
     // it (HOF lambdas evaluate interpreted; an inline tokens() expression
     // re-splits the text per element_at).
-    val withSh = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
-      .filter(size(col("tks")) >= shingle)
-      .select(
-        col("id"),
-        array_distinct(
-          transform(
-            sequence(lit(0), size(col("tks")) - shingle),
-            i => concat_ws(" ", (0 until shingle).map(j => element_at(col("tks"), i + j + 1)): _*)))
-          .as("sh"))
-      .localCheckpoint() // one row/doc; reused by bands + both verify sides
-    // signature via the native expression (one compiled pass per row; the
-    // HOF equivalent pays interpreted-lambda + allocation costs per
-    // (element, hash) — MinHashSpec asserts bit-identity between the two)
-    val sig = withSh
-      .select(
-        col("id"),
-        graft.functions.MinHashSignature.minhash_signature(col("sh"), numHashes).as("mhs"))
-      .select(
-        col("id") +: (0 until numHashes).map(k =>
-          element_at(col("mhs"), k + 1).as(s"mh$k")): _*)
-    val bands0 = lshBands(sig, numHashes, rowsPerBand)
+    val withSh = shingleArrays(docs, shingle, textCol, idCol)
+    val bands0 = bandTable(withSh, numHashes, rowsPerBand)
     // hot-bucket guard: a bucket of boilerplate text with B members yields
     // B² candidate pairs; capping bucket size bounds the self-join skew
     // (pairs in dropped buckets can still surface via their other bands).
@@ -182,6 +198,62 @@ object Dedup {
           4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Cross-corpus near-duplicate detection: for every `probe` doc (a
+    * benchmark/eval set), find `corpus` docs (the training set) whose
+    * shingle-set Jaccard >= `threshold` — document-level decontamination,
+    * the near-dup complement of [[graft.ops.Corpus.contaminationNgrams]]'
+    * exact n-gram audit (verbatim leaks n-grams catch; paraphrased/
+    * re-crawled leaks need similarity).
+    *
+    * Same LSH machinery as [[minHashLsh]] but the band join is
+    * probe x corpus instead of a self-join: candidates are bounded by
+    * band collisions, the hot-bucket cap applies to the CORPUS side (the
+    * big one — a boilerplate bucket there would pair with every probe),
+    * and only |candidates| shingle arrays move to the verify join. The
+    * probe side is typically tiny (a benchmark), so its band table
+    * broadcasts and the corpus is never shuffled beyond its band pass.
+    */
+  def crossMinHashLsh(
+      probe: DataFrame,
+      corpus: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val shP = shingleArrays(probe, shingle, textCol, idCol)
+    val shC = shingleArrays(corpus, shingle, textCol, idCol)
+    val bandsP = bandTable(shP, numHashes, rowsPerBand)
+    val bandsC = bandTable(shC, numHashes, rowsPerBand)
+      .withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    val candidates = bandsP
+      .as("x")
+      .join(
+        bandsC.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.id").as("probe_id"), col("y.id").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(shP.select(col("id").as("probe_id"), col("sh").as("sha")), Seq("probe_id"))
+      .join(shC.select(col("id").as("corpus_id"), col("sh").as("shb")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter")),
+          4))
+      .filter(col("jaccard") >= threshold)
+      .select("probe_id", "corpus_id", "jaccard")
   }
 
   /** Connected components over near-dup pairs: every doc that appears in a

@@ -81,6 +81,33 @@ object Stats {
       .drop("qs")
   }
 
+  /** Per-group winsorization: clamp `valueCol` to its group's
+    * [p`loPct`, p`hiPct`] exact quantile band — the standard outlier
+    * treatment before statistics that a single pathological value would
+    * dominate (means, regressions, per-source budget math).
+    *
+    * Composes [[quantilesByGroup]]: the thresholds table is |groups|
+    * rows (broadcast back), the clamp itself a stateless projection —
+    * the data moves only through the quantile histogram's compaction
+    * shuffle, and that one touches distinct (group, value) pairs, not
+    * rows.
+    */
+  def winsorizeByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loPct: Int = 5,
+      hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100, s"bad band [$loPct,$hiPct]")
+    val th = quantilesByGroup(df, groupCol, valueCol, Seq(loPct, hiPct))
+      .select(col(groupCol), col(s"p$loPct").as("lo"), col(s"p$hiPct").as("hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn(
+        s"${valueCol}_w",
+        least(greatest(col(valueCol).cast("long"), col("lo")), col("hi")))
+      .drop("lo", "hi")
+  }
+
   /** Per-group distinct cardinality, exact and sketched side by side:
     * `n_exact` via count-distinct (expands to a (group, value) partial
     * aggregate — tree-safe but O(distinct) state), `n_approx` via

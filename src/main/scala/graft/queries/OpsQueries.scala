@@ -49,6 +49,16 @@ object OpsQueries {
     "dedup_clusters" -> { (s, dir) =>
       Dedup.clusterPairs(Dedup.minHashLsh(docs(s, dir)))
     },
+    // benchmark-vs-train decontamination by NEAR-dup: every 5th doc plays
+    // the benchmark (re-id'd, removed from the corpus side); hits are its
+    // planted near-dup partners still in the corpus
+    "dedup_cross_corpus" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.crossMinHashLsh(
+        d.filter(col("doc_id") % 5 === 2)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text")),
+        d.filter(col("doc_id") % 5 =!= 2))
+    },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
     "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
     "corpus_quality_gate" -> { (s, dir) => Corpus.qualityGate(docs(s, dir)) },
@@ -272,7 +282,57 @@ object OpsQueries {
        |  GROUP BY c.doc_a, c.doc_b)
        |${jaccardSql("inter", 0.8)}""".stripMargin
 
+  /** One side's shingle→minhash→band CTE chain for the cross-corpus
+    * near-dup oracle; `p` prefixes the CTE names, `src` supplies
+    * (doc_id, text).
+    */
+  private def mhSideCtes(p: String, src: String): String = {
+    val mhCols = (0 until 8)
+      .map(k => s"MIN(substr(md5('$k:' || tok), 1, 16)) AS mh$k")
+      .mkString(",\n         ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT id, $b AS band, mh${2 * b} || '|' || mh${2 * b + 1} AS bkey FROM ${p}mh")
+      .mkString("\n  UNION ALL ")
+    s"""${p}tks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM ($src)),
+       |${p}shingles AS (
+       |  SELECT doc_id AS id,
+       |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+       |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS tok
+       |  FROM ${p}tks WHERE len(tk) >= 3),
+       |${p}mh AS (
+       |  SELECT id,
+       |         $mhCols
+       |  FROM ${p}shingles GROUP BY id),
+       |${p}bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_cross_corpus" ->
+      s"""WITH
+         |${mhSideCtes("p_", "SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 2")},
+         |${mhSideCtes("c_", "SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2")},
+         |okb AS (SELECT band, bkey FROM c_bands GROUP BY band, bkey HAVING COUNT(*) <= 50),
+         |cbands AS (SELECT b.* FROM c_bands b JOIN okb USING (band, bkey)),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS probe_id, y.id AS corpus_id
+         |  FROM p_bands x JOIN cbands y ON x.band = y.band AND x.bkey = y.bkey),
+         |psizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM p_shingles GROUP BY id),
+         |csizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM c_shingles GROUP BY id),
+         |inter AS (
+         |  SELECT c.probe_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN p_shingles a ON a.id = c.probe_id
+         |  JOIN c_shingles b ON b.id = c.corpus_id AND b.tok = a.tok
+         |  GROUP BY 1, 2)
+         |SELECT i.probe_id, i.corpus_id,
+         |       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+         |FROM inter i
+         |JOIN psizes sa ON sa.id = i.probe_id
+         |JOIN csizes sb ON sb.id = i.corpus_id
+         |WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
     // Transitive closure over the minhash near-dup pairs: min reachable id
     // per vertex = the cluster representative. The Spark side iterates

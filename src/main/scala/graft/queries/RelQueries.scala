@@ -99,6 +99,15 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    "stats_winsorize" -> { (s, dir) =>
+      Stats
+        .winsorizeByGroup(docs(s, dir), "lang", "n_chars", loPct = 10, hiPct = 90)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_chars_w"))
+    },
     // Hot-key join via explicit salting: event_type has 5 values (extreme
     // key skew), so the per-type dim joins on (type, salt) with the dim
     // replicated salt-ways. Row-identical to the plain join the oracle runs.
@@ -353,6 +362,23 @@ object RelQueries {
         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 3""".stripMargin,
+    "stats_winsorize" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, n_chars,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS tot
+        |  FROM h),
+        |th AS (
+        |  SELECT lang,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 10 THEN n_chars END) AS BIGINT) AS lo,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN n_chars END) AS BIGINT) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |       least(greatest(CAST(d.n_chars AS BIGINT), th.lo), th.hi) AS n_chars_w
+        |FROM documents d JOIN th ON d.lang = th.lang""".stripMargin,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

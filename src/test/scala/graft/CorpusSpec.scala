@@ -148,6 +148,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("crossMinHashLsh finds planted near-dups across corpora, not unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 130).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, unrelated)).toDF("doc_id", "text")
+    val probe = Seq((10L, nearDup), (11L, "completely different text about nothing")).toDF("doc_id", "text")
+    val got = Dedup.crossMinHashLsh(probe, corpus).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard")))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((10L, 1L)))
+    assert(got.head._3 >= 0.8 && got.head._3 < 1.0)
+  }
+
   test("incrementalNew drops re-crawled content, keeps genuinely new docs, min-id within batch") {
     val s = spark
     import s.implicits._

@@ -234,6 +234,21 @@ class RelationalSpec extends SparkSpec {
     assert(!out.contains(trainId), "train docs are not audited")
   }
 
+  test("winsorizeByGroup clamps outliers to the group's quantile band, leaves the bulk alone") {
+    // group g: 1..10 plus outliers -100 and 1000; p10 of the 12 values = 1
+    // (nearest-rank: cum*100 >= tot*10 at the 2nd value... compute below),
+    // p90 covers through 10 -> the 1000 clamps down, -100 clamps up
+    val df = ((1L to 10L) ++ Seq(-100L, 1000L)).map(("g", _)).toDF("grp", "v")
+    val out = Stats.winsorizeByGroup(df, "grp", "v", 10, 90).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("v_w")).toMap
+    val sorted = ((1L to 10L) ++ Seq(-100L, 1000L)).sorted
+    def nr(p: Int) = sorted(math.ceil(p * 12 / 100.0).toInt - 1)
+    assert(out(1000L) == nr(90))
+    assert(out(-100L) == nr(10))
+    assert(out(5L) == 5L) // interior value untouched
+    assert(out.size == 12)
+  }
+
   test("globalRank matches the single-partition window rank on a total order") {
     // values with heavy ties on v, tiebroken by id -> total order
     val df = (0L until 997L).map(i => (i, i % 13)).toDF("id", "v")
