@@ -15,6 +15,7 @@ object Bench {
     "dedup_ngram_jaccard",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
+    "dedup_cross_corpus",
     "dedup_clusters",
     "dedup_keep")
 
