@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence (funnel) analysis: how many users completed step 1,
+  * then step 2 strictly after it, then step 3 after that, ... — the
+  * canonical product-analytics question no single SQL aggregate answers,
+  * because each step's qualifying time depends on the previous step's.
+  *
+  * Execution shape: one pass over the (step-filtered) events per step.
+  * Step i's table is the per-user FIRST completion time — |users| rows,
+  * `localCheckpoint`ed both because step i+1 joins it and the final
+  * count union reads every step table (multi-consumer), and because the
+  * join chain would otherwise re-evaluate all previous steps per step.
+  * The per-step join is an equi-join on the user key (uniform); the
+  * events table is never shuffled — each pass filters map-side to one
+  * step type and aggregates by user.
+  *
+  * Greedy first-completion semantics (earliest qualifying time per
+  * step) — the standard funnel definition; it maximizes completion
+  * counts for strictly-increasing time chains.
+  */
+object Funnel {
+
+  /** Per-step completion counts: (step_idx, step, n_users), one row per
+    * step, n_users non-increasing.
+    */
+  def stages(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val hits = events.filter(col(typeCol) === step)
+        val qualified = prev match {
+          case None => hits
+          case Some(p) =>
+            hits
+              .join(p.select(col(userCol), col("t").as("t_prev")), Seq(userCol))
+              .filter(col(tsCol) > col("t_prev"))
+        }
+        Some(
+          qualified
+            .groupBy(col(userCol))
+            .agg(min(col(tsCol)).as("t"))
+            .localCheckpoint())
+    }.flatten
+    stepTables.zipWithIndex
+      .map { case (t, i) =>
+        t.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(
+            lit(i + 1).cast("int").as("step_idx"),
+            lit(steps(i)).as("step"),
+            col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+  }
+}

@@ -113,6 +113,16 @@ object GenQueries {
           col("n_orders"),
           round(col("msum").cast("double") / col("mcnt"), 4).as("mavg7"))
     },
+    // data-quality audit: key uniqueness + null rates on orders, orphan
+    // lineitems (no parent order) by anti join — one gating summary row
+    "audit_orders" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      graft.ops.Checks
+        .audit(orders, "o_orderkey", Seq("o_custkey", "o_totalprice"))
+        .crossJoin(
+          graft.ops.Checks
+            .orphanCount(t(s, dir, "lineitem"), orders, "l_orderkey", "o_orderkey"))
+    },
     // bloom-prefiltered semi join: lineitem rows whose part is size-1,
     // probe side pruned map-side by a bloom sketch of the build keys
     // before any shuffle; exact join removes false positives, so the
@@ -137,6 +147,16 @@ object GenQueries {
       |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "audit_orders" ->
+      """SELECT a.*, b.* FROM
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |        CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_keys,
+        |        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_o_custkey,
+        |        CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_o_totalprice
+        | FROM orders) a,
+        |(SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM lineitem l
+        | WHERE l.l_orderkey IS NULL
+        |    OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) b""".stripMargin,
     "gen_bloom_semi_join" ->
       """SELECT l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

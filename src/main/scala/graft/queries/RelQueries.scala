@@ -99,6 +99,12 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    // ordered-sequence funnel over view -> click -> purchase: each step
+    // counts users whose first qualifying completion is strictly after
+    // their previous step's
+    "funnel_stages" -> { (s, dir) =>
+      graft.ops.Funnel.stages(events(s, dir), Seq("view", "click", "purchase"))
+    },
     "stats_winsorize" -> { (s, dir) =>
       Stats
         .winsorizeByGroup(docs(s, dir), "lang", "n_chars", loPct = 10, hiPct = 90)
@@ -362,6 +368,25 @@ object RelQueries {
         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 3""".stripMargin,
+    "funnel_stages" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
     "stats_winsorize" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Corpus, Relational, Stats}
+import graft.ops.{Checks, Corpus, Relational, Stats}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,33 @@ class RelationalSpec extends SparkSpec {
     assert(out(testHit) == (2L, 1L))
     assert(out(testClean) == (2L, 0L))
     assert(!out.contains(trainId), "train docs are not audited")
+  }
+
+  test("Funnel.stages: strict ordering, first-completion semantics, monotone counts") {
+    // u1 completes all three in order; u2 clicks BEFORE viewing (click must
+    // not count); u3 views only; u4 view->click but purchase precedes click
+    val ev = Seq(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"),
+      (2L, 500L, "click"), (2L, 600L, "view"),
+      (3L, 700L, "view"),
+      (4L, 10L, "view"), (4L, 30L, "click"), (4L, 20L, "purchase")
+    ).toDF("user_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel.stages(ev, Seq("view", "click", "purchase")).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(1 -> 4, 2 -> 2, 3 -> 1)) // views: all 4; clicks after view: u1,u4; purchase after that click: u1
+  }
+
+  test("Checks.audit and orphanCount count dups, nulls, and parentless children") {
+    val parent = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val audit = Checks.audit(parent, "k", Seq("v")).collect().head
+    assert(audit.getAs[Long]("n_rows") == 4L)
+    assert(audit.getAs[Long]("n_dup_keys") == 1L)
+    assert(audit.getAs[Long]("n_null_v") == 1L)
+    val child = Seq((Some(1L), 10), (Some(9L), 20), (Option.empty[Long], 30))
+      .toDF("k", "x")
+    val orph = Checks.orphanCount(child, parent, "k", "k").collect().head
+    assert(orph.getAs[Long]("n_orphans") == 2L) // key 9 unmatched + null key
   }
 
   test("winsorizeByGroup clamps outliers to the group's quantile band, leaves the bulk alone") {
