@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
 final class Pipeline(
     minQuality: Double = 0.1,
     keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
-    ctxTokens: Int = 2048) {
+    ctxTokens: Int = 2048,
+    adaptiveQualityPct: Option[Int] = None,
+    mixtureBudgetTokens: Option[Long] = None) {
 
   /** Doc ids passing the quality floor and the language allow-list, with
     * their predicted language and score attached.
@@ -42,14 +44,32 @@ final class Pipeline(
 
   /** The full preparation run: returns the surviving docs with language,
     * quality, split, and pack-chunk assignment — the manifest a trainer
-    * consumes.
+    * consumes. Optional stages (off by default, enabled by constructor
+    * knobs):
+    *
+    *  - `adaptiveQualityPct = Some(p)` additionally gates each doc on its
+    *    SOURCE's p-th quality percentile ([[Corpus.qualityGate]]) — the
+    *    absolute `minQuality` floor catches garbage, the adaptive gate
+    *    keeps each source's better half as the mix drifts;
+    *  - `mixtureBudgetTokens = Some(b)` downsamples the survivors to a
+    *    token budget split across sources ([[Corpus.mixtureSample]]).
     */
   def prepare(docs: DataFrame): DataFrame = {
     val kept = filtered(docs)
+    val gated = adaptiveQualityPct match {
+      case None => kept
+      case Some(p) =>
+        kept.join(Corpus.qualityGate(docs, p).select("doc_id"), "doc_id")
+    }
+    val mixed = mixtureBudgetTokens match {
+      case None => gated
+      case Some(b) =>
+        gated.join(Corpus.mixtureSample(docs, b).select("doc_id"), "doc_id")
+    }
     val pairs = Dedup.minHashLsh(docs)
     val deduped = Dedup
       .keepRepresentatives(docs, pairs)
-      .join(kept, "doc_id") // inner: quality+lang filter AND dedup keep-list
+      .join(mixed, "doc_id") // inner: quality+lang+mixture AND dedup keep-list
     val split = Corpus
       .splitAssign(docs)
       .select(col("doc_id"), col("split"))

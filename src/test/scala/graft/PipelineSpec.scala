@@ -49,4 +49,19 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(diff == 0)
   }
+
+  test("optional adaptive-gate and mixture stages intersect the baseline survivors") {
+    val base = prepared.select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIds = graft.ops.Corpus.qualityGate(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixedIds = graft.ops.Corpus.mixtureSample(docs, 10000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withStages = new Pipeline(
+      adaptiveQualityPct = Some(50),
+      mixtureBudgetTokens = Some(10000L))
+      .prepare(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withStages == (base & gatedIds & mixedIds))
+    assert(withStages.size < base.size, "optional stages should actually drop docs here")
+  }
 }
