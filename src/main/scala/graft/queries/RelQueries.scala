@@ -99,6 +99,17 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    // hourly volume anomalies per event type: 3-sigma vs the trailing-24
+    // baseline, decided in exact integer arithmetic (no stddev/sqrt)
+    "events_anomaly" -> { (s, dir) =>
+      val counted = s.read
+        .parquet(s"$dir/events.parquet")
+        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"), col("event_type"))
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
+      graft.ops.Anomaly.countAnomalies(counted, "event_type", "window_start_us", "n")
+    },
     // ordered-sequence funnel over view -> click -> purchase: each step
     // counts users whose first qualifying completion is strictly after
     // their previous step's
@@ -368,6 +379,23 @@ object RelQueries {
         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 3""".stripMargin,
+    "events_anomaly" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *,
+        |         SUM(n) OVER tw AS s,
+        |         SUM(n * n) OVER tw AS q,
+        |         COUNT(*) OVER tw AS m
+        |  FROM c
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY window_start_us
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT window_start_us, event_type, n,
+        |       CAST(CASE WHEN (m * n - s) * (m * n - s) > 9 * (m * q - s * s)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM w WHERE m = 24""".stripMargin,
     "funnel_stages" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -248,6 +248,22 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(1 -> 4, 2 -> 2, 3 -> 1)) // views: all 4; clicks after view: u1,u4; purchase after that click: u1
   }
 
+  test("Anomaly.countAnomalies: integer 3-sigma flag matches a hand-computed spike, steady series stays quiet") {
+    // key "a": 4-period baseline of 10s then a spike of 100 and a normal 10
+    val rows = ((1 to 4).map(i => ("a", i.toLong, 10L)) ++
+      Seq(("a", 5L, 100L), ("a", 6L, 10L))).toDF("k", "t", "n")
+    val got = graft.ops.Anomaly
+      .countAnomalies(rows, "k", "t", "n", trailing = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("anomaly"))
+      .toMap
+    // t=5: baseline 10,10,10,10 -> S=40,Q=400,m=4; (4*100-40)^2=129600 > 9*(1600-1600)=0 -> flag
+    // t=6: baseline 10,10,10,100 -> S=130,Q=10300,m=4; (40-130)^2=8100 > 9*(41200-16900)=218700? no
+    assert(got == Map(5L -> 1L, 6L -> 0L))
+    // rows without a full trailing baseline are not emitted
+    assert(!got.contains(4L))
+  }
+
   test("Checks.audit and orphanCount count dups, nulls, and parentless children") {
     val parent = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, null.asInstanceOf[String]))
       .toDF("k", "v")
