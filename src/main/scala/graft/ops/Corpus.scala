@@ -148,6 +148,73 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "bucket", "rate_256")
   }
 
+  /** Exact per-group quota sample: `n` documents from every group (source),
+    * chosen deterministically by hash order — the "cap every crawl at N
+    * docs" curation step, where rate-based sampling ([[sampleStratified]],
+    * [[mixtureSample]]) can't promise an exact count.
+    *
+    * Selection rule: order each group by (md5 bucket, md5("samp:"+id), id)
+    * and take the first `n`. Naively that is a per-group global sort — a
+    * skew bomb when one source dominates the corpus. Instead: (1) one agg
+    * shuffle builds the (group, bucket) histogram — ≤ 256·|groups| rows,
+    * collected driver-side like [[mixtureSample]]'s totals; (2) the driver
+    * turns it into per-group cutoffs (every doc in a bucket below the
+    * cutoff is taken outright; the boundary bucket owes the remainder);
+    * (3) the only window runs over boundary-bucket rows — ~1/256 of the
+    * largest group, not the group itself. Result is identical to the naive
+    * per-group ROW_NUMBER (which is what the oracle runs).
+    */
+  def sampleQuota(
+      docs: DataFrame,
+      n: Int = 25,
+      groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withB = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(groupCol).as("grp"),
+      md5Bucket("doc_id").as("bucket"))
+    val hist = withB
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket"), r.getAs[Long]("c")))
+    val cutoffs = hist
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        val byBucket = rows.sortBy(_._2)
+        var cum = 0L
+        var cut = 256L
+        var owed = 0L
+        byBucket.foreach { case (_, b, c) =>
+          if (cum < n) {
+            if (cum + c >= n) { cut = b; owed = n - cum }
+            cum += c
+          }
+        }
+        // fewer than n docs in the group: keep everything (cut stays 256)
+        (g, cut, owed)
+      }
+      .toSeq
+      .toDF("grp", "cut_bucket", "owed")
+    val joined = withB.join(broadcast(cutoffs), Seq("grp"))
+    val below = joined.filter(col("bucket") < col("cut_bucket"))
+    val boundary = joined
+      .filter(col("bucket") === col("cut_bucket"))
+      .withColumn(
+        "r",
+        row_number().over(
+          Window
+            .partitionBy("grp")
+            .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))), col("doc_id"))))
+      .filter(col("r") <= col("owed"))
+      .drop("r")
+    below
+      .unionAll(boundary)
+      .select(col("doc_id"), col("grp").as(groupCol), col("bucket"))
+  }
+
   /** ASCII-safe PII patterns (identical semantics under Java regex and
     * DuckDB's RE2: no backrefs, no lookaround, \b and \d are ASCII).
     */

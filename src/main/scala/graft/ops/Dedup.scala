@@ -392,6 +392,113 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Paragraph-level exact dedup across the corpus (the CCNet/C4 move:
+    * repeated boilerplate paragraphs — nav bars, footers, license blurbs —
+    * are removed even when the documents containing them are unique). A
+    * paragraph occurrence is KEPT iff it is the globally first occurrence
+    * of its normalized fingerprint (min (doc_id, pos)); later copies are
+    * dups. Returns the per-doc audit face: paragraph counts and the digest
+    * of the text with dup paragraphs removed.
+    *
+    * Scale shape: split+posexplode are narrow; the first-occurrence table
+    * is ONE hash aggregation keyed by the md5 fingerprint (uniform), and
+    * `min(first_key)`/`count` partial-aggregate map-side — a boilerplate
+    * paragraph in a billion docs collapses to one row per map task before
+    * the shuffle, which is why this is an agg+join and NOT a window over
+    * the fingerprint (a window would move every copy of the hot key to one
+    * reducer). The join back is also keyed by the fingerprint; the final
+    * per-doc agg re-assembles kept paragraphs in position order. The
+    * exploded paragraph table feeds two consumers (the agg and the join) —
+    * materialized once, per the repo's recompute rule.
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val paras = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(col(textCol), "\n"), p => trim(p) =!= ""))
+          .as(Seq("pos", "para")))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("pos"),
+        col("para"),
+        md5(regexp_replace(trim(lower(col("para"))), "\\s+", " ")).as("pfp"))
+      .withColumn("okey", col("doc_id") * 1000000L + col("pos"))
+      .localCheckpoint()
+    val firsts = paras
+      .groupBy("pfp")
+      .agg(min("okey").as("first_key"))
+    paras
+      .join(firsts, Seq("pfp"))
+      .withColumn("is_first", col("okey") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("is_first"), 0L).otherwise(1L)).cast("long").as("n_dup"),
+        md5(
+          concat_ws(
+            "\n",
+            transform(
+              array_sort(
+                collect_list(when(col("is_first"), struct(col("pos"), col("para"))))),
+              s => s.getField("para")))).as("clean_md5"))
+  }
+
+  /** Semantic dedup over an embedding column (SemDeDup, Abbas et al. 2023):
+    * cluster the corpus coarsely, then within each cluster prune every
+    * vector that has a lower-id cluster neighbor with cosine >=
+    * `threshold`; the minimum id of each semantic near-dup group survives
+    * as its representative. Returns one row per vector with
+    * its cluster and keep decision (`kept` 1/0 — integers, hashable).
+    *
+    * The coarse quantizer is the deterministic flat one (seed centroids =
+    * the `nCentroids` lowest-id vectors, assignment by rounded cosine, same
+    * as [[Similarity.ivfFlatTopK]]) so the whole operator is
+    * oracle-mirrorable; swap in [[Similarity.ivfCentroids]]' k-means
+    * centroids for production quality — identical shape, rows-only check.
+    *
+    * Scale shape: centroids broadcast (|C| rows); assignment is a map-side
+    * cross product + per-vector argmax window keyed by the vector id
+    * (uniform); the pairwise prune join is confined WITHIN clusters —
+    * sum(cell²) pairs, the dial being |C| (more centroids = smaller cells)
+    * exactly as in the SemDeDup paper. The assigned-cells table feeds three
+    * consumers (both join sides + the output), hence the materialization.
+    */
+  def semanticDedup(
+      embs: DataFrame,
+      nCentroids: Int = 16,
+      threshold: Double = 0.99,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = embs
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("centroid_id"), col(vecCol).as("centroid"))
+    val cells = embs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(Similarity.cosine(col("v"), col("centroid")), 6))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("id").orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("centroid_id"))
+      .localCheckpoint()
+    val pruned = cells
+      .as("a")
+      .join(
+        cells.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") && col("a.id") < col("b.id"))
+      .filter(round(Similarity.cosine(col("a.v"), col("b.v")), 4) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+    cells
+      .join(pruned.withColumn("hit", lit(1)), Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("centroid_id"),
+        when(col("hit").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the
     * first 8 dimensions) then exact cosine within bucket, kept when
     * round(cos, 4) >= threshold. Blocking bounds the pair count to

@@ -265,6 +265,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Keep-predicate for one line of text, C4-style (Raffel et al. 2020, the
+    * public C4 cleaning rules): at least `minWords` whitespace words, ends
+    * with terminal punctuation, and no code/boilerplate markers
+    * ("javascript", '{'). Expressed as a pure boolean `Column` so it runs
+    * inside a higher-order `filter` lambda — per-row, shuffle-free.
+    */
+  def lineKeep(l: Column, minWords: Int = 5): Column = {
+    val t = trim(l)
+    val words = size(filter(split(t, "\\s+"), w => w =!= ""))
+    words >= minWords &&
+    substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+    !lower(t).contains("javascript") &&
+    !t.contains("{")
+  }
+
+  /** C4-style line-level cleaning: drop lines that are short, unterminated,
+    * or carry code/boilerplate markers; keep the rest in order. Returns the
+    * per-doc audit face (line counts + digest of the cleaned text) — the
+    * hashable contract; callers wanting the cleaned text itself reuse
+    * [[lineKeep]] in their own projection.
+    *
+    * Scale shape: split/filter/concat are all higher-order functions over
+    * the text column — one narrow projection, zero shuffles, linear at any
+    * corpus size and pipelines with whatever scan feeds it.
+    */
+  def cleanLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val kept = filter(lines, l => lineKeep(l))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      md5(concat_ws("\n", kept)).as("kept_md5"))
+  }
+
+  /** URL pattern: scheme + non-space run (ASCII-safe, RE2-compatible). */
+  val UrlRe = "https?://[^\\s]+"
+
+  /** Per-domain link statistics: extract every URL from every document,
+    * parse the host, and aggregate url/document counts per domain — the
+    * domain-frequency table that drives crawl blocklists and per-site
+    * quality priors in web-corpus curation.
+    *
+    * Scale shape: extraction is a per-row regexp + explode (narrow); the
+    * only shuffle is the hash aggregation keyed by domain. Domains are
+    * heavy-tailed, but count/count-distinct both partial-aggregate
+    * map-side, so a hot domain arrives at its reducer pre-collapsed to
+    * one row per (domain, doc) — never the raw URL stream.
+    */
+  def urlDomains(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), regexp_extract(col("url"), "https?://([^/\\s]+)", 1).as("domain"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"))
+
   /** Corpus vocabulary with document frequency: one row per distinct token
     * with its df (docs containing it) and tf (total occurrences), filtered
     * to `df >= minDf` — the vocabulary-build step of any tokenizer/featurizer

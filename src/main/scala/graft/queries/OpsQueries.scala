@@ -30,6 +30,58 @@ object OpsQueries {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
+  /** documents re-chunked into newline-separated 12-token lines with
+    * planted structure (mirrored exactly by `linedSql`): every line whose
+    * (doc_id + line index) ≡ 0 mod 3 gains terminal punctuation; four
+    * boilerplate lines are appended to every doc (a javascript notice, a
+    * braced footer, a too-short line, a clean shared newsletter line) and
+    * a fifth to every 4th doc. Gives the line/paragraph operators real
+    * per-line variety and guaranteed cross-doc duplicate paragraphs.
+    */
+  private def linedDocs(s: SparkSession, dir: String) = {
+    import graft.ops.TextAnalysis
+    docs(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        concat_ws(
+          "\n",
+          concat(
+            transform(
+              sequence(lit(0), expr("(greatest(size(tk), 1) - 1) div 12")),
+              i =>
+                concat(
+                  concat_ws(" ", slice(col("tk"), i * 12 + 1, lit(12))),
+                  when((col("doc_id") + i) % 3 === 0, lit(".")).otherwise(lit("")))),
+            array(
+              lit("please enable javascript to view this page."),
+              lit("all rights reserved { footer }."),
+              lit("ok."),
+              lit("subscribe to the newsletter for updates today.")),
+            when(col("doc_id") % 4 === 1, array(lit("follow us on social media.")))
+              .otherwise(array().cast("array<string>")))).as("text"))
+  }
+
+  /** documents with planted URLs (mirrored in the `text_url_domains`
+    * oracle): one per doc on a doc_id-keyed domain, a shared mirror link on
+    * every 3rd doc, an /about link on every 5th.
+    */
+  private def urlDocs(s: SparkSession, dir: String) =
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit(" and http://mirror.example/download"))
+          .otherwise(lit("")),
+        when(
+          col("doc_id") % 5 === 0,
+          concat(
+            lit(" https://site"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example/about"))).otherwise(lit(""))).as("text"))
+
   /** embeddings ∪ exact copies of every 20th vector (planted dup vectors). */
   private def dupEmbs(s: SparkSession, dir: String) = {
     val e = embs(s, dir).select("vec_id", "embedding")
@@ -59,6 +111,11 @@ object OpsQueries {
           .select((col("doc_id") + 5000000).as("doc_id"), col("text")),
         d.filter(col("doc_id") % 5 =!= 2))
     },
+    "dedup_paragraph" -> { (s, dir) => Dedup.paragraphDedup(linedDocs(s, dir)) },
+    "dedup_semantic" -> { (s, dir) => Dedup.semanticDedup(dupEmbs(s, dir)) },
+    "text_clean_lines" -> { (s, dir) => TextAnalysis.cleanLines(linedDocs(s, dir)) },
+    "text_url_domains" -> { (s, dir) => TextAnalysis.urlDomains(urlDocs(s, dir)) },
+    "corpus_sample_quota" -> { (s, dir) => Corpus.sampleQuota(docs(s, dir), n = 10) },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
     "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
     "corpus_quality_gate" -> { (s, dir) => Corpus.qualityGate(docs(s, dir)) },
@@ -187,6 +244,27 @@ object OpsQueries {
 
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The lined corpus of `linedDocs`, as a CTE over `tks` (so callers
+    * prepend `tokCtes`). Byte-identical text construction.
+    */
+  private val linedCte =
+    """lined AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      list_concat(
+      |        list_concat(
+      |          list_transform(range(0, ((greatest(len(tk), 1) - 1) // 12) + 1),
+      |            i -> array_to_string(tk[(i*12+1):(i*12+12)], ' ') ||
+      |                 CASE WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END),
+      |          ['please enable javascript to view this page.',
+      |           'all rights reserved { footer }.',
+      |           'ok.',
+      |           'subscribe to the newsletter for updates today.']),
+      |        CASE WHEN doc_id % 4 = 1 THEN ['follow us on social media.']
+      |             ELSE CAST([] AS VARCHAR[]) END),
+      |      chr(10)) AS text
+      |  FROM tks)""".stripMargin
+
   private def jaccardSql(interSrc: String, threshold: Double, extraCols: String = "") =
     s"""SELECT i.doc_a, i.doc_b, $extraCols
        |       round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
@@ -310,6 +388,104 @@ object OpsQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      s"""WITH $tokCtes,
+         |$linedCte,
+         |ls AS (
+         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lst
+         |  FROM lined),
+         |paras0 AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(lst) + 1),
+         |                i -> struct_pack(pos := i - 1, para := lst[i]))) AS s
+         |  FROM ls),
+         |paras AS (
+         |  SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.para AS para,
+         |         md5(regexp_replace(trim(lower(s.para)), '\\s+', ' ', 'g')) AS pfp,
+         |         doc_id * 1000000 + s.pos AS okey
+         |  FROM paras0),
+         |firsts AS (SELECT pfp, MIN(okey) AS first_key FROM paras GROUP BY pfp)
+         |SELECT p.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paras,
+         |  CAST(SUM(CASE WHEN p.okey = f.first_key THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+         |  md5(COALESCE(array_to_string(
+         |        list_filter(list(CASE WHEN p.okey = f.first_key THEN p.para END ORDER BY p.pos),
+         |                    x -> x IS NOT NULL),
+         |        chr(10)), '')) AS clean_md5
+         |FROM paras p JOIN firsts f USING (pfp)
+         |GROUP BY p.doc_id""".stripMargin,
+    "text_clean_lines" ->
+      s"""WITH $tokCtes,
+         |$linedCte,
+         |ls AS (
+         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lst
+         |  FROM lined),
+         |k AS (
+         |  SELECT doc_id, lst,
+         |         list_filter(lst,
+         |           l -> len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w <> '')) >= 5
+         |                AND substr(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')
+         |                AND NOT contains(lower(trim(l)), 'javascript')
+         |                AND NOT contains(trim(l), '{')) AS kept
+         |  FROM ls)
+         |SELECT doc_id,
+         |  CAST(len(lst) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_md5
+         |FROM k""".stripMargin,
+    "text_url_domains" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '.example/p/' || CAST(doc_id AS VARCHAR)
+        |              || CASE WHEN doc_id % 3 = 0 THEN ' and http://mirror.example/download' ELSE '' END
+        |              || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/about'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM corpus)
+        |SELECT regexp_extract(url, 'https?://([^/\s]+)', 1) AS domain,
+        |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1""".stripMargin,
+    "corpus_sample_quota" ->
+      """SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket FROM (
+        |  SELECT doc_id, source, bucket,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY source
+        |           ORDER BY bucket, md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM (
+        |    SELECT doc_id, source,
+        |           (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |            + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |    FROM documents))
+        |WHERE rk <= 10""".stripMargin,
+    "dedup_semantic" -> {
+      val src =
+        """SELECT vec_id, embedding FROM embeddings
+          |        UNION ALL
+          |        SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0""".stripMargin
+      val dotQC = "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.cv[i]))"
+      val dotAB = "list_sum(list_transform(range(1, 65), i -> CAST(a.v[i] AS DOUBLE) * b.v[i]))"
+      s"""WITH ${embCte(src)},
+         |cents AS (SELECT id AS centroid_id, v AS cv, nrm AS cnrm FROM e WHERE id < 16),
+         |cells AS (
+         |  SELECT id, v, nrm, centroid_id FROM (
+         |    SELECT q.id, q.v, q.nrm, c.centroid_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY q.id
+         |             ORDER BY round($dotQC / (q.nrm * c.cnrm), 6) DESC, c.centroid_id) AS rn
+         |    FROM e q CROSS JOIN cents c) WHERE rn = 1),
+         |pruned AS (
+         |  SELECT DISTINCT b.id AS id
+         |  FROM cells a JOIN cells b ON a.centroid_id = b.centroid_id AND a.id < b.id
+         |  WHERE round($dotAB / (a.nrm * b.nrm), 4) >= 0.99)
+         |SELECT c.id AS vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id,
+         |       CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cells c LEFT JOIN pruned p ON p.id = c.id""".stripMargin
+    },
     "dedup_cross_corpus" ->
       s"""WITH
          |${mhSideCtes("p_", "SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 2")},

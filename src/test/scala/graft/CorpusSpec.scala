@@ -26,6 +26,102 @@ class CorpusSpec extends SparkSpec {
     assert(got.keySet == (1L to 6L).toSet)
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("paragraphDedup: global first occurrence survives, later copies are dups") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nshared footer\nunique one"),
+      (2L, "gamma delta\nshared footer\nunique two"),
+      (3L, "shared footer"),
+      (4L, "echo foxtrot\necho foxtrot")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_dup"), r.getAs[String]("clean_md5"))))
+      .toMap
+    assert(got(1L) == ((3L, 0L, md5Hex("alpha beta\nshared footer\nunique one"))))
+    assert(got(2L) == ((3L, 1L, md5Hex("gamma delta\nunique two"))))
+    // doc 3 is pure boilerplate: everything it has occurred earlier
+    assert(got(3L) == ((1L, 1L, md5Hex(""))))
+    // intra-doc repetition: the second copy is a dup of the first
+    assert(got(4L) == ((2L, 1L, md5Hex("echo foxtrot"))))
+  }
+
+  test("paragraphDedup normalizes whitespace/case before fingerprinting") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "Shared   Footer"),
+      (2L, "shared footer")).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup"))
+      .toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("semanticDedup prunes within-cluster near-identical vectors, keeps min id") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Float*): Seq[Float] = xs
+    val e1 = v(1f, 0f, 0f, 0f)
+    val e2 = v(0f, 1f, 0f, 0f)
+    val embs = Seq(
+      (0L, e1), // seed centroid 0
+      (1L, e2), // seed centroid 1
+      (5L, v(0.8f, 0.6f, 0f, 0f)), // cluster 0 (cos .8 to the seed: kept)
+      (6L, v(0.8f, 0.6f, 0f, 0f)), // identical to 5 -> pruned
+      (7L, v(0.5f, 0.85f, 0f, 0f)) // cluster 1, unique (cos .86 to the seed)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(embs, nCentroids = 2).collect()
+      .map(r =>
+        r.getAs[Long]("vec_id") -> ((r.getAs[Long]("centroid_id"), r.getAs[Long]("kept"))))
+      .toMap
+    assert(got(5L)._1 == 0L && got(6L)._1 == 0L && got(7L)._1 == 1L)
+    assert(got(5L)._2 == 1L && got(6L)._2 == 0L && got(7L)._2 == 1L)
+    assert(got(0L)._2 == 1L && got(1L)._2 == 1L)
+  }
+
+  test("sampleQuota matches the naive per-group ROW_NUMBER selection") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 45L)
+      .map(i => (i, if (i < 30) "big" else if (i < 40) "mid" else "tiny"))
+      .toDF("doc_id", "source")
+    val got = Corpus.sampleQuota(docs, n = 10).collect()
+    val bySrc = got.groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+    // exact quota where the group is big enough, everything where it isn't
+    assert(bySrc == Map("big" -> 10, "mid" -> 10, "tiny" -> 5))
+    // equivalence with the naive ordering: top-n by (bucket, md5 salt, id)
+    import org.apache.spark.sql.expressions.Window
+    val naive = docs
+      .withColumn(
+        "bucket",
+        (expr("locate(substring(md5(cast(doc_id as string)), 1, 1), '0123456789abcdef')") - 1) * 16 +
+          expr("locate(substring(md5(cast(doc_id as string)), 2, 1), '0123456789abcdef')") - 1)
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window
+            .partitionBy("source")
+            .orderBy(
+              col("bucket"),
+              md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+              col("doc_id"))))
+      .filter(col("rk") <= 10)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == naive)
+  }
+
   test("splitAssign: deterministic, total, and respects cutoffs") {
     val s = spark
     import s.implicits._

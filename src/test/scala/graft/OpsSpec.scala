@@ -5,6 +5,56 @@ import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("cleanLines keeps only terminated, long, marker-free lines") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L,
+        "this line has six words total.\n" +
+          "short line.\n" +
+          "please enable JavaScript to continue now.\n" +
+          "one two three four five six\n" +
+          "braces { are code } maybe fine.\n" +
+          "\n" +
+          "does this question count as kept?")).toDF("doc_id", "text")
+    val r = TextAnalysis.cleanLines(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_lines") == 6) // blank line dropped from the count
+    assert(r(0).getAs[Long]("n_kept") == 2)
+    assert(
+      r(0).getAs[String]("kept_md5") ==
+        md5Hex("this line has six words total.\ndoes this question count as kept?"))
+  }
+
+  test("cleanLines of an all-dropped doc digests the empty string") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "too short.\nno punctuation here at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.cleanLines(docs).collect()(0)
+    assert(r.getAs[Long]("n_kept") == 0)
+    assert(r.getAs[String]("kept_md5") == md5Hex(""))
+  }
+
+  test("urlDomains aggregates per-domain url and doc counts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "visit https://a.example/x and https://a.example/y plus http://b.example/z"),
+      (2L, "just https://a.example/index here"),
+      (3L, "no links at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomains(docs).collect()
+      .map(r => r.getAs[String]("domain") -> (r.getAs[Long]("n_urls"), r.getAs[Long]("n_docs")))
+      .toMap
+    assert(got == Map("a.example" -> ((3L, 2L)), "b.example" -> ((1L, 1L))))
+  }
+
   private lazy val fixture = {
     val s = spark
     import s.implicits._
