@@ -130,6 +130,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p.take(1500))
   }
 
+  test("cleanLines is a shuffle-free codegen projection") {
+    val p = plan(graft.ops.TextAnalysis.cleanLines(docsDf))
+    assert(!p.contains("Exchange"), "line cleaning is per-row; it must not shuffle:\n" + p.take(1500))
+    assert(p.contains("*(1)"), p.take(800))
+  }
+
+  test("paragraphDedup: first-occurrence via agg+join, never a window over the fingerprint") {
+    val p = plan(graft.ops.Dedup.paragraphDedup(docsDf))
+    // the whole point of the agg formulation is that a hot boilerplate
+    // fingerprint partial-aggregates map-side instead of landing on one
+    // window reducer — a Window in this plan is a scale regression
+    assert(!p.contains("Window"), "no window over pfp:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"), "paragraph table must be materialized before reuse")
+    assert(
+      "Generate" .r.findAllIn(p).size <= 1,
+      "the paragraph explode must be evaluated once, not once per consumer")
+  }
+
+  test("semanticDedup: centroids broadcast; prune join is equi on the cluster id") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Dedup.semanticDedup(embs))
+    assert(!p.contains("CartesianProduct"), "within-cluster prune must equi-join on centroid_id")
+    assert(!p.contains("SinglePartition"), "per-vector argmax partitions by id, never globally")
+    // the assignment subtree sits behind the materialization boundary in the
+    // final plan, so assert its shape directly (same move as the minhash
+    // bucket-cap test): centroid side broadcast, argmax window per vector id
+    val cents = embs
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long").as("centroid_id"), col("embedding").as("centroid"))
+    val assignment = embs
+      .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(graft.ops.Similarity.cosine(col("v"), col("centroid")), 6))
+      .withColumn(
+        "rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("id")
+            .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+    val pa = plan(assignment)
+    assert(
+      pa.contains("BroadcastNestedLoopJoin") || pa.contains("BroadcastExchange"),
+      "centroid assignment must broadcast the (tiny) centroid side:\n" + pa.take(1500))
+    assert(!pa.contains("SinglePartition"), "argmax window must partition by vector id")
+  }
+
+  test("sampleQuota: no single-partition window; quota window confined to the boundary bucket") {
+    val p = plan(graft.ops.Corpus.sampleQuota(docsDf, n = 10))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    // the boundary-side window input carries the cutoff filter (bucket =
+    // cut_bucket) BELOW the window — the full corpus never sorts
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))
