@@ -10,6 +10,7 @@ object Bench {
     * 5-30x its warm cost.
     */
   private val heavyLast = Seq(
+    "dedup_simhash_pairs",
     "text_repetition",
     "contamination_ngrams",
     "dedup_ngram_jaccard",

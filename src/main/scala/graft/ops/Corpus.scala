@@ -232,6 +232,45 @@ object Corpus {
       PhoneRe,
       "<PHONE>")
 
+  /** Sequence-length bucket audit: assign every document to the smallest
+    * power-of-two-ish context bucket that fits it (docs beyond the largest
+    * bucket truncate into it) and report per-bucket document counts, real
+    * vs padded token totals, and the padding-waste fraction — the number a
+    * training pipeline watches when deciding between length-bucketed
+    * batching and sequence packing ([[packGreedy]]).
+    *
+    * One narrow projection + one hash aggregation over |buckets| keys
+    * (partial aggregation collapses everything map-side); the token count
+    * is projected to a named column before the bucket CASE references it,
+    * per the repo's interpreted-HOF recompute rule.
+    */
+  def lengthBuckets(
+      docs: DataFrame,
+      buckets: Seq[Int] = Seq(16, 32, 64, 128, 256, 512),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets.nonEmpty && buckets == buckets.sorted, "buckets must be ascending")
+    val toks = docs.select(
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val bucketExpr = buckets.init.foldRight(lit(buckets.last.toLong): Column) { (b, acc) =>
+      when(col("n_tokens") <= b, lit(b.toLong)).otherwise(acc)
+    }
+    toks
+      .select(col("n_tokens"), bucketExpr.as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(least(col("n_tokens"), col("bucket"))).cast("long").as("sum_tokens"))
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("sum_tokens"),
+        (col("bucket") * col("n_docs")).cast("long").as("padded_tokens"),
+        round(
+          lit(1.0) - col("sum_tokens").cast("double") / (col("bucket") * col("n_docs")),
+          4).as("waste_frac"))
+  }
+
   /** Train/test n-gram contamination audit — the standard "is my benchmark
     * leaking into the training set" check (PaLM/GPT-3 style, word-n-gram
     * overlap). For every TEST doc: how many of its distinct word n-grams

@@ -344,6 +344,85 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** 60-bit SimHash (the wide variant [[simHash]]'s 16 bits are too narrow
+    * to band at corpus scale): bit i (0..59) votes per distinct token by
+    * bit (3 - i%4) of hex digit i/4 of md5(token); the fingerprint bit is
+    * the vote sign. 60 bits — not 64 — keeps the fingerprint and every
+    * band key in the positive BIGINT range on both engines. Same
+    * execution shape as [[simHash]]: one distinct-token explode, one wide
+    * aggregation, embarrassingly parallel.
+    */
+  def simHashWide(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val perTok = tokenSet(docs, textCol, idCol)
+      .withColumn("h", md5(col("tok")))
+    val votes = (0 until 60).map { i =>
+      val digit = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(digit, 3 - i % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    perTok
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("id").as("doc_id"),
+        (0 until 60)
+          .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs by banded Hamming-ball probe: the 60-bit
+    * fingerprint splits into 4 bands of 15 bits; candidates share at least
+    * one exact band (pigeonhole: pairs within Hamming distance 3 ALWAYS
+    * share one of 4 bands, so for `maxHamming` <= 3 the probe is exact,
+    * not approximate); the verify stage keeps pairs with
+    * `bit_count(xor) <= maxHamming`.
+    *
+    * Scale shape: candidates come from an equi-join on (band, band-key) —
+    * a 15-bit key domain of 32k values per band spreads a large corpus
+    * well, and the same hot-bucket cap as [[minHashLsh]] bounds the
+    * worst case (a bucket of B identical-band docs otherwise pairs B²).
+    * The fingerprint table feeds the band explode and both join sides, so
+    * it is materialized once; the verify is a per-pair integer op.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = simHashWide(docs, textCol, idCol).localCheckpoint()
+    val bands = fp
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        posexplode(
+          array((0 until 4).map(b =>
+            shiftright(col("simhash"), 15 * b).bitwiseAND(32767L)): _*))
+          .as(Seq("band", "bkey")))
+      .withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("a.simhash").as("sa"),
+        col("b.doc_id").as("doc_b"),
+        col("b.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Word n-gram Jaccard near-dup pairs via inverted index. Grams with
     * document frequency > dfCap are dropped on BOTH sides before scoring —
     * the hot-key guard that keeps the self-join skew-free at corpus scale.

@@ -111,6 +111,8 @@ object OpsQueries {
           .select((col("doc_id") + 5000000).as("doc_id"), col("text")),
         d.filter(col("doc_id") % 5 =!= 2))
     },
+    "dedup_simhash_pairs" -> { (s, dir) => Dedup.simHashPairs(dupDocs(s, dir)) },
+    "corpus_length_buckets" -> { (s, dir) => Corpus.lengthBuckets(docs(s, dir)) },
     "dedup_paragraph" -> { (s, dir) => Dedup.paragraphDedup(linedDocs(s, dir)) },
     "dedup_semantic" -> { (s, dir) => Dedup.semanticDedup(dupEmbs(s, dir)) },
     "text_clean_lines" -> { (s, dir) => TextAnalysis.cleanLines(linedDocs(s, dir)) },
@@ -387,7 +389,65 @@ object OpsQueries {
        |  $bandRows)""".stripMargin
   }
 
+  /** 60-bit wide-SimHash vote/fingerprint select lists (mirrors
+    * `Dedup.simHashWide`'s md5-hex-digit bit votes).
+    */
+  private val simhashWideVotes = (0 until 60)
+    .map { i =>
+      val pos = i / 4 + 1
+      val shift = 3 - i % 4
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(h, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }
+    .mkString(",\n         ")
+
+  private val simhashWideValue = (0 until 60)
+    .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
+    .mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |tokd AS (
+         |  SELECT DISTINCT id, tok FROM (
+         |    SELECT doc_id AS id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+         |    FROM corpus) WHERE tok <> ''),
+         |th AS (SELECT id, md5(tok) AS h FROM tokd),
+         |votes AS (
+         |  SELECT id,
+         |         $simhashWideVotes
+         |  FROM th GROUP BY id),
+         |fp AS (SELECT id AS doc_id, CAST($simhashWideValue AS BIGINT) AS simhash FROM votes),
+         |bd AS (
+         |  SELECT doc_id, simhash, b.band AS band,
+         |         (simhash >> (15 * b.band)) & 32767 AS bkey
+         |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |bc AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bd),
+         |bok AS (SELECT doc_id, simhash, band, bkey FROM bc WHERE bn <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa, b.doc_id AS doc_b, b.simhash AS sb
+         |  FROM bok a JOIN bok b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "corpus_length_buckets" ->
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |         CAST(CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |                   WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |                   WHEN n_tokens <= 256 THEN 256 ELSE 512 END AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(least(n_tokens, bucket)) AS BIGINT) AS sum_tokens,
+        |       CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+        |       round(1.0 - CAST(SUM(least(n_tokens, bucket)) AS DOUBLE) / (bucket * COUNT(*)), 4) AS waste_frac
+        |FROM b GROUP BY bucket""".stripMargin,
     "dedup_paragraph" ->
       s"""WITH $tokCtes,
          |$linedCte,

@@ -66,6 +66,49 @@ class OpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
   }
 
+  test("simHashWide: 60-bit fingerprint, identical docs collide, deterministic") {
+    val r1 = Dedup.simHashWide(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    val r2 = Dedup.simHashWide(fixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(r1 == r2)
+    assert(r1.values.forall(v => v >= 0L && v < (1L << 60)))
+    assert(r1(1L) == r1(4L)) // exact dups -> identical fingerprint
+    assert(r1(1L) != r1(3L)) // unrelated content -> different fingerprint
+  }
+
+  test("simHashPairs surfaces exact dups at hamming 0 and excludes unrelated docs") {
+    val pairs = Dedup.simHashPairs(fixture).collect()
+      .map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    assert(pairs.contains((1L, 4L, 0L)), pairs.mkString(","))
+    assert(pairs.forall { case (a, b, _) => a != 3L && b != 3L })
+    assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
+  }
+
+  test("lengthBuckets: smallest fitting bucket, truncation into the largest, waste math") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10)), // bucket 16
+      (2L, words(20)), // bucket 32
+      (3L, words(100)), // bucket 128
+      (4L, words(600)) // beyond the largest -> truncates into 512
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.lengthBuckets(docs).collect()
+      .map(r =>
+        r.getAs[Long]("bucket") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+            r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_frac"))))
+      .toMap
+    assert(got(16L) == ((1L, 10L, 16L, 0.375)))
+    assert(got(32L) == ((1L, 20L, 32L, 0.375)))
+    assert(got(128L) == ((1L, 100L, 128L, 0.2188)))
+    // the 600-token doc truncates: real tokens capped at the bucket width
+    assert(got(512L) == ((1L, 512L, 512L, 0.0)))
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)
