@@ -26,7 +26,35 @@ final class Pipeline(
     keepLangs: Seq[String] = Seq("en", "de", "es", "fr", "zh"),
     ctxTokens: Int = 2048,
     adaptiveQualityPct: Option[Int] = None,
-    mixtureBudgetTokens: Option[Long] = None) {
+    mixtureBudgetTokens: Option[Long] = None,
+    lineClean: Boolean = false,
+    dropDupParagraphs: Boolean = false) {
+
+  /** The text-rewriting pre-stages, applied before any scoring so every
+    * downstream stage (quality, langid, dedup, packing) sees the text a
+    * trainer would actually consume:
+    *
+    *  - `lineClean` drops C4-rejected lines ([[TextAnalysis.cleanedText]])
+    *    — a zero-shuffle column rewrite;
+    *  - `dropDupParagraphs` removes cross-corpus repeated paragraphs
+    *    ([[Dedup.paragraphDedupText]]) — one fingerprint aggregation, the
+    *    per-doc rebuild joining back on doc_id.
+    */
+  def cleaned(docs: DataFrame): DataFrame = {
+    val afterLines =
+      if (lineClean)
+        docs.withColumn("text", TextAnalysis.cleanedText(col("text")))
+      else docs
+    if (dropDupParagraphs)
+      afterLines
+        .drop("text")
+        .join(
+          Dedup
+            .paragraphDedupText(afterLines)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          "doc_id")
+    else afterLines
+  }
 
   /** Doc ids passing the quality floor and the language allow-list, with
     * their predicted language and score attached.
@@ -55,26 +83,27 @@ final class Pipeline(
     *    token budget split across sources ([[Corpus.mixtureSample]]).
     */
   def prepare(docs: DataFrame): DataFrame = {
-    val kept = filtered(docs)
+    val base = cleaned(docs)
+    val kept = filtered(base)
     val gated = adaptiveQualityPct match {
       case None => kept
       case Some(p) =>
-        kept.join(Corpus.qualityGate(docs, p).select("doc_id"), "doc_id")
+        kept.join(Corpus.qualityGate(base, p).select("doc_id"), "doc_id")
     }
     val mixed = mixtureBudgetTokens match {
       case None => gated
       case Some(b) =>
-        gated.join(Corpus.mixtureSample(docs, b).select("doc_id"), "doc_id")
+        gated.join(Corpus.mixtureSample(base, b).select("doc_id"), "doc_id")
     }
-    val pairs = Dedup.minHashLsh(docs)
+    val pairs = Dedup.minHashLsh(base)
     val deduped = Dedup
-      .keepRepresentatives(docs, pairs)
+      .keepRepresentatives(base, pairs)
       .join(mixed, "doc_id") // inner: quality+lang+mixture AND dedup keep-list
     val split = Corpus
-      .splitAssign(docs)
+      .splitAssign(base)
       .select(col("doc_id"), col("split"))
     val layout = Corpus.packLayout(
-      docs.join(deduped.select("doc_id"), "doc_id"),
+      base.join(deduped.select("doc_id"), "doc_id"),
       ctxTokens)
     deduped
       .join(split, "doc_id")

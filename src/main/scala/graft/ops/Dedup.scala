@@ -353,11 +353,16 @@ object Dedup {
     * aggregation, embarrassingly parallel.
     */
   def simHashWide(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // project the 15 hex-digit VALUES once (one substring+conv each), so the
+    // 60 vote aggregates below are integer shifts over these columns, not 60
+    // per-row string conversions (execution-only: same integers either way)
     val perTok = tokenSet(docs, textCol, idCol)
       .withColumn("h", md5(col("tok")))
+      .select(
+        col("id") +: (0 until 15).map(d =>
+          conv(substring(col("h"), d + 1, 1), 16, 10).cast("int").as(s"d$d")): _*)
     val votes = (0 until 60).map { i =>
-      val digit = conv(substring(col("h"), i / 4 + 1, 1), 16, 10).cast("int")
-      val bit = shiftright(digit, 3 - i % 4).bitwiseAND(1)
+      val bit = shiftright(col(s"d${i / 4}"), 3 - i % 4).bitwiseAND(1)
       sum(when(bit === 1, 1L).otherwise(-1L)).as(s"v$i")
     }
     perTok
@@ -490,7 +495,14 @@ object Dedup {
     * exploded paragraph table feeds two consumers (the agg and the join) —
     * materialized once, per the repo's recompute rule.
     */
-  def paragraphDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  /** [[paragraphDedup]]'s transform face: per doc, the text with dup
+    * paragraphs removed (plus the counts) — what the corpus-prep pipeline
+    * substitutes for the raw text.
+    */
+  def paragraphDedupText(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
     val paras = docs
       .select(
         col(idCol).cast("long").as("doc_id"),
@@ -513,14 +525,21 @@ object Dedup {
       .agg(
         count(lit(1)).cast("long").as("n_paras"),
         sum(when(col("is_first"), 0L).otherwise(1L)).cast("long").as("n_dup"),
-        md5(
-          concat_ws(
-            "\n",
-            transform(
-              array_sort(
-                collect_list(when(col("is_first"), struct(col("pos"), col("para"))))),
-              s => s.getField("para")))).as("clean_md5"))
+        concat_ws(
+          "\n",
+          transform(
+            array_sort(
+              collect_list(when(col("is_first"), struct(col("pos"), col("para"))))),
+            s => s.getField("para"))).as("clean_text"))
   }
+
+  def paragraphDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    paragraphDedupText(docs, textCol, idCol)
+      .select(
+        col("doc_id"),
+        col("n_paras"),
+        col("n_dup"),
+        md5(col("clean_text")).as("clean_md5"))
 
   /** Semantic dedup over an embedding column (SemDeDup, Abbas et al. 2023):
     * cluster the corpus coarsely, then within each cluster prune every

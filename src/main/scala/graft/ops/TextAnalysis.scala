@@ -280,11 +280,21 @@ object TextAnalysis {
     !t.contains("{")
   }
 
+  /** The non-empty lines of `text` surviving [[lineKeep]], in order. */
+  def keptLines(text: Column, minWords: Int = 5): Column =
+    filter(filter(split(text, "\n"), l => trim(l) =!= ""), l => lineKeep(l, minWords))
+
+  /** The cleaned text itself (kept lines re-joined) — the transform face
+    * the corpus-prep pipeline applies; [[cleanLines]] is the audit face.
+    */
+  def cleanedText(text: Column, minWords: Int = 5): Column =
+    concat_ws("\n", keptLines(text, minWords))
+
   /** C4-style line-level cleaning: drop lines that are short, unterminated,
     * or carry code/boilerplate markers; keep the rest in order. Returns the
     * per-doc audit face (line counts + digest of the cleaned text) — the
-    * hashable contract; callers wanting the cleaned text itself reuse
-    * [[lineKeep]] in their own projection.
+    * hashable contract; callers wanting the cleaned text use
+    * [[cleanedText]].
     *
     * Scale shape: split/filter/concat are all higher-order functions over
     * the text column — one narrow projection, zero shuffles, linear at any
@@ -292,7 +302,7 @@ object TextAnalysis {
     */
   def cleanLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
-    val kept = filter(lines, l => lineKeep(l))
+    val kept = keptLines(col(textCol))
     docs.select(
       col(idCol).cast("long").as("doc_id"),
       size(lines).cast("long").as("n_lines"),

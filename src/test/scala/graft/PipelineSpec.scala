@@ -64,4 +64,23 @@ class PipelineSpec extends SparkSpec {
     assert(withStages == (base & gatedIds & mixedIds))
     assert(withStages.size < base.size, "optional stages should actually drop docs here")
   }
+
+  test("text-rewrite pre-stages: downstream stages see cleaned, paragraph-deduped text") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val footer = "the shared footer line appears in every single document right here today."
+    val fixture = Seq(
+      (1L, "the quick brown fox number one jumps over that lazy dog today.\n" + footer),
+      (2L, "the quick cat naps number two under that warm sun roof today.\n" + footer),
+      (3L, "the small bird sings number three near that old oak tree today.\njunk { line."))
+      .toDF("doc_id", "text")
+    val got = new Pipeline(lineClean = true, dropDupParagraphs = true)
+      .prepare(fixture)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens"))
+      .toMap
+    // doc 1 keeps its line + the footer's first occurrence (12 + 12 tokens);
+    // doc 2 loses the dup footer; doc 3 loses the junk line to the line rules
+    assert(got == Map(1L -> 24L, 2L -> 12L, 3L -> 12L))
+  }
 }
