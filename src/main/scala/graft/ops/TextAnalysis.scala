@@ -335,6 +335,44 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
+  /** Unigram rarity score — the engine-portable slot where a real pipeline
+    * runs an LM-perplexity quality filter (KenLM-style): documents made of
+    * corpus-rare tokens score high, boilerplate made of ubiquitous tokens
+    * scores low. Each token's weight is `N div ctf(token)` (corpus token
+    * count over the token's corpus frequency) — the reciprocal-probability
+    * integer surrogate for `-log p`; a doc's `rarity_sum` is the weighted
+    * token count and `rarity_milli` the per-token average ×1000. All
+    * integer arithmetic: order-independent, overflow-safe to ~9e15 corpus
+    * tokens, hash-identical across engines (a float surprisal sum would be
+    * summation-order-dependent and never oracle-stable).
+    *
+    * Execution shape: one explode into a (doc, token) count (materialized
+    * once — it feeds the corpus-frequency aggregation AND the score join),
+    * corpus frequencies collapse to one row per token before the join back
+    * (hot tokens arrive pre-aggregated), the corpus total rides in as a
+    * literal (driver-sized scalar, same as [[searchTopK]]'s N), and the
+    * final per-doc aggregation keys on uniform doc ids.
+    */
+  def unigramRarity(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val ctf = tf.groupBy("tok").agg(sum("tf").as("ctf"))
+    val n = ctf.agg(sum(col("ctf"))).first().getLong(0)
+    tf.join(ctf, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * expr(s"CAST($n AS BIGINT) div ctf")).cast("long").as("rarity_sum"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("rarity_sum"),
+        expr("(1000 * rarity_sum) div n_tokens").cast("long").as("rarity_milli"))
+  }
+
   /** Corpus vocabulary with document frequency: one row per distinct token
     * with its df (docs containing it) and tf (total occurrences), filtered
     * to `df >= minDf` — the vocabulary-build step of any tokenizer/featurizer

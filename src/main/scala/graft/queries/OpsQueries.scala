@@ -177,6 +177,7 @@ object OpsQueries {
     },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
+    "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_search" -> { (s, dir) =>
       TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
     },
@@ -432,6 +433,19 @@ object OpsQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "text_rarity" ->
+      s"""WITH $tokCtes,
+         |tf AS (
+         |  SELECT id AS doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tokraw WHERE tok <> '' GROUP BY 1, 2),
+         |ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n FROM ctf)
+         |SELECT tf.doc_id,
+         |       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(tf.tf * (tot.n // ctf.ctf)) AS BIGINT) AS rarity_sum,
+         |       CAST((1000 * SUM(tf.tf * (tot.n // ctf.ctf))) // SUM(tf.tf) AS BIGINT) AS rarity_milli
+         |FROM tf JOIN ctf USING (tok) CROSS JOIN tot
+         |GROUP BY tf.doc_id""".stripMargin,
     "corpus_length_buckets" ->
       """WITH t AS (
         |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens

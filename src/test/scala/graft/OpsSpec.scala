@@ -109,6 +109,22 @@ class OpsSpec extends SparkSpec {
     assert(got(512L) == ((1L, 512L, 512L, 0.0)))
   }
 
+  test("unigramRarity: hand-computed integer weights, rare tokens dominate") {
+    val s = spark
+    import s.implicits._
+    // corpus: a×3, b×1, c×1 -> N=5; weights: a -> 5 div 3 = 1, b/c -> 5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramRarity(docs).collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_tokens"), r.getAs[Long]("rarity_sum"), r.getAs[Long]("rarity_milli"))))
+      .toMap
+    assert(got(1L) == ((3L, 7L, 2333L))) // 2*1 + 1*5 = 7; 7000 div 3
+    assert(got(2L) == ((2L, 6L, 3000L))) // 1*1 + 1*5 = 6; 6000 div 2
+    // the doc of ubiquitous tokens scores below the rare-token doc
+    assert(got(1L)._3 < got(2L)._3)
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)
