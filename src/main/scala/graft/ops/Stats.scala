@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Per-group heavy-hitter tokens via the Misra-Gries k-counter sketch
+    * ([[graft.functions.MisraGries]], registered as a `udaf`): for every
+    * group, the candidate tokens occurring more than ~N_group/k times with
+    * their (under-)estimated counts. The sketch state is k entries per
+    * group REGARDLESS of vocabulary size — this is the operator a pipeline
+    * reaches for when the per-(group, token) exact aggregation behind
+    * [[graft.ops.TextAnalysis.topTerms]] no longer fits the shuffle.
+    *
+    * One-sided error (no false negatives; counts undercount by <= N/k) is
+    * guaranteed under any merge order — asserted against exact counts in
+    * the spec; like the GK quantile sketch, the counts themselves are
+    * merge-order-dependent and therefore deliberately not oracle-hashed.
+    */
+  def heavyHitters(
+      docs: DataFrame,
+      k: Int = 8,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(k))
+    docs
+      .select(col(groupCol).as("grp"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("grp")
+      .agg(mg(col("tok")).as("hitters"))
+      .select(
+        col("grp").as(groupCol),
+        transform(
+          col("hitters"),
+          h => struct(h.getField("_1").as("token"), h.getField("_2").as("est"))).as("hitters"))
+  }
+
   /** Exact per-group discrete quantiles of an integer-valued column via a
     * value histogram + cumulative window.
     *

@@ -135,6 +135,29 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("p90") == 9L)
   }
 
+  test("heavyHitters (Misra-Gries udaf): no false negatives, bounded undercount, k-bounded state") {
+    // skewed stream: hot=100, warm=30, 50 singletons -> N=180, k=8, so every
+    // token with true count > 180/8 = 22.5 MUST appear, undercounted by at
+    // most ~N/k; repartition(8) forces real partial-aggregate merges
+    val rows = Seq.fill(100)("hot") ++ Seq.fill(30)("warm") ++ (1 to 50).map(i => s"u$i")
+    val docs = rows.map(t => ("a", t)).toDF("source", "text").repartition(8)
+    val out = Stats.heavyHitters(docs, k = 8).collect()
+    assert(out.length == 1)
+    val hitters = out(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hitters")
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est"))
+      .toMap
+    assert(hitters.size <= 8, "summary must stay within k entries")
+    assert(hitters.contains("hot") && hitters.contains("warm"), hitters.toString)
+    assert(hitters("hot") <= 100 && 100 - hitters("hot") <= 23)
+    assert(hitters("warm") <= 30 && 30 - hitters("warm") <= 23)
+    // deterministic given a fixed partitioning; reported in (-count, token) order
+    val again = Stats.heavyHitters(docs, k = 8).collect()(0)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("hitters")
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est"))
+    assert(again == again.sortBy { case (t, c) => (-c, t) })
+  }
+
   test("approxQuantilesByGroup agrees with the exact operator on real data") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Stats.quantilesByGroup(docs, "lang", "n_chars")
