@@ -184,11 +184,25 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = corpus
+    val cents = flatCents(corpus, nCentroids, idCol, vecCol)
+    rerank(
+      flatProbes(queries, cents, nProbe, idCol, vecCol),
+      flatCells(corpus, cents, idCol, vecCol),
+      k)
+  }
+
+  /** Flat coarse quantizer: the `nCentroids` lowest-id corpus vectors. */
+  private def flatCents(corpus: DataFrame, nCentroids: Int, idCol: String, vecCol: String) =
+    corpus
       .filter(col(idCol) < nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
-    val cells = corpus
+
+  /** Corpus assigned to nearest-centroid cells (rounded cosine, lower
+    * centroid id breaks ties).
+    */
+  private def flatCells(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String) = {
+    import org.apache.spark.sql.expressions.Window
+    corpus
       .crossJoin(broadcast(cents))
       .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
       .withColumn(
@@ -197,7 +211,17 @@ object Similarity {
           Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rn") === 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val probes = queries
+  }
+
+  /** Each query paired with its `nProbe` nearest cells. */
+  private def flatProbes(
+      queries: DataFrame,
+      cents: DataFrame,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String) = {
+    import org.apache.spark.sql.expressions.Window
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
@@ -207,6 +231,9 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("prn") <= nProbe)
       .select("query_id", "qv", "centroid_id")
+  }
+
+  private def rerank(probes: DataFrame, cells: DataFrame, k: Int): DataFrame =
     rank(
       probes
         .join(cells, Seq("centroid_id"))
@@ -216,6 +243,47 @@ object Similarity {
           col("neighbor_id"),
           round(cosine(col("qv"), col("cv")), 6).as("cos_r")),
       k)
+
+  /** Persist the flat-quantizer IVF index: centroids (one tiny file) plus
+    * the assigned corpus, the cells parquet PARTITIONED BY `centroid_id`.
+    * The partitioning is the point — it turns "probe nProbe of C cells"
+    * into reading nProbe/C of the index FILES, so probe jobs against a
+    * billion-vector index scan only the cells they rank (see
+    * [[probeIvfFlatIndex]]). Build once per corpus snapshot; probe many.
+    */
+  def writeIvfFlatIndex(
+      corpus: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val cents = flatCents(corpus, nCentroids, idCol, vecCol)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    flatCells(corpus, cents, idCol, vecCol)
+      .write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(s"$path/cells")
+  }
+
+  /** Probe a saved flat IVF index: rank each query's `nProbe` cells against
+    * the (tiny, driver-broadcast) centroid file, then rerank only within
+    * those cells. The cells join keys on the PARTITION column, and the
+    * probe side is broadcast, so Spark's dynamic partition pruning drops
+    * every unprobed cell's files at the scan — asserted in the spec.
+    * Identical results to [[ivfFlatTopK]] over the same corpus.
+    */
+  def probeIvfFlatIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    rerank(flatProbes(queries, cents, nProbe, idCol, vecCol), cells, k)
   }
 
   /** IVF top-k: assign the corpus to cells once, probe each query's

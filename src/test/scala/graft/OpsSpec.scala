@@ -109,6 +109,27 @@ class OpsSpec extends SparkSpec {
     assert(got(512L) == ((1L, 512L, 512L, 0.0)))
   }
 
+  test("IVF index lifecycle: saved cells probe identically; unprobed cells prune at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.writeIvfFlatIndex(e, dir)
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    val direct = rows(Similarity.ivfFlatTopK(q, e, k = 5))
+    val probed = Similarity.probeIvfFlatIndex(spark, dir, q, k = 5)
+    assert(rows(probed) == direct, "index probe must equal the direct computation")
+    // dynamic partition pruning: the broadcastable probe side filters the
+    // partitioned cells scan, so unprobed cells' files are never read
+    val again = Similarity.probeIvfFlatIndex(spark, dir, q, k = 5)
+    again.count()
+    val p = again.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
+  }
+
   test("unigramRarity: hand-computed integer weights, rare tokens dominate") {
     val s = spark
     import s.implicits._
