@@ -15,6 +15,7 @@ case class SessionState(start: Long, last: Long, n: Int)
   */
 case class OpenSessions(frags: Seq[SessionState])
 case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
+case class TokCount(key: String, token: String, est: Long)
 
 /** Structured-Streaming incarnation of the engine's incremental semantics
   * (SURVEY §2.9): the reference's daily cron batch maps to a file-source
@@ -227,6 +228,32 @@ object EventsStream {
           state.update(OpenSessions(Seq(open)))
           frags.iterator.map(f => Session(uid, f.start, f.last, f.n))
         }
+      }
+  }
+
+  /** Streaming per-key heavy hitters: the Misra-Gries sketch
+    * ([[graft.functions.MisraGries]], the batch `udaf`'s reduce step
+    * verbatim) carried as [[GroupState]] — k entries per key FOREVER,
+    * regardless of stream length, so this never needs a watermark to bound
+    * state (the sketch IS the bound). Each micro-batch re-emits the key's
+    * current summary (Update-mode semantics): the "trending tokens per
+    * channel" feed over an unbounded stream, with the same one-sided
+    * guarantee as the batch operator — a token can be undercounted, never
+    * missed once it is truly frequent.
+    */
+  def heavyHitterStream(toks: Dataset[(String, String)], k: Int = 8): Dataset[TokCount] = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    toks
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], TokCount](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout) { (key, rows, state: GroupState[Map[String, Long]]) =>
+        var buf = state.getOption.getOrElse(Map.empty[String, Long])
+        rows.foreach(r => buf = mg.reduce(buf, r._2))
+        state.update(buf)
+        mg.finish(buf).iterator.map { case (t, c) => TokCount(key, t, c) }
       }
   }
 

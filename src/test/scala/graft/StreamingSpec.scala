@@ -149,6 +149,30 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.Session(1L, 1200L, 1200L, 1)))
   }
 
+  test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = graft.streaming.EventsStream
+      .heavyHitterStream(input.toDS(), k = 4)
+      .writeStream
+      .format("memory")
+      .queryName("hh_stream")
+      .outputMode("update")
+      .start()
+    input.addData(Seq.fill(30)(("chan", "hot")) ++ (1 to 10).map(i => ("chan", s"u$i")): _*)
+    q.processAllAvailable()
+    input.addData(Seq.fill(20)(("chan", "hot")) ++ (11 to 20).map(i => ("chan", s"v$i")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_stream").as[graft.streaming.TokCount].collect()
+    assert(rows.length <= 2 * 4, "each batch emits at most k rows per key")
+    // hot: true count 50 of N=70; with k=4 the undercount is bounded by ~N/k
+    val hot = rows.filter(_.token == "hot").map(_.est).max
+    assert(hot <= 50 && 50 - hot <= 18, s"hot est=$hot")
+  }
+
   test("dedupeStream drops cross-batch duplicates within the watermark horizon") {
     val s = spark
     import s.implicits._
