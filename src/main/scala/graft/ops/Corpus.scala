@@ -232,6 +232,40 @@ object Corpus {
       PhoneRe,
       "<PHONE>")
 
+  /** Corpus snapshot diff — the change-data-capture audit between two
+    * corpus versions: every doc id present in either snapshot is classified
+    * `added` (new id), `removed` (gone), `changed` (same id, different
+    * content fingerprint), or `unchanged`. This is what an incremental
+    * re-crawl reports before committing, and the complement of
+    * [[graft.ops.Dedup.incrementalNew]] (which dedups by CONTENT across
+    * ids; this diffs by ID across versions).
+    *
+    * Scale shape: each side collapses to (id, fingerprint) — a narrow
+    * projection that prunes the text column at the scan — and the single
+    * shuffle is a full-outer equi-join on uniformly distributed ids. No
+    * text moves through the join.
+    */
+  def snapshotDiff(
+      prev: DataFrame,
+      cur: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val a = prev.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_prev"))
+    val b = cur.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp_cur"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "removed")
+          .when(col("fp_prev") === col("fp_cur"), "unchanged")
+          .otherwise("changed")
+          .as("status"))
+  }
+
   /** Sequence-length bucket audit: assign every document to the smallest
     * power-of-two-ish context bucket that fits it (docs beyond the largest
     * bucket truncate into it) and report per-bucket document counts, real

@@ -335,6 +335,59 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
+  /** Bigram collocation mining: the corpus's top-k adjacent token pairs by
+    * integer lift, `lift_milli = (1000 * N * c_xy) div (c_x * c_y)` — the
+    * PMI ordering without the log, usable for tokenizer-merge candidates
+    * and multi-word-expression discovery. Integer arithmetic keeps the
+    * ranking engine-portable; it is exact while `1000 * N * c_xy` fits
+    * int64 (corpora to ~10^7 tokens for the hottest bigram — switch the
+    * lift to DECIMAL beyond that).
+    *
+    * Execution shape: one bigram explode + hash agg (the `minCount` filter
+    * prunes the long tail before any join), unigram counts collapse to one
+    * row per token and are materialized once for both join sides, N rides
+    * in as a driver scalar, and the final top-k is orderBy+limit —
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def collocations(
+      docs: DataFrame,
+      minCount: Long = 5,
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val big = docs
+      .select(tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(0), size(col("tk")) - 2),
+            i =>
+              struct(
+                element_at(col("tk"), i + 1).as("x"),
+                element_at(col("tk"), i + 2).as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).cast("long").as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint()
+    val n = uni.agg(sum(col("c"))).first().getLong(0)
+    big
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .select(
+        col("x"),
+        col("y"),
+        col("c_xy"),
+        expr(s"(1000 * CAST($n AS BIGINT) * c_xy) div (c_x * c_y)").cast("long").as("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Unigram rarity score — the engine-portable slot where a real pipeline
     * runs an LM-perplexity quality filter (KenLM-style): documents made of
     * corpus-rare tokens score high, boilerplate made of ubiquitous tokens

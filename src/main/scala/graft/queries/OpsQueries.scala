@@ -178,6 +178,23 @@ object OpsQueries {
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
+    "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
+    // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
+    // every 8th re-ingested under a fresh id (mirrored in the oracle)
+    "corpus_snapshot_diff" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val cur = d
+        .filter(col("doc_id") % 10 =!= 3)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" edited v2")))
+            .otherwise(col("text"))
+            .as("text"))
+        .unionAll(
+          d.filter(col("doc_id") % 8 === 0)
+            .select((col("doc_id") + 9000000).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(d, cur)
+    },
     "text_search" -> { (s, dir) =>
       TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
     },
@@ -433,6 +450,46 @@ object OpsQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "text_collocations" ->
+      s"""WITH $tokCtes,
+         |pr0 AS (
+         |  SELECT unnest(list_transform(range(1, len(tk)),
+         |         i -> struct_pack(x := tk[i], y := tk[i+1]))) AS p
+         |  FROM tks WHERE len(tk) >= 2),
+         |big AS (
+         |  SELECT p.x AS x, p.y AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+         |  FROM pr0 GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |uni AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tokraw WHERE tok <> '' GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni)
+         |SELECT b.x, b.y, b.c_xy,
+         |       CAST((1000 * tot.n * b.c_xy) // (ux.c * uy.c) AS BIGINT) AS lift_milli
+         |FROM big b
+         |JOIN uni ux ON ux.tok = b.x
+         |JOIN uni uy ON uy.tok = b.y
+         |CROSS JOIN tot
+         |ORDER BY lift_milli DESC, b.x, b.y
+         |LIMIT 20""".stripMargin,
+    "corpus_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 2 THEN text || ' edited v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 9000000 AS doc_id, text FROM documents WHERE doc_id % 8 = 0),
+        |a AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_prev
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_cur
+        |  FROM cur)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |       CASE WHEN a.doc_id IS NULL THEN 'added'
+        |            WHEN b.doc_id IS NULL THEN 'removed'
+        |            WHEN a.fp_prev = b.fp_cur THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
     "text_rarity" ->
       s"""WITH $tokCtes,
          |tf AS (

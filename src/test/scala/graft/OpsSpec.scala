@@ -130,6 +130,32 @@ class OpsSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
   }
 
+  test("collocations: hand-computed integer lift, minCount prunes the tail") {
+    val s = spark
+    import s.implicits._
+    // "new york" x6 in one doc: bigrams (new,york) x6 and (york,new) x5;
+    // N=12, c_new=c_york=6 -> lift(new,york)=1000*12*6/36=2000,
+    // lift(york,new)=1000*12*5/36=1666 (integer div)
+    val docs = Seq((1L, Seq.fill(6)("new york").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, minCount = 5, k = 10).collect()
+      .map(r =>
+        (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[Long]("c_xy"),
+          r.getAs[Long]("lift_milli")))
+      .toSeq
+    assert(got == Seq(("new", "york", 6L, 2000L), ("york", "new", 5L, 1666L)))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by id + fingerprint") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, "a doc"), (2L, "b doc"), (3L, "c doc")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b doc"), (3L, "c doc EDITED"), (4L, "d doc")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.snapshotDiff(prev, cur).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("unigramRarity: hand-computed integer weights, rare tokens dominate") {
     val s = spark
     import s.implicits._
