@@ -23,6 +23,9 @@ case class WavStats(doc_id: Long, n_samples: Long, sum_sq: Long, peak: Long)
 /** Per-sampled-frame statistics from a frame container. */
 case class FrameStats(doc_id: Long, frame_id: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** 8x8 average-hash of an image as two positive 32-bit halves. */
+case class AHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
@@ -243,6 +246,68 @@ object Multimodal {
       }
       .toDF()
       .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  /** 8x8 average-hash (aHash) of a real decoded BMP — the perceptual
+    * fingerprint that makes IMAGE near-dup detection a dedup problem
+    * (compare via Hamming distance, band like
+    * [[graft.ops.Dedup.simHashPairs]]). Sampling reuses the nearest-
+    * neighbor addressing of [[resizeBmpNearest]]; gray = (r+g+b) div 3;
+    * bit k set iff `64*gray_k > sum(gray)` — the integer form of
+    * "brighter than the mean", no FP mean. Emitted as two 32-bit halves so
+    * every value stays a positive BIGINT on any engine.
+    */
+  def aHashBmp(id: Long, bytes: Array[Byte]): AHash = {
+    require(
+      bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      s"doc $id: not a BMP")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = buf.getInt(10)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(
+      bpp == 24 && compression == 0 && width > 0 && height > 0,
+      s"doc $id: unsupported BMP (bpp=$bpp comp=$compression ${width}x$height)")
+    val stride = ((3 * width + 3) / 4) * 4
+    require(bytes.length >= pixelOff + stride * height, s"doc $id: truncated BMP")
+    val gray = new Array[Long](64)
+    var k = 0
+    while (k < 64) {
+      val sx = (k % 8) * width / 8
+      val sy = (k / 8) * height / 8
+      val o = pixelOff + (height - 1 - sy) * stride + 3 * sx
+      val b = bytes(o) & 0xff
+      val g = bytes(o + 1) & 0xff
+      val r = bytes(o + 2) & 0xff
+      gray(k) = (r + g + b) / 3
+      k += 1
+    }
+    val total = gray.sum
+    var hi = 0L
+    var lo = 0L
+    k = 0
+    while (k < 64) {
+      if (gray(k) * 64 > total) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    AHash(id, hi, lo)
+  }
+
+  /** [[aHashBmp]] over the per-doc fixture BMPs, partition-parallel. */
+  def bmpAHashes(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => aHashBmp(id, graft.etl.MediaSynth.docBmp(id)))
+      }
+      .toDF()
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
   }
 
   /** Walk a GVID frame container and decode every `every`-th frame — the

@@ -231,6 +231,9 @@ object OpsQueries {
     "multimodal_decode_wav" -> { (s, dir) =>
       Multimodal.wavFeatures(s, docs(s, dir))
     },
+    "multimodal_ahash" -> { (s, dir) =>
+      Multimodal.bmpAHashes(s, docs(s, dir))
+    },
     "multimodal_resize_bmp" -> { (s, dir) =>
       Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
     },
@@ -998,6 +1001,25 @@ object OpsQueries {
         |  FROM fr WHERE f % 2 = 0)
         |SELECT doc_id, frame_id, CAST(sr AS BIGINT) AS sum_r,
         |       CAST(sg AS BIGINT) AS sum_g, CAST(sb AS BIGINT) AS sum_b
+        |FROM s""".stripMargin,
+    // Mirrors aHashBmp: 8x8 nearest-neighbor sample over the generator
+    // formula, integer gray mean test, bits packed into two 32-bit halves.
+    "multimodal_ahash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), k ->
+        |      (((doc_id   + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256)
+        |     + ((doc_id*3 + 5*(((k % 8) * w) // 8) + 11*(((k // 8) * h) // 8)) % 256)
+        |     + ((doc_id*5 + 3*(((k % 8) * w) // 8) + 17*(((k // 8) * h) // 8)) % 256)) // 3) AS gray
+        |  FROM dims),
+        |s AS (SELECT doc_id, gray, list_sum(gray) AS total FROM g)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(32, 64),
+        |       k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << (k-32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+        |  CAST(list_sum(list_transform(range(0, 32),
+        |       k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hash_lo
         |FROM s""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel

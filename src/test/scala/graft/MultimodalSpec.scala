@@ -124,6 +124,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.frameSamples(spark, Seq(1L).toDF("doc_id"), every = -1))
   }
 
+  test("aHashBmp: deterministic, halves fit 32 bits, near-identical images land close") {
+    val h1 = Multimodal.aHashBmp(1L, MediaSynth.docBmp(1L))
+    val h1b = Multimodal.aHashBmp(1L, MediaSynth.docBmp(1L))
+    assert(h1 == h1b)
+    assert(h1.hash_hi >= 0 && h1.hash_hi < (1L << 32))
+    assert(h1.hash_lo >= 0 && h1.hash_lo < (1L << 32))
+    // perturb ONE pixel's channels slightly: the perceptual hash moves by
+    // at most a few bits, while a different image is far away
+    val bytes = MediaSynth.docBmp(1L)
+    val tweaked = bytes.clone()
+    val off = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(10)
+    tweaked(off) = ((bytes(off) & 0xff) ^ 1).toByte
+    val ht = Multimodal.aHashBmp(1L, tweaked)
+    def hamming(x: graft.ops.AHash, y: graft.ops.AHash): Int =
+      java.lang.Long.bitCount(x.hash_hi ^ y.hash_hi) +
+        java.lang.Long.bitCount(x.hash_lo ^ y.hash_lo)
+    assert(hamming(h1, ht) <= 2, s"one-pixel tweak moved ${hamming(h1, ht)} bits")
+    val h2 = Multimodal.aHashBmp(2L, MediaSynth.docBmp(2L))
+    assert(hamming(h1, h2) > 2, "different images should differ in many bits")
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
     val s = spark
     import s.implicits._
