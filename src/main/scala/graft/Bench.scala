@@ -10,6 +10,7 @@ object Bench {
     * 5-30x its warm cost.
     */
   private val heavyLast = Seq(
+    "multimodal_ahash_pairs",
     "dedup_simhash_pairs",
     "text_repetition",
     "contamination_ngrams",

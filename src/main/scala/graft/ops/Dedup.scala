@@ -428,6 +428,61 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Image near-dup pairs over a perceptual-hash table (`doc_id, hash_hi,
+    * hash_lo` — two 32-bit halves, e.g. [[graft.ops.Multimodal.bmpAHashes]]):
+    * 4 bands of 16 bits, pigeonhole-exact for total Hamming distance <=
+    * `maxHamming` (<= 3 with 4 bands), integer xor/popcount verify. Same
+    * scale posture as [[simHashPairs]] — equi-join on (band, key), hot
+    * bucket cap, fingerprints materialized once — because once images are
+    * hashed, image dedup IS the SimHash problem.
+    */
+  def aHashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val fp = hashes
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
+      .localCheckpoint()
+    val bands = fp
+      .select(
+        col("doc_id"),
+        col("hash_hi"),
+        col("hash_lo"),
+        posexplode(
+          array(
+            col("hash_lo").bitwiseAND(65535L),
+            shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
+            col("hash_hi").bitwiseAND(65535L),
+            shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
+          .as(Seq("band", "bkey")))
+      .withColumn(
+        "bn",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("a.hash_hi").as("ha"),
+        col("a.hash_lo").as("la"),
+        col("b.doc_id").as("doc_b"),
+        col("b.hash_hi").as("hb"),
+        col("b.hash_lo").as("lb"))
+      .distinct()
+      .withColumn(
+        "hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Word n-gram Jaccard near-dup pairs via inverted index. Grams with
     * document frequency > dfCap are dropped on BOTH sides before scoring —
     * the hot-key guard that keeps the self-join skew-free at corpus scale.

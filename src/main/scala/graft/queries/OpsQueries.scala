@@ -234,6 +234,16 @@ object OpsQueries {
     "multimodal_ahash" -> { (s, dir) =>
       Multimodal.bmpAHashes(s, docs(s, dir))
     },
+    // every 25th image re-ingested under a fresh id (hash copied, so the
+    // planted pair is exact: hamming 0) — mirrored in the oracle
+    "multimodal_ahash_pairs" -> { (s, dir) =>
+      val base = Multimodal.bmpAHashes(s, docs(s, dir))
+      val dupped = base.unionAll(
+        base
+          .filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("hash_hi"), col("hash_lo")))
+      Dedup.aHashPairs(dupped)
+    },
     "multimodal_resize_bmp" -> { (s, dir) =>
       Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
     },
@@ -409,6 +419,28 @@ object OpsQueries {
        |${p}bands AS (
        |  $bandRows)""".stripMargin
   }
+
+  /** The aHash table of `Multimodal.bmpAHashes` over the generator formula,
+    * as CTEs ending in `ah(doc_id, hash_hi, hash_lo)`.
+    */
+  private val ahashCtes =
+    """dims AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), k ->
+      |      (((doc_id   + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256)
+      |     + ((doc_id*3 + 5*(((k % 8) * w) // 8) + 11*(((k // 8) * h) // 8)) % 256)
+      |     + ((doc_id*5 + 3*(((k % 8) * w) // 8) + 17*(((k // 8) * h) // 8)) % 256)) // 3) AS gray
+      |  FROM dims),
+      |s AS (SELECT doc_id, gray, list_sum(gray) AS total FROM g),
+      |ah AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(32, 64),
+      |         k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << (k-32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+      |    CAST(list_sum(list_transform(range(0, 32),
+      |         k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hash_lo
+      |  FROM s)""".stripMargin
 
   /** 60-bit wide-SimHash vote/fingerprint select lists (mirrors
     * `Dedup.simHashWide`'s md5-hex-digit bit votes).
@@ -1005,22 +1037,28 @@ object OpsQueries {
     // Mirrors aHashBmp: 8x8 nearest-neighbor sample over the generator
     // formula, integer gray mean test, bits packed into two 32-bit halves.
     "multimodal_ahash" ->
-      """WITH dims AS (
-        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_transform(range(0, 64), k ->
-        |      (((doc_id   + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256)
-        |     + ((doc_id*3 + 5*(((k % 8) * w) // 8) + 11*(((k // 8) * h) // 8)) % 256)
-        |     + ((doc_id*5 + 3*(((k % 8) * w) // 8) + 17*(((k // 8) * h) // 8)) % 256)) // 3) AS gray
-        |  FROM dims),
-        |s AS (SELECT doc_id, gray, list_sum(gray) AS total FROM g)
-        |SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(32, 64),
-        |       k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << (k-32) ELSE 0 END)) AS BIGINT) AS hash_hi,
-        |  CAST(list_sum(list_transform(range(0, 32),
-        |       k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hash_lo
-        |FROM s""".stripMargin,
+      s"""WITH $ahashCtes
+         |SELECT doc_id, hash_hi, hash_lo FROM ah""".stripMargin,
+    "multimodal_ahash_pairs" ->
+      s"""WITH $ahashCtes,
+         |dup AS (
+         |  SELECT doc_id, hash_hi, hash_lo FROM ah
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, hash_hi, hash_lo FROM ah WHERE doc_id % 25 = 0),
+         |bd AS (
+         |  SELECT doc_id, hash_hi, hash_lo, b.band AS band,
+         |         ((CASE WHEN b.band < 2 THEN hash_lo ELSE hash_hi END) >> (16 * (b.band % 2))) & 65535 AS bkey
+         |  FROM dup CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |bc AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bd),
+         |bok AS (SELECT doc_id, hash_hi, hash_lo, band, bkey FROM bc WHERE bn <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.hash_hi AS ha, a.hash_lo AS la,
+         |                  b.doc_id AS doc_b, b.hash_hi AS hb, b.hash_lo AS lb
+         |  FROM bok a JOIN bok b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel
     // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.

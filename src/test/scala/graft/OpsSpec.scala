@@ -86,6 +86,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
   }
 
+  test("aHashPairs: close hashes pair with exact hamming, far hashes excluded") {
+    val s = spark
+    import s.implicits._
+    val hashes = Seq(
+      (1L, 0x12345678L, 0x0000ffffL),
+      (2L, 0x12345678L, 0x0000fffeL), // 1 bit from doc 1
+      (3L, 0x0f0f0f0fL, 0xaaaaaaaaL) // far from both
+    ).toDF("doc_id", "hash_hi", "hash_lo")
+    val got = Dedup.aHashPairs(hashes).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+      .toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+  }
+
   test("lengthBuckets: smallest fitting bucket, truncation into the largest, waste math") {
     val s = spark
     import s.implicits._
