@@ -232,6 +232,25 @@ object Corpus {
       PhoneRe,
       "<PHONE>")
 
+  /** Deterministic global training order: every doc's position in a
+    * reproducible pseudo-random permutation of the corpus (rank over a
+    * salted md5 of the id). Data-order shuffling is a training-quality
+    * requirement (curriculum accidents from crawl order are real), and
+    * hash-rank shuffling makes the epoch order reproducible across runs
+    * and cluster sizes. The rank is the engine's distributed exact rank
+    * ([[graft.ops.Relational.globalRank]]: range shuffle + partition
+    * offsets) — never a single-partition window.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String = "doc_id", salt: String = "shuf"): DataFrame =
+    Relational
+      .globalRank(
+        docs.select(
+          col(idCol).cast("long").as("doc_id"),
+          md5(concat(lit(s"$salt:"), col(idCol).cast("string"))).as("__key")),
+        Seq(col("__key"), col("doc_id")),
+        rankCol = "shuffle_pos")
+      .select(col("doc_id"), col("shuffle_pos"))
+
   /** Corpus snapshot diff — the change-data-capture audit between two
     * corpus versions: every doc id present in either snapshot is classified
     * `added` (new id), `removed` (gone), `changed` (same id, different

@@ -118,6 +118,7 @@ object OpsQueries {
     "text_clean_lines" -> { (s, dir) => TextAnalysis.cleanLines(linedDocs(s, dir)) },
     "text_url_domains" -> { (s, dir) => TextAnalysis.urlDomains(urlDocs(s, dir)) },
     "corpus_sample_quota" -> { (s, dir) => Corpus.sampleQuota(docs(s, dir), n = 10) },
+    "corpus_shuffle_order" -> { (s, dir) => Corpus.shuffleOrder(docs(s, dir)) },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
     "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
     "corpus_quality_gate" -> { (s, dir) => Corpus.qualityGate(docs(s, dir)) },
@@ -616,6 +617,11 @@ object OpsQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_urls,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM u GROUP BY 1""".stripMargin,
+    "corpus_shuffle_order" ->
+      """SELECT doc_id,
+        |       CAST(ROW_NUMBER() OVER (
+        |         ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
     "corpus_sample_quota" ->
       """SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket FROM (
         |  SELECT doc_id, source, bucket,

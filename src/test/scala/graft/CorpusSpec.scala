@@ -122,6 +122,50 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSet == naive)
   }
 
+  test("shuffleOrder: reproducible permutation, identical to the naive global window") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 300L).toDF("doc_id")
+    val got = Corpus.shuffleOrder(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shuffle_pos")).toMap
+    assert(got.values.toSeq.sorted == (1L to 300L), "positions must be a permutation")
+    val naive = docs
+      .withColumn(
+        "p",
+        row_number()
+          .over(Window.orderBy(
+            md5(concat(lit("shuf:"), col("doc_id").cast("string"))),
+            col("doc_id")))
+          .cast("long"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("p"))
+      .toMap
+    assert(got == naive)
+  }
+
+  test("paragraphDedupText is idempotent on its own output") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\nshared footer\nunique one"),
+      (2L, "gamma delta\nshared footer\nunique two"),
+      (4L, "echo foxtrot\necho foxtrot")).toDF("doc_id", "text")
+    val first = Dedup.paragraphDedupText(docs)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val second = Dedup.paragraphDedupText(first).collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_dup"), r.getAs[String]("clean_text"))))
+      .toMap
+    val firstMap = first.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(second.keySet == firstMap.keySet)
+    second.foreach { case (id, (nDup, text)) =>
+      assert(nDup == 0L, s"doc $id still had dups on the second pass")
+      assert(text == firstMap(id))
+    }
+  }
+
   test("splitAssign: deterministic, total, and respects cutoffs") {
     val s = spark
     import s.implicits._
