@@ -59,4 +59,35 @@ object Funnel {
       }
       .reduce(_.unionAll(_))
   }
+
+  /** Cohort retention matrix — the other canonical product-analytics
+    * question: users grouped by first-activity period (week by default),
+    * and for each offset k, how many of the cohort were active k periods
+    * later. Input needs (user_id, secs) columns; output one row per
+    * (cohort, k <= maxK) with the distinct-user count.
+    *
+    * Execution shape: the raw event stream collapses FIRST to distinct
+    * (user, period) — each user contributes at most one row per period
+    * regardless of event volume, which is what bounds the rest of the
+    * plan at 100 TB of events. Cohorts are a min-aggregation over that
+    * compact table; the join back is an equi-join on the uniform user
+    * key; the final count distinct partial-aggregates per (cohort, k).
+    */
+  def retention(
+      ev: DataFrame,
+      periodSecs: Long = 604800L,
+      maxK: Int = 4): DataFrame = {
+    val uw = ev
+      .select(col("user_id"), expr(s"secs div $periodSecs").cast("long").as("period"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min("period").as("cohort"))
+    uw.join(cohorts, Seq("user_id"))
+      .select(
+        col("cohort"),
+        (col("period") - col("cohort")).cast("long").as("k"),
+        col("user_id"))
+      .filter(col("k") <= maxK)
+      .groupBy("cohort", "k")
+      .agg(countDistinct("user_id").cast("long").as("n_users"))
+  }
 }

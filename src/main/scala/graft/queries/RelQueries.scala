@@ -116,6 +116,13 @@ object RelQueries {
     "funnel_stages" -> { (s, dir) =>
       graft.ops.Funnel.stages(events(s, dir), Seq("view", "click", "purchase"))
     },
+    // weekly cohort retention over the 30-day event window
+    "events_retention" -> { (s, dir) =>
+      graft.ops.Funnel.retention(
+        s.read
+          .parquet(s"$dir/events.parquet")
+          .select(col("user_id"), expr("ts div 1000000000").cast("long").as("secs")))
+    },
     "stats_winsorize" -> { (s, dir) =>
       Stats
         .winsorizeByGroup(docs(s, dir), "lang", "n_chars", loPct = 10, hiPct = 90)
@@ -415,6 +422,17 @@ object RelQueries {
         |SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
         |UNION ALL
         |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    "events_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS period
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(period) AS cohort FROM uw GROUP BY 1)
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort,
+        |       CAST(uw.period - c.cohort AS BIGINT) AS k,
+        |       CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |WHERE uw.period - c.cohort <= 4
+        |GROUP BY 1, 2""".stripMargin,
     "stats_winsorize" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -135,6 +135,25 @@ class RelationalSpec extends SparkSpec {
     assert(r.getAs[Long]("p90") == 9L)
   }
 
+  test("retention: hand-computed weekly cohort matrix") {
+    val W = 604800L
+    val ev = Seq(
+      (1L, 0 * W + 10), (1L, 1 * W + 5), (1L, 3 * W + 1),
+      (2L, 0 * W + 99), (2L, 2 * W + 7), (2L, 0 * W + 50),
+      (3L, 1 * W + 3)
+    ).toDF("user_id", "secs")
+    val got = graft.ops.Funnel.retention(ev).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("k")) -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // u1, u2 both start in week 0
+      (0L, 1L) -> 1L, // u1 returns in week 1
+      (0L, 2L) -> 1L, // u2 returns in week 2
+      (0L, 3L) -> 1L, // u1 returns in week 3
+      (1L, 0L) -> 1L // u3's cohort
+    ))
+  }
+
   test("heavyHitters (Misra-Gries udaf): no false negatives, bounded undercount, k-bounded state") {
     // skewed stream: hot=100, warm=30, 50 singletons -> N=180, k=8, so every
     // token with true count > 180/8 = 22.5 MUST appear, undercounted by at
