@@ -81,4 +81,26 @@ object Layout {
       .write
       .mode("overwrite")
       .parquet(path)
+
+  /** Bucketed (hash-clustered) warehouse write: the table is written in
+    * `nBuckets` hash buckets of `key`, sorted by `key` within each bucket.
+    * Two tables bucketed the same way join/aggregate on that key with NO
+    * exchange — the bucket layout IS the shuffle, paid once at write time
+    * and amortized over every subsequent join (asserted shuffle-free in
+    * LayoutSpec). This is the co-location story for the warehouse's
+    * fact-fact joins (e.g. `host_vuln` ⋈ `vuln_output` on the vuln key)
+    * where neither side broadcasts; bucket metadata lives in the catalog,
+    * hence `saveAsTable`.
+    *
+    * Pick `nBuckets` so a bucket of the LARGER table fits an executor
+    * core's working set at target scale; both join sides must use the
+    * same `nBuckets` and key for the exchange-free plan.
+    */
+  def bucketedWrite(df: DataFrame, table: String, key: String, nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
 }

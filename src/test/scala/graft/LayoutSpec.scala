@@ -17,6 +17,37 @@ class LayoutSpec extends SparkSpec {
     assert(z == ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)), s"got $z")
   }
 
+  test("bucketedWrite: same-bucket tables join with NO exchange on either side") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 2000L).map(i => (i % 200, i)).toDF("k", "l_val")
+    val right = (1L to 1000L).map(i => (i % 200, i * 10)).toDF("k", "r_val")
+    Layout.bucketedWrite(left, "bk_left", "k", nBuckets = 8)
+    Layout.bucketedWrite(right, "bk_right", "k", nBuckets = 8)
+    try {
+      // force a non-broadcast join so co-location is what avoids the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+      joined.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(1200))
+      assert(
+        !p.contains("Exchange hashpartitioning"),
+        "bucketed join must be exchange-free:\n" + p.take(1500))
+      // and an aggregation on the bucket key is exchange-free too
+      val agg = spark.table("bk_left").groupBy("k").agg(sum("l_val"))
+      agg.count()
+      val pa = agg.queryExecution.executedPlan.toString
+      assert(
+        !pa.contains("Exchange hashpartitioning"),
+        "bucketed aggregation must be exchange-free:\n" + pa.take(1500))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
   test("zOrderWrite: per-file min/max spans shrink on BOTH clustered columns") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey").cast("double").as("ck"), col("o_totalprice").as("tp"))
