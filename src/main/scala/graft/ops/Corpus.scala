@@ -169,6 +169,7 @@ object Corpus {
       n: Int = 25,
       groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
+    require(n > 0, s"quota must be positive (got $n)")
     val spark = docs.sparkSession
     import spark.implicits._
     val withB = docs.select(
