@@ -76,6 +76,26 @@ object GenQueries {
             .cast("double").as("revenue"),
           count(lit(1)).cast("long").as("n_items"))
     },
+    // grouping sets: full CUBE over (region, order priority) — all four
+    // subtotal combinations in one pass (partial-agg per grouping set)
+    "gen_revenue_cube" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(
+          broadcast(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderpriority"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          sum(
+            (col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).cast("long").as("n_items"))
+    },
     // time-series gap fill: the complete daily calendar (from the series'
     // own bounds — a 1-row aggregate exploded, broadcast to nothing) left-
     // joined against observed daily totals, absent days zero-filled
@@ -196,6 +216,17 @@ object GenQueries {
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "gen_revenue_cube" ->
+      s"""SELECT r_name, o_orderpriority,
+         |  CAST(GROUPING(r_name, o_orderpriority) AS BIGINT) AS gid,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE (r_name, o_orderpriority)""".stripMargin,
     "gen_gap_fill" ->
       """WITH daily AS (
         |  SELECT epoch_us(o_orderdate) AS d_us, CAST(COUNT(*) AS BIGINT) AS n_orders

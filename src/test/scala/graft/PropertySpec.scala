@@ -98,4 +98,30 @@ class PropertySpec extends SparkSpec {
       assert(total == rows.map(_._3).sum)
     }
   }
+
+  test("sampleQuota takes exactly min(n, |group|) per group on random group shapes") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(
+      300,
+      for {
+        id <- Gen.chooseNum(0L, 100000L)
+        g <- Gen.oneOf("a", "b", "c", "d")
+      } yield (id, g))
+    cases(gen, 3).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "source")
+      val sizes = rows.distinctBy(_._1).groupBy(_._2).view.mapValues(_.size).toMap
+      val taken = graft.ops.Corpus.sampleQuota(docs, n = 20).collect()
+        .groupBy(_.getAs[String]("source")).view.mapValues(_.length).toMap
+      sizes.foreach { case (g, sz) =>
+        assert(taken.getOrElse(g, 0) == math.min(20, sz), s"group $g size $sz")
+      }
+      // determinism: same input, same selection
+      val again = graft.ops.Corpus.sampleQuota(docs, n = 20).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val first = graft.ops.Corpus.sampleQuota(docs, n = 20).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(again == first)
+    }
+  }
 }
