@@ -428,6 +428,36 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Edit-distance verification of candidate near-dup pairs: joins the
+    * texts back and scores each pair with Levenshtein distance and the
+    * normalized similarity `1 - dist/max(len)`. The character-exact
+    * complement of the shingle-Jaccard verify — catches small in-place
+    * edits that re-crawls introduce, where token sets barely move.
+    *
+    * O(|a|·|b|) per pair, so it only ever runs AFTER candidate generation
+    * (LSH bands) has bounded the pair count — never corpus x corpus. The
+    * distance is projected once and the similarity derived from the
+    * column (a second inline `levenshtein` would recompute the DP table).
+    */
+  def verifyEditDistance(
+      pairs: DataFrame,
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    pairs
+      .select(col("doc_a"), col("doc_b"))
+      .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("__ta")), Seq("doc_a"))
+      .join(docs.select(col(idCol).as("doc_b"), col(textCol).as("__tb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("edit_dist"),
+        round(
+          lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))),
+          4).as("similarity"))
+
   /** Image near-dup pairs over a perceptual-hash table (`doc_id, hash_hi,
     * hash_lo` — two 32-bit halves, e.g. [[graft.ops.Multimodal.bmpAHashes]]):
     * 4 bands of 16 bits, pigeonhole-exact for total Hamming distance <=

@@ -93,6 +93,9 @@ object OpsQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) => Dedup.exactGroups(dupDocs(s, dir)) },
     "dedup_minhash_lsh" -> { (s, dir) => Dedup.minHashLsh(docs(s, dir)) },
+    "dedup_edit_verify" -> { (s, dir) =>
+      Dedup.verifyEditDistance(Dedup.minHashLsh(docs(s, dir)), docs(s, dir))
+    },
     "dedup_simhash" -> { (s, dir) => Dedup.simHash(docs(s, dir)) },
     "dedup_ngram_jaccard" -> { (s, dir) => Dedup.ngramJaccard(docs(s, dir)) },
     "dedup_embedding_cosine" -> { (s, dir) =>
@@ -682,6 +685,17 @@ object OpsQueries {
          |JOIN csizes sb ON sb.id = i.corpus_id
          |WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_edit_verify" ->
+      s"""WITH pairs AS (
+         |$minhashLshSql
+         |)
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |       round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+         |             / greatest(length(da.text), length(db.text)), 4) AS similarity
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.doc_a
+         |JOIN documents db ON db.doc_id = p.doc_b""".stripMargin,
     // Transitive closure over the minhash near-dup pairs: min reachable id
     // per vertex = the cluster representative. The Spark side iterates
     // min-label propagation to fixpoint; the closure below is the same

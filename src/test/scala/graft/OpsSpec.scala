@@ -86,6 +86,21 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
   }
 
+  test("verifyEditDistance: exact distances and normalized similarity on the fixture") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Dedup.verifyEditDistance(pairs, fixture).collect()
+      .map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+          ((r.getAs[Long]("edit_dist"), r.getAs[Double]("similarity"))))
+      .toMap
+    // docs 1 and 4 are identical; docs 1 and 2 differ by "today" vs "tonight"
+    assert(got((1L, 4L)) == ((0L, 1.0)))
+    val (d, sim) = got((1L, 2L))
+    assert(d > 0 && d <= 7 && sim > 0.9)
+  }
+
   test("aHashPairs: close hashes pair with exact hamming, far hashes excluded") {
     val s = spark
     import s.implicits._
