@@ -335,6 +335,51 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
+  /** Feature-hashing vectorizer (the hashing trick, Weinberger et al.
+    * 2009): each token maps to `md5(token) mod nFeatures` and a document
+    * becomes the sparse count vector over those buckets. The property that
+    * matters at corpus scale: NO vocabulary state — no fitted dictionary
+    * to build, broadcast, or keep consistent across incremental runs, and
+    * the dimensionality is fixed up front. Collisions are the accepted
+    * trade (two tokens sharing a bucket add their counts).
+    *
+    * Output is the audit face: per doc, the number of occupied buckets,
+    * the token total, and a digest of the sorted (bucket, weight) pairs —
+    * deterministic and oracle-hashable; callers wanting the sparse vector
+    * itself stop before the digest aggregation.
+    *
+    * One explode + two hash aggregations on uniform keys ((doc, bucket),
+    * then doc); entirely free of driver state.
+    */
+  def hashingVectors(
+      docs: DataFrame,
+      nFeatures: Int = 1024,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nFeatures > 0, "nFeatures must be positive")
+    val d = (i: Int) => expr(s"locate(substring(md5(tok), $i, 1), '0123456789abcdef')") - 1
+    val bucket = ((d(1) * 256 + d(2) * 16 + d(3)) % nFeatures).cast("long")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast("long").as("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_features"),
+        sum("w").cast("long").as("n_tokens"),
+        md5(
+          concat_ws(
+            ",",
+            transform(
+              array_sort(collect_list(struct(col("bucket"), col("w")))),
+              s =>
+                concat(
+                  s.getField("bucket").cast("string"),
+                  lit(":"),
+                  s.getField("w").cast("string"))))).as("vec_md5"))
+  }
+
   /** Bigram collocation mining: the corpus's top-k adjacent token pairs by
     * integer lift, `lift_milli = (1000 * N * c_xy) div (c_x * c_y)` — the
     * PMI ordering without the log, usable for tokenizer-merge candidates

@@ -183,6 +183,7 @@ object OpsQueries {
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
+    "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
     // every 8th re-ingested under a fresh id (mirrored in the oracle)
     "corpus_snapshot_diff" -> { (s, dir) =>
@@ -489,6 +490,24 @@ object OpsQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    "text_hash_vectors" ->
+      s"""WITH $tokCtes,
+         |b AS (
+         |  SELECT id AS doc_id,
+         |         ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+         |          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) % 1024 AS bucket
+         |  FROM tokraw WHERE tok <> ''),
+         |w AS (
+         |  SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM b GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_features,
+         |       CAST(SUM(w) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(
+         |             list(CAST(bucket AS VARCHAR) || ':' || CAST(w AS VARCHAR) ORDER BY bucket),
+         |             ',')) AS vec_md5
+         |FROM w GROUP BY doc_id""".stripMargin,
     "text_collocations" ->
       s"""WITH $tokCtes,
          |pr0 AS (

@@ -86,6 +86,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, h) => a < b && h <= 3 })
   }
 
+  test("hashingVectors: bucket arithmetic matches MessageDigest, counts add up") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashingVectors(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    def bucketOf(tok: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val v = (0 until 3).map(i => "0123456789abcdef".indexOf(h(i)).toLong)
+      (v(0) * 256 + v(1) * 16 + v(2)) % 1024
+    }
+    val expected = Seq("alpha" -> 2L, "beta" -> 1L)
+      .map { case (t, w) => bucketOf(t) -> w }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    assert(r.getAs[Long]("n_features") == expected.size.toLong)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(
+      expected.map { case (b, w) => s"$b:$w" }.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("vec_md5") == digest)
+  }
+
   test("verifyEditDistance: exact distances and normalized similarity on the fixture") {
     val s = spark
     import s.implicits._
