@@ -255,6 +255,23 @@ object OpsQueries {
     "multimodal_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamples(s, docs(s, dir), every = 2)
     },
+    // the built-in session_window face of sessionization: gap-merged
+    // windows computed declaratively (split at gap >= 30 min — the
+    // overlap rule; the custom stateful sessionize splits at gap > 30 min)
+    "events_session_window" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          col("user_id").cast("long").as("user_id"),
+          timestamp_seconds(expr("ts div 1000000000")).as("t"))
+        .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("w"))
+        .agg(count(lit(1)).cast("long").as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").cast("long").as("session_start"),
+          col("w.end").cast("long").as("session_end"),
+          col("n_events"))
+    },
     "sessionize" -> { (s, dir) =>
       import s.implicits._
       val ev = s.read
@@ -1137,6 +1154,25 @@ object OpsQueries {
         |       round(sqrt(CAST(list_sum(list_transform(smp, v -> v*v)) AS DOUBLE) / n), 4) AS rms,
         |       CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT) AS peak
         |FROM s""".stripMargin,
+    "events_session_window" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) // 1000000 AS ts_secs
+        |  FROM events),
+        |x AS (
+        |  SELECT *, LAG(ts_secs) OVER (PARTITION BY user_id ORDER BY ts_secs) AS prev
+        |  FROM ev),
+        |y AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_secs - prev >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM x),
+        |z AS (
+        |  SELECT *, SUM(ns) OVER (
+        |    PARTITION BY user_id ORDER BY ts_secs ROWS UNBOUNDED PRECEDING) AS sno
+        |  FROM y)
+        |SELECT user_id,
+        |       CAST(MIN(ts_secs) AS BIGINT) AS session_start,
+        |       CAST(MAX(ts_secs) + 1800 AS BIGINT) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM z GROUP BY user_id, sno""".stripMargin,
     "sessionize" ->
       """WITH ev AS (
         |  SELECT CAST(user_id AS BIGINT) AS user_id, epoch_us(ts) // 1000000 AS ts_secs
