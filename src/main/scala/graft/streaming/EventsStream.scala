@@ -231,6 +231,29 @@ object EventsStream {
       }
   }
 
+  /** Streaming gap sessionization via the BUILT-IN session windows
+    * (Spark 3.2+ native session_window state): per (user, merged window)
+    * event counts, emitted in Append mode once the watermark passes a
+    * session's end. This is the compose-built-ins-first face of
+    * [[sessionize]] — engine-managed merging state, bounded by the
+    * watermark horizon; the custom flatMapGroupsWithState variant remains
+    * for semantics the built-in can't express (fragment-level emission,
+    * custom straggler policy).
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("t", horizon)
+      .groupBy(col("user_id"), session_window(col("t"), gap).as("w"))
+      .agg(count(lit(1)).cast("long").as("n_events"))
+      .select(
+        col("user_id"),
+        col("w.start").cast("long").as("session_start"),
+        col("w.end").cast("long").as("session_end"),
+        col("n_events"))
+
   /** Streaming per-key heavy hitters: the Misra-Gries sketch
     * ([[graft.functions.MisraGries]], the batch `udaf`'s reduce step
     * verbatim) carried as [[GroupState]] — k entries per key FOREVER,

@@ -186,6 +186,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("collocations: top-k plans as TakeOrdered, tail pruned before the unigram joins") {
+    val p = plan(graft.ops.TextAnalysis.collocations(docsDf))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must never be a global sort:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("retention: distinct-first aggregation, equi-joins only") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), expr("ts div 1000000000").cast("long").as("secs"))
+    val p = plan(graft.ops.Funnel.retention(ev))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), "cohort computation must stay key-partitioned")
+  }
+
   test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))

@@ -149,6 +149,36 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.Session(1L, 1200L, 1200L, 1)))
   }
 
+  test("sessionCounts: built-in session windows merge across batches, close at the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("t"))
+    val q = graft.streaming.EventsStream
+      .sessionCounts(events, gap = "30 minutes", horizon = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("sess_win")
+      .outputMode("append")
+      .start()
+    input.addData((1L, 1000L), (1L, 1500L))
+    q.processAllAvailable()
+    input.addData((1L, 2000L)) // merges into the open session (gap < 30 min)
+    q.processAllAvailable()
+    input.addData((1L, 100000L)) // watermark sails past the session end -> emit
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_win").collect()
+      .map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+          r.getAs[Long]("session_end"), r.getAs[Long]("n_events")))
+      .toSet
+    // one merged session 1000..2000+1800, all three events counted
+    assert(got == Set((1L, 1000L, 3800L, 3L)), got.toString)
+  }
+
   test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
     val s = spark
     import s.implicits._
