@@ -179,6 +179,37 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 1000L, 3800L, 3L)), got.toString)
   }
 
+  test("runningTotals (transformWithState): ValueState accumulates across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the new arbitrary-state operator requires the RocksDB state store
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.ValEvt]
+      val q = graft.streaming.EventsStream
+        .runningTotals(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("run_tot")
+        .outputMode("update")
+        .start()
+      input.addData(graft.streaming.ValEvt(1L, 10L), graft.streaming.ValEvt(1L, 5L))
+      q.processAllAvailable()
+      input.addData(graft.streaming.ValEvt(1L, 7L), graft.streaming.ValEvt(2L, 3L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("run_tot").as[graft.streaming.UserTotals].collect()
+      val latest = rows.groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+      assert(latest(1L) == graft.streaming.UserTotals(1L, 3L, 22L))
+      assert(latest(2L) == graft.streaming.UserTotals(2L, 1L, 3L))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
     val s = spark
     import s.implicits._
