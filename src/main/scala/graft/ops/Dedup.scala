@@ -321,6 +321,39 @@ object Dedup {
         Seq("doc_id"),
         "left_anti")
 
+  /** Quality-aware dedup endgame: like [[keepRepresentatives]], but each
+    * near-dup cluster keeps its HIGHEST-scoring member (ties → lowest id)
+    * instead of blindly the lowest id — the policy real pipelines want,
+    * where a re-crawl's cleaner copy should beat the first-seen truncated
+    * one. `score` must be a deterministic per-row expression (integerized
+    * quality, length, ...) for the result to be reproducible.
+    *
+    * Skew posture: the best member comes from a max-struct aggregation
+    * per cluster — map-side partials collapse a boilerplate mega-cluster
+    * before it shuffles; no window over the cluster id.
+    */
+  def keepBestRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val scored = docs
+      .select(col(idCol).cast("long").as("doc_id"), score.as("__s"))
+      .join(clusters, Seq("doc_id"))
+    val best = scored
+      .groupBy("cluster_id")
+      .agg(max(struct(col("__s"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.negid")).as("best_id"))
+    val drop = scored
+      .join(best, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("best_id"))
+      .select("doc_id")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** 16-bit SimHash from token md5 nibbles: bit i votes +1 when the i-th
     * hex digit of md5(token) has its high bit set (8..f), else -1; the
     * fingerprint bit is the vote sign. Pure string ops — engine-portable.

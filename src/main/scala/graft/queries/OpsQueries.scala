@@ -149,6 +149,12 @@ object OpsQueries {
     "dedup_keep" -> { (s, dir) =>
       Dedup.keepRepresentatives(docs(s, dir), Dedup.minHashLsh(docs(s, dir)))
     },
+    "dedup_keep_best" -> { (s, dir) =>
+      Dedup.keepBestRepresentatives(
+        docs(s, dir),
+        Dedup.minHashLsh(docs(s, dir)),
+        round(TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long"))
+    },
     "text_pii_redact" -> { (s, dir) =>
       Corpus.piiRedact(
         docs(s, dir).select(
@@ -1051,6 +1057,36 @@ object OpsQueries {
          |SELECT d.doc_id FROM documents d
          |LEFT JOIN cl ON cl.id = d.doc_id
          |WHERE cl.id IS NULL OR cl.clu = d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashLshSql
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id, MIN(r) AS clu FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(round(round(least(CAST(len(tk2) AS DOUBLE) / 100.0, 1.0) *
+         |              (1.0 - CAST(len(list_filter(tk2, t -> t IN ($stopList))) AS DOUBLE)
+         |                / greatest(len(tk2), 1)), 4) * 10000, 0) AS BIGINT) AS q_i
+         |  FROM (SELECT doc_id,
+         |               list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk2
+         |        FROM documents)),
+         |best AS (
+         |  SELECT clu, doc_id AS best_id FROM (
+         |    SELECT cl.clu, q.doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY cl.clu ORDER BY q.q_i DESC, q.doc_id) AS rn
+         |    FROM cl JOIN q ON q.doc_id = cl.id) WHERE rn = 1)
+         |SELECT d.doc_id FROM documents d
+         |LEFT JOIN cl ON cl.id = d.doc_id
+         |LEFT JOIN best ON best.clu = cl.clu
+         |WHERE cl.id IS NULL OR best.best_id = d.doc_id""".stripMargin,
     "text_tokens" ->
       s"""WITH $tokCtes
          |SELECT doc_id,

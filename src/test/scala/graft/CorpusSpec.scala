@@ -122,6 +122,20 @@ class CorpusSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("doc_id")).toSet == naive)
   }
 
+  test("keepBestRepresentatives keeps the argmax-score member per cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}: 2 and 3 tie at 30 -> 2 wins
+      (10L, 5L), (11L, 50L), // cluster {10,11}: 11 wins
+      (99L, 1L) // unclustered: always kept
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBestRepresentatives(docs, pairs, col("score"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 11L, 99L))
+  }
+
   test("shuffleOrder: reproducible permutation, identical to the naive global window") {
     val s = spark
     import s.implicits._
