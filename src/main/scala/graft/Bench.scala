@@ -19,7 +19,8 @@ object Bench {
     "dedup_minhash_lsh",
     "dedup_cross_corpus",
     "dedup_clusters",
-    "dedup_keep")
+    "dedup_keep",
+    "dedup_keep_best")
 
   /** Drop every block the previous query left in the block manager
     * (localCheckpoint/persist intermediates are per-query scratch — nothing

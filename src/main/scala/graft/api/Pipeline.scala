@@ -110,3 +110,23 @@ final class Pipeline(
       .join(layout, "doc_id")
   }
 }
+
+object Pipeline {
+
+  /** One-pass stage metrics via Spark's `Observation` API: attach named
+    * aggregates to a stage's frame and they are collected DURING the next
+    * action — no second job, no extra scan of a 100 TB corpus just to
+    * count what a filter kept. Usage:
+    * `val (df, obs) = Pipeline.observed(stage, "quality")`; run the
+    * action; read `obs.get("n_rows")` / `obs.get("n_tokens")`.
+    */
+  def observed(
+      df: DataFrame,
+      name: String,
+      tokenCol: Option[String] = None): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val metrics = count(lit(1)).as("n_rows") +:
+      tokenCol.toSeq.map(c => sum(col(c)).as("n_tokens"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
+}

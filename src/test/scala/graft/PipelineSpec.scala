@@ -65,6 +65,15 @@ class PipelineSpec extends SparkSpec {
     assert(withStages.size < base.size, "optional stages should actually drop docs here")
   }
 
+  test("observed: stage metrics collected in the same action, no extra job") {
+    val (df, obs) = Pipeline.observed(
+      new Pipeline().filtered(docs),
+      "filter_stage")
+    val n = df.count()
+    val got = obs.get
+    assert(got("n_rows") == n)
+  }
+
   test("text-rewrite pre-stages: downstream stages see cleaned, paragraph-deduped text") {
     val s = SparkSpec.spark
     import s.implicits._
