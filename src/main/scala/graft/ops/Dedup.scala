@@ -624,7 +624,7 @@ object Dedup {
     val paras = docs
       .select(
         col(idCol).cast("long").as("doc_id"),
-        posexplode(filter(split(col(textCol), "\n"), p => trim(p) =!= ""))
+        posexplode(filter(split(col(textCol), "\r?\n"), p => trim(p) =!= ""))
           .as(Seq("pos", "para")))
       .select(
         col("doc_id"),

@@ -280,9 +280,12 @@ object TextAnalysis {
     !t.contains("{")
   }
 
-  /** The non-empty lines of `text` surviving [[lineKeep]], in order. */
+  /** The non-empty lines of `text` surviving [[lineKeep]], in order.
+    * Splits on `\r?\n` so CRLF corpora don't smuggle a trailing CR into
+    * every line's terminal-punctuation test.
+    */
   def keptLines(text: Column, minWords: Int = 5): Column =
-    filter(filter(split(text, "\n"), l => trim(l) =!= ""), l => lineKeep(l, minWords))
+    filter(filter(split(text, "\r?\n"), l => trim(l) =!= ""), l => lineKeep(l, minWords))
 
   /** The cleaned text itself (kept lines re-joined) — the transform face
     * the corpus-prep pipeline applies; [[cleanLines]] is the audit face.
@@ -301,7 +304,7 @@ object TextAnalysis {
     * corpus size and pipelines with whatever scan feeds it.
     */
   def cleanLines(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val lines = filter(split(col(textCol), "\r?\n"), l => trim(l) =!= "")
     val kept = keptLines(col(textCol))
     docs.select(
       col(idCol).cast("long").as("doc_id"),

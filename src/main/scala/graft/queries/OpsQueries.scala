@@ -604,7 +604,7 @@ object OpsQueries {
       s"""WITH $tokCtes,
          |$linedCte,
          |ls AS (
-         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lst
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\r?\\n'), l -> trim(l) <> '') AS lst
          |  FROM lined),
          |paras0 AS (
          |  SELECT doc_id,
@@ -630,7 +630,7 @@ object OpsQueries {
       s"""WITH $tokCtes,
          |$linedCte,
          |ls AS (
-         |  SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lst
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\r?\\n'), l -> trim(l) <> '') AS lst
          |  FROM lined),
          |k AS (
          |  SELECT doc_id, lst,

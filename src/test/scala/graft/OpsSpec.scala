@@ -33,6 +33,14 @@ class OpsSpec extends SparkSpec {
         md5Hex("this line has six words total.\ndoes this question count as kept?"))
   }
 
+  test("cleanLines handles CRLF line endings (no CR smuggled into the punctuation test)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "this crlf line has six words.\r\nanother crlf line with six words!")).toDF("doc_id", "text")
+    val r = TextAnalysis.cleanLines(docs).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 2 && r.getAs[Long]("n_kept") == 2)
+  }
+
   test("cleanLines of an all-dropped doc digests the empty string") {
     val s = spark
     import s.implicits._
