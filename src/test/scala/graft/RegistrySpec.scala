@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the driver-facing registry: the correctness gate only
+  * checks queries that ALSO publish oracle SQL, so a query accidentally
+  * registered without its oracle silently downgrades to a rows-only
+  * check. Pin the exception list explicitly.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries deliberately shipped without oracle SQL (FP-iterative —
+    * documented in OPERATORS.md), nothing else.
+    */
+  private val declaredRowsOnly = Set("similarity_topk_ivf")
+
+  test("every registered query has oracle SQL unless declared rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o) == declaredRowsOnly, s"queries missing oracles: ${(q -- o) -- declaredRowsOnly}")
+  }
+
+  test("no orphan oracles (oracle SQL for a query that doesn't exist)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"orphan oracle entries: $orphans")
+  }
+
+  test("oracle SQL strings are non-empty and free of unresolved interpolation artifacts") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      // a '|' at line start means a stripMargin was applied twice / missed
+      assert(!sql.linesIterator.exists(_.trim.startsWith("| ")), s"$name: stray margin chars")
+    }
+  }
+}
