@@ -26,6 +26,8 @@ case class FrameStats(doc_id: Long, frame_id: Int, sum_r: Long, sum_g: Long, sum
 /** 8x8 average-hash of an image as two positive 32-bit halves. */
 case class AHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
 
+case class WavZc(doc_id: Long, n_samples: Long, zero_crossings: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
@@ -168,6 +170,68 @@ object Multimodal {
     }
     require(stats != null, s"doc $id: no data chunk")
     stats
+  }
+
+  /** Zero-crossing count of a PCM16 mono WAV — the classic cheap
+    * voiced/unvoiced + noisiness signal (integer-exact, unlike spectral
+    * features, so it oracle-hashes). Same RIFF walk as [[decodeWav]];
+    * counts adjacent sample pairs with opposite signs.
+    */
+  def wavZeroCrossings(id: Long, bytes: Array[Byte]): WavZc = {
+    require(
+      bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $id: not a WAV")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOk = false
+    var out: WavZc = null
+    while (off + 8 <= bytes.length) {
+      val chunkId = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      require(
+        size >= 0 && off + 8 + size <= bytes.length,
+        s"doc $id: bad $chunkId chunk size $size at offset $off")
+      chunkId match {
+        case "fmt " =>
+          val audioFormat = buf.getShort(off + 8)
+          val channels = buf.getShort(off + 10)
+          val bits = buf.getShort(off + 22)
+          require(
+            audioFormat == 1 && channels == 1 && bits == 16,
+            s"doc $id: unsupported WAV (fmt=$audioFormat ch=$channels bits=$bits)")
+          fmtOk = true
+        case "data" =>
+          require(fmtOk, s"doc $id: data chunk before fmt")
+          val n = size / 2
+          var zc = 0L
+          var i = 1
+          while (i < n) {
+            val a = buf.getShort(off + 8 + 2 * (i - 1)).toInt
+            val b = buf.getShort(off + 8 + 2 * i).toInt
+            if (a * b < 0) zc += 1
+            i += 1
+          }
+          out = WavZc(id, n.toLong, zc)
+        case _ => // skip unknown chunks
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(out != null, s"doc $id: no data chunk")
+    out
+  }
+
+  /** [[wavZeroCrossings]] over the per-doc fixture WAVs, partition-parallel. */
+  def wavZc(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map(id => wavZeroCrossings(id, graft.etl.MediaSynth.docWav(id)))
+      }
+      .toDF()
   }
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes (first 8

@@ -255,6 +255,7 @@ object OpsQueries {
           .select((col("doc_id") + 1000000).as("doc_id"), col("hash_hi"), col("hash_lo")))
       Dedup.aHashPairs(dupped)
     },
+    "multimodal_wav_zc" -> { (s, dir) => Multimodal.wavZc(s, docs(s, dir)) },
     "multimodal_resize_bmp" -> { (s, dir) =>
       Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
     },
@@ -1180,6 +1181,15 @@ object OpsQueries {
         |       round(CAST(sg AS DOUBLE) / (w*h), 4) AS mean_g,
         |       round(CAST(sb AS DOUBLE) / (w*h), 4) AS mean_b
         |FROM px""".stripMargin,
+    "multimodal_wav_zc" ->
+      """WITH s AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n,
+        |         list_transform(range(0, 64 + doc_id % 64),
+        |                        i -> (doc_id*73 + i*179) % 65536 - 32768) AS smp
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(len(list_filter(range(1, n), i -> smp[i] * smp[i+1] < 0)) AS BIGINT) AS zero_crossings
+        |FROM s""".stripMargin,
     "multimodal_decode_wav" ->
       """WITH s AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n,

@@ -93,6 +93,24 @@ object RelQueries {
           col("n"),
           col("sv").cast("double").as("sum_value"))
     },
+    // unique visitors per sliding window: exact COUNT(DISTINCT user) —
+    // partial-aggregates as (window, type, user) first, so a hot window
+    // never funnels raw events; the HLL sketch (`Stats.distinctCounts`)
+    // is the swap-in at cardinalities where exact no longer pays
+    "events_hopping_uniques" -> { (s, dir) =>
+      s.read
+        .parquet(s"$dir/events.parquet")
+        .select(
+          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          col("event_type"),
+          col("user_id"))
+        .groupBy(window(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(countDistinct("user_id").cast("long").as("n_users"))
+        .select(
+          unix_micros(col("w.start")).as("window_start_us"),
+          col("event_type"),
+          col("n_users"))
+    },
     "contamination_ngrams" -> { (s, dir) =>
       Corpus.contaminationNgrams(docs(s, dir), n = 5)
     },
@@ -279,6 +297,15 @@ object RelQueries {
         |FROM (
         |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - offs AS window_start_us,
         |         event_type, value
+        |  FROM events
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS d(offs))
+        |GROUP BY 1, 2""".stripMargin,
+    "events_hopping_uniques" ->
+      """SELECT window_start_us, event_type,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - offs AS window_start_us,
+        |         event_type, user_id
         |  FROM events
         |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS d(offs))
         |GROUP BY 1, 2""".stripMargin,

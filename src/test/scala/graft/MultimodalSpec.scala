@@ -145,6 +145,14 @@ class MultimodalSpec extends SparkSpec {
     assert(hamming(h1, h2) > 2, "different images should differ in many bits")
   }
 
+  test("wavZeroCrossings matches the sample-formula count") {
+    val z = Multimodal.wavZeroCrossings(1L, MediaSynth.docWav(1L))
+    val n = 64 + (1 % 64)
+    val smp = (0 until n).map(i => ((1L * 73 + i * 179) % 65536 - 32768).toInt)
+    val expected = (1 until n).count(i => smp(i - 1) * smp(i) < 0)
+    assert(z == graft.ops.WavZc(1L, n.toLong, expected.toLong))
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
     val s = spark
     import s.implicits._
