@@ -20,6 +20,12 @@ object Plans {
     ScanQueries.scanResults(w, 7, 0).explain("formatted")
     println("=== folder_stats ===")
     ScanQueries.folderStats(w, 1, 0).explain("formatted")
+    // the heavy dedup/ANN family — the plans whose shape the scale story
+    // depends on (materialized reuse, banded equi-joins, broadcasts)
+    for (name <- args.drop(1)) {
+      println(s"=== $name ===")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
     spark.stop()
   }
 }
