@@ -102,6 +102,40 @@ class RelationalSpec extends SparkSpec {
 
   // ---- salted join --------------------------------------------------------
 
+  test("AQE splits a skewed sort-merge join at runtime (the residual skew guard)") {
+    // SCALE.md leans on AQE for skew the explicit salting doesn't cover;
+    // pin that the mechanism actually engages: one hot key, broadcast off,
+    // thresholds lowered so the skew is visible at test size
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = (1L to 200000L)
+        .map(i => (if (i % 100 == 0) "cold" + i % 7 else "hot", i))
+        .toDF("k", "l_val")
+      // a PLAIN shuffled table on the right: the skew rule pattern-matches
+      // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) exactly — an aggregate
+      // between Sort and the stage would defeat it
+      val right = Seq(("hot", 1L), ("cold1", 2L), ("cold2", 3L)).toDF("k", "r_val")
+      val joined = left.join(right, "k")
+      // execute THIS frame's plan (a .count() would finalize a different
+      // QueryExecution and leave this one's AQE plan unfinalized)
+      joined.queryExecution.toRdd.count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), "AQE should mark the hot partition skewed:\n" + p.take(1500))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("saltedJoin is row-identical to the plain join on a skewed fixture") {
     val probe = (1L to 2000L).map(i => (if (i % 10 == 0) "cold" else "hot", i))
       .toDF("k", "row_id")
