@@ -24,7 +24,13 @@ object Plans {
     // depends on (materialized reuse, banded equi-joins, broadcasts)
     for (name <- args.drop(1)) {
       println(s"=== $name ===")
-      SparkEntry.queries(name)(spark, dir).explain("formatted")
+      SparkEntry.queries.get(name) match {
+        case Some(q) => q(spark, dir).explain("formatted")
+        case None =>
+          println(
+            s"unknown query '$name'; valid names:\n  " +
+              SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      }
     }
     spark.stop()
   }

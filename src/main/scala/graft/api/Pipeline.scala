@@ -46,13 +46,19 @@ final class Pipeline(
         docs.withColumn("text", TextAnalysis.cleanedText(col("text")))
       else docs
     if (dropDupParagraphs)
+      // Left join: paragraphDedupText emits no row for docs whose text has
+      // zero non-empty paragraphs (whitespace-only, or emptied by
+      // lineClean) — those must flow through with empty text, not vanish.
       afterLines
         .drop("text")
         .join(
           Dedup
             .paragraphDedupText(afterLines)
-            .select(col("doc_id"), col("clean_text").as("text")),
-          "doc_id")
+            .select(col("doc_id"), col("clean_text")),
+          Seq("doc_id"),
+          "left")
+        .withColumn("text", coalesce(col("clean_text"), lit("")))
+        .drop("clean_text")
     else afterLines
   }
 

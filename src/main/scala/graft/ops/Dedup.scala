@@ -412,9 +412,11 @@ object Dedup {
   /** SimHash near-dup pairs by banded Hamming-ball probe: the 60-bit
     * fingerprint splits into 4 bands of 15 bits; candidates share at least
     * one exact band (pigeonhole: pairs within Hamming distance 3 ALWAYS
-    * share one of 4 bands, so for `maxHamming` <= 3 the probe is exact,
-    * not approximate); the verify stage keeps pairs with
-    * `bit_count(xor) <= maxHamming`.
+    * share one of 4 bands, so for `maxHamming` <= 3 the probe loses no
+    * pair — UNLESS every band the pair shares is over the `maxBucket`
+    * hot-bucket cap, whose members are dropped; recall is exact only
+    * while each shared band's bucket stays under the cap); the verify
+    * stage keeps pairs with `bit_count(xor) <= maxHamming`.
     *
     * Scale shape: candidates come from an equi-join on (band, band-key) —
     * a 15-bit key domain of 32k values per band spreads a large corpus
@@ -493,8 +495,10 @@ object Dedup {
 
   /** Image near-dup pairs over a perceptual-hash table (`doc_id, hash_hi,
     * hash_lo` — two 32-bit halves, e.g. [[graft.ops.Multimodal.bmpAHashes]]):
-    * 4 bands of 16 bits, pigeonhole-exact for total Hamming distance <=
-    * `maxHamming` (<= 3 with 4 bands), integer xor/popcount verify. Same
+    * 4 bands of 16 bits, pigeonhole-complete for total Hamming distance <=
+    * `maxHamming` (<= 3 with 4 bands) except for pairs whose every shared
+    * band sits in a bucket over `maxBucket` (the cap drops those members),
+    * integer xor/popcount verify. Same
     * scale posture as [[simHashPairs]] — equi-join on (band, key), hot
     * bucket cap, fingerprints materialized once — because once images are
     * hashed, image dedup IS the SimHash problem.
@@ -631,7 +635,7 @@ object Dedup {
         col("pos").cast("long").as("pos"),
         col("para"),
         md5(regexp_replace(trim(lower(col("para"))), "\\s+", " ")).as("pfp"))
-      .withColumn("okey", col("doc_id") * 1000000L + col("pos"))
+      .withColumn("okey", struct(col("doc_id"), col("pos")))
       .localCheckpoint()
     val firsts = paras
       .groupBy("pfp")

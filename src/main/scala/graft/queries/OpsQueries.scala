@@ -615,7 +615,7 @@ object OpsQueries {
          |paras AS (
          |  SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.para AS para,
          |         md5(regexp_replace(trim(lower(s.para)), '\\s+', ' ', 'g')) AS pfp,
-         |         doc_id * 1000000 + s.pos AS okey
+         |         struct_pack(doc_id := doc_id, pos := CAST(s.pos AS BIGINT)) AS okey
          |  FROM paras0),
          |firsts AS (SELECT pfp, MIN(okey) AS first_key FROM paras GROUP BY pfp)
          |SELECT p.doc_id,

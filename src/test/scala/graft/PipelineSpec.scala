@@ -92,4 +92,22 @@ class PipelineSpec extends SparkSpec {
     // doc 2 loses the dup footer; doc 3 loses the junk line to the line rules
     assert(got == Map(1L -> 24L, 2L -> 12L, 3L -> 12L))
   }
+
+  test("cleaned: a doc with zero non-empty paragraphs flows through with empty text") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "the quick brown fox number one jumps over that lazy dog today."),
+      (2L, "   \n\t\n"), // whitespace-only: paragraphDedupText emits no row for it
+      (3L, "junk { line.")) // lineClean empties it entirely
+      .toDF("doc_id", "text")
+    val got = new Pipeline(lineClean = true, dropDupParagraphs = true)
+      .cleaned(fixture)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "no doc may vanish from the corpus")
+    assert(got(2L) == "" && got(3L) == "")
+    assert(got(1L).nonEmpty)
+  }
 }
