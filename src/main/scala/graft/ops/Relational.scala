@@ -217,4 +217,50 @@ object Relational {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(startCol) + lit(lengthUnits))
       .drop("__bucket")
   }
+
+  /** Batch MERGE / CDC-apply: apply a change feed onto a snapshot and
+    * return the post-merge snapshot (the semantics of SQL `MERGE INTO` /
+    * a Delta-style upsert, expressed as one declarative plan).
+    *
+    * `changes` carries the target's full column set plus `seqCol` (change
+    * order, e.g. a log offset) and `opCol` ('I'nsert / 'U'psert /
+    * 'D'elete). Per key the LATEST change wins (max `seqCol`; ties broken
+    * by the op byte then the payload, so the result is deterministic even
+    * on a malformed feed with duplicate sequence numbers). A winning D
+    * removes the key; a winning I/U replaces the full row (or inserts it
+    * when the key is absent). Keys without changes pass through untouched.
+    *
+    * Scale shape: the change feed collapses to one row per key with a
+    * single aggregation — `max(struct(seq, op, payload…))` partial-
+    * aggregates map-side, so a hot key's million-row change history
+    * reduces inside each map task before the shuffle (this is why it is
+    * an agg, not a row_number window, which would move every change of
+    * the hot key to one reducer). The apply is then a single full-outer
+    * equi-join on the key: snapshot and reduced feed shuffle once each on
+    * the same key (co-partitioned), and at typical CDC rates (feed ≪
+    * snapshot) AQE turns it into a broadcast join of the reduced feed.
+    * Nothing is ever re-read or recomputed: one pass over each input.
+    */
+  def mergeApply(
+      target: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val payloadCols = target.columns.toSeq.filterNot(keyCols.contains)
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(struct((seqCol +: opCol +: payloadCols).map(col): _*)).as("__c"))
+      .select(
+        keyCols.map(col) ++
+          Seq(col(s"__c.$opCol").as("__op")) ++
+          payloadCols.map(c => col(s"__c.$c").as(s"__n_$c")): _*)
+    target
+      .join(latest, keyCols, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(
+        keyCols.map(col) ++ payloadCols.map(c =>
+          when(col("__op").isNotNull, col(s"__n_$c")).otherwise(col(c)).as(c)): _*)
+  }
 }

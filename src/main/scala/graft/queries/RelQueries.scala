@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.ops.{Corpus, Relational, Stats}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational-extension and corpus-statistics queries: as-of join, interval
@@ -257,6 +257,34 @@ object RelQueries {
             .cast("int"))
         .filter(col("rk") <= 3)
         .select("source", "doc_id", "n_chars", "rk")
+    },
+    // Batch MERGE (CDC apply): a synthesized change feed — deletes,
+    // two-version updates (latest-by-seq must win), inserts of new keys,
+    // and a delete of a key that never existed — applied onto the orders
+    // snapshot in one agg + one full-outer join. The % 23 probe keeps the
+    // checked surface row-level without dumping the whole snapshot.
+    "cdc_merge" -> { (s, dir) =>
+      val t = s.read
+        .parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val k = col("o_orderkey")
+      def ch(filter: Column, key: Column, status: Column, price: Column, seq: Long, op: String) =
+        t.filter(filter)
+          .select(
+            key.as("o_orderkey"),
+            col("o_custkey"),
+            status.as("o_orderstatus"),
+            price.as("o_totalprice"),
+            lit(seq).as("seq"),
+            lit(op).as("op"))
+      val changes = ch(k % 10 === 0, k, col("o_orderstatus"), col("o_totalprice"), 1L, "D")
+        .unionByName(ch(k % 10 === 1, k, lit("STALE"), lit(0.0), 1L, "U"))
+        .unionByName(ch(k % 10 === 1, k, lit("UPD"), col("o_custkey").cast("double"), 2L, "U"))
+        .unionByName(ch(k % 10 === 2, k + 1000000L, lit("NEW"), lit(1.0), 1L, "I"))
+        .unionByName(ch(k % 10 === 3, k + 2000000L, col("o_orderstatus"), col("o_totalprice"), 1L, "D"))
+      Relational
+        .mergeApply(t, changes, Seq("o_orderkey"))
+        .filter(col("o_orderkey") % 23 === 0)
     }
   )
 
@@ -491,6 +519,33 @@ object RelQueries {
         |       CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN n_chars END) AS BIGINT) AS p50,
         |       CAST(MIN(CASE WHEN cum * 100 >= tot * 75 THEN n_chars END) AS BIGINT) AS p75,
         |       CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN n_chars END) AS BIGINT) AS p90
-        |FROM c GROUP BY lang""".stripMargin
+        |FROM c GROUP BY lang""".stripMargin,
+    "cdc_merge" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         1 AS seq, 'D' AS op FROM t WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'STALE', 0.0, 1, 'U'
+        |    FROM t WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey, o_custkey, 'UPD', CAST(o_custkey AS DOUBLE), 2, 'U'
+        |    FROM t WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT o_orderkey + 1000000, o_custkey, 'NEW', 1.0, 1, 'I'
+        |    FROM t WHERE o_orderkey % 10 = 2
+        |  UNION ALL SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice, 1, 'D'
+        |    FROM t WHERE o_orderkey % 10 = 3),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey
+        |      ORDER BY seq DESC, op DESC, o_custkey DESC, o_orderstatus DESC, o_totalprice DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+        |       CASE WHEN l.op IS NOT NULL THEN l.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN l.op IS NOT NULL THEN l.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN l.op IS NOT NULL THEN l.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+        |FROM t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+        |WHERE (l.op IS NULL OR l.op <> 'D')
+        |  AND COALESCE(t.o_orderkey, l.o_orderkey) % 23 = 0""".stripMargin
   )
 }

@@ -422,4 +422,46 @@ class RelationalSpec extends SparkSpec {
       .collect()
     assert(perPart.length > 1, "ranked output must not collapse to one partition")
   }
+
+  // ---- batch MERGE (CDC apply) --------------------------------------------
+
+  test("mergeApply: latest change wins, deletes drop, inserts add, ghosts no-op") {
+    val target = Seq(
+      (1L, "a", 10.0), // untouched
+      (2L, "b", 20.0), // deleted
+      (3L, "c", 30.0), // updated twice; seq 2 must win
+      (4L, "d", 40.0) // updated once
+    ).toDF("k", "status", "price")
+    val changes = Seq(
+      (2L, "b", 20.0, 1L, "D"),
+      (3L, "STALE", 0.0, 1L, "U"),
+      (3L, "c2", 33.0, 2L, "U"),
+      (4L, "d2", 44.0, 1L, "U"),
+      (5L, "e", 50.0, 1L, "I"), // insert of a new key
+      (9L, "x", 0.0, 1L, "D") // delete of a key that never existed
+    ).toDF("k", "status", "price", "seq", "op")
+    val got = Relational
+      .mergeApply(target, changes, Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+      .toMap
+    assert(
+      got == Map(
+        1L -> (("a", 10.0)),
+        3L -> (("c2", 33.0)),
+        4L -> (("d2", 44.0)),
+        5L -> (("e", 50.0))))
+  }
+
+  test("mergeApply plan: change feed reduced map-side by an aggregate, not a window") {
+    val target = (0L until 100L).map(i => (i, s"s$i", i.toDouble)).toDF("k", "status", "price")
+    val changes = (0L until 50L).map(i => (i, "u", 1.0, 1L, "U")).toDF("k", "status", "price", "seq", "op")
+    val merged = Relational.mergeApply(target, changes, Seq("k"))
+    val p = planOf(merged)
+    // max(struct(...)) plans as SortAggregate (struct buffers aren't
+    // Tungsten-hashable) — the property that matters is the partial
+    // (map-side) reduction before the exchange, and no window.
+    assert(p.contains("partial_max(struct("), p.take(1500))
+    assert(!p.contains("Window"), "latest-change reduction must not be a window:\n" + p.take(1500))
+  }
 }
