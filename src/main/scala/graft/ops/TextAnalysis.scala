@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -472,6 +473,127 @@ object TextAnalysis {
         col("n_tokens"),
         col("rarity_sum"),
         expr("(1000 * rarity_sum) div n_tokens").cast("long").as("rarity_milli"))
+  }
+
+  /** Winnowing document fingerprints (the MOSS local-fingerprinting
+    * scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash every word
+    * `k`-gram, slide a window of `w` consecutive gram hashes, and keep
+    * each window's minimum — a ~1/w-density selection that GUARANTEES any
+    * shared substring of >= k+w-1 words contributes at least one common
+    * fingerprint to both docs, which is what makes it the standard
+    * text-reuse / plagiarism probe (robust where whole-doc hashes and
+    * random minhash sampling both miss short verbatim overlaps). Output
+    * per doc (docs with >= k tokens): gram count, distinct-fingerprint
+    * count, and the md5 digest of the sorted fingerprint set — join two
+    * corpora's exploded fingerprints to get reuse candidates.
+    *
+    * Execution shape: one explode to (doc, pos, gram); the gram hash is a
+    * row expression; the sliding min is a `ROWS BETWEEN CURRENT AND w-1
+    * FOLLOWING` window partitioned by doc_id — uniform key, per-doc state
+    * bounded by doc length — NOT an array higher-order fold over an
+    * inline token expression (HOF lambdas evaluate interpreted and
+    * re-split the text per element access, the [[ngrams]] trap). The
+    * final per-doc agg rides the window's doc_id hash partitioning, so
+    * the whole operator costs one shuffle plus the window sort.
+    */
+  /** The exploded face of [[winnowFingerprints]]: one (doc_id, n_grams,
+    * fp) row per distinct selected fingerprint — what a cross-corpus
+    * reuse probe equi-joins on.
+    */
+  def winnowFps(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(
+        col("doc_id"),
+        greatest(size(col("tk")) - (k - 1), lit(0)).as("__ng"),
+        posexplode(ngrams(col("tk"), k)).as(Seq("pos", "gram")))
+      .withColumn("h", expr("cast(conv(substring(md5(gram), 1, 12), 16, 10) as bigint)"))
+    val win = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min("h").over(win))
+      // fingerprints exist only at full-window starts (or window 0 when the
+      // doc has fewer than w grams — then the single min-of-all survives)
+      .filter(col("pos") <= greatest(col("__ng") - w, lit(0)))
+      .select(col("doc_id"), col("__ng"), col("fp"))
+      .distinct()
+  }
+
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    winnowFps(docs, k, w, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(
+        max(col("__ng")).cast("long").as("n_grams"),
+        count(lit(1)).cast("long").as("n_fps"),
+        md5(concat_ws(
+          ",",
+          transform(array_sort(collect_list(col("fp"))), x => x.cast("string")))).as("fp_digest"))
+
+  /** Bigram language-model scoring — the conditional-probability upgrade
+    * of [[unigramRarity]] and the closest oracle-stable stand-in for a
+    * KenLM perplexity filter. The corpus itself is the model: each bigram
+    * (w1, w2) scores `c1(w1) div c2(w1, w2)` — integer reciprocal of the
+    * MLE conditional probability p(w2|w1) = c2/c1, where c1 counts bigrams
+    * starting with w1 — so predictable continuations ("of the") score ~1
+    * and surprising ones score high. `lm_sum` is the tf-weighted doc
+    * total, `lm_milli` the per-bigram average ×1000 (the perplexity-like
+    * quality signal: high = incoherent token salad, low = fluent). All
+    * integer arithmetic for the same reason as [[unigramRarity]]: sums
+    * are order-independent, so the score is hash-identical across engines
+    * — a float log-prob sum would never oracle-match. Docs with fewer
+    * than 2 tokens have no bigrams and drop out (score undefined).
+    *
+    * Execution shape: bigrams come from a per-row array zip (narrow — no
+    * token explode followed by a window over position, which would
+    * shuffle every token); the (doc, w1, w2) tf table is materialized
+    * once and feeds both model aggregations (c2 keyed by the bigram, c1
+    * by the prefix — each collapses hot bigrams map-side) and the score
+    * join, which is equi-keyed and uniform. Nothing driver-side: the
+    * model stays distributed, so a 100 TB corpus trains and scores in one
+    * pass of three shuffles.
+    */
+  def bigramRarity(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bgList = {
+      val tk = tokens(col(textCol))
+      when(
+        size(tk) >= 2,
+        zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(bgList).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val c2 = tf.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = tf.groupBy("w1").agg(sum("tf").as("c1"))
+    tf.join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        sum(col("tf") * expr("c1 div c2")).cast("long").as("lm_sum"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        col("lm_sum"),
+        expr("(1000 * lm_sum) div n_bigrams").cast("long").as("lm_milli"))
   }
 
   /** Corpus vocabulary with document frequency: one row per distinct token

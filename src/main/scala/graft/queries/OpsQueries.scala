@@ -188,6 +188,8 @@ object OpsQueries {
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
+    "text_lm_bigram" -> { (s, dir) => TextAnalysis.bigramRarity(docs(s, dir)) },
+    "text_winnow" -> { (s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
@@ -585,6 +587,42 @@ object OpsQueries {
          |       CAST((1000 * SUM(tf.tf * (tot.n // ctf.ctf))) // SUM(tf.tf) AS BIGINT) AS rarity_milli
          |FROM tf JOIN ctf USING (tok) CROSS JOIN tot
          |GROUP BY tf.doc_id""".stripMargin,
+    "text_lm_bigram" ->
+      s"""WITH $tokCtes,
+         |bgl AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tks),
+         |tf AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bgl GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1)
+         |SELECT tf.doc_id,
+         |       CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(tf.tf * (c1.c1 // c2.c2)) AS BIGINT) AS lm_sum,
+         |       CAST((1000 * SUM(tf.tf * (c1.c1 // c2.c2))) // SUM(tf.tf) AS BIGINT) AS lm_milli
+         |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |GROUP BY tf.doc_id""".stripMargin,
+    "text_winnow" ->
+      s"""WITH $tokCtes,
+         |g AS (SELECT doc_id, tk FROM tks WHERE len(tk) >= 3),
+         |gr AS (
+         |  SELECT doc_id, len(tk) - 2 AS ng, tk, unnest(range(1, len(tk) - 1)) AS i FROM g),
+         |hx AS (
+         |  SELECT doc_id, ng, i,
+         |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]), 1, 12)) AS BIGINT) AS h
+         |  FROM gr),
+         |wm AS (
+         |  SELECT doc_id, ng, i,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM hx),
+         |fps AS (
+         |  SELECT DISTINCT doc_id, ng, fp FROM wm WHERE i - 1 <= greatest(ng - 4, 0))
+         |SELECT doc_id,
+         |       CAST(MAX(ng) AS BIGINT) AS n_grams,
+         |       CAST(COUNT(*) AS BIGINT) AS n_fps,
+         |       md5(array_to_string(list_transform(list_sort(list(fp)), x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
+         |FROM fps GROUP BY doc_id""".stripMargin,
     "corpus_length_buckets" ->
       """WITH t AS (
         |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens

@@ -232,6 +232,60 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._3 < got(2L)._3)
   }
 
+  test("bigramRarity: hand-computed conditional weights; fluent beats shuffled") {
+    val s = spark
+    import s.implicits._
+    // bigrams: (a,b)x2 from docs 1+2, (b,a)x1, (a,c)x1 -> c1(a)=3, c1(b)=1
+    // weights: (a,b) -> 3 div 2 = 1, (b,a) -> 1 div 1 = 1, (a,c) -> 3 div 1 = 3
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "a c"), (4L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramRarity(docs).collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("lm_sum"), r.getAs[Long]("lm_milli"))))
+      .toMap
+    assert(got(1L) == ((2L, 2L, 1000L))) // (a,b)+(b,a): 1 + 1
+    assert(got(2L) == ((1L, 1L, 1000L))) // (a,b): 1
+    assert(got(3L) == ((1L, 3L, 3000L))) // (a,c) is the surprising continuation
+    assert(!got.contains(4L), "a one-token doc has no bigrams and no score")
+    // the doc of predictable continuations scores below the surprising one
+    assert(got(1L)._3 < got(3L)._3)
+  }
+
+  test("winnowFingerprints: shared-run guarantee, short docs, determinism") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta epsilon zeta" // k+w-1 = 6 words
+    val docs = Seq(
+      (1L, s"one unrelated prefix here $run"),
+      (2L, s"$run and a totally different ending follows"),
+      (3L, "completely disjoint text with zero overlap anywhere at all"),
+      (4L, "too short"), // < k tokens: no grams, absent from output
+      (5L, "exactly three words") // 1 gram < w: a single min-of-all fp
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis
+      .winnowFps(docs)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("fp")).toSet }
+    // winnowing guarantee: a shared substring of >= k+w-1 words yields at
+    // least one common fingerprint
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+    assert(!fps.contains(4L))
+    assert(fps(5L).size == 1)
+    val agg = TextAnalysis.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_fps"), r.getAs[String]("fp_digest"))))
+      .toMap
+    assert(agg(5L) == ((1L, 1L, agg(5L)._3)))
+    agg.foreach { case (id, (ng, nf, _)) => assert(nf <= ng, s"doc $id: $nf fps > $ng grams") }
+    // identical text -> identical digest
+    val twice = TextAnalysis
+      .winnowFingerprints(Seq((7L, run), (8L, run)).toDF("doc_id", "text"))
+      .collect()
+      .map(_.getAs[String]("fp_digest"))
+    assert(twice.distinct.length == 1)
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)
