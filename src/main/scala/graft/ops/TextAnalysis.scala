@@ -541,6 +541,42 @@ object TextAnalysis {
           ",",
           transform(array_sort(collect_list(col("fp"))), x => x.cast("string")))).as("fp_digest"))
 
+  /** Text-reuse candidate pairs over winnowing fingerprints: docs sharing
+    * >= `minShared` selected fingerprints — i.e. likely verbatim overlaps
+    * of >= k+w-1 words, surfaced WITHOUT any pairwise text comparison.
+    * The standard second stage is [[graft.ops.Dedup.editVerify]] on the
+    * survivors.
+    *
+    * Scale shape: same inverted-index discipline as
+    * [[graft.ops.Dedup.ngramJaccard]] — fingerprints appearing in more
+    * than `dfCap` docs (boilerplate runs: licenses, navigation) are
+    * dropped on both sides BEFORE the self-join, bounding candidate pairs
+    * by Σ df² over surviving fingerprints; the df filter is a window
+    * count sharing the fp-key shuffle, and the surviving index is
+    * materialized once before feeding both join sides.
+    */
+  def winnowReusePairs(
+      docs: DataFrame,
+      minShared: Long = 2,
+      dfCap: Int = 20,
+      k: Int = 3,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFps(docs, k, w, textCol, idCol)
+      .select(col("doc_id"), col("fp"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= dfCap)
+      .drop("df")
+      .localCheckpoint()
+    fps
+      .as("a")
+      .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Bigram language-model scoring — the conditional-probability upgrade
     * of [[unigramRarity]] and the closest oracle-stable stand-in for a
     * KenLM perplexity filter. The corpus itself is the model: each bigram

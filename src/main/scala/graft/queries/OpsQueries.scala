@@ -190,6 +190,7 @@ object OpsQueries {
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_lm_bigram" -> { (s, dir) => TextAnalysis.bigramRarity(docs(s, dir)) },
     "text_winnow" -> { (s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir)) },
+    "text_reuse_pairs" -> { (s, dir) => TextAnalysis.winnowReusePairs(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
@@ -623,6 +624,27 @@ object OpsQueries {
          |       CAST(COUNT(*) AS BIGINT) AS n_fps,
          |       md5(array_to_string(list_transform(list_sort(list(fp)), x -> CAST(x AS VARCHAR)), ',')) AS fp_digest
          |FROM fps GROUP BY doc_id""".stripMargin,
+    "text_reuse_pairs" ->
+      s"""WITH $tokCtes,
+         |g AS (SELECT doc_id, tk FROM tks WHERE len(tk) >= 3),
+         |gr AS (
+         |  SELECT doc_id, len(tk) - 2 AS ng, tk, unnest(range(1, len(tk) - 1)) AS i FROM g),
+         |hx AS (
+         |  SELECT doc_id, ng, i,
+         |         CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]), 1, 12)) AS BIGINT) AS h
+         |  FROM gr),
+         |wm AS (
+         |  SELECT doc_id, ng, i,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM hx),
+         |fps0 AS (
+         |  SELECT DISTINCT doc_id, fp FROM wm WHERE i - 1 <= greatest(ng - 4, 0)),
+         |dfc AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) <= 20),
+         |fps AS (SELECT fps0.doc_id, fps0.fp FROM fps0 JOIN dfc USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     "corpus_length_buckets" ->
       """WITH t AS (
         |  SELECT CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens

@@ -286,6 +286,33 @@ class OpsSpec extends SparkSpec {
     assert(twice.distinct.length == 1)
   }
 
+  test("winnowReusePairs: overlapping docs pair up; boilerplate fps are df-capped") {
+    val s = spark
+    import s.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again"
+    val boiler = "all rights reserved contact the webmaster for details today"
+    val docs = Seq(
+      (1L, s"unique preamble one $run"),
+      (2L, s"$run plus some unique trailing content two"),
+      (3L, "entirely different text about something else altogether here now"),
+      // boilerplate run in many docs: its fps exceed dfCap=3 and must not pair
+      (10L, s"alpha filler $boiler"),
+      (11L, s"beta filler $boiler"),
+      (12L, s"gamma filler $boiler"),
+      (13L, s"delta filler $boiler"),
+      (14L, s"epsilon filler $boiler")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .winnowReusePairs(docs, minShared = 2, dfCap = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 2L)), s"shared run must pair: $pairs")
+    assert(
+      pairs.forall { case (a, b) => a < 10L && b < 10L },
+      s"df-capped boilerplate docs must not pair: $pairs")
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)
