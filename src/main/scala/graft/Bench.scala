@@ -15,6 +15,9 @@ object Bench {
     "text_repetition",
     "contamination_ngrams",
     "dedup_ngram_jaccard",
+    "text_lm_bigram",
+    "text_reuse_pairs",
+    "dedup_edit_verify",
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
     "dedup_cross_corpus",
