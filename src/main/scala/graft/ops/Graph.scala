@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames. The cluster-side
+  * counterpart of the reference repo's per-client rollups: once scan /
+  * event / corpus data is modeled as edges, ranking and structure
+  * queries run as ordinary joins + aggregations.
+  *
+  * Everything here is INTEGER arithmetic in milli-units: a float
+  * PageRank's sums are summation-order-dependent and can never
+  * hash-match an oracle; integer division makes every iteration's result
+  * bit-identical across engines and run-to-run (same move as
+  * [[TextAnalysis.unigramRarity]]).
+  */
+object Graph {
+
+  /** Integer PageRank (milli-units) over a directed edge list `(src,
+    * dst)`. Each node starts at rank 1000; per iteration every node
+    * sends `rank div out_degree` along each out-edge and new rank =
+    * `teleportMilli + (dampingMilli * Σ inbound) div 1000` — the standard
+    * damped random walk, un-normalized (ranks are relative scores, not a
+    * probability distribution; with damping 850 the un-normalized fixed
+    * point is the same ordering PageRank gives). Nodes with no in-edges
+    * hold at the teleport floor.
+    *
+    * Scale shape — the iterative-algorithm discipline this repo learned
+    * the hard way on IVF (see SCALE.md): the edge and degree tables are
+    * materialized ONCE before the loop and every iteration's rank table
+    * is `localCheckpoint`ed, so iteration N's plan is one join + one
+    * aggregation, never a re-evaluation of iterations 1..N-1 (an
+    * unmaterialized loop is exponential in lineage). Each iteration
+    * shuffles the edge list once on `src` (the join; the rank side is
+    * node-count-sized and AQE broadcasts it at typical graph shapes) and
+    * once on `dst` (the inbound aggregation, partial map-side — a
+    * celebrity node's million in-edges pre-reduce inside each map task).
+    * Hot sources replicate via the broadcast, so skew lands only on the
+    * partial-agg path, which absorbs it.
+    */
+  def pageRankMilli(
+      edges: DataFrame,
+      iters: Int = 3,
+      dampingMilli: Long = 850,
+      teleportMilli: Long = 150): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    var r = nodes.select(col("node"), lit(1000L).as("rank_milli"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"), expr("rank_milli div deg").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("inbound"))
+      r = nodes
+        .join(contrib, Seq("node"), "left")
+        // `div`, not `/`: Spark's `/` on longs is floating-point division
+        .select(
+          col("node"),
+          expr(s"CAST($teleportMilli + ($dampingMilli * coalesce(inbound, 0L)) div 1000 AS BIGINT)")
+            .as("rank_milli"))
+        .localCheckpoint()
+    }
+    r
+  }
+}

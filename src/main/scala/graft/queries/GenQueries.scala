@@ -159,6 +159,20 @@ object GenQueries {
         .agg(
           count(lit(1)).cast("long").as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+    // integer PageRank over the customer<->supplier trade graph (who-buys-
+    // from-whom via orders x lineitem, bidirectional): node encoding
+    // custkey*2 / suppkey*2+1 keeps the bipartite id spaces disjoint
+    "graph_pagerank" -> { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+          t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRankMilli(e, iters = 3)
     }
   )
 
@@ -251,6 +265,33 @@ object GenQueries {
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT epoch_us(d) AS d_us, CAST(tot AS DOUBLE) AS tot, n_orders,
         |       round(CAST(msum AS DOUBLE) / mcnt, 4) AS mavg7
-        |FROM win""".stripMargin
+        |FROM win""".stripMargin,
+    "graph_pagerank" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM d UNION ALL SELECT dst AS src, src AS dst FROM d),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, CAST(1000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, SUM(r0.r // deg.deg) AS inb
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, CAST(150 + (850 * COALESCE(c1.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, SUM(r1.r // deg.deg) AS inb
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, CAST(150 + (850 * COALESCE(c2.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node, SUM(r2.r // deg.deg) AS inb
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.node, CAST(150 + (850 * COALESCE(c3.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_milli FROM r3""".stripMargin
   )
 }

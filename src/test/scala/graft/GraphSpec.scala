@@ -1,0 +1,45 @@
+package graft
+
+import graft.ops.Graph
+
+/** Hand-computed integer-PageRank semantics + iteration-materialization
+  * plan guard.
+  */
+class GraphSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  // 1 -> {2,3}, 2 -> 3, 3 -> 1, 4 -> 1 (node 4 has no in-edges).
+  private lazy val edges =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+
+  test("pageRankMilli: two hand-computed iterations, teleport floor for sources") {
+    // r0 = 1000 everywhere; deg = {1:2, 2:1, 3:1, 4:1}
+    // iter1 inbound: n1 = 1000+1000, n2 = 500, n3 = 500+1000, n4 = 0
+    //   r1 = {1: 150+1700 = 1850, 2: 150+425 = 575, 3: 150+1275 = 1425, 4: 150}
+    // iter2 inbound: n1 = 1425+150, n2 = 925, n3 = 925+575, n4 = 0
+    //   r2 = {1: 150+1338 = 1488, 2: 150+786 = 936, 3: 150+1275 = 1425, 4: 150}
+    val got = Graph
+      .pageRankMilli(edges, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1488L, 2L -> 936L, 3L -> 1425L, 4L -> 150L))
+  }
+
+  test("pageRankMilli: iteration N's plan does not re-evaluate iterations 1..N-1") {
+    val r = Graph.pageRankMilli(edges, iters = 3)
+    // every iteration ends in a localCheckpoint, so the final plan must be
+    // a scan of checkpointed blocks — no joins/aggregates from the loop body
+    val plan = r.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), plan.take(500))
+    assert(!plan.contains("Join"), "unmaterialized iterative lineage:\n" + plan.take(1000))
+  }
+
+  test("pageRankMilli: rank mass follows in-degree on a star graph") {
+    // hub 0 receives from 50 spokes; every spoke only from the hub
+    val star = (1L to 50L).flatMap(i => Seq((i, 0L), (0L, i))).toDF("src", "dst")
+    val got = Graph.pageRankMilli(star, iters = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) > got(1L) * 10, s"hub must dominate: ${got(0L)} vs ${got(1L)}")
+    assert((1L to 50L).map(got).toSet.size == 1, "spokes are symmetric")
+  }
+}
