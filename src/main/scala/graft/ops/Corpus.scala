@@ -286,6 +286,67 @@ object Corpus {
           .as("status"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * distribution-shift monitor a continuously-ingesting training
+    * pipeline watches ([[snapshotDiff]] answers "which docs changed";
+    * this answers "did the LANGUAGE change": crawl pollution, a new spam
+    * template, a scraper regression all show up as drifted tokens long
+    * before eval metrics move).
+    *
+    * Per token above `minCount` (in either snapshot): frequency in parts
+    * per million of each snapshot and the ratio `drift_milli =
+    * (cur_ppm * 1000) div prev_ppm` — all integer, so hash-stable.
+    * Tokens absent from one side report status 'new'/'gone' with
+    * drift_milli = -1 (also used when prev_ppm rounds to 0); 'shifted'
+    * rows are kept only when the ratio leaves the [500, 2000] band, so
+    * the report is the exceptional tail, not the vocabulary.
+    *
+    * Scale shape: one explode + hash agg per snapshot (uniform token
+    * keys, map-side partials absorb hot tokens), each tf table
+    * materialized once (it feeds its total and the join); totals are two
+    * driver-sized scalars riding in as literals; the full-outer join is
+    * equi-keyed on the token. Nothing pairwise, nothing floating-point.
+    */
+  def tokenDrift(
+      prev: DataFrame,
+      cur: DataFrame,
+      minCount: Long = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    def tf(df: DataFrame) = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .localCheckpoint()
+    val p = tf(prev)
+    val c = tf(cur)
+    val pTot = p.agg(sum("tf")).first().getLong(0)
+    val cTot = c.agg(sum("tf")).first().getLong(0)
+    p.withColumnRenamed("tf", "prev_tf")
+      .join(c.withColumnRenamed("tf", "cur_tf"), Seq("token"), "full_outer")
+      .select(
+        col("token"),
+        coalesce(col("prev_tf"), lit(0L)).as("prev_tf"),
+        coalesce(col("cur_tf"), lit(0L)).as("cur_tf"))
+      .filter(greatest(col("prev_tf"), col("cur_tf")) >= minCount)
+      .withColumn("prev_ppm", expr(s"(prev_tf * 1000000) div $pTot"))
+      .withColumn("cur_ppm", expr(s"(cur_tf * 1000000) div $cTot"))
+      .withColumn(
+        "status",
+        when(col("prev_tf") === 0, "new")
+          .when(col("cur_tf") === 0, "gone")
+          .otherwise("shifted"))
+      .withColumn(
+        "drift_milli",
+        when(col("status") === "shifted" && col("prev_ppm") >= 1, expr("(cur_ppm * 1000) div prev_ppm"))
+          .otherwise(lit(-1L))
+          .cast("long"))
+      .filter(
+        col("status") =!= "shifted" ||
+          col("drift_milli") === -1 ||
+          col("drift_milli") >= 2000 || col("drift_milli") <= 500)
+  }
+
   /** Sequence-length bucket audit: assign every document to the smallest
     * power-of-two-ish context bucket that fits it (docs beyond the largest
     * bucket truncate into it) and report per-bucket document counts, real

@@ -27,6 +27,24 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Prefix-template groups: docs sharing their first `nTokens`
+    * (whitespace-normalized) tokens — the cheap probe for SEO/template
+    * spam, mirror farms, and generation loops, which agree verbatim at
+    * the start and then diverge enough to slip past whole-doc exact dedup
+    * (a lighter complement to [[minHashLsh]]: one agg, no pair
+    * generation). Docs shorter than `nTokens` group by their full token
+    * list. Same shape as [[exactGroups]]: one hash aggregation on a
+    * uniform md5 key with map-side partials, so a million-doc template
+    * family collapses inside each map task.
+    */
+  def prefixGroups(docs: DataFrame, nTokens: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(
+        md5(concat_ws(" ", slice(TextAnalysis.tokens(col(textCol)), 1, nTokens)))
+          .as("prefix_fp"))
+      .agg(count(lit(1)).cast("long").as("n_docs"), min(col(idCol)).as("min_doc_id"))
+      .filter(col("n_docs") > 1)
+
   /** Incremental dedup: rows of `batch` whose exact-content fingerprint
     * ([[TextAnalysis.fingerprint]]: md5 of whitespace-normalized lowercase
     * text) appears neither in the already-ingested corpus `seen` nor

@@ -424,6 +424,36 @@ object Multimodal {
       .select(col("doc_id"), col("frame_id"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** Frame-difference scene-cut detection over the decoded clip: a frame
+    * opens a new shot when the absolute change in its luminance sum
+    * (sum_r + sum_g + sum_b, integer — no FP in the decision) versus the
+    * previous frame exceeds `threshold`. This is the classical pixel-
+    * difference shot-boundary detector; it runs on [[frameSamples]] with
+    * `every = 1`, i.e. on the full decoded frame sequence.
+    *
+    * Scale shape: the per-frame stats pipeline with the media scan
+    * (decode is row-local); the only stateful step is a lag window
+    * partitioned by doc_id — per-clip state bounded by clip length, keys
+    * uniform. Emits one row per frame after the first: the diff and the
+    * cut flag (BIGINT 0/1, oracle-hashable).
+    */
+  def sceneCuts(
+      spark: SparkSession,
+      docs: DataFrame,
+      threshold: Long = 1500,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame_id")
+    frameSamples(spark, docs, every = 1, idCol)
+      .withColumn("lum", col("sum_r") + col("sum_g") + col("sum_b"))
+      .withColumn("diff", abs(col("lum") - lag("lum", 1).over(w)))
+      .filter(col("diff").isNotNull)
+      .select(
+        col("doc_id"),
+        col("frame_id"),
+        col("diff").cast("long").as("diff"),
+        when(col("diff") > threshold, 1L).otherwise(0L).cast("long").as("is_cut"))
+  }
+
   /** Decoded audio statistics over generated-but-genuine PCM16 WAV bytes —
     * same construction as [[bmpFeatures]] with a RIFF chunk walk instead of
     * a pixel walk. RMS = sqrt(sum_sq / n) evaluated in IEEE double on both

@@ -92,6 +92,7 @@ object OpsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) => Dedup.exactGroups(dupDocs(s, dir)) },
+    "dedup_prefix" -> { (s, dir) => Dedup.prefixGroups(docs(s, dir)) },
     "dedup_minhash_lsh" -> { (s, dir) => Dedup.minHashLsh(docs(s, dir)) },
     "dedup_edit_verify" -> { (s, dir) =>
       Dedup.verifyEditDistance(Dedup.minHashLsh(docs(s, dir)), docs(s, dir))
@@ -195,6 +196,28 @@ object OpsQueries {
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
     // every 8th re-ingested under a fresh id (mirrored in the oracle)
+    // Token-distribution drift with all three statuses planted: qqdrift
+    // appears only in cur (new), qqgone only in prev (gone), qqshift 8x in
+    // prev vs 1x in cur (shifted far below the 500-milli band edge).
+    "corpus_token_drift" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val prev = d.select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 6 === 0, lit(" qqshift qqshift qqshift qqshift qqshift qqshift qqshift qqshift"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" qqgone qqgone")).otherwise(lit(""))).as("text"))
+      val cur = d
+        .filter(col("doc_id") % 10 =!= 3)
+        .select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 4 === 0, lit(" qqdrift qqdrift qqdrift")).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0, lit(" qqshift")).otherwise(lit(""))).as("text"))
+      Corpus.tokenDrift(prev, cur)
+    },
     "corpus_snapshot_diff" -> { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val cur = d
@@ -264,6 +287,9 @@ object OpsQueries {
     },
     "multimodal_frame_sample" -> { (s, dir) =>
       Multimodal.frameSamples(s, docs(s, dir), every = 2)
+    },
+    "multimodal_scene_cuts" -> { (s, dir) =>
+      Multimodal.sceneCuts(s, docs(s, dir))
     },
     // the built-in session_window face of sessionization: gap-merged
     // windows computed declaratively (split at gap >= 30 min — the
@@ -855,6 +881,52 @@ object OpsQueries {
         |  FROM corpus)
         |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "corpus_token_drift" ->
+      """WITH prev AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' qqshift qqshift qqshift qqshift qqshift qqshift qqshift qqshift' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' qqgone qqgone' ELSE '' END AS text
+        |  FROM documents),
+        |cur AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' qqdrift qqdrift qqdrift' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0 THEN ' qqshift' ELSE '' END AS text
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |ptf AS (
+        |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS prev_tf
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok FROM prev)
+        |  GROUP BY 1),
+        |ctf AS (
+        |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cur_tf
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok FROM cur)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(p.token, c.token) AS token,
+        |         COALESCE(p.prev_tf, 0) AS prev_tf, COALESCE(c.cur_tf, 0) AS cur_tf
+        |  FROM ptf p FULL OUTER JOIN ctf c ON p.token = c.token),
+        |f AS (SELECT * FROM j WHERE greatest(prev_tf, cur_tf) >= 5),
+        |r AS (
+        |  SELECT token, prev_tf, cur_tf,
+        |         (prev_tf * 1000000) // (SELECT CAST(SUM(prev_tf) AS BIGINT) FROM ptf) AS prev_ppm,
+        |         (cur_tf * 1000000) // (SELECT CAST(SUM(cur_tf) AS BIGINT) FROM ctf) AS cur_ppm,
+        |         CASE WHEN prev_tf = 0 THEN 'new' WHEN cur_tf = 0 THEN 'gone' ELSE 'shifted' END AS status
+        |  FROM f),
+        |o AS (
+        |  SELECT token, prev_tf, cur_tf,
+        |         CAST(prev_ppm AS BIGINT) AS prev_ppm, CAST(cur_ppm AS BIGINT) AS cur_ppm, status,
+        |         CAST(CASE WHEN status = 'shifted' AND prev_ppm >= 1
+        |              THEN (cur_ppm * 1000) // prev_ppm ELSE -1 END AS BIGINT) AS drift_milli
+        |  FROM r)
+        |SELECT token, prev_tf, cur_tf, prev_ppm, cur_ppm, status, drift_milli
+        |FROM o
+        |WHERE status <> 'shifted' OR drift_milli = -1
+        |   OR drift_milli >= 2000 OR drift_milli <= 500""".stripMargin,
+    "dedup_prefix" ->
+      s"""WITH $tokCtes
+         |SELECT md5(COALESCE(array_to_string(tk[1:8], ' '), '')) AS prefix_fp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       MIN(doc_id) AS min_doc_id
+         |FROM tks GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $tokCtes,
          |th AS (SELECT DISTINCT id, md5(tok) AS h FROM tok),
@@ -1187,6 +1259,28 @@ object OpsQueries {
         |SELECT doc_id, frame_id, CAST(sr AS BIGINT) AS sum_r,
         |       CAST(sg AS BIGINT) AS sum_g, CAST(sb AS BIGINT) AS sum_b
         |FROM s""".stripMargin,
+    // Mirrors sceneCuts: full frame sequence (every=1), luminance-sum lag
+    // diff per clip, integer cut flag at the same threshold.
+    "multimodal_scene_cuts" ->
+      """WITH dims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+        |         3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM dims),
+        |s AS (
+        |  SELECT doc_id, CAST(f AS INT) AS frame_id,
+        |    list_sum(list_transform(range(0, w*h), k -> (doc_id   + 19*f + 7*(k % w) + 13*(k // w)) % 256))
+        |    + list_sum(list_transform(range(0, w*h), k -> (doc_id*3 + 19*f + 5*(k % w) + 11*(k // w)) % 256))
+        |    + list_sum(list_transform(range(0, w*h), k -> (doc_id*5 + 19*f + 3*(k % w) + 17*(k // w)) % 256)) AS lum
+        |  FROM fr),
+        |d AS (
+        |  SELECT doc_id, frame_id,
+        |         abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY frame_id)) AS diff
+        |  FROM s)
+        |SELECT doc_id, frame_id, CAST(diff AS BIGINT) AS diff,
+        |       CAST(CASE WHEN diff > 1500 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM d WHERE diff IS NOT NULL""".stripMargin,
     // Mirrors aHashBmp: 8x8 nearest-neighbor sample over the generator
     // formula, integer gray mean test, bits packed into two 32-bit halves.
     "multimodal_ahash" ->

@@ -330,4 +330,24 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
     assert(got == Seq(11L, 13L))
   }
+
+  test("tokenDrift: hand-computed ppm ratios; new/gone/shifted all surface") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // prev totals 7: x4 y1 z2; cur totals 7: x1 y4 w2
+    val prev = Seq((1L, "x x x x y"), (2L, "z z")).toDF("doc_id", "text")
+    val cur = Seq((1L, "x y y y y"), (2L, "w w")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.tokenDrift(prev, cur, minCount = 1).collect()
+      .map(r =>
+        r.getAs[String]("token") -> ((
+          r.getAs[Long]("prev_tf"), r.getAs[Long]("cur_tf"),
+          r.getAs[Long]("prev_ppm"), r.getAs[Long]("cur_ppm"),
+          r.getAs[String]("status"), r.getAs[Long]("drift_milli"))))
+      .toMap
+    assert(got("x") == ((4L, 1L, 571428L, 142857L, "shifted", 250L)))
+    assert(got("y") == ((1L, 4L, 142857L, 571428L, "shifted", 4000L)))
+    assert(got("z") == ((2L, 0L, 285714L, 0L, "gone", -1L)))
+    assert(got("w") == ((0L, 2L, 0L, 285714L, "new", -1L)))
+    assert(got.size == 4)
+  }
 }

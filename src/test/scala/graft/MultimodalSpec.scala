@@ -164,4 +164,29 @@ class MultimodalSpec extends SparkSpec {
     assert(wf(3L).getAs[Long]("n_samples") == 64 + 3 % 64)
     assert(wf(3L).getAs[Long]("peak") > 0)
   }
+
+  test("sceneCuts: diffs agree with a direct per-frame decode; both flags occur") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 40L).toSeq
+    val got = Multimodal
+      .sceneCuts(s, ids.toDF("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // reference computation straight from sampleFrames on the same bytes
+    val expected = ids.flatMap { id =>
+      val fs = Multimodal.sampleFrames(id, MediaSynth.docVideo(id), every = 1)
+      fs.map(f => f.frame_id -> (f.sum_r + f.sum_g + f.sum_b)).sliding(2).collect {
+        case Seq((_, a), (fid, b)) => (id, fid) -> math.abs(b - a)
+      }
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (diff, cut)) =>
+      assert(diff == expected(k), s"$k")
+      assert(cut == (if (diff > 1500L) 1L else 0L))
+    }
+    val flags = got.values.map(_._2).toSet
+    assert(flags == Set(0L, 1L), s"fixture must exercise both cut and non-cut: $flags")
+  }
 }

@@ -313,6 +313,24 @@ class OpsSpec extends SparkSpec {
       s"df-capped boilerplate docs must not pair: $pairs")
   }
 
+  test("prefixGroups: shared 8-token prefixes group; divergent and short docs don't") {
+    val s = spark
+    import s.implicits._
+    val pre = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$pre then totally different tail content here"),
+      (2L, s"$pre and another divergent continuation follows now"),
+      (3L, "a wholly unrelated document with eight tokens too"),
+      (4L, "short doc"), // < 8 tokens: full-token-list fingerprint
+      (5L, "short doc"),
+      (6L, "short doc but longer than the template pair")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixGroups(docs).collect()
+      .map(r => r.getAs[Long]("min_doc_id") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(got == Map(1L -> 2L, 4L -> 2L), s"got $got")
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)
