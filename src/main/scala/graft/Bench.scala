@@ -23,7 +23,8 @@ object Bench {
     "dedup_cross_corpus",
     "dedup_clusters",
     "dedup_keep",
-    "dedup_keep_best")
+    "dedup_keep_best",
+    "graph_pagerank")
 
   /** Drop every block the previous query left in the block manager
     * (localCheckpoint/persist intermediates are per-query scratch — nothing
