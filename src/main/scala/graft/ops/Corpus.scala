@@ -320,8 +320,12 @@ object Corpus {
       .localCheckpoint()
     val p = tf(prev)
     val c = tf(cur)
-    val pTot = p.agg(sum("tf")).first().getLong(0)
-    val cTot = c.agg(sum("tf")).first().getLong(0)
+    // max(total, 1): an empty/zero-token snapshot yields a NULL sum (and a
+    // 0 divisor would null every ppm) — clamp so it reports all-new/gone
+    def total(df: DataFrame): Long =
+      math.max(df.agg(coalesce(sum("tf"), lit(0L))).first().getLong(0), 1L)
+    val pTot = total(p)
+    val cTot = total(c)
     p.withColumnRenamed("tf", "prev_tf")
       .join(c.withColumnRenamed("tf", "cur_tf"), Seq("token"), "full_outer")
       .select(

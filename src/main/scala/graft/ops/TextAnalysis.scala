@@ -495,10 +495,10 @@ object TextAnalysis {
     * re-split the text per element access, the [[ngrams]] trap). The
     * final per-doc agg rides the window's doc_id hash partitioning, so
     * the whole operator costs one shuffle plus the window sort.
-    */
-  /** The exploded face of [[winnowFingerprints]]: one (doc_id, n_grams,
-    * fp) row per distinct selected fingerprint — what a cross-corpus
-    * reuse probe equi-joins on.
+    *
+    * This is the exploded face: one (doc_id, n_grams, fp) row per
+    * distinct selected fingerprint — what a cross-corpus reuse probe
+    * equi-joins on. [[winnowFingerprints]] is the per-doc aggregate face.
     */
   def winnowFps(
       docs: DataFrame,
@@ -601,8 +601,10 @@ object TextAnalysis {
     * pass of three shuffles.
     */
   def bigramRarity(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // tokenize into a projected attribute first (the ngrams rule): the
+    // slices below would otherwise each re-split the text per row
     val bgList = {
-      val tk = tokens(col(textCol))
+      val tk = col("__tk")
       when(
         size(tk) >= 2,
         zip_with(
@@ -612,7 +614,8 @@ object TextAnalysis {
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
     }
     val tf = docs
-      .select(col(idCol).cast("long").as("doc_id"), explode(bgList).as("bg"))
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), explode(bgList).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2")
       .agg(count(lit(1)).cast("long").as("tf"))

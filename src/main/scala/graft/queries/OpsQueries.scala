@@ -194,8 +194,6 @@ object OpsQueries {
     "text_reuse_pairs" -> { (s, dir) => TextAnalysis.winnowReusePairs(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
-    // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
-    // every 8th re-ingested under a fresh id (mirrored in the oracle)
     // Token-distribution drift with all three statuses planted: qqdrift
     // appears only in cur (new), qqgone only in prev (gone), qqshift 8x in
     // prev vs 1x in cur (shifted far below the 500-milli band edge).
@@ -218,6 +216,8 @@ object OpsQueries {
             when(col("doc_id") % 6 === 0, lit(" qqshift")).otherwise(lit(""))).as("text"))
       Corpus.tokenDrift(prev, cur)
     },
+    // snapshot B: every 10th-mod-3 doc removed, every 7th-mod-2 edited,
+    // every 8th re-ingested under a fresh id (mirrored in the oracle)
     "corpus_snapshot_diff" -> { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val cur = d
