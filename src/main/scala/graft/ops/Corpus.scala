@@ -395,15 +395,15 @@ object Corpus {
     * overlap). For every TEST doc: how many of its distinct word n-grams
     * also occur anywhere in the TRAIN split.
     *
-    * Execution shape (one pass over the exploded grams, no recompute):
-    * tokenize -> explode n-grams -> DISTINCT (doc, gram, split) -> a
-    * per-gram window marks grams seen in train -> filter to test rows ->
-    * per-doc aggregate. Three shuffles (gram-triple distinct, gram window,
-    * doc agg), all on near-uniform keys: distinct word n-grams are heavy-
-    * tailed but the per-doc DISTINCT caps any doc's contribution, and a
-    * 5-gram hot enough to skew a partition is exactly the boilerplate the
-    * audit exists to surface. Docs shorter than n tokens produce no grams
-    * and drop out (mirrored in the oracle).
+    * Execution shape: tokenize -> explode n-grams -> DISTINCT (doc, gram,
+    * split) -> the distinct TRAIN gram set left-joins onto the test grams
+    * -> per-doc aggregate. The train-side mark is an aggregate + join, NOT
+    * `max() OVER (PARTITION BY gram)`: a boilerplate 5-gram shared by
+    * millions of train docs is exactly the key a per-gram window would
+    * co-locate on one reducer, while the distinct-aggregate absorbs it in
+    * map-side partials and the gram-keyed join is AQE-skew-splittable.
+    * Docs shorter than n tokens produce no grams and drop out (mirrored
+    * in the oracle).
     *
     * The token array is projected to a named column before the n-gram
     * lambda (see [[TextAnalysis.ngrams]]'s interpreted-HOF caveat).
@@ -431,11 +431,17 @@ object Corpus {
       .select(col("doc_id"), col("split"), TextAnalysis.tokens(col("__text")).as("__tk"))
       .select(col("doc_id"), col("split"), explode(TextAnalysis.ngrams(col("__tk"), n)).as("gram"))
       .distinct()
-    val inTrain = max(when(col("split") === "train", 1).otherwise(0))
-      .over(Window.partitionBy("gram"))
-    grams
-      .withColumn("__in_train", inTrain)
-      .filter(col("split") === "test")
+    // grams is materialized once: the train-distinct branch and the test
+    // filter would otherwise each rerun the tokenize + explode + distinct
+    val g = grams.localCheckpoint()
+    val trainGrams = g
+      .filter(col("split") === "train")
+      .select("gram")
+      .distinct()
+      .withColumn("__in_train", lit(1))
+    g.filter(col("split") === "test")
+      .join(trainGrams, Seq("gram"), "left")
+      .withColumn("__in_train", coalesce(col("__in_train"), lit(0)))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("long").as("n_grams"),

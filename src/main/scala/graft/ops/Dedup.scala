@@ -183,15 +183,11 @@ object Dedup {
     // hot-bucket guard: a bucket of boilerplate text with B members yields
     // B² candidate pairs; capping bucket size bounds the self-join skew
     // (pairs in dropped buckets can still surface via their other bands).
-    // A window count over (band, bkey) shares its shuffle with the self-join
-    // key — one pass, no separate aggregate+semi-join.
-    val bands = bands0
-      .withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
+    // Agg + semi-join (Skew.capHotKeys), not a window count — the hot
+    // bucket the cap exists for is exactly the key a window partitioning
+    // would serialize on one reducer.
+    val bands = Skew
+      .capHotKeys(bands0, Seq("band", "bkey"), maxBucket)
       .localCheckpoint() // numBands rows/doc; both sides of the self-join
     val candidates = bands
       .as("x")
@@ -246,13 +242,9 @@ object Dedup {
     val shP = shingleArrays(probe, shingle, textCol, idCol)
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
     val bandsP = bandTable(shP, numHashes, rowsPerBand)
-    val bandsC = bandTable(shC, numHashes, rowsPerBand)
-      .withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
+    // corpus-side hot-bucket cap via agg + semi-join, same reasoning as
+    // [[minHashLsh]] — the corpus is the 100 TB side
+    val bandsC = Skew.capHotKeys(bandTable(shC, numHashes, rowsPerBand), Seq("band", "bkey"), maxBucket)
     val candidates = bandsP
       .as("x")
       .join(
@@ -450,20 +442,20 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val fp = simHashWide(docs, textCol, idCol).localCheckpoint()
-    val bands = fp
-      .select(
+    // hot-bucket cap via agg + semi-join (Skew.capHotKeys), never a window
+    // count: the degenerate band (empty-doc simhash 0) would serialize on
+    // one reducer under a window partitioning. Re-deriving the 4-element
+    // posexplode per consumer is cheap because fp is checkpointed.
+    val bands = Skew.capHotKeys(
+      fp.select(
         col("doc_id"),
         col("simhash"),
         posexplode(
           array((0 until 4).map(b =>
             shiftright(col("simhash"), 15 * b).bitwiseAND(32767L)): _*))
-          .as(Seq("band", "bkey")))
-      .withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"),
+      maxBucket)
     bands
       .as("a")
       .join(
@@ -528,8 +520,10 @@ object Dedup {
     val fp = hashes
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       .localCheckpoint()
-    val bands = fp
-      .select(
+    // agg + semi-join cap, not a window count — same reducer-skew argument
+    // as [[simHashPairs]] (the all-black/all-white hash 0 bucket is hot)
+    val bands = Skew.capHotKeys(
+      fp.select(
         col("doc_id"),
         col("hash_hi"),
         col("hash_lo"),
@@ -539,13 +533,9 @@ object Dedup {
             shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
             col("hash_hi").bitwiseAND(65535L),
             shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
-          .as(Seq("band", "bkey")))
-      .withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= maxBucket)
-      .drop("bn")
+          .as(Seq("band", "bkey"))),
+      Seq("band", "bkey"),
+      maxBucket)
     bands
       .as("a")
       .join(
@@ -591,17 +581,15 @@ object Dedup {
               sequence(lit(0), size(col("tks")) - n),
               i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))
           .as("gram"))
-    // A window count over gram shares the shuffle with the df-cap filter and
-    // evaluates the expensive explode exactly once; the surviving inverted
-    // index `g` is materialized before feeding three consumers (sizes + both
-    // sides of the self-join) — same recompute guard as minHashLsh.
-    val g = grams
-      .withColumn(
-        "df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gram")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
-      .localCheckpoint()
+    // The df cap is agg + semi-join (Skew.capHotKeys), not a window count:
+    // the boilerplate gram the cap exists to drop is exactly the key a
+    // window partitioning would pile onto one reducer. capHotKeys scans
+    // `grams` twice (partial-agg branch + join left) — two doc scans, each
+    // with the hot gram absorbed map-side, versus one reducer owning every
+    // posting. The surviving inverted index `g` is then materialized before
+    // feeding three consumers (sizes + both self-join sides) — same
+    // recompute guard as minHashLsh.
+    val g = Skew.capHotKeys(grams, Seq("gram"), dfCap).localCheckpoint()
     val sizes = g.groupBy("id").agg(count(lit(1)).cast("long").as("n"))
     g.as("a")
       .join(g.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))

@@ -41,4 +41,28 @@ object Skew {
       .join(replicated.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
+
+  /** Drop every row whose key group exceeds `maxCount` — the hot-key cap
+    * used by all pair-generating inverted indexes (SimHash/aHash bands,
+    * n-gram and winnowing postings).
+    *
+    * Deliberately an aggregate + semi-join, NOT `count() OVER (PARTITION
+    * BY key)`: a window count must co-locate EVERY posting of a hot key on
+    * one reducer before the filter can drop it — the degenerate key the
+    * cap exists for (empty-doc simhash 0, boilerplate shingles) is exactly
+    * the one that would overwhelm that reducer, and AQE's skew handling
+    * does not split window exchanges. The agg path absorbs the hot key in
+    * map-side partial counts, and the semi-join back IS
+    * AQE-skew-splittable. Costs one extra scan of `df` versus the window
+    * (callers materialize the exploded input once when that scan is
+    * expensive).
+    */
+  def capHotKeys(df: DataFrame, keys: Seq[String], maxCount: Long): DataFrame = {
+    val cold = df
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+      .filter(col("__kn") <= maxCount)
+      .select(keys.map(col): _*)
+    df.join(cold, keys, "left_semi")
+  }
 }

@@ -551,9 +551,11 @@ object TextAnalysis {
     * [[graft.ops.Dedup.ngramJaccard]] — fingerprints appearing in more
     * than `dfCap` docs (boilerplate runs: licenses, navigation) are
     * dropped on both sides BEFORE the self-join, bounding candidate pairs
-    * by Σ df² over surviving fingerprints; the df filter is a window
-    * count sharing the fp-key shuffle, and the surviving index is
-    * materialized once before feeding both join sides.
+    * by Σ df² over surviving fingerprints; the df filter is an aggregate +
+    * semi-join ([[graft.ops.Skew.capHotKeys]] — map-side partials absorb
+    * the hot fingerprint a window count would serialize on one reducer),
+    * and the surviving index is materialized once before feeding both
+    * join sides.
     */
   def winnowReusePairs(
       docs: DataFrame,
@@ -563,12 +565,14 @@ object TextAnalysis {
       w: Int = 4,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val fps = winnowFps(docs, k, w, textCol, idCol)
+    // the compact (doc_id, fp) posting table is materialized once so the
+    // cap's two scans (partial-agg branch + semi-join left) do not rerun
+    // winnowFps' window + distinct; the capped index is materialized again
+    // before feeding both self-join sides
+    val raw = winnowFps(docs, k, w, textCol, idCol)
       .select(col("doc_id"), col("fp"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
-      .filter(col("df") <= dfCap)
-      .drop("df")
       .localCheckpoint()
+    val fps = graft.ops.Skew.capHotKeys(raw, Seq("fp"), dfCap).localCheckpoint()
     fps
       .as("a")
       .join(fps.as("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -69,24 +69,44 @@ class PlanShapeSpec extends SparkSpec {
       "the shingle explode must be evaluated once, not once per consumer")
   }
 
-  test("minHashLsh: hot-bucket cap filters upstream of the candidate self-join") {
-    // the window-count bucket guard must run BEFORE the join (on the
-    // checkpointed bands), so a boilerplate bucket can never produce B²
-    // join rows. The materialization boundary hides the window from the
-    // final plan, so assert on the bands subtree itself.
+  test("hot-key cap (capHotKeys) is agg + semi-join — never a window over the posting key") {
+    // the materialization boundary hides the cap from minHashLsh's final
+    // plan, so assert on the capped bands subtree itself: the hot bucket
+    // must be absorbed by map-side partial counts and re-attached via an
+    // AQE-splittable semi-join — a Window here co-locates every posting of
+    // the degenerate key on one reducer
     val shingles = docsDf
       .select(col("doc_id").as("id"), explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
     val bands = graft.ops.Dedup.lshBands(
       graft.ops.Dedup.minHashSignature(shingles, 8), 8, 2)
-    val capped = bands
-      .withColumn(
-        "bn",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bn") <= 50)
-    val p = plan(capped)
-    assert(p.contains("Window"), p.take(1500))
-    assert(!p.contains("SinglePartition"), "bucket-count window must partition by (band,bkey)")
+    val p = plan(graft.ops.Skew.capHotKeys(bands, Seq("band", "bkey"), 50))
+    assert(!p.contains("Window"), "cap must not be a window count:\n" + p.take(1500))
+    assert(p.contains("LeftSemi"), "cap must re-attach via semi-join:\n" + p.take(1500))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "bucket counts must partial-aggregate map-side:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("pair generators: no Window over any posting key (simhash/ahash bands, grams, winnow fps)") {
+    // simHashPairs and aHashPairs expose the cap in their final plan (the
+    // fingerprint checkpoint sits BELOW it); ngramJaccard and
+    // winnowReusePairs cap behind a materialization boundary, so for them
+    // the assertion is simply that nothing else smuggled a window in.
+    val pSim = plan(graft.ops.Dedup.simHashPairs(docsDf))
+    assert(!pSim.contains("Window"), "simHashPairs cap regressed to a window:\n" + pSim.take(1500))
+    assert(pSim.contains("LeftSemi"), pSim.take(1500))
+    val hashes = docsDf.select(
+      col("doc_id"),
+      pmod(hash(col("doc_id")), lit(65536)).cast("long").as("hash_hi"),
+      pmod(hash(col("doc_id"), lit(7)), lit(65536)).cast("long").as("hash_lo"))
+    val pA = plan(graft.ops.Dedup.aHashPairs(hashes))
+    assert(!pA.contains("Window"), "aHashPairs cap regressed to a window:\n" + pA.take(1500))
+    val pNg = plan(graft.ops.Dedup.ngramJaccard(docsDf))
+    assert(!pNg.contains("Window"), pNg.take(1500))
+    val pWr = plan(graft.ops.TextAnalysis.winnowReusePairs(docsDf))
+    assert(!pWr.contains("Window"), pWr.take(1500))
+    val pCt = plan(graft.ops.Corpus.contaminationNgrams(docsDf))
+    assert(!pCt.contains("Window"), "contamination train-mark must be agg+join:\n" + pCt.take(1500))
   }
 
   test("ngramJaccard: no cartesian product; inverted index materialized once") {
