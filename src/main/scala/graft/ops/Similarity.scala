@@ -98,12 +98,19 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: k-means over the corpus (deterministic init =
-    * the `nCentroids` lowest-id vectors; fixed Lloyd iterations). Returns
-    * (centroid_id, centroid) with centroids as array<float>.
+    * the corpus vectors with id < `nCentroids`, the same seed rule as the
+    * flat quantizer; fixed Lloyd iterations). Returns (centroid_id,
+    * centroid) with centroids as array<float>.
     *
-    * Iterative FP means-of-means are not oracle-mirrorable (summation order
-    * differs across engines), so IVF ships with a rows-only driver check
-    * and a recall-vs-brute-force spec instead.
+    * Every stage is integer- or rounding-stabilized so the WHOLE k-means
+    * is hash-identical across engines (the move that retired this
+    * operator's rows-only check): assignment ranks by cosine rounded to 6
+    * places with centroid-id tie-break, and the Lloyd mean is integer
+    * milli-units — `floor(sum(round(x*1000)) / count)` per dimension —
+    * whose integer sum is summation-order-independent, unlike a float
+    * avg(). The milli value maps back to a float via `(m / 1000.0)::float`,
+    * bit-identical in any IEEE engine. A cell that loses all members
+    * simply drops out (mirrored in the oracle).
     */
   def ivfCentroids(
       corpus: DataFrame,
@@ -113,41 +120,44 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // Deterministic init: the nCentroids lowest-id vectors, ids assigned on
-    // the driver (centroid sets are tiny by construction — never a global
-    // window / single-partition exchange for this).
-    var cents: Seq[(Int, Seq[Float])] = corpus
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(vecCol))
+    var cents: Seq[(Long, Seq[Float])] = corpus
+      .filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .toSeq
-      .zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Float](0)) }
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
     // Each Lloyd iteration materializes its centroids back to a driver-side
     // literal (<= nCentroids rows). Without this, iteration N's plan embeds
     // iterations 1..N-1 and every downstream reference re-evaluates the whole
     // k-means lineage — the classic iterative-algorithm anti-pattern.
     (1 to iters).foreach { _ =>
       val assigned = assign(corpus, cents.toDF("centroid_id", "centroid"), idCol, vecCol)
-      // element-wise mean per cell: posexplode → avg per dimension → re-pack
+      // element-wise milli-mean per cell: posexplode → integer mean per
+      // dimension → re-pack sorted by position
       cents = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)))
         .groupBy("centroid_id", "pos")
-        .agg(avg(col("col")).cast("float").as("m"))
+        .agg(
+          floor(
+            sum(round(col("col").cast("double") * 1000, 0).cast("long")).cast("double") /
+              count(lit(1))).cast("long").as("m"))
         .groupBy("centroid_id")
         .agg(
           transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")).as("centroid"))
+            s => (s.getField("m").cast("double") / lit(1000.0)).cast("float")).as("centroid"))
         .collect()
         .toSeq
-        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
     }
     cents.toDF("centroid_id", "centroid")
   }
 
-  /** Nearest-centroid assignment (centroids broadcast). */
+  /** Nearest-centroid assignment (centroids broadcast). Rounds the cosine
+    * to 6 places before ranking — ties break on centroid id, so the
+    * assignment is engine-portable under FP noise (same contract as
+    * [[ivfFlatTopK]]'s cells).
+    */
   private def assign(
       corpus: DataFrame,
       cents: DataFrame,
@@ -155,7 +165,7 @@ object Similarity {
       vecCol: String): DataFrame =
     corpus
       .crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
       .withColumn(
         "rn",
         row_number().over(
@@ -290,6 +300,8 @@ object Similarity {
     * `nProbe` nearest cells, exact-cosine rerank within the probed
     * candidates. The cross join shrinks from |Q|x|corpus| to
     * |Q|x(probed cells' members) — the standard recall/cost dial.
+    * Probe ranking rounds to 6 places like every other stage, completing
+    * the [[ivfCentroids]] determinism contract end-to-end.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -305,7 +317,7 @@ object Similarity {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
       .withColumn(
         "prn",
         row_number().over(

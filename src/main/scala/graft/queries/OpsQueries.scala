@@ -174,8 +174,9 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
-    // IVF is FP-iterative (k-means) → not oracle-mirrorable; declared
-    // without oracleSql for the driver's rows-only check
+    // full k-means IVF: the Lloyd loop is integer-milli-stabilized
+    // (Similarity.ivfCentroids), so all 3 iterations unroll into the
+    // DuckDB oracle and the operator is hash-checked end-to-end
     "similarity_topk_ivf" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") < 8), e, k = 5)
@@ -1057,6 +1058,60 @@ object OpsQueries {
         |  FROM documents)
         |SELECT g.doc_id, g.fingerprint FROM grp g
         |WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fingerprint = g.fingerprint)""".stripMargin,
+    // Mirrors Similarity.ivfCentroids/ivfTopK: 3 unrolled Lloyd iterations.
+    // Each iteration = nearest-centroid assignment (cosine rounded to 6,
+    // centroid-id tie-break) then integer milli-means per dimension
+    // (floor(sum(round(x*1000))/count), order-independent) mapped back to
+    // float via m/1000.0 — the determinism contract that lets a full
+    // FP-iterative k-means hash-match across engines.
+    "similarity_topk_ivf" -> {
+      val dotCv =
+        "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.cv[i]))"
+      def assignCte(name: String, cents: String) =
+        s"""$name AS (
+           |  SELECT id, v, nrm, cid FROM (
+           |    SELECT q.id, q.v, q.nrm, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.id
+           |             ORDER BY round($dotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+           |    FROM e q CROSS JOIN $cents c)
+           |  WHERE rn = 1)""".stripMargin
+      def lloydCtes(k: Int) =
+        s"""${assignCte(s"a$k", s"c${k - 1}")},
+           |m$k AS (
+           |  SELECT cid, i,
+           |         CAST(floor(CAST(SUM(CAST(round(CAST(v[i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS DOUBLE)
+           |                    / COUNT(*)) AS BIGINT) AS m
+           |  FROM a$k, range(1, 65) t(i) GROUP BY 1, 2),
+           |c$k AS (
+           |  SELECT cid, cv,
+           |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * cv[i]))) AS cnrm
+           |  FROM (SELECT cid,
+           |               list_transform(list(m ORDER BY i), mm -> CAST(CAST(mm AS DOUBLE) / 1000.0 AS FLOAT)) AS cv
+           |        FROM m$k GROUP BY cid))""".stripMargin
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |c0 AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM e WHERE id < 16),
+         |${lloydCtes(1)},
+         |${lloydCtes(2)},
+         |${lloydCtes(3)},
+         |${assignCte("cells", "c3")},
+         |probes AS (
+         |  SELECT id AS query_id, v AS qv, nrm AS qnrm, cid FROM (
+         |    SELECT q.id, q.v, q.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($dotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+         |    FROM e q CROSS JOIN c3 c WHERE q.id < 8)
+         |  WHERE prn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, m.id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |                 i -> CAST(p.qv[i] AS DOUBLE) * m.v[i])) / (p.qnrm * m.nrm), 6) AS cos_r
+         |  FROM probes p JOIN cells m ON p.cid = m.cid AND m.id <> p.query_id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
     "similarity_topk_ivf_flat" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |asg AS (

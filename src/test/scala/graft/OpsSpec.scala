@@ -398,19 +398,43 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
-  test("signLshTopK results are a subset of brute-force with matching ranks-by-score") {
-    val e = spark.read.parquet(s"$sf/embeddings.parquet")
-    val q = e.filter(col("vec_id") < 4)
-    val brute = Similarity.bruteForceTopK(q, e, k = 50)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Similarity.signLshTopK(q, e, k = 5)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    // every LSH hit is a real corpus vector in the same bucket; recall is
-    // partial by design — just require non-trivial overlap machinery works
+  test("signLshTopK recovers brute-force hits on a separable clustered corpus") {
+    // Same separable fixture as the IVF tests: cluster c lives on dims
+    // (2c, 2c+1), cross-cluster cosine exactly 0. Sign buckets over the
+    // first 8 dims put every candidate a query meets in its own cluster
+    // (clusters 0-3) or in the all-zero bucket shared by clusters 4-7 —
+    // either way the rounded-cosine rerank must surface same-cluster
+    // vectors that brute-force also ranks top-5, so genuine containment
+    // in brute@5 is provable, not vacuous (the old assertion
+    // `lsh ⊆ lsh ∪ brute` was a tautology).
+    val s = spark
+    import s.implicits._
+    val clustered = (for {
+      c <- 0 until 8
+      j <- 0 until 20
+    } yield {
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.01f * (j % 5)
+      (j * 8L + c, v)
+    }).toDF("vec_id", "embedding")
+    val q = clustered.filter(col("vec_id") < 8)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.bruteForceTopK(q, clustered, k = 5))
+    val lsh = hits(Similarity.signLshTopK(q, clustered, k = 5))
     assert(lsh.nonEmpty)
-    assert(lsh.toSet.subsetOf(lsh.toSet | brute))
+    assert(lsh.subsetOf(brute), s"LSH hits outside brute top-5: ${lsh -- brute}")
+    // clusters 4-7 share one bucket, so those queries see their whole
+    // cluster and must recover brute-force exactly
+    val full = (4L until 8L).toSet
+    assert(brute.filter(h => full(h._1)) == lsh.filter(h => full(h._1)))
+    // real embeddings: machinery still returns ranked non-self hits
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val lshE = Similarity.signLshTopK(e.filter(col("vec_id") < 4), e, k = 5).collect()
+    assert(lshE.nonEmpty)
+    assert(lshE.forall(r => r.getLong(0) != r.getLong(2)))
   }
 
   test("bpeTokens splits on word boundaries keeping punctuation tokens") {

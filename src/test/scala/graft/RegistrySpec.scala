@@ -9,10 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RegistrySpec extends AnyFunSuite {
 
-  /** Queries deliberately shipped without oracle SQL (FP-iterative —
-    * documented in OPERATORS.md), nothing else.
+  /** Queries deliberately shipped without oracle SQL — none since the
+    * k-means IVF was integer-milli-stabilized (Similarity.ivfCentroids)
+    * and its 3 Lloyd iterations unrolled into DuckDB SQL.
     */
-  private val declaredRowsOnly = Set("similarity_topk_ivf")
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every registered query has oracle SQL unless declared rows-only") {
     val q = SparkEntry.queries.keySet
