@@ -276,13 +276,18 @@ object Dedup {
     * Execution shape: Pregel-style min-label propagation — one shuffle
     * (edges ⋈ labels, then min-agg) per iteration, iterated to fixpoint with
     * a driver-side scalar convergence check (the standard distributed-CC
-    * control loop; the data never visits the driver). Labels are
-    * materialized per iteration so iteration N's plan does not embed
-    * 1..N-1 (the IVF lineage lesson). Iteration count is bounded by the
-    * component diameter; near-dup clusters are shallow (pairs share LSH
-    * buckets), so 2-4 iterations converge in practice. At 100 TB the same
-    * loop holds: each step is an equi-join shuffle on uniformly-hashed ids,
-    * and a hot component caps out as one skewed-but-bounded aggregation key.
+    * control loop; the data never visits the driver). Fixpoint detection
+    * rides the SAME shuffle as the label update: each id's previous label
+    * is tagged into the union feeding the min-agg, so `changed` is a
+    * filter-count over the (lazily checkpointed) agg output — the count is
+    * the action that materializes the checkpoint, one job per iteration,
+    * no separate convergence join. Labels are materialized per iteration
+    * so iteration N's plan does not embed 1..N-1 (the IVF lineage lesson).
+    * Iteration count is bounded by the component diameter; near-dup
+    * clusters are shallow (pairs share LSH buckets), so 2-4 iterations
+    * converge in practice. At 100 TB the same loop holds: each step is an
+    * equi-join shuffle on uniformly-hashed ids, and a hot component caps
+    * out as one skewed-but-bounded aggregation key.
     */
   def clusterPairs(
       pairs: DataFrame,
@@ -298,21 +303,24 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    val labelType = labels.schema("label").dataType
     var changed = 1L
     while (changed > 0) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("label"))
+      // `labels` contributes exactly one row per id, tagged with prev =
+      // its current label; neighbor rows carry prev = null. max(prev)
+      // recovers the unique previous label in the same aggregation that
+      // computes the new min-label — no second join to detect movement.
       val next = neighborLabels
-        .unionAll(labels)
+        .select(col("id"), col("label"), lit(null).cast(labelType).as("prev"))
+        .unionAll(labels.select(col("id"), col("label"), col("label").as("prev")))
         .groupBy("id")
-        .agg(min("label").as("label"))
-        .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("id"))
-        .filter(col("label") < col("prev"))
-        .count()
-      labels = next
+        .agg(min("label").as("label"), max("prev").as("prev"))
+        .localCheckpoint(eager = false)
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.select("id", "label")
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -23,7 +23,15 @@ object Graph {
     * damped random walk, un-normalized (ranks are relative scores, not a
     * probability distribution; with damping 850 the un-normalized fixed
     * point is the same ordering PageRank gives). Nodes with no in-edges
-    * hold at the teleport floor.
+    * hold at the teleport floor. DANGLING nodes (no out-edges — sinks)
+    * simply absorb: their rank mass is dropped each iteration rather than
+    * redistributed over all nodes, so total mass is NOT conserved — a
+    * deliberate, oracle-stable departure from textbook PageRank (the
+    * redistribution term would add an all-nodes broadcast join per
+    * iteration for no change in ordering on the graphs this ranks).
+    * Callers needing a true probability distribution should normalize
+    * downstream; callers comparing ranks across runs of the SAME graph
+    * are unaffected.
     *
     * Scale shape — the iterative-algorithm discipline this repo learned
     * the hard way on IVF (see SCALE.md): the edge and degree tables are

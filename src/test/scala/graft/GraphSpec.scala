@@ -35,6 +35,21 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("Join"), "unmaterialized iterative lineage:\n" + plan.take(1000))
   }
 
+  test("pageRankMilli: dangling sink absorbs mass (documented un-normalized semantics)") {
+    // 1 -> 3, 2 -> 3; node 3 has NO out-edges. Its inbound mass is dropped
+    // each iteration, not redistributed — pin the documented behavior.
+    // deg = {1:1, 2:1}; r0 = 1000 each.
+    // iter1: n3 inbound = 2000 -> r1(3) = 150 + 1700 = 1850; n1 = n2 = 150.
+    // iter2: n3 inbound = 300  -> r2(3) = 150 + 255  = 405;  n1 = n2 = 150.
+    // Total mass shrinks (3000 -> 2150 -> 705): the sink absorbed it.
+    val sink = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.pageRankMilli(sink, iters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 150L, 2L -> 150L, 3L -> 1850L))
+    val r2 = Graph.pageRankMilli(sink, iters = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 150L, 2L -> 150L, 3L -> 405L))
+    assert(r2.values.sum < r1.values.sum, "dangling mass must drain, not conserve")
+  }
+
   test("pageRankMilli: rank mass follows in-degree on a star graph") {
     // hub 0 receives from 50 spokes; every spoke only from the hub
     val star = (1L to 50L).flatMap(i => Seq((i, 0L), (0L, i))).toDF("src", "dst")
