@@ -105,6 +105,33 @@ object MediaSynth {
     buf.array()
   }
 
+  /** Fixture media TABLE per the [[graft.ops.Multimodal.asMedia]] contract
+    * (`doc_id, kind, n_bytes, media`): ids from `docs` mapped through a
+    * per-doc byte generator, partition-parallel. This is the bridge the
+    * query registry and specs use to feed the decoupled multimodal faces;
+    * production media arrives via `spark.read.format("binaryFile")` or a
+    * parquet landing zone with the same four columns.
+    */
+  def mediaTable(
+      docs: org.apache.spark.sql.DataFrame,
+      kind: String,
+      gen: Long => Array[Byte],
+      idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val b = gen(id)
+          graft.ops.MediaRow(id, kind, b.length.toLong, b)
+        }
+      }
+      .toDF()
+  }
+
   /** Per-doc clip: 3..6 frames of the doc's BMP geometry; frame f shifts the
     * red channel by 19·f — mirrored in the oracle as
     * `(doc_id + 19*f + 7*(k % w) + 13*(k // w)) % 256`.

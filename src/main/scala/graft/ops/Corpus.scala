@@ -298,8 +298,10 @@ object Corpus {
     * (cur_ppm * 1000) div prev_ppm` — all integer, so hash-stable.
     * Tokens absent from one side report status 'new'/'gone' with
     * drift_milli = -1 (also used when prev_ppm rounds to 0); 'shifted'
-    * rows are kept only when the ratio leaves the [500, 2000] band, so
-    * the report is the exceptional tail, not the vocabulary.
+    * rows are kept only when the ratio leaves the OPEN band (500, 2000) —
+    * the boundary values 500 and 2000 themselves are reported (filter
+    * keeps `<= 500` and `>= 2000`) — so the report is the exceptional
+    * tail, not the vocabulary.
     *
     * Scale shape: one explode + hash agg per snapshot (uniform token
     * keys, map-side partials absorb hot tokens), each tf table

@@ -33,15 +33,17 @@ object Dedup {
     * the start and then diverge enough to slip past whole-doc exact dedup
     * (a lighter complement to [[minHashLsh]]: one agg, no pair
     * generation). Docs shorter than `nTokens` group by their full token
-    * list. Same shape as [[exactGroups]]: one hash aggregation on a
-    * uniform md5 key with map-side partials, so a million-doc template
-    * family collapses inside each map task.
+    * list; docs with NO tokens (empty/whitespace-only) are excluded — they
+    * share no template, and grouping them would report one giant
+    * false-positive "empty prefix" family. Same shape as [[exactGroups]]:
+    * one hash aggregation on a uniform md5 key with map-side partials, so
+    * a million-doc template family collapses inside each map task.
     */
   def prefixGroups(docs: DataFrame, nTokens: Int = 8, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .groupBy(
-        md5(concat_ws(" ", slice(TextAnalysis.tokens(col(textCol)), 1, nTokens)))
-          .as("prefix_fp"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) > 0)
+      .groupBy(md5(concat_ws(" ", slice(col("__tk"), 1, nTokens))).as("prefix_fp"))
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 

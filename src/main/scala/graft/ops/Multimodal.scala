@@ -31,6 +31,12 @@ case class WavZc(doc_id: Long, n_samples: Long, zero_crossings: Long)
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
+  * Every DataFrame face consumes a MEDIA TABLE per the [[asMedia]] contract
+  * (`doc_id` long, `media` binary, plus `kind`/`n_bytes` metadata) — built
+  * from `spark.read.format("binaryFile")`, a parquet landing zone, or (in
+  * tests and the query registry) [[graft.etl.MediaSynth.mediaTable]]. The
+  * operators themselves never synthesize bytes.
+  *
   * The decode step is REAL for two pure-JVM formats — uncompressed 24bpp BMP
   * ([[decodeBmp]]: header-field reads, stride math, bottom-up row walk) and
   * PCM16 mono WAV ([[decodeWav]]: RIFF chunk scan, `fmt ` validation,
@@ -222,16 +228,29 @@ object Multimodal {
     out
   }
 
-  /** [[wavZeroCrossings]] over the per-doc fixture WAVs, partition-parallel. */
-  def wavZc(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** [[wavZeroCrossings]] over a media table, partition-parallel. */
+  def wavZc(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.map(id => wavZeroCrossings(id, graft.etl.MediaSynth.docWav(id)))
-      }
+    mediaPairs(media)
+      .mapPartitions(rows => rows.map { case (id, bytes) => wavZeroCrossings(id, bytes) })
       .toDF()
+  }
+
+  /** `(doc_id, media)` typed view of a media table per the [[asMedia]]
+    * contract — the one seam every DataFrame face decodes through, so an
+    * operator never cares whether the bytes came from
+    * `spark.read.format("binaryFile")`, a parquet landing zone, or a test
+    * fixture. Projecting the two columns BEFORE the mapPartitions keeps
+    * parquet column pruning effective (kind/n_bytes and any caller-side
+    * extras never leave the scan).
+    */
+  private def mediaPairs(media: DataFrame): Dataset[(Long, Array[Byte])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("media").cast("binary"))
+      .as[(Long, Array[Byte])]
   }
 
   /** STUB decoder: deterministic pseudo-features from the raw bytes (first 8
@@ -264,21 +283,21 @@ object Multimodal {
       octet_length(col(binCol).cast("binary")).cast("long").as("n_bytes"),
       col(binCol).cast("binary").as("media"))
 
-  /** Decoded image statistics over generated-but-genuine BMP bytes: the
-    * fixture synthesizes a structurally valid BMP per doc
-    * ([[graft.etl.MediaSynth.docBmp]]), the decoder parses it for real, and
-    * the per-channel means are computed declaratively on the decoded sums so
-    * the arithmetic (and its rounding) mirrors the oracle exactly.
+  /** Decoded image statistics over a media table of BMP bytes (the
+    * [[asMedia]] contract: `doc_id`, `media` binary — from
+    * `spark.read.format("binaryFile")`, a parquet landing zone, or a
+    * fixture). The decoder parses the bytes for real, and the per-channel
+    * means are computed declaratively on the decoded sums so the
+    * arithmetic (and its rounding) mirrors the oracle exactly.
     */
-  def bmpFeatures(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def bmpFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
     val px = col("width").cast("long") * col("height")
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
+    mediaPairs(media)
+      .mapPartitions { rows =>
         // per-partition decoder scope (codec init amortization point)
-        ids.map(id => decodeBmp(id, graft.etl.MediaSynth.docBmp(id)))
+        rows.map { case (id, bytes) => decodeBmp(id, bytes) }
       }
       .toDF()
       .select(
@@ -296,17 +315,14 @@ object Multimodal {
     * index arithmetic over the generating formula.
     */
   def bmpResized(
-      spark: SparkSession,
-      docs: DataFrame,
+      media: DataFrame,
       tw: Int = 2,
-      th: Int = 2,
-      idCol: String = "doc_id"): DataFrame = {
+      th: Int = 2): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.map(id => resizeBmpNearest(id, graft.etl.MediaSynth.docBmp(id), tw, th))
+    mediaPairs(media)
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => resizeBmpNearest(id, bytes, tw, th) }
       }
       .toDF()
       .select(col("doc_id"), col("sum_r"), col("sum_g"), col("sum_b"))
@@ -361,15 +377,12 @@ object Multimodal {
     AHash(id, hi, lo)
   }
 
-  /** [[aHashBmp]] over the per-doc fixture BMPs, partition-parallel. */
-  def bmpAHashes(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  /** [[aHashBmp]] over a media table of BMPs, partition-parallel. */
+  def bmpAHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.map(id => aHashBmp(id, graft.etl.MediaSynth.docBmp(id)))
-      }
+    mediaPairs(media)
+      .mapPartitions(rows => rows.map { case (id, bytes) => aHashBmp(id, bytes) })
       .toDF()
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
   }
@@ -406,19 +419,16 @@ object Multimodal {
     out.result()
   }
 
-  /** DataFrame face of [[sampleFrames]]: one row per sampled frame per doc. */
-  def frameSamples(
-      spark: SparkSession,
-      docs: DataFrame,
-      every: Int = 2,
-      idCol: String = "doc_id"): DataFrame = {
+  /** DataFrame face of [[sampleFrames]] over a media table of GVID
+    * containers: one row per sampled frame per doc.
+    */
+  def frameSamples(media: DataFrame, every: Int = 2): DataFrame = {
     require(every > 0, s"every must be positive (got $every)")
+    val spark = media.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.flatMap(id => sampleFrames(id, graft.etl.MediaSynth.docVideo(id), every))
+    mediaPairs(media)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) => sampleFrames(id, bytes, every) }
       }
       .toDF()
       .select(col("doc_id"), col("frame_id"), col("sum_r"), col("sum_g"), col("sum_b"))
@@ -435,15 +445,15 @@ object Multimodal {
     * (decode is row-local); the only stateful step is a lag window
     * partitioned by doc_id — per-clip state bounded by clip length, keys
     * uniform. Emits one row per frame after the first: the diff and the
-    * cut flag (BIGINT 0/1, oracle-hashable).
+    * cut flag (BIGINT 0/1, oracle-hashable). The window/select columns are
+    * [[frameSamples]]' documented output schema (`doc_id`, `frame_id`,
+    * channel sums), which is why this face takes no id-column parameter.
     */
   def sceneCuts(
-      spark: SparkSession,
-      docs: DataFrame,
-      threshold: Long = 1500,
-      idCol: String = "doc_id"): DataFrame = {
+      media: DataFrame,
+      threshold: Long = 1500): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("frame_id")
-    frameSamples(spark, docs, every = 1, idCol)
+    frameSamples(media, every = 1)
       .withColumn("lum", col("sum_r") + col("sum_g") + col("sum_b"))
       .withColumn("diff", abs(col("lum") - lag("lum", 1).over(w)))
       .filter(col("diff").isNotNull)
@@ -459,14 +469,11 @@ object Multimodal {
     * a pixel walk. RMS = sqrt(sum_sq / n) evaluated in IEEE double on both
     * engines (integer sums are exact, so no summation-order hazard).
     */
-  def wavFeatures(spark: SparkSession, docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long"))
-      .as[Long]
-      .mapPartitions { ids =>
-        ids.map(id => decodeWav(id, graft.etl.MediaSynth.docWav(id)))
-      }
+    mediaPairs(media)
+      .mapPartitions(rows => rows.map { case (id, bytes) => decodeWav(id, bytes) })
       .toDF()
       .select(
         col("doc_id"),

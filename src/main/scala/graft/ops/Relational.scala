@@ -240,6 +240,13 @@ object Relational {
     * the same key (co-partitioned), and at typical CDC rates (feed ≪
     * snapshot) AQE turns it into a broadcast join of the reduced feed.
     * Nothing is ever re-read or recomputed: one pass over each input.
+    *
+    * PRECONDITION: `target` must be unique per key (the usual snapshot
+    * contract). Duplicate target keys are NOT collapsed — each copy fans
+    * out through the full-outer join and is overwritten with the same
+    * winning change, so the duplicates survive into the output. Run
+    * [[graft.ops.Checks.audit]]-style uniqueness validation upstream if
+    * the snapshot's provenance is untrusted.
     */
   def mergeApply(
       target: DataFrame,

@@ -22,6 +22,17 @@ object OpsQueries {
   private def embs(s: SparkSession, dir: String) =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  // fixture media tables (asMedia contract) feeding the decoupled
+  // multimodal faces; the faces themselves never see MediaSynth
+  private def bmpMedia(s: SparkSession, dir: String) =
+    graft.etl.MediaSynth.mediaTable(docs(s, dir), "image/bmp", graft.etl.MediaSynth.docBmp)
+
+  private def wavMedia(s: SparkSession, dir: String) =
+    graft.etl.MediaSynth.mediaTable(docs(s, dir), "audio/wav", graft.etl.MediaSynth.docWav)
+
+  private def videoMedia(s: SparkSession, dir: String) =
+    graft.etl.MediaSynth.mediaTable(docs(s, dir), "video/gvid", graft.etl.MediaSynth.docVideo)
+
   /** documents ∪ re-inserted copies of every 10th doc (planted exact dups). */
   private def dupDocs(s: SparkSession, dir: String) = {
     val d = docs(s, dir).select("doc_id", "text")
@@ -264,33 +275,33 @@ object OpsQueries {
         .select("doc_id", "kind", "n_bytes", "media_md5")
     },
     "multimodal_decode_bmp" -> { (s, dir) =>
-      Multimodal.bmpFeatures(s, docs(s, dir))
+      Multimodal.bmpFeatures(bmpMedia(s, dir))
     },
     "multimodal_decode_wav" -> { (s, dir) =>
-      Multimodal.wavFeatures(s, docs(s, dir))
+      Multimodal.wavFeatures(wavMedia(s, dir))
     },
     "multimodal_ahash" -> { (s, dir) =>
-      Multimodal.bmpAHashes(s, docs(s, dir))
+      Multimodal.bmpAHashes(bmpMedia(s, dir))
     },
     // every 25th image re-ingested under a fresh id (hash copied, so the
     // planted pair is exact: hamming 0) — mirrored in the oracle
     "multimodal_ahash_pairs" -> { (s, dir) =>
-      val base = Multimodal.bmpAHashes(s, docs(s, dir))
+      val base = Multimodal.bmpAHashes(bmpMedia(s, dir))
       val dupped = base.unionAll(
         base
           .filter(col("doc_id") % 25 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("hash_hi"), col("hash_lo")))
       Dedup.aHashPairs(dupped)
     },
-    "multimodal_wav_zc" -> { (s, dir) => Multimodal.wavZc(s, docs(s, dir)) },
+    "multimodal_wav_zc" -> { (s, dir) => Multimodal.wavZc(wavMedia(s, dir)) },
     "multimodal_resize_bmp" -> { (s, dir) =>
-      Multimodal.bmpResized(s, docs(s, dir), tw = 2, th = 2)
+      Multimodal.bmpResized(bmpMedia(s, dir), tw = 2, th = 2)
     },
     "multimodal_frame_sample" -> { (s, dir) =>
-      Multimodal.frameSamples(s, docs(s, dir), every = 2)
+      Multimodal.frameSamples(videoMedia(s, dir), every = 2)
     },
     "multimodal_scene_cuts" -> { (s, dir) =>
-      Multimodal.sceneCuts(s, docs(s, dir))
+      Multimodal.sceneCuts(videoMedia(s, dir))
     },
     // the built-in session_window face of sessionization: gap-merged
     // windows computed declaratively (split at gap >= 30 min — the
@@ -927,7 +938,7 @@ object OpsQueries {
          |SELECT md5(COALESCE(array_to_string(tk[1:8], ' '), '')) AS prefix_fp,
          |       CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       MIN(doc_id) AS min_doc_id
-         |FROM tks GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+         |FROM tks WHERE len(tk) > 0 GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $tokCtes,
          |th AS (SELECT DISTINCT id, md5(tok) AS h FROM tok),

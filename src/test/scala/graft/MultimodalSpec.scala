@@ -121,7 +121,9 @@ class MultimodalSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     intercept[IllegalArgumentException](
-      Multimodal.frameSamples(spark, Seq(1L).toDF("doc_id"), every = -1))
+      Multimodal.frameSamples(
+        MediaSynth.mediaTable(Seq(1L).toDF("doc_id"), "video/gvid", MediaSynth.docVideo),
+        every = -1))
   }
 
   test("aHashBmp: deterministic, halves fit 32 bits, near-identical images land close") {
@@ -153,16 +155,57 @@ class MultimodalSpec extends SparkSpec {
     assert(z == graft.ops.WavZc(1L, n.toLong, expected.toLong))
   }
 
-  test("bmpFeatures/wavFeatures produce decoded columns on a DataFrame") {
+  test("bmpFeatures/wavFeatures produce decoded columns on a media DataFrame") {
     val s = spark
     import s.implicits._
     val docs = Seq(1L, 2L, 3L).toDF("doc_id")
-    val bf = Multimodal.bmpFeatures(s, docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val bf = Multimodal
+      .bmpFeatures(MediaSynth.mediaTable(docs, "image/bmp", MediaSynth.docBmp))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(bf(2L).getAs[Long]("width") == 4 + 2 % 5)
     assert(bf(2L).getAs[Long]("height") == 3 + 2 % 4)
-    val wf = Multimodal.wavFeatures(s, docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val wf = Multimodal
+      .wavFeatures(MediaSynth.mediaTable(docs, "audio/wav", MediaSynth.docWav))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(wf(3L).getAs[Long]("n_samples") == 64 + 3 % 64)
     assert(wf(3L).getAs[Long]("peak") > 0)
+  }
+
+  test("faces consume ANY media source: binaryFile files and asMedia both feed bmpFeatures") {
+    // The decoupling contract: an operator face must accept real bytes from
+    // spark.read.format("binaryFile") (production shape) and from asMedia
+    // over an in-memory binary column — no fixture coupling inside the op.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bmps")
+    try {
+      for (id <- Seq(11L, 12L)) {
+        java.nio.file.Files.write(dir.resolve(s"$id.bmp"), MediaSynth.docBmp(id))
+      }
+      val binDf = spark.read.format("binaryFile").load(dir.toString)
+      val media = Multimodal.asMedia(
+        binDf.select(
+          org.apache.spark.sql.functions
+            .regexp_extract(org.apache.spark.sql.functions.col("path"), "(\\d+)\\.bmp$", 1)
+            .cast("long")
+            .as("doc_id"),
+          org.apache.spark.sql.functions.col("content")),
+        binCol = "content",
+        kind = "image/bmp")
+      val viaFiles = Multimodal.bmpFeatures(media)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("width")).toMap
+      assert(viaFiles == Map(11L -> (4 + 11 % 5).toLong, 12L -> (4 + 12 % 5).toLong))
+
+      // same bytes through asMedia over an in-memory binary column
+      val inMem = Seq(11L, 12L).map(id => (id, MediaSynth.docBmp(id))).toDF("doc_id", "bytes")
+      val viaAsMedia = Multimodal.bmpFeatures(Multimodal.asMedia(inMem, "bytes", "image/bmp"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("width")).toMap
+      assert(viaAsMedia == viaFiles)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
   }
 
   test("sceneCuts: diffs agree with a direct per-frame decode; both flags occur") {
@@ -170,7 +213,7 @@ class MultimodalSpec extends SparkSpec {
     import s.implicits._
     val ids = (1L to 40L).toSeq
     val got = Multimodal
-      .sceneCuts(s, ids.toDF("doc_id"))
+      .sceneCuts(MediaSynth.mediaTable(ids.toDF("doc_id"), "video/gvid", MediaSynth.docVideo))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
       .toMap

@@ -145,7 +145,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("multimodal decode: partition-parallel map, no exchange before the decode") {
-    val p = plan(graft.ops.Multimodal.bmpFeatures(spark, docsDf))
+    val p = plan(graft.ops.Multimodal.bmpFeatures(
+      graft.etl.MediaSynth.mediaTable(docsDf, "image/bmp", graft.etl.MediaSynth.docBmp)))
     assert(!p.contains("Exchange"), "decode is per-row; a shuffle would be pure overhead:\n" + p.take(1500))
     assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"), p.take(1500))
   }
