@@ -38,10 +38,9 @@ object Relational {
     *
     * Scale: one hash exchange on `keyCol` + per-partition sort — the
     * minimum any ordered-per-key operator can do. A pathologically hot key
-    * serializes within its task like any per-key ordered computation; for
-    * time-ordered data the standard mitigation is pre-bucketing by coarse
-    * time range and as-of joining within (bucket, key) with a carry-in row
-    * per bucket boundary.
+    * serializes within its task like any per-key ordered computation;
+    * [[asOfJoinBucketed]] is the mitigation — same results, per-key
+    * serial work bounded by the time-bucket width.
     *
     * `left` keeps all its columns; `right` must contain `keyCol`, `tsCol`,
     * `ordCol` and `payloadCols`, and `payloadCols` must not collide with
@@ -70,6 +69,99 @@ object Relational {
     attached
       .filter(col("__side") === 1)
       .select((left.columns.toSeq ++ payloadCols).map(col): _*)
+  }
+
+  /** [[asOfJoin]] with bounded per-key serial work: identical results,
+    * but the ordered window runs per (key, time-bucket) instead of per
+    * key, so a hot key's billion rows split across `ts div bucketUnits`
+    * buckets instead of serializing in one task.
+    *
+    * Matches that cross a bucket boundary are restored by a CARRY-IN
+    * stage computed at bucket granularity, never over raw rows: per
+    * (key, bucket, payload column) the bucket-final value is one
+    * `max(struct(ts, ord, c))` aggregation (map-side partials absorb the
+    * hot key), and the running "latest earlier-bucket value" is a window
+    * over that aggregated table — O(active buckets) rows per key, not
+    * O(postings). Right-side states enter that window shifted one bucket
+    * forward (`bucket + 1`), which makes the carry strictly-earlier-bucket
+    * by construction; the within-bucket window handles everything else.
+    * Each left row then takes its within-bucket match, falling back per
+    * column to the carry-in — exactly [[asOfJoin]]'s per-column
+    * last-non-null semantics, verified row-identical in RelationalSpec.
+    *
+    * Choose `bucketUnits` ≫ the median right-event spacing (so most rows
+    * match within their bucket) and ≪ a task's comfortable sort size for
+    * the hottest key.
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      bucketUnits: Long): DataFrame = {
+    require(bucketUnits > 0, s"bucketUnits must be positive (got $bucketUnits)")
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val bkt = expr(s"$tsCol div $bucketUnits")
+    val lb = left.withColumn("__bkt", bkt).withColumn("__side", lit(1))
+    val rb = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__bkt", bkt)
+      .withColumn("__side", lit(0))
+
+    // per-(key, bucket) final value of each payload column: the value from
+    // the latest (ts, ord) right row where that column is non-null
+    val finals = rb
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(
+        payloadCols.map(c =>
+          max(when(col(c).isNotNull, struct(col(tsCol), col(ordCol), col(c))))
+            .as(s"__f_$c")).head,
+        payloadCols.tail.map(c =>
+          max(when(col(c).isNotNull, struct(col(tsCol), col(ordCol), col(c))))
+            .as(s"__f_$c")): _*)
+      .select(
+        col(keyCol) +: col("__bkt") +:
+          payloadCols.map(c => col(s"__f_$c").getField(c).as(s"__fin_$c")): _*)
+
+    // carry-in per left (key, bucket): running last non-null bucket-final
+    // over STRICTLY earlier buckets (right states ride in at bucket + 1)
+    val leftBkts = lb.select(col(keyCol), col("__bkt")).distinct()
+    val carrySrc = leftBkts
+      .withColumn("__sb", col("__bkt"))
+      .withColumn("__cside", lit(1))
+      .unionByName(
+        finals.withColumn("__sb", col("__bkt") + 1).withColumn("__cside", lit(0)),
+        allowMissingColumns = true)
+    val cw = Window
+      .partitionBy(keyCol)
+      .orderBy(col("__sb"), col("__cside"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = payloadCols
+      .foldLeft(carrySrc) { case (df, c) =>
+        df.withColumn(s"__carry_$c", last(col(s"__fin_$c"), ignoreNulls = true).over(cw))
+      }
+      .filter(col("__cside") === 1)
+      .select(
+        col(keyCol) +: col("__bkt") +: payloadCols.map(c => col(s"__carry_$c")): _*)
+
+    // within-bucket as-of (the asOfJoin mechanics, partitioned one level
+    // finer), then per-column fallback to the carry-in
+    val w = Window
+      .partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = payloadCols.foldLeft(lb.unionByName(rb, allowMissingColumns = true)) {
+      case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    attached
+      .filter(col("__side") === 1)
+      .join(carry, Seq(keyCol, "__bkt"), "left")
+      .select(
+        (left.columns.toSeq.map(col) ++
+          payloadCols.map(c => coalesce(col(c), col(s"__carry_$c")).as(c))): _*)
   }
 
   /** Interval range join: pair every probe row whose `tsCol` falls inside

@@ -54,6 +54,31 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("click_ts_us", "click_value"))
     },
+    // Same attribution join through the bucketed variant (30-minute
+    // buckets force plenty of cross-bucket carry-ins at this fixture's
+    // event spacing): must hash-match asof_join_events' oracle exactly.
+    "asof_join_bucketed" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoinBucketed(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"),
+        bucketUnits = HalfHourUs)
+    },
     // Every event falling inside a 30-minute window opened by a severe
     // error ("incident"), aggregated per incident. Incidents are rare, so
     // the interval side broadcasts and the event stream is never shuffled.
@@ -290,6 +315,25 @@ object RelQueries {
 
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+        |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts,
+        |         CASE WHEN event_type = 'click' THEN value END AS c_val
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attached AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |         LAST_VALUE(c_ts IGNORE NULLS) OVER win AS click_ts_us,
+        |         LAST_VALUE(c_val IGNORE NULLS) OVER win AS click_value
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_us, click_ts_us, click_value
+        |FROM attached WHERE side = 1""".stripMargin,
+    // The bucketed operator's contract is bit-identical output to the
+    // plain as-of join, so its oracle IS the plain as-of SQL.
+    "asof_join_bucketed" ->
       """WITH tagged AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,

@@ -74,6 +74,63 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "no global-window single-partition exchange")
   }
 
+  test("asOfJoinBucketed is row-identical to asOfJoin at every bucket width") {
+    def rows(df: DataFrame) = df
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    val plain = rows(
+      Relational.asOfJoin(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val")))
+    // width 1 (every row its own bucket — maximal carry-in traffic),
+    // width 7 (boundaries between quotes), width 1000 (one bucket — pure
+    // within-bucket path): all must reproduce the reference exactly
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val bucketed = rows(
+        Relational.asOfJoinBucketed(
+          trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), w))
+      assert(bucketed == plain, s"bucketUnits=$w diverged")
+    }
+  }
+
+  test("asOfJoinBucketed carries per-column last-non-null across empty and null-payload buckets") {
+    // key 1: quote at ts=5 sets q_val only (q_ts null); quote at ts=8 sets
+    // q_ts only (q_val null); trade at ts=95 is many empty buckets later.
+    // Per-column semantics: q_val from ts=5, q_ts from ts=8 — the carry
+    // must track each column's own latest bucket, not the latest row.
+    val r = Seq(
+      (1L, 1L, 5L, Option.empty[Long], Option(1.5)),
+      (2L, 1L, 8L, Option(8L), Option.empty[Double])
+    ).toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((90L, 1L, 95L)).toDF("event_id", "user_id", "ts_us")
+    for (w <- Seq(1L, 10L)) {
+      val out = Relational
+        .asOfJoinBucketed(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), w)
+        .collect()
+      assert(out.length == 1)
+      assert(Option(out.head.get(out.head.fieldIndex("q_ts"))) == Some(8L), s"w=$w")
+      assert(Option(out.head.get(out.head.fieldIndex("q_val"))) == Some(1.5), s"w=$w")
+    }
+  }
+
+  test("asOfJoinBucketed plan: raw-row window partitions by (key, bucket), never key alone") {
+    val df = Relational.asOfJoinBucketed(
+      trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), 10L)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the per-key window must only run over bucket-aggregated carry rows;
+    // every window over raw postings must include the bucket in its
+    // partitioning — textual guard: each "windowspecdefinition(user_id#..,"
+    // without __bkt in its partition list would be a per-key raw window
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(winSpecs.nonEmpty)
+    val perKeyOnly = winSpecs.filterNot(_.contains("__bkt"))
+    // exactly the carry windows (ordered by __sb) may omit __bkt from
+    // partitioning — they run over per-bucket aggregates
+    assert(perKeyOnly.forall(_.contains("__sb")),
+      "raw-row window partitioned by key alone:\n" + winSpecs.mkString("\n"))
+  }
+
   // ---- bucketized range join ---------------------------------------------
 
   test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket containment") {
