@@ -353,6 +353,38 @@ object Corpus {
           col("drift_milli") >= 2000 || col("drift_milli") <= 500)
   }
 
+  /** Per-source language-mixture audit: document counts and integer
+    * parts-per-million shares per (source, predicted language) — the
+    * crawl-health dashboard row that catches a scraper regression or a
+    * mislabeled source long before eval metrics move (the language-axis
+    * sibling of [[tokenDrift]]'s vocabulary axis).
+    *
+    * Scale shape: [[graft.ops.TextAnalysis.langId]] scores are per-row
+    * column expressions (the source column rides through, no join back);
+    * the count is one hash aggregation over |sources|·|langs| keys with
+    * map-side partials; the per-source totals table is |sources| rows and
+    * broadcasts into the share join. Integer ppm (`n * 1000000 div
+    * total`) keeps the report hash-stable.
+    */
+  def langMixture(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val counts = TextAnalysis
+      .langId(docs, textCol, idCol, keepCols = Seq(srcCol))
+      .groupBy(col(srcCol), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val totals = counts.groupBy(col(srcCol)).agg(sum("n_docs").cast("long").as("__tot"))
+    counts
+      .join(broadcast(totals), Seq(srcCol))
+      .select(
+        col(srcCol),
+        col("lang_pred"),
+        col("n_docs"),
+        expr("n_docs * 1000000 div __tot").cast("long").as("share_ppm"))
+  }
+
   /** Sequence-length bucket audit: assign every document to the smallest
     * power-of-two-ish context bucket that fits it (docs beyond the largest
     * bucket truncate into it) and report per-bucket document counts, real

@@ -254,6 +254,37 @@ object Similarity {
           round(cosine(col("qv"), col("cv")), 6).as("cos_r")),
       k)
 
+  /** Embedding-space coverage audit: vector counts and integer ppm shares
+    * per flat-quantizer cell — the diversity diagnostic run before
+    * training (a cell holding most of the corpus means the embedding
+    * space collapsed: duplicated content, a degenerate encoder, or a
+    * crawl stuck on one site; near-uniform shares mean healthy coverage).
+    * Same cell rule as [[ivfFlatTopK]], so the audit describes exactly
+    * the cells the ANN index would build.
+    *
+    * Scale shape: centroids broadcast, assignment is map-side; the count
+    * is one hash aggregation over nCentroids keys (map-side partials
+    * absorb any hot cell — the hot cell is the finding, not a hazard);
+    * the total is a 1-row broadcast. All integer, oracle-hashable.
+    */
+  def cellBalance(
+      embs: DataFrame,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = flatCents(embs, nCentroids, idCol, vecCol)
+    val counts = flatCells(embs, cents, idCol, vecCol)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).cast("long").as("n_vectors"))
+    val total = counts.agg(sum("n_vectors").cast("long").as("__tot"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(
+        col("centroid_id"),
+        col("n_vectors"),
+        expr("n_vectors * 1000000 div __tot").cast("long").as("share_ppm"))
+  }
+
   /** Persist the flat-quantizer IVF index: centroids (one tiny file) plus
     * the assigned corpus, the cells parquet PARTITIONED BY `centroid_id`.
     * The partitioning is the point — it turns "probe nProbe of C cells"

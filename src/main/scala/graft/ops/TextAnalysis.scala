@@ -76,12 +76,18 @@ object TextAnalysis {
 
   /** Language ID by marker-token counting: score per language = number of
     * tokens in that language's marker set; prediction = argmax with
-    * declaration-order tie-break.
+    * declaration-order tie-break. `keepCols` pass through unchanged (so
+    * downstream group-bys, e.g. [[graft.ops.Corpus.langMixture]], avoid a
+    * join back to the input).
     */
-  def langId(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def langId(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      keepCols: Seq[String] = Nil): DataFrame = {
     val tk = tokens(col(textCol))
     val scored = docs.select(
-      col(idCol) +: LangMarkers.map { case (lang, markers) =>
+      (col(idCol) +: keepCols.map(col)) ++ LangMarkers.map { case (lang, markers) =>
         size(filter(tk, t => t.isin(markers: _*))).cast("long").as(s"s_$lang")
       }: _*)
     // argmax as an explicit CASE chain (declaration order wins ties) so the

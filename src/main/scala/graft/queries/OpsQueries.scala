@@ -199,6 +199,8 @@ object OpsQueries {
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
+    "embedding_cell_balance" -> { (s, dir) => Similarity.cellBalance(embs(s, dir)) },
+    "corpus_lang_mix" -> { (s, dir) => Corpus.langMixture(docs(s, dir)) },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_lm_bigram" -> { (s, dir) => TextAnalysis.bigramRarity(docs(s, dir)) },
@@ -1221,6 +1223,34 @@ object OpsQueries {
          |SELECT doc_id, s_en, s_de, s_es, s_fr,
          |       $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "corpus_lang_mix" ->
+      s"""WITH $tokCtes,
+         |scored AS (
+         |  SELECT d.source,
+         |  $langScoresSql
+         |  FROM tks JOIN documents d ON d.doc_id = tks.doc_id),
+         |lab AS (SELECT source, $langCaseSql AS lang_pred FROM scored),
+         |c AS (SELECT source, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM lab GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT c.source, c.lang_pred, c.n_docs,
+         |       CAST(c.n_docs * 1000000 // t.tot AS BIGINT) AS share_ppm
+         |FROM c JOIN t ON c.source = t.source""".stripMargin,
+    "embedding_cell_balance" ->
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |asg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM e q JOIN e c ON c.id < 16),
+         |c AS (
+         |  SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+         |  FROM asg WHERE rn = 1 GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS tot FROM c)
+         |SELECT centroid_id, n_vectors,
+         |       CAST(n_vectors * 1000000 // t.tot AS BIGINT) AS share_ppm
+         |FROM c, t""".stripMargin,
     // Stratified sampling: language from the langid CASE chain, keep-rate a
     // per-language bucket cutoff on the same md5 bucket as corpus_split.
     "corpus_sample" ->

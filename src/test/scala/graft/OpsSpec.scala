@@ -572,6 +572,62 @@ class OpsSpec extends SparkSpec {
     assert(fidelity > 0.99, s"worst dequantized cosine $fidelity")
   }
 
+  test("langMixture: per-source counts and ppm shares on a hand-labeled fixture") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "webA", "the and of is extra words"),
+      (2L, "webA", "der und die ist hier"),
+      (3L, "webA", "the the the end"),
+      (4L, "books", "el la los es aqui")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Corpus.langMixture(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      ("webA", "en") -> ((2L, 666666L)),
+      ("webA", "de") -> ((1L, 333333L)),
+      ("books", "es") -> ((1L, 1000000L))))
+  }
+
+  test("cellBalance: uniform shares on the separable clustered corpus; hot cell surfaces") {
+    val s = spark
+    import s.implicits._
+    val clustered = (for {
+      c <- 0 until 8
+      j <- 0 until 20
+    } yield {
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      v(2 * c + 1) = 0.01f * (j % 5)
+      (j * 8L + c, v)
+    }).toDF("vec_id", "embedding")
+    // seeds (ids < 8) land one per cluster; every vector's nearest seed is
+    // its own cluster's, so all 8 cells hold exactly 20 vectors
+    val got = Similarity.cellBalance(clustered, nCentroids = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.keySet == (0L until 8L).toSet)
+    assert(got.values.toSet == Set((20L, 125000L)))
+    // collapse detection: seeds stay distinct (one per subspace) but the
+    // corpus mass all lands in cluster 0's subspace — cell 0 must dominate
+    val collapsed = ((0 until 8).map { c =>
+      val v = Array.fill(16)(0.0f)
+      v(2 * c) = 1.0f
+      (c.toLong, v)
+    } ++ (8L until 40L).map { i =>
+      val v = Array.fill(16)(0.0f)
+      v(0) = 1.0f
+      v(1) = 0.001f * (i % 7)
+      (i, v)
+    }).toDF("vec_id", "embedding")
+    val hot = Similarity.cellBalance(collapsed, nCentroids = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hot(0L) > 500000L, s"collapsed corpus must show a dominant cell: $hot")
+  }
+
   test("langId prefers the language whose markers dominate") {
     val s = spark
     import s.implicits._
