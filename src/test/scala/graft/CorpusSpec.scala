@@ -316,6 +316,30 @@ class CorpusSpec extends SparkSpec {
     assert(got.head._3 >= 0.8 && got.head._3 < 1.0)
   }
 
+  test("probeLshIndex over a persisted index equals crossMinHashLsh on the same corpus") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"token$i").mkString(" ") + " other words"
+    val unrelated = (100 to 130).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base), (2L, unrelated), (3L, base + " extra tail here")).toDF("doc_id", "text")
+    val probe = Seq((10L, nearDup), (11L, "completely different text about nothing")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString
+    Dedup.writeLshIndex(corpus, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"), r.getAs[Double]("jaccard")))
+      .toSet
+    val direct = rows(Dedup.crossMinHashLsh(probe, corpus))
+    val probed = rows(Dedup.probeLshIndex(spark, dir, probe))
+    assert(probed == direct)
+    assert(probed.map(p => (p._1, p._2)).contains((10L, 1L)))
+    // a second batch probes the SAME index without rebuilding it
+    val probe2 = Seq((20L, base + " re crawl")).toDF("doc_id", "text")
+    val probed2 = rows(Dedup.probeLshIndex(spark, dir, probe2))
+    // the re-crawl matches both near-identical corpus docs, nothing else
+    assert(probed2.map(p => (p._1, p._2)) == Set((20L, 1L), (20L, 3L)))
+  }
+
   test("incrementalNew drops re-crawled content, keeps genuinely new docs, min-id within batch") {
     val s = spark
     import s.implicits._
