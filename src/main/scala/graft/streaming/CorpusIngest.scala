@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous corpus ingestion with history-backed exact dedup — the
+  * streaming face of [[graft.ops.Dedup.incrementalNew]]. Each micro-batch:
+  *
+  *   1. collapses in-batch duplicates to the lowest doc id (aggregate +
+  *      join back on the fingerprint — never a window over a hot
+  *      fingerprint);
+  *   2. anti-joins against the PERSISTED fingerprint store, so re-crawled
+  *      content already ingested in ANY earlier batch or run is dropped
+  *      without ever re-reading historical text (the store is 16-byte md5
+  *      rows; column pruning keeps the join that size);
+  *   3. lands the surviving docs under `docs/batch_id=N` and appends their
+  *      fingerprints under `fps/batch_id=N` — both keyed by the
+  *      checkpointed batch id, so a retried batch OVERWRITES its own
+  *      directories instead of duplicating (the [[EventsStream.landingSink]]
+  *      exactly-once recipe, applied to two outputs atomically enough for
+  *      an append-only store: the fingerprint read excludes the current
+  *      and later batch ids, so a half-written retry batch can never drop
+  *      its own docs).
+  *
+  * At 100 TB this is the production ingest loop: round N shuffles
+  * |batch| + |history fingerprints| — the corpus text is written once and
+  * never rescanned.
+  */
+object CorpusIngest {
+
+  def dedupIngest(
+      stream: DataFrame,
+      root: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val seen = seenFingerprints(spark, s"$root/fps", batchId)
+        val fp = batch.select(
+          col(idCol),
+          col(textCol),
+          graft.ops.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+        val firsts = fp.groupBy("fingerprint").agg(min(col(idCol)).as(idCol))
+        val newDocs = fp
+          .join(firsts, Seq("fingerprint", idCol))
+          .join(seen, Seq("fingerprint"), "left_anti")
+          .localCheckpoint() // two writes below; don't recompute the joins
+        newDocs
+          .select(col(idCol), col(textCol), col("fingerprint"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/docs/batch_id=$batchId")
+        newDocs
+          .select("fingerprint")
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/fps/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** The fingerprint store restricted to batches strictly BEFORE
+    * `batchId`: partition pruning on the `batch_id` directory key makes
+    * the exclusion free, and it is what makes a retried batch safe — its
+    * own half-written fingerprints are never read back against it.
+    * An absent store (first ever batch) reads as empty.
+    */
+  private def seenFingerprints(spark: SparkSession, fpRoot: String, batchId: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(fpRoot)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path))
+      spark.read.parquet(fpRoot).filter(col("batch_id") < batchId).select("fingerprint")
+    else {
+      import spark.implicits._
+      Seq.empty[String].toDF("fingerprint")
+    }
+  }
+}

@@ -99,6 +99,39 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1, "re-run with an up-to-date checkpoint must be a no-op")
   }
 
+  test("dedupIngest: history-backed dedupe across runs, in-batch min-id, idempotent rerun") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingest").toString
+    def addDocs(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(s"$dir/in")
+      val q = graft.streaming.CorpusIngest.dedupIngest(stream, s"$dir/out", s"$dir/cp")
+      q.awaitTermination()
+    }
+    def landed(): Set[Long] =
+      spark.read.parquet(s"$dir/out/docs").select("doc_id").as[Long].collect().toSet
+
+    addDocs(Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma delta")))
+    run()
+    assert(landed() == Set(1L, 3L), "in-batch dup must collapse to the min id")
+
+    // run 2: a re-crawl (same normalized fingerprint) and a genuinely new doc
+    addDocs(Seq((10L, "Alpha   BETA"), (11L, "epsilon zeta")))
+    run()
+    assert(landed() == Set(1L, 3L, 11L), "history must drop the re-crawl")
+
+    // run 3: no new input — nothing changes
+    run()
+    assert(landed() == Set(1L, 3L, 11L))
+    // the fingerprint store holds exactly the landed docs' fingerprints
+    val fps = spark.read.parquet(s"$dir/out/fps").select("fingerprint").as[String].collect()
+    assert(fps.length == 3 && fps.distinct.length == 3)
+  }
+
   test("flatMapGroupsWithState sessionization splits on gaps") {
     val s = spark
     import s.implicits._
