@@ -10,6 +10,10 @@ object Bench {
     * 5-30x its warm cost.
     */
   private val heavyLast = Seq(
+    // bucketed as-of does strictly more work than the plain as-of at toy
+    // scale (three shuffles vs one) — its payoff is the bounded per-key
+    // serial work at 100 TB, not local latency
+    "asof_join_bucketed",
     "multimodal_ahash_pairs",
     "dedup_simhash_pairs",
     "text_repetition",
