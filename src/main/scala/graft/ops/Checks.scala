@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality audit aggregates — the pre-flight checks a pipeline runs
@@ -23,6 +23,33 @@ object Checks {
       count(lit(1)).cast("long").as("n_rows"),
       (sum(lit(1L)) - countDistinct(col(keyCol))).cast("long").as("n_dup_keys") +:
         nullCounts: _*)
+  }
+
+  /** Declarative data-contract check: each rule is a (name, boolean
+    * column) pair that must hold for every row; the report is one row per
+    * rule with its violation count, plus the total row count. A rule
+    * evaluating to NULL on a row counts as a violation (a contract you
+    * cannot confirm is not satisfied) — the `coalesce(rule, false)`
+    * semantics mirrored in the oracle.
+    *
+    * All rules ride ONE aggregation pass over the data (a stack of
+    * conditional-sum partials, map-side combined — N rules never cost N
+    * scans), then pivot long via `stack` so schedulers can gate on
+    * `n_violations == 0` rows uniformly.
+    */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    require(
+      rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "rule names must be alphanumeric/underscore")
+    val aggs = rules.map { case (name, rule) =>
+      sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val one = df.agg(count(lit(1)).cast("long").as("__n"), aggs: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', __v_$name" }.mkString(", ")
+    one.select(
+      expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"),
+      col("__n").as("n_rows"))
   }
 
   /** Referential-integrity violation count: rows of `child` whose

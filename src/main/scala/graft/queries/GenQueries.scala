@@ -143,6 +143,19 @@ object GenQueries {
           graft.ops.Checks
             .orphanCount(t(s, dir, "lineitem"), orders, "l_orderkey", "o_orderkey"))
     },
+    // declarative data-contract report: one conditional-sum pass, one row
+    // per rule (the min-length rule is violated by real short orders, so
+    // the report exercises non-zero counts)
+    "audit_expectations" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      graft.ops.Checks.expectations(
+        orders,
+        Seq(
+          "key_nonneg" -> (col("o_orderkey") >= 0),
+          "price_positive" -> (col("o_totalprice") > 0),
+          "priority_urgent" -> col("o_orderpriority").startsWith("1-"),
+          "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
+    },
     // bloom-prefiltered semi join: lineitem rows whose part is size-1,
     // probe side pruned map-side by a bloom sketch of the build keys
     // before any shuffle; exact join removes false positives, so the
@@ -191,6 +204,18 @@ object GenQueries {
         |(SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM lineitem l
         | WHERE l.l_orderkey IS NULL
         |    OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) b""".stripMargin,
+    "audit_expectations" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderkey >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderpriority LIKE '1-%', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        |  FROM orders)
+        |SELECT 'key_nonneg' AS rule, v1 AS n_violations, n_rows FROM a
+        |UNION ALL SELECT 'price_positive', v2, n_rows FROM a
+        |UNION ALL SELECT 'priority_urgent', v3, n_rows FROM a
+        |UNION ALL SELECT 'status_known', v4, n_rows FROM a""".stripMargin,
     "gen_bloom_semi_join" ->
       """SELECT l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

@@ -410,6 +410,25 @@ class RelationalSpec extends SparkSpec {
     assert(orph.getAs[Long]("n_orphans") == 2L) // key 9 unmatched + null key
   }
 
+  test("Checks.expectations: per-rule violation counts in one pass; null rules violate") {
+    val df = Seq(
+      (1L, Some(5L)),
+      (2L, Option.empty[Long]), // null v: "v_nonneg" cannot be confirmed -> violation
+      (3L, Some(-1L))
+    ).toDF("id", "v")
+    val got = Checks.expectations(
+      df,
+      Seq("v_nonneg" -> (col("v") >= 0), "id_positive" -> (col("id") > 0)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("v_nonneg", 2L, 3L), ("id_positive", 0L, 3L)))
+    // one aggregation pass regardless of rule count: no join, single agg pair
+    val plan = Checks.expectations(df, Seq("a" -> (col("id") > 0), "b" -> (col("v") >= 0)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("winsorizeByGroup clamps outliers to the group's quantile band, leaves the bulk alone") {
     // group g: 1..10 plus outliers -100 and 1000; p10 of the 12 values = 1
     // (nearest-rank: cum*100 >= tot*10 at the 2nd value... compute below),
