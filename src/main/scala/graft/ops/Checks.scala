@@ -52,6 +52,41 @@ object Checks {
       col("__n").as("n_rows"))
   }
 
+  /** Join-key skew profile: the `topK` hottest values of `keyCol` with
+    * row counts and integer ppm shares, plus the column's total row and
+    * distinct-key counts on every row. This is the measurement step the
+    * skew machinery needs — [[graft.ops.Skew.saltedJoin]]'s docstring says
+    * "pick saltFactor ~ hot-key rows / target partition rows", and this
+    * operator is where hot-key rows comes from.
+    *
+    * Scale shape: one hash aggregation on the key (map-side partials
+    * absorb the hot key — profiling skew must not itself skew), then a
+    * TakeOrdered top-k (per-partition heaps, never a global sort) against
+    * a 2-column broadcast summary. Ties break on the key string, so the
+    * report is deterministic and oracle-hashable. Null keys profile as
+    * the literal "(null)" bucket — at 100 TB null-key floods are the
+    * single most common accidental hot key.
+    */
+  def keyProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive (got $topK)")
+    val counts = df
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("(null)")).as("key"))
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+    val summary = counts.agg(
+      sum("n_rows").cast("long").as("__total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    counts
+      .orderBy(col("n_rows").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(
+        col("key"),
+        col("n_rows"),
+        expr("n_rows * 1000000 div __total").cast("long").as("share_ppm"),
+        col("__total").as("total_rows"),
+        col("n_keys"))
+  }
+
   /** Referential-integrity violation count: rows of `child` whose
     * `childKey` has no match in `parent.parentKey` (null keys count as
     * orphans — they reference nothing). Anti join on the key: the parent

@@ -54,6 +54,11 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("click_ts_us", "click_value"))
     },
+    // hottest user_ids with ppm shares + key cardinality — the saltFactor
+    // sizing input for Skew.saltedJoin
+    "skew_key_profile" -> { (s, dir) =>
+      graft.ops.Checks.keyProfile(events(s, dir), "user_id", topK = 10)
+    },
     // Same attribution join through the bucketed variant (30-minute
     // buckets force plenty of cross-bucket carry-ins at this fixture's
     // event spacing): must hash-match asof_join_events' oracle exactly.
@@ -331,6 +336,17 @@ object RelQueries {
         |)
         |SELECT event_id, user_id, ts_us, click_ts_us, click_value
         |FROM attached WHERE side = 1""".stripMargin,
+    "skew_key_profile" ->
+      """WITH c AS (
+        |  SELECT COALESCE(CAST(user_id AS VARCHAR), '(null)') AS key,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT c.key, c.n_rows,
+        |       CAST(c.n_rows * 1000000 // s.total AS BIGINT) AS share_ppm,
+        |       s.total AS total_rows, s.n_keys
+        |FROM c, s ORDER BY c.n_rows DESC, c.key LIMIT 10""".stripMargin,
     // The bucketed operator's contract is bit-identical output to the
     // plain as-of join, so its oracle IS the plain as-of SQL.
     "asof_join_bucketed" ->

@@ -429,6 +429,27 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("Checks.keyProfile: top-k hot keys with shares, null bucket, TakeOrdered plan") {
+    val df = (Seq.fill(6)(Option(7L)) ++ Seq.fill(3)(Option(8L)) ++
+      Seq(Option(9L), Option.empty[Long]))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "k")
+    val got = Checks.keyProfile(df, "k", topK = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 11 rows, 4 distinct buckets (7, 8, 9, (null)); top-2 = 7 then 8
+    assert(got.toSeq == Seq(
+      ("7", 6L, 545454L, 11L, 4L),
+      ("8", 3L, 272727L, 11L, 4L)))
+    // null keys surface as their own bucket when hot
+    val nulls = (Seq.fill(5)(Option.empty[Long]) ++ Seq(Option(1L)))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("row_id", "k")
+    val nb = Checks.keyProfile(nulls, "k", topK = 1).collect().head
+    assert(nb.getString(0) == "(null)" && nb.getLong(1) == 5L)
+    // top-k must plan as TakeOrdered (per-partition heaps), not a global sort
+    val plan = Checks.keyProfile(df, "k", topK = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan.take(800))
+  }
+
   test("winsorizeByGroup clamps outliers to the group's quantile band, leaves the bulk alone") {
     // group g: 1..10 plus outliers -100 and 1000; p10 of the 12 values = 1
     // (nearest-rank: cum*100 >= tot*10 at the 2nd value... compute below),
