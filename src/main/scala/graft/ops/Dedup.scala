@@ -288,7 +288,7 @@ object Dedup {
       .select("probe_id", "corpus_id", "jaccard")
   }
 
-  /** Persist the corpus side of the LSH machinery — the capped band table
+  /** Persist the corpus side of the LSH machinery — the RAW band table
     * and the per-doc shingle arrays — so every future re-crawl round
     * probes WITHOUT re-shingling or re-hashing the existing corpus: the
     * text-near-dup analogue of [[graft.ops.Similarity.writeIvfFlatIndex]]'s
@@ -296,6 +296,13 @@ object Dedup {
     * [[incrementalNew]]'s exact-fingerprint history. At 100 TB the corpus
     * pays its shingle+minhash pass once per snapshot; a batch probe then
     * costs |batch| band rows + |collisions| verify joins.
+    *
+    * Bands are stored UNcapped: the hot-bucket cap is a corpus-GLOBAL
+    * property, and an index that grows via [[appendLshIndex]] cannot know
+    * at write time which buckets will end up hot — so [[probeLshIndex]]
+    * applies [[graft.ops.Skew.capHotKeys]] over the whole store at probe
+    * time (one cheap aggregation of the band columns; the hot bucket
+    * partial-aggregates map-side as always).
     *
     * The probe must hash with the SAME (numHashes, rowsPerBand, shingle)
     * the index was built with; [[probeLshIndex]] takes them as parameters
@@ -307,20 +314,38 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       shingle: Int = 3,
-      maxBucket: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
-    Skew
-      .capHotKeys(bandTable(shC, numHashes, rowsPerBand), Seq("band", "bkey"), maxBucket)
-      .write.mode("overwrite").parquet(s"$path/bands")
+    bandTable(shC, numHashes, rowsPerBand).write.mode("overwrite").parquet(s"$path/bands")
     shC.write.mode("overwrite").parquet(s"$path/shingles")
   }
 
-  /** Probe a persisted LSH index ([[writeLshIndex]]) with a new batch:
-    * identical results to [[crossMinHashLsh]] over the same corpus (same
-    * band join, same Jaccard verify), but the corpus-side shingling,
-    * minhashing and hot-bucket capping are read back, not recomputed.
+  /** Grow a persisted LSH index with a new batch's bands and shingles —
+    * the ingest-side companion of [[probeLshIndex]]: probe the batch
+    * against the index, keep/land what survives, then append it so the
+    * NEXT round's probe sees it. Plain parquet appends; the global
+    * hot-bucket cap is applied at probe time (see [[writeLshIndex]]), so
+    * appends never need to rewrite history.
+    */
+  def appendLshIndex(
+      batch: DataFrame,
+      path: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingle: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val sh = shingleArrays(batch, shingle, textCol, idCol)
+    bandTable(sh, numHashes, rowsPerBand).write.mode("append").parquet(s"$path/bands")
+    sh.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Probe a persisted LSH index ([[writeLshIndex]], optionally grown by
+    * [[appendLshIndex]]) with a new batch: identical results to
+    * [[crossMinHashLsh]] over the same corpus (same band join, same
+    * global hot-bucket cap, same Jaccard verify), but the corpus-side
+    * shingling and minhashing are read back, not recomputed.
     */
   def probeLshIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -330,11 +355,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.8,
       shingle: Int = 3,
+      maxBucket: Int = 50,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     crossProbe(
       probe,
-      spark.read.parquet(s"$path/bands"),
+      Skew.capHotKeys(spark.read.parquet(s"$path/bands"), Seq("band", "bkey"), maxBucket),
       spark.read.parquet(s"$path/shingles"),
       numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
 

@@ -338,6 +338,15 @@ class CorpusSpec extends SparkSpec {
     val probed2 = rows(Dedup.probeLshIndex(spark, dir, probe2))
     // the re-crawl matches both near-identical corpus docs, nothing else
     assert(probed2.map(p => (p._1, p._2)) == Set((20L, 1L), (20L, 3L)))
+    // grow the index with the second batch: a third probe now sees it,
+    // and the grown index equals a from-scratch cross over the union
+    Dedup.appendLshIndex(probe2, dir)
+    val probe3 = Seq((30L, base + " third crawl")).toDF("doc_id", "text")
+    val probed3 = rows(Dedup.probeLshIndex(spark, dir, probe3))
+    val fromScratch = rows(
+      Dedup.crossMinHashLsh(probe3, corpus.unionByName(probe2)))
+    assert(probed3 == fromScratch)
+    assert(probed3.map(p => p._2).contains(20L), "grown index must surface the appended doc")
   }
 
   test("incrementalNew drops re-crawled content, keeps genuinely new docs, min-id within batch") {
