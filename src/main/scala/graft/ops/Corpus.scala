@@ -353,6 +353,31 @@ object Corpus {
           col("drift_milli") >= 2000 || col("drift_milli") <= 500)
   }
 
+  /** Deterministic curriculum ordering: rank the corpus best-score-first
+    * for staged training, with a salted-md5 shuffle WITHIN equal scores so
+    * same-difficulty docs don't train in ingest order (the curriculum
+    * cousin of [[shuffleOrder]]; re-ranking with a new salt reshuffles
+    * ties without moving the difficulty progression). `score` must be a
+    * deterministic integer expression — e.g. the integerized quality
+    * score — for the order to be reproducible and oracle-hashable.
+    *
+    * Ranking rides [[graft.ops.Relational.globalRank]]: one range
+    * exchange + per-partition offsets, never a single-partition
+    * row_number window.
+    */
+  def curriculumOrder(
+      docs: DataFrame,
+      score: Column,
+      salt: String = "curr",
+      idCol: String = "doc_id"): DataFrame =
+    Relational.globalRank(
+      docs.select(col(idCol), score.cast("long").as("score_i")),
+      Seq(
+        col("score_i").desc,
+        md5(concat(col(idCol).cast("string"), lit(salt))).asc,
+        col(idCol).asc),
+      rankCol = "curriculum_rank")
+
   /** Per-source language-mixture audit: document counts and integer
     * parts-per-million shares per (source, predicted language) — the
     * crawl-health dashboard row that catches a scraper regression or a

@@ -201,6 +201,12 @@ object OpsQueries {
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "embedding_cell_balance" -> { (s, dir) => Similarity.cellBalance(embs(s, dir)) },
     "corpus_lang_mix" -> { (s, dir) => Corpus.langMixture(docs(s, dir)) },
+    // best-quality-first training order, salted shuffle within ties
+    "corpus_curriculum" -> { (s, dir) =>
+      Corpus.curriculumOrder(
+        docs(s, dir),
+        round(TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long"))
+    },
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_lm_bigram" -> { (s, dir) => TextAnalysis.bigramRarity(docs(s, dir)) },
@@ -1223,6 +1229,18 @@ object OpsQueries {
          |SELECT doc_id, s_en, s_de, s_es, s_fr,
          |       $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "corpus_curriculum" ->
+      s"""WITH $tokCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(round(round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) *
+         |              (1.0 - CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE)
+         |                / greatest(len(tk), 1)), 4) * 10000, 0) AS BIGINT) AS score_i
+         |  FROM tks)
+         |SELECT doc_id, score_i,
+         |       CAST(ROW_NUMBER() OVER (ORDER BY score_i DESC,
+         |            md5(CAST(doc_id AS VARCHAR) || 'curr'), doc_id) AS BIGINT) AS curriculum_rank
+         |FROM q""".stripMargin,
     "corpus_lang_mix" ->
       s"""WITH $tokCtes,
          |scored AS (

@@ -349,6 +349,32 @@ class CorpusSpec extends SparkSpec {
     assert(probed3.map(p => p._2).contains(20L), "grown index must surface the appended doc")
   }
 
+  test("curriculumOrder: score progression dominates, salt reshuffles only within ties") {
+    val s = spark
+    import s.implicits._
+    val good = "informative article body with many varied meaningful content words here"
+    val docs = Seq(
+      (1L, good + " alpha"), (2L, good + " beta"), (3L, good + " gamma"), // equal-ish length/quality
+      (4L, "the the the of of"), // stopword soup -> low score
+      (5L, good + " " + good) // longest -> highest score
+    ).toDF("doc_id", "text")
+    val score = org.apache.spark.sql.functions.round(
+      graft.ops.TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long")
+    def ranked(salt: String) = Corpus.curriculumOrder(docs, score, salt).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = ranked("curr")
+    // ranks are a permutation of 1..n and score never increases with rank
+    assert(a.map(_._3).sorted.toSeq == (1L to 5L))
+    val byRank = a.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+    assert(a.sortBy(_._3).last._1 == 4L, "stopword soup trains last")
+    // a different salt permutes only within equal scores
+    val b = ranked("other-salt")
+    assert(a.map(t => (t._1, t._2)).toSet == b.map(t => (t._1, t._2)).toSet)
+    val scoreOfRank = (r: Array[(Long, Long, Long)]) => r.sortBy(_._3).map(_._2).toSeq
+    assert(scoreOfRank(a) == scoreOfRank(b), "score progression is salt-invariant")
+  }
+
   test("incrementalNew drops re-crawled content, keeps genuinely new docs, min-id within batch") {
     val s = spark
     import s.implicits._
