@@ -182,13 +182,13 @@ object Dedup {
     // re-splits the text per element_at).
     val withSh = shingleArrays(docs, shingle, textCol, idCol)
     // bandTable runs the native minhash signature per doc — expensive, and
-    // capHotKeys scans its input twice (agg branch + semi-join left), so
+    // capHotKeys scans its input twice (agg branch + anti-join left), so
     // the band table is materialized once before the cap
     val bands0 = bandTable(withSh, numHashes, rowsPerBand).localCheckpoint()
     // hot-bucket guard: a bucket of boilerplate text with B members yields
     // B² candidate pairs; capping bucket size bounds the self-join skew
     // (pairs in dropped buckets can still surface via their other bands).
-    // Agg + semi-join (Skew.capHotKeys), not a window count — the hot
+    // Agg + anti-join (Skew.capHotKeys), not a window count — the hot
     // bucket the cap exists for is exactly the key a window partitioning
     // would serialize on one reducer.
     val bands = Skew
@@ -245,7 +245,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
-    // corpus-side hot-bucket cap via agg + semi-join, same reasoning as
+    // corpus-side hot-bucket cap via agg + anti-join, same reasoning as
     // [[minHashLsh]] — the corpus is the 100 TB side
     val bandsC = Skew.capHotKeys(bandTable(shC, numHashes, rowsPerBand), Seq("band", "bkey"), maxBucket)
     crossProbe(probe, bandsC, shC, numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
@@ -548,7 +548,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val fp = simHashWide(docs, textCol, idCol).localCheckpoint()
-    // hot-bucket cap via agg + semi-join (Skew.capHotKeys), never a window
+    // hot-bucket cap via agg + anti-join (Skew.capHotKeys), never a window
     // count: the degenerate band (empty-doc simhash 0) would serialize on
     // one reducer under a window partitioning. Re-deriving the 4-element
     // posexplode per consumer is cheap because fp is checkpointed.
@@ -626,7 +626,7 @@ object Dedup {
     val fp = hashes
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       .localCheckpoint()
-    // agg + semi-join cap, not a window count — same reducer-skew argument
+    // agg + anti-join cap, not a window count — same reducer-skew argument
     // as [[simHashPairs]] (the all-black/all-white hash 0 bucket is hot)
     val bands = Skew.capHotKeys(
       fp.select(
@@ -687,7 +687,7 @@ object Dedup {
               sequence(lit(0), size(col("tks")) - n),
               i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))
           .as("gram"))
-    // The df cap is agg + semi-join (Skew.capHotKeys), not a window count:
+    // The df cap is agg + anti-join (Skew.capHotKeys), not a window count:
     // the boilerplate gram the cap exists to drop is exactly the key a
     // window partitioning would pile onto one reducer. capHotKeys scans
     // its input twice (partial-agg branch + join left), and the gram

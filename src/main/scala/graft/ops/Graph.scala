@@ -53,17 +53,24 @@ object Graph {
       teleportMilli: Long = 150): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the out-degree is static across iterations, so it rides IN the rank
+    // table (one join at init) instead of re-joining every iteration —
+    // each loop body is exactly one edge join + one inbound aggregation
     val nodes = e
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
       .localCheckpoint()
-    var r = nodes.select(col("node"), lit(1000L).as("rank_milli"))
+    var r = nodes.select(col("node"), col("deg"), lit(1000L).as("rank_milli"))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
+        .join(
+          r.select(col("node").as("src"), col("deg"), col("rank_milli"))
+            .filter(col("deg") > 0),
+          "src")
         .select(col("dst").as("node"), expr("rank_milli div deg").as("c"))
         .groupBy("node")
         .agg(sum("c").as("inbound"))
@@ -72,10 +79,11 @@ object Graph {
         // `div`, not `/`: Spark's `/` on longs is floating-point division
         .select(
           col("node"),
+          col("deg"),
           expr(s"CAST($teleportMilli + ($dampingMilli * coalesce(inbound, 0L)) div 1000 AS BIGINT)")
             .as("rank_milli"))
         .localCheckpoint()
     }
-    r
+    r.select("node", "rank_milli")
   }
 }

@@ -46,23 +46,29 @@ object Skew {
     * used by all pair-generating inverted indexes (SimHash/aHash bands,
     * n-gram and winnowing postings).
     *
-    * Deliberately an aggregate + semi-join, NOT `count() OVER (PARTITION
+    * Deliberately an aggregate + anti-join, NOT `count() OVER (PARTITION
     * BY key)`: a window count must co-locate EVERY posting of a hot key on
     * one reducer before the filter can drop it — the degenerate key the
     * cap exists for (empty-doc simhash 0, boilerplate shingles) is exactly
     * the one that would overwhelm that reducer, and AQE's skew handling
     * does not split window exchanges. The agg path absorbs the hot key in
-    * map-side partial counts, and the semi-join back IS
-    * AQE-skew-splittable. Costs one extra scan of `df` versus the window
-    * (callers materialize the exploded input once when that scan is
-    * expensive).
+    * map-side partial counts.
+    *
+    * The join is an ANTI against the HOT keys rather than a semi against
+    * the cold ones: hot keys number at most |rows|/maxCount and in
+    * practice a handful (that rarity is why capping is acceptable at
+    * all), so AQE's runtime sizing turns the anti-join into a broadcast
+    * and the big posting table never shuffles for the cap — a semi-join
+    * against the (≈all-keys-sized) cold set would shuffle both sides.
+    * Costs one extra scan of `df` versus the window (callers materialize
+    * the exploded input once when that scan is expensive).
     */
   def capHotKeys(df: DataFrame, keys: Seq[String], maxCount: Long): DataFrame = {
-    val cold = df
+    val hot = df
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__kn"))
-      .filter(col("__kn") <= maxCount)
+      .filter(col("__kn") > maxCount)
       .select(keys.map(col): _*)
-    df.join(cold, keys, "left_semi")
+    df.join(hot, keys, "left_anti")
   }
 }

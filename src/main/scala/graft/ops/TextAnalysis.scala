@@ -558,7 +558,7 @@ object TextAnalysis {
     * than `dfCap` docs (boilerplate runs: licenses, navigation) are
     * dropped on both sides BEFORE the self-join, bounding candidate pairs
     * by Σ df² over surviving fingerprints; the df filter is an aggregate +
-    * semi-join ([[graft.ops.Skew.capHotKeys]] — map-side partials absorb
+    * anti-join ([[graft.ops.Skew.capHotKeys]] — map-side partials absorb
     * the hot fingerprint a window count would serialize on one reducer),
     * and the surviving index is materialized once before feeding both
     * join sides.
@@ -572,7 +572,7 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     // the compact (doc_id, fp) posting table is materialized once so the
-    // cap's two scans (partial-agg branch + semi-join left) do not rerun
+    // cap's two scans (partial-agg branch + anti-join left) do not rerun
     // winnowFps' window + distinct; the capped index is materialized again
     // before feeding both self-join sides
     val raw = winnowFps(docs, k, w, textCol, idCol)

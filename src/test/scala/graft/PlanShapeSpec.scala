@@ -69,22 +69,27 @@ class PlanShapeSpec extends SparkSpec {
       "the shingle explode must be evaluated once, not once per consumer")
   }
 
-  test("hot-key cap (capHotKeys) is agg + semi-join — never a window over the posting key") {
+  test("hot-key cap (capHotKeys) is agg + anti-join — never a window over the posting key") {
     // the materialization boundary hides the cap from minHashLsh's final
     // plan, so assert on the capped bands subtree itself: the hot bucket
-    // must be absorbed by map-side partial counts and re-attached via an
-    // AQE-splittable semi-join — a Window here co-locates every posting of
-    // the degenerate key on one reducer
+    // must be absorbed by map-side partial counts and removed via an
+    // anti-join against the (tiny) hot-key set — a Window here co-locates
+    // every posting of the degenerate key on one reducer, and a semi-join
+    // against the cold set would shuffle the whole posting table
     val shingles = docsDf
       .select(col("doc_id").as("id"), explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
     val bands = graft.ops.Dedup.lshBands(
       graft.ops.Dedup.minHashSignature(shingles, 8), 8, 2)
     val p = plan(graft.ops.Skew.capHotKeys(bands, Seq("band", "bkey"), 50))
     assert(!p.contains("Window"), "cap must not be a window count:\n" + p.take(1500))
-    assert(p.contains("LeftSemi"), "cap must re-attach via semi-join:\n" + p.take(1500))
+    assert(p.contains("LeftAnti"), "cap must drop hot keys via anti-join:\n" + p.take(1500))
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       "bucket counts must partial-aggregate map-side:\n" + p.take(1500))
     assert(!p.contains("SinglePartition"))
+    // AQE's runtime sizing broadcasts the hot-key side (it is near-empty),
+    // so the posting table itself is never shuffled for the cap
+    assert(p.contains("BroadcastExchange"),
+      "hot-key set must broadcast at runtime:\n" + p.take(1500))
   }
 
   test("pair generators: no Window over any posting key (simhash/ahash bands, grams, winnow fps)") {
@@ -94,7 +99,7 @@ class PlanShapeSpec extends SparkSpec {
     // the assertion is simply that nothing else smuggled a window in.
     val pSim = plan(graft.ops.Dedup.simHashPairs(docsDf))
     assert(!pSim.contains("Window"), "simHashPairs cap regressed to a window:\n" + pSim.take(1500))
-    assert(pSim.contains("LeftSemi"), pSim.take(1500))
+    assert(pSim.contains("LeftAnti"), pSim.take(1500))
     val hashes = docsDf.select(
       col("doc_id"),
       pmod(hash(col("doc_id")), lit(65536)).cast("long").as("hash_hi"),
