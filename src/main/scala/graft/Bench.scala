@@ -14,6 +14,7 @@ object Bench {
     // scale (three shuffles vs one) — its payoff is the bounded per-key
     // serial work at 100 TB, not local latency
     "asof_join_bucketed",
+    "corpus_curriculum",
     "multimodal_ahash_pairs",
     "dedup_simhash_pairs",
     "text_repetition",

@@ -363,7 +363,10 @@ object Corpus {
     *
     * Ranking rides [[graft.ops.Relational.globalRank]]: one range
     * exchange + per-partition offsets, never a single-partition
-    * row_number window.
+    * row_number window. The scored projection is materialized first —
+    * the range partitioner's sampling pass plus the sort would otherwise
+    * each re-evaluate the score expression's lineage (typically the
+    * tokenize-and-filter quality HOFs, the expensive part).
     */
   def curriculumOrder(
       docs: DataFrame,
@@ -371,7 +374,7 @@ object Corpus {
       salt: String = "curr",
       idCol: String = "doc_id"): DataFrame =
     Relational.globalRank(
-      docs.select(col(idCol), score.cast("long").as("score_i")),
+      docs.select(col(idCol), score.cast("long").as("score_i")).localCheckpoint(),
       Seq(
         col("score_i").desc,
         md5(concat(col(idCol).cast("string"), lit(salt))).asc,
