@@ -42,8 +42,14 @@ object Checks {
     require(
       rules.forall(_._1.matches("[A-Za-z0-9_]+")),
       "rule names must be alphanumeric/underscore")
+    require(
+      rules.map(_._1).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.groupBy(_._1).collect { case (n, rs) if rs.size > 1 => n }.mkString(", ")}")
     val aggs = rules.map { case (name, rule) =>
-      sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      // coalesce the sum itself: on an EMPTY input sum() is NULL, and the
+      // scheduler gate `n_violations == 0` must pass for an empty table
+      coalesce(sum(when(!coalesce(rule, lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$name")
     }
     val one = df.agg(count(lit(1)).cast("long").as("__n"), aggs: _*)
     val stackArgs = rules.map { case (name, _) => s"'$name', __v_$name" }.mkString(", ")

@@ -246,8 +246,13 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
     // corpus-side hot-bucket cap via agg + anti-join, same reasoning as
-    // [[minHashLsh]] — the corpus is the 100 TB side
-    val bandsC = Skew.capHotKeys(bandTable(shC, numHashes, rowsPerBand), Seq("band", "bkey"), maxBucket)
+    // [[minHashLsh]] — the corpus is the 100 TB side; its band table is
+    // materialized before the cap's two scans so the minhash signatures
+    // are computed once, not twice
+    val bandsC = Skew.capHotKeys(
+      bandTable(shC, numHashes, rowsPerBand).localCheckpoint(),
+      Seq("band", "bkey"),
+      maxBucket)
     crossProbe(probe, bandsC, shC, numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
   }
 
@@ -305,8 +310,10 @@ object Dedup {
     * partial-aggregates map-side as always).
     *
     * The probe must hash with the SAME (numHashes, rowsPerBand, shingle)
-    * the index was built with; [[probeLshIndex]] takes them as parameters
-    * for that reason.
+    * the index was built with — the build parameters persist in a
+    * one-row `params` parquet, and [[appendLshIndex]]/[[probeLshIndex]]
+    * REFUSE a mismatched caller instead of silently producing
+    * meaningless band collisions.
     */
   def writeLshIndex(
       corpus: DataFrame,
@@ -316,9 +323,33 @@ object Dedup {
       shingle: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
     bandTable(shC, numHashes, rowsPerBand).write.mode("overwrite").parquet(s"$path/bands")
     shC.write.mode("overwrite").parquet(s"$path/shingles")
+    Seq((numHashes, rowsPerBand, shingle))
+      .toDF("num_hashes", "rows_per_band", "shingle")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Validate caller parameters against the index's persisted `params`
+    * row — a mismatch corrupts results silently otherwise (bands hashed
+    * under different k never collide correctly).
+    */
+  private def requireLshParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numHashes: Int,
+      rowsPerBand: Int,
+      shingle: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").collect().head
+    val stored = (p.getInt(0), p.getInt(1), p.getInt(2))
+    require(
+      stored == ((numHashes, rowsPerBand, shingle)),
+      s"LSH index at $path was built with (numHashes, rowsPerBand, shingle) = $stored, " +
+        s"caller passed (${numHashes}, ${rowsPerBand}, ${shingle})")
   }
 
   /** Grow a persisted LSH index with a new batch's bands and shingles —
@@ -336,6 +367,7 @@ object Dedup {
       shingle: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
+    requireLshParams(batch.sparkSession, path, numHashes, rowsPerBand, shingle)
     val sh = shingleArrays(batch, shingle, textCol, idCol)
     bandTable(sh, numHashes, rowsPerBand).write.mode("append").parquet(s"$path/bands")
     sh.write.mode("append").parquet(s"$path/shingles")
@@ -357,12 +389,14 @@ object Dedup {
       shingle: Int = 3,
       maxBucket: Int = 50,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id"): DataFrame = {
+    requireLshParams(spark, path, numHashes, rowsPerBand, shingle)
     crossProbe(
       probe,
       Skew.capHotKeys(spark.read.parquet(s"$path/bands"), Seq("band", "bkey"), maxBucket),
       spark.read.parquet(s"$path/shingles"),
       numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
+  }
 
   /** Connected components over near-dup pairs: every doc that appears in a
     * pair gets `cluster_id` = the minimum doc id reachable through the pair
@@ -550,8 +584,9 @@ object Dedup {
     val fp = simHashWide(docs, textCol, idCol).localCheckpoint()
     // hot-bucket cap via agg + anti-join (Skew.capHotKeys), never a window
     // count: the degenerate band (empty-doc simhash 0) would serialize on
-    // one reducer under a window partitioning. Re-deriving the 4-element
-    // posexplode per consumer is cheap because fp is checkpointed.
+    // one reducer under a window partitioning. The capped result is
+    // materialized because BOTH self-join sides consume it — without the
+    // checkpoint the cap's aggregation + anti-join run twice.
     val bands = Skew.capHotKeys(
       fp.select(
         col("doc_id"),
@@ -562,6 +597,7 @@ object Dedup {
           .as(Seq("band", "bkey"))),
       Seq("band", "bkey"),
       maxBucket)
+      .localCheckpoint()
     bands
       .as("a")
       .join(
@@ -627,7 +663,8 @@ object Dedup {
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       .localCheckpoint()
     // agg + anti-join cap, not a window count — same reducer-skew argument
-    // as [[simHashPairs]] (the all-black/all-white hash 0 bucket is hot)
+    // as [[simHashPairs]] (the all-black/all-white hash 0 bucket is hot);
+    // capped result checkpointed: both self-join sides consume it
     val bands = Skew.capHotKeys(
       fp.select(
         col("doc_id"),
@@ -642,6 +679,7 @@ object Dedup {
           .as(Seq("band", "bkey"))),
       Seq("band", "bkey"),
       maxBucket)
+      .localCheckpoint()
     bands
       .as("a")
       .join(

@@ -98,8 +98,10 @@ object Similarity {
   }
 
   /** IVF coarse quantizer: k-means over the corpus (deterministic init =
-    * the corpus vectors with id < `nCentroids`, the same seed rule as the
-    * flat quantizer; fixed Lloyd iterations). Returns (centroid_id,
+    * the `nCentroids` LOWEST-id corpus vectors — identical to `id <
+    * nCentroids` on the dense-from-0 id spaces the oracles assume, but
+    * also correct for sharded/offset/thinned id spaces; same seed rule as
+    * the flat quantizer; fixed Lloyd iterations). Returns (centroid_id,
     * centroid) with centroids as array<float>.
     *
     * Every stage is integer- or rounding-stabilized so the WHOLE k-means
@@ -121,11 +123,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     var cents: Seq[(Long, Seq[Float])] = corpus
-      .filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nCentroids)
       .collect()
       .toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "ivfCentroids: corpus has no vectors to seed centroids from")
     // Each Lloyd iteration materializes its centroids back to a driver-side
     // literal (<= nCentroids rows). Without this, iteration N's plan embeds
     // iterations 1..N-1 and every downstream reference re-evaluates the whole
@@ -201,11 +205,15 @@ object Similarity {
       k)
   }
 
-  /** Flat coarse quantizer: the `nCentroids` lowest-id corpus vectors. */
+  /** Flat coarse quantizer: the `nCentroids` lowest-id corpus vectors
+    * (equal to `id < nCentroids` on dense-from-0 id spaces — what the
+    * oracles assume — but correct for arbitrary id spaces too).
+    */
   private def flatCents(corpus: DataFrame, nCentroids: Int, idCol: String, vecCol: String) =
     corpus
-      .filter(col(idCol) < nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid"))
+      .orderBy(col("centroid_id"))
+      .limit(nCentroids)
 
   /** Corpus assigned to nearest-centroid cells (rounded cosine, lower
     * centroid id breaks ties).

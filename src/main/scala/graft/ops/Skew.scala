@@ -68,7 +68,11 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__kn"))
       .filter(col("__kn") > maxCount)
-      .select(keys.map(col): _*)
-    df.join(hot, keys, "left_anti")
+      .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
+    // null-SAFE equality: groupBy treats NULL as a real group, and a
+    // null-key flood is a classic hot key — a plain equi anti-join would
+    // never match it and let every null-key posting through uncapped
+    val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
+    df.join(hot, cond, "left_anti")
   }
 }

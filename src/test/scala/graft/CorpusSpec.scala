@@ -347,6 +347,11 @@ class CorpusSpec extends SparkSpec {
       Dedup.crossMinHashLsh(probe3, corpus.unionByName(probe2)))
     assert(probed3 == fromScratch)
     assert(probed3.map(p => p._2).contains(20L), "grown index must surface the appended doc")
+    // mismatched hash parameters are refused, not silently mis-probed
+    intercept[IllegalArgumentException](
+      Dedup.probeLshIndex(spark, dir, probe3, numHashes = 16))
+    intercept[IllegalArgumentException](
+      Dedup.appendLshIndex(probe3, dir, shingle = 5))
   }
 
   test("curriculumOrder: score progression dominates, salt reshuffles only within ties") {

@@ -481,6 +481,13 @@ class OpsSpec extends SparkSpec {
     val bruteE = hits(Similarity.bruteForceTopK(qe, e, k = 5))
     val ivfE = hits(Similarity.ivfTopK(qe, e, k = 5, nCentroids = 8, nProbe = 4))
     assert((bruteE & ivfE).size.toDouble / bruteE.size >= 0.4)
+    // sharded/offset id space (ids not dense from 0): the lowest-n-id seed
+    // rule must still produce centroids — a filter(id < n) would seed zero
+    val shifted = clustered.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val qs = shifted.filter(col("vec_id") < 1000008L)
+    val bruteS = hits(Similarity.bruteForceTopK(qs, shifted, k = 5))
+    val ivfS = hits(Similarity.ivfTopK(qs, shifted, k = 5, nCentroids = 8, nProbe = 4))
+    assert((bruteS & ivfS).size.toDouble / bruteS.size >= 0.9, "offset-id corpus must still seed")
   }
 
   test("ivfFlatTopK: full recall on the clustered corpus; k rows per query on real embeddings") {

@@ -93,13 +93,13 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("pair generators: no Window over any posting key (simhash/ahash bands, grams, winnow fps)") {
-    // simHashPairs and aHashPairs expose the cap in their final plan (the
-    // fingerprint checkpoint sits BELOW it); ngramJaccard and
-    // winnowReusePairs cap behind a materialization boundary, so for them
-    // the assertion is simply that nothing else smuggled a window in.
+    // every pair generator now materializes its capped band table (both
+    // self-join sides consume it), so the cap sits behind a checkpoint
+    // boundary in all final plans — the anti-join + broadcast shape is
+    // asserted on the capHotKeys subtree in the previous test; here the
+    // assertion is that nothing smuggled a window back in.
     val pSim = plan(graft.ops.Dedup.simHashPairs(docsDf))
     assert(!pSim.contains("Window"), "simHashPairs cap regressed to a window:\n" + pSim.take(1500))
-    assert(pSim.contains("LeftAnti"), pSim.take(1500))
     val hashes = docsDf.select(
       col("doc_id"),
       pmod(hash(col("doc_id")), lit(65536)).cast("long").as("hash_hi"),

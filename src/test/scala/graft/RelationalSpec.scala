@@ -427,6 +427,24 @@ class RelationalSpec extends SparkSpec {
     val plan = Checks.expectations(df, Seq("a" -> (col("id") > 0), "b" -> (col("v") >= 0)))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), plan.take(800))
+    // EMPTY input: an empty table trivially satisfies every contract —
+    // counts must be 0, not NULL (the scheduler gates on n_violations == 0)
+    val empty = Checks.expectations(df.filter(col("id") < 0), Seq("r" -> (col("id") > 0)))
+      .collect().head
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L)
+    // duplicate rule names are rejected up front, not at analysis time
+    intercept[IllegalArgumentException](
+      Checks.expectations(df, Seq("x" -> (col("id") > 0), "x" -> (col("v") >= 0))))
+  }
+
+  test("capHotKeys drops a hot NULL-key group (null-safe anti-join)") {
+    val df = (Seq.fill(5)(Option.empty[String]) ++ Seq(Some("a"), Some("a"), Some("b")))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val kept = graft.ops.Skew.capHotKeys(df, Seq("key"), maxCount = 3)
+      .select("key").collect().map(r => Option(r.getString(0)))
+    // the 5-row null group exceeds the cap and must be dropped entirely
+    assert(!kept.contains(None), s"null hot key leaked through the cap: ${kept.toSeq}")
+    assert(kept.sorted.toSeq == Seq(Some("a"), Some("a"), Some("b")))
   }
 
   test("Checks.keyProfile: top-k hot keys with shares, null bucket, TakeOrdered plan") {
