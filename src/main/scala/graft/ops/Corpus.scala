@@ -148,6 +148,56 @@ object Corpus {
       .select("doc_id", "source", "n_tokens", "bucket", "rate_256")
   }
 
+  /** Temperature-rebalanced mixture sampling (α = 0.5, the standard
+    * multilingual "sqrt temperature"): like [[mixtureSample]] but the
+    * token budget splits across sources proportionally to √tokens instead
+    * of equally — big crawls are damped, small sources up-weighted, the
+    * compromise between natural proportions (α=1, big sources drown the
+    * tail) and uniform (α=0, tiny sources oversample to noise).
+    *
+    * Determinism discipline: the per-source weight is `floor(sqrt(t))` —
+    * IEEE sqrt is correctly rounded, so floor(sqrt) of an exact-in-double
+    * integer is bit-identical in every engine — and everything after it
+    * (weight sum, share, rate) is integer arithmetic, so no
+    * summation-order hazard. Same scale shape as [[mixtureSample]]:
+    * driver-sized totals, broadcast rates, map-side keep filter.
+    */
+  def mixtureSampleSqrt(
+      docs: DataFrame,
+      budgetTokens: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counted = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(srcCol).as("source"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val totals = counted
+      .groupBy("source")
+      .agg(sum("n_tokens").as("t_src"))
+      .collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t_src"))
+    val weights = totals.map { case (s, t) =>
+      (s, t, math.floor(math.sqrt(t.toDouble)).toLong)
+    }
+    val wSum = math.max(weights.map(_._3).sum, 1L)
+    // BigInt for the budget*weight product: budget and weight are each
+    // driver-scale longs whose product can pass Long.MaxValue
+    val rates = weights.toSeq
+      .map { case (s, t, w) =>
+        val share = (BigInt(budgetTokens) * BigInt(w) / BigInt(wSum)).toLong
+        (s, math.min(256L, share * 256 / math.max(t, 1L)))
+      }
+      .toDF("source", "rate_256")
+    counted
+      .withColumn("bucket", md5Bucket("doc_id"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(col("bucket") < col("rate_256"))
+      .select("doc_id", "source", "n_tokens", "bucket", "rate_256")
+  }
+
   /** Exact per-group quota sample: `n` documents from every group (source),
     * chosen deterministically by hash order — the "cap every crawl at N
     * docs" curation step, where rate-based sampling ([[sampleStratified]],

@@ -140,6 +140,9 @@ object OpsQueries {
     "corpus_mixture" -> { (s, dir) =>
       Corpus.mixtureSample(docs(s, dir), budgetTokens = 10000L)
     },
+    "corpus_mixture_sqrt" -> { (s, dir) =>
+      Corpus.mixtureSampleSqrt(docs(s, dir), budgetTokens = 10000L)
+    },
     // re-crawl ingest: a batch of half re-fetched (identical text, new id)
     // and half genuinely new docs, deduplicated against the full history
     // by content fingerprint — only the new half survives
@@ -1051,6 +1054,31 @@ object OpsQueries {
         |rates AS (
         |  SELECT source, CAST(least(256, (10000 // n_src) * 256 // t_src) AS BIGINT) AS rate_256
         |  FROM tot, ns),
+        |b AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM tc)
+        |SELECT b.doc_id, b.source, b.n_tokens, CAST(b.bucket AS BIGINT) AS bucket, r.rate_256
+        |FROM b JOIN rates r ON b.source = r.source
+        |WHERE b.bucket < r.rate_256""".stripMargin,
+    // Mirrors Corpus.mixtureSampleSqrt: per-source weight floor(sqrt(t))
+    // (IEEE sqrt correctly rounded -> engine-identical), then pure
+    // integer share/rate arithmetic in the same operation order
+    "corpus_mixture_sqrt" ->
+      """WITH tc AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t_src FROM tc GROUP BY 1),
+        |w AS (SELECT source, t_src,
+        |             CAST(floor(sqrt(CAST(t_src AS DOUBLE))) AS BIGINT) AS w_src
+        |      FROM tot),
+        |ws AS (SELECT greatest(CAST(SUM(w_src) AS BIGINT), 1) AS wsum FROM w),
+        |rates AS (
+        |  SELECT source,
+        |         CAST(least(256, ((10000 * w_src) // wsum) * 256 // greatest(t_src, 1)) AS BIGINT) AS rate_256
+        |  FROM w, ws),
         |b AS (
         |  SELECT doc_id, source, n_tokens,
         |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16

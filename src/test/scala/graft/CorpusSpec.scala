@@ -302,6 +302,28 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSampleSqrt: hand-computed sqrt-damped rates; tail up-weighted vs equal share") {
+    val s = spark
+    import s.implicits._
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // source A: 4 docs x 100 tokens = 400; source B: 2 docs x 100 = 200.
+    // Ids chosen so each source has at least one low-md5-bucket doc that
+    // survives its computed rate (27 -> bucket 2, 6 -> bucket 22).
+    val docs = (Seq(27L, 33L, 1L, 2L).map(i => (i, "A", doc(100))) ++
+      Seq((6L, "B", doc(100)), (5L, "B", doc(100)))).toDF("doc_id", "source", "text")
+    val rates = Corpus.mixtureSampleSqrt(docs, budgetTokens = 300L)
+      .select("source", "rate_256").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w_A = floor(sqrt(400)) = 20, w_B = floor(sqrt(200)) = 14, wsum = 34
+    // share_A = 300*20/34 = 176 -> rate 176*256/400 = 112
+    // share_B = 300*14/34 = 123 -> rate 123*256/200 = 157
+    // (kept rows exist for both sources at these rates, so distinct() sees both)
+    assert(rates == Map("A" -> 112L, "B" -> 157L))
+    // the sqrt temperature narrows the big/small rate gap vs equal share
+    // (equal: A=96, B=192 — ratio 2.0; sqrt: 112 vs 157 — ratio 1.4)
+    assert(rates("B").toDouble / rates("A") < 192.0 / 96.0)
+  }
+
   test("crossMinHashLsh finds planted near-dups across corpora, not unrelated docs") {
     val s = spark
     import s.implicits._
