@@ -702,6 +702,43 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Video (clip-level) near-dup pairs from per-frame perceptual hashes
+    * ([[graft.ops.Multimodal.frameAHashes]]): the frame key
+    * `doc_id * 1000 + frame_id` rides the EXACT [[aHashPairs]] machinery
+    * (banded equi-join, hot-bucket cap, integer verify), then clip pairs
+    * aggregate their matching frame pairs — `n_frame_pairs` matches with
+    * `min_hamming`, kept at >= `minShared` so one coincidental frame
+    * match can't flag two clips as duplicates. This is the standard
+    * keyframe-hash video dedup: once frames are hashed, a re-encoded /
+    * re-uploaded clip shows up as many near-zero-Hamming frame pairs.
+    *
+    * Scale shape = aHashPairs plus one count aggregation on (clip_a,
+    * clip_b) with map-side partials. `frame_id` must be < 1000 (the key
+    * encoding), which any sampled clip satisfies by orders of magnitude.
+    */
+  def clipPairs(
+      frameHashes: DataFrame,
+      maxHamming: Int = 3,
+      minShared: Long = 2,
+      maxBucket: Int = 1000): DataFrame =
+    aHashPairs(
+      frameHashes.select(
+        (col("doc_id") * 1000 + col("frame_id")).as("doc_id"),
+        col("hash_hi"),
+        col("hash_lo")),
+      maxHamming,
+      maxBucket)
+      .select(
+        expr("doc_a div 1000").as("clip_a"),
+        expr("doc_b div 1000").as("clip_b"),
+        col("hamming"))
+      .filter(col("clip_a") =!= col("clip_b"))
+      .groupBy("clip_a", "clip_b")
+      .agg(
+        count(lit(1)).cast("long").as("n_frame_pairs"),
+        min("hamming").cast("long").as("min_hamming"))
+      .filter(col("n_frame_pairs") >= minShared)
+
   /** Word n-gram Jaccard near-dup pairs via inverted index. Grams with
     * document frequency > dfCap are dropped on BOTH sides before scoring —
     * the hot-key guard that keeps the self-join skew-free at corpus scale.

@@ -26,6 +26,9 @@ case class FrameStats(doc_id: Long, frame_id: Int, sum_r: Long, sum_g: Long, sum
 /** 8x8 average-hash of an image as two positive 32-bit halves. */
 case class AHash(doc_id: Long, hash_hi: Long, hash_lo: Long)
 
+/** Per-sampled-frame perceptual hash of a clip. */
+case class FrameAHash(doc_id: Long, frame_id: Int, hash_hi: Long, hash_lo: Long)
+
 case class WavZc(doc_id: Long, n_samples: Long, zero_crossings: Long)
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
@@ -393,7 +396,17 @@ object Multimodal {
     * not pay for the frames you drop), then run the real BMP decode on the
     * selected ones.
     */
-  def sampleFrames(id: Long, bytes: Array[Byte], every: Int): Seq[FrameStats] = {
+  def sampleFrames(id: Long, bytes: Array[Byte], every: Int): Seq[FrameStats] =
+    walkFrames(id, bytes, every).map { case (f, frame) =>
+      val s = decodeBmp(id, frame)
+      FrameStats(id, f, s.sum_r, s.sum_g, s.sum_b)
+    }
+
+  /** The GVID container walk shared by every frame-level verb: stride the
+    * length-prefixed index, copying out only every `every`-th frame's
+    * bytes (skipped frames are never touched beyond their length field).
+    */
+  private def walkFrames(id: Long, bytes: Array[Byte], every: Int): Seq[(Int, Array[Byte])] = {
     require(every > 0, s"every must be positive (got $every)")
     require(
       bytes.length >= 8 && new String(bytes, 0, 4, "US-ASCII") == "GVID",
@@ -401,7 +414,7 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val nFrames = buf.getInt(4)
     var off = 8
-    val out = Seq.newBuilder[FrameStats]
+    val out = Seq.newBuilder[(Int, Array[Byte])]
     var f = 0
     while (f < nFrames) {
       require(bytes.length >= off + 4, s"doc $id: truncated frame index")
@@ -409,9 +422,7 @@ object Multimodal {
       off += 4
       require(bytes.length >= off + len, s"doc $id: truncated frame $f")
       if (f % every == 0) {
-        val frame = java.util.Arrays.copyOfRange(bytes, off, off + len)
-        val s = decodeBmp(id, frame)
-        out += FrameStats(id, f, s.sum_r, s.sum_g, s.sum_b)
+        out += ((f, java.util.Arrays.copyOfRange(bytes, off, off + len)))
       }
       off += len
       f += 1
@@ -432,6 +443,30 @@ object Multimodal {
       }
       .toDF()
       .select(col("doc_id"), col("frame_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
+  /** Per-sampled-frame perceptual hashes over a media table of GVID
+    * containers — the keyframe-hashing front end of VIDEO near-dup
+    * detection ([[graft.ops.Dedup.clipPairs]]): stride the container like
+    * [[frameSamples]] (skipped frames never decoded), aHash each selected
+    * frame. Once clips are keyframe-hashed, video dedup reduces to the
+    * image-banding problem, exactly as images reduced to SimHash.
+    */
+  def frameAHashes(media: DataFrame, every: Int = 2): DataFrame = {
+    require(every > 0, s"every must be positive (got $every)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    mediaPairs(media)
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          walkFrames(id, bytes, every).map { case (f, frame) =>
+            val h = aHashBmp(id, frame)
+            FrameAHash(id, f, h.hash_hi, h.hash_lo)
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("frame_id"), col("hash_hi"), col("hash_lo"))
   }
 
   /** Frame-difference scene-cut detection over the decoded clip: a frame

@@ -314,6 +314,18 @@ object OpsQueries {
     "multimodal_scene_cuts" -> { (s, dir) =>
       Multimodal.sceneCuts(videoMedia(s, dir))
     },
+    // every 25th clip re-ingested under a fresh id (frame hashes copied:
+    // an exact re-upload) — clip-level dedup over keyframe hashes
+    "multimodal_clip_pairs" -> { (s, dir) =>
+      val base = Multimodal.frameAHashes(videoMedia(s, dir), every = 2)
+      val dupped = base.unionAll(
+        base
+          .filter(col("doc_id") % 25 === 0)
+          .select(
+            (col("doc_id") + 1000000).as("doc_id"),
+            col("frame_id"), col("hash_hi"), col("hash_lo")))
+      Dedup.clipPairs(dupped)
+    },
     // the built-in session_window face of sessionization: gap-merged
     // windows computed declaratively (split at gap >= 30 min — the
     // overlap rule; the custom stateful sessionize splits at gap > 30 min)
@@ -1448,6 +1460,56 @@ object OpsQueries {
          |SELECT doc_a, doc_b,
          |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
+    // Mirrors frameAHashes + clipPairs: per-sampled-frame aHash over the
+    // video generator formula (frame f shifts every channel by 19*f),
+    // frame key doc_id*1000+f through the ahash band/cap/verify SQL, then
+    // the clip-level count/min aggregation.
+    "multimodal_clip_pairs" ->
+      """WITH vdims AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h, 3 + doc_id % 4 AS nf
+        |  FROM documents),
+        |vf AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM vdims),
+        |vg AS (
+        |  SELECT doc_id, f,
+        |    list_transform(range(0, 64), k ->
+        |      (((doc_id   + 19*f + 7*(((k % 8) * w) // 8) + 13*(((k // 8) * h) // 8)) % 256)
+        |     + ((doc_id*3 + 19*f + 5*(((k % 8) * w) // 8) + 11*(((k // 8) * h) // 8)) % 256)
+        |     + ((doc_id*5 + 19*f + 3*(((k % 8) * w) // 8) + 17*(((k // 8) * h) // 8)) % 256)) // 3) AS gray
+        |  FROM vf WHERE f % 2 = 0),
+        |vs AS (SELECT doc_id, f, gray, list_sum(gray) AS total FROM vg),
+        |vah AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(range(32, 64),
+        |         k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << (k-32) ELSE 0 END)) AS BIGINT) AS hash_hi,
+        |    CAST(list_sum(list_transform(range(0, 32),
+        |         k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hash_lo
+        |  FROM vs),
+        |dup AS (
+        |  SELECT doc_id, f, hash_hi, hash_lo FROM vah
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, f, hash_hi, hash_lo FROM vah WHERE doc_id % 25 = 0),
+        |fr AS (SELECT doc_id * 1000 + f AS fid, hash_hi, hash_lo FROM dup),
+        |bd AS (
+        |  SELECT fid, hash_hi, hash_lo, b.band AS band,
+        |         ((CASE WHEN b.band < 2 THEN hash_lo ELSE hash_hi END) >> (16 * (b.band % 2))) & 65535 AS bkey
+        |  FROM fr CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+        |bc AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bd),
+        |bok AS (SELECT fid, hash_hi, hash_lo, band, bkey FROM bc WHERE bn <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.fid AS fa, a.hash_hi AS ha, a.hash_lo AS la,
+        |                  b.fid AS fb, b.hash_hi AS hb, b.hash_lo AS lb
+        |  FROM bok a JOIN bok b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.fid < b.fid),
+        |fpair AS (
+        |  SELECT fa // 1000 AS clip_a, fb // 1000 AS clip_b,
+        |         CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+        |  FROM cand
+        |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3)
+        |SELECT clip_a, clip_b,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+        |       CAST(MIN(hamming) AS BIGINT) AS min_hamming
+        |FROM fpair WHERE clip_a <> clip_b
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel
     // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.

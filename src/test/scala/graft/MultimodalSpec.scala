@@ -208,6 +208,44 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frameAHashes + clipPairs: re-uploaded clip found, unrelated clips not paired") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // frame hashes equal aHashBmp of the directly-constructed frame BMPs
+    val id = 5L
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val media = MediaSynth.mediaTable(Seq(id).toDF("doc_id"), "video/gvid", MediaSynth.docVideo)
+    val hashes = Multimodal.frameAHashes(media, every = 2).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    for ((f, hv) <- hashes) {
+      val frame = MediaSynth.bmp(
+        w, h,
+        (x, y) =>
+          (
+            ((id + 19L * f + 7L * x + 13L * y) % 256).toInt,
+            ((id * 3 + 19L * f + 5L * x + 11L * y) % 256).toInt,
+            ((id * 5 + 19L * f + 3L * x + 17L * y) % 256).toInt))
+      val direct = Multimodal.aHashBmp(id, frame)
+      assert(hv == ((direct.hash_hi, direct.hash_lo)), s"frame $f")
+    }
+    // a re-upload (identical frame hashes under a new id) pairs with its
+    // original at hamming 0 across >= minShared frames; an unrelated clip
+    // does not pair with either
+    val base = Multimodal.frameAHashes(
+      MediaSynth.mediaTable(Seq(5L, 6L).toDF("doc_id"), "video/gvid", MediaSynth.docVideo),
+      every = 1)
+    val dup = base.filter(col("doc_id") === 5L)
+      .select((col("doc_id") + 100).as("doc_id"), col("frame_id"), col("hash_hi"), col("hash_lo"))
+    val pairs = graft.ops.Dedup.clipPairs(base.unionAll(dup)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 105L && p._4 == 0L),
+      s"re-upload must pair with its original: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
+      s"unrelated clip must not pair: ${pairs.toSeq}")
+  }
+
   test("sceneCuts: diffs agree with a direct per-frame decode; both flags occur") {
     val s = spark
     import s.implicits._
