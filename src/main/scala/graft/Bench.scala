@@ -15,6 +15,7 @@ object Bench {
     // serial work at 100 TB, not local latency
     "asof_join_bucketed",
     "corpus_curriculum",
+    "multimodal_clip_pairs",
     "multimodal_ahash_pairs",
     "dedup_simhash_pairs",
     "text_repetition",
