@@ -628,4 +628,50 @@ object Corpus {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
       md5(redacted(col(textCol))).as("clean_md5"))
+
+  /** Data-card rollup: the per-source summary table published alongside a
+    * training corpus (docs, tokens, chars, language spread, quality
+    * distribution, gate pass-rate), plus an `ALL` grand-total row from the
+    * same pass via `rollup`. Quality is carried as the integer ten-thousandths
+    * of [[graft.ops.TextAnalysis.qualityScore]] (`q_tenk_*`), so every cell
+    * is exact and oracle-hashable; `n_kept` counts docs at or above
+    * `keepTenk` (default 0.5).
+    *
+    * Scale shape: one narrow projection computes the per-doc signals, then
+    * a single hash aggregation over `rollup(source)` — Spark expands the
+    * rollup map-side, so the grand total costs no extra pass; sources are
+    * few, so the reduce side is trivially small. `n_langs` partial-
+    * aggregates as (source, lang) pairs before the distinct count.
+    */
+  def datacard(
+      docs: DataFrame,
+      keepTenk: Long = 5000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val qTenk = round(TextAnalysis.qualityScore(col(textCol)) * 10000, 0).cast("long")
+    docs
+      .select(
+        col("source"),
+        col("lang"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
+        qTenk.as("q_tenk"))
+      .rollup("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_tokens").cast("long").as("n_tokens"),
+        sum("n_chars").cast("long").as("n_chars"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        min("q_tenk").cast("long").as("q_tenk_min"),
+        max("q_tenk").cast("long").as("q_tenk_max"),
+        sum("q_tenk").cast("long").as("q_tenk_sum"),
+        sum(when(col("q_tenk") >= keepTenk, 1L).otherwise(0L)).cast("long").as("n_kept"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        col("q_tenk_min"), col("q_tenk_max"),
+        // integer division: exact and engine-portable (no double rounding)
+        expr("q_tenk_sum div n_docs").cast("long").as("q_tenk_avg"),
+        col("n_kept"))
+  }
 }

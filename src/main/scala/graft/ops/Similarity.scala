@@ -425,4 +425,196 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos_r")
   }
+
+  /** Integer-milli view of a float vector (`round(x*1000)` per element) —
+    * the shared exactness trick of the PQ family: all distances downstream
+    * are integer sums of integer squares, so Spark and any oracle engine
+    * agree bit-for-bit.
+    */
+  private def milliVec(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
+
+  /** Product-quantization codebook: the `ksub` lowest-id corpus vectors
+    * seed one centroid set per subspace (the deterministic "flat" seeding
+    * of [[ivfFlatTopK]], applied per 16-dim slice). One row per
+    * (subspace, code): `subspace` in 0..m-1, `code` in 0..ksub-1 by seed
+    * id rank, `cm` the centroid's milli subvector. Bounded at m·ksub rows
+    * — always broadcastable.
+    */
+  private def pqCodebook(
+      corpus: DataFrame,
+      m: Int,
+      subDim: Int,
+      ksub: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    corpus
+      .select(col(idCol).as("seed_id"), milliVec(col(vecCol)).as("vm"))
+      .orderBy(col("seed_id"))
+      .limit(ksub)
+      .withColumn("code", row_number().over(Window.orderBy(col("seed_id"))) - 1)
+      .select(
+        col("code").cast("long").as("code"),
+        posexplode(
+          transform(sequence(lit(0), lit(m - 1)), j => slice(col("vm"), j * subDim + 1, lit(subDim))))
+          .as(Seq("subspace", "cm")))
+      .select(col("subspace").cast("long").as("subspace"), col("code"), col("cm"))
+  }
+
+  /** Product-quantization encoder (Jégou et al. 2011): each vector splits
+    * into `m` subvectors and each subvector is replaced by the id of its
+    * nearest codebook centroid (squared-L2 in integer milli units, lower
+    * code on ties). Output is the relational code table — one row per
+    * (vec_id, subspace) with the chosen `code` and its quantization
+    * distance `qdist` — i.e. a 64-dim float vector compressed to m small
+    * ints, the memory move that makes billion-vector ANN feasible.
+    *
+    * Scale shape: the codebook is m·ksub rows and broadcast; assignment is
+    * a map-side cross join (ksub distance evaluations per subvector)
+    * collapsed by a `min(struct(dist, code))` hash aggregation — uniform
+    * (vec_id, subspace) keys, map-side partials, no window, no shuffle of
+    * the raw cross-join when AQE coalesces. Codebook training beyond
+    * seed-vectors would slot in via [[ivfCentroids]]-style Lloyd rounds
+    * without changing this assignment plan.
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
+    corpus
+      .select(col(idCol).as("vec_id"), milliVec(col(vecCol)).as("vm"))
+      .select(
+        col("vec_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(m - 1)), j => slice(col("vm"), j * subDim + 1, lit(subDim))))
+          .as(Seq("subspace", "sv")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("sv"))
+      .join(broadcast(cb), Seq("subspace"))
+      .withColumn(
+        "dist",
+        aggregate(
+          zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("subspace"),
+        col("best.code").as("code"),
+        col("best.dist").as("qdist"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): queries stay full-precision; each
+    * candidate's distance is the sum over subspaces of a precomputed
+    * (query, subspace, code) table entry — m lookups per candidate instead
+    * of a dim-wide float loop. Distances are integer milli² throughout, so
+    * ranking is exact. Ascending distance, neighbor id on ties.
+    *
+    * Scale shape: the distance table is |queries|·m·ksub rows — broadcast
+    * (queries are the small side by contract, as in [[bruteForceTopK]]);
+    * the candidate score is then one equi-join on (subspace, code) against
+    * the code table plus a (query, neighbor) hash aggregation — both
+    * map-side-partial friendly, no window until the final per-query top-k.
+    * At 100 TB the code table is ~m bytes/vector — the whole point of PQ —
+    * and this plan touches full vectors only for the m·ksub codebook.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val subDim = dim / m
+    val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
+    // qdist here is the CANDIDATE's quantization residual — drop it; ADC
+    // scores against the query's own distance table only
+    val codes = pqCodes(corpus, m, ksub, dim, idCol, vecCol)
+      .select("vec_id", "subspace", "code")
+    val dtab = queries
+      .select(col(idCol).as("query_id"), milliVec(col(vecCol)).as("qm"))
+      .select(
+        col("query_id"),
+        posexplode(
+          transform(sequence(lit(0), lit(m - 1)), j => slice(col("qm"), j * subDim + 1, lit(subDim))))
+          .as(Seq("subspace", "qs")))
+      .select(col("query_id"), col("subspace").cast("long").as("subspace"), col("qs"))
+      .join(broadcast(cb), Seq("subspace"))
+      .select(
+        col("query_id"),
+        col("subspace"),
+        col("code"),
+        aggregate(
+          zip_with(col("qs"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, x) => acc + x).as("qdist"))
+    import org.apache.spark.sql.expressions.Window
+    codes
+      .join(broadcast(dtab), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").cast("long").as("adc_dist"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** Embedding-diversity audit: mean pairwise cosine within each group
+    * (label/cell/source), computed WITHOUT materializing any pair via the
+    * sum-vector identity — for unit vectors, Σ_{i≠j} cos(v_i, v_j) =
+    * ‖Σ v̂_i‖² − n. High mean cosine flags a collapsed or duplicated
+    * region of the corpus; near-zero means healthy spread. Vectors are
+    * normalized then fixed to integer milli units, so the per-dimension
+    * sums are exact integers in any engine; the final mean is one double
+    * division on those exact integers, rounded to milli.
+    *
+    * Scale shape: one narrow normalize + posexplode, a (group, dim) hash
+    * aggregation (64 rows per group), then a group-level fold — linear in
+    * corpus size, no pairs, no window, map-side partials throughout.
+    */
+  def diversity(
+      embs: DataFrame,
+      groupCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val nm = norm(col(vecCol))
+    embs
+      .select(
+        col(groupCol).cast("long").as("grp"),
+        posexplode(
+          when(nm === 0.0, transform(col(vecCol), _ => lit(0L)))
+            .otherwise(
+              transform(col(vecCol), x => round(x.cast("double") * 1000 / nm, 0).cast("long"))))
+          .as(Seq("pos", "u")))
+      .groupBy("grp", "pos")
+      .agg(sum("u").cast("long").as("s"), count(lit(1)).cast("long").as("cnt"))
+      .groupBy("grp")
+      .agg(
+        max("cnt").cast("long").as("n"),
+        sum(col("s") * col("s")).cast("long").as("ss"))
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        // (‖S‖²/1e6 − n) / (n(n−1)), in milli: exact-integer inputs, one
+        // double division, same op order as the oracle
+        round(
+          (col("ss").cast("double") / 1000000.0 - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)) * 1000.0,
+          0).cast("long").as("cos_avg_milli"))
+      .filter(col("n") > 1)
+  }
 }

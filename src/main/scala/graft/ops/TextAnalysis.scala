@@ -665,4 +665,139 @@ object TextAnalysis {
         countDistinct(col("doc_id")).cast("long").as("df"),
         count(lit(1)).cast("long").as("tf"))
       .filter(col("df") >= minDf)
+
+  /** RAG / retrieval-style document chunking: fixed token windows of
+    * `window` tokens advancing by `stride` (overlap = window - stride),
+    * one output row per chunk with its ordinal, token span, text, and an
+    * md5 content digest for downstream chunk-level dedup. The final
+    * partial window is kept (standard chunker behavior — dropping it
+    * loses document tails); empty documents yield no rows.
+    *
+    * Scale shape: chunk starts come from a per-row `sequence` +
+    * `posexplode` — a narrow per-document expansion of ~n_tokens/stride
+    * rows, no shuffle at all. The output carries everything a chunk
+    * store needs, so the common pipeline (chunk → embed → index) reads
+    * it as one pass.
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val withTk = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .filter(col("n") > 0)
+    withTk
+      .select(
+        col("doc_id"),
+        col("n"),
+        col("tk"),
+        posexplode(
+          sequence(lit(0L), expr(s"((n - 1) div $stride) * $stride"), lit(stride.toLong)))
+          .as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("start") + 1L).as("tok_start"),
+        least(col("start") + window, col("n")).as("tok_end"),
+        concat_ws(" ", slice(col("tk"), col("start").cast("int") + 1, lit(window))).as("chunk_text"))
+      .withColumn("n_tokens", (col("tok_end") - col("tok_start") + 1L).cast("long"))
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+      .select("doc_id", "chunk_id", "tok_start", "tok_end", "n_tokens", "chunk_text", "chunk_md5")
+  }
+
+  /** Corpus-level boilerplate removal (the CCNet/RefinedWeb move): a line
+    * is boilerplate when it occurs in more than `maxDocs` distinct
+    * documents — cookie banners, footers, "enable javascript" notices —
+    * regardless of its content. Returns the per-doc audit face: line
+    * counts before/after and a digest of the kept text in original line
+    * order. Complements [[cleanLines]], which judges each line in
+    * isolation; this one needs the corpus.
+    *
+    * Scale shape: lines explode once, then document frequency is a
+    * two-level hash aggregation — distinct (line_fp, doc) pairs first
+    * (map-side partials collapse a hot line to one row per doc before the
+    * shuffle), then a count per line_fp. The df table joins back on
+    * line_fp — an equi-join AQE can skew-split, deliberately NOT a
+    * `count() over (partition by line_fp)` window, which would funnel
+    * every posting of a hot boilerplate line to one reducer (this repo's
+    * standing discipline; see paragraphDedup).
+    */
+  def boilerplateLines(
+      docs: DataFrame,
+      maxDocs: Long = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(split(col(textCol), "\r?\n"), l => trim(l) =!= ""))
+          .as(Seq("line_no", "line")))
+      .withColumn("line_fp", md5(trim(col("line"))))
+    val df = lines
+      .select("line_fp", "doc_id")
+      .distinct()
+      .groupBy("line_fp")
+      .agg(count(lit(1)).cast("long").as("line_df"))
+    lines
+      .join(df, Seq("line_fp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("line_df") <= maxDocs, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        md5(
+          concat_ws(
+            "\n",
+            transform(
+              array_sort(
+                collect_list(
+                  when(col("line_df") <= maxDocs, struct(col("line_no"), col("line"))))),
+              s => s.getField("line")))).as("kept_md5"))
+  }
+
+  /** Deterministic weight for a hash bucket: an integer in [-1000, 1000]
+    * derived from the bucket id by a Knuth multiplicative mix. Stands in
+    * for trained linear-classifier weights while keeping the scorer
+    * exactly reproducible across engines (a real model would broadcast
+    * its weight table and join it here instead).
+    */
+  private[ops] def bucketWeight(bucket: Column): Column =
+    (bucket * 2654435761L) % 2001L - 1000L
+
+  /** Linear quality classifier over hashed features — the fasttext-shaped
+    * model-based filter of pretraining pipelines (score = w · tf-vector,
+    * keep when above threshold), with the same hashing-trick buckets as
+    * [[hashingVectors]] so the two share one feature space. All-integer
+    * (`score_milli` = Σ tf(b)·w(b)), so the result is exact and
+    * oracle-hashable; swap [[bucketWeight]] for a broadcast-joined weight
+    * table to serve a genuinely trained model with the identical plan.
+    *
+    * Scale shape: one explode + one (doc, bucket) hash aggregation + one
+    * per-doc sum — uniform keys, map-side partials, no vocabulary or
+    * driver state, same envelope as [[hashingVectors]].
+    */
+  def linearScore(
+      docs: DataFrame,
+      nFeatures: Int = 1024,
+      threshold: Long = 0L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nFeatures > 0, "nFeatures must be positive")
+    val d = (i: Int) => expr(s"locate(substring(md5(tok), $i, 1), '0123456789abcdef')") - 1
+    val bucket = ((d(1) * 256 + d(2) * 16 + d(3)) % nFeatures).cast("long")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(col("tf") * bucketWeight(col("bucket"))).cast("long").as("score_milli"))
+      .withColumn("keep", (col("score_milli") > threshold).cast("boolean"))
+  }
 }

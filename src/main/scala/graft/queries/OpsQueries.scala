@@ -352,7 +352,19 @@ object OpsQueries {
           expr("ts div 1000000000").cast("long").as("ts_secs"))
         .as[graft.streaming.Evt]
       graft.streaming.EventsStream.sessionizeBatch(ev, gapSecs = 1800)
-    }
+    },
+    "text_chunk" -> { (s, dir) => TextAnalysis.chunkTokens(docs(s, dir)) },
+    "text_boilerplate" -> { (s, dir) =>
+      TextAnalysis.boilerplateLines(linedDocs(s, dir), maxDocs = 20)
+    },
+    "text_quality_classifier" -> { (s, dir) => TextAnalysis.linearScore(docs(s, dir)) },
+    "corpus_datacard" -> { (s, dir) => Corpus.datacard(docs(s, dir)) },
+    "embedding_pq" -> { (s, dir) => Similarity.pqCodes(embs(s, dir)) },
+    "similarity_topk_pq" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
+    "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) }
   )
 
   // ---- oracle SQL ----
@@ -369,6 +381,32 @@ object OpsQueries {
       |  FROM documents)""".stripMargin
 
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared by `embedding_pq` / `similarity_topk_pq`: milli-int vectors,
+    * the 8-seed 4-subspace PQ codebook, subvectors, and all (vector,
+    * centroid) squared-L2 distances — mirrors [[graft.ops.Similarity.pqCodes]].
+    */
+  private val pqCtes =
+    """pe AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |                        x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS vm
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id, vm, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+      |  FROM (SELECT * FROM pe ORDER BY vec_id LIMIT 8)),
+      |cb AS (
+      |  SELECT CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+      |         vm[(j*16+1):(j*16+16)] AS cm
+      |  FROM seeds, range(0, 4) t(j)),
+      |sv AS (
+      |  SELECT vec_id, CAST(j AS BIGINT) AS subspace, vm[(j*16+1):(j*16+16)] AS sub
+      |  FROM pe, range(0, 4) t(j)),
+      |pqd AS (
+      |  SELECT s.vec_id, s.subspace, cb.code,
+      |         list_sum(list_transform(range(1, 17),
+      |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS dist
+      |  FROM sv s JOIN cb ON cb.subspace = s.subspace)""".stripMargin
 
   /** The lined corpus of `linedDocs`, as a CTE over `tks` (so callers
     * prepend `tokCtes`). Byte-identical text construction.
@@ -1593,6 +1631,141 @@ object OpsQueries {
         |  FROM y)
         |SELECT user_id, MIN(ts_secs) AS session_start, MAX(ts_secs) AS session_end,
         |       CAST(COUNT(*) AS INT) AS n_events
-        |FROM z GROUP BY user_id, sno""".stripMargin
+        |FROM z GROUP BY user_id, sno""".stripMargin,
+    // Mirrors chunkTokens: window 32, stride 24, final partial chunk kept.
+    "text_chunk" ->
+      s"""WITH $tokCtes,
+         |c AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tks WHERE len(tk) > 0),
+         |s AS (SELECT doc_id, tk, n, unnest(range(0, ((n - 1) // 24) + 1)) AS cid FROM c)
+         |SELECT doc_id,
+         |       CAST(cid AS BIGINT) AS chunk_id,
+         |       CAST(cid * 24 + 1 AS BIGINT) AS tok_start,
+         |       CAST(least(cid * 24 + 32, n) AS BIGINT) AS tok_end,
+         |       CAST(least(cid * 24 + 32, n) - cid * 24 AS BIGINT) AS n_tokens,
+         |       array_to_string(tk[(cid*24+1):(cid*24+32)], ' ') AS chunk_text,
+         |       md5(array_to_string(tk[(cid*24+1):(cid*24+32)], ' ')) AS chunk_md5
+         |FROM s""".stripMargin,
+    // Mirrors boilerplateLines over the lined fixture: line df by distinct
+    // (fingerprint, doc), drop lines in more than 20 docs.
+    "text_boilerplate" ->
+      s"""WITH $tokCtes,
+         |$linedCte,
+         |ls AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\r?\\n'), l -> trim(l) <> '') AS lst
+         |  FROM lined),
+         |l AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(lst) + 1),
+         |                i -> struct_pack(no := i, line := lst[i]))) AS s
+         |  FROM ls),
+         |l2 AS (
+         |  SELECT doc_id, CAST(s.no AS BIGINT) AS line_no, s.line AS line,
+         |         md5(trim(s.line)) AS fp
+         |  FROM l),
+         |dfq AS (SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS line_df FROM l2 GROUP BY 1)
+         |SELECT l2.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |       CAST(SUM(CASE WHEN d.line_df <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       md5(COALESCE(array_to_string(
+         |             list_filter(list(CASE WHEN d.line_df <= 20 THEN l2.line END ORDER BY l2.line_no),
+         |                         x -> x IS NOT NULL),
+         |             chr(10)), '')) AS kept_md5
+         |FROM l2 JOIN dfq d USING (fp)
+         |GROUP BY l2.doc_id""".stripMargin,
+    // Mirrors linearScore: text_hash_vectors' bucket hashing + the Knuth
+    // multiplicative weight (bucket * 2654435761 % 2001 - 1000), all BIGINT.
+    "text_quality_classifier" ->
+      s"""WITH $tokCtes,
+         |b AS (
+         |  SELECT id AS doc_id,
+         |         CAST(((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 256
+         |          + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16
+         |          + strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) % 1024 AS BIGINT) AS bucket
+         |  FROM tokraw WHERE tok <> ''),
+         |w AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(tf * ((bucket * 2654435761) % 2001 - 1000)) AS BIGINT) AS score_milli,
+         |       (SUM(tf * ((bucket * 2654435761) % 2001 - 1000)) > 0) AS keep
+         |FROM w GROUP BY doc_id""".stripMargin,
+    // Mirrors Corpus.datacard: per-source + ALL rollup over the integer
+    // ten-thousandths of the shared quality score (corpus_quality_gate's q_i).
+    "corpus_datacard" ->
+      s"""WITH $tokCtes,
+         |q AS (
+         |  SELECT d.doc_id, d.source, d.lang,
+         |         CAST(length(d.text) AS BIGINT) AS n_chars,
+         |         CAST(len(tk) AS BIGINT) AS n_tokens,
+         |         CAST(round(round(least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0) *
+         |              (1.0 - CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE)
+         |                / greatest(len(tk), 1)), 4) * 10000, 0) AS BIGINT) AS q_tenk
+         |  FROM tks JOIN documents d ON d.doc_id = tks.doc_id)
+         |SELECT coalesce(source, 'ALL') AS source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+         |       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(MIN(q_tenk) AS BIGINT) AS q_tenk_min,
+         |       CAST(MAX(q_tenk) AS BIGINT) AS q_tenk_max,
+         |       CAST(SUM(q_tenk) // COUNT(*) AS BIGINT) AS q_tenk_avg,
+         |       CAST(SUM(CASE WHEN q_tenk >= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM q GROUP BY ROLLUP(source)""".stripMargin,
+    // Mirrors pqCodes: milli-int vectors, seed codebook = 8 lowest-id
+    // vectors sliced into 4 subspaces, integer squared-L2 assignment.
+    "embedding_pq" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, subspace, code, CAST(dist AS BIGINT) AS qdist
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+         |                                   ORDER BY dist, code) AS rn FROM pqd)
+         |WHERE rn = 1""".stripMargin,
+    // Mirrors pqTopK: ADC — per-query distance table to every codebook
+    // entry, candidate distance = sum over the 4 assigned codes.
+    "similarity_topk_pq" ->
+      s"""WITH $pqCtes,
+         |codes AS (
+         |  SELECT vec_id, subspace, code, dist
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+         |                                     ORDER BY dist, code) AS rn FROM pqd)
+         |  WHERE rn = 1),
+         |dt AS (
+         |  SELECT s.vec_id AS query_id, s.subspace, cb.code,
+         |         list_sum(list_transform(range(1, 17),
+         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS qdist
+         |  FROM sv s JOIN cb ON cb.subspace = s.subspace
+         |  WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         |         CAST(SUM(dt.qdist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN dt ON dt.subspace = codes.subspace AND dt.code = codes.code
+         |  WHERE dt.query_id <> codes.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+         |  FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+    // Mirrors Similarity.diversity: milli-int normalized vectors, mean
+    // pairwise cosine per label via the sum-vector identity.
+    "embedding_diversity" ->
+      """WITH nv AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT label, i AS pos,
+        |         CASE WHEN nm = 0 THEN 0
+        |              ELSE CAST(round(CAST(embedding[i] AS DOUBLE) * 1000 / nm, 0) AS BIGINT)
+        |         END AS u
+        |  FROM nv, range(1, 65) t(i)),
+        |s AS (SELECT label, pos, CAST(SUM(u) AS BIGINT) AS s, COUNT(*) AS cnt
+        |      FROM u GROUP BY 1, 2),
+        |g AS (SELECT label, CAST(MAX(cnt) AS BIGINT) AS n, CAST(SUM(s * s) AS BIGINT) AS ss
+        |      FROM s GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, n,
+        |       CAST(round((CAST(ss AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE)) /
+        |            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 1000.0, 0) AS BIGINT)
+        |         AS cos_avg_milli
+        |FROM g WHERE n > 1""".stripMargin
   )
 }

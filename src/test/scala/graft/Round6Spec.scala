@@ -1,0 +1,197 @@
+package graft
+
+import graft.ops.{Corpus, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 training-pipeline additions: RAG chunking,
+  * corpus-level boilerplate removal, the linear hashed-feature quality
+  * classifier, the data-card rollup, product quantization (codes + ADC
+  * top-k), and the pairwise-free embedding-diversity audit.
+  */
+class Round6Spec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  // ---- chunkTokens ----
+
+  test("chunkTokens: windows overlap by window - stride and keep the tail") {
+    val s = spark
+    import s.implicits._
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis
+      .chunkTokens(Seq((1L, text)).toDF("doc_id", "text"), window = 32, stride = 24)
+      .orderBy("chunk_id")
+      .collect()
+    assert(got.length == 2)
+    val c0 = got(0)
+    assert(c0.getAs[Long]("tok_start") == 1L && c0.getAs[Long]("tok_end") == 32L)
+    assert(c0.getAs[Long]("n_tokens") == 32L)
+    assert(c0.getAs[String]("chunk_text") == (1 to 32).map(i => s"t$i").mkString(" "))
+    val c1 = got(1)
+    assert(c1.getAs[Long]("tok_start") == 25L && c1.getAs[Long]("tok_end") == 40L)
+    assert(c1.getAs[Long]("n_tokens") == 16L)
+    assert(c1.getAs[String]("chunk_text") == (25 to 40).map(i => s"t$i").mkString(" "))
+    assert(c1.getAs[String]("chunk_md5") == md5Hex(c1.getAs[String]("chunk_text")))
+  }
+
+  test("chunkTokens: a doc shorter than one window is a single partial chunk; empty docs vanish") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis
+      .chunkTokens(Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("doc_id") == 1L)
+    assert(got(0).getAs[Long]("n_tokens") == 3L)
+    assert(got(0).getAs[String]("chunk_text") == "a b c")
+  }
+
+  // ---- boilerplateLines ----
+
+  test("boilerplateLines: lines in more than maxDocs docs are dropped, order preserved") {
+    val s = spark
+    import s.implicits._
+    // "shared footer" is in all 3 docs (df=3 > maxDocs=2) -> dropped
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nbravo one"),
+      (2L, "alpha two\nshared footer"),
+      (3L, "shared footer\ncharlie three")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .boilerplateLines(docs, maxDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(got.map(_.getAs[Long]("n_lines")).toSeq == Seq(3L, 2L, 2L))
+    assert(got.map(_.getAs[Long]("n_kept")).toSeq == Seq(2L, 1L, 1L))
+    assert(got(0).getAs[String]("kept_md5") == md5Hex("alpha one\nbravo one"))
+    assert(got(2).getAs[String]("kept_md5") == md5Hex("charlie three"))
+  }
+
+  test("boilerplateLines: a doc of only boilerplate keeps zero lines (md5 of empty)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "only footer"),
+      (2L, "only footer"),
+      (3L, "only footer\nreal content")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .boilerplateLines(docs, maxDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+    assert(got(0).getAs[Long]("n_kept") == 0L)
+    assert(got(0).getAs[String]("kept_md5") == md5Hex(""))
+    assert(got(2).getAs[String]("kept_md5") == md5Hex("real content"))
+  }
+
+  // ---- linearScore ----
+
+  test("linearScore: deterministic, repartition-stable, and sign-consistent with keep") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf/documents.parquet").limit(50)
+    val a = TextAnalysis.linearScore(docs).orderBy("doc_id").collect()
+    val b = TextAnalysis.linearScore(docs.repartition(7)).orderBy("doc_id").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("score_milli") > 0L))
+    }
+    assert(a.map(_.getAs[Long]("score_milli")).distinct.length > 1, "scores must spread")
+  }
+
+  test("linearScore: score is the weighted bucket-count sum (one-token doc)") {
+    val s = spark
+    import s.implicits._
+    // one token repeated 3 times -> score = 3 * w(bucket), n_tokens = 3
+    val got = TextAnalysis
+      .linearScore(Seq((1L, "zap zap zap")).toDF("doc_id", "text"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_tokens") == 3L)
+    val single = TextAnalysis
+      .linearScore(Seq((1L, "zap")).toDF("doc_id", "text"))
+      .collect()(0)
+      .getAs[Long]("score_milli")
+    assert(got(0).getAs[Long]("score_milli") == 3L * single)
+  }
+
+  // ---- datacard ----
+
+  test("datacard: ALL row is the exact sum of the per-source rows") {
+    val s = spark
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val rows = Corpus.datacard(docs).collect()
+    val (all, per) = rows.partition(_.getAs[String]("source") == "ALL")
+    assert(all.length == 1 && per.nonEmpty)
+    for (c <- Seq("n_docs", "n_tokens", "n_chars", "n_kept"))
+      assert(all(0).getAs[Long](c) == per.map(_.getAs[Long](c)).sum, s"column $c")
+    assert(all(0).getAs[Long]("q_tenk_min") == per.map(_.getAs[Long]("q_tenk_min")).min)
+    assert(all(0).getAs[Long]("q_tenk_max") == per.map(_.getAs[Long]("q_tenk_max")).max)
+    per.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
+  }
+
+  // ---- product quantization ----
+
+  test("pqCodes: m rows per vector, codes within the codebook, seeds quantize to themselves") {
+    val s = spark
+    val embs = s.read.parquet(s"$sf/embeddings.parquet")
+    val n = embs.count()
+    val codes = Similarity.pqCodes(embs)
+    assert(codes.count() == n * 4)
+    val rng = codes.agg(min("code"), max("code"), min("qdist")).collect()(0)
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 7L && rng.getLong(2) >= 0L)
+    // a seed vector's subvectors ARE centroids -> its qdist is 0 everywhere
+    val seedResidual = codes.filter(col("vec_id") < 8).agg(max("qdist")).collect()(0).getLong(0)
+    assert(seedResidual == 0L)
+  }
+
+  test("pqTopK: an exact duplicate of a seed query ranks first at ADC distance 0") {
+    val s = spark
+    val embs = s.read.parquet(s"$sf/embeddings.parquet")
+    val dup = embs
+      .filter(col("vec_id") === 0)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+    val got = Similarity
+      .pqTopK(embs.filter(col("vec_id") === 0), embs.unionByName(dup), k = 3)
+      .orderBy("rank")
+      .collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("neighbor_id") == 1000000L)
+    assert(got(0).getAs[Long]("adc_dist") == 0L)
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+
+  // ---- diversity ----
+
+  test("diversity: identical vectors read ~1000 milli, orthogonal vectors read ~0") {
+    val s = spark
+    import s.implicits._
+    val same = (1 to 4).map(i => (i.toLong, 0L, Array(1.0f, 0f, 0f, 0f)))
+    val orth = Seq(
+      (10L, 1L, Array(1.0f, 0f, 0f, 0f)),
+      (11L, 1L, Array(0f, 1.0f, 0f, 0f)),
+      (12L, 1L, Array(0f, 0f, 1.0f, 0f)),
+      (13L, 1L, Array(0f, 0f, 0f, 1.0f)))
+    val df = (same ++ orth).toDF("vec_id", "label", "embedding")
+    val got = Similarity
+      .diversity(df)
+      .collect()
+      .map(r => r.getAs[Long]("label") -> (r.getAs[Long]("n"), r.getAs[Long]("cos_avg_milli")))
+      .toMap
+    assert(got(0L)._1 == 4L && got(0L)._2 == 1000L)
+    assert(got(1L)._1 == 4L && got(1L)._2 == 0L)
+  }
+
+  test("diversity: groups of one vector are excluded (pairwise mean undefined)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 0L, Array(1.0f, 0f)),
+      (2L, 0L, Array(1.0f, 0f)),
+      (3L, 9L, Array(0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val labels = Similarity.diversity(df).collect().map(_.getAs[Long]("label")).toSet
+    assert(labels == Set(0L))
+  }
+}
