@@ -14,6 +14,10 @@ object Bench {
     // scale (three shuffles vs one) — its payoff is the bounded per-key
     // serial work at 100 TB, not local latency
     "asof_join_bucketed",
+    // PQ ADC is several fixed-overhead jobs (codebook collect + two
+    // broadcast builds + codes agg) — cheap per-row, heavy per-query at toy
+    // scale, so it rides in the tail with the other ANN variants
+    "similarity_topk_pq",
     "corpus_curriculum",
     "multimodal_clip_pairs",
     "multimodal_ahash_pairs",

@@ -127,6 +127,10 @@ object functions {
   def cosine_similarity(a: Column, b: Column): Column =
     shim.column(CosineSimilarity(shim.expression(a), shim.expression(b)))
 
+  /** Column wrapper for [[SquaredDistanceLong]]. */
+  def l2sq_long(a: Column, b: Column): Column =
+    shim.column(SquaredDistanceLong(shim.expression(a), shim.expression(b)))
+
   /** Register engine SQL functions on a session (`cosine_similarity`,
     * `minhash_signature`).
     */
@@ -134,6 +138,10 @@ object functions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_long",
+      exprs => SquaredDistanceLong(exprs(0), exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",

@@ -448,18 +448,26 @@ object Similarity {
       ksub: Int,
       idCol: String,
       vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    corpus
-      .select(col(idCol).as("seed_id"), milliVec(col(vecCol)).as("vm"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // Driver-side materialization of a bounded dimension table (<= ksub
+    // rows by construction, never data-volume) — the codebook feeds several
+    // broadcast consumers (code assignment, the ADC distance table), and as
+    // a collected literal its lineage is never re-evaluated per consumer
+    // (the collect-to-broadcast-literal discipline of SCALE.md; same move
+    // as ivfCentroids).
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("seed_id"), milliVec(col(vecCol)).as("vm"))
       .orderBy(col("seed_id"))
       .limit(ksub)
-      .withColumn("code", row_number().over(Window.orderBy(col("seed_id"))) - 1)
-      .select(
-        col("code").cast("long").as("code"),
-        posexplode(
-          transform(sequence(lit(0), lit(m - 1)), j => slice(col("vm"), j * subDim + 1, lit(subDim))))
-          .as(Seq("subspace", "cm")))
-      .select(col("subspace").cast("long").as("subspace"), col("code"), col("cm"))
+      .collect()
+    require(seeds.nonEmpty, "pqCodebook: corpus has no vectors to seed the codebook from")
+    seeds.zipWithIndex.toSeq
+      .flatMap { case (r, code) =>
+        val vm = r.getSeq[Long](1)
+        (0 until m).map(j => (j.toLong, code.toLong, vm.slice(j * subDim, (j + 1) * subDim)))
+      }
+      .toDF("subspace", "code", "cm")
   }
 
   /** Product-quantization encoder (Jégou et al. 2011): each vector splits
@@ -497,12 +505,10 @@ object Similarity {
           .as(Seq("subspace", "sv")))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("sv"))
       .join(broadcast(cb), Seq("subspace"))
-      .withColumn(
-        "dist",
-        aggregate(
-          zip_with(col("sv"), col("cm"), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, x) => acc + x))
+      // native codegen loop ([[graft.functions.SquaredDistanceLong]]) — the
+      // HOF zip_with+aggregate form is interpreter-bound at |corpus|·m·ksub
+      // evaluations
+      .withColumn("dist", graft.functions.functions.l2sq_long(col("sv"), col("cm")))
       .groupBy("vec_id", "subspace")
       .agg(min(struct(col("dist"), col("code"))).as("best"))
       .select(
@@ -555,10 +561,7 @@ object Similarity {
         col("query_id"),
         col("subspace"),
         col("code"),
-        aggregate(
-          zip_with(col("qs"), col("cm"), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, x) => acc + x).as("qdist"))
+        graft.functions.functions.l2sq_long(col("qs"), col("cm")).as("qdist"))
     import org.apache.spark.sql.expressions.Window
     codes
       .join(broadcast(dtab), Seq("subspace", "code"))
@@ -591,15 +594,20 @@ object Similarity {
       groupCol: String = "label",
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val nm = norm(col(vecCol))
+    // norm is one HOF fold per ROW; the per-ELEMENT normalize+round happens
+    // after the explode as a plain codegen'd projection (a transform() here
+    // would evaluate its lambda interpreted, |corpus|·dim times)
     embs
       .select(
         col(groupCol).cast("long").as("grp"),
-        posexplode(
-          when(nm === 0.0, transform(col(vecCol), _ => lit(0L)))
-            .otherwise(
-              transform(col(vecCol), x => round(x.cast("double") * 1000 / nm, 0).cast("long"))))
-          .as(Seq("pos", "u")))
+        norm(col(vecCol)).as("nm"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(
+        col("grp"),
+        col("pos"),
+        when(col("nm") === 0.0, lit(0L))
+          .otherwise(round(col("x").cast("double") * 1000 / col("nm"), 0).cast("long"))
+          .as("u"))
       .groupBy("grp", "pos")
       .agg(sum("u").cast("long").as("s"), count(lit(1)).cast("long").as("cnt"))
       .groupBy("grp")

@@ -738,6 +738,10 @@ object TextAnalysis {
         posexplode(filter(split(col(textCol), "\r?\n"), l => trim(l) =!= ""))
           .as(Seq("line_no", "line")))
       .withColumn("line_fp", md5(trim(col("line"))))
+      // two consumers (the df aggregation and the join-back side) — without
+      // this boundary the line explode re-evaluates per consumer (same
+      // discipline as paragraphDedup)
+      .localCheckpoint()
     val df = lines
       .select("line_fp", "doc_id")
       .distinct()

@@ -226,6 +226,62 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "cohort computation must stay key-partitioned")
   }
 
+  // ---- round-6 additions: chunking / boilerplate / classifier / PQ ------
+
+  test("chunkTokens is a shuffle-free codegen expansion") {
+    val p = plan(graft.ops.TextAnalysis.chunkTokens(docsDf))
+    assert(!p.contains("Exchange"), "chunking is per-row; it must not shuffle:\n" + p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+  }
+
+  test("boilerplateLines: line df is agg+join, never a window over the line fingerprint") {
+    val p = plan(graft.ops.TextAnalysis.boilerplateLines(docsDf))
+    // a hot boilerplate line ("all rights reserved") must partial-aggregate
+    // map-side and come back via an AQE-skew-splittable equi-join — a
+    // Window over line_fp funnels every posting to one reducer
+    assert(!p.contains("Window"), "no window over line_fp:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Scan ExistingRDD"), "line table must be materialized before df + join reuse")
+    assert("Generate".r.findAllIn(p).size <= 1, "the line explode must be evaluated once")
+  }
+
+  test("linearScore: two hash aggregations on uniform keys, no window, no join") {
+    val p = plan(graft.ops.TextAnalysis.linearScore(docsDf))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "the weight is an expression, not a join:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
+  test("datacard: one rollup aggregation pass, no join, no window") {
+    val p = plan(graft.ops.Corpus.datacard(docsDf))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "per-source + ALL must come from one rollup:\n" + p.take(1500))
+    assert(p.contains("Expand"), "rollup grouping sets plan as Expand:\n" + p.take(1500))
+  }
+
+  test("PQ: codebook broadcasts, assignment is a partial-min agg, ADC joins are equi") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pCodes = plan(graft.ops.Similarity.pqCodes(embs))
+    assert(!pCodes.contains("CartesianProduct"), pCodes.take(1500))
+    assert(pCodes.contains("BroadcastExchange"), "m·ksub codebook must broadcast:\n" + pCodes.take(1500))
+    assert(pCodes.contains("partial_min") || pCodes.contains("HashAggregate"),
+      "nearest-centroid pick must partial-aggregate map-side (min struct), not window:\n" +
+        pCodes.take(1500))
+    val pTopK = plan(graft.ops.Similarity.pqTopK(embs.filter(col("vec_id") < 8), embs, k = 5))
+    assert(!pTopK.contains("CartesianProduct"), pTopK.take(1500))
+    assert("BroadcastExchange".r.findAllIn(pTopK).size >= 2,
+      "both the codebook and the query distance table must broadcast:\n" + pTopK.take(1500))
+  }
+
+  test("diversity: linear aggregation path — no pairs, no window, no single partition") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.diversity(embs))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "the identity needs no pairs and no join:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"), p.take(1500))
+  }
+
   test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))

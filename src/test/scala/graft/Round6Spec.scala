@@ -184,6 +184,34 @@ class Round6Spec extends SparkSpec {
     assert(got(1L)._1 == 4L && got(1L)._2 == 0L)
   }
 
+  test("l2sq_long native expression matches the HOF fold exactly (incl. degenerate inputs)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 6L, 3L)),       // 9 + 16 = 25
+      (Array(0L, 0L), Array(0L, 0L)),               // 0
+      (Array(-5L, 1000L), Array(5L, -1000L)),       // 100 + 4000000
+      (Array(7L), Array(7L, 99L))                   // length mismatch -> truncate
+    ).toDF("a", "b")
+    val got = df
+      .select(
+        graft.functions.functions.l2sq_long(col("a"), col("b")).as("native"),
+        aggregate(
+          zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0L),
+          (acc, x) => acc + x).as("hof"))
+      .collect()
+    got.take(3).foreach(r => assert(r.getAs[Long]("native") == r.getAs[Long]("hof"), r.toString))
+    assert(got(0).getAs[Long]("native") == 25L)
+    assert(got(3).getAs[Long]("native") == 0L, "length mismatch truncates to the shorter vector")
+    val nulls = Seq((Option.empty[Array[Long]], Some(Array(1L)))).toDF("a", "b")
+    assert(
+      nulls
+        .select(graft.functions.functions.l2sq_long(col("a"), col("b")).as("d"))
+        .collect()(0)
+        .isNullAt(0))
+  }
+
   test("diversity: groups of one vector are excluded (pairwise mean undefined)") {
     val s = spark
     import s.implicits._
