@@ -86,4 +86,55 @@ object Graph {
     }
     r.select("node", "rank_milli")
   }
+
+  /** Per-node triangle counts over an undirected graph given as a (src,
+    * dst) edge list (direction ignored, self-loops and duplicate edges
+    * dropped). Returns one row per node that closes at least one triangle.
+    *
+    * Scale shape — the degree-orientation algorithm (Cohen 2009 /
+    * "MapReduce triangle enumeration"): every canonical edge is oriented
+    * from its (degree, id)-smaller endpoint to the larger, which caps any
+    * node's OUT-degree at O(√m) regardless of its in-degree — a celebrity
+    * node's million followers generate wedges AT the followers, never a
+    * million² blow-up at the celebrity. Wedge generation is then the
+    * oriented list self-joined on the apex (equi-join, AQE-skew-
+    * splittable), closed by one equi-join against the canonical edge set,
+    * and the per-corner counts are a map-side-partial explode+agg. The
+    * canonical edge table feeds three consumers (both wedge sides + the
+    * closing join), hence the materialization.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und
+      .select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v"))
+          .as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u"))
+          .as("b"))
+      .localCheckpoint()
+    val wedges = oriented
+      .select(col("a"), col("b").as("w1"))
+      .join(oriented.select(col("a"), col("b").as("w2")), Seq("a"))
+      .filter(col("w1") < col("w2"))
+    wedges
+      .join(und, col("u") === col("w1") && col("v") === col("w2"))
+      .select(explode(array(col("a"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).cast("long").as("n_tri"))
+  }
 }

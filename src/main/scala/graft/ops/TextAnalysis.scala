@@ -345,6 +345,50 @@ object TextAnalysis {
         count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col("doc_id")).cast("long").as("n_docs"))
 
+  /** Deterministic URL canonicalization: lowercase, fragment stripped,
+    * `utm_*`-tracking query strings stripped, trailing slashes stripped —
+    * the web-corpus subset of canonicalization that is pure regex and so
+    * mirrors in any RE2 engine (full RFC 3986 normalization — percent
+    * decoding, host IDN, default ports — is a library concern upstream of
+    * the corpus, not re-implemented here).
+    */
+  def canonicalUrl(url: Column): Column =
+    lower(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(url, "#[^\\s]*", ""),   // fragment
+          "\\?utm_[^#\\s]*", ""),                // utm-only tracking query
+        "/+$", ""))                              // trailing slashes
+
+  /** URL-level dedup (the crawl-frontier / web-corpus "same page, many
+    * links" collapse): extract every URL, canonicalize via
+    * [[canonicalUrl]], and group — one row per canonical URL with its
+    * mention count, document reach, and the minimum doc id as the group
+    * representative. Tracking-parameter and fragment variants of one page
+    * land in one group; `n_urls > n_docs` flags pages linked repeatedly
+    * within documents.
+    *
+    * Scale shape: extraction + canonicalization are per-row regex
+    * projections; the only shuffle is one hash aggregation keyed by the
+    * canonical URL (count and count-distinct both partial-aggregate
+    * map-side, so a hub URL arrives at its reducer pre-collapsed — same
+    * envelope as [[urlDomains]]).
+    */
+  def urlCanonicalGroups(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlRe), lit(0))).as("url"))
+      .select(col("doc_id"), canonicalUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(
+        count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        min(col("doc_id")).cast("long").as("rep_doc"))
+
   /** Feature-hashing vectorizer (the hashing trick, Weinberger et al.
     * 2009): each token maps to `md5(token) mod nFeatures` and a document
     * becomes the sparse count vector over those buckets. The property that

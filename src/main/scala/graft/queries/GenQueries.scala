@@ -186,6 +186,17 @@ object GenQueries {
         .distinct()
       val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRankMilli(e, iters = 3)
+    },
+    // triangle counting over a deterministic chord graph on the customer
+    // key space: edges (n, n+1) and (n, n+2) for every distinct custkey n —
+    // sparse (degree <= 4), scales linearly with the table, and every run
+    // of consecutive keys closes one triangle per interior key
+    "graph_triangles" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.triangleCounts(e)
     }
   )
 
@@ -317,6 +328,34 @@ object GenQueries {
         |r3 AS (
         |  SELECT n.node, CAST(150 + (850 * COALESCE(c3.inb, 0)) // 1000 AS BIGINT) AS r
         |  FROM nodes n LEFT JOIN c3 USING (node))
-        |SELECT node, r AS rank_milli FROM r3""".stripMargin
+        |SELECT node, r AS rank_milli FROM r3""".stripMargin,
+    // Mirrors Graph.triangleCounts: canonical undirected edges, degree
+    // orientation ((d, id)-smaller endpoint first), apex wedge self-join,
+    // closing-edge join, per-corner counts.
+    "graph_triangles" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e0 AS (SELECT n AS src, n + 1 AS dst FROM k
+        |       UNION ALL SELECT n, n + 2 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+        |                  THEN un.u ELSE un.v END AS a,
+        |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+        |                  THEN un.v ELSE un.u END AS b
+        |      FROM und un
+        |      JOIN deg du ON du.node = un.u
+        |      JOIN deg dv ON dv.node = un.v),
+        |w AS (SELECT e1.a AS a, e1.b AS w1, e2.b AS w2
+        |      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |t AS (SELECT w.a, w.w1, w.w2
+        |      FROM w JOIN und ON und.u = w.w1 AND und.v = w.w2)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT a AS node FROM t
+        |      UNION ALL SELECT w1 FROM t
+        |      UNION ALL SELECT w2 FROM t)
+        |GROUP BY 1""".stripMargin
   )
 }

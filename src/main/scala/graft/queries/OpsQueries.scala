@@ -93,6 +93,29 @@ object OpsQueries {
             (col("doc_id") % 7).cast("string"),
             lit(".example/about"))).otherwise(lit(""))).as("text"))
 
+  /** [[urlDocs]] plus canonicalization-variant links (mirrored in the
+    * `dedup_url` oracle): every 4th-mod-2 doc repeats its own URL with a
+    * utm tracking query + fragment; every 10th repeats its /about link
+    * with a trailing slash. Canonical dedup must collapse each variant
+    * into its base URL's group.
+    */
+  private def urlDupDocs(s: SparkSession, dir: String) =
+    urlDocs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(
+          col("doc_id") % 4 === 2,
+          concat(
+            lit(" https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example/p/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed#frag"))).otherwise(lit("")),
+        when(
+          col("doc_id") % 10 === 0,
+          concat(
+            lit(" https://site"), (col("doc_id") % 7).cast("string"),
+            lit(".example/about/"))).otherwise(lit(""))).as("text"))
+
   /** embeddings ∪ exact copies of every 20th vector (planted dup vectors). */
   private def dupEmbs(s: SparkSession, dir: String) = {
     val e = embs(s, dir).select("vec_id", "embedding")
@@ -364,7 +387,8 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
-    "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) }
+    "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
+    "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) }
   )
 
   // ---- oracle SQL ----
@@ -1766,6 +1790,39 @@ object OpsQueries {
         |       CAST(round((CAST(ss AS DOUBLE) / 1000000.0 - CAST(n AS DOUBLE)) /
         |            (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) * 1000.0, 0) AS BIGINT)
         |         AS cos_avg_milli
-        |FROM g WHERE n > 1""".stripMargin
+        |FROM g WHERE n > 1""".stripMargin,
+    // Mirrors urlCanonicalGroups over the variant-planted url fixture:
+    // lowercase, fragment / utm-query / trailing-slash stripped, one group
+    // per canonical URL.
+    "dedup_url" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '.example/p/' || CAST(doc_id AS VARCHAR)
+        |              || CASE WHEN doc_id % 3 = 0 THEN ' and http://mirror.example/download' ELSE '' END
+        |              || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/about'
+        |                 ELSE '' END
+        |              || CASE WHEN doc_id % 4 = 2
+        |                 THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+        |                      || CAST(doc_id AS VARCHAR) || '?utm_source=feed#frag'
+        |                 ELSE '' END
+        |              || CASE WHEN doc_id % 10 = 0
+        |                 THEN ' https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/about/'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM corpus),
+        |c AS (
+        |  SELECT doc_id,
+        |         lower(regexp_replace(regexp_replace(regexp_replace(url,
+        |               '#[^\s]*', ''), '\?utm_[^#\s]*', ''), '/+$', '')) AS canon_url
+        |  FROM u)
+        |SELECT canon_url,
+        |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(MIN(doc_id) AS BIGINT) AS rep_doc
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

@@ -282,6 +282,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(1500))
   }
 
+  test("triangleCounts: wedge and closing joins are equi, edge tables materialized, no window") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val p = plan(graft.ops.Graph.triangleCounts(edges))
+    assert(!p.contains("CartesianProduct"), "wedges must equi-join on the apex:\n" + p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // canonical + oriented edge tables each feed multiple consumers
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("urlCanonicalGroups: one hash aggregation over per-row regex projections") {
+    val p = plan(graft.ops.TextAnalysis.urlCanonicalGroups(docsDf))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), "canonicalization is per-row; grouping is one agg:\n" + p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("embeddingCosine / ANN: bucketed equi-joins, centroids broadcast") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pDedup = plan(graft.ops.Dedup.embeddingCosine(embs))

@@ -212,6 +212,45 @@ class Round6Spec extends SparkSpec {
         .isNullAt(0))
   }
 
+  // ---- triangle counting ----
+
+  test("triangleCounts: hand graph — one triangle, a pendant edge, a detached pair") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val got = graft.ops.Graph.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; direction and duplicate edges are ignored") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val clique = for (a <- nodes; b <- nodes if a != b) yield (a, b) // both directions + dups
+    val got = graft.ops.Graph.triangleCounts(clique.toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(got == nodes.map(_ -> 3L).toMap)
+  }
+
+  // ---- URL canonicalization dedup ----
+
+  test("urlCanonicalGroups: tracking-query, fragment, and trailing-slash variants collapse") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "see https://Site.example/Page/ and more"),
+      (2L, "see https://site.example/page?utm_source=x#top"),
+      (3L, "see https://site.example/page#frag plus https://other.example/x"),
+      (4L, "see https://site.example/page https://site.example/page")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.urlCanonicalGroups(docs).collect()
+      .map(r => r.getAs[String]("canon_url") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Long]("n_docs"), r.getAs[Long]("rep_doc")))).toMap
+    assert(got("https://site.example/page") == ((5L, 4L, 1L)))
+    assert(got("https://other.example/x") == ((1L, 1L, 3L)))
+    assert(got.size == 2)
+  }
+
   test("diversity: groups of one vector are excluded (pairwise mean undefined)") {
     val s = spark
     import s.implicits._
