@@ -807,6 +807,49 @@ object TextAnalysis {
               s => s.getField("line")))).as("kept_md5"))
   }
 
+  /** Chunk-level containment dedup: documents sharing at least `minShared`
+    * identical chunks ([[chunkTokens]] windows, matched by content md5) —
+    * the partial-overlap detector that document-level exact/minhash dedup
+    * misses (a doc quoting half of another, a page re-publishing one
+    * section, concatenated shards). One row per (doc_a < doc_b) pair with
+    * the shared-chunk count.
+    *
+    * Scale shape: chunk fingerprints are the posting key of a self-join,
+    * so the degenerate key (a boilerplate chunk appearing in thousands of
+    * docs) is capped FIRST via [[Skew.capHotKeys]] — agg + broadcast
+    * anti-join, AQE-skew-splittable, never a window (the repo's standing
+    * hot-key discipline) — and the capped posting table is materialized
+    * once for both join sides. Pair volume is then bounded by
+    * Σ postings² per surviving fingerprint ≤ maxPostings² per key.
+    */
+  def chunkOverlapPairs(
+      docs: DataFrame,
+      minShared: Long = 2,
+      maxPostings: Long = 50,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val postings = Skew
+      .capHotKeys(
+        chunkTokens(docs, window, stride, textCol, idCol)
+          .select(col("chunk_md5"), col("doc_id"))
+          // a doc repeating its own chunk must post once, or the pair
+          // count double-counts the same shared content
+          .distinct(),
+        Seq("chunk_md5"),
+        maxPostings)
+      .localCheckpoint()
+    postings
+      .join(
+        postings.select(col("chunk_md5"), col("doc_id").as("doc_b")),
+        Seq("chunk_md5"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic weight for a hash bucket: an integer in [-1000, 1000]
     * derived from the bucket id by a Knuth multiplicative mix. Stands in
     * for trained linear-classifier weights while keeping the scorer

@@ -388,7 +388,28 @@ object OpsQueries {
       Similarity.pqTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
     "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
-    "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) }
+    "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) },
+    // containment fixture: every 10th doc fully re-inserted (all chunks
+    // shared) and every 7th-mod-3 doc re-published as its first-56-token
+    // prefix + a fresh tail (shares the first two chunk windows when the
+    // source is long enough) — mirrored in the oracle
+    "dedup_chunk_overlap" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val pre = d
+        .filter(col("doc_id") % 7 === 3)
+        .select(
+          (col("doc_id") + 2000000).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 56)),
+            lit(" zz tail "),
+            col("doc_id").cast("string")).as("text"))
+      val cor = d
+        .unionAll(
+          d.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        .unionAll(pre)
+      TextAnalysis.chunkOverlapPairs(cor)
+    }
   )
 
   // ---- oracle SQL ----
@@ -1823,6 +1844,37 @@ object OpsQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_urls,
         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       CAST(MIN(doc_id) AS BIGINT) AS rep_doc
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+    // Mirrors chunkOverlapPairs over the containment fixture: 32/24 chunk
+    // windows, distinct (md5, doc) postings, hot-fingerprint cap at 50,
+    // pairs sharing >= 2 chunks.
+    "dedup_chunk_overlap" ->
+      s"""WITH $tokCtes,
+         |cor AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string(tk[1:56], ' ') || ' zz tail ' || CAST(doc_id AS VARCHAR)
+         |  FROM tks WHERE doc_id % 7 = 3),
+         |tkc AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM cor),
+         |ch AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkc WHERE len(tk) > 0),
+         |cs AS (
+         |  SELECT doc_id, tk, n, unnest(range(0, ((n - 1) // 24) + 1)) AS cid FROM ch),
+         |p AS (
+         |  SELECT DISTINCT md5(array_to_string(tk[(cid*24+1):(cid*24+32)], ' ')) AS fp, doc_id
+         |  FROM cs),
+         |hot AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) > 50),
+         |p2 AS (SELECT p.* FROM p ANTI JOIN hot USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2""".stripMargin
   )
 }

@@ -112,6 +112,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pWr.contains("Window"), pWr.take(1500))
     val pCt = plan(graft.ops.Corpus.contaminationNgrams(docsDf))
     assert(!pCt.contains("Window"), "contamination train-mark must be agg+join:\n" + pCt.take(1500))
+    val pCo = plan(graft.ops.TextAnalysis.chunkOverlapPairs(docsDf))
+    assert(!pCo.contains("Window"), "chunkOverlapPairs cap regressed to a window:\n" + pCo.take(1500))
   }
 
   test("ngramJaccard: no cartesian product; inverted index materialized once") {

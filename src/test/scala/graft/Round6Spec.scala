@@ -212,6 +212,34 @@ class Round6Spec extends SparkSpec {
         .isNullAt(0))
   }
 
+  // ---- chunk-overlap containment dedup ----
+
+  test("chunkOverlapPairs: full clones share all chunks, a prefix republish shares two") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 64).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 56).map(i => s"w$i").mkString(" ") + " zz tail one two three four five"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                   // full clone: chunks 0,1,2 shared
+      (3L, prefix),                                 // shares chunks 0 (1-32) and 1 (25-56)
+      (4L, (100 to 160).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.chunkOverlapPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    assert(got == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
+  }
+
+  test("chunkOverlapPairs: a boilerplate chunk past the posting cap generates no pairs") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(
+      graft.ops.TextAnalysis.chunkOverlapPairs(docs, minShared = 1, maxPostings = 3).count() == 0,
+      "5 postings of one fingerprint exceed maxPostings=3 and must be capped")
+  }
+
   // ---- triangle counting ----
 
   test("triangleCounts: hand graph — one triangle, a pendant edge, a detached pair") {
