@@ -22,6 +22,12 @@ object Bench {
     "multimodal_clip_pairs",
     "multimodal_ahash_pairs",
     "dedup_simhash_pairs",
+    // corpus self-join on chunk fingerprints — pair volume bounded by the
+    // posting cap, but the chunking explode alone scans every token
+    "dedup_chunk_overlap",
+    // pairs + per-doc chunk counts + best-container agg on top of the same
+    // posting table — strictly more work than dedup_chunk_overlap
+    "dedup_containment",
     "text_repetition",
     "contamination_ngrams",
     "dedup_ngram_jaccard",

@@ -850,6 +850,71 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Containment drop-list: the dedup ACTION over [[chunkOverlapPairs]].
+    * A document is dropped when some other document shares at least
+    * `minContainMilli`/1000 of its distinct chunks — the side of a pair
+    * with fewer chunks is the contained one (tie: the larger doc_id, so
+    * the earlier id survives, matching the repo's keep-first convention).
+    * One row per dropped doc with its best container under a
+    * deterministic total order (highest containment, then most shared
+    * chunks, then smallest container id) so the result is
+    * oracle-hashable.
+    *
+    * The containment denominator is the doc's UNCAPPED distinct-chunk
+    * count while shared counts come from the capped pair generator, so
+    * overlap consisting purely of corpus-wide boilerplate chunks never
+    * reaches the threshold by itself (conservative by construction;
+    * [[boilerplateLines]] is the remedy for that content). A doc
+    * contained in several others is dropped once; a container that is
+    * itself dropped still drops its containees — content survives
+    * transitively through the containment chain, the standard keep-list
+    * convention (same stance as `Dedup.keepBest`).
+    *
+    * Scale shape: one extra hash agg for per-doc chunk counts, two
+    * equi-joins of the (already pair-bounded) overlap table against it,
+    * and a max(struct) agg per dropped doc for the best container —
+    * never a window. Integer milli arithmetic (`div`) keeps the
+    * containment decision FP-free.
+    */
+  def containmentDrops(
+      docs: DataFrame,
+      minContainMilli: Long = 800,
+      maxPostings: Long = 50,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = chunkTokens(docs, window, stride, textCol, idCol)
+      .select(col("doc_id"), col("chunk_md5"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"))
+    chunkOverlapPairs(docs, 1L, maxPostings, window, stride, textCol, idCol)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_chunks").as("ca")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_chunks").as("cb")), "doc_b")
+      .select(
+        when(col("ca") < col("cb"), col("doc_a"))
+          .when(col("cb") < col("ca"), col("doc_b"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"),
+        when(col("ca") < col("cb"), col("doc_b"))
+          .when(col("cb") < col("ca"), col("doc_a"))
+          .otherwise(least(col("doc_a"), col("doc_b"))).as("container"),
+        col("n_shared"),
+        expr("(n_shared * 1000) div least(ca, cb)").cast("long").as("contain_milli"))
+      .filter(col("contain_milli") >= minContainMilli)
+      .groupBy("doc_id")
+      .agg(
+        max(struct(
+          col("contain_milli"),
+          col("n_shared"),
+          (-col("container")).as("neg_container"))).as("best"))
+      .select(
+        col("doc_id"),
+        (-col("best.neg_container")).cast("long").as("container"),
+        col("best.contain_milli").cast("long").as("contain_milli"),
+        col("best.n_shared").cast("long").as("n_shared"))
+  }
+
   /** Deterministic weight for a hash bucket: an integer in [-1000, 1000]
     * derived from the bucket id by a Knuth multiplicative mix. Stands in
     * for trained linear-classifier weights while keeping the scorer

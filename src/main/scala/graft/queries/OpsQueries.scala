@@ -394,23 +394,35 @@ object OpsQueries {
     // prefix + a fresh tail (shares the first two chunk windows when the
     // source is long enough) — mirrored in the oracle
     "dedup_chunk_overlap" -> { (s, dir) =>
-      val d = docs(s, dir).select(col("doc_id"), col("text"))
-      val pre = d
-        .filter(col("doc_id") % 7 === 3)
-        .select(
-          (col("doc_id") + 2000000).as("doc_id"),
-          concat(
-            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 56)),
-            lit(" zz tail "),
-            col("doc_id").cast("string")).as("text"))
-      val cor = d
-        .unionAll(
-          d.filter(col("doc_id") % 10 === 0)
-            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-        .unionAll(pre)
-      TextAnalysis.chunkOverlapPairs(cor)
+      TextAnalysis.chunkOverlapPairs(containCorpus(s, dir))
+    },
+    // threshold 600 so both planted kinds act: full clones (1000 milli)
+    // and 3-chunk prefix republishes sharing 2 chunks (666 milli)
+    "dedup_containment" -> { (s, dir) =>
+      TextAnalysis.containmentDrops(containCorpus(s, dir), minContainMilli = 600)
     }
   )
+
+  /** Planted partial-overlap corpus shared by the chunk-dedup queries:
+    * the documents table plus full clones (doc_id + 1e6) of every 10th
+    * doc and prefix republishes (doc_id + 2e6, first 56 tokens + fresh
+    * tail) of every 7th-mod-3 doc.
+    */
+  private def containCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val pre = d
+      .filter(col("doc_id") % 7 === 3)
+      .select(
+        (col("doc_id") + 2000000).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 56)),
+          lit(" zz tail "),
+          col("doc_id").cast("string")).as("text"))
+    d.unionAll(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionAll(pre)
+  }
 
   // ---- oracle SQL ----
 
@@ -1850,31 +1862,70 @@ object OpsQueries {
     // pairs sharing >= 2 chunks.
     "dedup_chunk_overlap" ->
       s"""WITH $tokCtes,
-         |cor AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000,
-         |         array_to_string(tk[1:56], ' ') || ' zz tail ' || CAST(doc_id AS VARCHAR)
-         |  FROM tks WHERE doc_id % 7 = 3),
-         |tkc AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
-         |  FROM cor),
-         |ch AS (
-         |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkc WHERE len(tk) > 0),
-         |cs AS (
-         |  SELECT doc_id, tk, n, unnest(range(0, ((n - 1) // 24) + 1)) AS cid FROM ch),
-         |p AS (
-         |  SELECT DISTINCT md5(array_to_string(tk[(cid*24+1):(cid*24+32)], ' ')) AS fp, doc_id
-         |  FROM cs),
-         |hot AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) > 50),
-         |p2 AS (SELECT p.* FROM p ANTI JOIN hot USING (fp))
+         |$chunkCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(COUNT(*) AS BIGINT) AS n_shared
          |FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
-         |HAVING COUNT(*) >= 2""".stripMargin
+         |HAVING COUNT(*) >= 2""".stripMargin,
+    // Mirrors containmentDrops at threshold 600: uncapped per-doc chunk
+    // counts as the denominator, capped pairs as the numerator, contained
+    // side = fewer chunks (tie: larger id), best container by
+    // (contain_milli, n_shared) desc then container asc.
+    "dedup_containment" ->
+      s"""WITH $tokCtes,
+         |$chunkCtes,
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM p GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |jj AS (
+         |  SELECT pr.*, ca.n_chunks AS ca, cb.n_chunks AS cb
+         |  FROM pr JOIN cnt ca ON pr.doc_a = ca.doc_id JOIN cnt cb ON pr.doc_b = cb.doc_id),
+         |cc AS (
+         |  SELECT CASE WHEN ca < cb THEN doc_a WHEN cb < ca THEN doc_b
+         |              ELSE greatest(doc_a, doc_b) END AS doc_id,
+         |         CASE WHEN ca < cb THEN doc_b WHEN cb < ca THEN doc_a
+         |              ELSE least(doc_a, doc_b) END AS container,
+         |         n_shared,
+         |         CAST((n_shared * 1000) // least(ca, cb) AS BIGINT) AS contain_milli
+         |  FROM jj),
+         |rr AS (
+         |  SELECT doc_id, container, contain_milli, n_shared,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY contain_milli DESC, n_shared DESC, container ASC) AS rn
+         |  FROM cc WHERE contain_milli >= 600)
+         |SELECT doc_id, CAST(container AS BIGINT) AS container, contain_milli,
+         |       CAST(n_shared AS BIGINT) AS n_shared
+         |FROM rr WHERE rn = 1""".stripMargin
   )
+
+  /** Shared DuckDB CTE chain for the chunk-dedup oracles: containment
+    * corpus (clones + prefix republishes) → 32/24 token chunk
+    * fingerprints → distinct (fp, doc) postings `p` → hot-fp cap at 50
+    * postings → capped table `p2`. Mirrors [[graft.ops.TextAnalysis
+    * .chunkOverlapPairs]]'s posting construction.
+    */
+  private val chunkCtes =
+    """cor AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         array_to_string(tk[1:56], ' ') || ' zz tail ' || CAST(doc_id AS VARCHAR)
+      |  FROM tks WHERE doc_id % 7 = 3),
+      |tkc AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM cor),
+      |ch AS (
+      |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM tkc WHERE len(tk) > 0),
+      |cs AS (
+      |  SELECT doc_id, tk, n, unnest(range(0, ((n - 1) // 24) + 1)) AS cid FROM ch),
+      |p AS (
+      |  SELECT DISTINCT md5(array_to_string(tk[(cid*24+1):(cid*24+32)], ' ')) AS fp, doc_id
+      |  FROM cs),
+      |hot AS (SELECT fp FROM p GROUP BY fp HAVING COUNT(*) > 50),
+      |p2 AS (SELECT p.* FROM p ANTI JOIN hot USING (fp))""".stripMargin
 }

@@ -230,6 +230,41 @@ class Round6Spec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 3L, (1L, 3L) -> 2L, (2L, 3L) -> 2L))
   }
 
+  test("containmentDrops: clone drops at 1000 milli, prefix republish at 666, tie keeps the earlier id") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 64).map(i => s"w$i").mkString(" ")
+    val prefix = (1 to 56).map(i => s"w$i").mkString(" ") + " zz tail one two three four five"
+    val docs = Seq(
+      (1L, base),                                   // original — survives
+      (2L, base),                                   // full clone: 3/3 chunks → 1000 milli, tie → larger id drops
+      (3L, prefix),                                 // 3 chunks, shares 2 → 666 milli
+      (4L, (100 to 160).map(i => s"q$i").mkString(" "))).toDF("doc_id", "text")
+    val at600 = graft.ops.TextAnalysis.containmentDrops(docs, minContainMilli = 600).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("container"), r.getAs[Long]("contain_milli"), r.getAs[Long]("n_shared"))))
+      .toMap
+    // doc 3 is contained in both 1 and 2 at equal (milli, shared) — best
+    // container tiebreak picks the smaller container id
+    assert(at600 == Map(2L -> ((1L, 1000L, 3L)), 3L -> ((1L, 666L, 2L))))
+    // default 800-milli threshold: only the full clone drops
+    val at800 = graft.ops.TextAnalysis.containmentDrops(docs).collect().map(_.getAs[Long]("doc_id"))
+    assert(at800.toSeq == Seq(2L))
+  }
+
+  test("containmentDrops: boilerplate-only overlap never reaches the threshold (capped numerator, uncapped denominator)") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 32).map(i => s"b$i").mkString(" ")
+    // 5 docs of pure boilerplate: the fingerprint is capped at 3 postings,
+    // so no pairs survive and nothing is dropped
+    val docs = (1L to 5L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(
+      graft.ops.TextAnalysis
+        .containmentDrops(docs, minContainMilli = 1, maxPostings = 3)
+        .count() == 0)
+  }
+
   test("chunkOverlapPairs: a boilerplate chunk past the posting cap generates no pairs") {
     val s = spark
     import s.implicits._
