@@ -37,6 +37,10 @@ object Bench {
     "similarity_topk_ivf",
     "dedup_minhash_lsh",
     "dedup_cross_corpus",
+    // minhash machinery + split filters (leakage) / + the CC loop
+    // (cluster-safe) — strictly more work than their parents above
+    "corpus_split_leakage",
+    "corpus_split_cluster_safe",
     "dedup_clusters",
     "dedup_keep",
     "dedup_keep_best",

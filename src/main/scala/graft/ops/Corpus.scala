@@ -42,6 +42,73 @@ object Corpus {
           .when(col("bucket") < valCut, "val")
           .otherwise("test"))
 
+  /** Cluster-safe split: [[splitAssign]]'s hash rule applied to the
+    * near-dup CLUSTER representative instead of the raw doc id, so an
+    * entire connected component of near-duplicates lands in one split.
+    * Plain per-doc hash splitting sprays a dup cluster across
+    * train/val/test — the classic self-contamination bug where the eval
+    * set contains near-copies of training docs by construction. `pairs`
+    * is any near-dup pair report (minhash LSH, simhash, chunk overlap);
+    * docs in no pair are their own singleton cluster, so their
+    * assignment is IDENTICAL to [[splitAssign]]'s — adopting cluster-safe
+    * splitting re-assigns only clustered docs.
+    *
+    * Scale shape: the CC label table covers only docs that appear in a
+    * pair — a small fraction of a deduplicated corpus — so the left join
+    * back is broadcastable (AQE picks that up from the label table's
+    * runtime size); everything else is the same shuffle-free projection
+    * as [[splitAssign]].
+    */
+  def clusterSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      trainCut: Int = 179,
+      valCut: Int = 217,
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .join(Dedup.clusterPairs(pairs), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", md5Bucket("rep"))
+      .withColumn(
+        "split",
+        when(col("bucket") < trainCut, "train")
+          .when(col("bucket") < valCut, "val")
+          .otherwise("test"))
+      .select("doc_id", "rep", "bucket", "split")
+
+  /** Eval-leakage audit: near-duplicate pairs that STRADDLE the
+    * [[splitAssign]] boundary — a val/test doc whose near-copy sits in
+    * train. This is the report that quantifies the damage
+    * [[clusterSafeSplit]] prevents, and the audit to run when the split
+    * rule is already frozen (published benchmark, historical split) so
+    * re-assignment is off the table and the leaked docs must be dropped
+    * instead. One row per (eval doc, train doc) near-dup pair with the
+    * verified Jaccard and the eval side's split label.
+    *
+    * Scale shape: delegates to [[Dedup.crossMinHashLsh]] with train as
+    * the (big) corpus side — banded equi-join with the hot-bucket cap,
+    * never all-pairs; the split filters are shuffle-free projections of
+    * the corpus scan.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      trainCut: Int = 179,
+      valCut: Int = 217,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val d = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val sp = splitAssign(d, trainCut = trainCut, valCut = valCut).select("doc_id", "split")
+    val dd = d.join(sp, "doc_id")
+    Dedup
+      .crossMinHashLsh(
+        dd.filter(col("split") =!= "train").select("doc_id", "text"),
+        dd.filter(col("split") === "train").select("doc_id", "text"))
+      .select(col("probe_id").as("eval_doc"), col("corpus_id").as("train_doc"), col("jaccard"))
+      .join(sp.select(col("doc_id").as("eval_doc"), col("split")), "eval_doc")
+      .select("eval_doc", "split", "train_doc", "jaccard")
+  }
+
   /** Stratified downsampling: per-language keep-rates expressed as bucket
     * cutoffs out of 256 (e.g. "en" -> 128 keeps ~half the English docs,
     * everything else default 256 = keep all). Rebalancing a web-scale

@@ -400,7 +400,12 @@ object OpsQueries {
     // and 3-chunk prefix republishes sharing 2 chunks (666 milli)
     "dedup_containment" -> { (s, dir) =>
       TextAnalysis.containmentDrops(containCorpus(s, dir), minContainMilli = 600)
-    }
+    },
+    "corpus_split_cluster_safe" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Corpus.clusterSafeSplit(d, Dedup.minHashLsh(d))
+    },
+    "corpus_split_leakage" -> { (s, dir) => Corpus.splitLeakage(docs(s, dir)) }
   )
 
   /** Planted partial-overlap corpus shared by the chunk-dedup queries:
@@ -1897,8 +1902,71 @@ object OpsQueries {
          |  FROM cc WHERE contain_milli >= 600)
          |SELECT doc_id, CAST(container AS BIGINT) AS container, contain_milli,
          |       CAST(n_shared AS BIGINT) AS n_shared
-         |FROM rr WHERE rn = 1""".stripMargin
+         |FROM rr WHERE rn = 1""".stripMargin,
+    // Mirrors clusterSafeSplit: CC closure over the minhash pairs, split
+    // bucket computed on the cluster representative (falling back to the
+    // doc's own id for singletons).
+    "corpus_split_cluster_safe" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashLshSql
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |w AS (
+         |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |h AS (SELECT doc_id, rep, ${bucketSql("rep")} AS bucket FROM w)
+         |SELECT doc_id, CAST(rep AS BIGINT) AS rep, CAST(bucket AS BIGINT) AS bucket,
+         |       CASE WHEN bucket < 179 THEN 'train'
+         |            WHEN bucket < 217 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+    // Mirrors splitLeakage: the cross-corpus minhash machinery with the
+    // hash-split partitions as the two sides (train = corpus, rest =
+    // probe), eval split label recomputed from the bucket.
+    "corpus_split_leakage" ->
+      s"""WITH
+         |${mhSideCtes("e_", s"SELECT doc_id, text FROM documents WHERE ${bucketSql("doc_id")} >= 179")},
+         |${mhSideCtes("t_", s"SELECT doc_id, text FROM documents WHERE ${bucketSql("doc_id")} < 179")},
+         |okb AS (SELECT band, bkey FROM t_bands GROUP BY band, bkey HAVING COUNT(*) <= 50),
+         |tbands AS (SELECT b.* FROM t_bands b JOIN okb USING (band, bkey)),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS eval_doc, y.id AS train_doc
+         |  FROM e_bands x JOIN tbands y ON x.band = y.band AND x.bkey = y.bkey),
+         |esizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM e_shingles GROUP BY id),
+         |tsizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM t_shingles GROUP BY id),
+         |inter AS (
+         |  SELECT c.eval_doc, c.train_doc, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN e_shingles a ON a.id = c.eval_doc
+         |  JOIN t_shingles b ON b.id = c.train_doc AND b.tok = a.tok
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT i.eval_doc, i.train_doc,
+         |         round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+         |  FROM inter i
+         |  JOIN esizes sa ON sa.id = i.eval_doc
+         |  JOIN tsizes sb ON sb.id = i.train_doc
+         |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8)
+         |SELECT eval_doc,
+         |       CASE WHEN ${bucketSql("eval_doc")} < 217 THEN 'val' ELSE 'test' END AS split,
+         |       train_doc, jaccard
+         |FROM j""".stripMargin
   )
+
+  /** DuckDB mirror of Corpus.md5Bucket: first md5 byte of the
+    * stringified id via hex-digit positions.
+    */
+  private def bucketSql(e: String): String =
+    s"(strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substr(md5(CAST($e AS VARCHAR)), 2, 1)) - 1"
 
   /** Shared DuckDB CTE chain for the chunk-dedup oracles: containment
     * corpus (clones + prefix republishes) → 32/24 token chunk

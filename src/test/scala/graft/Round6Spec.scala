@@ -275,6 +275,57 @@ class Round6Spec extends SparkSpec {
       "5 postings of one fingerprint exceed maxPostings=3 and must be capped")
   }
 
+  // ---- leakage-safe splitting ----
+
+  test("clusterSafeSplit: a dup cluster lands in one split; singletons match splitAssign exactly") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // two clusters: {3, 17, 29} (transitive via 17) and {8, 21}
+    val pairs = Seq((3L, 17L), (17L, 29L), (8L, 21L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Corpus.clusterSafeSplit(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("rep"), r.getAs[String]("split"))))
+      .toMap
+    assert(got.size == 40)
+    assert(Set(3L, 17L, 29L).map(got(_)._1) == Set(3L), "cluster rep must be the min id")
+    assert(Set(3L, 17L, 29L).map(got(_)._2).size == 1, "one split for the whole cluster")
+    assert(Set(8L, 21L).map(got(_)._2).size == 1)
+    val plain = graft.ops.Corpus.splitAssign(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val clustered = Set(3L, 17L, 29L, 8L, 21L)
+    (1L to 40L).filterNot(clustered).foreach { i =>
+      assert(got(i)._2 == plain(i), s"singleton $i must keep its splitAssign split")
+    }
+    // the clusters' splits equal the hash split of their representative
+    assert(got(17L)._2 == plain(3L))
+    assert(got(21L)._2 == plain(8L))
+  }
+
+  test("splitLeakage: reports only cross-boundary near-dups, labeled with the eval split") {
+    val s = spark
+    import s.implicits._
+    // 60 planted identical pairs (i, i+1000): each pair leaks iff the two
+    // ids hash to opposite sides of the train boundary
+    val base = (1L to 60L).flatMap { i =>
+      val t = s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima $i"
+      Seq((i, t), (i + 1000L, t))
+    }.toDF("doc_id", "text")
+    val splits = graft.ops.Corpus.splitAssign(base).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val rows = graft.ops.Corpus.splitLeakage(base).collect()
+    assert(rows.nonEmpty, "60 planted pairs must produce at least one straddling near-dup")
+    rows.foreach { r =>
+      val ev = r.getAs[Long]("eval_doc")
+      val tr = r.getAs[Long]("train_doc")
+      assert(splits(tr) == "train", s"train_doc $tr must be in train")
+      assert(splits(ev) != "train", s"eval_doc $ev must not be in train")
+      assert(r.getAs[String]("split") == splits(ev))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
   // ---- triangle counting ----
 
   test("triangleCounts: hand graph — one triangle, a pendant edge, a detached pair") {
