@@ -109,6 +109,44 @@ object Corpus {
       .select("eval_doc", "split", "train_doc", "jaccard")
   }
 
+  /** Token-balanced shard assignment for training/inference fan-out:
+    * shards balanced by TOTAL TOKENS, not document count — the metric
+    * that actually bounds a worker's wall-clock when doc lengths are
+    * heavy-tailed (a doc-count-balanced shard with the corpus's longest
+    * docs finishes last; everyone waits). Docs are ranked globally by
+    * (n_tokens desc, id asc) and dealt to shards in SNAKE order: rank r
+    * lands at position (r-1) mod S of round (r-1) div S, with odd
+    * rounds dealt in reverse — so each round's heaviest docs go to the
+    * shards the previous round loaded lightest, and shard totals stay
+    * within one round's token spread of each other (deterministically;
+    * greedy least-loaded would track running totals, which serializes).
+    *
+    * Scale shape: the rank comes from [[Relational.globalRank]] — range
+    * partition + per-partition offsets, never a single-partition window
+    * — and the snake arithmetic is a row-local projection on top.
+    */
+  def balancedShards(
+      docs: DataFrame,
+      nShards: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val t = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    Relational
+      .globalRank(t, Seq(col("n_tokens").desc, col("doc_id").asc), "rank")
+      .withColumn("__r0", col("rank") - 1L)
+      .withColumn(
+        "shard",
+        when(
+          pmod(expr(s"__r0 div $nShards"), lit(2L)) === 0L,
+          pmod(col("__r0"), lit(nShards.toLong)))
+          .otherwise(lit(nShards - 1L) - pmod(col("__r0"), lit(nShards.toLong)))
+          .cast("long"))
+      .select("doc_id", "n_tokens", "rank", "shard")
+  }
+
   /** Stratified downsampling: per-language keep-rates expressed as bucket
     * cutoffs out of 256 (e.g. "en" -> 128 keeps ~half the English docs,
     * everything else default 256 = keep all). Rebalancing a web-scale

@@ -405,7 +405,8 @@ object OpsQueries {
       val d = docs(s, dir)
       Corpus.clusterSafeSplit(d, Dedup.minHashLsh(d))
     },
-    "corpus_split_leakage" -> { (s, dir) => Corpus.splitLeakage(docs(s, dir)) }
+    "corpus_split_leakage" -> { (s, dir) => Corpus.splitLeakage(docs(s, dir)) },
+    "corpus_balanced_shards" -> { (s, dir) => Corpus.balancedShards(docs(s, dir)) }
   )
 
   /** Planted partial-overlap corpus shared by the chunk-dedup queries:
@@ -1958,7 +1959,20 @@ object OpsQueries {
          |SELECT eval_doc,
          |       CASE WHEN ${bucketSql("eval_doc")} < 217 THEN 'val' ELSE 'test' END AS split,
          |       train_doc, jaccard
-         |FROM j""".stripMargin
+         |FROM j""".stripMargin,
+    // Mirrors balancedShards: global (n_tokens desc, doc_id asc) rank,
+    // snake-dealt to 8 shards (odd rounds reversed).
+    "corpus_balanced_shards" ->
+      s"""WITH $tokCtes,
+         |t AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tks),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM t)
+         |SELECT doc_id, n_tokens, rank,
+         |       CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+         |                 ELSE 7 - ((rank - 1) % 8) END AS BIGINT) AS shard
+         |FROM r""".stripMargin
   )
 
   /** DuckDB mirror of Corpus.md5Bucket: first md5 byte of the

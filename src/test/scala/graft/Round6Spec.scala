@@ -326,6 +326,49 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- token-balanced sharding ----
+
+  test("balancedShards: snake dealing — exact hand assignment and near-equal token totals") {
+    val s = spark
+    import s.implicits._
+    // token counts 10, 9, ..., 1 (doc_id i has 11 - i tokens)
+    val docs = (1L to 10L)
+      .map(i => (i, (1L to (11 - i)).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Corpus.balancedShards(docs, nShards = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("rank"), r.getAs[Long]("shard"))))
+      .toMap
+    // ranks follow (tokens desc, id asc): doc 1 = rank 1 ... doc 10 = rank 10
+    // round 0 deals 0,1,2,3; round 1 reverses to 3,2,1,0; round 2 starts 0,1
+    val expected = Map(
+      1L -> ((1L, 0L)), 2L -> ((2L, 1L)), 3L -> ((3L, 2L)), 4L -> ((4L, 3L)),
+      5L -> ((5L, 3L)), 6L -> ((6L, 2L)), 7L -> ((7L, 1L)), 8L -> ((8L, 0L)),
+      9L -> ((9L, 0L)), 10L -> ((10L, 1L)))
+    assert(got == expected)
+    // token totals: 15, 14, 13, 13 — spread bounded by one round's spread
+    val totals = graft.ops.Corpus.balancedShards(docs, nShards = 4).collect()
+      .groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(totals == Map(0L -> 15L, 1L -> 14L, 2L -> 13L, 3L -> 13L))
+  }
+
+  test("balancedShards: heavy-tailed corpus — shard totals stay within the longest doc's tokens") {
+    val s = spark
+    import s.implicits._
+    // deterministic heavy tail: doc i has (i * 37 % 199) + 1 tokens
+    val docs = (1L to 300L)
+      .map(i => (i, (1L to (i * 37 % 199 + 1)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Corpus.balancedShards(docs, nShards = 8).collect()
+    val totals = rows.groupBy(_.getAs[Long]("shard")).map { case (_, rs) =>
+      rs.map(_.getAs[Long]("n_tokens")).sum
+    }
+    val maxDoc = rows.map(_.getAs[Long]("n_tokens")).max
+    assert(totals.size == 8)
+    assert(totals.max - totals.min <= maxDoc,
+      s"spread ${totals.max - totals.min} exceeds the longest doc ($maxDoc tokens)")
+  }
+
   // ---- triangle counting ----
 
   test("triangleCounts: hand graph — one triangle, a pendant edge, a detached pair") {
