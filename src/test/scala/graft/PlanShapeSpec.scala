@@ -116,6 +116,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pCo.contains("Window"), "chunkOverlapPairs cap regressed to a window:\n" + pCo.take(1500))
   }
 
+  test("containmentDrops / splitLeakage / balancedShards: no Window, no single-partition exchange") {
+    // containment: pair table + chunk-count joins + max(struct) agg
+    val pCd = plan(graft.ops.TextAnalysis.containmentDrops(docsDf, minContainMilli = 1))
+    assert(!pCd.contains("Window"), "containment best-container pick must be an agg:\n" + pCd.take(1500))
+    // leakage audit inherits crossMinHashLsh's banded shape
+    val pLk = plan(graft.ops.Corpus.splitLeakage(docsDf))
+    assert(!pLk.contains("Window"), pLk.take(1500))
+    assert(!pLk.contains("CartesianProduct"), pLk.take(1500))
+    // token-balanced sharding: the global rank must come from the
+    // range-partition + offsets machinery, never row_number() over ()
+    val pBs = plan(graft.ops.Corpus.balancedShards(docsDf))
+    assert(!pBs.contains("Window"), "global rank regressed to a window:\n" + pBs.take(1500))
+    assert(!pBs.contains("SinglePartition"), "no single-partition exchange:\n" + pBs.take(1500))
+  }
+
   test("ngramJaccard: no cartesian product; inverted index materialized once") {
     val df = graft.ops.Dedup.ngramJaccard(docsDf)
     val p = plan(df)
