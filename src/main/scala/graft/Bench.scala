@@ -32,6 +32,9 @@ object Bench {
     "contamination_ngrams",
     "dedup_ngram_jaccard",
     "text_lm_bigram",
+    // the LM chain + quantile threshold + gate join — strictly more work
+    // than text_lm_bigram
+    "text_fluency_gate",
     "text_reuse_pairs",
     "dedup_edit_verify",
     "similarity_topk_ivf",

@@ -209,6 +209,49 @@ object Corpus {
       .select("doc_id", "source", "q_i", "q_threshold")
   }
 
+  /** Fluency gate — the CCNet perplexity-filter shape with the
+    * oracle-stable [[TextAnalysis.bigramRarity]] score standing in for
+    * the KenLM model: keep documents whose per-bigram LM score
+    * (`lm_milli`, low = fluent, high = incoherent token salad) is at or
+    * below their source's p`pct` quantile of the same score. Per-source
+    * relative thresholds are the CCNet insight: an absolute perplexity
+    * cut tuned on one crawl guts another whose register differs —
+    * each source competes only with itself (same stance as
+    * [[qualityGate]]). Docs with fewer than 2 tokens have no bigrams,
+    * no score, and are dropped (ungateable, matching the scorer).
+    *
+    * Caveat inherited from unsmoothed MLE: a bigram whose prefix occurs
+    * NOWHERE else scores c1/c2 = 1 ("perfectly predictable"), so salad
+    * made of globally-unique tokens passes — the score punishes rare
+    * continuations of COMMON prefixes, not never-seen vocabulary. Pair
+    * with [[TextAnalysis.qualityScore]]/langId gates (which catch
+    * unknown-vocabulary spam) rather than relying on this gate alone.
+    *
+    * Scale shape: the score pass is [[TextAnalysis.bigramRarity]]'s
+    * three uniform shuffles; the threshold table is |sources| rows from
+    * the exact-quantile histogram machinery and broadcast-joins back —
+    * the two-pass compact-then-filter discipline of the other gates.
+    */
+  def fluencyGate(
+      docs: DataFrame,
+      pct: Int = 75,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val scored = TextAnalysis
+      .bigramRarity(docs, textCol, idCol)
+      .join(
+        docs.select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source")),
+        "doc_id")
+    val th = Stats
+      .quantilesByGroup(scored, "source", "lm_milli", Seq(pct))
+      .select(col("source"), col(s"p$pct").as("lm_threshold"))
+    scored
+      .join(broadcast(th), Seq("source"))
+      .filter(col("lm_milli") <= col("lm_threshold"))
+      .select("doc_id", "source", "lm_milli", "lm_threshold")
+  }
+
   /** Token-budget mixture sampling: split `budgetTokens` equally across
     * sources, turn each source's share into a keep rate out of 256
     * (`min(256, share * 256 div sourceTokens)`), and keep a doc iff its

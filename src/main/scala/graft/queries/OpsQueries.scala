@@ -406,7 +406,8 @@ object OpsQueries {
       Corpus.clusterSafeSplit(d, Dedup.minHashLsh(d))
     },
     "corpus_split_leakage" -> { (s, dir) => Corpus.splitLeakage(docs(s, dir)) },
-    "corpus_balanced_shards" -> { (s, dir) => Corpus.balancedShards(docs(s, dir)) }
+    "corpus_balanced_shards" -> { (s, dir) => Corpus.balancedShards(docs(s, dir)) },
+    "text_fluency_gate" -> { (s, dir) => Corpus.fluencyGate(docs(s, dir)) }
   )
 
   /** Planted partial-overlap corpus shared by the chunk-dedup queries:
@@ -1972,7 +1973,41 @@ object OpsQueries {
          |SELECT doc_id, n_tokens, rank,
          |       CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
          |                 ELSE 7 - ((rank - 1) % 8) END AS BIGINT) AS shard
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    // Mirrors fluencyGate: the bigram-LM score (text_lm_bigram's chain)
+    // gated at each source's p75 by the exact nearest-rank quantile rule
+    // (stats_quantiles' cum*100 >= tot*pct formulation).
+    "text_fluency_gate" ->
+      s"""WITH $tokCtes,
+         |bgl AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tks),
+         |tf AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM bgl GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+         |lm AS (
+         |  SELECT tf.doc_id,
+         |         CAST((1000 * SUM(tf.tf * (c1.c1 // c2.c2))) // SUM(tf.tf) AS BIGINT) AS lm_milli
+         |  FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |  GROUP BY tf.doc_id),
+         |s AS (
+         |  SELECT lm.doc_id, d.source, lm.lm_milli
+         |  FROM lm JOIN documents d USING (doc_id)),
+         |h AS (SELECT source, lm_milli, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+         |c AS (
+         |  SELECT source, lm_milli,
+         |         SUM(cnt) OVER (PARTITION BY source ORDER BY lm_milli
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         SUM(cnt) OVER (PARTITION BY source) AS tot
+         |  FROM h),
+         |th AS (
+         |  SELECT source,
+         |         CAST(MIN(CASE WHEN cum * 100 >= tot * 75 THEN lm_milli END) AS BIGINT) AS lm_threshold
+         |  FROM c GROUP BY 1)
+         |SELECT s.doc_id, s.source, s.lm_milli, th.lm_threshold
+         |FROM s JOIN th USING (source)
+         |WHERE s.lm_milli <= th.lm_threshold""".stripMargin
   )
 
   /** DuckDB mirror of Corpus.md5Bucket: first md5 byte of the

@@ -326,6 +326,36 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- fluency gate ----
+
+  test("fluencyGate: drops each source's most-surprising tail, keeps per-source thresholds independent") {
+    val s = spark
+    import s.implicits._
+    // source A: 8 fluent docs (repetitive, predictable bigrams) + 2 where
+    // the common prefix "the" continues into never-repeated tokens (the
+    // pattern the MLE score punishes: c1 large, c2 = 1); source B: all
+    // such salad, so B's threshold is high and B keeps docs A would have
+    // dropped under a global cut
+    val fluent = (1 to 20).map(_ => "the cat sat on the mat").mkString(" ")
+    def salad(seed: Long) = (0 to 11).map(j => s"the z${seed}x$j").mkString(" ")
+    val docs = (
+      (1L to 8L).map(i => (i, fluent, "A")) ++
+        Seq((9L, salad(9), "A"), (10L, salad(10), "A")) ++
+        (11L to 16L).map(i => (i, salad(i), "B"))
+    ).toDF("doc_id", "text", "source")
+    val kept = graft.ops.Corpus.fluencyGate(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_milli"))
+      .toMap
+    assert((1L to 8L).forall(kept.contains), "fluent A docs must pass")
+    assert(!kept.contains(9L) && !kept.contains(10L), "A's salad tail must be dropped")
+    assert((11L to 16L).forall(kept.contains),
+      "B competes only with itself — all-salad source keeps its p75 mass")
+    val scores = graft.ops.TextAnalysis.bigramRarity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("lm_milli"))
+      .toMap
+    assert(scores(9L) > scores(1L), "salad must score worse (higher) than fluent text")
+  }
+
   // ---- token-balanced sharding ----
 
   test("balancedShards: snake dealing — exact hand assignment and near-equal token totals") {
