@@ -252,6 +252,68 @@ object Corpus {
       .select("doc_id", "source", "lm_milli", "lm_threshold")
   }
 
+  /** Blocklist hit report: which documents contain which blocked terms
+    * (single tokens or multi-token phrases, matched on token boundaries
+    * after the standard lowercase/whitespace normalization). The scale
+    * move is the INVERTED formulation: naive `contains(text, term)`
+    * scans every document once per term — O(|dict| · corpus bytes) and
+    * unindexable — while exploding each doc into n-grams of exactly the
+    * phrase lengths present in the dictionary turns matching into a
+    * broadcast hash semi-join: one narrow pass per distinct phrase
+    * length, terms on the build side, no shuffle of the corpus at all.
+    * Token-aligned semantics (not substring: "scan" does not hit
+    * "scanner") — the right contract for safety/topic word lists.
+    *
+    * Returns (doc_id, term, n_hits), one row per doc × matched term.
+    */
+  def blocklistHits(
+      docs: DataFrame,
+      terms: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = terms.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    require(norm.nonEmpty, "blocklist must contain at least one non-empty term")
+    val byLen = norm.groupBy(_.length)
+    val tk = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val hitsByLen = byLen.toSeq.sortBy(_._1).map { case (len, ts) =>
+      val grams =
+        if (len == 1) col("__tk")
+        else
+          when(
+            size(col("__tk")) >= len,
+            transform(
+              sequence(lit(1), size(col("__tk")) - (len - 1)),
+              i => concat_ws(" ", slice(col("__tk"), i, lit(len)))))
+            .otherwise(array().cast("array<string>"))
+      tk.select(col("doc_id"), explode(grams).as("gram"))
+        .join(broadcast(ts.map(_.mkString(" ")).toDF("term")), col("gram") === col("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+    }
+    hitsByLen.reduce(_.unionAll(_))
+  }
+
+  /** The corpus with every blocklisted document removed: one left-anti
+    * join against the (hit-doc-sized) distinct id set from
+    * [[blocklistHits]] — the same drop-list shape as
+    * `Dedup.keepRepresentatives`.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      terms: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      blocklistHits(docs, terms, textCol, idCol)
+        .select(col("doc_id").as(idCol))
+        .distinct(),
+      Seq(idCol),
+      "left_anti")
+
   /** Token-budget mixture sampling: split `budgetTokens` equally across
     * sources, turn each source's share into a keep rate out of 256
     * (`min(256, share * 256 div sourceTokens)`), and keep a doc iff its

@@ -407,7 +407,11 @@ object OpsQueries {
     },
     "corpus_split_leakage" -> { (s, dir) => Corpus.splitLeakage(docs(s, dir)) },
     "corpus_balanced_shards" -> { (s, dir) => Corpus.balancedShards(docs(s, dir)) },
-    "text_fluency_gate" -> { (s, dir) => Corpus.fluencyGate(docs(s, dir)) }
+    "text_fluency_gate" -> { (s, dir) => Corpus.fluencyGate(docs(s, dir)) },
+    // one unigram term + one bigram phrase exercises both length classes
+    "corpus_blocklist" -> { (s, dir) =>
+      Corpus.blocklistHits(docs(s, dir), Seq("dup", "slow scan"))
+    }
   )
 
   /** Planted partial-overlap corpus shared by the chunk-dedup queries:
@@ -2007,7 +2011,20 @@ object OpsQueries {
          |  FROM c GROUP BY 1)
          |SELECT s.doc_id, s.source, s.lm_milli, th.lm_threshold
          |FROM s JOIN th USING (source)
-         |WHERE s.lm_milli <= th.lm_threshold""".stripMargin
+         |WHERE s.lm_milli <= th.lm_threshold""".stripMargin,
+    // Mirrors blocklistHits for terms {dup, slow scan}: token-aligned
+    // unigram + bigram matches counted per doc.
+    "corpus_blocklist" ->
+      s"""WITH $tokCtes,
+         |g1 AS (
+         |  SELECT doc_id, unnest(tk) AS gram FROM tks),
+         |b2 AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tks),
+         |g2 AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram FROM b2),
+         |g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+         |terms(term) AS (VALUES ('dup'), ('slow scan'))
+         |SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM g JOIN terms ON g.gram = terms.term
+         |GROUP BY 1, 2""".stripMargin
   )
 
   /** DuckDB mirror of Corpus.md5Bucket: first md5 byte of the

@@ -326,6 +326,29 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- blocklist filtering ----
+
+  test("blocklistHits: token-aligned unigram + phrase matches, no substring hits") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick scan runs a slow scan twice slow scan"),
+      (2L, "scanner scans scanning"),      // substrings only — must NOT hit "scan"
+      (3L, "Slow   SCAN with odd spacing"), // normalization: case + whitespace
+      (4L, "slow and scan apart"),          // tokens present but not adjacent
+      (5L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Corpus.blocklistHits(docs, Seq("scan", "slow scan")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) -> r.getAs[Long]("n_hits"))
+      .toMap
+    assert(got == Map(
+      (1L, "scan") -> 3L, (1L, "slow scan") -> 2L,
+      (3L, "scan") -> 1L, (3L, "slow scan") -> 1L,
+      (4L, "scan") -> 1L))
+    val kept = graft.ops.Corpus.blocklistFilter(docs, Seq("slow scan")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
   // ---- fluency gate ----
 
   test("fluencyGate: drops each source's most-surprising tail, keeps per-source thresholds independent") {
