@@ -293,6 +293,55 @@ object Similarity {
         expr("n_vectors * 1000000 div __tot").cast("long").as("share_ppm"))
   }
 
+  /** Embedding-distribution drift between two corpus snapshots: per-cell
+    * population shift measured in a FIXED frame — both snapshots assign
+    * against the PREVIOUS snapshot's centroids, so a shift in the numbers
+    * means the data moved, not the ruler (re-deriving centroids from each
+    * snapshot would conflate both). The embedding-space analogue of
+    * `Corpus.tokenDrift`, and the audit that catches encoder swaps,
+    * crawl-mix changes, and dedup regressions between training runs
+    * before they become training surprises. Same integer conventions as
+    * tokenDrift: ppm shares, `drift_milli = cur_ppm * 1000 div prev_ppm`,
+    * -1 when the cell had (rounded) zero previous mass.
+    *
+    * Scale shape: two [[cellBalance]]-style passes (centroids broadcast,
+    * assignment map-side, one nCentroids-key agg each) plus a
+    * full-outer join of two ≤nCentroids-row tables — the corpus is
+    * scanned once per snapshot and never shuffled.
+    */
+  def cellDrift(
+      prev: DataFrame,
+      cur: DataFrame,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = flatCents(prev, nCentroids, idCol, vecCol)
+    def ppm(e: DataFrame, nCol: String, pCol: String) = {
+      val c = flatCells(e, cents, idCol, vecCol)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).cast("long").as(nCol))
+      val t = c.agg(sum(nCol).cast("long").as("__tot"))
+      c.crossJoin(broadcast(t))
+        .select(
+          col("centroid_id"),
+          col(nCol),
+          expr(s"$nCol * 1000000 div __tot").cast("long").as(pCol))
+    }
+    ppm(prev, "n_prev", "prev_ppm")
+      .join(ppm(cur, "n_cur", "cur_ppm"), Seq("centroid_id"), "full_outer")
+      .select(
+        col("centroid_id"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("prev_ppm"), lit(0L)).as("prev_ppm"),
+        coalesce(col("cur_ppm"), lit(0L)).as("cur_ppm"))
+      .withColumn(
+        "drift_milli",
+        when(col("prev_ppm") >= 1, expr("(cur_ppm * 1000) div prev_ppm"))
+          .otherwise(lit(-1L))
+          .cast("long"))
+  }
+
   /** Persist the flat-quantizer IVF index: centroids (one tiny file) plus
     * the assigned corpus, the cells parquet PARTITIONED BY `centroid_id`.
     * The partitioning is the point — it turns "probe nProbe of C cells"

@@ -411,6 +411,17 @@ object OpsQueries {
     // one unigram term + one bigram phrase exercises both length classes
     "corpus_blocklist" -> { (s, dir) =>
       Corpus.blocklistHits(docs(s, dir), Seq("dup", "slow scan"))
+    },
+    // drift fixture: cur drops every 10th-mod-3 vector and re-inserts
+    // every 7th-mod-1 under new ids — mirrored in the oracle
+    "embedding_cell_drift" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val cur = e
+        .filter(col("vec_id") % 10 =!= 3)
+        .unionAll(
+          e.filter(col("vec_id") % 7 === 1)
+            .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Similarity.cellDrift(e, cur)
     }
   )
 
@@ -2024,7 +2035,54 @@ object OpsQueries {
          |terms(term) AS (VALUES ('dup'), ('slow scan'))
          |SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n_hits
          |FROM g JOIN terms ON g.gram = terms.term
-         |GROUP BY 1, 2""".stripMargin
+         |GROUP BY 1, 2""".stripMargin,
+    // Mirrors cellDrift: both snapshots assigned against the PREV
+    // snapshot's flat centroids (ids < 16), ppm shares, integer milli
+    // ratio with the tokenDrift -1 convention.
+    "embedding_cell_drift" ->
+      s"""WITH prev AS (SELECT vec_id, embedding FROM embeddings),
+         |cur AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 1),
+         |pe AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+         |  FROM prev),
+         |ce AS (
+         |  SELECT vec_id AS id, embedding AS v,
+         |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+         |  FROM cur),
+         |cents AS (SELECT id, v, nrm FROM pe WHERE id < 16),
+         |pasg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM pe q JOIN cents c ON TRUE),
+         |casg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM ce q JOIN cents c ON TRUE),
+         |pc AS (SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_prev
+         |       FROM pasg WHERE rn = 1 GROUP BY 1),
+         |cc AS (SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_cur
+         |       FROM casg WHERE rn = 1 GROUP BY 1),
+         |pt AS (SELECT CAST(SUM(n_prev) AS BIGINT) AS tot FROM pc),
+         |ct AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS tot FROM cc),
+         |pp AS (SELECT centroid_id, n_prev,
+         |              CAST(n_prev * 1000000 // pt.tot AS BIGINT) AS prev_ppm FROM pc, pt),
+         |cp AS (SELECT centroid_id, n_cur,
+         |              CAST(n_cur * 1000000 // ct.tot AS BIGINT) AS cur_ppm FROM cc, ct),
+         |j AS (
+         |  SELECT centroid_id,
+         |         COALESCE(n_prev, 0) AS n_prev, COALESCE(n_cur, 0) AS n_cur,
+         |         COALESCE(prev_ppm, 0) AS prev_ppm, COALESCE(cur_ppm, 0) AS cur_ppm
+         |  FROM pp FULL OUTER JOIN cp USING (centroid_id))
+         |SELECT centroid_id, n_prev, n_cur, prev_ppm, cur_ppm,
+         |       CAST(CASE WHEN prev_ppm >= 1 THEN (cur_ppm * 1000) // prev_ppm
+         |            ELSE -1 END AS BIGINT) AS drift_milli
+         |FROM j""".stripMargin
   )
 
   /** DuckDB mirror of Corpus.md5Bucket: first md5 byte of the

@@ -326,6 +326,27 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- embedding cell drift ----
+
+  test("cellDrift: population shift measured in the prev-snapshot frame") {
+    val s = spark
+    import s.implicits._
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    // prev: centroids 0 (a-ish) and 1 (b-ish); cell0 = {0, 2, 3}, cell1 = {1}
+    val prev = Seq((0L, a), (1L, b), (2L, a), (3L, Array(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    // cur: two more b-side vectors -> cells even out at 3/3
+    val cur = prev.unionAll(
+      Seq((10L, b), (11L, Array(0.1f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val got = graft.ops.Similarity.cellDrift(prev, cur, nCentroids = 2).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        ((r.getAs[Long]("n_prev"), r.getAs[Long]("n_cur"), r.getAs[Long]("drift_milli"))))
+      .toMap
+    // cell0: 750000 ppm -> 500000 ppm = 666 milli; cell1: 250000 -> 500000 = 2000
+    assert(got == Map(0L -> ((3L, 3L, 666L)), 1L -> ((1L, 3L, 2000L))))
+  }
+
   // ---- blocklist filtering ----
 
   test("blocklistHits: token-aligned unigram + phrase matches, no substring hits") {
