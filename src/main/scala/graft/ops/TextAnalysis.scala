@@ -915,6 +915,121 @@ object TextAnalysis {
         col("best.n_shared").cast("long").as("n_shared"))
   }
 
+  /** Persist the chunk-posting table — the containment family's
+    * build-once/probe-many lifecycle, the incremental companion of
+    * [[chunkOverlapPairs]] exactly as `Dedup.writeLshIndex` is to
+    * `crossMinHashLsh`: the 100 TB corpus pays its chunking pass ONCE
+    * per snapshot, and every future ingest round probes against the
+    * store instead of re-chunking history. Postings are stored UNCAPPED
+    * (the hot-fingerprint cap is corpus-global, so it is applied at
+    * probe time over the whole store — one aggregation, map-side
+    * partials); the index therefore grows by plain appends and never
+    * rewrites history.
+    */
+  def writeChunkIndex(
+      corpus: DataFrame,
+      path: String,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    chunkTokens(corpus, window, stride, textCol, idCol)
+      .select(col("chunk_md5"), col("doc_id"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/postings")
+    Seq((window, stride))
+      .toDF("window", "stride")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Grow the chunk index with a new batch (probe first, keep what
+    * survives, then append so the NEXT round sees it — same protocol as
+    * `Dedup.appendLshIndex`).
+    */
+  def appendChunkIndex(
+      batch: DataFrame,
+      path: String,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    requireChunkParams(batch.sparkSession, path, window, stride)
+    chunkTokens(batch, window, stride, textCol, idCol)
+      .select(col("chunk_md5"), col("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/postings")
+  }
+
+  /** Probe a new batch against the persisted chunk index: is each new
+    * doc CONTAINED in something the corpus already holds? One-directional
+    * [[containmentDrops]] semantics — the denominator is the PROBE doc's
+    * own (uncapped) chunk count, the numerator its capped-store matches —
+    * because the ingest question is "is this new doc redundant given
+    * history", not which of the two is smaller. Self-matches are
+    * excluded so re-probing an already-appended batch is meaningful.
+    * Returns one row per contained probe doc with its best container
+    * (same deterministic tiebreak as containmentDrops).
+    */
+  def probeChunkIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probe: DataFrame,
+      minContainMilli: Long = 800,
+      maxPostings: Long = 50,
+      window: Int = 32,
+      stride: Int = 24,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireChunkParams(spark, path, window, stride)
+    val store = Skew.capHotKeys(
+      spark.read.parquet(s"$path/postings"),
+      Seq("chunk_md5"),
+      maxPostings)
+    val pp = chunkTokens(probe, window, stride, textCol, idCol)
+      .select(col("chunk_md5"), col("doc_id"))
+      .distinct()
+      .localCheckpoint()
+    val counts = pp.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_chunks"))
+    pp.join(store.select(col("chunk_md5"), col("doc_id").as("container")), Seq("chunk_md5"))
+      .filter(col("doc_id") =!= col("container"))
+      .groupBy("doc_id", "container")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .join(counts, Seq("doc_id"))
+      .withColumn("contain_milli", expr("(n_shared * 1000) div n_chunks").cast("long"))
+      .filter(col("contain_milli") >= minContainMilli)
+      .groupBy("doc_id")
+      .agg(
+        max(struct(
+          col("contain_milli"),
+          col("n_shared"),
+          (-col("container")).as("neg_container"))).as("best"))
+      .select(
+        col("doc_id"),
+        (-col("best.neg_container")).cast("long").as("container"),
+        col("best.contain_milli").cast("long").as("contain_milli"),
+        col("best.n_shared").cast("long").as("n_shared"))
+  }
+
+  /** Validate caller parameters against the index's persisted `params`
+    * row — chunks cut at a different window/stride never align, so a
+    * mismatch silently reports zero overlap.
+    */
+  private def requireChunkParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      window: Int,
+      stride: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").collect().head
+    val stored = (p.getInt(0), p.getInt(1))
+    require(
+      stored == ((window, stride)),
+      s"chunk index at $path was built with (window, stride) = $stored, " +
+        s"caller passed ($window, $stride)")
+  }
+
   /** Deterministic weight for a hash bucket: an integer in [-1000, 1000]
     * derived from the bucket id by a Knuth multiplicative mix. Stands in
     * for trained linear-classifier weights while keeping the scorer

@@ -326,6 +326,44 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- chunk index lifecycle ----
+
+  test("chunk index: write, probe flags clones against history, append makes the batch visible") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("chunkidx").toString
+    def mk(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val t1 = (1 to 64).map(i => s"a$i").mkString(" ")
+    val t2 = (1 to 64).map(i => s"b$i").mkString(" ")
+    val t3 = (1 to 64).map(i => s"c$i").mkString(" ")
+    graft.ops.TextAnalysis.writeChunkIndex(mk((1L, t1), (2L, t2)), path)
+    // batch 2: a clone of doc 1 and a fresh doc
+    val hits2 = graft.ops.TextAnalysis
+      .probeChunkIndex(s, path, mk((101L, t1), (102L, t3)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("container"), r.getAs[Long]("contain_milli"))))
+      .toMap
+    assert(hits2 == Map(101L -> ((1L, 1000L))), "clone flagged, fresh doc clean")
+    graft.ops.TextAnalysis.appendChunkIndex(mk((101L, t1), (102L, t3)), path)
+    // batch 3: a clone of the APPENDED doc 102 — proves the append is live
+    val hits3 = graft.ops.TextAnalysis
+      .probeChunkIndex(s, path, mk((201L, t3)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("container"))
+      .toMap
+    assert(hits3 == Map(201L -> 102L))
+    // re-probing an appended batch never self-matches: doc 101's best
+    // container is the original doc 1 (smaller id tiebreak), not itself
+    val re = graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((101L, t1))).collect()
+    assert(re.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("container"))).toSeq ==
+      Seq((101L, 1L)))
+    // parameter drift fails fast instead of silently reporting no overlap
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((301L, t1)), window = 16, stride = 8)
+    }
+  }
+
   // ---- embedding cell drift ----
 
   test("cellDrift: population shift measured in the prev-snapshot frame") {
