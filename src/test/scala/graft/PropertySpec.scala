@@ -166,4 +166,61 @@ class PropertySpec extends SparkSpec {
       assert(again == first)
     }
   }
+
+  test("clusterSafeSplit: corpus growth never moves an existing singleton's split") {
+    val s = spark
+    import s.implicits._
+    val base = (1L to 80L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((5L, 40L), (40L, 71L)).toDF("doc_a", "doc_b")
+    val before = graft.ops.Corpus.clusterSafeSplit(base, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // grow the corpus by 40 new docs and one new pair among the NEW docs
+    val grown = base.unionAll((81L to 120L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val grownPairs = pairs.unionAll(Seq((90L, 110L)).toDF("doc_a", "doc_b"))
+    val after = graft.ops.Corpus.clusterSafeSplit(grown, grownPairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (1L to 80L).foreach { i =>
+      assert(after(i) == before(i), s"doc $i moved ${before(i)} -> ${after(i)} on corpus growth")
+    }
+  }
+
+  test("balancedShards: ranks are a permutation, every doc lands on exactly one shard") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(
+      250,
+      for {
+        id <- Gen.chooseNum(0L, 100000L)
+        n <- Gen.chooseNum(0, 80)
+      } yield (id, n))
+    cases(gen, 3).foreach { rows =>
+      val docs = rows.distinctBy(_._1)
+        .map { case (id, n) => (id, (1 to n).map(j => s"w$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val nDocs = rows.distinctBy(_._1).size
+      val out = graft.ops.Corpus.balancedShards(docs, nShards = 5).collect()
+      assert(out.length == nDocs)
+      assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to nDocs).toSeq)
+      assert(out.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+      assert(out.forall(r => r.getAs[Long]("shard") >= 0 && r.getAs[Long]("shard") < 5))
+    }
+  }
+
+  test("containmentDrops ⊆ chunkOverlapPairs: every drop is witnessed by a pair with its container") {
+    val s = spark
+    import s.implicits._
+    // deterministic corpus with planted clones and prefix republishes
+    val docs = (1L to 30L).map { i =>
+      val n = 40 + (i * 13 % 50)
+      (i, (1L to n).map(j => s"t${i % 7}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = graft.ops.TextAnalysis.chunkOverlapPairs(docs, minShared = 1).collect()
+      .map(r => Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val drops = graft.ops.TextAnalysis.containmentDrops(docs, minContainMilli = 1).collect()
+    assert(drops.nonEmpty, "the i%7 token families must produce shared chunks")
+    drops.foreach { r =>
+      val pair = Set(r.getAs[Long]("doc_id"), r.getAs[Long]("container"))
+      assert(pairs.contains(pair), s"drop $pair has no witnessing overlap pair")
+    }
+  }
 }
