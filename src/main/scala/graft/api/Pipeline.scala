@@ -28,7 +28,9 @@ final class Pipeline(
     adaptiveQualityPct: Option[Int] = None,
     mixtureBudgetTokens: Option[Long] = None,
     lineClean: Boolean = false,
-    dropDupParagraphs: Boolean = false) {
+    dropDupParagraphs: Boolean = false,
+    blocklist: Seq[String] = Nil,
+    clusterSafeSplits: Boolean = false) {
 
   /** The text-rewriting pre-stages, applied before any scoring so every
     * downstream stage (quality, langid, dedup, packing) sees the text a
@@ -86,10 +88,24 @@ final class Pipeline(
     *    absolute `minQuality` floor catches garbage, the adaptive gate
     *    keeps each source's better half as the mix drifts;
     *  - `mixtureBudgetTokens = Some(b)` downsamples the survivors to a
-    *    token budget split across sources ([[Corpus.mixtureSample]]).
+    *    token budget split across sources ([[Corpus.mixtureSample]]);
+    *  - `blocklist` (non-empty) drops documents containing any listed
+    *    term/phrase ([[Corpus.blocklistFilter]]'s inverted broadcast
+    *    semi-join) BEFORE scoring — blocked docs must not influence
+    *    quality quantiles or the dedup keep-list;
+    *  - `clusterSafeSplits = true` swaps [[Corpus.splitAssign]] for
+    *    [[Corpus.clusterSafeSplit]] fed the SAME minhash pair report the
+    *    dedup stage uses — the split respects exactly the near-dup
+    *    structure the pipeline already discovered, at no extra candidate
+    *    generation cost. (Post-dedup survivors are cluster
+    *    representatives, so today both rules agree on survivors; the
+    *    cluster-safe rule stays correct if the keep-list is relaxed to
+    *    keep several members per cluster.)
     */
   def prepare(docs: DataFrame): DataFrame = {
-    val base = cleaned(docs)
+    val base0 = cleaned(docs)
+    val base =
+      if (blocklist.isEmpty) base0 else Corpus.blocklistFilter(base0, blocklist)
     val kept = filtered(base)
     val gated = adaptiveQualityPct match {
       case None => kept
@@ -105,9 +121,10 @@ final class Pipeline(
     val deduped = Dedup
       .keepRepresentatives(base, pairs)
       .join(mixed, "doc_id") // inner: quality+lang+mixture AND dedup keep-list
-    val split = Corpus
-      .splitAssign(base)
-      .select(col("doc_id"), col("split"))
+    val split =
+      (if (clusterSafeSplits) Corpus.clusterSafeSplit(base, pairs)
+       else Corpus.splitAssign(base))
+        .select(col("doc_id"), col("split"))
     val layout = Corpus.packLayout(
       base.join(deduped.select("doc_id"), "doc_id"),
       ctxTokens)

@@ -50,6 +50,32 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("blocklist knob ≡ preparing the manually pre-filtered corpus") {
+    val hits = Corpus.blocklistHits(docs, Seq("dup"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hits.nonEmpty, "fixture must contain the blocked term")
+    val viaKnob = new Pipeline(blocklist = Seq("dup")).prepare(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaPrefilter = new Pipeline()
+      .prepare(Corpus.blocklistFilter(docs, Seq("dup")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaKnob == viaPrefilter, "the knob must act exactly like pre-filtering the corpus")
+    assert(viaKnob.nonEmpty && viaKnob.intersect(hits).isEmpty, "no blocked doc may survive")
+  }
+
+  test("clusterSafeSplits knob: every survivor's split is the cluster-safe assignment") {
+    val out = new Pipeline(clusterSafeSplits = true).prepare(docs)
+    val expected = Corpus
+      .clusterSafeSplit(docs, Dedup.minHashLsh(docs))
+      .withColumnRenamed("split", "expected")
+      .select("doc_id", "expected")
+    val mismatch = out.join(expected, "doc_id")
+      .filter(col("split") =!= col("expected"))
+      .count()
+    assert(mismatch == 0)
+    assert(out.count() > 0)
+  }
+
   test("optional adaptive-gate and mixture stages intersect the baseline survivors") {
     val base = prepared.select("doc_id").collect().map(_.getLong(0)).toSet
     val gatedIds = graft.ops.Corpus.qualityGate(docs)
