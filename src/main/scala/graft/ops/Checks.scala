@@ -93,6 +93,49 @@ object Checks {
         col("n_keys"))
   }
 
+  /** Join-cardinality pre-flight: the exact output size an equi-join on
+    * `keys` would produce, per key and in total, WITHOUT running the
+    * join — Σ |left(k)| · |right(k)| from the two sides' key histograms.
+    * The question to ask before paying for a join at 100 TB: a hot key
+    * on both sides multiplies, and this report names the keys that
+    * would blow up (feed them to [[keyProfile]]/`Skew.saltedJoin` or
+    * cap them) while the histograms cost two map-side-combined aggs of
+    * |keys| rows each, not |rows|².
+    *
+    * Returns the `topK` keys by output contribution (ties broken on the
+    * key string — deterministic, oracle-hashable) with both side counts,
+    * the per-key output rows, the TOTAL across all keys (not just the
+    * top), and ppm shares. Null keys bucket as "(null)" on both sides —
+    * equi-joins drop null keys, so they are profiled via [[keyProfile]]
+    * instead and excluded here.
+    */
+  def joinCardinality(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK > 0, s"topK must be positive (got $topK)")
+    def hist(df: DataFrame, nCol: String) = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).cast("long").as(nCol))
+    val perKey = hist(left, "n_left")
+      .join(hist(right, "n_right"), Seq("key"))
+      .withColumn("n_out", (col("n_left") * col("n_right")).cast("long"))
+    val total = perKey.agg(sum("n_out").cast("long").as("__total"))
+    perKey
+      .orderBy(col("n_out").desc, col("key"))
+      .limit(topK)
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"),
+        col("n_left"),
+        col("n_right"),
+        col("n_out"),
+        col("__total").as("total_out"),
+        expr("n_out * 1000000 div __total").cast("long").as("share_ppm"))
+  }
+
   /** Referential-integrity violation count: rows of `child` whose
     * `childKey` has no match in `parent.parentKey` (null keys count as
     * orphans — they reference nothing). Anti join on the key: the parent

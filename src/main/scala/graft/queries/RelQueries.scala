@@ -59,6 +59,15 @@ object RelQueries {
     "skew_key_profile" -> { (s, dir) =>
       graft.ops.Checks.keyProfile(events(s, dir), "user_id", topK = 10)
     },
+    // pre-flight for the events-by-user self-join: per-key |clicks| x
+    // |purchases| products + the exact total, before paying for the join
+    "audit_join_cardinality" -> { (s, dir) =>
+      val ev = events(s, dir)
+      graft.ops.Checks.joinCardinality(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id")
+    },
     // Same attribution join through the bucketed variant (30-minute
     // buckets force plenty of cross-bucket carry-ins at this fixture's
     // event spacing): must hash-match asof_join_events' oracle exactly.
@@ -347,6 +356,20 @@ object RelQueries {
         |       CAST(c.n_rows * 1000000 // s.total AS BIGINT) AS share_ppm,
         |       s.total AS total_rows, s.n_keys
         |FROM c, s ORDER BY c.n_rows DESC, c.key LIMIT 10""".stripMargin,
+    "audit_join_cardinality" ->
+      """WITH lc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_left
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY 1),
+        |rc AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, CAST(COUNT(*) AS BIGINT) AS n_right
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY 1),
+        |j AS (
+        |  SELECT key, n_left, n_right, CAST(n_left * n_right AS BIGINT) AS n_out
+        |  FROM lc JOIN rc USING (key)),
+        |t AS (SELECT CAST(SUM(n_out) AS BIGINT) AS total_out FROM j)
+        |SELECT j.key, j.n_left, j.n_right, j.n_out, t.total_out,
+        |       CAST(j.n_out * 1000000 // t.total_out AS BIGINT) AS share_ppm
+        |FROM j, t ORDER BY j.n_out DESC, j.key LIMIT 10""".stripMargin,
     // The bucketed operator's contract is bit-identical output to the
     // plain as-of join, so its oracle IS the plain as-of SQL.
     "asof_join_bucketed" ->

@@ -326,6 +326,37 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- join-cardinality pre-flight ----
+
+  test("joinCardinality: predicts the real equi-join output exactly; null keys excluded") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      Some("a"), Some("a"), Some("a"), Some("b"), None, None
+    ).map(k => (k, 1)).toDF("k", "x").select(col("k"), col("x"))
+    val right = Seq(Some("a"), Some("a"), Some("c"), Some("c"), Some("c"), None)
+      .map(k => (k, 1)).toDF("k", "y").select(col("k"), col("y"))
+    val rep = graft.ops.Checks.joinCardinality(left, right, "k").collect()
+    assert(rep.map(r => (r.getAs[String]("key"), r.getAs[Long]("n_out"))).toSeq ==
+      Seq(("a", 6L)), "only keys present on BOTH sides contribute")
+    assert(rep.head.getAs[Long]("total_out") == 6L)
+    assert(rep.head.getAs[Long]("share_ppm") == 1000000L)
+    val real = left.join(right, Seq("k")).count()
+    assert(real == rep.head.getAs[Long]("total_out"), "prediction must equal the actual join")
+  }
+
+  test("joinCardinality: total covers ALL keys even when topK truncates the report") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 50).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).map((_, 1)).toDF("k", "x")
+    val right = (1 to 50).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i")).map((_, 1)).toDF("k", "y")
+    val rep = graft.ops.Checks.joinCardinality(left, right, "k", topK = 3).collect()
+    assert(rep.length == 3)
+    val real = left.join(right, Seq("k")).count()
+    assert(rep.head.getAs[Long]("total_out") == real,
+      "total_out must be the full-join cardinality, not the top-3 sum")
+  }
+
   // ---- chunk index lifecycle ----
 
   test("chunk index: write, probe flags clones against history, append makes the batch visible") {
