@@ -29,17 +29,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object CorpusIngest {
 
+  /** `blocklist` (non-empty) drops blocked documents per micro-batch
+    * BEFORE fingerprinting ([[graft.ops.Corpus.blocklistFilter]]'s
+    * broadcast semi-join — the term list ships with the task, no state):
+    * a blocked doc must neither land nor claim a fingerprint, or a later
+    * clean re-crawl of different content colliding with it would be
+    * silently dropped against a doc that was never ingested.
+    */
   def dedupIngest(
       stream: DataFrame,
       root: String,
       checkpoint: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): StreamingQuery =
+      idCol: String = "doc_id",
+      blocklist: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: Dataset[Row], batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch =
+          if (blocklist.isEmpty) batch0
+          else graft.ops.Corpus.blocklistFilter(batch0.toDF(), blocklist, textCol, idCol)
         val seen = seenFingerprints(spark, s"$root/fps", batchId)
         val fp = batch.select(
           col(idCol),

@@ -132,6 +132,35 @@ class StreamingSpec extends SparkSpec {
     assert(fps.length == 3 && fps.distinct.length == 3)
   }
 
+  test("dedupIngest blocklist: blocked docs neither land nor claim fingerprints") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingestbl").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(s"$dir/in")
+      graft.streaming.CorpusIngest
+        .dedupIngest(stream, s"$dir/out", s"$dir/cp", blocklist = Seq("badword"))
+        .awaitTermination()
+    }
+    Seq((1L, "clean alpha text"), (2L, "has badword inside"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    run()
+    val landed = spark.read.parquet(s"$dir/out/docs").select("doc_id").as[Long].collect().toSet
+    assert(landed == Set(1L), "the blocked doc must not land")
+    // the blocked doc claimed no fingerprint: a later clean doc with the
+    // SAME id-space slot and different content still ingests normally
+    Seq((3L, "clean gamma text")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    assert(
+      spark.read.parquet(s"$dir/out/docs").select("doc_id").as[Long].collect().toSet ==
+        Set(1L, 3L))
+    val fps = spark.read.parquet(s"$dir/out/fps").count()
+    assert(fps == 2L, "exactly the two landed docs hold fingerprints")
+  }
+
   test("flatMapGroupsWithState sessionization splits on gaps") {
     val s = spark
     import s.implicits._
