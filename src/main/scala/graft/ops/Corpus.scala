@@ -273,7 +273,12 @@ object Corpus {
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val norm = terms.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    // distinct AFTER normalization: "Scan" and "scan" are the same term,
+    // and a duplicated dictionary entry must not double n_hits
+    val norm = terms
+      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .distinct
     require(norm.nonEmpty, "blocklist must contain at least one non-empty term")
     val byLen = norm.groupBy(_.length)
     val tk = docs.select(

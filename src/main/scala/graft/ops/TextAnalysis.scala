@@ -969,7 +969,11 @@ object TextAnalysis {
     * own (uncapped) chunk count, the numerator its capped-store matches —
     * because the ingest question is "is this new doc redundant given
     * history", not which of the two is smaller. Self-matches are
-    * excluded so re-probing an already-appended batch is meaningful.
+    * excluded BY ID so re-probing an already-appended batch is
+    * meaningful — which assumes stable doc identity: a re-crawl that
+    * changes a doc's content under the SAME id will not be compared
+    * against its own older version (use fresh ids per crawl round, as
+    * the ingest pipeline does, if that comparison matters).
     * Returns one row per contained probe doc with its best container
     * (same deterministic tiebreak as containmentDrops).
     */

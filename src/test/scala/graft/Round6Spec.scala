@@ -437,6 +437,11 @@ class Round6Spec extends SparkSpec {
     val kept = graft.ops.Corpus.blocklistFilter(docs, Seq("slow scan")).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(2L, 4L, 5L))
+    // duplicate dictionary entries (and case variants of the same term)
+    // collapse after normalization — hit counts must not double
+    val dup = graft.ops.Corpus.blocklistHits(docs, Seq("scan", "SCAN", "scan")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(dup == Map(1L -> 3L, 3L -> 1L, 4L -> 1L))
   }
 
   // ---- fluency gate ----
