@@ -94,10 +94,10 @@ final class Pipeline(
     *    semi-join) BEFORE scoring — blocked docs must not influence
     *    quality quantiles or the dedup keep-list;
     *  - `clusterSafeSplits = true` swaps [[Corpus.splitAssign]] for
-    *    [[Corpus.clusterSafeSplit]] fed the SAME minhash pair report the
-    *    dedup stage uses — the split respects exactly the near-dup
-    *    structure the pipeline already discovered, at no extra candidate
-    *    generation cost. (Post-dedup survivors are cluster
+    *    [[Corpus.clusterSafeSplitFromClusters]] fed the SAME connected-
+    *    component labels the dedup keep-list uses — the split respects
+    *    exactly the near-dup structure the pipeline already discovered,
+    *    at no extra candidate-generation or clustering cost. (Post-dedup survivors are cluster
     *    representatives, so today both rules agree on survivors; the
     *    cluster-safe rule stays correct if the keep-list is relaxed to
     *    keep several members per cluster.)
@@ -117,12 +117,14 @@ final class Pipeline(
       case Some(b) =>
         gated.join(Corpus.mixtureSample(base, b).select("doc_id"), "doc_id")
     }
-    val pairs = Dedup.minHashLsh(base)
+    // The CC label job (iterative, materialized per round) runs ONCE even
+    // when both the keep-list and the cluster-safe split consume it.
+    val clusters = Dedup.clusterPairs(Dedup.minHashLsh(base))
     val deduped = Dedup
-      .keepRepresentatives(base, pairs)
+      .keepFromClusters(base, clusters)
       .join(mixed, "doc_id") // inner: quality+lang+mixture AND dedup keep-list
     val split =
-      (if (clusterSafeSplits) Corpus.clusterSafeSplit(base, pairs)
+      (if (clusterSafeSplits) Corpus.clusterSafeSplitFromClusters(base, clusters)
        else Corpus.splitAssign(base))
         .select(col("doc_id"), col("split"))
     val layout = Corpus.packLayout(

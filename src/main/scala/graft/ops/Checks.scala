@@ -108,6 +108,13 @@ object Checks {
     * top), and ppm shares. Null keys bucket as "(null)" on both sides —
     * equi-joins drop null keys, so they are profiled via [[keyProfile]]
     * instead and excluded here.
+    *
+    * The products are computed in decimal(38,0): `n_left * n_right` and
+    * `n_out * 1e6` exceed Long exactly when there IS a blow-up key (4M x
+    * 3M rows = 1.2e13 output; x 1e6 = 1.2e19 > Long.Max), and a pre-flight
+    * that overflows on the key it exists to name is useless. Ranking and
+    * `share_ppm` are exact at any scale; the BIGINT `n_out`/`total_out`
+    * render null (try_cast) past 9.2e18 rather than wrapping.
     */
   def joinCardinality(
       left: DataFrame,
@@ -121,19 +128,22 @@ object Checks {
       .agg(count(lit(1)).cast("long").as(nCol))
     val perKey = hist(left, "n_left")
       .join(hist(right, "n_right"), Seq("key"))
-      .withColumn("n_out", (col("n_left") * col("n_right")).cast("long"))
-    val total = perKey.agg(sum("n_out").cast("long").as("__total"))
+      .withColumn(
+        "__n_out_d",
+        col("n_left").cast("decimal(19,0)") * col("n_right").cast("decimal(19,0)"))
+    val total = perKey.agg(sum("__n_out_d").cast("decimal(38,0)").as("__total"))
     perKey
-      .orderBy(col("n_out").desc, col("key"))
+      .orderBy(col("__n_out_d").desc, col("key"))
       .limit(topK)
       .crossJoin(broadcast(total))
       .select(
         col("key"),
         col("n_left"),
         col("n_right"),
-        col("n_out"),
-        col("__total").as("total_out"),
-        expr("n_out * 1000000 div __total").cast("long").as("share_ppm"))
+        expr("try_cast(__n_out_d as bigint)").as("n_out"),
+        expr("try_cast(__total as bigint)").as("total_out"),
+        // decimal floor-div: exact; value bounded by 1e6 so the cast is safe
+        floor(col("__n_out_d") * lit(1000000L) / col("__total")).cast("long").as("share_ppm"))
   }
 
   /** Referential-integrity violation count: rows of `child` whose

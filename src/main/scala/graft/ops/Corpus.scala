@@ -65,9 +65,21 @@ object Corpus {
       trainCut: Int = 179,
       valCut: Int = 217,
       idCol: String = "doc_id"): DataFrame =
+    clusterSafeSplitFromClusters(docs, Dedup.clusterPairs(pairs), trainCut, valCut, idCol)
+
+  /** [[clusterSafeSplit]] over precomputed [[graft.ops.Dedup.clusterPairs]]
+    * labels — the form [[graft.api.Pipeline]] uses so the iterative CC job
+    * runs once for both the dedup keep-list and the split.
+    */
+  def clusterSafeSplitFromClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      trainCut: Int = 179,
+      valCut: Int = 217,
+      idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"))
-      .join(Dedup.clusterPairs(pairs), Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
       .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket", md5Bucket("rep"))
       .withColumn(
@@ -238,11 +250,17 @@ object Corpus {
       textCol: String = "text",
       idCol: String = "doc_id",
       srcCol: String = "source"): DataFrame = {
+    // Materialized: `scored` (the LM-chain tail — two model aggregations
+    // + the tf⋈c2⋈c1 join — plus the source join) feeds BOTH the quantile
+    // pass and the gate join below; without the checkpoint the whole
+    // chain executes twice (the winnowReusePairs/curriculumOrder
+    // two-consumers discipline).
     val scored = TextAnalysis
       .bigramRarity(docs, textCol, idCol)
       .join(
         docs.select(col(idCol).cast("long").as("doc_id"), col(srcCol).as("source")),
         "doc_id")
+      .localCheckpoint()
     val th = Stats
       .quantilesByGroup(scored, "source", "lm_milli", Seq(pct))
       .select(col("source"), col(s"p$pct").as("lm_threshold"))
@@ -274,9 +292,11 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     // distinct AFTER normalization: "Scan" and "scan" are the same term,
-    // and a duplicated dictionary entry must not double n_hits
+    // and a duplicated dictionary entry must not double n_hits.
+    // Locale.ROOT matches Spark's locale-insensitive lower() — the default
+    // locale would break terms containing 'I' under tr-TR (dotless ı).
     val norm = terms
-      .map(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .map(_.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
       .distinct
     require(norm.nonEmpty, "blocklist must contain at least one non-empty term")
@@ -847,7 +867,9 @@ object Corpus {
   /** Data-card rollup: the per-source summary table published alongside a
     * training corpus (docs, tokens, chars, language spread, quality
     * distribution, gate pass-rate), plus an `ALL` grand-total row from the
-    * same pass via `rollup`. Quality is carried as the integer ten-thousandths
+    * same pass via `rollup` — identified by `grouping()`, not by a NULL
+    * key, so a NULL-source group keeps its NULL label instead of
+    * masquerading as the total. Quality is carried as the integer ten-thousandths
     * of [[graft.ops.TextAnalysis.qualityScore]] (`q_tenk_*`), so every cell
     * is exact and oracle-hashable; `n_kept` counts docs at or above
     * `keepTenk` (default 0.5).
@@ -862,17 +884,21 @@ object Corpus {
       docs: DataFrame,
       keepTenk: Long = 5000L,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      srcCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
     val qTenk = round(TextAnalysis.qualityScore(col(textCol)) * 10000, 0).cast("long")
     docs
       .select(
-        col("source"),
-        col("lang"),
+        col(srcCol).as("source"),
+        col(langCol).as("lang"),
         length(col(textCol)).cast("long").as("n_chars"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
         qTenk.as("q_tenk"))
       .rollup("source")
       .agg(
+        // grouping() marks the rollup total row, so a NULL-source group (or
+        // a source literally named "ALL") stays distinguishable from it
+        grouping(col("source")).as("__is_total"),
         count(lit(1)).cast("long").as("n_docs"),
         sum("n_tokens").cast("long").as("n_tokens"),
         sum("n_chars").cast("long").as("n_chars"),
@@ -882,7 +908,7 @@ object Corpus {
         sum("q_tenk").cast("long").as("q_tenk_sum"),
         sum(when(col("q_tenk") >= keepTenk, 1L).otherwise(0L)).cast("long").as("n_kept"))
       .select(
-        coalesce(col("source"), lit("ALL")).as("source"),
+        when(col("__is_total") === 1, lit("ALL")).otherwise(col("source")).as("source"),
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
         col("q_tenk_min"), col("q_tenk_max"),
         // integer division: exact and engine-portable (no double rounding)

@@ -464,10 +464,19 @@ object Dedup {
     * of it.
     */
   def keepRepresentatives(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    keepFromClusters(docs, clusterPairs(pairs), idCol)
+
+  /** [[keepRepresentatives]] over precomputed [[clusterPairs]] labels —
+    * for callers that also feed the labels elsewhere (e.g.
+    * [[graft.ops.Corpus.clusterSafeSplitFromClusters]]): clusterPairs is
+    * an iterative, per-round-materialized job, so running it once and
+    * sharing the labels matters.
+    */
+  def keepFromClusters(docs: DataFrame, clusters: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"))
       .join(
-        clusterPairs(pairs).filter(col("cluster_id") =!= col("doc_id")),
+        clusters.filter(col("cluster_id") =!= col("doc_id")),
         Seq("doc_id"),
         "left_anti")
 
@@ -707,8 +716,12 @@ object Dedup {
     * `doc_id * 1000 + frame_id` rides the EXACT [[aHashPairs]] machinery
     * (banded equi-join, hot-bucket cap, integer verify), then clip pairs
     * aggregate their matching frame pairs — `n_frame_pairs` matches with
-    * `min_hamming`, kept at >= `minShared` so one coincidental frame
-    * match can't flag two clips as duplicates. This is the standard
+    * `min_hamming`. The keep condition is >= `minShared` DISTINCT frames
+    * on BOTH sides (`n_frames_a`/`n_frames_b`), not raw pair count: one
+    * coincidental frame in clip A matching several near-identical frames
+    * of clip B (consecutive title cards, static scenes) yields many pairs
+    * but only one distinct A-side frame, and must not flag the clips as
+    * duplicates. This is the standard
     * keyframe-hash video dedup: once frames are hashed, a re-encoded /
     * re-uploaded clip shows up as many near-zero-Hamming frame pairs.
     *
@@ -730,14 +743,18 @@ object Dedup {
       maxBucket)
       .select(
         expr("doc_a div 1000").as("clip_a"),
+        expr("doc_a % 1000").as("frame_a"),
         expr("doc_b div 1000").as("clip_b"),
+        expr("doc_b % 1000").as("frame_b"),
         col("hamming"))
       .filter(col("clip_a") =!= col("clip_b"))
       .groupBy("clip_a", "clip_b")
       .agg(
         count(lit(1)).cast("long").as("n_frame_pairs"),
+        countDistinct(col("frame_a")).cast("long").as("n_frames_a"),
+        countDistinct(col("frame_b")).cast("long").as("n_frames_b"),
         min("hamming").cast("long").as("min_hamming"))
-      .filter(col("n_frame_pairs") >= minShared)
+      .filter(least(col("n_frames_a"), col("n_frames_b")) >= minShared)
 
   /** Word n-gram Jaccard near-dup pairs via inverted index. Grams with
     * document frequency > dfCap are dropped on BOTH sides before scoring —

@@ -988,8 +988,13 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     requireChunkParams(spark, path, window, stride)
+    // distinct BEFORE the cap: appendChunkIndex is a plain parquet append,
+    // so a retried ingest (or a partially-committed write re-run) can land
+    // the same (chunk_md5, doc_id) posting twice — duplicates would both
+    // double-count n_shared (inflating contain_milli past its true value)
+    // and miscount the hot-chunk cap.
     val store = Skew.capHotKeys(
-      spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/postings").distinct(),
       Seq("chunk_md5"),
       maxPostings)
     val pp = chunkTokens(probe, window, stride, textCol, idCol)

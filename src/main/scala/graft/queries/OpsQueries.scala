@@ -1618,15 +1618,18 @@ object OpsQueries {
         |  FROM bok a JOIN bok b
         |    ON a.band = b.band AND a.bkey = b.bkey AND a.fid < b.fid),
         |fpair AS (
-        |  SELECT fa // 1000 AS clip_a, fb // 1000 AS clip_b,
+        |  SELECT fa // 1000 AS clip_a, fa % 1000 AS frame_a,
+        |         fb // 1000 AS clip_b, fb % 1000 AS frame_b,
         |         CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
         |  FROM cand
         |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3)
         |SELECT clip_a, clip_b,
         |       CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+        |       CAST(COUNT(DISTINCT frame_a) AS BIGINT) AS n_frames_a,
+        |       CAST(COUNT(DISTINCT frame_b) AS BIGINT) AS n_frames_b,
         |       CAST(MIN(hamming) AS BIGINT) AS min_hamming
         |FROM fpair WHERE clip_a <> clip_b
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin,
+        |GROUP BY 1, 2 HAVING LEAST(COUNT(DISTINCT frame_a), COUNT(DISTINCT frame_b)) >= 2""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel
     // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.

@@ -239,11 +239,35 @@ class MultimodalSpec extends SparkSpec {
     val dup = base.filter(col("doc_id") === 5L)
       .select((col("doc_id") + 100).as("doc_id"), col("frame_id"), col("hash_hi"), col("hash_lo"))
     val pairs = graft.ops.Dedup.clipPairs(base.unionAll(dup)).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(pairs.exists(p => p._1 == 5L && p._2 == 105L && p._4 == 0L),
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(pairs.exists(p => p._1 == 5L && p._2 == 105L && p._6 == 0L),
       s"re-upload must pair with its original: ${pairs.toSeq}")
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L),
       s"unrelated clip must not pair: ${pairs.toSeq}")
+    // the distinct-frame guard: every reported pair spans >= 2 distinct
+    // frames on EACH side (n_frames_a, n_frames_b), not just 2 raw pairs
+    assert(pairs.forall(p => p._4 >= 2 && p._5 >= 2), s"distinct-frame floors: ${pairs.toSeq}")
+  }
+
+  test("clipPairs: one hot frame matching many frames of another clip is not a dup") {
+    val s = spark
+    import s.implicits._
+    // clip 1 has a single frame; clip 2 has 3 frames all identical to it
+    // (static title card). Raw pair count = 3 >= minShared, but distinct
+    // A-side frames = 1, so the pair must NOT be reported.
+    val rows = Seq(
+      (1L, 0, 7L, 9L),
+      (2L, 0, 7L, 9L),
+      (2L, 1, 7L, 9L),
+      (2L, 2, 7L, 9L)).toDF("doc_id", "frame_id", "hash_hi", "hash_lo")
+    assert(graft.ops.Dedup.clipPairs(rows).collect().isEmpty)
+    // genuine overlap: two shared frames on both sides IS reported
+    val real = Seq(
+      (1L, 0, 7L, 9L), (1L, 1, 8L, 10L),
+      (2L, 0, 7L, 9L), (2L, 1, 8L, 10L)).toDF("doc_id", "frame_id", "hash_hi", "hash_lo")
+    val got = graft.ops.Dedup.clipPairs(real).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L && got.head.getLong(2) == 2L)
   }
 
   test("sceneCuts: diffs agree with a direct per-frame decode; both flags occur") {

@@ -132,6 +132,24 @@ class Round6Spec extends SparkSpec {
     per.foreach(r => assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs")))
   }
 
+  test("datacard: NULL-source group stays NULL-labeled, distinct from the ALL total") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "web", "en"),
+      (2L, "delta epsilon", "web", "en"),
+      (3L, "orphan row text", null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val rows = Corpus.datacard(docs).collect()
+    val labels = rows.map(_.getAs[String]("source"))
+    assert(labels.count(_ == "ALL") == 1, s"exactly one total row: ${labels.toSeq}")
+    assert(labels.count(_ == null) == 1, s"NULL source keeps its own row: ${labels.toSeq}")
+    val all = rows.find(_.getAs[String]("source") == "ALL").get
+    assert(all.getAs[Long]("n_docs") == 3L) // the total still counts the NULL-source doc
+    val nul = rows.find(_.getAs[String]("source") == null).get
+    assert(nul.getAs[Long]("n_docs") == 1L)
+  }
+
   // ---- product quantization ----
 
   test("pqCodes: m rows per vector, codes within the codebook, seeds quantize to themselves") {
