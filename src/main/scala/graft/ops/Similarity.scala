@@ -462,6 +462,86 @@ object Similarity {
       md5(concat_ws(",", transform(col("q"), _.cast("string")))).as("q_md5"))
   }
 
+  /** Per-dimension corpus statistics of an embedding column in integer
+    * milli-units — the fitted state of feature standardization (z-scoring):
+    * one row per position with count, mean and standard deviation. The
+    * pre-whitening step before distance-based ops (ANN, semantic dedup,
+    * k-means cells): a dimension with 100x the variance of the rest
+    * dominates every cosine/L2 unless normalized out.
+    *
+    * Exactness: elements enter as `round(x*1000)` longs (the PQ family's
+    * milli trick); per-position sum and sum-of-squares aggregate in
+    * decimal(38,0), which is summation-order-independent (a float sum is
+    * not) and cannot overflow at any plausible corpus size (1e12 rows x
+    * 1e4 milli² = 1e20 << 1e38). The final mean/std divide in DOUBLE and
+    * floor — IEEE-identical in any engine, so both columns oracle-hash;
+    * past 2^53 the double division may be off by at most one milli
+    * (deterministically so), which a standardizer does not care about.
+    *
+    * Scale shape: `posexplode` is a narrow per-row expansion of x dim
+    * rows; the only shuffle is the final hash aggregation onto <= dim
+    * keys with map-side partials — uniform by construction (every vector
+    * contributes one value to every position).
+    */
+  def dimStats(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(milliVec(col(vecCol))))
+      .select(col("pos").cast("long").as("pos"), col("col").as("xm"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("xm").cast("decimal(38,0)")).as("sm"),
+        sum(col("xm").cast("decimal(19,0)") * col("xm").cast("decimal(19,0)")).as("sq"))
+      .select(
+        col("pos"),
+        col("n"),
+        floor(col("sm").cast("double") / col("n").cast("double")).cast("long").as("mean_milli"),
+        floor(
+          sqrt(
+            (col("n").cast("decimal(38,0)") * col("sq") - col("sm") * col("sm")).cast("double") /
+              (col("n").cast("double") * col("n").cast("double"))))
+          .cast("long")
+          .as("std_milli"))
+
+  /** Z-standardized embeddings in integer milli-units:
+    * `z = floor((x_milli - mean_milli) * 1000 / std_milli)` per dimension,
+    * against [[dimStats]] of the SAME corpus (fit-and-transform in one
+    * call; standardizing a query set against a corpus' stats is the same
+    * two lines with the stats computed once and reused). Constant
+    * dimensions (std 0) clamp the divisor to 1 instead of dividing by
+    * zero — their z is then the raw milli offset, which downstream
+    * distance ops treat like any other (constant) column.
+    *
+    * Scale shape: the stats land driver-side as ONE row per embedding
+    * dimension (the [[ivfCentroids]] bounded-collect justification) and
+    * ride back into a per-row `transform` as array literals — the
+    * transform is a zero-shuffle column program over the corpus; the only
+    * wide stage is dimStats' <= dim-key aggregation.
+    */
+  def standardizeMilli(
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val stats = dimStats(corpus, idCol, vecCol)
+      .select(col("pos"), col("mean_milli"), col("std_milli"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(stats.nonEmpty, "standardizeMilli: corpus has no vectors")
+    val means = stats.map(_.getLong(1))
+    val stds = stats.map(r => math.max(r.getLong(2), 1L))
+    corpus.select(
+      col(idCol).cast("long").as("vec_id"),
+      transform(
+        milliVec(col(vecCol)),
+        (x, i) =>
+          floor(
+            (x - element_at(lit(means), i + 1)).cast("double") * 1000.0 /
+              element_at(lit(stds), i + 1).cast("double")).cast("long")).as("z_milli"))
+  }
+
   private def rank(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     scored

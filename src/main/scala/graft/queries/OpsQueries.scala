@@ -225,6 +225,15 @@ object OpsQueries {
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
+    "embedding_dim_stats" -> { (s, dir) => Similarity.dimStats(embs(s, dir)) },
+    // exploded face of the zero-shuffle vector transform (arrays don't
+    // hash-compare; one row per (vec_id, pos) does)
+    "embedding_standardize" -> { (s, dir) =>
+      Similarity
+        .standardizeMilli(embs(s, dir))
+        .select(col("vec_id"), posexplode(col("z_milli")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("z_milli"))
+    },
     "embedding_cell_balance" -> { (s, dir) => Similarity.cellBalance(embs(s, dir)) },
     "corpus_lang_mix" -> { (s, dir) => Corpus.langMixture(docs(s, dir)) },
     // best-quality-first training order, salted shuffle within ties
@@ -1135,6 +1144,50 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // Mirrors dimStats: milli elements via round(x*1000), exact integer
+    // sum/sum-of-squares per position (HUGEINT = Spark's decimal(38,0)),
+    // mean/std finished in DOUBLE + floor exactly like the Spark side.
+    "embedding_dim_stats" ->
+      """WITH e AS (
+        |  SELECT embedding, unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |m AS (
+        |  SELECT CAST(pos AS BIGINT) AS pos,
+        |         CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS xm
+        |  FROM e),
+        |s AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(xm AS HUGEINT)) AS sm,
+        |         SUM(CAST(xm AS HUGEINT) * xm) AS sq
+        |  FROM m GROUP BY pos)
+        |SELECT pos, n,
+        |       CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+        |       CAST(floor(sqrt(CAST(n * sq - sm * sm AS DOUBLE)
+        |                       / (CAST(n AS DOUBLE) * n))) AS BIGINT) AS std_milli
+        |FROM s""".stripMargin,
+    // Mirrors standardizeMilli's exploded face: z = floor((xm - mean)*1000
+    // / greatest(std, 1)) against the same-corpus dim stats.
+    "embedding_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding, unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |         CAST(round(CAST(embedding[pos + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS xm
+        |  FROM e),
+        |s AS (
+        |  SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(xm AS HUGEINT)) AS sm,
+        |         SUM(CAST(xm AS HUGEINT) * xm) AS sq
+        |  FROM m GROUP BY pos),
+        |st AS (
+        |  SELECT pos,
+        |         CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+        |         GREATEST(CAST(floor(sqrt(CAST(n * sq - sm * sm AS DOUBLE)
+        |                         / (CAST(n AS DOUBLE) * n))) AS BIGINT), 1) AS std_milli
+        |  FROM s)
+        |SELECT m.vec_id, m.pos,
+        |       CAST(floor(CAST(m.xm - st.mean_milli AS DOUBLE) * 1000
+        |                  / CAST(st.std_milli AS DOUBLE)) AS BIGINT) AS z_milli
+        |FROM m JOIN st USING (pos)""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,
         |  round(mab, 6) AS scale_r,

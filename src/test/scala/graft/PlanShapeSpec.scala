@@ -166,6 +166,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(pSplit.contains("ReadSchema: struct<doc_id:bigint>"), "split must scan only doc_id")
   }
 
+  test("standardizeMilli: transform face is a zero-shuffle column program") {
+    // the dim stats ride in as array LITERALS (collected, <= dim rows), so
+    // the per-vector z-score is a pure projection — no Exchange, no join
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.standardizeMilli(embs))
+    assert(!p.contains("Exchange"), "z-scoring must not shuffle the corpus:\n" + p.take(1500))
+    assert(!p.contains("Join"), "stats must be literals, not a join side:\n" + p.take(1500))
+  }
+
   test("multimodal decode: partition-parallel map, no exchange before the decode") {
     val p = plan(graft.ops.Multimodal.bmpFeatures(
       graft.etl.MediaSynth.mediaTable(docsDf, "image/bmp", graft.etl.MediaSynth.docBmp)))

@@ -150,6 +150,35 @@ class Round6Spec extends SparkSpec {
     assert(nul.getAs[Long]("n_docs") == 1L)
   }
 
+  // ---- embedding standardization ----
+
+  test("dimStats / standardizeMilli: hand-computed stats, z-scores, and constant-dim clamp") {
+    val s = spark
+    import s.implicits._
+    // pos 0: values 1,2,3 → milli sum 6000, sq 14e6, mean 2000,
+    //   var = (3*14e6 - 6000²)/9 = 666666.67 milli² → std = floor(816.49) = 816
+    // pos 1: constant 0 → std 0 (clamped to 1 in the z-score)
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val st = graft.ops.Similarity.dimStats(embs).orderBy("pos").collect()
+    assert(st.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 3L, 2000L, 816L), (1L, 3L, 0L, 0L)))
+    val z = graft.ops.Similarity.standardizeMilli(embs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // z = floor((xm - 2000)*1000 / 816): -1000000/816 → -1226 (floor, not trunc)
+    assert(z(1L) == Seq(-1226L, 0L), s"got ${z(1L)}")
+    assert(z(2L) == Seq(0L, 0L))
+    assert(z(3L) == Seq(1225L, 0L))
+    // standardized corpus re-fit: every dimension now has mean 0 (z is
+    // integer milli, so the re-fit mean must sit within one milli of 0)
+    val zdf = graft.ops.Similarity.standardizeMilli(embs)
+      .select(col("vec_id"), transform(col("z_milli"), x => (x.cast("double") / 1000.0).cast("float")).as("embedding"))
+    val refit = graft.ops.Similarity.dimStats(zdf).orderBy("pos").collect()
+    assert(refit.forall(r => math.abs(r.getLong(2)) <= 1), "re-fit mean_milli within one milli of 0")
+  }
+
   // ---- product quantization ----
 
   test("pqCodes: m rows per vector, codes within the codebook, seeds quantize to themselves") {
