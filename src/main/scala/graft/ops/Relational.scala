@@ -310,6 +310,56 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Per-key interval coalescing: merge overlapping/abutting CLOSED
+    * intervals `[start, end]` into their connected spans — maintenance
+    * windows, incident windows, coverage maps, the interval complement of
+    * gap-filling. Two intervals of the same key merge when the later one
+    * starts at or before the running maximum end seen so far (so chains
+    * A-B-C collapse even when A and C never touch directly). Degenerate
+    * inputs with `end < start` clamp to the point `[start, start]`.
+    *
+    * Returns one row per merged span: key, start, end, `n_merged` (input
+    * intervals absorbed). Deterministic regardless of tie order: rows
+    * sort by (start, end), and identical rows always land in the same
+    * span, so min/max/count are order-free.
+    *
+    * Scale shape: one exchange on the key, then two window passes over
+    * the SAME sort (running max-end to flag chain starts, running sum to
+    * number the chains — Spark reuses the exchange and sort for both),
+    * then a hash aggregation onto (key, chain). Chain merging is
+    * inherently per-key sequential — a chain may thread through every
+    * interval of the key, so unlike [[asOfJoinBucketed]] there is no
+    * bucketed variant that bounds per-task work without a CC-style
+    * iterative loop; the contract is the sessionize one: per-key interval
+    * counts are bounded (a user's sessions, a host's incidents), keys are
+    * many and uniform.
+    */
+  def coalesceIntervals(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol), col("__end"))
+    intervals
+      .withColumn("__end", greatest(col(endCol), col(startCol)))
+      .withColumn(
+        "__prev_max_end",
+        max(col("__end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "__chain",
+        sum(
+          when(col("__prev_max_end").isNull || col(startCol) > col("__prev_max_end"), 1L)
+            .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__chain"))
+      .agg(
+        min(col(startCol)).as(startCol),
+        max(col("__end")).as(endCol),
+        count(lit(1)).cast("long").as("n_merged"))
+      .drop("__chain")
+  }
+
   /** Batch MERGE / CDC-apply: apply a change feed onto a snapshot and
     * return the post-merge snapshot (the semantics of SQL `MERGE INTO` /
     * a Delta-style upsert, expressed as one declarative plan).

@@ -93,6 +93,18 @@ object RelQueries {
         payloadCols = Seq("click_ts_us", "click_value"),
         bucketUnits = HalfHourUs)
     },
+    // Per-user activity spans: every click opens an interval of `value`
+    // seconds; overlapping/abutting intervals coalesce into merged spans
+    // (chains collapse transitively). Negative values clamp to points.
+    "intervals_coalesce" -> { (s, dir) =>
+      val iv = events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + round(col("value") * 1000000, 0).cast("long")).as("end_us"))
+      Relational.coalesceIntervals(iv, "user_id", "start_us", "end_us")
+    },
     // Every event falling inside a 30-minute window opened by a severe
     // error ("incident"), aggregated per incident. Incidents are rare, so
     // the interval side broadcasts and the event stream is never shuffled.
@@ -389,6 +401,33 @@ object RelQueries {
         |)
         |SELECT event_id, user_id, ts_us, click_ts_us, click_value
         |FROM attached WHERE side = 1""".stripMargin,
+    // Same chain construction in DuckDB window SQL: running max-end over
+    // strictly-preceding rows flags chain starts; a running sum numbers
+    // the chains; min/max/count collapse each chain. Ties on (start, end)
+    // are identical rows, so every aggregate is tie-order-free.
+    "intervals_coalesce" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS end_raw
+        |  FROM events WHERE event_type = 'click'
+        |), cl AS (
+        |  SELECT user_id, start_us, greatest(end_raw, start_us) AS end_c FROM iv
+        |), fl AS (
+        |  SELECT user_id, start_us, end_c,
+        |         MAX(end_c) OVER (PARTITION BY user_id ORDER BY start_us, end_c
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM cl
+        |), ch AS (
+        |  SELECT user_id, start_us, end_c,
+        |         SUM(CASE WHEN prev_max IS NULL OR start_us > prev_max THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY start_us, end_c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+        |  FROM fl
+        |)
+        |SELECT user_id, CAST(MIN(start_us) AS BIGINT) AS start_us,
+        |       CAST(MAX(end_c) AS BIGINT) AS end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_merged
+        |FROM ch GROUP BY user_id, chain""".stripMargin,
     "range_join_incidents" ->
       """WITH inc AS (
         |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us

@@ -131,6 +131,52 @@ class RelationalSpec extends SparkSpec {
       "raw-row window partitioned by key alone:\n" + winSpecs.mkString("\n"))
   }
 
+  // ---- interval coalescing ------------------------------------------------
+
+  private def spans(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("user_id", "start_us", "end_us", "n_merged")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("coalesceIntervals merges overlap, abutment, and transitive chains; keeps disjoint spans") {
+    val iv = Seq(
+      // key 1: [0,10] ∪ [5,8] (contained) ∪ [10,20] (abuts) → one span,
+      // then a gap, then [30,35] alone
+      (1L, 0L, 10L),
+      (1L, 5L, 8L),
+      (1L, 10L, 20L),
+      (1L, 30L, 35L),
+      // key 2: chain threads A[0,10]-B[9,12]-C[11,25] — A and C never
+      // touch directly but must still land in one span
+      (2L, 0L, 10L),
+      (2L, 9L, 12L),
+      (2L, 11L, 25L)
+    ).toDF("user_id", "start_us", "end_us")
+    val out = spans(Relational.coalesceIntervals(iv, "user_id", "start_us", "end_us"))
+    assert(out == Set((1L, 0L, 20L, 3L), (1L, 30L, 35L, 1L), (2L, 0L, 25L, 3L)))
+  }
+
+  test("coalesceIntervals clamps end<start to a point and merges duplicates deterministically") {
+    val iv = Seq(
+      (1L, 10L, 3L), // degenerate: clamps to [10,10]
+      (1L, 10L, 10L), // identical point: merges into the same span
+      (1L, 11L, 12L) // strictly after the point: separate span
+    ).toDF("user_id", "start_us", "end_us")
+    val out = spans(Relational.coalesceIntervals(iv, "user_id", "start_us", "end_us"))
+    assert(out == Set((1L, 10L, 10L, 2L), (1L, 11L, 12L, 1L)))
+  }
+
+  test("coalesceIntervals plan: one exchange on the key, both windows reuse it, no join") {
+    val iv = Seq((1L, 0L, 10L), (1L, 5L, 8L)).toDF("user_id", "start_us", "end_us")
+    val df = Relational.coalesceIntervals(iv, "user_id", "start_us", "end_us")
+    val p = planOf(df)
+    assert(!p.contains("Join"), "chain numbering must be windows, not a self-join:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"), "no global-window single-partition exchange")
+    val nEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(nEx == 1, s"both window passes must share ONE key exchange, saw $nEx:\n" + p.take(1500))
+  }
+
   // ---- bucketized range join ---------------------------------------------
 
   test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket containment") {
