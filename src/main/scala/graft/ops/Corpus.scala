@@ -185,6 +185,48 @@ object Corpus {
       .select("doc_id", "lang_pred", "bucket")
   }
 
+  /** Systematic probability-proportional-to-size (PPS) sampling: walk the
+    * corpus in a deterministic hash order and select one document per
+    * `step` units of cumulative weight — a document of weight `w` is
+    * selected iff a multiple of `step` lands in its cumulative-weight
+    * interval `(cum - w, cum]`, so selection probability is ~`w/step`
+    * (documents with `w >= step` are always selected, exactly once).
+    * Sampling proportional to token/char count is how mixture weights are
+    * realized over heterogeneous-length corpora: per-DOCUMENT uniform
+    * sampling over-represents short docs in token space.
+    *
+    * All arithmetic is integer (weights clamp to >= 0; zero-weight docs
+    * have an empty interval and are never selected), and the walk order is
+    * (md5(id), id) — decorrelated from ingest order, a total order, and
+    * the same hash family as [[splitAssign]] — so the sample is
+    * reproducible and hash-stable across engines. `phase` in [0, step)
+    * shifts the selection grid: disjoint phases give (near-)disjoint
+    * samples from one pass.
+    *
+    * Scale shape: the cumulative weight comes from
+    * [[Relational.globalCumSum]] (range shuffle + driver prefix offsets —
+    * never a single-partition window); the selection test is a stateless
+    * per-row filter on top. One exchange total.
+    */
+  def samplePps(
+      docs: DataFrame,
+      step: Long,
+      phase: Long = 0,
+      weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(step > 0, s"step must be positive, got $step")
+    require(phase >= 0 && phase < step, s"phase must be in [0, step), got $phase")
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L)).as("weight"),
+      md5(col(idCol).cast("string")).as("__h"))
+    Relational
+      .globalCumSum(base, Seq(col("__h"), col("doc_id")), "weight", "cum")
+      .filter(
+        expr(s"(cum + $phase) div $step") > expr(s"(cum - weight + $phase) div $step"))
+      .select("doc_id", "weight", "cum")
+  }
+
   /** Quality gate with a per-source adaptive threshold: keep documents
     * whose integerized quality score (score x 10000, rounded) is at or
     * above their source's p`pct` quantile of the same score. Absolute

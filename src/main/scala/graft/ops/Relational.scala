@@ -289,6 +289,68 @@ object Relational {
       .drop("__grank")
   }
 
+  /** Exact global running (prefix-inclusive) sum of a long `weightCol`
+    * over a total order — the cumulative-weight primitive under
+    * systematic/PPS sampling ([[Corpus.samplePps]]), token-budget cuts,
+    * and quota lines. A naive `sum(w) OVER (ORDER BY ...)` forces every
+    * row through ONE partition; this is the [[globalRank]] shape instead:
+    * range-shuffle on the sort columns, per-partition weight totals (a
+    * |partitions|-row aggregate) prefix-scanned on the driver, then a
+    * narrow mapPartitions adds `partition offset + running local sum`.
+    * One exchange total, no single-partition stage.
+    *
+    * `sortCols` MUST be a total order (unique tiebreaker), or the prefix
+    * sum at equal keys depends on physical placement. `weightCol` must be
+    * a non-null long column (clamp/coalesce upstream). Appends `cumCol`
+    * (inclusive of the current row). Same coalesce-safety trick as
+    * [[globalRank]]: rows carry their own materialized `__pid`, so later
+    * narrow re-packing (e.g. `.coalesce(1).write`) cannot collapse the
+    * offsets.
+    */
+  def globalCumSum(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      weightCol: String,
+      cumCol: String = "cum",
+      parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val sums = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(weightCol)).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val offsets: Map[Int, Long] = {
+      val maxPid = if (sums.isEmpty) -1 else sums.keys.max
+      (0 to maxPid)
+        .scanLeft(0 -> 0L) { case ((_, acc), pid) =>
+          pid -> (acc + sums.getOrElse(pid - 1, 0L))
+        }
+        .toMap
+    }
+    val wIdx = df.schema.fieldIndex(weightCol)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(cumCol, org.apache.spark.sql.types.LongType, false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ranged.mapPartitions { it =>
+      var cur = Int.MinValue
+      var acc = 0L
+      it.map { row =>
+        val pid = row.getInt(row.length - 1)
+        if (pid != cur) { cur = pid; acc = offsets.getOrElse(pid, 0L) }
+        acc += row.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1) :+ acc)
+      }
+    }(enc)
+  }
+
   def rangeJoinBucketed(
       probe: DataFrame,
       intervals: DataFrame,

@@ -165,6 +165,12 @@ object RelQueries {
     "contamination_ngrams" -> { (s, dir) =>
       Corpus.contaminationNgrams(docs(s, dir), n = 5)
     },
+    // Char-weighted systematic sample: ~one doc per 10k chars of corpus,
+    // long docs proportionally more likely, selection grid phase-shifted
+    // by 137 to exercise the phase arithmetic.
+    "corpus_sample_pps" -> { (s, dir) =>
+      Corpus.samplePps(docs(s, dir), step = 10000L, phase = 137L)
+    },
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
@@ -428,6 +434,23 @@ object RelQueries {
         |       CAST(MAX(end_c) AS BIGINT) AS end_us,
         |       CAST(COUNT(*) AS BIGINT) AS n_merged
         |FROM ch GROUP BY user_id, chain""".stripMargin,
+    // The oracle MAY use the single-partition window — DuckDB is
+    // single-node anyway; only the Spark plan must avoid it.
+    "corpus_sample_pps" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         greatest(CAST(n_chars AS BIGINT), 0) AS weight,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, weight,
+        |         SUM(weight) OVER (ORDER BY h, doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, weight, CAST(cum AS BIGINT) AS cum
+        |FROM c
+        |WHERE (cum + 137) // 10000 > (cum - weight + 137) // 10000""".stripMargin,
     "range_join_incidents" ->
       """WITH inc AS (
         |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us

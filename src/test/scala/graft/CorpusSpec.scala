@@ -229,6 +229,43 @@ class CorpusSpec extends SparkSpec {
     assert(kept.forall { case (id, _, b) => buckets(id) == b })
   }
 
+  test("samplePps: selection matches the hand-walked cumulative grid; invariants hold") {
+    val s = spark
+    import s.implicits._
+    // weights chosen so the fixture exercises: always-selected (w >= step),
+    // never-selected (w = 0), negative clamp, and grid-boundary docs
+    val docs = Seq(
+      (1L, 120L), (2L, 0L), (3L, 340L), (4L, 75L), (5L, -9L),
+      (6L, 500L), (7L, 33L), (8L, 260L), (9L, 18L), (10L, 44L)
+    ).toDF("doc_id", "n_chars")
+    val step = 100L
+    val phase = 37L
+    // hand-walk the same (md5(id), id) order with the same integer rule
+    val walked = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+      .map(id => (id, math.max(Seq(120L, 0L, 340L, 75L, -9L, 500L, 33L, 260L, 18L, 44L)(id.toInt - 1), 0L)))
+      .sortBy { case (id, _) => (md5Hex(id.toString), id) }
+    val expect = walked
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, w)) => (id, w, acc + w) }
+      .drop(1)
+      .filter { case (_, w, cum) => (cum + phase) / step > (cum - w + phase) / step }
+      .map { case (id, w, cum) => (id, w, cum) }
+      .toSet
+    val got = Corpus.samplePps(docs, step = step, phase = phase)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expect)
+    // invariants: every w >= step doc is selected (its interval spans a
+    // full grid period), zero-weight and negative-clamped docs never are
+    // (empty interval). A doc spanning several grid points still appears
+    // exactly once, so |sample| <= |grid points swept|.
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId.contains(1L) && byId.contains(3L) && byId.contains(6L) && byId.contains(8L))
+    assert(!byId.contains(2L) && !byId.contains(5L))
+    val totalW = walked.map(_._2).sum
+    assert(got.size <= ((totalW + phase) / step - phase / step))
+  }
+
   test("piiRedact counts and scrubs emails, IPs, phone patterns") {
     val s = spark
     import s.implicits._

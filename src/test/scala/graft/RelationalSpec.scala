@@ -177,6 +177,59 @@ class RelationalSpec extends SparkSpec {
     assert(nEx == 1, s"both window passes must share ONE key exchange, saw $nEx:\n" + p.take(1500))
   }
 
+  // ---- global cumulative sum ----------------------------------------------
+
+  private lazy val cumFixture = Seq(
+    (1L, 5L), (2L, 0L), (3L, 7L), (4L, 2L), (5L, 11L), (6L, 1L), (7L, 0L), (8L, 3L)
+  ).toDF("id", "w")
+
+  private lazy val cumExpect: Map[Long, Long] = {
+    // reference: the forbidden-at-scale single-partition window, fine on 8 rows
+    import org.apache.spark.sql.expressions.Window
+    cumFixture
+      .withColumn(
+        "cum",
+        sum("w").over(
+          Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+  }
+
+  test("globalCumSum matches the global-window prefix sum at 1, 3, and 8 partitions") {
+    for (p <- Seq(1, 3, 8)) {
+      val got = Relational
+        .globalCumSum(cumFixture, Seq(col("id")), "w", "cum", parts = p)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(2))
+        .toMap
+      assert(got == cumExpect, s"parts=$p")
+    }
+  }
+
+  test("globalCumSum survives coalesce(1): offsets ride in rows, not TaskContext") {
+    val got = Relational
+      .globalCumSum(cumFixture, Seq(col("id")), "w", "cum", parts = 4)
+      .coalesce(1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(got == cumExpect)
+  }
+
+  test("globalCumSum plan: no single-partition stage, output spread over partitions") {
+    // the range exchange runs inside the checkpoint job (lineage is
+    // truncated past it — same as globalRank), so assert the observable
+    // contract instead: no SinglePartition anywhere, and the output stays
+    // spread across partitions rather than funneling into one
+    val df = (0L until 5000L).map(i => (i, i % 13)).toDF("id", "w")
+    val cum = Relational.globalCumSum(df, Seq(col("id")), "w", "cum", parts = 8)
+    val p = planOf(cum)
+    assert(!p.contains("SinglePartition"), "single-partition exchange in cumsum plan:\n" + p.take(1500))
+    val perPart = cum.groupBy(spark_partition_id().as("pid")).count().collect()
+    assert(perPart.length > 1, "cumsum output must not collapse to one partition")
+  }
+
   // ---- bucketized range join ---------------------------------------------
 
   test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket containment") {
