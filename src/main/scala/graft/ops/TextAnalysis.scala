@@ -103,6 +103,54 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Unicode BMP ranges per script family, as regex character-class
+    * bodies. RE2 (DuckDB) and java.util.regex (Spark) both accept literal
+    * BMP characters in a class, so the SAME class text runs in both
+    * engines; the ranges are embedded as compile-time literals.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "cjk" -> "一-鿿぀-ヿ가-힣",
+    "arabic" -> "؀-ۿ")
+
+  /** Writing-system profile: per document, the count of characters in
+    * each major script range (Latin incl. accented extensions, Cyrillic,
+    * CJK = Han + Kana + Hangul, Arabic) plus the dominant-script label —
+    * the orthographic complement to [[langId]]'s stopword heuristic
+    * (langId separates en/de/es/fr; this separates alphabets, which
+    * stopword lists cannot see). Counting is deletion-based —
+    * `length(s) - length(regexp_replace(s, "[range]", ""))` — a stateless
+    * codegen'd projection, no tokenization, no shuffle.
+    *
+    * `script_pred` is an explicit CASE chain (declaration order wins
+    * ties, like [[langId]]); documents with zero characters in every
+    * range (empty, digits/punctuation only) are labeled 'other'.
+    */
+  def scriptProfile(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val counted = docs.select(
+      col(idCol) +:
+        length(t).cast("long").as("n_chars_total") +:
+        ScriptRanges.map { case (name, range) =>
+          (length(t) - length(regexp_replace(t, s"[$range]", ""))).cast("long").as(s"n_$name")
+        }: _*)
+    val names = ScriptRanges.map(_._1)
+    val pred = names.indices.foldRight(lit(names.last): Column) { (i, acc) =>
+      val isMax = names
+        .drop(i + 1)
+        .map(other => col(s"n_${names(i)}") >= col(s"n_$other"))
+        .foldLeft(lit(true))(_ && _)
+      when(isMax, lit(names(i))).otherwise(acc)
+    }
+    counted.withColumn(
+      "script_pred",
+      when(greatest(names.map(n => col(s"n_$n")): _*) === 0L, lit("other")).otherwise(pred))
+  }
+
   /** Token statistics + rolling document fingerprint: md5 of the
     * whitespace-normalized lowercased text — the exact-dedup key.
     */

@@ -293,6 +293,7 @@ object OpsQueries {
     "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
     "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
+    "text_script" -> { (s, dir) => TextAnalysis.scriptProfile(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
     "events_window_agg" -> { (s, dir) =>
       s.read
@@ -548,6 +549,18 @@ object OpsQueries {
 
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
+
+  /** Per-script deletion-count select list, generated from the SAME
+    * `TextAnalysis.ScriptRanges` table the operator compiles, so the
+    * regex class text is identical in both engines (RE2 and java.regex
+    * both take literal BMP chars in a class). DuckDB's regexp_replace
+    * needs the explicit 'g' flag to mirror Spark's replace-all.
+    */
+  private val scriptCountsSql = TextAnalysis.ScriptRanges
+    .map { case (name, range) =>
+      s"CAST(length(text) - length(regexp_replace(text, '[$range]', '', 'g')) AS BIGINT) AS n_$name"
+    }
+    .mkString(",\n  ")
 
   /** Per-language marker-count select list (shared: `text_langid`,
     * `corpus_sample`).
@@ -1439,6 +1452,19 @@ object OpsQueries {
          |SELECT doc_id, s_en, s_de, s_es, s_fr,
          |       $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    "text_script" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+         |  $scriptCountsSql
+         |  FROM documents)
+         |SELECT doc_id, n_chars_total, n_latin, n_cyrillic, n_cjk, n_arabic,
+         |  CASE
+         |    WHEN greatest(n_latin, n_cyrillic, n_cjk, n_arabic) = 0 THEN 'other'
+         |    WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk AND n_latin >= n_arabic THEN 'latin'
+         |    WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic THEN 'cyrillic'
+         |    WHEN n_cjk >= n_arabic THEN 'cjk'
+         |    ELSE 'arabic' END AS script_pred
+         |FROM c""".stripMargin,
     "corpus_curriculum" ->
       s"""WITH $tokCtes,
          |q AS (

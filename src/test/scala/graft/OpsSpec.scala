@@ -648,6 +648,30 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == "de")
   }
 
+  test("scriptProfile counts per-range chars exactly and labels the dominant script") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello world"), // 10 latin letters, 1 space
+      (2L, "привет мир"), // 9 cyrillic
+      (3L, "你好世界 こんにちは 안녕"), // 4 han + 5 kana + 2 hangul = 11 cjk
+      (4L, "مرحبا hi"), // 5 arabic vs 2 latin -> arabic
+      (5L, "12345 !?"), // nothing in any range -> other
+      (6L, "café naïve") // accented latin counts via the extension range
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_latin"), r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_cjk"),
+          r.getAs[Long]("n_arabic"), r.getAs[String]("script_pred"))))
+      .toMap
+    assert(got(1L) == ((10L, 0L, 0L, 0L, "latin")))
+    assert(got(2L) == ((0L, 9L, 0L, 0L, "cyrillic")))
+    assert(got(3L) == ((0L, 0L, 11L, 0L, "cjk")))
+    assert(got(4L) == ((2L, 0L, 0L, 5L, "arabic")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, "other")))
+    assert(got(6L) == ((9L, 0L, 0L, 0L, "latin")))
+  }
+
   test("quality: clean doc scores higher than stopword soup") {
     val s = spark
     import s.implicits._
