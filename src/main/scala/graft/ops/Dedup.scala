@@ -27,6 +27,39 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_docs"), min(col(idCol)).as("min_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Soft deduplication: instead of DROPPING exact duplicates, keep every
+    * row and emit a per-doc training weight `1000 div n_copies` (milli
+    * units, integer — hash-stable) so a document crawled N times
+    * contributes one document's worth of gradient in expectation. The
+    * down-weight-don't-drop alternative to [[Dedup.keepRepresentatives]]:
+    * dropping loses the (often meaningful) signal that popular content IS
+    * popular; weighting preserves corpus composition while removing the
+    * over-representation.
+    *
+    * Scale shape: the copy count is a hash aggregation on the content
+    * fingerprint (uniform md5 key, map-side partials absorb a
+    * million-copy group) joined back on the fingerprint — an equi-join
+    * AQE can skew-split; never a `count() OVER (PARTITION BY fp)` window
+    * (the repo's standing hot-key discipline).
+    */
+  def softDedupWeights(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    val counts = fp
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).cast("long").as("n_copies"))
+    fp.join(counts, Seq("fingerprint"))
+      .select(
+        col("doc_id"),
+        col("fingerprint"),
+        col("n_copies"),
+        expr("1000 div n_copies").cast("long").as("weight_milli"))
+  }
+
   /** Prefix-template groups: docs sharing their first `nTokens`
     * (whitespace-normalized) tokens — the cheap probe for SEO/template
     * spam, mirror farms, and generation loops, which agree verbatim at

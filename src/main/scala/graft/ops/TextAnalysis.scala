@@ -802,6 +802,65 @@ object TextAnalysis {
       .select("doc_id", "chunk_id", "tok_start", "tok_end", "n_tokens", "chunk_text", "chunk_md5")
   }
 
+  /** Content-defined chunking: a token ENDS a chunk when the first byte
+    * of its md5 is ≡ 0 (mod `divisor`) — boundaries are decided by
+    * content, not position, so inserting or deleting a sentence re-chunks
+    * only the neighborhood of the edit and every later chunk keeps its
+    * identity (fingerprint). That shift-resistance is what fixed-stride
+    * [[chunkTokens]] cannot give (one leading insertion shifts EVERY
+    * downstream window) and is why storage dedup systems chunk this way;
+    * here it powers chunk-level dedup across re-crawled/edited documents.
+    * Expected chunk length = `divisor` tokens (geometric; no min/max
+    * clamp — the tail is documented, not hidden). The last token always
+    * closes the final chunk; empty documents yield no rows.
+    *
+    * Scale shape: boundary detection and chunk assembly are per-row
+    * higher-order functions — a narrow projection + one posexplode of
+    * ~n/divisor rows per doc, no shuffle at all. The token array and the
+    * boundary array are projected as named columns before the lambdas
+    * that consume them (see [[ngrams]]'s interpreted-HOF caveat).
+    */
+  def chunkContentDefined(
+      docs: DataFrame,
+      divisor: Int = 16,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(divisor > 0, s"divisor must be positive, got $divisor")
+    // first md5 byte as an int — the same arithmetic the DuckDB oracle
+    // writes with strpos; both engines see 0..255
+    def isBoundary(t: Column): Column =
+      conv(substring(md5(t), 1, 2), 16, 10).cast("int") % divisor === 0
+    val withTk = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+    withTk
+      .withColumn(
+        "ends",
+        filter(
+          sequence(lit(1), col("n")),
+          i => isBoundary(element_at(col("tk"), i)) || i === col("n")))
+      .select(
+        col("doc_id"),
+        col("tk"),
+        col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_id", "tok_end")))
+      .withColumn(
+        "tok_start",
+        when(col("chunk_id") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("chunk_id")) + 1))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        col("tok_end").cast("long").as("tok_end"),
+        (col("tok_end") - col("tok_start") + 1).cast("long").as("n_tokens"),
+        md5(concat_ws(
+          " ",
+          slice(col("tk"), col("tok_start"), col("tok_end") - col("tok_start") + 1)))
+          .as("chunk_md5"))
+  }
+
   /** Corpus-level boilerplate removal (the CCNet/RefinedWeb move): a line
     * is boilerplate when it occurs in more than `maxDocs` distinct
     * documents — cookie banners, footers, "enable javascript" notices —

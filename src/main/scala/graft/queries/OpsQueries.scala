@@ -126,6 +126,9 @@ object OpsQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) => Dedup.exactGroups(dupDocs(s, dir)) },
+    // Down-weight-don't-drop dedup over the planted-duplicate corpus:
+    // original + copy each get weight_milli = 500; singletons 1000.
+    "dedup_soft_weights" -> { (s, dir) => Dedup.softDedupWeights(dupDocs(s, dir)) },
     "dedup_prefix" -> { (s, dir) => Dedup.prefixGroups(docs(s, dir)) },
     "dedup_minhash_lsh" -> { (s, dir) => Dedup.minHashLsh(docs(s, dir)) },
     "dedup_edit_verify" -> { (s, dir) =>
@@ -387,6 +390,7 @@ object OpsQueries {
       graft.streaming.EventsStream.sessionizeBatch(ev, gapSecs = 1800)
     },
     "text_chunk" -> { (s, dir) => TextAnalysis.chunkTokens(docs(s, dir)) },
+    "text_chunks_cdc" -> { (s, dir) => TextAnalysis.chunkContentDefined(docs(s, dir)) },
     "text_boilerplate" -> { (s, dir) =>
       TextAnalysis.boilerplateLines(linedDocs(s, dir), maxDocs = 20)
     },
@@ -1055,6 +1059,19 @@ object OpsQueries {
         |  FROM corpus)
         |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
         |FROM fp GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "dedup_soft_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |fp AS (
+        |  SELECT doc_id,
+        |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM corpus),
+        |c AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_copies FROM fp GROUP BY 1)
+        |SELECT fp.doc_id, fp.fingerprint, c.n_copies,
+        |       CAST(1000 // c.n_copies AS BIGINT) AS weight_milli
+        |FROM fp JOIN c USING (fingerprint)""".stripMargin,
     "corpus_token_drift" ->
       """WITH prev AS (
         |  SELECT doc_id, text
@@ -1806,6 +1823,32 @@ object OpsQueries {
          |       array_to_string(tk[(cid*24+1):(cid*24+32)], ' ') AS chunk_text,
          |       md5(array_to_string(tk[(cid*24+1):(cid*24+32)], ' ')) AS chunk_md5
          |FROM s""".stripMargin,
+    // Mirrors chunkContentDefined: a token ends a chunk when its md5's
+    // first byte ≡ 0 (mod 16); the last token always closes the final
+    // chunk. Same strpos arithmetic both engines.
+    "text_chunks_cdc" ->
+      s"""WITH $tokCtes,
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM tks WHERE len(tk) > 0),
+         |e AS (
+         |  SELECT doc_id, tk, n,
+         |         list_filter(range(1, n + 1),
+         |           i -> ((strpos('0123456789abcdef', substr(md5(tk[i]), 1, 1)) - 1) * 16
+         |                 + strpos('0123456789abcdef', substr(md5(tk[i]), 2, 1)) - 1) % 16 = 0
+         |                OR i = n) AS ends
+         |  FROM c),
+         |x AS (SELECT doc_id, tk, ends, unnest(range(1, len(ends) + 1)) AS k FROM e),
+         |y AS (
+         |  SELECT doc_id, tk, k,
+         |         CASE WHEN k = 1 THEN 1 ELSE ends[CAST(k - 1 AS INT)] + 1 END AS ts,
+         |         ends[CAST(k AS INT)] AS te
+         |  FROM x)
+         |SELECT doc_id,
+         |       CAST(k - 1 AS BIGINT) AS chunk_id,
+         |       CAST(ts AS BIGINT) AS tok_start,
+         |       CAST(te AS BIGINT) AS tok_end,
+         |       CAST(te - ts + 1 AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(tk[CAST(ts AS INT):CAST(te AS INT)], ' ')) AS chunk_md5
+         |FROM y""".stripMargin,
     // Mirrors boilerplateLines over the lined fixture: line df by distinct
     // (fingerprint, doc), drop lines in more than 20 docs.
     "text_boilerplate" ->

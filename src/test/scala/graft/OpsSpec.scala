@@ -648,6 +648,50 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == "de")
   }
 
+  test("softDedupWeights: copies split one document's weight, singletons keep 1000") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "shared content here"),
+      (2L, "shared  content   here"), // whitespace-normalized duplicate
+      (3L, "unique content"),
+      (4L, "shared content here") // third copy
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.softDedupWeights(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_copies"), r.getAs[Long]("weight_milli")))).toMap
+    assert(got(1L) == ((3L, 333L)) && got(2L) == ((3L, 333L)) && got(4L) == ((3L, 333L)))
+    assert(got(3L) == ((1L, 1000L)))
+  }
+
+  test("chunkContentDefined: chunks tile the document; boundaries survive a leading insertion") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 80).map(i => s"w${i * 7 % 101}x$i").mkString(" ")
+    val df = Seq(
+      (1L, words),
+      (2L, "inserted preamble sentence goes here " + words)
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkContentDefined(df).collect()
+    val a = chunks.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("chunk_id"))
+    val b = chunks.filter(_.getAs[Long]("doc_id") == 2L)
+    // tiling: chunk k+1 starts right after chunk k ends; spans cover 1..80
+    assert(a.head.getAs[Long]("tok_start") == 1L)
+    assert(a.last.getAs[Long]("tok_end") == 80L)
+    a.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(y.getAs[Long]("tok_start") == x.getAs[Long]("tok_end") + 1L)
+      case _ =>
+    }
+    assert(a.map(_.getAs[Long]("n_tokens")).sum == 80L)
+    // shift-resistance: the insertion perturbs only the first chunk(s);
+    // every chunk fingerprint after the first content boundary reappears
+    val aMd5 = a.map(_.getAs[String]("chunk_md5")).toSet
+    val bMd5 = b.map(_.getAs[String]("chunk_md5")).toSet
+    assert((aMd5 intersect bMd5).size >= aMd5.size - 1,
+      s"expected at most one perturbed chunk, got ${aMd5.size - (aMd5 intersect bMd5).size}")
+  }
+
   test("scriptProfile counts per-range chars exactly and labels the dominant script") {
     val s = spark
     import s.implicits._
