@@ -34,7 +34,11 @@ object Dedup {
     * down-weight-don't-drop alternative to [[Dedup.keepRepresentatives]]:
     * dropping loses the (often meaningful) signal that popular content IS
     * popular; weighting preserves corpus composition while removing the
-    * over-representation.
+    * over-representation. The weight floors at 1 milli — beyond 1000
+    * copies integer division would round to 0 and silently DROP the
+    * content entirely (the exact failure this operator exists to avoid),
+    * so mega-duplicated groups contribute slightly more than one
+    * document's worth rather than nothing.
     *
     * Scale shape: the copy count is a hash aggregation on the content
     * fingerprint (uniform md5 key, map-side partials absorb a
@@ -57,7 +61,7 @@ object Dedup {
         col("doc_id"),
         col("fingerprint"),
         col("n_copies"),
-        expr("1000 div n_copies").cast("long").as("weight_milli"))
+        greatest(expr("1000 div n_copies"), lit(1L)).cast("long").as("weight_milli"))
   }
 
   /** Prefix-template groups: docs sharing their first `nTokens`

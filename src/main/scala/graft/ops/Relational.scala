@@ -213,56 +213,77 @@ object Relational {
       parts: Int = 0): DataFrame =
     globalRankWithTotal(df, sortCols, rankCol, parts)._1
 
-  private def globalRankWithTotal(
+  /** Shared prefix-scan core under [[globalRank]] (weight ≡ 1) and
+    * [[globalCumSum]] (arbitrary long weights): range-shuffle on the sort
+    * columns + per-partition sort, per-partition weight totals (a
+    * |partitions|-row aggregate) prefix-scanned into offsets on the
+    * driver, then a narrow mapPartitions emitting `offset + running local
+    * sum`. Returns the scanned frame (input columns + `outCol`) and the
+    * grand total.
+    *
+    * The partition id is materialized as a COLUMN during the checkpoint
+    * job, not read from TaskContext at use time: a downstream coalesce
+    * (e.g. `.coalesce(1).write`) fuses many checkpoint partitions into
+    * one task, where TaskContext.getPartitionId() would be 0 for all of
+    * them and every offset would collapse to zero. Rows carry their own
+    * pid, so the scan survives any later narrow re-packing.
+    */
+  private def prefixScan(
       df: DataFrame,
       sortCols: Seq[Column],
-      rankCol: String,
+      weightCol: String,
+      outCol: String,
       parts: Int): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
-    // The partition id is materialized as a COLUMN during the checkpoint
-    // job, not read from TaskContext at use time: a downstream coalesce
-    // (e.g. `.coalesce(1).write`) fuses many checkpoint partitions into
-    // one task, where TaskContext.getPartitionId() would be 0 for all of
-    // them and every offset would collapse to zero. Rows carry their own
-    // pid, so the rank assignment survives any later narrow re-packing.
     val ranged = df
       .repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val counts = ranged
+    val sums = ranged
       .groupBy(col("__pid"))
-      .count()
+      .agg(sum(col(weightCol)).as("s"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
     val offsets: Map[Int, Long] = {
-      val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+      val maxPid = if (sums.isEmpty) -1 else sums.keys.max
       (0 to maxPid)
         .scanLeft(0 -> 0L) { case ((_, acc), pid) =>
-          pid -> (acc + counts.getOrElse(pid - 1, 0L))
+          pid -> (acc + sums.getOrElse(pid - 1, 0L))
         }
         .toMap
     }
+    val wIdx = df.schema.fieldIndex(weightCol)
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+
-        org.apache.spark.sql.types.StructField(rankCol, org.apache.spark.sql.types.LongType, false))
+        org.apache.spark.sql.types.StructField(outCol, org.apache.spark.sql.types.LongType, false))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     // Each checkpoint partition holds exactly one __pid as one contiguous
-    // run, so resetting the counter on pid change is correct both when
+    // run, so resetting the accumulator on pid change is correct both when
     // this runs one-task-per-partition and when partitions are fused.
-    val ranked = ranged.mapPartitions { it =>
+    val scanned = ranged.mapPartitions { it =>
       var cur = Int.MinValue
-      var r = 0L
+      var acc = 0L
       it.map { row =>
         val pid = row.getInt(row.length - 1)
-        if (pid != cur) { cur = pid; r = offsets.getOrElse(pid, 0L) }
-        r += 1
-        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1) :+ r)
+        if (pid != cur) { cur = pid; acc = offsets.getOrElse(pid, 0L) }
+        acc += row.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1) :+ acc)
       }
     }(enc)
-    (ranked, counts.values.sum)
+    (scanned, sums.values.sum)
+  }
+
+  private def globalRankWithTotal(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String,
+      parts: Int): (DataFrame, Long) = {
+    // rank IS the prefix sum of a unit weight
+    val (ranked, total) = prefixScan(df.withColumn("__one", lit(1L)), sortCols, "__one", rankCol, parts)
+    (ranked.drop("__one"), total)
   }
 
   /** Exact NTILE(n) on top of [[globalRank]] — SQL semantics (the first
@@ -312,44 +333,8 @@ object Relational {
       sortCols: Seq[Column],
       weightCol: String,
       cumCol: String = "cum",
-      parts: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (parts > 0) parts else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
-      .repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val sums = ranged
-      .groupBy(col("__pid"))
-      .agg(sum(col(weightCol)).as("s"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .toMap
-    val offsets: Map[Int, Long] = {
-      val maxPid = if (sums.isEmpty) -1 else sums.keys.max
-      (0 to maxPid)
-        .scanLeft(0 -> 0L) { case ((_, acc), pid) =>
-          pid -> (acc + sums.getOrElse(pid - 1, 0L))
-        }
-        .toMap
-    }
-    val wIdx = df.schema.fieldIndex(weightCol)
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField(cumCol, org.apache.spark.sql.types.LongType, false))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    ranged.mapPartitions { it =>
-      var cur = Int.MinValue
-      var acc = 0L
-      it.map { row =>
-        val pid = row.getInt(row.length - 1)
-        if (pid != cur) { cur = pid; acc = offsets.getOrElse(pid, 0L) }
-        acc += row.getLong(wIdx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq.dropRight(1) :+ acc)
-      }
-    }(enc)
-  }
+      parts: Int = 0): DataFrame =
+    prefixScan(df, sortCols, weightCol, cumCol, parts)._1
 
   def rangeJoinBucketed(
       probe: DataFrame,

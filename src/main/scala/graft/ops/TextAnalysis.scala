@@ -825,7 +825,12 @@ object TextAnalysis {
       divisor: Int = 16,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(divisor > 0, s"divisor must be positive, got $divisor")
+    // the boundary test sees only the first md5 BYTE (0..255), so the
+    // advertised 1/divisor boundary rate holds exactly iff divisor
+    // divides 256 — any other value silently mis-sizes chunks
+    require(
+      divisor > 0 && divisor <= 256 && 256 % divisor == 0,
+      s"divisor must divide 256 (a power of two <= 256), got $divisor")
     // first md5 byte as an int — the same arithmetic the DuckDB oracle
     // writes with strpos; both engines see 0..255
     def isBoundary(t: Column): Column =

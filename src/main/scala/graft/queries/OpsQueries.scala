@@ -1070,7 +1070,7 @@ object OpsQueries {
         |  FROM corpus),
         |c AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_copies FROM fp GROUP BY 1)
         |SELECT fp.doc_id, fp.fingerprint, c.n_copies,
-        |       CAST(1000 // c.n_copies AS BIGINT) AS weight_milli
+        |       CAST(greatest(1000 // c.n_copies, 1) AS BIGINT) AS weight_milli
         |FROM fp JOIN c USING (fingerprint)""".stripMargin,
     "corpus_token_drift" ->
       """WITH prev AS (

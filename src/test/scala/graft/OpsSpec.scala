@@ -664,6 +664,15 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1000L)))
   }
 
+  test("softDedupWeights floors at 1 milli — a 1001+-copy group is never weighted to zero") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 1200L).map(i => (i, "mega duplicated banner")).toDF("doc_id", "text")
+    val w = graft.ops.Dedup.softDedupWeights(df).select("n_copies", "weight_milli").distinct().collect()
+    assert(w.length == 1)
+    assert(w.head.getLong(0) == 1200L && w.head.getLong(1) == 1L)
+  }
+
   test("chunkContentDefined: chunks tile the document; boundaries survive a leading insertion") {
     val s = spark
     import s.implicits._

@@ -19,29 +19,47 @@ package graft
   */
 class RegistryPlanSpec extends SparkSpec {
 
-  test("no query in the registry plans a CartesianProduct; BNLJ only with a broadcast side") {
+  /** Queries that DELIBERATELY plan a BroadcastNestedLoopJoin: each one is
+    * a `crossJoin(broadcast(...))` whose broadcast side is bounded by
+    * construction (a centroid table, a scalar-totals row, a quantile
+    * threshold row) — never data-sized. Every BNLJ in Spark names a build
+    * side, so "has a build side" is vacuous; the enforceable invariant is
+    * that NO query outside this list plans one. A new query that
+    * introduces a nested loop (e.g. an accidental non-equi join of two
+    * large inputs) fails here until it is reviewed and either re-keyed or
+    * allowlisted with a boundedness argument.
+    */
+  private val deliberateBnlj: Set[String] = Set(
+    "similarity_topk", // crossJoin(broadcast(query-norms row)) — |queries| rows
+    "similarity_topk_ivf", // crossJoin(broadcast(centroids)) — nCentroids rows
+    "similarity_topk_ivf_flat", // same centroid broadcast
+    "embedding_cell_balance", // centroid broadcast
+    "embedding_cell_drift", // centroid broadcast (two epochs)
+    "audit_orders", // crossJoin(broadcast(1-row totals summary))
+    "audit_join_cardinality", // crossJoin(broadcast(1-row grand total))
+    "skew_key_profile" // crossJoin(broadcast(1-row totals))
+  )
+
+  test("no query in the registry plans a CartesianProduct or an unreviewed nested-loop join") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
+    val bnljQueries = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sf).queryExecution.executedPlan.toString
         if (plan.contains("CartesianProduct"))
           bad += s"$name: CartesianProduct"
-        // every BNLJ line in Spark's text plan names its build side; a
-        // broadcast-less nested loop would be a planner fallback for a
-        // large-large non-equi join — forbidden
-        val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toList
-        bnlj.foreach { line =>
-          if (!line.contains("BuildLeft") && !line.contains("BuildRight"))
-            bad += s"$name: $line"
-        }
+        if (plan.contains("BroadcastNestedLoopJoin")) bnljQueries += name
       } catch {
         case e: Throwable => bad += s"$name: plan build FAILED: ${e.getMessage}"
       }
       // queries that localCheckpoint during construction leave scratch
-      // blocks; drop them so 131 builds in one JVM don't accumulate
+      // blocks; drop them so 134 builds in one JVM don't accumulate
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
     }
+    val unreviewed = bnljQueries.toSet -- deliberateBnlj
     assert(bad.isEmpty, "registry plan violations:\n" + bad.mkString("\n"))
+    assert(unreviewed.isEmpty,
+      s"queries planning a nested-loop join outside the reviewed allowlist: $unreviewed")
   }
 }
