@@ -351,9 +351,13 @@ object OpsQueries {
       Multimodal.sceneCuts(videoMedia(s, dir))
     },
     // every 25th clip re-ingested under a fresh id (frame hashes copied:
-    // an exact re-upload) — clip-level dedup over keyframe hashes
+    // an exact re-upload) — clip-level dedup over keyframe hashes. The
+    // hash table is materialized ONCE before the union: both branches
+    // read it, and re-deriving it means re-running the frame decode —
+    // the same once-per-ingest materialization a production re-ingest
+    // union needs at scale.
     "multimodal_clip_pairs" -> { (s, dir) =>
-      val base = Multimodal.frameAHashes(videoMedia(s, dir), every = 2)
+      val base = Multimodal.frameAHashes(videoMedia(s, dir), every = 2).localCheckpoint()
       val dupped = base.unionAll(
         base
           .filter(col("doc_id") % 25 === 0)
