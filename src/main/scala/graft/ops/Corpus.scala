@@ -227,6 +227,36 @@ object Corpus {
       .select("doc_id", "weight", "cum")
   }
 
+  /** Deterministic token-budget cut: walk the corpus in the same
+    * (md5(id), id) hash order as [[samplePps]] and keep documents until
+    * the cumulative weight reaches `budget` — "give me a reproducible
+    * N-token subset" without a random sample's size variance. The
+    * boundary document (the one whose interval straddles the budget) is
+    * KEPT, so the subset weighs at least `budget` (standard cut
+    * semantics: budgets bound from below, truncating the straddler would
+    * under-deliver). Growing the corpus only re-shuffles the hash order,
+    * so re-cuts stay representative; disjoint budgets do NOT give
+    * disjoint subsets (use [[samplePps]] phases for that).
+    *
+    * Scale shape: identical to [[samplePps]] — one range exchange via
+    * [[Relational.globalCumSum]], then a stateless filter.
+    */
+  def takeTokenBudget(
+      docs: DataFrame,
+      budget: Long,
+      weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      greatest(coalesce(col(weightCol).cast("long"), lit(0L)), lit(0L)).as("weight"),
+      md5(col(idCol).cast("string")).as("__h"))
+    Relational
+      .globalCumSum(base, Seq(col("__h"), col("doc_id")), "weight", "cum")
+      .filter(col("cum") - col("weight") < budget)
+      .select("doc_id", "weight", "cum")
+  }
+
   /** Quality gate with a per-source adaptive threshold: keep documents
     * whose integerized quality score (score x 10000, rounded) is at or
     * above their source's p`pct` quantile of the same score. Absolute

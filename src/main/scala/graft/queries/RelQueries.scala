@@ -171,6 +171,11 @@ object RelQueries {
     "corpus_sample_pps" -> { (s, dir) =>
       Corpus.samplePps(docs(s, dir), step = 10000L, phase = 137L)
     },
+    // Reproducible ~50k-char subset in hash order; the straddling doc is
+    // kept, so the subset weighs at least the budget.
+    "corpus_token_budget" -> { (s, dir) =>
+      Corpus.takeTokenBudget(docs(s, dir), budget = 50000L)
+    },
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
@@ -451,6 +456,21 @@ object RelQueries {
         |SELECT doc_id, weight, CAST(cum AS BIGINT) AS cum
         |FROM c
         |WHERE (cum + 137) // 10000 > (cum - weight + 137) // 10000""".stripMargin,
+    "corpus_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         greatest(CAST(n_chars AS BIGINT), 0) AS weight,
+        |         md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, weight,
+        |         SUM(weight) OVER (ORDER BY h, doc_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, weight, CAST(cum AS BIGINT) AS cum
+        |FROM c
+        |WHERE cum - weight < 50000""".stripMargin,
     "range_join_incidents" ->
       """WITH inc AS (
         |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us
