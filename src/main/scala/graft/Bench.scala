@@ -31,6 +31,12 @@ object Bench {
     "text_repetition",
     "contamination_ngrams",
     "dedup_ngram_jaccard",
+    // shuffle-free but the repo's single most expensive projection: per-token
+    // rolling-hash boundaries + per-chunk digests over every token
+    "text_chunks_cdc",
+    // snake dealing over a globalRank prefix scan — several narrow passes
+    // plus the rank exchange, heavy at toy scale
+    "corpus_balanced_shards",
     "text_lm_bigram",
     // the LM chain + quantile threshold + gate join — strictly more work
     // than text_lm_bigram
@@ -96,17 +102,25 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy { case (name, _) =>
         (heavyLast.indexOf(name), name)
       }
+    // Min-of-2 reps per query: a single rep lets one noisy-neighbor episode
+    // (CPU steal, GC storm, page-cache eviction) poison the official record
+    // for the whole round — BENCH_r06 recorded 264 s for an engine whose
+    // clean rerun measured 124 s. The second rep reuses warmed codegen and
+    // page cache, so the min is the engine's cost, not the machine's mood.
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        val n = fn(spark, sfDir).count()
-        System.err.println(s"[bench] $name rows=$n")
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+      val reps = (1 to 2).map { rep =>
+        val t0 = System.nanoTime()
+        try {
+          val n = fn(spark, sfDir).count()
+          if (rep == 1) System.err.println(s"[bench] $name rows=$n")
+        } catch {
+          case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        releaseScratch(spark)
+        secs
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      releaseScratch(spark)
-      name -> secs
+      name -> reps.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
