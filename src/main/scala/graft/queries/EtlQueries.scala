@@ -14,14 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  /** events with `ts` normalized to epoch seconds (the parquet carries
-    * TIMESTAMP(NANOS), surfaced as a nanos long under
-    * spark.sql.legacy.parquet.nanosAsLong).
+  /** events with `ts` normalized to epoch seconds, tolerant of the
+    * fixture's physical timestamp encoding ([[graft.io.EventTime]]).
     */
-  private def events(s: SparkSession, dir: String) =
-    s.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts_secs", expr("ts div 1000000000").cast("long"))
+  private def events(s: SparkSession, dir: String) = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_secs", graft.io.EventTime.tsSecs(raw))
+  }
 
   private def lineitemVulns(s: SparkSession, dir: String) =
     s.read

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.io.EventTime
 import graft.ops.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -299,10 +300,10 @@ object OpsQueries {
     "text_script" -> { (s, dir) => TextAnalysis.scriptProfile(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
     "events_window_agg" -> { (s, dir) =>
-      s.read
-        .parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw
         .select(
-          timestamp_seconds(expr("ts div 1000000000")).as("t"),
+          EventTime.tsTimestamp(raw).as("t"),
           col("event_type"),
           col("value"))
         .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
@@ -370,11 +371,11 @@ object OpsQueries {
     // windows computed declaratively (split at gap >= 30 min — the
     // overlap rule; the custom stateful sessionize splits at gap > 30 min)
     "events_session_window" -> { (s, dir) =>
-      s.read
-        .parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      raw
         .select(
           col("user_id").cast("long").as("user_id"),
-          timestamp_seconds(expr("ts div 1000000000")).as("t"))
+          EventTime.tsTimestamp(raw).as("t"))
         .groupBy(col("user_id"), session_window(col("t"), "30 minutes").as("w"))
         .agg(count(lit(1)).cast("long").as("n_events"))
         .select(
@@ -385,11 +386,11 @@ object OpsQueries {
     },
     "sessionize" -> { (s, dir) =>
       import s.implicits._
-      val ev = s.read
-        .parquet(s"$dir/events.parquet")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ev = raw
         .select(
           col("user_id").cast("long").as("user_id"),
-          expr("ts div 1000000000").cast("long").as("ts_secs"))
+          EventTime.tsSecs(raw).as("ts_secs"))
         .as[graft.streaming.Evt]
       graft.streaming.EventsStream.sessionizeBatch(ev, gapSecs = 1800)
     },

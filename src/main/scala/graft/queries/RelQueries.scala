@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.io.EventTime
 import graft.ops.{Corpus, Relational, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -7,8 +8,8 @@ import org.apache.spark.sql.functions._
 /** Relational-extension and corpus-statistics queries: as-of join, interval
   * range join, hopping-window aggregation, train/test contamination, exact
   * group quantiles. Each entry has a DuckDB oracle mirror; timestamps flow
-  * as integer microseconds end-to-end (`ts div 1000` on the Spark side —
-  * events.ts arrives as nanos-as-long, see build.sbt — `epoch_us(ts)` in
+  * as integer microseconds end-to-end ([[graft.io.EventTime]] on the Spark
+  * side — tolerant of the fixture's physical encoding — `epoch_us(ts)` in
   * DuckDB), so no engine-specific timestamp semantics can leak into the
   * hash compare.
   */
@@ -17,15 +18,23 @@ object RelQueries {
   /** 30 minutes in microseconds: the incident window and hop width. */
   private val HalfHourUs = 1800000000L
 
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .parquet(s"$dir/events.parquet")
-      .select(
-        col("event_id"),
-        col("user_id"),
-        expr("ts div 1000").as("ts_us"),
-        col("event_type"),
-        col("value"))
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.select(
+      col("event_id"),
+      col("user_id"),
+      EventTime.tsUs(raw).as("ts_us"),
+      col("event_type"),
+      col("value"))
+  }
+
+  /** events with `ts` normalized to a second-truncated timestamp `t`, plus
+    * the listed columns — the input shape for window aggregations.
+    */
+  private def eventsT(s: SparkSession, dir: String, cols: String*): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.select(EventTime.tsTimestamp(raw).as("t") +: cols.map(col): _*)
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -128,12 +137,7 @@ object RelQueries {
     // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
     // event lands in exactly two windows.
     "events_hopping_agg" -> { (s, dir) =>
-      s.read
-        .parquet(s"$dir/events.parquet")
-        .select(
-          timestamp_seconds(expr("ts div 1000000000")).as("t"),
-          col("event_type"),
-          col("value"))
+      eventsT(s, dir, "event_type", "value")
         .groupBy(window(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(
           count(lit(1)).cast("long").as("n"),
@@ -149,12 +153,7 @@ object RelQueries {
     // never funnels raw events; the HLL sketch (`Stats.distinctCounts`)
     // is the swap-in at cardinalities where exact no longer pays
     "events_hopping_uniques" -> { (s, dir) =>
-      s.read
-        .parquet(s"$dir/events.parquet")
-        .select(
-          timestamp_seconds(expr("ts div 1000000000")).as("t"),
-          col("event_type"),
-          col("user_id"))
+      eventsT(s, dir, "event_type", "user_id")
         .groupBy(window(col("t"), "1 hour", "30 minutes").as("w"), col("event_type"))
         .agg(countDistinct("user_id").cast("long").as("n_users"))
         .select(
@@ -182,9 +181,7 @@ object RelQueries {
     // hourly volume anomalies per event type: 3-sigma vs the trailing-24
     // baseline, decided in exact integer arithmetic (no stddev/sqrt)
     "events_anomaly" -> { (s, dir) =>
-      val counted = s.read
-        .parquet(s"$dir/events.parquet")
-        .select(timestamp_seconds(expr("ts div 1000000000")).as("t"), col("event_type"))
+      val counted = eventsT(s, dir, "event_type")
         .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"))
         .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
@@ -198,10 +195,9 @@ object RelQueries {
     },
     // weekly cohort retention over the 30-day event window
     "events_retention" -> { (s, dir) =>
+      val raw = s.read.parquet(s"$dir/events.parquet")
       graft.ops.Funnel.retention(
-        s.read
-          .parquet(s"$dir/events.parquet")
-          .select(col("user_id"), expr("ts div 1000000000").cast("long").as("secs")))
+        raw.select(col("user_id"), EventTime.tsSecs(raw).as("secs")))
     },
     "stats_winsorize" -> { (s, dir) =>
       Stats

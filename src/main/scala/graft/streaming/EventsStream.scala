@@ -59,8 +59,11 @@ class RunningTotalsProcessor
   */
 object EventsStream {
 
-  /** events.parquet as a streaming source (ts arrives as nanos long under
-    * nanosAsLong; normalized to a timestamp column `t`).
+  /** events.parquet as a streaming source, `ts` normalized to a
+    * second-truncated timestamp column `t` regardless of the fixture's
+    * physical encoding — the inferred batch schema drives
+    * [[graft.io.EventTime]]'s branch, so the stream survives an upstream
+    * producer switching between int64-nanos and TIMESTAMP(MICROS).
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -74,7 +77,7 @@ object EventsStream {
         col("user_id"),
         col("event_type"),
         col("value"),
-        timestamp_seconds(expr("ts div 1000000000")).as("t"))
+        graft.io.EventTime.tExpr(col("ts"), schema("ts").dataType).as("t"))
   }
 
   /** Hourly tumbling-window counts with a 1-hour watermark — late rows

@@ -245,8 +245,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("retention: distinct-first aggregation, equi-joins only") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), expr("ts div 1000000000").cast("long").as("secs"))
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = evRaw.select(col("user_id"), graft.io.EventTime.tsSecs(evRaw).as("secs"))
     val p = plan(graft.ops.Funnel.retention(ev))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SinglePartition"), "cohort computation must stay key-partitioned")

@@ -247,8 +247,8 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("rangeJoinBucketed plan: broadcast hash equi-join, no nested loop") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(expr("ts div 1000").as("ts_us"), col("event_id"))
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = evRaw.select(graft.io.EventTime.tsUs(evRaw).as("ts_us"), col("event_id"))
     val iv = ev.limit(5).select(col("event_id").as("ival_id"), col("ts_us").as("start_us"))
     val p = planOf(Relational.rangeJoinBucketed(ev, iv, "ts_us", "start_us", 1800000000L))
     assert(p.contains("BroadcastHashJoin"), p.take(1500))

@@ -60,12 +60,13 @@ class StreamingSpec extends SparkSpec {
     val got = EventsStream
       .runToMemory(spark, EventsStream.purchaseAttribution(src), "attribution")
       .count()
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = evRaw
       .select(
         col("user_id"),
         col("event_id"),
         col("event_type"),
-        expr("ts div 1000000000").cast("long").as("ts_secs"))
+        graft.io.EventTime.tsSecs(evRaw).as("ts_secs"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_secs").as("pt"))
     val c = ev.filter(col("event_type") === "click")
