@@ -98,34 +98,65 @@ object Bench {
         .count()
       releaseScratch(spark)
     }
+    // dev-only subsetting for fast local iteration (comma-separated names);
+    // the driver never sets it, so its runs always time the full registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered =
-      SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-        (heavyLast.indexOf(name), name)
-      }
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy { case (name, _) => (heavyLast.indexOf(name), name) }
     // Min-of-2 reps per query: a single rep lets one noisy-neighbor episode
     // (CPU steal, GC storm, page-cache eviction) poison the official record
     // for the whole round — BENCH_r06 recorded 264 s for an engine whose
     // clean rerun measured 124 s. The second rep reuses warmed codegen and
     // page cache, so the min is the engine's cost, not the machine's mood.
-    val results = ordered.map { case (name, fn) =>
-      val reps = (1 to 2).map { rep =>
+    //
+    // Failure honesty: a rep whose query throws contributes NO timing — the
+    // min is taken over successful reps only, and a query with zero
+    // successes lands in the JSON as {"err": ...} instead of a wall-time
+    // (BENCH_r07 recorded 21 failed queries as phantom ~0.05 s entries,
+    // which read as 20x speedups). Row counts print per rep so a
+    // nondeterministic query or state leaked across reps is visible.
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
+      var rowsSeen = List.empty[Long]
+      val reps: Seq[Either[String, Double]] = (1 to 2).map { rep =>
         val t0 = System.nanoTime()
-        try {
+        val outcome = try {
           val n = fn(spark, sfDir).count()
-          if (rep == 1) System.err.println(s"[bench] $name rows=$n")
+          val secs = (System.nanoTime() - t0) / 1e9
+          if (rowsSeen.nonEmpty && !rowsSeen.contains(n))
+            System.err.println(
+              s"[bench] $name rep$rep rows=$n DIFFERS from rep1=${rowsSeen.head}")
+          else if (rowsSeen.isEmpty) System.err.println(s"[bench] $name rows=$n")
+          rowsSeen ::= n
+          Right(secs)
         } catch {
-          case e: Throwable => System.err.println(s"[bench] $name FAILED: $e")
+          case e: Throwable =>
+            System.err.println(s"[bench] $name rep$rep FAILED: $e")
+            Left(e.toString)
         }
-        val secs = (System.nanoTime() - t0) / 1e9
         releaseScratch(spark)
-        secs
+        outcome
       }
-      name -> reps.min
+      val ok = reps.collect { case Right(s) => s }
+      name -> (if (ok.nonEmpty) Right(ok.min)
+               else Left(reps.collectFirst { case Left(m) => m }.getOrElse("failed")))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map {
+      case (k, Right(secs)) => s"\"$k\":$secs"
+      case (k, Left(err)) => s"""\"$k\":{"err":"${esc(err.take(300))}"}"""
+    }.mkString("{", ",", "}")
+    val okTimes = results.collect { case (_, Right(s)) => s }
+    val total = okTimes.sum
+    val nFailed = results.count(_._2.isLeft)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

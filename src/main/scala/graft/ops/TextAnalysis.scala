@@ -816,9 +816,14 @@ object TextAnalysis {
     *
     * Scale shape: boundary detection and chunk assembly are per-row
     * higher-order functions — a narrow projection + one posexplode of
-    * ~n/divisor rows per doc, no shuffle at all. The token array and the
-    * boundary array are projected as named columns before the lambdas
-    * that consume them (see [[ngrams]]'s interpreted-HOF caveat).
+    * ~n/divisor rows per doc, no shuffle at all. The boundary pass binds
+    * each token as a LAMBDA ELEMENT (`zip_with(tk, positions, ...)`) —
+    * never `element_at(tk, i)` from inside a lambda: `posexplode` makes
+    * the optimizer infer a `size(ends) > 0` filter and push it below the
+    * projections, substituting the full `ends` expression, and an outer
+    * `tk` reference there inlines the tokenizer PER ELEMENT — measured
+    * O(n²) re-splitting that cost 1.8x this whole operator at sf0.1.
+    * Element-bound lambdas keep that inferred filter a per-ROW re-eval.
     */
   def chunkContentDefined(
       docs: DataFrame,
@@ -840,11 +845,15 @@ object TextAnalysis {
       .withColumn("n", size(col("tk")))
       .filter(col("n") > 0)
     withTk
+      // boundary positions via element-BOUND lambdas only (see Scaladoc)
       .withColumn(
         "ends",
         filter(
-          sequence(lit(1), col("n")),
-          i => isBoundary(element_at(col("tk"), i)) || i === col("n")))
+          zip_with(
+            col("tk"),
+            sequence(lit(1), col("n")),
+            (t, i) => when(isBoundary(t) || i === col("n"), i)),
+          e => e.isNotNull))
       .select(
         col("doc_id"),
         col("tk"),
