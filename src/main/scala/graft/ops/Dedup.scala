@@ -818,15 +818,17 @@ object Dedup {
           .as("gram"))
     // The df cap is agg + anti-join (Skew.capHotKeys), not a window count:
     // the boilerplate gram the cap exists to drop is exactly the key a
-    // window partitioning would pile onto one reducer. capHotKeys scans
-    // its input twice (partial-agg branch + join left), and the gram
-    // derivation (tokenize + transform + array_distinct + explode) is the
-    // expensive part of this operator — so the exploded posting table is
-    // materialized ONCE before the cap (measured 3.5 s -> ~2 s at sf0.1),
-    // and the surviving inverted index `g` is materialized again before
-    // feeding three consumers (sizes + both self-join sides).
+    // window partitioning would pile onto one reducer. The gram derivation
+    // (tokenize + transform + array_distinct + explode) is the expensive
+    // part of this operator, so the exploded posting table is materialized
+    // exactly ONCE; every later scan (the cap's hot-key agg, the per-doc
+    // sizes, both self-join sides) reads the checkpoint. The capped index
+    // `g` itself stays LAZY: it is a broadcast anti-join against the
+    // handful of hot grams, so re-running it per consumer costs a
+    // checkpoint read + a broadcast probe — cheaper than writing a second
+    // near-full-size materialization of the posting table.
     val gramsM = grams.localCheckpoint()
-    val g = Skew.capHotKeys(gramsM, Seq("gram"), dfCap).localCheckpoint()
+    val g = Skew.capHotKeys(gramsM, Seq("gram"), dfCap)
     val sizes = g.groupBy("id").agg(count(lit(1)).cast("long").as("n"))
     g.as("a")
       .join(g.as("b"), col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
