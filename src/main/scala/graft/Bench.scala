@@ -16,8 +16,11 @@ object Bench {
     "asof_join_bucketed",
     // PQ ADC is several fixed-overhead jobs (codebook collect + two
     // broadcast builds + codes agg) — cheap per-row, heavy per-query at toy
-    // scale, so it rides in the tail with the other ANN variants
+    // scale, so it rides in the tail with the other ANN variants; the
+    // persisted variants add index build + write on top
     "similarity_topk_pq",
+    "similarity_topk_pq_persisted",
+    "similarity_topk_ivf_persisted",
     "corpus_curriculum",
     "multimodal_clip_pairs",
     "multimodal_ahash_pairs",

@@ -354,14 +354,113 @@ object Similarity {
       path: String,
       nCentroids: Int = 16,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val cents = flatCents(corpus, nCentroids, idCol, vecCol)
+      vecCol: String = "embedding"): Unit =
+    writeIvfWith(
+      flatCents(corpus, nCentroids, idCol, vecCol),
+      corpus, path, "flat", nCentroids, iters = 0, idCol, vecCol)
+
+  /** Persist a k-means IVF index: Lloyd-refined centroids
+    * ([[ivfCentroids]]) plus the corpus assigned to cells, the same
+    * build-once/probe-many lifecycle as the flat index and the LSH store
+    * ([[graft.ops.Dedup.writeLshIndex]]). Centroids FREEZE at build time —
+    * [[appendIvfIndex]] assigns new batches to the existing cells without
+    * retraining (the production IVF contract: retrain = rebuild), so
+    * appends never rewrite history and probes stay correct over the grown
+    * store.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    writeIvfWith(
+      ivfCentroids(corpus, nCentroids, iters, idCol, vecCol),
+      corpus, path, "kmeans", nCentroids, iters, idCol, vecCol)
+
+  /** Shared IVF index writer: `centroids` (tiny, one file), `cells`
+    * (partitioned by centroid_id — the physical layout dynamic partition
+    * pruning needs at probe time), and a one-row `params` parquet (kind,
+    * n_centroids, iters, dim) that [[appendIvfIndex]]/[[probeIvfIndex]]
+    * validate against — a dimension mismatch would otherwise produce
+    * null cosines and silently garbage ranks.
+    */
+  private def writeIvfWith(
+      cents: DataFrame,
+      corpus: DataFrame,
+      path: String,
+      kind: String,
+      nCentroids: Int,
+      iters: Int,
+      idCol: String,
+      vecCol: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = cents.select(size(col("centroid"))).head().getInt(0)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     flatCells(corpus, cents, idCol, vecCol)
       .write
       .mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$path/cells")
+    Seq((kind, nCentroids, iters, dim))
+      .toDF("kind", "n_centroids", "iters", "dim")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Fail fast when a batch/query vector width differs from the index's
+    * build dimension (recorded in `params`; indexes written before params
+    * existed are rejected too — rebuild them).
+    */
+  private def requireIvfDim(df: DataFrame, path: String, vecCol: String): Unit = {
+    val stored = df.sparkSession.read.parquet(s"$path/params")
+      .select("dim").head().getInt(0)
+    val got = df.select(size(col(vecCol))).head().getInt(0)
+    require(
+      got == stored,
+      s"IVF index at $path was built over $stored-dim vectors, caller passed $got-dim")
+  }
+
+  /** Grow a persisted IVF index (flat or k-means) with a new batch:
+    * assign against the FROZEN stored centroids, append to the
+    * partitioned cells — no retraining, no history rewrite, the same
+    * grow-in-place shape as [[graft.ops.Dedup.appendLshIndex]].
+    */
+  def appendIvfIndex(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    requireIvfDim(batch, path, vecCol)
+    val cents = batch.sparkSession.read.parquet(s"$path/centroids")
+    flatCells(batch, cents, idCol, vecCol)
+      .write
+      .mode("append")
+      .partitionBy("centroid_id")
+      .parquet(s"$path/cells")
+  }
+
+  /** Probe a persisted IVF index (flat or k-means, optionally grown by
+    * [[appendIvfIndex]]): rank each query's `nProbe` cells against the
+    * stored centroids, rerank within those cells. Identical results to
+    * the in-memory operator over the same corpus; the cells join keys on
+    * the partition column with a broadcast probe side, so dynamic
+    * partition pruning drops every unprobed cell's files at the scan.
+    */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    requireIvfDim(queries, path, vecCol)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    rerank(flatProbes(queries, cents, nProbe, idCol, vecCol), cells, k)
   }
 
   /** Probe a saved flat IVF index: rank each query's `nProbe` cells against
@@ -378,11 +477,8 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
-    rerank(flatProbes(queries, cents, nProbe, idCol, vecCol), cells, k)
-  }
+      vecCol: String = "embedding"): DataFrame =
+    probeIvfIndex(spark, path, queries, k, nProbe, idCol, vecCol)
 
   /** IVF top-k: assign the corpus to cells once, probe each query's
     * `nProbe` nearest cells, exact-cosine rerank within the probed
@@ -624,8 +720,22 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
-    corpus
+    pqEncode(corpus, pqCodebook(corpus, m, subDim, ksub, idCol, vecCol), m, subDim, idCol, vecCol)
+  }
+
+  /** Encode vectors against a GIVEN codebook — the shared kernel of
+    * [[pqCodes]] (codebook built in place) and [[appendPqIndex]] (codebook
+    * read back from the persisted index, so appended batches are coded in
+    * the same space the index was built in).
+    */
+  private def pqEncode(
+      vecs: DataFrame,
+      cb: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String,
+      vecCol: String): DataFrame =
+    vecs
       .select(col(idCol).as("vec_id"), milliVec(col(vecCol)).as("vm"))
       .select(
         col("vec_id"),
@@ -645,7 +755,6 @@ object Similarity {
         col("subspace"),
         col("best.code").as("code"),
         col("best.dist").as("qdist"))
-  }
 
   /** PQ asymmetric-distance top-k (ADC): queries stay full-precision; each
     * candidate's distance is the sum over subspaces of a precomputed
@@ -677,7 +786,21 @@ object Similarity {
     // scores against the query's own distance table only
     val codes = pqCodes(corpus, m, ksub, dim, idCol, vecCol)
       .select("vec_id", "subspace", "code")
-    val dtab = queries
+    adcRank(codes, pqDistTable(queries, cb, m, subDim, idCol, vecCol), k)
+  }
+
+  /** Per-query ADC distance table: one row per (query, subspace, code)
+    * with the milli² L2 distance to that codebook centroid — m·ksub rows
+    * per query, broadcast into the code join.
+    */
+  private def pqDistTable(
+      queries: DataFrame,
+      cb: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String,
+      vecCol: String): DataFrame =
+    queries
       .select(col(idCol).as("query_id"), milliVec(col(vecCol)).as("qm"))
       .select(
         col("query_id"),
@@ -691,6 +814,11 @@ object Similarity {
         col("subspace"),
         col("code"),
         graft.functions.functions.l2sq_long(col("qs"), col("cm")).as("qdist"))
+
+  /** ADC scoring + per-query top-k over a code table and a distance
+    * table — the shared tail of [[pqTopK]] and [[probePqIndex]].
+    */
+  private def adcRank(codes: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     codes
       .join(broadcast(dtab), Seq("subspace", "code"))
@@ -703,6 +831,93 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** Persist a PQ index: the m·ksub `codebook`, the relational `codes`
+    * table, and a one-row `params` parquet — build-once/probe-many for
+    * the compressed-domain ANN, completing the lifecycle family
+    * ([[writeIvfIndex]], [[graft.ops.Dedup.writeLshIndex]]). The codebook
+    * FREEZES at build: [[appendPqIndex]] encodes new batches against it,
+    * and [[probePqIndex]] REFUSES (m, ksub, dim) callers that differ from
+    * the build — a mismatched distance table scores garbage silently
+    * otherwise.
+    */
+  def writePqIndex(
+      corpus: DataFrame,
+      path: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    pqEncode(corpus, cb, m, subDim, idCol, vecCol)
+      .select("vec_id", "subspace", "code")
+      .write.mode("overwrite").parquet(s"$path/codes")
+    Seq((m, ksub, dim))
+      .toDF("m", "ksub", "dim")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def requirePqParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int,
+      ksub: Int,
+      dim: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
+    val stored = (p.getInt(0), p.getInt(1), p.getInt(2))
+    require(
+      stored == ((m, ksub, dim)),
+      s"PQ index at $path was built with (m, ksub, dim) = $stored, " +
+        s"caller passed (${m}, ${ksub}, ${dim})")
+  }
+
+  /** Grow a persisted PQ index: encode the batch against the FROZEN
+    * stored codebook and append its codes — no recoding of history.
+    */
+  def appendPqIndex(
+      batch: DataFrame,
+      path: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    requirePqParams(batch.sparkSession, path, m, ksub, dim)
+    val cb = batch.sparkSession.read.parquet(s"$path/codebook")
+    pqEncode(batch, cb, m, dim / m, idCol, vecCol)
+      .select("vec_id", "subspace", "code")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Probe a persisted PQ index ([[writePqIndex]], optionally grown by
+    * [[appendPqIndex]]): identical results to [[pqTopK]] over the same
+    * corpus, but the codebook and code table are read back, not
+    * recomputed — the full-precision corpus is never touched.
+    */
+  def probePqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    requirePqParams(spark, path, m, ksub, dim)
+    val cb = spark.read.parquet(s"$path/codebook")
+    adcRank(
+      spark.read.parquet(s"$path/codes"),
+      pqDistTable(queries, cb, m, dim / m, idCol, vecCol),
+      k)
   }
 
   /** Embedding-diversity audit: mean pairwise cosine within each group

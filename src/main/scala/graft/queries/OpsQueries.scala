@@ -228,6 +228,18 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // full lifecycle face of the k-means IVF: build the persisted index
+    // (centroids + partitioned cells + params) in a scratch dir, then
+    // probe it — must hash-match similarity_topk_ivf's oracle exactly,
+    // proving probe-from-disk ≡ in-memory. The build cost rides in the
+    // timed query on purpose: build-once/probe-many is the 100 TB story,
+    // and hiding the build would overstate the probe.
+    "similarity_topk_ivf_persisted" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.writeIvfIndex(e, idx)
+      Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
+    },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
     "embedding_dim_stats" -> { (s, dir) => Similarity.dimStats(embs(s, dir)) },
     // exploded face of the zero-shuffle vector transform (arrays don't
@@ -405,6 +417,15 @@ object OpsQueries {
     "similarity_topk_pq" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
+    // lifecycle face of PQ: persisted codebook + code table probed from
+    // disk, hash-equal to similarity_topk_pq (same oracle); see the IVF
+    // twin above for why the build is inside the timed query
+    "similarity_topk_pq_persisted" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      Similarity.writePqIndex(e, idx)
+      Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
     "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
     "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) },
@@ -698,7 +719,15 @@ object OpsQueries {
     .map(i => s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END")
     .mkString(" + ")
 
-  def oracleSql: Map[String, String] = Map(
+  // The persisted-index queries are CONTRACTED to be bit-identical to
+  // their in-memory twins, so they share one oracle string — a divergence
+  // shows up as a hash mismatch on either row.
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ Map(
+      "similarity_topk_ivf_persisted" -> baseOracleSql("similarity_topk_ivf"),
+      "similarity_topk_pq_persisted" -> baseOracleSql("similarity_topk_pq"))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "dedup_simhash_pairs" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents

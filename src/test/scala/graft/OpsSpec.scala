@@ -190,6 +190,66 @@ class OpsSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(2000))
   }
 
+  test("k-means IVF index lifecycle: probe equals in-memory; appended exact copies rank first") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfkm").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    Similarity.writeIvfIndex(e, dir)
+    assert(
+      rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) ==
+        rows(Similarity.ivfTopK(q, e, k = 5)),
+      "persisted probe must equal the in-memory k-means IVF")
+    // append exact copies of the queries under fresh ids: frozen centroids
+    // assign them to the same cells their originals live in, so each query
+    // must now see its own copy at rank 1 with cosine 1.0
+    Similarity.appendIvfIndex(
+      q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), dir)
+    val grown = Similarity.probeIvfIndex(spark, dir, q, k = 5)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r"))))
+      .toMap
+    (0L until 8L).foreach { qid =>
+      assert(grown(qid) == ((qid + 1000000L, 1.0)), s"query $qid: ${grown(qid)}")
+    }
+  }
+
+  test("PQ index lifecycle: probe equals in-memory; appended copies win; params mismatch refused") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    Similarity.writePqIndex(e, dir)
+    assert(
+      rows(Similarity.probePqIndex(spark, dir, q, k = 5)) ==
+        rows(Similarity.pqTopK(q, e, k = 5)),
+      "persisted probe must equal the in-memory PQ ADC")
+    // append ≡ rebuild-from-union: the codebook seeds are the ksub
+    // LOWEST-id vectors, so appending high-id rows cannot change them —
+    // probing the grown index must therefore equal the in-memory ADC over
+    // the unioned corpus exactly (codes, distances, ranks)
+    val copies = q.withColumn("vec_id", col("vec_id") + 1000000L)
+    Similarity.appendPqIndex(copies, dir)
+    assert(
+      rows(Similarity.probePqIndex(spark, dir, q, k = 5)) ==
+        rows(Similarity.pqTopK(q, e.unionByName(copies), k = 5)),
+      "grown persisted probe must equal in-memory ADC over the unioned corpus")
+    // a probe under different build params must refuse, not score garbage
+    val err = intercept[IllegalArgumentException](
+      Similarity.probePqIndex(spark, dir, q, k = 5, m = 8))
+    assert(err.getMessage.contains("was built with"))
+  }
+
   test("collocations: hand-computed integer lift, minCount prunes the tail") {
     val s = spark
     import s.implicits._

@@ -33,6 +33,7 @@ class RegistryPlanSpec extends SparkSpec {
     "similarity_topk", // crossJoin(broadcast(query-norms row)) — |queries| rows
     "similarity_topk_ivf", // crossJoin(broadcast(centroids)) — nCentroids rows
     "similarity_topk_ivf_flat", // same centroid broadcast
+    "similarity_topk_ivf_persisted", // same centroid broadcast, read from the index
     "embedding_cell_balance", // centroid broadcast
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "audit_orders", // crossJoin(broadcast(1-row totals summary))
