@@ -167,6 +167,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("takeTokenBudget: covers the budget, straddler is load-bearing, subsets grow with budget") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.listOfN(
+      250,
+      for {
+        id <- Gen.chooseNum(0L, 100000L)
+        w <- Gen.chooseNum(0L, 400L)
+      } yield (id, w))
+    cases(gen, 3).foreach { rows =>
+      val docs = rows.distinctBy(_._1).toDF("doc_id", "n_chars")
+      val total = rows.distinctBy(_._1).map(_._2).sum
+      for (budget <- Seq(1L, total / 7 + 1, total / 2 + 1)) {
+        val kept = graft.ops.Corpus.takeTokenBudget(docs, budget).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"), r.getAs[Long]("cum")))
+        val keptW = kept.map(_._2).sum
+        // budgets bound from below: the kept set weighs at least the
+        // budget (or is the whole corpus when the budget exceeds it)
+        assert(keptW >= math.min(budget, total), s"budget $budget underdelivered: $keptW")
+        // the straddler is load-bearing: dropping the LAST doc in cut
+        // order falls under budget — nothing beyond the straddler is kept
+        val lastW = kept.maxBy(_._3)._2
+        assert(keptW - lastW < budget, s"budget $budget kept a doc beyond the straddler")
+        // monotone in budget: a smaller budget's subset is contained in
+        // a larger one's (same hash order, longer walk)
+        val larger = graft.ops.Corpus.takeTokenBudget(docs, budget + total / 5 + 1).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(kept.map(_._1).toSet.subsetOf(larger), s"budget $budget subset not monotone")
+      }
+    }
+  }
+
   test("clusterSafeSplit: corpus growth never moves an existing singleton's split") {
     val s = spark
     import s.implicits._

@@ -33,4 +33,30 @@ class RegistrySpec extends AnyFunSuite {
       assert(!sql.linesIterator.exists(_.trim.startsWith("| ")), s"$name: stray margin chars")
     }
   }
+
+  // ---- docs-vs-registry consistency: the drift the round-7 audit found
+  // (README counts stale, operators missing from OPERATORS.md) cannot
+  // recur silently once these are machine-checked.
+
+  private def repoFile(name: String): String = {
+    val f = new java.io.File(name)
+    val path = if (f.exists()) f else new java.io.File(sys.props("user.dir"), name)
+    new String(java.nio.file.Files.readAllBytes(path.toPath), "UTF-8")
+  }
+
+  test("every registered query is documented in OPERATORS.md") {
+    val ops = repoFile("OPERATORS.md")
+    val missing = SparkEntry.queries.keySet.filterNot(q => ops.contains(s"`$q`"))
+    assert(
+      missing.isEmpty,
+      s"queries absent from OPERATORS.md (add a row or mention): ${missing.toSeq.sorted}")
+  }
+
+  test("README's advertised registry size matches the registry") {
+    val n = SparkEntry.queries.size
+    val readme = repoFile("README.md")
+    assert(
+      readme.contains(s"$n driver-checked queries") && readme.contains(s"($n queries)"),
+      s"README.md must advertise the actual registry size ($n)")
+  }
 }
