@@ -30,7 +30,8 @@ final class Pipeline(
     lineClean: Boolean = false,
     dropDupParagraphs: Boolean = false,
     blocklist: Seq[String] = Nil,
-    clusterSafeSplits: Boolean = false) {
+    clusterSafeSplits: Boolean = false,
+    tokenBudgetChars: Option[Long] = None) {
 
   /** The text-rewriting pre-stages, applied before any scoring so every
     * downstream stage (quality, langid, dedup, packing) sees the text a
@@ -120,9 +121,27 @@ final class Pipeline(
     // The CC label job (iterative, materialized per round) runs ONCE even
     // when both the keep-list and the cluster-safe split consume it.
     val clusters = Dedup.clusterPairs(Dedup.minHashLsh(base))
-    val deduped = Dedup
+    val dedupedAll = Dedup
       .keepFromClusters(base, clusters)
       .join(mixed, "doc_id") // inner: quality+lang+mixture AND dedup keep-list
+    // `tokenBudgetChars = Some(b)` cuts the FINAL survivor set to a
+    // reproducible ~b-char subset ([[Corpus.takeTokenBudget]], straddler
+    // kept so the manifest weighs >= b) — applied after dedup so the
+    // budget buys surviving training data, not about-to-drop duplicates;
+    // the packing layout below then sees only the budgeted docs.
+    val deduped = tokenBudgetChars match {
+      case None => dedupedAll
+      case Some(b) =>
+        dedupedAll.join(
+          Corpus
+            .takeTokenBudget(
+              base
+                .join(dedupedAll.select("doc_id"), "doc_id")
+                .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+              b)
+            .select("doc_id"),
+          "doc_id")
+    }
     val split =
       (if (clusterSafeSplits) Corpus.clusterSafeSplitFromClusters(base, clusters)
        else Corpus.splitAssign(base))
@@ -134,6 +153,34 @@ final class Pipeline(
       .join(split, "doc_id")
       .join(layout, "doc_id")
   }
+
+  /** [[prepare]] plus a global training order: best-quality-first with a
+    * salted hash shuffle within score ties ([[Corpus.curriculumOrder]]
+    * over the surviving manifest's own quality scores, integerized to
+    * ten-thousandths) — `curriculum_rank` is the order a data loader
+    * streams the manifest in. Same range-shuffle rank machinery as every
+    * global ordering in the repo; no single-partition window.
+    */
+  def curriculum(docs: DataFrame): DataFrame = {
+    val manifest = prepare(docs)
+    manifest.join(
+      Corpus
+        .curriculumOrder(
+          manifest,
+          round(col("quality_score") * 10000, 0).cast("long"))
+        .select("doc_id", "curriculum_rank"),
+      "doc_id")
+  }
+
+  /** The audit face of the run: [[Corpus.datacard]] over exactly the docs
+    * [[prepare]] keeps (text as the trainer would see it, i.e. after the
+    * rewrite pre-stages) — per-source and ALL-corpus doc/token/char/lang
+    * counts, quality distribution, and gate pass-rate. Publish next to
+    * the manifest; requires the corpus's `source` and `lang` columns.
+    */
+  def datacard(docs: DataFrame): DataFrame =
+    Corpus.datacard(
+      cleaned(docs).join(prepare(docs).select("doc_id"), Seq("doc_id"), "left_semi"))
 }
 
 object Pipeline {

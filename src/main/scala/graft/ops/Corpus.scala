@@ -966,7 +966,11 @@ object Corpus {
         length(col(textCol)).cast("long").as("n_chars"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"),
         qTenk.as("q_tenk"))
-      .rollup("source")
+      // rollup(col(...)), not rollup("source"): the String overload routes
+      // through Dataset.col, whose dataset-id metadata trips Spark's
+      // ambiguous-self-join detection when the input descends from a
+      // semi-join of a frame against itself (Pipeline.datacard's shape)
+      .rollup(col("source"))
       .agg(
         // grouping() marks the rollup total row, so a NULL-source group (or
         // a source literally named "ALL") stays distinguishable from it

@@ -91,6 +91,56 @@ class PipelineSpec extends SparkSpec {
     assert(withStages.size < base.size, "optional stages should actually drop docs here")
   }
 
+  test("tokenBudgetChars knob: manifest covers the budget and is the operator's cut of the survivors") {
+    val budget = 30000L
+    val budgeted = new Pipeline(tokenBudgetChars = Some(budget)).prepare(docs)
+    val ids = budgeted.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseIds = prepared.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(baseIds), "the budget cut only removes docs, never adds")
+    assert(ids.size < baseIds.size, "the budget should actually cut at this fixture size")
+    // agrees with takeTokenBudget over exactly the un-budgeted survivors
+    val expected = graft.ops.Corpus
+      .takeTokenBudget(
+        docs.join(prepared.select("doc_id"), "doc_id")
+          .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")),
+        budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expected)
+    // budgets bound from below: kept chars reach the budget
+    val keptChars = docs.join(budgeted.select("doc_id"), "doc_id")
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    assert(keptChars >= budget, s"kept $keptChars chars < budget $budget")
+  }
+
+  test("curriculum: manifest rows unchanged, ranks a permutation ordered best-quality-first") {
+    val cur = new Pipeline().curriculum(docs).cache()
+    try {
+      assert(cur.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        prepared.select("doc_id").collect().map(_.getLong(0)).toSet)
+      val rows = cur.select("curriculum_rank", "quality_score").collect()
+        .map(r => r.getAs[Long]("curriculum_rank") -> r.getAs[Double]("quality_score"))
+      val n = rows.length.toLong
+      assert(rows.map(_._1).sorted.toSeq == (1L to n), "ranks are a dense permutation")
+      // integerized quality never increases as rank walks the curriculum
+      val byRank = rows.sortBy(_._1).map(t => math.round(t._2 * 10000))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"quality rose along the curriculum: $a -> $b")
+        case _ =>
+      }
+    } finally cur.unpersist()
+  }
+
+  test("datacard: audits exactly the prepared survivors, ALL row equals their totals") {
+    val card = new Pipeline().datacard(docs)
+    val all = card.filter(col("source") === "ALL").collect()
+    assert(all.length == 1)
+    val survivors = docs.join(prepared.select("doc_id"), "doc_id")
+    assert(all.head.getAs[Long]("n_docs") == survivors.count())
+    assert(
+      all.head.getAs[Long]("n_chars") ==
+        survivors.agg(sum(length(col("text")))).collect().head.getLong(0))
+  }
+
   test("observed: stage metrics collected in the same action, no extra job") {
     val (df, obs) = Pipeline.observed(
       new Pipeline().filtered(docs),
