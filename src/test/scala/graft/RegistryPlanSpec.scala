@@ -41,6 +41,18 @@ class RegistryPlanSpec extends SparkSpec {
     "skew_key_profile" // crossJoin(broadcast(1-row totals))
   )
 
+  /** Physical-plan substrings that mark a lambda reading an INLINE array
+    * expression element-by-element — the optimizer re-evaluates the inline
+    * expression per element (and predicate pushdown plants exactly this
+    * shape when an inferred `size(...) > 0` filter sinks below the
+    * projection that named the array). Measured O(n²): re-tokenizing per
+    * token cost 1.8x all of chunkContentDefined before the round-8 fix.
+    * Lambdas must bind elements (`transform`/`zip_with`), not index an
+    * outer column.
+    */
+  private val inlineElementAt =
+    Seq("element_at(filter(split(", "element_at(transform(", "element_at(filter(transform(")
+
   test("no query in the registry plans a CartesianProduct or an unreviewed nested-loop join") {
     val bad = scala.collection.mutable.ListBuffer.empty[String]
     val bnljQueries = scala.collection.mutable.ListBuffer.empty[String]
@@ -50,6 +62,9 @@ class RegistryPlanSpec extends SparkSpec {
         if (plan.contains("CartesianProduct"))
           bad += s"$name: CartesianProduct"
         if (plan.contains("BroadcastNestedLoopJoin")) bnljQueries += name
+        inlineElementAt.filter(plan.contains).foreach { sig =>
+          bad += s"$name: per-element re-evaluation of an inline array expr ($sig...)"
+        }
       } catch {
         case e: Throwable => bad += s"$name: plan build FAILED: ${e.getMessage}"
       }
