@@ -60,6 +60,44 @@ class EventTimeSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported event-time physical type"))
   }
 
+  test("registry events queries are encoding-invariant: nanos-long and NTZ fixtures agree end-to-end") {
+    val s = spark
+    import s.implicits._
+    // the same 400 events, written under both physical encodings the
+    // fixture has historically shipped with
+    val rows = (1L to 400L).map { i =>
+      val us = 1704067200000000L + i * 137000000L // ~2.3-min spacing from 2024-01-01
+      (i, us, i % 23, Seq("click", "view", "purchase", "error", "signup")(((i % 5)).toInt),
+        (i % 97).toDouble, s"""{"k": ${i % 13}}""")
+    }
+    def dirFor(kind: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"evt_$kind").toString
+      val base = rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      val df = kind match {
+        case "nanos" => base.select(col("event_id"), (col("us") * 1000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        case "ntz" => base.select(col("event_id"),
+          timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      }
+      df.coalesce(1).write.parquet(s"$d/tmp_out")
+      // the registry reads <dir>/events.parquet as a single path
+      val part = new java.io.File(s"$d/tmp_out").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$d/events.parquet"))
+      d
+    }
+    val (nanosDir, ntzDir) = (dirFor("nanos"), dirFor("ntz"))
+    for (q <- Seq("events_pivot", "events_retention", "events_window_agg", "scd2_intervals")) {
+      val a = graft.queries.RelQueries.queries.getOrElse(
+        q, graft.queries.OpsQueries.queries(q))(spark, nanosDir).collect().map(_.toString).sorted
+      val b = graft.queries.RelQueries.queries.getOrElse(
+        q, graft.queries.OpsQueries.queries(q))(spark, ntzDir).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$q differs across encodings")
+      assert(a.nonEmpty, s"$q produced no rows")
+    }
+  }
+
   test("the live fixture reads through the normalizer: positive 2024-range seconds") {
     val raw = spark.read.parquet(s"$sf/events.parquet")
     val r = raw
