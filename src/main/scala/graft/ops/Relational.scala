@@ -71,6 +71,41 @@ object Relational {
       .select((left.columns.toSeq ++ payloadCols).map(col): _*)
   }
 
+  /** Forward as-of join: for each left row, the EARLIEST right row at or
+    * after it — the mirror of [[asOfJoin]] (polars `join_asof(strategy =
+    * "forward")` semantics): "the next heartbeat after each incident",
+    * "the next deploy after each alert". Same tagged-union single-window
+    * shape, reflected: per payload column the FIRST non-null over the
+    * following frame, with left rows sorting BEFORE right rows at equal
+    * ts so an exactly-simultaneous right row matches (at-or-after
+    * inclusive). One shuffle on the key, no join, no row explosion —
+    * the same 100 TB posture as the backward variant.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val l = left.withColumn("__side", lit(0))
+    val r = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__side", lit(1))
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = payloadCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    attached
+      .filter(col("__side") === 0)
+      .select((left.columns.toSeq ++ payloadCols).map(col): _*)
+  }
+
   /** [[asOfJoin]] with bounded per-key serial work: identical results,
     * but the ordered window runs per (key, time-bucket) instead of per
     * key, so a hot key's billion rows split across `ts div bucketUnits`

@@ -74,6 +74,34 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "no global-window single-partition exchange")
   }
 
+  test("asOfJoinForward picks the earliest right row at-or-after; nulls past the last; low ord on ties") {
+    val fwd = Relational
+      .asOfJoinForward(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(fwd(100L) == (Some(10L), Some(2.0))) // equal ts counts (at-or-after)
+    assert(fwd(102L) == (Some(8L), Some(1.0))) // earliest trade sees the first quote
+    assert(fwd(101L) == (None, None)) // past the last key-1 quote
+    assert(fwd(103L) == (Some(60L), Some(4.0))) // backward missed this; forward matches
+    assert(fwd(104L) == (None, None)) // key has no quotes at all
+    // ties on (ts): the LOWEST ordCol right row wins (first in frame order)
+    val r = Seq((1L, 1L, 10L, 7.0), (2L, 1L, 10L, 9.0))
+      .toDF("event_id", "user_id", "ts_us", "q_val")
+    val l = Seq((50L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val out = Relational.asOfJoinForward(l, r, "user_id", "ts_us", "event_id", Seq("q_val"))
+    assert(out.collect().head.getAs[Double]("q_val") == 7.0)
+    // same plan contract as the backward variant: union + window, no join
+    val p = planOf(
+      Relational.asOfJoinForward(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val")))
+    assert(!p.contains("Join"), "forward as-of must be union+window, not a join:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"))
+  }
+
   test("asOfJoinBucketed is row-identical to asOfJoin at every bucket width") {
     def rows(df: DataFrame) = df
       .select("event_id", "q_ts", "q_val")
