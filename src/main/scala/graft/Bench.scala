@@ -14,6 +14,7 @@ object Bench {
     // scale (three shuffles vs one) — its payoff is the bounded per-key
     // serial work at 100 TB, not local latency
     "asof_join_bucketed",
+    "asof_join_forward_bucketed",
     // PQ ADC is several fixed-overhead jobs (codebook collect + two
     // broadcast builds + codes agg) — cheap per-row, heavy per-query at toy
     // scale, so it rides in the tail with the other ANN variants; the

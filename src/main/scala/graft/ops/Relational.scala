@@ -199,6 +199,90 @@ object Relational {
           payloadCols.map(c => coalesce(col(c), col(s"__carry_$c")).as(c))): _*)
   }
 
+  /** [[asOfJoinForward]] with bounded per-key serial work — the mirror of
+    * [[asOfJoinBucketed]]: the ordered window runs per (key, time-bucket),
+    * and matches that cross a bucket boundary are restored by a
+    * CARRY-BACK stage computed at bucket granularity, never over raw
+    * rows. Per (key, bucket, payload column) the bucket-FIRST value is
+    * one `min(struct(ts, ord, c))` aggregation (map-side partials absorb
+    * the hot key); right-side states enter the carry window shifted one
+    * bucket BACK (`bucket - 1`), making the carry strictly-later-bucket
+    * by construction, and each left bucket takes the first non-null over
+    * the FOLLOWING frame. Row-identical to [[asOfJoinForward]] at every
+    * bucket width (RelationalSpec sweep).
+    */
+  def asOfJoinForwardBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      bucketUnits: Long): DataFrame = {
+    require(bucketUnits > 0, s"bucketUnits must be positive (got $bucketUnits)")
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val bkt = expr(s"$tsCol div $bucketUnits")
+    val lb = left.withColumn("__bkt", bkt).withColumn("__side", lit(0))
+    val rb = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__bkt", bkt)
+      .withColumn("__side", lit(1))
+
+    // per-(key, bucket) FIRST value of each payload column: the value from
+    // the earliest (ts, ord) right row where that column is non-null
+    val firsts = rb
+      .groupBy(col(keyCol), col("__bkt"))
+      .agg(
+        payloadCols.map(c =>
+          min(when(col(c).isNotNull, struct(col(tsCol), col(ordCol), col(c))))
+            .as(s"__f_$c")).head,
+        payloadCols.tail.map(c =>
+          min(when(col(c).isNotNull, struct(col(tsCol), col(ordCol), col(c))))
+            .as(s"__f_$c")): _*)
+      .select(
+        col(keyCol) +: col("__bkt") +:
+          payloadCols.map(c => col(s"__f_$c").getField(c).as(s"__fin_$c")): _*)
+
+    // carry-back per left (key, bucket): first non-null bucket-first over
+    // STRICTLY later buckets (right states ride in at bucket - 1, sorting
+    // AFTER left rows at the same slot so only later-bucket state is seen)
+    val leftBkts = lb.select(col(keyCol), col("__bkt")).distinct()
+    val carrySrc = leftBkts
+      .withColumn("__sb", col("__bkt"))
+      .withColumn("__cside", lit(0))
+      .unionByName(
+        firsts.withColumn("__sb", col("__bkt") - 1).withColumn("__cside", lit(1)),
+        allowMissingColumns = true)
+    val cw = Window
+      .partitionBy(keyCol)
+      .orderBy(col("__sb"), col("__cside"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry = payloadCols
+      .foldLeft(carrySrc) { case (df, c) =>
+        df.withColumn(s"__carry_$c", first(col(s"__fin_$c"), ignoreNulls = true).over(cw))
+      }
+      .filter(col("__cside") === 0)
+      .select(
+        col(keyCol) +: col("__bkt") +: payloadCols.map(c => col(s"__carry_$c")): _*)
+
+    // within-bucket forward as-of (the asOfJoinForward mechanics, one
+    // level finer), then per-column fallback to the carry-back
+    val w = Window
+      .partitionBy(col(keyCol), col("__bkt"))
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = payloadCols.foldLeft(lb.unionByName(rb, allowMissingColumns = true)) {
+      case (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+    attached
+      .filter(col("__side") === 0)
+      .join(carry, Seq(keyCol, "__bkt"), "left")
+      .select(
+        (left.columns.toSeq.map(col) ++
+          payloadCols.map(c => coalesce(col(c), col(s"__carry_$c")).as(c))): _*)
+  }
+
   /** Interval range join: pair every probe row whose `tsCol` falls inside
     * an interval `[startCol, startCol + lengthUnits)` with that interval.
     *

@@ -101,6 +101,31 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("purchase_ts_us", "purchase_value"))
     },
+    // Forward attribution through the bucketed variant: must hash-match
+    // asof_join_forward's oracle exactly (carry-back across 30-minute
+    // bucket boundaries).
+    "asof_join_forward_bucketed" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("purchase_ts_us"),
+          col("value").as("purchase_value"))
+      Relational.asOfJoinForwardBucketed(
+        clicks,
+        purchases,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("purchase_ts_us", "purchase_value"),
+        bucketUnits = HalfHourUs)
+    },
     // Same attribution join through the bucketed variant (30-minute
     // buckets force plenty of cross-bucket carry-ins at this fixture's
     // event spacing): must hash-match asof_join_events' oracle exactly.
@@ -370,6 +395,27 @@ object RelQueries {
     }
   )
 
+  /** Forward as-of (next purchase at-or-after each click) — shared by the
+    * plain and bucketed variants, whose outputs are contract-identical.
+    */
+  private val asofForwardSql =
+    """WITH tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+      |         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts,
+      |         CASE WHEN event_type = 'purchase' THEN value END AS p_val
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), attached AS (
+      |  SELECT user_id, ts_us, event_id, side,
+      |         FIRST_VALUE(p_ts IGNORE NULLS) OVER win AS purchase_ts_us,
+      |         FIRST_VALUE(p_val IGNORE NULLS) OVER win AS purchase_value
+      |  FROM tagged
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT event_id, user_id, ts_us, purchase_ts_us, purchase_value
+      |FROM attached WHERE side = 0""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
       """WITH tagged AS (
@@ -413,23 +459,9 @@ object RelQueries {
         |SELECT j.key, j.n_left, j.n_right, j.n_out, t.total_out,
         |       CAST(j.n_out * 1000000 // t.total_out AS BIGINT) AS share_ppm
         |FROM j, t ORDER BY j.n_out DESC, j.key LIMIT 10""".stripMargin,
-    "asof_join_forward" ->
-      """WITH tagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
-        |         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts,
-        |         CASE WHEN event_type = 'purchase' THEN value END AS p_val
-        |  FROM events WHERE event_type IN ('click', 'purchase')
-        |), attached AS (
-        |  SELECT user_id, ts_us, event_id, side,
-        |         FIRST_VALUE(p_ts IGNORE NULLS) OVER win AS purchase_ts_us,
-        |         FIRST_VALUE(p_val IGNORE NULLS) OVER win AS purchase_value
-        |  FROM tagged
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
-        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        |)
-        |SELECT event_id, user_id, ts_us, purchase_ts_us, purchase_value
-        |FROM attached WHERE side = 0""".stripMargin,
+    "asof_join_forward" -> asofForwardSql,
+    // contract-identical to the plain forward as-of, so same oracle
+    "asof_join_forward_bucketed" -> asofForwardSql,
     // The bucketed operator's contract is bit-identical output to the
     // plain as-of join, so its oracle IS the plain as-of SQL.
     "asof_join_bucketed" ->

@@ -121,6 +121,38 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinForwardBucketed is row-identical to asOfJoinForward at every bucket width") {
+    def rows(df: DataFrame) = df
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    val plain = rows(
+      Relational.asOfJoinForward(
+        trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val")))
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val bucketed = rows(
+        Relational.asOfJoinForwardBucketed(
+          trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), w))
+      assert(bucketed == plain, s"bucketUnits=$w diverged")
+    }
+    // per-column carry-back across empty and null-payload buckets, the
+    // forward mirror of the backward carry test: q_val from ts=95,
+    // q_ts from ts=92 — each column tracks its own EARLIEST later value
+    val r = Seq(
+      (1L, 1L, 95L, Option.empty[Long], Option(1.5)),
+      (2L, 1L, 92L, Option(92L), Option.empty[Double])
+    ).toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((90L, 1L, 5L)).toDF("event_id", "user_id", "ts_us")
+    for (w <- Seq(1L, 10L)) {
+      val out = Relational
+        .asOfJoinForwardBucketed(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), w)
+        .collect().head
+      assert(out.getAs[Long]("q_ts") == 92L, s"w=$w")
+      assert(out.getAs[Double]("q_val") == 1.5, s"w=$w")
+    }
+  }
+
   test("asOfJoinBucketed carries per-column last-non-null across empty and null-payload buckets") {
     // key 1: quote at ts=5 sets q_val only (q_ts null); quote at ts=8 sets
     // q_ts only (q_val null); trade at ts=95 is many empty buckets later.
