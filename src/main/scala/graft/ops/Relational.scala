@@ -476,6 +476,49 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** [[rangeJoinBucketed]] generalized to VARIABLE-length intervals
+    * `[startCol, endCol)`: bucketize time at the interval side's MAXIMUM
+    * length, so every interval still touches at most two buckets (the
+    * generalization the fixed-length Scaladoc promises). The max length
+    * is one aggregate over the interval side — a driver scalar, bounded
+    * by construction, collected once so the bucket width is a literal in
+    * the plan (not a recomputed subquery per consumer). Empty or
+    * all-degenerate interval sides use width 1.
+    *
+    * Same scale posture as the fixed-length variant: the interval side
+    * doubles and broadcasts, the probe side computes its single bucket
+    * key statelessly and NEVER shuffles, pairing is a broadcast hash
+    * equi-join on the bucket with the exact range as a residual filter.
+    * A pair can match on only the probe's own bucket, so no dedup step.
+    * Degenerate intervals (`end <= start`) match nothing, mirroring the
+    * half-open contract.
+    */
+  def rangeJoinIntervals(
+      probe: DataFrame,
+      intervals: DataFrame,
+      tsCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val maxLen = intervals
+      .agg(max(col(endCol) - col(startCol)).cast("long"))
+      .collect()
+      .headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(1L)
+    val width = math.max(maxLen, 1L)
+    val exploded = intervals.withColumn(
+      "__bucket",
+      explode(
+        array(
+          expr(s"$startCol div $width"),
+          expr(s"$startCol div $width") + 1L)))
+    probe
+      .withColumn("__bucket", expr(s"$tsCol div $width"))
+      .join(broadcast(exploded), Seq("__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
   /** Per-key interval coalescing: merge overlapping/abutting CLOSED
     * intervals `[start, end]` into their connected spans — maintenance
     * windows, incident windows, coverage maps, the interval complement of

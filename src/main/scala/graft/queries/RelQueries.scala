@@ -183,6 +183,31 @@ object RelQueries {
           count(lit(1)).cast("long").as("n_events"),
           sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
     },
+    // Variable-length incident windows: each severe error opens a window
+    // of `value` MINUTES (per-incident length), events inside aggregate
+    // per incident — the variable-length face of the bucketed range join
+    // (bucket width = the interval side's max length).
+    "range_join_var" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 150)
+        .select(
+          col("event_id").as("incident_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") +
+            round(col("value") * 60, 0).cast("long") * lit(1000000L)).as("end_us"))
+      Relational
+        .rangeJoinIntervals(
+          ev.select("ts_us", "value"),
+          incidents,
+          tsCol = "ts_us",
+          startCol = "start_us",
+          endCol = "end_us")
+        .groupBy("incident_id", "start_us", "end_us")
+        .agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_value"))
+    },
     // Sliding (hopping) windows: 1-hour windows every 30 minutes — each
     // event lands in exactly two windows.
     "events_hopping_agg" -> { (s, dir) =>
@@ -552,6 +577,19 @@ object RelQueries {
         |JOIN events e ON epoch_us(e.ts) >= i.start_us
         |             AND epoch_us(e.ts) < i.start_us + 1800000000
         |GROUP BY 1, 2""".stripMargin,
+    "range_join_var" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS end_us
+        |  FROM events WHERE event_type = 'error' AND value > 150
+        |)
+        |SELECT i.incident_id, i.start_us, i.end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        |FROM inc i
+        |JOIN events e ON epoch_us(e.ts) >= i.start_us
+        |             AND epoch_us(e.ts) < i.end_us
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_hopping_agg" ->
       """SELECT window_start_us, event_type,
         |       CAST(COUNT(*) AS BIGINT) AS n,

@@ -306,6 +306,39 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((10L, "at_start"), (10L, "inside"), (20L, "cross")))
   }
 
+  test("rangeJoinIntervals: variable lengths, cross-bucket matches, degenerate intervals empty") {
+    val s = spark
+    import s.implicits._
+    // widths 100 and 10 → bucket width 100; the long interval crosses a
+    // bucket boundary; the degenerate one (end <= start) matches nothing
+    val ivals = Seq(
+      (10L, 50L, 150L), // long: crosses the 100-bucket boundary
+      (20L, 205L, 215L), // short, within one bucket
+      (30L, 400L, 400L) // degenerate: empty half-open range
+    ).toDF("ival_id", "start_us", "end_us")
+    val probe = Seq(49L, 50L, 120L, 149L, 150L, 210L, 400L).toDF("ts_us")
+    val got = Relational
+      .rangeJoinIntervals(probe, ivals, "ts_us", "start_us", "end_us")
+      .select("ival_id", "ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((10L, 50L), (10L, 120L), (10L, 149L), (20L, 210L)))
+  }
+
+  test("rangeJoinIntervals plan: broadcast hash equi-join, probe never shuffles") {
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = evRaw.select(graft.io.EventTime.tsUs(evRaw).as("ts_us"), col("event_id"))
+    val iv = ev.limit(5).select(
+      col("event_id").as("ival_id"),
+      col("ts_us").as("start_us"),
+      (col("ts_us") + col("event_id") % 1000000L + 1L).as("end_us"))
+    val p = planOf(Relational.rangeJoinIntervals(ev, iv, "ts_us", "start_us", "end_us"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("rangeJoinBucketed plan: broadcast hash equi-join, no nested loop") {
     val evRaw = spark.read.parquet(s"$sf/events.parquet")
     val ev = evRaw.select(graft.io.EventTime.tsUs(evRaw).as("ts_us"), col("event_id"))
