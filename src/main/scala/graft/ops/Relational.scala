@@ -71,6 +71,53 @@ object Relational {
       .select((left.columns.toSeq ++ payloadCols).map(col): _*)
   }
 
+  /** [[asOfJoin]] with a staleness bound (the pandas/polars `tolerance`
+    * knob): a payload column matches only when its source right row lies
+    * within `toleranceUnits` of the left row's time — an older match is
+    * null, exactly as if that right row did not exist. Per-column
+    * semantics mirror [[asOfJoin]]: each column independently takes its
+    * latest non-null value, so each column AGES independently too. Same
+    * union+window shape — the per-column window state is
+    * `last(struct(ts, value))` instead of `last(value)`, still one
+    * shuffle on the key and no join operator.
+    */
+  def asOfJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      toleranceUnits: Long): DataFrame = {
+    require(toleranceUnits >= 0, s"toleranceUnits must be non-negative (got $toleranceUnits)")
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = payloadCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, c) =>
+        df.withColumn(
+          s"__s_$c",
+          last(
+            when(col(c).isNotNull, struct(col(tsCol).as("t"), col(c).as("v"))),
+            ignoreNulls = true).over(w))
+    }
+    attached
+      .filter(col("__side") === 1)
+      .select(
+        (left.columns.toSeq.map(col) ++
+          payloadCols.map(c =>
+            when(
+              col(s"__s_$c").getField("t") >= col(tsCol) - toleranceUnits,
+              col(s"__s_$c").getField("v")).as(c))): _*)
+  }
+
   /** Forward as-of join: for each left row, the EARLIEST right row at or
     * after it — the mirror of [[asOfJoin]] (polars `join_asof(strategy =
     * "forward")` semantics): "the next heartbeat after each incident",

@@ -77,6 +77,30 @@ object RelQueries {
         ev.filter(col("event_type") === "purchase"),
         "user_id")
     },
+    // Tolerance attribution: the backward as-of with a 1-hour staleness
+    // bound — a click older than an hour no longer explains the purchase.
+    "asof_join_tolerance" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoinTolerance(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"),
+        toleranceUnits = 2 * HalfHourUs)
+    },
     // Forward attribution: for every click, the user's NEXT purchase at
     // or after it — the mirrored as-of direction (first-following instead
     // of last-preceding).
@@ -484,6 +508,28 @@ object RelQueries {
         |SELECT j.key, j.n_left, j.n_right, j.n_out, t.total_out,
         |       CAST(j.n_out * 1000000 // t.total_out AS BIGINT) AS share_ppm
         |FROM j, t ORDER BY j.n_out DESC, j.key LIMIT 10""".stripMargin,
+    // The fixture's clicks carry both payloads non-null from the same row,
+    // so one matched-ts gates both columns (per-column independent aging
+    // is pinned by the RelationalSpec split-payload case).
+    "asof_join_tolerance" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+        |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts,
+        |         CASE WHEN event_type = 'click' THEN value END AS c_val
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attached AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |         LAST_VALUE(c_ts IGNORE NULLS) OVER win AS m_ts,
+        |         LAST_VALUE(c_val IGNORE NULLS) OVER win AS m_val
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       CASE WHEN m_ts >= ts_us - 3600000000 THEN m_ts END AS click_ts_us,
+        |       CASE WHEN m_ts >= ts_us - 3600000000 THEN m_val END AS click_value
+        |FROM attached WHERE side = 1""".stripMargin,
     "asof_join_forward" -> asofForwardSql,
     // contract-identical to the plain forward as-of, so same oracle
     "asof_join_forward_bucketed" -> asofForwardSql,

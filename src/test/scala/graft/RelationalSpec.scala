@@ -74,6 +74,41 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "no global-window single-partition exchange")
   }
 
+  test("asOfJoinTolerance: stale matches null out, per column independently") {
+    val s = spark
+    import s.implicits._
+    // q_val set at ts=5 (only), q_ts at ts=8 (only); left at ts=12 with
+    // tolerance 5: q_ts aged 4 → kept, q_val aged 7 → nulled
+    val r = Seq(
+      (1L, 1L, 5L, Option.empty[Long], Option(1.5)),
+      (2L, 1L, 8L, Option(8L), Option.empty[Double])
+    ).toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((90L, 1L, 12L), (91L, 1L, 8L)).toDF("event_id", "user_id", "ts_us")
+    val out = Relational
+      .asOfJoinTolerance(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), 5L)
+      .collect()
+      .map(row => row.getLong(0) -> ((Option(row.get(3)), Option(row.get(4)))))
+      .toMap
+    assert(out(90L) == (Some(8L), None))
+    // at ts=8: q_ts aged 0 kept, q_val aged 3 kept (equal-ts match counts)
+    assert(out(91L) == (Some(8L), Some(1.5)))
+    // tolerance large enough degenerates to the plain asOfJoin
+    val loose = Relational
+      .asOfJoinTolerance(
+        trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), 1000000L)
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(row => (row.getLong(0), Option(row.get(1)), Option(row.get(2))))
+      .toSet
+    val plain = Relational
+      .asOfJoin(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(row => (row.getLong(0), Option(row.get(1)), Option(row.get(2))))
+      .toSet
+    assert(loose == plain)
+  }
+
   test("asOfJoinForward picks the earliest right row at-or-after; nulls past the last; low ord on ties") {
     val fwd = Relational
       .asOfJoinForward(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
