@@ -146,6 +146,18 @@ object Bench {
       name -> (if (ok.nonEmpty) Right(ok.min)
                else Left(reps.collectFirst { case Left(m) => m }.getOrElse("failed")))
     }
+    println(renderJson(results, sfDir))
+    spark.stop()
+  }
+
+  /** The one-line JSON record: successful queries as seconds, failed ones
+    * as `{"err": ...}` objects (never phantom wall-times), the total
+    * summing successes only, plus a top-level failed count. Pure so the
+    * failure-honesty contract is unit-testable (BenchJsonSpec).
+    */
+  private[graft] def renderJson(
+      results: Seq[(String, Either[String, Double])],
+      sfDir: String): String = {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -156,11 +168,8 @@ object Bench {
       case (k, Right(secs)) => s"\"$k\":$secs"
       case (k, Left(err)) => s"""\"$k\":{"err":"${esc(err.take(300))}"}"""
     }.mkString("{", ",", "}")
-    val okTimes = results.collect { case (_, Right(s)) => s }
-    val total = okTimes.sum
+    val total = results.collect { case (_, Right(s)) => s }.sum
     val nFailed = results.count(_._2.isLeft)
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}"""
   }
 }
