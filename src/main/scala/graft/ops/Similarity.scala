@@ -442,6 +442,44 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** One micro-batch of STREAMING IVF maintenance (the foreachBatch body
+    * of [[graft.streaming.AnnIngest.ivfIngest]]): batch 0 trains and
+    * persists the quantizer from its own rows (overwrite semantics — a
+    * retried first batch rebuilds identically); every batch, including
+    * the first, assigns its vectors against the frozen centroids and
+    * lands under its own `cells/batch_id=N` directory with overwrite
+    * semantics, so a checkpoint-retried batch rewrites itself instead of
+    * duplicating. Cells carry (batch_id, centroid_id) directory keys;
+    * [[probeIvfIndex]] reads them unchanged and still prunes on
+    * centroid_id.
+    */
+  def ingestIvfBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId == 0L) {
+      val cents = ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
+      val dim = cents.select(size(col("centroid"))).head().getInt(0)
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      Seq(("kmeans-stream", nCentroids, iters, dim))
+        .toDF("kind", "n_centroids", "iters", "dim")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params")
+    } else requireIvfDim(batch, path, vecCol)
+    val cents = spark.read.parquet(s"$path/centroids")
+    flatCells(batch, cents, idCol, vecCol)
+      .write
+      .mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(s"$path/cells/batch_id=$batchId")
+  }
+
   /** Probe a persisted IVF index (flat or k-means, optionally grown by
     * [[appendIvfIndex]]): rank each query's `nProbe` cells against the
     * stored centroids, rerank within those cells. Identical results to

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous ANN-index maintenance — the streaming face of the persisted
+  * IVF lifecycle ([[graft.ops.Similarity.writeIvfIndex]]/`appendIvfIndex`):
+  * a stream of embedding rows keeps a probeable index current without
+  * ever rebuilding it. The first micro-batch trains the coarse quantizer;
+  * every batch assigns against the then-frozen centroids and lands its
+  * cells under a batch-id-keyed directory with overwrite semantics — the
+  * [[CorpusIngest]] exactly-once recipe, so a checkpoint-retried batch
+  * rewrites itself instead of duplicating vectors. Probes
+  * ([[graft.ops.Similarity.probeIvfIndex]]) see every completed batch and
+  * still prune unprobed cells at the scan.
+  *
+  * At 100 TB this is the production embedding-ingest loop: each round
+  * touches |batch| vectors plus the (tiny, broadcast) centroid table; the
+  * historical corpus is never rescanned. Re-training the quantizer when
+  * the embedding distribution drifts (tracked by
+  * [[graft.ops.Similarity.cellDrift]]) is a REBUILD by contract, exactly
+  * as for the batch index.
+  */
+object AnnIngest {
+
+  def ivfIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.ingestIvfBatch(
+          batch.toDF(), path, batchId, nCentroids, iters, idCol, vecCol)
+        ()
+      }
+      .start()
+}

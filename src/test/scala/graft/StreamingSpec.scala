@@ -100,6 +100,51 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == n1, "re-run with an up-to-date checkpoint must be a no-op")
   }
 
+  test("ivfIngest: first batch trains the quantizer, later batches grow the index, rerun is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val embSchema = e.schema
+    def run(): Unit =
+      graft.streaming.AnnIngest
+        .ivfIngest(
+          spark.readStream.schema(embSchema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def probe() = graft.ops.Similarity.probeIvfIndex(spark, s"$dir/idx", q, k = 5)
+
+    // batch 0: the base corpus trains the quantizer and fills the cells —
+    // probing must equal the in-memory k-means IVF over the same corpus
+    e.write.mode("append").parquet(s"$dir/in")
+    run()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    assert(rows(probe()) == rows(graft.ops.Similarity.ivfTopK(q, e, k = 5)))
+
+    // batch 1: exact copies of the queries stream in under fresh ids —
+    // frozen centroids route them to their originals' cells, so each
+    // query now sees its copy at rank 1, cosine 1.0
+    q.withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val grown = probe().filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r"))))
+      .toMap
+    (0L until 8L).foreach { qid =>
+      assert(grown(qid) == ((qid + 1000000L, 1.0)), s"query $qid: ${grown(qid)}")
+    }
+
+    // rerun with no new files: the checkpoint makes it a no-op
+    val before = rows(probe())
+    run()
+    assert(rows(probe()) == before, "an up-to-date rerun must not change the index")
+  }
+
   test("dedupIngest: history-backed dedupe across runs, in-batch min-id, idempotent rerun") {
     val s = spark
     import s.implicits._
