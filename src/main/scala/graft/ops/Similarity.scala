@@ -903,6 +903,41 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** One micro-batch of STREAMING PQ maintenance — the compressed-domain
+    * twin of [[ingestIvfBatch]]: batch 0 trains and persists the codebook
+    * from its own rows; every batch encodes against the frozen codebook
+    * and lands its codes under `codes/batch_id=N` with overwrite
+    * semantics (checkpoint-retried batches rewrite themselves).
+    * [[probePqIndex]] reads the grown store unchanged — the extra
+    * batch_id partition column never reaches the ADC join's projection.
+    */
+  def ingestPqBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    if (batchId == 0L) {
+      pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      Seq((m, ksub, dim))
+        .toDF("m", "ksub", "dim")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params")
+    } else requirePqParams(spark, path, m, ksub, dim)
+    val cb = spark.read.parquet(s"$path/codebook")
+    pqEncode(batch, cb, m, subDim, idCol, vecCol)
+      .select("vec_id", "subspace", "code")
+      .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
+  }
+
   private def requirePqParams(
       spark: org.apache.spark.sql.SparkSession,
       path: String,

@@ -40,4 +40,28 @@ object AnnIngest {
         ()
       }
       .start()
+
+  /** The compressed-domain twin: batch 0 trains the PQ codebook, later
+    * batches encode against it into batch-id-keyed code directories —
+    * same exactly-once recipe, probed by
+    * [[graft.ops.Similarity.probePqIndex]].
+    */
+  def pqIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.ingestPqBatch(
+          batch.toDF(), path, batchId, m, ksub, dim, idCol, vecCol)
+        ()
+      }
+      .start()
 }

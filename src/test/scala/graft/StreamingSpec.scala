@@ -145,6 +145,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows(probe()) == before, "an up-to-date rerun must not change the index")
   }
 
+  test("pqIngest: codebook trains on batch 0, grown store equals rebuild-from-union") {
+    val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val embSchema = e.schema
+    def run(): Unit =
+      graft.streaming.AnnIngest
+        .pqIngest(
+          spark.readStream.schema(embSchema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+
+    e.write.mode("append").parquet(s"$dir/in")
+    run()
+    assert(
+      rows(graft.ops.Similarity.probePqIndex(spark, s"$dir/idx", q, k = 5)) ==
+        rows(graft.ops.Similarity.pqTopK(q, e, k = 5)))
+
+    // batch 1 streams in high-id copies: the codebook seeds (lowest ids)
+    // are untouched, so the grown store must equal the in-memory ADC over
+    // the unioned corpus — the same append≡rebuild property as the batch
+    // appendPqIndex
+    val copies = q.withColumn("vec_id", col("vec_id") + 1000000L)
+    copies.write.mode("append").parquet(s"$dir/in")
+    run()
+    assert(
+      rows(graft.ops.Similarity.probePqIndex(spark, s"$dir/idx", q, k = 5)) ==
+        rows(graft.ops.Similarity.pqTopK(q, e.unionByName(copies), k = 5)))
+  }
+
   test("dedupIngest: history-backed dedupe across runs, in-batch min-id, idempotent rerun") {
     val s = spark
     import s.implicits._
