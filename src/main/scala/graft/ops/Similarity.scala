@@ -480,6 +480,58 @@ object Similarity {
       .parquet(s"$path/cells/batch_id=$batchId")
   }
 
+  /** Drift audit for a persisted IVF index — the operational "rebuild
+    * yet?" signal for the ingest loop: the stored cells' population vs an
+    * incoming batch assigned against the SAME frozen centroids ([[
+    * cellDrift]]'s fixed-ruler principle, with the index as the ruler).
+    * `drift_milli` = batch share / index share ×1000 per cell; sustained
+    * large deviations mean the embedding distribution moved and the
+    * quantizer should be retrained (a rebuild by contract — appends never
+    * retrain). One aggregation over the index's (already partitioned)
+    * cells plus one over the batch; centroids broadcast.
+    */
+  def indexDriftReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    requireIvfDim(batch, path, vecCol)
+    val cents = spark.read.parquet(s"$path/centroids")
+    def ppm(counts: DataFrame, nCol: String, pCol: String) = {
+      val t = counts.agg(sum(nCol).cast("long").as("__tot"))
+      counts
+        .crossJoin(broadcast(t))
+        .select(
+          col("centroid_id"),
+          col(nCol),
+          expr(s"$nCol * 1000000 div __tot").cast("long").as(pCol))
+    }
+    val idx = ppm(
+      spark.read.parquet(s"$path/cells")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).cast("long").as("n_index")),
+      "n_index", "index_ppm")
+    val b = ppm(
+      flatCells(batch, cents, idCol, vecCol)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).cast("long").as("n_batch")),
+      "n_batch", "batch_ppm")
+    idx
+      .join(b, Seq("centroid_id"), "full_outer")
+      .select(
+        col("centroid_id"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("index_ppm"), lit(0L)).as("index_ppm"),
+        coalesce(col("batch_ppm"), lit(0L)).as("batch_ppm"))
+      .withColumn(
+        "drift_milli",
+        when(col("index_ppm") >= 1, expr("(batch_ppm * 1000) div index_ppm"))
+          .otherwise(lit(-1L))
+          .cast("long"))
+  }
+
   /** Probe a persisted IVF index (flat or k-means, optionally grown by
     * [[appendIvfIndex]]): rank each query's `nProbe` cells against the
     * stored centroids, rerank within those cells. Identical results to

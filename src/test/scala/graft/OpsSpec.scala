@@ -220,6 +220,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("indexDriftReport: self-batch reads ~1000 milli per cell, a collapsed batch spikes its cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.writeIvfIndex(e, dir)
+    // the index's own corpus as the batch: identical distribution, so
+    // every populated cell drifts at exactly 1000 milli
+    val self = Similarity.indexDriftReport(spark, dir, e).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("drift_milli") == 1000L,
+        s"cell ${r.getAs[Long]("centroid_id")}: ${r.getAs[Long]("drift_milli")}")
+    }
+    // a collapsed batch (500 copies of one vector) funnels into one cell:
+    // that cell's share becomes ~1e6 ppm, so its drift ratio far exceeds
+    // 1000 and every other cell reads 0
+    val one = e.filter(col("vec_id") === 3L).limit(1)
+    val collapsed = (1 to 9).foldLeft(one)((acc, i) =>
+      acc.unionByName(one.withColumn("vec_id", col("vec_id") + i * 1000L)))
+    val drift = Similarity.indexDriftReport(spark, dir, collapsed).collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r.getAs[Long]("drift_milli")).toMap
+    val spiked = drift.values.filter(_ > 1000L)
+    assert(spiked.size == 1, s"exactly one cell should spike: $drift")
+    assert(drift.values.forall(v => v == 0L || v > 1000L || v == -1L))
+  }
+
   test("PQ index lifecycle: probe equals in-memory; appended copies win; params mismatch refused") {
     val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
