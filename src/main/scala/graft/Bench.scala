@@ -25,6 +25,7 @@ object Bench {
     "corpus_curriculum",
     "multimodal_clip_pairs",
     "multimodal_ahash_pairs",
+    "multimodal_wav_pairs",
     "dedup_simhash_pairs",
     // corpus self-join on chunk fingerprints — pair volume bounded by the
     // posting cap, but the chunking explode alone scans every token

@@ -31,6 +31,8 @@ case class FrameAHash(doc_id: Long, frame_id: Int, hash_hi: Long, hash_lo: Long)
 
 case class WavZc(doc_id: Long, n_samples: Long, zero_crossings: Long)
 
+case class WavFp(doc_id: Long, hash_hi: Long, hash_lo: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
@@ -238,6 +240,84 @@ object Multimodal {
     mediaPairs(media)
       .mapPartitions(rows => rows.map { case (id, bytes) => wavZeroCrossings(id, bytes) })
       .toDF()
+  }
+
+  /** 64-bit audio fingerprint — the aHash idea applied to a waveform: the
+    * sample stream splits into 64 equal-ish windows, and window `w`'s bit
+    * is set when its |amplitude| sum exceeds a proportional share of the
+    * whole clip's (`64·windowSum > total`, the same integer mean-threshold
+    * rule as [[aHashBmp]]'s cells). Re-encoded, trimmed-silence, or
+    * re-sampled copies keep most bits, so clip-level near-dup is a
+    * Hamming-banded self-join over these — [[graft.ops.Dedup.aHashPairs]]
+    * consumes the output unchanged (same `(doc_id, hash_hi, hash_lo)`
+    * shape as the image hashes).
+    */
+  def wavFingerprint(id: Long, bytes: Array[Byte]): WavFp = {
+    require(
+      bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $id: not a WAV")
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOk = false
+    var out: WavFp = null
+    while (off + 8 <= bytes.length) {
+      val chunkId = new String(bytes, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4)
+      require(
+        size >= 0 && off + 8 + size <= bytes.length,
+        s"doc $id: bad $chunkId chunk size $size at offset $off")
+      chunkId match {
+        case "fmt " =>
+          val audioFormat = buf.getShort(off + 8)
+          val channels = buf.getShort(off + 10)
+          val bits = buf.getShort(off + 22)
+          require(
+            audioFormat == 1 && channels == 1 && bits == 16,
+            s"doc $id: unsupported WAV (fmt=$audioFormat ch=$channels bits=$bits)")
+          fmtOk = true
+        case "data" =>
+          require(fmtOk, s"doc $id: data chunk before fmt")
+          val n = size / 2
+          require(n >= 64, s"doc $id: need >= 64 samples for a 64-window fingerprint, got $n")
+          val amp = new Array[Long](n)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val a = math.abs(buf.getShort(off + 8 + 2 * i).toLong)
+            amp(i) = a; total += a; i += 1
+          }
+          var hi = 0L; var lo = 0L
+          var w = 0
+          while (w < 64) {
+            val start = w * n / 64
+            val end = (w + 1) * n / 64
+            var ws = 0L
+            var j = start
+            while (j < end) { ws += amp(j); j += 1 }
+            if (64L * ws > total) {
+              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+            }
+            w += 1
+          }
+          out = WavFp(id, hi, lo)
+        case _ => // skip unknown chunks
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(out != null, s"doc $id: no data chunk")
+    out
+  }
+
+  /** [[wavFingerprint]] over a media table, partition-parallel. */
+  def wavFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    mediaPairs(media)
+      .mapPartitions(rows => rows.map { case (id, bytes) => wavFingerprint(id, bytes) })
+      .toDF()
+      .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
   }
 
   /** `(doc_id, media)` typed view of a media table per the [[asMedia]]

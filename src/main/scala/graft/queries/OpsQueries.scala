@@ -354,6 +354,18 @@ object OpsQueries {
       Dedup.aHashPairs(dupped)
     },
     "multimodal_wav_zc" -> { (s, dir) => Multimodal.wavZc(wavMedia(s, dir)) },
+    "multimodal_wav_fp" -> { (s, dir) => Multimodal.wavFingerprints(wavMedia(s, dir)) },
+    // audio near-dup: every 25th clip re-ingested under a fresh id (an
+    // exact re-upload — fingerprint copied); Hamming-banded pairs over the
+    // 64-bit waveform fingerprints, the same machinery as the image hashes
+    "multimodal_wav_pairs" -> { (s, dir) =>
+      val base = Multimodal.wavFingerprints(wavMedia(s, dir))
+      val dupped = base.unionAll(
+        base
+          .filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("hash_hi"), col("hash_lo")))
+      Dedup.aHashPairs(dupped)
+    },
     "multimodal_resize_bmp" -> { (s, dir) =>
       Multimodal.bmpResized(bmpMedia(s, dir), tw = 2, th = 2)
     },
@@ -703,6 +715,30 @@ object OpsQueries {
       |    CAST(list_sum(list_transform(range(0, 32),
       |         k -> CASE WHEN gray[k+1]*64 > total THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS hash_lo
       |  FROM s)""".stripMargin
+
+  /** Waveform-fingerprint CTEs (mirrors `Multimodal.wavFingerprint` over
+    * the WAV generator formula): per-window |amplitude| sums against the
+    * clip total, packed into 32-bit hash halves like the image aHash.
+    */
+  private val wavFpCtes = {
+    def half(range: String, shift: String) =
+      s"""CAST(list_sum(list_transform($range, w ->
+         |      CASE WHEN 64 * list_sum(list_transform(
+         |             range(CAST(w*n//64 AS BIGINT)+1, CAST((w+1)*n//64 AS BIGINT)+1),
+         |             i -> amp[CAST(i AS INT)])) > tot
+         |           THEN CAST(1 AS BIGINT) << ($shift) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""wsamp AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n,
+       |         list_transform(range(0, 64 + doc_id % 64),
+       |                        i -> abs((doc_id*73 + i*179) % 65536 - 32768)) AS amp
+       |  FROM documents),
+       |wtot AS (SELECT doc_id, n, amp, list_sum(amp) AS tot FROM wsamp),
+       |wfp AS (
+       |  SELECT doc_id,
+       |    ${half("range(32, 64)", "w-32")} AS hash_hi,
+       |    ${half("range(0, 32)", "w")} AS hash_lo
+       |  FROM wtot)""".stripMargin
+  }
 
   /** 60-bit wide-SimHash vote/fingerprint select lists (mirrors
     * `Dedup.simHashWide`'s md5-hex-digit bit votes).
@@ -1687,6 +1723,29 @@ object OpsQueries {
     "multimodal_ahash" ->
       s"""WITH $ahashCtes
          |SELECT doc_id, hash_hi, hash_lo FROM ah""".stripMargin,
+    "multimodal_wav_fp" ->
+      s"""WITH $wavFpCtes
+         |SELECT doc_id, hash_hi, hash_lo FROM wfp""".stripMargin,
+    "multimodal_wav_pairs" ->
+      s"""WITH $wavFpCtes,
+         |dup AS (
+         |  SELECT doc_id, hash_hi, hash_lo FROM wfp
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, hash_hi, hash_lo FROM wfp WHERE doc_id % 25 = 0),
+         |bd AS (
+         |  SELECT doc_id, hash_hi, hash_lo, b.band AS band,
+         |         ((CASE WHEN b.band < 2 THEN hash_lo ELSE hash_hi END) >> (16 * (b.band % 2))) & 65535 AS bkey
+         |  FROM dup CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |bc AS (SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bn FROM bd),
+         |bok AS (SELECT doc_id, hash_hi, hash_lo, band, bkey FROM bc WHERE bn <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, a.hash_hi AS ha, a.hash_lo AS la,
+         |                  b.doc_id AS doc_b, b.hash_hi AS hb, b.hash_lo AS lb
+         |  FROM bok a JOIN bok b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3""".stripMargin,
     "multimodal_ahash_pairs" ->
       s"""WITH $ahashCtes,
          |dup AS (

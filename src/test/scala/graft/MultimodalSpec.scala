@@ -155,6 +155,37 @@ class MultimodalSpec extends SparkSpec {
     assert(z == graft.ops.WavZc(1L, n.toLong, expected.toLong))
   }
 
+  test("wavFingerprint: matches the hand-computed window bits; copies pair at hamming 0") {
+    // hand-compute the 64-window energy bits from the generator formula
+    val id = 5L
+    val n = (64 + id % 64).toInt
+    val amp = (0 until n).map(i => math.abs((id * 73 + i * 179) % 65536 - 32768))
+    val tot = amp.sum
+    var hi = 0L; var lo = 0L
+    (0 until 64).foreach { w =>
+      val ws = amp.slice(w * n / 64, (w + 1) * n / 64).sum
+      if (64L * ws > tot) { if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32) }
+    }
+    val fp = Multimodal.wavFingerprint(id, MediaSynth.docWav(id))
+    assert(fp == graft.ops.WavFp(id, hi, lo))
+    // a different clip's fingerprint differs in many bits
+    val other = Multimodal.wavFingerprint(6L, MediaSynth.docWav(6L))
+    val d = java.lang.Long.bitCount(fp.hash_hi ^ other.hash_hi) +
+      java.lang.Long.bitCount(fp.hash_lo ^ other.hash_lo)
+    assert(d > 3, s"distinct clips should not be near-dups (hamming $d)")
+    // an exact re-upload under a fresh id pairs at hamming 0
+    val s = spark
+    import s.implicits._
+    val hashes = Seq(
+      (5L, fp.hash_hi, fp.hash_lo),
+      (1000005L, fp.hash_hi, fp.hash_lo),
+      (6L, other.hash_hi, other.hash_lo)
+    ).toDF("doc_id", "hash_hi", "hash_lo")
+    val pairs = graft.ops.Dedup.aHashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet == Set((5L, 1000005L, 0L)))
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a media DataFrame") {
     val s = spark
     import s.implicits._
