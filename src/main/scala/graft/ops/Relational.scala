@@ -246,6 +246,49 @@ object Relational {
           payloadCols.map(c => coalesce(col(c), col(s"__carry_$c")).as(c))): _*)
   }
 
+  /** [[asOfJoinForward]] with a staleness bound — completes the as-of
+    * matrix (backward/forward × plain/bucketed/tolerance): a forward
+    * match farther than `toleranceUnits` ahead of the left row nulls
+    * out, each payload column aging independently. Window state is
+    * `first(struct(ts, value))` over the following frame.
+    */
+  def asOfJoinForwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      toleranceUnits: Long): DataFrame = {
+    require(toleranceUnits >= 0, s"toleranceUnits must be non-negative (got $toleranceUnits)")
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val l = left.withColumn("__side", lit(0))
+    val r = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__side", lit(1))
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = payloadCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, c) =>
+        df.withColumn(
+          s"__s_$c",
+          first(
+            when(col(c).isNotNull, struct(col(tsCol).as("t"), col(c).as("v"))),
+            ignoreNulls = true).over(w))
+    }
+    attached
+      .filter(col("__side") === 0)
+      .select(
+        (left.columns.toSeq.map(col) ++
+          payloadCols.map(c =>
+            when(
+              col(s"__s_$c").getField("t") <= col(tsCol) + toleranceUnits,
+              col(s"__s_$c").getField("v")).as(c))): _*)
+  }
+
   /** [[asOfJoinForward]] with bounded per-key serial work — the mirror of
     * [[asOfJoinBucketed]]: the ordered window runs per (key, time-bucket),
     * and matches that cross a bucket boundary are restored by a

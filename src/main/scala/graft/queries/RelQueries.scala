@@ -125,6 +125,30 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("purchase_ts_us", "purchase_value"))
     },
+    // Forward attribution with a 1-hour horizon: a purchase more than an
+    // hour ahead no longer counts as converted-from-this-click.
+    "asof_join_forward_tolerance" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("purchase_ts_us"),
+          col("value").as("purchase_value"))
+      Relational.asOfJoinForwardTolerance(
+        clicks,
+        purchases,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("purchase_ts_us", "purchase_value"),
+        toleranceUnits = 2 * HalfHourUs)
+    },
     // Forward attribution through the bucketed variant: must hash-match
     // asof_join_forward's oracle exactly (carry-back across 30-minute
     // bucket boundaries).
@@ -531,6 +555,27 @@ object RelQueries {
         |       CASE WHEN m_ts >= ts_us - 3600000000 THEN m_val END AS click_value
         |FROM attached WHERE side = 1""".stripMargin,
     "asof_join_forward" -> asofForwardSql,
+    // same single-source-row note as asof_join_tolerance: purchases carry
+    // both payloads, so one matched ts gates both columns in the mirror
+    "asof_join_forward_tolerance" ->
+      """WITH tagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side,
+        |         CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_ts,
+        |         CASE WHEN event_type = 'purchase' THEN value END AS p_val
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), attached AS (
+        |  SELECT user_id, ts_us, event_id, side,
+        |         FIRST_VALUE(p_ts IGNORE NULLS) OVER win AS m_ts,
+        |         FIRST_VALUE(p_val IGNORE NULLS) OVER win AS m_val
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |       CASE WHEN m_ts <= ts_us + 3600000000 THEN m_ts END AS purchase_ts_us,
+        |       CASE WHEN m_ts <= ts_us + 3600000000 THEN m_val END AS purchase_value
+        |FROM attached WHERE side = 0""".stripMargin,
     // contract-identical to the plain forward as-of, so same oracle
     "asof_join_forward_bucketed" -> asofForwardSql,
     // The bucketed operator's contract is bit-identical output to the

@@ -109,6 +109,32 @@ class RelationalSpec extends SparkSpec {
     assert(loose == plain)
   }
 
+  test("asOfJoinForwardTolerance: far-future matches null out; loose bound equals plain forward") {
+    val s = spark
+    import s.implicits._
+    // q_val first appears at ts=95, q_ts at ts=92; left at ts=90 with
+    // tolerance 3: q_ts (2 ahead) kept, q_val (5 ahead) nulled
+    val r = Seq(
+      (1L, 1L, 95L, Option.empty[Long], Option(1.5)),
+      (2L, 1L, 92L, Option(92L), Option.empty[Double])
+    ).toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((90L, 1L, 90L)).toDF("event_id", "user_id", "ts_us")
+    val out = Relational
+      .asOfJoinForwardTolerance(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), 3L)
+      .collect().head
+    assert(Option(out.get(3)) == Some(92L) && Option(out.get(4)).isEmpty)
+    val loose = Relational
+      .asOfJoinForwardTolerance(
+        trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), 1000000L)
+      .select("event_id", "q_ts", "q_val").collect()
+      .map(row => (row.getLong(0), Option(row.get(1)), Option(row.get(2)))).toSet
+    val plain = Relational
+      .asOfJoinForward(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+      .select("event_id", "q_ts", "q_val").collect()
+      .map(row => (row.getLong(0), Option(row.get(1)), Option(row.get(2)))).toSet
+    assert(loose == plain)
+  }
+
   test("asOfJoinForward picks the earliest right row at-or-after; nulls past the last; low ord on ties") {
     val fwd = Relational
       .asOfJoinForward(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
