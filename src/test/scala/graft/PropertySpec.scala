@@ -119,6 +119,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinForwardBucketed == asOfJoinForward on random keyed events for every bucket width") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Relational
+    val gen = for {
+      lefts <- Gen.listOfN(
+        60,
+        for {
+          k <- Gen.chooseNum(1L, 5L)
+          ts <- Gen.chooseNum(0L, 120L)
+        } yield (k, ts))
+      rights <- Gen.listOfN(
+        40,
+        for {
+          k <- Gen.chooseNum(1L, 5L)
+          ts <- Gen.chooseNum(0L, 120L)
+          pv <- Gen.option(Gen.chooseNum(1L, 99L))
+        } yield (k, ts, pv))
+    } yield (lefts, rights)
+    cases(gen, 2).foreach { case (lefts, rights) =>
+      val l = lefts.zipWithIndex
+        .map { case ((k, ts), i) => (1000L + i, k, ts) }
+        .toDF("event_id", "user_id", "ts_us")
+      val r = rights.zipWithIndex
+        .map { case ((k, ts, pv), i) => (i.toLong, k, ts, pv) }
+        .toDF("event_id", "user_id", "ts_us", "q_val")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "q_val")
+        .collect()
+        .map(row => (row.getLong(0), Option(row.get(1))))
+        .toSet
+      val plain = rows(
+        Relational.asOfJoinForward(l, r, "user_id", "ts_us", "event_id", Seq("q_val")))
+      for (w <- Seq(1L, 13L, 50L, 1000L)) {
+        val bucketed = rows(
+          Relational.asOfJoinForwardBucketed(
+            l, r, "user_id", "ts_us", "event_id", Seq("q_val"), w))
+        assert(bucketed == plain, s"bucketUnits=$w diverged from asOfJoinForward")
+      }
+    }
+  }
+
   test("severity pivot: bucket sums always total the non-null input counts (fixed mode)") {
     val s = spark
     import s.implicits._
