@@ -155,6 +155,7 @@ object Multimodal {
         s"doc $id: bad $chunkId chunk size $size at offset $off")
       chunkId match {
         case "fmt " =>
+          require(size >= 16, s"doc $id: fmt chunk too small ($size bytes)")
           val audioFormat = buf.getShort(off + 8)
           val channels = buf.getShort(off + 10)
           val bits = buf.getShort(off + 22)
@@ -206,6 +207,7 @@ object Multimodal {
         s"doc $id: bad $chunkId chunk size $size at offset $off")
       chunkId match {
         case "fmt " =>
+          require(size >= 16, s"doc $id: fmt chunk too small ($size bytes)")
           val audioFormat = buf.getShort(off + 8)
           val channels = buf.getShort(off + 10)
           val bits = buf.getShort(off + 22)
@@ -270,6 +272,7 @@ object Multimodal {
         s"doc $id: bad $chunkId chunk size $size at offset $off")
       chunkId match {
         case "fmt " =>
+          require(size >= 16, s"doc $id: fmt chunk too small ($size bytes)")
           val audioFormat = buf.getShort(off + 8)
           val channels = buf.getShort(off + 10)
           val bits = buf.getShort(off + 22)
@@ -291,8 +294,10 @@ object Multimodal {
           var hi = 0L; var lo = 0L
           var w = 0
           while (w < 64) {
-            val start = w * n / 64
-            val end = (w + 1) * n / 64
+            // Long products: w*n overflows Int past ~34M samples (a
+            // quarter-hour 44.1 kHz clip), corrupting window boundaries
+            val start = (w.toLong * n / 64).toInt
+            val end = ((w + 1).toLong * n / 64).toInt
             var ws = 0L
             var j = start
             while (j < end) { ws += amp(j); j += 1 }

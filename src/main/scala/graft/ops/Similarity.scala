@@ -417,10 +417,15 @@ object Similarity {
   private def requireIvfDim(df: DataFrame, path: String, vecCol: String): Unit = {
     val stored = df.sparkSession.read.parquet(s"$path/params")
       .select("dim").head().getInt(0)
-    val got = df.select(size(col(vecCol))).head().getInt(0)
-    require(
-      got == stored,
-      s"IVF index at $path was built over $stored-dim vectors, caller passed $got-dim")
+    // an EMPTY batch/query set has no dimension to check (and must not
+    // crash a streaming ingest or an empty-probe call with a head() on
+    // zero rows) — downstream assignment/probing of zero rows is a no-op
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      val got = r.getInt(0)
+      require(
+        got == stored,
+        s"IVF index at $path was built over $stored-dim vectors, caller passed $got-dim")
+    }
   }
 
   /** Grow a persisted IVF index (flat or k-means) with a new batch:
@@ -442,16 +447,27 @@ object Similarity {
       .parquet(s"$path/cells")
   }
 
+  /** `true` when `dir` exists on the session's filesystem (local or
+    * cluster FS — the streaming ingests key their train-vs-append branch
+    * on the persisted store, not on the batch id, so an empty first
+    * micro-batch cannot leave the index permanently untrained).
+    */
+  private def storeExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** One micro-batch of STREAMING IVF maintenance (the foreachBatch body
-    * of [[graft.streaming.AnnIngest.ivfIngest]]): batch 0 trains and
-    * persists the quantizer from its own rows (overwrite semantics — a
-    * retried first batch rebuilds identically); every batch, including
-    * the first, assigns its vectors against the frozen centroids and
-    * lands under its own `cells/batch_id=N` directory with overwrite
-    * semantics, so a checkpoint-retried batch rewrites itself instead of
-    * duplicating. Cells carry (batch_id, centroid_id) directory keys;
-    * [[probeIvfIndex]] reads them unchanged and still prunes on
-    * centroid_id.
+    * of [[graft.streaming.AnnIngest.ivfIngest]]): the first NON-EMPTY
+    * batch trains and persists the quantizer from its own rows (branching
+    * on the persisted params, so an empty leading batch neither trains
+    * nor crashes; overwrite semantics — a retried training batch rebuilds
+    * identically); every batch assigns its vectors against the frozen
+    * centroids and lands under its own `cells/batch_id=N` directory with
+    * overwrite semantics, so a checkpoint-retried batch rewrites itself
+    * instead of duplicating. Cells carry (batch_id, centroid_id)
+    * directory keys; [[probeIvfIndex]] reads them unchanged and still
+    * prunes on centroid_id.
     */
   def ingestIvfBatch(
       batch: DataFrame,
@@ -463,7 +479,8 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batchId == 0L) {
+    if (batch.isEmpty) return // nothing to train on or assign
+    if (!storeExists(spark, s"$path/params")) {
       val cents = ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
       val dim = cents.select(size(col("centroid"))).head().getInt(0)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -956,10 +973,11 @@ object Similarity {
   }
 
   /** One micro-batch of STREAMING PQ maintenance — the compressed-domain
-    * twin of [[ingestIvfBatch]]: batch 0 trains and persists the codebook
-    * from its own rows; every batch encodes against the frozen codebook
-    * and lands its codes under `codes/batch_id=N` with overwrite
-    * semantics (checkpoint-retried batches rewrite themselves).
+    * twin of [[ingestIvfBatch]]: the first NON-EMPTY batch trains and
+    * persists the codebook from its own rows (params-keyed branch, same
+    * empty-leading-batch tolerance); every batch encodes against the
+    * frozen codebook and lands its codes under `codes/batch_id=N` with
+    * overwrite semantics (checkpoint-retried batches rewrite themselves).
     * [[probePqIndex]] reads the grown store unchanged — the extra
     * batch_id partition column never reaches the ADC join's projection.
     */
@@ -976,7 +994,8 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    if (batchId == 0L) {
+    if (batch.isEmpty) return // nothing to train on or encode
+    if (!storeExists(spark, s"$path/params")) {
       pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       Seq((m, ksub, dim))

@@ -236,7 +236,10 @@ object OpsQueries {
     // and hiding the build would overstate the probe.
     "similarity_topk_ivf_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      // fixed scratch path, overwrite semantics: repeated invocations
+      // (bench reps, plan sweeps) rewrite one index instead of leaking a
+      // fresh temp directory per call
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_scratch"
       Similarity.writeIvfIndex(e, idx)
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
@@ -435,7 +438,8 @@ object OpsQueries {
     // twin above for why the build is inside the timed query
     "similarity_topk_pq_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+      // fixed scratch path + overwrite — see similarity_topk_ivf_persisted
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_idx_scratch"
       Similarity.writePqIndex(e, idx)
       Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },

@@ -9,11 +9,6 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchJsonSpec extends AnyFunSuite {
 
-  private def parse(s: String) = {
-    // no JSON lib on the classpath: structural assertions on the string
-    s
-  }
-
   test("failures render as err objects, successes as numbers, total sums successes only") {
     val json = Bench.renderJson(
       Seq(

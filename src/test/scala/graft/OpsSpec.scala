@@ -232,7 +232,7 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("drift_milli") == 1000L,
         s"cell ${r.getAs[Long]("centroid_id")}: ${r.getAs[Long]("drift_milli")}")
     }
-    // a collapsed batch (500 copies of one vector) funnels into one cell:
+    // a collapsed batch (10 copies of one vector) funnels into one cell:
     // that cell's share becomes ~1e6 ppm, so its drift ratio far exceeds
     // 1000 and every other cell reads 0
     val one = e.filter(col("vec_id") === 3L).limit(1)
