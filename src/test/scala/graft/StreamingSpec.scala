@@ -145,6 +145,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(probe()) == before, "an up-to-date rerun must not change the index")
   }
 
+  test("ivfIngest: an empty leading batch neither crashes nor leaves the index untrained") {
+    val dir = java.nio.file.Files.createTempDirectory("annempty").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val embSchema = e.schema
+    def run(): Unit =
+      graft.streaming.AnnIngest
+        .ivfIngest(
+          spark.readStream.schema(embSchema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    // batch 0 is EMPTY (a zero-row parquet file): must no-op, not crash,
+    // and must NOT consume the one-shot training slot
+    e.limit(0).write.mode("append").parquet(s"$dir/in")
+    run()
+    // the first NON-EMPTY batch trains; probing then equals the in-memory
+    // k-means IVF over that batch
+    e.write.mode("append").parquet(s"$dir/in")
+    run()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    assert(
+      rows(graft.ops.Similarity.probeIvfIndex(spark, s"$dir/idx", q, k = 5)) ==
+        rows(graft.ops.Similarity.ivfTopK(q, e, k = 5)))
+    // probing with an empty query set returns empty instead of throwing
+    assert(
+      graft.ops.Similarity
+        .probeIvfIndex(spark, s"$dir/idx", q.filter(col("vec_id") < 0), k = 5)
+        .count() == 0L)
+  }
+
   test("pqIngest: codebook trains on batch 0, grown store equals rebuild-from-union") {
     val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
