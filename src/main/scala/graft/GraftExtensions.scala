@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{CosineSimilarity, MinHashSignature}
+import graft.functions.{CosineSimilarity, MinHashSignature, SquaredDistanceLong}
 
 /** Session-extensions injector: makes the engine's native SQL functions
   * available cluster-wide with zero user code —
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("cosine_similarity"),
         info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float vectors"),
         (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction(
+      (
+        FunctionIdentifier("l2sq_long"),
+        info("l2sq_long", "l2sq_long(a, b) - integer squared L2 distance of two bigint vectors"),
+        (exprs: Seq[Expression]) => SquaredDistanceLong(exprs(0), exprs(1))))
     ext.injectFunction(
       (
         FunctionIdentifier("minhash_signature"),

@@ -26,6 +26,12 @@ class ExtensionsSpec extends SparkSpec {
       ArrayType(StringType))
     val sig = graft.functions.MinHashSignature(toks, 4).eval(null)
     assert(sig.asInstanceOf[ArrayData].numElements() == 4)
+
+    // l2sq_long rides the same injector (register() parity)
+    import org.apache.spark.sql.types.LongType
+    val lv = Literal.create(ArrayData.toArrayData(Array(3L, 0L)), ArrayType(LongType))
+    val zero = Literal.create(ArrayData.toArrayData(Array(0L, 4L)), ArrayType(LongType))
+    assert(graft.functions.SquaredDistanceLong(lv, zero).eval(null) == 25L)
   }
 
   test("SQL-path parity: session-registered functions answer from pure SQL") {
