@@ -11,6 +11,42 @@ import org.apache.spark.sql.functions._
   */
 object Checks {
 
+  /** Schema-contract check — the generalized lesson of the events-fixture
+    * breakage (an upstream producer silently changed a column's physical
+    * type and 21 queries died at plan build): compare the OBSERVED schema
+    * against a declared (column → catalog type string) contract BEFORE
+    * any data is read. One report row per column in either side:
+    *
+    *   - `ok`            observed type equals the contract;
+    *   - `type_mismatch` column present with a different type (the
+    *                     EventTime failure class);
+    *   - `missing`       contracted column absent from the data;
+    *   - `unexpected`    column present but not contracted (a producer
+    *                     added fields — usually benign, never silent).
+    *
+    * Purely driver-side metadata (no job, no scan) — the cheapest
+    * possible pre-flight, gate it before every ingest. Contract types
+    * compare case-insensitively on Spark's catalog strings ("bigint",
+    * "timestamp_ntz", "array<float>").
+    */
+  def schemaDrift(df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val observed = df.schema.map(f => f.name -> f.dataType.catalogString.toLowerCase).toMap
+    val contract = expected.map { case (c, t) => c -> t.toLowerCase }
+    val contractCols = contract.map(_._1).toSet
+    val rows =
+      contract.map { case (c, t) =>
+        observed.get(c) match {
+          case None => (c, "missing")
+          case Some(o) if o == t => (c, "ok")
+          case Some(_) => (c, "type_mismatch")
+        }
+      } ++
+        df.schema.map(_.name).filterNot(contractCols).map(c => (c, "unexpected"))
+    rows.toDF("column", "status")
+  }
+
   /** One-row audit of `df`: row count, duplicate-key count (rows beyond
     * the first per key), and a null count per requested column.
     * `count distinct` expands to a two-phase partial aggregate, so a

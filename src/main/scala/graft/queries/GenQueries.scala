@@ -156,6 +156,22 @@ object GenQueries {
           "priority_urgent" -> col("o_orderpriority").startsWith("1-"),
           "status_known" -> col("o_orderstatus").isin("O", "F", "P")))
     },
+    // schema-contract pre-flight over the events table. The contract
+    // deliberately mis-declares `value` as string (type_mismatch),
+    // declares an absent `ingest_batch` (missing), and does NOT declare
+    // `ts` (unexpected) — so the report is independent of ts's physical
+    // encoding, the exact drift this check exists to catch.
+    "audit_schema_drift" -> { (s, dir) =>
+      graft.ops.Checks.schemaDrift(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq(
+          "event_id" -> "bigint",
+          "user_id" -> "bigint",
+          "event_type" -> "string",
+          "value" -> "string",
+          "props" -> "string",
+          "ingest_batch" -> "bigint"))
+    },
     // bloom-prefiltered semi join: lineitem rows whose part is size-1,
     // probe side pruned map-side by a bloom sketch of the build keys
     // before any shuffle; exact join removes false positives, so the
@@ -227,6 +243,12 @@ object GenQueries {
         |UNION ALL SELECT 'price_positive', v2, n_rows FROM a
         |UNION ALL SELECT 'priority_urgent', v3, n_rows FROM a
         |UNION ALL SELECT 'status_known', v4, n_rows FROM a""".stripMargin,
+    "audit_schema_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('event_id', 'ok'), ('user_id', 'ok'), ('event_type', 'ok'),
+        |  ('value', 'type_mismatch'), ('props', 'ok'),
+        |  ('ingest_batch', 'missing'), ('ts', 'unexpected'))
+        |AS t("column", status)""".stripMargin,
     "gen_bloom_semi_join" ->
       """SELECT l_linestatus,
         |  CAST(COUNT(*) AS BIGINT) AS n_items,

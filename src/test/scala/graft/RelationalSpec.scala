@@ -663,6 +663,32 @@ class RelationalSpec extends SparkSpec {
     assert(orph.getAs[Long]("n_orphans") == 2L) // key 9 unmatched + null key
   }
 
+  test("Checks.schemaDrift: ok/mismatch/missing/unexpected statuses, case-insensitive catalog types") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x", Seq(1.0f))).toDF("id", "name", "emb")
+    val got = Checks
+      .schemaDrift(
+        df,
+        Seq(
+          "id" -> "BIGINT", // case-insensitive match
+          "name" -> "string",
+          "emb" -> "array<double>", // actually array<float>
+          "ts" -> "timestamp"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(
+      "id" -> "ok",
+      "name" -> "ok",
+      "emb" -> "type_mismatch",
+      "ts" -> "missing"))
+    // an uncontracted column reports unexpected
+    val extra = Checks.schemaDrift(df, Seq("id" -> "bigint")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(extra("name") == "unexpected" && extra("emb") == "unexpected")
+  }
+
   test("Checks.expectations: per-rule violation counts in one pass; null rules violate") {
     val df = Seq(
       (1L, Some(5L)),
