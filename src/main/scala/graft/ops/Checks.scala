@@ -22,28 +22,39 @@ object Checks {
     *                     EventTime failure class);
     *   - `missing`       contracted column absent from the data;
     *   - `unexpected`    column present but not contracted (a producer
-    *                     added fields — usually benign, never silent).
+    *                     added fields — usually benign, never silent);
+    *   - `duplicated`    the name appears more than once in the schema
+    *                     (legal after joins, fatal at first resolution).
     *
     * Purely driver-side metadata (no job, no scan) — the cheapest
-    * possible pre-flight, gate it before every ingest. Contract types
-    * compare case-insensitively on Spark's catalog strings ("bigint",
+    * possible pre-flight, gate it before every ingest. NAMES compare
+    * case-insensitively (matching Spark's default resolution under
+    * `spark.sql.caseSensitive=false` — a pure case variance must not
+    * block an ingest that every query resolves fine); TYPES compare
+    * case-insensitively on Spark's catalog strings ("bigint",
     * "timestamp_ntz", "array<float>").
     */
   def schemaDrift(df: DataFrame, expected: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val observed = df.schema.map(f => f.name -> f.dataType.catalogString.toLowerCase).toMap
-    val contract = expected.map { case (c, t) => c -> t.toLowerCase }
-    val contractCols = contract.map(_._1).toSet
+    val observed = df.schema
+      .map(f => f.name.toLowerCase -> f.dataType.catalogString.toLowerCase)
+      .groupBy(_._1)
+      .map { case (n, fs) => n -> fs.map(_._2) }
+    val contract = expected.map { case (c, t) => (c, c.toLowerCase, t.toLowerCase) }
+    val contractCols = contract.map(_._2).toSet
     val rows =
-      contract.map { case (c, t) =>
+      contract.map { case (orig, c, t) =>
         observed.get(c) match {
-          case None => (c, "missing")
-          case Some(o) if o == t => (c, "ok")
-          case Some(_) => (c, "type_mismatch")
+          case None => (orig, "missing")
+          case Some(ts) if ts.length > 1 => (orig, "duplicated")
+          case Some(ts) if ts.head == t => (orig, "ok")
+          case Some(_) => (orig, "type_mismatch")
         }
       } ++
-        df.schema.map(_.name).filterNot(contractCols).map(c => (c, "unexpected"))
+        df.schema.map(_.name).distinct.filterNot(n => contractCols(n.toLowerCase)).map { n =>
+          (n, if (observed(n.toLowerCase).length > 1) "duplicated" else "unexpected")
+        }
     rows.toDF("column", "status")
   }
 

@@ -133,11 +133,14 @@ object Multimodal {
     BmpStats(id, tw, th, sr, sg, sb)
   }
 
-  /** Parse a PCM16 mono WAV by scanning RIFF chunks (not fixed offsets —
-    * real files carry LIST/INFO chunks before `data`), validating the
-    * `fmt ` chunk, and folding sum-of-squares and peak over the samples.
+  /** Shared RIFF/WAVE chunk walk for every PCM16-mono parser: validates
+    * the container, the `fmt ` chunk (present before data, >= 16 bytes,
+    * PCM16 mono), skips unknown chunks (LIST, INFO, ...) with word
+    * alignment, and invokes `onData(buf, dataOffset, nSamples)` on the
+    * data chunk. Every WAV hardening lands HERE once — not per operator.
     */
-  def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+  private def parsePcm16[T](id: Long, bytes: Array[Byte])(
+      onData: (java.nio.ByteBuffer, Int, Int) => T): T = {
     require(
       bytes.length >= 12 &&
         new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
@@ -146,7 +149,7 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     var off = 12
     var fmtOk = false
-    var stats: WavStats = null
+    var out: Option[T] = None
     while (off + 8 <= bytes.length) {
       val chunkId = new String(bytes, off, 4, "US-ASCII")
       val size = buf.getInt(off + 4)
@@ -165,75 +168,50 @@ object Multimodal {
           fmtOk = true
         case "data" =>
           require(fmtOk, s"doc $id: data chunk before fmt")
-          val n = size / 2
-          var sumSq = 0L; var peak = 0L
-          var i = 0
-          while (i < n) {
-            val s = buf.getShort(off + 8 + 2 * i).toLong
-            sumSq += s * s
-            val a = math.abs(s)
-            if (a > peak) peak = a
-            i += 1
-          }
-          stats = WavStats(id, n.toLong, sumSq, peak)
+          out = Some(onData(buf, off + 8, size / 2))
         case _ => // skip unknown chunks (LIST, INFO, ...)
       }
       off += 8 + size + (size & 1) // chunks are word-aligned
     }
-    require(stats != null, s"doc $id: no data chunk")
-    stats
+    require(out.isDefined, s"doc $id: no data chunk")
+    out.get
   }
+
+  /** Parse a PCM16 mono WAV by scanning RIFF chunks (not fixed offsets —
+    * real files carry LIST/INFO chunks before `data`), validating the
+    * `fmt ` chunk, and folding sum-of-squares and peak over the samples.
+    */
+  def decodeWav(id: Long, bytes: Array[Byte]): WavStats =
+    parsePcm16(id, bytes) { (buf, dataOff, n) =>
+      var sumSq = 0L; var peak = 0L
+      var i = 0
+      while (i < n) {
+        val s = buf.getShort(dataOff + 2 * i).toLong
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      WavStats(id, n.toLong, sumSq, peak)
+    }
 
   /** Zero-crossing count of a PCM16 mono WAV — the classic cheap
     * voiced/unvoiced + noisiness signal (integer-exact, unlike spectral
     * features, so it oracle-hashes). Same RIFF walk as [[decodeWav]];
     * counts adjacent sample pairs with opposite signs.
     */
-  def wavZeroCrossings(id: Long, bytes: Array[Byte]): WavZc = {
-    require(
-      bytes.length >= 12 &&
-        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
-      s"doc $id: not a WAV")
-    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var fmtOk = false
-    var out: WavZc = null
-    while (off + 8 <= bytes.length) {
-      val chunkId = new String(bytes, off, 4, "US-ASCII")
-      val size = buf.getInt(off + 4)
-      require(
-        size >= 0 && off + 8 + size <= bytes.length,
-        s"doc $id: bad $chunkId chunk size $size at offset $off")
-      chunkId match {
-        case "fmt " =>
-          require(size >= 16, s"doc $id: fmt chunk too small ($size bytes)")
-          val audioFormat = buf.getShort(off + 8)
-          val channels = buf.getShort(off + 10)
-          val bits = buf.getShort(off + 22)
-          require(
-            audioFormat == 1 && channels == 1 && bits == 16,
-            s"doc $id: unsupported WAV (fmt=$audioFormat ch=$channels bits=$bits)")
-          fmtOk = true
-        case "data" =>
-          require(fmtOk, s"doc $id: data chunk before fmt")
-          val n = size / 2
-          var zc = 0L
-          var i = 1
-          while (i < n) {
-            val a = buf.getShort(off + 8 + 2 * (i - 1)).toInt
-            val b = buf.getShort(off + 8 + 2 * i).toInt
-            if (a * b < 0) zc += 1
-            i += 1
-          }
-          out = WavZc(id, n.toLong, zc)
-        case _ => // skip unknown chunks
+  def wavZeroCrossings(id: Long, bytes: Array[Byte]): WavZc =
+    parsePcm16(id, bytes) { (buf, dataOff, n) =>
+      var zc = 0L
+      var i = 1
+      while (i < n) {
+        val a = buf.getShort(dataOff + 2 * (i - 1)).toInt
+        val b = buf.getShort(dataOff + 2 * i).toInt
+        if (a * b < 0) zc += 1
+        i += 1
       }
-      off += 8 + size + (size & 1)
+      WavZc(id, n.toLong, zc)
     }
-    require(out != null, s"doc $id: no data chunk")
-    out
-  }
 
   /** [[wavZeroCrossings]] over a media table, partition-parallel. */
   def wavZc(media: DataFrame): DataFrame = {
@@ -254,66 +232,33 @@ object Multimodal {
     * consumes the output unchanged (same `(doc_id, hash_hi, hash_lo)`
     * shape as the image hashes).
     */
-  def wavFingerprint(id: Long, bytes: Array[Byte]): WavFp = {
-    require(
-      bytes.length >= 12 &&
-        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
-        new String(bytes, 8, 4, "US-ASCII") == "WAVE",
-      s"doc $id: not a WAV")
-    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var off = 12
-    var fmtOk = false
-    var out: WavFp = null
-    while (off + 8 <= bytes.length) {
-      val chunkId = new String(bytes, off, 4, "US-ASCII")
-      val size = buf.getInt(off + 4)
-      require(
-        size >= 0 && off + 8 + size <= bytes.length,
-        s"doc $id: bad $chunkId chunk size $size at offset $off")
-      chunkId match {
-        case "fmt " =>
-          require(size >= 16, s"doc $id: fmt chunk too small ($size bytes)")
-          val audioFormat = buf.getShort(off + 8)
-          val channels = buf.getShort(off + 10)
-          val bits = buf.getShort(off + 22)
-          require(
-            audioFormat == 1 && channels == 1 && bits == 16,
-            s"doc $id: unsupported WAV (fmt=$audioFormat ch=$channels bits=$bits)")
-          fmtOk = true
-        case "data" =>
-          require(fmtOk, s"doc $id: data chunk before fmt")
-          val n = size / 2
-          require(n >= 64, s"doc $id: need >= 64 samples for a 64-window fingerprint, got $n")
-          val amp = new Array[Long](n)
-          var total = 0L
-          var i = 0
-          while (i < n) {
-            val a = math.abs(buf.getShort(off + 8 + 2 * i).toLong)
-            amp(i) = a; total += a; i += 1
-          }
-          var hi = 0L; var lo = 0L
-          var w = 0
-          while (w < 64) {
-            // Long products: w*n overflows Int past ~34M samples (a
-            // quarter-hour 44.1 kHz clip), corrupting window boundaries
-            val start = (w.toLong * n / 64).toInt
-            val end = ((w + 1).toLong * n / 64).toInt
-            var ws = 0L
-            var j = start
-            while (j < end) { ws += amp(j); j += 1 }
-            if (64L * ws > total) {
-              if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
-            }
-            w += 1
-          }
-          out = WavFp(id, hi, lo)
-        case _ => // skip unknown chunks
+  def wavFingerprint(id: Long, bytes: Array[Byte]): WavFp =
+    parsePcm16(id, bytes) { (buf, dataOff, n) =>
+      require(n >= 64, s"doc $id: need >= 64 samples for a 64-window fingerprint, got $n")
+      val amp = new Array[Long](n)
+      var total = 0L
+      var i = 0
+      while (i < n) {
+        val a = math.abs(buf.getShort(dataOff + 2 * i).toLong)
+        amp(i) = a; total += a; i += 1
       }
-      off += 8 + size + (size & 1)
+      var hi = 0L; var lo = 0L
+      var w = 0
+      while (w < 64) {
+        // Long products: w*n overflows Int past ~34M samples (a
+        // quarter-hour 44.1 kHz clip), corrupting window boundaries
+        val start = (w.toLong * n / 64).toInt
+        val end = ((w + 1).toLong * n / 64).toInt
+        var ws = 0L
+        var j = start
+        while (j < end) { ws += amp(j); j += 1 }
+        if (64L * ws > total) {
+          if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+        }
+        w += 1
+      }
+      WavFp(id, hi, lo)
     }
-    require(out != null, s"doc $id: no data chunk")
-    out
-  }
 
   /** [[wavFingerprint]] over a media table, partition-parallel. */
   def wavFingerprints(media: DataFrame): DataFrame = {

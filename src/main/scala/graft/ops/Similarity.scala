@@ -458,16 +458,19 @@ object Similarity {
   }
 
   /** One micro-batch of STREAMING IVF maintenance (the foreachBatch body
-    * of [[graft.streaming.AnnIngest.ivfIngest]]): the first NON-EMPTY
-    * batch trains and persists the quantizer from its own rows (branching
-    * on the persisted params, so an empty leading batch neither trains
-    * nor crashes; overwrite semantics — a retried training batch rebuilds
-    * identically); every batch assigns its vectors against the frozen
-    * centroids and lands under its own `cells/batch_id=N` directory with
-    * overwrite semantics, so a checkpoint-retried batch rewrites itself
-    * instead of duplicating. Cells carry (batch_id, centroid_id)
-    * directory keys; [[probeIvfIndex]] reads them unchanged and still
-    * prunes on centroid_id.
+    * of [[graft.streaming.AnnIngest.ivfIngest]]). Training fires when
+    * this is batch 0 (a FRESH stream pointed at the path retrains and
+    * overwrites any stale index — re-pointing semantics) OR when no
+    * params exist yet (so an EMPTY leading batch, which no-ops entirely,
+    * does not permanently consume the training slot: the first non-empty
+    * batch trains instead). Every batch assigns its vectors against the
+    * frozen centroids and lands under its own `cells/batch_id=N`
+    * directory with overwrite semantics, so a checkpoint-retried batch
+    * rewrites itself instead of duplicating. Cells carry
+    * (batch_id, centroid_id) directory keys; [[probeIvfIndex]] reads
+    * them unchanged and still prunes on centroid_id. One driver
+    * round-trip per batch: the emptiness probe and the dimension check
+    * share a single limit(1) collect.
     */
   def ingestIvfBatch(
       batch: DataFrame,
@@ -479,8 +482,9 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // nothing to train on or assign
-    if (!storeExists(spark, s"$path/params")) {
+    val dimOpt = batch.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) return // empty batch: nothing to train on or assign
+    if (batchId == 0L || !storeExists(spark, s"$path/params")) {
       val cents = ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
       val dim = cents.select(size(col("centroid"))).head().getInt(0)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -488,7 +492,12 @@ object Similarity {
         .toDF("kind", "n_centroids", "iters", "dim")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
-    } else requireIvfDim(batch, path, vecCol)
+    } else {
+      val stored = spark.read.parquet(s"$path/params").select("dim").head().getInt(0)
+      require(
+        dimOpt.get == stored,
+        s"IVF index at $path was built over $stored-dim vectors, batch carries ${dimOpt.get}-dim")
+    }
     val cents = spark.read.parquet(s"$path/centroids")
     flatCells(batch, cents, idCol, vecCol)
       .write
@@ -513,6 +522,9 @@ object Similarity {
       batch: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // an empty batch carries no drift signal — fail fast rather than
+    // return an all-zero report a monitoring gate would read as healthy
+    require(!batch.isEmpty, "indexDriftReport: empty batch has no drift signal")
     requireIvfDim(batch, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
     def ppm(counts: DataFrame, nCol: String, pCol: String) = {
@@ -973,9 +985,9 @@ object Similarity {
   }
 
   /** One micro-batch of STREAMING PQ maintenance — the compressed-domain
-    * twin of [[ingestIvfBatch]]: the first NON-EMPTY batch trains and
-    * persists the codebook from its own rows (params-keyed branch, same
-    * empty-leading-batch tolerance); every batch encodes against the
+    * twin of [[ingestIvfBatch]], same training contract: batch 0 (fresh
+    * stream, retrains over any stale store) or the first non-empty batch
+    * when leading batches were empty; every batch encodes against the
     * frozen codebook and lands its codes under `codes/batch_id=N` with
     * overwrite semantics (checkpoint-retried batches rewrite themselves).
     * [[probePqIndex]] reads the grown store unchanged — the extra
@@ -995,7 +1007,7 @@ object Similarity {
     import spark.implicits._
     val subDim = dim / m
     if (batch.isEmpty) return // nothing to train on or encode
-    if (!storeExists(spark, s"$path/params")) {
+    if (batchId == 0L || !storeExists(spark, s"$path/params")) {
       pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       Seq((m, ksub, dim))

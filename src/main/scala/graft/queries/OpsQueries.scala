@@ -236,10 +236,11 @@ object OpsQueries {
     // and hiding the build would overstate the probe.
     "similarity_topk_ivf_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      // fixed scratch path, overwrite semantics: repeated invocations
-      // (bench reps, plan sweeps) rewrite one index instead of leaking a
-      // fresh temp directory per call
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_scratch"
+      // per-PROCESS scratch path, overwrite semantics: repeated
+      // invocations in one JVM (bench reps, plan sweeps) rewrite one
+      // index instead of leaking a temp dir per call, while concurrent
+      // processes (parallel CI, multi-user hosts) never collide
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_idx_${ProcessHandle.current().pid()}"
       Similarity.writeIvfIndex(e, idx)
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
@@ -438,8 +439,8 @@ object OpsQueries {
     // twin above for why the build is inside the timed query
     "similarity_topk_pq_persisted" -> { (s, dir) =>
       val e = embs(s, dir)
-      // fixed scratch path + overwrite — see similarity_topk_ivf_persisted
-      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_idx_scratch"
+      // per-process scratch path + overwrite — see similarity_topk_ivf_persisted
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_idx_${ProcessHandle.current().pid()}"
       Similarity.writePqIndex(e, idx)
       Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },

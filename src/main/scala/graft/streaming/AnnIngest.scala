@@ -6,13 +6,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /** Continuous ANN-index maintenance — the streaming face of the persisted
   * IVF lifecycle ([[graft.ops.Similarity.writeIvfIndex]]/`appendIvfIndex`):
   * a stream of embedding rows keeps a probeable index current without
-  * ever rebuilding it. The first micro-batch trains the coarse quantizer;
-  * every batch assigns against the then-frozen centroids and lands its
-  * cells under a batch-id-keyed directory with overwrite semantics — the
-  * [[CorpusIngest]] exactly-once recipe, so a checkpoint-retried batch
-  * rewrites itself instead of duplicating vectors. Probes
-  * ([[graft.ops.Similarity.probeIvfIndex]]) see every completed batch and
-  * still prune unprobed cells at the scan.
+  * ever rebuilding it. Batch 0 trains the coarse quantizer (a fresh
+  * stream pointed at an existing store retrains and overwrites it); if
+  * leading batches are empty they no-op and the first NON-EMPTY batch
+  * trains instead. Every batch assigns against the then-frozen centroids
+  * and lands its cells under a batch-id-keyed directory with overwrite
+  * semantics — the [[CorpusIngest]] exactly-once recipe, so a
+  * checkpoint-retried batch rewrites itself instead of duplicating
+  * vectors. Probes ([[graft.ops.Similarity.probeIvfIndex]]) see every
+  * completed batch and still prune unprobed cells at the scan.
   *
   * At 100 TB this is the production embedding-ingest loop: each round
   * touches |batch| vectors plus the (tiny, broadcast) centroid table; the
@@ -41,9 +43,10 @@ object AnnIngest {
       }
       .start()
 
-  /** The compressed-domain twin: batch 0 trains the PQ codebook, later
-    * batches encode against it into batch-id-keyed code directories —
-    * same exactly-once recipe, probed by
+  /** The compressed-domain twin: same training contract (batch 0, or the
+    * first non-empty batch when leading batches were empty, trains the PQ
+    * codebook), later batches encode against it into batch-id-keyed code
+    * directories — same exactly-once recipe, probed by
     * [[graft.ops.Similarity.probePqIndex]].
     */
   def pqIngest(

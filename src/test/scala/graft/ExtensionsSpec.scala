@@ -46,5 +46,11 @@ class ExtensionsSpec extends SparkSpec {
       .head()
       .getInt(0)
     assert(n == 8)
+    val d = spark
+      .sql("SELECT l2sq_long(array(CAST(3 AS BIGINT), CAST(0 AS BIGINT)), " +
+        "array(CAST(0 AS BIGINT), CAST(4 AS BIGINT)))")
+      .head()
+      .getLong(0)
+    assert(d == 25L)
   }
 }

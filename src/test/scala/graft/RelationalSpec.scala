@@ -687,6 +687,16 @@ class RelationalSpec extends SparkSpec {
     val extra = Checks.schemaDrift(df, Seq("id" -> "bigint")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(extra("name") == "unexpected" && extra("emb") == "unexpected")
+    // NAME matching is case-insensitive like Spark's default resolution:
+    // a pure case variance must not read as missing+unexpected
+    val cased = Checks.schemaDrift(df, Seq("ID" -> "bigint", "Name" -> "string")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cased("ID") == "ok" && cased("Name") == "ok")
+    // duplicate names (legal after joins) surface as duplicated, never ok
+    val dup = df.select(col("id"), col("name").as("id"))
+    val dupGot = Checks.schemaDrift(dup, Seq("id" -> "bigint")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dupGot("id") == "duplicated")
   }
 
   test("Checks.expectations: per-rule violation counts in one pass; null rules violate") {

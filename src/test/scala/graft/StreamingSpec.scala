@@ -198,6 +198,10 @@ class StreamingSpec extends SparkSpec {
           r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
       .toSet
 
+    // an EMPTY leading batch no-ops without consuming the training slot
+    // (the same contract as ivfIngest, pinned on the PQ path too)
+    e.limit(0).write.mode("append").parquet(s"$dir/in")
+    run()
     e.write.mode("append").parquet(s"$dir/in")
     run()
     assert(
