@@ -414,7 +414,11 @@ object Dedup {
     * [[appendLshIndex]]) with a new batch: identical results to
     * [[crossMinHashLsh]] over the same corpus (same band join, same
     * global hot-bucket cap, same Jaccard verify), but the corpus-side
-    * shingling and minhashing are read back, not recomputed.
+    * shingling and minhashing are read back, not recomputed. Tombstoned
+    * doc ids ([[graft.ops.Similarity.deleteFromIndex]] against this
+    * path) are subtracted from the band table BEFORE the hot-bucket cap,
+    * so a retracted document neither surfaces as a match nor inflates a
+    * bucket toward the cap.
     */
   def probeLshIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -430,9 +434,24 @@ object Dedup {
     requireLshParams(spark, path, numHashes, rowsPerBand, shingle)
     crossProbe(
       probe,
-      Skew.capHotKeys(spark.read.parquet(s"$path/bands"), Seq("band", "bkey"), maxBucket),
+      Skew.capHotKeys(
+        Similarity.minusTombstones(spark, path, spark.read.parquet(s"$path/bands"), "id"),
+        Seq("band", "bkey"),
+        maxBucket),
       spark.read.parquet(s"$path/shingles"),
       numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
+  }
+
+  /** Compact a persisted LSH index: physically drop tombstoned docs from
+    * both the band table and the shingle store (folding any
+    * [[appendLshIndex]] generations into one file set each), then clear
+    * the tombstones — probe results unchanged by contract, same
+    * tmp-and-swap recipe as [[graft.ops.Similarity.compactIvfIndex]].
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    Similarity.compactIndexDir(spark, path, "bands", "id")
+    Similarity.compactIndexDir(spark, path, "shingles", "id")
+    Similarity.clearTombstones(spark, path)
   }
 
   /** Connected components over near-dup pairs: every doc that appears in a

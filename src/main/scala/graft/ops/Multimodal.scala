@@ -231,33 +231,43 @@ object Multimodal {
     * Hamming-banded self-join over these — [[graft.ops.Dedup.aHashPairs]]
     * consumes the output unchanged (same `(doc_id, hash_hi, hash_lo)`
     * shape as the image hashes).
+    *
+    * Clips shorter than 64 samples cannot fill 64 windows; they emit the
+    * ALL-ZERO fingerprint instead of failing the whole partition-parallel
+    * scan (one degenerate-but-valid WAV must not kill a corpus job — the
+    * same skip-don't-throw tolerance the RIFF walk applies to unknown
+    * chunks). Zero-fingerprint rows pile into one band bucket downstream,
+    * which [[graft.ops.Dedup.aHashPairs]]' hot-bucket cap already drops —
+    * so short clips never flood the pair join either.
     */
   def wavFingerprint(id: Long, bytes: Array[Byte]): WavFp =
     parsePcm16(id, bytes) { (buf, dataOff, n) =>
-      require(n >= 64, s"doc $id: need >= 64 samples for a 64-window fingerprint, got $n")
-      val amp = new Array[Long](n)
-      var total = 0L
-      var i = 0
-      while (i < n) {
-        val a = math.abs(buf.getShort(dataOff + 2 * i).toLong)
-        amp(i) = a; total += a; i += 1
-      }
-      var hi = 0L; var lo = 0L
-      var w = 0
-      while (w < 64) {
-        // Long products: w*n overflows Int past ~34M samples (a
-        // quarter-hour 44.1 kHz clip), corrupting window boundaries
-        val start = (w.toLong * n / 64).toInt
-        val end = ((w + 1).toLong * n / 64).toInt
-        var ws = 0L
-        var j = start
-        while (j < end) { ws += amp(j); j += 1 }
-        if (64L * ws > total) {
-          if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+      if (n < 64) WavFp(id, 0L, 0L)
+      else {
+        val amp = new Array[Long](n)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val a = math.abs(buf.getShort(dataOff + 2 * i).toLong)
+          amp(i) = a; total += a; i += 1
         }
-        w += 1
+        var hi = 0L; var lo = 0L
+        var w = 0
+        while (w < 64) {
+          // Long products: w*n overflows Int past ~34M samples (a
+          // quarter-hour 44.1 kHz clip), corrupting window boundaries
+          val start = (w.toLong * n / 64).toInt
+          val end = ((w + 1).toLong * n / 64).toInt
+          var ws = 0L
+          var j = start
+          while (j < end) { ws += amp(j); j += 1 }
+          if (64L * ws > total) {
+            if (w < 32) lo |= 1L << w else hi |= 1L << (w - 32)
+          }
+          w += 1
+        }
+        WavFp(id, hi, lo)
       }
-      WavFp(id, hi, lo)
     }
 
   /** [[wavFingerprint]] over a media table, partition-parallel. */

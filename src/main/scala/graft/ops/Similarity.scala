@@ -410,22 +410,47 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Fail fast when a batch/query vector width differs from the index's
-    * build dimension (recorded in `params`; indexes written before params
-    * existed are rejected too — rebuild them).
+  /** (rows, nulls, minDim, maxDim) of a vector column in ONE aggregation
+    * job — the pre-flight shared by the dim checks. A `limit(1)` probe
+    * would NPE on a null leading vector (size(null) is null) and would
+    * wave a mixed-dimension batch through on the strength of its first
+    * row; the aggregate sees every row and the scan is column-pruned to
+    * the vector column. minDim/maxDim are None when every vector is null.
+    */
+  private def vecDimProfile(df: DataFrame, vecCol: String): (Long, Long, Option[Int], Option[Int]) = {
+    val r = df
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(vecCol).isNull, 1L).otherwise(0L)).as("nulls"),
+        min(size(col(vecCol))).as("dmin"),
+        max(size(col(vecCol))).as("dmax"))
+      .head()
+    (
+      r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getInt(2)),
+      if (r.isNullAt(3)) None else Some(r.getInt(3)))
+  }
+
+  /** Fail fast when a batch/query vector set is null-bearing, mixed-width,
+    * or differs from the index's build dimension (recorded in `params`;
+    * indexes written before params existed are rejected too — rebuild
+    * them). An EMPTY batch/query set has no dimension to check (and must
+    * not crash a streaming ingest) — downstream work on zero rows is a
+    * no-op.
     */
   private def requireIvfDim(df: DataFrame, path: String, vecCol: String): Unit = {
     val stored = df.sparkSession.read.parquet(s"$path/params")
       .select("dim").head().getInt(0)
-    // an EMPTY batch/query set has no dimension to check (and must not
-    // crash a streaming ingest or an empty-probe call with a head() on
-    // zero rows) — downstream assignment/probing of zero rows is a no-op
-    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      val got = r.getInt(0)
-      require(
-        got == stored,
-        s"IVF index at $path was built over $stored-dim vectors, caller passed $got-dim")
-    }
+    val (n, nulls, dmin, dmax) = vecDimProfile(df, vecCol)
+    if (n == 0) return
+    require(nulls == 0, s"IVF caller passed $nulls null vectors in '$vecCol' (of $n rows)")
+    require(
+      dmin == dmax,
+      s"IVF caller passed mixed vector widths in '$vecCol': ${dmin.get}..${dmax.get}")
+    require(
+      dmin.contains(stored),
+      s"IVF index at $path was built over $stored-dim vectors, caller passed ${dmin.get}-dim")
   }
 
   /** Grow a persisted IVF index (flat or k-means) with a new batch:
@@ -457,6 +482,20 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recursively delete `dir` if it exists (no-op otherwise) — the retrain
+    * and compaction primitive: a retraining ingest must remove the WHOLE
+    * stale data subtree (every `batch_id=N` dir from a prior stream, any
+    * `centroid_id=*` layout from a batch build), because parquet overwrite
+    * of one partition dir leaves sibling dirs — vectors assigned under the
+    * OLD quantizer — for every future probe to silently mix in.
+    */
+  private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
   /** One micro-batch of STREAMING IVF maintenance (the foreachBatch body
     * of [[graft.streaming.AnnIngest.ivfIngest]]). Training fires when
     * this is batch 0 (a FRESH stream pointed at the path retrains and
@@ -469,8 +508,12 @@ object Similarity {
     * rewrites itself instead of duplicating. Cells carry
     * (batch_id, centroid_id) directory keys; [[probeIvfIndex]] reads
     * them unchanged and still prunes on centroid_id. One driver
-    * round-trip per batch: the emptiness probe and the dimension check
-    * share a single limit(1) collect.
+    * round-trip per batch: the emptiness, null-vector, and dimension
+    * checks share a single aggregation ([[vecDimProfile]]). When the
+    * training branch fires over an existing store, the whole stale data
+    * subtree (`cells/` and any tombstones) is deleted first — a retrain
+    * must really REPLACE the index, or probes would silently mix vectors
+    * assigned under the old quantizer with the new one.
     */
   def ingestIvfBatch(
       batch: DataFrame,
@@ -482,9 +525,15 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val dimOpt = batch.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
-    if (dimOpt.isEmpty) return // empty batch: nothing to train on or assign
+    val (n, nulls, dmin, dmax) = vecDimProfile(batch, vecCol)
+    if (n == 0) return // empty batch: nothing to train on or assign
+    require(nulls == 0, s"IVF ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
+    require(
+      dmin == dmax,
+      s"IVF ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
     if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      deleteDir(spark, s"$path/cells")
+      deleteDir(spark, s"$path/tombstones")
       val cents = ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
       val dim = cents.select(size(col("centroid"))).head().getInt(0)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -495,8 +544,8 @@ object Similarity {
     } else {
       val stored = spark.read.parquet(s"$path/params").select("dim").head().getInt(0)
       require(
-        dimOpt.get == stored,
-        s"IVF index at $path was built over $stored-dim vectors, batch carries ${dimOpt.get}-dim")
+        dmin.contains(stored),
+        s"IVF index at $path was built over $stored-dim vectors, batch carries ${dmin.get}-dim")
     }
     val cents = spark.read.parquet(s"$path/centroids")
     flatCells(batch, cents, idCol, vecCol)
@@ -504,6 +553,172 @@ object Similarity {
       .mode("overwrite")
       .partitionBy("centroid_id")
       .parquet(s"$path/cells/batch_id=$batchId")
+  }
+
+  /** Tombstone ids out of a persisted index at `path` (IVF, PQ, or LSH —
+    * the tombstone store is index-kind-agnostic): appends the id set to
+    * `$path/tombstones`, which every probe subtracts before ranking. A
+    * tombstoned id never appears in top-k / pair output again regardless
+    * of which batch or append wrote it — including rows appended AFTER
+    * the delete; re-inserting a deleted id requires compaction first
+    * ([[compactIvfIndex]]/[[compactPqIndex]]), which physically drops the
+    * rows and clears the tombstones. This is the GDPR-delete/retraction
+    * face of the lifecycle: the delete itself is metadata-only (one tiny
+    * parquet append — no 100 TB index rewrite on the removal path);
+    * space reclamation is deferred to compaction.
+    */
+  def deleteFromIndex(ids: DataFrame, path: String, idCol: String = "vec_id"): Unit =
+    ids
+      .select(col(idCol).cast("long").as("del_id"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Subtract tombstoned ids from an index-side table (no-op when no
+    * tombstones exist): a left-anti equi-join on the id column. The
+    * tombstone side is small by construction (deletes are events, the
+    * index is the corpus), so AQE broadcasts it and the index side never
+    * shuffles for the subtraction.
+    */
+  private[ops] def minusTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      df: DataFrame,
+      idColName: String): DataFrame =
+    if (storeExists(spark, s"$path/tombstones"))
+      df.join(
+        spark.read.parquet(s"$path/tombstones")
+          .select(col("del_id").cast(df.schema(idColName).dataType).as(idColName)),
+        Seq(idColName),
+        "left_anti")
+    else df
+
+  /** Rewrite `dir` with the (materialized) content of `df` via a
+    * tmp-dir + rename swap: the new generation lands completely in
+    * `<dir>.compacting` before the old tree is dropped, so a crashed
+    * compaction leaves the live index untouched (re-run to finish).
+    */
+  private def rewriteDir(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      dir: String,
+      partitionCols: Seq[String]): Unit = {
+    val tmp = s"$dir.compacting"
+    deleteDir(spark, tmp)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
+    deleteDir(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    require(
+      src.getFileSystem(conf).rename(src, new org.apache.hadoop.fs.Path(dir)),
+      s"compaction rename $tmp -> $dir failed")
+  }
+
+  /** Shared compaction kernel for one data subtree of a persisted index:
+    * read every generation under `$path/$sub` (base build, appends,
+    * `batch_id=N` ingest dirs), subtract tombstones, drop the `batch_id`
+    * lineage column if present, and [[rewriteDir]]-swap the consolidated
+    * result back in place.
+    */
+  private[ops] def compactIndexDir(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      sub: String,
+      idColName: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val raw = spark.read.parquet(s"$path/$sub")
+    val live = minusTombstones(spark, path, raw, idColName)
+    val pruned =
+      if (raw.columns.contains("batch_id")) live.drop("batch_id") else live
+    rewriteDir(spark, pruned, s"$path/$sub", partitionCols)
+  }
+
+  private[ops] def clearTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    deleteDir(spark, s"$path/tombstones")
+
+  /** Compact a persisted IVF index: fold every generation — the base
+    * build, [[appendIvfIndex]] appends, and all `cells/batch_id=N` dirs a
+    * streaming ingest accumulated — into ONE consolidated cell tree
+    * (partitioned by `centroid_id` only), physically dropping tombstoned
+    * vectors, then clear the tombstones. Probe results are unchanged by
+    * contract (asserted probe-before ≡ probe-after in the spec and the
+    * `similarity_topk_ivf_compacted` oracle row); what changes is the
+    * file census: a long-running stream's thousands of small per-batch
+    * cell files (every one of which each probe must open) collapse back
+    * to one file set per cell. Centroids and params are untouched —
+    * compaction reorganizes storage, it never re-assigns.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    compactIndexDir(spark, path, "cells", "neighbor_id", Seq("centroid_id"))
+    clearTombstones(spark, path)
+  }
+
+  /** Compact a persisted PQ index — the compressed-domain twin of
+    * [[compactIvfIndex]]: all `codes/batch_id=N` generations fold into
+    * one consolidated code table with tombstoned vectors dropped and the
+    * tombstones cleared. Codebook and params freeze as ever.
+    */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    compactIndexDir(spark, path, "codes", "vec_id")
+    clearTombstones(spark, path)
+  }
+
+  /** Persisted-index freshness/census audit — the operational dashboard
+    * row the ingest loop watches, combining [[indexDriftReport]]'s
+    * fixed-ruler drift signal with the storage census compaction acts on.
+    * One row per centroid cell: live vector count (`n_index`, tombstones
+    * subtracted), how many ingest generations contribute to the cell
+    * (`n_batches` — distinct `batch_id` dirs; 1 for a batch-built or
+    * freshly compacted index), the probe batch's assignment (`n_batch`),
+    * ppm shares of both, and `drift_milli` (batch share / index share ×
+    * 1000; -1 when the cell had no rounded index mass). High `n_batches`
+    * says COMPACT; sustained extreme `drift_milli` says RETRAIN (a
+    * rebuild by contract — appends never retrain).
+    *
+    * Scale shape: one aggregation over the (already partitioned) cells
+    * pruned to its key columns, one over the batch assignment with the
+    * centroids broadcast, a ≤nCentroids-row full-outer join — the
+    * historical corpus vectors never move.
+    */
+  def annIndexAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(!batch.isEmpty, "annIndexAudit: empty batch has no drift signal")
+    requireIvfDim(batch, path, vecCol)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cellsRaw = spark.read.parquet(s"$path/cells")
+    val hasBatchDirs = cellsRaw.columns.contains("batch_id")
+    val idx = minusTombstones(spark, path, cellsRaw, "neighbor_id")
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_index"),
+        (if (hasBatchDirs) countDistinct(col("batch_id")) else max(lit(1L)))
+          .cast("long").as("n_batches"))
+    val idxTot = idx.agg(sum("n_index").cast("long").as("__ti"))
+    val b = flatCells(batch, cents, idCol, vecCol)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).cast("long").as("n_batch"))
+    val bTot = b.agg(sum("n_batch").cast("long").as("__tb"))
+    idx
+      .crossJoin(broadcast(idxTot))
+      .join(b.crossJoin(broadcast(bTot)), Seq("centroid_id"), "full_outer")
+      .select(
+        col("centroid_id"),
+        coalesce(col("n_index"), lit(0L)).as("n_index"),
+        coalesce(col("n_batches"), lit(0L)).as("n_batches"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(expr("n_index * 1000000 div __ti"), lit(0L)).cast("long").as("index_ppm"),
+        coalesce(expr("n_batch * 1000000 div __tb"), lit(0L)).cast("long").as("batch_ppm"))
+      .withColumn(
+        "drift_milli",
+        when(col("index_ppm") >= 1, expr("(batch_ppm * 1000) div index_ppm"))
+          .otherwise(lit(-1L))
+          .cast("long"))
   }
 
   /** Drift audit for a persisted IVF index — the operational "rebuild
@@ -537,7 +752,7 @@ object Similarity {
           expr(s"$nCol * 1000000 div __tot").cast("long").as(pCol))
     }
     val idx = ppm(
-      spark.read.parquet(s"$path/cells")
+      minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
         .groupBy("centroid_id")
         .agg(count(lit(1)).cast("long").as("n_index")),
       "n_index", "index_ppm")
@@ -567,6 +782,8 @@ object Similarity {
     * the in-memory operator over the same corpus; the cells join keys on
     * the partition column with a broadcast probe side, so dynamic
     * partition pruning drops every unprobed cell's files at the scan.
+    * Tombstoned ids ([[deleteFromIndex]]) are subtracted before ranking,
+    * so a deleted vector never reaches top-k.
     */
   def probeIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -578,7 +795,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     requireIvfDim(queries, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
     rerank(flatProbes(queries, cents, nProbe, idCol, vecCol), cells, k)
   }
 
@@ -992,6 +1209,10 @@ object Similarity {
     * overwrite semantics (checkpoint-retried batches rewrite themselves).
     * [[probePqIndex]] reads the grown store unchanged — the extra
     * batch_id partition column never reaches the ADC join's projection.
+    * Same retrain contract as [[ingestIvfBatch]]: the training branch
+    * deletes the stale `codes/` subtree (and tombstones) first, so a
+    * retrain replaces the whole index rather than leaving old-codebook
+    * codes in sibling batch dirs.
     */
   def ingestPqBatch(
       batch: DataFrame,
@@ -1008,6 +1229,8 @@ object Similarity {
     val subDim = dim / m
     if (batch.isEmpty) return // nothing to train on or encode
     if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      deleteDir(spark, s"$path/codes")
+      deleteDir(spark, s"$path/tombstones")
       pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       Seq((m, ksub, dim))
@@ -1056,7 +1279,8 @@ object Similarity {
   /** Probe a persisted PQ index ([[writePqIndex]], optionally grown by
     * [[appendPqIndex]]): identical results to [[pqTopK]] over the same
     * corpus, but the codebook and code table are read back, not
-    * recomputed — the full-precision corpus is never touched.
+    * recomputed — the full-precision corpus is never touched. Tombstoned
+    * ids ([[deleteFromIndex]]) are subtracted before scoring.
     */
   def probePqIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -1071,7 +1295,7 @@ object Similarity {
     requirePqParams(spark, path, m, ksub, dim)
     val cb = spark.read.parquet(s"$path/codebook")
     adcRank(
-      spark.read.parquet(s"$path/codes"),
+      minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id"),
       pqDistTable(queries, cb, m, dim / m, idCol, vecCol),
       k)
   }
