@@ -289,6 +289,75 @@ object Relational {
               col(s"__s_$c").getField("v")).as(c))): _*)
   }
 
+  /** Nearest as-of join — the third direction of the pandas/polars matrix
+    * (`merge_asof(direction='nearest')`): for every left row, the right
+    * row with the same key minimizing |right.ts − left.ts|, looking BOTH
+    * ways. Distance ties go to the EARLIER (backward) match; remaining
+    * ties break through the window ordering's `ordCol`, so the result is
+    * deterministic and oracle-hashable.
+    *
+    * Mechanics: ONE tagged union and ONE sort — per payload column the
+    * backward candidate is `last(struct(ts, v)) ignore nulls` over the
+    * preceding frame and the forward candidate `first(struct(ts, v))`
+    * over the following frame of the SAME (ts, side, ord) sort. Right
+    * rows sort before left rows at equal ts, so an exactly-simultaneous
+    * right row is the BACKWARD candidate at distance 0 — which always
+    * wins, preserving the inclusive at-or-equal contract (the following
+    * frame therefore never needs equal-ts rows). Each column picks its
+    * closer candidate independently — the same per-column aging
+    * semantics as the tolerance variants. `toleranceUnits` (optional)
+    * nulls a candidate farther than the bound BEFORE the comparison, so
+    * a one-sided out-of-tolerance match falls back to the other side.
+    *
+    * Scale: identical posture to [[asOfJoin]] — one hash exchange on the
+    * key plus one per-key sort; both window frames ride the same
+    * Exchange/Sort pair, no join operator, no row explosion.
+    */
+  def asOfJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      toleranceUnits: Option[Long] = None): DataFrame = {
+    toleranceUnits.foreach(t =>
+      require(t >= 0, s"toleranceUnits must be non-negative (got $t)"))
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val ord = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col(ordCol))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val attached = payloadCols.foldLeft(l.unionByName(r, allowMissingColumns = true)) {
+      case (df, c) =>
+        val st = when(col(c).isNotNull, struct(col(tsCol).as("t"), col(c).as("v")))
+        df.withColumn(s"__b_$c", last(st, ignoreNulls = true).over(wb))
+          .withColumn(s"__f_$c", first(st, ignoreNulls = true).over(wf))
+    }
+    attached
+      .filter(col("__side") === 1)
+      .select(
+        (left.columns.toSeq.map(col) ++ payloadCols.map { c =>
+          val b = toleranceUnits.fold(col(s"__b_$c"))(t =>
+            when(col(s"__b_$c").getField("t") >= col(tsCol) - t, col(s"__b_$c")))
+          val f = toleranceUnits.fold(col(s"__f_$c"))(t =>
+            when(col(s"__f_$c").getField("t") <= col(tsCol) + t, col(s"__f_$c")))
+          when(
+            b.isNotNull && f.isNotNull,
+            when(
+              col(tsCol) - b.getField("t") <= f.getField("t") - col(tsCol),
+              b.getField("v")).otherwise(f.getField("v")))
+            .otherwise(coalesce(b.getField("v"), f.getField("v")))
+            .as(c)
+        }): _*)
+  }
+
   /** [[asOfJoinForward]] with bounded per-key serial work — the mirror of
     * [[asOfJoinBucketed]]: the ordered window runs per (key, time-bucket),
     * and matches that cross a bucket boundary are restored by a
@@ -567,21 +636,32 @@ object Relational {
   }
 
   /** [[rangeJoinBucketed]] generalized to VARIABLE-length intervals
-    * `[startCol, endCol)`: bucketize time at the interval side's MAXIMUM
-    * length, so every interval still touches at most two buckets (the
-    * generalization the fixed-length Scaladoc promises). The max length
-    * is one aggregate over the interval side — a driver scalar, bounded
-    * by construction, collected once so the bucket width is a literal in
-    * the plan (not a recomputed subquery per consumer). Empty or
-    * all-degenerate interval sides use width 1.
+    * `[startCol, endCol)`, with bucket widths STRATIFIED by interval
+    * length class so one pathological long-lived interval cannot coarsen
+    * the bucket grid for the whole join (bucketizing everything at the
+    * global max length would inflate every probe's candidate set by the
+    * outlier's width — correct but quadratically wasteful under skewed
+    * interval lengths).
     *
-    * Same scale posture as the fixed-length variant: the interval side
-    * doubles and broadcasts, the probe side computes its single bucket
-    * key statelessly and NEVER shuffles, pairing is a broadcast hash
-    * equi-join on the bucket with the exact range as a residual filter.
-    * A pair can match on only the probe's own bucket, so no dedup step.
-    * Degenerate intervals (`end <= start`) match nothing, mirroring the
-    * half-open contract.
+    * Each interval lands in the power-of-two length class just covering
+    * it (stratum `s` = ceil(log2(len)), width `2^s`), computed with
+    * integer bit arithmetic (`length(bin(len-1))`) — no FP log whose
+    * boundary rounding could under-size a width and silently DROP
+    * matches. Within its stratum an interval still spans at most two
+    * buckets, so it explodes to exactly those two (stratum, bucket)
+    * keys. The probe side computes one bucket key PER OCCUPIED STRATUM
+    * (the distinct strata are one bounded aggregate — at most 63 classes,
+    * usually 2-5 — collected once at plan time so the widths are plan
+    * literals), and the pairing is a broadcast hash equi-join on
+    * (stratum, bucket) with the exact range as a residual filter.
+    *
+    * Scale posture: the interval side doubles and broadcasts; the probe
+    * side fans out ×|occupied strata| as a STATELESS projection and
+    * never shuffles. An (interval, probe) pair can match only in the
+    * interval's own stratum at the probe's own bucket, so no dedup step.
+    * Degenerate intervals (`end <= start`) clamp to length-1 class and
+    * match nothing through the residual filter, mirroring the half-open
+    * contract.
     */
   def rangeJoinIntervals(
       probe: DataFrame,
@@ -589,24 +669,45 @@ object Relational {
       tsCol: String,
       startCol: String,
       endCol: String): DataFrame = {
-    val maxLen = intervals
-      .agg(max(col(endCol) - col(startCol)).cast("long"))
+    val lenExpr = greatest((col(endCol) - col(startCol)).cast("long"), lit(1L))
+    // ceil(log2(len)) via bit length: len=1 -> 0, else length(bin(len-1));
+    // capped at 62 so the width 2^s stays a positive long
+    val stratumExpr =
+      least(when(lenExpr <= 1L, lit(0)).otherwise(length(bin(lenExpr - 1))), lit(62))
+        .cast("int")
+    val strata: Seq[Int] = intervals
+      .select(stratumExpr.as("__s"))
+      .distinct()
       .collect()
-      .headOption
-      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
-      .getOrElse(1L)
-    val width = math.max(maxLen, 1L)
-    val exploded = intervals.withColumn(
-      "__bucket",
-      explode(
-        array(
-          expr(s"$startCol div $width"),
-          expr(s"$startCol div $width") + 1L)))
-    probe
-      .withColumn("__bucket", expr(s"$tsCol div $width"))
-      .join(broadcast(exploded), Seq("__bucket"))
+      .map(_.getInt(0))
+      .toSeq
+      .sorted
+    val effStrata = if (strata.isEmpty) Seq(0) else strata
+    val exploded = intervals
+      .withColumn("__stratum", stratumExpr)
+      .withColumn(
+        "__bucket",
+        explode(
+          array(
+            expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)"),
+            expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)") + 1L)))
+    val probeKeyed = probe
+      .withColumn(
+        "__sk",
+        explode(array(effStrata.map { s =>
+          val w = 1L << s
+          struct(
+            lit(s).as("__stratum"),
+            expr(s"cast($tsCol as bigint) div ${w}L").as("__bucket"))
+        }: _*)))
+      .select(
+        probe.columns.toSeq.map(col) :+
+          col("__sk.__stratum").as("__stratum") :+
+          col("__sk.__bucket").as("__bucket"): _*)
+    probeKeyed
+      .join(broadcast(exploded), Seq("__stratum", "__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("__bucket")
+      .drop("__stratum", "__bucket")
   }
 
   /** Per-key interval coalescing: merge overlapping/abutting CLOSED

@@ -101,6 +101,55 @@ object RelQueries {
         payloadCols = Seq("click_ts_us", "click_value"),
         toleranceUnits = 2 * HalfHourUs)
     },
+    // Nearest attribution: each purchase takes the click closest in time
+    // in EITHER direction (ties to the earlier click) — the third as-of
+    // direction, completing the pandas/polars matrix.
+    "asof_join_nearest" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoinNearest(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"))
+    },
+    // Nearest attribution with a 1-hour tolerance: a candidate farther
+    // than an hour on its own side is nulled BEFORE the comparison, so a
+    // stale backward click loses to a fresh forward one (and vice versa).
+    "asof_join_nearest_tolerance" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoinNearest(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"),
+        toleranceUnits = Some(2 * HalfHourUs))
+    },
     // Forward attribution: for every click, the user's NEXT purchase at
     // or after it — the mirrored as-of direction (first-following instead
     // of last-preceding).
@@ -489,6 +538,32 @@ object RelQueries {
       |SELECT event_id, user_id, ts_us, purchase_ts_us, purchase_value
       |FROM attached WHERE side = 0""".stripMargin
 
+  /** Shared tagged-union + two-frame window CTEs of the nearest as-of
+    * oracles: backward candidate via LAST_VALUE over the preceding frame,
+    * forward via FIRST_VALUE over the following frame of the same sort
+    * (clicks sort before purchases at equal ts, so a simultaneous click
+    * is the backward candidate at distance 0 — matching the operator).
+    */
+  private val nearestAttachedCtes =
+    """tagged AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side,
+      |         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_ts,
+      |         CASE WHEN event_type = 'click' THEN value END AS c_val
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), attached AS (
+      |  SELECT user_id, ts_us, event_id, side,
+      |         LAST_VALUE(c_ts IGNORE NULLS) OVER wb AS b_ts,
+      |         LAST_VALUE(c_val IGNORE NULLS) OVER wb AS b_val,
+      |         FIRST_VALUE(c_ts IGNORE NULLS) OVER wf AS f_ts,
+      |         FIRST_VALUE(c_val IGNORE NULLS) OVER wf AS f_val
+      |  FROM tagged
+      |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wf AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
       """WITH tagged AS (
@@ -554,6 +629,37 @@ object RelQueries {
         |       CASE WHEN m_ts >= ts_us - 3600000000 THEN m_ts END AS click_ts_us,
         |       CASE WHEN m_ts >= ts_us - 3600000000 THEN m_val END AS click_value
         |FROM attached WHERE side = 1""".stripMargin,
+    // Both directions' candidates from the two frames of ONE sort; the
+    // CASE picks the closer (ties backward). Single-source-row note as
+    // asof_join_tolerance: clicks carry both payloads, so b_ts/f_ts gate
+    // both columns consistently.
+    "asof_join_nearest" ->
+      s"""WITH $nearestAttachedCtes
+         |SELECT event_id, user_id, ts_us,
+         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END
+         |            ELSE COALESCE(b_ts, f_ts) END AS click_ts_us,
+         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val ELSE f_val END
+         |            ELSE COALESCE(b_val, f_val) END AS click_value
+         |FROM attached WHERE side = 1""".stripMargin,
+    "asof_join_nearest_tolerance" ->
+      s"""WITH $nearestAttachedCtes,
+         |tol AS (
+         |  SELECT event_id, user_id, ts_us, side,
+         |         CASE WHEN b_ts >= ts_us - 3600000000 THEN b_ts END AS b_ts,
+         |         CASE WHEN b_ts >= ts_us - 3600000000 THEN b_val END AS b_val,
+         |         CASE WHEN f_ts <= ts_us + 3600000000 THEN f_ts END AS f_ts,
+         |         CASE WHEN f_ts <= ts_us + 3600000000 THEN f_val END AS f_val
+         |  FROM attached)
+         |SELECT event_id, user_id, ts_us,
+         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END
+         |            ELSE COALESCE(b_ts, f_ts) END AS click_ts_us,
+         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val ELSE f_val END
+         |            ELSE COALESCE(b_val, f_val) END AS click_value
+         |FROM tol WHERE side = 1""".stripMargin,
     "asof_join_forward" -> asofForwardSql,
     // same single-source-row note as asof_join_tolerance: purchases carry
     // both payloads, so one matched ts gates both columns in the mirror

@@ -353,6 +353,98 @@ class RelationalSpec extends SparkSpec {
 
   // ---- bucketized range join ---------------------------------------------
 
+  test("asOfJoinNearest picks the closer side; distance ties go to the earlier (backward) match") {
+    val near = Relational
+      .asOfJoinNearest(trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(near(100L) == (Some(10L), Some(2.0))) // equal ts: backward candidate at distance 0
+    assert(near(101L) == (Some(15L), Some(3.0))) // only backward exists
+    assert(near(102L) == (Some(8L), Some(1.0))) // only forward exists (ts=5 < first quote)
+    assert(near(103L) == (Some(60L), Some(4.0))) // backward misses, forward at +10 matches
+    assert(near(104L) == (None, None)) // key has no quotes at all
+    // exact distance tie (quotes at 8 and 12, trade at 10): earlier wins
+    val r = Seq((1L, 1L, 8L, 8L, 1.0), (2L, 1L, 12L, 12L, 2.0))
+      .toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((50L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val tied = Relational
+      .asOfJoinNearest(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"))
+      .collect().head
+    assert(tied.getAs[Long]("q_ts") == 8L && tied.getAs[Double]("q_val") == 1.0)
+    // same plan contract as the directional variants: union + window, no join
+    val p = planOf(
+      Relational.asOfJoinNearest(
+        trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val")))
+    assert(!p.contains("Join"), "nearest as-of must be union+window, not a join:\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"))
+  }
+
+  test("asOfJoinNearest tolerance nulls each side independently before the comparison") {
+    // backward at distance 7, forward at distance 2
+    val r = Seq((1L, 1L, 3L, 3L, 1.0), (2L, 1L, 12L, 12L, 2.0))
+      .toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val l = Seq((50L, 1L, 10L)).toDF("event_id", "user_id", "ts_us")
+    def at(tol: Option[Long]) = Relational
+      .asOfJoinNearest(l, r, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), tol)
+      .collect().head
+    assert(at(None).getAs[Long]("q_ts") == 12L) // closer forward wins untolerated
+    assert(at(Some(3L)).getAs[Long]("q_ts") == 12L) // backward out of tolerance, forward in
+    assert(Option(at(Some(1L)).get(3)).isEmpty) // both out: null
+    // a stale-but-closer side must LOSE to the in-tolerance side, not null the row:
+    // backward at distance 2 with tol 1 is out; forward at distance 5 is in
+    val r2 = Seq((1L, 1L, 8L, 8L, 1.0), (2L, 1L, 15L, 15L, 2.0))
+      .toDF("event_id", "user_id", "ts_us", "q_ts", "q_val")
+    val out2 = Relational
+      .asOfJoinNearest(l, r2, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), Some(5L))
+      .collect().head
+    assert(out2.getAs[Long]("q_ts") == 8L) // both in at tol 5: closer backward
+    val out3 = Relational
+      .asOfJoinNearest(l, r2, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), Some(1L))
+      .collect().head
+    assert(Option(out3.get(3)).isEmpty && Option(out3.get(4)).isEmpty)
+  }
+
+  test("asOfJoinNearest property: the match is backward's or forward's, whichever is closer") {
+    val evRaw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = evRaw.select(
+      col("event_id"),
+      col("user_id"),
+      graft.io.EventTime.tsUs(evRaw).as("ts_us"),
+      col("event_type"),
+      col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts_us")
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        col("ts_us").as("c_ts"), col("value").as("c_val"))
+    def byId(df: DataFrame) = df
+      .select("event_id", "ts_us", "c_ts")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    val b = byId(Relational.asOfJoin(purchases, clicks, "user_id", "ts_us", "event_id", Seq("c_ts", "c_val")))
+    val f = byId(Relational.asOfJoinForward(purchases, clicks, "user_id", "ts_us", "event_id", Seq("c_ts", "c_val")))
+    val n = byId(Relational.asOfJoinNearest(purchases, clicks, "user_id", "ts_us", "event_id", Seq("c_ts", "c_val")))
+    assert(n.nonEmpty && n.keySet == b.keySet && n.keySet == f.keySet)
+    n.foreach { case (id, (ts, nTs)) =>
+      val bd = b(id)._2.map(t => ts - t)
+      val fd = f(id)._2.map(t => t - ts)
+      val expected = (bd, fd) match {
+        case (Some(db), Some(df_)) => if (db <= df_) b(id)._2 else f(id)._2
+        case (Some(_), None) => b(id)._2
+        case (None, Some(_)) => f(id)._2
+        case _ => None
+      }
+      assert(nTs == expected, s"event $id: nearest=$nTs backward=${b(id)._2} forward=${f(id)._2}")
+    }
+  }
+
   test("rangeJoinBucketed: inclusive start, exclusive end, cross-bucket containment") {
     val probe = Seq((0L, "at_start"), (99L, "inside"), (100L, "at_end"), (150L, "cross"), (250L, "outside"))
       .toDF("ts_us", "tag")
@@ -385,6 +477,44 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
     assert(got == Set((10L, 50L), (10L, 120L), (10L, 149L), (20L, 210L)))
+  }
+
+  test("rangeJoinIntervals stratified widths: a 1000x outlier interval loses no matches") {
+    // 50 short intervals (length 10) plus one 1000x-length outlier: the
+    // per-length-class widths mean the short intervals keep their fine
+    // bucket grid (the outlier sits alone in its own stratum) and the
+    // result is still exactly the naive containment join
+    val iv = ((0 until 50).map(i => (i.toLong, i * 100L, i * 100L + 10L))
+      :+ ((99L, 3L, 10003L)))
+      .toDF("ival_id", "start_us", "end_us")
+    val probe = (0 until 1000).map(i => i.toLong * 7L).toDF("ts_us")
+    def rows(df: DataFrame) = df
+      .select("ival_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us"))
+    val want = rows(
+      probe.crossJoin(iv).filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us")))
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("rangeJoinIntervals: power-of-two boundary lengths and large offsets stay exact") {
+    // lengths exactly at (8) and just above (9) a power of two, plus an
+    // interval far out at 2^40 — the integer bit-length stratum rule must
+    // never under-size a width (an FP log2 could, at boundaries)
+    val base = 1L << 40
+    val iv = Seq(
+      (1L, 96L, 104L), // len 8 = 2^3, crosses the 8-bucket edge at 104? spans [96,104) over buckets 12..12
+      (2L, 100L, 109L), // len 9: stratum 4 (width 16)
+      (3L, base, base + (1L << 20)) // huge offset, len 2^20
+    ).toDF("ival_id", "start_us", "end_us")
+    val probe = (Seq(95L, 96L, 100L, 103L, 104L, 108L, 109L) ++
+      Seq(base - 1L, base, base + 12345L, base + (1L << 20) - 1L, base + (1L << 20)))
+      .toDF("ts_us")
+    def rows(df: DataFrame) = df
+      .select("ival_id", "ts_us").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows(Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us"))
+    val want = rows(
+      probe.crossJoin(iv).filter(col("ts_us") >= col("start_us") && col("ts_us") < col("end_us")))
+    assert(got == want && got.nonEmpty)
   }
 
   test("rangeJoinIntervals plan: broadcast hash equi-join, probe never shuffles") {
