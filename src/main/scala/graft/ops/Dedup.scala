@@ -362,6 +362,8 @@ object Dedup {
       idCol: String = "doc_id"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // full rebuild replaces the index: stale tombstones must not subtract
+    Similarity.clearTombstones(spark, path)
     val shC = shingleArrays(corpus, shingle, textCol, idCol)
     bandTable(shC, numHashes, rowsPerBand).write.mode("overwrite").parquet(s"$path/bands")
     shC.write.mode("overwrite").parquet(s"$path/shingles")
@@ -551,8 +553,18 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       score: Column,
+      idCol: String = "doc_id"): DataFrame =
+    keepBestFromClusters(docs, clusterPairs(pairs), score, idCol)
+
+  /** [[keepBestRepresentatives]] over precomputed [[clusterPairs]] labels
+    * (or a persisted cluster map) — the keep-best face of the shared-
+    * labels discipline ([[keepFromClusters]]).
+    */
+  def keepBestFromClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      score: Column,
       idCol: String = "doc_id"): DataFrame = {
-    val clusters = clusterPairs(pairs)
     val scored = docs
       .select(col(idCol).cast("long").as("doc_id"), score.as("__s"))
       .join(clusters, Seq("doc_id"))
@@ -567,6 +579,67 @@ object Dedup {
     docs
       .select(col(idCol).cast("long").as("doc_id"))
       .join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Persist the near-dup CLUSTER MAP — the [[clusterPairs]] connected-
+    * component labels of the MinHash-LSH pair graph — as a probeable
+    * artifact, the same build-once/probe-many discipline the repo applies
+    * to the LSH/IVF/PQ/chunk indexes. The CC family ([[keepFromClusters]],
+    * [[keepBestFromClusters]], [[graft.ops.Corpus
+    * .clusterSafeSplitFromClusters]]) previously re-ran shingle → minhash
+    * → band join → iterative CC per consumer; against a persisted map each
+    * is ONE broadcast-ready equi-join. At 100 TB the map is rebuilt once
+    * per corpus snapshot (the CC fixpoint is inherently global — pairs
+    * discovered by a new batch can merge OLD clusters, so unlike the LSH
+    * store it cannot be grown append-only) and probed by every downstream
+    * keep/split/sample run.
+    *
+    * Layout: `clusters` (doc_id, cluster_id — only docs that appear in
+    * some near-dup pair, exactly [[clusterPairs]]' contract) plus a
+    * one-row `params` parquet; [[readClusterMap]] REFUSES parameters that
+    * differ from the build, because labels from a different
+    * shingle/band/threshold geometry are silently different clusterings.
+    */
+  def writeClusterMap(
+      docs: DataFrame,
+      path: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    clusterPairs(
+      minHashLsh(docs, numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    Seq((numHashes, rowsPerBand, threshold, shingle, maxBucket))
+      .toDF("num_hashes", "rows_per_band", "threshold", "shingle", "max_bucket")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Read back a persisted cluster map ([[writeClusterMap]]) after
+    * validating the caller's parameters against the stored build params.
+    */
+  def readClusterMap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50): DataFrame = {
+    val p = spark.read.parquet(s"$path/params").collect().head
+    val stored = (p.getInt(0), p.getInt(1), p.getDouble(2), p.getInt(3), p.getInt(4))
+    require(
+      stored == ((numHashes, rowsPerBand, threshold, shingle, maxBucket)),
+      s"cluster map at $path was built with (numHashes, rowsPerBand, threshold, shingle, " +
+        s"maxBucket) = $stored, caller passed (${numHashes}, ${rowsPerBand}, ${threshold}, " +
+        s"${shingle}, ${maxBucket})")
+    spark.read.parquet(s"$path/clusters")
   }
 
   /** 16-bit SimHash from token md5 nibbles: bit i votes +1 when the i-th

@@ -397,6 +397,9 @@ object Similarity {
       vecCol: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a full rebuild REPLACES the index: stale tombstones from a prior
+    // generation must not subtract freshly-written vectors
+    deleteDir(spark, s"$path/tombstones")
     val dim = cents.select(size(col("centroid"))).head().getInt(0)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     flatCells(corpus, cents, idCol, vecCol)
@@ -1190,6 +1193,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
+    deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
     val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     pqEncode(corpus, cb, m, subDim, idCol, vecCol)

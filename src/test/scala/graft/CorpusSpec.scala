@@ -411,6 +411,16 @@ class CorpusSpec extends SparkSpec {
       Dedup.probeLshIndex(spark, dir, probe3, numHashes = 16))
     intercept[IllegalArgumentException](
       Dedup.appendLshIndex(probe3, dir, shingle = 5))
+    // GDPR-delete a corpus doc: tombstoned ids stop matching immediately,
+    // compaction drops them physically and the probe is unchanged
+    graft.ops.Similarity.deleteFromIndex(Seq(1L).toDF("doc_id"), dir, idCol = "doc_id")
+    val afterDel = rows(Dedup.probeLshIndex(spark, dir, probe))
+    assert(!afterDel.exists(_._2 == 1L), "tombstoned corpus doc still matched")
+    Dedup.compactLshIndex(spark, dir)
+    assert(rows(Dedup.probeLshIndex(spark, dir, probe)) == afterDel,
+      "probe-after-compact must equal probe-before")
+    assert(spark.read.parquet(s"$dir/bands").filter(col("id") === 1L).count() == 0L)
+    assert(spark.read.parquet(s"$dir/shingles").filter(col("id") === 1L).count() == 0L)
   }
 
   test("curriculumOrder: score progression dominates, salt reshuffles only within ties") {

@@ -186,6 +186,18 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSet == Set((5L, 1000005L, 0L)))
   }
 
+  test("wavFingerprint: clips under 64 samples emit the all-zero fingerprint, not an exception") {
+    // a valid-but-degenerate 3-sample PCM16 WAV must not kill a corpus
+    // scan; the policy is the zero fingerprint (its band bucket is hot by
+    // construction and the pair join's bucket cap drops it)
+    val short = Multimodal.wavFingerprint(7L, MediaSynth.wav(Array[Short](5, -3, 2)))
+    assert(short == graft.ops.WavFp(7L, 0L, 0L))
+    // exactly 64 samples is the smallest fingerprintable clip
+    val minimal = Multimodal.wavFingerprint(
+      8L, MediaSynth.wav(Array.tabulate[Short](64)(i => (i * 37 % 1000).toShort)))
+    assert(minimal.hash_hi != 0L || minimal.hash_lo != 0L)
+  }
+
   test("bmpFeatures/wavFeatures produce decoded columns on a media DataFrame") {
     val s = spark
     import s.implicits._

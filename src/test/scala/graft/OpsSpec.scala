@@ -220,6 +220,71 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF tombstones + compaction: deleted ids never rank; compaction preserves the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    val s = spark
+    import s.implicits._
+    Similarity.writeIvfIndex(e, dir)
+    val base = rows(Similarity.probeIvfIndex(spark, dir, q, k = 5))
+    // append exact copies of the queries (they would rank first), then
+    // tombstone exactly those: the probe must read as if they never landed
+    val copies = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfIndex(copies, dir)
+    Similarity.deleteFromIndex(copies.select("vec_id"), dir)
+    assert(rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) == base,
+      "tombstoned appends must be invisible to the probe")
+    // tombstone a base vector that actually appears in top-k: it must
+    // vanish from every query's ranking
+    val victim = base.head._3
+    Similarity.deleteFromIndex(Seq(victim).toDF("vec_id"), dir)
+    val afterDel = rows(Similarity.probeIvfIndex(spark, dir, q, k = 5))
+    assert(!afterDel.exists(_._3 == victim), s"deleted vec $victim still ranked")
+    // compaction folds generations and physically drops tombstoned rows:
+    // probe unchanged, batch lineage gone, tombstones cleared
+    Similarity.compactIvfIndex(spark, dir)
+    assert(rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) == afterDel,
+      "probe-after-compact must equal probe-before")
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(!cells.columns.contains("batch_id"))
+    assert(cells.filter(col("neighbor_id") === victim || col("neighbor_id") >= 1000000L).count() == 0L,
+      "compaction must physically remove tombstoned rows")
+    assert(!new java.io.File(s"$dir/tombstones").exists, "compaction must clear tombstones")
+    // a fresh full rebuild over the same path must not inherit stale state
+    Similarity.deleteFromIndex(Seq(base.head._3).toDF("vec_id"), dir)
+    Similarity.writeIvfIndex(e, dir)
+    assert(rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) == base,
+      "a rebuild must clear stale tombstones")
+  }
+
+  test("PQ tombstones + compaction: deleted ids never score; compaction preserves the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("pqdel").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    val s = spark
+    import s.implicits._
+    Similarity.writePqIndex(e, dir)
+    val base = rows(Similarity.probePqIndex(spark, dir, q, k = 5))
+    val victim = base.head._3
+    Similarity.deleteFromIndex(Seq(victim).toDF("vec_id"), dir)
+    val afterDel = rows(Similarity.probePqIndex(spark, dir, q, k = 5))
+    assert(!afterDel.exists(_._3 == victim) && afterDel != base)
+    Similarity.compactPqIndex(spark, dir)
+    assert(rows(Similarity.probePqIndex(spark, dir, q, k = 5)) == afterDel)
+    assert(spark.read.parquet(s"$dir/codes").filter(col("vec_id") === victim).count() == 0L)
+  }
+
   test("indexDriftReport: self-batch reads ~1000 milli per cell, a collapsed batch spikes its cell") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -273,6 +338,31 @@ class OpsSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Similarity.probePqIndex(spark, dir, q, k = 5, m = 8))
     assert(err.getMessage.contains("was built with"))
+  }
+
+  test("persisted cluster map round-trips clusterPairs; keep faces probed from it agree") {
+    val dir = java.nio.file.Files.createTempDirectory("clmap").toString
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.minHashLsh(d)
+    val direct = Dedup.clusterPairs(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.writeClusterMap(d, dir)
+    val m = Dedup.readClusterMap(spark, dir)
+    assert(m.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+    // labels from a different LSH geometry are a different clustering —
+    // refused, not silently served
+    val err = intercept[IllegalArgumentException](
+      Dedup.readClusterMap(spark, dir, numHashes = 16))
+    assert(err.getMessage.contains("was built with"))
+    // the keep/keep-best endgames probed from the map equal the
+    // recomputing faces exactly
+    assert(
+      Dedup.keepFromClusters(d, m).collect().map(_.getLong(0)).toSet ==
+        Dedup.keepRepresentatives(d, pairs).collect().map(_.getLong(0)).toSet)
+    val score = round(TextAnalysis.qualityScore(col("text")) * 10000, 0).cast("long")
+    assert(
+      Dedup.keepBestFromClusters(d, m, score).collect().map(_.getLong(0)).toSet ==
+        Dedup.keepBestRepresentatives(d, pairs, score).collect().map(_.getLong(0)).toSet)
   }
 
   test("collocations: hand-computed integer lift, minCount prunes the tail") {

@@ -34,6 +34,8 @@ class RegistryPlanSpec extends SparkSpec {
     "similarity_topk_ivf", // crossJoin(broadcast(centroids)) — nCentroids rows
     "similarity_topk_ivf_flat", // same centroid broadcast
     "similarity_topk_ivf_persisted", // same centroid broadcast, read from the index
+    "similarity_topk_ivf_compacted", // same centroid broadcast over the compacted store
+    "ann_index_audit", // centroid broadcast (batch assignment) + 1-row ppm totals
     "embedding_cell_balance", // centroid broadcast
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "audit_orders", // crossJoin(broadcast(1-row totals summary))

@@ -180,6 +180,37 @@ class StreamingSpec extends SparkSpec {
         .count() == 0L)
   }
 
+  test("ivf ingest → compact → probe: results preserved, batch lineage folded, retrain replaces all") {
+    val dir = java.nio.file.Files.createTempDirectory("anncompact").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    // two ingest generations (the foreachBatch bodies, driven directly)
+    graft.ops.Similarity.ingestIvfBatch(e, dir, 0L)
+    graft.ops.Similarity.ingestIvfBatch(
+      q.withColumn("vec_id", col("vec_id") + 1000000L), dir, 1L)
+    val before = rows(graft.ops.Similarity.probeIvfIndex(spark, dir, q, k = 5))
+    assert(spark.read.parquet(s"$dir/cells").columns.contains("batch_id"))
+    graft.ops.Similarity.compactIvfIndex(spark, dir)
+    assert(rows(graft.ops.Similarity.probeIvfIndex(spark, dir, q, k = 5)) == before,
+      "compaction must not change probe results")
+    assert(!spark.read.parquet(s"$dir/cells").columns.contains("batch_id"),
+      "compaction must fold the batch generations into one")
+    // a FRESH stream pointed at the path (batch 0 again) retrains and
+    // REPLACES the whole index: no cell written under the old quantizer —
+    // batch-keyed or compacted — may survive into probes
+    val small = e.filter(col("vec_id") % 2 === 0)
+    graft.ops.Similarity.ingestIvfBatch(small, dir, 0L)
+    val ids = spark.read.parquet(s"$dir/cells")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val want = small.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == want, s"stale cells survived the retrain: ${(ids -- want).take(5)}")
+  }
+
   test("pqIngest: codebook trains on batch 0, grown store equals rebuild-from-union") {
     val dir = java.nio.file.Files.createTempDirectory("pqstream").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
