@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.ops.{Corpus, Dedup, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,102 @@ final class Pipeline(
   def datacard(docs: DataFrame): DataFrame =
     Corpus.datacard(
       cleaned(docs).join(prepare(docs).select("doc_id"), Seq("doc_id"), "left_semi"))
+
+  /** Media-side near-dup keep-list — the multimodal face of the dedup
+    * stage over an [[graft.ops.Multimodal.asMedia]]-shaped table
+    * (`doc_id, kind, n_bytes, media`): per modality the cheap perceptual
+    * hash (aHash for image kinds, waveform fingerprint for audio,
+    * per-frame aHash aggregated to clip level for video), banded
+    * Hamming pairs with hot-bucket caps, connected components, keep the
+    * min-id representative. Kinds without a hasher pass through
+    * untouched. Returns the surviving media rows with all columns.
+    *
+    * Scale shape: hashing is one partition-parallel decode pass per
+    * modality and the raw bytes never shuffle (hash tables are a few
+    * longs per item); pairing is the banded equi-join; the drop is a
+    * left-anti join against the (small) cluster labels — the same
+    * posture as the text keep-list.
+    */
+  def mediaKeep(media: DataFrame): DataFrame = {
+    def dropDups(rows: DataFrame, pairs: DataFrame, a: String = "doc_a", b: String = "doc_b") =
+      rows.join(
+        Dedup
+          .clusterPairs(pairs, a, b)
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"),
+        "left_anti")
+    val images = media.filter(col("kind").startsWith("image/"))
+    val audio = media.filter(col("kind").startsWith("audio/"))
+    val video = media.filter(col("kind").startsWith("video/"))
+    val other = media.filter(
+      !col("kind").startsWith("image/") && !col("kind").startsWith("audio/") &&
+        !col("kind").startsWith("video/"))
+    dropDups(images, Dedup.aHashPairs(Multimodal.bmpAHashes(images)))
+      .unionByName(dropDups(audio, Dedup.aHashPairs(Multimodal.wavFingerprints(audio))))
+      .unionByName(
+        dropDups(
+          video,
+          Dedup.clipPairs(Multimodal.frameAHashes(video)),
+          a = "clip_a",
+          b = "clip_b"))
+      .unionByName(other)
+  }
+
+  /** Mixed-corpus manifest: [[prepare]]'s per-doc text rows (modality
+    * "text") plus one row per surviving media item (modality = its kind)
+    * with the SAME deterministic hash-split rule applied to its doc id —
+    * a mixed text+image+audio+video corpus flows through ONE facade into
+    * one train/val/test-ready manifest. Text-only columns (quality,
+    * language, packing) are null on media rows.
+    */
+  def prepareMixed(docs: DataFrame, media: DataFrame): DataFrame = {
+    val kept = mediaKeep(media)
+    prepare(docs)
+      .withColumn("modality", lit("text"))
+      .unionByName(
+        kept
+          .select(col("doc_id"), col("kind").as("modality"))
+          // split on DISTINCT ids: the same doc id may carry several
+          // modalities (its image and its audio), which must all land in
+          // the same split without fanning the join out
+          .join(
+            Corpus
+              .splitAssign(kept.select("doc_id").distinct())
+              .select("doc_id", "split"),
+            Seq("doc_id")),
+        allowMissingColumns = true)
+  }
+
+  /** Mixed-corpus audit card: [[datacard]]'s per-source text rows plus
+    * one row per media modality in the SAME schema — `source` =
+    * `media:<kind>`, `n_docs` the modality's total items, `n_chars` its
+    * total bytes, `n_kept` its near-dup survivors ([[mediaKeep]]);
+    * token/lang/quality columns are zero (media carries no text stats).
+    * Publish one card for the whole mixed corpus.
+    */
+  def datacardMixed(docs: DataFrame, media: DataFrame): DataFrame = {
+    val kept = mediaKeep(media)
+      .groupBy("kind")
+      .agg(count(lit(1)).cast("long").as("n_kept"))
+    val m = media
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("n_bytes").cast("long").as("n_chars"))
+      .join(kept, Seq("kind"), "left")
+      .select(
+        concat(lit("media:"), col("kind")).as("source"),
+        col("n_docs"),
+        lit(0L).as("n_tokens"),
+        col("n_chars"),
+        lit(0L).as("n_langs"),
+        lit(0L).as("q_tenk_min"),
+        lit(0L).as("q_tenk_max"),
+        lit(0L).as("q_tenk_avg"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    datacard(docs).unionByName(m)
+  }
 }
 
 object Pipeline {

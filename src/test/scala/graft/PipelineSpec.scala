@@ -50,6 +50,54 @@ class PipelineSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("mixed corpus: per-modality near-dup drops, one manifest, modality rows in the datacard") {
+    val base = docs.filter(col("doc_id") < 40)
+    val imgs = graft.etl.MediaSynth.mediaTable(base, "image/bmp", graft.etl.MediaSynth.docBmp)
+    val wavs = graft.etl.MediaSynth.mediaTable(base, "audio/wav", graft.etl.MediaSynth.docWav)
+    // plant an exact re-upload of image 1 and clip 2 under fresh ids —
+    // the perceptual hashes pair them at hamming 0 and the keep rule must
+    // drop the re-upload, keep the original
+    def reupload(m: org.apache.spark.sql.DataFrame, id: Long) = m
+      .filter(col("doc_id") === id)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("kind"), col("n_bytes"), col("media"))
+    val media = imgs.unionByName(reupload(imgs, 1L)).unionByName(wavs).unionByName(reupload(wavs, 2L))
+    val p = new Pipeline()
+    val kept = p.mediaKeep(media).cache()
+    // the re-uploads carry the highest ids of their (exact-copy) clusters,
+    // so the min-id keep rule can never select them — regardless of any
+    // natural near-dup pairs among the generated fixtures
+    assert(kept.filter(col("doc_id") === 1000001L).count() == 0L, "image re-upload must drop")
+    assert(kept.filter(col("doc_id") === 1000002L).count() == 0L, "audio re-upload must drop")
+    assert(kept.columns.toSet == Set("doc_id", "kind", "n_bytes", "media"))
+    // mixed manifest: text rows keep their prepare() columns, media rows
+    // carry their modality and the SAME hash-split rule on their ids
+    val manifest = p.prepareMixed(docs, media)
+    assert(manifest.filter(col("modality") === "text").count() == prepared.count())
+    val mediaRows = manifest.filter(col("modality") =!= "text")
+    assert(mediaRows.count() == kept.count())
+    val badSplit = mediaRows
+      .join(Corpus.splitAssign(kept).withColumnRenamed("split", "expected"), "doc_id")
+      .filter(col("split") =!= col("expected"))
+      .count()
+    assert(badSplit == 0L)
+    // datacard: one row per modality in the text card's schema, with the
+    // drop visible as n_docs - n_kept
+    val card = p.datacardMixed(docs, media)
+      .filter(col("source").startsWith("media:"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))))
+      .toMap
+    assert(card.keySet == Set("media:image/bmp", "media:audio/wav"))
+    // at least the planted re-upload dropped per modality (natural
+    // near-dups among the generated fixtures may drop more)
+    val (imgTotal, imgKept) = card("media:image/bmp")
+    assert(imgTotal == 41L && imgKept <= 40L && imgKept >= 1L,
+      s"image card: total $imgTotal, kept $imgKept")
+    val (wavTotal, wavKept) = card("media:audio/wav")
+    assert(wavTotal == 41L && wavKept <= 40L && wavKept >= 1L,
+      s"audio card: total $wavTotal, kept $wavKept")
+  }
+
   test("blocklist knob ≡ preparing the manually pre-filtered corpus") {
     val hits = Corpus.blocklistHits(docs, Seq("dup"))
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
