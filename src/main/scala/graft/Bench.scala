@@ -64,6 +64,10 @@ object Bench {
     "dedup_clusters",
     "dedup_keep",
     "dedup_keep_best",
+    // probe-the-snapshot faces: an LSH probe + batch-local CC each, plus
+    // (first toucher only) the shared bridge-fixture index/map build
+    "dedup_clusters_incremental",
+    "dedup_cluster_merge_audit",
     // always rebuilds + persists its own map (the honest-build face),
     // so it is the heaviest CC-family entry
     "dedup_clusters_persisted",

@@ -642,6 +642,117 @@ object Dedup {
     spark.read.parquet(s"$path/clusters")
   }
 
+  /** The batch-local incremental-clustering graph shared by
+    * [[assignClusters]] and [[clusterMergeAudit]]: batch↔history near-dup
+    * pairs from a probe of the persisted LSH index (history is never
+    * re-shingled), with the history endpoint of every cross pair mapped
+    * through the persisted cluster map (a doc in no pair is its own
+    * singleton cluster), plus the batch's INTERNAL near-dup pairs.
+    * Returns (min-label CC over that graph, the distinct history-cluster
+    * nodes the batch touched). The graph is |batch pairs|-sized — the
+    * 100 TB corpus participates only through the index probe and one
+    * broadcast-ready equi-join against the (small) cluster map.
+    */
+  private def incrementalClusterState(
+      spark: org.apache.spark.sql.SparkSession,
+      lshPath: String,
+      mapPath: String,
+      batch: DataFrame,
+      numHashes: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      shingle: Int,
+      maxBucket: Int,
+      textCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val cross = probeLshIndex(
+      spark, lshPath, batch, numHashes, rowsPerBand, threshold, shingle, maxBucket,
+      textCol, idCol)
+    val clusters =
+      readClusterMap(spark, mapPath, numHashes, rowsPerBand, threshold, shingle, maxBucket)
+    val crossLabeled = cross
+      .join(clusters.withColumnRenamed("doc_id", "corpus_id"), Seq("corpus_id"), "left")
+      .select(
+        col("probe_id").as("doc_a"),
+        coalesce(col("cluster_id"), col("corpus_id")).as("doc_b"))
+      .localCheckpoint() // feeds both the CC loop and the hist-node census
+    val within = minHashLsh(
+      batch, numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)
+      .select("doc_a", "doc_b")
+    val labels = clusterPairs(crossLabeled.unionAll(within))
+    (labels, crossLabeled.select(col("doc_b").as("hist_cluster")).distinct())
+  }
+
+  /** Incremental cluster assignment: label a NEW batch against a frozen
+    * corpus snapshot — persisted LSH index ([[writeLshIndex]]) + persisted
+    * cluster map ([[writeClusterMap]]) — without re-running the global
+    * MinHash → LSH → CC job. Each batch doc that lands in some near-dup
+    * pair (batch↔history via the index probe, or batch↔batch) gets
+    * `cluster_id` = the minimum id reachable through the batch-local
+    * graph, where history docs enter AS their existing cluster label:
+    * exactly a full rebuild over batch ∪ history restricted to paths that
+    * touch the batch. Batch docs with no near-dup partner are absent
+    * (the [[clusterPairs]] contract: no pair, no row — they are their own
+    * singleton).
+    *
+    * What this deliberately does NOT do is rewrite history: a batch doc
+    * bridging two OLD clusters shows up here with the smaller label, and
+    * the bridged clusters surface in [[clusterMergeAudit]] as the rebuild
+    * signal — the same grow-cheap/rebuild-on-drift lifecycle as the IVF
+    * ingest's `cellDrift`. Between rebuilds the persisted map stays
+    * frozen-but-auditable rather than silently stale.
+    */
+  def assignClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      lshPath: String,
+      mapPath: String,
+      batch: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (labels, _) = incrementalClusterState(
+      spark, lshPath, mapPath, batch, numHashes, rowsPerBand, threshold, shingle,
+      maxBucket, textCol, idCol)
+    labels.join(
+      batch.select(col(idCol).cast("long").as("doc_id")),
+      Seq("doc_id"))
+  }
+
+  /** The rebuild signal for the incremental-clustering lifecycle: OLD
+    * clusters that a new batch bridges. A history cluster node whose
+    * batch-local CC label moved off its own id was connected — through
+    * batch docs — to something smaller (another old cluster or a batch
+    * doc); one row `(cluster_id, merged_into)` per such cluster. Empty
+    * audit ⇒ the persisted map is still exact after [[assignClusters]];
+    * a non-empty audit is the cue to re-run [[writeClusterMap]] over the
+    * grown corpus (CC is inherently global — merges cannot be folded in
+    * append-only, see [[writeClusterMap]]).
+    */
+  def clusterMergeAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      lshPath: String,
+      mapPath: String,
+      batch: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (labels, histNodes) = incrementalClusterState(
+      spark, lshPath, mapPath, batch, numHashes, rowsPerBand, threshold, shingle,
+      maxBucket, textCol, idCol)
+    labels
+      .join(histNodes, labels("doc_id") === histNodes("hist_cluster"))
+      .filter(col("cluster_id") =!= col("hist_cluster"))
+      .select(col("hist_cluster").as("cluster_id"), col("cluster_id").as("merged_into"))
+  }
+
   /** 16-bit SimHash from token md5 nibbles: bit i votes +1 when the i-th
     * hex digit of md5(token) has its high bit set (8..f), else -1; the
     * fingerprint bit is the vote sign. Pure string ops — engine-portable.

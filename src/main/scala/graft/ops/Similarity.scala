@@ -632,9 +632,20 @@ object Similarity {
       partitionCols: Seq[String] = Nil): Unit = {
     val raw = spark.read.parquet(s"$path/$sub")
     val live = minusTombstones(spark, path, raw, idColName)
-    val pruned =
-      if (raw.columns.contains("batch_id")) live.drop("batch_id") else live
-    rewriteDir(spark, pruned, s"$path/$sub", partitionCols)
+    if (raw.columns.contains("batch_id"))
+      // A STREAM-maintained subtree stays batch-keyed after compaction:
+      // everything folds into ONE synthetic generation, `batch_id=-1`
+      // (real micro-batch ids are >= 0, so a resumed stream never
+      // collides with it). Folding to a FLAT layout instead would make
+      // the next ingest batch's `batch_id=N` dir sit beside plain files /
+      // `centroid_id=*` dirs and break partition discovery — compaction
+      // must be safe MID-stream, not only at end-of-life.
+      rewriteDir(
+        spark,
+        live.withColumn("batch_id", lit(-1L)),
+        s"$path/$sub",
+        "batch_id" +: partitionCols)
+    else rewriteDir(spark, live, s"$path/$sub", partitionCols)
   }
 
   private[ops] def clearTombstones(
@@ -644,7 +655,9 @@ object Similarity {
   /** Compact a persisted IVF index: fold every generation — the base
     * build, [[appendIvfIndex]] appends, and all `cells/batch_id=N` dirs a
     * streaming ingest accumulated — into ONE consolidated cell tree
-    * (partitioned by `centroid_id` only), physically dropping tombstoned
+    * (batch-built: partitioned by `centroid_id`; stream-built: one
+    * `batch_id=-1` generation so later ingest batches keep a consistent
+    * layout), physically dropping tombstoned
     * vectors, then clear the tombstones. Probe results are unchanged by
     * contract (asserted probe-before ≡ probe-after in the spec and the
     * `similarity_topk_ivf_compacted` oracle row); what changes is the

@@ -1056,6 +1056,8 @@ object TextAnalysis {
       idCol: String = "doc_id"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // full rebuild replaces the index: stale tombstones must not subtract
+    Similarity.clearTombstones(spark, path)
     chunkTokens(corpus, window, stride, textCol, idCol)
       .select(col("chunk_md5"), col("doc_id"))
       .distinct()
@@ -1114,8 +1116,12 @@ object TextAnalysis {
     // the same (chunk_md5, doc_id) posting twice — duplicates would both
     // double-count n_shared (inflating contain_milli past its true value)
     // and miscount the hot-chunk cap.
+    // tombstones subtract BEFORE the hot-chunk cap (same ordering as
+    // Dedup.probeLshIndex): a retracted container must neither surface
+    // as a match nor inflate a chunk's posting count toward the cap
     val store = Skew.capHotKeys(
-      spark.read.parquet(s"$path/postings").distinct(),
+      Similarity.minusTombstones(
+        spark, path, spark.read.parquet(s"$path/postings").distinct(), "doc_id"),
       Seq("chunk_md5"),
       maxPostings)
     val pp = chunkTokens(probe, window, stride, textCol, idCol)
@@ -1141,6 +1147,20 @@ object TextAnalysis {
         (-col("best.neg_container")).cast("long").as("container"),
         col("best.contain_milli").cast("long").as("contain_milli"),
         col("best.n_shared").cast("long").as("n_shared"))
+  }
+
+  /** Compact the persisted chunk index: physically drop tombstoned
+    * containers ([[graft.ops.Similarity.deleteFromIndex]] with
+    * `idCol = "doc_id"` against this path) from the posting table, fold
+    * any [[appendChunkIndex]] generations into one file set, and clear
+    * the tombstones — probe results unchanged by contract, same
+    * tmp-and-swap recipe as the IVF/PQ/LSH compactions. Completes the
+    * build / append / delete / compact lifecycle for the last persisted
+    * index kind that lacked it.
+    */
+  def compactChunkIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    Similarity.compactIndexDir(spark, path, "postings", "doc_id")
+    Similarity.clearTombstones(spark, path)
   }
 
   /** Validate caller parameters against the index's persisted `params`

@@ -136,15 +136,96 @@ object OpsQueries {
     */
   private val clusterMapDirs = scala.collection.concurrent.TrieMap[String, String]()
 
-  private def clusterMap(s: SparkSession, dir: String): DataFrame = {
-    val path = clusterMapDirs.getOrElseUpdate(
+  private def clusterMapPath(s: SparkSession, dir: String): String =
+    clusterMapDirs.getOrElseUpdate(
       dir, {
         val p = s"${sys.props("java.io.tmpdir")}/graft_cluster_map_" +
           s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode.toLong)}"
         Dedup.writeClusterMap(docs(s, dir), p)
         p
       })
-    Dedup.readClusterMap(s, path)
+
+  private def clusterMap(s: SparkSession, dir: String): DataFrame =
+    Dedup.readClusterMap(s, clusterMapPath(s, dir))
+
+  /** Persisted LSH index over the corpus snapshot, built once per dir —
+    * the history side of the incremental-clustering queries (probed, never
+    * re-shingled), same build-once scratch discipline as [[clusterMapPath]].
+    */
+  private val lshIndexDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def lshIndexPath(s: SparkSession, dir: String): String =
+    lshIndexDirs.getOrElseUpdate(
+      dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_lsh_index_" +
+          s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode.toLong)}"
+        Dedup.writeLshIndex(docs(s, dir), p)
+        p
+      })
+
+  /** The incremental-clustering batch: a re-crawl round of near-identical
+    * copies — every `doc_id % 11 = 7` doc re-lands under id +7,000,000, and
+    * half of those (`% 22 = 7`) land a SECOND copy under +8,000,000, so the
+    * batch has both batch↔history and batch↔batch near-dup pairs. Mirrored
+    * verbatim in the `dedup_clusters_incremental` oracle SQL.
+    */
+  private def incBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 11 === 7)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      .unionAll(
+        d.filter(col("doc_id") % 22 === 7)
+          .select((col("doc_id") + 8000000L).as("doc_id"), col("text")))
+  }
+
+  /** The cluster-MERGE fixture: history that holds two crawl FRAGMENTS of
+    * every `doc_id % 31 = 11` seed — an 85%-of-words prefix (id +600,000)
+    * and an 85% suffix (id +650,000), shingle-Jaccard ≈0.7 to each other
+    * (below the 0.8 near-dup bar, so they land in DIFFERENT clusters) but
+    * ≈0.85 to the full text — with the seed itself withheld. The batch
+    * ([[bridgeBatch]]) then re-crawls the FULL seed (+7,000,000): ≥0.8 to
+    * both fragments, so it bridges their clusters and
+    * `dedup_cluster_merge_audit` has real merges to report. Tokenization
+    * is exactly [[graft.ops.TextAnalysis.tokens]] so the rebuilt text
+    * re-tokenizes identically; mirrored verbatim in the oracle CTEs.
+    */
+  private def bridgeHistory(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val seeds = d
+      .filter(col("doc_id") % 31 === 11)
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("tk"))
+    val pref = seeds.select(
+      (col("doc_id") + 600000L).as("doc_id"),
+      expr("concat_ws(' ', slice(tk, 1, (17 * size(tk)) div 20))").as("text"))
+    val suf = seeds.select(
+      (col("doc_id") + 650000L).as("doc_id"),
+      expr(
+        "concat_ws(' ', slice(tk, (3 * size(tk)) div 20 + 1, " +
+          "size(tk) - (3 * size(tk)) div 20))").as("text"))
+    d.filter(col("doc_id") % 31 =!= 11).unionAll(pref).unionAll(suf)
+  }
+
+  private def bridgeBatch(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(col("doc_id") % 31 === 11)
+      .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+
+  /** Persisted LSH index + cluster map over [[bridgeHistory]], built once
+    * per dir — the frozen snapshot the merge-audit query probes.
+    */
+  private val bridgeDirs = scala.collection.concurrent.TrieMap[String, String]()
+
+  private def bridgePaths(s: SparkSession, dir: String): (String, String) = {
+    val base = bridgeDirs.getOrElseUpdate(
+      dir, {
+        val p = s"${sys.props("java.io.tmpdir")}/graft_bridge_" +
+          s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode.toLong)}"
+        val h = bridgeHistory(s, dir).localCheckpoint()
+        Dedup.writeLshIndex(h, s"$p/lsh")
+        Dedup.writeClusterMap(h, s"$p/map")
+        p
+      })
+    (s"$base/lsh", s"$base/map")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,6 +257,18 @@ object OpsQueries {
       val p = s"${sys.props("java.io.tmpdir")}/graft_cluster_map_own_${ProcessHandle.current().pid()}"
       Dedup.writeClusterMap(docs(s, dir), p)
       Dedup.readClusterMap(s, p)
+    },
+    // a re-crawl batch labeled against the FROZEN snapshot (persisted LSH
+    // index + persisted cluster map) — no global MinHash/CC re-run
+    "dedup_clusters_incremental" -> { (s, dir) =>
+      Dedup.assignClusters(s, lshIndexPath(s, dir), clusterMapPath(s, dir), incBatch(s, dir))
+    },
+    // the rebuild signal: old clusters the batch bridged — the history
+    // holds prefix/suffix crawl fragments of each seed (separate
+    // clusters), the batch re-crawls the full seed and merges them
+    "dedup_cluster_merge_audit" -> { (s, dir) =>
+      val (lsh, map) = bridgePaths(s, dir)
+      Dedup.clusterMergeAudit(s, lsh, map, bridgeBatch(s, dir))
     },
     // benchmark-vs-train decontamination by NEAR-dup: every 5th doc plays
     // the benchmark (re-id'd, removed from the corpus side); hits are its
@@ -785,6 +878,95 @@ object OpsQueries {
        |  $bandRows)""".stripMargin
   }
 
+  /** The incremental-clustering oracle's CTE chain, shared by
+    * `dedup_clusters_incremental` and `dedup_cluster_merge_audit`: the
+    * batch of [[incBatch]] (mirrored verbatim), history cluster labels
+    * from the full-corpus recursive closure, batch↔history cross pairs
+    * with the corpus-side hot-bucket cap (the `probeLshIndex` contract),
+    * batch-internal pairs with the batch-side cap (the `minHashLsh`
+    * contract), then min-label closure over the labeled union graph.
+    * Ends with `labels(id, r)` and `xedges(a, b)` available.
+    */
+  private def incClusterCtes(batchSrc: String, corpusSrc: String): String = {
+    s"""${mhSideCtes("b_", batchSrc)},
+       |${mhSideCtes("c_", corpusSrc)},
+       |hokb AS (SELECT band, bkey FROM c_bands GROUP BY band, bkey HAVING COUNT(*) <= 50),
+       |hbands AS (SELECT b.* FROM c_bands b JOIN hokb USING (band, bkey)),
+       |csizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM c_shingles GROUP BY id),
+       |bsizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM b_shingles GROUP BY id),
+       |hcand AS (
+       |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+       |  FROM hbands x JOIN hbands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |hinter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM hcand c
+       |  JOIN c_shingles a ON a.id = c.doc_a
+       |  JOIN c_shingles b ON b.id = c.doc_b AND b.tok = a.tok
+       |  GROUP BY 1, 2),
+       |hpairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM hinter i
+       |  JOIN csizes sa ON sa.id = i.doc_a
+       |  JOIN csizes sb ON sb.id = i.doc_b
+       |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8),
+       |hedges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM hpairs
+       |  UNION
+       |  SELECT doc_b AS a, doc_a AS b FROM hpairs),
+       |hreach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM hedges
+       |  UNION
+       |  SELECT e.b, hreach.r FROM hreach JOIN hedges e ON e.a = hreach.id),
+       |hclusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM hreach GROUP BY id),
+       |xcand AS (
+       |  SELECT DISTINCT x.id AS probe_id, y.id AS corpus_id
+       |  FROM b_bands x JOIN hbands y ON x.band = y.band AND x.bkey = y.bkey),
+       |xinter AS (
+       |  SELECT c.probe_id, c.corpus_id, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM xcand c
+       |  JOIN b_shingles a ON a.id = c.probe_id
+       |  JOIN c_shingles b ON b.id = c.corpus_id AND b.tok = a.tok
+       |  GROUP BY 1, 2),
+       |xpairs AS (
+       |  SELECT i.probe_id, i.corpus_id FROM xinter i
+       |  JOIN bsizes sa ON sa.id = i.probe_id
+       |  JOIN csizes sb ON sb.id = i.corpus_id
+       |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8),
+       |xedges AS (
+       |  SELECT x.probe_id AS a, COALESCE(hc.cluster_id, x.corpus_id) AS b
+       |  FROM xpairs x LEFT JOIN hclusters hc ON hc.doc_id = x.corpus_id),
+       |bokb AS (SELECT band, bkey FROM b_bands GROUP BY band, bkey HAVING COUNT(*) <= 50),
+       |bbands AS (SELECT b.* FROM b_bands b JOIN bokb USING (band, bkey)),
+       |wcand AS (
+       |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+       |  FROM bbands x JOIN bbands y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id),
+       |winter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM wcand c
+       |  JOIN b_shingles a ON a.id = c.doc_a
+       |  JOIN b_shingles b ON b.id = c.doc_b AND b.tok = a.tok
+       |  GROUP BY 1, 2),
+       |wpairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM winter i
+       |  JOIN bsizes sa ON sa.id = i.doc_a
+       |  JOIN bsizes sb ON sb.id = i.doc_b
+       |  WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) >= 0.8),
+       |edges AS (
+       |  SELECT a, b FROM xedges
+       |  UNION
+       |  SELECT b, a FROM xedges
+       |  UNION
+       |  SELECT doc_a, doc_b FROM wpairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM wpairs),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |labels AS (SELECT id, MIN(r) AS r FROM reach GROUP BY id)""".stripMargin
+  }
+
   /** The aHash table of `Multimodal.bmpAHashes` over the generator formula,
     * as CTEs ending in `ah(doc_id, hash_hi, hash_lo)`.
     */
@@ -1252,6 +1434,45 @@ object OpsQueries {
          |  UNION
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    // Incremental assignment of the re-crawl batch: min reachable id over
+    // (cross pairs mapped through the history cluster labels) ∪ (batch-
+    // internal pairs) — batch ids only, exactly Dedup.assignClusters.
+    "dedup_clusters_incremental" -> {
+      val batchSrc =
+        """SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 7
+          |        UNION ALL
+          |        SELECT doc_id + 8000000 AS doc_id, text FROM documents WHERE doc_id % 22 = 7""".stripMargin
+      s"""WITH RECURSIVE
+         |${incClusterCtes(batchSrc, "SELECT doc_id, text FROM documents")}
+         |SELECT id AS doc_id, r AS cluster_id FROM labels WHERE id >= 7000000""".stripMargin
+    },
+    // History clusters whose batch-local label moved off their own id —
+    // the clusters the batch bridged (Dedup.clusterMergeAudit): prefix/
+    // suffix crawl fragments of each seed sit in different clusters until
+    // the batch re-crawls the full seed text and connects them.
+    "dedup_cluster_merge_audit" -> {
+      val seedTk =
+        """SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+          |          FROM documents WHERE doc_id % 31 = 11""".stripMargin
+      val corpusSrc =
+        s"""SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 11
+           |        UNION ALL
+           |        SELECT doc_id + 600000 AS doc_id,
+           |               array_to_string(tk[1:(17 * len(tk)) // 20], ' ') AS text
+           |        FROM ($seedTk)
+           |        UNION ALL
+           |        SELECT doc_id + 650000 AS doc_id,
+           |               array_to_string(tk[(3 * len(tk)) // 20 + 1:len(tk)], ' ') AS text
+           |        FROM ($seedTk)""".stripMargin
+      val batchSrc =
+        "SELECT doc_id + 7000000 AS doc_id, text FROM documents WHERE doc_id % 31 = 11"
+      s"""WITH RECURSIVE
+         |${incClusterCtes(batchSrc, corpusSrc)}
+         |SELECT hn.b AS cluster_id, l.r AS merged_into
+         |FROM (SELECT DISTINCT b FROM xedges) hn
+         |JOIN labels l ON l.id = hn.b
+         |WHERE l.r <> hn.b""".stripMargin
+    },
     "corpus_split" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -423,6 +423,55 @@ class CorpusSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/shingles").filter(col("id") === 1L).count() == 0L)
   }
 
+  test("assignClusters labels a batch against the frozen snapshot; clusterMergeAudit reports bridges") {
+    val s = spark
+    import s.implicits._
+    def toks(a: Int, b: Int) = (a to b).map(i => s"t$i").mkString(" ")
+    // A and B are crawl fragments at shingle-Jaccard ~0.69: below the 0.8
+    // bar, so the snapshot holds them as separate singletons. C~D are a
+    // planted near-dup clique (cluster 3). E is unrelated.
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val history = Seq(
+      (1L, toks(1, 85)),
+      (2L, toks(16, 100)),
+      (3L, base),
+      (4L, base + " extra tail here"),
+      (5L, (200 to 230).map(i => s"word$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incclu").toString
+    Dedup.writeLshIndex(history, s"$dir/lsh")
+    Dedup.writeClusterMap(history, s"$dir/map")
+    // the batch: a full re-crawl M bridging A and B, a copy N of C, an
+    // unrelated P, and a batch-internal dup pair Q~R
+    val fresh = (300 to 340).map(i => s"new$i").mkString(" ")
+    val batch = Seq(
+      (10L, toks(9, 92)),
+      (11L, base),
+      (12L, (400 to 440).map(i => s"none$i").mkString(" ")),
+      (13L, fresh),
+      (14L, fresh + " tiny tail")).toDF("doc_id", "text")
+    val assigned = Dedup.assignClusters(spark, s"$dir/lsh", s"$dir/map", batch)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    // M joins min(A, B) = 1; N joins C's cluster 3; P has no partner (no
+    // row — its own singleton); Q/R form a fresh batch-local cluster 13
+    assert(assigned == Set((10L, 1L), (11L, 3L), (13L, 13L), (14L, 13L)))
+    // the audit reports exactly the bridged old cluster: B's singleton
+    // merged into A's; C's clique label did not move
+    val audit = Dedup.clusterMergeAudit(spark, s"$dir/lsh", s"$dir/map", batch)
+      .collect().map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("merged_into"))).toSet
+    assert(audit == Set((2L, 1L)))
+    // a bridge-free batch audits clean — the persisted map is still exact
+    val clean = Seq((20L, base + " re crawl")).toDF("doc_id", "text")
+    assert(Dedup.clusterMergeAudit(spark, s"$dir/lsh", s"$dir/map", clean).isEmpty)
+    // incremental assignment ≡ full rebuild restricted to the batch: the
+    // from-scratch cluster map over history ∪ batch gives every assigned
+    // batch doc the SAME label
+    val full = Dedup.clusterPairs(Dedup.minHashLsh(history.unionByName(batch)))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toMap
+    assigned.foreach { case (id, c) =>
+      assert(full(id) == c, s"doc $id: incremental $c vs rebuild ${full(id)}")
+    }
+  }
+
   test("curriculumOrder: score progression dominates, salt reshuffles only within ties") {
     val s = spark
     import s.implicits._

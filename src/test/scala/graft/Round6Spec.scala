@@ -440,6 +440,23 @@ class Round6Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((301L, t1)), window = 16, stride = 8)
     }
+    // GDPR-delete container 1: the clone's best container immediately
+    // falls back to the surviving copy 101; compaction drops doc 1's
+    // postings physically and the probe is unchanged
+    graft.ops.Similarity.deleteFromIndex(Seq(1L).toDF("doc_id"), path, idCol = "doc_id")
+    val afterDel = graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((401L, t1))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("container"))).toSeq
+    assert(afterDel == Seq((401L, 101L)), "tombstoned container still matched")
+    graft.ops.TextAnalysis.compactChunkIndex(s, path)
+    val afterCompact = graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((401L, t1))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("container"))).toSeq
+    assert(afterCompact == afterDel, "probe-after-compact must equal probe-before")
+    assert(s.read.parquet(s"$path/postings").filter(col("doc_id") === 1L).count() == 0L)
+    // a full rebuild clears stale tombstones: doc 1 is probeable again
+    graft.ops.TextAnalysis.writeChunkIndex(mk((1L, t1), (2L, t2)), path)
+    val rebuilt = graft.ops.TextAnalysis.probeChunkIndex(s, path, mk((501L, t1))).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("container"))).toSeq
+    assert(rebuilt == Seq((501L, 1L)), "rebuild must forget old tombstones")
   }
 
   // ---- embedding cell drift ----

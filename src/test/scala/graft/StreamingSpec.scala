@@ -198,8 +198,20 @@ class StreamingSpec extends SparkSpec {
     graft.ops.Similarity.compactIvfIndex(spark, dir)
     assert(rows(graft.ops.Similarity.probeIvfIndex(spark, dir, q, k = 5)) == before,
       "compaction must not change probe results")
-    assert(!spark.read.parquet(s"$dir/cells").columns.contains("batch_id"),
+    // stream generations fold into ONE synthetic batch_id=-1 dir — NOT a
+    // flat layout, which would collide with the next ingest batch's
+    // batch_id=N dir and break partition discovery mid-stream
+    assert(
+      spark.read.parquet(s"$dir/cells").select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L),
       "compaction must fold the batch generations into one")
+    // the stream keeps growing AFTER a mid-stream compaction: the next
+    // batch lands beside the compacted generation and probes see both
+    graft.ops.Similarity.ingestIvfBatch(
+      q.withColumn("vec_id", col("vec_id") + 2000000L), dir, 2L)
+    val grown = rows(graft.ops.Similarity.probeIvfIndex(spark, dir, q, k = 5))
+    assert(grown.exists(_._3 >= 2000000L),
+      "post-compaction ingest batch must be visible to probes")
     // a FRESH stream pointed at the path (batch 0 again) retrains and
     // REPLACES the whole index: no cell written under the old quantizer —
     // batch-keyed or compacted — may survive into probes
