@@ -456,6 +456,90 @@ object Dedup {
     Similarity.clearTombstones(spark, path)
   }
 
+  /** One micro-batch of STREAMING near-dup ingest (the foreachBatch body
+    * of [[graft.streaming.CorpusIngest.nearDedupIngest]]) — the
+    * "probe → keep what survives → append" protocol of [[appendLshIndex]]
+    * automated with exactly-once semantics:
+    *
+    *   1. batch 0 (or the first non-empty batch — empty leading batches
+    *      no-op without consuming the slot) claims the store: any stale
+    *      subtree is deleted and the hash parameters are frozen in
+    *      `params` — the [[graft.ops.Similarity.ingestIvfBatch]]
+    *      re-pointing contract;
+    *   2. in-batch near-dups collapse to one representative per
+    *      [[clusterPairs]] component (min id);
+    *   3. survivors probe the index restricted to generations strictly
+    *      BEFORE this batch id — so a checkpoint-retried batch never
+    *      probes its own half-written bands and drops itself — and
+    *      near-dups of history are discarded;
+    *   4. what remains lands under `bands`/`shingles`/`docs`
+    *      `batch_id=N` dirs with overwrite semantics (a retried batch
+    *      rewrites itself instead of duplicating).
+    *
+    * [[probeLshIndex]] reads the grown store unchanged; tombstone deletes
+    * and [[compactLshIndex]] apply as for a batch-built index (compaction
+    * folds the generations into one `batch_id=-1` dir, so the stream can
+    * keep growing afterwards). At 100 TB each round costs |batch|
+    * shingling plus band-collision joins against the (capped) history
+    * band table — the corpus text is never rescanned.
+    */
+  def ingestLshBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/bands")
+      Similarity.deleteDir(spark, s"$path/shingles")
+      Similarity.deleteDir(spark, s"$path/docs")
+      Similarity.clearTombstones(spark, path)
+      Seq((numHashes, rowsPerBand, shingle))
+        .toDF("num_hashes", "rows_per_band", "shingle")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params")
+    } else requireLshParams(spark, path, numHashes, rowsPerBand, shingle)
+    val reps = keepFromClusters(
+      batch,
+      clusterPairs(
+        minHashLsh(batch, numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)),
+      idCol).withColumnRenamed("doc_id", "__rep_id")
+    val inBatch = batch.join(reps, col(idCol).cast("long") === col("__rep_id")).drop("__rep_id")
+    val survivors =
+      if (Similarity.storeExists(spark, s"$path/bands")) {
+        val hist = spark.read.parquet(s"$path/bands").filter(col("batch_id") < batchId)
+        val histSh = spark.read.parquet(s"$path/shingles").filter(col("batch_id") < batchId)
+        val hits = crossProbe(
+          inBatch,
+          Skew.capHotKeys(
+            Similarity.minusTombstones(spark, path, hist, "id"),
+            Seq("band", "bkey"),
+            maxBucket),
+          histSh,
+          numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
+        inBatch.join(
+          hits.select(col("probe_id")),
+          col(idCol).cast("long") === col("probe_id"),
+          "left_anti")
+      } else inBatch
+    val kept = survivors.localCheckpoint() // three writes below
+    val sh = shingleArrays(kept, shingle, textCol, idCol)
+    bandTable(sh, numHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands/batch_id=$batchId")
+    sh.write.mode("overwrite").parquet(s"$path/shingles/batch_id=$batchId")
+    kept
+      .select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$path/docs/batch_id=$batchId")
+  }
+
   /** Connected components over near-dup pairs: every doc that appears in a
     * pair gets `cluster_id` = the minimum doc id reachable through the pair
     * graph. This is the step that turns pairwise dedup output into an

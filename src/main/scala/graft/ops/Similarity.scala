@@ -480,7 +480,7 @@ object Similarity {
     * on the persisted store, not on the batch id, so an empty first
     * micro-batch cannot leave the index permanently untrained).
     */
-  private def storeExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+  private[ops] def storeExists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -492,7 +492,7 @@ object Similarity {
     * of one partition dir leaves sibling dirs — vectors assigned under the
     * OLD quantizer — for every future probe to silently mix in.
     */
-  private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+  private[ops] def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

@@ -71,6 +71,41 @@ object CorpusIngest {
       }
       .start()
 
+  /** The NEAR-dup complement of [[dedupIngest]]: each micro-batch
+    * collapses its own near-dup clusters to one representative, drops
+    * survivors that are near-dups of ANY earlier batch, and lands the
+    * rest while growing a probeable LSH index as it goes — the
+    * [[graft.ops.Dedup.ingestLshBatch]] contract (first non-empty batch
+    * claims/replaces the store, history restricted to strictly-earlier
+    * batch ids, batch-id-keyed overwrites for exactly-once). Exact
+    * re-crawls are near-dups at Jaccard 1.0, so this subsumes
+    * [[dedupIngest]] where the corpus can afford shingling every batch;
+    * run both when the exact face's cheap md5 pass should shortcut the
+    * bulk first. The landed corpus is `$path/docs`, probeable history is
+    * `$path/bands`/`shingles` via [[graft.ops.Dedup.probeLshIndex]].
+    */
+  def nearDedupIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Dedup.ingestLshBatch(
+          batch.toDF(), path, batchId,
+          numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)
+        ()
+      }
+      .start()
+
   /** The fingerprint store restricted to batches strictly BEFORE
     * `batchId`: partition pruning on the `batch_id` directory key makes
     * the exclusion free, and it is what makes a retried batch safe — its

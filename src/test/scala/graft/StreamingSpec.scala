@@ -296,6 +296,55 @@ class StreamingSpec extends SparkSpec {
     assert(fps.length == 3 && fps.distinct.length == 3)
   }
 
+  test("nearDedupIngest: cross-batch near-dups dropped, index grows, mid-stream compact survives") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    def addDocs(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.CorpusIngest
+        .nearDedupIngest(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def landed(): Set[Long] =
+      spark.read.parquet(s"$dir/idx/docs").select("doc_id").as[Long].collect().toSet
+
+    val base = (1 to 30).map(i => s"token$i").mkString(" ")
+    val other = (100 to 130).map(i => s"word$i").mkString(" ")
+    // batch 1: a NEAR-dup pair (not byte-identical — the exact face would
+    // miss it) collapses to the min id; an unrelated doc lands
+    addDocs(Seq((1L, base), (2L, base + " tail"), (3L, other)))
+    run()
+    assert(landed() == Set(1L, 3L), "in-batch near-dup must collapse to one representative")
+
+    // batch 2: a re-crawl near-dup of history is dropped, a fresh doc lands
+    val fresh = (200 to 230).map(i => s"new$i").mkString(" ")
+    addDocs(Seq((10L, base + " re crawl"), (11L, fresh)))
+    run()
+    assert(landed() == Set(1L, 3L, 11L), "history near-dup must be dropped")
+
+    // the grown store IS a probeable LSH index
+    val probe = Seq((50L, base + " probing")).toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.probeLshIndex(spark, s"$dir/idx", probe)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits == Set(1L), "probe must surface the landed near-dup partner")
+
+    // a directly-retried batch rewrites itself instead of duplicating
+    graft.ops.Dedup.ingestLshBatch(
+      Seq((10L, base + " re crawl"), (11L, fresh)).toDF("doc_id", "text"), s"$dir/idx", 1L)
+    assert(landed() == Set(1L, 3L, 11L), "retried batch must be idempotent")
+
+    // mid-stream compaction folds generations; the stream keeps growing after
+    graft.ops.Dedup.compactLshIndex(spark, s"$dir/idx")
+    addDocs(Seq((20L, fresh + " again"), (21L, (300 to 330).map(i => s"x$i").mkString(" "))))
+    run()
+    assert(landed() == Set(1L, 3L, 11L, 21L),
+      "post-compaction batch must still dedup against folded history and land the rest")
+  }
+
   test("dedupIngest blocklist: blocked docs neither land nor claim fingerprints") {
     val s = spark
     import s.implicits._
