@@ -20,6 +20,8 @@ object Bench {
     // scale, so it rides in the tail with the other ANN variants; the
     // persisted variants add index build + write on top
     "similarity_topk_pq",
+    // brute pool + pool² pair table + k greedy join rounds
+    "similarity_topk_mmr",
     "similarity_topk_pq_persisted",
     "similarity_topk_ivf_persisted",
     // the compacted faces run the whole lifecycle (build + append +

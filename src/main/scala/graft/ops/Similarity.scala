@@ -97,6 +97,94 @@ object Similarity {
       k)
   }
 
+  /** Maximal-marginal-relevance rerank: diversity-aware top-k. Step 1
+    * picks the most relevant candidate; each later step picks the
+    * remaining candidate maximizing `λ·rel(d) − (1−λ)·max_{s∈selected}
+    * sim(d, s)` — the classic redundancy penalty, so near-duplicate
+    * neighbors don't crowd the result list. Candidates are the
+    * [[bruteForceTopK]] pool (swap in any ANN probe upstream); relevance
+    * and pairwise similarity are cosine rounded to 6 places, scaled to
+    * integer micro-units, and λ is integer milli — every score is exact
+    * integer arithmetic, so ranking (ties → lowest neighbor id) is
+    * engine-portable and the DuckDB oracle hash-matches.
+    *
+    * Execution shape: the greedy loop is k DataFrame iterations over
+    * per-query state — each step one equi-join + max-aggregation +
+    * arg-max aggregation, all hash-partitioned by `query_id` (never a
+    * driver-side loop over collected candidates). The pairwise table is
+    * |queries|·pool² rows, bounded by construction; `selected` is
+    * materialized per step so step N's plan does not embed steps 1..N-1
+    * (the CC-loop lesson).
+    */
+  def mmrTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      pool: Int = 15,
+      lambdaMilli: Int = 700,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(
+      lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val cand = bruteForceTopK(queries, corpus, pool, idCol, vecCol)
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("cos_r") * 1e6, 0).cast("long").as("rel_u"))
+      .localCheckpoint() // consumed every greedy step
+    val emb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val withV = cand.join(emb, Seq("neighbor_id"))
+    val pairs = withV.as("a")
+      .join(
+        withV.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(
+        col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("da"),
+        col("b.neighbor_id").as("db"),
+        round(round(cosine(col("a.cv"), col("b.cv")), 6) * 1e6, 0).cast("long").as("sim_u"))
+      .localCheckpoint()
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored
+        .groupBy("query_id")
+        .agg(max(struct(col("score_u"), (-col("neighbor_id")).as("negid"))).as("m"))
+        .select(
+          col("query_id"),
+          lit(step).as("rank"),
+          (-col("m.negid")).as("neighbor_id"),
+          col("m.score_u").as("mmr_u"))
+    var selected = pick(
+      cand.select(
+        col("query_id"),
+        col("neighbor_id"),
+        (col("rel_u") * lambdaMilli).as("score_u")),
+      1).localCheckpoint()
+    for (step <- 2 to k) {
+      val remaining = cand.join(
+        selected.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"),
+        "left_anti")
+      val maxSim = pairs
+        .join(
+          selected.select(col("query_id"), col("neighbor_id").as("db")),
+          Seq("query_id", "db"))
+        .groupBy("query_id", "da")
+        .agg(max("sim_u").as("max_sim_u"))
+        .withColumnRenamed("da", "neighbor_id")
+      val scored = remaining
+        .join(maxSim, Seq("query_id", "neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          (col("rel_u") * lambdaMilli - col("max_sim_u") * (1000 - lambdaMilli))
+            .as("score_u"))
+      selected = selected.unionByName(pick(scored, step)).localCheckpoint()
+    }
+    selected.select("query_id", "rank", "neighbor_id", "mmr_u")
+  }
+
   /** IVF coarse quantizer: k-means over the corpus (deterministic init =
     * the `nCentroids` LOWEST-id corpus vectors — identical to `id <
     * nCentroids` on the dense-from-0 id spaces the oracles assume, but

@@ -342,6 +342,12 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // diversity-aware rerank: greedy MMR over the brute-force pool,
+    // integer micro-scores so the unrolled DuckDB closure hash-matches
+    "similarity_topk_mmr" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.mmrTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15)
+    },
     // full k-means IVF: the Lloyd loop is integer-milli-stabilized
     // (Similarity.ivfCentroids), so all 3 iterations unroll into the
     // DuckDB oracle and the operator is hash-checked end-to-end
@@ -775,6 +781,59 @@ object OpsQueries {
 
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
+
+  /** The MMR oracle: greedy selection unrolled to `k` step CTEs (step 1 is
+    * pure relevance; step i scores remaining candidates as
+    * `λ·rel − (1−λ)·max sim to acc(i-1)` with the same integer micro-units
+    * and lowest-id tiebreak as `Similarity.mmrTopK`).
+    */
+  private def mmrOracleSql(k: Int, pool: Int, lam: Int): String = {
+    val dotVab =
+      "list_sum(list_transform(range(1, 65), i -> CAST(va.v[i] AS DOUBLE) * vb.v[i]))"
+    val steps = (2 to k)
+      .map { i =>
+        s"""sel$i AS (
+           |  SELECT query_id, neighbor_id, $i AS rank, mmr_u FROM (
+           |    SELECT g.*, ROW_NUMBER() OVER (
+           |      PARTITION BY query_id ORDER BY mmr_u DESC, neighbor_id) AS pk
+           |    FROM (
+           |      SELECT c.query_id, c.neighbor_id,
+           |             $lam * c.rel_u - ${1000 - lam} * MAX(pr.sim_u) AS mmr_u
+           |      FROM cand c
+           |      JOIN pairs pr ON pr.query_id = c.query_id AND pr.da = c.neighbor_id
+           |      JOIN acc${i - 1} ac ON ac.query_id = pr.query_id AND ac.neighbor_id = pr.db
+           |      WHERE NOT EXISTS (
+           |        SELECT 1 FROM acc${i - 1} x
+           |        WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+           |      GROUP BY c.query_id, c.neighbor_id, c.rel_u) g) t WHERE pk = 1),
+           |acc$i AS (SELECT * FROM acc${i - 1} UNION ALL SELECT * FROM sel$i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+       |cand AS (
+       |  SELECT query_id, neighbor_id, rel_u FROM (
+       |    SELECT q.id AS query_id, c.id AS neighbor_id,
+       |           CAST(round(round($dotSql / (q.nrm * c.nrm), 6) * 1000000, 0) AS BIGINT) AS rel_u,
+       |           ROW_NUMBER() OVER (PARTITION BY q.id
+       |             ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+       |    FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id) t
+       |  WHERE rn <= $pool),
+       |pairs AS (
+       |  SELECT a.query_id, a.neighbor_id AS da, b.neighbor_id AS db,
+       |         CAST(round(round($dotVab / (va.nrm * vb.nrm), 6) * 1000000, 0) AS BIGINT) AS sim_u
+       |  FROM cand a
+       |  JOIN cand b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+       |  JOIN e va ON va.id = a.neighbor_id
+       |  JOIN e vb ON vb.id = b.neighbor_id),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS rank, $lam * rel_u AS mmr_u FROM (
+       |    SELECT c.*, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rel_u DESC, neighbor_id) AS pk
+       |    FROM cand c) t WHERE pk = 1),
+       |acc1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, mmr_u FROM acc$k""".stripMargin
+  }
 
   /** Per-script deletion-count select list, generated from the SAME
     * `TextAnalysis.ScriptRanges` table the operator compiles, so the
@@ -1616,6 +1675,7 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "similarity_topk_mmr" -> mmrOracleSql(k = 5, pool = 15, lam = 700),
     "similarity_topk_lsh" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |scored AS (

@@ -573,6 +573,34 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("mmrTopK demotes the redundant near-copy below a diverse candidate") {
+    val s = spark
+    import s.implicits._
+    // a is most relevant; b is a near-copy of a (plain top-k would rank it
+    // second); c is slightly less relevant but diverse. MMR at λ=0.7 must
+    // pick a, then c (b's redundancy penalty ≈ 0.3·1.0 outweighs its
+    // relevance edge), then b.
+    val q = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.43589f, 0f, 0f)),
+      (2L, Array(0.9f, 0.4359f, 0.01f, 0f)),
+      (3L, Array(0.85f, -0.52678f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(q, corpus, k = 3, pool = 10)
+      .collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // the relevance-only baseline ranks the redundant copy second — the
+    // reorder above is MMR's doing, not the pool order
+    val brute = Similarity.bruteForceTopK(q, corpus, k = 3)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(brute.toSeq == Seq(1L, 2L, 3L))
+    // λ=1000 degenerates to pure relevance order
+    val pure = Similarity.mmrTopK(q, corpus, k = 3, pool = 10, lambdaMilli = 1000)
+      .collect().sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(pure.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("signLshTopK recovers brute-force hits on a separable clustered corpus") {
     // Same separable fixture as the IVF tests: cluster c lives on dims
     // (2c, 2c+1), cross-cluster cosine exactly 0. Sign buckets over the
