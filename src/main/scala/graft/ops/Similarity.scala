@@ -1099,6 +1099,58 @@ object Similarity {
   private def milliVec(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000, 0).cast("long"))
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  /** Deterministic Rademacher random projection — the
+    * Johnson–Lindenstrauss dimensionality cut that makes billion-vector
+    * ANN cheap: `proj[j] = Σ_i round(x[i]·1000) · s(i,j)` with the fixed
+    * ±1 sign matrix `s(i,j) = +1 iff the first hex digit of md5("i:j")
+    * is 0..7`. Cosine/distance structure is preserved up to JL error
+    * while the per-vector footprint drops `dim/outDim`-fold, so the
+    * bucket-then-rerank ANN path (and any pairwise stage) runs on the
+    * short vectors and only the final rerank touches the originals.
+    *
+    * Integer milli inputs and an integer sign matrix make every output
+    * coordinate exact integer arithmetic — engine-portable, like the PQ
+    * family. The sign matrix is `outDim·dim` literals computed ONCE on
+    * the driver; the sign only PARTITIONS each sum (plus-terms minus
+    * minus-terms), so no per-term multiply survives into the plan. Every
+    * coordinate reads `element_at` on the RAW attribute — scalar,
+    * codegen'd — never an inline array expression, which CollapseProject
+    * would otherwise inline and re-evaluate per term (the plan-sweep
+    * anti-pattern). The whole operator is a zero-shuffle projection —
+    * at 100 TB it pipelines with whatever scan feeds it. The oracle
+    * evaluates the same md5 parity in SQL.
+    */
+  def projectMilli(
+      embs: DataFrame,
+      outDim: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val signs = Array.tabulate(outDim, dim) { (j, i) =>
+      if (md5Hex(s"$i:$j").charAt(0) <= '7') 1L else -1L
+    }
+    def milliAt(i: Int): Column =
+      round(element_at(col(vecCol), i + 1).cast("double") * 1000, 0).cast("long")
+    val projected = (0 until outDim).map { j =>
+      val (plus, minus) = (0 until dim).partition(i => signs(j)(i) > 0)
+      val pos = plus.map(milliAt).reduceOption(_ + _).getOrElse(lit(0L))
+      val neg = minus.map(milliAt).reduceOption(_ + _).getOrElse(lit(0L))
+      (pos - neg).as(s"p$j")
+    }
+    embs
+      .select(col(idCol) +: projected: _*)
+      .select(
+        col(idCol),
+        array((0 until outDim).map(j => col(s"p$j")): _*).as("proj_milli"))
+  }
+
   /** Product-quantization codebook: the `ksub` lowest-id corpus vectors
     * seed one centroid set per subspace (the deterministic "flat" seeding
     * of [[ivfFlatTopK]], applied per 16-dim slice). One row per

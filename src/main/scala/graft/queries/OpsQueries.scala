@@ -378,6 +378,13 @@ object OpsQueries {
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
+    // JL random projection, exploded (arrays don't hash-compare)
+    "embedding_project" -> { (s, dir) =>
+      Similarity
+        .projectMilli(embs(s, dir))
+        .select(col("vec_id"), posexplode(col("proj_milli")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("p_milli"))
+    },
     "embedding_dim_stats" -> { (s, dir) => Similarity.dimStats(embs(s, dir)) },
     // exploded face of the zero-shuffle vector transform (arrays don't
     // hash-compare; one row per (vec_id, pos) does)
@@ -1707,6 +1714,18 @@ object OpsQueries {
         |       CAST(floor(sqrt(CAST(n * sq - sm * sm AS DOUBLE)
         |                       / (CAST(n AS DOUBLE) * n))) AS BIGINT) AS std_milli
         |FROM s""".stripMargin,
+    // Same md5-parity sign matrix and milli rounding as Similarity
+    // .projectMilli; list_sum promotes to HUGEINT, hence the final CAST.
+    "embedding_project" ->
+      """WITH p AS (
+        |  SELECT vec_id, unnest(range(0, 16)) AS pos, embedding FROM embeddings)
+        |SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+        |       CAST(list_sum(list_transform(range(1, 65), i ->
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) *
+        |         (CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 1)
+        |               IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)))
+        |         AS BIGINT) AS p_milli
+        |FROM p""".stripMargin,
     // Mirrors standardizeMilli's exploded face: z = floor((xm - mean)*1000
     // / greatest(std, 1)) against the same-corpus dim stats.
     "embedding_standardize" ->

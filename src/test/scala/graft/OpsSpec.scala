@@ -573,6 +573,37 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("projectMilli: md5-parity signs match MessageDigest; clusters survive the cut") {
+    val s = spark
+    import s.implicits._
+    // formula cross-check on a one-hot vector: proj[j] = 1000 · s(i0, j)
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (h.charAt(0) <= '7') 1L else -1L
+    }
+    val oneHot = Array.fill(64)(0f).updated(5, 1f)
+    val got = Similarity.projectMilli(Seq((1L, oneHot)).toDF("vec_id", "embedding"))
+      .select("proj_milli").head().getSeq[Long](0)
+    assert(got == (0 until 16).map(j => 1000L * sign(5, j)))
+    // JL preservation: two tight, well-separated clusters; every vector's
+    // projected nearest neighbor is a cluster-mate
+    val rnd = new scala.util.Random(7)
+    def noisy(base: Array[Float]) = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val cA = Array.tabulate(64)(i => if (i < 32) 1f else 0f)
+    val cB = Array.tabulate(64)(i => if (i >= 32) 1f else 0f)
+    val vecs = (0 until 6).map(i => (i.toLong, noisy(cA))) ++
+      (6 until 12).map(i => (i.toLong, noisy(cB)))
+    val proj = Similarity.projectMilli(vecs.toDF("vec_id", "embedding"))
+      .select(col("vec_id"), transform(col("proj_milli"), x => x.cast("float")).as("embedding"))
+    val nn = Similarity.bruteForceTopK(proj, proj, k = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(nn.length == 12)
+    nn.foreach { case (q, n) =>
+      assert((q < 6) == (n < 6), s"projected NN of $q crossed clusters to $n")
+    }
+  }
+
   test("mmrTopK demotes the redundant near-copy below a diverse candidate") {
     val s = spark
     import s.implicits._
