@@ -22,6 +22,8 @@ object Bench {
     "similarity_topk_pq",
     // brute pool + pool² pair table + k greedy join rounds
     "similarity_topk_mmr",
+    // projected all-pairs pool + exact rerank join
+    "similarity_topk_projected",
     "similarity_topk_pq_persisted",
     "similarity_topk_ivf_persisted",
     // the compacted faces run the whole lifecycle (build + append +

@@ -185,6 +185,63 @@ object Similarity {
     selected.select("query_id", "rank", "neighbor_id", "mmr_u")
   }
 
+  /** Project → pool → exact-rerank ANN: candidates are ranked by cosine
+    * in the [[projectMilli]] space (integer dot products and norms over
+    * `outDim` coordinates — exact longs, so the pool selection is
+    * engine-portable), then the pool is re-scored with EXACT cosine on
+    * the original vectors and the usual top-k contract. The JL scale
+    * argument: the all-pairs stage touches `outDim/dim` of the bytes
+    * (and at 100 TB would run over a bucketed/banded candidate set, not
+    * a cross join); only |queries|·pool original vectors are ever read
+    * for the rerank. Recall is a JL-distortion question — the spec pins
+    * pool=corpus ≡ brute force exactly, and recall@k on clustered data.
+    */
+  def projectedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      pool: Int = 15,
+      outDim: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pq = projectMilli(queries, outDim, dim, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("proj_milli").as("pv"))
+    val pc = projectMilli(corpus, outDim, dim, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("proj_milli").as("cv"))
+    def norm2(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0L), (a, x) => a + x)
+    val dotL =
+      aggregate(zip_with(col("pv"), col("cv"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+    val pooled = pq
+      .join(pc, col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(
+          dotL.cast("double") /
+            sqrt(norm2(col("pv")).cast("double") * norm2(col("cv")).cast("double")),
+          6).as("pcos_r"))
+      .withColumn(
+        "prank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("pcos_r").desc, col("neighbor_id"))))
+      .filter(col("prank") <= pool)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv0"))
+    rank(
+      pooled
+        .join(qv, Seq("query_id"))
+        .join(cv, Seq("neighbor_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(cosine(col("qv"), col("cv0")), 6).as("cos_r")),
+      k)
+  }
+
   /** IVF coarse quantizer: k-means over the corpus (deterministic init =
     * the `nCentroids` LOWEST-id corpus vectors — identical to `id <
     * nCentroids` on the dense-from-0 id spaces the oracles assume, but

@@ -348,6 +348,11 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.mmrTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15)
     },
+    // project → pool (integer JL-space cosine) → exact rerank
+    "similarity_topk_projected" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.projectedTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15)
+    },
     // full k-means IVF: the Lloyd loop is integer-milli-stabilized
     // (Similarity.ivfCentroids), so all 3 iterations unroll into the
     // DuckDB oracle and the operator is hash-checked end-to-end
@@ -1683,6 +1688,45 @@ object OpsQueries {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
     "similarity_topk_mmr" -> mmrOracleSql(k = 5, pool = 15, lam = 700),
+    // projected pool (same md5-parity matrix as embedding_project; exact
+    // integer dots/norms in JL space) + exact rerank on the originals
+    "similarity_topk_projected" -> {
+      val sign =
+        """(CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
+          |               IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)""".stripMargin
+      s"""WITH pr AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(range(0, 16), j ->
+         |           CAST(list_sum(list_transform(range(1, 65), i ->
+         |             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) *
+         |             $sign)) AS BIGINT)) AS pv
+         |  FROM embeddings),
+         |pc AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round(
+         |           CAST(list_sum(list_transform(range(1, 17), t -> q.pv[t] * c.pv[t])) AS DOUBLE)
+         |           / sqrt(
+         |               CAST(list_sum(list_transform(range(1, 17), t -> q.pv[t] * q.pv[t])) AS DOUBLE)
+         |             * CAST(list_sum(list_transform(range(1, 17), t -> c.pv[t] * c.pv[t])) AS DOUBLE)),
+         |           6) AS pcos_r
+         |  FROM pr q JOIN pr c ON q.id < 8 AND c.id <> q.id),
+         |pool AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY pcos_r DESC, neighbor_id) AS prank
+         |    FROM pc) t WHERE prank <= 15),
+         |${embCte("SELECT vec_id, embedding FROM embeddings")}
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT p.query_id, p.neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY p.query_id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, p.neighbor_id) AS rank
+         |  FROM pool p
+         |  JOIN e q ON q.id = p.query_id
+         |  JOIN e c ON c.id = p.neighbor_id) t
+         |WHERE rank <= 5""".stripMargin
+    },
     "similarity_topk_lsh" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |scored AS (

@@ -604,6 +604,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("projectedTopK: full pool equals brute force; tight pool keeps top-1 on clusters") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val n = e.count().toInt
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    // pool = whole corpus → the rerank IS exact brute force
+    assert(
+      rows(Similarity.projectedTopK(q, e, k = 5, pool = n)) ==
+        rows(Similarity.bruteForceTopK(q, e, k = 5)),
+      "full-pool projected rerank must equal brute force")
+    // tight pool: where neighborhood structure EXISTS (clusters), the
+    // exact top-1 survives the 64→16 cut through a 15-candidate pool.
+    // (The parquet fixture is near-uniform noise — top-1 cosine ~0.35 —
+    // which is precisely where JL distortion can reorder near-ties; the
+    // full-pool equivalence above is the contract there.)
+    val rnd = new scala.util.Random(11)
+    def noisy(base: Array[Float]) = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val cA = Array.tabulate(64)(i => if (i < 32) 1f else 0f)
+    val cB = Array.tabulate(64)(i => if (i >= 32) 1f else 0f)
+    val clustered = ((0 until 10).map(i => (i.toLong, noisy(cA))) ++
+      (10 until 20).map(i => (i.toLong, noisy(cB)))).toDF("vec_id", "embedding")
+    val cq = clustered.filter(col("vec_id").isin(0L, 10L))
+    assert(
+      rows(Similarity.projectedTopK(cq, clustered, k = 1, pool = 15)) ==
+        rows(Similarity.bruteForceTopK(cq, clustered, k = 1)),
+      "projected pool must retain the exact top-1 on clustered data")
+  }
+
   test("mmrTopK demotes the redundant near-copy below a diverse candidate") {
     val s = spark
     import s.implicits._
