@@ -154,6 +154,58 @@ final class Pipeline(
       .join(layout, "doc_id")
   }
 
+  /** Batch MAINTENANCE of a prepared corpus: run ONE new crawl batch
+    * against the frozen snapshot artifacts instead of re-running
+    * [[prepare]] over history — the facade face of the incremental
+    * machinery. Stages, in order:
+    *
+    *  1. the same rewrite pre-stages as [[prepare]] (`lineClean`,
+    *     paragraph dedup, blocklist);
+    *  2. exact dedup: in-batch fingerprint collapse to the min id, then a
+    *     left-anti join against `seenFingerprints` — the append-only
+    *     fingerprint artifact of previous rounds (never history text);
+    *  3. near-dup dedup: in-batch representatives + a probe of the
+    *     persisted LSH index at `lshPath`
+    *     ([[graft.ops.Dedup.nearDupSurvivors]]) — history is never
+    *     re-shingled;
+    *  4. the same quality/language gate, hash-split rule (stable under
+    *     corpus growth by construction), and per-batch packing layout as
+    *     [[prepare]], so the returned manifest rows are column-compatible
+    *     with a full run's.
+    *
+    * The caller lands the survivors, appends their fingerprints, and
+    * grows the index ([[graft.ops.Dedup.appendLshIndex]] /
+    * [[graft.streaming.CorpusIngest.nearDedupIngest]] automates exactly
+    * that loop); [[graft.ops.Dedup.clusterMergeAudit]] is the matching
+    * rebuild signal. At 100 TB a round costs |batch| scoring + one
+    * fingerprint anti-join + one index probe.
+    */
+  def prepareIncremental(
+      batch: DataFrame,
+      seenFingerprints: DataFrame,
+      lshPath: String): DataFrame = {
+    val base0 = cleaned(batch)
+    val base =
+      if (blocklist.isEmpty) base0 else Corpus.blocklistFilter(base0, blocklist)
+    val exactNew = base
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("doc_id"))
+      .join(
+        seenFingerprints.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"),
+        "left_anti")
+      .select("doc_id")
+    val fresh = base.join(exactNew, "doc_id")
+    val survivors = Dedup.nearDupSurvivors(fresh, lshPath)
+    val gate = filtered(survivors)
+    val split = Corpus.splitAssign(survivors).select(col("doc_id"), col("split"))
+    val layout = Corpus.packLayout(
+      survivors.join(gate.select("doc_id"), "doc_id"),
+      ctxTokens)
+    gate.join(split, "doc_id").join(layout, "doc_id")
+  }
+
   /** [[prepare]] plus a global training order: best-quality-first with a
     * salted hash shuffle within score ties ([[Corpus.curriculumOrder]]
     * over the surviving manifest's own quality scores, integerized to

@@ -456,6 +456,56 @@ object Dedup {
     Similarity.clearTombstones(spark, path)
   }
 
+  /** The near-dup survivor stage shared by [[ingestLshBatch]] and the
+    * batch-maintenance facade ([[graft.api.Pipeline.prepareIncremental]]):
+    * collapse the batch's own near-dup clusters to one representative
+    * (min id per [[clusterPairs]] component), then drop survivors that
+    * are near-dups of the persisted LSH index at `path` —
+    * `beforeBatch = Some(n)` restricts the history to generations
+    * strictly before micro-batch `n` (the streaming retry contract);
+    * `None` probes the whole store. Returns the surviving batch rows
+    * with all their columns; a missing/bandless store means no history
+    * to drop against.
+    */
+  def nearDupSurvivors(
+      batch: DataFrame,
+      path: String,
+      beforeBatch: Option[Long] = None,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.8,
+      shingle: Int = 3,
+      maxBucket: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val reps = keepFromClusters(
+      batch,
+      clusterPairs(
+        minHashLsh(batch, numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)),
+      idCol).withColumnRenamed("doc_id", "__rep_id")
+    val inBatch = batch.join(reps, col(idCol).cast("long") === col("__rep_id")).drop("__rep_id")
+    if (!Similarity.storeExists(spark, s"$path/bands")) return inBatch
+    def gen(df: DataFrame): DataFrame = beforeBatch match {
+      case Some(n) => df.filter(col("batch_id") < n)
+      case None => df
+    }
+    val hist = gen(spark.read.parquet(s"$path/bands"))
+    val histSh = gen(spark.read.parquet(s"$path/shingles"))
+    val hits = crossProbe(
+      inBatch,
+      Skew.capHotKeys(
+        Similarity.minusTombstones(spark, path, hist, "id"),
+        Seq("band", "bkey"),
+        maxBucket),
+      histSh,
+      numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
+    inBatch.join(
+      hits.select(col("probe_id")),
+      col(idCol).cast("long") === col("probe_id"),
+      "left_anti")
+  }
+
   /** One micro-batch of STREAMING near-dup ingest (the foreachBatch body
     * of [[graft.streaming.CorpusIngest.nearDedupIngest]]) — the
     * "probe → keep what survives → append" protocol of [[appendLshIndex]]
@@ -507,30 +557,10 @@ object Dedup {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
     } else requireLshParams(spark, path, numHashes, rowsPerBand, shingle)
-    val reps = keepFromClusters(
-      batch,
-      clusterPairs(
-        minHashLsh(batch, numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)),
-      idCol).withColumnRenamed("doc_id", "__rep_id")
-    val inBatch = batch.join(reps, col(idCol).cast("long") === col("__rep_id")).drop("__rep_id")
-    val survivors =
-      if (Similarity.storeExists(spark, s"$path/bands")) {
-        val hist = spark.read.parquet(s"$path/bands").filter(col("batch_id") < batchId)
-        val histSh = spark.read.parquet(s"$path/shingles").filter(col("batch_id") < batchId)
-        val hits = crossProbe(
-          inBatch,
-          Skew.capHotKeys(
-            Similarity.minusTombstones(spark, path, hist, "id"),
-            Seq("band", "bkey"),
-            maxBucket),
-          histSh,
-          numHashes, rowsPerBand, threshold, shingle, textCol, idCol)
-        inBatch.join(
-          hits.select(col("probe_id")),
-          col(idCol).cast("long") === col("probe_id"),
-          "left_anti")
-      } else inBatch
-    val kept = survivors.localCheckpoint() // three writes below
+    val kept = nearDupSurvivors(
+      batch, path, Some(batchId),
+      numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)
+      .localCheckpoint() // three writes below
     val sh = shingleArrays(kept, shingle, textCol, idCol)
     bandTable(sh, numHashes, rowsPerBand)
       .write.mode("overwrite").parquet(s"$path/bands/batch_id=$batchId")

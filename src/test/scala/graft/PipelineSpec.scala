@@ -234,4 +234,43 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L) == "" && got(3L) == "")
     assert(got(1L).nonEmpty)
   }
+
+  test("prepareIncremental: batch maintenance against the frozen snapshot artifacts") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val p = new Pipeline()
+    // snapshot artifacts: persisted LSH index + the fingerprint store
+    val dir = java.nio.file.Files.createTempDirectory("incprep").toString
+    Dedup.writeLshIndex(docs, dir)
+    val seen = docs.select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    // the batch: an exact re-crawl (dropped by the fingerprint store), a
+    // near-dup of history (dropped by the index probe), an in-batch dup
+    // pair (min id kept), and a fresh well-formed English doc
+    val src = docs.orderBy("doc_id").limit(2).collect()
+    val fresh = "the quick brown fox jumped over the lazy dog and then " +
+      "the cat sat on the mat while the children played in the garden all day."
+    val batch = Seq(
+      (90000001L, src(0).getAs[String]("text")),
+      (90000002L, src(1).getAs[String]("text") + " tail"),
+      (90000003L, fresh),
+      (90000004L, fresh),
+      (90000005L, fresh + " twist end")).toDF("doc_id", "text")
+    val got = p.prepareIncremental(batch, seen, dir)
+    // column-compatible with a full prepare run
+    assert(got.columns.toSet == prepared.columns.toSet)
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(90000001L), "exact re-crawl must be dropped by the fingerprint store")
+    assert(!ids.contains(90000002L), "near-dup of history must be dropped by the index probe")
+    assert(!ids.contains(90000004L), "in-batch exact dup must collapse to the min id")
+    assert(!ids.contains(90000005L), "in-batch near-dup must collapse to the representative")
+    // the fresh doc is kept iff it passes the same gate as a full run
+    val freshKept = p.filtered(Seq((90000003L, fresh)).toDF("doc_id", "text")).count() == 1
+    assert(ids.contains(90000003L) == freshKept)
+    assert(freshKept, "fixture fresh doc should pass the default gate")
+    // split agrees with the stable hash rule
+    val splitGot = got.filter(col("doc_id") === 90000003L).select("split").head().getString(0)
+    val splitWant = Corpus.splitAssign(Seq((90000003L, fresh)).toDF("doc_id", "text"))
+      .select("split").head().getString(0)
+    assert(splitGot == splitWant)
+  }
 }
