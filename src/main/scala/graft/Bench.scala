@@ -15,6 +15,8 @@ object Bench {
     // serial work at 100 TB, not local latency
     "asof_join_bucketed",
     "asof_join_forward_bucketed",
+    // both bucketed passes composed — strictly more work than either
+    "asof_join_nearest_bucketed",
     // PQ ADC is several fixed-overhead jobs (codebook collect + two
     // broadcast builds + codes agg) — cheap per-row, heavy per-query at toy
     // scale, so it rides in the tail with the other ANN variants; the

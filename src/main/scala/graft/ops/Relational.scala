@@ -442,6 +442,64 @@ object Relational {
           payloadCols.map(c => coalesce(col(c), col(s"__carry_$c")).as(c))): _*)
   }
 
+  /** [[asOfJoinNearest]] with bounded per-key serial work — completing
+    * the bucketed column of the direction matrix. Composes the two
+    * bucketed passes rather than re-deriving their carry machinery: each
+    * payload column rides as a `(t, v)` struct (null when the value is
+    * null, preserving the per-column non-null contract), the BACKWARD
+    * candidate comes from [[asOfJoinBucketed]] and the FORWARD candidate
+    * from [[asOfJoinForwardBucketed]], and the nearest pick (optional
+    * per-side tolerance, |Δt| comparison, ties to the earlier/backward
+    * row) is the same final expression as the plain nearest. Two bucketed
+    * window programs instead of one global-window pass — the 100 TB
+    * trade the whole bucketed family makes. Row-identical to
+    * [[asOfJoinNearest]] at every bucket width (RelationalSpec sweep).
+    */
+  def asOfJoinNearestBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      payloadCols: Seq[String],
+      bucketUnits: Long,
+      toleranceUnits: Option[Long] = None): DataFrame = {
+    require(bucketUnits > 0, s"bucketUnits must be positive (got $bucketUnits)")
+    toleranceUnits.foreach(t =>
+      require(t >= 0, s"toleranceUnits must be non-negative (got $t)"))
+    val overlap = payloadCols.toSet.intersect(left.columns.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left side: $overlap")
+    val base = right.select((Seq(keyCol, tsCol, ordCol) ++ payloadCols).map(col): _*)
+    def structSide(prefix: String): DataFrame =
+      payloadCols
+        .foldLeft(base) { case (df, c) =>
+          df.withColumn(
+            s"$prefix$c",
+            when(col(c).isNotNull, struct(col(tsCol).as("t"), col(c).as("v"))))
+        }
+        .select((Seq(keyCol, tsCol, ordCol) ++ payloadCols.map(c => s"$prefix$c")).map(col): _*)
+    val bwd = asOfJoinBucketed(
+      left, structSide("__b_"), keyCol, tsCol, ordCol,
+      payloadCols.map(c => s"__b_$c"), bucketUnits)
+    val both = asOfJoinForwardBucketed(
+      bwd, structSide("__f_"), keyCol, tsCol, ordCol,
+      payloadCols.map(c => s"__f_$c"), bucketUnits)
+    both.select(
+      (left.columns.toSeq.map(col) ++ payloadCols.map { c =>
+        val b = toleranceUnits.fold(col(s"__b_$c"))(t =>
+          when(col(s"__b_$c").getField("t") >= col(tsCol) - t, col(s"__b_$c")))
+        val f = toleranceUnits.fold(col(s"__f_$c"))(t =>
+          when(col(s"__f_$c").getField("t") <= col(tsCol) + t, col(s"__f_$c")))
+        when(
+          b.isNotNull && f.isNotNull,
+          when(
+            col(tsCol) - b.getField("t") <= f.getField("t") - col(tsCol),
+            b.getField("v")).otherwise(f.getField("v")))
+          .otherwise(coalesce(b.getField("v"), f.getField("v")))
+          .as(c)
+      }): _*)
+  }
+
   /** Interval range join: pair every probe row whose `tsCol` falls inside
     * an interval `[startCol, startCol + lengthUnits)` with that interval.
     *

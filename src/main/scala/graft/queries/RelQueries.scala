@@ -125,6 +125,31 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("click_ts_us", "click_value"))
     },
+    // Same nearest attribution through the bucketed composition (30-minute
+    // buckets force cross-bucket carry in BOTH directions at this
+    // fixture's spacing): must hash-match asof_join_nearest's oracle.
+    "asof_join_nearest_bucketed" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("ts_us").as("click_ts_us"),
+          col("value").as("click_value"))
+      Relational.asOfJoinNearestBucketed(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        ordCol = "event_id",
+        payloadCols = Seq("click_ts_us", "click_value"),
+        bucketUnits = HalfHourUs)
+    },
     // Nearest attribution with a 1-hour tolerance: a candidate farther
     // than an hour on its own side is nulled BEFORE the comparison, so a
     // stale backward click loses to a fresh forward one (and vice versa).
@@ -564,6 +589,23 @@ object RelQueries {
       |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
       |)""".stripMargin
 
+  /** Both directions' candidates from the two frames of ONE sort; the
+    * CASE picks the closer (ties backward). Single-source-row note as
+    * asof_join_tolerance: clicks carry both payloads, so b_ts/f_ts gate
+    * both columns consistently. Shared by the plain and bucketed nearest
+    * (contract-identical outputs).
+    */
+  private lazy val asofNearestSql =
+    s"""WITH $nearestAttachedCtes
+       |SELECT event_id, user_id, ts_us,
+       |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+       |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END
+       |            ELSE COALESCE(b_ts, f_ts) END AS click_ts_us,
+       |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
+       |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val ELSE f_val END
+       |            ELSE COALESCE(b_val, f_val) END AS click_value
+       |FROM attached WHERE side = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
       """WITH tagged AS (
@@ -633,16 +675,9 @@ object RelQueries {
     // CASE picks the closer (ties backward). Single-source-row note as
     // asof_join_tolerance: clicks carry both payloads, so b_ts/f_ts gate
     // both columns consistently.
-    "asof_join_nearest" ->
-      s"""WITH $nearestAttachedCtes
-         |SELECT event_id, user_id, ts_us,
-         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
-         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END
-         |            ELSE COALESCE(b_ts, f_ts) END AS click_ts_us,
-         |       CASE WHEN b_ts IS NOT NULL AND f_ts IS NOT NULL
-         |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val ELSE f_val END
-         |            ELSE COALESCE(b_val, f_val) END AS click_value
-         |FROM attached WHERE side = 1""".stripMargin,
+    "asof_join_nearest" -> asofNearestSql,
+    // bucketed nearest is contract-identical to the plain nearest
+    "asof_join_nearest_bucketed" -> asofNearestSql,
     "asof_join_nearest_tolerance" ->
       s"""WITH $nearestAttachedCtes,
          |tol AS (

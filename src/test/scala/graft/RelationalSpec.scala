@@ -214,6 +214,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoinNearestBucketed is row-identical to asOfJoinNearest at every bucket width") {
+    def rows(df: DataFrame) = df
+      .select("event_id", "q_ts", "q_val")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+      .toSet
+    for (tol <- Seq(None, Some(15L))) {
+      val plain = rows(
+        Relational.asOfJoinNearest(
+          trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), tol))
+      for (w <- Seq(1L, 7L, 1000L)) {
+        val bucketed = rows(
+          Relational.asOfJoinNearestBucketed(
+            trades, quotes, "user_id", "ts_us", "event_id", Seq("q_ts", "q_val"), w, tol))
+        assert(bucketed == plain, s"bucketUnits=$w tolerance=$tol diverged")
+      }
+    }
+  }
+
   test("asOfJoinBucketed carries per-column last-non-null across empty and null-payload buckets") {
     // key 1: quote at ts=5 sets q_val only (q_ts null); quote at ts=8 sets
     // q_ts only (q_val null); trade at ts=95 is many empty buckets later.
