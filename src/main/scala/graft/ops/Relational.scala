@@ -500,6 +500,62 @@ object Relational {
       }): _*)
   }
 
+  /** Sliding-window join-aggregate: for every left row, aggregate the
+    * right rows with the same `keyCol` whose `tsCol` lies in the closed
+    * window `[left.ts - spanUnits, left.ts]` — "clicks in the hour before
+    * each purchase", "bytes crawled in the 5 minutes before each alert".
+    * Appends `w_cnt` (matching right rows), `w_sum` (sum of `valueCol`,
+    * exact via decimal(14,2) accumulation, null when no match — the
+    * LEFT-JOIN-GROUP-BY convention) and `w_max` (max of `valueCol`, null
+    * when no match).
+    *
+    * The naive phrasing is an inequality join (`r.ts BETWEEN l.ts - span
+    * AND l.ts`) + group-by — Spark plans that as a BroadcastNestedLoopJoin
+    * and then re-shuffles the exploded pairs, both fatal at scale. This is
+    * instead the tagged-union shape of [[asOfJoin]] with a VALUE-RANGE
+    * window: union right rows (value tagged) with left rows (value null),
+    * then aggregate over `PARTITION BY key ORDER BY ts RANGE BETWEEN span
+    * PRECEDING AND CURRENT ROW` and keep only left rows. ONE shuffle on
+    * the key, no join operator, no pair explosion — each matched right row
+    * is touched once per frame it participates in, never materialized as a
+    * pair row. A value-range frame is position-independent, so left and
+    * right rows at identical `ts` need no side tiebreak: the frame is
+    * defined by the timestamp value alone (right rows at exactly
+    * `left.ts` are included; `left.ts - spanUnits` is included too).
+    *
+    * `tsCol` must be a numeric (epoch) column present on both sides;
+    * `valueCol` must exist on the right and not collide with left.
+    */
+  def windowAggJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      spanUnits: Long): DataFrame = {
+    require(spanUnits >= 0, s"spanUnits must be non-negative (got $spanUnits)")
+    require(
+      !left.columns.contains(valueCol),
+      s"value column '$valueCol' collides with left side")
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select(
+        col(keyCol),
+        col(tsCol),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .withColumn("__side", lit(0))
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-spanUnits, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("w_cnt", count(col("__v")).over(w))
+      .withColumn("w_sum", sum(col("__v")).over(w).cast("double"))
+      .withColumn("w_max", max(col("__v")).over(w).cast("double"))
+      .filter(col("__side") === 1)
+      .select((left.columns.toSeq ++ Seq("w_cnt", "w_sum", "w_max")).map(col): _*)
+  }
+
   /** Interval range join: pair every probe row whose `tsCol` falls inside
     * an interval `[startCol, startCol + lengthUnits)` with that interval.
     *

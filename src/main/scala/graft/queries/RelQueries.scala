@@ -63,6 +63,26 @@ object RelQueries {
         ordCol = "event_id",
         payloadCols = Seq("click_ts_us", "click_value"))
     },
+    // For every purchase, the count/sum/max of the user's click values in
+    // the half hour at-or-before it: the sliding-window join-aggregate,
+    // phrased as ONE value-range window instead of an inequality join +
+    // re-shuffled group-by.
+    "asof_window_agg" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("user_id", "ts_us", "value")
+      Relational.windowAggJoin(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        valueCol = "value",
+        spanUnits = HalfHourUs)
+    },
     // hottest user_ids with ppm shares + key cardinality — the saltFactor
     // sizing input for Skew.saltedJoin
     "skew_key_profile" -> { (s, dir) =>
@@ -624,6 +644,21 @@ object RelQueries {
         |)
         |SELECT event_id, user_id, ts_us, click_ts_us, click_value
         |FROM attached WHERE side = 1""".stripMargin,
+    // The declarative twin of windowAggJoin: an inequality LEFT JOIN +
+    // GROUP BY, which DuckDB executes fine at oracle scale but Spark must
+    // not (BNLJ) — hence the operator's range-window rewrite.
+    "asof_window_agg" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       CAST(COUNT(c.value) AS BIGINT) AS w_cnt,
+        |       CAST(SUM(CAST(c.value AS DECIMAL(14,2))) AS DOUBLE) AS w_sum,
+        |       CAST(MAX(CAST(c.value AS DECIMAL(14,2))) AS DOUBLE) AS w_max
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3""".stripMargin,
     "skew_key_profile" ->
       """WITH c AS (
         |  SELECT COALESCE(CAST(user_id AS VARCHAR), '(null)') AS key,

@@ -1017,4 +1017,68 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("partial_max(struct("), p.take(1500))
     assert(!p.contains("Window"), "latest-change reduction must not be a window:\n" + p.take(1500))
   }
+
+  // ---- windowAggJoin ------------------------------------------------------
+
+  test("windowAggJoin: closed [ts-span, ts] bounds, per-key isolation, null aggs on no match") {
+    val probes = Seq(
+      (100L, 1L, 50L), // frame [20, 50]: right ts 20, 30, 50 match; 19, 51 don't
+      (101L, 1L, 10L), // frame [-20, 10]: no right rows
+      (102L, 2L, 50L) // key 2 has one in-frame row; key 1 rows must not leak
+    ).toDF("event_id", "user_id", "ts_us")
+    val evs = Seq(
+      (1L, 19L, 1.0), (1L, 20L, 2.0), (1L, 30L, 4.0), (1L, 50L, 8.0), (1L, 51L, 16.0),
+      (2L, 45L, 100.0)
+    ).toDF("user_id", "ts_us", "value")
+    val got = Relational
+      .windowAggJoin(probes, evs, "user_id", "ts_us", "value", spanUnits = 30L)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((r.getLong(3), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    assert(got(100L) == ((3L, Some(14.0), Some(8.0))))
+    assert(got(101L) == ((0L, None, None)))
+    assert(got(102L) == ((1L, Some(100.0), Some(100.0))))
+  }
+
+  test("windowAggJoin matches the naive inequality-join reference on random data") {
+    val rnd = new scala.util.Random(9)
+    val probes = (0L until 60L)
+      .map(i => (i, rnd.nextInt(4).toLong, rnd.nextInt(200).toLong))
+    val evs = (0L until 300L)
+      .map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(200).toLong, (rnd.nextInt(90) + 1) / 4.0))
+    val span = 25L
+    val expected = probes.map { case (id, k, t) =>
+      val in = evs.filter { case (ek, et, _) => ek == k && et >= t - span && et <= t }
+      val vals = in.map(_._3)
+      id -> ((
+        vals.size.toLong,
+        if (vals.isEmpty) None else Some(BigDecimal(vals.map(BigDecimal(_)).sum.toDouble)),
+        if (vals.isEmpty) None else Some(vals.max)))
+    }.toMap
+    val got = Relational
+      .windowAggJoin(
+        probes.toDF("event_id", "user_id", "ts_us"),
+        evs.toDF("user_id", "ts_us", "value"),
+        "user_id",
+        "ts_us",
+        "value",
+        span)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((
+          r.getLong(3),
+          Option(r.get(4)).map(v => BigDecimal(v.asInstanceOf[Double])),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("windowAggJoin plan: one window over the union, no join operator at all") {
+    val probes = (0L until 50L).map(i => (i, i % 4, i * 3)).toDF("event_id", "user_id", "ts_us")
+    val evs = (0L until 200L).map(i => (i % 4, i, 1.0)).toDF("user_id", "ts_us", "value")
+    val p = planOf(Relational.windowAggJoin(probes, evs, "user_id", "ts_us", "value", 10L))
+    assert(!p.contains("Join"), "window-agg join must not plan a join:\n" + p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
 }
