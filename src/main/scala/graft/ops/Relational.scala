@@ -782,46 +782,124 @@ object Relational {
       intervals: DataFrame,
       tsCol: String,
       startCol: String,
-      endCol: String): DataFrame = {
-    val lenExpr = greatest((col(endCol) - col(startCol)).cast("long"), lit(1L))
-    // ceil(log2(len)) via bit length: len=1 -> 0, else length(bin(len-1));
-    // capped at 62 so the width 2^s stays a positive long
-    val stratumExpr =
-      least(when(lenExpr <= 1L, lit(0)).otherwise(length(bin(lenExpr - 1))), lit(62))
-        .cast("int")
-    val strata: Seq[Int] = intervals
-      .select(stratumExpr.as("__s"))
+      endCol: String): DataFrame =
+    keyedByStrata(probe, tsCol, occupiedStrata(intervals, startCol, endCol))
+      .join(broadcast(explodedByStratum(intervals, startCol, endCol)), Seq("__stratum", "__bucket"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__stratum", "__bucket")
+
+  /** Power-of-two length class of `[startCol, endCol)`: ceil(log2(len))
+    * via bit length (`length(bin(len-1))` — no FP log whose boundary
+    * rounding could under-size a width and silently DROP matches); len=1
+    * (and degenerate `end <= start`) clamps to class 0, and the class is
+    * capped at 62 so the width `2^s` stays a positive long.
+    */
+  private def lenStratum(startCol: String, endCol: String): Column = {
+    val len = greatest((col(endCol) - col(startCol)).cast("long"), lit(1L))
+    least(when(len <= 1L, lit(0)).otherwise(length(bin(len - 1))), lit(62)).cast("int")
+  }
+
+  /** The distinct length classes an interval table occupies — a bounded
+    * aggregate (at most 63 rows, usually 2-5) over the two interval
+    * columns only, collected once at plan time so the widths become plan
+    * literals. Empty input yields class 0 so downstream explodes stay
+    * well-formed.
+    */
+  private def occupiedStrata(df: DataFrame, startCol: String, endCol: String): Seq[Int] = {
+    val s = df
+      .select(lenStratum(startCol, endCol).as("__s"))
       .distinct()
       .collect()
       .map(_.getInt(0))
       .toSeq
       .sorted
-    val effStrata = if (strata.isEmpty) Seq(0) else strata
-    val exploded = intervals
-      .withColumn("__stratum", stratumExpr)
+    if (s.isEmpty) Seq(0) else s
+  }
+
+  /** Interval side of a stratified bucket equi-join: each interval tagged
+    * with its own length class and exploded to the <= 2 buckets of that
+    * class's grid which its span can intersect.
+    */
+  private def explodedByStratum(df: DataFrame, startCol: String, endCol: String): DataFrame =
+    df.withColumn("__stratum", lenStratum(startCol, endCol))
       .withColumn(
         "__bucket",
         explode(
           array(
             expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)"),
             expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)") + 1L)))
-    val probeKeyed = probe
-      .withColumn(
-        "__sk",
-        explode(array(effStrata.map { s =>
-          val w = 1L << s
-          struct(
-            lit(s).as("__stratum"),
-            expr(s"cast($tsCol as bigint) div ${w}L").as("__bucket"))
-        }: _*)))
+
+  /** Point side of a stratified bucket equi-join: one (stratum, bucket)
+    * key per occupied stratum, as a STATELESS projection — the table
+    * fans out x|strata| but is never shuffled.
+    */
+  private def keyedByStrata(df: DataFrame, tsCol: String, strata: Seq[Int]): DataFrame =
+    df.withColumn(
+      "__sk",
+      explode(array(strata.map { s =>
+        val w = 1L << s
+        struct(
+          lit(s).as("__stratum"),
+          expr(s"cast($tsCol as bigint) div ${w}L").as("__bucket"))
+      }: _*)))
       .select(
-        probe.columns.toSeq.map(col) :+
+        df.columns.toSeq.map(col) :+
           col("__sk.__stratum").as("__stratum") :+
           col("__sk.__bucket").as("__bucket"): _*)
-    probeKeyed
-      .join(broadcast(exploded), Seq("__stratum", "__bucket"))
-      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
-      .drop("__stratum", "__bucket")
+
+  /** Interval-OVERLAP join: pair every left interval `[lStart, lEnd)`
+    * with every right interval `[rStart, rEnd)` that intersects it —
+    * sessions x maintenance windows, coverage spans x incident windows.
+    * Empty intervals (`end <= start`) overlap nothing. `right` is the
+    * small side (both halves broadcast right-derived tables); columns
+    * must be disjoint across the two inputs.
+    *
+    * Spark plans the naive phrasing (`ls < re AND rs < le`) as a
+    * BroadcastNestedLoopJoin — O(|left| x |right|) comparisons. Instead,
+    * two intervals overlap iff the LATER-starting one's start point lies
+    * inside the other, so the join decomposes into two point-in-interval
+    * halves, each the stratified bucket equi-join of
+    * [[rangeJoinIntervals]]:
+    *
+    *   (a) right starts at-or-inside left (`rs in [ls, le)`): left
+    *       explodes x2 in its own length class (stateless, never
+    *       shuffled); right's start gets one bucket key per occupied
+    *       left class and is broadcast.
+    *   (b) left starts STRICTLY inside right (`ls in (rs, re)`): the
+    *       mirror, with right exploded x2 and broadcast, left fanning
+    *       out one key per occupied right class.
+    *
+    * The strict bound in (b) makes the halves disjoint (`ls == rs` pairs
+    * surface only in (a)), and within each half a pair can meet on only
+    * one (stratum, bucket) key, so the union needs no dedup. Left's
+    * occupied length classes come from one column-pruned bounded
+    * aggregate over its two interval columns — the same plan-time
+    * collect discipline as [[rangeJoinIntervals]], paid here on the big
+    * side because the class set (not the data) is what crosses to the
+    * driver.
+    */
+  def rangeJoinOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String): DataFrame = {
+    val collide = left.columns.toSet.intersect(right.columns.toSet)
+    require(collide.isEmpty, s"left/right columns collide: $collide")
+    val outCols = (left.columns.toSeq ++ right.columns.toSeq).map(col)
+    val nonEmpty = col(lStartCol) < col(lEndCol) && col(rStartCol) < col(rEndCol)
+    val startsInside = keyedByStrata(left, lStartCol, occupiedStrata(right, rStartCol, rEndCol))
+      .join(broadcast(explodedByStratum(right, rStartCol, rEndCol)), Seq("__stratum", "__bucket"))
+      .filter(nonEmpty && col(lStartCol) > col(rStartCol) && col(lStartCol) < col(rEndCol))
+      .select(outCols: _*)
+    val startCovered = explodedByStratum(left, lStartCol, lEndCol)
+      .join(
+        broadcast(keyedByStrata(right, rStartCol, occupiedStrata(left, lStartCol, lEndCol))),
+        Seq("__stratum", "__bucket"))
+      .filter(nonEmpty && col(rStartCol) >= col(lStartCol) && col(rStartCol) < col(lEndCol))
+      .select(outCols: _*)
+    startsInside.unionByName(startCovered)
   }
 
   /** Per-key interval coalescing: merge overlapping/abutting CLOSED

@@ -329,6 +329,38 @@ object RelQueries {
     // of `value` MINUTES (per-incident length), events inside aggregate
     // per incident — the variable-length face of the bucketed range join
     // (bucket width = the interval side's max length).
+    // Interval x interval: view "sessions" ([ts, ts + value seconds))
+    // against severe-error incident windows ([ts, ts + value minutes)) —
+    // sessions touching each incident, via the two-half start-point
+    // decomposition instead of an inequality join.
+    "range_join_overlap" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val sessions = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("session_id"),
+          col("ts_us").as("s_start_us"),
+          (col("ts_us") + round(col("value") * 1000000, 0).cast("long")).as("s_end_us"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 100)
+        .select(
+          col("event_id").as("incident_id"),
+          col("ts_us").as("i_start_us"),
+          (col("ts_us") +
+            round(col("value") * 60, 0).cast("long") * lit(1000000L)).as("i_end_us"))
+      Relational
+        .rangeJoinOverlap(
+          sessions,
+          incidents,
+          lStartCol = "s_start_us",
+          lEndCol = "s_end_us",
+          rStartCol = "i_start_us",
+          rEndCol = "i_end_us")
+        .groupBy("incident_id", "i_start_us", "i_end_us")
+        .agg(
+          count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("s_end_us") - col("s_start_us")).cast("long").as("sum_session_us"))
+    },
     "range_join_var" -> { (s, dir) =>
       val ev = events(s, dir)
       val incidents = ev
@@ -844,6 +876,22 @@ object RelQueries {
         |JOIN events e ON epoch_us(e.ts) >= i.start_us
         |             AND epoch_us(e.ts) < i.start_us + 1800000000
         |GROUP BY 1, 2""".stripMargin,
+    "range_join_overlap" ->
+      """WITH sess AS (
+        |  SELECT event_id AS session_id, epoch_us(ts) AS s_start_us,
+        |         epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS s_end_us
+        |  FROM events WHERE event_type = 'view'
+        |), inc AS (
+        |  SELECT event_id AS incident_id, epoch_us(ts) AS i_start_us,
+        |         epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS i_end_us
+        |  FROM events WHERE event_type = 'error' AND value > 100
+        |)
+        |SELECT i.incident_id, i.i_start_us, i.i_end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(s.s_end_us - s.s_start_us) AS BIGINT) AS sum_session_us
+        |FROM inc i
+        |JOIN sess s ON s.s_start_us < i.i_end_us AND i.i_start_us < s.s_end_us
+        |GROUP BY 1, 2, 3""".stripMargin,
     "range_join_var" ->
       """WITH inc AS (
         |  SELECT event_id AS incident_id, epoch_us(ts) AS start_us,

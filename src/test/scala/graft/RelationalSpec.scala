@@ -1074,6 +1074,71 @@ class RelationalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ---- rangeJoinOverlap ---------------------------------------------------
+
+  test("rangeJoinOverlap: partial, containment, exact-equal, touching, and empty intervals") {
+    val lefts = Seq(
+      (1L, 10L, 20L), // partially overlaps r1, contains r2, touches r3 end-to-start
+      (2L, 30L, 40L), // equals r4 exactly
+      (3L, 50L, 50L), // empty: overlaps nothing even though r5 spans it
+      (4L, 60L, 70L) // strictly inside r6
+    ).toDF("l_id", "ls", "le")
+    val rights = Seq(
+      (101L, 15L, 25L), // partial overlap with l1
+      (102L, 12L, 14L), // contained in l1
+      (103L, 20L, 30L), // starts exactly at l1's end: half-open, no overlap
+      (104L, 30L, 40L), // identical to l2
+      (105L, 45L, 55L), // spans empty l3: no overlap
+      (106L, 55L, 80L) // contains l4
+    ).toDF("r_id", "rs", "re")
+    val got = Relational
+      .rangeJoinOverlap(lefts, rights, "ls", "le", "rs", "re")
+      .select("l_id", "r_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 101L), (1L, 102L), (2L, 104L), (4L, 106L)))
+  }
+
+  test("rangeJoinOverlap matches the naive reference on random mixed-length intervals") {
+    val rnd = new scala.util.Random(17)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      // mixed length classes incl. occasional empties and one huge outlier
+      val len =
+        if (i % 37 == 0) 0L
+        else if (i % 23 == 0) 400L
+        else (rnd.nextInt(20) + 1).toLong
+      (idBase + i, s, s + len)
+    }
+    val lefts = mk(120, 1000L)
+    val rights = mk(40, 2000L)
+    val expected = (for {
+      (lid, ls, le) <- lefts
+      (rid, rs, re) <- rights
+      if ls < re && rs < le && ls < le && rs < re
+    } yield (lid, rid)).toSet
+    val got = Relational
+      .rangeJoinOverlap(
+        lefts.toDF("l_id", "ls", "le"),
+        rights.toDF("r_id", "rs", "re"),
+        "ls", "le", "rs", "re")
+      .select("l_id", "r_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "a pair surfaced from both halves or both buckets")
+    assert(got.toSet == expected)
+  }
+
+  test("rangeJoinOverlap plan: two broadcast hash equi-joins, no nested loop") {
+    val lefts = (0L until 200L).map(i => (i, i * 7, i * 7 + 5)).toDF("l_id", "ls", "le")
+    val rights = (0L until 20L).map(i => (i, i * 50, i * 50 + 30)).toDF("r_id", "rs", "re")
+    val p = planOf(Relational.rangeJoinOverlap(lefts, rights, "ls", "le", "rs", "re"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "overlap join must not nest-loop:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("windowAggJoin plan: one window over the union, no join operator at all") {
     val probes = (0L until 50L).map(i => (i, i % 4, i * 3)).toDF("event_id", "user_id", "ts_us")
     val evs = (0L until 200L).map(i => (i % 4, i, 1.0)).toDF("user_id", "ts_us", "value")
