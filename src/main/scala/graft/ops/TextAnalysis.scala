@@ -639,6 +639,62 @@ object TextAnalysis {
           ",",
           transform(array_sort(collect_list(col("fp"))), x => x.cast("string")))).as("fp_digest"))
 
+  /** Maximal duplicated token SPANS: for each doc, the maximal runs of
+    * consecutive token positions whose every word `n`-gram also appears in
+    * at least one OTHER doc — the span-level exact-substring signal behind
+    * "dedup the repeated passage, keep the rest" corpus policies (license
+    * headers, quoted boilerplate, mirrored paragraphs), where whole-doc
+    * dedup keeps both copies and drops neither. Emits `(doc_id,
+    * span_start, span_end, span_tokens)` in 1-based token positions,
+    * spans shorter than `minTokens` suppressed.
+    *
+    * Execution shape, all corpus-linear: tokenize once, explode positioned
+    * `n`-grams into a posting table materialized exactly ONCE (the
+    * [[graft.ops.Dedup.ngramJaccard]] discipline — both consumers below
+    * read the checkpoint instead of re-tokenizing); duplicated grams are a
+    * two-level aggregate (distinct (gram, doc) map-side, then per-gram doc
+    * count >= 2) — never a self-join; marked positions come back via a
+    * LEFT SEMI join on the gram; runs collapse with the classic
+    * gaps-and-islands move (`pos - row_number()` per doc, then one
+    * hash agg per island). Windows partition by doc_id only — no
+    * single-partition stage. Grams travel as strings so the DuckDB oracle
+    * can mirror the semantics verbatim; a production variant can key the
+    * semi join on a 128-bit gram hash to shrink the shuffle without
+    * changing the span arithmetic.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be positive (got $n)")
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
+    val pg = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "g")))
+      .localCheckpoint()
+    val dup = pg
+      .select("g", "doc_id")
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    pg.join(dup, Seq("g"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("pos").as("p0"), max("pos").as("p1"))
+      .select(
+        col("doc_id"),
+        (col("p0") + 1).cast("long").as("span_start"),
+        (col("p1") + n).cast("long").as("span_end"))
+      .withColumn("span_tokens", (col("span_end") - col("span_start") + 1).cast("long"))
+      .filter(col("span_tokens") >= minTokens)
+  }
+
   /** Text-reuse candidate pairs over winnowing fingerprints: docs sharing
     * >= `minShared` selected fingerprints — i.e. likely verbatim overlaps
     * of >= k+w-1 words, surfaced WITHOUT any pairwise text comparison.

@@ -651,6 +651,12 @@ object OpsQueries {
     "dedup_chunk_overlap" -> { (s, dir) =>
       TextAnalysis.chunkOverlapPairs(containCorpus(s, dir))
     },
+    // span-level exact-substring dedup over the containment corpus: the
+    // planted full clones light up whole-doc spans, the 56-token prefix
+    // republishes light up the shared prefix in source and copy
+    "text_dup_spans" -> { (s, dir) =>
+      TextAnalysis.dupSpans(containCorpus(s, dir))
+    },
     // threshold 600 so both planted kinds act: full clones (1000 milli)
     // and 3-chunk prefix republishes sharing 2 chunks (666 milli)
     "dedup_containment" -> { (s, dir) =>
@@ -2595,6 +2601,34 @@ object OpsQueries {
          |FROM p2 a JOIN p2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2
          |HAVING COUNT(*) >= 2""".stripMargin,
+    // Mirrors dupSpans(n=5, minTokens=8) over the same containment corpus:
+    // 1-based positioned 5-grams, cross-doc-duplicated grams (distinct
+    // (gram, doc) then per-gram doc count >= 2), gaps-and-islands runs.
+    "text_dup_spans" ->
+      s"""WITH $tokCtes,
+         |$chunkCtes,
+         |ps AS (
+         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM tkc),
+         |pgr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM ps),
+         |dupg AS (
+         |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pgr) t
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |mk AS (SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN dupg USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+         |  FROM mk),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+         |  FROM isl GROUP BY doc_id, k)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end,
+         |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
     // Mirrors containmentDrops at threshold 600: uncapped per-doc chunk
     // counts as the denominator, capped pairs as the numerator, contained
     // side = fewer chunks (tie: larger id), best container by

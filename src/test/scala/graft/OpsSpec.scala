@@ -461,6 +461,54 @@ class OpsSpec extends SparkSpec {
     assert(twice.distinct.length == 1)
   }
 
+  test("dupSpans: shared passages become maximal 1-based spans; self-repeats don't count") {
+    val s = spark
+    import s.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again" // 10 tokens
+    val docs = Seq(
+      // passage at tokens 3-12: every 5-gram inside it is shared with doc 2
+      (1L, s"unique opening here $passage trailing words nobody else has"),
+      (2L, s"$passage entirely different continuation text follows here now"),
+      (3L, "wholly unrelated document with no shared five gram runs at all"),
+      // doc 4 repeats ITS OWN 5-gram twice but shares nothing cross-doc
+      (4L, "aa bb cc dd ee xx aa bb cc dd ee")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .dupSpans(docs, n = 5, minTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = got.groupBy(_._1)
+    // doc 1: passage occupies tokens 4..13 -> one maximal span, exactly that
+    assert(byDoc(1L).toSeq == Seq((1L, 4L, 13L, 10L)))
+    // doc 2: passage at tokens 1..10
+    assert(byDoc(2L).toSeq == Seq((2L, 1L, 10L, 10L)))
+    // docs 3 and 4 emit nothing: no cross-doc duplicated grams
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+  }
+
+  test("dupSpans: runs below minTokens are suppressed; two shared passages stay separate spans") {
+    val s = spark
+    import s.implicits._
+    val p1 = "one two three four five six seven eight" // 8 tokens
+    val p2 = "red orange yellow green blue indigo violet ultra" // 8 tokens
+    val docs = Seq(
+      (1L, s"$p1 QQa QQb QQc QQd $p2"), // unique 4-token gap: grams bridging it aren't shared
+      (2L, s"$p1 ZZa ZZb ZZc ZZd $p2"),
+      (3L, "alpha beta gamma delta epsilon unique0 unique1 unique2 unique3"),
+      (4L, "alpha beta gamma delta epsilon other0 other1 other2 other3") // shared run = 5 < minTokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .dupSpans(docs, n = 5, minTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // two disjoint 8-token spans per doc (positions 1-8 and 13-20); the
+    // 5-token shared prefix of docs 3/4 dies under minTokens = 8
+    assert(got == Set(
+      (1L, 1L, 8L, 8L), (1L, 13L, 20L, 8L),
+      (2L, 1L, 8L, 8L), (2L, 13L, 20L, 8L)))
+  }
+
   test("winnowReusePairs: overlapping docs pair up; boilerplate fps are df-capped") {
     val s = spark
     import s.implicits._
