@@ -695,6 +695,57 @@ object TextAnalysis {
       .filter(col("span_tokens") >= minTokens)
   }
 
+  /** The ACTION over [[dupSpans]]: rewrite every doc with its duplicated
+    * spans removed (all occurrences — the aggressive boilerplate-excision
+    * policy; pair with a keep-one dedup upstream when one canonical copy
+    * should survive). Returns `(doc_id, clean_text, n_removed)` for the
+    * WHOLE corpus: untouched docs pass through with `n_removed = 0`, a
+    * fully-duplicated doc collapses to an empty string (its drop is the
+    * caller's policy call). `clean_text` is the kept tokens re-joined with
+    * single spaces — tokenization is whitespace-normalizing, so
+    * reconstruction is too.
+    *
+    * Scale shape: the span table from [[dupSpans]] is corpus-sparse (one
+    * row per duplicated run, not per token); it folds to one array per
+    * affected doc and joins back on doc_id, and the excision itself is a
+    * pure indexed-lambda filter over the token array — no token-level
+    * explode, no range join, nothing leaves the row.
+    */
+  def stripDupSpans(
+      docs: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spanArr = dupSpans(docs, n, minTokens, textCol, idCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("tk"),
+        // null __sp (untouched doc) must read as "no spans", not as a
+        // null-propagating predicate that would drop every token
+        coalesce(col("__sp"), array().cast("array<struct<span_start:long,span_end:long>>"))
+          .as("sp"))
+      .select(
+        col("doc_id"),
+        col("tk"),
+        filter(
+          col("tk"),
+          (_, i) =>
+            !exists(
+              col("sp"),
+              s => i + 1 >= s.getField("span_start") && i + 1 <= s.getField("span_end")))
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        (size(col("tk")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** Text-reuse candidate pairs over winnowing fingerprints: docs sharing
     * >= `minShared` selected fingerprints — i.e. likely verbatim overlaps
     * of >= k+w-1 words, surfaced WITHOUT any pairwise text comparison.

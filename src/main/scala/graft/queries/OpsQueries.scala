@@ -657,6 +657,11 @@ object OpsQueries {
     "text_dup_spans" -> { (s, dir) =>
       TextAnalysis.dupSpans(containCorpus(s, dir))
     },
+    // the action over the spans: every doc rewritten with its duplicated
+    // runs excised (full corpus back, n_removed = 0 for untouched docs)
+    "text_strip_dup_spans" -> { (s, dir) =>
+      TextAnalysis.stripDupSpans(containCorpus(s, dir))
+    },
     // threshold 600 so both planted kinds act: full clones (1000 milli)
     // and 3-chunk prefix republishes sharing 2 chunks (666 milli)
     "dedup_containment" -> { (s, dir) =>
@@ -2629,6 +2634,46 @@ object OpsQueries {
          |       CAST(span_end AS BIGINT) AS span_end,
          |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
          |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
+    // Mirrors stripDupSpans over the same corpus: kept tokens = positions
+    // outside every >= 8-token span, re-joined with single spaces; whole
+    // corpus returned (untouched docs pass through, n_removed = 0).
+    "text_strip_dup_spans" ->
+      s"""WITH $tokCtes,
+         |$chunkCtes,
+         |ps AS (
+         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM tkc),
+         |pgr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM ps),
+         |dupg AS (
+         |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pgr) t
+         |  GROUP BY g HAVING COUNT(*) >= 2),
+         |mk AS (SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN dupg USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+         |  FROM mk),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+         |  FROM isl GROUP BY doc_id, k),
+         |spf AS (SELECT * FROM sp WHERE span_end - span_start + 1 >= 8),
+         |tkp AS (
+         |  SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk) + 1)) AS p
+         |  FROM tkc),
+         |keptc AS (
+         |  SELECT t.doc_id,
+         |         string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text,
+         |         CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM tkp t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spf
+         |                    WHERE spf.doc_id = t.doc_id
+         |                      AND t.p BETWEEN spf.span_start AND spf.span_end)
+         |  GROUP BY t.doc_id)
+         |SELECT k.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+         |       CAST(len(k.tk) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM tkc k LEFT JOIN keptc c USING (doc_id)""".stripMargin,
     // Mirrors containmentDrops at threshold 600: uncapped per-doc chunk
     // counts as the denominator, capped pairs as the numerator, contained
     // side = fewer chunks (tie: larger id), best container by

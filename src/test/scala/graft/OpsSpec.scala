@@ -509,6 +509,30 @@ class OpsSpec extends SparkSpec {
       (2L, 1L, 8L, 8L), (2L, 13L, 20L, 8L)))
   }
 
+  test("stripDupSpans: excises spans everywhere, passes untouched docs through, empties full clones") {
+    val s = spark
+    import s.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again" // 10 tokens
+    val docs = Seq(
+      (1L, s"unique opening here $passage trailing words nobody else has"),
+      (2L, s"$passage entirely different continuation text follows here now"),
+      (3L, "wholly unrelated document with no shared five gram runs at all"),
+      (4L, passage), // full clone pair with doc 5: both collapse to empty
+      (5L, passage)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .stripDupSpans(docs, n = 5, minTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got.size == 5, "the whole corpus must come back")
+    assert(got(1L) == (("unique opening here trailing words nobody else has", 10L)))
+    assert(got(2L) == (("entirely different continuation text follows here now", 10L)))
+    assert(got(3L) == (("wholly unrelated document with no shared five gram runs at all", 0L)))
+    assert(got(4L) == (("", 10L)))
+    assert(got(5L) == (("", 10L)))
+  }
+
   test("winnowReusePairs: overlapping docs pair up; boilerplate fps are df-capped") {
     val s = spark
     import s.implicits._
