@@ -670,11 +670,7 @@ object TextAnalysis {
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, s"n must be positive (got $n)")
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
-    val pg = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "g")))
-      .localCheckpoint()
+    val pg = gramPostings(docs, n, textCol, idCol).localCheckpoint()
     val dup = pg
       .select("g", "doc_id")
       .distinct()
@@ -682,8 +678,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select("g")
+    spansFromMarked(pg.join(dup, Seq("g"), "left_semi"), n, minTokens)
+  }
+
+  /** Gaps-and-islands tail shared by [[dupSpans]] and [[probeDupSpans]]:
+    * collapse marked 0-based gram positions `(doc_id, pos)` into maximal
+    * 1-based token spans, suppressing those under `minTokens`.
+    */
+  private def spansFromMarked(marked: DataFrame, n: Int, minTokens: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    pg.join(dup, Seq("g"), "left_semi")
+    marked
       .withColumn("isl", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("isl"))
       .agg(min("pos").as("p0"), max("pos").as("p1"))
@@ -694,6 +698,106 @@ object TextAnalysis {
       .withColumn("span_tokens", (col("span_end") - col("span_start") + 1).cast("long"))
       .filter(col("span_tokens") >= minTokens)
   }
+
+  /** Positioned-gram posting table `(doc_id, pos, g)` for the span
+    * operators: 0-based gram start positions over [[tokens]], docs shorter
+    * than `n` dropped.
+    */
+  private def gramPostings(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "g")))
+
+  /** Persist the corpus's word-`n`-gram posting index `(g, doc_id)` — the
+    * history side of incremental span-level dedup ([[probeDupSpans]]).
+    * Same lifecycle contract as the chunk/LSH/IVF/PQ stores: full rebuild
+    * REPLACES the index (stale tombstones cleared), [[appendGramIndex]]
+    * grows it batch-wise, [[graft.ops.Similarity.deleteFromIndex]] +
+    * [[compactGramIndex]] retract and physically drop docs. Postings are
+    * distinct per (gram, doc), so index size is bounded by corpus token
+    * volume, not occurrence multiplicity.
+    */
+  def writeGramIndex(
+      corpus: DataFrame,
+      path: String,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.clearTombstones(spark, path)
+    gramPostings(corpus, n, textCol, idCol)
+      .select(col("g"), col("doc_id"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/postings")
+    Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def requireGramParams(spark: org.apache.spark.sql.SparkSession, path: String, n: Int): Unit = {
+    val stored = spark.read.parquet(s"$path/params").select("n").head().getInt(0)
+    require(stored == n, s"gram index at $path was built with n=$stored, caller passed n=$n")
+  }
+
+  /** Grow the gram index with a new batch (append-only; the batch's
+    * postings become history for the NEXT probe round).
+    */
+  def appendGramIndex(
+      batch: DataFrame,
+      path: String,
+      n: Int = 5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    requireGramParams(batch.sparkSession, path, n)
+    gramPostings(batch, n, textCol, idCol)
+      .select(col("g"), col("doc_id"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/postings")
+  }
+
+  /** Incremental [[dupSpans]]: the batch's duplicated spans given the
+    * persisted history, WITHOUT re-scanning history text. A batch gram is
+    * duplicated iff it has a live posting in the index OR appears in >= 2
+    * distinct batch docs — exactly `dupSpans(history UNION batch)`
+    * restricted to batch rows (for any batch position, union-doc-count
+    * >= 2 ⟺ history holds the gram or a second batch doc does), so the
+    * batch face and the full rebuild are contract-identical. Tombstoned
+    * history docs stop matching immediately (subtracted before the
+    * distinct-gram projection); history reads touch only the gram column
+    * of the posting store.
+    */
+  def probeDupSpans(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireGramParams(spark, path, n)
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
+    val pg = gramPostings(batch, n, textCol, idCol).localCheckpoint()
+    val hist = Similarity
+      .minusTombstones(spark, path, spark.read.parquet(s"$path/postings").distinct(), "doc_id")
+      .select("g")
+      .distinct()
+    val dupBatch = pg
+      .select("g", "doc_id")
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val known = hist.union(dupBatch).distinct()
+    spansFromMarked(pg.join(known, Seq("g"), "left_semi"), n, minTokens)
+  }
+
+  /** Physically drop tombstoned docs' postings and clear the tombstones —
+    * probe results unchanged by contract, same tmp-and-swap recipe as the
+    * chunk/LSH/IVF/PQ compactions.
+    */
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    Similarity.compactIndexDir(spark, path, "postings", "doc_id")
 
   /** The ACTION over [[dupSpans]]: rewrite every doc with its duplicated
     * spans removed (all occurrences — the aggressive boilerplate-excision

@@ -662,6 +662,33 @@ object OpsQueries {
     "text_strip_dup_spans" -> { (s, dir) =>
       TextAnalysis.stripDupSpans(containCorpus(s, dir))
     },
+    // incremental span dedup, FULL index lifecycle in the timed query:
+    // build the gram index over history, append decoy docs that would
+    // wrongly mark every fresh-tail batch doc whole, tombstone + compact
+    // them away, then probe. The result must equal dupSpans over
+    // history UNION batch restricted to batch rows (the probe contract) —
+    // a leaked decoy or lost history posting breaks the hash.
+    "text_dup_spans_incremental" -> { (s, dir) =>
+      val p = s"${sys.props("java.io.tmpdir")}/graft_gram_idx_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(
+          d.filter(col("doc_id") % 10 === 5)
+            .select(
+              (col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh crawl "), col("doc_id").cast("string"))
+                .as("text")))
+      TextAnalysis.writeGramIndex(d, p)
+      val decoys = batch
+        .filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      TextAnalysis.appendGramIndex(decoys, p)
+      graft.ops.Similarity.deleteFromIndex(decoys.select("doc_id"), p, idCol = "doc_id")
+      TextAnalysis.compactGramIndex(s, p)
+      TextAnalysis.probeDupSpans(s, p, batch)
+    },
     // threshold 600 so both planted kinds act: full clones (1000 milli)
     // and 3-chunk prefix republishes sharing 2 chunks (666 milli)
     "dedup_containment" -> { (s, dir) =>
@@ -2634,6 +2661,47 @@ object OpsQueries {
          |       CAST(span_end AS BIGINT) AS span_end,
          |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
          |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
+    // Mirrors probeDupSpans' contract directly: dupSpans over history
+    // UNION batch (re-inserts +1M verbatim, fresh-tail +2M), restricted
+    // to batch rows — the decoy/tombstone churn in the Spark query must
+    // be invisible here.
+    "text_dup_spans_incremental" ->
+      """WITH corb AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         text || ' fresh crawl ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |tkb AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM corb),
+        |ps AS (
+        |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+        |  FROM tkb),
+        |pgr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(tk[i:i+4], ' ') AS g
+        |  FROM ps),
+        |dupg AS (
+        |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pgr) t
+        |  GROUP BY g HAVING COUNT(*) >= 2),
+        |mk AS (
+        |  SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN dupg USING (g)
+        |  WHERE pgr.doc_id >= 1000000),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+        |  FROM mk),
+        |sp AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+        |  FROM isl GROUP BY doc_id, k)
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |       CAST(span_end AS BIGINT) AS span_end,
+        |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+        |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
     // Mirrors stripDupSpans over the same corpus: kept tokens = positions
     // outside every >= 8-token span, re-joined with single spaces; whole
     // corpus returned (untouched docs pass through, n_removed = 0).

@@ -533,6 +533,51 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == (("", 10L)))
   }
 
+  test("gram index lifecycle: probe == union-rebuild on batch; tombstones retract; compact preserves") {
+    val s = spark
+    import s.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val history = Seq(
+      (1L, s"history prefix words $passage history suffix words here"),
+      (2L, "completely unrelated history document with nothing shared anywhere at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$passage brand new continuation text follows here"), // 10-token span vs history
+      (101L, "fresh document sharing nothing with anything else anywhere"),
+      (102L, "twin batch doc repeated verbatim inside this same batch exactly"),
+      (103L, "twin batch doc repeated verbatim inside this same batch exactly")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_gram_spec").toString + "/idx"
+    TextAnalysis.writeGramIndex(history, path)
+    def probe() = TextAnalysis
+      .probeDupSpans(s, path, batch)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = TextAnalysis
+      .dupSpans(history.unionAll(batch))
+      .filter(col("doc_id") >= 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val base = probe()
+    assert(base == expected, "probe must equal the union rebuild restricted to the batch")
+    // doc 100's span is the shared passage; batch twins mark each other
+    assert(base.contains((100L, 1L, 10L)))
+    assert(base.exists(_._1 == 102L) && base.exists(_._1 == 103L))
+    assert(!base.exists(_._1 == 101L))
+    // a decoy holding doc 101's text would wrongly mark it whole...
+    val decoy = Seq((900L, "fresh document sharing nothing with anything else anywhere"))
+      .toDF("doc_id", "text")
+    TextAnalysis.appendGramIndex(decoy, path)
+    assert(probe().exists(_._1 == 101L), "appended decoy must mark its twin")
+    // ...until tombstoned (visible pre-compact) and compacted away
+    graft.ops.Similarity.deleteFromIndex(decoy.select("doc_id"), path, idCol = "doc_id")
+    assert(probe() == base, "tombstoned decoy must stop matching immediately")
+    TextAnalysis.compactGramIndex(s, path)
+    assert(probe() == base, "compaction must not change probe results")
+  }
+
   test("winnowReusePairs: overlapping docs pair up; boilerplate fps are df-capped") {
     val s = spark
     import s.implicits._
