@@ -29,6 +29,7 @@ final class Pipeline(
     mixtureBudgetTokens: Option[Long] = None,
     lineClean: Boolean = false,
     dropDupParagraphs: Boolean = false,
+    exciseDupSpans: Boolean = false,
     blocklist: Seq[String] = Nil,
     clusterSafeSplits: Boolean = false,
     tokenBudgetChars: Option[Long] = None) {
@@ -41,28 +42,49 @@ final class Pipeline(
     *    — a zero-shuffle column rewrite;
     *  - `dropDupParagraphs` removes cross-corpus repeated paragraphs
     *    ([[Dedup.paragraphDedupText]]) — one fingerprint aggregation, the
-    *    per-doc rebuild joining back on doc_id.
+    *    per-doc rebuild joining back on doc_id;
+    *  - `exciseDupSpans` removes cross-corpus duplicated token RUNS that
+    *    don't align to paragraph boundaries ([[TextAnalysis
+    *    .stripDupSpans]] — license headers, quoted boilerplate mid-
+    *    paragraph); NOTE the excision rewrite is tokenizer-normalizing
+    *    (lowercase, single spaces), so enable it only when downstream
+    *    consumers accept normalized text.
     */
   def cleaned(docs: DataFrame): DataFrame = {
     val afterLines =
       if (lineClean)
         docs.withColumn("text", TextAnalysis.cleanedText(col("text")))
       else docs
-    if (dropDupParagraphs)
-      // Left join: paragraphDedupText emits no row for docs whose text has
-      // zero non-empty paragraphs (whitespace-only, or emptied by
-      // lineClean) — those must flow through with empty text, not vanish.
-      afterLines
+    val afterParas =
+      if (dropDupParagraphs)
+        // Left join: paragraphDedupText emits no row for docs whose text has
+        // zero non-empty paragraphs (whitespace-only, or emptied by
+        // lineClean) — those must flow through with empty text, not vanish.
+        afterLines
+          .drop("text")
+          .join(
+            Dedup
+              .paragraphDedupText(afterLines)
+              .select(col("doc_id"), col("clean_text")),
+            Seq("doc_id"),
+            "left")
+          .withColumn("text", coalesce(col("clean_text"), lit("")))
+          .drop("clean_text")
+      else afterLines
+    if (exciseDupSpans)
+      // stripDupSpans returns the whole corpus (untouched docs included),
+      // so this join is 1:1; left + coalesce for the same empty-doc safety
+      afterParas
         .drop("text")
         .join(
-          Dedup
-            .paragraphDedupText(afterLines)
+          TextAnalysis
+            .stripDupSpans(afterParas)
             .select(col("doc_id"), col("clean_text")),
           Seq("doc_id"),
           "left")
         .withColumn("text", coalesce(col("clean_text"), lit("")))
         .drop("clean_text")
-    else afterLines
+    else afterParas
   }
 
   /** Doc ids passing the quality floor and the language allow-list, with

@@ -217,6 +217,28 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(1L -> 24L, 2L -> 12L, 3L -> 12L))
   }
 
+  test("exciseDupSpans knob: mid-paragraph duplicated runs are stripped, untouched docs pass through") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val header = "licensed under the apache license version two point zero see notice" // 11 tokens
+    val fixture = Seq(
+      (1L, s"$header body of document one continues with its own words"),
+      (2L, s"$header body of document two continues with very different phrasing"),
+      (3L, "a wholly original document sharing no five gram run with others"))
+      .toDF("doc_id", "text")
+    val got = new Pipeline(exciseDupSpans = true)
+      .cleaned(fixture)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "no doc may vanish from the corpus")
+    // the span runs through "body of document" (shared by both docs via
+    // grams bridging out of the header) and stops where the texts diverge
+    assert(got(1L) == "one continues with its own words")
+    assert(got(2L) == "two continues with very different phrasing")
+    assert(got(3L) == "a wholly original document sharing no five gram run with others")
+  }
+
   test("cleaned: a doc with zero non-empty paragraphs flows through with empty text") {
     val s = SparkSpec.spark
     import s.implicits._
