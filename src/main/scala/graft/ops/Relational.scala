@@ -556,6 +556,60 @@ object Relational {
       .select((left.columns.toSeq ++ Seq("w_cnt", "w_sum", "w_max")).map(col): _*)
   }
 
+  /** [[windowAggJoin]] with the hot-key mitigation of the bucketed as-of
+    * family: identical results, but the window partitions on `(key,
+    * time-bucket)` instead of the bare key, so a pathologically hot key's
+    * serial window work is bounded by its densest `2 x bucketUnits` of
+    * events rather than its whole history. Right rows explode x2 (their
+    * own bucket and the next — with `bucketUnits >= spanUnits` a frame
+    * reaches back at most one bucket, so every probe finds each
+    * qualifying right row exactly once in its own partition; a right copy
+    * can never double-count, the two copies land in different
+    * partitions). The explode is stateless; still ONE shuffle, now on
+    * (key, bucket).
+    */
+  def windowAggJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      spanUnits: Long,
+      bucketUnits: Long): DataFrame = {
+    require(spanUnits >= 0, s"spanUnits must be non-negative (got $spanUnits)")
+    require(
+      bucketUnits >= math.max(spanUnits, 1L),
+      s"bucketUnits ($bucketUnits) must be >= spanUnits ($spanUnits): a frame may reach back only one bucket")
+    require(
+      !left.columns.contains(valueCol),
+      s"value column '$valueCol' collides with left side")
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__bucket", expr(s"cast($tsCol as bigint) div ${bucketUnits}L"))
+    val r = right
+      .select(
+        col(keyCol),
+        col(tsCol),
+        col(valueCol).cast("decimal(14,2)").as("__v"))
+      .withColumn("__side", lit(0))
+      .withColumn(
+        "__bucket",
+        explode(
+          array(
+            expr(s"cast($tsCol as bigint) div ${bucketUnits}L"),
+            expr(s"cast($tsCol as bigint) div ${bucketUnits}L") + 1L)))
+    val w = Window
+      .partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-spanUnits, 0)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("w_cnt", count(col("__v")).over(w))
+      .withColumn("w_sum", sum(col("__v")).over(w).cast("double"))
+      .withColumn("w_max", max(col("__v")).over(w).cast("double"))
+      .filter(col("__side") === 1)
+      .select((left.columns.toSeq ++ Seq("w_cnt", "w_sum", "w_max")).map(col): _*)
+  }
+
   /** Interval range join: pair every probe row whose `tsCol` falls inside
     * an interval `[startCol, startCol + lengthUnits)` with that interval.
     *

@@ -83,6 +83,25 @@ object RelQueries {
         valueCol = "value",
         spanUnits = HalfHourUs)
     },
+    // the hot-key-bounded twin (window partitioned on (user, 1h bucket),
+    // right rows exploded x2): must hash-match asof_window_agg's oracle
+    "asof_window_agg_bucketed" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select("user_id", "ts_us", "value")
+      Relational.windowAggJoinBucketed(
+        purchases,
+        clicks,
+        keyCol = "user_id",
+        tsCol = "ts_us",
+        valueCol = "value",
+        spanUnits = HalfHourUs,
+        bucketUnits = 2 * HalfHourUs)
+    },
     // hottest user_ids with ppm shares + key cardinality — the saltFactor
     // sizing input for Skew.saltedJoin
     "skew_key_profile" -> { (s, dir) =>
@@ -680,6 +699,19 @@ object RelQueries {
     // GROUP BY, which DuckDB executes fine at oracle scale but Spark must
     // not (BNLJ) — hence the operator's range-window rewrite.
     "asof_window_agg" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |       CAST(COUNT(c.value) AS BIGINT) AS w_cnt,
+        |       CAST(SUM(CAST(c.value AS DECIMAL(14,2))) AS DOUBLE) AS w_sum,
+        |       CAST(MAX(CAST(c.value AS DECIMAL(14,2))) AS DOUBLE) AS w_max
+        |FROM events p
+        |LEFT JOIN events c
+        |  ON c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 1800000000 AND epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // contract-identical to the plain window-agg join — same oracle
+    "asof_window_agg_bucketed" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |       CAST(COUNT(c.value) AS BIGINT) AS w_cnt,
         |       CAST(SUM(CAST(c.value AS DECIMAL(14,2))) AS DOUBLE) AS w_sum,

@@ -1146,4 +1146,25 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("Join"), "window-agg join must not plan a join:\n" + p.take(1500))
     assert(p.contains("Window"), p.take(1500))
   }
+
+  test("windowAggJoinBucketed == windowAggJoin across bucket widths (incl. bucket == span)") {
+    val rnd = new scala.util.Random(31)
+    val probes = (0L until 50L)
+      .map(i => (i, rnd.nextInt(3).toLong, rnd.nextInt(150).toLong))
+      .toDF("event_id", "user_id", "ts_us")
+    val evs = (0L until 250L)
+      .map(_ => (rnd.nextInt(3).toLong, rnd.nextInt(150).toLong, (rnd.nextInt(80) + 1) / 2.0))
+      .toDF("user_id", "ts_us", "value")
+    val span = 20L
+    def key(df: DataFrame) = df
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    val plain = key(Relational.windowAggJoin(probes, evs, "user_id", "ts_us", "value", span))
+    for (b <- Seq(20L, 21L, 37L, 64L, 1000L)) {
+      val bucketed = key(
+        Relational.windowAggJoinBucketed(probes, evs, "user_id", "ts_us", "value", span, b))
+      assert(bucketed == plain, s"bucketUnits=$b diverged from the plain window-agg join")
+    }
+  }
 }
