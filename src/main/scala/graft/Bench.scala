@@ -48,6 +48,12 @@ object Bench {
     "text_repetition",
     "contamination_ngrams",
     "dedup_ngram_jaccard",
+    // positioned-gram posting table + dup-gram agg + islands; the strip
+    // variant re-runs the spans then rewrites; the incremental variant
+    // adds the index write + decoy churn + probe
+    "text_dup_spans",
+    "text_strip_dup_spans",
+    "text_dup_spans_incremental",
     // shuffle-free but the repo's single most expensive projection: per-token
     // rolling-hash boundaries + per-chunk digests over every token
     "text_chunks_cdc",

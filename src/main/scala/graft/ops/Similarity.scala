@@ -1176,12 +1176,18 @@ object Similarity {
     * coordinate exact integer arithmetic — engine-portable, like the PQ
     * family. The sign matrix is `outDim·dim` literals computed ONCE on
     * the driver; the sign only PARTITIONS each sum (plus-terms minus
-    * minus-terms), so no per-term multiply survives into the plan. Every
-    * coordinate reads `element_at` on the RAW attribute — scalar,
-    * codegen'd — never an inline array expression, which CollapseProject
-    * would otherwise inline and re-evaluate per term (the plan-sweep
-    * anti-pattern). The whole operator is a zero-shuffle projection —
-    * at 100 TB it pipelines with whatever scan feeds it. The oracle
+    * minus-terms), so no per-term multiply survives into the plan. The
+    * milli view is materialized ONCE per row as a projected attribute
+    * (`vm`) and every coordinate reads `element_at` on it — scalar,
+    * codegen'd; referencing the RAW vector instead would re-round each
+    * input element once per OUTPUT dimension (outDim× redundant work,
+    * measured ~2× the whole operator at sf0.1), and an inline array
+    * expression would be worse still (CollapseProject re-evaluates it
+    * per term — the plan-sweep anti-pattern). `vm` is non-cheap and
+    * referenced outDim·dim times, so CollapseProject leaves the
+    * projection boundary intact — the [[graft.ops.TextAnalysis]] `ngrams`
+    * discipline. The whole operator is a zero-shuffle projection — at
+    * 100 TB it pipelines with whatever scan feeds it. The oracle
     * evaluates the same md5 parity in SQL.
     */
   def projectMilli(
@@ -1193,15 +1199,15 @@ object Similarity {
     val signs = Array.tabulate(outDim, dim) { (j, i) =>
       if (md5Hex(s"$i:$j").charAt(0) <= '7') 1L else -1L
     }
-    def milliAt(i: Int): Column =
-      round(element_at(col(vecCol), i + 1).cast("double") * 1000, 0).cast("long")
     val projected = (0 until outDim).map { j =>
       val (plus, minus) = (0 until dim).partition(i => signs(j)(i) > 0)
-      val pos = plus.map(milliAt).reduceOption(_ + _).getOrElse(lit(0L))
-      val neg = minus.map(milliAt).reduceOption(_ + _).getOrElse(lit(0L))
+      def term(i: Int): Column = element_at(col("vm"), i + 1)
+      val pos = plus.map(term).reduceOption(_ + _).getOrElse(lit(0L))
+      val neg = minus.map(term).reduceOption(_ + _).getOrElse(lit(0L))
       (pos - neg).as(s"p$j")
     }
     embs
+      .select(col(idCol), milliVec(col(vecCol)).as("vm"))
       .select(col(idCol) +: projected: _*)
       .select(
         col(idCol),

@@ -383,11 +383,17 @@ object OpsQueries {
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
     "embedding_quantize" -> { (s, dir) => Similarity.quantizeInt8(embs(s, dir)) },
-    // JL random projection, exploded (arrays don't hash-compare)
+    // JL random projection, exploded (arrays don't hash-compare). The
+    // OUTER explode is deliberate: proj_milli is a non-null 16-element
+    // array by construction, so outer ≡ inner — but the inner generator
+    // would make InferFiltersFromGenerate push a size()/isnotnull filter
+    // whose pushdown substitutes the ENTIRE projection chain into a
+    // non-codegen Filter, re-evaluating it per row (measured ~2x the
+    // whole query; the chunker's round-8 lesson, generator edition).
     "embedding_project" -> { (s, dir) =>
       Similarity
         .projectMilli(embs(s, dir))
-        .select(col("vec_id"), posexplode(col("proj_milli")))
+        .select(col("vec_id"), posexplode_outer(col("proj_milli")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"), col("col").as("p_milli"))
     },
     "embedding_dim_stats" -> { (s, dir) => Similarity.dimStats(embs(s, dir)) },
