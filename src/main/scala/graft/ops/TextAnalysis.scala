@@ -799,6 +799,35 @@ object TextAnalysis {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     Similarity.compactIndexDir(spark, path, "postings", "doc_id")
 
+  /** Span-level benchmark DECONTAMINATION: the maximal token spans in
+    * `corpus` docs whose every word `n`-gram also appears somewhere in
+    * `benchmark` — the eval-leak signal at span granularity, where the
+    * whole-doc contamination ratio ([[graft.ops.Corpus]]'s n-gram audit)
+    * says "3% of grams overlap" but not WHERE; the spans are what a
+    * targeted excision ([[stripDupSpans]]'s policy) or a manual review
+    * actually needs. One-directional [[dupSpans]]: a corpus gram is
+    * marked iff the benchmark holds it — corpus-internal duplication
+    * deliberately does NOT mark (that's [[dupSpans]]' job).
+    *
+    * Scale shape: benchmark suites are corpus-tiny, so the distinct
+    * benchmark gram set broadcasts and the corpus posting table never
+    * shuffles for the mark (left-semi equi-join); the islands windows
+    * partition by doc_id as ever.
+    */
+  def crossDupSpans(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be positive (got $n)")
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
+    val pg = gramPostings(corpus, n, textCol, idCol)
+    val bg = gramPostings(benchmark, n, textCol, idCol).select("g").distinct()
+    spansFromMarked(pg.join(bg, Seq("g"), "left_semi"), n, minTokens)
+  }
+
   /** The ACTION over [[dupSpans]]: rewrite every doc with its duplicated
     * spans removed (all occurrences — the aggressive boilerplate-excision
     * policy; pair with a keep-one dedup upstream when one canonical copy

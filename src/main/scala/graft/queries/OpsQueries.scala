@@ -668,6 +668,23 @@ object OpsQueries {
     "text_strip_dup_spans" -> { (s, dir) =>
       TextAnalysis.stripDupSpans(containCorpus(s, dir))
     },
+    // span-level eval decontamination: every 5th doc plays the benchmark;
+    // planted leaks are 30-token benchmark prefixes republished into the
+    // corpus under fresh ids — their spans (plus any natural phrase
+    // overlap) must surface
+    "contamination_spans" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 5 === 2)
+      val leaks = d
+        .filter(col("doc_id") % 10 === 2)
+        .select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 30)),
+            lit(" leak tail "),
+            col("doc_id").cast("string")).as("text"))
+      TextAnalysis.crossDupSpans(d.filter(col("doc_id") % 5 =!= 2).unionAll(leaks), bench)
+    },
     // incremental span dedup, FULL index lifecycle in the timed query:
     // build the gram index over history, append decoy docs that would
     // wrongly mark every fresh-tail batch doc whole, tombstone + compact
@@ -2656,6 +2673,43 @@ object OpsQueries {
          |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM pgr) t
          |  GROUP BY g HAVING COUNT(*) >= 2),
          |mk AS (SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN dupg USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+         |  FROM mk),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+         |  FROM isl GROUP BY doc_id, k)
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_end AS BIGINT) AS span_end,
+         |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+         |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
+    // Mirrors crossDupSpans: corpus grams marked iff present in the
+    // benchmark side (one-directional), islands → spans.
+    "contamination_spans" ->
+      s"""WITH $tokCtes,
+         |corp AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |         array_to_string(tk[1:30], ' ') || ' leak tail ' || CAST(doc_id AS VARCHAR)
+         |  FROM tks WHERE doc_id % 10 = 2),
+         |tkp AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM corp),
+         |ps AS (
+         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM tkp),
+         |pgr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM ps),
+         |bps AS (
+         |  SELECT tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM tks WHERE doc_id % 5 = 2),
+         |bg AS (SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS g FROM bps),
+         |mk AS (SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN bg USING (g)),
          |isl AS (
          |  SELECT doc_id, pos,
          |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k

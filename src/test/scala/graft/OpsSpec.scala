@@ -578,6 +578,26 @@ class OpsSpec extends SparkSpec {
     assert(probe() == base, "compaction must not change probe results")
   }
 
+  test("crossDupSpans: benchmark-sourced spans only; corpus-internal dups don't mark") {
+    val s = spark
+    import s.implicits._
+    val evalq = "what is the capital of france and when was it founded exactly" // 12 tokens
+    val benchmark = Seq((9000L, evalq)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"some training prose then $evalq and more prose after it"),
+      (2L, "twin corpus doc repeated verbatim against its own twin exactly"),
+      (3L, "twin corpus doc repeated verbatim against its own twin exactly"),
+      (4L, "entirely unrelated training document with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .crossDupSpans(corpus, benchmark, n = 5, minTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: the leaked question occupies tokens 5..16 -> exactly that span
+    assert(got.toSeq == Seq((1L, 5L, 16L, 12L)))
+    // docs 2/3 duplicate each other but NOT the benchmark: unmarked
+  }
+
   test("winnowReusePairs: overlapping docs pair up; boilerplate fps are df-capped") {
     val s = spark
     import s.implicits._
