@@ -799,6 +799,79 @@ object TextAnalysis {
   def compactGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     Similarity.compactIndexDir(spark, path, "postings", "doc_id")
 
+  /** Streaming maintenance round for the gram index — the span-dedup
+    * analog of [[graft.ops.Dedup.ingestLshBatch]], called per micro-batch
+    * by [[graft.streaming.CorpusIngest.spanDedupIngest]]. Batch 0 (or an
+    * absent store) CLAIMS/replaces the index (stale postings, docs, and
+    * tombstones die); later batches require matching `n`. Each round:
+    *
+    *   1. probe: the batch's duplicated spans given strictly-earlier
+    *      batches' postings (partition pruning on `batch_id` makes the
+    *      exclusion free, so a retried batch never reads its own
+    *      half-written postings back) plus in-batch duplication — the
+    *      [[probeDupSpans]] rule;
+    *   2. land the batch REWRITTEN (`docs/batch_id=N`: doc_id, text with
+    *      duplicated spans excised, n_removed) — the excision policy of
+    *      [[stripDupSpans]] applied at ingest time;
+    *   3. grow history with the ORIGINAL text's postings
+    *      (`postings/batch_id=N`), so a future re-crawl of the full
+    *      document still matches even though the landed copy was
+    *      stripped.
+    *
+    * Batch-id-keyed overwrites give exactly-once under retries; empty
+    * batches return without consuming the batch-0 claim. Tombstone
+    * deletes and [[compactGramIndex]] apply as for a batch-built index;
+    * a stream store stays batch-keyed after compaction (one synthetic
+    * `batch_id=-1` generation), so compaction is safe MID-stream.
+    */
+  def ingestGramBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/postings")
+      Similarity.deleteDir(spark, s"$path/docs")
+      Similarity.clearTombstones(spark, path)
+      Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else requireGramParams(spark, path, n)
+    val pg = gramPostings(batch, n, textCol, idCol).localCheckpoint()
+    val hist =
+      if (Similarity.storeExists(spark, s"$path/postings")) {
+        val raw = spark.read.parquet(s"$path/postings")
+        // a batch-built ([[writeGramIndex]]) store is flat (no batch_id
+        // dirs): all of it is strictly-earlier history. A stream store
+        // stays batch-keyed even after compaction (synthetic batch_id=-1
+        // generation, always < any real batch id).
+        val earlier =
+          if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
+        Similarity.minusTombstones(spark, path, earlier, "doc_id").select("g").distinct()
+      } else Seq.empty[String].toDF("g")
+    val dupBatch = pg
+      .select("g", "doc_id")
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
+    val spans =
+      spansFromMarked(pg.join(hist.union(dupBatch).distinct(), Seq("g"), "left_semi"), n, minTokens)
+    exciseWithSpans(batch, spans, textCol, idCol)
+      .select(col("doc_id"), col("clean_text").as(textCol), col("n_removed"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/docs/batch_id=$batchId")
+    pg.select(col("g"), col("doc_id"))
+      .distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/postings/batch_id=$batchId")
+  }
+
   /** Span-level benchmark DECONTAMINATION: the maximal token spans in
     * `corpus` docs whose every word `n`-gram also appears somewhere in
     * `benchmark` — the eval-leak signal at span granularity, where the
@@ -849,8 +922,20 @@ object TextAnalysis {
       n: Int = 5,
       minTokens: Int = 8,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val spanArr = dupSpans(docs, n, minTokens, textCol, idCol)
+      idCol: String = "doc_id"): DataFrame =
+    exciseWithSpans(docs, dupSpans(docs, n, minTokens, textCol, idCol), textCol, idCol)
+
+  /** The excision tail shared by [[stripDupSpans]] and [[ingestGramBatch]]:
+    * rewrite every doc with the given `(doc_id, span_start, span_end)`
+    * spans removed. Same whole-corpus/empty-string/`n_removed` contract as
+    * [[stripDupSpans]].
+    */
+  private def exciseWithSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val spanArr = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
     docs

@@ -106,6 +106,36 @@ object CorpusIngest {
       }
       .start()
 
+  /** The SPAN-level complement of [[nearDedupIngest]]: each micro-batch is
+    * probed for duplicated token runs against all earlier batches'
+    * gram postings (plus in-batch duplication), lands REWRITTEN (spans
+    * excised — the [[graft.ops.TextAnalysis.stripDupSpans]] policy applied
+    * at ingest time, with per-doc `n_removed`), and grows the probeable
+    * gram index with the ORIGINAL text's postings so future re-crawls
+    * still match. The [[graft.ops.TextAnalysis.ingestGramBatch]] contract:
+    * first non-empty batch claims/replaces the store, history restricted
+    * to strictly-earlier batch ids, batch-id-keyed overwrites for
+    * exactly-once. Landed corpus is `$path/docs`; probeable history is
+    * `$path/postings` via [[graft.ops.TextAnalysis.probeDupSpans]].
+    */
+  def spanDedupIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.ingestGramBatch(
+          batch.toDF(), path, batchId, n, minTokens, textCol, idCol)
+        ()
+      }
+      .start()
+
   /** The fingerprint store restricted to batches strictly BEFORE
     * `batchId`: partition pruning on the `batch_id` directory key makes
     * the exclusion free, and it is what makes a retried batch safe — its

@@ -296,6 +296,75 @@ class StreamingSpec extends SparkSpec {
     assert(fps.length == 3 && fps.distinct.length == 3)
   }
 
+  test("spanDedupIngest: cross-batch spans excised, index grows, retry idempotent, compact survives") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spandup").toString
+    def addDocs(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.CorpusIngest
+        .spanDedupIngest(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def landed(): Map[Long, (String, Long)] =
+      spark.read.parquet(s"$dir/idx/docs")
+        .select("doc_id", "text", "n_removed")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    // batch 1: docs 1/2 share the passage AND the following token "doc"
+    // (span runs to token 11); doc 3 is untouched
+    addDocs(Seq(
+      (1L, s"$passage doc one unique ending tokens here"),
+      (2L, s"$passage doc two other ending material now"),
+      (3L, "totally fresh unrelated document with zero shared runs anywhere")))
+    run()
+    val b1 = landed()
+    assert(b1(1L) == (("one unique ending tokens here", 11L)))
+    assert(b1(2L) == (("two other ending material now", 11L)))
+    assert(b1(3L) == (("totally fresh unrelated document with zero shared runs anywhere", 0L)))
+
+    // batch 2: a re-crawl embedding the history passage is stripped of
+    // exactly it; a fresh doc lands untouched
+    addDocs(Seq(
+      (10L, s"recrawl prefix then $passage and beyond that point"),
+      (11L, "another wholly original piece of training text right here")))
+    run()
+    val b2 = landed()
+    assert(b2(10L) == (("recrawl prefix then and beyond that point", 10L)))
+    assert(b2(11L) == (("another wholly original piece of training text right here", 0L)))
+
+    // the grown store IS probeable with the batch face
+    val probeSpans = graft.ops.TextAnalysis
+      .probeDupSpans(spark, s"$dir/idx", Seq((50L, s"lead in $passage trail out")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(probeSpans.toSeq == Seq((3L, 12L)), s"probe must find the passage span, got ${probeSpans.toSeq}")
+
+    // a directly-retried batch rewrites its own dirs instead of duplicating
+    graft.ops.TextAnalysis.ingestGramBatch(
+      Seq(
+        (10L, s"recrawl prefix then $passage and beyond that point"),
+        (11L, "another wholly original piece of training text right here")).toDF("doc_id", "text"),
+      s"$dir/idx", 1L)
+    assert(landed() == b2, "retried batch must be idempotent")
+
+    // mid-stream compaction folds generations; later batches still match history
+    graft.ops.TextAnalysis.compactGramIndex(spark, s"$dir/idx")
+    addDocs(Seq(
+      (20L, s"third wave copy $passage closing words differ"),
+      (21L, "completely independent final document with nothing repeated at all")))
+    run()
+    val b3 = landed()
+    assert(b3(20L)._2 == 10L, s"post-compaction batch must still strip against folded history: ${b3(20L)}")
+    assert(b3(21L)._2 == 0L)
+  }
+
   test("nearDedupIngest: cross-batch near-dups dropped, index grows, mid-stream compact survives") {
     val s = spark
     import s.implicits._
