@@ -524,7 +524,13 @@ object Relational {
     * `left.ts` are included; `left.ts - spanUnits` is included too).
     *
     * `tsCol` must be a numeric (epoch) column present on both sides;
-    * `valueCol` must exist on the right and not collide with left.
+    * `valueCol` must exist on the right and not collide with left. NULL
+    * keys/timestamps follow equi-join semantics: a right row with a null
+    * key or null ts matches nothing (dropped before the union — a bare
+    * window would lump all null-key rows into one partition and make
+    * null "equal" null, diverging from the SQL join the operator
+    * replaces); a left row with a null key or ts gets the no-match
+    * aggregates (0 / null / null).
     */
   def windowAggJoin(
       left: DataFrame,
@@ -532,28 +538,51 @@ object Relational {
       keyCol: String,
       tsCol: String,
       valueCol: String,
-      spanUnits: Long): DataFrame = {
+      spanUnits: Long): DataFrame =
+    windowAggTail(
+      left, right, keyCol, tsCol, valueCol, spanUnits,
+      Window
+        .partitionBy(keyCol)
+        .orderBy(col(tsCol).cast("long"))
+        .rangeBetween(-spanUnits, 0))
+
+  /** Shared machinery of [[windowAggJoin]] and [[windowAggJoinBucketed]]:
+    * guards, the tagged union (right rows value-tagged and null-key/ts
+    * filtered, left rows riding along), the three aggregates over the
+    * given value-range window, and the left-only output projection.
+    */
+  private def windowAggTail(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      spanUnits: Long,
+      w: org.apache.spark.sql.expressions.WindowSpec,
+      rightExtra: DataFrame => DataFrame = identity,
+      leftExtra: DataFrame => DataFrame = identity): DataFrame = {
     require(spanUnits >= 0, s"spanUnits must be non-negative (got $spanUnits)")
     require(
       !left.columns.contains(valueCol),
       s"value column '$valueCol' collides with left side")
-    val l = left.withColumn("__side", lit(1))
-    val r = right
-      .select(
-        col(keyCol),
-        col(tsCol),
-        col(valueCol).cast("decimal(14,2)").as("__v"))
-      .withColumn("__side", lit(0))
-    val w = Window
-      .partitionBy(keyCol)
-      .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-spanUnits, 0)
+    val aggCols = Seq("w_cnt", "w_sum", "w_max")
+    val collide = aggCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"left side already has output columns: $collide")
+    val l = leftExtra(left.withColumn("__side", lit(1)))
+    val r = rightExtra(
+      right
+        .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+        .select(
+          col(keyCol),
+          col(tsCol),
+          col(valueCol).cast("decimal(14,2)").as("__v"))
+        .withColumn("__side", lit(0)))
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("w_cnt", count(col("__v")).over(w))
       .withColumn("w_sum", sum(col("__v")).over(w).cast("double"))
       .withColumn("w_max", max(col("__v")).over(w).cast("double"))
       .filter(col("__side") === 1)
-      .select((left.columns.toSeq ++ Seq("w_cnt", "w_sum", "w_max")).map(col): _*)
+      .select((left.columns.toSeq ++ aggCols).map(col): _*)
   }
 
   /** [[windowAggJoin]] with the hot-key mitigation of the bucketed as-of
@@ -576,38 +605,18 @@ object Relational {
       valueCol: String,
       spanUnits: Long,
       bucketUnits: Long): DataFrame = {
-    require(spanUnits >= 0, s"spanUnits must be non-negative (got $spanUnits)")
     require(
       bucketUnits >= math.max(spanUnits, 1L),
       s"bucketUnits ($bucketUnits) must be >= spanUnits ($spanUnits): a frame may reach back only one bucket")
-    require(
-      !left.columns.contains(valueCol),
-      s"value column '$valueCol' collides with left side")
-    val l = left
-      .withColumn("__side", lit(1))
-      .withColumn("__bucket", expr(s"cast($tsCol as bigint) div ${bucketUnits}L"))
-    val r = right
-      .select(
-        col(keyCol),
-        col(tsCol),
-        col(valueCol).cast("decimal(14,2)").as("__v"))
-      .withColumn("__side", lit(0))
-      .withColumn(
-        "__bucket",
-        explode(
-          array(
-            expr(s"cast($tsCol as bigint) div ${bucketUnits}L"),
-            expr(s"cast($tsCol as bigint) div ${bucketUnits}L") + 1L)))
-    val w = Window
-      .partitionBy(col(keyCol), col("__bucket"))
-      .orderBy(col(tsCol).cast("long"))
-      .rangeBetween(-spanUnits, 0)
-    l.unionByName(r, allowMissingColumns = true)
-      .withColumn("w_cnt", count(col("__v")).over(w))
-      .withColumn("w_sum", sum(col("__v")).over(w).cast("double"))
-      .withColumn("w_max", max(col("__v")).over(w).cast("double"))
-      .filter(col("__side") === 1)
-      .select((left.columns.toSeq ++ Seq("w_cnt", "w_sum", "w_max")).map(col): _*)
+    val bucket = expr(s"cast($tsCol as bigint) div ${bucketUnits}L")
+    windowAggTail(
+      left, right, keyCol, tsCol, valueCol, spanUnits,
+      Window
+        .partitionBy(col(keyCol), col("__bucket"))
+        .orderBy(col(tsCol).cast("long"))
+        .rangeBetween(-spanUnits, 0),
+      rightExtra = _.withColumn("__bucket", explode(array(bucket, bucket + 1L))),
+      leftExtra = _.withColumn("__bucket", bucket))
   }
 
   /** Interval range join: pair every probe row whose `tsCol` falls inside

@@ -671,14 +671,7 @@ object TextAnalysis {
     require(n >= 1, s"n must be positive (got $n)")
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
     val pg = gramPostings(docs, n, textCol, idCol).localCheckpoint()
-    val dup = pg
-      .select("g", "doc_id")
-      .distinct()
-      .groupBy("g")
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g")
-    spansFromMarked(pg.join(dup, Seq("g"), "left_semi"), n, minTokens)
+    spansFromMarked(pg.join(dupGrams(pg), Seq("g"), "left_semi"), n, minTokens)
   }
 
   /** Gaps-and-islands tail shared by [[dupSpans]] and [[probeDupSpans]]:
@@ -708,6 +701,20 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "g")))
+
+  /** The duplication rule shared by the whole span family: grams
+    * appearing in >= 2 distinct docs of `pg` — distinct (gram, doc) then
+    * per-gram doc count, both map-side-combinable aggregates (a
+    * boilerplate gram collapses to one row in the first, so it cannot
+    * skew the second); never a self-join.
+    */
+  private def dupGrams(pg: DataFrame): DataFrame =
+    pg.select("g", "doc_id")
+      .distinct()
+      .groupBy("g")
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("g")
 
   /** Persist the corpus's word-`n`-gram posting index `(g, doc_id)` — the
     * history side of incremental span-level dedup ([[probeDupSpans]]).
@@ -777,18 +784,14 @@ object TextAnalysis {
     requireGramParams(spark, path, n)
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
     val pg = gramPostings(batch, n, textCol, idCol).localCheckpoint()
+    // no full-row distinct on the store: duplicates (retried appends) are
+    // absorbed by the g-only distinct below, and the tombstone anti-join
+    // is duplicate-insensitive — one column-pruned pass, not two shuffles
     val hist = Similarity
-      .minusTombstones(spark, path, spark.read.parquet(s"$path/postings").distinct(), "doc_id")
+      .minusTombstones(spark, path, spark.read.parquet(s"$path/postings"), "doc_id")
       .select("g")
       .distinct()
-    val dupBatch = pg
-      .select("g", "doc_id")
-      .distinct()
-      .groupBy("g")
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g")
-    val known = hist.union(dupBatch).distinct()
+    val known = hist.union(dupGrams(pg)).distinct()
     spansFromMarked(pg.join(known, Seq("g"), "left_semi"), n, minTokens)
   }
 
@@ -796,8 +799,13 @@ object TextAnalysis {
     * probe results unchanged by contract, same tmp-and-swap recipe as the
     * chunk/LSH/IVF/PQ compactions.
     */
-  def compactGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+  def compactGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     Similarity.compactIndexDir(spark, path, "postings", "doc_id")
+    // as in every sibling compaction: tombstones are spent once their rows
+    // are physically gone — a stale one would silently suppress a future
+    // re-insert of the same doc id
+    Similarity.clearTombstones(spark, path)
+  }
 
   /** Streaming maintenance round for the gram index — the span-dedup
     * analog of [[graft.ops.Dedup.ingestLshBatch]], called per micro-batch
@@ -853,15 +861,8 @@ object TextAnalysis {
           if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
         Similarity.minusTombstones(spark, path, earlier, "doc_id").select("g").distinct()
       } else Seq.empty[String].toDF("g")
-    val dupBatch = pg
-      .select("g", "doc_id")
-      .distinct()
-      .groupBy("g")
-      .agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2)
-      .select("g")
     val spans =
-      spansFromMarked(pg.join(hist.union(dupBatch).distinct(), Seq("g"), "left_semi"), n, minTokens)
+      spansFromMarked(pg.join(hist.union(dupGrams(pg)).distinct(), Seq("g"), "left_semi"), n, minTokens)
     exciseWithSpans(batch, spans, textCol, idCol)
       .select(col("doc_id"), col("clean_text").as(textCol), col("n_removed"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -923,6 +923,7 @@ object RelQueries {
         |       CAST(SUM(s.s_end_us - s.s_start_us) AS BIGINT) AS sum_session_us
         |FROM inc i
         |JOIN sess s ON s.s_start_us < i.i_end_us AND i.i_start_us < s.s_end_us
+        |            AND s.s_end_us > s.s_start_us
         |GROUP BY 1, 2, 3""".stripMargin,
     "range_join_var" ->
       """WITH inc AS (

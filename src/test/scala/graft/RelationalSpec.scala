@@ -1147,6 +1147,25 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("windowAggJoin: null keys follow equi-join semantics (no null-matches-null partition)") {
+    val probes = Seq(
+      (1L, Some(7L), 100L), // normal
+      (2L, None, 100L) // null key: must get the no-match aggregates
+    ).toDF("event_id", "user_id", "ts_us")
+    val evs = Seq(
+      (Some(7L), 95L, 5.0),
+      (None, 96L, 50.0), // null-key right row: matches nothing
+      (Some(7L), 98L, 7.0)
+    ).toDF("user_id", "ts_us", "value")
+    val got = Relational
+      .windowAggJoin(probes, evs, "user_id", "ts_us", "value", spanUnits = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), Option(r.get(4)))))
+      .toMap
+    assert(got(1L) == ((2L, Some(12.0))))
+    assert(got(2L) == ((0L, None)), "a null-key probe must not aggregate null-key events")
+  }
+
   test("windowAggJoinBucketed == windowAggJoin across bucket widths (incl. bucket == span)") {
     val rnd = new scala.util.Random(31)
     val probes = (0L until 50L)
