@@ -568,6 +568,14 @@ object Relational {
     val aggCols = Seq("w_cnt", "w_sum", "w_max")
     val collide = aggCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"left side already has output columns: $collide")
+    // the reserved internal columns must fail fast too: a left input
+    // already carrying __v would have its values silently counted into
+    // every frame (unionByName would keep them non-null on the left rows)
+    val reserved = Seq("__v", "__side", "__bucket")
+    val resL = reserved.toSet.intersect(left.columns.toSet)
+    require(resL.isEmpty, s"left side carries reserved internal columns: $resL")
+    val resR = reserved.toSet.intersect(right.columns.toSet)
+    require(resR.isEmpty, s"right side carries reserved internal columns: $resR")
     val l = leftExtra(left.withColumn("__side", lit(1)))
     val r = rightExtra(
       right

@@ -764,13 +764,17 @@ object TextAnalysis {
 
   /** Incremental [[dupSpans]]: the batch's duplicated spans given the
     * persisted history, WITHOUT re-scanning history text. A batch gram is
-    * duplicated iff it has a live posting in the index OR appears in >= 2
-    * distinct batch docs — exactly `dupSpans(history UNION batch)`
-    * restricted to batch rows (for any batch position, union-doc-count
-    * >= 2 ⟺ history holds the gram or a second batch doc does), so the
-    * batch face and the full rebuild are contract-identical. Tombstoned
-    * history docs stop matching immediately (subtracted before the
-    * distinct-gram projection); history reads touch only the gram column
+    * duplicated iff it has a live posting from some OTHER doc in the
+    * index OR appears in >= 2 distinct batch docs — exactly
+    * `dupSpans(history UNION batch)` restricted to batch rows (in the
+    * union a doc appears ONCE, so for any batch position, union-doc-count
+    * >= 2 ⟺ a different doc — history or batch — holds the gram), so the
+    * batch face and the full rebuild are contract-identical EVEN when a
+    * batch re-inserts a doc_id the index already holds: the doc's own
+    * stale postings are anti-joined away before the gram projection
+    * rather than self-marking it whole. Tombstoned history docs stop
+    * matching immediately (subtracted before the distinct-gram
+    * projection); history reads touch only the gram and doc-id columns
     * of the posting store.
     */
   def probeDupSpans(
@@ -789,6 +793,10 @@ object TextAnalysis {
     // is duplicate-insensitive — one column-pruned pass, not two shuffles
     val hist = Similarity
       .minusTombstones(spark, path, spark.read.parquet(s"$path/postings"), "doc_id")
+      // a re-inserted doc must not be marked by its OWN stale postings
+      // (union-rebuild parity: the rebuild sees the doc once); the batch
+      // id set is small relative to the store, so AQE broadcasts it
+      .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       .select("g")
       .distinct()
     val known = hist.union(dupGrams(pg)).distinct()
@@ -859,7 +867,13 @@ object TextAnalysis {
         // generation, always < any real batch id).
         val earlier =
           if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
-        Similarity.minusTombstones(spark, path, earlier, "doc_id").select("g").distinct()
+        Similarity
+          .minusTombstones(spark, path, earlier, "doc_id")
+          // the probeDupSpans rule verbatim: a later-batch re-crawl of a
+          // doc_id must not be excised against its OWN earlier postings
+          .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .select("g")
+          .distinct()
       } else Seq.empty[String].toDF("g")
     val spans =
       spansFromMarked(pg.join(hist.union(dupGrams(pg)).distinct(), Seq("g"), "left_semi"), n, minTokens)
@@ -940,7 +954,11 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__sp"))
     docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(
+        col(idCol).as("doc_id"),
+        // a null text must land as clean_text = '' with n_removed = 0,
+        // not propagate a null token array into null sizes downstream
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("tk"))
       .join(spanArr, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

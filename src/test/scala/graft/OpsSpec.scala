@@ -533,6 +533,46 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == (("", 10L)))
   }
 
+  test("stripDupSpans: null-text docs land as empty clean_text with n_removed = 0, not null") {
+    val s = spark
+    import s.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, Some(s"$passage first ending alpha")),
+      (2L, Some(s"$passage second finale beta")),
+      (3L, None) // null text: must pass through clean, not poison n_removed
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .stripDupSpans(docs, n = 5, minTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(3L) == (("", 0L)), s"null text must land as ('', 0), got ${got(3L)}")
+    assert(got(1L)._2 == 10L && got(2L)._2 == 10L)
+  }
+
+  test("probeDupSpans: a re-inserted doc_id is not marked by its own stale postings") {
+    val s = spark
+    import s.implicits._
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 tokens
+    val history = Seq(
+      (1L, s"$passage original continuation text here now"),
+      (2L, "unrelated history document sharing nothing with anything else at all")
+    ).toDF("doc_id", "text")
+    // batch re-crawls doc 1 VERBATIM: in dupSpans(history UNION batch)
+    // the doc appears once, so nothing marks it — probe must agree
+    val batch = Seq((1L, s"$passage original continuation text here now")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_gram_reins").toString + "/idx"
+    TextAnalysis.writeGramIndex(history, path)
+    val got = TextAnalysis.probeDupSpans(s, path, batch).collect()
+    assert(got.isEmpty, s"re-inserted doc self-marked: ${got.toSeq}")
+    // but a SECOND history doc holding the passage still marks the re-crawl
+    TextAnalysis.appendGramIndex(
+      Seq((7L, s"other holder of $passage right here")).toDF("doc_id", "text"), path)
+    val marked = TextAnalysis.probeDupSpans(s, path, batch).collect()
+    assert(marked.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L, 10L)))
+  }
+
   test("gram index lifecycle: probe == union-rebuild on batch; tombstones retract; compact preserves") {
     val s = spark
     import s.implicits._

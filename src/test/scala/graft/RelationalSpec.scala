@@ -1186,4 +1186,21 @@ class RelationalSpec extends SparkSpec {
       assert(bucketed == plain, s"bucketUnits=$b diverged from the plain window-agg join")
     }
   }
+
+  test("windowAggJoin fails fast when an input carries a reserved internal column") {
+    val evs = Seq((7L, 95L, 5.0)).toDF("user_id", "ts_us", "value")
+    for (bad <- Seq("__v", "__side", "__bucket")) {
+      val probes = Seq((1L, 7L, 100L, 9L)).toDF("event_id", "user_id", "ts_us", bad)
+      val el = intercept[IllegalArgumentException] {
+        Relational.windowAggJoin(probes, evs, "user_id", "ts_us", "value", 10L)
+      }
+      assert(el.getMessage.contains(bad), s"left-side $bad must be named in the error")
+      val evsBad = Seq((7L, 95L, 5.0, 9L)).toDF("user_id", "ts_us", "value", bad)
+      val er = intercept[IllegalArgumentException] {
+        Relational.windowAggJoin(Seq((1L, 7L, 100L)).toDF("event_id", "user_id", "ts_us"),
+          evsBad, "user_id", "ts_us", "value", 10L)
+      }
+      assert(er.getMessage.contains(bad), s"right-side $bad must be named in the error")
+    }
+  }
 }
