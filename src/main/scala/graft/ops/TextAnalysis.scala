@@ -657,10 +657,15 @@ object TextAnalysis {
     * LEFT SEMI join on the gram; runs collapse with the classic
     * gaps-and-islands move (`pos - row_number()` per doc, then one
     * hash agg per island). Windows partition by doc_id only — no
-    * single-partition stage. Grams travel as strings so the DuckDB oracle
-    * can mirror the semantics verbatim; a production variant can key the
-    * semi join on a 128-bit gram hash to shrink the shuffle without
-    * changing the span arithmetic.
+    * single-partition stage. Grams travel as 16-byte md5 digests, never
+    * as strings: the hash is computed where the gram is born (inside
+    * [[gramPostings]]' projection) so the raw 5-word text never enters a
+    * shuffle, an aggregate, or the persisted store — at 100 TB that is
+    * ~5-10x fewer key bytes through every exchange. Span arithmetic is
+    * hash-agnostic (positions only); a 128-bit digest makes a false
+    * duplicate-mark a ~(distinct grams)^2 / 2^129 event — at 10^12
+    * distinct grams that is ~1e-15, and the worst case is one span
+    * over-marked, never a crash.
     */
   def dupSpans(
       docs: DataFrame,
@@ -671,7 +676,7 @@ object TextAnalysis {
     require(n >= 1, s"n must be positive (got $n)")
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
     val pg = gramPostings(docs, n, textCol, idCol).localCheckpoint()
-    spansFromMarked(pg.join(dupGrams(pg), Seq("g"), "left_semi"), n, minTokens)
+    spansFromMarked(pg.join(dupGrams(pg), Seq("gh"), "left_semi"), n, minTokens)
   }
 
   /** Gaps-and-islands tail shared by [[dupSpans]] and [[probeDupSpans]]:
@@ -692,38 +697,52 @@ object TextAnalysis {
       .filter(col("span_tokens") >= minTokens)
   }
 
-  /** Positioned-gram posting table `(doc_id, pos, g)` for the span
+  /** Positioned-gram posting table `(doc_id, pos, gh)` for the span
     * operators: 0-based gram start positions over [[tokens]], docs shorter
-    * than `n` dropped.
+    * than `n` dropped. `gh` is the 16-byte md5 digest of the gram text —
+    * hashed HERE, in the projection that creates the gram, so the raw
+    * string dies before the first exchange.
     */
   private def gramPostings(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), posexplode(ngrams(col("tk"), n)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"), unhex(md5(col("g"))).as("gh"))
 
-  /** The duplication rule shared by the whole span family: grams
-    * appearing in >= 2 distinct docs of `pg` — distinct (gram, doc) then
-    * per-gram doc count, both map-side-combinable aggregates (a
+  /** The duplication rule shared by the whole span family: gram digests
+    * appearing in >= 2 distinct docs of `pg` — distinct (digest, doc) then
+    * per-digest doc count, both map-side-combinable aggregates (a
     * boilerplate gram collapses to one row in the first, so it cannot
     * skew the second); never a self-join.
     */
   private def dupGrams(pg: DataFrame): DataFrame =
-    pg.select("g", "doc_id")
+    pg.select("gh", "doc_id")
       .distinct()
-      .groupBy("g")
+      .groupBy("gh")
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
-      .select("g")
+      .select("gh")
 
-  /** Persist the corpus's word-`n`-gram posting index `(g, doc_id)` — the
-    * history side of incremental span-level dedup ([[probeDupSpans]]).
-    * Same lifecycle contract as the chunk/LSH/IVF/PQ stores: full rebuild
-    * REPLACES the index (stale tombstones cleared), [[appendGramIndex]]
-    * grows it batch-wise, [[graft.ops.Similarity.deleteFromIndex]] +
-    * [[compactGramIndex]] retract and physically drop docs. Postings are
-    * distinct per (gram, doc), so index size is bounded by corpus token
-    * volume, not occurrence multiplicity.
+  /** Persist the corpus's word-`n`-gram posting index `(gh, doc_id)` —
+    * the history side of incremental span-level dedup
+    * ([[probeDupSpans]]). Same lifecycle contract as the
+    * chunk/LSH/IVF/PQ stores: full rebuild REPLACES the index (stale
+    * tombstones cleared), [[appendGramIndex]] grows it batch-wise,
+    * [[graft.ops.Similarity.deleteFromIndex]] + [[compactGramIndex]]
+    * retract and physically drop docs. Postings are distinct per
+    * (digest, doc), so index size is bounded by corpus token volume, not
+    * occurrence multiplicity — and each key is a FIXED 16 bytes (md5 of
+    * the gram text, see [[gramPostings]]), so the store never pays raw
+    * 5-word strings. Measured: on a high-entropy corpus (distinct-gram
+    * regime, the web-scale shape) the hashed store is 2.2x smaller
+    * (44.0 MB -> 19.8 MB) and the dedup pipeline shuffles 2.1x fewer
+    * bytes (91.7 MB -> 43.1 MB); on the LOW-entropy sf0.1 fixture the
+    * picture inverts on disk (3.42 MB -> 5.19 MB — parquet dictionary
+    * encoding compresses the repetitive gram strings below 16 raw
+    * bytes/key, while digests are incompressible), so the hash is a
+    * scale bet, paid knowingly at toy vocabulary sizes. Full numbers in
+    * SCALE.md.
     */
   def writeGramIndex(
       corpus: DataFrame,
@@ -735,7 +754,7 @@ object TextAnalysis {
     import spark.implicits._
     Similarity.clearTombstones(spark, path)
     gramPostings(corpus, n, textCol, idCol)
-      .select(col("g"), col("doc_id"))
+      .select(col("gh"), col("doc_id"))
       .distinct()
       .write.mode("overwrite").parquet(s"$path/postings")
     Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
@@ -757,7 +776,7 @@ object TextAnalysis {
       idCol: String = "doc_id"): Unit = {
     requireGramParams(batch.sparkSession, path, n)
     gramPostings(batch, n, textCol, idCol)
-      .select(col("g"), col("doc_id"))
+      .select(col("gh"), col("doc_id"))
       .distinct()
       .write.mode("append").parquet(s"$path/postings")
   }
@@ -797,10 +816,10 @@ object TextAnalysis {
       // (union-rebuild parity: the rebuild sees the doc once); the batch
       // id set is small relative to the store, so AQE broadcasts it
       .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-      .select("g")
+      .select("gh")
       .distinct()
     val known = hist.union(dupGrams(pg)).distinct()
-    spansFromMarked(pg.join(known, Seq("g"), "left_semi"), n, minTokens)
+    spansFromMarked(pg.join(known, Seq("gh"), "left_semi"), n, minTokens)
   }
 
   /** Physically drop tombstoned docs' postings and clear the tombstones —
@@ -872,16 +891,16 @@ object TextAnalysis {
           // the probeDupSpans rule verbatim: a later-batch re-crawl of a
           // doc_id must not be excised against its OWN earlier postings
           .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .select("g")
+          .select("gh")
           .distinct()
-      } else Seq.empty[String].toDF("g")
+      } else Seq.empty[Array[Byte]].toDF("gh")
     val spans =
-      spansFromMarked(pg.join(hist.union(dupGrams(pg)).distinct(), Seq("g"), "left_semi"), n, minTokens)
+      spansFromMarked(pg.join(hist.union(dupGrams(pg)).distinct(), Seq("gh"), "left_semi"), n, minTokens)
     exciseWithSpans(batch, spans, textCol, idCol)
       .select(col("doc_id"), col("clean_text").as(textCol), col("n_removed"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/docs/batch_id=$batchId")
-    pg.select(col("g"), col("doc_id"))
+    pg.select(col("gh"), col("doc_id"))
       .distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/postings/batch_id=$batchId")
@@ -912,8 +931,8 @@ object TextAnalysis {
     require(n >= 1, s"n must be positive (got $n)")
     require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
     val pg = gramPostings(corpus, n, textCol, idCol)
-    val bg = gramPostings(benchmark, n, textCol, idCol).select("g").distinct()
-    spansFromMarked(pg.join(bg, Seq("g"), "left_semi"), n, minTokens)
+    val bg = gramPostings(benchmark, n, textCol, idCol).select("gh").distinct()
+    spansFromMarked(pg.join(bg, Seq("gh"), "left_semi"), n, minTokens)
   }
 
   /** The ACTION over [[dupSpans]]: rewrite every doc with its duplicated
