@@ -185,16 +185,28 @@ object Similarity {
     selected.select("query_id", "rank", "neighbor_id", "mmr_u")
   }
 
-  /** Project → pool → exact-rerank ANN: candidates are ranked by cosine
-    * in the [[projectMilli]] space (integer dot products and norms over
-    * `outDim` coordinates — exact longs, so the pool selection is
-    * engine-portable), then the pool is re-scored with EXACT cosine on
-    * the original vectors and the usual top-k contract. The JL scale
-    * argument: the all-pairs stage touches `outDim/dim` of the bytes
-    * (and at 100 TB would run over a bucketed/banded candidate set, not
-    * a cross join); only |queries|·pool original vectors are ever read
-    * for the rerank. Recall is a JL-distortion question — the spec pins
-    * pool=corpus ≡ brute force exactly, and recall@k on clustered data.
+  /** Project → bucket → pool → exact-rerank ANN: candidates come from
+    * the query's sign-LSH bucket IN THE PROJECTED SPACE (bit `i` of the
+    * bucket = sign of projected coordinate `i`, over the first `bits`
+    * of the `outDim` [[projectMilli]] coordinates — exact longs, so
+    * bucketing and pool selection are engine-portable), are ranked
+    * there by integer-exact projected cosine, and the pool is then
+    * re-scored with EXACT cosine on the original vectors under the
+    * usual top-k contract. The scale shape: the pool stage is a hash
+    * EQUI-join on the bucket id — never an all-pairs comparison — with
+    * MULTI-PROBE on the query side only: each query probes its own
+    * bucket plus the `bits` buckets at Hamming distance 1 (a stateless
+    * ×(bits+1) explode of the tiny query table), so a single
+    * noise-flipped sign bit on either side cannot lose a true neighbor.
+    * The corpus side shuffles once on a 2^bits-ary key and each query
+    * compares against ~(bits+1)·|corpus| / 2^bits candidates reading
+    * `outDim/dim` of the bytes; only |queries|·pool original vectors are
+    * ever read for the rerank. A (query, candidate) pair can meet in at
+    * most ONE probe bucket (the candidate lives in exactly one), so no
+    * dedup step. Recall is a JL-plus-LSH question: `bits = 0`
+    * degenerates to a single bucket (the spec pins pool=corpus+bits=0 ≡
+    * brute force exactly), and recall@1 on clustered data is pinned at
+    * the default bits.
     */
   def projectedTopK(
       queries: DataFrame,
@@ -203,19 +215,36 @@ object Similarity {
       pool: Int = 15,
       outDim: Int = 16,
       dim: Int = 64,
+      bits: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pq = projectMilli(queries, outDim, dim, idCol, vecCol)
+    require(bits >= 0 && bits <= outDim, s"bits ($bits) must be in [0, outDim=$outDim]")
+    def bucketOf(v: Column): Column =
+      if (bits == 0) lit(0L)
+      else (0 until bits).map(i => when(get(v, lit(i)) > 0L, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val pq0 = projectMilli(queries, outDim, dim, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("proj_milli").as("pv"))
+      .withColumn("__pbkt0", bucketOf(col("pv")))
+    val pq =
+      if (bits == 0) pq0.withColumnRenamed("__pbkt0", "__pbkt")
+      else pq0
+        .withColumn(
+          "__pbkt",
+          explode(array(
+            col("__pbkt0") +:
+              (0 until bits).map(i => col("__pbkt0").bitwiseXOR(lit(1L << i))): _*)))
+        .drop("__pbkt0")
     val pc = projectMilli(corpus, outDim, dim, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("proj_milli").as("cv"))
+      .withColumn("__pbkt", bucketOf(col("cv")))
     def norm2(c: Column): Column =
       aggregate(transform(c, x => x * x), lit(0L), (a, x) => a + x)
     val dotL =
       aggregate(zip_with(col("pv"), col("cv"), (x, y) => x * y), lit(0L), (a, x) => a + x)
     val pooled = pq
-      .join(pc, col("query_id") =!= col("neighbor_id"))
+      .join(pc, Seq("__pbkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),

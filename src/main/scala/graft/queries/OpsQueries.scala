@@ -348,10 +348,11 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.mmrTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15)
     },
-    // project → pool (integer JL-space cosine) → exact rerank
+    // project → sign-bucket the JL space → pool (integer JL-space cosine,
+    // own-bucket equi-join — a real ANN, not an all-pairs) → exact rerank
     "similarity_topk_projected" -> { (s, dir) =>
       val e = embs(s, dir)
-      Similarity.projectedTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15)
+      Similarity.projectedTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15, bits = 4)
     },
     // full k-means IVF: the Lloyd loop is integer-milli-stabilized
     // (Similarity.ivfCentroids), so all 3 iterations unroll into the
@@ -1750,18 +1751,30 @@ object OpsQueries {
          |WHERE rank <= 5""".stripMargin,
     "similarity_topk_mmr" -> mmrOracleSql(k = 5, pool = 15, lam = 700),
     // projected pool (same md5-parity matrix as embedding_project; exact
-    // integer dots/norms in JL space) + exact rerank on the originals
+    // integer dots/norms in JL space), restricted to the query's sign-LSH
+    // bucket over the first 4 projected coordinates (bit t-1 = pv[t] > 0)
+    // with Hamming<=1 multi-probe on the query side, mirroring
+    // Similarity.projectedTopK bits=4, + exact rerank on the originals
     "similarity_topk_projected" -> {
       val sign =
         """(CASE WHEN substr(md5(CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)
           |               IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END)""".stripMargin
-      s"""WITH pr AS (
+      s"""WITH pr0 AS (
          |  SELECT vec_id AS id,
          |         list_transform(range(0, 16), j ->
          |           CAST(list_sum(list_transform(range(1, 65), i ->
          |             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT) *
          |             $sign)) AS BIGINT)) AS pv
          |  FROM embeddings),
+         |pr AS (
+         |  SELECT id, pv,
+         |         CAST(list_sum(list_transform(range(1, 5), t ->
+         |           CASE WHEN pv[t] > 0 THEN 1 << (t - 1) ELSE 0 END)) AS BIGINT) AS bkt
+         |  FROM pr0),
+         |prq AS (
+         |  SELECT id, pv,
+         |         unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS bkt
+         |  FROM pr WHERE id < 8),
          |pc AS (
          |  SELECT q.id AS query_id, c.id AS neighbor_id,
          |         round(
@@ -1770,7 +1783,7 @@ object OpsQueries {
          |               CAST(list_sum(list_transform(range(1, 17), t -> q.pv[t] * q.pv[t])) AS DOUBLE)
          |             * CAST(list_sum(list_transform(range(1, 17), t -> c.pv[t] * c.pv[t])) AS DOUBLE)),
          |           6) AS pcos_r
-         |  FROM pr q JOIN pr c ON q.id < 8 AND c.id <> q.id),
+         |  FROM prq q JOIN pr c ON q.bkt = c.bkt AND c.id <> q.id),
          |pool AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT *, ROW_NUMBER() OVER (

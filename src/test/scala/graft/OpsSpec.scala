@@ -792,15 +792,18 @@ class OpsSpec extends SparkSpec {
         (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
           r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
       .toSet
-    // pool = whole corpus → the rerank IS exact brute force
+    // bits = 0 (single bucket) + pool = whole corpus → the rerank IS
+    // exact brute force
     assert(
-      rows(Similarity.projectedTopK(q, e, k = 5, pool = n)) ==
+      rows(Similarity.projectedTopK(q, e, k = 5, pool = n, bits = 0)) ==
         rows(Similarity.bruteForceTopK(q, e, k = 5)),
       "full-pool projected rerank must equal brute force")
-    // tight pool: where neighborhood structure EXISTS (clusters), the
-    // exact top-1 survives the 64→16 cut through a 15-candidate pool.
-    // (The parquet fixture is near-uniform noise — top-1 cosine ~0.35 —
-    // which is precisely where JL distortion can reorder near-ties; the
+    // tight pool at the default sign-bucketing: where neighborhood
+    // structure EXISTS (clusters), cluster members share their projected
+    // sign pattern, so the exact top-1 survives both the 64→16 cut and
+    // the 2^4-bucket restriction through a 15-candidate pool. (The
+    // parquet fixture is near-uniform noise — top-1 cosine ~0.35 — which
+    // is precisely where JL distortion can reorder near-ties; the
     // full-pool equivalence above is the contract there.)
     val rnd = new scala.util.Random(11)
     def noisy(base: Array[Float]) = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
@@ -813,6 +816,17 @@ class OpsSpec extends SparkSpec {
       rows(Similarity.projectedTopK(cq, clustered, k = 1, pool = 15)) ==
         rows(Similarity.bruteForceTopK(cq, clustered, k = 1)),
       "projected pool must retain the exact top-1 on clustered data")
+  }
+
+  test("projectedTopK plan: the pool stage is a bucket equi-join, never a nested loop") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val df = Similarity.projectedTopK(e.filter(col("vec_id") < 8), e, k = 5, pool = 15, bits = 4)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), "projected pool must not nested-loop:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
   test("mmrTopK demotes the redundant near-copy below a diverse candidate") {

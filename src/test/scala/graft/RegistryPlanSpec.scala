@@ -33,7 +33,8 @@ class RegistryPlanSpec extends SparkSpec {
     "similarity_topk", // crossJoin(broadcast(query-norms row)) — |queries| rows
     // (similarity_topk_mmr's brute pool materializes at construction, so
     // its final plan carries no BNLJ; no allowlist entry needed)
-    "similarity_topk_projected", // projected pool stage — same bounded query side
+    // (similarity_topk_projected pools via a sign-bucket equi-join in the
+    // projected space since round 10 — no BNLJ, no allowlist entry)
     "similarity_topk_ivf", // crossJoin(broadcast(centroids)) — nCentroids rows
     "similarity_topk_ivf_flat", // same centroid broadcast
     "similarity_topk_ivf_persisted", // same centroid broadcast, read from the index
