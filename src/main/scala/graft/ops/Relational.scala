@@ -853,11 +853,31 @@ object Relational {
       intervals: DataFrame,
       tsCol: String,
       startCol: String,
-      endCol: String): DataFrame =
-    keyedByStrata(probe, tsCol, occupiedStrata(intervals, startCol, endCol))
-      .join(broadcast(explodedByStratum(intervals, startCol, endCol)), Seq("__stratum", "__bucket"))
+      endCol: String,
+      strata: Option[Seq[Int]] = None): DataFrame = {
+    val grid = strata.getOrElse(occupiedStrata(intervals, startCol, endCol))
+    keyedByStrata(probe, tsCol, grid)
+      .join(
+        broadcast(explodedByStratum(intervals, startCol, endCol, strata.map(_ => grid))),
+        Seq("__stratum", "__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__stratum", "__bucket")
+  }
+
+  /** The distinct power-of-two interval length classes of `intervals` —
+    * the plan-time input [[rangeJoinIntervals]]/[[rangeJoinOverlap]]
+    * compute per call (ONE bounded column-pruned scan, ≤63 rows).
+    * Compute it once and pass it via their `strata` parameter when
+    * composing several interval joins over the same (or a superset)
+    * interval table: composition then triggers NO eager job — plan
+    * construction stays lazy. A supplied grid need not match the
+    * interval table's own classes exactly: each interval lands in the
+    * smallest supplied class covering it (a coarser grid is correct,
+    * just less selective), and a class above the grid's maximum fails
+    * fast at execution rather than silently dropping matches.
+    */
+  def intervalStrata(intervals: DataFrame, startCol: String, endCol: String): Seq[Int] =
+    occupiedStrata(intervals, startCol, endCol)
 
   /** Power-of-two length class of `[startCol, endCol)`: ceil(log2(len))
     * via bit length (`length(bin(len-1))` — no FP log whose boundary
@@ -888,17 +908,39 @@ object Relational {
   }
 
   /** Interval side of a stratified bucket equi-join: each interval tagged
-    * with its own length class and exploded to the <= 2 buckets of that
-    * class's grid which its span can intersect.
+    * with a length class and exploded to the <= 2 buckets of that class's
+    * grid which its span can intersect. With `grid` supplied (the cached-
+    * strata path), the class is the SMALLEST grid class covering the
+    * interval — any class >= the interval's own is a correct (coarser)
+    * grid, because an interval of length <= 2^s spans at most two
+    * width-2^s buckets; a length class above the grid maximum
+    * fails fast per row instead of silently dropping matches.
     */
-  private def explodedByStratum(df: DataFrame, startCol: String, endCol: String): DataFrame =
-    df.withColumn("__stratum", lenStratum(startCol, endCol))
+  private def explodedByStratum(
+      df: DataFrame,
+      startCol: String,
+      endCol: String,
+      grid: Option[Seq[Int]] = None): DataFrame = {
+    val own = lenStratum(startCol, endCol)
+    val stratum = grid match {
+      case None => own
+      case Some(gs) =>
+        gs.sorted.foldRight(
+          raise_error(concat(
+            lit(s"interval length class "),
+            own.cast("string"),
+            lit(s" exceeds the supplied strata grid max ${gs.max}"))).cast("int")) {
+          (s, tail) => when(own <= s, lit(s)).otherwise(tail)
+        }
+    }
+    df.withColumn("__stratum", stratum)
       .withColumn(
         "__bucket",
         explode(
           array(
             expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)"),
             expr(s"cast($startCol as bigint) div cast(pow(2.0d, __stratum) as bigint)") + 1L)))
+  }
 
   /** Point side of a stratified bucket equi-join: one (stratum, bucket)
     * key per occupied stratum, as a STATELESS projection — the table
@@ -955,18 +997,64 @@ object Relational {
       lStartCol: String,
       lEndCol: String,
       rStartCol: String,
-      rEndCol: String): DataFrame = {
+      rEndCol: String,
+      lStrata: Option[Seq[Int]] = None,
+      rStrata: Option[Seq[Int]] = None): DataFrame =
+    overlapHalves(left, right, lStartCol, lEndCol, rStartCol, rEndCol, lStrata, rStrata, broadcast)
+
+  /** [[rangeJoinOverlap]] for TWO LARGE interval tables — identical
+    * output (same two-half start-point decomposition, same disjointness
+    * proof), but the pairing is a SHUFFLED hash equi-join on the
+    * (stratum, bucket) keys with no broadcast requirement on either
+    * side: coverage-spans × coverage-spans, sessions × sessions. Each
+    * half shuffles both inputs once on its key set (the ×2 interval
+    * explode and the ×|strata| point fan-out are stateless projections,
+    * as ever); per-bucket work is bounded by the stratified grid exactly
+    * as in the broadcast face, so a hot bucket is a data-skew question
+    * (one time window dense on BOTH sides), not a plan hazard. Pass
+    * cached [[intervalStrata]] to compose lazily.
+    */
+  def rangeJoinOverlapBig(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      lStrata: Option[Seq[Int]] = None,
+      rStrata: Option[Seq[Int]] = None): DataFrame =
+    overlapHalves(left, right, lStartCol, lEndCol, rStartCol, rEndCol, lStrata, rStrata, identity)
+
+  /** The two disjoint point-in-interval halves shared by
+    * [[rangeJoinOverlap]] (which `wrap`s the right-derived side of each
+    * half in `broadcast`) and [[rangeJoinOverlapBig]] (`wrap` =
+    * identity: both sides shuffle).
+    */
+  private def overlapHalves(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      lStrata: Option[Seq[Int]],
+      rStrata: Option[Seq[Int]],
+      wrap: DataFrame => DataFrame): DataFrame = {
     val collide = left.columns.toSet.intersect(right.columns.toSet)
     require(collide.isEmpty, s"left/right columns collide: $collide")
     val outCols = (left.columns.toSeq ++ right.columns.toSeq).map(col)
     val nonEmpty = col(lStartCol) < col(lEndCol) && col(rStartCol) < col(rEndCol)
-    val startsInside = keyedByStrata(left, lStartCol, occupiedStrata(right, rStartCol, rEndCol))
-      .join(broadcast(explodedByStratum(right, rStartCol, rEndCol)), Seq("__stratum", "__bucket"))
+    val rGrid = rStrata.getOrElse(occupiedStrata(right, rStartCol, rEndCol))
+    val lGrid = lStrata.getOrElse(occupiedStrata(left, lStartCol, lEndCol))
+    val startsInside = keyedByStrata(left, lStartCol, rGrid)
+      .join(
+        wrap(explodedByStratum(right, rStartCol, rEndCol, rStrata.map(_ => rGrid))),
+        Seq("__stratum", "__bucket"))
       .filter(nonEmpty && col(lStartCol) > col(rStartCol) && col(lStartCol) < col(rEndCol))
       .select(outCols: _*)
-    val startCovered = explodedByStratum(left, lStartCol, lEndCol)
+    val startCovered = explodedByStratum(left, lStartCol, lEndCol, lStrata.map(_ => lGrid))
       .join(
-        broadcast(keyedByStrata(right, rStartCol, occupiedStrata(left, lStartCol, lEndCol))),
+        wrap(keyedByStrata(right, rStartCol, lGrid)),
         Seq("__stratum", "__bucket"))
       .filter(nonEmpty && col(rStartCol) >= col(lStartCol) && col(rStartCol) < col(lEndCol))
       .select(outCols: _*)

@@ -380,6 +380,43 @@ object RelQueries {
           count(lit(1)).cast("long").as("n_sessions"),
           sum(col("s_end_us") - col("s_start_us")).cast("long").as("sum_session_us"))
     },
+    // the large x large face of the same overlap: identical fixture and
+    // aggregate, but the pairing is the SHUFFLED (stratum, bucket) hash
+    // join with no broadcast requirement — must hash-match the broadcast
+    // face's oracle exactly. Strata are precomputed once via
+    // intervalStrata (the cached-composition path) to cover that face too.
+    "range_join_overlap_big" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val sessions = ev
+        .filter(col("event_type") === "view")
+        .select(
+          col("event_id").as("session_id"),
+          col("ts_us").as("s_start_us"),
+          (col("ts_us") + round(col("value") * 1000000, 0).cast("long")).as("s_end_us"))
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > 100)
+        .select(
+          col("event_id").as("incident_id"),
+          col("ts_us").as("i_start_us"),
+          (col("ts_us") +
+            round(col("value") * 60, 0).cast("long") * lit(1000000L)).as("i_end_us"))
+      val lStrata = Relational.intervalStrata(sessions, "s_start_us", "s_end_us")
+      val rStrata = Relational.intervalStrata(incidents, "i_start_us", "i_end_us")
+      Relational
+        .rangeJoinOverlapBig(
+          sessions,
+          incidents,
+          lStartCol = "s_start_us",
+          lEndCol = "s_end_us",
+          rStartCol = "i_start_us",
+          rEndCol = "i_end_us",
+          lStrata = Some(lStrata),
+          rStrata = Some(rStrata))
+        .groupBy("incident_id", "i_start_us", "i_end_us")
+        .agg(
+          count(lit(1)).cast("long").as("n_sessions"),
+          sum(col("s_end_us") - col("s_start_us")).cast("long").as("sum_session_us"))
+    },
     "range_join_var" -> { (s, dir) =>
       val ev = events(s, dir)
       val incidents = ev
@@ -909,6 +946,25 @@ object RelQueries {
         |             AND epoch_us(e.ts) < i.start_us + 1800000000
         |GROUP BY 1, 2""".stripMargin,
     "range_join_overlap" ->
+      """WITH sess AS (
+        |  SELECT event_id AS session_id, epoch_us(ts) AS s_start_us,
+        |         epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS s_end_us
+        |  FROM events WHERE event_type = 'view'
+        |), inc AS (
+        |  SELECT event_id AS incident_id, epoch_us(ts) AS i_start_us,
+        |         epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS i_end_us
+        |  FROM events WHERE event_type = 'error' AND value > 100
+        |)
+        |SELECT i.incident_id, i.i_start_us, i.i_end_us,
+        |       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(SUM(s.s_end_us - s.s_start_us) AS BIGINT) AS sum_session_us
+        |FROM inc i
+        |JOIN sess s ON s.s_start_us < i.i_end_us AND i.i_start_us < s.s_end_us
+        |            AND s.s_end_us > s.s_start_us
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // identical semantics to range_join_overlap - the big face must
+    // hash-match the broadcast face
+    "range_join_overlap_big" ->
       """WITH sess AS (
         |  SELECT event_id AS session_id, epoch_us(ts) AS s_start_us,
         |         epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS s_end_us

@@ -1139,6 +1139,76 @@ class RelationalSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
 
+  test("rangeJoinOverlapBig == rangeJoinOverlap on random mixed-length intervals; never nest-loops") {
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(500).toLong
+      val len =
+        if (i % 37 == 0) 0L
+        else if (i % 23 == 0) 400L
+        else (rnd.nextInt(20) + 1).toLong
+      (idBase + i, s, s + len)
+    }
+    val lefts = mk(120, 1000L).toDF("l_id", "ls", "le")
+    val rights = mk(80, 2000L).toDF("r_id", "rs", "re")
+    def pairs(df: DataFrame) =
+      df.select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val broad = pairs(Relational.rangeJoinOverlap(lefts, rights, "ls", "le", "rs", "re"))
+    val bigDf = Relational.rangeJoinOverlapBig(lefts, rights, "ls", "le", "rs", "re")
+    val big = pairs(bigDf)
+    assert(big.length == big.toSet.size, "a pair surfaced from both halves or both buckets")
+    assert(big.toSet == broad.toSet, "shuffle face diverged from the broadcast face")
+    val p = bigDf.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("cached strata: supplied grids trigger no job at composition, a coarser grid stays exact") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    val probe = (0L until 100L).map(i => (i, i * 3)).toDF("event_id", "ts_us")
+    val iv = Seq((1L, 10L, 14L), (2L, 40L, 300L), (3L, 100L, 101L)).toDF("iv_id", "start_us", "end_us")
+    val lefts = Seq((10L, 5L, 9L), (11L, 50L, 260L)).toDF("l_id", "ls", "le")
+    spark.sparkContext.addSparkListener(listener)
+    val (iDf, oDf, bDf) =
+      try {
+        // grid deliberately COARSER/superset of the occupied classes
+        val g = Some(Seq(0, 3, 9, 20))
+        val i = Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us", strata = g)
+        val o = Relational.rangeJoinOverlap(lefts, iv, "ls", "le", "start_us", "end_us",
+          lStrata = g, rStrata = g)
+        val b = Relational.rangeJoinOverlapBig(lefts, iv, "ls", "le", "start_us", "end_us",
+          lStrata = g, rStrata = g)
+        org.apache.spark.graft.TestShim.drainListenerBus(spark.sparkContext)
+        (i, o, b)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, s"plan composition with supplied strata ran ${jobs.get()} eager jobs")
+    // and the coarser grid loses nothing vs the self-computed strata
+    def rows(df: DataFrame, cols: (String, String)) =
+      df.select(cols._1, cols._2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(iDf, ("event_id", "iv_id")) ==
+      rows(Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us"), ("event_id", "iv_id")))
+    assert(rows(oDf, ("l_id", "iv_id")) ==
+      rows(Relational.rangeJoinOverlap(lefts, iv, "ls", "le", "start_us", "end_us"), ("l_id", "iv_id")))
+    assert(rows(bDf, ("l_id", "iv_id")) == rows(oDf, ("l_id", "iv_id")))
+  }
+
+  test("cached strata: an interval class above the supplied grid max fails fast, never drops") {
+    val probe = Seq((1L, 5L)).toDF("event_id", "ts_us")
+    val iv = Seq((1L, 0L, 1000000L)).toDF("iv_id", "start_us", "end_us") // class 20
+    val df = Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us",
+      strata = Some(Seq(0, 4)))
+    val e = intercept[Exception] { df.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds the supplied strata grid max 4")),
+      s"got: ${messages(e)}")
+  }
+
   test("windowAggJoin plan: one window over the union, no join operator at all") {
     val probes = (0L until 50L).map(i => (i, i % 4, i * 3)).toDF("event_id", "user_id", "ts_us")
     val evs = (0L until 200L).map(i => (i % 4, i, 1.0)).toDF("user_id", "ts_us", "value")
