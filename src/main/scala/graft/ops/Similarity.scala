@@ -855,6 +855,96 @@ object Similarity {
     clearTombstones(spark, path)
   }
 
+  /** ACT on the drift signal: rebuild a persisted IVF index's quantizer
+    * from the LIVE index content — tombstone-subtracted cell vectors,
+    * never the original corpus, which at 100 TB may no longer be
+    * materialized anywhere else — and re-assign every live vector to the
+    * new cells in one lifecycle-safe op. The quantizer retrains under
+    * the index's own recorded params (`flat` seeds, or the stored-iters
+    * Lloyd loop for k-means kinds), so probe-after-retrain is
+    * hash-identical to a clean [[writeIvfIndex]] over the live vector
+    * set (the `similarity_topk_ivf_retrained` oracle row). Valid
+    * MID-stream: a stream-built store keeps its batch-keyed layout
+    * (everything folds to the synthetic `batch_id=-1` generation, as
+    * compaction does), so the next ingest batch lands beside it
+    * cleanly. The cell rewrite is the compaction tmp-and-swap; the live
+    * snapshot is materialized up front so the swap cannot pull the rug
+    * from under its own input. Idempotent under crash-rerun: every
+    * output derives from cell CONTENT, not from the centroids being
+    * replaced, so re-running after any partial failure converges to the
+    * same index.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = spark.read.parquet(s"$path/params")
+      .select("kind", "n_centroids", "iters").head()
+    val (kind, nCentroids, iters) = (p.getString(0), p.getInt(1), p.getInt(2))
+    val cellsRaw = spark.read.parquet(s"$path/cells")
+    val hasBatchDirs = cellsRaw.columns.contains("batch_id")
+    val live = minusTombstones(spark, path, cellsRaw, "neighbor_id")
+      .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    val cents =
+      if (kind == "flat") flatCents(live, nCentroids, "vec_id", "embedding")
+      else ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = flatCells(live, cents, "vec_id", "embedding")
+    if (hasBatchDirs)
+      rewriteDir(
+        spark,
+        cells.withColumn("batch_id", lit(-1L)),
+        s"$path/cells",
+        Seq("batch_id", "centroid_id"))
+    else rewriteDir(spark, cells, s"$path/cells", Seq("centroid_id"))
+    // retrain physically dropped the tombstoned vectors with everything
+    // else it re-assigned: spent tombstones must die, or they would
+    // suppress a future re-insert of the same id
+    clearTombstones(spark, path)
+  }
+
+  /** The compressed-domain retrain — with one honest difference from
+    * [[retrainIvfIndex]]: PQ codes are LOSSY, so the index content alone
+    * cannot train a new codebook (training on decoded reconstructions
+    * compounds quantization error — the known re-encode anti-pattern).
+    * The caller supplies the full-precision `corpus` (the system of
+    * record the index derives from); the op takes the LIVE id set from
+    * the index (tombstones subtracted), pulls exactly those vectors via
+    * a semi-join, retrains the codebook under the stored (m, ksub, dim),
+    * re-encodes, and tmp-and-swaps the code table — failing fast if the
+    * corpus is missing any live id (a silent drop would masquerade as a
+    * delete). Stream-built stores keep their batch-keyed layout
+    * (`batch_id=-1` fold), so the op is valid mid-stream.
+    */
+  def retrainPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
+    val (m, ksub, dim) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val hasBatchDirs = codesRaw.columns.contains("batch_id")
+    val liveIds = minusTombstones(spark, path, codesRaw, "vec_id")
+      .select("vec_id").distinct().localCheckpoint()
+    val live = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+      .join(liveIds, Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val (nLive, nIds) = (live.count(), liveIds.count())
+    require(
+      nLive == nIds,
+      s"retrainPqIndex: corpus covers $nLive of $nIds live index ids — " +
+        "a missing vector would silently drop from the retrained index")
+    val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val codes = pqEncode(live, cb, m, dim / m, "vec_id", "embedding")
+      .select("vec_id", "subspace", "code")
+    if (hasBatchDirs)
+      rewriteDir(spark, codes.withColumn("batch_id", lit(-1L)), s"$path/codes", Seq("batch_id"))
+    else rewriteDir(spark, codes, s"$path/codes", Nil)
+    clearTombstones(spark, path)
+  }
+
   /** Persisted-index freshness/census audit — the operational dashboard
     * row the ingest loop watches, combining [[indexDriftReport]]'s
     * fixed-ruler drift signal with the storage census compaction acts on.

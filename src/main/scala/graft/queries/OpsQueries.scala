@@ -615,6 +615,45 @@ object OpsQueries {
       Similarity.compactIvfIndex(s, idx)
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
+    // RETRAIN lifecycle, acting on the drift signal: build the quantizer
+    // over a PARTIAL corpus (a deliberately stale quantizer), append the
+    // rest plus decoys under the frozen centroids, tombstone the decoys,
+    // then retrainIvfIndex — which retrains k-means from the live
+    // tombstone-subtracted CELL content (never re-reading the corpus) and
+    // re-assigns in one tmp-and-swap. The live set is exactly the full
+    // corpus, so the probe must hash-equal a clean build-from-scratch
+    // (similarity_topk_ivf's oracle): a leaked decoy, a lost appended
+    // vector, or a quantizer trained on stale content breaks the hash.
+    "similarity_topk_ivf_retrained" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_ridx_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(e.filter(col("vec_id") % 3 =!= 2), idx)
+      Similarity.appendIvfIndex(e.filter(col("vec_id") % 3 === 2), idx)
+      val decoys = e
+        .filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.appendIvfIndex(decoys, idx)
+      Similarity.deleteFromIndex(decoys.select("vec_id"), idx)
+      Similarity.retrainIvfIndex(s, idx)
+      Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
+    },
+    // the compressed-domain retrain: PQ codes are lossy, so the codebook
+    // retrains from the supplied full-precision corpus restricted to the
+    // index's live id set (decoys tombstoned away) — probe must
+    // hash-equal a clean writePqIndex over the full corpus
+    "similarity_topk_pq_retrained" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_ridx_${ProcessHandle.current().pid()}"
+      Similarity.writePqIndex(e.filter(col("vec_id") % 3 =!= 2), idx)
+      Similarity.appendPqIndex(e.filter(col("vec_id") % 3 === 2), idx)
+      val decoys = e
+        .filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.appendPqIndex(decoys, idx)
+      Similarity.deleteFromIndex(decoys.select("vec_id"), idx)
+      Similarity.retrainPqIndex(s, idx, e)
+      Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
+    },
     // the compressed-domain twin of similarity_topk_ivf_compacted
     "similarity_topk_pq_compacted" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -1236,6 +1275,11 @@ object OpsQueries {
       // compacted faces share their in-memory twins' oracles too
       "similarity_topk_ivf_compacted" -> baseOracleSql("similarity_topk_ivf"),
       "similarity_topk_pq_compacted" -> baseOracleSql("similarity_topk_pq"),
+      // retrain-over-live-content must equal a clean rebuild over the
+      // same live set (= the full corpus after the decoys are
+      // tombstoned), so the retrained faces share those oracles as well
+      "similarity_topk_ivf_retrained" -> baseOracleSql("similarity_topk_ivf"),
+      "similarity_topk_pq_retrained" -> baseOracleSql("similarity_topk_pq"),
       // the persisted cluster map IS clusterPairs' output round-tripped
       // through parquet — one oracle for both faces
       "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"))

@@ -285,6 +285,61 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes").filter(col("vec_id") === victim).count() == 0L)
   }
 
+  test("retrainIvfIndex: retrains from live cell content only; equals a clean rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfretrain").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    // stale quantizer: build on a slice, append the rest + decoys,
+    // tombstone the decoys — live content is then exactly e
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendIvfIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    val decoys = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfIndex(decoys, dir)
+    Similarity.deleteFromIndex(decoys.select("vec_id"), dir)
+    Similarity.retrainIvfIndex(spark, dir)
+    val clean = java.nio.file.Files.createTempDirectory("ivfclean").toString
+    Similarity.writeIvfIndex(e, clean)
+    assert(rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) ==
+      rows(Similarity.probeIvfIndex(spark, clean, q, k = 5)))
+    // the quantizer itself was retrained (not just re-assigned) and the
+    // spent tombstones are gone, so a decoy id could re-insert later
+    def cents(p: String) = spark.read.parquet(s"$p/centroids").collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getSeq[Float](1))).toSet
+    assert(cents(dir) == cents(clean), "retrained centroids must equal the clean rebuild's")
+    assert(!new java.io.File(s"$dir/tombstones").exists, "retrain must clear spent tombstones")
+  }
+
+  test("retrainPqIndex: retrains codebook from live ids' corpus vectors; fails fast on missing ids") {
+    val dir = java.nio.file.Files.createTempDirectory("pqretrain").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    Similarity.writePqIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendPqIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    val decoys = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendPqIndex(decoys, dir)
+    Similarity.deleteFromIndex(decoys.select("vec_id"), dir)
+    Similarity.retrainPqIndex(spark, dir, e)
+    val clean = java.nio.file.Files.createTempDirectory("pqclean").toString
+    Similarity.writePqIndex(e, clean)
+    assert(rows(Similarity.probePqIndex(spark, dir, q, k = 5)) ==
+      rows(Similarity.probePqIndex(spark, clean, q, k = 5)))
+    // a corpus that lacks live ids must fail fast, not silently shrink
+    val err = intercept[IllegalArgumentException] {
+      Similarity.retrainPqIndex(spark, dir, e.filter(col("vec_id") >= 100))
+    }
+    assert(err.getMessage.contains("live index ids"))
+  }
+
   test("indexDriftReport: self-batch reads ~1000 milli per cell, a collapsed batch spikes its cell") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -145,6 +145,59 @@ class StreamingSpec extends SparkSpec {
     assert(rows(probe()) == before, "an up-to-date rerun must not change the index")
   }
 
+  test("ivfIngest → drift → retrain mid-stream: probe equals clean rebuild, stream keeps going") {
+    val dir = java.nio.file.Files.createTempDirectory("annretrain").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val embSchema = e.schema
+    def run(): Unit =
+      graft.streaming.AnnIngest
+        .ivfIngest(
+          spark.readStream.schema(embSchema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+
+    // batch 0 trains on a SLICE (a soon-to-be-stale quantizer); batch 1
+    // ingests the rest under the frozen centroids
+    val part0 = e.filter(col("vec_id") % 3 =!= 2)
+    val part1 = e.filter(col("vec_id") % 3 === 2)
+    part0.write.mode("append").parquet(s"$dir/in")
+    run()
+    part1.write.mode("append").parquet(s"$dir/in")
+    run()
+    // the audit SAYS retrain (drift signal exists); then ACT on it
+    val audit = graft.ops.Similarity.annIndexAudit(spark, s"$dir/idx", part1)
+    assert(audit.count() > 0)
+    graft.ops.Similarity.retrainIvfIndex(spark, s"$dir/idx")
+    // probe-after-retrain must equal a clean batch rebuild over the full
+    // live content (same seeds, same Lloyd loop, same assignment)
+    val clean = java.nio.file.Files.createTempDirectory("annclean").toString + "/idx"
+    graft.ops.Similarity.writeIvfIndex(e, clean)
+    assert(
+      rows(graft.ops.Similarity.probeIvfIndex(spark, s"$dir/idx", q, k = 5)) ==
+        rows(graft.ops.Similarity.probeIvfIndex(spark, clean, q, k = 5)),
+      "retrained probe must equal the clean rebuild")
+    // the store stays batch-keyed (-1 fold), so the STREAM continues: a
+    // post-retrain batch lands beside the fold and is immediately probeable
+    q.withColumn("vec_id", col("vec_id") + 1000000L)
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    val grown = graft.ops.Similarity.probeIvfIndex(spark, s"$dir/idx", q, k = 5)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r"))))
+      .toMap
+    (0L until 8L).foreach { qid =>
+      assert(grown(qid) == ((qid + 1000000L, 1.0)), s"query $qid after retrain+ingest: ${grown(qid)}")
+    }
+  }
+
   test("ivfIngest: an empty leading batch neither crashes nor leaves the index untrained") {
     val dir = java.nio.file.Files.createTempDirectory("annempty").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
