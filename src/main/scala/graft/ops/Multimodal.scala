@@ -557,6 +557,197 @@ object Multimodal {
         col("peak"))
   }
 
+  // ---- persisted media fingerprint index (near-dup media at ingest) ----
+
+  /** 64-bit perceptual fingerprints for the two natively-decoded media
+    * classes, tagged by medium so an image hash can never collide into an
+    * audio match: images ([[aHashBmp]] over `image/` kinds) and audio
+    * ([[wavFingerprint]] over `audio/` kinds). Video and other kinds are NOT
+    * fingerprinted here — clip-level dedup ([[frameAHashes]] +
+    * [[graft.ops.Dedup.clipPairs]]) needs per-frame hashes, and opaque
+    * kinds dedup exactly via the text-ingest md5 path; both stay batch
+    * ops. One row per fingerprinted item: (doc_id, medium, hash_hi,
+    * hash_lo).
+    */
+  def mediaFingerprints(media: DataFrame): DataFrame =
+    bmpAHashes(media.filter(col("kind").startsWith("image/")))
+      .withColumn("medium", lit("image"))
+      .unionByName(
+        wavFingerprints(media.filter(col("kind").startsWith("audio/")))
+          .withColumn("medium", lit("audio")))
+      .select("doc_id", "medium", "hash_hi", "hash_lo")
+
+  /** Both sides of every media-hash pairing speak this banding: the four
+    * 16-bit halves of the 64-bit fingerprint, keyed by (medium, band),
+    * hot buckets capped via aggregate + anti-join (the
+    * [[graft.ops.Dedup.aHashPairs]] scheme — an all-black hash-0 bucket
+    * must not serialize one reducer).
+    */
+  private def fpBands(fp: DataFrame, maxBucket: Int): DataFrame =
+    Skew.capHotKeys(
+      fp.select(
+        col("doc_id"),
+        col("medium"),
+        col("hash_hi"),
+        col("hash_lo"),
+        posexplode(
+          array(
+            col("hash_lo").bitwiseAND(65535L),
+            shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
+            col("hash_hi").bitwiseAND(65535L),
+            shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
+          .as(Seq("band", "bkey"))),
+      Seq("medium", "band", "bkey"),
+      maxBucket)
+
+  /** Banded bipartite Hamming matches: probe items paired with history
+    * items of the SAME medium within `maxHamming` bits — the probe/ingest
+    * kernel. Candidates come from a (medium, band, bkey) equi-join; for
+    * `maxHamming <= 3` the four 16-bit bands give EXACT recall by
+    * pigeonhole (3 flipped bits touch at most 3 bands, so one band always
+    * matches verbatim — the uncapped-bucket case), and the exact Hamming
+    * filter is the verify stage. Beyond 3 the bands become the standard
+    * LSH recall trade.
+    */
+  private def fpMatches(
+      probe: DataFrame,
+      hist: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame =
+    fpBands(probe, maxBucket).as("a")
+      .join(
+        fpBands(hist, maxBucket).as("b"),
+        col("a.medium") === col("b.medium") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey"))
+      .select(
+        col("a.doc_id").as("doc_id"),
+        col("a.medium").as("medium"),
+        col("a.hash_hi").as("ha"),
+        col("a.hash_lo").as("la"),
+        col("b.doc_id").as("match_id"),
+        col("b.hash_hi").as("hb"),
+        col("b.hash_lo").as("lb"))
+      .distinct()
+      .withColumn(
+        "hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id", "medium", "match_id", "hamming")
+
+  /** Persist the media fingerprint index `(doc_id, medium, hash_hi,
+    * hash_lo)` — the history side of near-dup media ingest, with the
+    * standard lifecycle: full rebuild REPLACES (stale tombstones die),
+    * [[appendMediaIndex]] grows batch-wise,
+    * [[graft.ops.Similarity.deleteFromIndex]] retracts ids,
+    * [[compactMediaIndex]] physically drops them. The store holds
+    * 4 longs + a tag per item — raw media bytes never enter it.
+    */
+  def writeMediaIndex(media: DataFrame, path: String): Unit = {
+    val spark = media.sparkSession
+    Similarity.clearTombstones(spark, path)
+    mediaFingerprints(media)
+      .write.mode("overwrite").parquet(s"$path/fps")
+  }
+
+  /** Grow the media index with a new batch's fingerprints. */
+  def appendMediaIndex(media: DataFrame, path: String): Unit =
+    mediaFingerprints(media)
+      .write.mode("append").parquet(s"$path/fps")
+
+  /** Batch items that are near-dups of PERSISTED history: one row per
+    * (batch item, live history match) with the exact Hamming distance —
+    * `(doc_id, medium, match_id, hamming)`. Tombstoned history drops
+    * immediately; history reads are column-pruned to the 4-long
+    * fingerprint rows, raw historical media is never re-decoded.
+    */
+  def probeMediaIndex(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    fpMatches(
+      mediaFingerprints(batch),
+      Similarity.minusTombstones(spark, path, spark.read.parquet(s"$path/fps"), "doc_id"),
+      maxHamming,
+      maxBucket)
+
+  /** Physically drop tombstoned items' fingerprints and clear the
+    * tombstones — probe results unchanged by contract (tmp-and-swap, the
+    * gram/LSH/IVF/PQ recipe).
+    */
+  def compactMediaIndex(spark: SparkSession, path: String): Unit = {
+    Similarity.compactIndexDir(spark, path, "fps", "doc_id")
+    Similarity.clearTombstones(spark, path)
+  }
+
+  /** Streaming maintenance round for the media index — near-dup media
+    * drops at ingest time like text ([[graft.ops.TextAnalysis.ingestGramBatch]]'s
+    * contract, fingerprint edition), called per micro-batch by
+    * [[graft.streaming.CorpusIngest.mediaDedupIngest]]. Batch 0 (or an
+    * absent store) CLAIMS/replaces the index; each round:
+    *
+    *   1. collapse in-batch near-dups per medium to the lowest doc id
+    *      (banded pairs → connected components — the
+    *      [[graft.api.Pipeline.mediaKeep]] rule, applied to the batch);
+    *   2. drop survivors that near-match ANY strictly-earlier batch's
+    *      live fingerprints (partition pruning on `batch_id` keeps a
+    *      retried batch from reading its own half-written rows);
+    *   3. land the surviving media rows under `docs/batch_id=N` and
+    *      their fingerprints under `fps/batch_id=N` — batch-id-keyed
+    *      overwrites give exactly-once under retries.
+    *
+    * Non-fingerprinted kinds (video/other) pass through and land —
+    * their dedup stays a batch op (see [[mediaFingerprints]]). Empty
+    * batches return without consuming the batch-0 claim. Tombstone
+    * deletes and [[compactMediaIndex]] apply as for a batch-built index;
+    * a stream store stays batch-keyed after compaction (`batch_id=-1`),
+    * so compaction is safe MID-stream.
+    */
+  def ingestMediaBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/fps")) {
+      Similarity.deleteDir(spark, s"$path/fps")
+      Similarity.deleteDir(spark, s"$path/docs")
+      Similarity.clearTombstones(spark, path)
+    }
+    val fp = mediaFingerprints(batch).localCheckpoint()
+    val inBatchDrops = Seq("image", "audio")
+      .map { m =>
+        val mf = fp.filter(col("medium") === m)
+        Dedup
+          .clusterPairs(Dedup.aHashPairs(mf, maxHamming, maxBucket), "doc_a", "doc_b")
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select("doc_id")
+      }
+      .reduce(_ unionByName _)
+    val winners = fp.join(inBatchDrops, Seq("doc_id"), "left_anti")
+    val hist =
+      if (Similarity.storeExists(spark, s"$path/fps")) {
+        val raw = spark.read.parquet(s"$path/fps")
+        val earlier =
+          if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
+        Similarity.minusTombstones(spark, path, earlier, "doc_id")
+      } else fp.limit(0)
+    val histDrops = fpMatches(winners, hist, maxHamming, maxBucket).select("doc_id").distinct()
+    val dropIds = inBatchDrops.unionByName(histDrops).distinct().localCheckpoint()
+    batch
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/docs/batch_id=$batchId")
+    winners
+      .join(histDrops, Seq("doc_id"), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/fps/batch_id=$batchId")
+  }
+
   /** Batch feature extraction: one decoder instance per partition, streamed
     * over the partition's rows — the mapPartitions batch shape that
     * amortizes model/codec setup at scale.

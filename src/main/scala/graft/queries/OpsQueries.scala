@@ -547,6 +547,27 @@ object OpsQueries {
             col("frame_id"), col("hash_hi"), col("hash_lo")))
       Dedup.clipPairs(dupped)
     },
+    // persisted media fingerprint index, FULL lifecycle in the timed
+    // query: build over the image+audio corpus, append decoy items,
+    // tombstone + compact them away, then probe a batch of re-uploads
+    // (every 25th item under fresh ids). Each re-upload must match its
+    // original at hamming 0 (plus any natural near-dups within 3); a
+    // leaked decoy (+7M match ids) breaks the hash.
+    "media_index_probe" -> { (s, dir) =>
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_media_idx_${ProcessHandle.current().pid()}"
+      val history = bmpMedia(s, dir).unionByName(wavMedia(s, dir))
+      Multimodal.writeMediaIndex(history, idx)
+      val decoys = history
+        .filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 7000000).as("doc_id"), col("kind"), col("n_bytes"), col("media"))
+      Multimodal.appendMediaIndex(decoys, idx)
+      graft.ops.Similarity.deleteFromIndex(decoys.select("doc_id"), idx, idCol = "doc_id")
+      Multimodal.compactMediaIndex(s, idx)
+      val batch = history
+        .filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("kind"), col("n_bytes"), col("media"))
+      Multimodal.probeMediaIndex(s, idx, batch)
+    },
     // the built-in session_window face of sessionization: gap-merged
     // windows computed declaratively (split at gap >= 30 min — the
     // overlap rule; the custom stateful sessionize splits at gap > 30 min)
@@ -2424,6 +2445,43 @@ object OpsQueries {
         |       CAST(MIN(hamming) AS BIGINT) AS min_hamming
         |FROM fpair WHERE clip_a <> clip_b
         |GROUP BY 1, 2 HAVING LEAST(COUNT(DISTINCT frame_a), COUNT(DISTINCT frame_b)) >= 2""".stripMargin,
+    // Mirrors probeMediaIndex over the planted-re-upload fixture: history
+    // = image aHashes ∪ audio fingerprints (medium-tagged), batch = every
+    // 25th item under +1M ids; banded (medium, band, bkey) candidates with
+    // per-side hot-bucket caps, exact Hamming <= 3 verify. The decoy
+    // append + tombstone + compact in the Spark query must be invisible.
+    "media_index_probe" ->
+      s"""WITH $ahashCtes,
+         |$wavFpCtes,
+         |hist AS (
+         |  SELECT doc_id, 'image' AS medium, hash_hi, hash_lo FROM ah
+         |  UNION ALL
+         |  SELECT doc_id, 'audio' AS medium, hash_hi, hash_lo FROM wfp),
+         |batch AS (
+         |  SELECT doc_id + 1000000 AS doc_id, medium, hash_hi, hash_lo
+         |  FROM hist WHERE doc_id % 25 = 0),
+         |bb AS (
+         |  SELECT doc_id, medium, hash_hi, hash_lo, b.band AS band,
+         |         ((CASE WHEN b.band < 2 THEN hash_lo ELSE hash_hi END) >> (16 * (b.band % 2))) & 65535 AS bkey
+         |  FROM batch CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |bbc AS (SELECT *, COUNT(*) OVER (PARTITION BY medium, band, bkey) AS bn FROM bb),
+         |bbok AS (SELECT doc_id, medium, hash_hi, hash_lo, band, bkey FROM bbc WHERE bn <= 1000),
+         |hb AS (
+         |  SELECT doc_id, medium, hash_hi, hash_lo, b.band AS band,
+         |         ((CASE WHEN b.band < 2 THEN hash_lo ELSE hash_hi END) >> (16 * (b.band % 2))) & 65535 AS bkey
+         |  FROM hist CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+         |hbc AS (SELECT *, COUNT(*) OVER (PARTITION BY medium, band, bkey) AS bn FROM hb),
+         |hbok AS (SELECT doc_id, medium, hash_hi, hash_lo, band, bkey FROM hbc WHERE bn <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, a.medium AS medium,
+         |                  a.hash_hi AS ha, a.hash_lo AS la,
+         |                  b.doc_id AS match_id, b.hash_hi AS hb2, b.hash_lo AS lb2
+         |  FROM bbok a JOIN hbok b
+         |    ON a.medium = b.medium AND a.band = b.band AND a.bkey = b.bkey)
+         |SELECT doc_id, medium, match_id,
+         |       CAST(bit_count(xor(ha, hb2)) + bit_count(xor(la, lb2)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb2)) + bit_count(xor(la, lb2)) <= 3""".stripMargin,
     // Mirrors resizeBmpNearest's index arithmetic over the generator
     // formula: target pixel (x, y) of the 2x2 resample reads source pixel
     // (x*w div 2, y*h div 2); channel value formulas as in decode_bmp.

@@ -136,6 +136,35 @@ object CorpusIngest {
       }
       .start()
 
+  /** The MEDIA complement of [[nearDedupIngest]]: each micro-batch of
+    * media rows ([[graft.ops.Multimodal.asMedia]] contract) collapses its
+    * own near-dup images/audio to one representative (banded perceptual-
+    * hash pairs → connected components), drops survivors that near-match
+    * ANY earlier batch's live fingerprints, and lands the rest while
+    * growing a probeable fingerprint index — the
+    * [[graft.ops.Multimodal.ingestMediaBatch]] contract (first non-empty
+    * batch claims/replaces the store, history restricted to
+    * strictly-earlier batch ids, batch-id-keyed overwrites for
+    * exactly-once). Landed corpus is `$path/docs`; probeable history is
+    * `$path/fps` via [[graft.ops.Multimodal.probeMediaIndex]]. Raw media
+    * bytes are decoded once per batch and never enter the index — history
+    * rounds shuffle 4 longs + a tag per item.
+    */
+  def mediaDedupIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Multimodal.ingestMediaBatch(batch.toDF(), path, batchId, maxHamming, maxBucket)
+        ()
+      }
+      .start()
+
   /** The fingerprint store restricted to batches strictly BEFORE
     * `batchId`: partition pruning on the `batch_id` directory key makes
     * the exclusion free, and it is what makes a retried batch safe — its

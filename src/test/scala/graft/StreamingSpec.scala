@@ -418,6 +418,77 @@ class StreamingSpec extends SparkSpec {
     assert(b3(21L)._2 == 0L)
   }
 
+  test("mediaDedupIngest: in-batch + cross-batch near-dup media drop, retry idempotent, compact survives") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mediadup").toString
+    // rows are CONTENT-addressed: MediaSynth bytes depend on the content
+    // id, re-keyed to a fresh doc id — same content id ⇒ identical bytes
+    // (an exact re-upload, hamming 0)
+    def keyed(pairs: Seq[(Long, Long)], kind: String): org.apache.spark.sql.DataFrame = {
+      val gen: Long => Array[Byte] =
+        if (kind.startsWith("image/")) graft.etl.MediaSynth.docBmp else graft.etl.MediaSynth.docWav
+      pairs
+        .map { case (newId, contentId) =>
+          val b = gen(contentId)
+          (newId, kind, b.length.toLong, b)
+        }
+        .toDF("doc_id", "kind", "n_bytes", "media")
+    }
+    def addKeyed(pairs: Seq[(Long, Long)], kind: String): Unit =
+      keyed(pairs, kind).write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.CorpusIngest
+        .mediaDedupIngest(
+          spark.readStream.schema("doc_id LONG, kind STRING, n_bytes LONG, media BINARY").parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def landed(): Set[Long] =
+      spark.read.parquet(s"$dir/idx/docs").select("doc_id").as[Long].collect().toSet
+
+    // batch 0: image content 1 twice (ids 1001, 2001 — in-batch near-dup:
+    // only the lowest id lands), image content 4 once, wav content 1 once
+    // (content ids picked pairwise Hamming > 6 apart per medium, so only
+    // the planted duplicates are near-dups at the default threshold 3)
+    addKeyed(Seq((1001L, 1L), (2001L, 1L), (1002L, 4L)), "image/bmp")
+    addKeyed(Seq((1003L, 1L)), "audio/wav")
+    run()
+    assert(landed() == Set(1001L, 1002L, 1003L),
+      s"in-batch image near-dup must collapse to the lowest id: ${landed()}")
+
+    // batch 1: a re-upload of image content 1 and wav content 1 (both must
+    // drop against history), a fresh image content 11 (lands)
+    addKeyed(Seq((3001L, 1L), (3004L, 11L)), "image/bmp")
+    addKeyed(Seq((3003L, 1L)), "audio/wav")
+    run()
+    assert(landed() == Set(1001L, 1002L, 1003L, 3004L),
+      s"cross-batch re-uploads must drop: ${landed()}")
+
+    // a directly-retried batch 1 rewrites its own dirs instead of
+    // duplicating or re-dropping against its own half-written rows
+    graft.ops.Multimodal.ingestMediaBatch(
+      keyed(Seq((3001L, 1L), (3004L, 11L)), "image/bmp")
+        .unionByName(keyed(Seq((3003L, 1L)), "audio/wav")),
+      s"$dir/idx", 1L)
+    assert(landed() == Set(1001L, 1002L, 1003L, 3004L), "retried batch must be idempotent")
+
+    // the grown store IS probeable with the batch face
+    val probe = graft.ops.Multimodal
+      .probeMediaIndex(spark, s"$dir/idx", keyed(Seq((9001L, 11L)), "image/bmp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(probe.toSeq == Seq((9001L, "image", 3004L, 0L)), s"probe: ${probe.toSeq}")
+
+    // mid-stream compaction folds generations; later batches still match history
+    graft.ops.Multimodal.compactMediaIndex(spark, s"$dir/idx")
+    addKeyed(Seq((5004L, 11L), (5005L, 12L)), "image/bmp")
+    run()
+    val fin = landed()
+    assert(!fin.contains(5004L), "post-compaction re-upload must still drop against folded history")
+    assert(fin.contains(5005L), "fresh post-compaction content must land")
+  }
+
   test("nearDedupIngest: cross-batch near-dups dropped, index grows, mid-stream compact survives") {
     val s = spark
     import s.implicits._
