@@ -33,11 +33,18 @@ object Bench {
     // a k-means train — all strictly heavier than their persisted twins
     "similarity_topk_pq_compacted",
     "similarity_topk_ivf_compacted",
+    // the retrained faces train the quantizer TWICE (stale build, then
+    // retrain-from-cells) — strictly heavier than the compacted faces
+    "similarity_topk_pq_retrained",
+    "similarity_topk_ivf_retrained",
     "ann_index_audit",
     "corpus_curriculum",
     "multimodal_clip_pairs",
     "multimodal_ahash_pairs",
     "multimodal_wav_pairs",
+    // media-index lifecycle: both decode families + build/append/
+    // tombstone/compact/probe in one timed query
+    "media_index_probe",
     "dedup_simhash_pairs",
     // corpus self-join on chunk fingerprints — pair volume bounded by the
     // posting cap, but the chunking explode alone scans every token

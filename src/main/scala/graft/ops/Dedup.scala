@@ -1025,24 +1025,8 @@ object Dedup {
     val fp = hashes
       .select(col("doc_id"), col("hash_hi"), col("hash_lo"))
       .localCheckpoint()
-    // agg + anti-join cap, not a window count — same reducer-skew argument
-    // as [[simHashPairs]] (the all-black/all-white hash 0 bucket is hot);
     // capped result checkpointed: both self-join sides consume it
-    val bands = Skew.capHotKeys(
-      fp.select(
-        col("doc_id"),
-        col("hash_hi"),
-        col("hash_lo"),
-        posexplode(
-          array(
-            col("hash_lo").bitwiseAND(65535L),
-            shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
-            col("hash_hi").bitwiseAND(65535L),
-            shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
-          .as(Seq("band", "bkey"))),
-      Seq("band", "bkey"),
-      maxBucket)
-      .localCheckpoint()
+    val bands = fpBandKeys(fp, Nil, maxBucket).localCheckpoint()
     bands
       .as("a")
       .join(
@@ -1057,13 +1041,46 @@ object Dedup {
         col("b.hash_hi").as("hb"),
         col("b.hash_lo").as("lb"))
       .distinct()
-      .withColumn(
-        "hamming",
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .withColumn("hamming", hamming64(col("ha"), col("la"), col("hb"), col("lb")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** The one banding kernel every 64-bit fingerprint pairing speaks —
+    * [[aHashPairs]]' self-join face and
+    * [[graft.ops.Multimodal.probeMediaIndex]]'s bipartite probe: the four
+    * 16-bit halves of (hash_hi, hash_lo) exploded to (band, bkey) keys,
+    * `extraKeys` columns (e.g. a medium tag) riding along and
+    * participating in the bucket identity, hot buckets capped via
+    * aggregate + anti-join ([[graft.ops.Skew.capHotKeys]] — the
+    * all-black/all-white hash-0 bucket must not serialize one reducer).
+    * One definition, so the batch and ingest faces cannot silently
+    * diverge on band width or cap semantics.
+    */
+  private[ops] def fpBandKeys(
+      fp: DataFrame,
+      extraKeys: Seq[String],
+      maxBucket: Int): DataFrame =
+    Skew.capHotKeys(
+      fp.select(
+        Seq(col("doc_id")) ++ extraKeys.map(col) ++ Seq(
+          col("hash_hi"),
+          col("hash_lo"),
+          posexplode(
+            array(
+              col("hash_lo").bitwiseAND(65535L),
+              shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
+              col("hash_hi").bitwiseAND(65535L),
+              shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
+            .as(Seq("band", "bkey"))): _*),
+      extraKeys ++ Seq("band", "bkey"),
+      maxBucket)
+
+  /** Total Hamming distance between two 64-bit fingerprints held as
+    * 32-bit halves — the verify stage shared by every banded pairing.
+    */
+  private[ops] def hamming64(ha: Column, la: Column, hb: Column, lb: Column): Column =
+    (bit_count(ha.bitwiseXOR(hb)) + bit_count(la.bitwiseXOR(lb))).cast("long")
 
   /** Video (clip-level) near-dup pairs from per-frame perceptual hashes
     * ([[graft.ops.Multimodal.frameAHashes]]): the frame key

@@ -577,28 +577,12 @@ object Multimodal {
           .withColumn("medium", lit("audio")))
       .select("doc_id", "medium", "hash_hi", "hash_lo")
 
-  /** Both sides of every media-hash pairing speak this banding: the four
-    * 16-bit halves of the 64-bit fingerprint, keyed by (medium, band),
-    * hot buckets capped via aggregate + anti-join (the
-    * [[graft.ops.Dedup.aHashPairs]] scheme — an all-black hash-0 bucket
-    * must not serialize one reducer).
+  /** Both sides of every media-hash pairing speak the ONE banding kernel
+    * ([[graft.ops.Dedup.fpBandKeys]]), with the medium tag in the bucket
+    * identity so image and audio hashes can never candidate each other.
     */
   private def fpBands(fp: DataFrame, maxBucket: Int): DataFrame =
-    Skew.capHotKeys(
-      fp.select(
-        col("doc_id"),
-        col("medium"),
-        col("hash_hi"),
-        col("hash_lo"),
-        posexplode(
-          array(
-            col("hash_lo").bitwiseAND(65535L),
-            shiftright(col("hash_lo"), 16).bitwiseAND(65535L),
-            col("hash_hi").bitwiseAND(65535L),
-            shiftright(col("hash_hi"), 16).bitwiseAND(65535L)))
-          .as(Seq("band", "bkey"))),
-      Seq("medium", "band", "bkey"),
-      maxBucket)
+    Dedup.fpBandKeys(fp, Seq("medium"), maxBucket)
 
   /** Banded bipartite Hamming matches: probe items paired with history
     * items of the SAME medium within `maxHamming` bits — the probe/ingest
@@ -628,10 +612,7 @@ object Multimodal {
         col("b.hash_hi").as("hb"),
         col("b.hash_lo").as("lb"))
       .distinct()
-      .withColumn(
-        "hamming",
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .withColumn("hamming", Dedup.hamming64(col("ha"), col("la"), col("hb"), col("lb")))
       .filter(col("hamming") <= maxHamming)
       .select("doc_id", "medium", "match_id", "hamming")
 
@@ -698,9 +679,11 @@ object Multimodal {
     *      their fingerprints under `fps/batch_id=N` — batch-id-keyed
     *      overwrites give exactly-once under retries.
     *
-    * Non-fingerprinted kinds (video/other) pass through and land —
-    * their dedup stays a batch op (see [[mediaFingerprints]]). Empty
-    * batches return without consuming the batch-0 claim. Tombstone
+    * Drops are keyed (doc_id, medium): a doc id carrying several
+    * modalities loses only the near-dup one. Non-fingerprinted kinds
+    * (video/other) pass through and land — their dedup stays a batch op
+    * (see [[mediaFingerprints]]). Empty batches return without consuming
+    * the batch-0 claim. Tombstone
     * deletes and [[compactMediaIndex]] apply as for a batch-built index;
     * a stream store stays batch-keyed after compaction (`batch_id=-1`),
     * so compaction is safe MID-stream.
@@ -719,16 +702,19 @@ object Multimodal {
       Similarity.clearTombstones(spark, path)
     }
     val fp = mediaFingerprints(batch).localCheckpoint()
+    // drops are keyed (doc_id, medium): a doc whose IMAGE near-matches
+    // history must not lose its unrelated audio row, nor a pass-through
+    // video row of the same id — one doc id may carry several modalities
     val inBatchDrops = Seq("image", "audio")
       .map { m =>
         val mf = fp.filter(col("medium") === m)
         Dedup
           .clusterPairs(Dedup.aHashPairs(mf, maxHamming, maxBucket), "doc_a", "doc_b")
           .filter(col("cluster_id") =!= col("doc_id"))
-          .select("doc_id")
+          .select(col("doc_id"), lit(m).as("medium"))
       }
       .reduce(_ unionByName _)
-    val winners = fp.join(inBatchDrops, Seq("doc_id"), "left_anti")
+    val winners = fp.join(inBatchDrops, Seq("doc_id", "medium"), "left_anti")
     val hist =
       if (Similarity.storeExists(spark, s"$path/fps")) {
         val raw = spark.read.parquet(s"$path/fps")
@@ -736,14 +722,23 @@ object Multimodal {
           if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
         Similarity.minusTombstones(spark, path, earlier, "doc_id")
       } else fp.limit(0)
-    val histDrops = fpMatches(winners, hist, maxHamming, maxBucket).select("doc_id").distinct()
-    val dropIds = inBatchDrops.unionByName(histDrops).distinct().localCheckpoint()
+    val histDrops = fpMatches(winners, hist, maxHamming, maxBucket)
+      .select("doc_id", "medium").distinct()
+    // materialized once; both writes below anti-join against it (winners
+    // already excludes inBatchDrops, so dropKeys ≡ histDrops there — the
+    // expensive banded history probe must not re-execute for the fps write)
+    val dropKeys = inBatchDrops.unionByName(histDrops).distinct().localCheckpoint()
+    val medium = when(col("kind").startsWith("image/"), "image")
+      .when(col("kind").startsWith("audio/"), "audio")
+      .otherwise("other")
     batch
-      .join(dropIds, Seq("doc_id"), "left_anti")
+      .withColumn("medium", medium)
+      .join(dropKeys, Seq("doc_id", "medium"), "left_anti")
+      .drop("medium")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/docs/batch_id=$batchId")
     winners
-      .join(histDrops, Seq("doc_id"), "left_anti")
+      .join(dropKeys, Seq("doc_id", "medium"), "left_anti")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/fps/batch_id=$batchId")
   }

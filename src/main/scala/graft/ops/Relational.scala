@@ -855,7 +855,10 @@ object Relational {
       startCol: String,
       endCol: String,
       strata: Option[Seq[Int]] = None): DataFrame = {
-    val grid = strata.getOrElse(occupiedStrata(intervals, startCol, endCol))
+    // normalize a supplied grid: duplicate entries (e.g. the natural
+    // strataA ++ strataB composition) would emit two identical probe keys
+    // per class and silently double every match in it
+    val grid = strata.map(_.distinct.sorted).getOrElse(occupiedStrata(intervals, startCol, endCol))
     keyedByStrata(probe, tsCol, grid)
       .join(
         broadcast(explodedByStratum(intervals, startCol, endCol, strata.map(_ => grid))),
@@ -1044,8 +1047,10 @@ object Relational {
     require(collide.isEmpty, s"left/right columns collide: $collide")
     val outCols = (left.columns.toSeq ++ right.columns.toSeq).map(col)
     val nonEmpty = col(lStartCol) < col(lEndCol) && col(rStartCol) < col(rEndCol)
-    val rGrid = rStrata.getOrElse(occupiedStrata(right, rStartCol, rEndCol))
-    val lGrid = lStrata.getOrElse(occupiedStrata(left, lStartCol, lEndCol))
+    // normalize supplied grids: a duplicate class would key each probe
+    // row twice in that class and double its matches
+    val rGrid = rStrata.map(_.distinct.sorted).getOrElse(occupiedStrata(right, rStartCol, rEndCol))
+    val lGrid = lStrata.map(_.distinct.sorted).getOrElse(occupiedStrata(left, lStartCol, lEndCol))
     val startsInside = keyedByStrata(left, lStartCol, rGrid)
       .join(
         wrap(explodedByStratum(right, rStartCol, rEndCol, rStrata.map(_ => rGrid))),

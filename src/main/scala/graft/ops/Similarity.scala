@@ -867,12 +867,16 @@ object Similarity {
     * MID-stream: a stream-built store keeps its batch-keyed layout
     * (everything folds to the synthetic `batch_id=-1` generation, as
     * compaction does), so the next ingest batch lands beside it
-    * cleanly. The cell rewrite is the compaction tmp-and-swap; the live
-    * snapshot is materialized up front so the swap cannot pull the rug
-    * from under its own input. Idempotent under crash-rerun: every
-    * output derives from cell CONTENT, not from the centroids being
-    * replaced, so re-running after any partial failure converges to the
-    * same index.
+    * cleanly. Both subtrees rewrite via the compaction tmp-and-swap
+    * (cells first, then the centroids), so every directory stays
+    * READABLE at every instant; the live snapshot is materialized up
+    * front so the swaps cannot pull the rug from under their own input.
+    * A crash (or a concurrent probe) BETWEEN the two swaps sees new
+    * cells under the old quantizer — degraded candidate selection, never
+    * an unreadable index — until the retrain is re-run. Idempotent under
+    * crash-rerun: every output derives from cell CONTENT, not from the
+    * centroids being replaced, so re-running after any partial failure
+    * converges to the same index.
     */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val p = spark.read.parquet(s"$path/params")
@@ -884,9 +888,8 @@ object Similarity {
       .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
       .localCheckpoint()
     val cents =
-      if (kind == "flat") flatCents(live, nCentroids, "vec_id", "embedding")
+      if (kind == "flat") flatCents(live, nCentroids, "vec_id", "embedding").localCheckpoint()
       else ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cells = flatCells(live, cents, "vec_id", "embedding")
     if (hasBatchDirs)
       rewriteDir(
@@ -895,6 +898,7 @@ object Similarity {
         s"$path/cells",
         Seq("batch_id", "centroid_id"))
     else rewriteDir(spark, cells, s"$path/cells", Seq("centroid_id"))
+    rewriteDir(spark, cents.coalesce(1), s"$path/centroids", Nil)
     // retrain physically dropped the tombstoned vectors with everything
     // else it re-assigned: spent tombstones must die, or they would
     // suppress a future re-insert of the same id
@@ -909,9 +913,15 @@ object Similarity {
     * record the index derives from); the op takes the LIVE id set from
     * the index (tombstones subtracted), pulls exactly those vectors via
     * a semi-join, retrains the codebook under the stored (m, ksub, dim),
-    * re-encodes, and tmp-and-swaps the code table — failing fast if the
-    * corpus is missing any live id (a silent drop would masquerade as a
-    * delete). Stream-built stores keep their batch-keyed layout
+    * re-encodes, and tmp-and-swaps BOTH the code table and the codebook
+    * (codes first — each dir stays readable at every instant; a crash
+    * between the two swaps leaves new codes under the old codebook,
+    * which mis-scores until the retrain is re-run, so treat an
+    * interrupted retrain as an incident, not a curiosity). Fails fast if
+    * the corpus is missing any live id — checked by ANTI-JOIN on the id
+    * sets, not by row counts, so duplicate corpus rows cannot mask a
+    * hole — or if it carries duplicate rows for a live id (which would
+    * encode twice). Stream-built stores keep their batch-keyed layout
     * (`batch_id=-1` fold), so the op is valid mid-stream.
     */
   def retrainPqIndex(
@@ -930,18 +940,23 @@ object Similarity {
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
       .join(liveIds, Seq("vec_id"), "left_semi")
       .localCheckpoint()
+    val nMissing = liveIds.join(live.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(
+      nMissing == 0,
+      s"retrainPqIndex: corpus is missing $nMissing live index ids — " +
+        "a missing vector would silently drop from the retrained index")
     val (nLive, nIds) = (live.count(), liveIds.count())
     require(
       nLive == nIds,
-      s"retrainPqIndex: corpus covers $nLive of $nIds live index ids — " +
-        "a missing vector would silently drop from the retrained index")
-    val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding")
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      s"retrainPqIndex: corpus carries duplicate rows for live ids ($nLive rows, $nIds ids) — " +
+        "a duplicate would encode twice")
+    val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
     val codes = pqEncode(live, cb, m, dim / m, "vec_id", "embedding")
       .select("vec_id", "subspace", "code")
     if (hasBatchDirs)
       rewriteDir(spark, codes.withColumn("batch_id", lit(-1L)), s"$path/codes", Seq("batch_id"))
     else rewriteDir(spark, codes, s"$path/codes", Nil)
+    rewriteDir(spark, cb.coalesce(1), s"$path/codebook", Nil)
     clearTombstones(spark, path)
   }
 

@@ -813,9 +813,12 @@ object TextAnalysis {
     val hist = Similarity
       .minusTombstones(spark, path, spark.read.parquet(s"$path/postings"), "doc_id")
       // a re-inserted doc must not be marked by its OWN stale postings
-      // (union-rebuild parity: the rebuild sees the doc once); the batch
-      // id set is small relative to the store, so AQE broadcasts it
-      .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      // (union-rebuild parity: the rebuild sees the doc once) — keyed on
+      // the BATCH's ids, not the posting table's (a re-crawl shorter than
+      // n tokens has no postings but must still retire its stale ones);
+      // the batch id set is small relative to the store, so AQE
+      // broadcasts it
+      .join(batch.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
       .select("gh")
       .distinct()
     val known = hist.union(dupGrams(pg)).distinct()
@@ -889,8 +892,10 @@ object TextAnalysis {
         Similarity
           .minusTombstones(spark, path, earlier, "doc_id")
           // the probeDupSpans rule verbatim: a later-batch re-crawl of a
-          // doc_id must not be excised against its OWN earlier postings
-          .join(pg.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          // doc_id must not be excised against its OWN earlier postings —
+          // keyed on the batch's ids (a shorter-than-n re-crawl has no
+          // postings of its own but still retires its stale ones)
+          .join(batch.select(col(idCol).as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .select("gh")
           .distinct()
       } else Seq.empty[Array[Byte]].toDF("gh")

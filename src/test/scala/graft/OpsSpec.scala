@@ -626,6 +626,25 @@ class OpsSpec extends SparkSpec {
       Seq((7L, s"other holder of $passage right here")).toDF("doc_id", "text"), path)
     val marked = TextAnalysis.probeDupSpans(s, path, batch).collect()
     assert(marked.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L, 10L)))
+    // a re-crawl SHORTER than n tokens has no postings of its own, yet its
+    // stale postings must still retire: doc 1's new text is 2 tokens, so a
+    // batch-mate holding the passage sees it only via doc 7, not doc 1 —
+    // and the union rebuild agrees (doc 1 appears once, as the short text)
+    val shortRecrawl = Seq(
+      (1L, "gone now"),
+      (9L, s"fresh carrier of $passage closing words")).toDF("doc_id", "text")
+    val viaShort = TextAnalysis.probeDupSpans(s, path, shortRecrawl).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = TextAnalysis
+      .dupSpans(
+        Seq(
+          (1L, "gone now"),
+          (2L, "completely unrelated history document with nothing shared anywhere at all"),
+          (7L, s"other holder of $passage right here"),
+          (9L, s"fresh carrier of $passage closing words")).toDF("doc_id", "text"))
+      .filter(col("doc_id") === 9L || col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaShort == rebuilt, s"short re-crawl parity: probe=$viaShort rebuild=$rebuilt")
   }
 
   test("gram index lifecycle: probe == union-rebuild on batch; tombstones retract; compact preserves") {

@@ -1176,8 +1176,10 @@ class RelationalSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     val (iDf, oDf, bDf) =
       try {
-        // grid deliberately COARSER/superset of the occupied classes
-        val g = Some(Seq(0, 3, 9, 20))
+        // grid deliberately COARSER/superset of the occupied classes, with
+        // a duplicate entry (the natural strataA ++ strataB composition)
+        // that must not double class-3 matches
+        val g = Some(Seq(0, 3, 3, 9, 20))
         val i = Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us", strata = g)
         val o = Relational.rangeJoinOverlap(lefts, iv, "ls", "le", "start_us", "end_us",
           lStrata = g, rStrata = g)
@@ -1187,9 +1189,12 @@ class RelationalSpec extends SparkSpec {
         (i, o, b)
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() == 0, s"plan composition with supplied strata ran ${jobs.get()} eager jobs")
-    // and the coarser grid loses nothing vs the self-computed strata
+    // and the coarser grid loses nothing vs the self-computed strata —
+    // compared as MULTISETS, so the duplicate grid entry cannot hide a
+    // doubled match behind a set-dedup
     def rows(df: DataFrame, cols: (String, String)) =
-      df.select(cols._1, cols._2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      df.select(cols._1, cols._2).collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
     assert(rows(iDf, ("event_id", "iv_id")) ==
       rows(Relational.rangeJoinIntervals(probe, iv, "ts_us", "start_us", "end_us"), ("event_id", "iv_id")))
     assert(rows(oDf, ("l_id", "iv_id")) ==

@@ -487,6 +487,16 @@ class StreamingSpec extends SparkSpec {
     val fin = landed()
     assert(!fin.contains(5004L), "post-compaction re-upload must still drop against folded history")
     assert(fin.contains(5005L), "fresh post-compaction content must land")
+
+    // drops are (doc_id, medium)-keyed: one doc id carrying an image that
+    // near-matches history AND a fresh audio clip loses only the image row
+    addKeyed(Seq((7001L, 1L)), "image/bmp") // image content 1: history near-dup
+    addKeyed(Seq((7001L, 4L)), "audio/wav") // audio content 4: fresh
+    run()
+    val kinds7001 = spark.read.parquet(s"$dir/idx/docs")
+      .filter(col("doc_id") === 7001L).select("kind").as[String].collect().toSet
+    assert(kinds7001 == Set("audio/wav"),
+      s"doc 7001 must land its fresh audio and lose only its dup image: $kinds7001")
   }
 
   test("nearDedupIngest: cross-batch near-dups dropped, index grows, mid-stream compact survives") {
