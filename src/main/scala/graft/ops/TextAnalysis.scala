@@ -940,6 +940,89 @@ object TextAnalysis {
     spansFromMarked(pg.join(bg, Seq("gh"), "left_semi"), n, minTokens)
   }
 
+  /** The ACTION over [[crossDupSpans]]: rewrite every corpus doc with its
+    * benchmark-contaminated spans excised — targeted eval
+    * DECONTAMINATION, where dropping whole contaminated docs
+    * ([[graft.ops.Corpus]]'s n-gram audit policy) would throw away the
+    * 95% of each doc that never touched the benchmark. Same
+    * whole-corpus/`n_removed` contract as [[stripDupSpans]]; corpus-
+    * internal duplication deliberately does not excise (that is
+    * [[stripDupSpans]]' job — run both for a full clean).
+    *
+    * Scale shape: [[crossDupSpans]]' broadcast semi-join (benchmark
+    * suites are corpus-tiny) plus the indexed-lambda excision — the
+    * corpus shuffles only the sparse span table, keyed by doc_id. The
+    * streaming face ([[probeContamination]] over a persisted benchmark
+    * gram index via [[graft.streaming.CorpusIngest.decontamIngest]])
+    * applies the same policy at ingest time.
+    */
+  def stripContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    exciseWithSpans(
+      corpus,
+      crossDupSpans(corpus, benchmark, n, minTokens, textCol, idCol),
+      textCol,
+      idCol)
+
+  /** [[crossDupSpans]] against a PERSISTED benchmark gram index
+    * ([[writeGramIndex]] over the eval suites — built once, probed by
+    * every batch): the batch's benchmark-contaminated spans without
+    * re-tokenizing the benchmark. One-directional like [[crossDupSpans]]
+    * (batch-internal duplication does not mark, and the batch's own ids
+    * are NOT anti-joined — the benchmark index is a different corpus, so
+    * an id collision is meaningless); tombstoned benchmark docs (a
+    * retired eval suite) stop marking immediately.
+    */
+  def probeContamination(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireGramParams(spark, path, n)
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n): shorter spans cannot exist")
+    val pg = gramPostings(batch, n, textCol, idCol)
+    val bg = Similarity
+      .minusTombstones(spark, path, spark.read.parquet(s"$path/postings"), "doc_id")
+      .select("gh")
+      .distinct()
+    spansFromMarked(pg.join(bg, Seq("gh"), "left_semi"), n, minTokens)
+  }
+
+  /** One micro-batch of streaming DECONTAMINATION (the foreachBatch body
+    * of [[graft.streaming.CorpusIngest.decontamIngest]]): probe the
+    * batch against the persisted benchmark gram index, land it REWRITTEN
+    * (contaminated spans excised, per-doc `n_removed`) under
+    * `outRoot/docs/batch_id=N` — batch-id-keyed overwrites for
+    * exactly-once. Unlike [[ingestGramBatch]] the index is STATIC (the
+    * benchmark, not the stream, owns it): batches never grow it, so
+    * there is no claim protocol and no self-exclusion to manage.
+    */
+  def decontamBatch(
+      batch: DataFrame,
+      benchPath: String,
+      outRoot: String,
+      batchId: Long,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val spans = probeContamination(spark, benchPath, batch, n, minTokens, textCol, idCol)
+    exciseWithSpans(batch, spans, textCol, idCol)
+      .select(col("doc_id"), col("clean_text").as(textCol), col("n_removed"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outRoot/docs/batch_id=$batchId")
+  }
+
   /** The ACTION over [[dupSpans]]: rewrite every doc with its duplicated
     * spans removed (all occurrences — the aggressive boilerplate-excision
     * policy; pair with a keep-one dedup upstream when one canonical copy

@@ -746,6 +746,22 @@ object OpsQueries {
             col("doc_id").cast("string")).as("text"))
       TextAnalysis.crossDupSpans(d.filter(col("doc_id") % 5 =!= 2).unionAll(leaks), bench)
     },
+    // the ACTION over contamination_spans: the same corpus back with its
+    // benchmark-leaked spans excised (targeted decontamination — the doc
+    // survives, the leak does not)
+    "contamination_strip" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 5 === 2)
+      val leaks = d
+        .filter(col("doc_id") % 10 === 2)
+        .select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 30)),
+            lit(" leak tail "),
+            col("doc_id").cast("string")).as("text"))
+      TextAnalysis.stripContamination(d.filter(col("doc_id") % 5 =!= 2).unionAll(leaks), bench)
+    },
     // incremental span dedup, FULL index lifecycle in the timed query:
     // build the gram index over history, append decoy docs that would
     // wrongly mark every fresh-tail batch doc whole, tombstone + compact
@@ -2836,6 +2852,56 @@ object OpsQueries {
          |       CAST(span_end AS BIGINT) AS span_end,
          |       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
          |FROM sp WHERE span_end - span_start + 1 >= 8""".stripMargin,
+    // Mirrors stripContamination over the contamination_spans corpus: the
+    // one-directional benchmark mark, then the keep-tokens-outside-spans
+    // rewrite (whole corpus back, n_removed = 0 for clean docs).
+    "contamination_strip" ->
+      s"""WITH $tokCtes,
+         |corp AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + 3000000,
+         |         array_to_string(tk[1:30], ' ') || ' leak tail ' || CAST(doc_id AS VARCHAR)
+         |  FROM tks WHERE doc_id % 10 = 2),
+         |ctk AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM corp),
+         |ps AS (
+         |  SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM ctk),
+         |pgr AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         array_to_string(tk[i:i+4], ' ') AS g
+         |  FROM ps),
+         |bps AS (
+         |  SELECT tk, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i
+         |  FROM tks WHERE doc_id % 5 = 2),
+         |bg AS (SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS g FROM bps),
+         |mk AS (SELECT pgr.doc_id, pgr.pos FROM pgr SEMI JOIN bg USING (g)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS k
+         |  FROM mk),
+         |sp AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+         |  FROM isl GROUP BY doc_id, k),
+         |spf AS (SELECT * FROM sp WHERE span_end - span_start + 1 >= 8),
+         |tkpos AS (
+         |  SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk) + 1)) AS p
+         |  FROM ctk),
+         |keptc AS (
+         |  SELECT t.doc_id,
+         |         string_agg(t.tok, ' ' ORDER BY t.p) AS clean_text,
+         |         CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM tkpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spf
+         |                    WHERE spf.doc_id = t.doc_id
+         |                      AND t.p BETWEEN spf.span_start AND spf.span_end)
+         |  GROUP BY t.doc_id)
+         |SELECT k.doc_id, COALESCE(c.clean_text, '') AS clean_text,
+         |       CAST(len(k.tk) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM ctk k LEFT JOIN keptc c USING (doc_id)""".stripMargin,
     // Mirrors probeDupSpans' contract directly: dupSpans over history
     // UNION batch (re-inserts +1M verbatim, fresh-tail +2M), restricted
     // to batch rows — the decoy/tombstone churn in the Spark query must

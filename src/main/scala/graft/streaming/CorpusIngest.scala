@@ -136,6 +136,37 @@ object CorpusIngest {
       }
       .start()
 
+  /** Streaming eval DECONTAMINATION: every micro-batch is probed against
+    * a PERSISTED benchmark gram index
+    * ([[graft.ops.TextAnalysis.writeGramIndex]] over the eval suites —
+    * built once, before the stream starts) and lands REWRITTEN with its
+    * contaminated spans excised
+    * ([[graft.ops.TextAnalysis.stripContamination]]'s policy at ingest
+    * time). The index is static — batches never grow it — so retiring an
+    * eval suite is a tombstone delete on the index, effective from the
+    * next batch. Landed corpus is `$outRoot/docs` with per-doc
+    * `n_removed`. Compose AFTER a dedup ingest (its landed corpus is
+    * this stream's source) for the full clean.
+    */
+  def decontamIngest(
+      stream: DataFrame,
+      benchPath: String,
+      outRoot: String,
+      checkpoint: String,
+      n: Int = 5,
+      minTokens: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.TextAnalysis.decontamBatch(
+          batch.toDF(), benchPath, outRoot, batchId, n, minTokens, textCol, idCol)
+        ()
+      }
+      .start()
+
   /** The MEDIA complement of [[nearDedupIngest]]: each micro-batch of
     * media rows ([[graft.ops.Multimodal.asMedia]] contract) collapses its
     * own near-dup images/audio to one representative (banded perceptual-

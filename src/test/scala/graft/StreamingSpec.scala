@@ -418,6 +418,59 @@ class StreamingSpec extends SparkSpec {
     assert(b3(21L)._2 == 0L)
   }
 
+  test("decontamIngest: benchmark spans excised at ingest, index static, retired suite stops marking") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    val evalq = "what is the capital of france and when was it founded exactly" // 12 tokens
+    val evalq2 = "name every planet of the solar system in order from the sun"  // 12 tokens
+    // the benchmark index is built ONCE, before the stream exists
+    graft.ops.TextAnalysis.writeGramIndex(
+      Seq((9000L, evalq), (9001L, evalq2)).toDF("doc_id", "text"), s"$dir/bench")
+    def addDocs(docs: Seq[(Long, String)]): Unit =
+      docs.toDF("doc_id", "text").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.CorpusIngest
+        .decontamIngest(
+          spark.readStream.schema("doc_id LONG, text STRING").parquet(s"$dir/in"),
+          s"$dir/bench",
+          s"$dir/out",
+          s"$dir/cp")
+        .awaitTermination()
+    def landed(): Map[Long, (String, Long)] =
+      spark.read.parquet(s"$dir/out/docs")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    addDocs(Seq(
+      (1L, s"training prose then $evalq and more after"),
+      (2L, "wholly original training document with no benchmark overlap at all here")))
+    run()
+    val b1 = landed()
+    assert(b1(1L) == (("training prose then and more after", 12L)), s"${b1(1L)}")
+    assert(b1(2L)._2 == 0L)
+    // batch 2: leaks from the SECOND suite also excise; two batch docs
+    // sharing a passage with each other (but not the benchmark) pass —
+    // decontamination is one-directional, not a dedup
+    val shared = "our corpus repeats this exact sentence across two documents verbatim"
+    addDocs(Seq(
+      (3L, s"$evalq2 opener then body text follows"),
+      (4L, s"alpha $shared omega one"),
+      (5L, s"beta $shared omega two")))
+    run()
+    val b2 = landed()
+    assert(b2(3L) == (("opener then body text follows", 12L)), s"${b2(3L)}")
+    assert(b2(4L)._2 == 0L && b2(5L)._2 == 0L, "corpus-internal dups must NOT excise here")
+    // the static index never grew: still exactly the two benchmark docs
+    val idxDocs = spark.read.parquet(s"$dir/bench/postings").select("doc_id").distinct()
+      .as[Long].collect().toSet
+    assert(idxDocs == Set(9000L, 9001L), s"index must stay static: $idxDocs")
+    // retiring suite 9001 (tombstone) stops its marks from the NEXT batch
+    graft.ops.Similarity.deleteFromIndex(Seq(9001L).toDF("doc_id"), s"$dir/bench", idCol = "doc_id")
+    addDocs(Seq((6L, s"$evalq2 opener then fresh closing material")))
+    run()
+    assert(landed()(6L)._2 == 0L, "a retired eval suite must stop marking")
+  }
+
   test("mediaDedupIngest: in-batch + cross-batch near-dup media drop, retry idempotent, compact survives") {
     val s = spark
     import s.implicits._
