@@ -37,6 +37,9 @@ object Bench {
     // retrain-from-cells) — strictly heavier than the compacted faces
     "similarity_topk_pq_retrained",
     "similarity_topk_ivf_retrained",
+    // composed coarse+compressed lifecycle: k-means train + codebook +
+    // append/tombstone/compact/probe in one timed query
+    "similarity_topk_ivfpq",
     "ann_index_audit",
     "corpus_curriculum",
     "multimodal_clip_pairs",

@@ -855,6 +855,153 @@ object Similarity {
     clearTombstones(spark, path)
   }
 
+  // ---- composed IVF-PQ index (coarse cells + compressed codes) ----
+
+  /** Persist the COMPOSED IVF-PQ index — the production big-ANN layout
+    * (FAISS's IVFADC shape, residual-free variant): an integer-stabilized
+    * k-means coarse quantizer routes vectors to cells, and within the
+    * store each vector is only its `m`-byte PQ code — so a probe touches
+    * `nProbe/nCentroids` of the corpus AND reads ~`m` bytes per touched
+    * vector instead of `dim` floats. Layout: `centroids/` (coarse),
+    * `codebook/` (global PQ, trained on the corpus under the flat seed
+    * rule), `codes/` partitioned by `centroid_id` (dynamic partition
+    * pruning drops unprobed cells at the scan), one-row `params`. Both
+    * quantizers FREEZE at build: [[appendIvfPqIndex]] assigns + encodes
+    * new batches against them, retrain = rebuild (PQ codes are lossy —
+    * see [[retrainPqIndex]] for why a code-only store cannot retrain
+    * itself). Tombstones ([[deleteFromIndex]]) and [[compactIvfPqIndex]]
+    * complete the standard lifecycle.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    deleteDir(spark, s"$path/tombstones")
+    val cents = ivfCentroids(corpus, nCentroids, iters, idCol, vecCol)
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = pqCodebook(corpus, m, dim / m, ksub, idCol, vecCol)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    encodeToCells(corpus, cents, cb, m, dim / m, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    Seq(("ivfpq", nCentroids, iters, m, ksub, dim))
+      .toDF("kind", "n_centroids", "iters", "m", "ksub", "dim")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Cell-routed PQ codes `(vec_id, subspace, code, centroid_id)` — the
+    * encode kernel shared by the IVF-PQ build and append.
+    */
+  private def encodeToCells(
+      vecs: DataFrame,
+      cents: DataFrame,
+      cb: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String,
+      vecCol: String): DataFrame =
+    pqEncode(vecs, cb, m, subDim, idCol, vecCol)
+      .join(
+        flatCells(vecs, cents, idCol, vecCol)
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select("vec_id", "subspace", "code", "centroid_id")
+
+  private def requireIvfPqParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int,
+      ksub: Int,
+      dim: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
+    val stored = (p.getInt(0), p.getInt(1), p.getInt(2))
+    require(
+      stored == ((m, ksub, dim)),
+      s"IVF-PQ index at $path was built with (m, ksub, dim) = $stored, " +
+        s"caller passed (${m}, ${ksub}, ${dim})")
+  }
+
+  /** Grow a persisted IVF-PQ index: assign + encode the batch against the
+    * FROZEN coarse centroids and codebook, append its codes.
+    */
+  def appendIvfPqIndex(
+      batch: DataFrame,
+      path: String,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    requireIvfPqParams(spark, path, m, ksub, dim)
+    encodeToCells(
+      batch,
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      m, dim / m, idCol, vecCol)
+      .write.mode("append").partitionBy("centroid_id").parquet(s"$path/codes")
+  }
+
+  /** Probe a persisted IVF-PQ index: rank each query's `nProbe` cells
+    * against the coarse centroids, then ADC-score ONLY the codes in those
+    * cells — the probe side joins the codes on their PARTITION column
+    * with a broadcast, so dynamic partition pruning drops every unprobed
+    * cell's files at the scan, and each touched candidate costs `m`
+    * integer lookups, never a `dim`-wide float loop. Ranking contract as
+    * [[pqTopK]] (ascending exact-integer ADC distance, neighbor id ties);
+    * tombstoned ids subtracted before scoring.
+    */
+  def probeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireIvfPqParams(spark, path, m, ksub, dim)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val probes = flatProbes(queries, cents, nProbe, idCol, vecCol)
+      .select("query_id", "centroid_id")
+    val codes = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
+    codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(pqDistTable(queries, cb, m, dim / m, idCol, vecCol)),
+        Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("qdist").cast("long").as("adc_dist"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+  }
+
+  /** Compact a persisted IVF-PQ index: fold append generations, drop
+    * tombstoned codes physically, clear the tombstones — probe results
+    * unchanged by contract.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    compactIndexDir(spark, path, "codes", "vec_id", Seq("centroid_id"))
+    clearTombstones(spark, path)
+  }
+
   /** ACT on the drift signal: rebuild a persisted IVF index's quantizer
     * from the LIVE index content — tombstone-subtracted cell vectors,
     * never the original corpus, which at 100 TB may no longer be

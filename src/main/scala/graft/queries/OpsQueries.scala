@@ -636,6 +636,22 @@ object OpsQueries {
       Similarity.compactIvfIndex(s, idx)
       Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
+    // the COMPOSED coarse-cells + compressed-codes index (FAISS's IVFADC
+    // shape, residual-free): full lifecycle in the timed query — build,
+    // append decoys, tombstone, compact, probe. A probe touches
+    // nProbe/nCentroids of the corpus AND reads m bytes per candidate.
+    "similarity_topk_ivfpq" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_idx_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfPqIndex(e, idx)
+      val extra = e
+        .filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.appendIvfPqIndex(extra, idx)
+      Similarity.deleteFromIndex(extra.select("vec_id"), idx)
+      Similarity.compactIvfPqIndex(s, idx)
+      Similarity.probeIvfPqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
+    },
     // RETRAIN lifecycle, acting on the drift signal: build the quantizer
     // over a PARTIAL corpus (a deliberately stale quantizer), append the
     // rest plus decoys under the frozen centroids, tombstone the decoys,
@@ -1317,6 +1333,47 @@ object OpsQueries {
       // tombstoned), so the retrained faces share those oracles as well
       "similarity_topk_ivf_retrained" -> baseOracleSql("similarity_topk_ivf"),
       "similarity_topk_pq_retrained" -> baseOracleSql("similarity_topk_pq"),
+      // composed IVF-PQ: the 3-iteration integer-milli Lloyd chain routes
+      // candidates (top-4 cells per query), the global PQ codebook ADC-
+      // scores only those cells' codes — both quantizers unrolled into
+      // DuckDB, full hash check of the whole composition
+      "similarity_topk_ivfpq" ->
+        s"""WITH $kmeansCellsCtes,
+           |$pqCtes,
+           |codes AS (
+           |  SELECT vec_id, subspace, code
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+           |                                     ORDER BY dist, code) AS rn FROM pqd)
+           |  WHERE rn = 1),
+           |ccodes AS (
+           |  SELECT codes.vec_id, codes.subspace, codes.code, cells.cid
+           |  FROM codes JOIN cells ON cells.id = codes.vec_id),
+           |probes AS (
+           |  SELECT id AS query_id, cid FROM (
+           |    SELECT q.id, c.cid,
+           |           ROW_NUMBER() OVER (PARTITION BY q.id
+           |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+           |    FROM e q CROSS JOIN c3 c WHERE q.id < 8)
+           |  WHERE prn <= 4),
+           |dt AS (
+           |  SELECT s.vec_id AS query_id, s.subspace, cb.code,
+           |         list_sum(list_transform(range(1, 17),
+           |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS qdist
+           |  FROM sv s JOIN cb ON cb.subspace = s.subspace
+           |  WHERE s.vec_id < 8),
+           |adc AS (
+           |  SELECT p.query_id, c.vec_id AS neighbor_id,
+           |         CAST(SUM(dt.qdist) AS BIGINT) AS adc_dist
+           |  FROM ccodes c
+           |  JOIN probes p ON p.cid = c.cid AND p.query_id <> c.vec_id
+           |  JOIN dt ON dt.query_id = p.query_id AND dt.subspace = c.subspace
+           |         AND dt.code = c.code
+           |  GROUP BY 1, 2)
+           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+           |  FROM adc)
+           |WHERE rank <= 5""".stripMargin,
       // the persisted cluster map IS clusterPairs' output round-tripped
       // through parquet — one oracle for both faces
       "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"))

@@ -285,6 +285,43 @@ class OpsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/codes").filter(col("vec_id") === victim).count() == 0L)
   }
 
+  test("IVF-PQ lifecycle: append surfaces copies, tombstones retract, compact preserves the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    def rows() = Similarity.probeIvfPqIndex(spark, dir, q, k = 5).collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    val s = spark
+    import s.implicits._
+    Similarity.writeIvfPqIndex(e, dir)
+    val base = rows()
+    assert(base.nonEmpty && base.forall(_._4 >= 0L))
+    // exact copies of the queries: identical vector → identical code in
+    // the query's own cell → minimal ADC distance; each must enter top-5
+    val copies = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(copies, dir)
+    val grown = rows()
+    (0L until 8L).foreach { qid =>
+      assert(grown.exists(r => r._1 == qid && r._3 == qid + 1000000L),
+        s"query $qid must see its appended copy in top-5")
+    }
+    // tombstone the copies: probe reads as if they never landed
+    Similarity.deleteFromIndex(copies.select("vec_id"), dir)
+    assert(rows() == base, "tombstoned appends must be invisible")
+    // compaction folds generations + physically drops tombstoned codes
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(rows() == base, "probe-after-compact must equal probe-before")
+    assert(spark.read.parquet(s"$dir/codes").filter(col("vec_id") >= 1000000L).count() == 0L)
+    // param drift fails fast
+    val err = intercept[IllegalArgumentException] {
+      Similarity.probeIvfPqIndex(spark, dir, q, k = 5, m = 8, ksub = 8, dim = 64)
+    }
+    assert(err.getMessage.contains("was built with"))
+  }
+
   test("retrainIvfIndex: retrains from live cell content only; equals a clean rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("ivfretrain").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
