@@ -1002,6 +1002,63 @@ object Similarity {
     clearTombstones(spark, path)
   }
 
+  /** One micro-batch of STREAMING IVF-PQ maintenance (the foreachBatch
+    * body of [[graft.streaming.AnnIngest.ivfPqIngest]]) — the composed
+    * twin of [[ingestIvfBatch]]/[[ingestPqBatch]] with the same training
+    * contract: batch 0 (or the first non-empty batch, when leading
+    * batches were empty) trains BOTH quantizers and replaces any stale
+    * store (whole `codes/` subtree + tombstones die first); every batch
+    * assigns + encodes against the frozen quantizers and lands under
+    * `codes/batch_id=N` (partitioned by `centroid_id` within) with
+    * overwrite semantics — checkpoint-retried batches rewrite themselves.
+    * [[probeIvfPqIndex]] reads the grown store unchanged and still prunes
+    * unprobed cells at the scan.
+    */
+  def ingestIvfPqBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val (n, nulls, dmin, dmax) = vecDimProfile(batch, vecCol)
+    if (n == 0) return // empty batch: nothing to train on or encode
+    require(nulls == 0, s"IVF-PQ ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
+    require(
+      dmin == dmax,
+      s"IVF-PQ ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
+    require(
+      dmin.contains(dim),
+      s"IVF-PQ ingest batch $batchId carries ${dmin.get}-dim vectors, caller declared dim=$dim")
+    if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      deleteDir(spark, s"$path/codes")
+      deleteDir(spark, s"$path/tombstones")
+      ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      pqCodebook(batch, m, dim / m, ksub, idCol, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      Seq(("ivfpq-stream", nCentroids, iters, m, ksub, dim))
+        .toDF("kind", "n_centroids", "iters", "m", "ksub", "dim")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params")
+    } else requireIvfPqParams(spark, path, m, ksub, dim)
+    encodeToCells(
+      batch,
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      m, dim / m, idCol, vecCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid_id")
+      .parquet(s"$path/codes/batch_id=$batchId")
+  }
+
   /** ACT on the drift signal: rebuild a persisted IVF index's quantizer
     * from the LIVE index content — tombstone-subtracted cell vectors,
     * never the original corpus, which at 100 TB may no longer be

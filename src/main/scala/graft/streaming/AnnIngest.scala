@@ -67,4 +67,33 @@ object AnnIngest {
         ()
       }
       .start()
+
+  /** The COMPOSED face: batch 0 (or the first non-empty batch) trains the
+    * coarse quantizer AND the PQ codebook; later batches assign + encode
+    * against both, landing `centroid_id`-partitioned codes under
+    * batch-id-keyed dirs — probed by
+    * [[graft.ops.Similarity.probeIvfPqIndex]] with unprobed cells pruned
+    * at the scan. Same exactly-once and retrain-replace contract as
+    * [[ivfIngest]]/[[pqIngest]].
+    */
+  def ivfPqIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Similarity.ingestIvfPqBatch(
+          batch.toDF(), path, batchId, nCentroids, iters, m, ksub, dim, idCol, vecCol)
+        ()
+      }
+      .start()
 }

@@ -198,6 +198,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIngest: batch 0 trains both quantizers, growth probes, compact mid-stream survives") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqing").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    val embSchema = e.schema
+    def run(): Unit =
+      graft.streaming.AnnIngest
+        .ivfPqIngest(
+          spark.readStream.schema(embSchema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def rows() = graft.ops.Similarity.probeIvfPqIndex(spark, s"$dir/idx", q, k = 5).collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+
+    // batch 0 trains both quantizers: probe must equal a clean batch build
+    e.write.mode("append").parquet(s"$dir/in")
+    run()
+    val clean = java.nio.file.Files.createTempDirectory("ivfpqclean").toString
+    graft.ops.Similarity.writeIvfPqIndex(e, clean)
+    val cleanRows = graft.ops.Similarity.probeIvfPqIndex(spark, clean, q, k = 5).collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    assert(rows() == cleanRows, "streamed build must equal the batch build")
+
+    // batch 1: exact query copies — identical vector → identical cell and
+    // code → each query must see its copy in top-5
+    q.withColumn("vec_id", col("vec_id") + 1000000L).write.mode("append").parquet(s"$dir/in")
+    run()
+    val grown = rows()
+    (0L until 8L).foreach { qid =>
+      assert(grown.exists(r => r._1 == qid && r._3 == qid + 1000000L), s"query $qid copy missing")
+    }
+
+    // mid-stream compaction folds generations; the stream continues
+    graft.ops.Similarity.compactIvfPqIndex(spark, s"$dir/idx")
+    assert(rows() == grown, "probe-after-compact must equal probe-before")
+    e.limit(3).withColumn("vec_id", col("vec_id") + 2000000L)
+      .write.mode("append").parquet(s"$dir/in")
+    run()
+    assert(rows().nonEmpty)
+    // rerun with no new files: checkpointed no-op
+    val before = rows()
+    run()
+    assert(rows() == before)
+  }
+
   test("ivfIngest: an empty leading batch neither crashes nor leaves the index untrained") {
     val dir = java.nio.file.Files.createTempDirectory("annempty").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
