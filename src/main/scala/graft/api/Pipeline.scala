@@ -304,6 +304,65 @@ final class Pipeline(
     * one train/val/test-ready manifest. Text-only columns (quality,
     * language, packing) are null on media rows.
     */
+  /** [[mediaKeep]] with HISTORY: the batch's in-batch collapse first
+    * (every modality, including video), then survivors that near-match a
+    * persisted media fingerprint index
+    * ([[graft.ops.Multimodal.writeMediaIndex]] / the streaming ingest's
+    * store) are dropped too — probe-only, like
+    * [[graft.ops.Dedup.nearDupSurvivors]]: growing the index stays the
+    * ingest faces' job, so a facade probe can never half-write history.
+    * Drops are (doc_id, medium)-keyed; an absent index degrades to the
+    * in-batch keep-list. Video and other non-fingerprinted kinds see no
+    * history check (the index holds image/audio fingerprints only).
+    */
+  def mediaKeepIncremental(
+      mediaBatch: DataFrame,
+      mediaIdxPath: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val spark = mediaBatch.sparkSession
+    val kept = mediaKeep(mediaBatch)
+    if (!Multimodal.mediaIndexExists(spark, mediaIdxPath)) return kept
+    val histDrops = Multimodal
+      .probeMediaIndex(spark, mediaIdxPath, kept, maxHamming, maxBucket)
+      .select("doc_id", "medium")
+      .distinct()
+    val medium = when(col("kind").startsWith("image/"), "image")
+      .when(col("kind").startsWith("audio/"), "audio")
+      .otherwise("other")
+    kept
+      .withColumn("medium", medium)
+      .join(histDrops, Seq("doc_id", "medium"), "left_anti")
+      .drop("medium")
+  }
+
+  /** The mixed-corpus batch-maintenance face: [[prepareIncremental]]'s
+    * text manifest (modality "text") plus [[mediaKeepIncremental]]'s
+    * surviving media rows under the SAME deterministic hash-split rule —
+    * one round of the mixed pipeline against frozen snapshot artifacts
+    * (text fingerprint store + LSH index, media fingerprint index),
+    * history never re-read as text or re-decoded as bytes.
+    */
+  def prepareMixedIncremental(
+      docsBatch: DataFrame,
+      seenFingerprints: DataFrame,
+      lshPath: String,
+      mediaBatch: DataFrame,
+      mediaIdxPath: String): DataFrame = {
+    val keptMedia = mediaKeepIncremental(mediaBatch, mediaIdxPath)
+    prepareIncremental(docsBatch, seenFingerprints, lshPath)
+      .withColumn("modality", lit("text"))
+      .unionByName(
+        keptMedia
+          .select(col("doc_id"), col("kind").as("modality"))
+          .join(
+            Corpus
+              .splitAssign(keptMedia.select("doc_id").distinct())
+              .select("doc_id", "split"),
+            Seq("doc_id")),
+        allowMissingColumns = true)
+  }
+
   def prepareMixed(docs: DataFrame, media: DataFrame): DataFrame = {
     val kept = mediaKeep(media)
     prepare(docs)

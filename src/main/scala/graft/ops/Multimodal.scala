@@ -654,6 +654,13 @@ object Multimodal {
       maxHamming,
       maxBucket)
 
+  /** `true` when a media fingerprint index exists at `path` — the facade
+    * seam ([[graft.api.Pipeline.mediaKeepIncremental]] degrades to the
+    * in-batch keep-list when no history has been built yet).
+    */
+  def mediaIndexExists(spark: SparkSession, path: String): Boolean =
+    Similarity.storeExists(spark, s"$path/fps")
+
   /** Physically drop tombstoned items' fingerprints and clear the
     * tombstones — probe results unchanged by contract (tmp-and-swap, the
     * gram/LSH/IVF/PQ recipe).

@@ -257,6 +257,44 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L).nonEmpty)
   }
 
+  test("prepareMixedIncremental: media history drops via the index, text via the snapshot artifacts") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val p = new Pipeline()
+    val dir = java.nio.file.Files.createTempDirectory("mixinc").toString
+    // frozen artifacts: text LSH index + fingerprint store, media fp index
+    Dedup.writeLshIndex(docs, dir + "/lsh")
+    val seen = docs.select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val histMedia = graft.etl.MediaSynth.mediaTable(
+      docs.filter(col("doc_id") < 40), "image/bmp", graft.etl.MediaSynth.docBmp)
+    graft.ops.Multimodal.writeMediaIndex(histMedia, dir + "/media")
+    // media batch: a re-upload of history image 1 (must drop via the
+    // index) and a fresh image content (id 90000011 -> unseen bytes)
+    def img(newId: Long, contentId: Long) = {
+      val b = graft.etl.MediaSynth.docBmp(contentId)
+      Seq((newId, "image/bmp", b.length.toLong, b)).toDF("doc_id", "kind", "n_bytes", "media")
+    }
+    val mediaBatch = img(90000010L, 1L).unionByName(img(90000011L, 90000011L))
+    val fresh = "the quick brown fox jumped over the lazy dog and then " +
+      "the cat sat on the mat while the children played in the garden all day."
+    val batch = Seq((90000003L, fresh)).toDF("doc_id", "text")
+    val got = p.prepareMixedIncremental(batch, seen, dir + "/lsh", mediaBatch, dir + "/media")
+    val mediaIds = got.filter(col("modality") =!= "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!mediaIds.contains(90000010L), "history re-upload must drop via the media index")
+    assert(mediaIds.contains(90000011L), "fresh media must land")
+    assert(got.filter(col("modality") === "text" && col("doc_id") === 90000003L).count() == 1L)
+    // media rows carry the stable hash split
+    val splitGot = got.filter(col("doc_id") === 90000011L).select("split").head().getString(0)
+    val splitWant = Corpus.splitAssign(Seq((90000011L, "")).toDF("doc_id", "text"))
+      .select("split").head().getString(0)
+    assert(splitGot == splitWant)
+    // an absent media index degrades to the in-batch keep-list
+    val noIdx = p.mediaKeepIncremental(mediaBatch, dir + "/nosuch")
+    assert(noIdx.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(90000010L, 90000011L))
+  }
+
   test("prepareIncremental: batch maintenance against the frozen snapshot artifacts") {
     val s = SparkSpec.spark
     import s.implicits._
