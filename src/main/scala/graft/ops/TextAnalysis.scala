@@ -940,6 +940,128 @@ object TextAnalysis {
     spansFromMarked(pg.join(bg, Seq("gh"), "left_semi"), n, minTokens)
   }
 
+  // ---- BPE merge learning (tokenizer induction) ----
+
+  /** Learn the top `nMerges` BYTE-PAIR-ENCODING merges over the corpus —
+    * the canonical LLM-tokenizer induction loop, run as `nMerges` rounds
+    * of (pair-count aggregate → 1-row arg-max → vocabulary rewrite) over
+    * the WORD-FREQUENCY table, never the corpus: after one tokenize +
+    * count pass, every round touches only |vocabulary| rows, and the only
+    * driver traffic is one (pair, count) row per round (the
+    * [[graft.ops.Similarity.ivfCentroids]] literal-collect discipline —
+    * round N's plan must not embed rounds 1..N-1, so the state
+    * re-materializes per round). Returns one row per learned merge:
+    * `(merge_rank, left_sym, right_sym, pair_count)`.
+    *
+    * Determinism/portability: words split to codepoint symbols plus a
+    * terminal `</w>`; the symbol string is `·`-delimited and a merge is a
+    * plain left-to-right non-overlapping string replace of `·l·r·` with
+    * `·lr·` — identical semantics in Spark and DuckDB (the oracle unrolls
+    * the rounds), at the cost of one documented deviation from the
+    * classic regex-lookahead BPE: of two IMMEDIATELY adjacent occurrences
+    * (`l r l r`), one pass merges the first only (the second merges next
+    * round), because the occurrences share a delimiter. Arg-max ties
+    * break on the pair string ascending. Words containing the delimiter
+    * or angle brackets (which could forge the `</w>` marker) are excluded
+    * up front, mirrored in the oracle.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      nMerges: Int = 10,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, s"nMerges must be positive (got $nMerges)")
+    var words = bpeWordTable(docs, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (i <- 1 to nMerges) {
+      val top = words
+        // the symbol array is a NAMED attribute before element_at reads
+        // it per pair — an inline filter(split(...)) producer would be
+        // re-evaluated per element (the plan sweep's banned pattern)
+        .select(col("freq"), filter(split(col("s"), "·"), x => x =!= "").as("syms"))
+        .select(col("freq"), explode(symbolPairs(col("syms"))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((i.toLong, l, r, cnt))
+        words = words
+          .withColumn("s", replace(col("s"), lit(s"·${l}·${r}·"), lit(s"·${l}${r}·")))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Apply a learned merge list ([[bpeMerges]] rows, rank order) and
+    * count each doc's BPE tokens — the honest tokens-per-doc measure for
+    * budget math once a tokenizer exists, vs the whitespace proxy of
+    * [[tokenCounts]]. Merges apply as the same `·`-delimited replaces the
+    * learner used, as one composed column program per word (no per-merge
+    * pass over data; the merge list is a plan literal). Excluded words
+    * (delimiter/bracket carriers) count as 1 token each.
+    */
+  def bpeTokenCount(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sym0 = bpeSymbols(col("w"))
+    val folded = merges.foldLeft(sym0) { case (s, (l, r)) =>
+      replace(s, lit(s"·${l}·${r}·"), lit(s"·${l}${r}·"))
+    }
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .withColumn(
+        "n",
+        when(bpeEligible(col("w")), size(filter(split(folded, "·"), x => x =!= "")))
+          .otherwise(lit(1))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bpe_tokens"))
+  }
+
+  /** Corpus word-frequency table with the `·`-delimited symbol string:
+    * `(freq, s)` where `s = ·c·h·a·r·s·</w>·`.
+    */
+  private def bpeWordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(bpeEligible(col("w")))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+      .select(col("freq"), bpeSymbols(col("w")).as("s"))
+
+  private def bpeEligible(w: Column): Column =
+    !w.contains("·") && !w.contains("<") && !w.contains(">")
+
+  /** `·`-delimited symbol string of a word: codepoints plus `</w>`. */
+  private def bpeSymbols(w: Column): Column =
+    concat(
+      lit("·"),
+      concat_ws(
+        "·",
+        concat(
+          transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+          array(lit("</w>")))),
+      lit("·"))
+
+  /** Adjacent symbol pairs of a NAMED symbol-array attribute, as
+    * space-joined pair strings (symbols never contain spaces — words are
+    * whitespace-split). Every word carries >= 2 symbols (a codepoint plus
+    * the terminal marker), so the sequence bound is never negative.
+    */
+  private def symbolPairs(syms: Column): Column =
+    transform(
+      sequence(lit(0), size(syms) - 2),
+      j => concat(element_at(syms, j + 1), lit(" "), element_at(syms, j + 2)))
+
   /** The ACTION over [[crossDupSpans]]: rewrite every corpus doc with its
     * benchmark-contaminated spans excised — targeted eval
     * DECONTAMINATION, where dropping whole contaminated docs

@@ -421,6 +421,20 @@ object OpsQueries {
     "text_reuse_pairs" -> { (s, dir) => TextAnalysis.winnowReusePairs(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
+    // BPE tokenizer induction: 3 learn rounds unrolled into the oracle
+    // (pair-count aggregate → arg-max → ·-delimited replace, like the
+    // Lloyd loop — every round is engine-portable by construction)
+    "text_bpe_merges" -> { (s, dir) => TextAnalysis.bpeMerges(docs(s, dir), nMerges = 3) },
+    // the learned merges APPLIED: per-doc BPE token counts (the honest
+    // tokens-per-doc measure once a tokenizer exists; whitespace-proxy
+    // counting stays text_tokens). The 3-row merge list is a plan literal.
+    "text_bpe_tokens" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val m = TextAnalysis.bpeMerges(d, nMerges = 3).collect()
+        .map(r => (r.getString(1), r.getString(2)))
+        .toSeq
+      TextAnalysis.bpeTokenCount(d, m)
+    },
     // Token-distribution drift with all three statuses planted: qqdrift
     // appears only in cur (new), qqgone only in prev (gone), qqshift 8x in
     // prev vs 1x in cur (shifted far below the 500-milli band edge).
@@ -873,6 +887,50 @@ object OpsQueries {
     * the 8-seed 4-subspace PQ codebook, subvectors, and all (vector,
     * centroid) squared-L2 distances — mirrors [[graft.ops.Similarity.pqCodes]].
     */
+  /** One unrolled BPE learn round K: weighted adjacent-pair counts over
+    * the round-(K-1) vocabulary, the deterministic arg-max (count desc,
+    * pair asc), and the delimiter-safe replace producing round K's
+    * vocabulary. Mirrors TextAnalysis.bpeMerges exactly, including the
+    * shared-delimiter non-overlap semantics of replace().
+    */
+  private def bpeRoundCte(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (
+       |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |           unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pair
+       |    FROM (SELECT freq, list_filter(string_split(s, '·'), x -> x <> '') AS sy
+       |          FROM $prev) t) u
+       |  GROUP BY 1),
+       |m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+       |s$k AS (
+       |  SELECT freq, replace(s,
+       |    '·' || (SELECT split_part(pair, ' ', 1) FROM m$k) || '·' ||
+       |           (SELECT split_part(pair, ' ', 2) FROM m$k) || '·',
+       |    '·' || (SELECT replace(pair, ' ', '') FROM m$k) || '·') AS s
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** Shared BPE oracle chain: word frequencies (delimiter/marker-unsafe
+    * words excluded, as in the operator), round-0 symbol strings, and
+    * three unrolled learn rounds ending in m1..m3 / s3.
+    */
+  private lazy val bpeCtes: String =
+    s"""$tokCtes,
+       |wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(tk) AS w FROM tks) t
+       |  WHERE w NOT LIKE '%·%' AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT freq,
+       |         '·' || array_to_string(list_append(list_transform(range(1, len(w) + 1),
+       |                i -> w[i:i]), '</w>'), '·') || '·' AS s
+       |  FROM wf),
+       |${bpeRoundCte(1)},
+       |${bpeRoundCte(2)},
+       |${bpeRoundCte(3)}""".stripMargin
+
   private val pqCtes =
     """pe AS (
       |  SELECT vec_id,
@@ -1406,6 +1464,41 @@ object OpsQueries {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+    // three unrolled BPE learn rounds (the Lloyd-loop move, tokenizer
+    // edition): weighted pair counts -> deterministic arg-max ->
+    // delimiter-safe replace, per round
+    "text_bpe_merges" ->
+      s"""WITH $bpeCtes
+         |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+         |  SELECT CAST(1 AS BIGINT) AS merge_rank, split_part(pair, ' ', 1) AS left_sym,
+         |         split_part(pair, ' ', 2) AS right_sym, cnt AS pair_count FROM m1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m3) t""".stripMargin,
+    // the learned merges applied per word occurrence, summed per doc;
+    // delimiter/marker-unsafe words count 1, as in the operator
+    "text_bpe_tokens" ->
+      s"""WITH $bpeCtes,
+         |uw AS (SELECT DISTINCT w FROM (SELECT unnest(tk) AS w FROM tks) t),
+         |wn AS (
+         |  SELECT w,
+         |    CASE WHEN w LIKE '%·%' OR w LIKE '%<%' OR w LIKE '%>%' THEN 1
+         |    ELSE len(list_filter(string_split(
+         |      replace(replace(replace(
+         |        '·' || array_to_string(list_append(list_transform(range(1, len(w) + 1),
+         |               i -> w[i:i]), '</w>'), '·') || '·',
+         |        (SELECT '·' || split_part(pair, ' ', 1) || '·' || split_part(pair, ' ', 2) || '·' FROM m1),
+         |        (SELECT '·' || replace(pair, ' ', '') || '·' FROM m1)),
+         |        (SELECT '·' || split_part(pair, ' ', 1) || '·' || split_part(pair, ' ', 2) || '·' FROM m2),
+         |        (SELECT '·' || replace(pair, ' ', '') || '·' FROM m2)),
+         |        (SELECT '·' || split_part(pair, ' ', 1) || '·' || split_part(pair, ' ', 2) || '·' FROM m3),
+         |        (SELECT '·' || replace(pair, ' ', '') || '·' FROM m3)),
+         |      '·'), x -> x <> '')) END AS n
+         |  FROM uw)
+         |SELECT d.doc_id, CAST(SUM(wn.n) AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id, unnest(tk) AS w FROM tks) d JOIN wn USING (w)
+         |GROUP BY 1""".stripMargin,
     "text_hash_vectors" ->
       s"""WITH $tokCtes,
          |b AS (

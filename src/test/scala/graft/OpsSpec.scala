@@ -553,6 +553,37 @@ class OpsSpec extends SparkSpec {
     assert(twice.distinct.length == 1)
   }
 
+  test("bpeMerges: the classic low/lower/newest/widest fixture learns (w,e), (l,o), (s,t)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (w,e) rides lower(2) + newest(4) = 6; round 2: 5-way tie
+    // breaks to "l o" (pair-string asc); round 3: "s t" beats "t </w>"
+    assert(m.toSeq == Seq((1L, "w", "e", 6L), (2L, "l", "o", 5L), (3L, "s", "t", 5L)), m.toSeq)
+    // applying the merges: low→[lo,w,</w>]=3, lower→[lo,we,r,</w>]=4,
+    // newest→[n,e,we,st,</w>]=5, widest→[w,i,d,e,st,</w>]=6 → 18
+    val cnt = TextAnalysis
+      .bpeTokenCount(
+        Seq((9L, "low lower newest widest")).toDF("doc_id", "text"),
+        Seq(("w", "e"), ("l", "o"), ("s", "t")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cnt.toSeq == Seq((9L, 18L)), cnt.toSeq)
+  }
+
+  test("bpeMerges: immediately adjacent occurrences merge across rounds (documented replace semantics)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // ·a·b·a·b·</w>·: (a,b) counts 2 but the occurrences share a delimiter,
+    // so round 1 merges the first only; round 2 picks (a,b) again at 1
+    assert(m.toSeq == Seq((1L, "a", "b", 2L), (2L, "a", "b", 1L)), m.toSeq)
+  }
+
   test("dupSpans: shared passages become maximal 1-based spans; self-repeats don't count") {
     val s = spark
     import s.implicits._
