@@ -315,6 +315,12 @@ class OpsSpec extends SparkSpec {
     Similarity.compactIvfPqIndex(spark, dir)
     assert(rows() == base, "probe-after-compact must equal probe-before")
     assert(spark.read.parquet(s"$dir/codes").filter(col("vec_id") >= 1000000L).count() == 0L)
+    // dynamic partition pruning: the broadcast probe side filters the
+    // centroid_id-partitioned codes scan — unprobed cells' files never read
+    val probedPlan = Similarity.probeIvfPqIndex(spark, dir, q, k = 5)
+    probedPlan.count()
+    val plan = probedPlan.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
     // param drift fails fast
     val err = intercept[IllegalArgumentException] {
       Similarity.probeIvfPqIndex(spark, dir, q, k = 5, m = 8, ksub = 8, dim = 64)

@@ -297,4 +297,48 @@ class PropertySpec extends SparkSpec {
       assert(pairs.contains(pair), s"drop $pair has no witnessing overlap pair")
     }
   }
+
+  test("bpeTokenCount is monotone non-increasing in the merge-list prefix") {
+    val s2 = SparkSpec.spark
+    import s2.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+    val merges = graft.ops.TextAnalysis.bpeMerges(docs, nMerges = 4).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    def counts(k: Int): Map[Long, Long] = graft.ops.TextAnalysis
+      .bpeTokenCount(docs, merges.take(k))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byK = (0 to merges.length).map(counts)
+    // k=0: every word counts its codepoints + </w>; each further merge can
+    // only collapse symbols, never add them — per doc, monotonically
+    byK.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.keySet == b.keySet, "the doc set must not change with merges")
+      a.keySet.foreach { id =>
+        assert(b(id) <= a(id), s"doc $id grew from ${a(id)} to ${b(id)} tokens after a merge")
+      }
+    }
+    assert(byK.last.values.sum < byK.head.values.sum, "4 merges must save at least one token")
+  }
+
+  test("rangeJoinOverlap is symmetric: swapping sides yields the same pair set (both faces)") {
+    val s2 = SparkSpec.spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(41)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val st = rnd.nextInt(400).toLong
+      val len = if (i % 19 == 0) 0L else (rnd.nextInt(30) + 1).toLong
+      (idBase + i, st, st + len)
+    }
+    val a = mk(90, 1000L).toDF("a_id", "as_", "ae")
+    val b = mk(60, 2000L).toDF("b_id", "bs", "be")
+    def pairs(df: org.apache.spark.sql.DataFrame, l: String, r: String) =
+      df.select(l, r).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ab = pairs(graft.ops.Relational.rangeJoinOverlap(a, b, "as_", "ae", "bs", "be"), "a_id", "b_id")
+    val ba = pairs(graft.ops.Relational.rangeJoinOverlap(b, a, "bs", "be", "as_", "ae"), "a_id", "b_id")
+    assert(ab == ba, "overlap must be symmetric in its inputs")
+    val big = pairs(graft.ops.Relational.rangeJoinOverlapBig(a, b, "as_", "ae", "bs", "be"), "a_id", "b_id")
+    assert(big == ab, "the shuffle face must agree with the broadcast face")
+  }
 }
