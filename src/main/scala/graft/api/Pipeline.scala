@@ -271,7 +271,17 @@ final class Pipeline(
     * left-anti join against the (small) cluster labels — the same
     * posture as the text keep-list.
     */
-  def mediaKeep(media: DataFrame): DataFrame = {
+  def mediaKeep(media: DataFrame): DataFrame =
+    mediaKeepWithFps(media, Multimodal.mediaFingerprints(media))
+
+  /** [[mediaKeep]] over an ALREADY-computed image/audio fingerprint table
+    * ([[graft.ops.Multimodal.mediaFingerprints]] schema) — the decode
+    * pass is the dominant per-round cost, so a caller that also probes
+    * history ([[mediaKeepIncremental]]) hashes ONCE and reuses the table
+    * for both stages. Video still hashes here (clip-level frame hashes
+    * are not in the fingerprint table).
+    */
+  private def mediaKeepWithFps(media: DataFrame, fps: DataFrame): DataFrame = {
     def dropDups(rows: DataFrame, pairs: DataFrame, a: String = "doc_a", b: String = "doc_b") =
       rows.join(
         Dedup
@@ -286,8 +296,8 @@ final class Pipeline(
     val other = media.filter(
       !col("kind").startsWith("image/") && !col("kind").startsWith("audio/") &&
         !col("kind").startsWith("video/"))
-    dropDups(images, Dedup.aHashPairs(Multimodal.bmpAHashes(images)))
-      .unionByName(dropDups(audio, Dedup.aHashPairs(Multimodal.wavFingerprints(audio))))
+    dropDups(images, Dedup.aHashPairs(fps.filter(col("medium") === "image")))
+      .unionByName(dropDups(audio, Dedup.aHashPairs(fps.filter(col("medium") === "audio"))))
       .unionByName(
         dropDups(
           video,
@@ -321,17 +331,25 @@ final class Pipeline(
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     val spark = mediaBatch.sparkSession
-    val kept = mediaKeep(mediaBatch)
+    // hash ONCE: the same fingerprint table feeds the in-batch collapse
+    // and the history probe — the decode pass never runs twice
+    val fps = Multimodal.mediaFingerprints(mediaBatch).localCheckpoint()
+    val kept = mediaKeepWithFps(mediaBatch, fps)
     if (!Multimodal.mediaIndexExists(spark, mediaIdxPath)) return kept
+    val keptKeys = kept
+      .select(col("doc_id"), Multimodal.mediumOf(col("kind")).as("medium"))
+      .distinct()
     val histDrops = Multimodal
-      .probeMediaIndex(spark, mediaIdxPath, kept, maxHamming, maxBucket)
+      .probeMediaFps(
+        spark,
+        mediaIdxPath,
+        fps.join(keptKeys, Seq("doc_id", "medium"), "left_semi"),
+        maxHamming,
+        maxBucket)
       .select("doc_id", "medium")
       .distinct()
-    val medium = when(col("kind").startsWith("image/"), "image")
-      .when(col("kind").startsWith("audio/"), "audio")
-      .otherwise("other")
     kept
-      .withColumn("medium", medium)
+      .withColumn("medium", Multimodal.mediumOf(col("kind")))
       .join(histDrops, Seq("doc_id", "medium"), "left_anti")
       .drop("medium")
   }
@@ -348,9 +366,22 @@ final class Pipeline(
       seenFingerprints: DataFrame,
       lshPath: String,
       mediaBatch: DataFrame,
-      mediaIdxPath: String): DataFrame = {
-    val keptMedia = mediaKeepIncremental(mediaBatch, mediaIdxPath)
-    prepareIncremental(docsBatch, seenFingerprints, lshPath)
+      mediaIdxPath: String): DataFrame =
+    mixedManifest(
+      prepareIncremental(docsBatch, seenFingerprints, lshPath),
+      mediaKeepIncremental(mediaBatch, mediaIdxPath))
+
+  def prepareMixed(docs: DataFrame, media: DataFrame): DataFrame =
+    mixedManifest(prepare(docs), mediaKeep(media))
+
+  /** The one mixed-manifest shape both faces emit: text rows tagged
+    * modality "text", surviving media rows tagged by kind, with the
+    * split assigned on DISTINCT media ids (the same doc id may carry
+    * several modalities — its image and its audio — which must all land
+    * in the same split without fanning the join out).
+    */
+  private def mixedManifest(textManifest: DataFrame, keptMedia: DataFrame): DataFrame =
+    textManifest
       .withColumn("modality", lit("text"))
       .unionByName(
         keptMedia
@@ -361,25 +392,6 @@ final class Pipeline(
               .select("doc_id", "split"),
             Seq("doc_id")),
         allowMissingColumns = true)
-  }
-
-  def prepareMixed(docs: DataFrame, media: DataFrame): DataFrame = {
-    val kept = mediaKeep(media)
-    prepare(docs)
-      .withColumn("modality", lit("text"))
-      .unionByName(
-        kept
-          .select(col("doc_id"), col("kind").as("modality"))
-          // split on DISTINCT ids: the same doc id may carry several
-          // modalities (its image and its audio), which must all land in
-          // the same split without fanning the join out
-          .join(
-            Corpus
-              .splitAssign(kept.select("doc_id").distinct())
-              .select("doc_id", "split"),
-            Seq("doc_id")),
-        allowMissingColumns = true)
-  }
 
   /** Mixed-corpus audit card: [[datacard]]'s per-source text rows plus
     * one row per media modality in the SAME schema — `source` =

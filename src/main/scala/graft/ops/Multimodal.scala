@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media object: opaque bytes + typed metadata. */
@@ -636,6 +636,16 @@ object Multimodal {
     mediaFingerprints(media)
       .write.mode("append").parquet(s"$path/fps")
 
+  /** The ONE kind→medium mapping every media face keys its drops and
+    * history probes on (`image/` kinds → "image", `audio/` → "audio",
+    * everything else → "other") — shared so the ingest and facade faces
+    * can never disagree on which rows a fingerprint match retires.
+    */
+  def mediumOf(kind: Column): Column =
+    when(kind.startsWith("image/"), "image")
+      .when(kind.startsWith("audio/"), "audio")
+      .otherwise("other")
+
   /** Batch items that are near-dups of PERSISTED history: one row per
     * (batch item, live history match) with the exact Hamming distance —
     * `(doc_id, medium, match_id, hamming)`. Tombstoned history drops
@@ -648,8 +658,22 @@ object Multimodal {
       batch: DataFrame,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame =
+    probeMediaFps(spark, path, mediaFingerprints(batch), maxHamming, maxBucket)
+
+  /** [[probeMediaIndex]] over an ALREADY-computed fingerprint table
+    * ([[mediaFingerprints]] schema) — the seam for callers that hash a
+    * batch once and reuse it across the in-batch collapse and the history
+    * probe ([[graft.api.Pipeline.mediaKeepIncremental]]); the decode pass
+    * is the dominant cost, so it must never run twice for one round.
+    */
+  def probeMediaFps(
+      spark: SparkSession,
+      path: String,
+      fps: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
     fpMatches(
-      mediaFingerprints(batch),
+      fps,
       Similarity.minusTombstones(spark, path, spark.read.parquet(s"$path/fps"), "doc_id"),
       maxHamming,
       maxBucket)
@@ -735,11 +759,8 @@ object Multimodal {
     // already excludes inBatchDrops, so dropKeys ≡ histDrops there — the
     // expensive banded history probe must not re-execute for the fps write)
     val dropKeys = inBatchDrops.unionByName(histDrops).distinct().localCheckpoint()
-    val medium = when(col("kind").startsWith("image/"), "image")
-      .when(col("kind").startsWith("audio/"), "audio")
-      .otherwise("other")
     batch
-      .withColumn("medium", medium)
+      .withColumn("medium", mediumOf(col("kind")))
       .join(dropKeys, Seq("doc_id", "medium"), "left_anti")
       .drop("medium")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

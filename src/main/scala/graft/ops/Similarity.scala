@@ -930,6 +930,26 @@ object Similarity {
         s"caller passed (${m}, ${ksub}, ${dim})")
   }
 
+  /** Fail fast when batch/query VECTORS are null-bearing, mixed-width, or
+    * off the stored dimension — without this, [[pqEncode]]'s subspace
+    * slices go empty and the integer distance loop truncates to the
+    * shorter array, so a 32-dim vector against a 64-dim index silently
+    * encodes as code 0 everywhere (the [[requireIvfDim]] argument, IVF-PQ
+    * edition; empty inputs pass — zero rows do zero work).
+    */
+  private def requireIvfPqDim(df: DataFrame, path: String, vecCol: String): Unit = {
+    val stored = df.sparkSession.read.parquet(s"$path/params").select("dim").head().getInt(0)
+    val (n, nulls, dmin, dmax) = vecDimProfile(df, vecCol)
+    if (n == 0) return
+    require(nulls == 0, s"IVF-PQ caller passed $nulls null vectors in '$vecCol' (of $n rows)")
+    require(
+      dmin == dmax,
+      s"IVF-PQ caller passed mixed vector widths in '$vecCol': ${dmin.get}..${dmax.get}")
+    require(
+      dmin.contains(stored),
+      s"IVF-PQ index at $path was built over $stored-dim vectors, caller passed ${dmin.get}-dim")
+  }
+
   /** Grow a persisted IVF-PQ index: assign + encode the batch against the
     * FROZEN coarse centroids and codebook, append its codes.
     */
@@ -943,6 +963,7 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     requireIvfPqParams(spark, path, m, ksub, dim)
+    requireIvfPqDim(batch, path, vecCol)
     encodeToCells(
       batch,
       spark.read.parquet(s"$path/centroids"),
@@ -971,26 +992,20 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireIvfPqParams(spark, path, m, ksub, dim)
+    requireIvfPqDim(queries, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
     val probes = flatProbes(queries, cents, nProbe, idCol, vecCol)
       .select("query_id", "centroid_id")
     val codes = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
-    codes
-      .join(broadcast(probes), Seq("centroid_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .join(broadcast(pqDistTable(queries, cb, m, dim / m, idCol, vecCol)),
-        Seq("query_id", "subspace", "code"))
-      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum("qdist").cast("long").as("adc_dist"))
-      .withColumn(
-        "rank",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adc_dist")
+    adcTail(
+      codes
+        .join(broadcast(probes), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(broadcast(pqDistTable(queries, cb, m, dim / m, idCol, vecCol)),
+          Seq("query_id", "subspace", "code")),
+      k)
   }
 
   /** Compact a persisted IVF-PQ index: fold append generations, drop
@@ -1711,11 +1726,22 @@ object Similarity {
   /** ADC scoring + per-query top-k over a code table and a distance
     * table — the shared tail of [[pqTopK]] and [[probePqIndex]].
     */
-  private def adcRank(codes: DataFrame, dtab: DataFrame, k: Int): DataFrame = {
+  private def adcRank(codes: DataFrame, dtab: DataFrame, k: Int): DataFrame =
+    adcTail(
+      codes
+        .join(broadcast(dtab), Seq("subspace", "code"))
+        .filter(col("query_id") =!= col("vec_id")),
+      k)
+
+  /** The ONE ADC ranking contract — ascending exact-integer distance,
+    * neighbor id on ties — shared by the flat PQ faces ([[adcRank]]) and
+    * the composed IVF-PQ probe, so the two can never drift: aggregate the
+    * per-subspace lookups of a pre-joined (query_id, vec_id, qdist)
+    * table, rank per query.
+    */
+  private def adcTail(pairs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    codes
-      .join(broadcast(dtab), Seq("subspace", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
+    pairs
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("qdist").cast("long").as("adc_dist"))
       .withColumn(

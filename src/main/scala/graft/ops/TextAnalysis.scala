@@ -1054,13 +1054,18 @@ object TextAnalysis {
 
   /** Adjacent symbol pairs of a NAMED symbol-array attribute, as
     * space-joined pair strings (symbols never contain spaces — words are
-    * whitespace-split). Every word carries >= 2 symbols (a codepoint plus
-    * the terminal marker), so the sequence bound is never negative.
+    * whitespace-split). A FULLY-merged word (one symbol — e.g. a one-char
+    * word after its `(c, </w>)` merge won a round) has no pairs and must
+    * yield an empty array, not a negative sequence bound (`sequence(0,
+    * -1)` throws, and `element_at(_, 0)` is illegal in Spark).
     */
   private def symbolPairs(syms: Column): Column =
-    transform(
-      sequence(lit(0), size(syms) - 2),
-      j => concat(element_at(syms, j + 1), lit(" "), element_at(syms, j + 2)))
+    when(
+      size(syms) >= 2,
+      transform(
+        sequence(lit(0), size(syms) - 2),
+        j => concat(element_at(syms, j + 1), lit(" "), element_at(syms, j + 2))))
+      .otherwise(array().cast("array<string>"))
 
   /** The ACTION over [[crossDupSpans]]: rewrite every corpus doc with its
     * benchmark-contaminated spans excised — targeted eval

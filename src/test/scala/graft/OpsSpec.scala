@@ -579,6 +579,17 @@ class OpsSpec extends SparkSpec {
     assert(cnt.toSeq == Seq((9L, 18L)), cnt.toSeq)
   }
 
+  test("bpeMerges: a fully-merged one-char word survives later rounds (no pairs, no crash)") {
+    val s = spark
+    import s.implicits._
+    // 'a' x3, 'b' x2: round 1 learns (a, </w>) and collapses word 'a' to a
+    // SINGLE symbol; round 2 must still run over the pairless word
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1L, "a", "</w>", 3L), (2L, "b", "</w>", 2L)), m.toSeq)
+  }
+
   test("bpeMerges: immediately adjacent occurrences merge across rounds (documented replace semantics)") {
     val s = spark
     import s.implicits._
