@@ -991,4 +991,85 @@ object Corpus {
         expr("q_tenk_sum div n_docs").cast("long").as("q_tenk_avg"),
         col("n_kept"))
   }
+
+  /** Hashed-n-gram bucket in 0..255: first two hex digits of md5(gram),
+    * via base-16 `conv` (portable — the DuckDB oracle mirrors it with
+    * strpos arithmetic over the same md5 hex).
+    */
+  private def gramBucket(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast("long")
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): estimate target-vs-corpus
+    * distributions over hashed word-bigram features, then score each doc by
+    * how target-like its features are. The published method weights by the
+    * log-likelihood ratio; this variant keeps each feature's weight as an
+    * exact integer milli-RATIO (the repo-wide `*_milli div` discipline —
+    * `lift_milli`/`idf_milli` drop the log the same way), so the score is a
+    * deterministic BIGINT that hash-matches across engines: per feature
+    * bucket b, `ratio_milli(b) = (1000·(p_b+1)·(q_tot+256)) div
+    * ((q_b+1)·(p_tot+256))` (add-one smoothing over 256 buckets; ≈1000 for
+    * corpus-typical features, higher for target-heavy ones), and per doc
+    * `score_milli = (Σ_gram ratio_milli) div n_grams`. `keep` marks docs at
+    * or above `keepMilli` — deterministic threshold selection in place of
+    * the paper's Gumbel resampling, so the output is reproducible and the
+    * selected set is stable under corpus growth.
+    *
+    * Scale shape: pass 1 folds the whole corpus into a 256-cell histogram
+    * (map-side-combinable aggregate — each executor emits ≤256 rows) that
+    * is collected (bounded, like `occupiedStrata`) and turned into a
+    * 256-entry literal map; pass 2 is a SHUFFLE-FREE projection — tokens,
+    * grams, and the ratio lookup are all per-row array expressions, so
+    * scoring 100 TB is embarrassingly parallel with zero joins. NOTE: the
+    * histogram pass is an eager driver action at composition time, and the
+    * driver ratio arithmetic holds to ~9.2e18: at corpus sizes where
+    * 1000·p_cnt·q_tot approaches Long.MaxValue (~10^7 target grams ×
+    * 10^8 total), downscale both histograms by a common factor first —
+    * the ratio is scale-invariant.
+    */
+  def importanceScore(
+      docs: DataFrame,
+      isTarget: Column,
+      keepMilli: Long = 1000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nBuckets = 256
+    val base = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        isTarget.as("is_target"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("grams", TextAnalysis.ngrams(col("tk"), 2))
+    val hist = base
+      .select(col("is_target"), explode(col("grams")).as("g"))
+      .select(col("is_target"), gramBucket(col("g")).as("bucket"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).cast("long").as("q_cnt"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).cast("long").as("p_cnt"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val qTot = hist.valuesIterator.map(_._1).sum
+    val pTot = hist.valuesIterator.map(_._2).sum
+    // all 256 buckets get a smoothed ratio, so the lookup is never null
+    val ratios: Map[Long, Long] = (0L until nBuckets.toLong).map { b =>
+      val (q, p) = hist.getOrElse(b, (0L, 0L))
+      b -> 1000L * (p + 1) * (qTot + nBuckets) / ((q + 1) * (pTot + nBuckets))
+    }.toMap
+    val rm = typedLit(ratios)
+    base
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn(
+        "ratio_sum",
+        aggregate(col("grams"), lit(0L), (acc, g) => acc + element_at(rm, gramBucket(g))))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("ratio_sum div n_grams"))
+          .cast("long")
+          .as("score_milli"))
+      .withColumn("keep", col("score_milli") >= keepMilli)
+  }
 }

@@ -468,6 +468,11 @@ object RelQueries {
     "contamination_ngrams" -> { (s, dir) =>
       Corpus.contaminationNgrams(docs(s, dir), n = 5)
     },
+    // DSIR-style selection: hashed-bigram importance score vs the English
+    // subset as the target distribution; keep = at-or-above corpus-typical
+    "corpus_importance_resample" -> { (s, dir) =>
+      Corpus.importanceScore(docs(s, dir), isTarget = col("lang") === "en", keepMilli = 1000L)
+    },
     // Char-weighted systematic sample: ~one doc per 10k chars of corpus,
     // long docs proportionally more likely, selection grid phase-shifted
     // by 137 to exercise the phase arithmetic.
@@ -1013,6 +1018,38 @@ object RelQueries {
         |  FROM events
         |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS d(offs))
         |GROUP BY 1, 2""".stripMargin,
+    "corpus_importance_resample" ->
+      """WITH tks AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |         unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+        |                               i -> array_to_string(list_slice(tk, i, i + 1), ' '))) AS gram
+        |  FROM tks),
+        |b AS (
+        |  SELECT doc_id, is_target,
+        |         (strpos('0123456789abcdef', substr(md5(gram), 1, 1)) - 1) * 16
+        |          + strpos('0123456789abcdef', substr(md5(gram), 2, 1)) - 1 AS bucket
+        |  FROM grams),
+        |dim AS (
+        |  SELECT bucket, COUNT(*) AS q_cnt, COUNT(*) FILTER (is_target) AS p_cnt
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT SUM(q_cnt) AS q_tot, SUM(p_cnt) AS p_tot FROM dim),
+        |r AS (
+        |  SELECT bucket,
+        |         CAST((1000 * (p_cnt + 1) * (q_tot + 256))
+        |              // ((q_cnt + 1) * (p_tot + 256)) AS BIGINT) AS ratio_milli
+        |  FROM dim CROSS JOIN tot),
+        |ds AS (
+        |  SELECT b.doc_id, SUM(r.ratio_milli) AS s, COUNT(*) AS n
+        |  FROM b JOIN r USING (bucket) GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(s // n, 0) AS BIGINT) AS score_milli,
+        |       CAST(COALESCE(s // n, 0) AS BIGINT) >= 1000 AS keep
+        |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
     "contamination_ngrams" ->
       """WITH split AS (
         |  SELECT doc_id,

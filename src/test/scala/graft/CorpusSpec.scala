@@ -532,4 +532,39 @@ class CorpusSpec extends SparkSpec {
     assert(got("w") == ((0L, 2L, 0L, 285714L, "new", -1L)))
     assert(got.size == 4)
   }
+
+  test("importanceScore: target-exclusive bigrams outscore the rest; short docs score 0") {
+    val s = spark
+    import s.implicits._
+    // target docs repeat one bigram ("aa bb"), off-target docs another
+    // ("cc dd"); doc 5 shares the target's bigram without the label and
+    // doc 6 is too short to have any bigram at all
+    val docs = Seq(
+      (1L, "aa bb aa bb aa", "en"),
+      (2L, "aa bb aa bb aa", "en"),
+      (3L, "cc dd cc dd cc", "fr"),
+      (4L, "cc dd cc dd cc", "fr"),
+      (5L, "aa bb aa bb aa", "fr"),
+      (6L, "solo", "en")).toDF("doc_id", "text", "lang")
+    // keepMilli = 700: the target bigram's smoothed milli-ratio here is
+    // 1000·5·276 div (7·264) = 746, the off-target one's 209
+    val got = Corpus
+      .importanceScore(docs, isTarget = col("lang") === "en", keepMilli = 700L)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_grams"), r.getAs[Long]("score_milli"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(got.size == 6)
+    // identical text => identical score, label notwithstanding (pass 2 is
+    // content-only; the label only shapes the histogram)
+    assert(got(1L) == got(2L) && got(1L)._2 == got(5L)._2)
+    assert(got(3L) == got(4L))
+    // the target-exclusive bigram carries a higher milli-ratio than the
+    // off-target-exclusive one
+    assert(got(1L)._2 > got(3L)._2)
+    assert(got(1L)._3 && !got(3L)._3)
+    // no bigrams => score 0, not a divide-by-zero null
+    assert(got(6L) == ((0L, 0L, false)))
+  }
 }
