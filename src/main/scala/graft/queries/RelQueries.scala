@@ -487,6 +487,21 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    // KMV distinct-user sketch per event type: exact below k (sf0.001, 15
+    // users/group), estimator at k (sf0.01, 150 users/group)
+    "stats_kmv_distinct" -> { (s, dir) =>
+      Stats.kmvDistinct(events(s, dir), "event_type", "user_id", k = 64)
+    },
+    // per-shard sketches merged by union + re-trim: MUST equal the
+    // whole-corpus sketch (the mergeability law), so the oracle runs the
+    // whole-corpus SQL against the merged result
+    "stats_kmv_merged" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val halves = Seq(
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", k = 64),
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id", k = 64))
+      Stats.kmvEstimate(Stats.kmvMerge(halves, k = 64), "event_type", k = 64)
+    },
     // hourly volume anomalies per event type: 3-sigma vs the trailing-24
     // baseline, decided in exact integer arithmetic (no stddev/sqrt)
     "events_anomaly" -> { (s, dir) =>
@@ -718,6 +733,22 @@ object RelQueries {
        |            THEN CASE WHEN ts_us - b_ts <= f_ts - ts_us THEN b_val ELSE f_val END
        |            ELSE COALESCE(b_val, f_val) END AS click_value
        |FROM attached WHERE side = 1""".stripMargin
+
+  // KMV sketch: 56-bit md5-prefix hashes, k = 64 minima per group,
+  // estimator (k-1)·2^56 div h_k once the sketch is full (63·2^56 below)
+  private val kmvSql =
+    """WITH hv AS (
+      |  SELECT DISTINCT event_type AS grp,
+      |    list_sum(list_transform(range(0, 14), i ->
+      |      (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i + 1, 1)) - 1)::BIGINT
+      |        << (4 * (13 - i)))) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM hv),
+      |a AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS h_k FROM r WHERE rk <= 64 GROUP BY grp)
+      |SELECT grp AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
+      |       CAST(CASE WHEN n_kept < 64 THEN n_kept
+      |            ELSE 4539628424389459968 // h_k END AS BIGINT) AS est_distinct
+      |FROM a""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
@@ -1218,6 +1249,10 @@ object RelQueries {
         |SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
         |       least(greatest(CAST(d.n_chars AS BIGINT), th.lo), th.hi) AS n_chars_w
         |FROM documents d JOIN th ON d.lang = th.lang""".stripMargin,
+    // one SQL for both KMV faces: the merged-shards query must equal the
+    // whole-corpus sketch (mergeability), so it shares the oracle verbatim
+    "stats_kmv_distinct" -> kmvSql,
+    "stats_kmv_merged" -> kmvSql,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

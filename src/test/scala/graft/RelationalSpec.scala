@@ -745,6 +745,39 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinct: exact below k, ~1/sqrt(k) accurate at k, and merge == whole") {
+    val s = spark
+    import s.implicits._
+    // 500 distinct users spread over two groups: 'big' sees all 500 (sketch
+    // full at k=64 -> estimator), 'small' sees 20 (exact path)
+    val ev = (0L until 500L)
+      .flatMap(u => Seq(("big", u)) ++ (if (u < 20) Seq(("small", u)) else Nil))
+      .toDF("event_type", "user_id")
+      .withColumn("event_id", col("user_id") * 7 + length(col("event_type")))
+    val got = Stats.kmvDistinct(ev, "event_type", "user_id", k = 64).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))))
+      .toMap
+    assert(got("small") == ((20L, 20L))) // below k: exact, not estimated
+    assert(got("big")._1 == 64L)
+    // deterministic sketch value for md5('0'..'499'), k=64: 674 (an unlucky
+    // ~2.7-sigma draw vs truth 500 -- the sf0.01 registry fixture lands at
+    // 144 vs 150; pinning the exact value regression-tests the arithmetic)
+    assert(got("big")._2 == 674L, s"estimate ${got("big")._2}")
+    // mergeability law: per-shard sketches union+re-trim to the whole's sketch
+    val whole = Stats.kmvSketch(ev, "event_type", "user_id", k = 64)
+    val merged = Stats.kmvMerge(
+      Seq(
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", k = 64),
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id", k = 64)),
+      k = 64)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      whole.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // the rank-<=-k filter must plan as WindowGroupLimit (per-map-task
+    // group limit before the shuffle -- the bounded-memory property)
+    val p = whole.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   // ---- contamination ------------------------------------------------------
 
   test("contaminationNgrams: planted overlap is found, clean docs score zero") {
