@@ -226,4 +226,54 @@ object Stats {
       valueCol: String,
       k: Int = 64): DataFrame =
     kmvEstimate(kmvSketch(df, groupCol, valueCol, k), groupCol, k)
+
+  /** Batch contract of the streaming KMV face
+    * ([[graft.streaming.SketchIngest.kmvIngest]]), the store-lifecycle
+    * recipe shared with `ingestLshBatch`/`ingestGramBatch`: batch 0 (or a
+    * missing store) CLAIMS the root — stale sketch batches from a previous
+    * run are deleted and the store's `k` is pinned in `params`; later
+    * batches fail fast on a k mismatch (sketches with different k do not
+    * merge). Each batch lands its own sketch under
+    * `sketch/batch_id=N` (≤ k·|groups| rows), so a checkpoint-retried
+    * batch overwrites itself — exactly-once without a transaction log.
+    * Raw values are never re-read: the rolled-up estimate comes from
+    * [[readKmvEstimate]]'s union + re-trim over the (tiny) batch sketches.
+    */
+  def ingestKmvBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/sketch")
+      Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else {
+      val k0 = spark.read.parquet(s"$path/params").head.getInt(0)
+      require(k0 == k, s"KMV store at $path was built with k=$k0, got k=$k")
+    }
+    kmvSketch(batch, groupCol, valueCol, k)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketch/batch_id=$batchId")
+  }
+
+  /** Roll up every landed batch sketch into the live estimate: union +
+    * re-trim ([[kmvMerge]]) then [[kmvEstimate]]. By the mergeability law
+    * this equals sketching all ingested batches' raw input in one pass —
+    * the oracle query checks exactly that hash-equality.
+    */
+  def readKmvEstimate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String,
+      k: Int = 64): DataFrame =
+    kmvEstimate(
+      kmvMerge(Seq(spark.read.parquet(s"$path/sketch").select("grp", "h")), k),
+      groupCol,
+      k)
 }

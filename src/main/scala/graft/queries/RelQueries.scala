@@ -492,6 +492,19 @@ object RelQueries {
     "stats_kmv_distinct" -> { (s, dir) =>
       Stats.kmvDistinct(events(s, dir), "event_type", "user_id", k = 64)
     },
+    // the FULL streaming-store lifecycle inside the timed query: three
+    // ingest rounds land batch-keyed sketches (batch 0 claiming/replacing
+    // any stale store), then the read face rolls them up — which must
+    // hash-equal the one-pass whole-corpus sketch (mergeability again)
+    "stats_kmv_streamed" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_kmv_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir)
+      (0L to 2L).foreach { b =>
+        Stats.ingestKmvBatch(
+          ev.filter(col("event_id") % 3 === b), root, b, "event_type", "user_id", k = 64)
+      }
+      Stats.readKmvEstimate(s, root, "event_type", k = 64)
+    },
     // per-shard sketches merged by union + re-trim: MUST equal the
     // whole-corpus sketch (the mergeability law), so the oracle runs the
     // whole-corpus SQL against the merged result
@@ -1253,6 +1266,7 @@ object RelQueries {
     // whole-corpus sketch (mergeability), so it shares the oracle verbatim
     "stats_kmv_distinct" -> kmvSql,
     "stats_kmv_merged" -> kmvSql,
+    "stats_kmv_streamed" -> kmvSql,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous sketch maintenance: bounded-state distinct-count rollups
+  * over an unbounded stream, without ever re-reading raw data.
+  */
+object SketchIngest {
+
+  /** Streaming face of the KMV distinct-count sketch
+    * ([[graft.ops.Stats.kmvSketch]]): each micro-batch lands its own
+    * ≤ k·|groups|-row sketch under a batch-id-keyed directory (the
+    * [[CorpusIngest]] exactly-once recipe — a checkpoint-retried batch
+    * overwrites itself), and the live estimate is
+    * [[graft.ops.Stats.readKmvEstimate]]'s union + re-trim over the batch
+    * sketches. Contrast with a stateful streaming `approx_count_distinct`:
+    * the KMV store is engine-portable parquet, auditable after the fact,
+    * and mergeable ACROSS streams (per-day or per-shard stores roll up by
+    * the same union + re-trim).
+    *
+    * At 100 TB/day this is the shape that survives: per batch the only
+    * shuffle is the batch's own distinct + per-map-task WindowGroupLimit
+    * (≤ k rows per group per task), the history is never touched on
+    * ingest, and the read side scans |batches|·k·|groups| sketch rows —
+    * megabytes, not the corpus.
+    */
+  def kmvIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 64): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Stats.ingestKmvBatch(batch.toDF(), path, batchId, groupCol, valueCol, k)
+        ()
+      }
+      .start()
+}

@@ -857,4 +857,57 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(sessions == Set((1L, 1000L, 1500L, 2), (1L, 4000L, 4000L, 1), (2L, 100L, 100L, 1)))
   }
+
+  test("kmvIngest: batch-bounded sketches, rollup == one-pass, retry idempotent, k pinned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmv").toString
+    val b1 = (0L until 20L).map(u => ("a", u)) ++ (0L until 3L).map(u => ("b", u))
+    val b2 = (10L until 30L).map(u => ("a", u)) ++ Seq(("b", 3L))
+    def addEvents(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("event_type", "user_id").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .kmvIngest(
+          spark.readStream.schema("event_type STRING, user_id LONG").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          "event_type",
+          "user_id",
+          k = 8)
+        .awaitTermination()
+    def rollup(): Map[String, (Long, Long)] =
+      graft.ops.Stats.readKmvEstimate(spark, s"$dir/store", "event_type", k = 8)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))))
+        .toMap
+
+    addEvents(b1)
+    run()
+    addEvents(b2)
+    run()
+    // per-batch sketch is k-bounded: at most k rows per group per batch
+    val perBatch = spark.read.parquet(s"$dir/store/sketch")
+      .groupBy("batch_id", "grp").count().collect()
+    assert(perBatch.nonEmpty && perBatch.forall(_.getAs[Long]("count") <= 8))
+    // rollup equals the one-pass sketch over everything ingested
+    val want = graft.ops.Stats
+      .kmvDistinct((b1 ++ b2).toDF("event_type", "user_id"), "event_type", "user_id", k = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))))
+      .toMap
+    val got = rollup()
+    assert(got == want, s"rollup $got != one-pass $want")
+    assert(got("b") == ((4L, 4L))) // below k: exact
+    // a checkpoint-retried batch overwrites its own sketch: no drift
+    graft.ops.Stats.ingestKmvBatch(
+      b2.toDF("event_type", "user_id"), s"$dir/store", 1L, "event_type", "user_id", k = 8)
+    assert(rollup() == got, "retried batch must be idempotent")
+    // the store pins k: merging sketches of different k is refused
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Stats.ingestKmvBatch(
+        b2.toDF("event_type", "user_id"), s"$dir/store", 2L, "event_type", "user_id", k = 16)
+    }
+    assert(err.getMessage.contains("k=8"))
+  }
 }
