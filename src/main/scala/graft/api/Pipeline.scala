@@ -32,7 +32,9 @@ final class Pipeline(
     exciseDupSpans: Boolean = false,
     blocklist: Seq[String] = Nil,
     clusterSafeSplits: Boolean = false,
-    tokenBudgetChars: Option[Long] = None) {
+    tokenBudgetChars: Option[Long] = None,
+    importanceTarget: Option[org.apache.spark.sql.Column] = None,
+    importanceKeepMilli: Long = 1000L) {
 
   /** The text-rewriting pre-stages, applied before any scoring so every
     * downstream stage (quality, langid, dedup, packing) sees the text a
@@ -110,6 +112,10 @@ final class Pipeline(
     *    SOURCE's p-th quality percentile ([[Corpus.qualityGate]]) — the
     *    absolute `minQuality` floor catches garbage, the adaptive gate
     *    keeps each source's better half as the mix drifts;
+    *  - `importanceTarget = Some(pred)` gates on DSIR-style importance:
+    *    only docs whose hashed-bigram features score at least
+    *    `importanceKeepMilli` against the target slice's distribution
+    *    survive ([[Corpus.importanceScore]]);
     *  - `mixtureBudgetTokens = Some(b)` downsamples the survivors to a
     *    token budget split across sources ([[Corpus.mixtureSample]]);
     *  - `blocklist` (non-empty) drops documents containing any listed
@@ -135,10 +141,25 @@ final class Pipeline(
       case Some(p) =>
         kept.join(Corpus.qualityGate(base, p).select("doc_id"), "doc_id")
     }
-    val mixed = mixtureBudgetTokens match {
+    // `importanceTarget = Some(pred)` additionally gates on DSIR-style
+    // importance ([[Corpus.importanceScore]]): docs whose hashed-bigram
+    // features look at least `importanceKeepMilli`-typical of the target
+    // slice survive. NOTE: composing this stage runs the bounded 256-cell
+    // histogram job eagerly (the operator's documented two-pass shape).
+    val weighted = importanceTarget match {
       case None => gated
+      case Some(pred) =>
+        gated.join(
+          Corpus
+            .importanceScore(base, pred, importanceKeepMilli)
+            .filter(col("keep"))
+            .select("doc_id"),
+          "doc_id")
+    }
+    val mixed = mixtureBudgetTokens match {
+      case None => weighted
       case Some(b) =>
-        gated.join(Corpus.mixtureSample(base, b).select("doc_id"), "doc_id")
+        weighted.join(Corpus.mixtureSample(base, b).select("doc_id"), "doc_id")
     }
     // The CC label job (iterative, materialized per round) runs ONCE even
     // when both the keep-list and the cluster-safe split consume it.

@@ -139,6 +139,19 @@ class PipelineSpec extends SparkSpec {
     assert(withStages.size < base.size, "optional stages should actually drop docs here")
   }
 
+  test("importanceTarget knob: survivors = baseline ∩ the operator's keep set") {
+    val base = prepared.select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepIds = Corpus
+      .importanceScore(docs, isTarget = col("lang") === "en", keepMilli = 1000L)
+      .filter(col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val withStage = new Pipeline(importanceTarget = Some(col("lang") === "en"))
+      .prepare(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withStage == (base & keepIds))
+    assert(withStage.size < base.size, "the importance gate should actually drop docs here")
+  }
+
   test("tokenBudgetChars knob: manifest covers the budget and is the operator's cut of the survivors") {
     val budget = 30000L
     val budgeted = new Pipeline(tokenBudgetChars = Some(budget)).prepare(docs)
