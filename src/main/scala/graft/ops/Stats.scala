@@ -227,6 +227,64 @@ object Stats {
       k: Int = 64): DataFrame =
     kmvEstimate(kmvSketch(df, groupCol, valueCol, k), groupCol, k)
 
+  /** Count-min sketch counter table (Cormode & Muthukrishnan 2005):
+    * `depth` independent-ish hash rows derived from ONE md5 (hex digits
+    * 2d+1..2d+2 give row d's bucket in 0..255), each row a 256-counter
+    * histogram of total occurrences. State is depth·256 longs REGARDLESS
+    * of cardinality — the frequency-estimation complement of
+    * [[kmvSketch]] (distinct) and [[heavyHitters]] (top keys): point
+    * lookups for ANY value after one pass, one-sided error (over-count
+    * only, bounded by ~N/width per row, min over rows tightens it).
+    * Exactly portable: the DuckDB oracle rebuilds the same counters from
+    * the same md5 digits. Sketches MERGE by adding counters
+    * ([[cmsMerge]]) — build per shard/day, roll up forever.
+    *
+    * Scale shape: one explode + a groupBy over at most depth·256 cells —
+    * map-side combinable, so each map task emits ≤ depth·256 rows no
+    * matter how many values it saw.
+    */
+  def cmsBuild(df: DataFrame, valueCol: String, depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1, 8] (md5 has 16 hex digit pairs), got $depth")
+    df.filter(col(valueCol).isNotNull)
+      .select(md5(col(valueCol).cast("string")).as("h")) // md5 once, before the explode
+      .select(col("h"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(
+        col("d"),
+        conv(expr("substring(h, d * 2 + 1, 2)"), 16, 10).cast("long").as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Point-query the sketch for each distinct item: the estimate is the
+    * MINIMUM of the item's counters across rows — ≥ the true count, with
+    * equality whenever one row is collision-free for the item. Joins are
+    * item-side exploded against the ≤ depth·256-row counter table, which
+    * broadcasts by size.
+    */
+  def cmsQuery(cms: DataFrame, items: DataFrame, valueCol: String, depth: Int = 4): DataFrame =
+    items
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).as("item"))
+      .distinct()
+      .select(col("item"), md5(col("item").cast("string")).as("h")) // md5 once, before the explode
+      .select(col("item"), col("h"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(
+        col("item"),
+        col("d"),
+        conv(expr("substring(h, d * 2 + 1, 2)"), 16, 10).cast("long").as("bucket"))
+      .join(cms, Seq("d", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est_count"))
+
+  /** Merge count-min sketches by adding counters cell-wise — exactly the
+    * sketch of the concatenated inputs (the linearity CMS is built on).
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches
+      .reduce(_ unionByName _)
+      .groupBy("d", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+
   /** Batch contract of the streaming KMV face
     * ([[graft.streaming.SketchIngest.kmvIngest]]), the store-lifecycle
     * recipe shared with `ingestLshBatch`/`ingestGramBatch`: batch 0 (or a

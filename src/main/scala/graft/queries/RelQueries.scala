@@ -487,6 +487,24 @@ object RelQueries {
     "stats_quantiles" -> { (s, dir) =>
       Stats.quantilesByGroup(docs(s, dir), "lang", "n_chars")
     },
+    // count-min frequency sketch over the token stream, probed with the
+    // corpus vocabulary: est >= true count, min-over-rows tightens it
+    "stats_cms_freq" -> { (s, dir) =>
+      val toks = docs(s, dir)
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      Stats.cmsQuery(Stats.cmsBuild(toks, "tok"), toks, "tok")
+    },
+    // per-language sketches merged by counter addition: CMS linearity says
+    // this IS the whole-corpus sketch, so the oracle is shared verbatim
+    "stats_cms_merged" -> { (s, dir) =>
+      val d = docs(s, dir)
+      def toks(f: DataFrame) =
+        f.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val merged = Stats.cmsMerge(Seq(
+        Stats.cmsBuild(toks(d.filter(col("lang") === "en")), "tok"),
+        Stats.cmsBuild(toks(d.filter(col("lang") =!= "en")), "tok")))
+      Stats.cmsQuery(merged, toks(d), "tok")
+    },
     // KMV distinct-user sketch per event type: exact below k (sf0.001, 15
     // users/group), estimator at k (sf0.01, 150 users/group)
     "stats_kmv_distinct" -> { (s, dir) =>
@@ -762,6 +780,29 @@ object RelQueries {
       |       CAST(CASE WHEN n_kept < 64 THEN n_kept
       |            ELSE 4539628424389459968 // h_k END AS BIGINT) AS est_distinct
       |FROM a""".stripMargin
+
+  // count-min sketch: row d's bucket = md5 hex digits 2d+1..2d+2 (0..255),
+  // 4 rows; estimate = min over rows of the item's counter
+  private val cmsSql =
+    """WITH tokraw AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |hx AS (SELECT tok, md5(tok) AS h FROM tokraw),
+      |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+      |cells AS (
+      |  SELECT d, (strpos('0123456789abcdef', substr(h, d * 2 + 1, 1)) - 1) * 16
+      |            + strpos('0123456789abcdef', substr(h, d * 2 + 2, 1)) - 1 AS bucket,
+      |         COUNT(*) AS cnt
+      |  FROM hx CROSS JOIN dd GROUP BY 1, 2),
+      |items AS (SELECT DISTINCT tok, md5(tok) AS h FROM tokraw),
+      |pq AS (
+      |  SELECT i.tok AS item, dd.d,
+      |         (strpos('0123456789abcdef', substr(i.h, dd.d * 2 + 1, 1)) - 1) * 16
+      |          + strpos('0123456789abcdef', substr(i.h, dd.d * 2 + 2, 1)) - 1 AS bucket
+      |  FROM items i CROSS JOIN dd)
+      |SELECT p.item, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+      |FROM pq p LEFT JOIN cells c ON p.d = c.d AND p.bucket = c.bucket
+      |GROUP BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "asof_join_events" ->
@@ -1267,6 +1308,8 @@ object RelQueries {
     "stats_kmv_distinct" -> kmvSql,
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
+    "stats_cms_freq" -> cmsSql,
+    "stats_cms_merged" -> cmsSql,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

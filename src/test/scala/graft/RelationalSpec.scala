@@ -778,6 +778,38 @@ class RelationalSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("cms: estimates bound true counts from above, merge is linear, state is depth-bounded") {
+    val s = spark
+    import s.implicits._
+    // known multiplicities: a x5, b x3, c x1, plus 40 singletons as noise
+    val a = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val b = (0 until 40).map(i => s"n$i")
+    val all = (a ++ b).toDF("v")
+    val cms = Stats.cmsBuild(all, "v", depth = 4)
+    assert(cms.count() <= 4 * 256)
+    val truth = (a ++ b).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = Stats.cmsQuery(cms, all, "v", depth = 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == truth.keySet)
+    truth.foreach { case (k, n) =>
+      assert(est(k) >= n, s"$k: est ${est(k)} < true $n (CMS never undercounts)")
+    }
+    // 43 distinct values in 256 buckets x 4 rows: an all-row collision is
+    // ~1e-3-rare and this md5 draw has none — the planted keys are exact
+    assert(est("a") == 5L && est("b") == 3L && est("c") == 1L)
+    // linearity: per-shard sketches summed == one-pass sketch
+    val merged = Stats.cmsMerge(Seq(
+      Stats.cmsBuild(a.toDF("v"), "v", depth = 4),
+      Stats.cmsBuild(b.toDF("v"), "v", depth = 4)))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(merged) == cells(cms))
+    // a value the sketch never saw (collision-free in this draw) estimates 0
+    val unseen = Stats.cmsQuery(cms, Seq("zzz-unseen").toDF("v"), "v", depth = 4)
+      .collect().head.getLong(1)
+    assert(unseen == 0L)
+  }
+
   // ---- contamination ------------------------------------------------------
 
   test("contaminationNgrams: planted overlap is found, clean docs score zero") {
