@@ -175,7 +175,7 @@ object Stats {
       groupCol: String,
       valueCol: String,
       k: Int = 64): DataFrame = {
-    require(k >= 2 && k <= 4096, s"k must be in [2, 4096], got $k")
+    requireKmvK(k)
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 14), 16, 10).cast("long")
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"), h.as("h"))
@@ -185,14 +185,24 @@ object Stats {
       .select("grp", "h")
   }
 
+  /** k ≤ 128 keeps the estimator constant `(k-1)·2^56` inside Long
+    * (129·2^56 would wrap negative and poison every full-sketch group's
+    * estimate); widen the estimate to decimal arithmetic before raising
+    * the cap.
+    */
+  private def requireKmvK(k: Int): Unit =
+    require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k")
+
   /** Estimate per-group distinct cardinality from a KMV sketch: with fewer
     * than k survivors the sketch saw every distinct value and the count is
     * EXACT; at k survivors the classic unbiased-ish estimator
     * `(k-1) · 2^56 div h_k` (k-th smallest hash as a fraction of the hash
     * space) — all integer, engine-portable. Relative error ~1/sqrt(k-2)
-    * (≈13% at k=64; raise k for tighter bounds — state is k longs/group).
+    * (≈13% at k=64, ≈9% at the k=128 cap — state is k longs/group; see
+    * [[requireKmvK]] for why the cap exists).
     */
   def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
+    requireKmvK(k)
     val scale = (k - 1).toLong * (1L << 56)
     sketch
       .groupBy("grp")
@@ -211,13 +221,15 @@ object Stats {
     * smallest. Exactly equal to sketching the unioned input — the property
     * the spec pins — so long-lived rollups never re-read raw data.
     */
-  def kmvMerge(sketches: Seq[DataFrame], k: Int = 64): DataFrame =
+  def kmvMerge(sketches: Seq[DataFrame], k: Int = 64): DataFrame = {
+    requireKmvK(k)
     sketches
       .reduce(_ unionByName _)
       .distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rk") <= k)
       .select("grp", "h")
+  }
 
   /** [[kmvSketch]] + [[kmvEstimate]] in one call. */
   def kmvDistinct(
@@ -255,13 +267,28 @@ object Stats {
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
 
+  /** A sketch's depth, read from the counter table itself: every ingested
+    * value contributes to EVERY row d < depth, so max(d)+1 is exact on any
+    * non-empty sketch (an empty sketch reads as depth 0). Bounded driver
+    * action — the table is ≤ depth·256 rows by construction.
+    */
+  private def cmsDepth(cms: DataFrame): Int = {
+    val r = cms.agg(max("d")).head()
+    if (r.isNullAt(0)) 0 else r.getInt(0) + 1
+  }
+
   /** Point-query the sketch for each distinct item: the estimate is the
     * MINIMUM of the item's counters across rows — ≥ the true count, with
-    * equality whenever one row is collision-free for the item. Joins are
-    * item-side exploded against the ≤ depth·256-row counter table, which
-    * broadcasts by size.
+    * equality whenever one row is collision-free for the item. Depth is
+    * read FROM the sketch ([[cmsDepth]]), not passed: probing a depth-4
+    * sketch as if it were depth-8 would left-join the phantom rows to
+    * 0-counters and report `est_count = 0` for every item — the exact
+    * inversion of the one-sided-error guarantee. Joins are item-side
+    * exploded against the ≤ depth·256-row counter table, which broadcasts
+    * by size; an empty sketch estimates 0 for everything.
     */
-  def cmsQuery(cms: DataFrame, items: DataFrame, valueCol: String, depth: Int = 4): DataFrame =
+  def cmsQuery(cms: DataFrame, items: DataFrame, valueCol: String): DataFrame = {
+    val depth = math.max(cmsDepth(cms), 1) // empty sketch: one all-zero row
     items
       .filter(col(valueCol).isNotNull)
       .select(col(valueCol).as("item"))
@@ -275,15 +302,27 @@ object Stats {
       .join(cms, Seq("d", "bucket"), "left")
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est_count"))
+  }
 
   /** Merge count-min sketches by adding counters cell-wise — exactly the
     * sketch of the concatenated inputs (the linearity CMS is built on).
+    * Mixed depths are refused up front: unioning a depth-2 shard into a
+    * depth-4 rollup would leave rows 2..3 covering only part of the data,
+    * and min-over-rows would then UNDERcount — the one failure mode CMS
+    * must never have. Empty shards (depth 0) merge freely: they add
+    * nothing.
     */
-  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    val depths = sketches.map(cmsDepth).filter(_ > 0)
+    require(
+      depths.distinct.size <= 1,
+      s"CMS sketches with different depths do not merge: got depths ${depths.mkString(", ")}")
     sketches
       .reduce(_ unionByName _)
       .groupBy("d", "bucket")
       .agg(sum("cnt").cast("long").as("cnt"))
+  }
 
   /** Batch contract of the streaming KMV face
     * ([[graft.streaming.SketchIngest.kmvIngest]]), the store-lifecycle
@@ -306,7 +345,10 @@ object Stats {
       k: Int = 64): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // leading empties must not consume the claim
+    // Claim BEFORE the empty-batch check: an empty batch 0 must still
+    // replace a stale store, or a previous run's sketches would silently
+    // inflate every later rollup (and the claim is what creates the store,
+    // so the read face sees "empty", not "missing", on an idle stream).
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       Similarity.deleteDir(spark, s"$path/sketch")
       Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
@@ -314,6 +356,8 @@ object Stats {
       val k0 = spark.read.parquet(s"$path/params").head.getInt(0)
       require(k0 == k, s"KMV store at $path was built with k=$k0, got k=$k")
     }
+    // an empty batch lands an empty (schema-complete) sketch: retries stay
+    // idempotent and the rollup read never trips on a missing directory
     kmvSketch(batch, groupCol, valueCol, k)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -329,9 +373,13 @@ object Stats {
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       groupCol: String,
-      k: Int = 64): DataFrame =
+      k: Int = 64): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no KMV store at $path — ingest at least one batch first")
     kmvEstimate(
       kmvMerge(Seq(spark.read.parquet(s"$path/sketch").select("grp", "h")), k),
       groupCol,
       k)
+  }
 }

@@ -788,7 +788,7 @@ class RelationalSpec extends SparkSpec {
     val cms = Stats.cmsBuild(all, "v", depth = 4)
     assert(cms.count() <= 4 * 256)
     val truth = (a ++ b).groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val est = Stats.cmsQuery(cms, all, "v", depth = 4).collect()
+    val est = Stats.cmsQuery(cms, all, "v").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est.keySet == truth.keySet)
     truth.foreach { case (k, n) =>
@@ -805,9 +805,33 @@ class RelationalSpec extends SparkSpec {
       df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(cells(merged) == cells(cms))
     // a value the sketch never saw (collision-free in this draw) estimates 0
-    val unseen = Stats.cmsQuery(cms, Seq("zzz-unseen").toDF("v"), "v", depth = 4)
+    val unseen = Stats.cmsQuery(cms, Seq("zzz-unseen").toDF("v"), "v")
       .collect().head.getLong(1)
     assert(unseen == 0L)
+    // depth is pinned at merge: a depth-2 shard cannot dilute a depth-4
+    // rollup (min-over-rows would undercount — CMS's one forbidden error)
+    val err = intercept[IllegalArgumentException] {
+      Stats.cmsMerge(Seq(cms, Stats.cmsBuild(a.toDF("v"), "v", depth = 2)))
+    }
+    assert(err.getMessage.contains("different depths"))
+    // empty shards merge freely (they add nothing) and probe as all-zero
+    val emptyDf = Seq.empty[String].toDF("v")
+    assert(cells(Stats.cmsMerge(Seq(cms, Stats.cmsBuild(emptyDf, "v", depth = 4)))) == cells(cms))
+    assert(Stats.cmsQuery(Stats.cmsBuild(emptyDf, "v"), Seq("a").toDF("v"), "v")
+      .collect().head.getLong(1) == 0L)
+  }
+
+  test("kmvSketch/kmvEstimate refuse k > 128 (the estimator constant's Long ceiling)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("g", 1L)).toDF("event_type", "user_id")
+    val err = intercept[IllegalArgumentException] {
+      Stats.kmvDistinct(df, "event_type", "user_id", k = 129)
+    }
+    assert(err.getMessage.contains("[2, 128]"))
+    // k = 128 itself is legal and its scale constant stays positive
+    assert(Stats.kmvDistinct(df, "event_type", "user_id", k = 128)
+      .collect().head.getAs[Long]("est_distinct") == 1L)
   }
 
   // ---- contamination ------------------------------------------------------

@@ -909,5 +909,12 @@ class StreamingSpec extends SparkSpec {
         b2.toDF("event_type", "user_id"), s"$dir/store", 2L, "event_type", "user_id", k = 16)
     }
     assert(err.getMessage.contains("k=8"))
+    // a NEW stream lifecycle (batch 0) replaces the stale store even when
+    // its first batch is EMPTY — old sketches must not leak into rollups —
+    // and the claimed-but-empty store reads as empty, not as a crash
+    graft.ops.Stats.ingestKmvBatch(
+      Seq.empty[(String, Long)].toDF("event_type", "user_id"),
+      s"$dir/store", 0L, "event_type", "user_id", k = 8)
+    assert(rollup().isEmpty, "stale sketches survived a fresh batch-0 claim")
   }
 }
