@@ -1040,8 +1040,16 @@ object Corpus {
         isTarget.as("is_target"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .withColumn("grams", TextAnalysis.ngrams(col("tk"), 2))
+    // explode_outer, not explode: grams is non-null by construction, and
+    // the plain explode's InferFiltersFromGenerate filter re-evaluates the
+    // whole gram-construction chain per row in a non-codegen Filter
+    // (measured 11.6 s vs 0.4 s for this pass at sf0.1 — the
+    // embedding_project lesson); the _outer variant suppresses the rule,
+    // and its one extra null row per gram-less doc is filtered on the
+    // GENERATED attribute, which costs nothing.
     val hist = base
-      .select(col("is_target"), explode(col("grams")).as("g"))
+      .select(col("is_target"), explode_outer(col("grams")).as("g"))
+      .filter(col("g").isNotNull)
       .select(col("is_target"), gramBucket(col("g")).as("bucket"))
       .groupBy("bucket")
       .agg(
@@ -1052,17 +1060,23 @@ object Corpus {
       .toMap
     val qTot = hist.valuesIterator.map(_._1).sum
     val pTot = hist.valuesIterator.map(_._2).sum
-    // all 256 buckets get a smoothed ratio, so the lookup is never null
-    val ratios: Map[Long, Long] = (0L until nBuckets.toLong).map { b =>
+    // all 256 buckets get a smoothed ratio, so the lookup is never null.
+    // An ARRAY literal indexed by bucket, not a map: element_at on a map
+    // literal is a linear key scan per lookup (256 comparisons per gram —
+    // measured 13 s at sf0.1); array indexing is O(1) (1.9 s).
+    val ratios: Seq[Long] = (0L until nBuckets.toLong).map { b =>
       val (q, p) = hist.getOrElse(b, (0L, 0L))
-      b -> 1000L * (p + 1) * (qTot + nBuckets) / ((q + 1) * (pTot + nBuckets))
-    }.toMap
+      1000L * (p + 1) * (qTot + nBuckets) / ((q + 1) * (pTot + nBuckets))
+    }
     val rm = typedLit(ratios)
     base
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .withColumn(
         "ratio_sum",
-        aggregate(col("grams"), lit(0L), (acc, g) => acc + element_at(rm, gramBucket(g))))
+        aggregate(
+          col("grams"),
+          lit(0L),
+          (acc, g) => acc + element_at(rm, (gramBucket(g) + 1).cast("int"))))
       .select(
         col("doc_id"),
         col("n_grams"),

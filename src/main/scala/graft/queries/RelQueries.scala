@@ -490,8 +490,10 @@ object RelQueries {
     // count-min frequency sketch over the token stream, probed with the
     // corpus vocabulary: est >= true count, min-over-rows tightens it
     "stats_cms_freq" -> { (s, dir) =>
+      // _outer + the null filter cmsBuild/cmsQuery already apply: plain
+      // explode's inferred filter re-tokenizes per row (see importanceScore)
       val toks = docs(s, dir)
-        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(explode_outer(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
       Stats.cmsQuery(Stats.cmsBuild(toks, "tok"), toks, "tok")
     },
     // per-language sketches merged by counter addition: CMS linearity says
@@ -499,7 +501,7 @@ object RelQueries {
     "stats_cms_merged" -> { (s, dir) =>
       val d = docs(s, dir)
       def toks(f: DataFrame) =
-        f.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+        f.select(explode_outer(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
       val merged = Stats.cmsMerge(Seq(
         Stats.cmsBuild(toks(d.filter(col("lang") === "en")), "tok"),
         Stats.cmsBuild(toks(d.filter(col("lang") =!= "en")), "tok")))
