@@ -436,6 +436,74 @@ object Similarity {
           round(cosine(col("qv"), col("cv")), 6).as("cos_r")),
       k)
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query, the top-k most-similar corpus vectors whose `labelCol`
+    * DIFFERS from the query's — the "confusable but wrong" examples that
+    * make a retrieval/classification model actually learn a margin
+    * (random negatives are trivially separable; the informative ones live
+    * near the decision boundary). The label can be a class, a cluster id
+    * from [[graft.ops.Dedup.semanticDedup]], or a near-dup group — any
+    * column whose equality means "not a valid negative".
+    *
+    * Same deterministic flat-quantizer ANN shape as [[ivfFlatTopK]]
+    * (assign → probe nProbe cells → exact rerank, rounded cosine, lower
+    * id breaks ties) with the label riding alongside the vector through
+    * every stage — no join-back against the corpus, so the label filter
+    * adds zero shuffles to the ANN plan. Oracle-mirrorable end-to-end.
+    *
+    * Scale shape: identical to [[ivfFlatTopK]] — centroids broadcast,
+    * |corpus|·|C| map-side assignment, candidates bounded by the probed
+    * cells; the label inequality prunes candidates BEFORE the top-k
+    * window. A query whose probed cells hold only same-label vectors
+    * returns fewer than k rows (mine harder cells by raising nProbe).
+    */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = flatCents(corpus, nCentroids, idCol, vecCol)
+    val cells = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col(labelCol).as("neighbor_label"))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", round(cosine(col("cv"), col("centroid")), 6))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select("neighbor_id", "cv", "neighbor_label", "centroid_id")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(labelCol).as("q_label"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
+      .withColumn(
+        "prn",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("prn") <= nProbe)
+      .select("query_id", "qv", "q_label", "centroid_id")
+    probes
+      .join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("neighbor_label") =!= col("q_label"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("neighbor_label"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos_r"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label", "cos_r")
+  }
+
   /** Embedding-space coverage audit: vector counts and integer ppm shares
     * per flat-quantizer cell — the diversity diagnostic run before
     * training (a cell holding most of the corpus means the embedding

@@ -239,6 +239,58 @@ object Stats {
       k: Int = 64): DataFrame =
     kmvEstimate(kmvSketch(df, groupCol, valueCol, k), groupCol, k)
 
+  /** Set-overlap estimate between two KMV sketches (the k-min-values
+    * intersection estimator, Beyer et al. 2007): per group, the union
+    * sketch's survivors are flagged with which side(s) they came from, and
+    * the fraction carried by BOTH sides estimates the Jaccard similarity —
+    * `est_intersect = n_both · est_union div n_kept`. The pipeline use is
+    * corpus-pair overlap ("how much of crawl B is already in crawl A")
+    * from sketches alone: the raw corpora are never re-read, so a
+    * snapshot-×-snapshot overlap matrix costs |sketches|², not |data|².
+    *
+    * Both inputs are [[kmvSketch]] outputs (`grp`, `h`) built with the
+    * SAME k (groups present on one side only report n_both = 0 and the
+    * single side's union estimate). When the union sketch is unsaturated
+    * (n_kept < k) both sides were complete, so union, intersection and
+    * Jaccard are EXACT, not estimates — same exact-below-k contract as
+    * [[kmvEstimate]].
+    *
+    * All integer (Jaccard in milli-units), engine-portable, hence
+    * oracle-hashable. Scale shape: inputs are ≤ k rows per group by
+    * construction; the side-flag union is a ≤ 2k-row-per-group aggregate,
+    * the rank-≤-k trim plans as WindowGroupLimit, and the final rollup is
+    * one ≤ |groups|-key aggregation.
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
+    requireKmvK(k)
+    val scale = (k - 1).toLong * (1L << 56)
+    val pooled = a
+      .select(col("grp"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+      .unionAll(b.select(col("grp"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b")))
+      .groupBy("grp", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
+      .filter(col("rk") <= k)
+    pooled
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        max("h").as("h_k"),
+        sum(col("in_a") * col("in_b")).cast("long").as("n_both"))
+      .withColumn(
+        "est_union",
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(expr(s"CAST($scale AS BIGINT) div h_k"))
+          .cast("long"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_kept"),
+        col("n_both"),
+        col("est_union"),
+        expr("n_both * est_union div n_kept").cast("long").as("est_intersect"),
+        expr("n_both * 1000 div n_kept").cast("long").as("jaccard_milli"))
+  }
+
   /** Count-min sketch counter table (Cormode & Muthukrishnan 2005):
     * `depth` independent-ish hash rows derived from ONE md5 (hex digits
     * 2d+1..2d+2 give row d's bucket in 0..255), each row a 256-counter
@@ -322,6 +374,60 @@ object Stats {
       .reduce(_ unionByName _)
       .groupBy("d", "bucket")
       .agg(sum("cnt").cast("long").as("cnt"))
+  }
+
+  /** Batch contract of the streaming CMS face
+    * ([[graft.streaming.SketchIngest.cmsIngest]]) — the
+    * [[ingestKmvBatch]] store-lifecycle recipe applied to the count-min
+    * sketch: batch 0 (or a missing store) CLAIMS the root (stale batches
+    * deleted, `depth` pinned in `params`); later batches fail fast on a
+    * depth mismatch (mixed-depth sketches must never merge — min-over-rows
+    * would undercount, [[cmsMerge]]). Each batch lands its own
+    * ≤ depth·256-row counter table under `sketch/batch_id=N`, so a
+    * checkpoint-retried batch overwrites itself — exactly-once without a
+    * transaction log. Raw values are never re-read: by CMS linearity the
+    * summed batch counters ARE the whole-stream sketch.
+    */
+  def ingestCmsBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      valueCol: String,
+      depth: Int = 4): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/sketch")
+      Seq(depth).toDF("depth").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else {
+      val d0 = spark.read.parquet(s"$path/params").head.getInt(0)
+      require(d0 == depth, s"CMS store at $path was built with depth=$d0, got depth=$depth")
+    }
+    cmsBuild(batch, valueCol, depth)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketch/batch_id=$batchId")
+  }
+
+  /** Point-estimate `items` against every landed batch sketch rolled up by
+    * counter addition ([[cmsMerge]]'s linearity, inlined as one
+    * groupBy-sum over the ≤ |batches|·depth·256 sketch rows). Equal to
+    * querying the one-pass whole-stream sketch — the hash-equality the
+    * oracle query checks.
+    */
+  def readCmsEstimate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      items: DataFrame,
+      valueCol: String): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no CMS store at $path — ingest at least one batch first")
+    val merged = spark.read
+      .parquet(s"$path/sketch")
+      .groupBy("d", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+    cmsQuery(merged, items, valueCol)
   }
 
   /** Batch contract of the streaming KMV face

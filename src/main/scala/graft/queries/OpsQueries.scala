@@ -367,6 +367,13 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // hard negatives for contrastive training: most-similar DIFFERENT-label
+    // candidates from the probed cells (ivf_flat's deterministic shape with
+    // the label riding every stage — no join-back, hash-checked end-to-end)
+    "similarity_hard_negatives" -> { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 8), e, k = 5)
+    },
     // full lifecycle face of the k-means IVF: build the persisted index
     // (centroids + partitioned cells + params) in a scratch dir, then
     // probe it — must hash-match similarity_topk_ivf's oracle exactly,
@@ -2251,6 +2258,32 @@ object OpsQueries {
          |  JOIN e q ON q.id = p.query_id
          |  JOIN e c ON c.id = m.vid)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    "similarity_hard_negatives" ->
+      s"""WITH el AS (
+         |  SELECT vec_id AS id, embedding AS v, label,
+         |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+         |  FROM embeddings),
+         |asg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM el q JOIN el c ON c.id < 16),
+         |cells AS (SELECT vid, cid FROM asg WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 8 AND rn <= 4),
+         |scored AS (
+         |  SELECT p.query_id, m.vid AS neighbor_id, c.label AS neighbor_label,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM probes p
+         |  JOIN cells m ON p.cid = m.cid AND m.vid <> p.query_id
+         |  JOIN el q ON q.id = p.query_id
+         |  JOIN el c ON c.id = m.vid
+         |  WHERE c.label <> q.label)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, neighbor_label, cos_r FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)

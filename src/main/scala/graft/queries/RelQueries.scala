@@ -507,6 +507,20 @@ object RelQueries {
         Stats.cmsBuild(toks(d.filter(col("lang") =!= "en")), "tok")))
       Stats.cmsQuery(merged, toks(d), "tok")
     },
+    // the CMS streaming-store lifecycle inside the timed query: three
+    // ingest rounds land batch-keyed counter tables (batch 0 claiming any
+    // stale store), then the read face sums them — by CMS linearity this
+    // must hash-equal the one-pass whole-corpus sketch's estimates
+    "stats_cms_streamed" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cms_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir)
+      def toks(f: DataFrame) =
+        f.select(explode_outer(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      (0L to 2L).foreach { b =>
+        Stats.ingestCmsBatch(toks(d.filter(col("doc_id") % 3 === b)), root, b, "tok")
+      }
+      Stats.readCmsEstimate(s, root, toks(d), "tok")
+    },
     // KMV distinct-user sketch per event type: exact below k (sf0.001, 15
     // users/group), estimator at k (sf0.01, 150 users/group)
     "stats_kmv_distinct" -> { (s, dir) =>
@@ -534,6 +548,17 @@ object RelQueries {
         Stats.kmvSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", k = 64),
         Stats.kmvSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id", k = 64))
       Stats.kmvEstimate(Stats.kmvMerge(halves, k = 64), "event_type", k = 64)
+    },
+    // sketch-only corpus overlap: the two halves' user sets compared
+    // WITHOUT re-reading raw events — union/intersection/Jaccard from
+    // k=64 survivors; exact below k (sf0.001), estimator at k (sf0.01)
+    "stats_kmv_overlap" -> { (s, dir) =>
+      val ev = events(s, dir)
+      Stats.kmvOverlap(
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id", k = 64),
+        Stats.kmvSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id", k = 64),
+        "event_type",
+        k = 64)
     },
     // hourly volume anomalies per event type: 3-sigma vs the trailing-24
     // baseline, decided in exact integer arithmetic (no stddev/sqrt)
@@ -782,6 +807,36 @@ object RelQueries {
       |       CAST(CASE WHEN n_kept < 64 THEN n_kept
       |            ELSE 4539628424389459968 // h_k END AS BIGINT) AS est_distinct
       |FROM a""".stripMargin
+
+  // KMV overlap: each half's k=64 sketch, side-flagged union re-trimmed to
+  // k, Beyer-style intersection estimator (integer milli Jaccard)
+  private val kmvOverlapSql =
+    """WITH hv AS (
+      |  SELECT DISTINCT event_type AS grp, event_id % 2 AS side,
+      |    list_sum(list_transform(range(0, 14), i ->
+      |      (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i + 1, 1)) - 1)::BIGINT
+      |        << (4 * (13 - i)))) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |r AS (SELECT grp, side, h,
+      |        row_number() OVER (PARTITION BY grp, side ORDER BY h) AS rk FROM hv),
+      |sk AS (SELECT grp, h,
+      |         MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+      |         MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+      |       FROM r WHERE rk <= 64 GROUP BY grp, h),
+      |u AS (SELECT grp, h, in_a, in_b,
+      |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM sk),
+      |a AS (SELECT grp, COUNT(*) AS n_kept, MAX(h) AS h_k,
+      |        SUM(in_a * in_b) AS n_both
+      |      FROM u WHERE rk <= 64 GROUP BY grp),
+      |est AS (SELECT *, CASE WHEN n_kept < 64 THEN n_kept
+      |                       ELSE 4539628424389459968 // h_k END AS est_union
+      |        FROM a)
+      |SELECT grp AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
+      |       CAST(n_both AS BIGINT) AS n_both,
+      |       CAST(est_union AS BIGINT) AS est_union,
+      |       CAST(n_both * est_union // n_kept AS BIGINT) AS est_intersect,
+      |       CAST(n_both * 1000 // n_kept AS BIGINT) AS jaccard_milli
+      |FROM est""".stripMargin
 
   // count-min sketch: row d's bucket = md5 hex digits 2d+1..2d+2 (0..255),
   // 4 rows; estimate = min over rows of the item's counter
@@ -1310,8 +1365,10 @@ object RelQueries {
     "stats_kmv_distinct" -> kmvSql,
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
+    "stats_kmv_overlap" -> kmvOverlapSql,
     "stats_cms_freq" -> cmsSql,
     "stats_cms_merged" -> cmsSql,
+    "stats_cms_streamed" -> cmsSql,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

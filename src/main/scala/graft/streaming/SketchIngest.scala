@@ -40,4 +40,30 @@ object SketchIngest {
         ()
       }
       .start()
+
+  /** Streaming face of the count-min frequency sketch
+    * ([[graft.ops.Stats.cmsBuild]]): each micro-batch lands its own
+    * ≤ depth·256-row counter table batch-id-keyed (retried batches
+    * overwrite themselves), and the live estimate is
+    * [[graft.ops.Stats.readCmsEstimate]]'s counter-sum rollup — by CMS
+    * linearity exactly the one-pass whole-stream sketch. The frequency
+    * complement of [[kmvIngest]] under the same store lifecycle: point
+    * lookups for ANY value ever streamed, state ≤ depth·256 longs per
+    * batch regardless of cardinality, stores mergeable across streams by
+    * the same counter addition.
+    */
+  def cmsIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      valueCol: String,
+      depth: Int = 4): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Stats.ingestCmsBatch(batch.toDF(), path, batchId, valueCol, depth)
+        ()
+      }
+      .start()
 }

@@ -909,6 +909,25 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("hardNegatives: same-label near-copy excluded, different-label confusable ranks first") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),      // query
+      (1L, Seq(0.99f, 0.14f, 0f), 0), // same label — the near-copy MUST not appear
+      (2L, Seq(0.95f, 0.31f, 0f), 1), // different label, most similar valid negative
+      (3L, Seq(0f, 1f, 0f), 1),
+      (4L, Seq(-1f, 0f, 0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .hardNegatives(corpus.filter(col("vec_id") === 0), corpus, k = 3, nCentroids = 2, nProbe = 2)
+      .collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(got.forall(_.getAs[Int]("neighbor_label") != 0))
+    assert(got.head.getAs[Double]("cos_r") > 0.9)
+  }
+
   test("projectMilli: md5-parity signs match MessageDigest; clusters survive the cut") {
     val s = spark
     import s.implicits._

@@ -37,6 +37,7 @@ class RegistryPlanSpec extends SparkSpec {
     // projected space since round 10 — no BNLJ, no allowlist entry)
     "similarity_topk_ivf", // crossJoin(broadcast(centroids)) — nCentroids rows
     "similarity_topk_ivf_flat", // same centroid broadcast
+    "similarity_hard_negatives", // same centroid broadcast (label rides the equi-keyed stages)
     "similarity_topk_ivf_persisted", // same centroid broadcast, read from the index
     "similarity_topk_ivf_compacted", // same centroid broadcast over the compacted store
     "similarity_topk_ivf_retrained", // same centroid broadcast over the retrained store

@@ -821,6 +821,43 @@ class RelationalSpec extends SparkSpec {
       .collect().head.getLong(1) == 0L)
   }
 
+  test("kmvOverlap: exact below k, identical/disjoint extremes, one-sided groups") {
+    val s = spark
+    import s.implicits._
+    def sk(grp: String, ids: Range) =
+      Stats.kmvSketch(ids.map(u => (grp, u.toLong)).toDF("g", "user_id"), "g", "user_id", k = 64)
+    // exact path: |A∪B| = 30 < k, A∩B = 10..19 -> everything exact
+    val ex = Stats.kmvOverlap(sk("g", 0 until 20), sk("g", 10 until 30), "g", k = 64)
+      .collect().head
+    assert(ex.getAs[Long]("n_kept") == 30L)
+    assert(ex.getAs[Long]("n_both") == 10L)
+    assert(ex.getAs[Long]("est_union") == 30L)
+    assert(ex.getAs[Long]("est_intersect") == 10L)
+    assert(ex.getAs[Long]("jaccard_milli") == 333L)
+    // identical saturated sets: every survivor is on both sides
+    val id = Stats.kmvOverlap(sk("g", 0 until 200), sk("g", 0 until 200), "g", k = 64)
+      .collect().head
+    assert(id.getAs[Long]("n_kept") == 64L)
+    assert(id.getAs[Long]("n_both") == 64L)
+    assert(id.getAs[Long]("jaccard_milli") == 1000L)
+    assert(id.getAs[Long]("est_intersect") == id.getAs[Long]("est_union"))
+    // disjoint saturated sets: no survivor carries both flags
+    val dj = Stats.kmvOverlap(sk("g", 0 until 100), sk("g", 1000 until 1100), "g", k = 64)
+      .collect().head
+    assert(dj.getAs[Long]("n_both") == 0L && dj.getAs[Long]("jaccard_milli") == 0L)
+    // a group present on one side only degrades to that side's estimate
+    val os = Stats.kmvOverlap(sk("only_a", 0 until 25), sk("other", 0 until 5), "g", k = 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(os("only_a").getAs[Long]("n_both") == 0L)
+    assert(os("only_a").getAs[Long]("est_union") == 25L)
+    // estimator path sanity on a real 50% overlap: est_intersect within
+    // ~4/sqrt(k) of truth (1000 ∪ 1500, ∩ 500 — one fixed md5 draw)
+    val ov = Stats.kmvOverlap(sk("g", 0 until 1000), sk("g", 500 until 1500), "g", k = 64)
+      .collect().head
+    val estI = ov.getAs[Long]("est_intersect").toDouble
+    assert(math.abs(estI - 500.0) <= 250.0, s"est_intersect $estI vs 500")
+  }
+
   test("kmvSketch/kmvEstimate refuse k > 128 (the estimator constant's Long ceiling)") {
     val s = spark
     import s.implicits._

@@ -917,4 +917,60 @@ class StreamingSpec extends SparkSpec {
       s"$dir/store", 0L, "event_type", "user_id", k = 8)
     assert(rollup().isEmpty, "stale sketches survived a fresh batch-0 claim")
   }
+
+  test("cmsIngest: summed batch counters == one-pass sketch, retry idempotent, depth pinned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    val b1 = Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ (0 until 30).map(i => s"x$i")
+    val b2 = Seq.fill(3)("a") ++ Seq("b", "c") ++ (0 until 20).map(i => s"y$i")
+    def addValues(rows: Seq[String]): Unit =
+      rows.toDF("v").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .cmsIngest(
+          spark.readStream.schema("v STRING").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          "v",
+          depth = 4)
+        .awaitTermination()
+    def estimates(): Map[String, Long] =
+      graft.ops.Stats.readCmsEstimate(spark, s"$dir/store", (b1 ++ b2).toDF("v"), "v")
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("est_count"))
+        .toMap
+
+    addValues(b1)
+    run()
+    addValues(b2)
+    run()
+    // each batch's counter table is depth-bounded regardless of cardinality
+    val perBatch = spark.read.parquet(s"$dir/store/sketch")
+      .groupBy("batch_id").count().collect()
+    assert(perBatch.length == 2 && perBatch.forall(_.getAs[Long]("count") <= 4 * 256))
+    // linearity: the rollup equals querying the one-pass whole-stream sketch
+    val whole = graft.ops.Stats
+      .cmsQuery(
+        graft.ops.Stats.cmsBuild((b1 ++ b2).toDF("v"), "v", depth = 4),
+        (b1 ++ b2).toDF("v"),
+        "v")
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_count"))
+      .toMap
+    val got = estimates()
+    assert(got == whole, s"rollup $got != one-pass $whole")
+    assert(got("a") == 8L && got("b") == 3L && got("c") == 1L) // collision-free draw
+    // a checkpoint-retried batch overwrites its own counters: no double count
+    graft.ops.Stats.ingestCmsBatch(b2.toDF("v"), s"$dir/store", 1L, "v", depth = 4)
+    assert(estimates() == got, "retried batch must be idempotent")
+    // the store pins depth: a mixed-depth rollup would undercount
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Stats.ingestCmsBatch(b2.toDF("v"), s"$dir/store", 2L, "v", depth = 2)
+    }
+    assert(err.getMessage.contains("depth=4"))
+    // batch 0 claims: stale counters never leak into a new stream's rollup
+    graft.ops.Stats.ingestCmsBatch(Seq.empty[String].toDF("v"), s"$dir/store", 0L, "v", depth = 4)
+    assert(estimates().forall(_._2 == 0L), "stale counters survived a fresh batch-0 claim")
+  }
 }
