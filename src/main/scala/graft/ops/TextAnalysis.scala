@@ -1315,6 +1315,142 @@ object TextAnalysis {
         expr("(1000 * lm_sum) div n_bigrams").cast("long").as("lm_milli"))
   }
 
+  /** Trigram stupid-backoff fluency scoring (the Brants et al. 2007
+    * "stupid backoff" large-LM rule) against a REFERENCE corpus — the
+    * cross-corpus upgrade of [[bigramRarity]]: train n-gram counts on a
+    * trusted/high-quality reference, score every candidate document, and
+    * docs whose trigrams the reference never saw fall through the backoff
+    * ladder. Per trigram occurrence, in integer micro-units:
+    *
+    *   - trigram tier: `1000000·c123 div c12` when the reference saw the
+    *     trigram (c12 = the reference count of its context bigram),
+    *   - bigram tier:  `400000·c23 div c2` (the 0.4 backoff factor in
+    *     micro), when only the closing bigram is known,
+    *   - unigram tier: `160000·c3 div N` (0.4², N = reference tokens),
+    *   - OOV tier: 0 — the closing token itself is unknown.
+    *
+    * Returns per doc (docs with ≥ 1 trigram — shorter docs have no
+    * scoreable context, same contract as [[bigramRarity]]): total trigram
+    * occurrences, per-tier occurrence counts (`n_tri`/`n_bi`/`n_uni`/
+    * `n_oov` — the coverage profile is itself the quality signal), and
+    * the mean score `sb_micro`. All-integer MLE ratios stand in for the
+    * production float LM exactly as in [[bigramRarity]]/`fluencyGate` —
+    * order-independent, hence oracle-hashable.
+    *
+    * Scale shape: the reference tokenizes ONCE into a projected array
+    * (localCheckpoint'd tf table), then three narrow explodes feed
+    * map-side-combinable count aggregates whose outputs are keyed by
+    * n-grams — the hot-key profile of natural text partial-aggregates
+    * before every shuffle. The doc side reduces to its per-(doc, trigram)
+    * tf FIRST, so each ref-table join moves one row per distinct trigram
+    * per doc, never the token stream; every join is an equi-join (AQE
+    * broadcasts the ref tables when the reference is dictionary-sized).
+    */
+  def trigramBackoff(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val triStruct = {
+      val tk = col("__tk")
+      when(
+        size(tk) >= 3,
+        zip_with(
+          zip_with(
+            slice(tk, lit(1), size(tk) - 2),
+            slice(tk, lit(2), size(tk) - 2),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(tk, lit(3), size(tk) - 2),
+          (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"), c.as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+    }
+    val biStruct = {
+      val tk = col("__tk")
+      when(
+        size(tk) >= 2,
+        zip_with(
+          slice(tk, lit(1), size(tk) - 1),
+          slice(tk, lit(2), size(tk) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    // reference n-gram counts: tokenize once, three narrow explodes
+    // (explode_outer over a PROJECTED array + null filter on the generated
+    // attribute — the InferFiltersFromGenerate discipline)
+    val refTk = reference
+      .select(tokens(col(textCol)).as("__tk"))
+      .localCheckpoint()
+    val uni = refTk
+      .select(explode_outer(col("__tk")).as("w"))
+      .filter(col("w").isNotNull)
+    val c3 = uni.groupBy(col("w").as("w3")).agg(count(lit(1)).cast("long").as("c3"))
+    val nTok = uni.agg(count(lit(1)).cast("long").as("__n"))
+    val bi = refTk
+      .select(biStruct.as("__bg"))
+      .select(explode_outer(col("__bg")).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy(col("bg.w1").as("b1"), col("bg.w2").as("b2"))
+      .agg(count(lit(1)).cast("long").as("cb"))
+      .localCheckpoint()
+    val c123 = refTk
+      .select(triStruct.as("__tg"))
+      .select(explode_outer(col("__tg")).as("tg"))
+      .filter(col("tg").isNotNull)
+      .groupBy(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).cast("long").as("c123"))
+    // doc side: per-(doc, trigram) tf BEFORE any ref join
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"), triStruct.as("__tg"))
+      .select(col("doc_id"), explode_outer(col("__tg")).as("tg"))
+      .filter(col("tg").isNotNull)
+      .groupBy(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val scored = tf
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(
+        bi.select(col("b1").as("w1"), col("b2").as("w2"), col("cb").as("c12")),
+        Seq("w1", "w2"),
+        "left")
+      .join(
+        bi.select(col("b1").as("w2"), col("b2").as("w3"), col("cb").as("c23")),
+        Seq("w2", "w3"),
+        "left")
+      .join(c3.select(col("w3").as("w2"), col("c3").as("c2")), Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(nTok))
+      .withColumn(
+        "s_micro",
+        when(col("c123").isNotNull, expr("1000000 * c123 div c12"))
+          .when(col("c23").isNotNull, expr("400000 * c23 div c2"))
+          .when(col("c3").isNotNull, expr("160000 * c3 div __n"))
+          .otherwise(lit(0L))
+          .cast("long"))
+      .withColumn(
+        "tier",
+        when(col("c123").isNotNull, lit(3))
+          .when(col("c23").isNotNull, lit(2))
+          .when(col("c3").isNotNull, lit(1))
+          .otherwise(lit(0)))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_trigrams"),
+        sum(when(col("tier") === 3, col("tf")).otherwise(0L)).cast("long").as("n_tri"),
+        sum(when(col("tier") === 2, col("tf")).otherwise(0L)).cast("long").as("n_bi"),
+        sum(when(col("tier") === 1, col("tf")).otherwise(0L)).cast("long").as("n_uni"),
+        sum(when(col("tier") === 0, col("tf")).otherwise(0L)).cast("long").as("n_oov"),
+        sum(col("tf") * col("s_micro")).cast("long").as("sb_sum"))
+      .select(
+        col("doc_id"),
+        col("n_trigrams"),
+        col("n_tri"),
+        col("n_bi"),
+        col("n_uni"),
+        col("n_oov"),
+        expr("sb_sum div n_trigrams").cast("long").as("sb_micro"))
+  }
+
   /** Corpus vocabulary with document frequency: one row per distinct token
     * with its df (docs containing it) and tf (total occurrences), filtered
     * to `df >= minDf` — the vocabulary-build step of any tokenizer/featurizer

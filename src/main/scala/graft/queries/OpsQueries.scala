@@ -424,6 +424,14 @@ object OpsQueries {
     "text_quality" -> { (s, dir) => TextAnalysis.quality(docs(s, dir)) },
     "text_rarity" -> { (s, dir) => TextAnalysis.unigramRarity(docs(s, dir)) },
     "text_lm_bigram" -> { (s, dir) => TextAnalysis.bigramRarity(docs(s, dir)) },
+    // stupid-backoff trigram LM vs a REFERENCE slice (src0-src4 train the
+    // counts, everyone is scored): per-tier coverage + integer micro score
+    "text_lm_backoff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.trigramBackoff(
+        d,
+        d.filter(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+    },
     "text_winnow" -> { (s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir)) },
     "text_reuse_pairs" -> { (s, dir) => TextAnalysis.winnowReusePairs(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
@@ -1592,6 +1600,53 @@ object OpsQueries {
          |       CAST((1000 * SUM(tf.tf * (c1.c1 // c2.c2))) // SUM(tf.tf) AS BIGINT) AS lm_milli
          |FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY tf.doc_id""".stripMargin,
+    "text_lm_backoff" ->
+      s"""WITH $tokCtes,
+         |rtk AS (
+         |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')),
+         |runi AS (SELECT unnest(tk) AS w FROM rtk),
+         |c3 AS (SELECT w AS w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM runi GROUP BY 1),
+         |ntok AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM runi),
+         |rbi AS (
+         |  SELECT tk[i] AS b1, tk[i + 1] AS b2, CAST(COUNT(*) AS BIGINT) AS cb
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM rtk WHERE len(tk) >= 2)
+         |  GROUP BY 1, 2),
+         |rtri AS (
+         |  SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         |         CAST(COUNT(*) AS BIGINT) AS c123
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM rtk WHERE len(tk) >= 3)
+         |  GROUP BY 1, 2, 3),
+         |tf AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3,
+         |         CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+         |        FROM tks WHERE len(tk) >= 3)
+         |  GROUP BY 1, 2, 3, 4),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         CASE WHEN r.c123 IS NOT NULL THEN 3
+         |              WHEN b23.cb IS NOT NULL THEN 2
+         |              WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS tier,
+         |         CASE WHEN r.c123 IS NOT NULL THEN 1000000 * r.c123 // b12.cb
+         |              WHEN b23.cb IS NOT NULL THEN 400000 * b23.cb // u2.c3
+         |              WHEN c3.c3 IS NOT NULL THEN 160000 * c3.c3 // ntok.n
+         |              ELSE 0 END AS s_micro
+         |  FROM tf
+         |  LEFT JOIN rtri r ON r.w1 = tf.w1 AND r.w2 = tf.w2 AND r.w3 = tf.w3
+         |  LEFT JOIN rbi b12 ON b12.b1 = tf.w1 AND b12.b2 = tf.w2
+         |  LEFT JOIN rbi b23 ON b23.b1 = tf.w2 AND b23.b2 = tf.w3
+         |  LEFT JOIN c3 u2 ON u2.w3 = tf.w2
+         |  LEFT JOIN c3 ON c3.w3 = tf.w3
+         |  CROSS JOIN ntok)
+         |SELECT doc_id,
+         |       CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+         |       CAST(SUM(CASE WHEN tier = 3 THEN tf ELSE 0 END) AS BIGINT) AS n_tri,
+         |       CAST(SUM(CASE WHEN tier = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_bi,
+         |       CAST(SUM(CASE WHEN tier = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_uni,
+         |       CAST(SUM(CASE WHEN tier = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(SUM(tf * s_micro) // SUM(tf) AS BIGINT) AS sb_micro
+         |FROM scored GROUP BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH $tokCtes,
          |g AS (SELECT doc_id, tk FROM tks WHERE len(tk) >= 3),

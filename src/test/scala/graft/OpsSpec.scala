@@ -524,6 +524,35 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._3 < got(3L)._3)
   }
 
+  test("trigramBackoff: hand-computed tiers — trigram, bigram, unigram, OOV") {
+    val s = spark
+    import s.implicits._
+    // ref counts: tri (a,b,c)=1 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1; bi ab=2 bc=1
+    // ca=1 bd=1; uni a=2 b=2 c=1 d=1; N=6
+    val ref = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),   // tri tier: 1000000*1 div c(ab)=2 -> 500000
+      (2L, "c b d"),   // bi tier:  400000*c(bd)=1 div c(b)=2 -> 200000
+      (3L, "x y d"),   // uni tier: 160000*c(d)=1 div 6 -> 26666
+      (4L, "x y z"),   // OOV: z unseen -> 0
+      (5L, "a b c d"), // (a,b,c)=500000 tri + (b,c,d) uni-on-d 26666 -> avg 263333
+      (6L, "a b")      // < 3 tokens: no scoreable trigram, absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.trigramBackoff(docs, ref).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got.contains(6L))
+    def row(id: Long) = {
+      val r = got(id)
+      (r.getAs[Long]("n_trigrams"), r.getAs[Long]("n_tri"), r.getAs[Long]("n_bi"),
+        r.getAs[Long]("n_uni"), r.getAs[Long]("n_oov"), r.getAs[Long]("sb_micro"))
+    }
+    assert(row(1L) == ((1L, 1L, 0L, 0L, 0L, 500000L)))
+    assert(row(2L) == ((1L, 0L, 1L, 0L, 0L, 200000L)))
+    assert(row(3L) == ((1L, 0L, 0L, 1L, 0L, 26666L)))
+    assert(row(4L) == ((1L, 0L, 0L, 0L, 1L, 0L)))
+    assert(row(5L) == ((2L, 1L, 0L, 1L, 0L, 263333L)))
+  }
+
   test("winnowFingerprints: shared-run guarantee, short docs, determinism") {
     val s = spark
     import s.implicits._

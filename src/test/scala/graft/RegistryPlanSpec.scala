@@ -47,7 +47,8 @@ class RegistryPlanSpec extends SparkSpec {
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "audit_orders", // crossJoin(broadcast(1-row totals summary))
     "audit_join_cardinality", // crossJoin(broadcast(1-row grand total))
-    "skew_key_profile" // crossJoin(broadcast(1-row totals))
+    "skew_key_profile", // crossJoin(broadcast(1-row totals))
+    "text_lm_backoff" // crossJoin(broadcast(1-row reference token total))
   )
 
   /** Physical-plan substrings that mark a lambda reading an INLINE array
