@@ -1247,6 +1247,67 @@ object Similarity {
     clearTombstones(spark, path)
   }
 
+  /** Retrain the COMPOSED IVF-PQ index — both quantizers at once, the op
+    * [[writeIvfPqIndex]]'s "retrain = rebuild" contract promises. PQ
+    * codes are lossy, so like [[retrainPqIndex]] the caller supplies the
+    * full-precision system-of-record `corpus`; the live id set comes from
+    * the index (tombstones subtracted), exactly those vectors are pulled
+    * by semi-join (fail-fast by anti-join on missing ids, and on
+    * duplicate corpus rows that would encode twice), the coarse k-means
+    * AND the PQ codebook retrain under the stored params, and every live
+    * vector is re-routed + re-encoded. Swap order: codes first, then
+    * codebook, then centroids (each dir stays readable at every instant;
+    * a crash between swaps leaves new codes under stale quantizers —
+    * mis-routed probes until the retrain is re-run, so treat an
+    * interrupted retrain as an incident). Stream-built stores keep their
+    * batch-keyed layout (`batch_id=-1` fold), so the op is valid
+    * mid-stream; spent tombstones are cleared with the rewrite.
+    * Idempotent under crash-rerun: every output derives from the live id
+    * set + corpus, not from the artifacts being replaced.
+    */
+  def retrainIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val p = spark.read.parquet(s"$path/params")
+      .select("n_centroids", "iters", "m", "ksub", "dim").head()
+    val (nCentroids, iters, m, ksub, dim) =
+      (p.getInt(0), p.getInt(1), p.getInt(2), p.getInt(3), p.getInt(4))
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val hasBatchDirs = codesRaw.columns.contains("batch_id")
+    val liveIds = minusTombstones(spark, path, codesRaw, "vec_id")
+      .select("vec_id").distinct().localCheckpoint()
+    val live = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+      .join(liveIds, Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val nMissing = liveIds.join(live.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(
+      nMissing == 0,
+      s"retrainIvfPqIndex: corpus is missing $nMissing live index ids — " +
+        "a missing vector would silently drop from the retrained index")
+    val (nLive, nIds) = (live.count(), liveIds.count())
+    require(
+      nLive == nIds,
+      s"retrainIvfPqIndex: corpus carries duplicate rows for live ids ($nLive rows, $nIds ids) — " +
+        "a duplicate would encode twice")
+    val cents = ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
+    val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
+    val codes = encodeToCells(live, cents, cb, m, dim / m, "vec_id", "embedding")
+    if (hasBatchDirs)
+      rewriteDir(
+        spark,
+        codes.withColumn("batch_id", lit(-1L)),
+        s"$path/codes",
+        Seq("batch_id", "centroid_id"))
+    else rewriteDir(spark, codes, s"$path/codes", Seq("centroid_id"))
+    rewriteDir(spark, cb.coalesce(1), s"$path/codebook", Nil)
+    rewriteDir(spark, cents.coalesce(1), s"$path/centroids", Nil)
+    clearTombstones(spark, path)
+  }
+
   /** Persisted-index freshness/census audit — the operational dashboard
     * row the ingest loop watches, combining [[indexDriftReport]]'s
     * fixed-ruler drift signal with the storage census compaction acts on.

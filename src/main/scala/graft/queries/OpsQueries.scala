@@ -720,6 +720,23 @@ object OpsQueries {
       Similarity.retrainPqIndex(s, idx, e)
       Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
     },
+    // composed-index retrain: stale coarse+PQ quantizers (trained on 2/3
+    // of the corpus), the rest + decoys appended frozen, decoys
+    // tombstoned, then retrainIvfPqIndex rebuilds BOTH quantizers from
+    // the live id set — the probe must hash-equal the clean build
+    "similarity_topk_ivfpq_retrained" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_ridx_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 3 =!= 2), idx)
+      Similarity.appendIvfPqIndex(e.filter(col("vec_id") % 3 === 2), idx)
+      val decoys = e
+        .filter(col("vec_id") % 5 === 1)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.appendIvfPqIndex(decoys, idx)
+      Similarity.deleteFromIndex(decoys.select("vec_id"), idx)
+      Similarity.retrainIvfPqIndex(s, idx, e)
+      Similarity.probeIvfPqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5)
+    },
     // the compressed-domain twin of similarity_topk_ivf_compacted
     "similarity_topk_pq_compacted" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -1410,8 +1427,21 @@ object OpsQueries {
       // candidates (top-4 cells per query), the global PQ codebook ADC-
       // scores only those cells' codes — both quantizers unrolled into
       // DuckDB, full hash check of the whole composition
-      "similarity_topk_ivfpq" ->
-        s"""WITH $kmeansCellsCtes,
+      "similarity_topk_ivfpq" -> ivfPqOracleSql,
+      // retrainIvfPqIndex rebuilds BOTH quantizers from the live id
+      // set (= the full corpus once the decoys are tombstoned), so the
+      // retrained composed face shares the clean-build oracle too
+      "similarity_topk_ivfpq_retrained" -> ivfPqOracleSql,
+      // the persisted cluster map IS clusterPairs' output round-tripped
+      // through parquet — one oracle for both faces
+      "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"))
+
+  // composed IVF-PQ: the 3-iteration integer-milli Lloyd chain routes
+  // candidates (top-4 cells per query), the global PQ codebook ADC-
+  // scores only those cells' codes — both quantizers unrolled into
+  // DuckDB, full hash check of the whole composition
+  private lazy val ivfPqOracleSql =
+    s"""WITH $kmeansCellsCtes,
            |$pqCtes,
            |codes AS (
            |  SELECT vec_id, subspace, code
@@ -1446,10 +1476,7 @@ object OpsQueries {
            |  SELECT *, ROW_NUMBER() OVER (
            |    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
            |  FROM adc)
-           |WHERE rank <= 5""".stripMargin,
-      // the persisted cluster map IS clusterPairs' output round-tripped
-      // through parquet — one oracle for both faces
-      "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"))
+           |WHERE rank <= 5""".stripMargin
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "dedup_simhash_pairs" ->

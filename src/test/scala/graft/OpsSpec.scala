@@ -383,6 +383,40 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("live index ids"))
   }
 
+  test("retrainIvfPqIndex: both quantizers retrain; equals a clean rebuild; fails fast on missing ids") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqretrain").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist")))
+      .toSet
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendIvfPqIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    val decoys = q.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.appendIvfPqIndex(decoys, dir)
+    Similarity.deleteFromIndex(decoys.select("vec_id"), dir)
+    Similarity.retrainIvfPqIndex(spark, dir, e)
+    val clean = java.nio.file.Files.createTempDirectory("ivfpqclean").toString
+    Similarity.writeIvfPqIndex(e, clean)
+    assert(rows(Similarity.probeIvfPqIndex(spark, dir, q, k = 5)) ==
+      rows(Similarity.probeIvfPqIndex(spark, clean, q, k = 5)))
+    // BOTH quantizers retrained to the clean build's values, tombstones spent
+    def cents(p: String) = spark.read.parquet(s"$p/centroids").collect()
+      .map(r => (r.getAs[Long]("centroid_id"), r.getSeq[Float](1))).toSet
+    assert(cents(dir) == cents(clean), "retrained coarse centroids must equal the clean rebuild's")
+    def cb(p: String) = spark.read.parquet(s"$p/codebook").collect()
+      .map(r => (r.getAs[Long]("subspace"), r.getAs[Long]("code")) -> r.getSeq[Long](2)).toMap
+    assert(cb(dir) == cb(clean), "retrained codebook must equal the clean rebuild's")
+    assert(!new java.io.File(s"$dir/tombstones").exists, "retrain must clear spent tombstones")
+    // a corpus that lacks live ids must fail fast, not silently shrink
+    val err = intercept[IllegalArgumentException] {
+      Similarity.retrainIvfPqIndex(spark, dir, e.filter(col("vec_id") >= 100))
+    }
+    assert(err.getMessage.contains("live index ids"))
+  }
+
   test("indexDriftReport: self-batch reads ~1000 milli per cell, a collapsed batch spikes its cell") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdrift").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -42,6 +42,7 @@ class RegistryPlanSpec extends SparkSpec {
     "similarity_topk_ivf_compacted", // same centroid broadcast over the compacted store
     "similarity_topk_ivf_retrained", // same centroid broadcast over the retrained store
     "similarity_topk_ivfpq", // centroid + codebook broadcasts (both bounded), probe side broadcast onto the partition column
+    "similarity_topk_ivfpq_retrained", // same bounded broadcasts over the retrained store
     "ann_index_audit", // centroid broadcast (batch assignment) + 1-row ppm totals
     "embedding_cell_balance", // centroid broadcast
     "embedding_cell_drift", // centroid broadcast (two epochs)
