@@ -465,6 +465,28 @@ object RelQueries {
           col("event_type"),
           col("n_users"))
     },
+    // the promised "sketch swap-in at scale" for the exact hopping-window
+    // distinct: KMV per (window, type) — k-bounded state per window where
+    // countDistinct's per-window set is unbounded; exact below k, and
+    // (unlike HLL) engine-portable, hence still hash-checked
+    "events_hopping_uniques_kmv" -> { (s, dir) =>
+      val keyed = eventsT(s, dir, "event_type", "user_id")
+        .select(
+          window(col("t"), "1 hour", "30 minutes").as("w"),
+          col("event_type"),
+          col("user_id"))
+        .select(
+          struct(
+            unix_micros(col("w.start")).as("window_start_us"),
+            col("event_type")).as("wk"),
+          col("user_id"))
+      Stats.kmvEstimate(Stats.kmvSketch(keyed, "wk", "user_id", k = 64), "wk", k = 64)
+        .select(
+          col("wk.window_start_us").as("window_start_us"),
+          col("wk.event_type").as("event_type"),
+          col("n_kept"),
+          col("est_distinct"))
+    },
     "contamination_ngrams" -> { (s, dir) =>
       Corpus.contaminationNgrams(docs(s, dir), n = 5)
     },
@@ -1366,6 +1388,28 @@ object RelQueries {
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
     "stats_kmv_overlap" -> kmvOverlapSql,
+    "events_hopping_uniques_kmv" ->
+      """WITH keyed AS (
+        |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - offs AS window_start_us,
+        |         event_type, user_id
+        |  FROM events
+        |  CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) AS d(offs)
+        |  WHERE user_id IS NOT NULL),
+        |hv AS (
+        |  SELECT DISTINCT window_start_us, event_type,
+        |    list_sum(list_transform(range(0, 14), i ->
+        |      (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i + 1, 1)) - 1)::BIGINT
+        |        << (4 * (13 - i)))) AS h
+        |  FROM keyed),
+        |r AS (SELECT window_start_us, event_type, h,
+        |        row_number() OVER (PARTITION BY window_start_us, event_type ORDER BY h) AS rk
+        |      FROM hv),
+        |a AS (SELECT window_start_us, event_type, COUNT(*) AS n_kept, MAX(h) AS h_k
+        |      FROM r WHERE rk <= 64 GROUP BY 1, 2)
+        |SELECT window_start_us, event_type, CAST(n_kept AS BIGINT) AS n_kept,
+        |       CAST(CASE WHEN n_kept < 64 THEN n_kept
+        |            ELSE 4539628424389459968 // h_k END AS BIGINT) AS est_distinct
+        |FROM a""".stripMargin,
     "stats_cms_freq" -> cmsSql,
     "stats_cms_merged" -> cmsSql,
     "stats_cms_streamed" -> cmsSql,
