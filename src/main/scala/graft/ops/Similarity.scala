@@ -504,6 +504,65 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "neighbor_label", "cos_r")
   }
 
+  /** Group-centroid affinity matrix: cosine similarity between the mean
+    * embeddings of every pair of groups (labels, sources, domains) — the
+    * corpus-level "which slices are semantically close" diagnostic that
+    * drives mixture design (near-identical sources are redundant budget),
+    * cross-source dedup targeting (probe similar pairs first), and label
+    * confusability review. One row per unordered pair.
+    *
+    * Exactness: cosine is scale-invariant, so the centroid DIRECTION is
+    * the per-(group, dim) SUM of integer-milli coordinates — no mean, no
+    * division, no rounding policy to mirror. Sums and the dot/norm
+    * products accumulate in decimal(38,0) (order-independent,
+    * overflow-proof at any group size — the [[dimStats]] discipline);
+    * only the final cosine touches IEEE doubles, via correctly-rounded
+    * sqrt/divide, rounded to 6 places like every cosine in this file.
+    *
+    * Scale shape: one narrow posexplode + a (|groups|·dim)-key map-side-
+    * combinable aggregate reduces the corpus; everything after runs on
+    * ≤ |groups|·dim rows — the pairwise stage is an equi-join on the dim
+    * position (|groups|²·dim rows by construction, groups being few),
+    * never a corpus join. The tiny aggregate feeds three consumers,
+    * hence the materialization.
+    */
+  def groupAffinity(
+      embs: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val d = embs
+      .select(col(groupCol).as("grp"), milliVec(col(vecCol)).as("__vm"))
+      .select(col("grp"), posexplode_outer(col("__vm")).as(Seq("pos", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("grp", "pos")
+      .agg(
+        sum(col("x").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
+    val norms = d
+      .groupBy("grp")
+      .agg(sum(col("s") * col("s")).as("ss"), max("n").as("n"))
+    d.as("a")
+      .join(d.as("b"), col("a.pos") === col("b.pos") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("group_a"), col("b.grp").as("group_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+      .join(
+        norms.select(col("grp").as("group_a"), col("ss").as("ss_a"), col("n").as("n_a")),
+        Seq("group_a"))
+      .join(
+        norms.select(col("grp").as("group_b"), col("ss").as("ss_b"), col("n").as("n_b")),
+        Seq("group_b"))
+      .select(
+        col("group_a"),
+        col("group_b"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          col("dot").cast("double") /
+            (sqrt(col("ss_a").cast("double")) * sqrt(col("ss_b").cast("double"))),
+          6).as("cos_r"))
+  }
+
   /** Embedding-space coverage audit: vector counts and integer ppm shares
     * per flat-quantizer cell — the diversity diagnostic run before
     * training (a cell holding most of the corpus means the embedding

@@ -367,6 +367,12 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // label-centroid affinity matrix: cosine between per-label mean
+    // embeddings (sum direction — scale-invariant, so no division to
+    // mirror), the mixture-design / confusability diagnostic
+    "embedding_group_affinity" -> { (s, dir) =>
+      Similarity.groupAffinity(embs(s, dir))
+    },
     // hard negatives for contrastive training: most-similar DIFFERENT-label
     // candidates from the probed cells (ivf_flat's deterministic shape with
     // the label riding every stage — no join-back, hash-checked end-to-end)
@@ -2344,6 +2350,25 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "embedding_group_affinity" ->
+      """WITH d AS (
+        |  SELECT label AS grp, i AS pos,
+        |    CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS HUGEINT) AS s,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) AS dd
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT grp, SUM(s * s) AS ss, MAX(n) AS n FROM d GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.grp AS group_a, b.grp AS group_b, SUM(a.s * b.s) AS dot
+        |  FROM d a JOIN d b ON a.pos = b.pos AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT p.group_a, p.group_b,
+        |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |       round(CAST(p.dot AS DOUBLE) /
+        |             (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))), 6) AS cos_r
+        |FROM pairs p
+        |JOIN norms na ON na.grp = p.group_a
+        |JOIN norms nb ON nb.grp = p.group_b""".stripMargin,
     "similarity_hard_negatives" ->
       s"""WITH el AS (
          |  SELECT vec_id AS id, embedding AS v, label,

@@ -972,6 +972,27 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("groupAffinity: aligned groups read 1, orthogonal 0, centroids average members") {
+    val s = spark
+    import s.implicits._
+    val embs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.5f, 0f, 0f), 0),   // group 0 centroid direction (2000, 500, 0, 0)
+      (2L, Seq(2f, 0f, 0f, 0f), 1),     // group 1 parallel to x: high cos with 0
+      (3L, Seq(0f, 0f, 1f, 0f), 2),     // group 2 orthogonal to both
+      (4L, Seq(0f, 0f, 0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.groupAffinity(embs).collect()
+      .map(r => (r.getAs[Int]("group_a"), r.getAs[Int]("group_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Double]("cos_r"))))
+      .toMap
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 2)))
+    assert(got((0, 1))._1 == 2L && got((0, 1))._2 == 1L)
+    // cos((2000,500,0,0),(2000,0,0,0)) = 2000/sqrt(2000²+500²) = 0.970143
+    assert(got((0, 1))._3 == 0.970143)
+    assert(got((0, 2))._3 == 0.0 && got((1, 2))._3 == 0.0)
+  }
+
   test("hardNegatives: same-label near-copy excluded, different-label confusable ranks first") {
     val s = spark
     import s.implicits._
