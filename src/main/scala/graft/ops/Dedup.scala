@@ -652,6 +652,50 @@ object Dedup {
         Seq("doc_id"),
         "left_anti")
 
+  /** Dedup savings datacard: what near-dup dedup is actually WORTH, per
+    * source — the number every dedup proposal gets asked first. Joins the
+    * corpus against a cluster map ([[clusterPairs]] /
+    * [[writeClusterMap]]'s `(doc_id, cluster_id)` rows, representative =
+    * `cluster_id == doc_id`) and reports per source: docs, duplicate docs
+    * (non-representative members), total tokens, duplicate tokens, and
+    * `savings_milli` — the per-mille of the source's token mass that
+    * dedup would drop. A source with high savings is crawl-redundant;
+    * near-zero savings means dedup budget is better spent elsewhere.
+    *
+    * Scale shape: token counts are a per-row projection (no explode —
+    * `size` of the token array); the map join is doc_id-keyed against the
+    * (tiny relative to text) cluster map with the text column never
+    * joined; the rollup is one |sources|-key aggregation.
+    */
+  def dedupSavings(
+      docs: DataFrame,
+      clusters: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col(srcCol).as("source"),
+        coalesce(size(graft.ops.TextAnalysis.tokens(col(textCol))), lit(0))
+          .cast("long").as("__nt"))
+      .join(
+        clusters
+          .filter(col("cluster_id") =!= col("doc_id"))
+          .select("doc_id")
+          .withColumn("__dup", lit(1L)),
+        Seq("doc_id"),
+        "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dup_docs"),
+        sum(col("__nt")).cast("long").as("tokens_total"),
+        sum(when(col("__dup").isNotNull, col("__nt")).otherwise(0L)).cast("long").as("tokens_dup"))
+      .withColumn(
+        "savings_milli",
+        expr("1000 * tokens_dup div greatest(tokens_total, 1)").cast("long"))
+
   /** Quality-aware dedup endgame: like [[keepRepresentatives]], but each
     * near-dup cluster keeps its HIGHEST-scoring member (ties → lowest id)
     * instead of blindly the lowest id — the policy real pipelines want,

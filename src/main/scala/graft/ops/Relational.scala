@@ -1116,6 +1116,37 @@ object Relational {
       .drop("__chain")
   }
 
+  /** Per-key gaps BETWEEN coalesced spans — the interval complement of
+    * [[coalesceIntervals]] within each key's active range: silence
+    * windows between sessions, downtime between maintenance windows,
+    * coverage holes between crawl sweeps. One row per gap, with its
+    * bounds and length; keys whose intervals merge into one span (or
+    * that have a single interval) produce no rows. Gap lengths are
+    * strictly positive by construction: coalescing merged every
+    * overlapping/abutting pair, so consecutive spans are separated.
+    *
+    * Scale shape: [[coalesceIntervals]]' plan plus one more window pass
+    * over the SAME (key, start) sort — Spark reuses the exchange and
+    * sort; the gap pass runs on the already-merged spans (≤ input rows),
+    * never the raw interval table.
+    */
+  def intervalGaps(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(startCol))
+    coalesceIntervals(intervals, keyCol, startCol, endCol)
+      .withColumn("__next_start", lead(col(startCol), 1).over(w))
+      .filter(col("__next_start").isNotNull)
+      .select(
+        col(keyCol),
+        col(endCol).as("gap_start"),
+        col("__next_start").as("gap_end"),
+        (col("__next_start") - col(endCol)).as("gap_len"))
+  }
+
   /** Batch MERGE / CDC-apply: apply a change feed onto a snapshot and
     * return the post-merge snapshot (the semantics of SQL `MERGE INTO` /
     * a Delta-style upsert, expressed as one declarative plan).

@@ -318,6 +318,11 @@ object OpsQueries {
     "dedup_keep" -> { (s, dir) =>
       Dedup.keepFromClusters(docs(s, dir), clusterMap(s, dir))
     },
+    // the datacard every dedup proposal gets asked for first: per-source
+    // duplicate doc/token mass from the shared persisted cluster map
+    "dedup_savings" -> { (s, dir) =>
+      Dedup.dedupSavings(docs(s, dir), clusterMap(s, dir))
+    },
     "dedup_keep_best" -> { (s, dir) =>
       Dedup.keepBestFromClusters(
         docs(s, dir),
@@ -2559,6 +2564,32 @@ object OpsQueries {
          |SELECT d.doc_id FROM documents d
          |LEFT JOIN cl ON cl.id = d.doc_id
          |WHERE cl.id IS NULL OR cl.clu = d.doc_id""".stripMargin,
+    "dedup_savings" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$minhashLshSql
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         |cl AS (SELECT id, MIN(r) AS clu FROM reach GROUP BY id),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS nt
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN cl.id IS NOT NULL AND cl.clu <> tk.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(nt) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(CASE WHEN cl.id IS NOT NULL AND cl.clu <> tk.doc_id THEN nt ELSE 0 END) AS BIGINT) AS tokens_dup,
+         |  CAST(1000 * SUM(CASE WHEN cl.id IS NOT NULL AND cl.clu <> tk.doc_id THEN nt ELSE 0 END)
+         |       // greatest(SUM(nt), 1) AS BIGINT) AS savings_milli
+         |FROM tk LEFT JOIN cl ON cl.id = tk.doc_id
+         |GROUP BY source""".stripMargin,
     "dedup_keep_best" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashLshSql

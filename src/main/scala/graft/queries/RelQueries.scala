@@ -324,6 +324,17 @@ object RelQueries {
           (col("ts_us") + round(col("value") * 1000000, 0).cast("long")).as("end_us"))
       Relational.coalesceIntervals(iv, "user_id", "start_us", "end_us")
     },
+    // The complement: silence windows BETWEEN a user's merged activity
+    // spans (same click fixture), one row per gap with bounds + length
+    "intervals_gaps" -> { (s, dir) =>
+      val iv = events(s, dir)
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"),
+          col("ts_us").as("start_us"),
+          (col("ts_us") + round(col("value") * 1000000, 0).cast("long")).as("end_us"))
+      Relational.intervalGaps(iv, "user_id", "start_us", "end_us")
+    },
     // Every event falling inside a 30-minute window opened by a severe
     // error ("incident"), aggregated per incident. Incidents are rare, so
     // the interval side broadcasts and the event stream is never shuffled.
@@ -1070,6 +1081,33 @@ object RelQueries {
         |       CAST(MAX(end_c) AS BIGINT) AS end_us,
         |       CAST(COUNT(*) AS BIGINT) AS n_merged
         |FROM ch GROUP BY user_id, chain""".stripMargin,
+    "intervals_gaps" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS start_us,
+        |         epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS end_raw
+        |  FROM events WHERE event_type = 'click'
+        |), cl AS (
+        |  SELECT user_id, start_us, greatest(end_raw, start_us) AS end_c FROM iv
+        |), fl AS (
+        |  SELECT user_id, start_us, end_c,
+        |         MAX(end_c) OVER (PARTITION BY user_id ORDER BY start_us, end_c
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM cl
+        |), ch AS (
+        |  SELECT user_id, start_us, end_c,
+        |         SUM(CASE WHEN prev_max IS NULL OR start_us > prev_max THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY start_us, end_c
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+        |  FROM fl)
+        |SELECT user_id, gap_start, gap_end, gap_len FROM (
+        |  SELECT user_id,
+        |         CAST(end_us AS BIGINT) AS gap_start,
+        |         CAST(LEAD(start_us) OVER (PARTITION BY user_id ORDER BY start_us) AS BIGINT) AS gap_end,
+        |         CAST(LEAD(start_us) OVER (PARTITION BY user_id ORDER BY start_us) - end_us AS BIGINT) AS gap_len
+        |  FROM (
+        |    SELECT user_id, MIN(start_us) AS start_us, MAX(end_c) AS end_us
+        |    FROM ch GROUP BY user_id, chain))
+        |WHERE gap_end IS NOT NULL""".stripMargin,
     // The oracle MAY use the single-partition window — DuckDB is
     // single-node anyway; only the Spark plan must avoid it.
     "corpus_sample_pps" ->

@@ -905,6 +905,25 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 4L -> 2L), s"got $got")
   }
 
+  test("dedupSavings: non-representative token mass per source, singletons free") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c", "s1"),
+      (2L, "a b cc", "s1"), // near-dup of 1, 3 tokens of dup mass
+      (3L, "x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.dedupSavings(docs, clusters).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_dup"),
+          r.getAs[Long]("savings_milli"))))
+      .toMap
+    assert(got("s1") == ((2L, 1L, 6L, 3L, 500L)))
+    assert(got("s2") == ((1L, 0L, 1L, 0L, 0L)))
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = Dedup.exactGroups(fixture).collect()
     assert(g.length == 1)

@@ -297,6 +297,25 @@ class RelationalSpec extends SparkSpec {
     assert(out == Set((1L, 0L, 20L, 3L), (1L, 30L, 35L, 1L), (2L, 0L, 25L, 3L)))
   }
 
+  test("intervalGaps: one row per silence window between merged spans; single-span keys emit none") {
+    val iv = Seq(
+      // key 1: spans [0,20] and [30,35] -> one gap (20,30); the contained
+      // and abutting intervals must not fabricate gaps
+      (1L, 0L, 10L),
+      (1L, 5L, 8L),
+      (1L, 10L, 20L),
+      (1L, 30L, 35L),
+      (1L, 50L, 60L),
+      // key 2: everything chains into one span -> no gaps
+      (2L, 0L, 10L),
+      (2L, 9L, 12L),
+      (2L, 11L, 25L)
+    ).toDF("user_id", "start_us", "end_us")
+    val got = Relational.intervalGaps(iv, "user_id", "start_us", "end_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 20L, 30L, 10L), (1L, 35L, 50L, 15L)))
+  }
+
   test("coalesceIntervals clamps end<start to a point and merges duplicates deterministically") {
     val iv = Seq(
       (1L, 10L, 3L), // degenerate: clamps to [10,10]
