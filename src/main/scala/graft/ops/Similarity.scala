@@ -563,6 +563,155 @@ object Similarity {
           6).as("cos_r"))
   }
 
+  /** Scaled covariance cells of the milli-coordinate corpus: one row per
+    * (i, j) dimension pair with `m = n·Σ(x_i·x_j) − s_i·s_j` — n² times
+    * the covariance, EXACT in decimal(38,0) (no mean, no division, no FP;
+    * eigen-directions are scale-invariant so the n² factor is free). The
+    * input to [[pcaTopDirection]]'s power iteration.
+    *
+    * Scale shape: one per-row outer-product array (dim² longs) + one
+    * posexplode into a dim²-key map-side-combinable aggregate — each map
+    * task emits ≤ dim² cells no matter how many vectors it saw; no join,
+    * the corpus is read once. The dim² row multiplier before the partial
+    * aggregate is the standard Gram-matrix shape (dim 64 → 4096 cells).
+    */
+  private def covCells(embs: DataFrame, dim: Int, vecCol: String): DataFrame = {
+    val mv = embs
+      .select(milliVec(col(vecCol)).as("__vm"))
+      .filter(col("__vm").isNotNull && size(col("__vm")) === dim)
+      .localCheckpoint()
+    val prod = mv
+      .select(flatten(transform(col("__vm"), x => transform(col("__vm"), y => x * y))).as("__p"))
+      .select(posexplode_outer(col("__p")).as(Seq("p2", "xy")))
+      .filter(col("xy").isNotNull)
+      .groupBy("p2")
+      .agg(sum(col("xy").cast("decimal(38,0)")).as("sxx"))
+      .select(
+        expr(s"p2 div $dim").cast("int").as("i"),
+        expr(s"p2 % $dim").cast("int").as("j"),
+        col("sxx"))
+    val sums = mv
+      .select(posexplode_outer(col("__vm")).as(Seq("pos", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("pos")
+      .agg(sum(col("x").cast("decimal(38,0)")).as("s"), count(lit(1)).cast("decimal(38,0)").as("n"))
+      .localCheckpoint()
+    prod
+      .join(sums.select(col("pos").as("i"), col("s").as("si"), col("n")), Seq("i"))
+      .join(sums.select(col("pos").as("j"), col("s").as("sj")), Seq("j"))
+      .select(
+        col("i"),
+        col("j"),
+        (col("n") * col("sxx") - col("si") * col("sj")).cast("decimal(38,0)").as("m"))
+  }
+
+  /** Driver-side integer power iteration over the collected dim² scaled
+    * covariance: v₀ = all-ones micro, vₖ = trunc((M·vₖ₋₁)·10⁶ / max|·|),
+    * canonical sign = first nonzero loading positive. Exact BigInt
+    * arithmetic throughout (trunc division matches SQL `//` and Spark
+    * `div`), so an engine unrolling the same K steps reproduces every
+    * loading bit-for-bit. Returns (loadings in micro, anisotropy in ppm):
+    * anisotropy = Rayleigh quotient of the final direction over the
+    * trace — the share of total variance the top component carries.
+    */
+  private def powerIterate(cells: Array[(Int, Int, BigInt)], dim: Int, iters: Int): (Array[Long], Long) = {
+    val m = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) m(i)(j) = BigInt(0)
+    cells.foreach { case (i, j, x) => m(i)(j) = x }
+    val micro = BigInt(1000000)
+    var v = Array.fill(dim)(micro)
+    def matvec(u: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(i => (0 until dim).foldLeft(BigInt(0))((acc, j) => acc + m(i)(j) * u(j)))
+    for (_ <- 0 until iters) {
+      val w = matvec(v)
+      val mx = w.map(_.abs).max
+      if (mx > 0) v = w.map(x => x * micro / mx)
+    }
+    val sign = v.find(_ != 0).map(x => if (x < 0) BigInt(-1) else BigInt(1)).getOrElse(BigInt(1))
+    v = v.map(_ * sign)
+    val w = matvec(v)
+    val rayNum = (0 until dim).foldLeft(BigInt(0))((acc, i) => acc + v(i) * w(i))
+    val vv = v.foldLeft(BigInt(0))((acc, x) => acc + x * x)
+    val trace = (0 until dim).foldLeft(BigInt(0))((acc, i) => acc + m(i)(i))
+    val ppm =
+      if (vv == 0 || trace == 0) 0L
+      else (rayNum * BigInt(1000000) / (vv * trace)).toLong
+    (v.map(_.toLong), ppm)
+  }
+
+  /** Top principal direction + anisotropy of an embedding corpus — the
+    * mode-collapse / anisotropy audit (contextual embedding spaces are
+    * notoriously dominated by a single direction; an anisotropy near
+    * 1e6 ppm means cosine similarity has lost its discriminative power
+    * and [[removeTopComponent]] should run before any ANN/dedup stage).
+    * One row per dimension: `pos`, `loading_micro` (the unit-free
+    * integer direction), `anisotropy_ppm` (constant across rows — the
+    * top component's share of total variance).
+    *
+    * The heavy part — the dim²-cell scaled covariance ([[covCells]]) —
+    * is fully distributed; the power iteration itself runs on the
+    * collected dim² integers at the driver (a documented
+    * dimension-bounded collect, like the centroid loops) in exact BigInt
+    * arithmetic, so the whole operator is engine-portable and the DuckDB
+    * oracle unrolls the same K iterations to the same bits.
+    */
+  def pcaTopDirection(
+      embs: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val cells = covCells(embs, dim, vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val (v, ppm) = powerIterate(cells, dim, iters)
+    v.zipWithIndex
+      .map { case (x, i) => (i.toLong, x, ppm) }
+      .toSeq
+      .toDF("pos", "loading_micro", "anisotropy_ppm")
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
+    * remove the dominant principal direction from every vector —
+    * `x' = x − ((x·v)·v) / (v·v)` in EXACT integer arithmetic over milli
+    * coordinates and the micro-unit direction from [[pcaTopDirection]]'s
+    * power iteration (trunc division, engine-portable). The standard fix
+    * when the anisotropy audit says one direction dominates: after
+    * removal, cosine ranking reflects content again rather than the
+    * common component. Returns the exploded integer face
+    * (vec_id, pos, c_milli) — hashable, like `embedding_standardize`.
+    *
+    * Scale shape: the direction is a driver-computed literal folded into
+    * codegen (the [[projectMilli]] discipline), so the rewrite is a
+    * ZERO-shuffle projection: per row one dot product + one zip_with,
+    * no join against anything.
+    */
+  def removeTopComponent(
+      embs: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    val cells = covCells(embs, dim, vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val (v, _) = powerIterate(cells, dim, iters)
+    val vv = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
+    require(vv > 0, "removeTopComponent: degenerate corpus (zero top direction)")
+    val vvL = vv.toLong // ≤ dim·10¹² — far inside Long
+    embs
+      .select(col(idCol).cast("long").as("vec_id"), milliVec(col(vecCol)).as("__x"))
+      .filter(col("__x").isNotNull && size(col("__x")) === dim)
+      .withColumn("__v", typedLit(v.toSeq))
+      .withColumn(
+        "__d",
+        expr("aggregate(zip_with(__x, __v, (x, v) -> x * v), 0L, (acc, p) -> acc + p)"))
+      .withColumn("__c", expr(s"zip_with(__x, __v, (x, v) -> x - ((__d * v) div ${vvL}L))"))
+      .select(col("vec_id"), posexplode_outer(col("__c")).as(Seq("pos", "c_milli")))
+      .filter(col("c_milli").isNotNull)
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("c_milli"))
+  }
+
   /** Embedding-space coverage audit: vector counts and integer ppm shares
     * per flat-quantizer cell — the diversity diagnostic run before
     * training (a cell holding most of the corpus means the embedding

@@ -372,6 +372,18 @@ object OpsQueries {
       val e = embs(s, dir)
       Similarity.ivfFlatTopK(e.filter(col("vec_id") < 8), e, k = 5)
     },
+    // embedding anisotropy audit: top principal direction via 12 exact
+    // integer power iterations over the scaled covariance (driver math is
+    // BigInt; the oracle unrolls the same steps in HUGEINT to the bit)
+    "embedding_pca_top" -> { (s, dir) =>
+      Similarity.pcaTopDirection(embs(s, dir))
+    },
+    // all-but-the-top (Mu & Viswanath 2018): dominant direction removed
+    // from every vector in exact integer milli — zero-shuffle projection
+    // with the driver-computed direction folded into codegen
+    "embedding_debias_abtt" -> { (s, dir) =>
+      Similarity.removeTopComponent(embs(s, dir))
+    },
     // label-centroid affinity matrix: cosine between per-label mean
     // embeddings (sum direction — scale-invariant, so no division to
     // mirror), the mixture-design / confusability diagnostic
@@ -1048,6 +1060,48 @@ object OpsQueries {
 
   private val dotSql =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.v[i]))"
+
+  /** Power-iteration PCA oracle chain: exact HUGEINT scaled covariance
+    * (`n·Σxᵢxⱼ − sᵢsⱼ` over milli coords — no mean, no FP) + `iters`
+    * unrolled integer-renormalized iterations mirroring
+    * `Similarity.powerIterate` to the bit (trunc `//` == BigInt `/`),
+    * ending in the sign-canonical direction CTE `vf` (1-based dim `i`,
+    * micro loadings `v`).
+    */
+  private def pcaCtes(iters: Int): String = {
+    val steps = (1 to iters)
+      .map { k =>
+        s"""w$k AS MATERIALIZED (
+           |  SELECT cov.i, CAST(SUM(cov.m * v${k - 1}.v) AS HUGEINT) AS w
+           |  FROM cov JOIN v${k - 1} ON v${k - 1}.i = cov.j GROUP BY cov.i),
+           |m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT w$k.i,
+           |         CASE WHEN m$k.mx > 0 THEN (w$k.w * 1000000) // m$k.mx ELSE p.v END AS v
+           |  FROM w$k CROSS JOIN m$k JOIN v${k - 1} p ON p.i = w$k.i)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""mv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS vm
+       |  FROM embeddings),
+       |ii AS (SELECT unnest(range(1, 65)) AS i),
+       |d2 AS (
+       |  SELECT a.i AS i, b.i AS j,
+       |         CAST(SUM(CAST(vm[a.i] AS HUGEINT) * vm[b.i]) AS HUGEINT) AS sxx
+       |  FROM mv CROSS JOIN ii a CROSS JOIN ii b GROUP BY 1, 2),
+       |s1 AS (
+       |  SELECT i, CAST(SUM(vm[i]) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM mv CROSS JOIN ii GROUP BY i),
+       |cov AS MATERIALIZED (
+       |  SELECT d2.i, d2.j, sa.n * d2.sxx - sa.s * sb.s AS m
+       |  FROM d2 JOIN s1 sa ON sa.i = d2.i JOIN s1 sb ON sb.i = d2.j),
+       |v0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM ii),
+       |$steps,
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v$iters WHERE v <> 0 ORDER BY i LIMIT 1) < 0
+       |                   THEN -1 ELSE 1 END AS s),
+       |vf AS MATERIALIZED (SELECT i, CAST(v * s AS HUGEINT) AS v FROM v$iters CROSS JOIN sg)""".stripMargin
+  }
 
   /** The MMR oracle: greedy selection unrolled to `k` step CTEs (step 1 is
     * pure relevance; step i scores remaining candidates as
@@ -2355,6 +2409,31 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    "embedding_pca_top" ->
+      s"""WITH ${pcaCtes(12)},
+         |wf AS (
+         |  SELECT cov.i, CAST(SUM(cov.m * vf.v) AS HUGEINT) AS w
+         |  FROM cov JOIN vf ON vf.i = cov.j GROUP BY cov.i),
+         |ray AS (SELECT CAST(SUM(vf.v * wf.w) AS HUGEINT) AS num
+         |        FROM vf JOIN wf ON wf.i = vf.i),
+         |den AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS vv FROM vf),
+         |tr AS (SELECT CAST(SUM(m) AS HUGEINT) AS t FROM cov WHERE i = j)
+         |SELECT CAST(vf.i - 1 AS BIGINT) AS pos, CAST(vf.v AS BIGINT) AS loading_micro,
+         |       CAST(CASE WHEN den.vv > 0 AND tr.t > 0
+         |                 THEN (ray.num * 1000000) // (den.vv * tr.t) ELSE 0 END AS BIGINT)
+         |         AS anisotropy_ppm
+         |FROM vf CROSS JOIN ray CROSS JOIN den CROSS JOIN tr""".stripMargin,
+    "embedding_debias_abtt" ->
+      s"""WITH ${pcaCtes(12)},
+         |vvq AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS vv FROM vf),
+         |dq AS (
+         |  SELECT mv.vec_id, CAST(SUM(CAST(vm[vf.i] AS HUGEINT) * vf.v) AS HUGEINT) AS d
+         |  FROM mv CROSS JOIN vf GROUP BY mv.vec_id)
+         |SELECT mv.vec_id, CAST(vf.i - 1 AS BIGINT) AS pos,
+         |       CAST(vm[vf.i] - (dq.d * vf.v) // vvq.vv AS BIGINT) AS c_milli
+         |FROM mv CROSS JOIN vf
+         |JOIN dq ON dq.vec_id = mv.vec_id
+         |CROSS JOIN vvq""".stripMargin,
     "embedding_group_affinity" ->
       """WITH d AS (
         |  SELECT label AS grp, i AS pos,

@@ -991,6 +991,33 @@ class OpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("neighbor_id") == 3L)
   }
 
+  test("pcaTopDirection + removeTopComponent: dominant axis found, removed, variance share high") {
+    val s = spark
+    import s.implicits._
+    // variance concentrated on axis 0 (spread ±1), tiny jitter on axis 1
+    val embs = (0 until 20).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Seq(sign * (1f + (i % 3) * 0.1f), (i % 5) * 0.01f, 0f, 0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val top = Similarity.pcaTopDirection(embs, iters = 12, dim = 4).collect()
+      .map(r => r.getAs[Long]("pos") -> ((r.getAs[Long]("loading_micro"), r.getAs[Long]("anisotropy_ppm"))))
+      .toMap
+    // canonical sign: first nonzero loading positive; axis 0 dominates
+    assert(top(0L)._1 == 1000000L, s"axis-0 loading ${top(0L)._1}")
+    assert(math.abs(top(1L)._1) < 100000L && top(2L)._1 == 0L && top(3L)._1 == 0L)
+    assert(top(0L)._2 > 900000L, s"anisotropy ${top(0L)._2} should be > 90%")
+    // removal collapses axis 0 to (near-)zero, leaves axis-1 content alone
+    val after = Similarity.removeTopComponent(embs, iters = 12, dim = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")) -> r.getAs[Long]("c_milli"))
+      .toMap
+    (0 until 20).foreach { i =>
+      assert(math.abs(after((i.toLong, 0L))) <= 150L,
+        s"vec $i axis-0 residual ${after((i.toLong, 0L))}")
+    }
+    // exactness spot check: c = x - (x·v)v/(v·v) in trunc integer math
+    assert(after((0L, 2L)) == 0L && after((0L, 3L)) == 0L)
+  }
+
   test("groupAffinity: aligned groups read 1, orthogonal 0, centroids average members") {
     val s = spark
     import s.implicits._
