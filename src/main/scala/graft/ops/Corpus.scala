@@ -952,6 +952,56 @@ object Corpus {
     * few, so the reduce side is trivially small. `n_langs` partial-
     * aggregates as (source, lang) pairs before the distinct count.
     */
+  /** Corpus content manifest: one row per group (source / shard / split)
+    * with doc, token and char totals plus an order-independent 56-bit
+    * content signature — `sum(md5₅₆(doc_id:md5(text))) mod 2⁵⁶`. Two
+    * corpus copies agree on a group iff every (id, text) pair agrees, so
+    * replicas, migrations and snapshot versions compare by shipping
+    * |groups| rows instead of re-reading either corpus (the aggregate
+    * complement of [[snapshotDiff]], which pinpoints per-doc changes once
+    * a manifest row disagrees). Including the id binds content to
+    * identity: a re-keyed doc changes the signature even when its text
+    * survives. Commutative-sum combining makes the signature independent
+    * of row order and partitioning — the property parquet layout cannot
+    * be trusted for.
+    *
+    * Scale shape: pure per-row projections (two md5s, a token-array
+    * `size` — no explode) into one |groups|-key map-side-combinable
+    * aggregate; the 56-bit hash sum accumulates exactly in decimal(38,0)
+    * before the final mod, so no overflow at any corpus size.
+    */
+  def manifest(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sig = conv(
+      substring(
+        md5(concat(col(idCol).cast("string"), lit(":"), md5(coalesce(col(textCol), lit(""))))),
+        1,
+        14),
+      16,
+      10).cast("long")
+    docs
+      .select(
+        col(groupCol).as("grp"),
+        sig.as("__sig"),
+        coalesce(size(graft.ops.TextAnalysis.tokens(col(textCol))), lit(0)).cast("long").as("__nt"),
+        coalesce(length(col(textCol)), lit(0L)).cast("long").as("__nc"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("__nt").cast("long").as("n_tokens"),
+        sum("__nc").cast("long").as("n_chars"),
+        sum(col("__sig").cast("decimal(38,0)")).as("__s"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_chars"),
+        expr("CAST(__s % 72057594037927936 AS BIGINT)").as("content_sig"))
+  }
+
   def datacard(
       docs: DataFrame,
       keepTenk: Long = 5000L,

@@ -691,8 +691,22 @@ object Similarity {
       iters: Int = 12,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val spark = embs.sparkSession
+      vecCol: String = "embedding"): DataFrame =
+    debiasedMilli(embs, iters, dim, idCol, vecCol)
+      .select(col("vec_id"), posexplode_outer(col("__c")).as(Seq("pos", "c_milli")))
+      .filter(col("c_milli").isNotNull)
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("c_milli"))
+
+  /** The array face of [[removeTopComponent]]: (vec_id, `__c` debiased
+    * milli longs) — shared by the exploded audit face and
+    * [[debiasedTopK]]'s composition.
+    */
+  private def debiasedMilli(
+      embs: DataFrame,
+      iters: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val cells = covCells(embs, dim, vecCol).collect()
       .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
     val (v, _) = powerIterate(cells, dim, iters)
@@ -707,9 +721,59 @@ object Similarity {
         "__d",
         expr("aggregate(zip_with(__x, __v, (x, v) -> x * v), 0L, (acc, p) -> acc + p)"))
       .withColumn("__c", expr(s"zip_with(__x, __v, (x, v) -> x - ((__d * v) div ${vvL}L))"))
-      .select(col("vec_id"), posexplode_outer(col("__c")).as(Seq("pos", "c_milli")))
-      .filter(col("c_milli").isNotNull)
-      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("c_milli"))
+      .select(col("vec_id"), col("__c"))
+  }
+
+  /** Exact top-k in the DEBIASED space — the composition the anisotropy
+    * audit motivates: [[removeTopComponent]]'s vectors ranked by exact
+    * integer cosine (long dot products over milli coords, IEEE sqrt/
+    * divide only at the final rounded score), so "did removal change the
+    * neighbors" is answerable with a hash-checked query instead of a
+    * leap of faith. `queryPred` selects the query rows from the SAME
+    * corpus the direction was fit on (the debiased space is only defined
+    * relative to its own fit). Zero-norm vectors (a vector that WAS the
+    * common direction) drop from both sides.
+    *
+    * Scale shape: the debias is a zero-shuffle projection; ranking is
+    * the [[bruteForceTopK]] contract — bounded query side broadcast,
+    * |q|·|corpus| map-side comparisons, per-query top-k window. Compose
+    * with [[signBucket]] blocking when the query side stops being small.
+    */
+  def debiasedTopK(
+      embs: DataFrame,
+      queryPred: Column,
+      k: Int,
+      iters: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val db = debiasedMilli(embs, iters, dim, idCol, vecCol)
+      .withColumn(
+        "__n",
+        sqrt(expr("aggregate(zip_with(__c, __c, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+          .cast("double")))
+      .filter(col("__n") > 0)
+      .localCheckpoint()
+    val q = db
+      .filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("__c").as("__qc"), col("__n").as("__qn"))
+    db.select(col("vec_id").as("neighbor_id"), col("__c").as("__cc"), col("__n").as("__cn"))
+      .crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "__dot",
+        expr("aggregate(zip_with(__qc, __cc, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("__dot") / (col("__qn") * col("__cn")), 6).as("cos_r"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_r")
   }
 
   /** Embedding-space coverage audit: vector counts and integer ppm shares

@@ -318,6 +318,10 @@ object OpsQueries {
     "dedup_keep" -> { (s, dir) =>
       Dedup.keepFromClusters(docs(s, dir), clusterMap(s, dir))
     },
+    // corpus version fingerprint: order-independent 56-bit content
+    // signature + totals per source — replicas/migrations compare by
+    // shipping |sources| rows, never re-reading either corpus
+    "corpus_manifest" -> { (s, dir) => Corpus.manifest(docs(s, dir)) },
     // the datacard every dedup proposal gets asked for first: per-source
     // duplicate doc/token mass from the shared persisted cluster map
     "dedup_savings" -> { (s, dir) =>
@@ -383,6 +387,12 @@ object OpsQueries {
     // with the driver-computed direction folded into codegen
     "embedding_debias_abtt" -> { (s, dir) =>
       Similarity.removeTopComponent(embs(s, dir))
+    },
+    // the composition the audit motivates: exact top-k in the DEBIASED
+    // space (integer dots over the ABTT vectors) — "did removal change
+    // the neighbors" as a hash-checked query
+    "similarity_topk_debiased" -> { (s, dir) =>
+      Similarity.debiasedTopK(embs(s, dir), col("vec_id") < 8, k = 5)
     },
     // label-centroid affinity matrix: cosine between per-label mean
     // embeddings (sum direction — scale-invariant, so no division to
@@ -2434,6 +2444,37 @@ object OpsQueries {
          |FROM mv CROSS JOIN vf
          |JOIN dq ON dq.vec_id = mv.vec_id
          |CROSS JOIN vvq""".stripMargin,
+    "similarity_topk_debiased" ->
+      s"""WITH ${pcaCtes(12)},
+         |vvq AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS vv FROM vf),
+         |dq AS (
+         |  SELECT mv.vec_id, CAST(SUM(CAST(vm[vf.i] AS HUGEINT) * vf.v) AS HUGEINT) AS d
+         |  FROM mv CROSS JOIN vf GROUP BY mv.vec_id),
+         |dbx AS MATERIALIZED (
+         |  SELECT mv.vec_id, vf.i AS i,
+         |         CAST(vm[vf.i] - (dq.d * vf.v) // vvq.vv AS BIGINT) AS c
+         |  FROM mv CROSS JOIN vf
+         |  JOIN dq ON dq.vec_id = mv.vec_id
+         |  CROSS JOIN vvq),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nr
+         |  FROM dbx GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(SUM(q.c * c.c) AS BIGINT) AS dt
+         |  FROM dbx q JOIN dbx c ON c.i = q.i AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8 GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id, round(d.dt / (nq.nr * nc.nr), 6) AS cos_r
+         |  FROM dots d
+         |  JOIN nrm nq ON nq.vec_id = d.query_id
+         |  JOIN nrm nc ON nc.vec_id = d.neighbor_id
+         |  WHERE nq.nr > 0 AND nc.nr > 0)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "embedding_group_affinity" ->
       """WITH d AS (
         |  SELECT label AS grp, i AS pos,
@@ -2643,6 +2684,18 @@ object OpsQueries {
          |SELECT d.doc_id FROM documents d
          |LEFT JOIN cl ON cl.id = d.doc_id
          |WHERE cl.id IS NULL OR cl.clu = d.doc_id""".stripMargin,
+    "corpus_manifest" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(COALESCE(text, ''))), 1, 14)) AS BIGINT) AS sig,
+        |    len(list_filter(string_split_regex(lower(COALESCE(text, '')), '\s+'), t -> t <> '')) AS nt,
+        |    length(COALESCE(text, '')) AS nc
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(CAST(sig AS HUGEINT)) % 72057594037927936 AS BIGINT) AS content_sig
+        |FROM m GROUP BY source""".stripMargin,
     "dedup_savings" ->
       s"""WITH RECURSIVE pairs AS (
          |$minhashLshSql

@@ -905,6 +905,31 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 4L -> 2L), s"got $got")
   }
 
+  test("manifest: order-independent signature, content change flips it, counts intact") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, "a b", "s1"), (2L, "c d e", "s1"), (3L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val b = Seq((3L, "x", "s2"), (2L, "c d e", "s1"), (1L, "a b", "s1")) // permuted
+      .toDF("doc_id", "text", "source").repartition(7)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Corpus.manifest(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val ma = rows(a)
+    assert(ma == rows(b), "manifest must not depend on row order or partitioning")
+    assert(ma("s1")._1 == 2L && ma("s1")._2 == 5L && ma("s1")._3 == 8L)
+    // one character changes: totals can collide, the signature cannot
+    val c = Seq((1L, "a b", "s1"), (2L, "c d f", "s1"), (3L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val mc = rows(c)
+    assert(mc("s1")._2 == ma("s1")._2 && mc("s1")._4 != ma("s1")._4)
+    // re-keying a doc changes the signature even with identical text
+    val d = Seq((9L, "a b", "s1"), (2L, "c d e", "s1"), (3L, "x", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(rows(d)("s1")._4 != ma("s1")._4)
+  }
+
   test("dedupSavings: non-representative token mass per source, singletons free") {
     val s = spark
     import s.implicits._

@@ -31,6 +31,7 @@ class RegistryPlanSpec extends SparkSpec {
     */
   private val deliberateBnlj: Set[String] = Set(
     "similarity_topk", // crossJoin(broadcast(query-norms row)) — |queries| rows
+    "similarity_topk_debiased", // crossJoin(broadcast(debiased query rows)) — |queries| rows
     // (similarity_topk_mmr's brute pool materializes at construction, so
     // its final plan carries no BNLJ; no allowlist entry needed)
     // (similarity_topk_projected pools via a sign-bucket equi-join in the
