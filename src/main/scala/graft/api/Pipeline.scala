@@ -277,6 +277,54 @@ final class Pipeline(
     Corpus.datacard(
       cleaned(docs).join(prepare(docs).select("doc_id"), Seq("doc_id"), "left_semi"))
 
+  /** Embedding-side preparation — the vector twin of [[prepare]], run
+    * before any retrieval/dedup index goes live:
+    *
+    *  1. anisotropy audit ([[graft.ops.Similarity.pcaTopDirection]]);
+    *  2. all-but-the-top debias when the top component carries ≥
+    *     `debiasAbovePpm` of the variance (the audit acting on itself —
+    *     below the threshold the vectors pass through untouched);
+    *  3. SemDeDup semantic near-dup prune over the (possibly corrected)
+    *     space ([[graft.ops.Dedup.semanticDedup]] keep rule);
+    *  4. persisted IVF index built over the survivors at `indexPath`
+    *     ([[graft.ops.Similarity.writeIvfIndex]] — the probe-many
+    *     artifact every later batch appends to).
+    *
+    * Returns the surviving vectors annotated with `anisotropy_ppm` and
+    * `debiased` so the decision is recorded in the output, not lost in a
+    * log line. The audit itself is one dimension-bounded driver collect;
+    * every per-vector stage is the documented operator unchanged.
+    */
+  def prepareVectors(
+      embs: DataFrame,
+      indexPath: String,
+      debiasAbovePpm: Long = 300000L,
+      dedupThreshold: Double = 0.99,
+      nCentroids: Int = 16): DataFrame = {
+    import graft.ops.Similarity
+    val ppm = Similarity
+      .pcaTopDirection(embs)
+      .select("anisotropy_ppm")
+      .head()
+      .getLong(0)
+    val debias = ppm >= debiasAbovePpm
+    val vecs =
+      if (debias) Similarity.debiasedVectors(embs)
+      else embs.select(col("vec_id"), col("embedding"))
+    val kept = vecs
+      .join(
+        Dedup
+          .semanticDedup(vecs, nCentroids, dedupThreshold)
+          .filter(col("kept") === 1L)
+          .select("vec_id"),
+        Seq("vec_id"),
+        "left_semi")
+    Similarity.writeIvfIndex(kept, indexPath, nCentroids)
+    kept
+      .withColumn("anisotropy_ppm", lit(ppm))
+      .withColumn("debiased", lit(debias))
+  }
+
   /** Media-side near-dup keep-list — the multimodal face of the dedup
     * stage over an [[graft.ops.Multimodal.asMedia]]-shaped table
     * (`doc_id, kind, n_bytes, media`): per modality the cheap perceptual

@@ -724,6 +724,23 @@ object Similarity {
       .select(col("vec_id"), col("__c"))
   }
 
+  /** Float reconstruction of the debiased space (`c_milli / 1000`) —
+    * the feed for downstream float-vector consumers (semantic dedup, an
+    * IVF index over the corrected space). The milli→float division is
+    * for INDEXING, not oracle arithmetic; the exact faces are
+    * [[removeTopComponent]] (exploded integers) and [[debiasedTopK]].
+    */
+  def debiasedVectors(
+      embs: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    debiasedMilli(embs, iters, dim, idCol, vecCol)
+      .select(
+        col("vec_id").as(idCol),
+        transform(col("__c"), x => (x.cast("double") / 1000.0).cast("float")).as(vecCol))
+
   /** Exact top-k in the DEBIASED space — the composition the anisotropy
     * audit motivates: [[removeTopComponent]]'s vectors ranked by exact
     * integer cosine (long dot products over milli coords, IEEE sqrt/

@@ -346,4 +346,37 @@ class PipelineSpec extends SparkSpec {
       .select("split").head().getString(0)
     assert(splitGot == splitWant)
   }
+
+  test("prepareVectors: audit → conditional debias → semantic prune → live IVF index") {
+    val s = SparkSpec.spark
+    val e = s.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // planted exact copies: the semantic prune must drop the higher ids
+    val copies = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(copies)
+    val dir = java.nio.file.Files.createTempDirectory("vecprep").toString
+
+    // threshold above any real anisotropy: no debias, copies pruned
+    val kept = new Pipeline()
+      .prepareVectors(corpus, s"$dir/plain", debiasAbovePpm = 2000000L)
+      .cache()
+    assert(kept.select("debiased").head().getBoolean(0) == false)
+    assert(kept.select("anisotropy_ppm").head().getLong(0) > 0L)
+    val keptIds = kept.collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(copies.collect().map(_.getLong(0)).forall(id => !keptIds.contains(id)),
+      "planted copies must be pruned (their originals have smaller ids)")
+    // the index is live: a probe returns ranked neighbors from the survivors
+    val probe = graft.ops.Similarity
+      .probeIvfIndex(s, s"$dir/plain", e.filter(col("vec_id") < 2), k = 3)
+    assert(probe.count() > 0)
+    assert(probe.join(kept.select("vec_id").withColumnRenamed("vec_id", "neighbor_id"),
+      Seq("neighbor_id"), "left_anti").count() == 0,
+      "every probed neighbor must be a surviving vector")
+
+    // threshold 0: debias always engages and the output is the corrected space
+    val deb = new Pipeline().prepareVectors(corpus, s"$dir/deb", debiasAbovePpm = 0L)
+    assert(deb.select("debiased").head().getBoolean(0) == true)
+    val want = graft.ops.Similarity.debiasedVectors(corpus).count()
+    assert(deb.count() <= want)
+  }
 }
