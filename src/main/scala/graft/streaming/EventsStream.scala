@@ -16,6 +16,7 @@ case class SessionState(start: Long, last: Long, n: Int)
 case class OpenSessions(frags: Seq[SessionState])
 case class Session(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
 case class TokCount(key: String, token: String, est: Long)
+case class KeyDistinct(key: String, n_kept: Long, est_distinct: Long)
 case class ValEvt(user_id: Long, v: Long)
 case class UserTotals(user_id: Long, n_events: Long, total_value: Long)
 
@@ -327,6 +328,46 @@ object EventsStream {
         rows.foreach(r => buf = mg.reduce(buf, r._2))
         state.update(buf)
         mg.finish(buf).iterator.map { case (t, c) => TokCount(key, t, c) }
+      }
+  }
+
+  /** Streaming per-key distinct-count sketch: the KMV state machine as
+    * `flatMapGroupsWithState` — per key, the state is the k smallest
+    * 56-bit md5 hashes seen so far (k longs FOREVER, no watermark needed:
+    * the sketch IS the bound, exactly like [[heavyHitterStream]]), and
+    * every update emits the same estimate rule as
+    * [[graft.ops.Stats.kmvEstimate]]: exact below k, `(k-1)·2⁵⁶ div h_k`
+    * at k. The hash matches [[graft.ops.Stats.kmvSketch]] bit-for-bit
+    * (first 14 md5 hex digits), so the live stream estimate equals the
+    * batch sketch over the same prefix — the equivalence the spec pins.
+    * Contrast with [[graft.streaming.SketchIngest.kmvIngest]], which
+    * persists batch-keyed sketches for AUDIT and cross-stream merge;
+    * this face answers "distinct users right now" from the state store
+    * with no storage round-trip.
+    */
+  def distinctSketchStream(rows: Dataset[(String, String)], k: Int = 64): Dataset[KeyDistinct] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k")
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Long], KeyDistinct](
+        OutputMode.Update,
+        GroupStateTimeout.NoTimeout) { (key, it, state: GroupState[Seq[Long]]) =>
+        var set = scala.collection.immutable.TreeSet.empty[Long] ++ state.getOption.getOrElse(Nil)
+        it.foreach { case (_, v) =>
+          val hex = java.security.MessageDigest
+            .getInstance("MD5")
+            .digest(v.getBytes("UTF-8"))
+            .map("%02x".format(_))
+            .mkString
+          set += java.lang.Long.parseLong(hex.substring(0, 14), 16)
+          if (set.size > k) set -= set.last
+        }
+        state.update(set.toSeq)
+        val nKept = set.size.toLong
+        val est = if (nKept < k) nKept else (k - 1).toLong * (1L << 56) / set.last
+        Iterator.single(KeyDistinct(key, nKept, est))
       }
   }
 

@@ -817,6 +817,41 @@ class StreamingSpec extends SparkSpec {
     assert(hot <= 50 && 50 - hot <= 18, s"hot est=$hot")
   }
 
+  test("distinctSketchStream: live estimate equals the batch KMV sketch over the same prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = graft.streaming.EventsStream
+      .distinctSketchStream(input.toDS(), k = 8)
+      .writeStream
+      .format("memory")
+      .queryName("kmv_stream")
+      .outputMode("update")
+      .start()
+    val b1 = (0 until 5).map(i => ("small", s"u$i")) ++ (0 until 40).map(i => ("big", s"x$i"))
+    val b2 = (3 until 7).map(i => ("small", s"u$i")) ++ (30 until 60).map(i => ("big", s"x$i"))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest emission per key (batch 2 re-emits updated keys)
+    val rows = spark.table("kmv_stream").as[graft.streaming.KeyDistinct].collect()
+    val latest = rows.groupBy(_.key).map { case (k2, rs) => k2 -> rs.last }
+    // the stream's state must equal the one-pass batch sketch over b1 ++ b2
+    val want = graft.ops.Stats
+      .kmvDistinct((b1 ++ b2).toDF("event_type", "user_id"), "event_type", "user_id", k = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_kept"), r.getAs[Long]("est_distinct"))))
+      .toMap
+    assert(latest("small").n_kept == want("small")._1 &&
+      latest("small").est_distinct == want("small")._2)
+    assert(latest("small").est_distinct == 7L) // 7 distinct users < k = 8: exact path
+    assert(latest("big").n_kept == want("big")._1 &&
+      latest("big").est_distinct == want("big")._2)
+  }
+
   test("dedupeStream drops cross-batch duplicates within the watermark horizon") {
     val s = spark
     import s.implicits._
