@@ -103,6 +103,52 @@ object Graph {
     * canonical edge table feeds three consumers (both wedge sides + the
     * closing join), hence the materialization.
     */
+  /** Deterministic synchronous label propagation (community detection —
+    * Raghavan et al. 2007, the tie-broken variant): labels start as node
+    * ids; every round each node adopts its neighbors' most frequent
+    * label, ties to the SMALLEST label, for a FIXED number of rounds —
+    * no fixpoint test, so the whole run is deterministic and
+    * oracle-unrollable (the Lloyd-loop discipline). Edges are
+    * symmetrized internally; after convergence the label column IS the
+    * community id (topic clusters in a link graph, account rings in an
+    * interaction graph — the community-structure complement of
+    * [[graft.ops.Dedup.clusterPairs]]' pure connectivity).
+    *
+    * Scale shape: the symmetrized edge list materializes once; each
+    * round is one equi-join (edge × label, label side node-count-sized —
+    * AQE broadcasts it on typical graphs) + one (node, label) count
+    * aggregation + one max-struct argmax aggregation — both partial-
+    * aggregate map-side, so a celebrity node's million edges pre-reduce
+    * per task and its argmax sees at most its distinct neighbor LABELS,
+    * never its degree. No window over the node key. Per-round
+    * localCheckpoint keeps iteration N's plan flat (see SCALE.md).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    val und = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .unionAll(
+        edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und
+      .select(col("src").as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).cast("long").as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(

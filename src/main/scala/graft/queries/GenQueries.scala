@@ -203,6 +203,19 @@ object GenQueries {
       val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRankMilli(e, iters = 3)
     },
+    // community detection over the same bipartite customer—supplier
+    // graph: 4 deterministic synchronous LPA rounds (min-label ties),
+    // label column = community id
+    "graph_labelprop" -> { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+          t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.labelPropagation(d, rounds = 4)
+    },
     // triangle counting over a deterministic chord graph on the customer
     // key space: edges (n, n+1) and (n, n+2) for every distinct custkey n —
     // sparse (degree <= 4), scales linearly with the table, and every run
@@ -324,6 +337,40 @@ object GenQueries {
         |SELECT epoch_us(d) AS d_us, CAST(tot AS DOUBLE) AS tot, n_orders,
         |       round(CAST(msum AS DOUBLE) / mcnt, 4) AS mavg7
         |FROM win""".stripMargin,
+    "graph_labelprop" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM d UNION ALL SELECT dst AS src, src AS dst FROM d)),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |l1 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT e.src, l.label, COUNT(*) AS c
+        |          FROM e JOIN l0 l ON l.node = e.dst GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |l2 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT e.src, l.label, COUNT(*) AS c
+        |          FROM e JOIN l1 l ON l.node = e.dst GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |l3 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT e.src, l.label, COUNT(*) AS c
+        |          FROM e JOIN l2 l ON l.node = e.dst GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |l4 AS MATERIALIZED (
+        |  SELECT src AS node, label FROM (
+        |    SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, label ASC) AS rn
+        |    FROM (SELECT e.src, l.label, COUNT(*) AS c
+        |          FROM e JOIN l3 l ON l.node = e.dst GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |fin AS (SELECT node, label FROM l4)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM fin""".stripMargin,
     "graph_pagerank" ->
       """WITH d AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -57,4 +57,24 @@ class GraphSpec extends SparkSpec {
     assert(got(0L) > got(1L) * 10, s"hub must dominate: ${got(0L)} vs ${got(1L)}")
     assert((1L to 50L).map(got).toSet.size == 1, "spokes are symmetric")
   }
+
+  test("labelPropagation: two cliques joined by a bridge settle into two communities") {
+    val s = spark
+    import s.implicits._
+    // hand-simulated through 4 synchronous min-tie rounds: clique {1,2,3}
+    // converges to label 1, clique {10,11,12} to label 3 (the bridge 3-10
+    // leaks 3's label into the right clique before 1 overwrites the left)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (3L, 10L)
+    ).toDF("src", "dst")
+    val got = graft.ops.Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 3L, 11L -> 3L, 12L -> 3L), got.toString)
+    // determinism: a second run reproduces the labels exactly
+    val again = graft.ops.Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
