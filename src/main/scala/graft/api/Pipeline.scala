@@ -302,14 +302,11 @@ final class Pipeline(
       dedupThreshold: Double = 0.99,
       nCentroids: Int = 16): DataFrame = {
     import graft.ops.Similarity
-    val ppm = Similarity
-      .pcaTopDirection(embs)
-      .select("anisotropy_ppm")
-      .head()
-      .getLong(0)
+    val fit = Similarity.fitTopDirection(embs) // ONE covariance pass for audit + debias
+    val ppm = fit._2
     val debias = ppm >= debiasAbovePpm
     val vecs =
-      if (debias) Similarity.debiasedVectors(embs)
+      if (debias) Similarity.debiasedVectors(embs, fit = Some(fit._1))
       else embs.select(col("vec_id"), col("embedding"))
     val kept = vecs
       .join(

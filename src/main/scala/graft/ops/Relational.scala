@@ -1125,10 +1125,10 @@ object Relational {
     * strictly positive by construction: coalescing merged every
     * overlapping/abutting pair, so consecutive spans are separated.
     *
-    * Scale shape: [[coalesceIntervals]]' plan plus one more window pass
-    * over the SAME (key, start) sort — Spark reuses the exchange and
-    * sort; the gap pass runs on the already-merged spans (≤ input rows),
-    * never the raw interval table.
+    * Scale shape: [[coalesceIntervals]]' plan plus one `lead` window
+    * over the MERGED spans. The span aggregate hashes on (key, chain),
+    * so the window pays one more exchange — but over the merged spans
+    * (≤ input rows, typically far fewer), never the raw interval table.
     */
   def intervalGaps(
       intervals: DataFrame,

@@ -456,6 +456,10 @@ object Similarity {
     * cells; the label inequality prunes candidates BEFORE the top-k
     * window. A query whose probed cells hold only same-label vectors
     * returns fewer than k rows (mine harder cells by raising nProbe).
+    * NULL labels follow SQL semantics: an unlabeled candidate (or an
+    * unlabeled query) never passes the inequality — unlabeled data is
+    * not a usable negative, by design; pre-fill a sentinel label if you
+    * want unlabeled candidates mined.
     */
   def hardNegatives(
       queries: DataFrame,
@@ -659,16 +663,34 @@ object Similarity {
       embs: DataFrame,
       iters: Int = 12,
       dim: Int = 64,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      fit: Option[(Seq[Long], Long)] = None): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val cells = covCells(embs, dim, vecCol).collect()
-      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
-    val (v, ppm) = powerIterate(cells, dim, iters)
+    val (v, ppm) = fit.getOrElse(fitTopDirection(embs, iters, dim, vecCol))
     v.zipWithIndex
       .map { case (x, i) => (i.toLong, x, ppm) }
       .toSeq
       .toDF("pos", "loading_micro", "anisotropy_ppm")
+  }
+
+  /** FIT once, apply many: the dim²-covariance collect + power iteration
+    * as a reusable value (micro loadings, anisotropy ppm). Every face of
+    * the family ([[pcaTopDirection]], [[removeTopComponent]],
+    * [[debiasedVectors]], [[debiasedTopK]]) accepts it via its `fit`
+    * parameter, so a pipeline that audits, debiases AND ranks pays the
+    * covariance aggregation exactly once — the build-once discipline the
+    * persisted indexes follow, applied to a driver-sized artifact.
+    */
+  def fitTopDirection(
+      embs: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      vecCol: String = "embedding"): (Seq[Long], Long) = {
+    val cells = covCells(embs, dim, vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+    val (v, ppm) = powerIterate(cells, dim, iters)
+    (v.toSeq, ppm)
   }
 
   /** All-but-the-top embedding post-processing (Mu & Viswanath 2018):
@@ -691,8 +713,9 @@ object Similarity {
       iters: Int = 12,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    debiasedMilli(embs, iters, dim, idCol, vecCol)
+      vecCol: String = "embedding",
+      fit: Option[Seq[Long]] = None): DataFrame =
+    debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
       .select(col("vec_id"), posexplode_outer(col("__c")).as(Seq("pos", "c_milli")))
       .filter(col("c_milli").isNotNull)
       .select(col("vec_id"), col("pos").cast("long").as("pos"), col("c_milli"))
@@ -706,17 +729,16 @@ object Similarity {
       iters: Int,
       dim: Int,
       idCol: String,
-      vecCol: String): DataFrame = {
-    val cells = covCells(embs, dim, vecCol).collect()
-      .map(r => (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
-    val (v, _) = powerIterate(cells, dim, iters)
+      vecCol: String,
+      fit: Option[Seq[Long]] = None): DataFrame = {
+    val v = fit.getOrElse(fitTopDirection(embs, iters, dim, vecCol)._1)
     val vv = v.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * x)
     require(vv > 0, "removeTopComponent: degenerate corpus (zero top direction)")
     val vvL = vv.toLong // ≤ dim·10¹² — far inside Long
     embs
       .select(col(idCol).cast("long").as("vec_id"), milliVec(col(vecCol)).as("__x"))
       .filter(col("__x").isNotNull && size(col("__x")) === dim)
-      .withColumn("__v", typedLit(v.toSeq))
+      .withColumn("__v", typedLit(v))
       .withColumn(
         "__d",
         expr("aggregate(zip_with(__x, __v, (x, v) -> x * v), 0L, (acc, p) -> acc + p)"))
@@ -735,8 +757,9 @@ object Similarity {
       iters: Int = 12,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
-    debiasedMilli(embs, iters, dim, idCol, vecCol)
+      vecCol: String = "embedding",
+      fit: Option[Seq[Long]] = None): DataFrame =
+    debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
       .select(
         col("vec_id").as(idCol),
         transform(col("__c"), x => (x.cast("double") / 1000.0).cast("float")).as(vecCol))
@@ -763,9 +786,10 @@ object Similarity {
       iters: Int = 12,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      fit: Option[Seq[Long]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val db = debiasedMilli(embs, iters, dim, idCol, vecCol)
+    val db = debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
       .withColumn(
         "__n",
         sqrt(expr("aggregate(zip_with(__c, __c, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")

@@ -148,6 +148,16 @@ object OpsQueries {
   private def clusterMap(s: SparkSession, dir: String): DataFrame =
     Dedup.readClusterMap(s, clusterMapPath(s, dir))
 
+  /** Per-(JVM, corpus dir) PCA fit cache: the three PCA-family queries
+    * (audit, debias, debiased rank) share ONE covariance collect + power
+    * iteration per corpus, the build-once discipline of
+    * [[clusterMapPath]] applied to a driver-sized fit.
+    */
+  private val pcaFits = scala.collection.concurrent.TrieMap[String, (Seq[Long], Long)]()
+
+  private def pcaFit(s: SparkSession, dir: String): (Seq[Long], Long) =
+    pcaFits.getOrElseUpdate(dir, Similarity.fitTopDirection(embs(s, dir)))
+
   /** Persisted LSH index over the corpus snapshot, built once per dir —
     * the history side of the incremental-clustering queries (probed, never
     * re-shingled), same build-once scratch discipline as [[clusterMapPath]].
@@ -380,19 +390,19 @@ object OpsQueries {
     // integer power iterations over the scaled covariance (driver math is
     // BigInt; the oracle unrolls the same steps in HUGEINT to the bit)
     "embedding_pca_top" -> { (s, dir) =>
-      Similarity.pcaTopDirection(embs(s, dir))
+      Similarity.pcaTopDirection(embs(s, dir), fit = Some(pcaFit(s, dir)))
     },
     // all-but-the-top (Mu & Viswanath 2018): dominant direction removed
     // from every vector in exact integer milli — zero-shuffle projection
     // with the driver-computed direction folded into codegen
     "embedding_debias_abtt" -> { (s, dir) =>
-      Similarity.removeTopComponent(embs(s, dir))
+      Similarity.removeTopComponent(embs(s, dir), fit = Some(pcaFit(s, dir)._1))
     },
     // the composition the audit motivates: exact top-k in the DEBIASED
     // space (integer dots over the ABTT vectors) — "did removal change
     // the neighbors" as a hash-checked query
     "similarity_topk_debiased" -> { (s, dir) =>
-      Similarity.debiasedTopK(embs(s, dir), col("vec_id") < 8, k = 5)
+      Similarity.debiasedTopK(embs(s, dir), col("vec_id") < 8, k = 5, fit = Some(pcaFit(s, dir)._1))
     },
     // label-centroid affinity matrix: cosine between per-label mean
     // embeddings (sum direction — scale-invariant, so no division to

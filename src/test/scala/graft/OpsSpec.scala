@@ -1041,6 +1041,14 @@ class OpsSpec extends SparkSpec {
     }
     // exactness spot check: c = x - (x·v)v/(v·v) in trunc integer math
     assert(after((0L, 2L)) == 0L && after((0L, 3L)) == 0L)
+    // fit-once/apply-many: a precomputed fit reproduces the self-fit bit-for-bit
+    val fit = Similarity.fitTopDirection(embs, iters = 12, dim = 4)
+    assert(fit._1.zipWithIndex.forall { case (x, i) => x == top(i.toLong)._1 } && fit._2 == top(0L)._2)
+    val fitted = Similarity.removeTopComponent(embs, iters = 12, dim = 4, fit = Some(fit._1))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("pos")) -> r.getAs[Long]("c_milli"))
+      .toMap
+    assert(fitted == after, "precomputed-fit apply must equal the self-fitting face")
   }
 
   test("groupAffinity: aligned groups read 1, orthogonal 0, centroids average members") {
