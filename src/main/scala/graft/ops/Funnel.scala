@@ -31,7 +31,8 @@ object Funnel {
       steps: Seq[String],
       userCol: String = "user_id",
       tsCol: String = "ts_us",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, i)) =>
@@ -39,9 +40,14 @@ object Funnel {
         val qualified = prev match {
           case None => hits
           case Some(p) =>
-            hits
+            // maxGapUs = the conversion-window variant: the next step must
+            // land within the gap of the previous step's completion, or
+            // the user churns out (the product-analytics default; None
+            // keeps the unbounded ordered-sequence semantics)
+            val after = hits
               .join(p.select(col(userCol), col("t").as("t_prev")), Seq(userCol))
               .filter(col(tsCol) > col("t_prev"))
+            maxGapUs.fold(after)(g => after.filter(col(tsCol) <= col("t_prev") + g))
         }
         Some(
           qualified

@@ -608,6 +608,15 @@ object RelQueries {
     "funnel_stages" -> { (s, dir) =>
       graft.ops.Funnel.stages(events(s, dir), Seq("view", "click", "purchase"))
     },
+    // the conversion-window variant: each step must land within 24h of
+    // the previous completion or the user churns out (15 -> 6 at step 2
+    // on sf0.001 — the window genuinely bites)
+    "funnel_stages_windowed" -> { (s, dir) =>
+      graft.ops.Funnel.stages(
+        events(s, dir),
+        Seq("view", "click", "purchase"),
+        maxGapUs = Some(86400000000L))
+    },
     // weekly cohort retention over the 30-day event window
     "events_retention" -> { (s, dir) =>
       val raw = s.read.parquet(s"$dir/events.parquet")
@@ -1386,6 +1395,27 @@ object RelQueries {
         |  SELECT e.user_id, MIN(e.ts_us) AS t
         |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    "funnel_stages_windowed" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t
+        |    AND e.ts_us <= s1.t + 86400000000 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+        |    AND e.ts_us <= s2.t + 86400000000 GROUP BY 1)
         |SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
         |       CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
         |UNION ALL
