@@ -300,13 +300,21 @@ final class Pipeline(
       indexPath: String,
       debiasAbovePpm: Long = 300000L,
       dedupThreshold: Double = 0.99,
-      nCentroids: Int = 16): DataFrame = {
+      nCentroids: Int = 16,
+      dim: Int = 64,
+      iters: Int = 12): DataFrame = {
     import graft.ops.Similarity
-    val fit = Similarity.fitTopDirection(embs) // ONE covariance pass for audit + debias
+    // fail fast on a dim mismatch: the PCA family filters to `dim`-wide
+    // vectors, so a wrong dim would "audit" an empty set (ppm 0) and
+    // confidently index an uncorrected corpus
+    require(
+      embs.filter(size(col("embedding")) === dim).limit(1).count() == 1,
+      s"prepareVectors: corpus has no $dim-dim 'embedding' vectors — wrong dim?")
+    val fit = Similarity.fitTopDirection(embs, iters, dim) // ONE covariance pass for audit + debias
     val ppm = fit._2
     val debias = ppm >= debiasAbovePpm
     val vecs =
-      if (debias) Similarity.debiasedVectors(embs, fit = Some(fit._1))
+      if (debias) Similarity.debiasedVectors(embs, iters, dim, fit = Some(fit._1))
       else embs.select(col("vec_id"), col("embedding"))
     val kept = vecs
       .join(

@@ -392,7 +392,12 @@ object Similarity {
   /** Corpus assigned to nearest-centroid cells (rounded cosine, lower
     * centroid id breaks ties).
     */
-  private def flatCells(corpus: DataFrame, cents: DataFrame, idCol: String, vecCol: String) = {
+  private def flatCells(
+      corpus: DataFrame,
+      cents: DataFrame,
+      idCol: String,
+      vecCol: String,
+      carry: Seq[(String, String)] = Nil) = {
     import org.apache.spark.sql.expressions.Window
     corpus
       .crossJoin(broadcast(cents))
@@ -402,7 +407,9 @@ object Similarity {
         row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("rn") === 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+      .select(
+        col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +: col("centroid_id") +:
+          carry.map { case (c, a) => col(c).as(a) }: _*)
   }
 
   /** Each query paired with its `nProbe` nearest cells. */
@@ -411,10 +418,13 @@ object Similarity {
       cents: DataFrame,
       nProbe: Int,
       idCol: String,
-      vecCol: String) = {
+      vecCol: String,
+      carry: Seq[(String, String)] = Nil) = {
     import org.apache.spark.sql.expressions.Window
     queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(
+        col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+          carry.map { case (c, a) => col(c).as(a) }: _*)
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
       .withColumn(
@@ -422,7 +432,7 @@ object Similarity {
         row_number().over(
           Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
       .filter(col("prn") <= nProbe)
-      .select("query_id", "qv", "centroid_id")
+      .select(col("query_id") +: col("qv") +: col("centroid_id") +: carry.map(c => col(c._2)): _*)
   }
 
   private def rerank(probes: DataFrame, cells: DataFrame, k: Int): DataFrame =
@@ -472,26 +482,8 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = flatCents(corpus, nCentroids, idCol, vecCol)
-    val cells = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col(labelCol).as("neighbor_label"))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", round(cosine(col("cv"), col("centroid")), 6))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(col("neighbor_id")).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select("neighbor_id", "cv", "neighbor_label", "centroid_id")
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(labelCol).as("q_label"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
-      .withColumn(
-        "prn",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
-      .filter(col("prn") <= nProbe)
-      .select("query_id", "qv", "q_label", "centroid_id")
+    val cells = flatCells(corpus, cents, idCol, vecCol, Seq(labelCol -> "neighbor_label"))
+    val probes = flatProbes(queries, cents, nProbe, idCol, vecCol, Seq(labelCol -> "q_label"))
     probes
       .join(cells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id") && col("neighbor_label") =!= col("q_label"))

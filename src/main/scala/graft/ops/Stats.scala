@@ -182,7 +182,32 @@ object Stats {
       .distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rk") <= k)
-      .select("grp", "h")
+      .select(col("grp"), col("h"), lit(k).as("k")) // self-describing: consumers validate k
+  }
+
+  /** Validate the `k` stamped on sketches (when present) against the
+    * caller's k — a sketch built with a smaller k looks like an
+    * unsaturated ("exact") sketch of the larger k and silently reports
+    * garbage, the one failure the persisted stores' params pin already
+    * prevents. One bounded driver aggregate over the (≤ k·|groups|-row)
+    * sketches at construction time; inputs WITHOUT the column (persisted
+    * store reads, which pin k in params) fall back to the documented
+    * same-k contract.
+    */
+  private def requireSketchK(sketches: Seq[DataFrame], k: Int): Unit = {
+    val stamped = sketches.filter(_.columns.contains("k"))
+    if (stamped.nonEmpty) {
+      val r = stamped
+        .map(_.select(col("k").cast("int").as("k")))
+        .reduce(_ unionAll _)
+        .agg(min("k"), max("k"))
+        .head()
+      if (!r.isNullAt(0))
+        require(
+          r.getInt(0) == k && r.getInt(1) == k,
+          s"KMV sketches were built with k in [${r.getInt(0)}, ${r.getInt(1)}], caller passed " +
+            s"k=$k — sketches of different k do not merge or compare")
+    }
   }
 
   /** k ≤ 128 keeps the estimator constant `(k-1)·2^56` inside Long
@@ -203,6 +228,7 @@ object Stats {
     */
   def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
     requireKmvK(k)
+    requireSketchK(Seq(sketch), k)
     val scale = (k - 1).toLong * (1L << 56)
     sketch
       .groupBy("grp")
@@ -223,12 +249,14 @@ object Stats {
     */
   def kmvMerge(sketches: Seq[DataFrame], k: Int = 64): DataFrame = {
     requireKmvK(k)
+    requireSketchK(sketches, k)
     sketches
+      .map(_.select("grp", "h"))
       .reduce(_ unionByName _)
       .distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("grp").orderBy("h")))
       .filter(col("rk") <= k)
-      .select("grp", "h")
+      .select(col("grp"), col("h"), lit(k).as("k"))
   }
 
   /** [[kmvSketch]] + [[kmvEstimate]] in one call. */
@@ -263,6 +291,7 @@ object Stats {
     */
   def kmvOverlap(a: DataFrame, b: DataFrame, groupCol: String, k: Int = 64): DataFrame = {
     requireKmvK(k)
+    requireSketchK(Seq(a, b), k)
     val scale = (k - 1).toLong * (1L << 56)
     val pooled = a
       .select(col("grp"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))

@@ -1380,11 +1380,13 @@ object TextAnalysis {
     val refTk = reference
       .select(tokens(col(textCol)).as("__tk"))
       .localCheckpoint()
-    val uni = refTk
+    val c3 = refTk
       .select(explode_outer(col("__tk")).as("w"))
       .filter(col("w").isNotNull)
-    val c3 = uni.groupBy(col("w").as("w3")).agg(count(lit(1)).cast("long").as("c3"))
-    val nTok = uni.agg(count(lit(1)).cast("long").as("__n"))
+      .groupBy(col("w").as("w3"))
+      .agg(count(lit(1)).cast("long").as("c3"))
+      .localCheckpoint() // 3 consumers (c2 rename, c3 join, nTok) — one explode, not three
+    val nTok = c3.agg(sum("c3").cast("long").as("__n")) // Σ unigram counts == token count
     val bi = refTk
       .select(biStruct.as("__bg"))
       .select(explode_outer(col("__bg")).as("bg"))

@@ -351,10 +351,18 @@ object EventsStream {
     require(k >= 2 && k <= 128, s"k must be in [2, 128], got $k")
     rows
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Seq[Long], KeyDistinct](
+      .flatMapGroupsWithState[(Int, Seq[Long]), KeyDistinct](
         OutputMode.Update,
-        GroupStateTimeout.NoTimeout) { (key, it, state: GroupState[Seq[Long]]) =>
-        var set = scala.collection.immutable.TreeSet.empty[Long] ++ state.getOption.getOrElse(Nil)
+        GroupStateTimeout.NoTimeout) { (key, it, state: GroupState[(Int, Seq[Long])]) =>
+        // the state pins its k (the ingestKmvBatch params contract): a
+        // restart with a different k would otherwise read a saturated
+        // k=64 state as "below the new k=128, hence exact" — silent
+        // garbage for every saturated key
+        val (k0, prev) = state.getOption.getOrElse((k, Nil))
+        if (k0 != k)
+          throw new IllegalStateException(
+            s"distinctSketchStream checkpoint for '$key' was built with k=$k0, restarted with k=$k")
+        var set = scala.collection.immutable.TreeSet.empty[Long] ++ prev
         it.foreach { case (_, v) =>
           val hex = java.security.MessageDigest
             .getInstance("MD5")
@@ -364,7 +372,7 @@ object EventsStream {
           set += java.lang.Long.parseLong(hex.substring(0, 14), 16)
           if (set.size > k) set -= set.last
         }
-        state.update(set.toSeq)
+        state.update((k, set.toSeq))
         val nKept = set.size.toLong
         val est = if (nKept < k) nKept else (k - 1).toLong * (1L << 56) / set.last
         Iterator.single(KeyDistinct(key, nKept, est))

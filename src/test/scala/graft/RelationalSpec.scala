@@ -875,6 +875,17 @@ class RelationalSpec extends SparkSpec {
       .collect().head
     val estI = ov.getAs[Long]("est_intersect").toDouble
     assert(math.abs(estI - 500.0) <= 250.0, s"est_intersect $estI vs 500")
+    // sketches are self-describing: comparing/merging/estimating with a
+    // DIFFERENT k than they were built with fails fast instead of
+    // reporting a saturated small-k sketch as "exact" under the bigger k
+    val small = Stats.kmvSketch((0 until 500).map(u => ("g", u.toLong)).toDF("g", "user_id"),
+      "g", "user_id", k = 32)
+    val err = intercept[IllegalArgumentException] {
+      Stats.kmvOverlap(small, sk("g", 0 until 20), "g", k = 64)
+    }
+    assert(err.getMessage.contains("k in [32"))
+    val err2 = intercept[IllegalArgumentException] { Stats.kmvEstimate(small, "g", k = 64) }
+    assert(err2.getMessage.contains("caller passed k=64"))
   }
 
   test("kmvSketch/kmvEstimate refuse k > 128 (the estimator constant's Long ceiling)") {
