@@ -194,19 +194,40 @@ object Stats {
     * store reads, which pin k in params) fall back to the documented
     * same-k contract.
     */
-  private def requireSketchK(sketches: Seq[DataFrame], k: Int): Unit = {
-    val stamped = sketches.filter(_.columns.contains("k"))
-    if (stamped.nonEmpty) {
-      val r = stamped
-        .map(_.select(col("k").cast("int").as("k")))
-        .reduce(_ unionAll _)
-        .agg(min("k"), max("k"))
-        .head()
-      if (!r.isNullAt(0))
-        require(
-          r.getInt(0) == k && r.getInt(1) == k,
-          s"KMV sketches were built with k in [${r.getInt(0)}, ${r.getInt(1)}], caller passed " +
-            s"k=$k — sketches of different k do not merge or compare")
+  private def requireSketchK(sketches: Seq[DataFrame], k: Int): Unit =
+    sketches.filter(_.columns.contains("k")).foreach { df =>
+      val ks = stampedKs(df)
+      require(
+        ks.forall(_ == k),
+        s"KMV sketches were built with k in [${ks.min}, ${ks.max}], caller passed " +
+          s"k=$k — sketches of different k do not merge or compare")
+    }
+
+  /** The k values stamped on a sketch. Fast path: [[kmvSketch]]/[[kmvMerge]]
+    * stamp `lit(k)`, so the values are LITERALS in the analyzed plan —
+    * read statically, no job (the first cut ran a validation aggregate,
+    * which re-executed the whole sketch subtree per consumer and tripled
+    * `stats_kmv_merged`). Fallback for sketches whose k column is real
+    * data (a parquet round-trip): one bounded aggregate over the
+    * ≤ k·|groups|-row sketch.
+    */
+  private def stampedKs(df: DataFrame): Set[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lits: Seq[Option[Int]] = df.queryExecution.analyzed
+      .collect { case p: Project =>
+        p.projectList.collect { case a: Alias if a.name == "k" =>
+          a.child match {
+            case Literal(v: Int, _) => Some(v)
+            case _ => None
+          }
+        }
+      }
+      .flatten
+    if (lits.nonEmpty && lits.forall(_.isDefined)) lits.flatten.toSet
+    else {
+      val r = df.select(col("k").cast("int").as("k")).agg(min("k"), max("k")).head()
+      if (r.isNullAt(0)) Set.empty else Set(r.getInt(0), r.getInt(1))
     }
   }
 
