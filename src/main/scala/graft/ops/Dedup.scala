@@ -1342,6 +1342,110 @@ object Dedup {
         when(col("hit").isNotNull, 0L).otherwise(1L).as("kept"))
   }
 
+  /** EXACT set-similarity self-join via df-ordered prefix filtering
+    * (AllPairs, Bayardo et al. WWW 2007; the MapReduce formulation is
+    * Vernica et al. SIGMOD 2010): every pair of documents whose distinct
+    * `n`-gram-shingle Jaccard is >= `thresholdMilli`/1000 — no hashing, no
+    * df cap, no false negatives. The lossless complement to [[minHashLsh]]
+    * (which trades recall for banding) and the exact counterpart to
+    * [[ngramJaccard]] (whose df cap silently drops ubiquitous shingles
+    * from the similarity itself); here the hot-key bound comes from the
+    * FILTER, not from changing the answer.
+    *
+    * The filter: order each document's distinct shingles by ascending
+    * global document frequency (ties by shingle text — any TOTAL order
+    * works; df ascending puts each doc's RAREST shingles first, which is
+    * what bounds the candidate join), and for a set of size s keep only
+    * the first `s - ceil(t*s) + 1` as its probing prefix. Under a total
+    * order, two sets with Jaccard >= t must share at least one PREFIX
+    * element: with the length filter in force the overlap is
+    * >= ceil(t*max(sa,sb)), and if every shared element sat in x's suffix
+    * of size ceil(t*sx)-1 the overlap would be < t*sx <= that minimum —
+    * contradiction. So an
+    * equi-join on prefix shingles plus the length filter
+    * `1000*min(na,nb) >= t_milli*max(na,nb)` loses nothing, and the exact
+    * verify only pays for surviving candidates.
+    *
+    * All threshold arithmetic is integer-exact (`thresholdMilli` per-mille;
+    * ceil via `(n*t + 999) div 1000`; the final keep test is
+    * `1000*inter >= t*(na+nb-inter)` — never a rounded double), so the
+    * result is engine-portable and hash-checkable; the reported `jaccard`
+    * column is display-only rounding.
+    *
+    * Scale shape: one shuffle to count df, one to re-assemble each doc's
+    * ordered shingle array (both keyed by shingle / doc id — uniform),
+    * then an equi-join on prefix shingles. Prefix shingles are each doc's
+    * rarest, so a shingle with document frequency d contributes at most d²
+    * candidate pairs and boilerplate shingles never enter anyone's prefix
+    * at realistic thresholds (they sort last). The verify stage is two
+    * id-keyed joins pulling the full ordered arrays onto the
+    * candidate-bounded pair table — the VernicaJoin kernel. The ordered
+    * table feeds three consumers (prefix explode + both verify sides),
+    * hence the one materialization. At 100 TB, key the prefix join and
+    * the arrays on a 128-bit shingle digest instead of raw strings (the
+    * [[graft.ops.TextAnalysis]] gram-index move) — same plan, ~5x fewer
+    * shuffle bytes.
+    */
+  def setSimilarityJoin(
+      docs: DataFrame,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(
+      thresholdMilli > 0 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in (0, 1000], got $thresholdMilli")
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val tm = lit(thresholdMilli.toLong)
+    val tks = TextAnalysis.tokens(col(textCol))
+    val tok = docs
+      .select(col(idCol).cast("long").as("id"), tks.as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(
+        col("id"),
+        explode(
+          array_distinct(
+            transform(
+              sequence(lit(0), size(col("tks")) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))
+          .as("tok"))
+    val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val ordered = tok
+      .join(dfs, Seq("tok"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("id"), transform(col("ord"), s => s.getField("tok")).as("otks"))
+      .withColumn("n", size(col("otks")).cast("long"))
+      // prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
+      // (operands positive, so the long cast of the division truncates
+      // toward zero = floor)
+      .withColumn(
+        "plen",
+        (col("n") - ((col("n") * tm + lit(999L)) / lit(1000L)).cast("long") + lit(1L)).cast("int"))
+      .localCheckpoint()
+    val pref = ordered
+      .select(col("id"), col("n"), explode(slice(col("otks"), lit(1), col("plen"))).as("tok"))
+    val cand = pref
+      .as("a")
+      .join(
+        pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(1000L) * least(col("a.n"), col("b.n")) >= tm * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ordered.select(col("id").as("doc_a"), col("otks").as("ta"), col("n").as("na")), Seq("doc_a"))
+      .join(ordered.select(col("id").as("doc_b"), col("otks").as("tb"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(lit(1000L) * col("inter") >= tm * (col("na") + col("nb") - col("inter")))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
+          .as("jaccard"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the
     * first 8 dimensions) then exact cosine within bucket, kept when
     * round(cos, 4) >= threshold. Blocking bounds the pair count to

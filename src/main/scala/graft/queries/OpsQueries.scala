@@ -250,6 +250,10 @@ object OpsQueries {
     },
     "dedup_simhash" -> { (s, dir) => Dedup.simHash(docs(s, dir)) },
     "dedup_ngram_jaccard" -> { (s, dir) => Dedup.ngramJaccard(docs(s, dir)) },
+    // exact trigram-set Jaccard pairs via df-ordered prefix filtering —
+    // the oracle is an independent brute-force all-pairs mirror, so this
+    // row also re-proves the prefix filter's losslessness per run
+    "dedup_setjoin_exact" -> { (s, dir) => Dedup.setSimilarityJoin(docs(s, dir)) },
     "dedup_embedding_cosine" -> { (s, dir) =>
       Dedup.embeddingCosine(dupEmbs(s, dir))
     },
@@ -2132,6 +2136,27 @@ object OpsQueries {
          |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
          |  GROUP BY 1, 2)
          |${jaccardSql("pr", 0.8, "i.inter,")}""".stripMargin,
+    // Brute force on purpose: the Spark side prunes with the prefix
+    // filter, the oracle enumerates every length-compatible pair — a
+    // hash match certifies the filter dropped nothing. Integer-exact
+    // keep test (1000*inter >= t*(union)), display-only rounding.
+    "dedup_setjoin_exact" ->
+      s"""WITH $tokCtes,
+         |gsets AS (
+         |  SELECT doc_id AS id,
+         |         list_distinct(list_transform(range(1, len(tk) - 1),
+         |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS lst
+         |  FROM tks WHERE len(tk) >= 3),
+         |sz AS (SELECT id, lst, CAST(len(lst) AS BIGINT) AS n FROM gsets),
+         |pairs AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b,
+         |         CAST(len(list_intersect(a.lst, b.lst)) AS BIGINT) AS inter,
+         |         a.n AS na, b.n AS nb
+         |  FROM sz a JOIN sz b
+         |    ON a.id < b.id AND 1000*LEAST(a.n, b.n) >= 800*GREATEST(a.n, b.n))
+         |SELECT doc_a, doc_b, inter,
+         |       round(CAST(inter AS DOUBLE)/(na + nb - inter), 4) AS jaccard
+         |FROM pairs WHERE 1000*inter >= 800*(na + nb - inter)""".stripMargin,
     "dedup_embedding_cosine" -> {
       val src =
         """SELECT vec_id, embedding FROM embeddings

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join (prefix filtering): hand-checked pairs plus a
+  * randomized brute-force equivalence over the filter's whole parameter
+  * cross — the property that prefix filtering is LOSSLESS is the operator's
+  * contract, so it is pinned here against an implementation that has no
+  * filter at all.
+  */
+class SetJoinSpec extends SparkSpec {
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Brute force: all pairs, distinct n-gram sets, integer-exact keep test. */
+  private def brute(docs: DataFrame, tm: Int, n: Int): Set[(Long, Long, Long)] = {
+    val grams = docs
+      .select(col("doc_id").cast("long").as("id"), graft.ops.TextAnalysis.tokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(
+        col("id"),
+        array_distinct(
+          transform(
+            sequence(lit(0), size(col("tks")) - n),
+            i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*)))
+          .as("g"))
+    grams
+      .as("a")
+      .join(grams.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"),
+        col("b.id").as("doc_b"),
+        size(array_intersect(col("a.g"), col("b.g"))).cast("long").as("inter"),
+        size(col("a.g")).cast("long").as("na"),
+        size(col("b.g")).cast("long").as("nb"))
+      .filter(lit(1000L) * col("inter") >= lit(tm.toLong) * (col("na") + col("nb") - col("inter")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+  }
+
+  private def run(docs: DataFrame, tm: Int, n: Int): Set[(Long, Long, Long)] =
+    Dedup
+      .setSimilarityJoin(docs, thresholdMilli = tm, n = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("near-dup pair found with exact jaccard; unrelated pair excluded") {
+    val docs = df(
+      Seq(
+        1L -> "the quick brown fox jumps over the lazy dog today",
+        2L -> "the quick brown fox jumps over the lazy dog tonight",
+        3L -> "completely different text about spark physical planning"))
+    val out = Dedup.setSimilarityJoin(docs, thresholdMilli = 500, n = 3).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === ((1L, 2L)))
+    // 10 tokens -> 8 trigrams each; only the final trigram ("lazy dog
+    // today|tonight") differs: inter = 7, union = 9
+    assert(r.getLong(2) === 7L)
+    assert(r.getDouble(3) === math.round(7.0 / 9.0 * 10000) / 10000.0)
+  }
+
+  test("threshold 1000 keeps only exact set-duplicates") {
+    val docs = df(
+      Seq(
+        1L -> "alpha beta gamma delta epsilon",
+        2L -> "alpha beta gamma delta epsilon",
+        3L -> "alpha beta gamma delta zeta"))
+    val out = run(docs, 1000, 3)
+    assert(out === Set((1L, 2L, 3L)))
+  }
+
+  test("docs shorter than the shingle width never pair") {
+    val docs = df(Seq(1L -> "one two", 2L -> "one two", 3L -> "one two three four"))
+    assert(run(docs, 500, 3).isEmpty)
+    // but they do as unigram sets
+    assert(run(docs, 1000, 1).contains((1L, 2L, 2L)))
+  }
+
+  test("prefix filter is lossless: equals brute force across thresholds and widths") {
+    // deterministic pseudo-random corpus over a tiny vocabulary so near-dup,
+    // partial-overlap, and disjoint pairs all occur
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 40L).map { i =>
+      val len = 4 + rnd.nextInt(12)
+      val base = Vector.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      val text =
+        if (i % 4 == 0) (base :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        else base.mkString(" ")
+      i -> text
+    }
+    val docs = df(rows).localCheckpoint()
+    for (tm <- Seq(300, 500, 800, 1000); n <- Seq(1, 2, 3)) {
+      val expected = brute(docs, tm, n)
+      val got = run(docs, tm, n)
+      assert(got === expected, s"mismatch at thresholdMilli=$tm n=$n")
+    }
+  }
+}
