@@ -538,4 +538,229 @@ object Stats {
       groupCol,
       k)
   }
+
+  /** Spec stamp for the fixed-grid histogram sketch family — consumers
+    * validate the grid the same way [[requireSketchK]] validates KMV's k:
+    * two sketches over different grids must not merge or compare.
+    */
+  private def histSpec(loMilli: Long, hiMilli: Long, bins: Int): String =
+    s"$loMilli:$hiMilli:$bins"
+
+  private def requireHistBins(bins: Int): Unit =
+    require(bins >= 2 && bins <= 65536, s"bins must be in [2, 65536], got $bins")
+
+  /** The grid specs stamped on a histogram sketch. Fast path: the `spec`
+    * column is a literal in the analyzed plan (stamped by
+    * [[histSketch]]/[[histMerge]]) — read statically, no job. Fallback for
+    * parquet round trips: one bounded aggregate over the
+    * ≤ bins·|groups|-row sketch.
+    */
+  private def stampedSpecs(df: DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.unsafe.types.UTF8String
+    val lits: Seq[Option[String]] = df.queryExecution.analyzed
+      .collect { case p: Project =>
+        p.projectList.collect { case a: Alias if a.name == "spec" =>
+          a.child match {
+            case Literal(v: UTF8String, _) => Some(v.toString)
+            case _ => None
+          }
+        }
+      }
+      .flatten
+    if (lits.nonEmpty && lits.forall(_.isDefined)) lits.flatten.toSet
+    else
+      df.select(col("spec").cast("string")).distinct().collect().map(_.getString(0)).toSet
+  }
+
+  private def requireHistSpec(sketches: Seq[DataFrame], spec: String): Unit =
+    sketches.filter(_.columns.contains("spec")).foreach { df =>
+      val specs = stampedSpecs(df)
+      require(
+        specs.forall(_ == spec),
+        s"histogram sketches were built over grid(s) ${specs.mkString(", ")}, caller " +
+          s"passed $spec — sketches over different grids do not merge or compare")
+    }
+
+  /** Fixed-grid histogram sketch: per group, the count of values landing
+    * in each of `bins` equal-width buckets over [`loMilli`, `hiMilli`)
+    * milli-units (values clamped into the edge buckets). The mergeable
+    * quantile sketch of this engine: state is ≤ `bins` longs per group
+    * REGARDLESS of input size, two sketches over the same grid merge by
+    * counter ADDITION ([[histMerge]] — exactly equal to sketching the
+    * unioned input, the law the spec pins), and any quantile reads off the
+    * cumulative counts with deterministic one-bucket-width error
+    * ([[histQuantiles]]). Where a t-digest would give adaptive error at
+    * the cost of merge-order-dependent centroids (not oracle-hashable —
+    * the [[heavyHitters]] caveat), the fixed grid is exactly portable:
+    * bucket = `(clamp(round(v·1000)) - lo) · bins div (hi - lo)`, all
+    * integer, so DuckDB rebuilds the sketch bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable aggregate on (group, bucket) —
+    * each map task emits ≤ bins rows per group no matter how many values
+    * it saw; no window, no shuffle wider than the (tiny) sketch itself.
+    */
+  def histSketch(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): DataFrame = {
+    requireHistBins(bins)
+    require(hiMilli > loMilli, s"need hiMilli > loMilli, got [$loMilli, $hiMilli)")
+    val span = hiMilli - loMilli
+    val vm = round(col(valueCol).cast("double") * 1000, 0).cast("long")
+    // clamp into [lo, hi-1] BEFORE the division so the truncating long
+    // cast is a true floor (operands non-negative)
+    val vcl = greatest(lit(loMilli), least(vm, lit(hiMilli - 1)))
+    val bucket = (((vcl - lit(loMilli)) * lit(bins.toLong)) / lit(span)).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), bucket.as("bucket"))
+      .groupBy("grp", "bucket")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select(
+        col("grp"),
+        col("bucket"),
+        col("cnt"),
+        lit(histSpec(loMilli, hiMilli, bins)).as("spec"))
+  }
+
+  /** Merge histogram sketches over the SAME grid by counter addition —
+    * exactly equal to sketching the unioned raw input (linearity), so
+    * per-shard / per-day sketches roll up forever without re-reading data.
+    */
+  def histMerge(
+      sketches: Seq[DataFrame],
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): DataFrame = {
+    requireHistBins(bins)
+    val spec = histSpec(loMilli, hiMilli, bins)
+    requireHistSpec(sketches, spec)
+    sketches
+      .map(_.select("grp", "bucket", "cnt"))
+      .reduce(_ unionByName _)
+      .groupBy("grp", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+      .select(col("grp"), col("bucket"), col("cnt"), lit(spec).as("spec"))
+  }
+
+  /** Quantiles from a histogram sketch: for each group and each requested
+    * per-mille rank q, the first bucket whose cumulative count reaches
+    * `ceil(q·n/1000)`, reported with its integer milli-unit value bounds —
+    * the true quantile is guaranteed inside [`lo_milli`, `hi_milli`)
+    * (modulo edge-bucket clamping), a deterministic one-bucket-width error
+    * band. All arithmetic integer (`target = (q·n + 999) div 1000`), hence
+    * engine-portable and hash-checkable — the distributed-percentile face
+    * that `approx_percentile`'s engine-private GK sketch cannot give an
+    * oracle for.
+    *
+    * Scale shape: the cumulative window partitions by group over ≤ bins
+    * rows; the quantile probe is an equi-join on group against the
+    * |groups|·|qs| target table. Nothing here ever re-reads raw data.
+    */
+  def histQuantiles(
+      sketch: DataFrame,
+      groupCol: String,
+      qMillis: Seq[Int],
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): DataFrame = {
+    requireHistBins(bins)
+    require(qMillis.nonEmpty, "need at least one quantile")
+    require(
+      qMillis.forall(q => q >= 1 && q <= 1000),
+      s"quantiles are per-mille ranks in [1, 1000], got ${qMillis.mkString(",")}")
+    requireHistSpec(Seq(sketch), histSpec(loMilli, hiMilli, bins))
+    val span = hiMilli - loMilli
+    // the sketch subtree feeds two consumers (cumulative window + totals):
+    // materialize the ≤ bins·|groups|-row state once, per the repo's
+    // recompute rule
+    val sk = sketch.select("grp", "bucket", "cnt").localCheckpoint()
+    val cum = sk
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("grp").orderBy("bucket")))
+      .select(col("grp"), col("bucket"), col("cum"))
+    val targets = sk
+      .groupBy("grp")
+      .agg(sum("cnt").cast("long").as("n"))
+      .select(
+        col("grp"),
+        col("n"),
+        explode(array(qMillis.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .withColumn("target", ((col("q_milli") * col("n") + lit(999L)) / lit(1000L)).cast("long"))
+    targets
+      .join(cum, Seq("grp"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("grp", "q_milli", "n")
+      .agg(min("bucket").as("bucket"))
+      .select(
+        col("grp").as(groupCol),
+        col("q_milli"),
+        col("n"),
+        col("bucket"),
+        (lit(loMilli) + (col("bucket") * lit(span)) / lit(bins.toLong)).cast("long")
+          .as("lo_milli"),
+        (lit(loMilli) + ((col("bucket") + 1) * lit(span)) / lit(bins.toLong)).cast("long")
+          .as("hi_milli"))
+  }
+
+  /** Batch contract of the streaming histogram face
+    * ([[graft.streaming.SketchIngest.histIngest]]) — the shared store
+    * lifecycle: batch 0 (or a missing store) claims the root and pins the
+    * grid in `params`; later batches fail fast on a grid mismatch; each
+    * batch lands its own ≤ bins·|groups|-row sketch under
+    * `sketch/batch_id=N` so checkpoint retries overwrite themselves.
+    */
+  def ingestHistBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      groupCol: String,
+      valueCol: String,
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val spec = histSpec(loMilli, hiMilli, bins)
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/sketch")
+      Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else {
+      val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+      require(s0 == spec, s"hist store at $path was built over grid $s0, got $spec")
+    }
+    histSketch(batch, groupCol, valueCol, loMilli, hiMilli, bins)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketch/batch_id=$batchId")
+  }
+
+  /** Roll up every landed batch sketch by counter addition, then read the
+    * requested quantiles — by linearity exactly the one-pass whole-stream
+    * sketch's answer, the hash-equality the oracle query checks.
+    */
+  def readHistQuantiles(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String,
+      qMillis: Seq[Int],
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no hist store at $path — ingest at least one batch first")
+    val spec = histSpec(loMilli, hiMilli, bins)
+    val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+    require(s0 == spec, s"hist store at $path was built over grid $s0, got $spec")
+    val merged = spark.read
+      .parquet(s"$path/sketch")
+      .groupBy("grp", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+      .select(col("grp"), col("bucket"), col("cnt"), lit(spec).as("spec"))
+    histQuantiles(merged, groupCol, qMillis, loMilli, hiMilli, bins)
+  }
 }

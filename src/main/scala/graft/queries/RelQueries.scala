@@ -572,6 +572,39 @@ object RelQueries {
       }
       Stats.readKmvEstimate(s, root, "event_type", k = 64)
     },
+    // distributed percentiles from the mergeable fixed-grid histogram
+    // sketch: p25/p50/p90/p99 of event value per type, each located to a
+    // 4-unit bucket in exact integer arithmetic (the oracle the
+    // engine-private approx_percentile sketch cannot give)
+    "stats_hist_quantiles" -> { (s, dir) =>
+      Stats.histQuantiles(
+        Stats.histSketch(events(s, dir), "event_type", "value"),
+        "event_type",
+        Seq(250, 500, 900, 990))
+    },
+    // per-shard histogram sketches merged by counter addition MUST answer
+    // like the whole-corpus sketch (linearity) — the oracle runs the
+    // whole-corpus SQL against the merged result
+    "stats_hist_merged" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val halves = Seq(
+        Stats.histSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "value"),
+        Stats.histSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "value"))
+      Stats.histQuantiles(Stats.histMerge(halves), "event_type", Seq(250, 500, 900, 990))
+    },
+    // the full streaming-store lifecycle inside the timed query: three
+    // ingest rounds land batch-keyed bucket tables (batch 0 claiming or
+    // replacing any stale store), then the read face rolls them up —
+    // which must hash-equal the one-pass whole-corpus sketch
+    "stats_hist_streamed" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_hist_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir)
+      (0L to 2L).foreach { b =>
+        Stats.ingestHistBatch(
+          ev.filter(col("event_id") % 3 === b), root, b, "event_type", "value")
+      }
+      Stats.readHistQuantiles(s, root, "event_type", Seq(250, 500, 900, 990))
+    },
     // per-shard sketches merged by union + re-trim: MUST equal the
     // whole-corpus sketch (the mergeability law), so the oracle runs the
     // whole-corpus SQL against the merged result
@@ -879,6 +912,35 @@ object RelQueries {
       |       CAST(n_both * est_union // n_kept AS BIGINT) AS est_intersect,
       |       CAST(n_both * 1000 // n_kept AS BIGINT) AS jaccard_milli
       |FROM est""".stripMargin
+
+  // fixed-grid histogram sketch: 256 buckets over [0, 1024000) milli,
+  // bucket = clamped-milli·256 // 1024000; quantile q = first bucket whose
+  // cumulative count reaches (q·n + 999) // 1000, with integer bucket
+  // edges. One SQL for all three faces: merged shards and the streamed
+  // store must answer like the whole-corpus sketch (linearity).
+  private val histSql =
+    """WITH sk AS (
+      |  SELECT event_type AS grp,
+      |         (GREATEST(CAST(0 AS BIGINT),
+      |                   LEAST(CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT),
+      |                         1023999)) * 256) // 1024000 AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, bucket, SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM sk),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+      |tq AS (
+      |  SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS target
+      |  FROM tot CROSS JOIN (SELECT CAST(unnest([250, 500, 900, 990]) AS BIGINT) AS q_milli)),
+      |sel AS (
+      |  SELECT t.grp, t.q_milli, t.n, MIN(c.bucket) AS bucket
+      |  FROM tq t JOIN cum c ON t.grp = c.grp AND c.cum >= t.target
+      |  GROUP BY 1, 2, 3)
+      |SELECT grp AS event_type, q_milli, n, bucket,
+      |       CAST((bucket * 1024000) // 256 AS BIGINT) AS lo_milli,
+      |       CAST(((bucket + 1) * 1024000) // 256 AS BIGINT) AS hi_milli
+      |FROM sel""".stripMargin
 
   // count-min sketch: row d's bucket = md5 hex digits 2d+1..2d+2 (0..255),
   // 4 rows; estimate = min over rows of the item's counter
@@ -1456,6 +1518,10 @@ object RelQueries {
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
     "stats_kmv_overlap" -> kmvOverlapSql,
+    // one SQL for all three histogram faces (linearity — see histSql)
+    "stats_hist_quantiles" -> histSql,
+    "stats_hist_merged" -> histSql,
+    "stats_hist_streamed" -> histSql,
     "events_hopping_uniques_kmv" ->
       """WITH keyed AS (
         |  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - offs AS window_start_us,

@@ -66,4 +66,34 @@ object SketchIngest {
         ()
       }
       .start()
+
+  /** Streaming face of the fixed-grid histogram sketch
+    * ([[graft.ops.Stats.histSketch]]): each micro-batch lands its own
+    * ≤ bins·|groups|-row bucket-count table batch-id-keyed (retried
+    * batches overwrite themselves), and live quantiles are
+    * [[graft.ops.Stats.readHistQuantiles]]'s counter-sum rollup — by
+    * histogram linearity exactly the one-pass whole-stream sketch. The
+    * quantile complement of [[kmvIngest]] (distinct) and [[cmsIngest]]
+    * (frequency) under the same store lifecycle: engine-portable parquet
+    * state, mergeable across streams by counter addition, deterministic
+    * one-bucket-width error.
+    */
+  def histIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String,
+      valueCol: String,
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Stats
+          .ingestHistBatch(batch.toDF(), path, batchId, groupCol, valueCol, loMilli, hiMilli, bins)
+        ()
+      }
+      .start()
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-grid histogram sketch: bucket math at the clamp edges, merge
+  * linearity (the law the oracle leans on), quantile bracketing vs the
+  * exact order statistic, grid-mismatch fail-fast, and the batch store
+  * lifecycle.
+  */
+class HistSketchSpec extends SparkSpec {
+
+  private def df(rows: Seq[(String, Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("g", "v")
+  }
+
+  test("bucket math: interior values, clamp below lo and above hi") {
+    // grid [0, 8000) milli, 8 buckets -> width 1000 milli = 1.0 units
+    val sk = Stats
+      .histSketch(
+        df(Seq("a" -> -5.0, "a" -> 0.0, "a" -> 0.999, "a" -> 1.0, "a" -> 6.5, "a" -> 7.999, "a" -> 99.0)),
+        "g",
+        "v",
+        loMilli = 0L,
+        hiMilli = 8000L,
+        bins = 8)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    // -5.0 clamps into bucket 0; 0.0 and 0.999 are bucket 0; 1.0 starts
+    // bucket 1; 6.5 is bucket 6; 7.999 is the last interior value of
+    // bucket 7; 99.0 clamps into bucket 7
+    assert(sk === Map(0L -> 3L, 1L -> 1L, 6L -> 1L, 7L -> 2L))
+  }
+
+  test("merge linearity: per-shard sketches summed == whole-input sketch") {
+    val rows = (1 to 500).map(i => (if (i % 3 == 0) "x" else "y", (i % 97) * 1.37))
+    val full = df(rows)
+    val sk = Stats.histSketch(full, "g", "v")
+    val halves = Seq(
+      Stats.histSketch(df(rows.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)), "g", "v"),
+      Stats.histSketch(df(rows.zipWithIndex.filter(_._2 % 2 == 1).map(_._1)), "g", "v"))
+    val a = sk.orderBy("grp", "bucket").collect().toSeq
+    val b = Stats.histMerge(halves).orderBy("grp", "bucket").collect().toSeq
+    assert(a === b)
+  }
+
+  test("quantiles bracket the exact order statistic within one bucket") {
+    val rows = (1 to 1000).map(i => ("a", i * 0.5)) // values 0.5 .. 500.0
+    val out = Stats
+      .histQuantiles(Stats.histSketch(df(rows), "g", "v"), "g", Seq(250, 500, 900, 1000))
+      .collect()
+      .map(r => r.getAs[Long]("q_milli") -> ((r.getAs[Long]("lo_milli"), r.getAs[Long]("hi_milli"))))
+      .toMap
+    assert(out.size === 4)
+    for ((q, (lo, hi)) <- out) {
+      // exact q-quantile of 1..1000 scaled by 0.5: value ceil(q*1000/1000)*0.5
+      val exactMilli = math.ceil(q * 1000 / 1000.0).toLong * 500
+      assert(lo <= exactMilli && exactMilli < hi, s"q=$q: $exactMilli not in [$lo, $hi)")
+      assert(hi - lo === 4000L) // one 4-unit bucket of the default grid
+    }
+  }
+
+  test("grid mismatch fails fast on merge and on quantile read") {
+    val a = Stats.histSketch(df(Seq("a" -> 1.0)), "g", "v", bins = 256)
+    val b = Stats.histSketch(df(Seq("a" -> 1.0)), "g", "v", bins = 128)
+    val e1 = intercept[IllegalArgumentException](Stats.histMerge(Seq(a, b), bins = 256))
+    assert(e1.getMessage.contains("grid"))
+    val e2 = intercept[IllegalArgumentException](
+      Stats.histQuantiles(b, "g", Seq(500), bins = 256))
+    assert(e2.getMessage.contains("grid"))
+  }
+
+  test("store lifecycle: batch rollup == one-pass; batch 0 replaces a stale store") {
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    val rows1 = (1 to 300).map(i => ("a", i * 1.1))
+    val rows2 = (1 to 300).map(i => ("a", (300 + i) * 1.1))
+    // stale store from a "previous run"
+    Stats.ingestHistBatch(df(Seq("a" -> 999.0)), dir, 0L, "g", "v")
+    // new run: batch 0 claims, batch 1 appends
+    Stats.ingestHistBatch(df(rows1), dir, 0L, "g", "v")
+    Stats.ingestHistBatch(df(rows2), dir, 1L, "g", "v")
+    val got = Stats
+      .readHistQuantiles(spark, dir, "g", Seq(500, 990))
+      .orderBy("q_milli")
+      .collect()
+      .toSeq
+    val want = Stats
+      .histQuantiles(Stats.histSketch(df(rows1 ++ rows2), "g", "v"), "g", Seq(500, 990))
+      .orderBy("q_milli")
+      .collect()
+      .toSeq
+    assert(got === want)
+    // the stale 999.0 batch is gone: n reflects only the new run's rows
+    assert(got.head.getAs[Long]("n") === 600L)
+    // grid mismatch on a later batch fails fast
+    val e = intercept[IllegalArgumentException](
+      Stats.ingestHistBatch(df(Seq("a" -> 1.0)), dir, 2L, "g", "v", bins = 128))
+    assert(e.getMessage.contains("grid"))
+  }
+
+  test("histIngest streaming face: rollup == one-pass, retry idempotent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histstream").toString
+    def add(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("event_type", "value").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .histIngest(
+          spark.readStream.schema("event_type STRING, value DOUBLE").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          "event_type",
+          "value")
+        .awaitTermination()
+    val b1 = (1 to 200).map(i => ("a", i * 2.0))
+    val b2 = (1 to 200).map(i => ("a", 400.0 + i * 2.0))
+    add(b1); run()
+    add(b2); run()
+    val got = Stats
+      .readHistQuantiles(spark, s"$dir/store", "event_type", Seq(500, 900))
+      .orderBy("q_milli").collect().toSeq
+    val want = Stats
+      .histQuantiles(
+        Stats.histSketch((b1 ++ b2).toDF("event_type", "value"), "event_type", "value"),
+        "event_type",
+        Seq(500, 900))
+      .orderBy("q_milli").collect().toSeq
+    assert(got === want)
+    // per-batch state is bins-bounded
+    val perBatch = spark.read.parquet(s"$dir/store/sketch")
+      .groupBy("batch_id", "grp").count().collect()
+    assert(perBatch.nonEmpty && perBatch.forall(_.getAs[Long]("count") <= 256))
+  }
+}
