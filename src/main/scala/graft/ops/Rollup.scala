@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental materialized-aggregate maintenance: keep per-key partial
+  * aggregates (count / milli-integer sum / min / max) in a batch-keyed
+  * parquet store, append partials per batch, and SERVE rollups — at the
+  * stored key or any coarser level — by re-aggregating the (tiny) store.
+  * The warehouse move this enables at 100 TB: the fact table is read once
+  * per batch at ingest time; every later query (daily totals, per-type
+  * totals, the grand total, averages) runs over |keys|·|batches| partial
+  * rows, never the corpus. All measures are algebraic (count/sum/min/max
+  * re-aggregate losslessly across batches AND across grouping levels), and
+  * the milli-integer sum is exact — no float addition order, so every face
+  * is oracle-hashable.
+  *
+  * Store lifecycle shared with the sketch stores ([[Stats.ingestKmvBatch]]):
+  * batch 0 or a missing store claims the root (stale partials deleted, the
+  * key/value schema pinned in `params`); later batches fail fast on a
+  * schema mismatch; each batch lands `state/batch_id=N` so checkpoint
+  * retries overwrite themselves — exactly-once without a transaction log.
+  *
+  * Deliberately append-only: retractions can maintain count/sum but not
+  * min/max without full value history; CDC-style corrections belong in a
+  * compacting rebuild of the affected partitions, not in this store.
+  */
+object Rollup {
+
+  /** Per-key partial aggregates of one input slice: `n`, exact
+    * milli-integer `sum_milli`, `min_milli`, `max_milli`. One map-side
+    * combinable aggregate — each map task emits ≤ |keys| rows.
+    */
+  def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val vm = round(col(valueCol).cast("double") * 1000, 0).cast("long")
+    df.filter(col(valueCol).isNotNull)
+      .select(keyCols.map(col) :+ vm.as("vm"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("vm").cast("long").as("sum_milli"),
+        min("vm").cast("long").as("min_milli"),
+        max("vm").cast("long").as("max_milli"))
+  }
+
+  /** Merge partial states (per shard / per batch) into the union's state —
+    * count/sum add, min/max take extrema: exactly the state [[aggState]]
+    * would compute over the unioned input (the law the spec pins).
+    */
+  def mergeStates(states: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state")
+    states
+      .map(_.select(keyCols.map(col) ++ Seq(col("n"), col("sum_milli"), col("min_milli"), col("max_milli")): _*))
+      .reduce(_ unionByName _)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum("n").cast("long").as("n"),
+        sum("sum_milli").cast("long").as("sum_milli"),
+        min("min_milli").cast("long").as("min_milli"),
+        max("max_milli").cast("long").as("max_milli"))
+  }
+
+  /** Serve a rollup from a state at `groupCols` granularity — any SUBSET
+    * (including empty = grand total) of the state's key columns: the
+    * algebraic measures re-aggregate losslessly, plus the exact integer
+    * average `avg_milli = sum div n`. Missing grouping columns in the
+    * output are the coarser levels' contract, not NULL-filled cube rows —
+    * callers union levels explicitly ([[serveLevels]]) so every row's
+    * grain is unambiguous.
+    */
+  def serve(state: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) state.groupBy()
+      else state.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(
+        sum("n").cast("long").as("n"),
+        sum("sum_milli").cast("long").as("sum_milli"),
+        min("min_milli").cast("long").as("min_milli"),
+        max("max_milli").cast("long").as("max_milli"))
+      .withColumn("avg_milli", expr("sum_milli div n").cast("long"))
+  }
+
+  /** The GROUPING-SETS face: one row set with every requested level served
+    * from the SAME state, levels tagged by a `level` string and absent
+    * grouping columns null-filled — a cube computed without ever touching
+    * the fact table. The state feeds one consumer per level, so it is
+    * materialized once here.
+    */
+  def serveLevels(state: DataFrame, keyCols: Seq[String], levels: Seq[Seq[String]]): DataFrame = {
+    require(levels.nonEmpty, "need at least one level")
+    levels.foreach { l =>
+      require(
+        l.forall(keyCols.contains),
+        s"level ${l.mkString("(", ",", ")")} is not a subset of the state key ${keyCols.mkString("(", ",", ")")}")
+    }
+    val st = state.localCheckpoint()
+    levels
+      .map { l =>
+        val served = serve(st, l)
+        val withAll = keyCols.foldLeft(served) { (df, k) =>
+          if (l.contains(k)) df else df.withColumn(k, lit(null).cast("string"))
+        }
+        withAll.select(
+          lit(if (l.isEmpty) "total" else l.mkString("+")).as("level") +:
+            keyCols.map(k => col(k).cast("string").as(k)) ++:
+            Seq(col("n"), col("sum_milli"), col("min_milli"), col("max_milli"), col("avg_milli")): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  private def specOf(keyCols: Seq[String], valueCol: String): String =
+    s"${keyCols.mkString(",")}|$valueCol"
+
+  /** Batch contract of the streaming face
+    * ([[graft.streaming.RollupIngest.aggIngest]]): the shared store
+    * lifecycle — batch 0 (or a missing store) claims the root and pins the
+    * key/value spec in `params`; later batches fail fast on a mismatch;
+    * each batch lands its own ≤ |keys|-row state under `state/batch_id=N`.
+    */
+  def ingestAggBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      keyCols: Seq[String],
+      valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val spec = specOf(keyCols, valueCol)
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/state")
+      Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else {
+      val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+      require(s0 == spec, s"rollup store at $path maintains $s0, got $spec")
+    }
+    aggState(batch, keyCols, valueCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$path/state/batch_id=$batchId")
+  }
+
+  /** The live merged state: every landed batch's partials re-aggregated —
+    * by the merge law exactly [[aggState]] over everything ingested. Scans
+    * |batches|·|keys| partial rows; never the raw data.
+    */
+  def readState(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no rollup store at $path — ingest at least one batch first")
+    mergeStates(
+      Seq(spark.read.parquet(s"$path/state").select(
+        keyCols.map(col) ++ Seq(col("n"), col("sum_milli"), col("min_milli"), col("max_milli")): _*)),
+      keyCols)
+  }
+}

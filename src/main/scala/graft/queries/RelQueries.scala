@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.io.EventTime
-import graft.ops.{Corpus, Relational, Stats}
+import graft.ops.{Corpus, Relational, Rollup, Stats}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -571,6 +571,36 @@ object RelQueries {
           ev.filter(col("event_id") % 3 === b), root, b, "event_type", "user_id", k = 64)
       }
       Stats.readKmvEstimate(s, root, "event_type", k = 64)
+    },
+    // incremental materialized rollup: three ingest rounds land per-key
+    // algebraic partials (count / exact milli sum / min / max) at
+    // (event_type, day) grain; the read face re-aggregates the tiny store
+    // — which must hash-equal the one-pass aggregate over the fact table
+    // the store never re-reads
+    "rollup_incremental" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rollup_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir).withColumn("day", expr("ts_us div 86400000000"))
+      (0L to 2L).foreach { b =>
+        Rollup.ingestAggBatch(
+          ev.filter(col("event_id") % 3 === b), root, b, Seq("event_type", "day"), "value")
+      }
+      Rollup
+        .serve(Rollup.readState(s, root, Seq("event_type", "day")), Seq("event_type", "day"))
+    },
+    // the grouping-sets face served from the SAME store: per-type totals,
+    // per-day totals, and the grand total re-aggregated from the
+    // (event_type, day) partials — a cube that never touches the facts
+    "rollup_serve_levels" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_rollupc_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir).withColumn("day", expr("ts_us div 86400000000"))
+      (0L to 2L).foreach { b =>
+        Rollup.ingestAggBatch(
+          ev.filter(col("event_id") % 3 === b), root, b, Seq("event_type", "day"), "value")
+      }
+      Rollup.serveLevels(
+        Rollup.readState(s, root, Seq("event_type", "day")),
+        Seq("event_type", "day"),
+        Seq(Seq("event_type"), Seq("day"), Seq.empty))
     },
     // distributed percentiles from the mergeable fixed-grid histogram
     // sketch: p25/p50/p90/p99 of event value per type, each located to a
@@ -1518,6 +1548,41 @@ object RelQueries {
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
     "stats_kmv_overlap" -> kmvOverlapSql,
+    // incremental rollup: the batch-maintained store must answer exactly
+    // like the one-pass aggregate over the fact table
+    "rollup_incremental" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(vm) AS BIGINT) AS sum_milli,
+        |       CAST(MIN(vm) AS BIGINT) AS min_milli,
+        |       CAST(MAX(vm) AS BIGINT) AS max_milli,
+        |       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_milli
+        |FROM base GROUP BY 1, 2""".stripMargin,
+    "rollup_serve_levels" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS vm
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT 'event_type' AS level, event_type, CAST(NULL AS VARCHAR) AS day,
+        |       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vm) AS BIGINT) AS sum_milli,
+        |       CAST(MIN(vm) AS BIGINT) AS min_milli, CAST(MAX(vm) AS BIGINT) AS max_milli,
+        |       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_milli
+        |FROM base GROUP BY 2
+        |UNION ALL
+        |SELECT 'day', CAST(NULL AS VARCHAR), CAST(day AS VARCHAR),
+        |       CAST(COUNT(*) AS BIGINT), CAST(SUM(vm) AS BIGINT),
+        |       CAST(MIN(vm) AS BIGINT), CAST(MAX(vm) AS BIGINT),
+        |       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT)
+        |FROM base GROUP BY 3
+        |UNION ALL
+        |SELECT 'total', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |       CAST(COUNT(*) AS BIGINT), CAST(SUM(vm) AS BIGINT),
+        |       CAST(MIN(vm) AS BIGINT), CAST(MAX(vm) AS BIGINT),
+        |       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT)
+        |FROM base""".stripMargin,
     // one SQL for all three histogram faces (linearity — see histSql)
     "stats_hist_quantiles" -> histSql,
     "stats_hist_merged" -> histSql,

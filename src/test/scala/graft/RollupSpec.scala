@@ -1,0 +1,135 @@
+package graft
+
+import graft.ops.Rollup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental rollup store: partial-state math, the merge law, lossless
+  * level re-aggregation, and the batch store lifecycle.
+  */
+class RollupSpec extends SparkSpec {
+
+  private def df(rows: Seq[(String, Long, java.lang.Double)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("g", "d", "v")
+  }
+
+  private val fixture: Seq[(String, Long, java.lang.Double)] = Seq(
+    ("a", 1L, 1.25), ("a", 1L, 2.5), ("a", 2L, -3.0),
+    ("b", 1L, 0.0015), ("b", 1L, null), ("b", 2L, 10.0))
+
+  test("aggState: milli-exact partials, nulls dropped") {
+    val st = Rollup
+      .aggState(df(fixture), Seq("g", "d"), "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(st(("a", 1L)) === ((2L, 3750L, 1250L, 2500L)))
+    assert(st(("a", 2L)) === ((1L, -3000L, -3000L, -3000L)))
+    assert(st(("b", 1L)) === ((1L, 2L, 2L, 2L))) // 0.0015 -> 2 milli (half-up), null dropped
+    assert(st(("b", 2L)) === ((1L, 10000L, 10000L, 10000L)))
+  }
+
+  test("merge law: shard states merged == state of the union") {
+    val rows = (1 to 400).map(i => (s"g${i % 3}", (i % 5).toLong, java.lang.Double.valueOf(i * 0.37)))
+    val full = Rollup.aggState(df(rows), Seq("g", "d"), "v").orderBy("g", "d").collect().toSeq
+    val merged = Rollup
+      .mergeStates(
+        (0 until 4).map(p => Rollup.aggState(df(rows.filter(_._2 % 4 == p)), Seq("g", "d"), "v")),
+        Seq("g", "d"))
+      .orderBy("g", "d")
+      .collect()
+      .toSeq
+    assert(merged === full)
+  }
+
+  test("serve at a coarser level == direct aggregate at that level") {
+    val rows = (1 to 300).map(i => (s"g${i % 4}", (i % 7).toLong, java.lang.Double.valueOf(i * 1.11)))
+    val state = Rollup.aggState(df(rows), Seq("g", "d"), "v")
+    val servedByG = Rollup.serve(state, Seq("g")).orderBy("g").collect().toSeq
+    val directByG = Rollup
+      .serve(Rollup.aggState(df(rows), Seq("g"), "v"), Seq("g"))
+      .orderBy("g")
+      .collect()
+      .toSeq
+    assert(servedByG === directByG)
+    // grand total
+    val total = Rollup.serve(state, Seq.empty).collect().head
+    assert(total.getAs[Long]("n") === 300L)
+  }
+
+  test("serveLevels: tagged union of levels; non-subset level fails fast") {
+    val state = Rollup.aggState(df(fixture), Seq("g", "d"), "v")
+    val out = Rollup
+      .serveLevels(state, Seq("g", "d"), Seq(Seq("g"), Seq.empty))
+      .collect()
+    assert(out.count(_.getString(0) == "g") === 2)
+    assert(out.count(_.getString(0) == "total") === 1)
+    val tot = out.find(_.getString(0) == "total").get
+    assert(tot.getAs[Long]("n") === 5L)
+    assert(tot.getAs[String]("g") === null)
+    val e = intercept[IllegalArgumentException](
+      Rollup.serveLevels(state, Seq("g", "d"), Seq(Seq("nope"))))
+    assert(e.getMessage.contains("subset"))
+  }
+
+  test("store lifecycle: rollup == one-pass; stale reclaim; spec pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    val rows = (1 to 500).map(i => (s"g${i % 3}", (i % 4).toLong, java.lang.Double.valueOf(i * 0.77)))
+    // stale store from a previous run
+    Rollup.ingestAggBatch(df(Seq(("zzz", 9L, 1.0))), dir, 0L, Seq("g", "d"), "v")
+    (0 until 3).foreach { b =>
+      Rollup.ingestAggBatch(df(rows.filter(_._2 % 3 == b)), dir, b.toLong, Seq("g", "d"), "v")
+    }
+    val got = Rollup
+      .serve(Rollup.readState(spark, dir, Seq("g", "d")), Seq("g", "d"))
+      .orderBy("g", "d")
+      .collect()
+      .toSeq
+    val want = Rollup
+      .serve(Rollup.aggState(df(rows), Seq("g", "d"), "v"), Seq("g", "d"))
+      .orderBy("g", "d")
+      .collect()
+      .toSeq
+    assert(got === want)
+    assert(!got.exists(_.getString(0) == "zzz")) // stale batch reclaimed
+    val e = intercept[IllegalArgumentException](
+      Rollup.ingestAggBatch(df(fixture), dir, 3L, Seq("g"), "v"))
+    assert(e.getMessage.contains("maintains"))
+  }
+
+  test("aggIngest streaming face: store == one-pass over both batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rollupstream").toString
+    def add(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("event_type", "value").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.RollupIngest
+        .aggIngest(
+          spark.readStream.schema("event_type STRING, value DOUBLE").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          Seq("event_type"),
+          "value")
+        .awaitTermination()
+    val b1 = (1 to 100).map(i => ("a", i * 1.0))
+    val b2 = (1 to 50).map(i => ("b", i * 2.0))
+    add(b1); run()
+    add(b2); run()
+    val got = Rollup
+      .serve(Rollup.readState(spark, s"$dir/store", Seq("event_type")), Seq("event_type"))
+      .orderBy("event_type")
+      .collect()
+      .toSeq
+    val want = Rollup
+      .serve(
+        Rollup.aggState((b1 ++ b2).toDF("event_type", "value"), Seq("event_type"), "value"),
+        Seq("event_type"))
+      .orderBy("event_type")
+      .collect()
+      .toSeq
+    assert(got === want)
+  }
+}
