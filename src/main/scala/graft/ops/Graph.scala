@@ -149,6 +149,70 @@ object Graph {
     labels
   }
 
+  /** k-core decomposition (Seidman 1983): the maximal induced subgraph in
+    * which every vertex keeps degree >= k, found by iterating
+    * `surv := {v : |N(v) ∩ surv| >= k}` to fixpoint. The iteration is
+    * MONOTONE (a removed vertex's neighbor count against any later,
+    * smaller survivor set can only shrink, so it can never be re-admitted)
+    * — which gives two load-bearing properties: the fixpoint is the
+    * unique k-core regardless of evaluation order, and "survivor COUNT
+    * unchanged" is equivalent to "survivor SET unchanged", so the loop's
+    * convergence check is one cheap `count()` per round, not a set
+    * comparison. Returns the core's vertices with their final induced
+    * degrees `(node, deg)`.
+    *
+    * Scale shape: the symmetrized edge list is materialized ONCE before
+    * the loop; each round is one equi-join (edges x survivor set — AQE
+    * broadcasts the survivor side once peeling shrinks it) + one
+    * map-side-combinable degree aggregation, with the per-round
+    * localCheckpoint keeping iteration N's plan flat (the iterative
+    * discipline of [[pageRankMilli]]). Rounds-to-fixpoint is a property
+    * of graph STRUCTURE (the peel cascade depth), not graph size — the
+    * registry fixture converges in 1 round at every scale factor — but
+    * degenerate chains can cascade O(|V|), hence the hard `maxRounds`
+    * bound: the loop stops early at fixpoint and throws if the bound is
+    * hit before convergence rather than silently returning a non-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds must be in [1, 64], got $maxRounds")
+    val und = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = und
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var surv = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var prev = surv.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val next = sym
+        .join(surv.select(col("node").as("dst")), Seq("dst"))
+        .groupBy("src")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prev // monotone shrink: count equality = set equality
+      prev = n
+      surv = next
+      r += 1
+    }
+    require(
+      converged || prev == 0L,
+      s"k-core peel did not converge within $maxRounds rounds (still $prev survivors) — " +
+        "raise maxRounds; a deep cascade usually means a near-chain graph at this k")
+    sym
+      .join(surv.select(col("node").as("src")), Seq("src"))
+      .join(surv.select(col("node").as("dst")), Seq("dst"))
+      .groupBy("src")
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(

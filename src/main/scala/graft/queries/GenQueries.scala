@@ -216,6 +216,33 @@ object GenQueries {
         .distinct()
       graft.ops.Graph.labelPropagation(d, rounds = 4)
     },
+    // k-core decomposition over a planted clique-plus-chain graph on the
+    // customer key space: K10 cliques on even decades (internal degree 9)
+    // survive k=6 peeling, chain/bridge noise (degree <= 6) peels away —
+    // the peel cascade depth is a property of the STRUCTURE, so the same
+    // fixture converges in 1 round at every scale factor
+    "graph_kcore" -> { (s, dir) =>
+      val kk = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("n"))
+        .distinct()
+        .localCheckpoint()
+      val ka = kk.select(col("n").as("an")).withColumn("ag", expr("an div 10"))
+      val kb = kk.select(col("n").as("bn")).withColumn("bg", expr("bn div 10"))
+      val clique = ka
+        .join(kb, col("ag") === col("bg") && col("an") =!= col("bn") && col("ag") % 2 === 0)
+        .select(col("an").as("src"), col("bn").as("dst"))
+      val chain = kk
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(kk.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      val bridges = kk
+        .filter(expr("(n div 10) % 2 = 0 AND n % 10 < 3"))
+        .select(col("n").as("src"), (col("n") + 20).as("dst"))
+      val cand = clique
+        .unionAll(chain)
+        .unionAll(bridges)
+        .join(kk.select(col("n").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.kCore(cand, k = 6, maxRounds = 8)
+    },
     // triangle counting over a deterministic chord graph on the customer
     // key space: edges (n, n+1) and (n, n+2) for every distinct custkey n —
     // sparse (degree <= 4), scales linearly with the table, and every run
@@ -371,6 +398,36 @@ object GenQueries {
         |  WHERE rn = 1),
         |fin AS (SELECT node, label FROM l4)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM fin""".stripMargin,
+    // k-core by the same monotone peel, 4 recursive rounds (fixpoint is
+    // reached in 1 on this fixture at every sf — margin pinned anyway);
+    // round-R rows are the core, final degrees from the induced subgraph
+    "graph_kcore" ->
+      """WITH RECURSIVE
+        |kk AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |d AS (
+        |  SELECT a.n AS src, b.n AS dst
+        |  FROM kk a JOIN kk b
+        |    ON a.n // 10 = b.n // 10 AND a.n <> b.n AND (a.n // 10) % 2 = 0
+        |  UNION ALL SELECT n, n + 1 FROM kk
+        |  UNION ALL SELECT n, n + 2 FROM kk
+        |  UNION ALL SELECT n, n + 20 FROM kk WHERE (n // 10) % 2 = 0 AND n % 10 < 3),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d)
+        |  WHERE src IN (SELECT n FROM kk) AND dst IN (SELECT n FROM kk)),
+        |surv(round, node) AS (
+        |  SELECT 0, n FROM kk
+        |  UNION ALL
+        |  SELECT r + 1, src FROM (
+        |    SELECT s.round AS r, e.src, COUNT(*) AS c
+        |    FROM surv s JOIN e ON e.dst = s.node
+        |    GROUP BY 1, 2)
+        |  WHERE c >= 6 AND r < 4)
+        |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM e
+        |JOIN (SELECT node FROM surv WHERE round = 4) a ON e.src = a.node
+        |JOIN (SELECT node FROM surv WHERE round = 4) b ON e.dst = b.node
+        |GROUP BY 1""".stripMargin,
     "graph_pagerank" ->
       """WITH d AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

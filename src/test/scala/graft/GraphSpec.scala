@@ -77,4 +77,51 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("kCore: K4 plus pendant chain — the clique survives k=3, tail peels") {
+    // K4 on {1,2,3,4}; pendant chain 4-5-6
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.kCore(e, k = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: a chain cascades to the empty core at k=2") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    assert(Graph.kCore(e, k = 2, maxRounds = 8).count() === 0L)
+    // but a triangle with the same tail keeps its triangle
+    val e2 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.kCore(e2, k = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: equals a reference sequential peel on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val k = 3
+    // reference: naive repeated peel over an in-memory adjacency map
+    var adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val keep = adj.filter { case (_, ns) => ns.size >= k }.keySet
+      changed = keep.size != adj.size
+      adj = adj.filter { case (n, _) => keep(n) }
+        .map { case (n, ns) => n -> ns.filter(keep) }
+        .filter { case (_, ns) => ns.nonEmpty }
+    }
+    val want = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val got = Graph.kCore(es.toDF("src", "dst"), k, maxRounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("kCore: unconverged peel inside maxRounds fails fast") {
+    // a 20-chain at k=2 needs ~10 rounds to empty; 2 are not enough
+    val e = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](Graph.kCore(e, k = 2, maxRounds = 2))
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
