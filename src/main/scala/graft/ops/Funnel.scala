@@ -96,4 +96,44 @@ object Funnel {
       .groupBy("cohort", "k")
       .agg(countDistinct("user_id").cast("long").as("n_users"))
   }
+
+  /** First-order transition matrix over per-user event sequences: for each
+    * ordered pair of event types, how often type B immediately follows
+    * type A in some user's timeline, with the integer-milli row-normalized
+    * probability `p_milli = n · 1000 div n_from` — the Markov-chain view
+    * of user behavior (next-step prediction, path anomaly detection,
+    * session modeling).
+    *
+    * Null user rows are dropped: a transition is only defined within one
+    * user's ordered timeline (and a NULL key would pile every keyless row
+    * into a single window partition — the null-semantics trap
+    * [[Relational]] documents). Scale shape: one per-user window (lag 1,
+    * deterministic `ordCol` tiebreak — uniform keys), then two tiny
+    * aggregations over the ≤ |types|² transition table; the normalizing
+    * join is |types|-row broadcast-sized.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      ordCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(ordCol))
+    val steps = events
+      .filter(col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol), col(ordCol), col(typeCol).as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    // the transition table feeds two consumers (itself + the normalizer):
+    // materialize the ≤ |types|²-row aggregate once so the window pass
+    // doesn't re-run per consumer
+    val n = steps
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint()
+    val tot = n.groupBy("from_type").agg(sum("n").cast("long").as("n_from"))
+    n.join(broadcast(tot), Seq("from_type"))
+      .withColumn("p_milli", expr("n * 1000 div n_from").cast("long"))
+  }
 }

@@ -320,6 +320,53 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Exact phrase search via positional postings: per document, the number
+    * of positions where the token sequence equals `phrase` — the
+    * proximity-exact complement of [[searchTopK]]'s bag-of-terms ranking.
+    *
+    * Scale shape: the corpus-wide position explode is filtered to the
+    * PHRASE'S terms immediately (the [[searchTopK]] move), so only
+    * postings of query terms survive to the shuffle; each posting row is
+    * assigned its phrase slot(s) by an equi-join against the |phrase|-row
+    * broadcast spec (a term repeated in the phrase legitimately matches
+    * several slots), rebased to the would-be phrase start
+    * `base = pos - slot`, and a phrase occurrence is exactly a (doc, base)
+    * group covering every distinct slot — ONE map-side-combinable
+    * aggregate, no positional self-join chain, no window. A hot term
+    * (phrase containing a stopword) inflates the posting table but still
+    * pre-reduces per map task in the count-distinct-slot aggregate.
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      phrase: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(phrase.size >= 2, s"phrase must have >= 2 terms, got ${phrase.mkString(" ")}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spec = phrase.zipWithIndex.map { case (t, i) => (t.toLowerCase, i.toLong) }.toDF("tok", "slot")
+    // _outer + a generated-attribute filter: the plain variant lets
+    // InferFiltersFromGenerate re-evaluate the whole token chain per row
+    // in a non-codegen Filter (see SCALE.md); the isin filter drops the
+    // null row an empty/null text emits
+    val postings = docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase.map(_.toLowerCase): _*))
+    postings
+      .join(broadcast(spec), Seq("tok"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("base"), col("slot"))
+      .filter(col("base") >= 0)
+      .groupBy("doc_id", "base")
+      .agg(count_distinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === phrase.size.toLong)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_hits"),
+        min("base").cast("long").as("first_pos"))
+  }
+
   /** Keep-predicate for one line of text, C4-style (Raffel et al. 2020, the
     * public C4 cleaning rules): at least `minWords` whitespace words, ends
     * with terminal punctuation, and no code/boilerplate markers

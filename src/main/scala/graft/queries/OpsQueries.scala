@@ -538,6 +538,12 @@ object OpsQueries {
     "text_search" -> { (s, dir) =>
       TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
     },
+    // exact phrase occurrences per doc from positional postings of the
+    // phrase's own terms — no positional self-join chain, one
+    // distinct-slot aggregate over (doc, rebased position)
+    "text_phrase_search" -> { (s, dir) =>
+      TextAnalysis.phraseSearch(docs(s, dir), Seq("table", "scan"))
+    },
     "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
     "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
@@ -2572,6 +2578,18 @@ object OpsQueries {
          |GROUP BY p.doc_id
          |ORDER BY score_milli DESC, p.doc_id
          |LIMIT 20""".stripMargin,
+    // phrase hits = positions i with tk[i..i+1] equal to the phrase; the
+    // Spark side's rebased postings must find exactly these (first_pos is
+    // 0-based, DuckDB lists are 1-based, hence the -1)
+    "text_phrase_search" ->
+      s"""WITH $tokCtes,
+         |hits AS (
+         |  SELECT doc_id,
+         |         list_filter(range(1, len(tk)), i -> tk[i] = 'table' AND tk[i+1] = 'scan') AS ps
+         |  FROM tks)
+         |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+         |       CAST(ps[1] - 1 AS BIGINT) AS first_pos
+         |FROM hits WHERE len(ps) > 0""".stripMargin,
     "text_quality" ->
       s"""WITH $tokCtes
          |SELECT doc_id,

@@ -680,6 +680,11 @@ object RelQueries {
         Seq("view", "click", "purchase"),
         maxGapUs = Some(86400000000L))
     },
+    // first-order Markov transition matrix over per-user event
+    // sequences: counts + integer-milli row-normalized probabilities
+    "events_transitions" -> { (s, dir) =>
+      graft.ops.Funnel.transitions(events(s, dir))
+    },
     // weekly cohort retention over the 30-day event window
     "events_retention" -> { (s, dir) =>
       val raw = s.read.parquet(s"$dir/events.parquet")
@@ -1548,6 +1553,21 @@ object RelQueries {
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
     "stats_kmv_overlap" -> kmvOverlapSql,
+    // Markov transitions: lag-1 window per user (event_id tiebreak),
+    // pair counts row-normalized in integer milli
+    "events_transitions" ->
+      """WITH st AS (
+        |  SELECT user_id, event_type AS to_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY epoch_us(ts), event_id) AS from_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |n AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM st WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM n GROUP BY 1)
+        |SELECT n.from_type, n.to_type, n.n, t.n_from,
+        |       CAST(n.n * 1000 // t.n_from AS BIGINT) AS p_milli
+        |FROM n JOIN t USING (from_type)""".stripMargin,
     // incremental rollup: the batch-maintained store must answer exactly
     // like the one-pass aggregate over the fact table
     "rollup_incremental" ->

@@ -1341,6 +1341,52 @@ class OpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("phraseSearch: exact adjacency, overlapping hits, repeated terms, case-fold") {
+    val s = spark
+    import s.implicits._
+    val docsDf = Seq(
+      (1L, "the Table Scan beats a table scan today"), // 2 hits, first at pos 1
+      (2L, "table of scan"), // terms present, never adjacent
+      (3L, "scan table"), // reversed order is not the phrase
+      (4L, "go go go"), // repeated-term phrase fixture
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docsDf, Seq("table", "scan"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((2L, 1L))))
+    // a phrase of one repeated term: "go go" occurs at positions 0 and 1
+    val rep = TextAnalysis.phraseSearch(docsDf, Seq("go", "go"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === Map(4L -> ((2L, 0L))))
+    // three-term phrase spanning the repeated token
+    val tri = TextAnalysis.phraseSearch(docsDf, Seq("go", "go", "go"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tri === Map(4L -> ((1L, 0L))))
+  }
+
+  test("Funnel.transitions: lag-1 pairs per user, milli row-normalized, null users dropped") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, java.lang.Long.valueOf(10L), 100L, "view"),
+      (2L, java.lang.Long.valueOf(10L), 200L, "click"),
+      (3L, java.lang.Long.valueOf(10L), 300L, "view"),
+      (4L, java.lang.Long.valueOf(20L), 100L, "view"),
+      (5L, java.lang.Long.valueOf(20L), 200L, "click"),
+      (6L, java.lang.Long.valueOf(20L), 300L, "purchase"),
+      (7L, null.asInstanceOf[java.lang.Long], 50L, "view")
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel.transitions(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // from view: 2 transitions (both to click); from click: to view and to purchase
+    assert(got === Map(
+      ("view", "click") -> ((2L, 2L, 1000L)),
+      ("click", "view") -> ((1L, 2L, 500L)),
+      ("click", "purchase") -> ((1L, 2L, 500L))))
+  }
+
   test("quantizeInt8: codes bounded to [-127,127], hand-check, zero-vector guard, dequant error small") {
     val s = spark
     import s.implicits._
