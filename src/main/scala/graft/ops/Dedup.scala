@@ -1446,6 +1446,96 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** EXACT single-token-edit join via the deletion neighborhood (the
+    * FastSS / SymSpell signature scheme, Boitsov 2004-lineage, here on
+    * TOKEN sequences): every pair of documents whose token sequences are
+    * within edit distance 1 (one substitution, insertion, or deletion of a
+    * whole token — the shape of a re-crawled page with one word changed).
+    * Pigeonhole: if ed(a,b) <= 1 the two sequences share a member of their
+    * deletion neighborhoods {full} ∪ {drop token i}, so an equi-join on
+    * neighborhood digests finds every qualifying pair. The join is
+    * complete but NOT sound on its own — `a\i = b\j` with i ≠ j admits
+    * true-distance-2 pairs — so candidates are verified with the exact
+    * prefix+suffix edit check (common prefix p, common suffix s; ed <= 1
+    * iff p+s covers all but at most one aligned position). Both stages are
+    * integer/boolean-exact, so the oracle can be independent brute force.
+    *
+    * Scale shape: signatures cost (n_tokens + 1) digests per doc — the
+    * SymSpell trade: index size buys an equi-join instead of any all-pairs
+    * scan. Candidates are output-bound (a signature shared by k docs means
+    * k near-identical docs); the verify stage is two id-keyed joins
+    * pulling token arrays onto the candidate-bounded pair table, and the
+    * prefix/suffix check is a per-row array expression, no shuffle. d = 1
+    * only, deliberately: the deletion neighborhood for d edits is
+    * C(n, d)-sized — for deeper edits use [[minHashLsh]] +
+    * [[verifyEditDistance]] (probabilistic recall) instead.
+    */
+  def tokenEditJoin(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tks"))
+      .filter(size(col("tks")) > 0)
+      .withColumn("n", size(col("tks")).cast("long"))
+      .localCheckpoint()
+    // _outer + a generated-attribute filter: the plain explode lets
+    // InferFiltersFromGenerate re-evaluate the whole signature chain per
+    // row in a non-codegen Filter (see SCALE.md); the array is non-empty
+    // by construction, so the variants differ only in the suppressed rule
+    val sigs = toks
+      .select(
+        col("id"),
+        col("n"),
+        explode_outer(
+          array_distinct(
+            transform(
+              sequence(lit(0), size(col("tks"))),
+              i =>
+                md5(
+                  concat_ws(
+                    " ",
+                    when(i === 0, col("tks"))
+                      .otherwise(filter(col("tks"), (_, j) => j =!= i - 1)))))))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      // both self-join sides consume the signature table: materialize the
+      // (token-count-sized) digests once instead of hashing the corpus twice
+      .localCheckpoint()
+    val cand = sigs
+      .as("a")
+      .join(
+        sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id") &&
+          abs(col("a.n") - col("b.n")) <= 1)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    val verified = cand
+      .join(toks.select(col("id").as("doc_a"), col("tks").as("ta"), col("n").as("na")), Seq("doc_a"))
+      .join(toks.select(col("id").as("doc_b"), col("tks").as("tb"), col("n").as("nb")), Seq("doc_b"))
+    val eqZip = (x: Column, y: Column) => zip_with(x, y, (u, v) => coalesce(u === v, lit(false)))
+    def firstMismatch(z: Column, na: Column, nb: Column): Column = {
+      val pos = array_position(z, false)
+      // pos = 0 means no mismatch across max(na,nb) positions, which
+      // forces na = nb (padding mismatches otherwise): fully equal
+      when(pos === 0, least(na, nb)).otherwise(pos - 1)
+    }
+    verified
+      .withColumn("p", firstMismatch(eqZip(col("ta"), col("tb")), col("na"), col("nb")))
+      .withColumn("s", firstMismatch(eqZip(reverse(col("ta")), reverse(col("tb"))), col("na"), col("nb")))
+      .filter(
+        (col("na") === col("nb") && (col("p") >= col("na") || col("p") + col("s") >= col("na") - 1)) ||
+          (col("na") =!= col("nb") && col("p") + col("s") >= least(col("na"), col("nb"))))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        when(col("na") === col("nb") && col("p") >= col("na"), 0L).otherwise(1L).as("ed"),
+        col("na"),
+        col("nb"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the
     * first 8 dimensions) then exact cosine within bucket, kept when
     * round(cos, 4) >= threshold. Blocking bounds the pair count to

@@ -254,6 +254,9 @@ object OpsQueries {
     // the oracle is an independent brute-force all-pairs mirror, so this
     // row also re-proves the prefix filter's losslessness per run
     "dedup_setjoin_exact" -> { (s, dir) => Dedup.setSimilarityJoin(docs(s, dir)) },
+    // exact token-edit-distance<=1 pairs via the deletion-neighborhood
+    // equi-join; brute-force oracle again re-proves completeness per run
+    "dedup_token_edit" -> { (s, dir) => Dedup.tokenEditJoin(docs(s, dir)) },
     "dedup_embedding_cosine" -> { (s, dir) =>
       Dedup.embeddingCosine(dupEmbs(s, dir))
     },
@@ -2163,6 +2166,32 @@ object OpsQueries {
          |SELECT doc_a, doc_b, inter,
          |       round(CAST(inter AS DOUBLE)/(na + nb - inter), 4) AS jaccard
          |FROM pairs WHERE 1000*inter >= 800*(na + nb - inter)""".stripMargin,
+    // Brute force on purpose (the dedup_setjoin_exact move): every
+    // length-compatible pair gets the exact prefix+suffix edit check; a
+    // hash match certifies the deletion-neighborhood join is complete
+    // AND its verify stage rejects the shared-signature distance-2 pairs
+    "dedup_token_edit" ->
+      s"""WITH $tokCtes,
+         |t AS (SELECT doc_id AS id, tk, CAST(len(tk) AS BIGINT) AS n
+         |      FROM tks WHERE len(tk) > 0),
+         |pr AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b, a.tk AS ta, b.tk AS tb,
+         |         a.n AS na, b.n AS nb
+         |  FROM t a JOIN t b ON a.id < b.id AND abs(a.n - b.n) <= 1),
+         |m AS (
+         |  SELECT doc_a, doc_b, na, nb,
+         |    COALESCE(list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+         |        i -> COALESCE(ta[i] = tb[i], false)), false) - 1, LEAST(na, nb)) AS p,
+         |    COALESCE(list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+         |        i -> COALESCE(list_reverse(ta)[i] = list_reverse(tb)[i], false)), false) - 1,
+         |      LEAST(na, nb)) AS s
+         |  FROM pr)
+         |SELECT doc_a, doc_b,
+         |       CAST(CASE WHEN na = nb AND p >= na THEN 0 ELSE 1 END AS BIGINT) AS ed,
+         |       na, nb
+         |FROM m
+         |WHERE (na = nb AND (p >= na OR p + s >= na - 1))
+         |   OR (na <> nb AND p + s >= LEAST(na, nb))""".stripMargin,
     "dedup_embedding_cosine" -> {
       val src =
         """SELECT vec_id, embedding FROM embeddings

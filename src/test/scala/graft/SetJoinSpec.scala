@@ -85,6 +85,76 @@ class SetJoinSpec extends SparkSpec {
     assert(run(docs, 1000, 1).contains((1L, 2L, 2L)))
   }
 
+  test("tokenEditJoin: sub/insert/delete found, distance-2 shared-signature pairs rejected") {
+    val docs = df(
+      Seq(
+        1L -> "alpha beta gamma delta",
+        2L -> "alpha beta GAMMA delta", // case-folds to an exact dup (ed 0)
+        3L -> "alpha beta zeta delta", // one substitution
+        4L -> "alpha beta delta", // one deletion
+        5L -> "alpha beta gamma epsilon delta", // one insertion
+        // shares the drop-signature "alpha beta delta"-ish path with 3 via
+        // different drops but is distance 2 from it
+        6L -> "alpha beta zeta eta delta epsilon",
+        7L -> "completely unrelated text here"))
+    val got = Dedup
+      .tokenEditJoin(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.get((1L, 2L)) === Some(0L))
+    assert(got.get((1L, 3L)) === Some(1L))
+    assert(got.get((1L, 4L)) === Some(1L))
+    assert(got.get((1L, 5L)) === Some(1L))
+    assert(got.get((2L, 3L)) === Some(1L))
+    // 4 vs 3: "alpha beta delta" vs "alpha beta zeta delta" = one insertion
+    assert(got.get((3L, 4L)) === Some(1L))
+    // distance-2 pairs must NOT appear even where signatures collide
+    assert(!got.contains((4L, 5L))) // deletion + insertion apart
+    assert(!got.keys.exists(k => k._1 == 7L || k._2 == 7L))
+  }
+
+  test("tokenEditJoin equals brute-force token edit <= 1 on a random corpus") {
+    val vocab = Vector("a", "b", "c", "d")
+    val rnd = new scala.util.Random(11)
+    val base = Vector.fill(8)(Vector.fill(6 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))))
+    // derive mutants: substitutions, deletions, insertions, double edits
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      val id = i * 10L
+      val sub = t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+      val del = t.patch(rnd.nextInt(t.size), Nil, 1)
+      val ins = t.patch(rnd.nextInt(t.size), Seq(vocab(rnd.nextInt(vocab.size))), 0)
+      val dbl = sub.patch(rnd.nextInt(sub.size), Nil, 1)
+      Seq(
+        id -> t.mkString(" "),
+        (id + 1) -> sub.mkString(" "),
+        (id + 2) -> del.mkString(" "),
+        (id + 3) -> ins.mkString(" "),
+        (id + 4) -> dbl.mkString(" "))
+    }
+    def tokEd(a: Seq[String], b: Seq[String]): Int = {
+      val d = Array.tabulate(a.size + 1, b.size + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.size)(b.size)
+    }
+    val toks = rows.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val want = (for {
+      x <- rows.map(_._1); y <- rows.map(_._1) if x < y
+      e = tokEd(toks(x), toks(y)) if e <= 1
+    } yield (x, y) -> e.toLong).toMap
+    val got = Dedup
+      .tokenEditJoin(df(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got === want)
+  }
+
   test("prefix filter is lossless: equals brute force across thresholds and widths") {
     // deterministic pseudo-random corpus over a tiny vocabulary so near-dup,
     // partial-overlap, and disjoint pairs all occur
