@@ -68,6 +68,56 @@ object Similarity {
       k)
   }
 
+  /** Semantic benchmark decontamination: flag every corpus vector whose
+    * cosine to ANY benchmark vector reaches `threshold` — the embedding
+    * face of the contamination family ([[graft.ops.Corpus.contaminationNgrams]]
+    * catches verbatim reuse, `TextAnalysis.crossDupSpans` catches span
+    * reuse; this catches paraphrases that share no surface n-grams).
+    * Returns one row per CONTAMINATED corpus vector: hit count, best
+    * cosine, and the benchmark vector responsible (deterministic
+    * tiebreak: highest cosine, then lowest benchmark id, via the
+    * integer-safe struct-max argmax).
+    *
+    * Scale shape: sign-LSH blocking on both sides (the [[graft.ops.Dedup.embeddingCosine]]
+    * contract — exact for verbatim-embedding contamination since identical
+    * vectors always share a bucket; probabilistic recall for paraphrase
+    * near-misses, dialed by `bits`), so the cross join is an equi-join on
+    * bucket with sum(|corpus_bucket|·|bench_bucket|) pairs, then ONE
+    * map-side-combinable per-corpus-vector aggregate. The benchmark side
+    * is typically tiny (eval suites); Spark broadcasts it under AQE.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      threshold: Double = 0.99,
+      bits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("vec_id"),
+      col(vecCol).as("cv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val b = bench.select(
+      col(idCol).as("bench_id"),
+      col(vecCol).as("bv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    c.join(b, Seq("bucket"))
+      .select(
+        col("vec_id"),
+        col("bench_id"),
+        round(cosine(col("cv"), col("bv")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_hits"),
+        max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("n_hits"),
+        col("best.cos").as("best_cosine"),
+        (-col("best.nb")).cast("long").as("best_bench_id"))
+  }
+
   /** Sign-LSH top-k: candidates restricted to the query's bucket. Same
     * ranking contract as [[bruteForceTopK]]; recall depends on bucket
     * granularity (tested against the brute-force baseline).

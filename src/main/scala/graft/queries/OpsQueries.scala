@@ -260,6 +260,16 @@ object OpsQueries {
     "dedup_embedding_cosine" -> { (s, dir) =>
       Dedup.embeddingCosine(dupEmbs(s, dir))
     },
+    // embedding face of benchmark decontamination: a planted "benchmark"
+    // (every 17th corpus vector, re-keyed) must flag exactly its sources
+    // plus any 0.99-cosine paraphrase neighbors sharing the sign bucket
+    "contamination_semantic" -> { (s, dir) =>
+      val e = embs(s, dir).select("vec_id", "embedding")
+      val bench = e
+        .filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semanticContamination(e, bench)
+    },
     // The CC family (clusters/keep/keep_best/cluster-safe split) probes
     // ONE shared persisted cluster map per corpus instead of re-running
     // shingle → minhash → LSH → iterative CC per query — the
@@ -2202,6 +2212,34 @@ object OpsQueries {
          |       round($dotSql / (q.nrm * c.nrm), 4) AS cosine
          |FROM e q JOIN e c ON q.bucket = c.bucket AND q.id < c.id
          |WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.99""".stripMargin
+    },
+    // same blocking + cosine recipe as dedup_embedding_cosine, cross-
+    // corpus; per-vector rollup with the (cos DESC, bench_id ASC) argmax
+    "contamination_semantic" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val nrm =
+        "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * embedding[i])))"
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, embedding AS v, CAST($bucket AS BIGINT) AS bucket, $nrm AS nrm
+         |  FROM embeddings),
+         |bq AS (
+         |  SELECT vec_id + 1000000 AS id, embedding AS v, CAST($bucket AS BIGINT) AS bucket, $nrm AS nrm
+         |  FROM embeddings WHERE vec_id % 17 = 0),
+         |sc AS (
+         |  SELECT c.id AS vec_id, q.id AS bench_id,
+         |         round($dotSql / (q.nrm * c.nrm), 4) AS cos
+         |  FROM e c JOIN bq q ON c.bucket = q.bucket
+         |  WHERE round($dotSql / (q.nrm * c.nrm), 4) >= 0.99),
+         |agg AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM sc GROUP BY 1),
+         |best AS (
+         |  SELECT vec_id, cos AS best_cosine, bench_id AS best_bench_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, bench_id) AS rn
+         |    FROM sc)
+         |  WHERE rn = 1)
+         |SELECT a.vec_id, a.n_hits, b.best_cosine, CAST(b.best_bench_id AS BIGINT) AS best_bench_id
+         |FROM agg a JOIN best b USING (vec_id)""".stripMargin
     },
     "similarity_topk" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},

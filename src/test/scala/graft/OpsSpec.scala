@@ -1341,6 +1341,30 @@ class OpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("semanticContamination: flags sources, argmax tiebreak on lowest bench id") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.2f, 0.1f, 0.0f)),
+      (2L, Array(0.1f, 1.0f, 0.2f, 0.0f)),
+      (3L, Array(-1.0f, -1.0f, 0.5f, 0.0f)) // different sign bucket
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1.0f, 0.2f, 0.1f, 0.0f)), // exact copy of 1
+      (101L, Array(1.0f, 0.2f, 0.1f, 0.0f)), // second exact copy: tie on cos
+      (102L, Array(-0.9f, -1.0f, 0.4f, 0.0f)) // near 3 but below 0.99? probe below
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity
+      .semanticContamination(corpus, bench, threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // vec 1 hit by both copies: 2 hits, cos 1.0, tiebreak -> bench 100
+    assert(got(1L) === ((2L, 1.0, 100L)))
+    // vec 2 is not 0.99-close to anything
+    assert(!got.contains(2L))
+  }
+
   test("phraseSearch: exact adjacency, overlapping hits, repeated terms, case-fold") {
     val s = spark
     import s.implicits._
