@@ -51,4 +51,78 @@ object Anomaly {
           1L).otherwise(0L))
       .select(col(tsCol), col(keyCol), x, col("anomaly"))
   }
+
+  /** Two-sided CUSUM changepoint detection per key (Page 1954): over the
+    * ordered count series, `S⁺ := max(0, S⁺ + r − k)` and
+    * `S⁻ := min(0, S⁻ + r + k)` with residual `r = 1000·x − mean_milli`,
+    * first alarm where S⁺ > h or S⁻ < −h — the sequential drift detector
+    * that catches a sustained small shift the per-point k-sigma test
+    * ([[countAnomalies]]) never sees. All integer milli (`mean_milli` is
+    * the exact `1000·Σx div m`), so alarms are engine-portable. Emits ONE
+    * summary row per key regardless of alarms: series length, mean, the
+    * CUSUM extremes, and the first alarm's period/side (−1/0 when in
+    * control) — monitoring dashboards want the margins, not just the
+    * firings.
+    *
+    * Scale shape: the recurrence is inherently sequential per key, so
+    * each key's (already pre-aggregated — |periods| rows, not raw events)
+    * series is folded in ONE `aggregate` lambda over its sorted
+    * collect_list, O(|series|) with a constant-size accumulator (no
+    * per-step array append); keys fold in parallel. This is the honest
+    * shape for a recurrence: a window cannot express max(0, ·) folds, and
+    * a driver loop would serialize keys.
+    */
+  def cusumChanges(
+      counted: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      cntCol: String,
+      kMilli: Long,
+      hMilli: Long): DataFrame = {
+    require(kMilli >= 0 && hMilli > 0, s"need kMilli >= 0 and hMilli > 0, got $kMilli/$hMilli")
+    val grouped = counted
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("m"),
+        sum(col(cntCol)).cast("long").as("s"),
+        array_sort(collect_list(struct(col(tsCol).cast("long").as("ts"), col(cntCol).cast("long").as("x"))))
+          .as("series"))
+      .withColumn("mean_milli", expr("(1000 * s) div m").cast("long"))
+    val init = struct(
+      lit(0L).as("sp"),
+      lit(0L).as("sn"),
+      lit(0L).as("max_sp"),
+      lit(0L).as("min_sn"),
+      lit(-1L).as("alarm_ts"),
+      lit(0L).as("alarm_side"))
+    val folded = aggregate(
+      col("series"),
+      init,
+      (acc, e) => {
+        val r = lit(1000L) * e.getField("x") - col("mean_milli")
+        val sp = greatest(lit(0L), acc.getField("sp") + r - lit(kMilli))
+        val sn = least(lit(0L), acc.getField("sn") + r + lit(kMilli))
+        val firing = acc.getField("alarm_side") === 0L &&
+          (sp > lit(hMilli) || sn < lit(-hMilli))
+        struct(
+          sp.as("sp"),
+          sn.as("sn"),
+          greatest(acc.getField("max_sp"), sp).as("max_sp"),
+          least(acc.getField("min_sn"), sn).as("min_sn"),
+          when(firing, e.getField("ts")).otherwise(acc.getField("alarm_ts")).as("alarm_ts"),
+          when(firing, when(sp > lit(hMilli), 1L).otherwise(-1L))
+            .otherwise(acc.getField("alarm_side"))
+            .as("alarm_side"))
+      })
+    grouped
+      .withColumn("f", folded)
+      .select(
+        col(keyCol),
+        col("m"),
+        col("mean_milli"),
+        col("f.max_sp").as("max_s_pos"),
+        col("f.min_sn").as("min_s_neg"),
+        col("f.alarm_ts").as("alarm_ts"),
+        col("f.alarm_side").as("alarm_side"))
+  }
 }

@@ -665,6 +665,16 @@ object RelQueries {
         .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"), col("n"))
       graft.ops.Anomaly.countAnomalies(counted, "event_type", "window_start_us", "n")
     },
+    // two-sided CUSUM drift detection over the same hourly series: one
+    // summary row per type with the cusum extremes and first alarm —
+    // catches the sustained small shift the 3-sigma test never fires on
+    "events_cusum" -> { (s, dir) =>
+      val counted = eventsT(s, dir, "event_type")
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("w.start")).as("ts_us"), col("event_type"), col("n"))
+      graft.ops.Anomaly.cusumChanges(counted, "event_type", "ts_us", "n", kMilli = 500L, hMilli = 1500L)
+    },
     // ordered-sequence funnel over view -> click -> purchase: each step
     // counts users whose first qualifying completion is strictly after
     // their previous step's
@@ -1479,6 +1489,56 @@ object RelQueries {
         |       CAST(CASE WHEN (m * n - s) * (m * n - s) > 9 * (m * q - s * s)
         |            THEN 1 ELSE 0 END AS BIGINT) AS anomaly
         |FROM w WHERE m = 24""".stripMargin,
+    // CUSUM: same hourly counts, folded per type with list_reduce (init
+    // prepended — DuckDB's reduce seeds from the first element); residual
+    // and thresholds all integer milli, mirroring Anomaly.cusumChanges.
+    // CAUTION: struct_pack fields inside a reduce lambda LET-CHAIN —
+    // acc.sp after `sp :=` resolves to the NEW value — so sp/sn are bound
+    // LAST and every other field recomputes them from the still-old acc;
+    // with this order the fold is correct under either binding semantics.
+    "events_cusum" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(n) AS BIGINT) AS s,
+        |         list(struct_pack(mx := CAST(0 AS BIGINT), mn := CAST(0 AS BIGINT),
+        |                          ats := CAST(-1 AS BIGINT), sd := CAST(0 AS BIGINT),
+        |                          sp := CAST(0 AS BIGINT), sn := CAST(0 AS BIGINT),
+        |                          ts := CAST(ts_us AS BIGINT), x := n) ORDER BY ts_us) AS lst
+        |  FROM c GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, m, (1000 * s) // m AS mean_milli,
+        |    list_reduce(
+        |      list_prepend(struct_pack(mx := CAST(0 AS BIGINT), mn := CAST(0 AS BIGINT),
+        |                               ats := CAST(-1 AS BIGINT), sd := CAST(0 AS BIGINT),
+        |                               sp := CAST(0 AS BIGINT), sn := CAST(0 AS BIGINT),
+        |                               ts := CAST(-1 AS BIGINT), x := CAST(0 AS BIGINT)), lst),
+        |      (acc, e) -> struct_pack(
+        |        mx := GREATEST(acc.mx,
+        |                       GREATEST(0, acc.sp + (1000 * e.x - (1000 * s) // m) - 500)),
+        |        mn := LEAST(acc.mn,
+        |                    LEAST(0, acc.sn + (1000 * e.x - (1000 * s) // m) + 500)),
+        |        ats := CASE WHEN acc.sd = 0 AND
+        |                     (GREATEST(0, acc.sp + (1000 * e.x - (1000 * s) // m) - 500) > 1500
+        |                      OR LEAST(0, acc.sn + (1000 * e.x - (1000 * s) // m) + 500) < -1500)
+        |               THEN e.ts ELSE acc.ats END,
+        |        sd := CASE WHEN acc.sd = 0 AND
+        |                    GREATEST(0, acc.sp + (1000 * e.x - (1000 * s) // m) - 500) > 1500
+        |               THEN 1
+        |               WHEN acc.sd = 0 AND
+        |                    LEAST(0, acc.sn + (1000 * e.x - (1000 * s) // m) + 500) < -1500
+        |               THEN -1
+        |               ELSE acc.sd END,
+        |        sp := GREATEST(0, acc.sp + (1000 * e.x - (1000 * s) // m) - 500),
+        |        sn := LEAST(0, acc.sn + (1000 * e.x - (1000 * s) // m) + 500),
+        |        ts := acc.ts, x := acc.x)) AS r
+        |  FROM g)
+        |SELECT event_type, m, mean_milli,
+        |       r.mx AS max_s_pos, r.mn AS min_s_neg,
+        |       r.ats AS alarm_ts, r.sd AS alarm_side
+        |FROM f""".stripMargin,
     "funnel_stages" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),

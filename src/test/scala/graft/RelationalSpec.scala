@@ -955,6 +955,28 @@ class RelationalSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("Anomaly.cusumChanges: hand fold — sustained shift alarms, steady series reports margins") {
+    // key "a": 4 periods at 10 then 4 at 14 -> mean 12 exactly, residuals
+    // ±2000 milli, k = 500. The GLOBAL mean straddles both regimes, so the
+    // low phase drifts S- by -1500/period: -1500, -3000 -> first alarm
+    // (< -2500) already at t=2, side -1; S- bottoms at -6000 (t=4) then
+    // recovers. S+ climbs 1500/period through the high phase to 6000.
+    // key "b": flat 7s -> mean 7000, residual 0, extremes 0/0, no alarm
+    val rows = ((1 to 4).map(i => ("a", i.toLong, 10L)) ++
+      (5 to 8).map(i => ("a", i.toLong, 14L)) ++
+      (1 to 5).map(i => ("b", i.toLong, 7L))).toDF("k", "t", "n")
+    val got = graft.ops.Anomaly
+      .cusumChanges(rows, "k", "t", "n", kMilli = 500L, hMilli = 2500L)
+      .collect()
+      .map(r =>
+        r.getString(0) -> ((r.getAs[Long]("m"), r.getAs[Long]("mean_milli"),
+          r.getAs[Long]("max_s_pos"), r.getAs[Long]("min_s_neg"),
+          r.getAs[Long]("alarm_ts"), r.getAs[Long]("alarm_side"))))
+      .toMap
+    assert(got("a") === ((8L, 12000L, 6000L, -6000L, 2L, -1L)))
+    assert(got("b") === ((5L, 7000L, 0L, 0L, -1L, 0L)))
+  }
+
   test("Checks.audit and orphanCount count dups, nulls, and parentless children") {
     val parent = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, null.asInstanceOf[String]))
       .toDF("k", "v")
