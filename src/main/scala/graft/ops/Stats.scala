@@ -539,6 +539,52 @@ object Stats {
       k)
   }
 
+  /** Per-group ordinary-least-squares trend line, EXACT: slope and
+    * intercept from the closed form `slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − (Σx)²)`, evaluated in integer milli/micro units with the
+    * cross terms widened to decimal(38,0) BEFORE combination (n·Σxy
+    * overflows int64 around 10⁶ rows of day-scale x — the widening is the
+    * whole trick; DuckDB's HUGEINT mirrors it exactly, and both engines'
+    * integral `div` truncates toward zero). Slope is reported in
+    * MICRO-y-units per x-step (milli·1000 — a small daily drift would
+    * vanish at milli), intercept in milli at x = 0; pick an x origin near
+    * the data (a FIXED constant, never data-dependent) to keep the
+    * moments small and the intercept meaningful.
+    *
+    * Scale shape: one map-side-combinable aggregate over the input — five
+    * sums per group — then O(|groups|) arithmetic. The regression a
+    * warehouse actually runs (trend per key), with none of the float
+    * summation-order noise that makes `regr_slope` un-hashable.
+    */
+  def linearTrend(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val ym = round(col(yCol).cast("double") * 1000, 0).cast("long")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("grp"), x.as("x"), ym.as("ym"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum("x").cast("decimal(38,0)").as("sx"),
+        sum("ym").cast("decimal(38,0)").as("sy"),
+        // widen each product before summing: the per-element product fits
+        // int64 at day-scale x, but a 10⁹-row group's SUM does not
+        sum((col("x") * col("ym")).cast("decimal(20,0)")).cast("decimal(38,0)").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(20,0)")).cast("decimal(38,0)").as("sxx"))
+      .withColumn("s1", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
+      .withColumn("s2", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
+      .filter(col("s2") =!= 0) // a single-x group has no slope
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        expr("CAST((1000 * s1) div s2 AS BIGINT)").as("slope_micro"),
+        expr("CAST((sy * s2 - s1 * sx) div (CAST(n AS DECIMAL(38,0)) * s2) AS BIGINT)")
+          .as("intercept_milli"))
+  }
+
   /** Spec stamp for the fixed-grid histogram sketch family — consumers
     * validate the grid the same way [[requireSketchK]] validates KMV's k:
     * two sketches over different grids must not merge or compare.

@@ -113,6 +113,24 @@ object GenQueries {
     },
     // window frames: 7-row moving aggregate over the (small, pre-aggregated)
     // daily series, partitioned by year so no global-order single partition
+    // per-nation revenue trend: exact integer OLS over order-level points,
+    // x = days since a FIXED origin near the data (1995-01-01); customer
+    // dim joins hash-side, the 25-row nation dim broadcasts
+    "gen_revenue_trend" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("x"),
+          col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      graft.ops.Stats.linearTrend(
+        o.join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey")),
+        "n_name",
+        "x",
+        "o_totalprice")
+    },
     "gen_moving_avg" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -398,6 +416,31 @@ object GenQueries {
         |  WHERE rn = 1),
         |fin AS (SELECT node, label FROM l4)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM fin""".stripMargin,
+    // OLS in HUGEINT: products widened before summation, truncating //
+    // division mirrors Spark's decimal div bit-for-bit
+    "gen_revenue_trend" ->
+      """WITH pts AS (
+        |  SELECT n.n_name, CAST(CAST(o.o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+        |         CAST(round(CAST(o.o_totalprice AS DOUBLE) * 1000, 0) AS BIGINT) AS ym
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |agg AS (
+        |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(ym) AS HUGEINT) AS sy,
+        |         CAST(SUM(CAST(x * ym AS HUGEINT)) AS HUGEINT) AS sxy,
+        |         CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx
+        |  FROM pts GROUP BY 1),
+        |f AS (
+        |  SELECT n_name, n,
+        |         CAST(n AS HUGEINT) * sxy - sx * sy AS s1,
+        |         CAST(n AS HUGEINT) * sxx - sx * sx AS s2,
+        |         sx, sy
+        |  FROM agg)
+        |SELECT n_name, n,
+        |       CAST((1000 * s1) // s2 AS BIGINT) AS slope_micro,
+        |       CAST((sy * s2 - s1 * sx) // (CAST(n AS HUGEINT) * s2) AS BIGINT) AS intercept_milli
+        |FROM f WHERE s2 <> 0""".stripMargin,
     // k-core by the same monotone peel, 4 recursive rounds (fixpoint is
     // reached in 1 on this fixture at every sf — margin pinned anyway);
     // round-R rows are the core, final degrees from the induced subgraph

@@ -955,6 +955,27 @@ class RelationalSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("Stats.linearTrend: exact OLS hand-checks incl. negative slope and truncation") {
+    val rows = Seq(
+      // perfect line y = 2x + 1 -> slope 2_000_000 micro, intercept 1000
+      ("lin", 0L, 1.0), ("lin", 1L, 3.0), ("lin", 2L, 5.0),
+      // (0,0),(1,1),(2,1): s1=3000, s2=6 -> slope 500_000; intercept 166
+      ("bend", 0L, 0.0), ("bend", 1L, 1.0), ("bend", 2L, 1.0),
+      // negative slope with toward-zero truncation: (0,1),(1,0)
+      ("neg", 0L, 1.0), ("neg", 1L, 0.0),
+      // single-x group: no slope, filtered out
+      ("flat", 5L, 9.0), ("flat", 5L, 11.0)).toDF("g", "x", "y")
+    val got = graft.ops.Stats
+      .linearTrend(rows, "g", "x", "y")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("lin") === ((3L, 2000000L, 1000L)))
+    assert(got("bend") === ((3L, 500000L, 166L)))
+    assert(got("neg") === ((2L, -1000000L, 1000L)))
+    assert(!got.contains("flat"))
+  }
+
   test("Anomaly.cusumChanges: hand fold — sustained shift alarms, steady series reports margins") {
     // key "a": 4 periods at 10 then 4 at 14 -> mean 12 exactly, residuals
     // ±2000 milli, k = 500. The GLOBAL mean straddles both regimes, so the
