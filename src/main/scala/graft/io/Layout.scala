@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Bucket id (0..nBuckets-1) of `c` given ascending split points. */
-  private def bucketOf(c: Column, splits: Array[Double]): Column =
+  /** Bucket id (0..nBuckets-1) of `c` given ascending split points.
+    * Public alongside [[interleaveBits]] so callers can pin FIXED split
+    * points (engine-portable, oracle-mirrorable) where [[zValue]]'s
+    * sketch-derived boundaries are engine-private.
+    */
+  def bucketOf(c: Column, splits: Array[Double]): Column =
     splits.zipWithIndex.foldLeft(lit(0)) {
       case (acc, (s, i)) => when(c.cast("double") >= s, lit(i + 1)).otherwise(acc)
     }
@@ -42,6 +46,40 @@ object Layout {
       j <- 0 until bitsPerCol
     } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * nCols + i)
     terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Clustering-quality audit for a FIXED-grid z-order layout: per z-value
+    * cell, the row count and each clustered column's min/max — exactly the
+    * per-file statistics a scan's predicate pushdown prunes on, so this
+    * table IS the answer to "how much would a selective filter skip after
+    * OPTIMIZE ZORDER". Compact rectangles (tight min/max per cell) =
+    * effective skipping; a cell spanning a column's whole range = that
+    * column wasn't really clustered. Fixed split points keep the whole
+    * audit integer/comparison arithmetic — engine-portable where
+    * [[zValue]]'s quantile sketch is engine-private.
+    *
+    * Scale shape: stateless per-row bucket math + ONE map-side-combinable
+    * aggregate over at most `(2^bitsPerCol)^|cols|` cells.
+    */
+  def zBucketStats(
+      df: DataFrame,
+      cols: Seq[(String, Array[Double])],
+      bitsPerCol: Int = 2): DataFrame = {
+    require(cols.nonEmpty, "need at least one clustered column")
+    cols.foreach { case (c, s) =>
+      require(
+        s.length == (1 << bitsPerCol) - 1,
+        s"column $c needs ${(1 << bitsPerCol) - 1} split points for $bitsPerCol bits, got ${s.length}")
+    }
+    val z = interleaveBits(cols.map { case (c, s) => bucketOf(col(c), s) }, bitsPerCol)
+    val statCols = cols.flatMap { case (c, _) =>
+      Seq(
+        min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c"))
+    }
+    df.withColumn("zkey", z.cast("long"))
+      .groupBy("zkey")
+      .agg(count(lit(1)).cast("long").as("n"), statCols: _*)
   }
 
   /** The z-value column for `df` over `cols`, bucket boundaries from an

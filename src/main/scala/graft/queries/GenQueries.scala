@@ -113,6 +113,17 @@ object GenQueries {
     },
     // window frames: 7-row moving aggregate over the (small, pre-aggregated)
     // daily series, partitioned by year so no global-order single partition
+    // z-order clustering audit on a pinned 2-bit grid over (quantity,
+    // extendedprice): per z-cell counts + min/max — the file statistics a
+    // scan prunes on, proving each cell covers a compact rectangle
+    "gen_layout_zorder" -> { (s, dir) =>
+      graft.io.Layout.zBucketStats(
+        t(s, dir, "lineitem"),
+        Seq(
+          "l_quantity" -> Array(13.0, 25.0, 38.0),
+          "l_extendedprice" -> Array(26000.0, 51000.0, 77000.0)),
+        bitsPerCol = 2)
+    },
     // per-nation revenue trend: exact integer OLS over order-level points,
     // x = days since a FIXED origin near the data (1995-01-01); customer
     // dim joins hash-side, the 25-row nation dim broadcasts
@@ -416,6 +427,23 @@ object GenQueries {
         |  WHERE rn = 1),
         |fin AS (SELECT node, label FROM l4)
         |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM fin""".stripMargin,
+    // Morton interleave in plain arithmetic: q's bit j at position 2j,
+    // p's bit j at position 2j+1
+    "gen_layout_zorder" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN l_quantity >= 38 THEN 3 WHEN l_quantity >= 25 THEN 2
+        |              WHEN l_quantity >= 13 THEN 1 ELSE 0 END AS q,
+        |         CASE WHEN l_extendedprice >= 77000 THEN 3 WHEN l_extendedprice >= 51000 THEN 2
+        |              WHEN l_extendedprice >= 26000 THEN 1 ELSE 0 END AS p,
+        |         l_quantity, l_extendedprice
+        |  FROM lineitem)
+        |SELECT CAST((q % 2) + ((q // 2) % 2) * 4 + (p % 2) * 2 + ((p // 2) % 2) * 8 AS BIGINT) AS zkey,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(l_quantity) AS DOUBLE) AS min_l_quantity,
+        |       CAST(MAX(l_quantity) AS DOUBLE) AS max_l_quantity,
+        |       CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
+        |       CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+        |FROM b GROUP BY 1""".stripMargin,
     // OLS in HUGEINT: products widened before summation, truncating //
     // division mirrors Spark's decimal div bit-for-bit
     "gen_revenue_trend" ->

@@ -17,6 +17,28 @@ class LayoutSpec extends SparkSpec {
     assert(z == ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)), s"got $z")
   }
 
+  test("zBucketStats: hand cells on a 1-bit grid; split-count validation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1.0, 10.0), (2.0, 10.0), // q-bucket 0, p-bucket 0 -> z 0
+      (9.0, 10.0), // q 1, p 0 -> z 1
+      (1.0, 99.0), // q 0, p 1 -> z 2
+      (9.0, 99.0) // q 1, p 1 -> z 3
+    ).toDF("q", "p")
+    val got = Layout
+      .zBucketStats(df, Seq("q" -> Array(5.0), "p" -> Array(50.0)), bitsPerCol = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L) === ((2L, 1.0, 2.0))) // cell 0: two rows, q range [1, 2]
+    assert(got(1L) === ((1L, 9.0, 9.0)))
+    val e = intercept[IllegalArgumentException](
+      Layout.zBucketStats(df, Seq("q" -> Array(5.0)), bitsPerCol = 2))
+    assert(e.getMessage.contains("split points"))
+  }
+
   test("bucketedWrite: same-bucket tables join with NO exchange on either side") {
     val s = spark
     import s.implicits._
