@@ -19,6 +19,8 @@ case class TokCount(key: String, token: String, est: Long)
 case class KeyDistinct(key: String, n_kept: Long, est_distinct: Long)
 case class ValEvt(user_id: Long, v: Long)
 case class UserTotals(user_id: Long, n_events: Long, total_value: Long)
+case class TypedEvt(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+case class Transition(user_id: Long, from_type: String, to_type: String, ts_us: Long)
 
 /** Per-user running totals on the `transformWithState` arbitrary-state API
   * (Spark 4's successor to flatMapGroupsWithState): one `ValueState` cell
@@ -48,6 +50,44 @@ class RunningTotalsProcessor
     rows.foreach { e => n += 1; tot += e.v }
     totals.update((n, tot))
     Iterator.single(UserTotals(key, n, tot))
+  }
+}
+
+/** The streaming face of [[graft.ops.Funnel.transitions]]: the batch
+  * operator's lag-1 window CANNOT see across micro-batch boundaries (a
+  * user's last event of batch N chains to their first of batch N+1), so
+  * the cross-batch edge lives in one `ValueState` cell per user — the
+  * user's latest (ts, event_id, type). Each micro-batch sorts the user's
+  * rows, chains from the stored last event, and emits every transition
+  * exactly once. State is ONE tuple per user regardless of stream length.
+  */
+class TransitionsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvt, Transition] {
+  import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+  @transient private var last: ValueState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[(Long, Long, String)](
+      "last",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING),
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[TypedEvt],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var prevType: Option[String] = if (last.exists()) Some(last.get()._3) else None
+    val out = Seq.newBuilder[Transition]
+    sorted.foreach { e =>
+      prevType.foreach(t => out += Transition(key, t, e.event_type, e.ts_us))
+      prevType = Some(e.event_type)
+    }
+    sorted.lastOption.foreach(e => last.update((e.ts_us, e.event_id, e.event_type)))
+    out.result().iterator
   }
 }
 
@@ -303,6 +343,20 @@ object EventsStream {
         new RunningTotalsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** [[TransitionsProcessor]] wired over a stream: per-user event-type
+    * transitions with the cross-batch edge carried in `ValueState`.
+    */
+  def transitionStream(events: Dataset[TypedEvt]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TransitionsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Streaming per-key heavy hitters: the Misra-Gries sketch

@@ -793,6 +793,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transitionStream: the cross-batch edge the batch lag-1 window cannot see") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.TypedEvt]
+      val q = graft.streaming.EventsStream
+        .transitionStream(input.toDS())
+        .writeStream
+        .format("memory")
+        .queryName("trans_stream")
+        .outputMode("append")
+        .start()
+      import graft.streaming.{Transition, TypedEvt}
+      // batch 1: user 1 view -> click (out-of-order arrival, sorted by ts)
+      input.addData(TypedEvt(1L, 200L, 2L, "click"), TypedEvt(1L, 100L, 1L, "view"))
+      q.processAllAvailable()
+      // batch 2: user 1's purchase chains from batch 1's click (the
+      // cross-batch edge); user 2 emits nothing on a single event
+      input.addData(TypedEvt(1L, 300L, 3L, "purchase"), TypedEvt(2L, 50L, 4L, "view"))
+      q.processAllAvailable()
+      // batch 3: user 2's second event chains from state
+      input.addData(TypedEvt(2L, 60L, 5L, "click"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("trans_stream").as[Transition].collect().toSet
+      assert(rows === Set(
+        Transition(1L, "view", "click", 200L),
+        Transition(1L, "click", "purchase", 300L),
+        Transition(2L, "view", "click", 60L)))
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
     val s = spark
     import s.implicits._
