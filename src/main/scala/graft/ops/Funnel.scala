@@ -97,6 +97,44 @@ object Funnel {
       .agg(countDistinct("user_id").cast("long").as("n_users"))
   }
 
+  /** Top user-journey paths: each user's first `maxSteps` event types in
+    * time order collapsed to one `a>b>c` path string, counted across
+    * users, top `k` — the "what do people actually do" complement of
+    * [[transitions]]' one-step matrix (a path is a whole Markov walk).
+    *
+    * Scale shape: one per-user aggregate (collect_list is bounded by the
+    * user's OWN event count; array_sort + slice truncate to `maxSteps`
+    * before the path string exists), one map-side-combinable path count,
+    * and the final sort+limit runs over that AGGREGATE — at most
+    * `|types|^maxSteps` distinct paths, never the events table.
+    * A user with millions of events does make one big array here; feed
+    * pre-truncated events (e.g. a per-user row_number filter) if the
+    * fixture's per-user volumes aren't already bounded.
+    */
+  def topPaths(
+      events: DataFrame,
+      maxSteps: Int = 8,
+      k: Int = 20,
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      ordCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(maxSteps >= 1 && k >= 1, s"need maxSteps/k >= 1, got $maxSteps/$k")
+    events
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(
+        array_sort(collect_list(struct(col(tsCol), col(ordCol), col(typeCol).as("t"))))
+          .as("seq"))
+      .select(
+        concat_ws(">", slice(transform(col("seq"), s => s.getField("t")), 1, maxSteps))
+          .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** First-order transition matrix over per-user event sequences: for each
     * ordered pair of event types, how often type B immediately follows
     * type A in some user's timeline, with the integer-milli row-normalized

