@@ -539,6 +539,55 @@ object Stats {
       k)
   }
 
+  /** Robust per-group outlier flags via median/MAD: a value is an outlier
+    * when `1000·|x − median| > kMilli·MAD` (MAD = median absolute
+    * deviation) — the robust alternative to [[Anomaly.countAnomalies]]'
+    * mean/sigma test, immune to the outliers it hunts (a single
+    * pathological value shifts a mean arbitrarily but moves a median one
+    * rank). Both medians are EXACT ([[quantilesByGroup]]'s value-histogram
+    * walk), all decisions integer, hence hash-checkable. Degenerate
+    * groups (MAD = 0: over half the values identical) flag every value
+    * not equal to the median — the strict inequality's natural reading,
+    * documented rather than special-cased.
+    *
+    * Scale shape: two quantile passes, each compacting to distinct
+    * (group, value) pairs before any window; the per-group thresholds
+    * table is |groups| rows, broadcast back onto the rows; the flag
+    * itself a stateless projection.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      kMilli: Long = 3000L): DataFrame = {
+    require(kMilli > 0, s"kMilli must be > 0, got $kMilli")
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valueCol).cast("long").as("x"))
+      .localCheckpoint() // feeds the median pass, the dev pass, and the flags
+    val med = quantilesByGroup(rows, groupCol, "x", Seq(50))
+      .select(col(groupCol), col("p50").as("med"))
+    val withMed = rows.join(broadcast(med), Seq(groupCol))
+    val mad = quantilesByGroup(
+      withMed.withColumn("adev", abs(col("x") - col("med"))),
+      groupCol,
+      "adev",
+      Seq(50))
+      .select(col(groupCol), col("p50").as("mad"))
+    withMed
+      .join(broadcast(mad), Seq(groupCol))
+      .select(
+        col(idCol),
+        col(groupCol),
+        col("x"),
+        col("med"),
+        col("mad"),
+        when(lit(1000L) * abs(col("x") - col("med")) > lit(kMilli) * col("mad"), 1L)
+          .otherwise(0L)
+          .as("outlier"))
+  }
+
   /** Per-group ordinary-least-squares trend line, EXACT: slope and
     * intercept from the closed form `slope = (n·Σxy − Σx·Σy) /
     * (n·Σx² − (Σx)²)`, evaluated in integer milli/micro units with the

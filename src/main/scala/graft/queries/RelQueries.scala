@@ -706,6 +706,11 @@ object RelQueries {
       graft.ops.Funnel.retention(
         raw.select(col("user_id"), EventTime.tsSecs(raw).as("secs")))
     },
+    // robust outliers: exact median/MAD per lang, integer decision —
+    // immune to the very outliers the mean/sigma test is skewed by
+    "stats_mad_outliers" -> { (s, dir) =>
+      Stats.madOutliers(docs(s, dir), "lang", "n_chars", "doc_id")
+    },
     "stats_winsorize" -> { (s, dir) =>
       Stats
         .winsorizeByGroup(docs(s, dir), "lang", "n_chars", loPct = 10, hiPct = 90)
@@ -1708,6 +1713,38 @@ object RelQueries {
     "stats_cms_freq" -> cmsSql,
     "stats_cms_merged" -> cmsSql,
     "stats_cms_streamed" -> cmsSql,
+    // median + MAD via the same exact histogram walk, flags integer
+    "stats_mad_outliers" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |h AS (SELECT lang, x, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, x,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY x
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS tot
+        |  FROM h),
+        |med AS (
+        |  SELECT lang, CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN x END) AS BIGINT) AS med
+        |  FROM c GROUP BY 1),
+        |dv AS (
+        |  SELECT r.lang, abs(r.x - med.med) AS adev
+        |  FROM r JOIN med ON r.lang = med.lang),
+        |h2 AS (SELECT lang, adev, COUNT(*) AS cnt FROM dv GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT lang, adev,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY adev
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY lang) AS tot
+        |  FROM h2),
+        |mad AS (
+        |  SELECT lang, CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN adev END) AS BIGINT) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT r.doc_id, r.lang, r.x, med.med, mad.mad,
+        |       CAST(CASE WHEN 1000 * abs(r.x - med.med) > 3000 * mad.mad
+        |            THEN 1 ELSE 0 END AS BIGINT) AS outlier
+        |FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang""".stripMargin,
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

@@ -955,6 +955,25 @@ class RelationalSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("Stats.madOutliers: hand median/MAD, robustness to the outlier itself, MAD=0 degenerate") {
+    val rows = Seq(
+      // g1 values 10,12,14,16,1000: median 14, adevs {4,2,0,2,986} -> MAD 2
+      // (exact-walk median of {0,2,2,4,986}); k=3 -> flag iff 1000*|x-14| > 6000
+      ("g1", 1L, 10L), ("g1", 2L, 12L), ("g1", 3L, 14L), ("g1", 4L, 16L), ("g1", 5L, 1000L),
+      // g2 all 7 except one 9: MAD 0 -> only the 9 flags
+      ("g2", 6L, 7L), ("g2", 7L, 7L), ("g2", 8L, 7L), ("g2", 9L, 9L)).toDF("g", "id", "v")
+    val got = graft.ops.Stats
+      .madOutliers(rows, "g", "v", "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(5L) === ((1000L, 14L, 2L, 1L))) // the outlier flags
+    assert(got(1L) === ((10L, 14L, 2L, 0L))) // |10-14|=4: 4000 > 6000 false
+    assert(got(4L) === ((16L, 14L, 2L, 0L)))
+    assert(got(9L) === ((9L, 7L, 0L, 1L))) // MAD=0: any deviation flags
+    assert(got(6L) === ((7L, 7L, 0L, 0L)))
+  }
+
   test("Stats.linearTrend: exact OLS hand-checks incl. negative slope and truncation") {
     val rows = Seq(
       // perfect line y = 2x + 1 -> slope 2_000_000 micro, intercept 1000
