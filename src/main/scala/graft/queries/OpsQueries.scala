@@ -2188,14 +2188,20 @@ object OpsQueries {
          |  SELECT a.id AS doc_a, b.id AS doc_b, a.tk AS ta, b.tk AS tb,
          |         a.n AS na, b.n AS nb
          |  FROM t a JOIN t b ON a.id < b.id AND abs(a.n - b.n) <= 1),
+         |mp AS (
+         |  SELECT doc_a, doc_b, na, nb,
+         |    list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+         |        i -> COALESCE(ta[i] = tb[i], false)), false) AS pp,
+         |    list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+         |        i -> COALESCE(list_reverse(ta)[i] = list_reverse(tb)[i], false)), false) AS sp
+         |  FROM pr),
+         |-- list_position returns 0 (not NULL) for not-found: no mismatch
+         |-- means fully equal arrays, p = the common length
          |m AS (
          |  SELECT doc_a, doc_b, na, nb,
-         |    COALESCE(list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
-         |        i -> COALESCE(ta[i] = tb[i], false)), false) - 1, LEAST(na, nb)) AS p,
-         |    COALESCE(list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
-         |        i -> COALESCE(list_reverse(ta)[i] = list_reverse(tb)[i], false)), false) - 1,
-         |      LEAST(na, nb)) AS s
-         |  FROM pr)
+         |    CASE WHEN pp IS NULL OR pp = 0 THEN LEAST(na, nb) ELSE pp - 1 END AS p,
+         |    CASE WHEN sp IS NULL OR sp = 0 THEN LEAST(na, nb) ELSE sp - 1 END AS s
+         |  FROM mp)
          |SELECT doc_a, doc_b,
          |       CAST(CASE WHEN na = nb AND p >= na THEN 0 ELSE 1 END AS BIGINT) AS ed,
          |       na, nb
