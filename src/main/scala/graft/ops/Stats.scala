@@ -426,6 +426,35 @@ object Stats {
       .agg(sum("cnt").cast("long").as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two CMS sketches (the
+    * inner-product estimator, Cormode & Muthukrishnan 2005 §4.2):
+    * `|A ⋈ B on v| = Σ_v fA(v)·fB(v)`, estimated per depth row as the dot
+    * product of the two 256-counter histograms and tightened by the min
+    * over rows — one-sided (never undercounts, collisions only add). The
+    * planning-time use: size a join from dictionary-sized sketch state
+    * WITHOUT touching either table — build per shard/day via
+    * [[ingestCmsBatch]], dot any two forever. Exactly portable for the
+    * same reason the point estimates are: same md5-digit counters in both
+    * engines. Returns one row: depth and `est_pairs`.
+    *
+    * Scale shape: both inputs are ≤ depth·256 rows by construction; the
+    * dot is an equi-join on (d, bucket) + two tiny aggregations.
+    */
+  def cmsJoinEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val da = cmsDepth(a)
+    val db = cmsDepth(b)
+    require(
+      da == 0 || db == 0 || da == db,
+      s"CMS sketches with different depths do not compare: got $da and $db")
+    a.select(col("d"), col("bucket"), col("cnt").as("ca"))
+      .join(b.select(col("d"), col("bucket"), col("cnt").as("cb")), Seq("d", "bucket"))
+      .groupBy("d")
+      .agg(sum(col("ca") * col("cb")).cast("long").as("dot"))
+      .agg(
+        count(lit(1)).cast("long").as("n_depths"),
+        min("dot").cast("long").as("est_pairs"))
+  }
+
   /** Batch contract of the streaming CMS face
     * ([[graft.streaming.SketchIngest.cmsIngest]]) — the
     * [[ingestKmvBatch]] store-lifecycle recipe applied to the count-min

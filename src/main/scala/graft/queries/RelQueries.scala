@@ -540,6 +540,16 @@ object RelQueries {
         Stats.cmsBuild(toks(d.filter(col("lang") =!= "en")), "tok")))
       Stats.cmsQuery(merged, toks(d), "tok")
     },
+    // join cardinality from sketches ALONE: the CMS inner-product
+    // estimator sizes |halfA join halfB on user_id| from two depth·256
+    // counter tables, never touching either side — min over depth rows,
+    // one-sided (collisions only ever ADD)
+    "stats_cms_join_est" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      Stats.cmsJoinEstimate(
+        Stats.cmsBuild(ev.filter(col("event_id") % 2 === 0), "user_id"),
+        Stats.cmsBuild(ev.filter(col("event_id") % 2 === 1), "user_id"))
+    },
     // the CMS streaming-store lifecycle inside the timed query: three
     // ingest rounds land batch-keyed counter tables (batch 0 claiming any
     // stale store), then the read face sums them — by CMS linearity this
@@ -1684,6 +1694,26 @@ object RelQueries {
         |       CAST(MIN(vm) AS BIGINT), CAST(MAX(vm) AS BIGINT),
         |       CAST(CAST(SUM(vm) AS BIGINT) // COUNT(*) AS BIGINT)
         |FROM base""".stripMargin,
+    // CMS inner product: same md5-digit counters per half, dot per depth
+    // row, min over rows
+    "stats_cms_join_est" ->
+      """WITH hv AS (
+        |  SELECT event_id % 2 AS side, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |cells AS (
+        |  SELECT side, d,
+        |         (strpos('0123456789abcdef', substr(h, d * 2 + 1, 1)) - 1) * 16
+        |         + strpos('0123456789abcdef', substr(h, d * 2 + 2, 1)) - 1 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM hv CROSS JOIN dd GROUP BY 1, 2, 3),
+        |dots AS (
+        |  SELECT a.d, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM cells a JOIN cells b
+        |    ON a.side = 0 AND b.side = 1 AND a.d = b.d AND a.bucket = b.bucket
+        |  GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_depths, CAST(MIN(dot) AS BIGINT) AS est_pairs
+        |FROM dots""".stripMargin,
     // one SQL for all three histogram faces (linearity — see histSql)
     "stats_hist_quantiles" -> histSql,
     "stats_hist_merged" -> histSql,

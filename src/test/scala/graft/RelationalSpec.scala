@@ -955,6 +955,37 @@ class RelationalSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("Stats.cmsJoinEstimate: exact on a collision-free draw, one-sided on random data, depth pinned") {
+    val s = spark
+    import s.implicits._
+    // tiny distinct sets: md5-bucket collisions across 6 values in a
+    // 256-bucket row are absent for this draw, so est == exact
+    val a = Seq("u1", "u1", "u2", "u3").toDF("v")
+    val b = Seq("u1", "u2", "u2", "u4").toDF("v")
+    // exact join size: u1 2*1 + u2 1*2 = 4
+    val got = graft.ops.Stats
+      .cmsJoinEstimate(graft.ops.Stats.cmsBuild(a, "v"), graft.ops.Stats.cmsBuild(b, "v"))
+      .head()
+    assert(got.getLong(0) === 4L)
+    assert(got.getLong(1) === 4L)
+    // one-sided on a wider random draw: estimate >= true join size
+    val rnd = new scala.util.Random(3)
+    val xs = Seq.fill(400)(s"k${rnd.nextInt(50)}").toDF("v")
+    val ys = Seq.fill(400)(s"k${rnd.nextInt(80)}").toDF("v")
+    val est = graft.ops.Stats
+      .cmsJoinEstimate(graft.ops.Stats.cmsBuild(xs, "v"), graft.ops.Stats.cmsBuild(ys, "v"))
+      .head()
+      .getLong(1)
+    val exact = xs.join(ys, "v").count()
+    assert(est >= exact, s"est $est < exact $exact")
+    // depth mismatch fails fast
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Stats.cmsJoinEstimate(
+        graft.ops.Stats.cmsBuild(a, "v", depth = 4),
+        graft.ops.Stats.cmsBuild(b, "v", depth = 2)))
+    assert(e.getMessage.contains("depth"))
+  }
+
   test("Stats.madOutliers: hand median/MAD, robustness to the outlier itself, MAD=0 degenerate") {
     val rows = Seq(
       // g1 values 10,12,14,16,1000: median 14, adevs {4,2,0,2,986} -> MAD 2
