@@ -64,6 +64,11 @@ object Anomaly {
     * control) — monitoring dashboards want the margins, not just the
     * firings.
     *
+    * Ties: rows sharing a (key, period) fold in (period, value) order —
+    * the struct sort's full ordering — and any oracle mirror must ORDER BY
+    * both; feed one row per (key, period) (the intended pre-aggregated
+    * shape) to make the question moot.
+    *
     * Scale shape: the recurrence is inherently sequential per key, so
     * each key's (already pre-aggregated — |periods| rows, not raw events)
     * series is folded in ONE `aggregate` lambda over its sorted

@@ -1416,12 +1416,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"), transform(col("ord"), s => s.getField("tok")).as("otks"))
       .withColumn("n", size(col("otks")).cast("long"))
-      // prefix length n - ceil(t*n) + 1, ceil in exact integer arithmetic
-      // (operands positive, so the long cast of the division truncates
-      // toward zero = floor)
+      // prefix length n - ceil(t*n) + 1, ceil via integral `div` (a double
+      // `/` + cast would lose exactness past 2^53)
       .withColumn(
         "plen",
-        (col("n") - ((col("n") * tm + lit(999L)) / lit(1000L)).cast("long") + lit(1L)).cast("int"))
+        expr(s"CAST(n - (n * $thresholdMilli + 999) div 1000 + 1 AS INT)"))
       .localCheckpoint()
     val pref = ordered
       .select(col("id"), col("n"), explode(slice(col("otks"), lit(1), col("plen"))).as("tok"))

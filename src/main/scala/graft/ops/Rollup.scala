@@ -128,13 +128,16 @@ object Rollup {
     val spark = batch.sparkSession
     import spark.implicits._
     val spec = specOf(keyCols, valueCol)
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/state")
-      Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else {
-      val s0 = spark.read.parquet(s"$path/params").head.getString(0)
-      require(s0 == spec, s"rollup store at $path maintains $s0, got $spec")
-    }
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "state",
+      batchId,
+      () => Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+        require(s0 == spec, s"rollup store at $path maintains $s0, got $spec")
+      })
     aggState(batch, keyCols, valueCol)
       .write
       .mode(SaveMode.Overwrite)

@@ -214,16 +214,19 @@ object Stats {
   private def stampedKs(df: DataFrame): Set[Int] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    val lits: Seq[Option[Int]] = df.queryExecution.analyzed
-      .collect { case p: Project =>
+    // ONLY the outermost Project: a deeper subtree may carry an unrelated
+    // alias of the same name (e.g. a frame derived from another sketch)
+    // and must not be mistaken for this sketch's stamp
+    val lits: Seq[Option[Int]] = df.queryExecution.analyzed match {
+      case p: Project =>
         p.projectList.collect { case a: Alias if a.name == "k" =>
           a.child match {
             case Literal(v: Int, _) => Some(v)
             case _ => None
           }
         }
-      }
-      .flatten
+      case _ => Seq.empty
+    }
     if (lits.nonEmpty && lits.forall(_.isDefined)) lits.flatten.toSet
     else {
       val r = df.select(col("k").cast("int").as("k")).agg(min("k"), max("k")).head()
@@ -441,18 +444,27 @@ object Stats {
     * dot is an equi-join on (d, bucket) + two tiny aggregations.
     */
   def cmsJoinEstimate(a: DataFrame, b: DataFrame): DataFrame = {
-    val da = cmsDepth(a)
-    val db = cmsDepth(b)
+    // materialize both (≤ depth·256-row) counter tables ONCE: the depth
+    // read and the dot join both consume them, and an unmaterialized
+    // cmsBuild plan would re-scan its raw input per consumer (the
+    // multi-consumer recompute rule)
+    val am = a.select(col("d"), col("bucket"), col("cnt").as("ca")).localCheckpoint()
+    val bm = b.select(col("d"), col("bucket"), col("cnt").as("cb")).localCheckpoint()
+    val da = cmsDepth(am.select(col("d")))
+    val db = cmsDepth(bm.select(col("d")))
     require(
       da == 0 || db == 0 || da == db,
       s"CMS sketches with different depths do not compare: got $da and $db")
-    a.select(col("d"), col("bucket"), col("cnt").as("ca"))
-      .join(b.select(col("d"), col("bucket"), col("cnt").as("cb")), Seq("d", "bucket"))
+    // LEFT join from a's cells: a depth row whose bucket sets do not
+    // intersect has a true dot of ZERO — which proves the join is empty —
+    // and must reach the min, not vanish from it; a missing b-cell
+    // contributes 0 via the coalesce
+    am.join(bm, Seq("d", "bucket"), "left")
       .groupBy("d")
-      .agg(sum(col("ca") * col("cb")).cast("long").as("dot"))
+      .agg(sum(col("ca") * coalesce(col("cb"), lit(0L))).cast("long").as("dot"))
       .agg(
         count(lit(1)).cast("long").as("n_depths"),
-        min("dot").cast("long").as("est_pairs"))
+        coalesce(min("dot"), lit(0L)).cast("long").as("est_pairs"))
   }
 
   /** Batch contract of the streaming CMS face
@@ -475,13 +487,16 @@ object Stats {
       depth: Int = 4): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/sketch")
-      Seq(depth).toDF("depth").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else {
-      val d0 = spark.read.parquet(s"$path/params").head.getInt(0)
-      require(d0 == depth, s"CMS store at $path was built with depth=$d0, got depth=$depth")
-    }
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "sketch",
+      batchId,
+      () => Seq(depth).toDF("depth").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val d0 = spark.read.parquet(s"$path/params").head.getInt(0)
+        require(d0 == depth, s"CMS store at $path was built with depth=$d0, got depth=$depth")
+      })
     cmsBuild(batch, valueCol, depth)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -530,17 +545,17 @@ object Stats {
       k: Int = 64): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // Claim BEFORE the empty-batch check: an empty batch 0 must still
-    // replace a stale store, or a previous run's sketches would silently
-    // inflate every later rollup (and the claim is what creates the store,
-    // so the read face sees "empty", not "missing", on an idle stream).
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/sketch")
-      Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else {
-      val k0 = spark.read.parquet(s"$path/params").head.getInt(0)
-      require(k0 == k, s"KMV store at $path was built with k=$k0, got k=$k")
-    }
+    // Claim BEFORE the empty-batch check — see StoreLifecycle for why.
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "sketch",
+      batchId,
+      () => Seq(k).toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val k0 = spark.read.parquet(s"$path/params").head.getInt(0)
+        require(k0 == k, s"KMV store at $path was built with k=$k0, got k=$k")
+      })
     // an empty batch lands an empty (schema-complete) sketch: retries stay
     // idempotent and the rollup read never trips on a missing directory
     kmvSketch(batch, groupCol, valueCol, k)
@@ -579,6 +594,10 @@ object Stats {
     * not equal to the median — the strict inequality's natural reading,
     * documented rather than special-cased.
     *
+    * Values go through the exact-milli projection (`round(v·1000)`) like
+    * every Stats operator — a fractional-valued column keeps its
+    * resolution instead of being silently floor-truncated.
+    *
     * Scale shape: two quantile passes, each compacting to distinct
     * (group, value) pairs before any window; the per-group thresholds
     * table is |groups| rows, broadcast back onto the rows; the flag
@@ -593,26 +612,31 @@ object Stats {
     require(kMilli > 0, s"kMilli must be > 0, got $kMilli")
     val rows = df
       .filter(col(valueCol).isNotNull)
-      .select(col(idCol), col(groupCol), col(valueCol).cast("long").as("x"))
+      .select(
+        col(idCol),
+        col(groupCol),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("x_milli"))
       .localCheckpoint() // feeds the median pass, the dev pass, and the flags
-    val med = quantilesByGroup(rows, groupCol, "x", Seq(50))
-      .select(col(groupCol), col("p50").as("med"))
+    val med = quantilesByGroup(rows, groupCol, "x_milli", Seq(50))
+      .select(col(groupCol), col("p50").as("med_milli"))
     val withMed = rows.join(broadcast(med), Seq(groupCol))
     val mad = quantilesByGroup(
-      withMed.withColumn("adev", abs(col("x") - col("med"))),
+      withMed.withColumn("adev", abs(col("x_milli") - col("med_milli"))),
       groupCol,
       "adev",
       Seq(50))
-      .select(col(groupCol), col("p50").as("mad"))
+      .select(col(groupCol), col("p50").as("mad_milli"))
     withMed
       .join(broadcast(mad), Seq(groupCol))
       .select(
         col(idCol),
         col(groupCol),
-        col("x"),
-        col("med"),
-        col("mad"),
-        when(lit(1000L) * abs(col("x") - col("med")) > lit(kMilli) * col("mad"), 1L)
+        col("x_milli"),
+        col("med_milli"),
+        col("mad_milli"),
+        when(
+          lit(1000L) * abs(col("x_milli") - col("med_milli")) > lit(kMilli) * col("mad_milli"),
+          1L)
           .otherwise(0L)
           .as("outlier"))
   }
@@ -648,10 +672,11 @@ object Stats {
         count(lit(1)).cast("long").as("n"),
         sum("x").cast("decimal(38,0)").as("sx"),
         sum("ym").cast("decimal(38,0)").as("sy"),
-        // widen each product before summing: the per-element product fits
-        // int64 at day-scale x, but a 10⁹-row group's SUM does not
-        sum((col("x") * col("ym")).cast("decimal(20,0)")).cast("decimal(38,0)").as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(20,0)")).cast("decimal(38,0)").as("sxx"))
+        // widen an OPERAND before multiplying: x*ym computed in int64
+        // would wrap for epoch-micro-scale x before any cast could save
+        // it, and the per-element decimal product costs the same
+        sum(col("x").cast("decimal(19,0)") * col("ym")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x")).cast("decimal(38,0)").as("sxx"))
       .withColumn("s1", expr("CAST(n AS DECIMAL(38,0)) * sxy - sx * sy"))
       .withColumn("s2", expr("CAST(n AS DECIMAL(38,0)) * sxx - sx * sx"))
       .filter(col("s2") =!= 0) // a single-x group has no slope
@@ -683,16 +708,18 @@ object Stats {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.unsafe.types.UTF8String
-    val lits: Seq[Option[String]] = df.queryExecution.analyzed
-      .collect { case p: Project =>
+    // ONLY the outermost Project (see stampedKs): upstream aliases named
+    // "spec" are not this sketch's stamp
+    val lits: Seq[Option[String]] = df.queryExecution.analyzed match {
+      case p: Project =>
         p.projectList.collect { case a: Alias if a.name == "spec" =>
           a.child match {
             case Literal(v: UTF8String, _) => Some(v.toString)
             case _ => None
           }
         }
-      }
-      .flatten
+      case _ => Seq.empty
+    }
     if (lits.nonEmpty && lits.forall(_.isDefined)) lits.flatten.toSet
     else
       df.select(col("spec").cast("string")).distinct().collect().map(_.getString(0)).toSet
@@ -736,12 +763,16 @@ object Stats {
     require(hiMilli > loMilli, s"need hiMilli > loMilli, got [$loMilli, $hiMilli)")
     val span = hiMilli - loMilli
     val vm = round(col(valueCol).cast("double") * 1000, 0).cast("long")
-    // clamp into [lo, hi-1] BEFORE the division so the truncating long
-    // cast is a true floor (operands non-negative)
+    // clamp into [lo, hi-1] so the bucket index lands in range; the
+    // division is integral `div`, NOT a double `/` + cast — a double
+    // quotient loses exactness past 2^53 and a caller-chosen wide grid
+    // would silently disagree with the oracle's integer `//`
     val vcl = greatest(lit(loMilli), least(vm, lit(hiMilli - 1)))
-    val bucket = (((vcl - lit(loMilli)) * lit(bins.toLong)) / lit(span)).cast("long")
     df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), bucket.as("bucket"))
+      .select(col(groupCol).as("grp"), vcl.as("vcl"))
+      .withColumn(
+        "bucket",
+        expr(s"((vcl - CAST($loMilli AS BIGINT)) * CAST($bins AS BIGINT)) div CAST($span AS BIGINT)"))
       .groupBy("grp", "bucket")
       .agg(count(lit(1)).cast("long").as("cnt"))
       .select(
@@ -760,6 +791,7 @@ object Stats {
       loMilli: Long = 0L,
       hiMilli: Long = 1024000L,
       bins: Int = 256): DataFrame = {
+    require(sketches.nonEmpty, "histMerge needs at least one sketch")
     requireHistBins(bins)
     val spec = histSpec(loMilli, hiMilli, bins)
     requireHistSpec(sketches, spec)
@@ -813,7 +845,8 @@ object Stats {
         col("grp"),
         col("n"),
         explode(array(qMillis.map(q => lit(q.toLong)): _*)).as("q_milli"))
-      .withColumn("target", ((col("q_milli") * col("n") + lit(999L)) / lit(1000L)).cast("long"))
+      // integral div, not double `/` + cast: exact past 2^53
+      .withColumn("target", expr("(q_milli * n + 999) div 1000"))
     targets
       .join(cum, Seq("grp"))
       .filter(col("cum") >= col("target"))
@@ -824,9 +857,10 @@ object Stats {
         col("q_milli"),
         col("n"),
         col("bucket"),
-        (lit(loMilli) + (col("bucket") * lit(span)) / lit(bins.toLong)).cast("long")
+        expr(s"CAST($loMilli AS BIGINT) + (bucket * CAST($span AS BIGINT)) div CAST($bins AS BIGINT)")
           .as("lo_milli"),
-        (lit(loMilli) + ((col("bucket") + 1) * lit(span)) / lit(bins.toLong)).cast("long")
+        expr(
+          s"CAST($loMilli AS BIGINT) + ((bucket + 1) * CAST($span AS BIGINT)) div CAST($bins AS BIGINT)")
           .as("hi_milli"))
   }
 
@@ -849,13 +883,16 @@ object Stats {
     val spark = batch.sparkSession
     import spark.implicits._
     val spec = histSpec(loMilli, hiMilli, bins)
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/sketch")
-      Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else {
-      val s0 = spark.read.parquet(s"$path/params").head.getString(0)
-      require(s0 == spec, s"hist store at $path was built over grid $s0, got $spec")
-    }
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "sketch",
+      batchId,
+      () => Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+        require(s0 == spec, s"hist store at $path was built over grid $s0, got $spec")
+      })
     histSketch(batch, groupCol, valueCol, loMilli, hiMilli, bins)
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)

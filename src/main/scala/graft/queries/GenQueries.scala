@@ -456,8 +456,8 @@ object GenQueries {
         |agg AS (
         |  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
         |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(ym) AS HUGEINT) AS sy,
-        |         CAST(SUM(CAST(x * ym AS HUGEINT)) AS HUGEINT) AS sxy,
-        |         CAST(SUM(CAST(x * x AS HUGEINT)) AS HUGEINT) AS sxx
+        |         CAST(SUM(CAST(x AS HUGEINT) * ym) AS HUGEINT) AS sxy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
         |  FROM pts GROUP BY 1),
         |f AS (
         |  SELECT n_name, n,

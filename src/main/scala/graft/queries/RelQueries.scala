@@ -1526,7 +1526,7 @@ object RelQueries {
         |         list(struct_pack(mx := CAST(0 AS BIGINT), mn := CAST(0 AS BIGINT),
         |                          ats := CAST(-1 AS BIGINT), sd := CAST(0 AS BIGINT),
         |                          sp := CAST(0 AS BIGINT), sn := CAST(0 AS BIGINT),
-        |                          ts := CAST(ts_us AS BIGINT), x := n) ORDER BY ts_us) AS lst
+        |                          ts := CAST(ts_us AS BIGINT), x := n) ORDER BY ts_us, n) AS lst
         |  FROM c GROUP BY 1),
         |f AS (
         |  SELECT event_type, m, (1000 * s) // m AS mean_milli,
@@ -1743,23 +1743,26 @@ object RelQueries {
     "stats_cms_freq" -> cmsSql,
     "stats_cms_merged" -> cmsSql,
     "stats_cms_streamed" -> cmsSql,
-    // median + MAD via the same exact histogram walk, flags integer
+    // median + MAD via the same exact histogram walk, values exact-milli,
+    // flags integer
     "stats_mad_outliers" ->
       """WITH r AS (
-        |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents
-        |  WHERE n_chars IS NOT NULL),
-        |h AS (SELECT lang, x, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+        |  SELECT doc_id, lang,
+        |         CAST(round(CAST(n_chars AS DOUBLE) * 1000, 0) AS BIGINT) AS x_milli
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |h AS (SELECT lang, x_milli, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
         |c AS (
-        |  SELECT lang, x,
-        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY x
+        |  SELECT lang, x_milli,
+        |         SUM(cnt) OVER (PARTITION BY lang ORDER BY x_milli
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |         SUM(cnt) OVER (PARTITION BY lang) AS tot
         |  FROM h),
         |med AS (
-        |  SELECT lang, CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN x END) AS BIGINT) AS med
+        |  SELECT lang,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN x_milli END) AS BIGINT) AS med_milli
         |  FROM c GROUP BY 1),
         |dv AS (
-        |  SELECT r.lang, abs(r.x - med.med) AS adev
+        |  SELECT r.lang, abs(r.x_milli - med.med_milli) AS adev
         |  FROM r JOIN med ON r.lang = med.lang),
         |h2 AS (SELECT lang, adev, COUNT(*) AS cnt FROM dv GROUP BY 1, 2),
         |c2 AS (
@@ -1769,10 +1772,11 @@ object RelQueries {
         |         SUM(cnt) OVER (PARTITION BY lang) AS tot
         |  FROM h2),
         |mad AS (
-        |  SELECT lang, CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN adev END) AS BIGINT) AS mad
+        |  SELECT lang,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN adev END) AS BIGINT) AS mad_milli
         |  FROM c2 GROUP BY 1)
-        |SELECT r.doc_id, r.lang, r.x, med.med, mad.mad,
-        |       CAST(CASE WHEN 1000 * abs(r.x - med.med) > 3000 * mad.mad
+        |SELECT r.doc_id, r.lang, r.x_milli, med.med_milli, mad.mad_milli,
+        |       CAST(CASE WHEN 1000 * abs(r.x_milli - med.med_milli) > 3000 * mad.mad_milli
         |            THEN 1 ELSE 0 END AS BIGINT) AS outlier
         |FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang""".stripMargin,
     "stats_quantiles" ->

@@ -79,8 +79,19 @@ class TransitionsProcessor
       key: Long,
       rows: Iterator[TypedEvt],
       timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Transition] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
-    var prevType: Option[String] = if (last.exists()) Some(last.get()._3) else None
+    val stored: Option[(Long, Long, String)] = if (last.exists()) Some(last.get()) else None
+    // Late-data policy: an event at or before the stored last (ts, id) is
+    // DROPPED — emitting it would chain time-backward (a transition the
+    // batch operator over the same events could never produce) and
+    // regressing the state would corrupt every later batch's chaining.
+    // The watermark move, applied to transition state.
+    val sorted = rows.toSeq
+      .filter(e =>
+        stored.forall { case (ts, id, _) =>
+          e.ts_us > ts || (e.ts_us == ts && e.event_id > id)
+        })
+      .sortBy(e => (e.ts_us, e.event_id))
+    var prevType: Option[String] = stored.map(_._3)
     val out = Seq.newBuilder[Transition]
     sorted.foreach { e =>
       prevType.foreach(t => out += Transition(key, t, e.event_type, e.ts_us))

@@ -989,20 +989,25 @@ class RelationalSpec extends SparkSpec {
   test("Stats.madOutliers: hand median/MAD, robustness to the outlier itself, MAD=0 degenerate") {
     val rows = Seq(
       // g1 values 10,12,14,16,1000: median 14, adevs {4,2,0,2,986} -> MAD 2
-      // (exact-walk median of {0,2,2,4,986}); k=3 -> flag iff 1000*|x-14| > 6000
-      ("g1", 1L, 10L), ("g1", 2L, 12L), ("g1", 3L, 14L), ("g1", 4L, 16L), ("g1", 5L, 1000L),
+      // (exact-walk median of {0,2,2,4,986}); k=3 -> flag iff |x-14| > 3*MAD
+      ("g1", 1L, 10.0), ("g1", 2L, 12.0), ("g1", 3L, 14.0), ("g1", 4L, 16.0), ("g1", 5L, 1000.0),
       // g2 all 7 except one 9: MAD 0 -> only the 9 flags
-      ("g2", 6L, 7L), ("g2", 7L, 7L), ("g2", 8L, 7L), ("g2", 9L, 9L)).toDF("g", "id", "v")
+      ("g2", 6L, 7.0), ("g2", 7L, 7.0), ("g2", 8L, 7.0), ("g2", 9L, 9.0),
+      // g3 fractional values keep their milli resolution (no truncation):
+      // 1.4/1.6/2.4 -> med 1600, MAD 200; only 2.4 flags
+      ("g3", 10L, 1.4), ("g3", 11L, 1.6), ("g3", 12L, 2.4)).toDF("g", "id", "v")
     val got = graft.ops.Stats
       .madOutliers(rows, "g", "v", "id")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .toMap
-    assert(got(5L) === ((1000L, 14L, 2L, 1L))) // the outlier flags
-    assert(got(1L) === ((10L, 14L, 2L, 0L))) // |10-14|=4: 4000 > 6000 false
-    assert(got(4L) === ((16L, 14L, 2L, 0L)))
-    assert(got(9L) === ((9L, 7L, 0L, 1L))) // MAD=0: any deviation flags
-    assert(got(6L) === ((7L, 7L, 0L, 0L)))
+    assert(got(5L) === ((1000000L, 14000L, 2000L, 1L))) // the outlier flags
+    assert(got(1L) === ((10000L, 14000L, 2000L, 0L))) // |10-14| = 2*MAD: no flag
+    assert(got(4L) === ((16000L, 14000L, 2000L, 0L)))
+    assert(got(9L) === ((9000L, 7000L, 0L, 1L))) // MAD=0: any deviation flags
+    assert(got(6L) === ((7000L, 7000L, 0L, 0L)))
+    assert(got(12L) === ((2400L, 1600L, 200L, 1L)))
+    assert(got(10L) === ((1400L, 1600L, 200L, 0L)))
   }
 
   test("Stats.linearTrend: exact OLS hand-checks incl. negative slope and truncation") {

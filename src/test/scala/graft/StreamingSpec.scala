@@ -817,15 +817,22 @@ class StreamingSpec extends SparkSpec {
       // cross-batch edge); user 2 emits nothing on a single event
       input.addData(TypedEvt(1L, 300L, 3L, "purchase"), TypedEvt(2L, 50L, 4L, "view"))
       q.processAllAvailable()
-      // batch 3: user 2's second event chains from state
-      input.addData(TypedEvt(2L, 60L, 5L, "click"))
+      // batch 3: user 2's second event chains from state; user 1 gets a
+      // LATE event (ts below the stored state) which must be dropped —
+      // emitting it would chain time-backward and regress the state
+      input.addData(TypedEvt(2L, 60L, 5L, "click"), TypedEvt(1L, 150L, 6L, "error"))
+      q.processAllAvailable()
+      // batch 4: user 1's next on-time event still chains from purchase,
+      // proving the late event neither emitted nor regressed the state
+      input.addData(TypedEvt(1L, 400L, 7L, "signup"))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("trans_stream").as[Transition].collect().toSet
       assert(rows === Set(
         Transition(1L, "view", "click", 200L),
         Transition(1L, "click", "purchase", 300L),
-        Transition(2L, "view", "click", 60L)))
+        Transition(2L, "view", "click", 60L),
+        Transition(1L, "purchase", "signup", 400L)))
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
