@@ -583,6 +583,39 @@ object Stats {
       k)
   }
 
+  /** Per-group mode: the most frequent value with a deterministic tie
+    * break (highest count, then SMALLEST value — via the integer-safe
+    * struct-max argmax), plus its count and share in ppm. The categorical
+    * companion of the median: "which lang/source/status dominates each
+    * group" without a window over the value key.
+    *
+    * Scale shape: one map-side-combinable (group, value) count, then a
+    * struct-max argmax per group — a hot value pre-reduces inside each
+    * map task, and the argmax ranks a group's DISTINCT values, never its
+    * rows. No window anywhere.
+    */
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("string").as("v"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    // struct-MIN over (-cnt, v): smallest negated count = highest count,
+    // then smallest value — a string-safe deterministic argmax
+    counts
+      .groupBy("grp")
+      .agg(
+        sum("cnt").cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        min(struct((-col("cnt")).as("nc"), col("v"))).as("m"))
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        col("n_distinct"),
+        col("m.v").as("mode"),
+        (-col("m.nc")).cast("long").as("mode_n"),
+        expr("(-m.nc) * 1000000 div n").cast("long").as("mode_ppm"))
+  }
+
   /** Robust per-group outlier flags via median/MAD: a value is an outlier
     * when `1000·|x − median| > kMilli·MAD` (MAD = median absolute
     * deviation) — the robust alternative to [[Anomaly.countAnomalies]]'

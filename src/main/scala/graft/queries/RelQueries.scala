@@ -716,6 +716,11 @@ object RelQueries {
       graft.ops.Funnel.retention(
         raw.select(col("user_id"), EventTime.tsSecs(raw).as("secs")))
     },
+    // dominant event type per user: mode with the (count DESC, value ASC)
+    // deterministic argmax, share in ppm
+    "stats_mode" -> { (s, dir) =>
+      Stats.modeByGroup(events(s, dir).filter(col("user_id").isNotNull), "user_id", "event_type")
+    },
     // robust outliers: exact median/MAD per lang, integer decision —
     // immune to the very outliers the mean/sigma test is skewed by
     "stats_mad_outliers" -> { (s, dir) =>
@@ -1743,6 +1748,23 @@ object RelQueries {
     "stats_cms_freq" -> cmsSql,
     "stats_cms_merged" -> cmsSql,
     "stats_cms_streamed" -> cmsSql,
+    // mode: (count DESC, value ASC) row_number argmax mirror
+    "stats_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n,
+        |         CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM c GROUP BY 1),
+        |b AS (
+        |  SELECT user_id, v AS mode, cnt AS mode_n FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, v) AS rn
+        |    FROM c)
+        |  WHERE rn = 1)
+        |SELECT t.user_id, t.n, t.n_distinct, b.mode, b.mode_n,
+        |       CAST(b.mode_n * 1000000 // t.n AS BIGINT) AS mode_ppm
+        |FROM t JOIN b USING (user_id)""".stripMargin,
     // median + MAD via the same exact histogram walk, values exact-milli,
     // flags integer
     "stats_mad_outliers" ->

@@ -955,6 +955,22 @@ class RelationalSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("Stats.modeByGroup: deterministic argmax — highest count, then smallest value") {
+    val rows = Seq(
+      ("g1", "b"), ("g1", "b"), ("g1", "a"), ("g1", "c"),
+      // g2: a and b tie at 2 -> smallest value "a" wins
+      ("g2", "b"), ("g2", "a"), ("g2", "b"), ("g2", "a"),
+      ("g3", null.asInstanceOf[String]), ("g3", "z")).toDF("g", "v")
+    val got = graft.ops.Stats
+      .modeByGroup(rows, "g", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got("g1") === ((4L, 3L, "b", 2L, 500000L)))
+    assert(got("g2") === ((4L, 2L, "a", 2L, 500000L)))
+    assert(got("g3") === ((1L, 1L, "z", 1L, 1000000L))) // nulls dropped
+  }
+
   test("Stats.cmsJoinEstimate: exact on a collision-free draw, one-sided on random data, depth pinned") {
     val s = spark
     import s.implicits._
