@@ -1381,10 +1381,19 @@ object Dedup {
     * id-keyed joins pulling the full ordered arrays onto the
     * candidate-bounded pair table — the VernicaJoin kernel. The ordered
     * table feeds three consumers (prefix explode + both verify sides),
-    * hence the one materialization. At 100 TB, key the prefix join and
-    * the arrays on a 128-bit shingle digest instead of raw strings (the
-    * [[graft.ops.TextAnalysis]] gram-index move) — same plan, ~5x fewer
-    * shuffle bytes.
+    * hence the one materialization. Shingles travel as 16-byte md5
+    * digests from birth (the [[graft.ops.TextAnalysis]] gram-index move):
+    * the digest is computed inside the tokenizing projection, so the raw
+    * n-word text never enters the df count, the ordering, the prefix
+    * equi-join, or either verify array — a FIXED 16 bytes per key through
+    * every exchange instead of an unbounded string (~2-4x fewer shuffle
+    * bytes at realistic shingle widths; numbers in SCALE.md). Correctness
+    * is digest-agnostic: the prefix proof needs only a TOTAL order (df
+    * asc, ties by digest bytes — as arbitrary as ties by text), and
+    * |intersection| over digests equals |intersection| over shingles up
+    * to md5 collisions (~(distinct shingles)^2 / 2^129 — the
+    * [[graft.ops.TextAnalysis.dupSpans]] odds, and the failure mode is
+    * one spurious pair, never a miss).
     */
   def setSimilarityJoin(
       docs: DataFrame,
@@ -1407,7 +1416,9 @@ object Dedup {
           array_distinct(
             transform(
               sequence(lit(0), size(col("tks")) - n),
-              i => concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))
+              i =>
+                unhex(md5(
+                  concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))))
           .as("tok"))
     val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
     val ordered = tok
