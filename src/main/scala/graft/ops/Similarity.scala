@@ -859,6 +859,79 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos_r")
   }
 
+  /** Bucketed ANN in the DEBIASED space — the scale face of
+    * [[debiasedTopK]] (which is deliberately exact all-pairs, the oracle
+    * baseline). A user who ran [[removeTopComponent]] BECAUSE raw cosine
+    * had collapsed needs a way to rank in the corrected space that does
+    * not scan the corpus per probe; this is it: sign-LSH buckets over the
+    * first `bits` debiased milli coordinates (the [[signBucket]] rule
+    * applied to the ABTT space — bucketing the RAW signs would be wrong,
+    * the dominant component owns them), Hamming≤1 multi-probe on the
+    * query side (`bits`+1 distinct buckets per query, the
+    * [[projectedTopK]] recall dial), then EXACT integer cosine over the
+    * full debiased vectors within candidates. All arithmetic before the
+    * final rounded score is long-exact, so the oracle chains the same
+    * PCA → debias → bucket → rerank and hash-matches.
+    *
+    * Scale shape: debias is a zero-shuffle projection (fit literal folded
+    * into codegen); bucket assignment is map-side; candidates come from
+    * an equi-join on bucket id — sum over probed buckets of |bucket|, not
+    * |corpus| — and each (query, candidate) pair joins at most once (a
+    * candidate has ONE bucket; the probe set is distinct). One per-query
+    * top-k window at the end. Recall is the sign-LSH bet, dialed by
+    * `bits`; [[debiasedTopK]] remains the exact baseline to audit it.
+    */
+  def debiasedAnnTopK(
+      embs: DataFrame,
+      queryPred: Column,
+      k: Int,
+      bits: Int = 4,
+      iters: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      fit: Option[Seq[Long]] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bits >= 1 && bits < 63, s"bits must be in [1, 62], got $bits")
+    val milliSign = (v: Column) =>
+      (0 until bits)
+        .map(i => when(get(v, lit(i)) > 0L, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+    val db = debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
+      .withColumn(
+        "__n",
+        sqrt(expr("aggregate(zip_with(__c, __c, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+          .cast("double")))
+      .filter(col("__n") > 0)
+      .withColumn("__b", milliSign(col("__c")))
+      .localCheckpoint()
+    val probes = (lit(0L) +: (0 until bits).map(i => lit(1L << i)))
+      .map(m => col("__b").bitwiseXOR(m))
+    val q = db
+      .filter(queryPred)
+      .select(
+        col("vec_id").as("query_id"),
+        col("__c").as("__qc"),
+        col("__n").as("__qn"),
+        explode(array(probes: _*)).as("__b"))
+    db.select(col("vec_id").as("neighbor_id"), col("__c").as("__cc"), col("__n").as("__cn"), col("__b"))
+      .join(q, Seq("__b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn(
+        "__dot",
+        expr("aggregate(zip_with(__qc, __cc, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(col("__dot") / (col("__qn") * col("__cn")), 6).as("cos_r"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cos_r").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos_r")
+  }
+
   /** Embedding-space coverage audit: vector counts and integer ppm shares
     * per flat-quantizer cell — the diversity diagnostic run before
     * training (a cell holding most of the corpus means the embedding

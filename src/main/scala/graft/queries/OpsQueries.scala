@@ -421,6 +421,14 @@ object OpsQueries {
     "similarity_topk_debiased" -> { (s, dir) =>
       Similarity.debiasedTopK(embs(s, dir), col("vec_id") < 8, k = 5, fit = Some(pcaFit(s, dir)._1))
     },
+    // the SCALE face of the debiased space: sign-LSH buckets over the
+    // first 4 ABTT milli coordinates, Hamming<=1 multi-probe, exact
+    // integer rerank within candidates — ranking in the corrected space
+    // without the per-probe corpus scan the exact baseline pays
+    "similarity_topk_debiased_ann" -> { (s, dir) =>
+      Similarity.debiasedAnnTopK(
+        embs(s, dir), col("vec_id") < 8, k = 5, bits = 4, fit = Some(pcaFit(s, dir)._1))
+    },
     // label-centroid affinity matrix: cosine between per-label mean
     // embeddings (sum direction — scale-invariant, so no division to
     // mirror), the mixture-design / confusability diagnostic
@@ -2584,6 +2592,53 @@ object OpsQueries {
          |  JOIN nrm nq ON nq.vec_id = d.query_id
          |  JOIN nrm nc ON nc.vec_id = d.neighbor_id
          |  WHERE nq.nr > 0 AND nc.nr > 0)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    // PCA -> debias -> sign-bucket (first 4 ABTT coords) -> Hamming<=1
+    // multi-probe -> exact integer rerank: the debiasedTopK chain with
+    // the candidate set restricted to probed buckets, mirroring
+    // Similarity.debiasedAnnTopK bits=4
+    "similarity_topk_debiased_ann" ->
+      s"""WITH ${pcaCtes(12)},
+         |vvq AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS vv FROM vf),
+         |dq AS (
+         |  SELECT mv.vec_id, CAST(SUM(CAST(vm[vf.i] AS HUGEINT) * vf.v) AS HUGEINT) AS d
+         |  FROM mv CROSS JOIN vf GROUP BY mv.vec_id),
+         |dbx AS MATERIALIZED (
+         |  SELECT mv.vec_id, vf.i AS i,
+         |         CAST(vm[vf.i] - (dq.d * vf.v) // vvq.vv AS BIGINT) AS c
+         |  FROM mv CROSS JOIN vf
+         |  JOIN dq ON dq.vec_id = mv.vec_id
+         |  CROSS JOIN vvq),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nr
+         |  FROM dbx GROUP BY vec_id),
+         |bkt AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         CAST(SUM(CASE WHEN i <= 4 AND c > 0 THEN 1 << (i - 1) ELSE 0 END) AS BIGINT) AS b
+         |  FROM dbx GROUP BY vec_id),
+         |qb AS (
+         |  SELECT bkt.vec_id, unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS b
+         |  FROM bkt JOIN nrm ON nrm.vec_id = bkt.vec_id
+         |  WHERE bkt.vec_id < 8 AND nrm.nr > 0),
+         |cand AS (
+         |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM qb JOIN bkt cb ON cb.b = qb.b AND cb.vec_id <> qb.vec_id
+         |  JOIN nrm cn ON cn.vec_id = cb.vec_id AND cn.nr > 0),
+         |dots AS (
+         |  SELECT p.query_id, p.neighbor_id, CAST(SUM(q.c * c.c) AS BIGINT) AS dt
+         |  FROM cand p
+         |  JOIN dbx q ON q.vec_id = p.query_id
+         |  JOIN dbx c ON c.vec_id = p.neighbor_id AND c.i = q.i
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.query_id, d.neighbor_id, round(d.dt / (nq.nr * nc.nr), 6) AS cos_r
+         |  FROM dots d
+         |  JOIN nrm nq ON nq.vec_id = d.query_id
+         |  JOIN nrm nc ON nc.vec_id = d.neighbor_id)
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_r FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank

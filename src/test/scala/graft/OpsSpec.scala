@@ -1051,6 +1051,45 @@ class OpsSpec extends SparkSpec {
     assert(fitted == after, "precomputed-fit apply must equal the self-fitting face")
   }
 
+  test("debiasedAnnTopK: exact scores, bucket-restricted candidates, contiguous ranks") {
+    val s = spark
+    import s.implicits._
+    // dominant axis 0 (the component ABTT strips), content on axes 1-2
+    val embs = (0 until 24).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i.toLong,
+        Seq(sign * 2f, (i % 4) * 0.5f - 0.75f, ((i / 4) % 3) * 0.4f - 0.4f, 0.1f * (i % 3)),
+        0)
+    }.toDF("vec_id", "embedding", "label")
+    val exact = Similarity
+      .debiasedTopK(embs, col("vec_id") < 4, k = 23, iters = 12, dim = 4)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos_r"))
+      .toMap
+    val ann = Similarity
+      .debiasedAnnTopK(embs, col("vec_id") < 4, k = 5, bits = 2, iters = 12, dim = 4)
+      .collect()
+    assert(ann.nonEmpty)
+    // ANN restricts the CANDIDATE set, never the arithmetic: every emitted
+    // score equals the exact all-pairs score for that pair bit-for-bit
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(exact(key) == r.getAs[Double]("cos_r"), s"score drift at $key")
+    }
+    // per-query ranks are 1..n contiguous and ordered by (cos desc, id asc)
+    ann.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length), s"ranks for $q")
+      val keys = sorted.map(r => (-r.getAs[Double]("cos_r"), r.getAs[Long]("neighbor_id")))
+      assert(keys.toSeq == keys.sorted.toSeq, s"order for $q")
+      assert(rows.length <= 5)
+    }
+    // multi-probe never duplicates a pair (a candidate lives in ONE bucket)
+    val pairs = ann.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
   test("groupAffinity: aligned groups read 1, orthogonal 0, centroids average members") {
     val s = spark
     import s.implicits._
