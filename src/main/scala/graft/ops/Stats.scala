@@ -594,11 +594,22 @@ object Stats {
     * map task, and the argmax ranks a group's DISTINCT values, never its
     * rows. No window anywhere.
     */
-  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val counts = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol).as("grp"), col(valueCol).cast("string").as("v"))
-      .agg(count(lit(1)).cast("long").as("cnt"))
+  def modeByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    modeFromCounts(
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"), col(valueCol).cast("string").as("v"))
+        .agg(count(lit(1)).cast("long").as("cnt")),
+      groupCol)
+
+  /** [[modeByGroup]] over a PRE-AGGREGATED (grp, v, cnt) value histogram —
+    * the face a rollup store or a sketch ingest feeds (per-batch counts
+    * merge by addition upstream; the argmax runs once on the merged
+    * histogram). The ppm share widens through decimal(38,0): a long
+    * `cnt * 1000000` wraps past ~9.2e12 rows for one value — a real
+    * cardinality for a 100 TB event table's hot key — while the decimal
+    * product is exact and `div` truncation matches the oracle's `//`.
+    */
+  def modeFromCounts(counts: DataFrame, groupCol: String): DataFrame =
     // struct-MIN over (-cnt, v): smallest negated count = highest count,
     // then smallest value — a string-safe deterministic argmax
     counts
@@ -613,8 +624,7 @@ object Stats {
         col("n_distinct"),
         col("m.v").as("mode"),
         (-col("m.nc")).cast("long").as("mode_n"),
-        expr("(-m.nc) * 1000000 div n").cast("long").as("mode_ppm"))
-  }
+        expr("CAST((CAST(-m.nc AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)").as("mode_ppm"))
 
   /** Robust per-group outlier flags via median/MAD: a value is an outlier
     * when `1000·|x − median| > kMilli·MAD` (MAD = median absolute

@@ -971,6 +971,20 @@ class RelationalSpec extends SparkSpec {
     assert(got("g3") === ((1L, 1L, "z", 1L, 1000000L))) // nulls dropped
   }
 
+  test("Stats.modeFromCounts: ppm survives counts past the long*1e6 wrap point") {
+    // 1e13 rows of one value: cnt * 1000000 = 1e19 wraps a long
+    // (max ~9.22e18); the decimal(38,0) widening keeps it exact
+    val counts = Seq(
+      ("g1", "hot", 10000000000000L), ("g1", "cold", 2000000000000L)).toDF("grp", "v", "cnt")
+    val r = graft.ops.Stats.modeFromCounts(counts, "g").head()
+    assert(r.getString(0) === "g1")
+    assert(r.getLong(1) === 12000000000000L)
+    assert(r.getString(3) === "hot")
+    assert(r.getLong(4) === 10000000000000L)
+    // 1e13 * 1e6 / 1.2e13 = 833333 (trunc); long math would give garbage
+    assert(r.getLong(5) === 833333L)
+  }
+
   test("Stats.cmsJoinEstimate: exact on a collision-free draw, one-sided on random data, depth pinned") {
     val s = spark
     import s.implicits._
