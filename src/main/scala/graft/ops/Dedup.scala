@@ -577,56 +577,97 @@ object Dedup {
     * rest) — without it, transitive groups A~B, B~C leave both pairs in the
     * corpus.
     *
-    * Execution shape: Pregel-style min-label propagation — one shuffle
-    * (edges ⋈ labels, then min-agg) per iteration, iterated to fixpoint with
-    * a driver-side scalar convergence check (the standard distributed-CC
-    * control loop; the data never visits the driver). Fixpoint detection
-    * rides the SAME shuffle as the label update: each id's previous label
-    * is tagged into the union feeding the min-agg, so `changed` is a
-    * filter-count over the (lazily checkpointed) agg output — the count is
-    * the action that materializes the checkpoint, one job per iteration,
-    * no separate convergence join. Labels are materialized per iteration
-    * so iteration N's plan does not embed 1..N-1 (the IVF lineage lesson).
-    * Iteration count is bounded by the component diameter; near-dup
-    * clusters are shallow (pairs share LSH buckets), so 2-4 iterations
-    * converge in practice. At 100 TB the same loop holds: each step is an
-    * equi-join shuffle on uniformly-hashed ids, and a hot component caps
-    * out as one skewed-but-bounded aggregation key.
+    * Execution shape: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — O(log n) rounds on ANY graph, vs the O(diameter) of
+    * min-label flooding (round 1-10's loop). The difference is real at
+    * corpus scale: boilerplate-heavy crawls produce CHAIN-shaped near-dup
+    * clusters (page 1 ~ page 2 ~ page 3 ...), and a length-d chain costs
+    * a flooding loop d shuffles where star contraction pays ~log d
+    * (each large-star re-points every node past its parent straight at
+    * its neighborhood min, halving-or-better the depth per round; see
+    * the chain spec). Each round is two neighborhood-min aggregations +
+    * two id-keyed equi-joins — uniformly hashed, map-side-combinable —
+    * and the edge set is materialized per round so round N's plan never
+    * embeds rounds 1..N-1 (the IVF lineage lesson). Fixpoint = the edge
+    * set stops changing (set equality: same count and empty difference —
+    * one count + one anti-join count per round, both on the
+    * just-checkpointed set); at fixpoint the edges are exactly one star
+    * per component centered at its minimum (a chain u→p→g is not a
+    * large-star fixpoint, and an oriented star's center cannot exceed a
+    * child, so the center is the component min). A hot component is a
+    * skewed-but-bounded aggregation key, same as the flooding loop.
     */
   def clusterPairs(
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b"): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = fwd
-      .unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = pairs
+      .select(col(aCol).as("id"))
+      .unionAll(pairs.select(col(bCol).as("id")))
       .distinct()
       .localCheckpoint()
-    var labels = edges
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    val labelType = labels.schema("label").dataType
-    var changed = 1L
-    while (changed > 0) {
-      val neighborLabels = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("label"))
-      // `labels` contributes exactly one row per id, tagged with prev =
-      // its current label; neighbor rows carry prev = null. max(prev)
-      // recovers the unique previous label in the same aggregation that
-      // computes the new min-label — no second join to detect movement.
-      val next = neighborLabels
-        .select(col("id"), col("label"), lit(null).cast(labelType).as("prev"))
-        .unionAll(labels.select(col("id"), col("label"), col("label").as("prev")))
-        .groupBy("id")
-        .agg(min("label").as("label"), max("prev").as("prev"))
-        .localCheckpoint(eager = false)
-      changed = next.filter(col("label") < col("prev")).count()
-      labels = next.select("id", "label")
+    val stars = ccStarContraction(pairs.select(col(aCol).as("u"), col(bCol).as("v")))._1
+    // roots carry no child edge: the left join re-seats them as their own
+    // representative (and keeps the contract total for any caller)
+    nodes
+      .join(stars.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("v"), col("id")).as("cluster_id"))
+  }
+
+  /** The two-phase star contraction kernel behind [[clusterPairs]]:
+    * returns the converged child→parent star edges `(u, v)` (every
+    * non-root node exactly once, v = its component min) and the round
+    * count the spec bounds. Both operators preserve connectivity and
+    * never lose a node: large-star at u re-points each LARGER neighbor at
+    * min(Γ(u) ∪ u); small-star re-points each smaller-or-equal neighbor
+    * (and u itself) at the neighborhood min. `maxRounds` is a fail-fast
+    * guard, far above the log₂ bound of any realistic component.
+    */
+  private[graft] def ccStarContraction(
+      edges0: DataFrame,
+      maxRounds: Int = 60): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs
+        .groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs
+        .join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy("u").agg(min("v").as("m"))
+      o.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+    var e = edges0
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var rounds = 0
+    var done = n == 0L
+    while (!done) {
+      rounds += 1
+      require(
+        rounds <= maxRounds,
+        s"star contraction did not converge in $maxRounds rounds — cyclic id ordering?")
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val m = next.count()
+      done = m == n && next.exceptAll(e).isEmpty
+      n = m
+      e = next
+    }
+    (e, rounds)
   }
 
   /** The dedup endgame: the corpus with every non-representative cluster

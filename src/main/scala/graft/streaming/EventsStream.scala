@@ -59,9 +59,19 @@ class RunningTotalsProcessor
   * the cross-batch edge lives in one `ValueState` cell per user — the
   * user's latest (ts, event_id, type). Each micro-batch sorts the user's
   * rows, chains from the stored last event, and emits every transition
-  * exactly once. State is ONE tuple per user regardless of stream length.
+  * exactly once. State is ONE tuple per user — and with `ttlMs` > 0 the
+  * cell carries a per-cell TTL (`TTLConfig`, the API's declarative state
+  * bound): a user idle past the TTL has the cell evicted, so the store is
+  * bounded by ACTIVE users, not by every user_id ever seen (at 100×
+  * user cardinality an unbounded store only grows). Expiry semantics are
+  * the honest ones: an expired user's next event opens a fresh chain —
+  * no transition is emitted from the stale last event, exactly as if the
+  * user had never been seen. Beyond the TTL the stored event is stale
+  * CONTEXT, not a neighbor; chaining a month-old "view" into today's
+  * "click" would be a transition no bounded-lateness batch job over the
+  * same events would produce.
   */
-class TransitionsProcessor
+class TransitionsProcessor(ttlMs: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvt, Transition] {
   import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
   @transient private var last: ValueState[(Long, Long, String)] = _
@@ -73,7 +83,7 @@ class TransitionsProcessor
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.STRING),
-      TTLConfig.NONE)
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE)
 
   override def handleInputRows(
       key: Long,
@@ -358,15 +368,24 @@ object EventsStream {
 
   /** [[TransitionsProcessor]] wired over a stream: per-user event-type
     * transitions with the cross-batch edge carried in `ValueState`.
+    * `ttlMs` > 0 bounds state lifetime per cell (TTL requires the
+    * processing-time TimeMode); 0 keeps the unbounded-store behavior for
+    * bounded-cardinality keys. Operational note: in processing-time mode
+    * the engine schedules a no-data micro-batch per trigger to service
+    * TTL even when sources are idle — run a TTL'd stream with a real
+    * trigger interval (not the as-fast-as-possible default), and don't
+    * wait on `processAllAvailable` (it never sees the idle signal those
+    * batches suppress; poll the sink or the query progress instead).
     */
-  def transitionStream(events: Dataset[TypedEvt]): Dataset[Transition] = {
+  def transitionStream(events: Dataset[TypedEvt], ttlMs: Long = 0L): Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .transformWithState(
-        new TransitionsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new TransitionsProcessor(ttlMs),
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
 

@@ -26,6 +26,44 @@ class CorpusSpec extends SparkSpec {
     assert(got.keySet == (1L to 6L).toSet)
   }
 
+  test("clusterPairs star contraction: a long chain converges in O(log n) rounds, not O(n)") {
+    val s = spark
+    import s.implicits._
+    // a 128-node path: flooding needs ~127 rounds (one per hop); the
+    // large-star/small-star pair must land within the log bound
+    val n = 128L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (stars, rounds) = Dedup.ccStarContraction(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    assert(rounds <= 14, s"chain-of-$n took $rounds rounds (log2(n)=7)")
+    val lbl = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to n).forall(lbl(_) == 1L), "every non-root points at the component min")
+    assert(!lbl.contains(1L), "the root carries no child edge")
+  }
+
+  test("clusterPairs equals union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq
+      .fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val got = Dedup.clusterPairs(edges.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: path-compressed union-find with min-id representatives
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest
       .getInstance("MD5")

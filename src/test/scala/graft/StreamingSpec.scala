@@ -838,6 +838,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transitionStream TTL: an expired user re-chains from scratch, a live one keeps chaining") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.TypedEvt]
+      val q = graft.streaming.EventsStream
+        .transitionStream(input.toDS(), ttlMs = 3000L)
+        .writeStream
+        .format("memory")
+        .queryName("trans_ttl")
+        .outputMode("append")
+        .start()
+      import graft.streaming.{Transition, TypedEvt}
+      // the processing-time TimeMode keeps scheduling no-data batches to
+      // service TTL, so `noNewData` never latches and processAllAvailable
+      // would block forever — poll the sink instead (Spark's own TTL
+      // suites avoid it via manual clocks for the same reason)
+      def rows(): Set[Transition] = spark.table("trans_ttl").as[Transition].collect().toSet
+      def await(cond: => Boolean, what: String): Unit = {
+        val end = System.currentTimeMillis + 90000L
+        while (!cond && System.currentTimeMillis < end) Thread.sleep(200L)
+        assert(cond, s"timed out waiting for $what; rows=${rows()}")
+      }
+      input.addData(TypedEvt(1L, 100L, 1L, "view"))
+      input.addData(TypedEvt(1L, 200L, 2L, "click"))
+      // state alive within the TTL: the edge emits (cross-batch or in-batch)
+      await(rows().contains(Transition(1L, "view", "click", 200L)), "view->click")
+      // idle past the TTL: the cell is evicted
+      Thread.sleep(7000L)
+      // the expired user re-chains from scratch — the fresh event seeds
+      // new state, proven by the NEXT edge emitting
+      input.addData(TypedEvt(1L, 300L, 3L, "purchase"))
+      input.addData(TypedEvt(1L, 400L, 4L, "signup"))
+      await(rows().contains(Transition(1L, "purchase", "signup", 400L)), "purchase->signup")
+      q.stop()
+      // no stale click->purchase edge: the month-old context never chains
+      assert(rows() === Set(
+        Transition(1L, "view", "click", 200L),
+        Transition(1L, "purchase", "signup", 400L)), rows().toString)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
     val s = spark
     import s.implicits._
