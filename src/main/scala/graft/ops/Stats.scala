@@ -825,6 +825,140 @@ object Stats {
         lit(histSpec(loMilli, hiMilli, bins)).as("spec"))
   }
 
+  /** Two-pass grid fit for [[histSketch]] when the caller does NOT know
+    * the value domain: one bounded min/max aggregate (a 1-row driver
+    * collect, the centroid-fit pattern) derives the tightest half-open
+    * milli grid `[min, max+1)` covering every value — so no mass is
+    * silently clamped into the edge buckets, the failure mode the pinned
+    * default grid documents. The fitted grid is stamped onto the sketch
+    * like any other ([[histSketch]]'s `spec` literal), so merging a
+    * sketch whose DATA drifted past the fitted domain fails fast in
+    * [[histMerge]] instead of mixing incompatible bucket widths.
+    * Integer-exact (min/max of rounded millis), hence oracle-derivable.
+    */
+  def fitHistGrid(df: DataFrame, valueCol: String): (Long, Long) = {
+    val vm = round(col(valueCol).cast("double") * 1000, 0).cast("long")
+    val r = df.filter(col(valueCol).isNotNull).agg(min(vm).as("lo"), max(vm).as("hi")).head()
+    require(!r.isNullAt(0), s"fitHistGrid: no non-null $valueCol values to fit a grid on")
+    (r.getLong(0), r.getLong(1) + 1L)
+  }
+
+  /** [[histSketch]] with a PER-GROUP derived grid: each group's buckets
+    * span exactly its own `[min, max+1)` milli domain — the resolution
+    * answer when group value ranges differ by orders of magnitude (one
+    * shared grid gives a narrow-range group a single hot bucket and
+    * useless quantiles). The grid travels WITH the sketch rows
+    * (`lo_milli`, `hi_milli` columns) instead of a corpus-wide stamp.
+    *
+    * Scale shape: two passes over the input — a per-group min/max
+    * aggregate (|groups| rows, AQE broadcasts it back) then the bucket
+    * count — the honest price of not knowing the domain; the sketch
+    * itself stays ≤ bins·|groups| rows. All arithmetic integral
+    * (`(vm - lo)·bins div (hi - lo)`), hence hash-checkable.
+    */
+  def histSketchPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      bins: Int = 256): DataFrame = {
+    requireHistBins(bins)
+    val vm = round(col(valueCol).cast("double") * 1000, 0).cast("long")
+    val vals = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), vm.as("vm"))
+    val grid = vals
+      .groupBy("grp")
+      .agg(min("vm").as("lo_milli"), (max("vm") + 1L).as("hi_milli"))
+    vals
+      .join(grid, Seq("grp"))
+      .withColumn(
+        "bucket",
+        expr(s"((vm - lo_milli) * CAST($bins AS BIGINT)) div (hi_milli - lo_milli)"))
+      .groupBy("grp", "lo_milli", "hi_milli", "bucket")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .select("grp", "bucket", "cnt", "lo_milli", "hi_milli")
+  }
+
+  /** Merge per-group-grid sketches by counter addition. Only sketches
+    * whose groups derived the SAME grid merge (per-day batches over a
+    * stable domain); a drifted group fails fast AT SERVE TIME — the
+    * check is an `assert_true` woven into the serving plan's filter (it
+    * returns NULL on pass, so the filter keeps every row and cannot be
+    * pruned), because per-group grids are data, not literals, and an
+    * eager validation job would re-execute lazy inputs per consumer (the
+    * KMV k-stamp lesson).
+    */
+  def histMergePerGroup(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "histMergePerGroup needs at least one sketch")
+    val u = sketches
+      .map(_.select("grp", "bucket", "cnt", "lo_milli", "hi_milli"))
+      .reduce(_ unionByName _)
+    val grids = u
+      .select("grp", "lo_milli", "hi_milli")
+      .distinct()
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n_grids"),
+        min("lo_milli").as("lo_milli"),
+        min("hi_milli").as("hi_milli"))
+      .filter(expr(
+        "assert_true(n_grids = 1, 'per-group histogram grids drifted across batches — " +
+          "re-sketch the drifted batch over the shared grid') IS NULL"))
+    u.groupBy("grp", "bucket")
+      .agg(sum("cnt").cast("long").as("cnt"))
+      .join(grids.select("grp", "lo_milli", "hi_milli"), Seq("grp"))
+      .select("grp", "bucket", "cnt", "lo_milli", "hi_milli")
+  }
+
+  /** [[histQuantiles]] over a per-group-grid sketch
+    * ([[histSketchPerGroup]]): the same cumulative walk, with bucket
+    * bounds reconstructed from each group's own `[lo, hi)` columns
+    * instead of a shared literal grid. Same scale shape: windows and
+    * joins over ≤ bins·|groups| sketch rows only.
+    */
+  def histQuantilesPerGroup(
+      sketch: DataFrame,
+      groupCol: String,
+      qMillis: Seq[Int],
+      bins: Int = 256): DataFrame = {
+    requireHistBins(bins)
+    require(qMillis.nonEmpty, "need at least one quantile")
+    require(
+      qMillis.forall(q => q >= 1 && q <= 1000),
+      s"quantiles are per-mille ranks in [1, 1000], got ${qMillis.mkString(",")}")
+    // two consumers (cumulative window + totals): materialize the
+    // ≤ bins·|groups|-row state once, per the repo's recompute rule
+    val sk = sketch.select("grp", "bucket", "cnt", "lo_milli", "hi_milli").localCheckpoint()
+    val cum = sk
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("grp").orderBy("bucket")))
+      .select(col("grp"), col("bucket"), col("cum"))
+    val targets = sk
+      .groupBy("grp")
+      .agg(
+        sum("cnt").cast("long").as("n"),
+        min("lo_milli").as("lo"),
+        min("hi_milli").as("hi"))
+      .select(
+        col("grp"),
+        col("n"),
+        col("lo"),
+        col("hi"),
+        explode(array(qMillis.map(q => lit(q.toLong)): _*)).as("q_milli"))
+      .withColumn("target", expr("(q_milli * n + 999) div 1000"))
+    targets
+      .join(cum, Seq("grp"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("grp", "q_milli", "n", "lo", "hi")
+      .agg(min("bucket").as("bucket"))
+      .select(
+        col("grp").as(groupCol),
+        col("q_milli"),
+        col("n"),
+        col("bucket"),
+        expr(s"lo + (bucket * (hi - lo)) div CAST($bins AS BIGINT)").as("lo_milli"),
+        expr(s"lo + ((bucket + 1) * (hi - lo)) div CAST($bins AS BIGINT)").as("hi_milli"))
+  }
+
   /** Merge histogram sketches over the SAME grid by counter addition —
     * exactly equal to sketching the unioned raw input (linearity), so
     * per-shard / per-day sketches roll up forever without re-reading data.

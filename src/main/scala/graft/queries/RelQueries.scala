@@ -622,6 +622,28 @@ object RelQueries {
         "event_type",
         Seq(250, 500, 900, 990))
     },
+    // the domain-unknown face: a two-pass fit derives the tightest
+    // [min, max+1) milli grid first, so no mass clamps into edge buckets;
+    // the oracle derives the same grid and must land the same buckets
+    "stats_hist_quantiles_auto" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val (lo, hi) = Stats.fitHistGrid(ev, "value")
+      Stats.histQuantiles(
+        Stats.histSketch(ev, "event_type", "value", lo, hi),
+        "event_type",
+        Seq(250, 500, 900, 990),
+        lo,
+        hi)
+    },
+    // per-group derived grids: each event type's 256 buckets span its OWN
+    // value domain — the resolution answer when group ranges differ by
+    // orders of magnitude and a shared grid starves the narrow groups
+    "stats_hist_quantiles_pergroup" -> { (s, dir) =>
+      Stats.histQuantilesPerGroup(
+        Stats.histSketchPerGroup(events(s, dir), "event_type", "value"),
+        "event_type",
+        Seq(250, 500, 900, 990))
+    },
     // per-shard histogram sketches merged by counter addition MUST answer
     // like the whole-corpus sketch (linearity) — the oracle runs the
     // whole-corpus SQL against the merged result
@@ -1011,6 +1033,58 @@ object RelQueries {
       |       CAST((bucket * 1024000) // 256 AS BIGINT) AS lo_milli,
       |       CAST(((bucket + 1) * 1024000) // 256 AS BIGINT) AS hi_milli
       |FROM sel""".stripMargin
+
+  // derived-grid histogram: grid = corpus [min, max+1) milli, then the
+  // identical bucket/cumulative/target walk as histSql
+  private val histAutoSql =
+    """WITH vm AS (
+      |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS vm
+      |  FROM events WHERE value IS NOT NULL),
+      |grid AS (SELECT MIN(vm) AS lo, MAX(vm) + 1 AS hi FROM vm),
+      |sk AS (
+      |  SELECT grp,
+      |         ((GREATEST(g.lo, LEAST(vm, g.hi - 1)) - g.lo) * 256) // (g.hi - g.lo) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM vm CROSS JOIN grid g GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, bucket, SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM sk),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+      |tq AS (
+      |  SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS target
+      |  FROM tot CROSS JOIN (SELECT CAST(unnest([250, 500, 900, 990]) AS BIGINT) AS q_milli)),
+      |sel AS (
+      |  SELECT t.grp, t.q_milli, t.n, MIN(c.bucket) AS bucket
+      |  FROM tq t JOIN cum c ON t.grp = c.grp AND c.cum >= t.target
+      |  GROUP BY 1, 2, 3)
+      |SELECT grp AS event_type, q_milli, n, bucket,
+      |       CAST(g.lo + (bucket * (g.hi - g.lo)) // 256 AS BIGINT) AS lo_milli,
+      |       CAST(g.lo + ((bucket + 1) * (g.hi - g.lo)) // 256 AS BIGINT) AS hi_milli
+      |FROM sel CROSS JOIN grid g""".stripMargin
+
+  // per-group derived grids: each group's own [min, max+1) milli domain
+  private val histPerGroupSql =
+    """WITH vm AS (
+      |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS vm
+      |  FROM events WHERE value IS NOT NULL),
+      |grid AS (SELECT grp, MIN(vm) AS lo, MAX(vm) + 1 AS hi FROM vm GROUP BY 1),
+      |sk AS (
+      |  SELECT v.grp, ((v.vm - g.lo) * 256) // (g.hi - g.lo) AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM vm v JOIN grid g ON g.grp = v.grp GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT grp, bucket, SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum FROM sk),
+      |tot AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+      |tq AS (
+      |  SELECT grp, n, q_milli, (q_milli * n + 999) // 1000 AS target
+      |  FROM tot CROSS JOIN (SELECT CAST(unnest([250, 500, 900, 990]) AS BIGINT) AS q_milli)),
+      |sel AS (
+      |  SELECT t.grp, t.q_milli, t.n, MIN(c.bucket) AS bucket
+      |  FROM tq t JOIN cum c ON t.grp = c.grp AND c.cum >= t.target
+      |  GROUP BY 1, 2, 3)
+      |SELECT s.grp AS event_type, s.q_milli, s.n, s.bucket,
+      |       CAST(g.lo + (s.bucket * (g.hi - g.lo)) // 256 AS BIGINT) AS lo_milli,
+      |       CAST(g.lo + ((s.bucket + 1) * (g.hi - g.lo)) // 256 AS BIGINT) AS hi_milli
+      |FROM sel s JOIN grid g ON g.grp = s.grp""".stripMargin
 
   // count-min sketch: row d's bucket = md5 hex digits 2d+1..2d+2 (0..255),
   // 4 rows; estimate = min over rows of the item's counter
@@ -1721,6 +1795,8 @@ object RelQueries {
         |FROM dots""".stripMargin,
     // one SQL for all three histogram faces (linearity — see histSql)
     "stats_hist_quantiles" -> histSql,
+    "stats_hist_quantiles_auto" -> histAutoSql,
+    "stats_hist_quantiles_pergroup" -> histPerGroupSql,
     "stats_hist_merged" -> histSql,
     "stats_hist_streamed" -> histSql,
     "events_hopping_uniques_kmv" ->

@@ -64,6 +64,70 @@ class HistSketchSpec extends SparkSpec {
     }
   }
 
+  test("fitHistGrid: tightest covering grid, nothing clamps; drifted refit fails fast on merge") {
+    val rows = Seq("a" -> 2.5, "a" -> 7.0, "b" -> 3.25)
+    val (lo, hi) = Stats.fitHistGrid(df(rows), "v")
+    assert((lo, hi) === ((2500L, 7001L)))
+    // every value interior: total count equals input, min/max land in the
+    // first/last buckets rather than clamping from outside
+    val sk = Stats.histSketch(df(rows), "g", "v", lo, hi, bins = 8)
+    assert(sk.agg(sum("cnt")).head().getLong(0) === 3L)
+    // a batch whose data drifted refits a DIFFERENT grid — merging it
+    // with the original sketch must refuse, not mix bucket widths
+    val drifted = df(Seq("a" -> 50.0, "b" -> -3.0))
+    val (lo2, hi2) = Stats.fitHistGrid(drifted, "v")
+    assert((lo2, hi2) !== ((lo, hi)))
+    val err = intercept[IllegalArgumentException](
+      Stats.histMerge(
+        Seq(sk, Stats.histSketch(drifted, "g", "v", lo2, hi2, bins = 8)),
+        lo,
+        hi,
+        bins = 8))
+    assert(err.getMessage.contains("grid"))
+    // empty input cannot fit a grid
+    val none = intercept[IllegalArgumentException](
+      Stats.fitHistGrid(df(Seq.empty[(String, Double)]), "v"))
+    assert(none.getMessage.contains("no non-null"))
+  }
+
+  test("per-group grids: each group spans its own domain; quantiles bracket exactly") {
+    // group ranges differ by 100x: a shared grid would starve "narrow"
+    val rows = (1 to 100).map(i => ("narrow", i * 0.01)) ++
+      (1 to 100).map(i => ("wide", i * 1.0))
+    val sk = Stats.histSketchPerGroup(df(rows), "g", "v", bins = 10)
+    val grids = sk.select("grp", "lo_milli", "hi_milli").distinct().collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(grids("narrow") === ((10L, 1001L)))
+    assert(grids("wide") === ((1000L, 100001L)))
+    val out = Stats.histQuantilesPerGroup(sk, "g", Seq(500), bins = 10).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("lo_milli"), r.getAs[Long]("hi_milli"))))
+      .toMap
+    // the exact median (0.50 / 50.0 milli 500 / 50000) sits inside each
+    // group's OWN bucket bounds — one-bucket-width bracketing per group
+    assert(out("narrow")._1 <= 500L && 500L < out("narrow")._2, out("narrow").toString)
+    assert(out("wide")._1 <= 50000L && 50000L < out("wide")._2, out("wide").toString)
+    // narrow's bucket width is ~99 milli, not the 9900 a shared grid forces
+    assert(out("narrow")._2 - out("narrow")._1 <= 100L)
+  }
+
+  test("per-group merge: same grids sum; a drifted group refuses at serve time") {
+    val rows = (1 to 60).map(i => ("a", (i % 20) * 1.0 + 1.0))
+    val sk1 = Stats.histSketchPerGroup(df(rows), "g", "v", bins = 8)
+    val sk2 = Stats.histSketchPerGroup(df(rows), "g", "v", bins = 8)
+    // identical data -> identical derived grids -> counters add
+    val merged = Stats.histMergePerGroup(Seq(sk1, sk2))
+    val doubled = merged.select("bucket", "cnt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val single = sk1.select("bucket", "cnt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(doubled === single.view.mapValues(_ * 2).toMap)
+    // a batch whose group domain drifted derives a different grid: the
+    // serve-time assert_true trips when the merged result is consumed
+    val drifted = Stats.histSketchPerGroup(df(rows.map { case (g, v) => (g, v * 3) }), "g", "v", bins = 8)
+    val err = intercept[Exception](
+      Stats.histQuantilesPerGroup(Stats.histMergePerGroup(Seq(sk1, drifted)), "g", Seq(500), bins = 8)
+        .collect())
+    assert(err.getMessage.toLowerCase.contains("drift"), err.getMessage)
+  }
+
   test("grid mismatch fails fast on merge and on quantile read") {
     val a = Stats.histSketch(df(Seq("a" -> 1.0)), "g", "v", bins = 256)
     val b = Stats.histSketch(df(Seq("a" -> 1.0)), "g", "v", bins = 128)
