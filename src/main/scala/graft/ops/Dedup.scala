@@ -1442,14 +1442,37 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    requireSetJoinArgs(thresholdMilli, n)
+    val tm = lit(thresholdMilli.toLong)
+    val tok = setJoinShingles(docs, n, textCol, idCol)
+    val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    val ordered = setJoinOrdered(tok, dfs, thresholdMilli).localCheckpoint()
+    val pref = setJoinPrefix(ordered)
+    val cand = pref
+      .as("a")
+      .join(
+        pref.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          lit(1000L) * least(col("a.n"), col("b.n")) >= tm * greatest(col("a.n"), col("b.n")))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    setJoinVerify(cand, ordered, tm)
+  }
+
+  private def requireSetJoinArgs(thresholdMilli: Int, n: Int): Unit = {
     require(
       thresholdMilli > 0 && thresholdMilli <= 1000,
       s"thresholdMilli must be in (0, 1000], got $thresholdMilli")
     require(n >= 1, s"shingle width must be >= 1, got $n")
-    val tm = lit(thresholdMilli.toLong)
-    val tks = TextAnalysis.tokens(col(textCol))
-    val tok = docs
-      .select(col(idCol).cast("long").as("id"), tks.as("tks"))
+  }
+
+  /** (id, tok): each doc's DISTINCT word-`n`-gram shingles as 16-byte md5
+    * digests, computed where the shingle is born so the raw text never
+    * enters a shuffle.
+    */
+  private def setJoinShingles(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
       .filter(size(col("tks")) >= n)
       .select(
         col("id"),
@@ -1461,32 +1484,36 @@ object Dedup {
                 unhex(md5(
                   concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))))
           .as("tok"))
-    val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
-    val ordered = tok
-      .join(dfs, Seq("tok"))
+
+  /** (id, otks, n, plen): per-doc shingles sorted by the (df asc, digest)
+    * total order — missing df (a shingle the `dfs` table never saw) reads
+    * as 0, i.e. rarest-first, which is exactly right for genuinely new
+    * content probing a frozen index. `plen` = n − ceil(t·n) + 1 via
+    * integral `div` (a double `/` + cast loses exactness past 2^53).
+    */
+  private def setJoinOrdered(tok: DataFrame, dfs: DataFrame, thresholdMilli: Int): DataFrame =
+    tok
+      .join(dfs, Seq("tok"), "left")
+      .select(col("id"), col("tok"), coalesce(col("df"), lit(0L)).as("df"))
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("id"), transform(col("ord"), s => s.getField("tok")).as("otks"))
       .withColumn("n", size(col("otks")).cast("long"))
-      // prefix length n - ceil(t*n) + 1, ceil via integral `div` (a double
-      // `/` + cast would lose exactness past 2^53)
       .withColumn(
         "plen",
         expr(s"CAST(n - (n * $thresholdMilli + 999) div 1000 + 1 AS INT)"))
-      .localCheckpoint()
-    val pref = ordered
-      .select(col("id"), col("n"), explode(slice(col("otks"), lit(1), col("plen"))).as("tok"))
-    val cand = pref
-      .as("a")
-      .join(
-        pref.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          lit(1000L) * least(col("a.n"), col("b.n")) >= tm * greatest(col("a.n"), col("b.n")))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+
+  private def setJoinPrefix(ordered: DataFrame): DataFrame =
+    ordered.select(col("id"), col("n"), explode(slice(col("otks"), lit(1), col("plen"))).as("tok"))
+
+  /** Exact verify over candidate pairs: pull both ordered arrays, count
+    * the intersection, keep `1000·inter >= t·(na+nb−inter)` — never a
+    * rounded double; the reported `jaccard` is display-only rounding.
+    */
+  private def setJoinVerify(cand: DataFrame, docs: DataFrame, tm: Column): DataFrame =
     cand
-      .join(ordered.select(col("id").as("doc_a"), col("otks").as("ta"), col("n").as("na")), Seq("doc_a"))
-      .join(ordered.select(col("id").as("doc_b"), col("otks").as("tb"), col("n").as("nb")), Seq("doc_b"))
+      .join(docs.select(col("id").as("doc_a"), col("otks").as("ta"), col("n").as("na")), Seq("doc_a"))
+      .join(docs.select(col("id").as("doc_b"), col("otks").as("tb"), col("n").as("nb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .filter(lit(1000L) * col("inter") >= tm * (col("na") + col("nb") - col("inter")))
       .select(
@@ -1495,6 +1522,232 @@ object Dedup {
         col("inter"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4)
           .as("jaccard"))
+
+  /** Persist the set-similarity PREFIX INDEX — the ingest lifecycle every
+    * other dedup family already has ([[writeLshIndex]]-style), applied to
+    * the EXACT join: a daily pipeline probes each re-crawl batch against
+    * the stored prefixes instead of re-paying the full corpus self-join.
+    *
+    * Store: `params` (threshold, n — probes under different geometry
+    * refuse), `df` (the build corpus's per-shingle document frequency,
+    * FROZEN), `docs` (per-doc ordered digest arrays), `prefix` (exploded
+    * prefix postings). The frozen df is the correctness keystone: the
+    * prefix-filter theorem needs ONE total order shared by every indexed
+    * and probing doc, so all generations order by (build-time df asc,
+    * digest) — an unseen shingle reads df 0 (rarest-first, right for new
+    * content), appends never re-derive the order, and losslessness holds
+    * across arbitrary batch boundaries. The heuristic QUALITY of the
+    * order (rare shingles probing first) decays as the corpus drifts from
+    * the build snapshot — that degrades candidate counts, never results;
+    * rebuild to re-freshen, exactly like IVF retrain acting on drift.
+    *
+    * Scale: the store is digest-fixed-width (16 B/key); a probe shuffles
+    * |batch prefixes| + the matching store postings, never history text.
+    */
+  def writeSetJoinIndex(
+      corpus: DataFrame,
+      path: String,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    requireSetJoinArgs(thresholdMilli, n)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.clearTombstones(spark, path)
+    val tok = setJoinShingles(corpus, n, textCol, idCol)
+    val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+    dfs.write.mode("overwrite").parquet(s"$path/df")
+    val ordered = setJoinOrdered(tok, spark.read.parquet(s"$path/df"), thresholdMilli)
+      .localCheckpoint() // two writes below
+    ordered.select("id", "otks", "n").write.mode("overwrite").parquet(s"$path/docs")
+    setJoinPrefix(ordered).write.mode("overwrite").parquet(s"$path/prefix")
+    Seq((thresholdMilli, n))
+      .toDF("threshold_milli", "n")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def requireSetJoinParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      thresholdMilli: Int,
+      n: Int): Unit = {
+    val p = spark.read.parquet(s"$path/params").select("threshold_milli", "n").head()
+    require(
+      p.getInt(0) == thresholdMilli && p.getInt(1) == n,
+      s"set-join index at $path was built with threshold=${p.getInt(0)}, n=${p.getInt(1)}; " +
+        s"caller passed threshold=$thresholdMilli, n=$n")
+  }
+
+  /** Grow the prefix index with a new batch under the FROZEN build-time
+    * df order (append-only; the batch becomes history for later probes).
+    */
+  def appendSetJoinIndex(
+      batch: DataFrame,
+      path: String,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    requireSetJoinParams(spark, path, thresholdMilli, n)
+    val ordered = setJoinOrdered(
+      setJoinShingles(batch, n, textCol, idCol),
+      spark.read.parquet(s"$path/df"),
+      thresholdMilli)
+      .localCheckpoint() // two writes below
+    ordered.select("id", "otks", "n").write.mode("append").parquet(s"$path/docs")
+    setJoinPrefix(ordered).write.mode("append").parquet(s"$path/prefix")
+  }
+
+  /** Incremental [[setSimilarityJoin]]: every qualifying pair involving at
+    * least one batch doc — EXACTLY `setSimilarityJoin(history ∪ batch)`
+    * restricted to such pairs (the oracle re-proves it brute-force) —
+    * without re-joining history against itself. Candidates come from the
+    * batch's prefixes against (stored ∪ batch) prefixes under the frozen
+    * total order (see [[writeSetJoinIndex]]: one shared order makes the
+    * prefix filter lossless across batch boundaries); verify pulls the
+    * ordered arrays, whose intersection count is order-agnostic anyway.
+    * A re-inserted doc_id retires its stale store rows first (anti-join
+    * on the batch's ids, the [[graft.ops.TextAnalysis.probeDupSpans]]
+    * rule); tombstoned docs stop matching immediately.
+    */
+  def probeSetJoinIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireSetJoinParams(spark, path, thresholdMilli, n)
+    val bord = setJoinOrdered(
+      setJoinShingles(batch, n, textCol, idCol),
+      spark.read.parquet(s"$path/df"),
+      thresholdMilli)
+      .localCheckpoint() // three consumers: prefixes + both verify sides
+    setJoinProbeCore(
+      spark,
+      path,
+      bord,
+      batch.select(col(idCol).cast("long").as("id")).distinct(),
+      spark.read.parquet(s"$path/docs"),
+      spark.read.parquet(s"$path/prefix"),
+      thresholdMilli)
+  }
+
+  /** The probe kernel shared by [[probeSetJoinIndex]] (full store) and
+    * [[ingestSetJoinBatch]] (strictly-earlier generations): batch
+    * prefixes probe (history ∪ batch) prefixes — every emitted pair has a
+    * batch doc on the left, so history never self-joins; least/greatest
+    * re-orients cross pairs, distinct collapses batch-batch pairs found
+    * from both ends; tombstoned and re-inserted ids retire first.
+    */
+  private def setJoinProbeCore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      bord: DataFrame,
+      batchIds: DataFrame,
+      docsRaw: DataFrame,
+      prefRaw: DataFrame,
+      thresholdMilli: Int): DataFrame = {
+    val tm = lit(thresholdMilli.toLong)
+    val histDocs = Similarity
+      .minusTombstones(spark, path, docsRaw.select("id", "otks", "n"), "id")
+      .join(batchIds, Seq("id"), "left_anti")
+    val histPref = Similarity
+      .minusTombstones(spark, path, prefRaw.select("id", "n", "tok"), "id")
+      .join(batchIds, Seq("id"), "left_anti")
+    val bpref = setJoinPrefix(bord)
+    val cand = bpref
+      .as("a")
+      .join(
+        bpref.unionByName(histPref).as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") =!= col("b.id") &&
+          lit(1000L) * least(col("a.n"), col("b.n")) >= tm * greatest(col("a.n"), col("b.n")))
+      .select(
+        least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    setJoinVerify(cand, bord.select("id", "otks", "n").unionByName(histDocs), tm)
+  }
+
+  /** Streaming maintenance round for the set-join prefix index — the
+    * exact-join analog of [[ingestLshBatch]], called per micro-batch by
+    * [[graft.streaming.CorpusIngest.setJoinDedupIngest]]. The FIRST
+    * non-empty batch claims/replaces the store and freezes the df order
+    * from its own content (the best snapshot available at stream start;
+    * rebuild to re-freshen, as [[writeSetJoinIndex]] documents). Each
+    * round probes against strictly-earlier generations only (partition
+    * pruning on `batch_id` — a retried batch never reads its own
+    * half-written rows back), lands the batch's qualifying pairs under
+    * `pairs/batch_id=N`, and grows `docs`/`prefix` batch-keyed — all
+    * three writes overwrite their own directory, so retries are
+    * exactly-once.
+    */
+  def ingestSetJoinBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    requireSetJoinArgs(thresholdMilli, n)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/docs")
+      Similarity.deleteDir(spark, s"$path/prefix")
+      Similarity.deleteDir(spark, s"$path/pairs")
+      Similarity.clearTombstones(spark, path)
+      setJoinShingles(batch, n, textCol, idCol)
+        .groupBy("tok")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+      Seq((thresholdMilli, n))
+        .toDF("threshold_milli", "n")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/params")
+    } else requireSetJoinParams(spark, path, thresholdMilli, n)
+    val bord = setJoinOrdered(
+      setJoinShingles(batch, n, textCol, idCol),
+      spark.read.parquet(s"$path/df"),
+      thresholdMilli)
+      .localCheckpoint() // probe consumers + two index writes
+    def earlier(sub: String, cols: Seq[String], empty: => DataFrame): DataFrame =
+      if (Similarity.storeExists(spark, s"$path/$sub")) {
+        val raw = spark.read.parquet(s"$path/$sub")
+        val e = if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
+        e.select(cols.map(col): _*)
+      } else empty.limit(0)
+    val pairs = setJoinProbeCore(
+      spark,
+      path,
+      bord,
+      batch.select(col(idCol).cast("long").as("id")).distinct(),
+      earlier("docs", Seq("id", "otks", "n"), bord.select("id", "otks", "n")),
+      earlier("prefix", Seq("id", "n", "tok"), setJoinPrefix(bord)),
+      thresholdMilli)
+    pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pairs/batch_id=$batchId")
+    bord.select("id", "otks", "n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/docs/batch_id=$batchId")
+    setJoinPrefix(bord)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/prefix/batch_id=$batchId")
+  }
+
+  /** Physically drop tombstoned docs from both subtrees and clear the
+    * tombstones — probe results unchanged by contract.
+    */
+  def compactSetJoinIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    Similarity.compactIndexDir(spark, path, "docs", "id")
+    Similarity.compactIndexDir(spark, path, "prefix", "id")
+    Similarity.clearTombstones(spark, path)
   }
 
   /** EXACT single-token-edit join via the deletion neighborhood (the
@@ -1525,18 +1778,38 @@ object Dedup {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
+    val toks = editTokens(docs, textCol, idCol).localCheckpoint()
+    // both self-join sides consume the signature table: materialize the
+    // (token-count-sized) digests once instead of hashing the corpus twice
+    val sigs = editSignatures(toks).localCheckpoint()
+    val cand = sigs
+      .as("a")
+      .join(
+        sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id") &&
+          abs(col("a.n") - col("b.n")) <= 1)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    editVerify(cand, toks)
+  }
+
+  /** (id, tks, n): non-empty token arrays, the verify-side state. */
+  private def editTokens(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
       .select(
         col(idCol).cast("long").as("id"),
         TextAnalysis.tokens(col(textCol)).as("tks"))
       .filter(size(col("tks")) > 0)
       .withColumn("n", size(col("tks")).cast("long"))
-      .localCheckpoint()
-    // _outer + a generated-attribute filter: the plain explode lets
-    // InferFiltersFromGenerate re-evaluate the whole signature chain per
-    // row in a non-codegen Filter (see SCALE.md); the array is non-empty
-    // by construction, so the variants differ only in the suppressed rule
-    val sigs = toks
+
+  /** (id, n, sig): the deletion-neighborhood digests {full} ∪ {drop i}.
+    * `_outer` + a generated-attribute filter: the plain explode lets
+    * InferFiltersFromGenerate re-evaluate the whole signature chain per
+    * row in a non-codegen Filter (see SCALE.md); the array is non-empty
+    * by construction, so the variants differ only in the suppressed rule.
+    */
+  private def editSignatures(toks: DataFrame): DataFrame =
+    toks
       .select(
         col("id"),
         col("n"),
@@ -1552,17 +1825,11 @@ object Dedup {
                       .otherwise(filter(col("tks"), (_, j) => j =!= i - 1)))))))
           .as("sig"))
       .filter(col("sig").isNotNull)
-      // both self-join sides consume the signature table: materialize the
-      // (token-count-sized) digests once instead of hashing the corpus twice
-      .localCheckpoint()
-    val cand = sigs
-      .as("a")
-      .join(
-        sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id") &&
-          abs(col("a.n") - col("b.n")) <= 1)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+
+  /** Exact ed≤1 verify over candidate pairs: common prefix p + common
+    * suffix s must cover all but at most one aligned position.
+    */
+  private def editVerify(cand: DataFrame, toks: DataFrame): DataFrame = {
     val verified = cand
       .join(toks.select(col("id").as("doc_a"), col("tks").as("ta"), col("n").as("na")), Seq("doc_a"))
       .join(toks.select(col("id").as("doc_b"), col("tks").as("tb"), col("n").as("nb")), Seq("doc_b"))
@@ -1585,6 +1852,156 @@ object Dedup {
         when(col("na") === col("nb") && col("p") >= col("na"), 0L).otherwise(1L).as("ed"),
         col("na"),
         col("nb"))
+  }
+
+  /** Persist the token-edit SIGNATURE INDEX — the SymSpell trade made
+    * durable: (n_tokens+1) deletion-neighborhood digests per doc are paid
+    * ONCE at index time, and every re-crawl batch thereafter probes with
+    * an equi-join instead of re-signing the corpus. Unlike the set-join
+    * index there is no corpus-dependent ordering to freeze — signatures
+    * are a pure per-doc function — so appends and probes compose with no
+    * drift caveat at all. Store: `docs` (id, token arrays — the verify
+    * side), `sigs` (id, n, digest), `params` (the d=1 scheme marker).
+    */
+  def writeTokenEditIndex(
+      corpus: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Similarity.clearTombstones(spark, path)
+    val toks = editTokens(corpus, textCol, idCol).localCheckpoint() // two writes
+    toks.select("id", "tks", "n").write.mode("overwrite").parquet(s"$path/docs")
+    editSignatures(toks).write.mode("overwrite").parquet(s"$path/sigs")
+    Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  private def requireTokenEditParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val d = spark.read.parquet(s"$path/params").select("max_edit").head().getInt(0)
+    require(d == 1, s"token-edit index at $path was built for d=$d, this engine probes d=1")
+  }
+
+  /** Grow the signature index with a new batch (append-only). */
+  def appendTokenEditIndex(
+      batch: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    requireTokenEditParams(spark, path)
+    val toks = editTokens(batch, textCol, idCol).localCheckpoint() // two writes
+    toks.select("id", "tks", "n").write.mode("append").parquet(s"$path/docs")
+    editSignatures(toks).write.mode("append").parquet(s"$path/sigs")
+  }
+
+  /** Incremental [[tokenEditJoin]]: every ed≤1 pair involving at least
+    * one batch doc — exactly `tokenEditJoin(history ∪ batch)` restricted
+    * to such pairs (brute-force oracle) — without history re-signing or
+    * self-joining. Re-inserted ids retire their stale rows; tombstones
+    * subtract immediately.
+    */
+  def probeTokenEditIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireTokenEditParams(spark, path)
+    val btoks = editTokens(batch, textCol, idCol).localCheckpoint() // sig + verify consumers
+    tokenEditProbeCore(
+      spark,
+      path,
+      btoks,
+      batch.select(col(idCol).cast("long").as("id")).distinct(),
+      spark.read.parquet(s"$path/docs"),
+      spark.read.parquet(s"$path/sigs"))
+  }
+
+  /** Probe kernel shared by [[probeTokenEditIndex]] (full store) and
+    * [[ingestTokenEditBatch]] (strictly-earlier generations). */
+  private def tokenEditProbeCore(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      btoks: DataFrame,
+      batchIds: DataFrame,
+      docsRaw: DataFrame,
+      sigsRaw: DataFrame): DataFrame = {
+    val histDocs = Similarity
+      .minusTombstones(spark, path, docsRaw.select("id", "tks", "n"), "id")
+      .join(batchIds, Seq("id"), "left_anti")
+    val histSigs = Similarity
+      .minusTombstones(spark, path, sigsRaw.select("id", "n", "sig"), "id")
+      .join(batchIds, Seq("id"), "left_anti")
+    val bsigs = editSignatures(btoks).localCheckpoint() // probes both join sides
+    val cand = bsigs
+      .as("a")
+      .join(
+        bsigs.unionByName(histSigs).as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id") &&
+          abs(col("a.n") - col("b.n")) <= 1)
+      .select(
+        least(col("a.id"), col("b.id")).as("doc_a"),
+        greatest(col("a.id"), col("b.id")).as("doc_b"))
+      .distinct()
+    editVerify(cand, btoks.select("id", "tks", "n").unionByName(histDocs))
+  }
+
+  /** Streaming maintenance round for the token-edit signature index —
+    * [[ingestSetJoinBatch]]'s sibling, with no order to freeze (the
+    * signature scheme is a pure per-doc function): claim/replace on the
+    * first non-empty batch, probe against strictly-earlier generations,
+    * land `pairs/batch_id=N`, grow `docs`/`sigs` batch-keyed,
+    * batch-id-keyed overwrites for exactly-once.
+    */
+  def ingestTokenEditBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return // leading empties must not consume the claim
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      Similarity.deleteDir(spark, s"$path/docs")
+      Similarity.deleteDir(spark, s"$path/sigs")
+      Similarity.deleteDir(spark, s"$path/pairs")
+      Similarity.clearTombstones(spark, path)
+      Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else requireTokenEditParams(spark, path)
+    val btoks = editTokens(batch, textCol, idCol).localCheckpoint()
+    def earlier(sub: String, cols: Seq[String], empty: => DataFrame): DataFrame =
+      if (Similarity.storeExists(spark, s"$path/$sub")) {
+        val raw = spark.read.parquet(s"$path/$sub")
+        val e = if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw
+        e.select(cols.map(col): _*)
+      } else empty.limit(0)
+    val pairs = tokenEditProbeCore(
+      spark,
+      path,
+      btoks,
+      batch.select(col(idCol).cast("long").as("id")).distinct(),
+      earlier("docs", Seq("id", "tks", "n"), btoks.select("id", "tks", "n")),
+      earlier("sigs", Seq("id", "n", "sig"), editSignatures(btoks)))
+    pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/pairs/batch_id=$batchId")
+    btoks.select("id", "tks", "n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/docs/batch_id=$batchId")
+    editSignatures(btoks)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sigs/batch_id=$batchId")
+  }
+
+  /** Physically drop tombstoned docs from both subtrees and clear the
+    * tombstones — probe results unchanged by contract.
+    */
+  def compactTokenEditIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    Similarity.compactIndexDir(spark, path, "docs", "id")
+    Similarity.compactIndexDir(spark, path, "sigs", "id")
+    Similarity.clearTombstones(spark, path)
   }
 
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the

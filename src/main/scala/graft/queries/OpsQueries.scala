@@ -257,6 +257,53 @@ object OpsQueries {
     // exact token-edit-distance<=1 pairs via the deletion-neighborhood
     // equi-join; brute-force oracle again re-proves completeness per run
     "dedup_token_edit" -> { (s, dir) => Dedup.tokenEditJoin(docs(s, dir)) },
+    // incremental exact set-sim: build the prefix index over the corpus,
+    // exercise the append/tombstone/compact lifecycle with decoys, then
+    // probe a re-crawl batch — must equal the batch join over the union
+    // restricted to pairs touching the batch (brute-force oracle)
+    "dedup_setjoin_incremental" -> { (s, dir) =>
+      val p = s"${sys.props("java.io.tmpdir")}/graft_setjoin_idx_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(
+          d.filter(col("doc_id") % 10 === 5)
+            .select(
+              (col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" fresh crawl "), col("doc_id").cast("string"))
+                .as("text")))
+      Dedup.writeSetJoinIndex(d, p)
+      val decoys = batch
+        .filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      Dedup.appendSetJoinIndex(decoys, p)
+      graft.ops.Similarity.deleteFromIndex(decoys.select("doc_id"), p, idCol = "doc_id")
+      Dedup.compactSetJoinIndex(s, p)
+      Dedup.probeSetJoinIndex(s, p, batch)
+    },
+    // incremental exact token-edit: same lifecycle over the signature
+    // index — probe pairs must equal the union batch join's batch slice
+    "dedup_token_edit_incremental" -> { (s, dir) =>
+      val p = s"${sys.props("java.io.tmpdir")}/graft_tokedit_idx_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val batch = d
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionAll(
+          d.filter(col("doc_id") % 10 === 5)
+            .select(
+              (col("doc_id") + 2000000L).as("doc_id"),
+              concat(col("text"), lit(" zz")).as("text")))
+      Dedup.writeTokenEditIndex(d, p)
+      val decoys = batch
+        .filter(col("doc_id") >= 2000000L)
+        .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
+      Dedup.appendTokenEditIndex(decoys, p)
+      graft.ops.Similarity.deleteFromIndex(decoys.select("doc_id"), p, idCol = "doc_id")
+      Dedup.compactTokenEditIndex(s, p)
+      Dedup.probeTokenEditIndex(s, p, batch)
+    },
     "dedup_embedding_cosine" -> { (s, dir) =>
       Dedup.embeddingCosine(dupEmbs(s, dir))
     },
@@ -2216,6 +2263,73 @@ object OpsQueries {
          |FROM m
          |WHERE (na = nb AND (p >= na OR p + s >= na - 1))
          |   OR (na <> nb AND p + s >= LEAST(na, nb))""".stripMargin,
+    // Brute force over the UNION corpus restricted to pairs touching the
+    // batch: a hash match proves the frozen-order prefix probe equals the
+    // full batch join's batch slice, lifecycle (append/tombstone/compact)
+    // included
+    "dedup_setjoin_incremental" ->
+      """WITH corb AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' fresh crawl ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 5),
+        |tksb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM corb),
+        |gsets AS (
+        |  SELECT doc_id AS id,
+        |         list_distinct(list_transform(range(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS lst
+        |  FROM tksb WHERE len(tk) >= 3),
+        |sz AS (SELECT id, lst, CAST(len(lst) AS BIGINT) AS n FROM gsets),
+        |pairs AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b,
+        |         CAST(len(list_intersect(a.lst, b.lst)) AS BIGINT) AS inter,
+        |         a.n AS na, b.n AS nb
+        |  FROM sz a JOIN sz b
+        |    ON a.id < b.id AND 1000*LEAST(a.n, b.n) >= 800*GREATEST(a.n, b.n)
+        |   AND (a.id >= 1000000 OR b.id >= 1000000))
+        |SELECT doc_a, doc_b, inter,
+        |       round(CAST(inter AS DOUBLE)/(na + nb - inter), 4) AS jaccard
+        |FROM pairs WHERE 1000*inter >= 800*(na + nb - inter)""".stripMargin,
+    // same union-restricted brute force for the signature-index probe
+    "dedup_token_edit_incremental" ->
+      """WITH corb AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || ' zz' FROM documents WHERE doc_id % 10 = 5),
+        |tksb AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM corb),
+        |t AS (SELECT doc_id AS id, tk, CAST(len(tk) AS BIGINT) AS n
+        |      FROM tksb WHERE len(tk) > 0),
+        |pr AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, a.tk AS ta, b.tk AS tb,
+        |         a.n AS na, b.n AS nb
+        |  FROM t a JOIN t b ON a.id < b.id AND abs(a.n - b.n) <= 1
+        |   AND (a.id >= 1000000 OR b.id >= 1000000)),
+        |mp AS (
+        |  SELECT doc_a, doc_b, na, nb,
+        |    list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+        |        i -> COALESCE(ta[i] = tb[i], false)), false) AS pp,
+        |    list_position(list_transform(range(1, CAST(GREATEST(na, nb) AS INT) + 1),
+        |        i -> COALESCE(list_reverse(ta)[i] = list_reverse(tb)[i], false)), false) AS sp
+        |  FROM pr),
+        |m AS (
+        |  SELECT doc_a, doc_b, na, nb,
+        |    CASE WHEN pp IS NULL OR pp = 0 THEN LEAST(na, nb) ELSE pp - 1 END AS p,
+        |    CASE WHEN sp IS NULL OR sp = 0 THEN LEAST(na, nb) ELSE sp - 1 END AS s
+        |  FROM mp)
+        |SELECT doc_a, doc_b,
+        |       CAST(CASE WHEN na = nb AND p >= na THEN 0 ELSE 1 END AS BIGINT) AS ed,
+        |       na, nb
+        |FROM m
+        |WHERE (na = nb AND (p >= na OR p + s >= na - 1))
+        |   OR (na <> nb AND p + s >= LEAST(na, nb))""".stripMargin,
     "dedup_embedding_cosine" -> {
       val src =
         """SELECT vec_id, embedding FROM embeddings

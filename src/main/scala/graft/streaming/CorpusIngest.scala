@@ -136,6 +136,53 @@ object CorpusIngest {
       }
       .start()
 
+  /** The EXACT-join complement of [[nearDedupIngest]]: each micro-batch's
+    * qualifying Jaccard pairs (against all earlier batches AND in-batch,
+    * the [[graft.ops.Dedup.ingestSetJoinBatch]] contract) land under
+    * `$path/pairs/batch_id=N` while the prefix index grows — no LSH
+    * recall dial, every ≥-threshold pair, candidate-bounded by the
+    * frozen-order prefix filter. Landed pairs are the review/keep-policy
+    * feed; probeable history is `$path/docs`/`prefix` via
+    * [[graft.ops.Dedup.probeSetJoinIndex]].
+    */
+  def setJoinDedupIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      thresholdMilli: Int = 800,
+      shingle: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Dedup.ingestSetJoinBatch(
+          batch.toDF(), path, batchId, thresholdMilli, shingle, textCol, idCol)
+        ()
+      }
+      .start()
+
+  /** [[setJoinDedupIngest]]'s sibling over the token-edit signature
+    * index ([[graft.ops.Dedup.ingestTokenEditBatch]]): every ed≤1 pair
+    * per batch lands under `$path/pairs/batch_id=N`, signatures grow
+    * batch-keyed.
+    */
+  def tokenEditIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Dedup.ingestTokenEditBatch(batch.toDF(), path, batchId, textCol, idCol)
+        ()
+      }
+      .start()
+
   /** Streaming eval DECONTAMINATION: every micro-batch is probed against
     * a PERSISTED benchmark gram index
     * ([[graft.ops.TextAnalysis.writeGramIndex]] over the eval suites —

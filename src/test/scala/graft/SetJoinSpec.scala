@@ -175,4 +175,82 @@ class SetJoinSpec extends SparkSpec {
       assert(got === expected, s"mismatch at thresholdMilli=$tm n=$n")
     }
   }
+
+  test("set-join index lifecycle: probe == union batch join's batch slice; tombstones; re-insert") {
+    val dir = java.nio.file.Files.createTempDirectory("setjoinidx").toString
+    val hist = df(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "completely different text about spark physical planning here",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val batch = df(Seq(
+      // near-dup of history doc 1 and of batch doc 12 (cross + in-batch)
+      11L -> "the quick brown fox jumps over the lazy dog tonight",
+      12L -> "the quick brown fox jumps over the lazy dog forever",
+      // unrelated
+      13L -> "nothing shares any trigram with anything indexed at all"))
+    Dedup.writeSetJoinIndex(hist, dir, thresholdMilli = 500)
+    // the contract: probe == setSimilarityJoin(hist ∪ batch) restricted to
+    // pairs touching the batch
+    def slice(all: Set[(Long, Long, Long)]) = all.filter(p => p._1 >= 11L || p._2 >= 11L)
+    val want = slice(run(hist.unionAll(batch), 500, 3))
+    val got = Dedup.probeSetJoinIndex(spark, dir, batch, thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want && got.exists(p => p._1 === 1L) && got.exists(p => p._1 === 11L && p._2 === 12L))
+    // geometry mismatch refuses
+    val err = intercept[IllegalArgumentException](
+      Dedup.probeSetJoinIndex(spark, dir, batch, thresholdMilli = 800))
+    assert(err.getMessage.contains("was built with"))
+    // append grows history: batch docs indexed, a later probe pairs with them
+    Dedup.appendSetJoinIndex(batch, dir, thresholdMilli = 500)
+    val batch2 = df(Seq(21L -> "the quick brown fox jumps over the lazy dog forever"))
+    val got2 = Dedup.probeSetJoinIndex(spark, dir, batch2, thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2.contains((12L, 21L)), got2.toString) // exact dup of appended doc 12
+    // tombstone doc 12: it stops matching; compaction preserves results
+    graft.ops.Similarity.deleteFromIndex(df(Seq(12L -> "")).select("doc_id"), dir, idCol = "doc_id")
+    val got3 = Dedup.probeSetJoinIndex(spark, dir, batch2, thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got3.exists(p => p._1 == 12L || p._2 == 12L))
+    Dedup.compactSetJoinIndex(spark, dir)
+    val got4 = Dedup.probeSetJoinIndex(spark, dir, batch2, thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got4 === got3)
+    // re-insert: a batch re-crawling id 11 must not pair with its own
+    // stale store copy (union parity: the rebuild sees the doc once)
+    val recrawl = df(Seq(11L -> "the quick brown fox jumps over the lazy dog tonight"))
+    val got5 = Dedup.probeSetJoinIndex(spark, dir, recrawl, thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got5.contains((11L, 11L)))
+    assert(got5.contains((1L, 11L)), got5.toString) // still pairs with real history
+  }
+
+  test("token-edit index lifecycle: probe == union batch join's batch slice; tombstones; re-insert") {
+    val dir = java.nio.file.Files.createTempDirectory("tokeditidx").toString
+    val hist = df(Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "totally unrelated words here"))
+    val batch = df(Seq(
+      11L -> "alpha beta gamma delta epsilon", // insert vs 1
+      12L -> "alpha beta gamma delta",         // ed 0 vs 1, and ed<=1 vs 11
+      13L -> "nothing like anything at all indexed"))
+    Dedup.writeTokenEditIndex(hist, dir)
+    val want = Dedup.tokenEditJoin(hist.unionAll(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .filter(p => p._1 >= 11L || p._2 >= 11L)
+    val got = Dedup.probeTokenEditIndex(spark, dir, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"got $got want $want")
+    assert(got.contains((1L, 11L, 1L)) && got.contains((1L, 12L, 0L)) && got.contains((11L, 12L, 1L)))
+    // append + tombstone + compact + re-insert parity
+    Dedup.appendTokenEditIndex(batch, dir)
+    graft.ops.Similarity.deleteFromIndex(df(Seq(13L -> "")).select("doc_id"), dir, idCol = "doc_id")
+    Dedup.compactTokenEditIndex(spark, dir)
+    val recrawl = df(Seq(12L -> "alpha beta gamma delta zz"))
+    val got2 = Dedup.probeTokenEditIndex(spark, dir, recrawl)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the re-crawled 12 pairs against history/batch-11 under its NEW text,
+    // never against its own stale store copy
+    assert(!got2.contains((12L, 12L, 0L)) && !got2.exists(p => p._1 == 12L && p._2 == 12L))
+    assert(got2.contains((1L, 12L, 1L)) && got2.contains((11L, 12L, 1L)), got2.toString)
+  }
 }

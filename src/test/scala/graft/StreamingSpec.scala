@@ -401,6 +401,70 @@ class StreamingSpec extends SparkSpec {
     assert(fps.length == 3 && fps.distinct.length == 3)
   }
 
+  test("setJoinDedupIngest: landed pairs across batches equal the full batch join; rerun no-op") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("setjoiningest").toString
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog forever and ever"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      (12L, "the quick brown fox jumps over the lazy dog forever"),
+      (13L, "nothing shares any trigram with anything indexed at all")).toDF("doc_id", "text")
+    val schema = hist.schema
+    def run(): Unit =
+      graft.streaming.CorpusIngest.setJoinDedupIngest(
+        spark.readStream.schema(schema).parquet(s"$dir/in"),
+        s"$dir/idx", s"$dir/cp", thresholdMilli = 500)
+        .awaitTermination()
+    def landed(): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$dir/idx/pairs")
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("inter")))
+        .toSet
+    hist.write.mode("append").parquet(s"$dir/in")
+    run()
+    batch.write.mode("append").parquet(s"$dir/in")
+    run()
+    // every qualifying pair of the FULL corpus landed exactly once, in
+    // the batch of its later doc — union across batch dirs = batch join
+    val want = graft.ops.Dedup.setSimilarityJoin(hist.unionAll(batch), thresholdMilli = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(landed() === want && want.nonEmpty, s"landed=${landed()} want=$want")
+    assert(want.exists(p => p._1 == 1L && p._2 == 11L), "cross-batch pair expected")
+    run() // no new files, same checkpoint: nothing changes
+    assert(landed() === want)
+  }
+
+  test("tokenEditIngest: landed ed<=1 pairs across batches equal the full batch join") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tokeditingest").toString
+    val hist = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally unrelated words here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "alpha beta gamma delta"),
+      (13L, "nothing like anything at all indexed")).toDF("doc_id", "text")
+    val schema = hist.schema
+    def run(): Unit =
+      graft.streaming.CorpusIngest.tokenEditIngest(
+        spark.readStream.schema(schema).parquet(s"$dir/in"), s"$dir/idx", s"$dir/cp")
+        .awaitTermination()
+    hist.write.mode("append").parquet(s"$dir/in")
+    run()
+    batch.write.mode("append").parquet(s"$dir/in")
+    run()
+    val landed = spark.read.parquet(s"$dir/idx/pairs")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("ed")))
+      .toSet
+    val want = graft.ops.Dedup.tokenEditJoin(hist.unionAll(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(landed === want && want.contains((1L, 12L, 0L)), s"landed=$landed want=$want")
+  }
+
   test("spanDedupIngest: cross-batch spans excised, index grows, retry idempotent, compact survives") {
     val s = spark
     import s.implicits._
