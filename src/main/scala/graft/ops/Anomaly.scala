@@ -130,4 +130,66 @@ object Anomaly {
         col("f.alarm_ts").as("alarm_ts"),
         col("f.alarm_side").as("alarm_side"))
   }
+
+  /** Per-key exponential smoothing (EWMA) over an ordered series — the
+    * trend-following smoother between [[countAnomalies]]' fixed window
+    * and [[cusumChanges]]' drift alarm: `s_t = (α·x_t + (1000−α)·s_{t−1})
+    * div 1000` in integer milli with `s_0 = x_0`, α per-mille. The trunc
+    * division each step makes the recurrence engine-portable (DuckDB's
+    * `//` folds to the same bits), unlike the float EWMA every
+    * monitoring stack hand-waves. Emits the SMOOTHED SERIES — one row
+    * per input point `(key, ts, x_milli, ewma_milli)` — so callers flag
+    * deviations with whatever band they trust downstream.
+    *
+    * Ties: rows sharing (key, ts) fold in (ts, value) order (the struct
+    * sort's full ordering); feed one row per (key, period) — the
+    * pre-aggregated shape — to make the question moot.
+    *
+    * Scale shape: like [[cusumChanges]], the recurrence is sequential
+    * per key, so each key's pre-aggregated series folds in one
+    * `aggregate` lambda over its sorted collect_list; the accumulator
+    * carries the output array (|series| longs — bounded by periods per
+    * key, NOT raw events), and keys fold in parallel. A window cannot
+    * express the fold; a driver loop would serialize keys.
+    */
+  def ewmaSmooth(
+      counted: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      alphaMilli: Long = 300L): DataFrame = {
+    require(
+      alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    val grouped = counted
+      .groupBy(col(keyCol))
+      .agg(
+        array_sort(
+          collect_list(struct(
+            col(tsCol).cast("long").as("ts"),
+            round(col(valCol).cast("double") * 1000, 0).cast("long").as("xm"))))
+          .as("series"))
+    // the recurrence needs SQL `div` (trunc integer division — Column has
+    // no integral divide), so the whole fold is one expr lambda; the next
+    // state is recomputed for both fields, safe under any binding order
+    val step =
+      s"CASE WHEN size(acc.out) = 0 THEN e.xm " +
+        s"ELSE (${alphaMilli}L * e.xm + ${1000L - alphaMilli}L * acc.s) div 1000L END"
+    grouped
+      .withColumn(
+        "out",
+        expr(
+          s"""aggregate(
+             |  series,
+             |  named_struct('s', CAST(0 AS BIGINT), 'out', CAST(array() AS ARRAY<BIGINT>)),
+             |  (acc, e) -> named_struct('s', $step, 'out', concat(acc.out, array($step))),
+             |  acc -> acc.out)""".stripMargin))
+      .select(col(keyCol), posexplode_outer(arrays_zip(col("series"), col("out"))).as(Seq("i", "z")))
+      .filter(col("z").isNotNull)
+      .select(
+        col(keyCol),
+        col("z.series.ts").as("ts"),
+        col("z.series.xm").as("x_milli"),
+        col("z.out").as("ewma_milli"))
+  }
 }

@@ -247,4 +247,59 @@ object Graph {
       .groupBy("node")
       .agg(count(lit(1)).cast("long").as("n_tri"))
   }
+
+  /** Friend-of-friend recommendations: for each node, the top-`k`
+    * NON-adjacent nodes ranked by common-neighbor count (ties by smaller
+    * candidate id) — the classic link-prediction / "users also bought"
+    * primitive. A candidate pair exists iff some shared middle node links
+    * both ends; existing edges are anti-joined away (recommending a
+    * current neighbor is noise).
+    *
+    * Scale shape: pair generation is Σ_middles deg² — quadratic in HUB
+    * degree — so middles above `maxMiddleDeg` are excluded up front, the
+    * standard FoF discipline (everyone co-occurs with a hub; shared hub
+    * adjacency carries no signal, exactly the [[graft.ops.Dedup.minHashLsh]]
+    * hot-bucket cap's logic). With the cap, wedges are ≤ maxMiddleDeg ×
+    * |edges|; the count is one map-side-combinable aggregate on the pair
+    * key; the top-k window partitions by node over its candidate set
+    * only. The cap is an explicit, documented knob — results list it so
+    * an audit can see what a hub-heavy graph suppressed.
+    */
+  def commonNeighborRecs(edges: DataFrame, k: Int = 5, maxMiddleDeg: Long = 64L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxMiddleDeg >= 2, s"maxMiddleDeg must be >= 2, got $maxMiddleDeg")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // consumers: degree, wedge both sides, anti-join
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val middles = sym
+      .groupBy("u")
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxMiddleDeg)
+      .select(col("u").as("m"))
+    val spokes = sym.select(col("u").as("m"), col("v").as("x")).join(middles, Seq("m"))
+    val cand = spokes
+      .select(col("m"), col("x").as("a"))
+      .join(spokes.select(col("m"), col("x").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("cn"))
+      // candidate pairs and edges share the (smaller, larger) orientation,
+      // so one anti-join removes every existing adjacency
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+    val both = cand
+      .select(col("a").as("node"), col("b").as("rec"), col("cn"))
+      .unionAll(cand.select(col("b").as("node"), col("a").as("rec"), col("cn")))
+    both
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("node").orderBy(col("cn").desc, col("rec").asc)))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("rank").cast("long").as("rank"), col("rec"), col("cn"))
+  }
 }

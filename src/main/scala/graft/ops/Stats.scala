@@ -583,6 +583,89 @@ object Stats {
       k)
   }
 
+  /** Deterministic HyperLogLog sketch: per (group, register) the max
+    * leading-zero rank — the classic fixed-state distinct counter
+    * (Flajolet et al. 2007), here built from md5 so the registers are
+    * engine-portable and the DuckDB oracle rebuilds them bit-for-bit
+    * (the [[kmvSketch]] discipline applied to HLL; Spark's own
+    * `approx_count_distinct` HLL++ keeps its registers engine-private).
+    * 256 registers (b = 8): bucket = the digest's first byte, rank ρ =
+    * leading zeros + 1 in the next 32 bits (33 when all zero). State is
+    * ≤ 256 rows per group REGARDLESS of input — smaller than KMV's k
+    * values for string keys and mergeable by pointwise MAX ([[hllMerge]],
+    * the max-linearity law), where KMV re-trims a value sample. Trade:
+    * KMV is exact below k and supports set overlap; HLL has fixed ~2%
+    * error at any cardinality and merges cheaper. Ship both, pick per
+    * question.
+    *
+    * Scale shape: one map-side-combinable MAX aggregate on (group,
+    * bucket) — a task emits ≤ 256 rows per group however many values it
+    * saw.
+    */
+  def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    // first byte = bucket; next 32 bits via base-16 conv (exact: < 2^32);
+    // rank from bin()'s leading-zero-free length, 33 when the chunk is 0.
+    // The digest is projected ONCE (multiply-referenced non-cheap
+    // producer — the repo's materialize-the-array discipline)
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"), md5(col(valueCol).cast("string")).as("h"))
+      .select(
+        col("grp"),
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("chunk"))
+      .withColumn(
+        "rho",
+        when(col("chunk") === 0L, lit(33L)).otherwise(lit(33L) - length(bin(col("chunk")))))
+      .groupBy("grp", "bucket")
+      .agg(max("rho").cast("long").as("rho_max"))
+
+  /** Merge HLL sketches by pointwise register MAX — exactly equal to
+    * sketching the unioned raw input (max is idempotent, commutative,
+    * associative), the law the oracle pins.
+    */
+  def hllMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    sketches
+      .map(_.select("grp", "bucket", "rho_max"))
+      .reduce(_ unionByName _)
+      .groupBy("grp", "bucket")
+      .agg(max("rho_max").cast("long").as("rho_max"))
+  }
+
+  /** Distinct-count estimates from an HLL sketch. The register sum is
+    * kept EXACT: `sum_scaled` = Σ 2^(33−ρ_j) over all 256 registers
+    * (empty ones contribute 2^33) — an integer ≤ 256·2^33, so the only
+    * float arithmetic is the final constant multiply/divide of
+    * `est_raw = α₂₅₆·256²·2^33 / sum_scaled` and the small-range
+    * linear-counting `est_small = 256·ln(256/zeros)` (null once every
+    * register is hit), each rounded to 4 decimals — deterministic across
+    * engines because everything upstream of one float op is integer.
+    * Consumers apply the standard rule: est_raw ≤ 640 and zeros > 0 →
+    * read est_small.
+    */
+  def hllEstimate(sketch: DataFrame, groupCol: String): DataFrame =
+    sketch
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - rho_max AS INT))"))
+          .cast("long").as("hit_scaled"))
+      .select(
+        col("grp").as(groupCol),
+        (lit(256L) - col("n_hit")).as("n_zero"),
+        (col("hit_scaled") + (lit(256L) - col("n_hit")) * lit(8589934592L)).as("sum_scaled"))
+      .withColumn(
+        "est_raw",
+        round(
+          lit(0.7213 / (1.0 + 1.079 / 256.0)) * lit(65536.0) * lit(8589934592.0) /
+            col("sum_scaled").cast("double"),
+          4))
+      .withColumn(
+        "est_small",
+        when(
+          col("n_zero") > 0,
+          round(lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")), 4)))
+
   /** Per-group mode: the most frequent value with a deterministic tie
     * break (highest count, then SMALLEST value — via the integer-safe
     * struct-max argmax), plus its count and share in ppm. The categorical

@@ -282,6 +282,17 @@ object GenQueries {
         .select(col("n").as("src"), (col("n") + 1).as("dst"))
         .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
       graft.ops.Graph.triangleCounts(e)
+    },
+    // friend-of-friend link prediction over the same chord graph: top-3
+    // non-adjacent nodes per node by common-neighbor count (n+-3 shares
+    // two middles, n+-4 one), hub middles capped — all integer, so the
+    // oracle mirrors cap, anti-join, and tiebreak exactly
+    "graph_recs" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.commonNeighborRecs(e, k = 3)
     }
   )
 
@@ -529,6 +540,30 @@ object GenQueries {
     // Mirrors Graph.triangleCounts: canonical undirected edges, degree
     // orientation ((d, id)-smaller endpoint first), apex wedge self-join,
     // closing-edge join, per-corner counts.
+    "graph_recs" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e0 AS (SELECT n AS src, n + 1 AS dst FROM k
+        |       UNION ALL SELECT n, n + 2 FROM k),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |sym AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |mid AS (SELECT u AS m FROM sym GROUP BY u HAVING COUNT(*) <= 64),
+        |sp AS (SELECT sym.u AS m, sym.v AS x FROM sym JOIN mid ON sym.u = mid.m),
+        |cand AS (
+        |  SELECT a.x AS a, b.x AS b, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM sp a JOIN sp b ON a.m = b.m AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT c.a, c.b, c.cn FROM cand c
+        |  LEFT JOIN und e ON e.u = c.a AND e.v = c.b
+        |  WHERE e.u IS NULL),
+        |bo AS (SELECT a AS node, b AS rec, cn FROM nonadj
+        |       UNION ALL SELECT b, a, cn FROM nonadj)
+        |SELECT node, CAST(rank AS BIGINT) AS rank, rec, cn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY cn DESC, rec) AS rank
+        |  FROM bo) t
+        |WHERE rank <= 3""".stripMargin,
     "graph_triangles" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
         |e0 AS (SELECT n AS src, n + 1 AS dst FROM k

@@ -707,6 +707,32 @@ object RelQueries {
         .select(unix_micros(col("w.start")).as("ts_us"), col("event_type"), col("n"))
       graft.ops.Anomaly.cusumChanges(counted, "event_type", "ts_us", "n", kMilli = 500L, hMilli = 1500L)
     },
+    // integer-exact EWMA smoothing of the same hourly series: the trunc
+    // division each step makes the recurrence engine-portable (the float
+    // EWMA every monitoring stack hand-waves never hash-checks)
+    "events_ewma" -> { (s, dir) =>
+      val counted = eventsT(s, dir, "event_type")
+        .groupBy(window(col("t"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("w.start")).as("ts_us"), col("event_type"), col("n"))
+      graft.ops.Anomaly.ewmaSmooth(counted, "event_type", "ts_us", "n", alphaMilli = 300L)
+    },
+    // deterministic HyperLogLog distinct users per type: md5 registers the
+    // oracle rebuilds bit-for-bit; the register SUM stays integer so the
+    // only float op is the final constant multiply/divide
+    "stats_hll" -> { (s, dir) =>
+      Stats.hllEstimate(Stats.hllSketch(events(s, dir), "event_type", "user_id"), "event_type")
+    },
+    // per-shard HLL registers merged by pointwise MAX must answer like
+    // the whole-corpus sketch (max-linearity) — whole-corpus oracle SQL
+    "stats_hll_merged" -> { (s, dir) =>
+      val ev = events(s, dir)
+      Stats.hllEstimate(
+        Stats.hllMerge(Seq(
+          Stats.hllSketch(ev.filter(col("event_id") % 2 === 0), "event_type", "user_id"),
+          Stats.hllSketch(ev.filter(col("event_id") % 2 === 1), "event_type", "user_id"))),
+        "event_type")
+    },
     // ordered-sequence funnel over view -> click -> purchase: each step
     // counts users whose first qualifying completion is strictly after
     // their previous step's
@@ -1033,6 +1059,74 @@ object RelQueries {
       |       CAST((bucket * 1024000) // 256 AS BIGINT) AS lo_milli,
       |       CAST(((bucket + 1) * 1024000) // 256 AS BIGINT) AS hi_milli
       |FROM sel""".stripMargin
+
+  // EWMA: per index i, fold the sorted prefix lst[1:i] with a SCALAR
+  // struct accumulator (DuckDB 1.0's list_reduce drops LIST-typed struct
+  // fields between steps, so the append-an-output-array shape is
+  // unusable; the O(n^2) prefix fold is exact and fixture-cheap). The
+  // `s` field binds BEFORE `k` so it reads the still-old accumulator
+  // under struct_pack's let-chaining (the events_cusum lesson).
+  private val ewmaSql =
+    """WITH c AS (
+      |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type,
+      |         list(struct_pack(s := CAST(0 AS BIGINT), k := CAST(0 AS BIGINT),
+      |                          ts := CAST(ts_us AS BIGINT), xm := CAST(1000 * n AS BIGINT))
+      |              ORDER BY ts_us, n) AS lst
+      |  FROM c GROUP BY 1),
+      |r AS (SELECT event_type, lst, unnest(range(1, len(lst) + 1)) AS i FROM g)
+      |SELECT event_type,
+      |       CAST(lst[i].ts AS BIGINT) AS ts,
+      |       CAST(lst[i].xm AS BIGINT) AS x_milli,
+      |       CAST((list_reduce(
+      |         list_prepend(struct_pack(s := CAST(0 AS BIGINT), k := CAST(0 AS BIGINT),
+      |                                  ts := CAST(0 AS BIGINT), xm := CAST(0 AS BIGINT)),
+      |                      lst[1:i]),
+      |         (acc, e) -> struct_pack(
+      |           s := CASE WHEN acc.k = 0 THEN e.xm
+      |                     ELSE (300 * e.xm + 700 * acc.s) // 1000 END,
+      |           k := acc.k + 1,
+      |           ts := acc.ts, xm := acc.xm))).s AS BIGINT) AS ewma_milli
+      |FROM r""".stripMargin
+
+  // deterministic HLL: bucket = first md5 byte, rank = leading zeros + 1
+  // of the next 32 bits (bin() has no leading zeros; chunk 0 -> 33);
+  // register sum exact-integer at 2^33 scale, float only in the last op
+  private val hllSql = {
+    val d = "'0123456789abcdef'"
+    def dig(i: Int) = s"(strpos($d, substr(h, $i, 1)) - 1)"
+    val chunkExpr = (3 to 10)
+      .map(i => s"${dig(i)} * ${1L << (4 * (10 - i))}")
+      .mkString(" + ")
+    s"""WITH vals AS (
+       |  SELECT DISTINCT event_type AS grp, CAST(user_id AS VARCHAR) AS sv
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hx AS (SELECT grp, md5(sv) AS h FROM vals),
+       |br AS (
+       |  SELECT grp,
+       |         CAST(${dig(1)} * 16 + ${dig(2)} AS BIGINT) AS bucket,
+       |         CAST($chunkExpr AS BIGINT) AS chunk
+       |  FROM hx),
+       |reg AS (
+       |  SELECT grp, bucket,
+       |         MAX(CASE WHEN chunk = 0 THEN 33 ELSE 33 - len(bin(chunk)) END) AS rho_max
+       |  FROM br GROUP BY 1, 2),
+       |ag AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - rho_max AS INT)) AS BIGINT) AS hit_scaled
+       |  FROM reg GROUP BY 1)
+       |SELECT grp AS event_type,
+       |       CAST(256 - n_hit AS BIGINT) AS n_zero,
+       |       CAST(hit_scaled + (256 - n_hit) * 8589934592 AS BIGINT) AS sum_scaled,
+       |       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
+       |             CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
+       |       CASE WHEN 256 - n_hit > 0
+       |            THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4) END AS est_small
+       |FROM ag""".stripMargin
+  }
 
   // derived-grid histogram: grid = corpus [min, max+1) milli, then the
   // identical bucket/cumulative/target walk as histSql
@@ -1595,6 +1689,9 @@ object RelQueries {
     // acc.sp after `sp :=` resolves to the NEW value — so sp/sn are bound
     // LAST and every other field recomputes them from the still-old acc;
     // with this order the fold is correct under either binding semantics.
+    "events_ewma" -> ewmaSql,
+    "stats_hll" -> hllSql,
+    "stats_hll_merged" -> hllSql,
     "events_cusum" ->
       """WITH c AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,

@@ -124,4 +124,32 @@ class GraphSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](Graph.kCore(e, k = 2, maxRounds = 2))
     assert(ex.getMessage.contains("did not converge"))
   }
+
+  test("commonNeighborRecs: hand-checked path graph, adjacency excluded, hub middle capped") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5: two-hop pairs (1,3),(2,4),(3,5) each share ONE middle
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.commonNeighborRecs(path, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    // node 3 sees both ends at cn=1; rank ties break by smaller rec id
+    assert(got((3L, 1L)) === ((1L, 1L)) && got((3L, 5L)) === ((2L, 1L)))
+    assert(got((1L, 3L)) === ((1L, 1L)) && !got.contains((1L, 2L)), "neighbors never recommended")
+    assert(!got.contains((1L, 4L)), "three hops is not two")
+    // diamond: 1-2, 1-3, 2-4, 3-4 -> (1,4) share middles 2 AND 3: cn=2
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val d = Graph.commonNeighborRecs(diamond, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(d((1L, 4L)) === 2L && d((4L, 1L)) === 2L)
+    assert(d((2L, 3L)) === 2L, "the other diagonal shares middles 1 and 4")
+    // star: center 0 with 10 spokes; capping middles at deg <= 4 excludes
+    // the hub, so spoke pairs (co-occurring ONLY through the hub) vanish
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val capped = Graph.commonNeighborRecs(star, k = 3, maxMiddleDeg = 4L)
+    assert(capped.count() === 0L, "hub-only co-occurrence carries no signal under the cap")
+    val uncapped = Graph.commonNeighborRecs(star, k = 3, maxMiddleDeg = 64L)
+    assert(uncapped.filter(org.apache.spark.sql.functions.col("node") === 1L).count() === 3L)
+  }
 }

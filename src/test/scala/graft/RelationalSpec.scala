@@ -971,6 +971,44 @@ class RelationalSpec extends SparkSpec {
     assert(got("g3") === ((1L, 1L, "z", 1L, 1000000L))) // nulls dropped
   }
 
+  test("Stats.hllSketch/hllEstimate: estimate within rsd band, merge law exact, rho edge") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 4000).map(i => ("g", s"user_${i % 1500}")).toDF("grp", "v")
+    val est = graft.ops.Stats.hllEstimate(graft.ops.Stats.hllSketch(rows, "grp", "v"), "g").head()
+    val raw = est.getAs[Double]("est_raw")
+    // 1500 distinct at m=256: standard error ~1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(raw - 1500.0) / 1500.0 < 0.20, s"est_raw $raw vs 1500")
+    assert(est.getAs[Long]("n_zero") >= 0L && est.getAs[Long]("sum_scaled") > 0L)
+    // merge law: pointwise-max of shard registers == whole-input registers
+    val whole = graft.ops.Stats.hllSketch(rows, "grp", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val merged = graft.ops.Stats.hllMerge(Seq(
+      graft.ops.Stats.hllSketch(rows.filter(length(col("v")) % 2 === 0), "grp", "v"),
+      graft.ops.Stats.hllSketch(rows.filter(length(col("v")) % 2 === 1), "grp", "v")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(merged === whole)
+    // rho: every register rank is in [1, 33]
+    val rhos = graft.ops.Stats.hllSketch(rows, "grp", "v").select("rho_max").collect().map(_.getLong(0))
+    assert(rhos.forall(r => r >= 1L && r <= 33L))
+  }
+
+  test("Anomaly.ewmaSmooth: hand-computed trunc-division fold, s0 = x0, keys independent") {
+    val rows = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 12.0),
+      ("b", 1L, 5.0)).toDF("k", "ts", "v")
+    val got = graft.ops.Anomaly.ewmaSmooth(rows, "k", "ts", "v", alphaMilli = 300L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // s1 = 10000; s2 = (300*20000 + 700*10000) div 1000 = 13000;
+    // s3 = (300*12000 + 700*13000) div 1000 = 12700
+    assert(got(("a", 1L)) === ((10000L, 10000L)))
+    assert(got(("a", 2L)) === ((20000L, 13000L)))
+    assert(got(("a", 3L)) === ((12000L, 12700L)))
+    assert(got(("b", 1L)) === ((5000L, 5000L)), "a fresh key seeds from its own first value")
+  }
+
   test("Stats.modeFromCounts: ppm survives counts past the long*1e6 wrap point") {
     // 1e13 rows of one value: cnt * 1000000 = 1e19 wraps a long
     // (max ~9.22e18); the decimal(38,0) widening keeps it exact
