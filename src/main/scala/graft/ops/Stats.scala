@@ -666,6 +666,86 @@ object Stats {
           col("n_zero") > 0,
           round(lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")), 4)))
 
+  /** Streaming maintenance round for the HLL store — the
+    * [[ingestKmvBatch]] lifecycle applied to registers: batch 0 (or a
+    * missing store) claims the root, each batch lands its own
+    * ≤ 256·|groups|-row register table under `sketch/batch_id=N`
+    * (checkpoint retries overwrite themselves), and the live estimate is
+    * [[readHllEstimate]]'s pointwise-MAX rollup — by max-linearity
+    * exactly the one-pass whole-stream sketch, the law the oracle pins.
+    */
+  def ingestHllBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      groupCol: String,
+      valueCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // Claim BEFORE the empty-batch check — see StoreLifecycle for why.
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "sketch",
+      batchId,
+      () => Seq(256).toDF("m").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val m0 = spark.read.parquet(s"$path/params").head.getInt(0)
+        require(m0 == 256, s"HLL store at $path was built with m=$m0, this engine sketches m=256")
+      })
+    hllSketch(batch, groupCol, valueCol)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketch/batch_id=$batchId")
+  }
+
+  /** Roll up every landed batch's registers by pointwise MAX and
+    * estimate — ≡ sketching all ingested raw input in one pass.
+    */
+  def readHllEstimate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCol: String): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no HLL store at $path — ingest at least one batch first")
+    hllEstimate(
+      hllMerge(Seq(spark.read.parquet(s"$path/sketch").select("grp", "bucket", "rho_max"))),
+      groupCol)
+  }
+
+  /** Per-row percentile within a group (mid-rank, ppm) — the rank /
+    * quantile transform feature pipelines normalize with, computed
+    * WITHOUT a window over raw rows: one distinct (group, value) count
+    * table, a cumulative window over DISTINCT values only (≤ |distinct
+    * values| rows per group — the [[quantilesByGroup]] discipline), then
+    * an equi-join back onto the rows. `pct_ppm = 10⁶·(cum_lt +
+    * (cnt+1)/2) / n` as the exact integral
+    * `(10⁶·(2·cum_lt + cnt + 1)) div (2n)` — mid-rank, so all ties get
+    * one deterministic percentile and the transform is engine-portable.
+    * The numerator widens through decimal(38,0): at 10¹³ rows per group
+    * the long product wraps (the [[modeFromCounts]] lesson).
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("v"))
+    val hist = vals.groupBy("grp", "v").agg(count(lit(1)).cast("long").as("cnt"))
+    val cum = hist
+      .withColumn("cum_lt", sum("cnt").over(Window.partitionBy("grp").orderBy("v")) - col("cnt"))
+    val totals = hist.groupBy("grp").agg(sum("cnt").cast("long").as("n"))
+    vals
+      .join(cum, Seq("grp", "v"))
+      .join(totals, Seq("grp"))
+      .select(
+        col("grp").as(groupCol),
+        col("v").as("value_milli"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (2 * cum_lt + cnt + 1)) div (2 * n) AS BIGINT)")
+          .as("pct_ppm"))
+  }
+
   /** Per-group mode: the most frequent value with a deterministic tie
     * break (highest count, then SMALLEST value — via the integer-safe
     * struct-max argmax), plus its count and share in ppm. The categorical

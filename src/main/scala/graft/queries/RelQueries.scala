@@ -582,6 +582,23 @@ object RelQueries {
       }
       Stats.readKmvEstimate(s, root, "event_type", k = 64)
     },
+    // the HLL ingest-store lifecycle inside the timed query: three rounds
+    // land batch-keyed registers, the read face MAX-rolls them up — which
+    // must hash-equal the one-pass whole-corpus sketch (max-linearity)
+    "stats_hll_streamed" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_hll_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir)
+      (0L to 2L).foreach { b =>
+        Stats.ingestHllBatch(ev.filter(col("event_id") % 3 === b), root, b, "event_type", "user_id")
+      }
+      Stats.readHllEstimate(s, root, "event_type")
+    },
+    // per-row mid-rank percentile of event value within its type — the
+    // rank/quantile normalization transform, windowed over DISTINCT
+    // values only and joined back, never a window over raw rows
+    "stats_rank_normalize" -> { (s, dir) =>
+      Stats.rankNormalize(events(s, dir), "event_type", "value")
+    },
     // incremental materialized rollup: three ingest rounds land per-key
     // algebraic partials (count / exact milli sum / min / max) at
     // (event_type, day) grain; the read face re-aggregates the tiny store
@@ -1692,6 +1709,23 @@ object RelQueries {
     "events_ewma" -> ewmaSql,
     "stats_hll" -> hllSql,
     "stats_hll_merged" -> hllSql,
+    "stats_hll_streamed" -> hllSql,
+    "stats_rank_normalize" ->
+      """WITH vm AS (
+        |  SELECT event_type AS grp,
+        |         CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM vm GROUP BY 1, 2),
+        |c AS (
+        |  SELECT grp, v, cnt,
+        |         SUM(cnt) OVER (PARTITION BY grp ORDER BY v) - cnt AS cum_lt
+        |  FROM h),
+        |n AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1)
+        |SELECT vm.grp AS event_type, vm.v AS value_milli,
+        |       CAST((1000000 * (2 * c.cum_lt + c.cnt + 1)) // (2 * n.n) AS BIGINT) AS pct_ppm
+        |FROM vm
+        |JOIN c ON c.grp = vm.grp AND c.v = vm.v
+        |JOIN n ON n.grp = vm.grp""".stripMargin,
     "events_cusum" ->
       """WITH c AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,

@@ -78,6 +78,31 @@ object SketchIngest {
     * state, mergeable across streams by counter addition, deterministic
     * one-bucket-width error.
     */
+  /** Streaming face of the deterministic HLL sketch
+    * ([[graft.ops.Stats.hllSketch]]): each micro-batch lands its own
+    * ≤ 256·|groups|-row register table batch-id-keyed (retried batches
+    * overwrite themselves), and the live estimate is
+    * [[graft.ops.Stats.readHllEstimate]]'s pointwise-MAX rollup — by
+    * max-linearity exactly the one-pass whole-stream sketch. Fixed ~2 KB
+    * of state per group per batch at any cardinality — the
+    * cheapest-state member of the sketch family, still engine-portable
+    * parquet and mergeable across streams.
+    */
+  def hllIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String,
+      valueCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Stats.ingestHllBatch(batch.toDF(), path, batchId, groupCol, valueCol)
+        ()
+      }
+      .start()
+
   def histIngest(
       stream: DataFrame,
       path: String,

@@ -200,4 +200,48 @@ class HistSketchSpec extends SparkSpec {
       .groupBy("batch_id", "grp").count().collect()
     assert(perBatch.nonEmpty && perBatch.forall(_.getAs[Long]("count") <= 256))
   }
+
+  test("hllIngest streaming face: MAX rollup == one-pass sketch, register-bounded state") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hllstream").toString
+    def add(rows: Seq[(String, String)]): Unit =
+      rows.toDF("event_type", "uid").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .hllIngest(
+          spark.readStream.schema("event_type STRING, uid STRING").parquet(s"$dir/in"),
+          s"$dir/store", s"$dir/cp", "event_type", "uid")
+        .awaitTermination()
+    val b1 = (1 to 500).map(i => ("a", s"u${i % 300}"))
+    val b2 = (1 to 500).map(i => ("a", s"u${200 + (i % 300)}")) // overlaps b1
+    add(b1); run()
+    add(b2); run()
+    val got = Stats.readHllEstimate(spark, s"$dir/store", "event_type").collect().toSeq
+    val want = Stats
+      .hllEstimate(Stats.hllSketch((b1 ++ b2).toDF("event_type", "uid"), "event_type", "uid"), "event_type")
+      .collect().toSeq
+    assert(got === want, "batch MAX-rollup must equal the one-pass whole-stream sketch")
+    // per-batch state is register-bounded
+    val perBatch = spark.read.parquet(s"$dir/store/sketch")
+      .groupBy("batch_id", "grp").count().collect()
+    assert(perBatch.nonEmpty && perBatch.forall(_.getAs[Long]("count") <= 256))
+    // a no-new-data rerun changes nothing
+    run()
+    assert(Stats.readHllEstimate(spark, s"$dir/store", "event_type").collect().toSeq === got)
+  }
+
+  test("rankNormalize: mid-rank percentiles, ties share one ppm, bounds") {
+    val s = spark
+    import s.implicits._
+    // g: values 1, 2, 2, 4 -> mid-ranks 1, 2.5, 2.5, 4 of n=4
+    val rows = Seq(("g", 1.0), ("g", 2.0), ("g", 2.0), ("g", 4.0)).toDF("k", "v")
+    val got = Stats.rankNormalize(rows, "k", "v")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    // ppm = 1e6*(2*cum_lt + cnt + 1) div (2n):
+    // v=1000: (0+1+1)*1e6 div 8 = 250000; v=2000: (2+2+1)*1e6 div 8 = 625000
+    // v=4000: (6+1+1)*1e6 div 8 = 1000000
+    assert(got === Seq(
+      (1000L, 250000L), (2000L, 625000L), (2000L, 625000L), (4000L, 1000000L)))
+  }
 }
