@@ -746,6 +746,65 @@ object Stats {
           .as("pct_ppm"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance per group, integer-exact:
+    * `d_ppm = max over observed values of |CDF_a − CDF_b|` with the CDFs
+    * compared by cross-multiplication — `|cum_a·n_b − cum_b·n_a|` in
+    * decimal(38,0) (n_a·n_b wraps a long at ~3e9 rows per side), scaled
+    * to ppm only at the end — so the drift score is engine-portable,
+    * unlike any float-CDF KS. The distribution-drift monitor between a
+    * reference corpus and a new crawl, yesterday and today, or error and
+    * non-error populations: KS needs no binning choice (it IS the sup
+    * over the empirical CDFs) and no transcendental ops (the PSI/KL
+    * alternatives need log). Groups must appear in BOTH sides (inner
+    * join) — a one-sided group has no two-sample statistic.
+    *
+    * Scale shape: each side compacts to distinct (group, value) counts
+    * first (map-side combinable); the step function is a cumulative
+    * window over DISTINCT values only; the sup is one max per group.
+    * Raw rows are never windowed or joined.
+    */
+  def ksDrift(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    def hist(df: DataFrame, cntName: String) =
+      df.filter(col(valueCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          round(col(valueCol).cast("double") * 1000, 0).cast("long").as("v"))
+        .groupBy("grp", "v")
+        .agg(count(lit(1)).cast("long").as(cntName))
+    val merged = hist(a, "ca")
+      .join(hist(b, "cb"), Seq("grp", "v"), "full_outer")
+      .select(
+        col("grp"),
+        col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val cum = merged
+      .withColumn("cum_a", sum("ca").over(Window.partitionBy("grp").orderBy("v")))
+      .withColumn("cum_b", sum("cb").over(Window.partitionBy("grp").orderBy("v")))
+    val totals = merged
+      .groupBy("grp")
+      .agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    cum
+      .join(totals, Seq("grp"))
+      .withColumn(
+        "diff",
+        expr("abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"))
+      .groupBy("grp", "n_a", "n_b")
+      .agg(max("diff").as("dmax"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_a"),
+        col("n_b"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * dmax) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("d_ppm"))
+  }
+
   /** Per-group mode: the most frequent value with a deterministic tie
     * break (highest count, then SMALLEST value — via the integer-safe
     * struct-max argmax), plus its count and share in ppm. The categorical

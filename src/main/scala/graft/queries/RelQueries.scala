@@ -599,6 +599,17 @@ object RelQueries {
     "stats_rank_normalize" -> { (s, dir) =>
       Stats.rankNormalize(events(s, dir), "event_type", "value")
     },
+    // two-sample KS distance between the even/odd user cohorts' value
+    // distributions per type — the integer-exact drift monitor (a healthy
+    // randomized split should score near zero; the score IS the check)
+    "stats_ks_drift" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      Stats.ksDrift(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type",
+        "value")
+    },
     // incremental materialized rollup: three ingest rounds land per-key
     // algebraic partials (count / exact milli sum / min / max) at
     // (event_type, day) grain; the read face re-aggregates the tiny store
@@ -1726,6 +1737,36 @@ object RelQueries {
         |FROM vm
         |JOIN c ON c.grp = vm.grp AND c.v = vm.v
         |JOIN n ON n.grp = vm.grp""".stripMargin,
+    "stats_ks_drift" ->
+      """WITH va AS (
+        |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 0 AND value IS NOT NULL),
+        |vb AS (
+        |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 1 AND value IS NOT NULL),
+        |ha AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS ca FROM va GROUP BY 1, 2),
+        |hb AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cb FROM vb GROUP BY 1, 2),
+        |m AS (
+        |  SELECT COALESCE(ha.grp, hb.grp) AS grp, COALESCE(ha.v, hb.v) AS v,
+        |         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM ha FULL OUTER JOIN hb ON ha.grp = hb.grp AND ha.v = hb.v),
+        |c AS (
+        |  SELECT grp, v,
+        |         SUM(ca) OVER (PARTITION BY grp ORDER BY v) AS cum_a,
+        |         SUM(cb) OVER (PARTITION BY grp ORDER BY v) AS cum_b
+        |  FROM m),
+        |t AS (
+        |  SELECT grp, CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+        |  FROM m GROUP BY 1),
+        |d AS (
+        |  SELECT c.grp, t.n_a, t.n_b,
+        |         MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS dmax
+        |  FROM c JOIN t ON t.grp = c.grp
+        |  WHERE t.n_a > 0 AND t.n_b > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT grp AS event_type, n_a, n_b,
+        |       CAST((1000000 * dmax) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
+        |FROM d""".stripMargin,
     "events_cusum" ->
       """WITH c AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,

@@ -1009,6 +1009,22 @@ class RelationalSpec extends SparkSpec {
     assert(got(("b", 1L)) === ((5000L, 5000L)), "a fresh key seeds from its own first value")
   }
 
+  test("Stats.ksDrift: hand-computed sup distance, zero on identical, one-sided groups dropped") {
+    val a = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("only_a", 1.0)).toDF("k", "v")
+    val b = Seq(("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
+    val got = graft.ops.Stats.ksDrift(a, b, "k", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // CDFs step at {1,2,3,4}: A = 1/3,2/3,1,1; B = 0,1/3,2/3,1 -> sup 1/3
+    assert(got === Map("g" -> ((3L, 3L, 333333L))), got.toString)
+    // identical distributions score zero
+    val z = graft.ops.Stats.ksDrift(b, b, "k", "v").head()
+    assert(z.getLong(3) === 0L)
+    // disjoint supports score the maximum
+    val lo = Seq(("g", 1.0), ("g", 2.0)).toDF("k", "v")
+    val hi = Seq(("g", 9.0), ("g", 10.0)).toDF("k", "v")
+    assert(graft.ops.Stats.ksDrift(lo, hi, "k", "v").head().getLong(3) === 1000000L)
+  }
+
   test("Stats.modeFromCounts: ppm survives counts past the long*1e6 wrap point") {
     // 1e13 rows of one value: cnt * 1000000 = 1e19 wraps a long
     // (max ~9.22e18); the decimal(38,0) widening keeps it exact
