@@ -805,6 +805,65 @@ object Stats {
             "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("d_ppm"))
   }
 
+  /** Benford first-significant-digit audit per group: observed digit
+    * shares vs Benford's law, the classic fabricated-data / unit-mixing
+    * screen for financial and telemetry columns. One row per (group,
+    * digit 1-9): observed count, observed share (ppm), the pinned
+    * Benford expectation (log10(1+1/d) pre-computed as integer ppm
+    * LITERALS — no transcendental runs in either engine), the signed
+    * deviation, and `dev_max_ppm` (the sup over digits, repeated per row
+    * like the anisotropy audit) as the group's headline score. The first
+    * significant digit comes from integer arithmetic on |milli| values
+    * (divide by 10 until < 10) — no string formatting, no float log.
+    * Zero-milli values carry no leading digit and are excluded (Benford
+    * is about magnitudes).
+    *
+    * Scale shape: the digit projection is per-row integer math; then one
+    * 9·|groups|-key count and a broadcast-sized join against the digit
+    * share table. Nothing wider than the audit itself shuffles.
+    */
+  def benfordAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // log10(1 + 1/d) in ppm, d = 1..9 (sums to 1e6 within rounding)
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+    val digits = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        abs(round(col(valueCol).cast("double") * 1000, 0).cast("long")).as("am"))
+      .filter(col("am") > 0)
+      // peel trailing digits: milli magnitudes are < 10^15, so 15 halvings
+      // by 10 suffice; aggregate folds the divides in one expression
+      .withColumn(
+        "digit",
+        expr("aggregate(sequence(1, 15), am, (acc, i) -> CASE WHEN acc >= 10 THEN acc div 10 ELSE acc END)"))
+    val counts = digits.groupBy("grp", "digit").agg(count(lit(1)).cast("long").as("n_obs"))
+    val totals = counts.groupBy("grp").agg(sum("n_obs").cast("long").as("n"))
+    totals
+      .select(
+        col("grp"),
+        col("n"),
+        posexplode(typedLit(expected)).as(Seq("pos", "expected_ppm")))
+      .select(col("grp"), col("n"), (col("pos") + 1L).as("digit"), col("expected_ppm"))
+      .join(counts, Seq("grp", "digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn(
+        "obs_ppm",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_obs) div n AS BIGINT)"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("expected_ppm"))
+      .withColumn(
+        "dev_max_ppm",
+        max(abs(col("dev_ppm"))).over(Window.partitionBy("grp")))
+      .select(
+        col("grp").as(groupCol),
+        col("digit"),
+        col("n"),
+        col("n_obs"),
+        col("obs_ppm"),
+        col("expected_ppm"),
+        col("dev_ppm"),
+        col("dev_max_ppm"))
+  }
+
   /** Per-group mode: the most frequent value with a deterministic tie
     * break (highest count, then SMALLEST value — via the integer-safe
     * struct-max argmax), plus its count and share in ppm. The categorical

@@ -599,6 +599,12 @@ object RelQueries {
     "stats_rank_normalize" -> { (s, dir) =>
       Stats.rankNormalize(events(s, dir), "event_type", "value")
     },
+    // Benford first-digit audit of event values per type: observed digit
+    // shares vs the pinned log10(1+1/d) ppm expectations — the fabricated-
+    // data / unit-mixing screen, integer end-to-end
+    "stats_benford" -> { (s, dir) =>
+      Stats.benfordAudit(events(s, dir), "event_type", "value")
+    },
     // two-sample KS distance between the even/odd user cohorts' value
     // distributions per type — the integer-exact drift monitor (a healthy
     // randomized split should score near zero; the score IS the check)
@@ -1737,6 +1743,37 @@ object RelQueries {
         |FROM vm
         |JOIN c ON c.grp = vm.grp AND c.v = vm.v
         |JOIN n ON n.grp = vm.grp""".stripMargin,
+    "stats_benford" ->
+      """WITH vm AS (
+        |  SELECT event_type AS grp,
+        |         abs(CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT)) AS am
+        |  FROM events WHERE value IS NOT NULL),
+        |dg AS (
+        |  SELECT grp,
+        |         CAST(list_reduce(list_prepend(am, range(1, 16)),
+        |              (acc, i) -> CASE WHEN acc >= 10 THEN acc // 10 ELSE acc END) AS BIGINT)
+        |           AS digit
+        |  FROM vm WHERE am > 0),
+        |cnts AS (SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM dg GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(SUM(n_obs) AS BIGINT) AS n FROM cnts GROUP BY 1),
+        |ex AS (SELECT unnest(range(1, 10)) AS digit,
+        |              unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757])
+        |                AS expected_ppm),
+        |f AS (
+        |  SELECT t.grp, CAST(ex.digit AS BIGINT) AS digit, t.n,
+        |         COALESCE(c.n_obs, 0) AS n_obs,
+        |         CAST(ex.expected_ppm AS BIGINT) AS expected_ppm
+        |  FROM tot t CROSS JOIN ex
+        |  LEFT JOIN cnts c ON c.grp = t.grp AND c.digit = ex.digit),
+        |g AS (
+        |  SELECT grp AS event_type, digit, n, n_obs,
+        |         CAST((1000000 * n_obs) // n AS BIGINT) AS obs_ppm, expected_ppm
+        |  FROM f)
+        |SELECT event_type, digit, n, n_obs, obs_ppm, expected_ppm,
+        |       obs_ppm - expected_ppm AS dev_ppm,
+        |       CAST(MAX(abs(obs_ppm - expected_ppm))
+        |            OVER (PARTITION BY event_type) AS BIGINT) AS dev_max_ppm
+        |FROM g""".stripMargin,
     "stats_ks_drift" ->
       """WITH va AS (
         |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v

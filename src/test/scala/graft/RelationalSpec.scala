@@ -1009,6 +1009,23 @@ class RelationalSpec extends SparkSpec {
     assert(got(("b", 1L)) === ((5000L, 5000L)), "a fresh key seeds from its own first value")
   }
 
+  test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
+    // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
+    val rows = Seq(
+      ("g", 0.012), ("g", -2.5), ("g", 30.0), ("g", 4567.0), ("g", 0.0)).toDF("k", "v")
+    val got = graft.ops.Stats.benfordAudit(rows, "k", "v")
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))))
+      .toMap
+    assert(got.keySet === (1L to 9L).toSet, "all nine digits reported, absent ones zero-filled")
+    assert(got(1L) === ((4L, 1L, 250000L, got(1L)._4)))
+    assert(got(4L)._2 === 1L && got(9L)._2 === 0L && got(9L)._3 === 0L)
+    // sup deviation: digit 5..9 rows deviate by exactly their expectation;
+    // digit 1 by |250000 - 301030| = 51030; digit 4 by 250000-96910=153090
+    assert(got.values.map(_._4).toSet.size === 1, "dev_max repeats per group")
+    assert(got(1L)._4 === 153090L, got(1L)._4.toString)
+  }
+
   test("Stats.ksDrift: hand-computed sup distance, zero on identical, one-sided groups dropped") {
     val a = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("only_a", 1.0)).toDF("k", "v")
     val b = Seq(("g", 2.0), ("g", 3.0), ("g", 4.0)).toDF("k", "v")
