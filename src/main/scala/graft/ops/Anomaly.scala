@@ -162,6 +162,7 @@ object Anomaly {
       alphaMilli > 0 && alphaMilli <= 1000,
       s"alphaMilli must be in (0, 1000], got $alphaMilli")
     val grouped = counted
+      .filter(col(valCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(
         array_sort(

@@ -1422,15 +1422,19 @@ object Dedup {
     * id-keyed joins pulling the full ordered arrays onto the
     * candidate-bounded pair table — the VernicaJoin kernel. The ordered
     * table feeds three consumers (prefix explode + both verify sides),
-    * hence the one materialization. Shingles travel as 16-byte md5
-    * digests from birth (the [[graft.ops.TextAnalysis]] gram-index move):
-    * the digest is computed inside the tokenizing projection, so the raw
-    * n-word text never enters the df count, the ordering, the prefix
-    * equi-join, or either verify array — a FIXED 16 bytes per key through
-    * every exchange instead of an unbounded string (~2-4x fewer shuffle
-    * bytes at realistic shingle widths; numbers in SCALE.md). Correctness
-    * is digest-agnostic: the prefix proof needs only a TOTAL order (df
-    * asc, ties by digest bytes — as arbitrary as ties by text), and
+    * hence the one materialization. Shingles travel as FIXED 32-char md5
+    * hex digests from birth (the [[graft.ops.TextAnalysis]] gram-index
+    * move): the digest is computed inside the tokenizing projection, so
+    * the raw n-word text never enters the df count, the ordering, the
+    * prefix equi-join, or either verify array — a fixed 32 bytes per key
+    * through every exchange instead of an unbounded string (~1.5-3x
+    * fewer shuffle bytes at realistic shingle widths; numbers in
+    * SCALE.md). Hex STRINGS, deliberately not unhex'd 16-byte binary:
+    * BinaryType lacks Catalyst's "proper equals", so binary-element
+    * array_distinct/array_intersect abandon the hash fast path for
+    * O(n·m) byte-array scans — measured 3.8x slower end-to-end.
+    * Correctness is digest-agnostic: the prefix proof needs only a TOTAL
+    * order (df asc, ties by digest — as arbitrary as ties by text), and
     * |intersection| over digests equals |intersection| over shingles up
     * to md5 collisions (~(distinct shingles)^2 / 2^129 — the
     * [[graft.ops.TextAnalysis.dupSpans]] odds, and the failure mode is
@@ -1466,9 +1470,10 @@ object Dedup {
     require(n >= 1, s"shingle width must be >= 1, got $n")
   }
 
-  /** (id, tok): each doc's DISTINCT word-`n`-gram shingles as 16-byte md5
-    * digests, computed where the shingle is born so the raw text never
-    * enters a shuffle.
+  /** (id, tok): each doc's DISTINCT word-`n`-gram shingles as fixed
+    * 32-char md5 hex digests (strings, not binary — see
+    * [[setSimilarityJoin]]'s doc), computed where the shingle is born so
+    * the raw text never enters a shuffle.
     */
   private def setJoinShingles(docs: DataFrame, n: Int, textCol: String, idCol: String): DataFrame =
     docs
@@ -1476,14 +1481,23 @@ object Dedup {
       .filter(size(col("tks")) >= n)
       .select(
         col("id"),
-        explode(
+        // _outer + a generated-attribute filter: a plain explode lets
+        // InferFiltersFromGenerate re-evaluate the whole md5 chain per row
+        // in a non-codegen Filter (the SCALE.md trap); the array is
+        // non-empty by construction. Digests stay HEX STRINGS, not
+        // unhex'd binary: BinaryType has no "proper equals" in Catalyst,
+        // so array_distinct here and array_intersect in the verify would
+        // silently fall off the hash fast path onto O(n·m) byte-array
+        // scans — measured 3.8x on this operator before the revert
+        explode_outer(
           array_distinct(
             transform(
               sequence(lit(0), size(col("tks")) - n),
               i =>
-                unhex(md5(
-                  concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*))))))
+                md5(
+                  concat_ws(" ", (0 until n).map(j => element_at(col("tks"), i + j + 1)): _*)))))
           .as("tok"))
+      .filter(col("tok").isNotNull)
 
   /** (id, otks, n, plen): per-doc shingles sorted by the (df asc, digest)
     * total order — missing df (a shingle the `dfs` table never saw) reads
@@ -1541,8 +1555,9 @@ object Dedup {
     * the build snapshot — that degrades candidate counts, never results;
     * rebuild to re-freshen, exactly like IVF retrain acting on drift.
     *
-    * Scale: the store is digest-fixed-width (16 B/key); a probe shuffles
-    * |batch prefixes| + the matching store postings, never history text.
+    * Scale: the store is digest-fixed-width (32 hex chars/key); a probe
+    * shuffles |batch prefixes| + the matching store postings, never
+    * history text.
     */
   def writeSetJoinIndex(
       corpus: DataFrame,
@@ -1914,17 +1929,23 @@ object Dedup {
       spark,
       path,
       btoks,
+      editSignatures(btoks).localCheckpoint(), // probes both join sides
       batch.select(col(idCol).cast("long").as("id")).distinct(),
       spark.read.parquet(s"$path/docs"),
       spark.read.parquet(s"$path/sigs"))
   }
 
   /** Probe kernel shared by [[probeTokenEditIndex]] (full store) and
-    * [[ingestTokenEditBatch]] (strictly-earlier generations). */
+    * [[ingestTokenEditBatch]] (strictly-earlier generations); `bsigs`
+    * (the batch's materialized signatures) is caller-supplied so the
+    * ingest round can land the SAME table it probed with instead of
+    * re-hashing the deletion neighborhood.
+    */
   private def tokenEditProbeCore(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       btoks: DataFrame,
+      bsigs: DataFrame,
       batchIds: DataFrame,
       docsRaw: DataFrame,
       sigsRaw: DataFrame): DataFrame = {
@@ -1934,7 +1955,6 @@ object Dedup {
     val histSigs = Similarity
       .minusTombstones(spark, path, sigsRaw.select("id", "n", "sig"), "id")
       .join(batchIds, Seq("id"), "left_anti")
-    val bsigs = editSignatures(btoks).localCheckpoint() // probes both join sides
     val cand = bsigs
       .as("a")
       .join(
@@ -1972,6 +1992,10 @@ object Dedup {
       Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     } else requireTokenEditParams(spark, path)
     val btoks = editTokens(batch, textCol, idCol).localCheckpoint()
+    // hashed ONCE: the probe's join sides and the sigs write all read
+    // this materialization — the deletion neighborhood is the dominant
+    // per-batch cost and must not run twice
+    val bsigs = editSignatures(btoks).localCheckpoint()
     def earlier(sub: String, cols: Seq[String], empty: => DataFrame): DataFrame =
       if (Similarity.storeExists(spark, s"$path/$sub")) {
         val raw = spark.read.parquet(s"$path/$sub")
@@ -1982,15 +2006,16 @@ object Dedup {
       spark,
       path,
       btoks,
+      bsigs,
       batch.select(col(idCol).cast("long").as("id")).distinct(),
       earlier("docs", Seq("id", "tks", "n"), btoks.select("id", "tks", "n")),
-      earlier("sigs", Seq("id", "n", "sig"), editSignatures(btoks)))
+      earlier("sigs", Seq("id", "n", "sig"), bsigs))
     pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/pairs/batch_id=$batchId")
     btoks.select("id", "tks", "n")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/docs/batch_id=$batchId")
-    editSignatures(btoks)
+    bsigs
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sigs/batch_id=$batchId")
   }

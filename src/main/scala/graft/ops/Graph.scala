@@ -292,6 +292,10 @@ object Graph {
       // candidate pairs and edges share the (smaller, larger) orientation,
       // so one anti-join removes every existing adjacency
       .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      // both union branches consume the wedge-join + count + anti-join
+      // (the Σ deg² dominant cost): materialize the candidate-pair-sized
+      // result once instead of executing that subtree twice
+      .localCheckpoint()
     val both = cand
       .select(col("a").as("node"), col("b").as("rec"), col("cn"))
       .unionAll(cand.select(col("b").as("node"), col("a").as("rec"), col("cn")))

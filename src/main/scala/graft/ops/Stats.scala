@@ -733,12 +733,14 @@ object Stats {
         col(groupCol).as("grp"),
         round(col(valueCol).cast("double") * 1000, 0).cast("long").as("v"))
     val hist = vals.groupBy("grp", "v").agg(count(lit(1)).cast("long").as("cnt"))
+    // the group total rides the same partitioning as the cumulative sum
+    // (unbounded partition window) — a separate groupBy + join would
+    // re-aggregate the corpus per consumer and join raw rows twice
     val cum = hist
       .withColumn("cum_lt", sum("cnt").over(Window.partitionBy("grp").orderBy("v")) - col("cnt"))
-    val totals = hist.groupBy("grp").agg(sum("cnt").cast("long").as("n"))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("grp")).cast("long"))
     vals
       .join(cum, Seq("grp", "v"))
-      .join(totals, Seq("grp"))
       .select(
         col("grp").as(groupCol),
         col("v").as("value_milli"),
@@ -782,15 +784,19 @@ object Stats {
         col("v"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
+    // totals ride the SAME partitioning as the cumulative sums (unbounded
+    // partition window) — deriving them with a second groupBy + join
+    // would re-execute both histograms and the full-outer join per
+    // consumer. Null groups are filtered up front to keep the old
+    // join-on-grp semantics (a window would let them through).
     val cum = merged
+      .filter(col("grp").isNotNull)
       .withColumn("cum_a", sum("ca").over(Window.partitionBy("grp").orderBy("v")))
       .withColumn("cum_b", sum("cb").over(Window.partitionBy("grp").orderBy("v")))
-    val totals = merged
-      .groupBy("grp")
-      .agg(sum("ca").cast("long").as("n_a"), sum("cb").cast("long").as("n_b"))
-      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("n_a", sum("ca").over(Window.partitionBy("grp")).cast("long"))
+      .withColumn("n_b", sum("cb").over(Window.partitionBy("grp")).cast("long"))
     cum
-      .join(totals, Seq("grp"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn(
         "diff",
         expr("abs(CAST(cum_a AS DECIMAL(38,0)) * n_b - CAST(cum_b AS DECIMAL(38,0)) * n_a)"))
@@ -831,11 +837,12 @@ object Stats {
         col(groupCol).as("grp"),
         abs(round(col(valueCol).cast("double") * 1000, 0).cast("long")).as("am"))
       .filter(col("am") > 0)
-      // peel trailing digits: milli magnitudes are < 10^15, so 15 halvings
-      // by 10 suffice; aggregate folds the divides in one expression
+      // peel trailing digits: a long has at most 19 decimal digits, so 18
+      // conditional divides always land on the leading one; aggregate
+      // folds the divides in one codegen'd expression
       .withColumn(
         "digit",
-        expr("aggregate(sequence(1, 15), am, (acc, i) -> CASE WHEN acc >= 10 THEN acc div 10 ELSE acc END)"))
+        expr("aggregate(sequence(1, 18), am, (acc, i) -> CASE WHEN acc >= 10 THEN acc div 10 ELSE acc END)"))
     val counts = digits.groupBy("grp", "digit").agg(count(lit(1)).cast("long").as("n_obs"))
     val totals = counts.groupBy("grp").agg(sum("n_obs").cast("long").as("n"))
     totals

@@ -1750,7 +1750,7 @@ object RelQueries {
         |  FROM events WHERE value IS NOT NULL),
         |dg AS (
         |  SELECT grp,
-        |         CAST(list_reduce(list_prepend(am, range(1, 16)),
+        |         CAST(list_reduce(list_prepend(am, range(1, 19)),
         |              (acc, i) -> CASE WHEN acc >= 10 THEN acc // 10 ELSE acc END) AS BIGINT)
         |           AS digit
         |  FROM vm WHERE am > 0),

@@ -78,6 +78,25 @@ object SketchIngest {
     * state, mergeable across streams by counter addition, deterministic
     * one-bucket-width error.
     */
+  def histIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String,
+      valueCol: String,
+      loMilli: Long = 0L,
+      hiMilli: Long = 1024000L,
+      bins: Int = 256): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Stats
+          .ingestHistBatch(batch.toDF(), path, batchId, groupCol, valueCol, loMilli, hiMilli, bins)
+        ()
+      }
+      .start()
+
   /** Streaming face of the deterministic HLL sketch
     * ([[graft.ops.Stats.hllSketch]]): each micro-batch lands its own
     * ≤ 256·|groups|-row register table batch-id-keyed (retried batches
@@ -103,22 +122,4 @@ object SketchIngest {
       }
       .start()
 
-  def histIngest(
-      stream: DataFrame,
-      path: String,
-      checkpoint: String,
-      groupCol: String,
-      valueCol: String,
-      loMilli: Long = 0L,
-      hiMilli: Long = 1024000L,
-      bins: Int = 256): StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        graft.ops.Stats
-          .ingestHistBatch(batch.toDF(), path, batchId, groupCol, valueCol, loMilli, hiMilli, bins)
-        ()
-      }
-      .start()
 }
