@@ -831,13 +831,20 @@ object Similarity {
       vecCol: String = "embedding",
       fit: Option[Seq[Long]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the checkpoint sits directly on the debiased arrays: every later
+    // face (norm, filter, both join sides) references __c several times,
+    // and each reference to the NON-materialized debias chain makes the
+    // analyzer inline another copy of its 64-literal zip_with tree —
+    // measured ~6 s of DRIVER-side plan work per query on a 2000-row
+    // corpus before the boundary. The norm is a row-local aggregate over
+    // the checkpointed scan, cheap to carry inline past it.
     val db = debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
+      .localCheckpoint()
       .withColumn(
         "__n",
-        sqrt(expr("aggregate(zip_with(__c, __c, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+        sqrt(expr("aggregate(transform(__c, x -> x * x), 0L, (acc, p) -> acc + p)")
           .cast("double")))
       .filter(col("__n") > 0)
-      .localCheckpoint()
     val q = db
       .filter(queryPred)
       .select(col("vec_id").as("query_id"), col("__c").as("__qc"), col("__n").as("__qn"))
@@ -897,14 +904,19 @@ object Similarity {
       (0 until bits)
         .map(i => when(get(v, lit(i)) > 0L, lit(1L << i)).otherwise(0L))
         .reduce(_ + _)
+    // checkpoint directly on the debiased arrays — norm, bucket, filter,
+    // and both join sides all reference __c, and every reference to a
+    // NON-materialized debias chain inlines another copy of its
+    // 64-literal tree at analysis time (see [[debiasedTopK]]); the norm
+    // and sign bits are row-local over the checkpointed scan
     val db = debiasedMilli(embs, iters, dim, idCol, vecCol, fit)
+      .localCheckpoint()
       .withColumn(
         "__n",
-        sqrt(expr("aggregate(zip_with(__c, __c, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+        sqrt(expr("aggregate(transform(__c, x -> x * x), 0L, (acc, p) -> acc + p)")
           .cast("double")))
       .filter(col("__n") > 0)
       .withColumn("__b", milliSign(col("__c")))
-      .localCheckpoint()
     val probes = (lit(0L) +: (0 until bits).map(i => lit(1L << i)))
       .map(m => col("__b").bitwiseXOR(m))
     val q = db
