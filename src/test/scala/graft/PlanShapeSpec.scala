@@ -336,4 +336,18 @@ class PlanShapeSpec extends SparkSpec {
       "centroid assignment must broadcast the (tiny) centroid side")
     assert(!pIvf.contains("SinglePartition"), "no global-window centroid id assignment")
   }
+
+  test("debiasedAnnTopK: probe reads the checkpointed debias boundary, bucket join hashes") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ops.Similarity.debiasedAnnTopK(embs, col("vec_id") < 4, k = 3))
+    // the checkpoint must sit on the debiased arrays: every consumer
+    // references __c, and an un-materialized debias chain costs seconds
+    // of per-reference analyzer inlining (the round-11 regression) —
+    // both join sides must scan the materialized RDD
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), "multi-probe must equi-join on the bucket:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the debiased ANN face must never fall back to all-pairs:\n" + p.take(1500))
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must prune map-side")
+  }
 }
