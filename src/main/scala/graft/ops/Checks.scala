@@ -209,4 +209,39 @@ object Checks {
         Seq(childKey),
         "left_anti")
       .agg(count(lit(1)).cast("long").as("n_orphans"))
+
+  /** Column profile — the DESCRIBE-grade audit run before trusting a new
+    * table: one row per profiled column with row count, null count and
+    * share (ppm, integral `div`), and EXACT distinct cardinality. The
+    * completeness/cardinality complement of [[keyProfile]] (one key,
+    * deep) across the whole schema (every column, shallow); min/max are
+    * deliberately out of scope — stringified extrema are not
+    * engine-portable across float formatting, and the typed quantile
+    * faces ([[graft.ops.Stats]]) answer range questions properly.
+    *
+    * Scale shape: ONE aggregation pass — Spark plans the multi-column
+    * distinct via Expand (one input row fans to |cols|+1 aggregation
+    * rows), so cost is |cols| × one scan's aggregation, not |cols|
+    * scans. For very wide tables profile a column subset per run; the
+    * explicit `cols` parameter is that knob.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profile: columns not in schema: ${missing.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = Seq(count(lit(1)).cast("long").as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("long").as(s"__nn_$c"),
+        countDistinct(col(c)).cast("long").as(s"__nd_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("n_rows")
+    cols.map { c =>
+      val nn = row.getAs[Long](s"__nn_$c")
+      val ppm = if (n == 0) 0L else (BigInt(1000000) * (n - nn) / n).toLong // wraps a long past ~9.2e12 rows
+      (c, n, n - nn, ppm, row.getAs[Long](s"__nd_$c"))
+    }.toDF("col_name", "n_rows", "n_null", "null_ppm", "n_distinct")
+  }
 }

@@ -162,6 +162,13 @@ object GenQueries {
           col("n_orders"),
           round(col("msum").cast("double") / col("mcnt"), 4).as("mavg7"))
     },
+    // DESCRIBE-grade column profile of events: per column null share and
+    // exact distinct cardinality, one Expand-planned aggregation pass
+    "audit_profile" -> { (s, dir) =>
+      graft.ops.Checks.profile(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_id", "user_id", "event_type", "value"))
+    },
     // data-quality audit: key uniqueness + null rates on orders, orphan
     // lineitems (no parent order) by anti join — one gating summary row
     "audit_orders" -> { (s, dir) =>
@@ -301,6 +308,18 @@ object GenQueries {
       |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "audit_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM events""".stripMargin
+      s"""WITH p AS (
+         |${Seq("event_id", "user_id", "event_type", "value").map(one).mkString("\nUNION ALL\n")})
+         |SELECT col_name, n_rows, n_null,
+         |       CAST((1000000 * n_null) // n_rows AS BIGINT) AS null_ppm, n_distinct
+         |FROM p""".stripMargin
+    },
     "audit_orders" ->
       """SELECT a.*, b.* FROM
         |(SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

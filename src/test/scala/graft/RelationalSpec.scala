@@ -1009,6 +1009,19 @@ class RelationalSpec extends SparkSpec {
     assert(got(("b", 1L)) === ((5000L, 5000L)), "a fresh key seeds from its own first value")
   }
 
+  test("Checks.profile: null shares, exact distincts, missing-column fail-fast") {
+    val rows = Seq(
+      (1L, Option("a")), (2L, Option.empty[String]), (3L, Option("a")), (4L, Option("b")))
+      .toDF("id", "tag")
+    val got = graft.ops.Checks.profile(rows, Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got("id") === ((4L, 0L, 0L, 4L)))
+    assert(got("tag") === ((4L, 1L, 250000L, 2L)), "nulls excluded from the distinct count")
+    val err = intercept[IllegalArgumentException](graft.ops.Checks.profile(rows, Seq("nope")))
+    assert(err.getMessage.contains("not in schema"))
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(
