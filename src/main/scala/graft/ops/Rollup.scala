@@ -157,4 +157,49 @@ object Rollup {
         keyCols.map(col) ++ Seq(col("n"), col("sum_milli"), col("min_milli"), col("max_milli")): _*)),
       keyCols)
   }
+
+  /** Period-over-period deltas — the reporting primitive every dashboard
+    * leads with ("vs yesterday / vs last week"): per key and period, the
+    * measure plus its value `lag` and `seasonLag` periods back and the
+    * integral ppm deltas `(cur − prev)·10⁶ div prev` (trunc division —
+    * engine-portable for negative deltas too, since Spark `div` and
+    * DuckDB `//` both truncate toward zero). Rows lacking a comparison
+    * period report null delta, not a fabricated zero — "no data" and
+    * "flat" are different answers. Periods are compared by POSITION in
+    * the key's ordered series, so the caller feeds gap-filled periods
+    * (one row per key × period, the [[graft.queries.GenQueries]]
+    * `gen_gap_fill` move) when calendar gaps exist.
+    *
+    * Scale shape: input is a per-(key, period) aggregate — |keys|·
+    * |periods| rows, orders below the raw corpus — and both lag windows
+    * partition by key; the fact table never moves through this operator.
+    */
+  def periodOverPeriod(
+      counted: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      seasonLag: Int = 7): DataFrame = {
+    require(seasonLag > 1, s"seasonLag must be > 1, got $seasonLag")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy("ts")
+    counted
+      .select(
+        col(keyCol),
+        col(tsCol).cast("long").as("ts"),
+        col(valCol).cast("long").as("n"))
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .withColumn("season_n", lag("n", seasonLag).over(w))
+      .select(
+        col(keyCol),
+        col("ts"),
+        col("n"),
+        col("prev_n"),
+        expr("CAST(CASE WHEN prev_n IS NOT NULL AND prev_n <> 0 " +
+          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n - prev_n)) div prev_n END AS BIGINT)")
+          .as("delta_ppm"),
+        col("season_n"),
+        expr("CAST(CASE WHEN season_n IS NOT NULL AND season_n <> 0 " +
+          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n - season_n)) div season_n END AS BIGINT)")
+          .as("season_delta_ppm"))
+  }
 }

@@ -599,6 +599,16 @@ object RelQueries {
     "stats_rank_normalize" -> { (s, dir) =>
       Stats.rankNormalize(events(s, dir), "event_type", "value")
     },
+    // period-over-period reporting: daily event counts per type with
+    // day-over-day and week-over-week ppm deltas (null when no comparison
+    // period exists — "no data" is not "flat")
+    "events_period_over_period" -> { (s, dir) =>
+      val daily = eventsT(s, dir, "event_type")
+        .groupBy(window(col("t"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(unix_micros(col("w.start")).as("ts_us"), col("event_type"), col("n"))
+      graft.ops.Rollup.periodOverPeriod(daily, "event_type", "ts_us", "n", seasonLag = 7)
+    },
     // Benford first-digit audit of event values per type: observed digit
     // shares vs the pinned log10(1+1/d) ppm expectations — the fabricated-
     // data / unit-mixing screen, integer end-to-end
@@ -1743,6 +1753,24 @@ object RelQueries {
         |FROM vm
         |JOIN c ON c.grp = vm.grp AND c.v = vm.v
         |JOIN n ON n.grp = vm.grp""".stripMargin,
+    "events_period_over_period" ->
+      """WITH d AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS ts, event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, CAST(ts AS BIGINT) AS ts, n,
+        |         LAG(n, 1) OVER (PARTITION BY event_type ORDER BY ts) AS prev_n,
+        |         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY ts) AS season_n
+        |  FROM d)
+        |SELECT event_type, ts, n, prev_n,
+        |       CAST(CASE WHEN prev_n IS NOT NULL AND prev_n <> 0
+        |                 THEN (1000000 * (n - prev_n)) // prev_n END AS BIGINT) AS delta_ppm,
+        |       season_n,
+        |       CAST(CASE WHEN season_n IS NOT NULL AND season_n <> 0
+        |                 THEN (1000000 * (n - season_n)) // season_n END AS BIGINT)
+        |         AS season_delta_ppm
+        |FROM l""".stripMargin,
     "stats_benford" ->
       """WITH vm AS (
         |  SELECT event_type AS grp,

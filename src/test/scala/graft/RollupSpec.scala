@@ -132,4 +132,22 @@ class RollupSpec extends SparkSpec {
       .toSeq
     assert(got === want)
   }
+
+  test("periodOverPeriod: hand-computed deltas, null (not zero) without a comparison period") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 120L), ("b", 1L, 10L)).toDF("k", "ts", "n")
+    val got = graft.ops.Rollup.periodOverPeriod(rows, "k", "ts", "n", seasonLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))))
+      .toMap
+    assert(got(("a", 1L)) === ((None, None, None, None)), "first period has no comparisons")
+    // (150-100)*1e6 div 100 = 500000
+    assert(got(("a", 2L)) === ((Some(100L), Some(500000L), None, None)))
+    // (120-150)*1e6 div 150 = -200000; season: (120-100)*1e6 div 100 = 200000
+    assert(got(("a", 3L)) === ((Some(150L), Some(-200000L), Some(100L), Some(200000L))))
+    assert(got(("b", 1L)) === ((None, None, None, None)), "keys never see each other")
+  }
 }
