@@ -1690,10 +1690,12 @@ object Dedup {
 
   /** Streaming maintenance round for the set-join prefix index — the
     * exact-join analog of [[ingestLshBatch]], called per micro-batch by
-    * [[graft.streaming.CorpusIngest.setJoinDedupIngest]]. The FIRST
-    * non-empty batch claims/replaces the store and freezes the df order
-    * from its own content (the best snapshot available at stream start;
-    * rebuild to re-freshen, as [[writeSetJoinIndex]] documents). Each
+    * [[graft.streaming.CorpusIngest.setJoinDedupIngest]]. Batch 0 (or a
+    * missing store) WIPES any previous run's state — the StoreLifecycle
+    * claim-before-empty-check rule — and the FIRST non-empty batch then
+    * freezes the df order from its own content (the best snapshot
+    * available at stream start; rebuild to re-freshen, as
+    * [[writeSetJoinIndex]] documents). Each
     * round probes against strictly-earlier generations only (partition
     * pruning on `batch_id` — a retried batch never reads its own
     * half-written rows back), lands the batch's qualifying pairs under
@@ -1712,12 +1714,20 @@ object Dedup {
     requireSetJoinArgs(thresholdMilli, n)
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // leading empties must not consume the claim
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      // The WIPE runs before the empty check (the StoreLifecycle rule): an
+      // empty batch 0 must still retire a previous run's store, or batch 1
+      // would validate against stale params and silently merge two streams'
+      // corpora. Only the df FREEZE — which needs content — defers to the
+      // first non-empty batch: params come down too, so that batch re-enters
+      // this branch and claims then.
       Similarity.deleteDir(spark, s"$path/docs")
       Similarity.deleteDir(spark, s"$path/prefix")
       Similarity.deleteDir(spark, s"$path/pairs")
+      Similarity.deleteDir(spark, s"$path/df")
+      Similarity.deleteDir(spark, s"$path/params")
       Similarity.clearTombstones(spark, path)
+      if (batch.isEmpty) return
       setJoinShingles(batch, n, textCol, idCol)
         .groupBy("tok")
         .agg(count(lit(1)).cast("long").as("df"))
@@ -1726,7 +1736,10 @@ object Dedup {
         .toDF("threshold_milli", "n")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
-    } else requireSetJoinParams(spark, path, thresholdMilli, n)
+    } else {
+      requireSetJoinParams(spark, path, thresholdMilli, n)
+      if (batch.isEmpty) return // nothing to probe or land
+    }
     val bord = setJoinOrdered(
       setJoinShingles(batch, n, textCol, idCol),
       spark.read.parquet(s"$path/df"),
@@ -1983,7 +1996,10 @@ object Dedup {
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // leading empties must not consume the claim
+    // Claim BEFORE the empty check (the StoreLifecycle rule): the params
+    // pin (max_edit=1) is content-independent, so even an empty batch 0
+    // wipes a previous run's store — otherwise batch 1 would validate
+    // against stale params and silently merge two streams' corpora.
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       Similarity.deleteDir(spark, s"$path/docs")
       Similarity.deleteDir(spark, s"$path/sigs")
@@ -1991,6 +2007,7 @@ object Dedup {
       Similarity.clearTombstones(spark, path)
       Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     } else requireTokenEditParams(spark, path)
+    if (batch.isEmpty) return // nothing to probe or land
     val btoks = editTokens(batch, textCol, idCol).localCheckpoint()
     // hashed ONCE: the probe's join sides and the sigs write all read
     // this materialization — the deletion neighborhood is the dominant

@@ -163,7 +163,12 @@ object Rollup {
     * measure plus its value `lag` and `seasonLag` periods back and the
     * integral ppm deltas `(cur − prev)·10⁶ div prev` (trunc division —
     * engine-portable for negative deltas too, since Spark `div` and
-    * DuckDB `//` both truncate toward zero). Rows lacking a comparison
+    * DuckDB `//` both truncate toward zero). The measure is carried as
+    * `round(value·1000)` milli (the repo's integer-milli discipline,
+    * same as rankNormalize / ksDrift / ewmaSmooth) so fractional
+    * measures — averages, monetary amounts — are scaled, not silently
+    * floored; ppm deltas are scale-invariant, so they read identically
+    * for count-grain inputs. Rows lacking a comparison
     * period report null delta, not a fabricated zero — "no data" and
     * "flat" are different answers. Periods are compared by POSITION in
     * the key's ordered series, so the caller feeds gap-filled periods
@@ -186,20 +191,22 @@ object Rollup {
       .select(
         col(keyCol),
         col(tsCol).cast("long").as("ts"),
-        col(valCol).cast("long").as("n"))
-      .withColumn("prev_n", lag("n", 1).over(w))
-      .withColumn("season_n", lag("n", seasonLag).over(w))
+        round(col(valCol).cast("double") * 1000, 0).cast("long").as("n_milli"))
+      .withColumn("prev_n_milli", lag("n_milli", 1).over(w))
+      .withColumn("season_n_milli", lag("n_milli", seasonLag).over(w))
       .select(
         col(keyCol),
         col("ts"),
-        col("n"),
-        col("prev_n"),
-        expr("CAST(CASE WHEN prev_n IS NOT NULL AND prev_n <> 0 " +
-          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n - prev_n)) div prev_n END AS BIGINT)")
+        col("n_milli"),
+        col("prev_n_milli"),
+        expr("CAST(CASE WHEN prev_n_milli IS NOT NULL AND prev_n_milli <> 0 " +
+          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n_milli - prev_n_milli)) div prev_n_milli " +
+          "END AS BIGINT)")
           .as("delta_ppm"),
-        col("season_n"),
-        expr("CAST(CASE WHEN season_n IS NOT NULL AND season_n <> 0 " +
-          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n - season_n)) div season_n END AS BIGINT)")
+        col("season_n_milli"),
+        expr("CAST(CASE WHEN season_n_milli IS NOT NULL AND season_n_milli <> 0 " +
+          "THEN (CAST(1000000 AS DECIMAL(38,0)) * (n_milli - season_n_milli)) div season_n_milli " +
+          "END AS BIGINT)")
           .as("season_delta_ppm"))
   }
 }

@@ -640,8 +640,12 @@ object Stats {
     * linear-counting `est_small = 256·ln(256/zeros)` (null once every
     * register is hit), each rounded to 4 decimals — deterministic across
     * engines because everything upstream of one float op is integer.
-    * Consumers apply the standard rule: est_raw ≤ 640 and zeros > 0 →
-    * read est_small.
+    * The standard small-range rule (est_raw ≤ 640 = 2.5·m and zeros > 0
+    * → linear counting) is applied IN-PLAN as the selected `est` column
+    * so every consumer reads ONE estimate instead of re-deriving the
+    * branch; the raws stay for audit. The guard branches on the already
+    * 4-decimal-rounded `est_raw` — deterministic across engines because
+    * that column itself is oracle-hash-pinned.
     */
   def hllEstimate(sketch: DataFrame, groupCol: String): DataFrame =
     sketch
@@ -665,6 +669,10 @@ object Stats {
         when(
           col("n_zero") > 0,
           round(lit(256.0) * log(lit(256.0) / col("n_zero").cast("double")), 4)))
+      .withColumn(
+        "est",
+        when(col("est_raw") <= 640.0 && col("n_zero") > 0, col("est_small"))
+          .otherwise(col("est_raw")))
 
   /** Streaming maintenance round for the HLL store — the
     * [[ingestKmvBatch]] lifecycle applied to registers: batch 0 (or a

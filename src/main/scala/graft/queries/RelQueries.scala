@@ -1161,15 +1161,19 @@ object RelQueries {
        |ag AS (
        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
        |         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - rho_max AS INT)) AS BIGINT) AS hit_scaled
-       |  FROM reg GROUP BY 1)
-       |SELECT grp AS event_type,
-       |       CAST(256 - n_hit AS BIGINT) AS n_zero,
-       |       CAST(hit_scaled + (256 - n_hit) * 8589934592 AS BIGINT) AS sum_scaled,
-       |       round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
-       |             CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
-       |       CASE WHEN 256 - n_hit > 0
-       |            THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4) END AS est_small
-       |FROM ag""".stripMargin
+       |  FROM reg GROUP BY 1),
+       |est0 AS (
+       |  SELECT grp AS event_type,
+       |         CAST(256 - n_hit AS BIGINT) AS n_zero,
+       |         CAST(hit_scaled + (256 - n_hit) * 8589934592 AS BIGINT) AS sum_scaled,
+       |         round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
+       |               CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
+       |         CASE WHEN 256 - n_hit > 0
+       |              THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4) END AS est_small
+       |  FROM ag)
+       |SELECT *,
+       |       CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
+       |FROM est0""".stripMargin
   }
 
   // derived-grid histogram: grid = corpus [min, max+1) milli, then the
@@ -1759,17 +1763,19 @@ object RelQueries {
         |         CAST(COUNT(*) AS BIGINT) AS n
         |  FROM events GROUP BY 1, 2),
         |l AS (
-        |  SELECT event_type, CAST(ts AS BIGINT) AS ts, n,
-        |         LAG(n, 1) OVER (PARTITION BY event_type ORDER BY ts) AS prev_n,
-        |         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY ts) AS season_n
+        |  SELECT event_type, CAST(ts AS BIGINT) AS ts, n * 1000 AS n_milli,
+        |         LAG(n * 1000, 1) OVER (PARTITION BY event_type ORDER BY ts) AS prev_n_milli,
+        |         LAG(n * 1000, 7) OVER (PARTITION BY event_type ORDER BY ts) AS season_n_milli
         |  FROM d)
-        |SELECT event_type, ts, n, prev_n,
-        |       CAST(CASE WHEN prev_n IS NOT NULL AND prev_n <> 0
-        |                 THEN (1000000 * (n - prev_n)) // prev_n END AS BIGINT) AS delta_ppm,
-        |       season_n,
-        |       CAST(CASE WHEN season_n IS NOT NULL AND season_n <> 0
-        |                 THEN (1000000 * (n - season_n)) // season_n END AS BIGINT)
-        |         AS season_delta_ppm
+        |SELECT event_type, ts, CAST(n_milli AS BIGINT) AS n_milli,
+        |       CAST(prev_n_milli AS BIGINT) AS prev_n_milli,
+        |       CAST(CASE WHEN prev_n_milli IS NOT NULL AND prev_n_milli <> 0
+        |                 THEN (1000000 * (n_milli - prev_n_milli)) // prev_n_milli
+        |            END AS BIGINT) AS delta_ppm,
+        |       CAST(season_n_milli AS BIGINT) AS season_n_milli,
+        |       CAST(CASE WHEN season_n_milli IS NOT NULL AND season_n_milli <> 0
+        |                 THEN (1000000 * (n_milli - season_n_milli)) // season_n_milli
+        |            END AS BIGINT) AS season_delta_ppm
         |FROM l""".stripMargin,
     "stats_benford" ->
       """WITH vm AS (
@@ -1805,10 +1811,14 @@ object RelQueries {
     "stats_ks_drift" ->
       """WITH va AS (
         |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
-        |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 0 AND value IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 2 = 0 AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
         |vb AS (
         |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
-        |  FROM events WHERE user_id IS NOT NULL AND user_id % 2 = 1 AND value IS NOT NULL),
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 2 = 1 AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
         |ha AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS ca FROM va GROUP BY 1, 2),
         |hb AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS cb FROM vb GROUP BY 1, 2),
         |m AS (

@@ -993,6 +993,33 @@ class RelationalSpec extends SparkSpec {
     assert(rhos.forall(r => r >= 1L && r <= 33L))
   }
 
+  test("Stats.hllEstimate: the est column applies the small-range rule on BOTH sides of 640") {
+    val s = spark
+    import s.implicits._
+    def estRow(nDistinct: Int) = graft.ops.Stats
+      .hllEstimate(
+        graft.ops.Stats.hllSketch(
+          (1 to nDistinct).map(i => ("g", s"user_$i")).toDF("grp", "v"), "grp", "v"),
+        "g")
+      .head()
+    // 30 distinct: est_raw far below 640 with zeros left -> linear counting
+    val lo = estRow(30)
+    assert(lo.getAs[Double]("est_raw") <= 640.0 && lo.getAs[Long]("n_zero") > 0L)
+    assert(lo.getAs[Double]("est") === lo.getAs[Double]("est_small"))
+    // 5000 distinct: est_raw above 640 -> raw HLL estimate selected
+    val hi = estRow(5000)
+    assert(hi.getAs[Double]("est_raw") > 640.0)
+    assert(hi.getAs[Double]("est") === hi.getAs[Double]("est_raw"))
+    // and in both regimes est equals the documented rule re-applied by hand
+    Seq(lo, hi).foreach { r =>
+      val want =
+        if (r.getAs[Double]("est_raw") <= 640.0 && r.getAs[Long]("n_zero") > 0L)
+          r.getAs[Double]("est_small")
+        else r.getAs[Double]("est_raw")
+      assert(r.getAs[Double]("est") === want)
+    }
+  }
+
   test("Anomaly.ewmaSmooth: hand-computed trunc-division fold, s0 = x0, keys independent") {
     val rows = Seq(
       ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 12.0),

@@ -144,10 +144,23 @@ class RollupSpec extends SparkSpec {
         ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))))
       .toMap
     assert(got(("a", 1L)) === ((None, None, None, None)), "first period has no comparisons")
-    // (150-100)*1e6 div 100 = 500000
-    assert(got(("a", 2L)) === ((Some(100L), Some(500000L), None, None)))
+    // milli measures: 100000, 150000, 120000; (150-100)*1e6 div 100 = 500000
+    assert(got(("a", 2L)) === ((Some(100000L), Some(500000L), None, None)))
     // (120-150)*1e6 div 150 = -200000; season: (120-100)*1e6 div 100 = 200000
-    assert(got(("a", 3L)) === ((Some(150L), Some(-200000L), Some(100L), Some(200000L))))
+    assert(got(("a", 3L)) === ((Some(150000L), Some(-200000L), Some(100000L), Some(200000L))))
     assert(got(("b", 1L)) === ((None, None, None, None)), "keys never see each other")
+  }
+
+  test("periodOverPeriod: fractional measures are milli-scaled, not floored") {
+    val s = spark
+    import s.implicits._
+    // averaged measure 1.25 -> 1250 milli; a long-cast would have floored to 1
+    val rows = Seq(("a", 1L, 1.25), ("a", 2L, 2.5)).toDF("k", "ts", "v")
+    val got = graft.ops.Rollup.periodOverPeriod(rows, "k", "ts", "v", seasonLag = 2)
+      .orderBy("ts")
+      .collect()
+    assert(got(0).getLong(2) === 1250L)
+    // (2500-1250)*1e6 div 1250 = exactly +100%
+    assert(got(1).getLong(2) === 2500L && got(1).getLong(4) === 1000000L)
   }
 }

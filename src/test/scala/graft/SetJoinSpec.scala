@@ -253,4 +253,39 @@ class SetJoinSpec extends SparkSpec {
     assert(!got2.contains((12L, 12L, 0L)) && !got2.exists(p => p._1 == 12L && p._2 == 12L))
     assert(got2.contains((1L, 12L, 1L)) && got2.contains((11L, 12L, 1L)), got2.toString)
   }
+
+  test("ingest: an EMPTY batch 0 still wipes a previous run's store (both exact joins)") {
+    // StoreLifecycle claim-before-empty-check: a fresh stream whose batch 0
+    // is empty must not let batch 1 silently merge into the old run's corpus
+    val sjDir = java.nio.file.Files.createTempDirectory("sjwipe").toString
+    val teDir = java.nio.file.Files.createTempDirectory("tewipe").toString
+    val oldRun = df(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "alpha beta gamma delta"))
+    Dedup.ingestSetJoinBatch(oldRun, sjDir, 0L, thresholdMilli = 500)
+    Dedup.ingestTokenEditBatch(oldRun, teDir, 0L)
+    // new stream: batch 0 empty, batch 1 re-crawls near-dups of the old docs
+    val empty = df(Seq.empty[(Long, String)])
+    Dedup.ingestSetJoinBatch(empty, sjDir, 0L, thresholdMilli = 500)
+    Dedup.ingestTokenEditBatch(empty, teDir, 0L)
+    val b1 = df(Seq(
+      11L -> "the quick brown fox jumps over the lazy dog tonight",
+      12L -> "alpha beta gamma delta epsilon"))
+    Dedup.ingestSetJoinBatch(b1, sjDir, 1L, thresholdMilli = 500)
+    Dedup.ingestTokenEditBatch(b1, teDir, 1L)
+    // the old run's docs are GONE: no cross pairs against ids 1/2 survive
+    val sjPairs = spark.read.parquet(s"$sjDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tePairs = spark.read.parquet(s"$teDir/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sjPairs.exists(p => p._1 <= 2L || p._2 <= 2L), sjPairs.toString)
+    assert(!tePairs.exists(p => p._1 <= 2L || p._2 <= 2L), tePairs.toString)
+    // and the stores hold only the new stream's docs
+    assert(spark.read.parquet(s"$sjDir/docs").select("id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+    assert(spark.read.parquet(s"$teDir/docs").select("id")
+      .collect().map(_.getLong(0)).toSet === Set(11L, 12L))
+    // set-join df order froze from batch 1 (batch 0 had no content to freeze)
+    assert(spark.read.parquet(s"$sjDir/params").select("threshold_milli").head.getInt(0) === 500)
+  }
 }
