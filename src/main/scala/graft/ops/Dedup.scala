@@ -1769,6 +1769,72 @@ object Dedup {
       .parquet(s"$path/prefix/batch_id=$batchId")
   }
 
+  /** Staleness audit for the set-join index's FROZEN df order — the
+    * exact-join analog of [[graft.ops.Similarity.indexDriftReport]]: the
+    * frozen order is lossless forever (the prefix theorem only needs ONE
+    * total order), but its heuristic QUALITY — rare shingles probing
+    * first — decays as the corpus drifts from the build snapshot, and
+    * until this audit nothing MEASURED the decay. The measurement: run
+    * the batch's self-join candidate generation twice, once under the
+    * store's frozen df order and once under a fresh df computed on the
+    * batch itself, and report the CANDIDATE-COUNT INFLATION the stale
+    * order causes. `inflation_ppm = 10⁶·cand_frozen div max(cand_fresh,
+    * 1)` — ~10⁶ means the frozen order is still near-optimal for this
+    * traffic; sustained large values mean probes are paying for
+    * verify-stage work a rebuild would eliminate (cost, never
+    * correctness — the rebuild trigger, exactly like IVF retrain acting
+    * on [[graft.ops.Similarity.indexDriftReport]]). The canonical decay
+    * mode is planted in the registry query: a phrase every batch doc
+    * shares but the build corpus never saw reads df 0 (rarest-first)
+    * under the frozen order, lands in EVERY batch doc's prefix, and
+    * quadratically inflates candidates; the fresh order files it last.
+    *
+    * Everything reported is an integer count over deterministic digests,
+    * so the audit is oracle-hashable end-to-end.
+    *
+    * Scale shape: two batch-sized orderings (each one df join + one
+    * per-doc sort) and two prefix self-joins bounded by the batch — the
+    * indexed corpus never moves; run it on a sampled batch slice the way
+    * [[graft.ops.Similarity.ivfRecallAudit]] samples queries.
+    */
+  def setJoinDriftAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    requireSetJoinParams(spark, path, thresholdMilli, n)
+    val tm = lit(thresholdMilli.toLong)
+    // shingled once; consumed by the fresh df count and both orderings
+    val tok = setJoinShingles(batch, n, textCol, idCol).localCheckpoint()
+    def stats(dfs: DataFrame, tag: String): DataFrame = {
+      val ordered = setJoinOrdered(tok, dfs, thresholdMilli).localCheckpoint()
+      val pref = setJoinPrefix(ordered).localCheckpoint() // count + both join sides
+      val cand = pref
+        .as("a")
+        .join(
+          pref.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            lit(1000L) * least(col("a.n"), col("b.n")) >= tm * greatest(col("a.n"), col("b.n")))
+        .select(col("a.id").as("da"), col("b.id").as("db"))
+        .distinct()
+        .agg(count(lit(1)).cast("long").as(s"cand_$tag"))
+      pref
+        .agg(count(lit(1)).cast("long").as(s"prefix_$tag"))
+        .crossJoin(broadcast(cand)) // 1-row × 1-row
+    }
+    val nDocs = tok.select("id").distinct().agg(count(lit(1)).cast("long").as("n_docs"))
+    nDocs
+      .crossJoin(broadcast(stats(spark.read.parquet(s"$path/df"), "frozen")))
+      .crossJoin(broadcast(stats(
+        tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df")), "fresh")))
+      .withColumn(
+        "inflation_ppm",
+        expr("(CAST(1000000 AS BIGINT) * cand_frozen) div greatest(cand_fresh, 1)").cast("long"))
+  }
+
   /** Physically drop tombstoned docs from both subtrees and clear the
     * tombstones — probe results unchanged by contract.
     */

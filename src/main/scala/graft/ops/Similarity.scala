@@ -1804,6 +1804,70 @@ object Similarity {
           .cast("long"))
   }
 
+  /** Measured recall@k — the dial every production ANN deployment tunes
+    * FIRST: what fraction of the exact top-k does the approximate probe
+    * actually return at the configured nProbe/bits? [[annIndexAudit]]
+    * reports census + quantizer drift (is the index stale?); this reports
+    * result quality (is the probe good enough?). Takes the two top-k
+    * tables directly — any ANN face (IVF, PQ, IVF-PQ, sign-LSH,
+    * projected) against [[bruteForceTopK]] over the same corpus — so one
+    * comparator audits the whole family. Hits match on (query_id,
+    * neighbor_id): rank agreement is NOT required (two engines may order
+    * equal-cosine neighbors differently below the measured contract), set
+    * membership is. One row per query: `n_exact` (≤ k — small corpora and
+    * label filters can undershoot), `n_hit`, `recall_milli = 1000·n_hit
+    * div n_exact`.
+    *
+    * Scale shape: both inputs are |queries|·k rows — already orders below
+    * the corpus — so this is one equi-join plus one map-side-combinable
+    * aggregate; the corpus itself never moves through the audit.
+    */
+  def annRecallAudit(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recall@k needs k >= 1, got $k")
+    val ex = exact
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"))
+      .withColumn("recall_milli", expr("(1000 * n_hit) div n_exact").cast("long"))
+  }
+
+  /** Recall@k of a PERSISTED IVF index's probe at `nProbe` against exact
+    * brute force over the index's own LIVE content (tombstones
+    * subtracted) — the per-index face of [[annRecallAudit]]: feed it a
+    * bounded, deterministic query sample (seeded id selection keeps the
+    * audit oracle-hashable) and read the recall the configured nProbe
+    * actually delivers on THIS index. nProbe ≥ the centroid count makes
+    * the probe exhaustive, so recall_milli = 1000 for every query — the
+    * calibration point the spec pins.
+    *
+    * Scale shape: the probe side is [[probeIvfIndex]] (partition-pruned
+    * cells); the exact side is one |sample|×|live| scan — the price of
+    * ground truth, bounded by keeping the sample small (tens of queries
+    * audit an index; the corpus is never self-joined).
+    */
+  def ivfRecallAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val live = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
+    annRecallAudit(
+      probeIvfIndex(spark, path, queries, k, nProbe, idCol, vecCol),
+      bruteForceTopK(queries, live, k, idCol, vecCol),
+      k)
+  }
+
   /** Drift audit for a persisted IVF index — the operational "rebuild
     * yet?" signal for the ingest loop: the stored cells' population vs an
     * incoming batch assigned against the SAME frozen centroids ([[

@@ -282,6 +282,22 @@ object OpsQueries {
       Dedup.compactSetJoinIndex(s, p)
       Dedup.probeSetJoinIndex(s, p, batch)
     },
+    // staleness audit of the frozen df order: the index freezes its order
+    // over the clean corpus, then every batch doc arrives carrying a shared
+    // phrase the build never saw — df 0 under the frozen order, so it sorts
+    // into EVERY batch prefix and quadratically inflates candidates; the
+    // fresh order files it last. inflation_ppm is the rebuild signal.
+    "dedup_setjoin_drift" -> { (s, dir) =>
+      val p = s"${sys.props("java.io.tmpdir")}/graft_setjoin_drift_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeSetJoinIndex(d, p)
+      val drifted = d
+        .filter(col("doc_id") % 3 === 0)
+        .select(
+          col("doc_id"),
+          concat(col("text"), lit(" breaking news update breaking news update")).as("text"))
+      Dedup.setJoinDriftAudit(s, p, drifted)
+    },
     // incremental exact token-edit: same lifecycle over the signature
     // index — probe pairs must equal the union batch join's batch slice
     "dedup_token_edit_incremental" -> { (s, dir) =>
@@ -891,6 +907,18 @@ object OpsQueries {
           .select((col("vec_id") + 2000000).as("vec_id"), col("embedding")),
         idx, 2L)
       Similarity.annIndexAudit(s, idx, e.filter(col("vec_id") % 10 === 3))
+    },
+    // measured recall@k at the configured nProbe — the quality dial next
+    // to ann_index_audit's freshness dial: build the persisted k-means
+    // IVF index, probe a bounded deterministic query sample (vec_id < 8)
+    // at nProbe=4, and score it against exact brute force over the
+    // index's live content. Both sides are deterministic (integer-milli
+    // Lloyd + rounded cosine), so per-query recall is hash-checked.
+    "ann_recall_audit" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_recall_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(e, idx)
+      Similarity.ivfRecallAudit(s, idx, e.filter(col("vec_id") < 8), k = 5, nProbe = 4)
     },
     "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
     "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) },
@@ -2263,6 +2291,61 @@ object OpsQueries {
          |FROM m
          |WHERE (na = nb AND (p >= na OR p + s >= na - 1))
          |   OR (na <> nb AND p + s >= LEAST(na, nb))""".stripMargin,
+    // NOT brute force: the drift audit's numbers are properties of the
+    // prefix MECHANICS, so the oracle mirrors them exactly — md5 trigram
+    // digests, (df asc, digest) ranks per doc, plen = n - ceil(t*n) + 1,
+    // candidate self-joins under the frozen and fresh orders
+    "dedup_setjoin_drift" ->
+      """WITH bt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |                i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))) AS tok
+        |  FROM bt WHERE len(tk) >= 3),
+        |fdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM bg GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(
+        |           lower(text || ' breaking news update breaking news update'), '\s+'),
+        |           t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |dg AS MATERIALIZED (
+        |  SELECT doc_id AS id,
+        |         unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+        |                i -> md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])))) AS tok
+        |  FROM dt WHERE len(tk) >= 3),
+        |ndf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dg GROUP BY 1),
+        |sz AS MATERIALIZED (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |fr AS (
+        |  SELECT dg.id, dg.tok, s.n,
+        |         ROW_NUMBER() OVER (PARTITION BY dg.id
+        |           ORDER BY COALESCE(f.df, 0), dg.tok) AS rk
+        |  FROM dg JOIN sz s ON s.id = dg.id LEFT JOIN fdf f ON f.tok = dg.tok),
+        |fp AS MATERIALIZED (
+        |  SELECT id, tok, n FROM fr WHERE rk <= n - (n * 800 + 999) // 1000 + 1),
+        |nr AS (
+        |  SELECT dg.id, dg.tok, s.n,
+        |         ROW_NUMBER() OVER (PARTITION BY dg.id ORDER BY f.df, dg.tok) AS rk
+        |  FROM dg JOIN sz s ON s.id = dg.id JOIN ndf f ON f.tok = dg.tok),
+        |np AS MATERIALIZED (
+        |  SELECT id, tok, n FROM nr WHERE rk <= n - (n * 800 + 999) // 1000 + 1),
+        |cf AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_frozen FROM (
+        |  SELECT DISTINCT a.id AS da, b.id AS db FROM fp a JOIN fp b
+        |  ON a.tok = b.tok AND a.id < b.id
+        |  AND 1000 * LEAST(a.n, b.n) >= 800 * GREATEST(a.n, b.n))),
+        |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_fresh FROM (
+        |  SELECT DISTINCT a.id AS da, b.id AS db FROM np a JOIN np b
+        |  ON a.tok = b.tok AND a.id < b.id
+        |  AND 1000 * LEAST(a.n, b.n) >= 800 * GREATEST(a.n, b.n))),
+        |pf AS (SELECT CAST(COUNT(*) AS BIGINT) AS prefix_frozen FROM fp),
+        |pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS prefix_fresh FROM np),
+        |nd AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs FROM dg)
+        |SELECT n_docs, prefix_frozen, cand_frozen, prefix_fresh, cand_fresh,
+        |       CAST((1000000 * cand_frozen) // GREATEST(cand_fresh, 1) AS BIGINT)
+        |         AS inflation_ppm
+        |FROM nd CROSS JOIN pf CROSS JOIN cf CROSS JOIN pn CROSS JOIN cn""".stripMargin,
     // Brute force over the UNION corpus restricted to pairs touching the
     // batch: a hash match proves the frozen-order prefix probe equals the
     // full batch join's batch slice, lifecycle (append/tombstone/compact)
@@ -2633,6 +2716,50 @@ object OpsQueries {
          |            ELSE CAST(-1 AS BIGINT) END AS drift_milli
          |FROM idx i LEFT JOIN b ON b.cid = i.cid
          |CROSS JOIN ti CROSS JOIN tb""".stripMargin,
+    // recall@k: the persisted IVF probe (the kmeansIvfTopkSql chain, same
+    // frozen quantizer) set-intersected per query against exact brute
+    // force over the indexed corpus — hits match on neighbor membership,
+    // not rank order
+    "ann_recall_audit" ->
+      s"""WITH $kmeansCellsCtes,
+         |probes AS (
+         |  SELECT id AS query_id, v AS qv, nrm AS qnrm, cid FROM (
+         |    SELECT q.id, q.v, q.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+         |    FROM e q CROSS JOIN c3 c WHERE q.id < 8)
+         |  WHERE prn <= 4),
+         |iscored AS (
+         |  SELECT p.query_id, m.id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |                 i -> CAST(p.qv[i] AS DOUBLE) * m.v[i])) / (p.qnrm * m.nrm), 6) AS cos_r
+         |  FROM probes p JOIN cells m ON p.cid = m.cid AND m.id <> p.query_id),
+         |ivfk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+         |bk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5)
+         |SELECT bk.query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hit,
+         |       CAST((1000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM bk
+         |LEFT JOIN ivfk i
+         |  ON i.query_id = bk.query_id AND i.neighbor_id = bk.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "similarity_topk_ivf_flat" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |asg AS (

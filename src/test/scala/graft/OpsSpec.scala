@@ -220,6 +220,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfRecallAudit: exhaustive nProbe recovers 1000 milli; starved probes score lower") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfrecall").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.writeIvfIndex(e, dir)
+    val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+    // nProbe >= |centroids| makes the probe exhaustive == brute force
+    val full = Similarity.ivfRecallAudit(spark, dir, q, k = 5, nProbe = nCells)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_milli"))))
+      .toMap
+    assert(full.keySet === (0L until 8L).toSet)
+    full.foreach { case (qid, (ne, nh, rm)) =>
+      assert(ne === 5L && nh === 5L && rm === 1000L, s"query $qid: ($ne, $nh, $rm)")
+    }
+    // a starved probe (1 cell) can only do worse or equal, never better
+    val one = Similarity.ivfRecallAudit(spark, dir, q, k = 5, nProbe = 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("recall_milli")).toMap
+    one.foreach { case (qid, rm) => assert(rm <= 1000L && rm >= 0L, s"query $qid: $rm") }
+    // the comparator itself: disjoint top-k tables score 0
+    val s = spark
+    import s.implicits._
+    val ap = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("query_id", "rank", "neighbor_id")
+    val ex = Seq((1L, 1, 20L), (1L, 2, 21L)).toDF("query_id", "rank", "neighbor_id")
+    val z = Similarity.annRecallAudit(ap, ex, k = 2).head()
+    assert(z.getAs[Long]("n_exact") === 2L && z.getAs[Long]("n_hit") === 0L &&
+      z.getAs[Long]("recall_milli") === 0L)
+  }
+
   test("IVF tombstones + compaction: deleted ids never rank; compaction preserves the probe") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -45,8 +45,10 @@ class RegistryPlanSpec extends SparkSpec {
     "similarity_topk_ivfpq", // centroid + codebook broadcasts (both bounded), probe side broadcast onto the partition column
     "similarity_topk_ivfpq_retrained", // same bounded broadcasts over the retrained store
     "ann_index_audit", // centroid broadcast (batch assignment) + 1-row ppm totals
+    "ann_recall_audit", // centroid broadcast (probe side) + |queries|-row broadcast on the exact ground-truth side — the audited sample is bounded by contract (8 ids)
     "embedding_cell_balance", // centroid broadcast
     "embedding_cell_drift", // centroid broadcast (two epochs)
+    "dedup_setjoin_drift", // crossJoin(broadcast(1-row candidate/prefix counts)) ×4
     "audit_orders", // crossJoin(broadcast(1-row totals summary))
     "audit_join_cardinality", // crossJoin(broadcast(1-row grand total))
     "skew_key_profile", // crossJoin(broadcast(1-row totals))

@@ -254,6 +254,40 @@ class SetJoinSpec extends SparkSpec {
     assert(got2.contains((1L, 12L, 1L)) && got2.contains((11L, 12L, 1L)), got2.toString)
   }
 
+  test("setJoinDriftAudit: identical traffic scores 1.0; an unseen shared phrase inflates") {
+    val dir = java.nio.file.Files.createTempDirectory("sjdrift").toString
+    val corpus = df((1L to 12L).map(i =>
+      i -> s"document number $i talks about topic ${i % 4} in detail with shared filler words"))
+    Dedup.writeSetJoinIndex(corpus, dir, thresholdMilli = 500)
+    // batch == build corpus: frozen df IS the fresh df, orders identical
+    val same = Dedup.setJoinDriftAudit(spark, dir, corpus, thresholdMilli = 500).head()
+    assert(same.getAs[Long]("n_docs") === 12L)
+    assert(same.getAs[Long]("prefix_frozen") === same.getAs[Long]("prefix_fresh"))
+    assert(same.getAs[Long]("cand_frozen") === same.getAs[Long]("cand_fresh"))
+    assert(same.getAs[Long]("inflation_ppm") === 1000000L)
+    // drifted batch over a MOSTLY-UNIQUE corpus (no shared shingles, so
+    // the fresh order generates ~zero candidates): every batch doc carries
+    // a phrase the build never saw — df 0 under the frozen order puts its
+    // shared interior shingles in every prefix, inflating candidates
+    // quadratically, while the fresh order files them last
+    val dir2 = java.nio.file.Files.createTempDirectory("sjdrift2").toString
+    val uniq = df((1L to 12L).map(i =>
+      i -> (1 to 20).map(j => s"w${i}x$j").mkString(" ")))
+    Dedup.writeSetJoinIndex(uniq, dir2, thresholdMilli = 800)
+    val drifted = uniq.select(
+      col("doc_id"),
+      concat(col("text"), lit(" breaking news update breaking news update")).as("text"))
+    val d = Dedup.setJoinDriftAudit(spark, dir2, drifted).head()
+    assert(d.getAs[Long]("cand_frozen") > d.getAs[Long]("cand_fresh"),
+      s"frozen ${d.getAs[Long]("cand_frozen")} vs fresh ${d.getAs[Long]("cand_fresh")}")
+    assert(d.getAs[Long]("cand_frozen") === 66L, "all pairs share the df-0 phrase's prefix")
+    assert(d.getAs[Long]("inflation_ppm") > 1000000L)
+    // geometry mismatch refuses like every other store face
+    val err = intercept[IllegalArgumentException](
+      Dedup.setJoinDriftAudit(spark, dir, corpus, thresholdMilli = 800))
+    assert(err.getMessage.contains("was built with"))
+  }
+
   test("ingest: an EMPTY batch 0 still wipes a previous run's store (both exact joins)") {
     // StoreLifecycle claim-before-empty-check: a fresh stream whose batch 0
     // is empty must not let batch 1 silently merge into the old run's corpus
