@@ -211,22 +211,33 @@ final class Pipeline(
     *     persisted LSH index at `lshPath`
     *     ([[graft.ops.Dedup.nearDupSurvivors]]) — history is never
     *     re-shingled;
-    *  4. the same quality/language gate, hash-split rule (stable under
+    *  4. OPT-IN exact near-dup dedup (`setJoinPath = Some(p)`): the LSH
+    *     survivors additionally probe the persisted set-join prefix index
+    *     ([[graft.ops.Dedup.exactDupSurvivors]]) — the lossless filter,
+    *     so the facade's near-dup stage upgrades from probabilistic
+    *     recall to ZERO FALSE NEGATIVES at the index's Jaccard
+    *     threshold (the banding stage stays first: it is cheaper and
+    *     shrinks what the exact probe must verify);
+    *  5. the same quality/language gate, hash-split rule (stable under
     *     corpus growth by construction), and per-batch packing layout as
     *     [[prepare]], so the returned manifest rows are column-compatible
     *     with a full run's.
     *
     * The caller lands the survivors, appends their fingerprints, and
-    * grows the index ([[graft.ops.Dedup.appendLshIndex]] /
-    * [[graft.streaming.CorpusIngest.nearDedupIngest]] automates exactly
-    * that loop); [[graft.ops.Dedup.clusterMergeAudit]] is the matching
-    * rebuild signal. At 100 TB a round costs |batch| scoring + one
-    * fingerprint anti-join + one index probe.
+    * grows the indexes ([[graft.ops.Dedup.appendLshIndex]] +
+    * [[graft.ops.Dedup.appendSetJoinIndex]];
+    * [[graft.streaming.CorpusIngest.nearDedupIngest]] automates the LSH
+    * loop); [[graft.ops.Dedup.clusterMergeAudit]] and
+    * [[graft.ops.Dedup.setJoinDriftAudit]] are the matching rebuild
+    * signals. At 100 TB a round costs |batch| scoring + one fingerprint
+    * anti-join + one index probe per enabled index.
     */
   def prepareIncremental(
       batch: DataFrame,
       seenFingerprints: DataFrame,
-      lshPath: String): DataFrame = {
+      lshPath: String,
+      setJoinPath: Option[String] = None,
+      setJoinThresholdMilli: Int = 800): DataFrame = {
     val base0 = cleaned(batch)
     val base =
       if (blocklist.isEmpty) base0 else Corpus.blocklistFilter(base0, blocklist)
@@ -240,7 +251,11 @@ final class Pipeline(
         "left_anti")
       .select("doc_id")
     val fresh = base.join(exactNew, "doc_id")
-    val survivors = Dedup.nearDupSurvivors(fresh, lshPath)
+    val lshSurvivors = Dedup.nearDupSurvivors(fresh, lshPath)
+    val survivors = setJoinPath match {
+      case None => lshSurvivors
+      case Some(p) => Dedup.exactDupSurvivors(lshSurvivors, p, setJoinThresholdMilli)
+    }
     val gate = filtered(survivors)
     val split = Corpus.splitAssign(survivors).select(col("doc_id"), col("split"))
     val layout = Corpus.packLayout(

@@ -229,6 +229,11 @@ object Checks {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: columns not in schema: ${missing.mkString(", ")}")
+    // 100 TB note: |cols| exact countDistincts = |cols| full dedup
+    // aggregations over the Expand fan-out. When "roughly how many
+    // distincts" is the actual question — it usually is for a pre-flight
+    // audit — [[profileApprox]] answers it with the deterministic HLL's
+    // bounded per-task state instead.
     val spark = df.sparkSession
     import spark.implicits._
     val aggs = Seq(count(lit(1)).cast("long").as("n_rows")) ++ cols.flatMap { c =>
@@ -243,5 +248,61 @@ object Checks {
       val ppm = if (n == 0) 0L else (BigInt(1000000) * (n - nn) / n).toLong // wraps a long past ~9.2e12 rows
       (c, n, n - nn, ppm, row.getAs[Long](s"__nd_$c"))
     }.toDF("col_name", "n_rows", "n_null", "null_ppm", "n_distinct")
+  }
+
+  /** [[profile]] with the distinct cardinality APPROXIMATED by the
+    * deterministic HLL ([[graft.ops.Stats.hllSketch]], m = 256, ~6.5%
+    * rsd) — the 100 TB face of the pre-flight audit: exact `profile`
+    * pays |cols| full dedup aggregations; this pays two map-side-
+    * combinable aggregates whose per-task state is ≤ 257 rows per
+    * column regardless of input size. Values are hashed through their
+    * STRING cast (the [[graft.ops.Stats.hllSketch]] contract), so two
+    * values count as one distinct iff their casts collide — fine for
+    * string/integer columns; float columns inherit the engine's float
+    * formatting, so profile those through an explicit rounding
+    * projection when the estimate must be engine-portable.
+    * `n_distinct_est` is the HLL's selected `est` (small-range rule
+    * in-plan), deterministic, so the whole report is oracle-hashable;
+    * an all-null column reports 0.0.
+    *
+    * Scale shape: one explode fans each row to |cols| (the same fan the
+    * exact profile's Expand pays), then ONE counts aggregate and ONE
+    * register aggregate, both map-side combinable; output is |cols|
+    * rows.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileApprox needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"profileApprox: columns not in schema: ${missing.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exploded = df
+      .select(
+        explode(
+          array(cols.map(c => struct(lit(c).as("grp"), col(c).cast("string").as("v"))): _*))
+          .as("s"))
+      .select(col("s.grp").as("grp"), col("s.v").as("v"))
+    val counts = exploded
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        (count(lit(1)) - count(col("v"))).cast("long").as("n_null"))
+    val est = graft.ops.Stats
+      .hllEstimate(graft.ops.Stats.hllSketch(exploded, "grp", "v"), "grp")
+      .select(col("grp"), col("est").as("n_distinct_est"))
+    // seed from the requested names so an empty input still reports a row
+    // per column, like the exact profile does
+    cols.toDF("grp")
+      .join(counts, Seq("grp"), "left")
+      .join(est, Seq("grp"), "left")
+      .select(
+        col("grp").as("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        // decimal-widened ppm: 10^6 * n_null wraps a long past ~9.2e12 rows
+        coalesce(
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_null) div n_rows AS BIGINT)"),
+          lit(0L)).as("null_ppm"),
+        coalesce(col("n_distinct_est"), lit(0.0)).as("n_distinct_est"))
   }
 }

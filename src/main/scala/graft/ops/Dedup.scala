@@ -506,6 +506,56 @@ object Dedup {
       "left_anti")
   }
 
+  /** EXACT near-dup survivor stage — [[nearDupSurvivors]]'s
+    * zero-false-negative sibling over the persisted set-join prefix index
+    * ([[writeSetJoinIndex]]): where LSH banding can MISS a qualifying
+    * pair (probabilistic recall by design), the prefix filter is lossless,
+    * so a batch doc whose shingle-Jaccard reaches the index's threshold
+    * against history or against a kept batch doc is dropped with
+    * certainty. Drop rule, from [[probeSetJoinIndex]]'s (doc_a < doc_b)
+    * pairs: a batch doc drops iff it pairs with ANY history doc, or with
+    * a SMALLER-id batch doc — so no two kept docs pair with each other
+    * and no kept doc pairs with history (both by construction: a
+    * kept-kept or kept-history pair would have dropped its larger/batch
+    * end). Like the LSH stage, the caller appends the survivors
+    * ([[appendSetJoinIndex]]) to grow history. A missing store means no
+    * index yet — the batch self-join [[setSimilarityJoin]] still
+    * deduplicates in-batch.
+    *
+    * Scale shape: one [[probeSetJoinIndex]] (batch prefixes vs matching
+    * postings — history never self-joins) plus two id anti-joins on the
+    * candidate-bounded pair table.
+    */
+  def exactDupSurvivors(
+      batch: DataFrame,
+      path: String,
+      thresholdMilli: Int = 800,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val pairs =
+      (if (Similarity.storeExists(spark, s"$path/params"))
+         probeSetJoinIndex(spark, path, batch, thresholdMilli, n, textCol, idCol)
+       else setSimilarityJoin(batch, thresholdMilli, n, textCol, idCol))
+        .localCheckpoint() // consumed by both drop rules
+    val bids = batch.select(col(idCol).cast("long").as("bid")).distinct().localCheckpoint()
+    // every pair's larger end that is a batch doc drops (its partner is
+    // either history or a smaller batch doc); the smaller end drops only
+    // when the larger end is history
+    val dropB = pairs
+      .join(bids, col("doc_b") === col("bid"), "left_semi")
+      .select(col("doc_b").as("drop_id"))
+    val dropA = pairs
+      .join(bids, col("doc_b") === col("bid"), "left_anti")
+      .join(bids, col("doc_a") === col("bid"), "left_semi")
+      .select(col("doc_a").as("drop_id"))
+    batch.join(
+      dropB.unionAll(dropA).distinct(),
+      col(idCol).cast("long") === col("drop_id"),
+      "left_anti")
+  }
+
   /** One micro-batch of STREAMING near-dup ingest (the foreachBatch body
     * of [[graft.streaming.CorpusIngest.nearDedupIngest]]) — the
     * "probe → keep what survives → append" protocol of [[appendLshIndex]]

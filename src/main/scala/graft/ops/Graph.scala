@@ -172,6 +172,17 @@ object Graph {
     * degenerate chains can cascade O(|V|), hence the hard `maxRounds`
     * bound: the loop stops early at fixpoint and throws if the bound is
     * hit before convergence rather than silently returning a non-core.
+    * The depth bound, precisely: a round removes every vertex whose
+    * survivor-degree is < k, so rounds = the longest "removal cascade" —
+    * a path graph at k=2 peels exactly ⌈|V|/2⌉ rounds (two endpoints per
+    * round; GraphSpec pins a 32-chain at 16 rounds), and in general
+    * depth ≤ ⌈|V|/2⌉ with real graphs converging in a handful (each
+    * round removes entire "shells"). When the cascade IS deep — near-
+    * chain topology at small k — this loop is the wrong tool: use
+    * [[coreNumbers]] (the h-index iteration), whose per-round cost is
+    * the same two shuffles but which computes EVERY k at once, so one
+    * run replaces the per-k peels; or raise maxRounds toward the ⌈|V|/2⌉
+    * ceiling knowingly.
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -211,6 +222,68 @@ object Graph {
       .groupBy("src")
       .agg(count(lit(1)).cast("long").as("deg"))
       .select(col("src").as("node"), col("deg"))
+  }
+
+  /** Core numbers for EVERY vertex at once via the synchronous h-index
+    * iteration (Lü, Zhou, Zhang & Stanley, Nature Comms 2016): start at
+    * c₀(v) = deg(v) and iterate c(v) := H({c(u) : u ∈ N(v)}), where H is
+    * the h-index (the largest h with ≥ h neighbors valued ≥ h). With the
+    * degree start the sequence is monotone non-increasing per vertex and
+    * its fixpoint is exactly the core number — so one run replaces
+    * [[kCore]]'s per-k peel for core-number questions, and the per-vertex
+    * value is the "which shell" answer the peel never gives. Like
+    * [[labelPropagation]], the round count is FIXED (no fixpoint test):
+    * the output is deterministic by construction and the oracle unrolls
+    * the same rounds bit-for-bit; at convergence (real graphs: a handful
+    * of rounds — shells stabilize together, not two endpoints at a time)
+    * the values ARE the core numbers, which GraphSpec proves against the
+    * peel on hand graphs. Filtering `core >= k` at the fixpoint yields
+    * [[kCore]]'s vertex set.
+    *
+    * The h-index aggregate uses NO window over raw neighbor rows: each
+    * round counts (node, neighbor-value) pairs map-side, runs the
+    * cumulative window over DISTINCT values per node (≤ distinct degree
+    * values — the [[graft.ops.Stats]] quantile discipline; a celebrity
+    * node's million edges pre-reduce per task and its window sees only
+    * its distinct neighbor VALUES), and takes h = max(min(value, n≥)):
+    * for the true h there are ≥ h neighbors valued ≥ h, so the smallest
+    * qualifying value witnesses min ≥ h, and every min(c, n≥(c)) is
+    * itself a valid h — the max is exact. Per round: one equi-join + two
+    * map-side-combinable aggregates + the distinct-value window, each
+    * round localCheckpointed (the [[pageRankMilli]] discipline).
+    */
+  def coreNumbers(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = und
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var c = sym
+      .groupBy("src")
+      .agg(count(lit(1)).cast("long").as("core"))
+      .select(col("src").as("node"), col("core"))
+      .localCheckpoint()
+    val w = Window
+      .partitionBy("src")
+      .orderBy(col("cn").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    for (_ <- 1 to rounds) {
+      c = sym
+        .join(c.select(col("node").as("dst"), col("core").as("cn")), Seq("dst"))
+        .groupBy(col("src"), col("cn"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .withColumn("n_ge", sum("cnt").over(w))
+        .select(col("src"), least(col("cn"), col("n_ge")).as("h"))
+        .groupBy("src")
+        .agg(max("h").cast("long").as("core"))
+        .select(col("src").as("node"), col("core"))
+        .localCheckpoint()
+    }
+    c
   }
 
   def triangleCounts(edges: DataFrame): DataFrame = {

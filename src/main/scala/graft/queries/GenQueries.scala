@@ -169,6 +169,15 @@ object GenQueries {
         s.read.parquet(s"$dir/events.parquet"),
         Seq("event_id", "user_id", "event_type", "value"))
     },
+    // the 100 TB face of the profile: distincts via the deterministic
+    // m=256 HLL (bounded per-task state) instead of |cols| exact dedup
+    // aggregations — integer/string columns only here, so the string
+    // casts the registers hash are engine-portable
+    "audit_profile_approx" -> { (s, dir) =>
+      graft.ops.Checks.profileApprox(
+        s.read.parquet(s"$dir/events.parquet"),
+        Seq("event_id", "user_id", "event_type"))
+    },
     // data-quality audit: key uniqueness + null rates on orders, orphan
     // lineitems (no parent order) by anti join — one gating summary row
     "audit_orders" -> { (s, dir) =>
@@ -279,6 +288,29 @@ object GenQueries {
         .join(kk.select(col("n").as("dst")), Seq("dst"), "left_semi")
       graft.ops.Graph.kCore(cand, k = 6, maxRounds = 8)
     },
+    // per-vertex core numbers via 4 unrolled h-index rounds over the
+    // clique-plus-bridge graph (no chain noise: this fixture's cascade
+    // depth is structural — shells stabilize in <= 3 rounds at any scale,
+    // so round 4's values ARE the core numbers): K10 members settle at 9,
+    // bridge endpoints' inflated degrees collapse in one round
+    "graph_core_numbers" -> { (s, dir) =>
+      val kk = t(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("n"))
+        .distinct()
+        .localCheckpoint()
+      val ka = kk.select(col("n").as("an")).withColumn("ag", expr("an div 10"))
+      val kb = kk.select(col("n").as("bn")).withColumn("bg", expr("bn div 10"))
+      val clique = ka
+        .join(kb, col("ag") === col("bg") && col("an") =!= col("bn") && col("ag") % 2 === 0)
+        .select(col("an").as("src"), col("bn").as("dst"))
+      val bridges = kk
+        .filter(expr("(n div 10) % 2 = 0 AND n % 10 < 3"))
+        .select(col("n").as("src"), (col("n") + 20).as("dst"))
+      val cand = clique
+        .unionAll(bridges)
+        .join(kk.select(col("n").as("dst")), Seq("dst"), "left_semi")
+      graft.ops.Graph.coreNumbers(cand, rounds = 4)
+    },
     // triangle counting over a deterministic chord graph on the customer
     // key space: edges (n, n+1) and (n, n+2) for every distinct custkey n —
     // sparse (degree <= 4), scales linearly with the table, and every run
@@ -319,6 +351,56 @@ object GenQueries {
          |SELECT col_name, n_rows, n_null,
          |       CAST((1000000 * n_null) // n_rows AS BIGINT) AS null_ppm, n_distinct
          |FROM p""".stripMargin
+    },
+    // mirrors Checks.profileApprox: per-column string-cast union, then
+    // the deterministic HLL register chain (RelQueries' stats_hll shape)
+    // with the small-range rule folded into the selected estimate
+    "audit_profile_approx" -> {
+      val d = "'0123456789abcdef'"
+      def dig(i: Int) = s"(strpos($d, substr(h, $i, 1)) - 1)"
+      val chunkExpr = (3 to 10)
+        .map(i => s"${dig(i)} * ${1L << (4 * (10 - i))}")
+        .mkString(" + ")
+      s"""WITH src AS (
+         |  SELECT 'event_id' AS grp, CAST(event_id AS VARCHAR) AS sv FROM events
+         |  UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+         |  UNION ALL SELECT 'event_type', event_type FROM events),
+         |cnt AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |         CAST(COUNT(*) - COUNT(sv) AS BIGINT) AS n_null
+         |  FROM src GROUP BY 1),
+         |vals AS (SELECT DISTINCT grp, sv FROM src WHERE sv IS NOT NULL),
+         |hx AS (SELECT grp, md5(sv) AS h FROM vals),
+         |br AS (
+         |  SELECT grp,
+         |         CAST(${dig(1)} * 16 + ${dig(2)} AS BIGINT) AS bucket,
+         |         CAST($chunkExpr AS BIGINT) AS chunk
+         |  FROM hx),
+         |reg AS (
+         |  SELECT grp, bucket,
+         |         MAX(CASE WHEN chunk = 0 THEN 33 ELSE 33 - len(bin(chunk)) END) AS rho_max
+         |  FROM br GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - rho_max AS INT)) AS BIGINT) AS hit_scaled
+         |  FROM reg GROUP BY 1),
+         |est0 AS (
+         |  SELECT grp,
+         |         CAST(256 - n_hit AS BIGINT) AS n_zero,
+         |         round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
+         |               CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
+         |         CASE WHEN 256 - n_hit > 0
+         |              THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4)
+         |         END AS est_small
+         |  FROM ag),
+         |este AS (
+         |  SELECT grp,
+         |         CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
+         |  FROM est0)
+         |SELECT c.grp AS col_name, c.n_rows, c.n_null,
+         |       CAST((1000000 * c.n_null) // c.n_rows AS BIGINT) AS null_ppm,
+         |       COALESCE(e.est, 0.0) AS n_distinct_est
+         |FROM cnt c LEFT JOIN este e ON e.grp = c.grp""".stripMargin
     },
     "audit_orders" ->
       """SELECT a.*, b.* FROM
@@ -529,6 +611,35 @@ object GenQueries {
         |JOIN (SELECT node FROM surv WHERE round = 4) a ON e.src = a.node
         |JOIN (SELECT node FROM surv WHERE round = 4) b ON e.dst = b.node
         |GROUP BY 1""".stripMargin,
+    // mirrors Graph.coreNumbers: degree start, then 4 unrolled h-index
+    // rounds — per round, (node, neighbor-value) counts, cumulative n>=
+    // over DISTINCT values descending, h = max(least(value, n>=))
+    "graph_core_numbers" -> {
+      def round(i: Int) =
+        s"""c$i AS (
+           |  SELECT src AS node, CAST(MAX(LEAST(cn, n_ge)) AS BIGINT) AS core FROM (
+           |    SELECT src, cn, SUM(cnt) OVER (PARTITION BY src ORDER BY cn DESC) AS n_ge
+           |    FROM (
+           |      SELECT s.src, c.core AS cn, CAST(COUNT(*) AS BIGINT) AS cnt
+           |      FROM sym s JOIN c${i - 1} c ON c.node = s.dst GROUP BY 1, 2))
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH n AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+         |cl AS (
+         |  SELECT a.n AS src, b.n AS dst FROM n a JOIN n b
+         |  ON a.n // 10 = b.n // 10 AND a.n <> b.n AND (a.n // 10) % 2 = 0),
+         |br AS (
+         |  SELECT a.n AS src, a.n + 20 AS dst FROM n a
+         |  WHERE (a.n // 10) % 2 = 0 AND a.n % 10 < 3
+         |    AND EXISTS (SELECT 1 FROM n b WHERE b.n = a.n + 20)),
+         |e0 AS (SELECT src, dst FROM cl UNION ALL SELECT src, dst FROM br),
+         |sym AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM e0 WHERE src <> dst
+         |    UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+         |c0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core FROM sym GROUP BY 1),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT node, core FROM c4""".stripMargin
+    },
     "graph_pagerank" ->
       """WITH d AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -27,9 +27,17 @@ case class Transition(user_id: Long, from_type: String, to_type: String, ts_us: 
   * per user, updated per micro-batch, current totals emitted in Update
   * mode. The API's value over the old one at scale: typed named state
   * cells with per-cell TTL (`TTLConfig`) — bounding state lifetime
-  * declaratively instead of hand-rolled timeout bookkeeping.
+  * declaratively instead of hand-rolled timeout bookkeeping. `ttlMs` > 0
+  * turns that knob on here too (the [[TransitionsProcessor]] bound: state
+  * sized by users ACTIVE within the TTL, not every user_id ever seen) —
+  * with the semantic caveat documented honestly: a TTL'd TOTAL forgets.
+  * An expired user's next event restarts the count from zero, so the
+  * output is "totals over activity windows no further than the TTL
+  * apart", not lifetime totals. Grain that matters forever belongs in a
+  * persisted rollup ([[graft.ops.Rollup.ingestAggBatch]]); the TTL is for
+  * live dashboards where an idle user's cell is pure rent.
   */
-class RunningTotalsProcessor
+class RunningTotalsProcessor(ttlMs: Long = 0L)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, ValEvt, UserTotals] {
   import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
   @transient private var totals: ValueState[(Long, Long)] = _
@@ -40,7 +48,7 @@ class RunningTotalsProcessor
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong),
-      TTLConfig.NONE)
+      if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE)
 
   override def handleInputRows(
       key: Long,
@@ -353,16 +361,21 @@ object EventsStream {
         col("n_events"))
 
   /** [[RunningTotalsProcessor]] wired over a stream: per-user running
-    * event count + value total via `transformWithState`.
+    * event count + value total via `transformWithState`. `ttlMs` > 0
+    * bounds state per cell (TTL needs the processing-time TimeMode —
+    * same operational notes as [[transitionStream]]: real trigger
+    * interval, poll the sink, never `processAllAvailable`); remember a
+    * TTL'd total FORGETS idle users — see the processor doc.
     */
-  def runningTotals(events: Dataset[ValEvt]): Dataset[UserTotals] = {
+  def runningTotals(events: Dataset[ValEvt], ttlMs: Long = 0L): Dataset[UserTotals] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.user_id)
       .transformWithState(
-        new RunningTotalsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+        new RunningTotalsProcessor(ttlMs),
+        if (ttlMs > 0) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
 

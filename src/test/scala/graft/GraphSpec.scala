@@ -125,6 +125,51 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("kCore: the documented chain depth bound — a 32-chain at k=2 peels in exactly 16 rounds") {
+    val e = (1L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    // two endpoints peel per round: 32 nodes -> 16 rounds to empty
+    assert(Graph.kCore(e, k = 2, maxRounds = 16).count() === 0L)
+    val ex = intercept[IllegalArgumentException](Graph.kCore(e, k = 2, maxRounds = 15))
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("coreNumbers: converged h-index values are the core numbers; >= k slice equals kCore") {
+    // K4 {1..4} + pendant chain 4-5-6: cores 3,3,3,3,1,1
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.coreNumbers(e, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    // the >= k slice reproduces kCore's vertex set on a random graph
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val cn = Graph.coreNumbers(es.toDF("src", "dst"), rounds = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference core numbers: sequential min-peel (each k's core via naive peel)
+    def peel(k: Int): Set[Long] = {
+      var adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+        .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val keep = adj.filter { case (_, ns) => ns.size >= k }.keySet
+        changed = keep.size != adj.size
+        adj = adj.filter { case (n, _) => keep(n) }
+          .map { case (n, ns) => n -> ns.filter(keep) }
+      }
+      adj.keySet.toSet
+    }
+    val maxDeg = cn.values.max.toInt
+    val want = (1 to (maxDeg + 1)).flatMap(k => peel(k).map(_ -> k.toLong))
+      .groupBy(_._1).map { case (n, ks) => n -> ks.map(_._2).max }
+    assert(cn == want, s"got $cn want $want")
+    // and rounds monotonicity: more rounds never increase a value
+    val early = Graph.coreNumbers(es.toDF("src", "dst"), rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cn.foreach { case (n, v) => assert(v <= early(n), s"node $n rose from ${early(n)} to $v") }
+  }
+
   test("commonNeighborRecs: hand-checked path graph, adjacency excluded, hub middle capped") {
     val s = spark
     import s.implicits._

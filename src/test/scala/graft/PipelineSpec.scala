@@ -347,6 +347,53 @@ class PipelineSpec extends SparkSpec {
     assert(splitGot == splitWant)
   }
 
+  test("prepareIncremental setJoinPath: the exact stage catches LSH banding misses end-to-end") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val p = new Pipeline()
+    val baseText = "the quick brown fox jumps over the lazy dog while the children " +
+      "play in the garden and the birds sing in the trees near the old stone bridge today"
+    val history = Seq((1L, baseText)).toDF("doc_id", "text")
+    val lshDir = java.nio.file.Files.createTempDirectory("incplsh").toString
+    val sjDir = java.nio.file.Files.createTempDirectory("incpsj").toString
+    Dedup.writeLshIndex(history, lshDir)
+    Dedup.writeSetJoinIndex(history, sjDir)
+    // 200 single-word variants: every one is a >= 0.8-Jaccard exact
+    // near-dup of history, and each pair of variants differs in TWO words
+    // (below the threshold, so no in-batch collapse muddies the probe)
+    val toks = baseText.split(" ")
+    val variants = (0 until 200).map { i =>
+      (1000L + i, toks.updated(i % toks.length, s"variant$i").mkString(" "))
+    }
+    val vdf = variants.toDF("doc_id", "text")
+    val exactHits = Dedup.probeSetJoinIndex(s, sjDir, vdf)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    // the deterministic md5 banding MISSES some of these pairs — the
+    // false negatives the lossless prefix filter exists to catch
+    val lshKept = Dedup.nearDupSurvivors(vdf, lshDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val misses = lshKept.intersect(exactHits)
+    assert(misses.nonEmpty,
+      s"fixture premise: banding should miss at least one 0.8-Jaccard pair (kept ${lshKept.size})")
+    // end-to-end: a missed near-dup sails through the facade WITHOUT the
+    // exact stage and is dropped WITH it — agreement with probeSetJoinIndex
+    val missedId = misses.min
+    val batch = vdf.filter(col("doc_id") === missedId)
+    val seen = history.select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val without = p.prepareIncremental(batch, seen, lshDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(without.contains(missedId), "without the exact stage the miss survives (by design)")
+    val withExact = p.prepareIncremental(batch, seen, lshDir, setJoinPath = Some(sjDir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!withExact.contains(missedId), "the opt-in exact stage must drop every index hit")
+    // and the stage composes exactly as documented: facade == manual
+    // exactDupSurvivors over the LSH survivors
+    val manual = Dedup
+      .exactDupSurvivors(Dedup.nearDupSurvivors(p.cleaned(batch), lshDir), sjDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withExact.subsetOf(manual), s"facade kept $withExact beyond the manual stage $manual")
+  }
+
   test("prepareVectors: audit → conditional debias → semantic prune → live IVF index") {
     val s = SparkSpec.spark
     val e = s.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")

@@ -1049,6 +1049,29 @@ class RelationalSpec extends SparkSpec {
     assert(err.getMessage.contains("not in schema"))
   }
 
+  test("Checks.profileApprox: estimate tracks exact, all-null and empty inputs report zeros") {
+    val s = spark
+    import s.implicits._
+    val rows = (1 to 3000)
+      .map(i => (i.toLong, s"tag_${i % 700}", Option.empty[String]))
+      .toDF("id", "tag", "dead")
+    val got = graft.ops.Checks.profileApprox(rows, Seq("id", "tag", "dead")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got("id")._1 === 3000L && got("id")._2 === 0L)
+    assert(math.abs(got("id")._4 - 3000.0) / 3000.0 < 0.20, s"id est ${got("id")._4}")
+    assert(math.abs(got("tag")._4 - 700.0) / 700.0 < 0.20, s"tag est ${got("tag")._4}")
+    assert(got("dead") === ((3000L, 3000L, 1000000L, 0.0)), "all-null column")
+    // empty input still reports a row per requested column
+    val empty = graft.ops.Checks.profileApprox(rows.limit(0), Seq("id", "tag")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(empty === Map("id" -> ((0L, 0.0)), "tag" -> ((0L, 0.0))))
+    val err =
+      intercept[IllegalArgumentException](graft.ops.Checks.profileApprox(rows, Seq("nope")))
+    assert(err.getMessage.contains("not in schema"))
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(

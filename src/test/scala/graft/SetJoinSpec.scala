@@ -288,6 +288,25 @@ class SetJoinSpec extends SparkSpec {
     assert(err.getMessage.contains("was built with"))
   }
 
+  test("exactDupSurvivors: history pairs drop, in-batch min id survives, no kept-kept pair") {
+    val dir = java.nio.file.Files.createTempDirectory("exsurv").toString
+    val hist = df(Seq(1L -> "the quick brown fox jumps over the lazy dog today and tonight"))
+    Dedup.writeSetJoinIndex(hist, dir, thresholdMilli = 500)
+    val batch = df(Seq(
+      11L -> "the quick brown fox jumps over the lazy dog today and forever", // ~hist: drops
+      12L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",      // fresh rep: kept
+      13L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",     // ~12: drops
+      14L -> "completely different text about catalyst physical planning"))   // fresh: kept
+    val kept = Dedup.exactDupSurvivors(batch, dir, thresholdMilli = 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 14L), kept.toString)
+    // no persisted store: falls back to the in-batch self-join
+    val dir2 = java.nio.file.Files.createTempDirectory("exsurv2").toString
+    val kept2 = Dedup.exactDupSurvivors(batch, dir2, thresholdMilli = 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 === Set(11L, 12L, 14L), kept2.toString)
+  }
+
   test("ingest: an EMPTY batch 0 still wipes a previous run's store (both exact joins)") {
     // StoreLifecycle claim-before-empty-check: a fresh stream whose batch 0
     // is empty must not let batch 1 silently merge into the old run's corpus

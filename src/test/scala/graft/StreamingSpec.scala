@@ -950,6 +950,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningTotals TTL: an expired user restarts from zero, a live one keeps accumulating") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.ValEvt]
+      val q = graft.streaming.EventsStream
+        .runningTotals(input.toDS(), ttlMs = 3000L)
+        .writeStream
+        .format("memory")
+        .queryName("totals_ttl")
+        .outputMode("update")
+        .start()
+      import graft.streaming.{UserTotals, ValEvt}
+      // same polling discipline as the transitions TTL round: the
+      // processing-time TimeMode never latches noNewData
+      def rows(): Set[UserTotals] = spark.table("totals_ttl").as[UserTotals].collect().toSet
+      def await(cond: => Boolean, what: String): Unit = {
+        val end = System.currentTimeMillis + 90000L
+        while (!cond && System.currentTimeMillis < end) Thread.sleep(200L)
+        assert(cond, s"timed out waiting for $what; rows=${rows()}")
+      }
+      input.addData(ValEvt(1L, 10L))
+      input.addData(ValEvt(1L, 5L))
+      // within the TTL the cell accumulates across batches
+      await(rows().contains(UserTotals(1L, 2L, 15L)), "running total 2/15")
+      // idle past the TTL: the cell is evicted — the next event RESTARTS
+      // the count (the documented forgetting semantics, not a bug)
+      Thread.sleep(7000L)
+      input.addData(ValEvt(1L, 7L))
+      await(rows().contains(UserTotals(1L, 1L, 7L)), "post-expiry restart at 1/7")
+      q.stop()
+      assert(!rows().contains(UserTotals(1L, 3L, 22L)),
+        s"an expired cell must not keep accumulating: ${rows()}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("heavyHitterStream: k-bounded emissions, heavy token never lost across batches") {
     val s = spark
     import s.implicits._
