@@ -1199,4 +1199,79 @@ object Relational {
         keyCols.map(col) ++ payloadCols.map(c =>
           when(col("__op").isNotNull, col(s"__n_$c")).otherwise(col(c)).as(c)): _*)
   }
+
+  /** Slowly-Changing-Dimension TYPE 2 apply — [[mergeApply]]'s
+    * history-keeping sibling, the warehouse pattern every dimension load
+    * eventually needs: instead of overwriting an updated row, CLOSE the
+    * open version (`valid_to_us` = the change timestamp) and open a new
+    * one, so every fact can join the attribute values that were true AT
+    * ITS OWN TIME (via [[asOfJoin]] on `valid_from_us`).
+    *
+    * Input: `history` rows carry `attrCols` plus `valid_from_us` /
+    * `valid_to_us` (null = the key's open version; closed rows pass
+    * through untouched); `changes` carry `attrCols` plus `tsCol`.
+    * Per key, the open version and the key's changes form one timeline
+    * ordered by (ts, change-after-existing); consecutive entries whose
+    * attributes are equal (null-safe struct compare) COLLAPSE — a
+    * re-crawled unchanged row must not cut a version — and each surviving
+    * entry becomes a version valid `[its ts, next entry's ts)`, the last
+    * one open (`is_current`). Multiple changes to one key in one batch
+    * chain correctly in timestamp order (ties broken existing-first, then
+    * by attribute struct — deterministic, so the result is
+    * oracle-hashable); brand-new keys open their first version. By
+    * convention a change at a timestamp ≤ the open version's
+    * `valid_from_us` sorts BEFORE it (late-arriving corrections rewrite
+    * the head of the open version's span rather than silently vanishing).
+    *
+    * Scale shape: both windows partition by the dimension KEY over that
+    * key's open version + this batch's changes — a handful of rows per
+    * key, never fact-table volume; closed history is a pass-through
+    * union. The dimension is typically orders smaller than the facts; the
+    * facts never enter this operator.
+    */
+  def scd2Apply(
+      history: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String],
+      tsCol: String = "ts_us"): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Apply needs at least one attribute column")
+    val attrs = struct(attrCols.map(col): _*)
+    val closed = history
+      .filter(col("valid_to_us").isNotNull)
+      .select(
+        col(keyCol) +: attrCols.map(col) :+
+          col("valid_from_us").cast("long").as("valid_from_us") :+
+          col("valid_to_us").cast("long").as("valid_to_us") :+
+          lit(false).as("is_current"): _*)
+    val open = history
+      .filter(col("valid_to_us").isNull)
+      .select(
+        col(keyCol).as("__k"),
+        attrs.as("__a"),
+        col("valid_from_us").cast("long").as("__ts"),
+        lit(0L).as("__src"))
+    val batch = changes.select(
+      col(keyCol).as("__k"),
+      attrs.as("__a"),
+      col(tsCol).cast("long").as("__ts"),
+      lit(1L).as("__src"))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__src"), col("__a"))
+    val surviving = open
+      .unionByName(batch)
+      .withColumn("__prev", lag("__a", 1).over(w))
+      // null-safe struct compare: a no-op change collapses into the
+      // version it repeats; the first entry (prev null) always survives
+      .filter(col("__prev").isNull || !(col("__a") <=> col("__prev")))
+    val w2 = Window.partitionBy("__k").orderBy(col("__ts"), col("__src"), col("__a"))
+    surviving
+      .withColumn("__to", lead("__ts", 1).over(w2))
+      .select(
+        col("__k").as(keyCol) +:
+          attrCols.map(c => col(s"__a.$c").as(c)) :+
+          col("__ts").as("valid_from_us") :+
+          col("__to").as("valid_to_us") :+
+          col("__to").isNull.as("is_current"): _*)
+      .unionByName(closed)
+  }
 }

@@ -819,6 +819,140 @@ object Stats {
             "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("d_ppm"))
   }
 
+  /** Pearson chi-square contingency drift between two cohorts'
+    * CATEGORICAL distributions — the discrete sibling of [[ksDrift]] (KS
+    * needs an ordered value; event types, languages, label sets have
+    * none). For a 2×m table the per-category contribution collapses to
+    * the exact cross-product form `term = D² / (n_a·n_b·c_v)` with
+    * `D = o_a·n_b − n_a·o_b` (algebraically equal to the textbook
+    * Σ(O−E)²/E summed over the category's two cells — no expected-count
+    * float ever materializes), computed per category in decimal(38,0)
+    * (D wraps a long at ~3e9 rows per side) and reported as integral
+    * `term_micro = 10⁶·D² div (n_a·n_b·c_v)`. One row per category with
+    * both observed counts and its term; the statistic is the consumer's
+    * SUM (dof = categories − 1) — per-category terms are the actionable
+    * part (WHICH category drifted), the same shape as [[benfordAudit]].
+    * Categories missing from one cohort count 0 there (full-outer).
+    *
+    * Scale shape: each cohort compacts to per-category counts first
+    * (map-side combinable), then a ≤|categories|-row full-outer join and
+    * two 1-row totals broadcast — raw rows never meet.
+    */
+  def chiSquareDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, name: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).cast("long").as(name))
+    val m = cnt(a, "o_a")
+      .join(cnt(b, "o_b"), Seq("v"), "full_outer")
+      .select(
+        col("v"),
+        coalesce(col("o_a"), lit(0L)).as("o_a"),
+        coalesce(col("o_b"), lit(0L)).as("o_b"))
+      .localCheckpoint() // totals + the term projection both read it
+    val t = m.agg(
+      sum("o_a").cast("long").as("__na"),
+      sum("o_b").cast("long").as("__nb"))
+    m.crossJoin(broadcast(t))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .select(
+        col("v").as(valueCol),
+        col("o_a"),
+        col("o_b"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+            "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b) * " +
+            "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b)) div " +
+            "(CAST(__na AS DECIMAL(38,0)) * __nb * (o_a + o_b)) AS BIGINT)")
+          .as("term_micro"))
+  }
+
+  /** Gini concentration coefficient per group over a NON-NEGATIVE value
+    * column (milli-scaled), exact-integral: with the group's values
+    * ascending as x₁..xₙ, `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`, reported
+    * as ppm via decimal trunc-division. 0 = perfectly even, →1 = all
+    * mass on one row — the inequality lens on spend, token counts, or
+    * event volume that [[quantilesByGroup]]'s point estimates don't
+    * summarize. Nulls and negative values are EXCLUDED (Gini is defined
+    * for non-negative distributions — a negative-capable measure needs a
+    * shift the caller must choose); an all-zero group has no defined
+    * coefficient and reports null.
+    *
+    * The rank sum Σi·xᵢ never ranks raw rows: per distinct value v with
+    * count c and F = count of strictly-smaller rows, the tie block's rank
+    * sum is `v·(c·F + c·(c+1)/2)` — so the window runs over DISTINCT
+    * values only (the [[quantilesByGroup]] discipline) and a hot group's
+    * million equal values are one row here.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vm = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("v"))
+      .filter(col("v") >= 0)
+      .groupBy("grp", "v")
+      .agg(count(lit(1)).cast("long").as("c"))
+    val w = Window.partitionBy("grp").orderBy("v")
+    vm
+      .withColumn("f", sum("c").over(w) - col("c")) // strictly-smaller rows
+      .select(
+        col("grp"),
+        col("c"),
+        // decimal from birth: Σ v·c wraps a long near ~3e13 milli-value rows
+        expr("CAST(v AS DECIMAL(38,0)) * c").as("sv"),
+        // decimal: v·c·F ≤ vmax·n² wraps a long near ~3e9 rows per group
+        expr(
+          "CAST(v AS DECIMAL(38,0)) * (c * f + (c * (c + 1)) div 2)").as("s1"))
+      .groupBy("grp")
+      .agg(
+        sum("c").cast("long").as("n"),
+        sum("sv").cast("decimal(38,0)").as("s"),
+        sum("s1").cast("decimal(38,0)").as("s1"))
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        col("s").cast("long").as("sum_milli"),
+        expr(
+          "CAST(CASE WHEN s > 0 THEN (CAST(1000000 AS DECIMAL(38,0)) * (2 * s1 - (n + 1) * s)) " +
+            "div (n * s) END AS BIGINT)").as("gini_ppm"))
+  }
+
+  /** Herfindahl–Hirschman concentration index per group: the sum of
+    * squared CATEGORY shares (ppm) — "is this event type's volume spread
+    * across users or owned by three bots", the categorical concentration
+    * twin of [[giniByGroup]]'s value inequality. Exact-integral:
+    * `hhi_ppm = 10⁶·Σc² div n²` (shares never materialize as floats);
+    * 10⁶/|categories| = perfectly even, 10⁶ = single-category. Also
+    * reports `n_cats` and the largest single share.
+    *
+    * Scale shape: one (group, category) count (map-side combinable), one
+    * per-group aggregate over category rows — raw rows never meet a
+    * window or join.
+    */
+  def hhiByGroup(df: DataFrame, groupCol: String, catCol: String): DataFrame =
+    df.filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(catCol).as("cat"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n_cats"),
+        sum("c").cast("long").as("n"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("__s2"),
+        max("c").cast("long").as("__cmax"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_cats"),
+        col("n"),
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * __s2) div " +
+            "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __cmax) div n AS BIGINT)")
+          .as("top_share_ppm"))
+
   /** Benford first-significant-digit audit per group: observed digit
     * shares vs Benford's law, the classic fabricated-data / unit-mixing
     * screen for financial and telemetry columns. One row per (group,

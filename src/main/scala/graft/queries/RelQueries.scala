@@ -626,6 +626,29 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // categorical drift between the same even/odd cohorts: per event_type
+    // the exact-integral chi-square term (which category drifted); the
+    // statistic is the consumer's sum
+    "stats_chisq_drift" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      Stats.chiSquareDrift(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type")
+    },
+    // value-inequality lens: Gini concentration of event values per type,
+    // rank sums over distinct values only, exact ppm
+    "stats_gini" -> { (s, dir) =>
+      Stats.giniByGroup(events(s, dir), "event_type", "value")
+    },
+    // categorical concentration: is each event type's volume spread
+    // across users or owned by a few — HHI + top share, exact ppm
+    "stats_hhi" -> { (s, dir) =>
+      Stats.hhiByGroup(
+        events(s, dir).filter(col("user_id").isNotNull),
+        "event_type",
+        "user_id")
+    },
     // incremental materialized rollup: three ingest rounds land per-key
     // algebraic partials (count / exact milli sum / min / max) at
     // (event_type, day) grain; the read face re-aggregates the tiny store
@@ -1842,6 +1865,64 @@ object RelQueries {
         |SELECT grp AS event_type, n_a, n_b,
         |       CAST((1000000 * dmax) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
         |FROM d""".stripMargin,
+    // 2xm chi-square in the exact cross-product form: D = o_a*nb - na*o_b,
+    // term = 1e6*D^2 // (na*nb*(o_a+o_b)) per category, HUGEINT throughout
+    "stats_chisq_drift" ->
+      """WITH ca AS (
+        |  SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS o_a FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 2 = 0 AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |cb AS (
+        |  SELECT event_type AS v, CAST(COUNT(*) AS BIGINT) AS o_b FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 2 = 1 AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.v, cb.v) AS v, COALESCE(o_a, 0) AS o_a, COALESCE(o_b, 0) AS o_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+        |t AS (SELECT CAST(SUM(o_a) AS BIGINT) AS na, CAST(SUM(o_b) AS BIGINT) AS nb FROM m)
+        |SELECT m.v AS event_type, m.o_a, m.o_b,
+        |       CAST((1000000 * (CAST(o_a AS HUGEINT) * nb - CAST(na AS HUGEINT) * o_b)
+        |                     * (CAST(o_a AS HUGEINT) * nb - CAST(na AS HUGEINT) * o_b))
+        |            // (CAST(na AS HUGEINT) * nb * (o_a + o_b)) AS BIGINT) AS term_micro
+        |FROM m CROSS JOIN t
+        |WHERE na > 0 AND nb > 0""".stripMargin,
+    // Gini from tie-block rank sums over DISTINCT milli values:
+    // s1 = v*(c*F + c(c+1)/2) with F = strictly-smaller count
+    "stats_gini" ->
+      """WITH vm AS (
+        |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) >= 0),
+        |h AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM vm GROUP BY 1, 2),
+        |f AS (
+        |  SELECT grp, v, c, SUM(c) OVER (PARTITION BY grp ORDER BY v) - c AS f
+        |  FROM h),
+        |ag AS (
+        |  SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+        |         CAST(SUM(CAST(v AS HUGEINT) * (c * f + (c * (c + 1)) // 2)) AS HUGEINT) AS s1
+        |  FROM f GROUP BY 1)
+        |SELECT grp AS event_type, n, CAST(s AS BIGINT) AS sum_milli,
+        |       CAST(CASE WHEN s > 0
+        |                 THEN (1000000 * (2 * s1 - (n + 1) * s)) // (n * s) END AS BIGINT)
+        |         AS gini_ppm
+        |FROM ag""".stripMargin,
+    // HHI: exact squared-share sum, 1e6*SUM(c^2) // n^2 per group
+    "stats_hhi" ->
+      """WITH c AS (
+        |  SELECT event_type AS grp, user_id AS cat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ag AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cats, CAST(SUM(c) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+        |         CAST(MAX(c) AS BIGINT) AS cmax
+        |  FROM c GROUP BY 1)
+        |SELECT grp AS event_type, n_cats, n,
+        |       CAST((1000000 * s2) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS hhi_ppm,
+        |       CAST((CAST(1000000 AS HUGEINT) * cmax) // n AS BIGINT) AS top_share_ppm
+        |FROM ag""".stripMargin,
     "events_cusum" ->
       """WITH c AS (
         |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,

@@ -52,6 +52,7 @@ class RegistryPlanSpec extends SparkSpec {
     "audit_orders", // crossJoin(broadcast(1-row totals summary))
     "audit_join_cardinality", // crossJoin(broadcast(1-row grand total))
     "skew_key_profile", // crossJoin(broadcast(1-row totals))
+    "stats_chisq_drift", // crossJoin(broadcast(1-row cohort totals))
     "text_lm_backoff" // crossJoin(broadcast(1-row reference token total))
   )
 

@@ -1072,6 +1072,93 @@ class RelationalSpec extends SparkSpec {
     assert(err.getMessage.contains("not in schema"))
   }
 
+  test("Relational.scd2Apply: close+chain, no-op collapse, new key, pass-through, late fix") {
+    val s = spark
+    import s.implicits._
+    def hist(rows: Seq[(Long, String, Option[Long], Option[Long])]) =
+      rows.toDF("k", "attr", "valid_from_us", "valid_to_us")
+    def ch(rows: Seq[(Long, String, Long)]) = rows.toDF("k", "attr", "ts_us")
+    val h = hist(Seq(
+      (1L, "a", Some(0L), None),          // gets two real changes + one no-op
+      (2L, "x", Some(0L), None),          // untouched open row
+      (3L, "old", Some(0L), Some(50L)),   // closed history: pass-through
+      (3L, "cur", Some(50L), None),       // open row with a late correction
+      (4L, "z", Some(100L), None)))       // no-op only
+    val c = ch(Seq(
+      (1L, "b", 10L), (1L, "b", 20L), (1L, "c", 30L), // change, no-op, chain
+      (3L, "late", 40L),                              // ts < open valid_from: sorts first
+      (4L, "z", 200L),                                // no-op: must collapse
+      (9L, "new", 15L)))                              // brand-new key
+    val got = graft.ops.Relational.scd2Apply(h, c, "k", Seq("attr"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSet
+    assert(got === Set(
+      (1L, "a", 0L, Some(10L), false),
+      (1L, "b", 10L, Some(30L), false),   // the ts-20 no-op collapsed into it
+      (1L, "c", 30L, None, true),
+      (2L, "x", 0L, None, true),
+      (3L, "old", 0L, Some(50L), false),  // closed history untouched
+      (3L, "late", 40L, Some(50L), false), // late correction heads the span
+      (3L, "cur", 50L, None, true),
+      (4L, "z", 100L, None, true),        // pure no-op: single open version
+      (9L, "new", 15L, None, true)), got.toString)
+  }
+
+  test("Stats.chiSquareDrift: hand-computed terms; identical cohorts score zero") {
+    val s = spark
+    import s.implicits._
+    // a: 6 "x", 2 "y"; b: 2 "x", 6 "y" -> na=nb=8, n=16
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y")).toDF("v")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(6)("y")).toDF("v")
+    val got = graft.ops.Stats.chiSquareDrift(a, b, "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // D = 6*8 - 8*2 = 32 for "x"; term = 1e6*1024 div (8*8*8) = 2000000
+    assert(got("x") === ((6L, 2L, 2000000L)))
+    assert(got("y") === ((2L, 6L, 2000000L)))
+    // textbook check: chi2 = sum/1e6 = 4.0 for this table
+    assert(got.values.map(_._3).sum === 4000000L)
+    val same = graft.ops.Stats.chiSquareDrift(a, a, "v")
+      .collect().map(_.getLong(3))
+    assert(same.forall(_ === 0L), "identical cohorts must score zero")
+  }
+
+  test("Stats.giniByGroup: equality scores 0, extreme concentration (n-1)/n, zeros/negatives") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("even", 5.0), ("even", 5.0), ("even", 5.0), ("even", 5.0),
+      ("conc", 0.0), ("conc", 0.0), ("conc", 0.0), ("conc", 8.0),
+      ("neg", -1.0), ("neg", 2.0), ("neg", 2.0),
+      ("zero", 0.0), ("zero", 0.0)).toDF("g", "v")
+    val got = graft.ops.Stats.giniByGroup(rows, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got("even") === ((4L, 20000L, Some(0L))), "perfect equality -> 0")
+    // all mass on one of 4 rows: G = (n-1)/n = 0.75
+    assert(got("conc") === ((4L, 8000L, Some(750000L))))
+    // the negative row is excluded: 2 equal values -> 0
+    assert(got("neg") === ((2L, 4000L, Some(0L))))
+    assert(got("zero")._3 === None, "an all-zero group has no defined coefficient")
+  }
+
+  test("Stats.hhiByGroup: single owner 1e6, even split 1e6/k, top share") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("mono", 1L), ("mono", 1L), ("mono", 1L),
+      ("duo", 1L), ("duo", 2L),
+      ("skew", 1L), ("skew", 1L), ("skew", 1L), ("skew", 2L)).toDF("g", "u")
+    val got = graft.ops.Stats.hhiByGroup(rows, "g", "u")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("mono") === ((1L, 3L, 1000000L, 1000000L)))
+    assert(got("duo") === ((2L, 2L, 500000L, 500000L)))
+    // shares 3/4 and 1/4: HHI = 9/16 + 1/16 = 0.625
+    assert(got("skew") === ((2L, 4L, 625000L, 750000L)))
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(
