@@ -193,4 +193,68 @@ object Anomaly {
         col("z.series.xm").as("x_milli"),
         col("z.out").as("ewma_milli"))
   }
+
+  /** Classical seasonal decomposition (the moving-average STL-lite every
+    * capacity dashboard starts from): `value = trend + seasonal +
+    * residual`, all integer-milli so the decomposition is
+    * oracle-hashable. Input is the PRE-AGGREGATED series — one row per
+    * (key, consecutive period index) — with `seasonLen` periods per cycle
+    * (24 for hour-of-day over hourly counts, 7 for day-of-week over
+    * daily). Stages: trend = centered moving average over `seasonLen + 1`
+    * rows (integral `1000·Σ div cnt`; null until the full window exists —
+    * edges are honestly unknown, not zero-padded); seasonal index per
+    * (key, period mod seasonLen) = integral mean of the detrended values
+    * over COMPLETE observations (the same trunc-toward-zero `div` both
+    * engines share, so negative deviations mirror exactly); residual =
+    * the leftover. A season index is null when no complete observation
+    * covered that phase.
+    *
+    * Scale shape: both windows and the season aggregate run on the
+    * (key, period) AGGREGATE — |keys|·|periods| rows, orders below the
+    * fact table, the [[graft.ops.Rollup.periodOverPeriod]] contract;
+    * feed gap-filled periods (the `gen_gap_fill` move) so row-frame
+    * windows see calendar-true neighbors.
+    */
+  def seasonalDecompose(
+      counted: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valCol: String,
+      seasonLen: Int = 24): DataFrame = {
+    require(seasonLen >= 2 && seasonLen <= 1000, s"seasonLen must be in [2, 1000], got $seasonLen")
+    val half = seasonLen / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy("p")
+      .rowsBetween(-half, seasonLen - half)
+    val base = counted
+      .filter(col(valCol).isNotNull)
+      .select(
+        col(keyCol),
+        col(periodCol).cast("long").as("p"),
+        round(col(valCol).cast("double") * 1000, 0).cast("long").as("x_milli"))
+    val trended = base
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__sum", sum("x_milli").over(w))
+      .withColumn(
+        "trend_milli",
+        when(col("__cnt") === (seasonLen + 1).toLong, expr("__sum div __cnt")))
+      .drop("__cnt", "__sum")
+    val season = trended
+      .filter(col("trend_milli").isNotNull)
+      .groupBy(col(keyCol).as("__k"), (col("p") % seasonLen).as("__phase"))
+      .agg(expr("sum(x_milli - trend_milli) div count(1)").cast("long").as("seasonal_milli"))
+    trended
+      .join(
+        season,
+        col(keyCol) === col("__k") && (col("p") % seasonLen) === col("__phase"),
+        "left")
+      .select(
+        col(keyCol),
+        col("p"),
+        col("x_milli"),
+        col("trend_milli"),
+        col("seasonal_milli"),
+        (col("x_milli") - col("trend_milli") - col("seasonal_milli")).as("residual_milli"))
+  }
 }

@@ -34,8 +34,31 @@ object Funnel {
       typeCol: String = "event_type",
       maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val stepTables = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, i)) =>
+    val stepTables = perStepFirsts(events, steps, userCol, tsCol, typeCol, maxGapUs)
+    stepTables.zipWithIndex
+      .map { case (t, i) =>
+        t.agg(count(lit(1)).cast("long").as("n_users"))
+          .select(
+            lit(i + 1).cast("int").as("step_idx"),
+            lit(steps(i)).as("step"),
+            col("n_users"))
+      }
+      .reduce(_.unionAll(_))
+  }
+
+  /** Step i's per-user first qualifying completion time (`userCol`, `t`)
+    * under the greedy sequential semantics — the kernel [[stages]] counts
+    * and [[conversionLags]] differences.
+    */
+  private def perStepFirsts(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      maxGapUs: Option[Long]): Seq[DataFrame] =
+    steps.scanLeft(Option.empty[DataFrame]) {
+      case (prev, step) =>
         val hits = events.filter(col(typeCol) === step)
         val qualified = prev match {
           case None => hits
@@ -55,13 +78,42 @@ object Funnel {
             .agg(min(col(tsCol)).as("t"))
             .localCheckpoint())
     }.flatten
-    stepTables.zipWithIndex
-      .map { case (t, i) =>
-        t.agg(count(lit(1)).cast("long").as("n_users"))
+
+  /** Time-to-convert per funnel edge — the "how long does the funnel
+    * take" half [[stages]]' counts leave open: for each consecutive step
+    * pair, every converting user's lag between first completions, under
+    * the SAME greedy sequential semantics (so `n` per edge equals
+    * [[stages]]' step count of the TO step). Returns one row per
+    * (edge, user): `step_idx` (1-based TO step), `edge` ("a>b"), the
+    * user, and `lag_us` — feed it to [[graft.ops.Stats.quantilesByGroup]]
+    * for the p50/p90 dashboard row, or aggregate conversion counts by
+    * edge directly.
+    *
+    * Scale shape: the per-step tables are |users| rows each (the
+    * [[stages]] contract — events filter map-side per step); each edge is
+    * one equi-join of two user-keyed tables.
+    */
+  def conversionLags(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type",
+      maxGapUs: Option[Long] = None): DataFrame = {
+    require(steps.size >= 2, "conversion lags need at least two steps")
+    val stepTables = perStepFirsts(events, steps, userCol, tsCol, typeCol, maxGapUs)
+    stepTables
+      .sliding(2)
+      .toSeq
+      .zipWithIndex
+      .map { case (Seq(a, b), i) =>
+        a.select(col(userCol), col("t").as("t_from"))
+          .join(b.select(col(userCol), col("t").as("t_to")), Seq(userCol))
           .select(
-            lit(i + 1).cast("int").as("step_idx"),
-            lit(steps(i)).as("step"),
-            col("n_users"))
+            lit(i + 2).cast("int").as("step_idx"),
+            lit(s"${steps(i)}>${steps(i + 1)}").as("edge"),
+            col(userCol),
+            (col("t_to") - col("t_from")).cast("long").as("lag_us"))
       }
       .reduce(_.unionAll(_))
   }

@@ -648,16 +648,26 @@ object Stats {
     * that column itself is oracle-hash-pinned.
     */
   def hllEstimate(sketch: DataFrame, groupCol: String): DataFrame =
+    registersToEstimate(sketch, Seq("grp"), "rho_max").withColumnRenamed("grp", groupCol)
+
+  /** The register → estimate math shared by [[hllEstimate]] and
+    * [[hllSlidingEstimate]], grouped by arbitrary key columns.
+    */
+  private def registersToEstimate(
+      sketch: DataFrame,
+      keyCols: Seq[String],
+      rhoCol: String): DataFrame =
     sketch
-      .groupBy("grp")
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).cast("long").as("n_hit"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - rho_max AS INT))"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(33 - $rhoCol AS INT))"))
           .cast("long").as("hit_scaled"))
       .select(
-        col("grp").as(groupCol),
-        (lit(256L) - col("n_hit")).as("n_zero"),
-        (col("hit_scaled") + (lit(256L) - col("n_hit")) * lit(8589934592L)).as("sum_scaled"))
+        keyCols.map(col) :+
+          (lit(256L) - col("n_hit")).as("n_zero") :+
+          (col("hit_scaled") + (lit(256L) - col("n_hit")) * lit(8589934592L))
+            .as("sum_scaled"): _*)
       .withColumn(
         "est_raw",
         round(
@@ -673,6 +683,67 @@ object Stats {
         "est",
         when(col("est_raw") <= 640.0 && col("n_zero") > 0, col("est_small"))
           .otherwise(col("est_raw")))
+
+  /** Sliding-window distinct estimate — "distinct users per type over the
+    * trailing `window` days, every day" — from PER-PERIOD HLL registers
+    * merged by the max law over a RANGE frame: because registers merge by
+    * pointwise MAX (the [[hllMerge]] law), a w-day distinct needs no
+    * re-scan of raw data, just max over w period-registers — the
+    * composition that makes sliding distinct counts affordable at 100 TB
+    * (an exact sliding countDistinct re-deduplicates every window).
+    * Output one row per (group, period) with the [[hllEstimate]] columns.
+    *
+    * Mechanics: per-period registers land like [[hllSketch]] keyed by
+    * (group, period, bucket); each group's observed buckets are GRIDDED
+    * across its periods before the window (a bucket silent in period p
+    * must still contribute its earlier rank to p's trailing window —
+    * a row-frame over present-only rows would drop it), and the frame is
+    * `RANGE BETWEEN window-1 PRECEDING AND CURRENT ROW` on the period
+    * value, so calendar gaps age out correctly without gap-filling.
+    *
+    * Scale shape: the register table is ≤ |groups|·|periods|·256 rows —
+    * bounded by the dashboard's own grain, never by events; the window
+    * partitions by (group, bucket) over period rows.
+    */
+  def hllSlidingEstimate(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valueCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1 && window <= 10000, s"window must be in [1, 10000], got $window")
+    val reg = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull && col(periodCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(periodCol).cast("long").as("p"),
+        md5(col(valueCol).cast("string")).as("h"))
+      .select(
+        col("grp"),
+        col("p"),
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
+        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("chunk"))
+      .withColumn(
+        "rho",
+        when(col("chunk") === 0L, lit(33L)).otherwise(lit(33L) - length(bin(col("chunk")))))
+      .groupBy("grp", "p", "bucket")
+      .agg(max("rho").cast("long").as("rho_max"))
+      .localCheckpoint() // grid (periods × buckets) + the merge join
+    val grid = reg
+      .select("grp", "p").distinct()
+      .join(reg.select("grp", "bucket").distinct(), Seq("grp"))
+    val w = Window
+      .partitionBy("grp", "bucket")
+      .orderBy("p")
+      .rangeBetween(-(window - 1).toLong, 0L)
+    val merged = grid
+      .join(reg, Seq("grp", "p", "bucket"), "left")
+      .withColumn("rho_w", max("rho_max").over(w))
+      .filter(col("rho_w").isNotNull)
+    registersToEstimate(merged, Seq("grp", "p"), "rho_w")
+      .withColumnRenamed("grp", groupCol)
+      .withColumnRenamed("p", "period")
+  }
 
   /** Streaming maintenance round for the HLL store — the
     * [[ingestKmvBatch]] lifecycle applied to registers: batch 0 (or a

@@ -626,6 +626,26 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // sliding distinct users per (type, day): per-day HLL registers merged
+    // by MAX over a 7-day RANGE frame — no re-scan of raw events per
+    // window, the mergeability law doing dashboard work
+    "stats_hll_sliding" -> { (s, dir) =>
+      Stats.hllSlidingEstimate(
+        events(s, dir).withColumn("day", expr("ts_us div 86400000000")),
+        "event_type",
+        "day",
+        "user_id",
+        window = 7)
+    },
+    // classical seasonal decomposition of hourly counts per type:
+    // value = trend (centered 25-row MA) + hour-of-day seasonal index +
+    // residual, all integer-milli, edges honestly null
+    "events_seasonal" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(expr("ts_us div 3600000000").cast("long").as("p"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      graft.ops.Anomaly.seasonalDecompose(hourly, "event_type", "p", "n", seasonLen = 24)
+    },
     // categorical drift between the same even/odd cohorts: per event_type
     // the exact-integral chi-square term (which category drifted); the
     // statistic is the consumer's sum
@@ -805,6 +825,12 @@ object RelQueries {
     // their previous step's
     "funnel_stages" -> { (s, dir) =>
       graft.ops.Funnel.stages(events(s, dir), Seq("view", "click", "purchase"))
+    },
+    // time-to-convert per funnel edge: every converting user's lag between
+    // first completions under the same greedy sequential semantics; n per
+    // edge equals funnel_stages' TO-step count
+    "funnel_convert_lag" -> { (s, dir) =>
+      graft.ops.Funnel.conversionLags(events(s, dir), Seq("view", "click", "purchase"))
     },
     // the conversion-window variant: each step must land within 24h of
     // the previous completion or the user churns out (15 -> 6 at step 2
@@ -1193,6 +1219,55 @@ object RelQueries {
        |               CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
        |         CASE WHEN 256 - n_hit > 0
        |              THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4) END AS est_small
+       |  FROM ag)
+       |SELECT *,
+       |       CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
+       |FROM est0""".stripMargin
+  }
+
+  // sliding HLL: per-day registers, bucket grid, MAX over a 7-day RANGE
+  // frame, then the stats_hll estimate chain keyed by (grp, day)
+  private val hllSlidingSql = {
+    val d = "'0123456789abcdef'"
+    def dig(i: Int) = s"(strpos($d, substr(h, $i, 1)) - 1)"
+    val chunkExpr = (3 to 10)
+      .map(i => s"${dig(i)} * ${1L << (4 * (10 - i))}")
+      .mkString(" + ")
+    s"""WITH vals AS (
+       |  SELECT DISTINCT event_type AS grp, epoch_us(ts) // 86400000000 AS p,
+       |         CAST(user_id AS VARCHAR) AS sv
+       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |hx AS (SELECT grp, p, md5(sv) AS h FROM vals),
+       |reg AS MATERIALIZED (
+       |  SELECT grp, p,
+       |         CAST(${dig(1)} * 16 + ${dig(2)} AS BIGINT) AS bucket,
+       |         MAX(CASE WHEN CAST($chunkExpr AS BIGINT) = 0 THEN 33
+       |                  ELSE 33 - len(bin(CAST($chunkExpr AS BIGINT))) END) AS rho_max
+       |  FROM hx GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT pp.grp, pp.p, bb.bucket
+       |  FROM (SELECT DISTINCT grp, p FROM reg) pp
+       |  JOIN (SELECT DISTINCT grp, bucket FROM reg) bb ON bb.grp = pp.grp),
+       |mg AS (
+       |  SELECT g.grp, g.p, g.bucket,
+       |         MAX(r.rho_max) OVER (PARTITION BY g.grp, g.bucket ORDER BY g.p
+       |           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho_w
+       |  FROM grid g LEFT JOIN reg r
+       |    ON r.grp = g.grp AND r.p = g.p AND r.bucket = g.bucket),
+       |live AS (SELECT grp, p, rho_w FROM mg WHERE rho_w IS NOT NULL),
+       |ag AS (
+       |  SELECT grp, p, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |         CAST(SUM(CAST(1 AS BIGINT) << CAST(33 - rho_w AS INT)) AS BIGINT) AS hit_scaled
+       |  FROM live GROUP BY 1, 2),
+       |est0 AS (
+       |  SELECT grp AS event_type, CAST(p AS BIGINT) AS period,
+       |         CAST(256 - n_hit AS BIGINT) AS n_zero,
+       |         CAST(hit_scaled + (256 - n_hit) * 8589934592 AS BIGINT) AS sum_scaled,
+       |         round(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0 /
+       |               CAST(hit_scaled + (256 - n_hit) * 8589934592 AS DOUBLE), 4) AS est_raw,
+       |         CASE WHEN 256 - n_hit > 0
+       |              THEN round(256.0 * ln(256.0 / CAST(256 - n_hit AS DOUBLE)), 4)
+       |         END AS est_small
        |  FROM ag)
        |SELECT *,
        |       CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
@@ -1764,6 +1839,7 @@ object RelQueries {
     "stats_hll" -> hllSql,
     "stats_hll_merged" -> hllSql,
     "stats_hll_streamed" -> hllSql,
+    "stats_hll_sliding" -> hllSlidingSql,
     "stats_rank_normalize" ->
       """WITH vm AS (
         |  SELECT event_type AS grp,
@@ -1865,6 +1941,27 @@ object RelQueries {
         |SELECT grp AS event_type, n_a, n_b,
         |       CAST((1000000 * dmax) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_ppm
         |FROM d""".stripMargin,
+    // mirrors Anomaly.seasonalDecompose: 25-row centered MA (null unless
+    // complete), trunc-div seasonal means per hour-of-day phase
+    "events_seasonal" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS p, event_type AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(p AS BIGINT) AS p, n * 1000 AS xm FROM c),
+        |t AS (
+        |  SELECT k, p, xm, COUNT(*) OVER w AS cnt, SUM(xm) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY k ORDER BY p ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (SELECT k, p, xm, CASE WHEN cnt = 25 THEN s // cnt END AS trend FROM t),
+        |se AS (
+        |  SELECT k, p % 24 AS ph, CAST(SUM(xm - trend) // COUNT(*) AS BIGINT) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+        |SELECT tr.k AS event_type, tr.p, CAST(tr.xm AS BIGINT) AS x_milli,
+        |       CAST(tr.trend AS BIGINT) AS trend_milli,
+        |       se.seasonal AS seasonal_milli,
+        |       CAST(tr.xm - tr.trend - se.seasonal AS BIGINT) AS residual_milli
+        |FROM tr LEFT JOIN se ON se.k = tr.k AND se.ph = tr.p % 24""".stripMargin,
     // 2xm chi-square in the exact cross-product form: D = o_a*nb - na*o_b,
     // term = 1e6*D^2 // (na*nb*(o_a+o_b)) per category, HUGEINT throughout
     "stats_chisq_drift" ->
@@ -1985,6 +2082,26 @@ object RelQueries {
         |SELECT CAST(2 AS INT), 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
         |UNION ALL
         |SELECT CAST(3 AS INT), 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""".stripMargin,
+    "funnel_convert_lag" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |s1 AS (
+        |  SELECT user_id, MIN(ts_us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS t
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY 1)
+        |SELECT CAST(2 AS INT) AS step_idx, 'view>click' AS edge, s1.user_id,
+        |       CAST(s2.t - s1.t AS BIGINT) AS lag_us
+        |FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'click>purchase', s2.user_id,
+        |       CAST(s3.t - s2.t AS BIGINT)
+        |FROM s2 JOIN s3 ON s2.user_id = s3.user_id""".stripMargin,
     "funnel_stages_windowed" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),

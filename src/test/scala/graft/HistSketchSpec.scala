@@ -231,6 +231,36 @@ class HistSketchSpec extends SparkSpec {
     assert(Stats.readHllEstimate(spark, s"$dir/store", "event_type").collect().toSeq === got)
   }
 
+  test("hllSlidingEstimate: window merge == hllMerge of the covered days; window=1 is per-day") {
+    val s = spark
+    import s.implicits._
+    val day0 = (1 to 400).map(i => ("t", 0L, s"u$i"))
+    val day1 = (301 to 700).map(i => ("t", 1L, s"u$i")) // 300 overlap, 300 new
+    val df = (day0 ++ day1).toDF("g", "d", "u")
+    def estOf(sk: org.apache.spark.sql.DataFrame): Double =
+      graft.ops.Stats.hllEstimate(sk, "g").head().getAs[Double]("est")
+    val sliding = graft.ops.Stats.hllSlidingEstimate(df, "g", "d", "u", window = 2)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("est")).toMap
+    // day 1's 2-day window == the merged two-day sketch, EXACTLY (max law)
+    val merged = estOf(graft.ops.Stats.hllMerge(Seq(
+      graft.ops.Stats.hllSketch(df.filter(col("d") === 0L), "g", "u"),
+      graft.ops.Stats.hllSketch(df.filter(col("d") === 1L), "g", "u"))))
+    assert(sliding(1L) === merged)
+    // day 0's window covers only itself
+    assert(sliding(0L) === estOf(graft.ops.Stats.hllSketch(df.filter(col("d") === 0L), "g", "u")))
+    // window=1: every day independent
+    val w1 = graft.ops.Stats.hllSlidingEstimate(df, "g", "d", "u", window = 1)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("est")).toMap
+    assert(w1(1L) === estOf(graft.ops.Stats.hllSketch(df.filter(col("d") === 1L), "g", "u")))
+    // a calendar GAP ages out: u-only day 0, then day 9 — day 9's 2-window
+    // must not see day 0's registers (range frame, not row frame)
+    val gap = (day0 ++ (1 to 5).map(i => ("t", 9L, s"z$i"))).toDF("g", "d", "u")
+    val g9 = graft.ops.Stats.hllSlidingEstimate(gap, "g", "d", "u", window = 2)
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("est")).toMap
+    assert(g9(9L) === estOf(graft.ops.Stats.hllSketch(gap.filter(col("d") === 9L), "g", "u")),
+      s"day 9 must only see itself, got ${g9(9L)}")
+  }
+
   test("rankNormalize: mid-rank percentiles, ties share one ppm, bounds") {
     val s = spark
     import s.implicits._

@@ -1159,6 +1159,47 @@ class RelationalSpec extends SparkSpec {
     assert(got("skew") === ((2L, 4L, 625000L, 750000L)))
   }
 
+  test("Anomaly.seasonalDecompose: hand-computed trend/seasonal/residual, honest null edges") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("k", 0L, 10.0), ("k", 1L, 20.0), ("k", 2L, 10.0), ("k", 3L, 20.0), ("k", 4L, 10.0))
+      .toDF("g", "p", "v")
+    val got = graft.ops.Anomaly.seasonalDecompose(rows, "g", "p", "v", seasonLen = 2)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // trend = 3-row centered MA: p1 (10+20+10)/3 = 13333, p2 16666, p3 13333
+    // seasonal phase1 = mean(20000-13333 twice) = 6667; phase0 = -6666
+    assert(got(1L) === ((20000L, Some(13333L), Some(6667L), Some(0L))))
+    assert(got(2L) === ((10000L, Some(16666L), Some(-6666L), Some(0L))))
+    assert(got(3L) === ((20000L, Some(13333L), Some(6667L), Some(0L))))
+    // edges: incomplete window -> null trend and residual, never zero-padded
+    assert(got(0L)._2 === None && got(0L)._4 === None)
+    assert(got(4L)._2 === None && got(4L)._4 === None)
+  }
+
+  test("Funnel.conversionLags: per-edge lags under greedy sequential semantics") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 5L, "click"), (1L, 12L, "purchase"),
+      (2L, 3L, "view"), (2L, 2L, "click"), (2L, 9L, "click"),
+      (3L, 4L, "click")) // never viewed: not in the funnel at all
+      .toDF("user_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel.conversionLags(ev, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === Set(
+      (2, "view>click", 1L, 4L),
+      (2, "view>click", 2L, 6L), // the ts-2 click precedes the view: skipped
+      (3, "click>purchase", 1L, 7L)), got.toString)
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(
