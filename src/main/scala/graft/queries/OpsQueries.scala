@@ -920,6 +920,18 @@ object OpsQueries {
       Similarity.writeIvfIndex(e, idx)
       Similarity.ivfRecallAudit(s, idx, e.filter(col("vec_id") < 8), k = 5, nProbe = 4)
     },
+    // the PQ face of the recall dial: the compressed-domain ADC probe
+    // scored against exact brute force over the same corpus — what the
+    // 16x memory cut actually costs in recall, per query, hash-checked
+    "ann_recall_audit_pq" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_recall_${ProcessHandle.current().pid()}"
+      Similarity.writePqIndex(e, idx)
+      Similarity.annRecallAudit(
+        Similarity.probePqIndex(s, idx, e.filter(col("vec_id") < 8), k = 5),
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5),
+        k = 5)
+    },
     "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
     "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) },
     // containment fixture: every 10th doc fully re-inserted (all chunks
@@ -3595,6 +3607,54 @@ object OpsQueries {
          |    PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
          |  FROM adc)
          |WHERE rank <= 5""".stripMargin,
+    // recall@k of the ADC probe vs exact brute force — the PQ twin of
+    // ann_recall_audit's chain (set-membership hits, never rank order)
+    "ann_recall_audit_pq" ->
+      s"""WITH $pqCtes,
+         |${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |codes AS (
+         |  SELECT vec_id, subspace, code
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+         |                                     ORDER BY dist, code) AS rn FROM pqd)
+         |  WHERE rn = 1),
+         |dt AS (
+         |  SELECT s.vec_id AS query_id, s.subspace, cb.code,
+         |         list_sum(list_transform(range(1, 17),
+         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS qdist
+         |  FROM sv s JOIN cb ON cb.subspace = s.subspace
+         |  WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+         |         CAST(SUM(dt.qdist) AS BIGINT) AS adc_dist
+         |  FROM codes JOIN dt ON dt.subspace = codes.subspace AND dt.code = codes.code
+         |  WHERE dt.query_id <> codes.vec_id
+         |  GROUP BY 1, 2),
+         |pqk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+         |    FROM adc)
+         |  WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+         |bk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5)
+         |SELECT bk.query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hit,
+         |       CAST((1000 * SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM bk
+         |LEFT JOIN pqk p
+         |  ON p.query_id = bk.query_id AND p.neighbor_id = bk.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // Mirrors Similarity.diversity: milli-int normalized vectors, mean
     // pairwise cosine per label via the sum-vector identity.
     "embedding_diversity" ->
