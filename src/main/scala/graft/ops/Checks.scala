@@ -276,11 +276,17 @@ object Checks {
     require(missing.isEmpty, s"profileApprox: columns not in schema: ${missing.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
+    // _outer + a generated-attribute filter: a plain explode would let
+    // InferFiltersFromGenerate push an isnotnull/size filter below this
+    // projection and re-evaluate the whole |cols|-struct construction per
+    // row in a non-codegen Filter (the SCALE.md trap); the array is
+    // non-empty by construction (cols.nonEmpty is required above)
     val exploded = df
       .select(
-        explode(
+        explode_outer(
           array(cols.map(c => struct(lit(c).as("grp"), col(c).cast("string").as("v"))): _*))
           .as("s"))
+      .filter(col("s").isNotNull)
       .select(col("s.grp").as("grp"), col("s.v").as("v"))
     val counts = exploded
       .groupBy("grp")

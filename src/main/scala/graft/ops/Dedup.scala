@@ -596,17 +596,22 @@ object Dedup {
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // leading empties must not consume the claim
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/bands")
-      Similarity.deleteDir(spark, s"$path/shingles")
-      Similarity.deleteDir(spark, s"$path/docs")
-      Similarity.clearTombstones(spark, path)
-      Seq((numHashes, rowsPerBand, shingle))
-        .toDF("num_hashes", "rows_per_band", "shingle")
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/params")
-    } else requireLshParams(spark, path, numHashes, rowsPerBand, shingle)
+    // Claim BEFORE the empty check (StoreLifecycle's rule — content-free
+    // params, so even an empty batch 0 wipes a previous run's store;
+    // otherwise batch 1 would probe the dead run's corpus and silently
+    // drop batch docs as near-dups of another stream).
+    StoreLifecycle.claim(
+      spark,
+      path,
+      Seq("bands", "shingles", "docs", "tombstones"),
+      batchId,
+      () =>
+        Seq((numHashes, rowsPerBand, shingle))
+          .toDF("num_hashes", "rows_per_band", "shingle")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$path/params"),
+      () => requireLshParams(spark, path, numHashes, rowsPerBand, shingle))
+    if (batch.isEmpty) return // nothing to probe or land
     val kept = nearDupSurvivors(
       batch, path, Some(batchId),
       numHashes, rowsPerBand, threshold, shingle, maxBucket, textCol, idCol)
@@ -2112,17 +2117,17 @@ object Dedup {
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // Claim BEFORE the empty check (the StoreLifecycle rule): the params
-    // pin (max_edit=1) is content-independent, so even an empty batch 0
-    // wipes a previous run's store — otherwise batch 1 would validate
-    // against stale params and silently merge two streams' corpora.
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/docs")
-      Similarity.deleteDir(spark, s"$path/sigs")
-      Similarity.deleteDir(spark, s"$path/pairs")
-      Similarity.clearTombstones(spark, path)
-      Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else requireTokenEditParams(spark, path)
+    // Claim BEFORE the empty check (StoreLifecycle's rule — the params pin
+    // (max_edit=1) is content-independent, so even an empty batch 0 wipes
+    // a previous run's store; otherwise batch 1 would validate against
+    // stale params and silently merge two streams' corpora).
+    StoreLifecycle.claim(
+      spark,
+      path,
+      Seq("docs", "sigs", "pairs", "tombstones"),
+      batchId,
+      () => Seq(1).toDF("max_edit").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => requireTokenEditParams(spark, path))
     if (batch.isEmpty) return // nothing to probe or land
     val btoks = editTokens(batch, textCol, idCol).localCheckpoint()
     // hashed ONCE: the probe's join sides and the sigs write all read

@@ -173,12 +173,14 @@ object Graph {
     * bound: the loop stops early at fixpoint and throws if the bound is
     * hit before convergence rather than silently returning a non-core.
     * The depth bound, precisely: a round removes every vertex whose
-    * survivor-degree is < k, so rounds = the longest "removal cascade" —
-    * a path graph at k=2 peels exactly ⌈|V|/2⌉ rounds (two endpoints per
-    * round; GraphSpec pins a 32-chain at 16 rounds), and in general
-    * depth ≤ ⌈|V|/2⌉ with real graphs converging in a handful (each
-    * round removes entire "shells"). When the cascade IS deep — near-
-    * chain topology at small k — this loop is the wrong tool: use
+    * survivor-degree is < k, so rounds = the longest "removal cascade".
+    * A free-standing path at k=2 peels two endpoints per round — exactly
+    * ⌈|V|/2⌉ rounds (GraphSpec pins a 32-chain at 16) — but a pendant
+    * path anchored on a surviving core peels from its free end only, ONE
+    * vertex per round, so the honest worst case is O(|V|); real graphs
+    * converge in a handful of rounds (each round removes whole shells).
+    * When the cascade IS deep — near-chain topology at small k — this
+    * loop is the wrong tool: use
     * [[coreNumbers]] (the h-index iteration), whose per-round cost is
     * the same two shuffles but which computes EVERY k at once, so one
     * run replaces the per-k peels; or raise maxRounds toward the ⌈|V|/2⌉

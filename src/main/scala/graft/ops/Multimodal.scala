@@ -726,12 +726,15 @@ object Multimodal {
       maxHamming: Int = 3,
       maxBucket: Int = 1000): Unit = {
     val spark = batch.sparkSession
-    if (batch.isEmpty) return // leading empties must not consume the claim
+    // Wipe BEFORE the empty check (the StoreLifecycle rule): an empty
+    // batch 0 must still retire a previous run's fingerprints, or batch 1
+    // would dedup against the dead run's media.
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/fps")) {
       Similarity.deleteDir(spark, s"$path/fps")
       Similarity.deleteDir(spark, s"$path/docs")
       Similarity.clearTombstones(spark, path)
     }
+    if (batch.isEmpty) return // nothing to fingerprint or land
     val fp = mediaFingerprints(batch).localCheckpoint()
     // drops are keyed (doc_id, medium): a doc whose IMAGE near-matches
     // history must not lose its unrelated audio row, nor a pass-through

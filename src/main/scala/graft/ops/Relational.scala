@@ -1218,10 +1218,19 @@ object Relational {
     * one open (`is_current`). Multiple changes to one key in one batch
     * chain correctly in timestamp order (ties broken existing-first, then
     * by attribute struct — deterministic, so the result is
-    * oracle-hashable); brand-new keys open their first version. By
-    * convention a change at a timestamp ≤ the open version's
-    * `valid_from_us` sorts BEFORE it (late-arriving corrections rewrite
-    * the head of the open version's span rather than silently vanishing).
+    * oracle-hashable); brand-new keys open their first version.
+    * Zero-width versions (`valid_from_us == valid_to_us` — a change
+    * landing at exactly the open version's timestamp, or two same-ts
+    * changes) are DROPPED: the later entry replaces the head, which is
+    * the correction semantics a same-instant rewrite means. A change
+    * STRICTLY earlier than the open version's `valid_from_us` prepends a
+    * version covering `[its ts, open valid_from)` — late-arriving
+    * corrections surface rather than silently vanishing — with the
+    * documented caveat that closed history is never edited, so a
+    * prepended span can overlap an already-closed version; reconciling
+    * closed history is a rebuild, not an apply. Null change timestamps
+    * REFUSE in-plan (`assert_true`): a null would sort first and become
+    * the key's earliest version with an unusable `valid_from_us`.
     *
     * Scale shape: both windows partition by the dimension KEY over that
     * key's open version + this batch's changes — a handful of rows per
@@ -1251,11 +1260,16 @@ object Relational {
         attrs.as("__a"),
         col("valid_from_us").cast("long").as("__ts"),
         lit(0L).as("__src"))
-    val batch = changes.select(
-      col(keyCol).as("__k"),
-      attrs.as("__a"),
-      col(tsCol).cast("long").as("__ts"),
-      lit(1L).as("__src"))
+    val batch = changes
+      .filter(expr(
+        s"assert_true($tsCol IS NOT NULL, " +
+          "'scd2Apply: null change timestamp — a null would become the key''s earliest version') " +
+          "IS NULL"))
+      .select(
+        col(keyCol).as("__k"),
+        attrs.as("__a"),
+        col(tsCol).cast("long").as("__ts"),
+        lit(1L).as("__src"))
     val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__src"), col("__a"))
     val surviving = open
       .unionByName(batch)
@@ -1266,6 +1280,9 @@ object Relational {
     val w2 = Window.partitionBy("__k").orderBy(col("__ts"), col("__src"), col("__a"))
     surviving
       .withColumn("__to", lead("__ts", 1).over(w2))
+      // a same-instant successor replaced this entry's head entirely: a
+      // zero-width version is dead weight for every interval consumer
+      .filter(col("__to").isNull || col("__to") =!= col("__ts"))
       .select(
         col("__k").as(keyCol) +:
           attrCols.map(c => col(s"__a.$c").as(c)) :+

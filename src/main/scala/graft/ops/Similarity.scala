@@ -1211,14 +1211,21 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val (n, nulls, dmin, dmax) = vecDimProfile(batch, vecCol)
-    if (n == 0) return // empty batch: nothing to train on or assign
-    require(nulls == 0, s"IVF ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
-    require(
-      dmin == dmax,
-      s"IVF ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
     if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      // The WIPE runs before the empty check (the StoreLifecycle rule): an
+      // empty batch 0 must still retire a previous run's store, or batch 1
+      // would assign against the dead run's quantizer. The quantizer
+      // TRAINING needs content, so it defers to the first non-empty batch
+      // — params come down too, so that batch re-enters this branch.
       deleteDir(spark, s"$path/cells")
       deleteDir(spark, s"$path/tombstones")
+      deleteDir(spark, s"$path/centroids")
+      deleteDir(spark, s"$path/params")
+      if (n == 0) return
+      require(nulls == 0, s"IVF ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
+      require(
+        dmin == dmax,
+        s"IVF ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
       val cents = ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
       val dim = cents.select(size(col("centroid"))).head().getInt(0)
       cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -1227,6 +1234,11 @@ object Similarity {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
     } else {
+      if (n == 0) return // nothing to assign
+      require(nulls == 0, s"IVF ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
+      require(
+        dmin == dmax,
+        s"IVF ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
       val stored = spark.read.parquet(s"$path/params").select("dim").head().getInt(0)
       require(
         dmin.contains(stored),
@@ -1552,17 +1564,26 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val (n, nulls, dmin, dmax) = vecDimProfile(batch, vecCol)
-    if (n == 0) return // empty batch: nothing to train on or encode
-    require(nulls == 0, s"IVF-PQ ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
-    require(
-      dmin == dmax,
-      s"IVF-PQ ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
-    require(
-      dmin.contains(dim),
-      s"IVF-PQ ingest batch $batchId carries ${dmin.get}-dim vectors, caller declared dim=$dim")
+    def requireCleanBatch(): Unit = {
+      require(nulls == 0, s"IVF-PQ ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
+      require(
+        dmin == dmax,
+        s"IVF-PQ ingest batch $batchId carries mixed vector widths: ${dmin.get}..${dmax.get}")
+      require(
+        dmin.contains(dim),
+        s"IVF-PQ ingest batch $batchId carries ${dmin.get}-dim vectors, caller declared dim=$dim")
+    }
     if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      // Wipe BEFORE the empty check (the StoreLifecycle rule); both
+      // quantizers need content to train, so they defer to the first
+      // non-empty batch — params come down too, so that batch re-claims.
       deleteDir(spark, s"$path/codes")
       deleteDir(spark, s"$path/tombstones")
+      deleteDir(spark, s"$path/centroids")
+      deleteDir(spark, s"$path/codebook")
+      deleteDir(spark, s"$path/params")
+      if (n == 0) return
+      requireCleanBatch()
       ivfCentroids(batch, nCentroids, iters, idCol, vecCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       pqCodebook(batch, m, dim / m, ksub, idCol, vecCol)
@@ -1571,7 +1592,11 @@ object Similarity {
         .toDF("kind", "n_centroids", "iters", "m", "ksub", "dim")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
-    } else requireIvfPqParams(spark, path, m, ksub, dim)
+    } else {
+      if (n == 0) return // nothing to encode
+      requireCleanBatch()
+      requireIvfPqParams(spark, path, m, ksub, dim)
+    }
     encodeToCells(
       batch,
       spark.read.parquet(s"$path/centroids"),
@@ -2444,17 +2469,25 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    if (batch.isEmpty) return // nothing to train on or encode
     if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+      // Wipe BEFORE the empty check (the StoreLifecycle rule); the
+      // codebook needs content to train, so it defers to the first
+      // non-empty batch — params come down too, so that batch re-claims.
       deleteDir(spark, s"$path/codes")
       deleteDir(spark, s"$path/tombstones")
+      deleteDir(spark, s"$path/codebook")
+      deleteDir(spark, s"$path/params")
+      if (batch.isEmpty) return
       pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       Seq((m, ksub, dim))
         .toDF("m", "ksub", "dim")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
-    } else requirePqParams(spark, path, m, ksub, dim)
+    } else {
+      requirePqParams(spark, path, m, ksub, dim)
+      if (batch.isEmpty) return // nothing to encode
+    }
     val cb = spark.read.parquet(s"$path/codebook")
     pqEncode(batch, cb, m, subDim, idCol, vecCol)
       .select("vec_id", "subspace", "code")

@@ -603,20 +603,30 @@ object Stats {
     * saw.
     */
   def hllSketch(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    // first byte = bucket; next 32 bits via base-16 conv (exact: < 2^32);
-    // rank from bin()'s leading-zero-free length, 33 when the chunk is 0.
-    // The digest is projected ONCE (multiply-referenced non-cheap
-    // producer — the repo's materialize-the-array discipline)
-    df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("grp"), md5(col(valueCol).cast("string")).as("h"))
+    hllRegisters(
+      df.select(col(groupCol).as("grp"), col(valueCol).as("__v")),
+      Seq("grp"))
+
+  /** The oracle-pinned register chain shared by [[hllSketch]] (keyed by
+    * group) and [[hllSlidingEstimate]] (keyed by group × period): first
+    * byte = bucket; next 32 bits via base-16 conv (exact: < 2^32); rank
+    * from bin()'s leading-zero-free length, 33 when the chunk is 0. The
+    * digest is projected ONCE (multiply-referenced non-cheap producer —
+    * the repo's materialize-the-array discipline). Input carries the
+    * value pre-projected as `__v`.
+    */
+  private def hllRegisters(keyed: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyed
+      .filter(col("__v").isNotNull)
+      .select(keyCols.map(col) :+ md5(col("__v").cast("string")).as("h"): _*)
       .select(
-        col("grp"),
-        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
-        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("chunk"))
+        keyCols.map(col) :+
+          expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)").as("bucket") :+
+          expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("chunk"): _*)
       .withColumn(
         "rho",
         when(col("chunk") === 0L, lit(33L)).otherwise(lit(33L) - length(bin(col("chunk")))))
-      .groupBy("grp", "bucket")
+      .groupBy((keyCols :+ "bucket").map(col): _*)
       .agg(max("rho").cast("long").as("rho_max"))
 
   /** Merge HLL sketches by pointwise register MAX — exactly equal to
@@ -712,22 +722,13 @@ object Stats {
       valueCol: String,
       window: Int = 7): DataFrame = {
     require(window >= 1 && window <= 10000, s"window must be in [1, 10000], got $window")
-    val reg = df
-      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull && col(periodCol).isNotNull)
-      .select(
-        col(groupCol).as("grp"),
-        col(periodCol).cast("long").as("p"),
-        md5(col(valueCol).cast("string")).as("h"))
-      .select(
-        col("grp"),
-        col("p"),
-        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT)").as("bucket"),
-        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("chunk"))
-      .withColumn(
-        "rho",
-        when(col("chunk") === 0L, lit(33L)).otherwise(lit(33L) - length(bin(col("chunk")))))
-      .groupBy("grp", "p", "bucket")
-      .agg(max("rho").cast("long").as("rho_max"))
+    val reg = hllRegisters(
+      df.filter(col(groupCol).isNotNull && col(periodCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          col(periodCol).cast("long").as("p"),
+          col(valueCol).as("__v")),
+      Seq("grp", "p"))
       .localCheckpoint() // grid (periods × buckets) + the merge join
     val grid = reg
       .select("grp", "p").distinct()
@@ -929,15 +930,23 @@ object Stats {
       sum("o_b").cast("long").as("__nb"))
     m.crossJoin(broadcast(t))
       .filter(col("__na") > 0 && col("__nb") > 0)
+      // D² alone can reach ~1e32 at 1e8-row cohorts; multiplying by 10⁶
+      // FIRST would overflow decimal(38,0) exactly on the most-drifted
+      // category. Two-step exact division instead: term = (D² div den)·10⁶
+      // + ((D² mod den)·10⁶) div den — identical value, every intermediate
+      // bounded by max(D², den·10⁶).
+      .withColumn(
+        "__d2",
+        expr(
+          "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b) * " +
+            "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b)"))
+      .withColumn("__den", expr("CAST(__na AS DECIMAL(38,0)) * __nb * (o_a + o_b)"))
       .select(
         col("v").as(valueCol),
         col("o_a"),
         col("o_b"),
         expr(
-          "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
-            "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b) * " +
-            "(CAST(o_a AS DECIMAL(38,0)) * __nb - CAST(__na AS DECIMAL(38,0)) * o_b)) div " +
-            "(CAST(__na AS DECIMAL(38,0)) * __nb * (o_a + o_b)) AS BIGINT)")
+          "CAST((__d2 div __den) * 1000000 + ((__d2 % __den) * 1000000) div __den AS BIGINT)")
           .as("term_micro"))
   }
 

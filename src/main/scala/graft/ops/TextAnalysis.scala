@@ -919,13 +919,18 @@ object TextAnalysis {
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return // leading empties must not consume the claim
-    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
-      Similarity.deleteDir(spark, s"$path/postings")
-      Similarity.deleteDir(spark, s"$path/docs")
-      Similarity.clearTombstones(spark, path)
-      Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    } else requireGramParams(spark, path, n)
+    // Claim BEFORE the empty check (StoreLifecycle's rule — content-free
+    // params, so even an empty batch 0 wipes a previous run's store;
+    // otherwise batch 1 would excise spans against the dead run's
+    // postings).
+    StoreLifecycle.claim(
+      spark,
+      path,
+      Seq("postings", "docs", "tombstones"),
+      batchId,
+      () => Seq(n).toDF("n").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => requireGramParams(spark, path, n))
+    if (batch.isEmpty) return // nothing to excise or land
     val pg = gramPostings(batch, n, textCol, idCol).localCheckpoint()
     val hist =
       if (Similarity.storeExists(spark, s"$path/postings")) {

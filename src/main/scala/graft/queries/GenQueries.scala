@@ -447,6 +447,7 @@ object GenQueries {
         |       CAST(ts AS BIGINT) AS valid_from_us, CAST(vto AS BIGINT) AS valid_to_us,
         |       vto IS NULL AS is_current
         |FROM v
+        |WHERE vto IS NULL OR vto <> ts
         |UNION ALL SELECT * FROM closed""".stripMargin,
     // mirrors Checks.profileApprox: per-column string-cast union, then
     // the deterministic HLL register chain (RelQueries' stats_hll shape)

@@ -249,6 +249,52 @@ class OpsSpec extends SparkSpec {
       z.getAs[Long]("recall_milli") === 0L)
   }
 
+  test("ingest claim rule: an EMPTY batch 0 wipes a previous run's store (LSH, IVF, PQ)") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val empty = e.limit(0)
+    // IVF: old run trains a quantizer; the new stream's empty batch 0 must
+    // retire it — batch 1 retrains fresh and the cells hold only new ids
+    val ivfDir = java.nio.file.Files.createTempDirectory("ivfwipe").toString
+    Similarity.ingestIvfBatch(e.filter(col("vec_id") < 32), ivfDir, 0L)
+    Similarity.ingestIvfBatch(empty, ivfDir, 0L)
+    assert(!new java.io.File(s"$ivfDir/params").exists, "empty batch 0 must wipe params")
+    Similarity.ingestIvfBatch(
+      e.filter(col("vec_id") >= 32).select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      ivfDir, 1L)
+    val ivfIds = spark.read.parquet(s"$ivfDir/cells").select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivfIds.forall(_ >= 1000L), s"old run's vectors leaked: ${ivfIds.filter(_ < 1000L)}")
+    // PQ: same rule for the codebook store
+    val pqDir = java.nio.file.Files.createTempDirectory("pqwipe").toString
+    Similarity.ingestPqBatch(e.filter(col("vec_id") < 32), pqDir, 0L)
+    Similarity.ingestPqBatch(empty, pqDir, 0L)
+    assert(!new java.io.File(s"$pqDir/params").exists)
+    Similarity.ingestPqBatch(
+      e.filter(col("vec_id") >= 32).select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      pqDir, 1L)
+    val pqIds = spark.read.parquet(s"$pqDir/codes").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pqIds.forall(_ >= 1000L))
+    // LSH: batch 1 must NOT be deduped against the dead run's corpus
+    val lshDir = java.nio.file.Files.createTempDirectory("lshwipe").toString
+    val oldDocs = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.ingestLshBatch(oldDocs, lshDir, 0L)
+    graft.ops.Dedup.ingestLshBatch(oldDocs.limit(0), lshDir, 0L)
+    // LSH params are content-free, so the claim REWRITES them; the corpus
+    // subtrees are what must be gone
+    assert(!new java.io.File(s"$lshDir/docs").exists)
+    assert(!new java.io.File(s"$lshDir/bands").exists)
+    graft.ops.Dedup.ingestLshBatch(
+      Seq((11L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text"),
+      lshDir, 1L)
+    val kept = spark.read.parquet(s"$lshDir/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(11L), s"the exact re-crawl must SURVIVE against a wiped store: $kept")
+  }
+
   test("IVF tombstones + compaction: deleted ids never rank; compaction preserves the probe") {
     val dir = java.nio.file.Files.createTempDirectory("ivfdel").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -1104,6 +1104,26 @@ class RelationalSpec extends SparkSpec {
       (3L, "cur", 50L, None, true),
       (4L, "z", 100L, None, true),        // pure no-op: single open version
       (9L, "new", 15L, None, true)), got.toString)
+    // a change at EXACTLY the open version's timestamp replaces its head:
+    // the zero-width [t, t) version is dropped, not emitted
+    val sameTs = graft.ops.Relational
+      .scd2Apply(
+        hist(Seq((7L, "orig", Some(100L), None))),
+        ch(Seq((7L, "fix", 100L))),
+        "k",
+        Seq("attr"))
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+      .toSet
+    assert(sameTs === Set(("fix", 100L, None, true)), sameTs.toString)
+    // null change timestamps refuse in-plan rather than becoming the
+    // earliest version
+    val nullTs = Seq((8L, "x", Option.empty[Long])).toDF("k", "attr", "ts_us")
+    val err = intercept[Exception](
+      graft.ops.Relational
+        .scd2Apply(hist(Seq((8L, "a", Some(0L), None))), nullTs, "k", Seq("attr"))
+        .collect())
+    assert(err.getMessage.contains("null change timestamp"), err.getMessage)
   }
 
   test("Stats.chiSquareDrift: hand-computed terms; identical cohorts score zero") {
