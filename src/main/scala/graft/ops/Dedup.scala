@@ -2167,6 +2167,51 @@ object Dedup {
     Similarity.clearTombstones(spark, path)
   }
 
+  /** Multi-key blocking for ENTITY RESOLUTION — the classic record-linkage
+    * candidate generator: records pair iff they share ANY of the blocking
+    * keys (union of per-blocker self-joins), so overlapping keys — e.g.
+    * two value grids offset by half a cell, the canopy trick — guarantee
+    * that a small perturbation crossing one grid's boundary is still
+    * caught by the other. This generates CANDIDATES only; the caller
+    * verifies pairs with its own field-similarity predicate and feeds
+    * survivors to [[clusterPairs]] for transitive entity ids — the same
+    * candidates → verify → CC shape as every dedup family here.
+    *
+    * Scale shape: per blocker, records collapse to (id, key), hot blocks
+    * above `maxBlock` are EXCLUDED up front (a block everyone shares
+    * carries no linkage signal and costs |block|² — the
+    * [[minHashLsh]]/[[graft.ops.Graph.commonNeighborRecs]] cap logic),
+    * and the self-join is an equi-join on the key: Σ per-block n² ≤
+    * maxBlock·|records| pairs per blocker. Null keys never block.
+    */
+  def blockingPairs(
+      records: DataFrame,
+      idCol: String,
+      blockers: Seq[Column],
+      maxBlock: Long = 1000L): DataFrame = {
+    require(blockers.nonEmpty, "blockingPairs needs at least one blocking key")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    blockers
+      .map { b =>
+        val keyed = records
+          .select(col(idCol).cast("long").as("id"), b.as("bk"))
+          .filter(col("bk").isNotNull)
+          .localCheckpoint() // cap count + both self-join sides
+        val ok = keyed
+          .groupBy("bk")
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") <= maxBlock)
+          .select("bk")
+        val capped = keyed.join(ok, Seq("bk"))
+        capped
+          .as("a")
+          .join(capped.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      }
+      .reduce(_ unionAll _)
+      .distinct()
+  }
+
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the
     * first 8 dimensions) then exact cosine within bucket, kept when
     * round(cos, 4) >= threshold. Blocking bounds the pair count to

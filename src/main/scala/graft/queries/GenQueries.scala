@@ -169,6 +169,44 @@ object GenQueries {
         s.read.parquet(s"$dir/events.parquet"),
         Seq("event_id", "user_id", "event_type", "value"))
     },
+    // entity resolution over the customer dimension: offset-canopy
+    // blocking (two half-cell-shifted cents grids per nation — a planted
+    // +1-cent duplicate crossing one grid's boundary is still caught by
+    // the other), integer-cents verify, connected components → entity id;
+    // records with no match are their own entity
+    "er_entities" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val base = c.select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      val planted = base
+        .filter(col("id") % 9 === 0)
+        .select((col("id") + 1000000L).as("id"), col("nat"), (col("cents") + 1L).as("cents"))
+      val recs = base.unionByName(planted).localCheckpoint()
+      val pairs = graft.ops.Dedup.blockingPairs(
+        recs,
+        "id",
+        Seq(
+          struct(col("nat"), expr("cents div 10000").as("g")),
+          struct(col("nat"), expr("(cents + 5000) div 10000").as("g"))))
+      val verified = pairs
+        .join(
+          recs.select(col("id").as("doc_a"), col("nat").as("na"), col("cents").as("ca")),
+          Seq("doc_a"))
+        .join(
+          recs.select(col("id").as("doc_b"), col("nat").as("nb"), col("cents").as("cb")),
+          Seq("doc_b"))
+        .filter(col("na") === col("nb") && abs(col("ca") - col("cb")) <= 2)
+        .select("doc_a", "doc_b")
+      recs
+        .select("id")
+        .join(
+          graft.ops.Dedup.clusterPairs(verified).withColumnRenamed("doc_id", "id"),
+          Seq("id"),
+          "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("entity_id"))
+    },
     // SCD Type-2 apply over the customer dimension: closed history passes
     // through, no-op re-crawls collapse, real changes close the open
     // version and chain (two changes to %21 keys), %11 keys arrive brand
@@ -298,6 +336,47 @@ object GenQueries {
       val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
       graft.ops.Graph.pageRankMilli(e, iters = 3)
     },
+    // personalized PageRank from a seed customer set over the same trade
+    // graph: relevance FROM the seeds (mass decays with distance,
+    // unreachable nodes hold at exactly 0), integer-unrolled oracle
+    "graph_ppr" -> { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+          t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") * 2).cast("long").as("node"))
+      graft.ops.Graph.personalizedPageRankMilli(e, seeds, iters = 3)
+    },
+    // Pareto concentration of revenue over customers: exact-cents decile
+    // table (NTILE semantics) with cumulative share ppm — "the top 10% of
+    // customers carry X% of revenue" as one hash-checked row per decile
+    "gen_pareto" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("long").as("id"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).cast("long").as("cents"))
+      val per = graft.ops.Relational
+        .globalNtile(rev, Seq(col("cents").desc, col("id")), 10, "decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_customers"), sum("cents").cast("long").as("rev_cents"))
+      // the cumulative window runs over the TEN decile rows, not data
+      val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+      per
+        .withColumn("cum_cents", sum("rev_cents").over(w).cast("long"))
+        .crossJoin(broadcast(per.agg(sum("rev_cents").cast("decimal(38,0)").as("__tot"))))
+        .select(
+          col("decile").cast("long").as("decile"),
+          col("n_customers"),
+          col("rev_cents"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_cents) div __tot AS BIGINT)")
+            .as("cum_share_ppm"))
+    },
     // community detection over the same bipartite customer—supplier
     // graph: 4 deterministic synchronous LPA rounds (min-label ties),
     // label column = community id
@@ -402,6 +481,47 @@ object GenQueries {
          |       CAST((1000000 * n_null) // n_rows AS BIGINT) AS null_ppm, n_distinct
          |FROM p""".stripMargin
     },
+    // mirrors the blocking → verify → recursive-CC chain; singletons keep
+    // their own id via the left join
+    "er_entities" ->
+      """WITH RECURSIVE recs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT),
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) + 1
+        |  FROM customer WHERE c_custkey % 9 = 0),
+        |k1 AS (SELECT id, nat, cents // 10000 AS g FROM recs),
+        |ok1 AS (SELECT nat, g FROM k1 GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        |p1 AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b
+        |  FROM k1 a JOIN k1 b ON a.nat = b.nat AND a.g = b.g AND a.id < b.id
+        |  JOIN ok1 ON ok1.nat = a.nat AND ok1.g = a.g),
+        |k2 AS (SELECT id, nat, (cents + 5000) // 10000 AS g FROM recs),
+        |ok2 AS (SELECT nat, g FROM k2 GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        |p2 AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b
+        |  FROM k2 a JOIN k2 b ON a.nat = b.nat AND a.g = b.g AND a.id < b.id
+        |  JOIN ok2 ON ok2.nat = a.nat AND ok2.g = a.g),
+        |cand AS (SELECT doc_a, doc_b FROM p1 UNION SELECT doc_a, doc_b FROM p2),
+        |verified AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN recs ra ON ra.id = c.doc_a
+        |  JOIN recs rb ON rb.id = c.doc_b
+        |  WHERE ra.nat = rb.nat AND abs(ra.cents - rb.cents) <= 2),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM verified
+        |  UNION
+        |  SELECT doc_b AS a, doc_a AS b FROM verified),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+        |labels AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id)
+        |SELECT recs.id, COALESCE(labels.ent, recs.id) AS entity_id
+        |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
     // mirrors Relational.scd2Apply: the open version + the key's changes
     // form one (ts, src, attrs)-ordered timeline, no-op entries collapse
     // via null-safe per-field compare (rn=1 mirrors Spark's lag-null
@@ -737,6 +857,63 @@ object GenQueries {
          |${(1 to 4).map(round).mkString(",\n")}
          |SELECT node, core FROM c4""".stripMargin
     },
+    // graph_pagerank's unrolled chain with the teleport pinned to seeds:
+    // r0 = 1000 on seeds else 0; r = s*150 + (850*inb)//1000
+    "graph_ppr" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM d UNION ALL SELECT dst AS src, src AS dst FROM d),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |sd AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS node
+        |       FROM customer WHERE c_custkey % 97 = 0),
+        |nodes AS (
+        |  SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS s
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        |  LEFT JOIN sd ON sd.node = n.node),
+        |r0 AS (SELECT node, s, CAST(s * 1000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT e.dst AS node, SUM(r0.r // deg.deg) AS inb
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |  WHERE r0.r > 0 GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node, n.s, CAST(n.s * 150 + (850 * COALESCE(c1.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT e.dst AS node, SUM(r1.r // deg.deg) AS inb
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |  WHERE r1.r > 0 GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node, n.s, CAST(n.s * 150 + (850 * COALESCE(c2.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT e.dst AS node, SUM(r2.r // deg.deg) AS inb
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |  WHERE r2.r > 0 GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.node, n.s, CAST(n.s * 150 + (850 * COALESCE(c3.inb, 0)) // 1000 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_milli FROM r3""".stripMargin,
+    // NTILE over exact cents, cumulative share via the 10-row window
+    "gen_pareto" ->
+      """WITH rev AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS id,
+        |         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tiled AS (
+        |  SELECT id, cents, NTILE(10) OVER (ORDER BY cents DESC, id) AS decile FROM rev),
+        |per AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |         CAST(SUM(cents) AS BIGINT) AS rev_cents
+        |  FROM tiled GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev_cents) AS HUGEINT) AS t FROM per),
+        |c AS (
+        |  SELECT decile, n_customers, rev_cents,
+        |         CAST(SUM(rev_cents) OVER (ORDER BY decile) AS BIGINT) AS cum
+        |  FROM per)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_cents,
+        |       CAST((1000000 * CAST(cum AS HUGEINT)) // tot.t AS BIGINT) AS cum_share_ppm
+        |FROM c CROSS JOIN tot""".stripMargin,
     "graph_pagerank" ->
       """WITH d AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -170,6 +170,29 @@ class GraphSpec extends SparkSpec {
     cn.foreach { case (n, v) => assert(v <= early(n), s"node $n rose from ${early(n)} to $v") }
   }
 
+  test("personalizedPageRankMilli: seeds hold teleport, mass decays, unreachable stays 0") {
+    // 1 -> 2 -> 3, isolated 4 <- 5; seed = {1}
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val s = spark
+    import s.implicits._
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRankMilli(e, seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seed: r0=1000; r1 = 150 + 0; r2 = 150; r3 = 150
+    assert(got(1L) === 150L)
+    // node 2: r1 = 850*1000 div 1000 = 850; r2 = 850*150/1000 = 127; r3 = 127
+    assert(got(2L) === 127L)
+    // node 3: r1 = 0; r2 = 850*850 div 1000 = 722; r3 = 850*127 div 1000 = 107
+    assert(got(3L) === 107L)
+    // nodes 4 and 5 are unreachable from the seed: exactly 0 forever
+    assert(got(4L) === 0L && got(5L) === 0L)
+    // global PageRank would give 4 and 5 the teleport floor — the seed
+    // restriction is the whole point
+    val global = Graph.pageRankMilli(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(global(4L) > 0L)
+  }
+
   test("commonNeighborRecs: hand-checked path graph, adjacency excluded, hub middle capped") {
     val s = spark
     import s.implicits._

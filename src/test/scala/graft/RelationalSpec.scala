@@ -1220,6 +1220,36 @@ class RelationalSpec extends SparkSpec {
       (3, "click>purchase", 1L, 7L)), got.toString)
   }
 
+  test("Dedup.blockingPairs: offset canopies catch boundary crossers; hot blocks capped; nulls never block") {
+    val s = spark
+    import s.implicits._
+    // grid cell = v div 10; the +5 offset grid catches the (9999, 10001)
+    // pair that straddles the first grid's boundary at 10000
+    val recs = Seq(
+      (1L, Some(9999L)), (2L, Some(10001L)), // cross-boundary near-pair
+      (3L, Some(55L)), (4L, Some(56L)),      // same cell both grids
+      (5L, Option.empty[Long]),              // null key: never blocks
+      (6L, Some(700L)), (7L, Some(790L)))    // same first-grid cell? 70 vs 79 -> no; offset 70 vs 79 -> no
+      .toDF("id", "v")
+    def pairs(maxBlock: Long) = graft.ops.Dedup.blockingPairs(
+      recs,
+      "id",
+      Seq(expr("v div 10"), expr("(v + 5) div 10")),
+      maxBlock)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(1000L)
+    assert(got.contains((1L, 2L)), s"offset canopy must catch the boundary crosser: $got")
+    assert(got.contains((3L, 4L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L), "null keys never block")
+    assert(!got.contains((6L, 7L)))
+    // a hot block above the cap is excluded entirely
+    val hot = (10L to 20L).map(i => (i, Some(42L))).toDF("id", "v")
+    val capped = graft.ops.Dedup.blockingPairs(
+      hot, "id", Seq(expr("v div 10"), expr("(v + 5) div 10")), maxBlock = 10L)
+      .collect()
+    assert(capped.isEmpty, "an 11-record block above maxBlock=10 must be excluded")
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(
