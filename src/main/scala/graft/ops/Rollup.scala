@@ -179,6 +179,53 @@ object Rollup {
     * |periods| rows, orders below the raw corpus — and both lag windows
     * partition by key; the fact table never moves through this operator.
     */
+  /** Exact cumulative distinct count per (group, period) — "unique users
+    * since launch, by day" — WITHOUT any dedup-to-date: an id counts
+    * from its FIRST period in the group onward, so the answer is one
+    * (group, id) min-aggregate, one per-period first-seen count, and a
+    * cumulative window over PERIOD rows. A naive implementation
+    * re-deduplicates the whole history every period; this one never
+    * re-reads it — the since-launch complement of
+    * [[graft.ops.Stats.hllSlidingEstimate]]'s trailing window (a
+    * trailing distinct genuinely can't use the first-seen trick — ids
+    * re-qualify when they recur — which is why that face is a sketch
+    * and this one is exact). Output rows cover every period the group
+    * was OBSERVED in (zero new ids reported as 0, not a gap); calendar
+    * periods with no activity at all aren't rows — gap-fill upstream if
+    * the dashboard needs them.
+    *
+    * Scale shape: the min-aggregate and the first-seen count are
+    * map-side combinable over the raw stream; the window runs over
+    * |groups|·|periods| aggregate rows.
+    */
+  def cumulativeDistinct(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      idCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(periodCol).cast("long").as("p"),
+        col(idCol).as("id"))
+    val firstSeen = base
+      .groupBy("grp", "id")
+      .agg(min("p").as("p"))
+      .groupBy("grp", "p")
+      .agg(count(lit(1)).cast("long").as("n_new"))
+    val observed = base.select("grp", "p").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp")
+      .orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    observed
+      .join(firstSeen, Seq("grp", "p"), "left")
+      .select(col("grp"), col("p"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", sum("n_new").over(w).cast("long"))
+      .select(col("grp").as(groupCol), col("p").as("period"), col("n_new"), col("n_total"))
+  }
+
   def periodOverPeriod(
       counted: DataFrame,
       keyCol: String,

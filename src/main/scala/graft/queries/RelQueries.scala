@@ -626,6 +626,17 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // since-launch unique users per (type, day), EXACT via the first-seen
+    // trick — one min-aggregate + a cumulative window over period rows,
+    // never a dedup-to-date re-scan; the exact complement of the sliding
+    // HLL's trailing window
+    "events_cumulative_users" -> { (s, dir) =>
+      Rollup.cumulativeDistinct(
+        events(s, dir).withColumn("day", expr("ts_us div 86400000000")),
+        "event_type",
+        "day",
+        "user_id")
+    },
     // sliding distinct users per (type, day): per-day HLL registers merged
     // by MAX over a 7-day RANGE frame — no re-scan of raw events per
     // window, the mergeability law doing dashboard work
@@ -1224,6 +1235,23 @@ object RelQueries {
        |       CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
        |FROM est0""".stripMargin
   }
+
+  // first-seen trick mirrored: min day per (type, user), per-day new
+  // counts, cumulative over observed days (zero-new days are rows)
+  private val cumulativeUsersSql =
+    """WITH base AS (
+      |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS p, user_id AS id
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+      |fs AS (
+      |  SELECT grp, MIN(p) AS p, id FROM base GROUP BY grp, id),
+      |nn AS (SELECT grp, p, CAST(COUNT(*) AS BIGINT) AS n_new FROM fs GROUP BY 1, 2),
+      |obs AS (SELECT DISTINCT grp, p FROM base)
+      |SELECT obs.grp AS event_type, CAST(obs.p AS BIGINT) AS period,
+      |       CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+      |       CAST(SUM(COALESCE(nn.n_new, 0))
+      |              OVER (PARTITION BY obs.grp ORDER BY obs.p) AS BIGINT) AS n_total
+      |FROM obs LEFT JOIN nn ON nn.grp = obs.grp AND nn.p = obs.p""".stripMargin
 
   // sliding HLL: per-day registers, bucket grid, MAX over a 7-day RANGE
   // frame, then the stats_hll estimate chain keyed by (grp, day)
@@ -1840,6 +1868,7 @@ object RelQueries {
     "stats_hll_merged" -> hllSql,
     "stats_hll_streamed" -> hllSql,
     "stats_hll_sliding" -> hllSlidingSql,
+    "events_cumulative_users" -> cumulativeUsersSql,
     "stats_rank_normalize" ->
       """WITH vm AS (
         |  SELECT event_type AS grp,

@@ -151,6 +151,25 @@ class RollupSpec extends SparkSpec {
     assert(got(("b", 1L)) === ((None, None, None, None)), "keys never see each other")
   }
 
+  test("cumulativeDistinct: first-seen counting, recurring ids never re-count, zero-new rows") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", 1L, "u1"), ("a", 1L, "u2"), ("a", 1L, "u1"), // u1 twice in p1
+      ("a", 2L, "u1"),                                   // recurring only: zero new
+      ("a", 3L, "u3"), ("a", 3L, "u2"),                  // one genuinely new
+      ("b", 5L, "u1")) // groups independent: u1 is new again in b
+      .toDF("g", "p", "u")
+    val got = graft.ops.Rollup.cumulativeDistinct(rows, "g", "p", "u")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("a", 1L)) === ((2L, 2L)))
+    assert(got(("a", 2L)) === ((0L, 2L)), "a recurring-only period is a zero-new ROW, not a gap")
+    assert(got(("a", 3L)) === ((1L, 3L)))
+    assert(got(("b", 5L)) === ((1L, 1L)), "first-seen is per group")
+  }
+
   test("periodOverPeriod: fractional measures are milli-scaled, not floored") {
     val s = spark
     import s.implicits._
