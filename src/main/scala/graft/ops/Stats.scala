@@ -891,6 +891,67 @@ object Stats {
             "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("d_ppm"))
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy screen run before training ("these two features
+    * are the same signal"): every column pair's r in ONE aggregation
+    * pass (map-side-combinable conditional sums; a pair's sums count
+    * only rows where BOTH sides are non-null, per-pair). All moment
+    * sums are EXACT decimal(38,0) over milli-scaled values — the only
+    * float ops are the final correctly-rounded decimal→double
+    * conversions and one sqrt/divide, the [[hllEstimate]] est_raw
+    * discipline — so `corr_r` (rounded 6) is engine-portable. A
+    * zero-variance side yields null r (no correlation is defined), not
+    * NaN.
+    *
+    * Scale shape: one scan, 6·C(|cols|,2) aggregate cells, output
+    * C(|cols|,2) rows — nothing else moves; profile wide tables in
+    * column subsets like [[graft.ops.Checks.profile]].
+    */
+  def corrMatrixMilli(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlation needs at least two columns, got ${cols.size}")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"corrMatrixMilli: columns not in schema: ${missing.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val milli = df.select(cols.map(c =>
+      round(col(c).cast("double") * 1000, 0).cast("long").as(c)): _*)
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      def s(e: Column, name: String) =
+        sum(when(both, e).otherwise(lit(null))).cast("decimal(38,0)").as(s"${name}_$k")
+      Seq(
+        count(when(both, lit(1))).cast("long").as(s"n_$k"),
+        s(col(a), "sx"),
+        s(col(b), "sy"),
+        s(expr(s"CAST($a AS DECIMAL(38,0)) * $a"), "sxx"),
+        s(expr(s"CAST($b AS DECIMAL(38,0)) * $b"), "syy"),
+        s(expr(s"CAST($a AS DECIMAL(38,0)) * $b"), "sxy"))
+    }
+    val row = milli.agg(aggs.head, aggs.tail: _*)
+    pairs.zipWithIndex
+      .map { case ((a, b), k) =>
+        row.select(
+          lit(a).as("col_a"),
+          lit(b).as("col_b"),
+          col(s"n_$k").as("n"),
+          expr(
+            s"""CAST(round(
+               |  CASE WHEN n_$k >= 2
+               |        AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0
+               |        AND (n_$k * syy_$k - sy_$k * sy_$k) > 0
+               |  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /
+               |       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *
+               |            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))
+               |  END, 6) AS DOUBLE)""".stripMargin)
+            .as("corr_r"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** Pearson chi-square contingency drift between two cohorts'
     * CATEGORICAL distributions — the discrete sibling of [[ksDrift]] (KS
     * needs an ordered value; event types, languages, label sets have

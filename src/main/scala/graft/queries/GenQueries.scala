@@ -353,6 +353,13 @@ object GenQueries {
         .select((col("c_custkey") * 2).cast("long").as("node"))
       graft.ops.Graph.personalizedPageRankMilli(e, seeds, iters = 3)
     },
+    // feature-redundancy screen: pairwise Pearson r over the lineitem
+    // numerics in one pass, exact integer moments, one final sqrt/divide
+    "gen_correlation" -> { (s, dir) =>
+      graft.ops.Stats.corrMatrixMilli(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
     // Pareto concentration of revenue over customers: exact-cents decile
     // table (NTILE semantics) with cumulative share ppm — "the top 10% of
     // customers carry X% of revenue" as one hash-checked row per decile
@@ -894,6 +901,40 @@ object GenQueries {
         |  SELECT n.node, n.s, CAST(n.s * 150 + (850 * COALESCE(c3.inb, 0)) // 1000 AS BIGINT) AS r
         |  FROM nodes n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_milli FROM r3""".stripMargin,
+    // mirrors corrMatrixMilli: HUGEINT conditional moment sums, one
+    // correctly-rounded double conversion + sqrt/divide per pair
+    "gen_correlation" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val milli = cs.zipWithIndex
+        .map { case (c, i) => s"CAST(round(CAST($c AS DOUBLE) * 1000, 0) AS BIGINT) AS v$i" }
+        .mkString(",\n       ")
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.size } yield (i, j)
+      val aggs = pairs.zipWithIndex
+        .flatMap { case ((i, j), k) =>
+          val both = s"v$i IS NOT NULL AND v$j IS NOT NULL"
+          Seq(
+            s"CAST(COUNT(*) FILTER (WHERE $both) AS BIGINT) AS n_$k",
+            s"CAST(SUM(CAST(v$i AS HUGEINT)) FILTER (WHERE $both) AS HUGEINT) AS sx_$k",
+            s"CAST(SUM(CAST(v$j AS HUGEINT)) FILTER (WHERE $both) AS HUGEINT) AS sy_$k",
+            s"CAST(SUM(CAST(v$i AS HUGEINT) * v$i) FILTER (WHERE $both) AS HUGEINT) AS sxx_$k",
+            s"CAST(SUM(CAST(v$j AS HUGEINT) * v$j) FILTER (WHERE $both) AS HUGEINT) AS syy_$k",
+            s"CAST(SUM(CAST(v$i AS HUGEINT) * v$j) FILTER (WHERE $both) AS HUGEINT) AS sxy_$k")
+        }
+        .mkString(",\n       ")
+      val sels = pairs.zipWithIndex
+        .map { case ((i, j), k) =>
+          s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, n_$k AS n,\n" +
+            s"  CAST(round(CASE WHEN n_$k >= 2\n" +
+            s"    AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0\n" +
+            s"    AND (n_$k * syy_$k - sy_$k * sy_$k) > 0\n" +
+            s"  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /\n" +
+            s"       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *\n" +
+            s"            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))\n" +
+            s"  END, 6) AS DOUBLE) AS corr_r\nFROM ag"
+        }
+        .mkString("\nUNION ALL\n")
+      s"WITH m AS (\n  SELECT $milli\n  FROM lineitem),\nag AS (\n  SELECT $aggs\n  FROM m)\n$sels"
+    },
     // NTILE over exact cents, cumulative share via the 10-row window
     "gen_pareto" ->
       """WITH rev AS (

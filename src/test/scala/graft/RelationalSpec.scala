@@ -1250,6 +1250,29 @@ class RelationalSpec extends SparkSpec {
     assert(capped.isEmpty, "an 11-record block above maxBlock=10 must be excluded")
   }
 
+  test("Stats.corrMatrixMilli: hand correlations, per-pair null masks, zero-variance null") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1.0, 2.0, Some(5.0), 7.0),
+      (2.0, 4.0, Some(4.0), 7.0),
+      (3.0, 6.0, Some(3.0), 7.0),
+      (4.0, 8.0, Option.empty[Double], 7.0)) // d null: excluded from d-pairs only
+      .toDF("a", "b", "d", "const")
+    val got = graft.ops.Stats.corrMatrixMilli(rows, Seq("a", "b", "d", "const"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(("a", "b")) === ((4L, Some(1.0))), "perfect positive")
+    assert(got(("a", "d")) === ((3L, Some(-1.0))), "perfect negative over the 3 non-null rows")
+    assert(got(("a", "const"))._2 === None, "zero variance has no defined correlation")
+    assert(got(("b", "d"))._1 === 3L)
+    val err = intercept[IllegalArgumentException](
+      graft.ops.Stats.corrMatrixMilli(rows, Seq("a")))
+    assert(err.getMessage.contains("at least two"))
+  }
+
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
     // digits: 0.012 -> 1, -2.5 -> 2, 30.0 -> 3, 4567.0 -> 4, 0.0 excluded
     val rows = Seq(
