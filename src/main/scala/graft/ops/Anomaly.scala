@@ -200,9 +200,12 @@ object Anomaly {
     * oracle-hashable. Input is the PRE-AGGREGATED series — one row per
     * (key, consecutive period index) — with `seasonLen` periods per cycle
     * (24 for hour-of-day over hourly counts, 7 for day-of-week over
-    * daily). Stages: trend = centered moving average over `seasonLen + 1`
-    * rows (integral `1000·Σ div cnt`; null until the full window exists —
-    * edges are honestly unknown, not zero-padded); seasonal index per
+    * daily). Stages: trend = centered moving average — the classical
+    * frames: `seasonLen + 1` rows for EVEN season lengths (the 2×MA
+    * shape) and a symmetric `seasonLen`-row frame (−half..+half) for ODD
+    * ones (integral `1000·Σ div cnt`; null until the full window
+    * exists — edges are honestly unknown, not zero-padded); seasonal
+    * index per
     * (key, period mod seasonLen) = integral mean of the detrended values
     * over COMPLETE observations (the same trunc-toward-zero `div` both
     * engines share, so negative deviations mirror exactly); residual =
@@ -223,10 +226,14 @@ object Anomaly {
       seasonLen: Int = 24): DataFrame = {
     require(seasonLen >= 2 && seasonLen <= 1000, s"seasonLen must be in [2, 1000], got $seasonLen")
     val half = seasonLen / 2
+    // even L: -half..+half (L+1 rows, the classical 2xMA span); odd L:
+    // the symmetric L-point MA -half..+half (L rows) — never forward-biased
+    val hi = if (seasonLen % 2 == 0) seasonLen - half else half
+    val frameLen = (half + hi + 1).toLong
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol)
       .orderBy("p")
-      .rowsBetween(-half, seasonLen - half)
+      .rowsBetween(-half, hi)
     val base = counted
       .filter(col(valCol).isNotNull)
       .select(
@@ -238,7 +245,7 @@ object Anomaly {
       .withColumn("__sum", sum("x_milli").over(w))
       .withColumn(
         "trend_milli",
-        when(col("__cnt") === (seasonLen + 1).toLong, expr("__sum div __cnt")))
+        when(col("__cnt") === frameLen, expr("__sum div __cnt")))
       .drop("__cnt", "__sum")
     val season = trended
       .filter(col("trend_milli").isNotNull)

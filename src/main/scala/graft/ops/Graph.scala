@@ -96,7 +96,10 @@ object Graph {
     * random walk restarts only at seeds, so mass decays with distance
     * from the seed set and unreachable nodes hold at exactly 0. Same
     * deterministic integer arithmetic, dangling-sink absorption, and
-    * un-normalized-scores contract as the global operator.
+    * un-normalized-scores contract as the global operator. `seeds` must
+    * carry a `node` column (castable to long); seeds absent from the
+    * edge list ARE kept — an isolated seed reports its teleport floor,
+    * distinguishable from an unreachable non-seed's exact 0.
     *
     * Scale shape: identical to [[pageRankMilli]] — the seed flag rides
     * the node table like the out-degree does (one extra broadcast-sized
@@ -112,9 +115,12 @@ object Graph {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val seedSet = seeds.select(col("node").cast("long").as("node")).distinct()
+    // seeds union'd into the node universe: an isolated seed (no edges)
+    // still holds its teleport floor instead of silently vanishing
     val nodes = e
       .select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
+      .union(seedSet.select(col("node")))
       .distinct()
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")

@@ -1229,8 +1229,10 @@ object Relational {
     * documented caveat that closed history is never edited, so a
     * prepended span can overlap an already-closed version; reconciling
     * closed history is a rebuild, not an apply. Null change timestamps
-    * REFUSE in-plan (`assert_true`): a null would sort first and become
-    * the key's earliest version with an unusable `valid_from_us`.
+    * and null `valid_from_us` on OPEN history rows both REFUSE in-plan
+    * (`assert_true`): a null would sort engine-dependently (Spark
+    * nulls-first vs DuckDB nulls-last) and become a version with an
+    * unusable `valid_from_us`.
     *
     * Scale shape: both windows partition by the dimension KEY over that
     * key's open version + this batch's changes — a handful of rows per
@@ -1255,6 +1257,13 @@ object Relational {
           lit(false).as("is_current"): _*)
     val open = history
       .filter(col("valid_to_us").isNull)
+      // same guard as the batch side: a null valid_from_us on an open
+      // row would enter the window sort (Spark nulls-first, DuckDB
+      // nulls-last — engine-divergent chaining) and emit a version with
+      // an unusable valid_from_us
+      .filter(expr(
+        "assert_true(valid_from_us IS NOT NULL, " +
+          "'scd2Apply: open history row with null valid_from_us') IS NULL"))
       .select(
         col(keyCol).as("__k"),
         attrs.as("__a"),

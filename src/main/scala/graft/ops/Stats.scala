@@ -925,13 +925,18 @@ object Stats {
         sum(when(both, e).otherwise(lit(null))).cast("decimal(38,0)").as(s"${name}_$k")
       Seq(
         count(when(both, lit(1))).cast("long").as(s"n_$k"),
-        s(col(a), "sx"),
-        s(col(b), "sy"),
+        // linear sums cast to decimal BEFORE the sum, like the square
+        // terms — a bigint sum of milli values wraps past 2^63 rows·val
+        s(expr(s"CAST($a AS DECIMAL(38,0))"), "sx"),
+        s(expr(s"CAST($b AS DECIMAL(38,0))"), "sy"),
         s(expr(s"CAST($a AS DECIMAL(38,0)) * $a"), "sxx"),
         s(expr(s"CAST($b AS DECIMAL(38,0)) * $b"), "syy"),
         s(expr(s"CAST($a AS DECIMAL(38,0)) * $b"), "sxy"))
     }
-    val row = milli.agg(aggs.head, aggs.tail: _*)
+    // the 1-row aggregate is consumed by C(|cols|,2) union branches;
+    // checkpoint it so the corpus is scanned exactly once (scan-once is
+    // structural, not left to ReuseExchange canonicalization)
+    val row = milli.agg(aggs.head, aggs.tail: _*).localCheckpoint()
     pairs.zipWithIndex
       .map { case ((a, b), k) =>
         row.select(

@@ -621,10 +621,14 @@ object GenQueries {
          |  SELECT grp,
          |         CASE WHEN est_raw <= 640.0 AND n_zero > 0 THEN est_small ELSE est_raw END AS est
          |  FROM est0)
-         |SELECT c.grp AS col_name, c.n_rows, c.n_null,
-         |       CAST((1000000 * c.n_null) // c.n_rows AS BIGINT) AS null_ppm,
+         |SELECT n.grp AS col_name,
+         |       CAST(COALESCE(c.n_rows, 0) AS BIGINT) AS n_rows,
+         |       CAST(COALESCE(c.n_null, 0) AS BIGINT) AS n_null,
+         |       CAST(COALESCE((1000000 * c.n_null) // c.n_rows, 0) AS BIGINT) AS null_ppm,
          |       COALESCE(e.est, 0.0) AS n_distinct_est
-         |FROM cnt c LEFT JOIN este e ON e.grp = c.grp""".stripMargin
+         |FROM (VALUES ('event_id'), ('user_id'), ('event_type')) n(grp)
+         |LEFT JOIN cnt c ON c.grp = n.grp
+         |LEFT JOIN este e ON e.grp = n.grp""".stripMargin
     },
     "audit_orders" ->
       """SELECT a.*, b.* FROM
@@ -876,7 +880,8 @@ object GenQueries {
         |       FROM customer WHERE c_custkey % 97 = 0),
         |nodes AS (
         |  SELECT n.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS s
-        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e) n
+        |  FROM (SELECT src AS node FROM e UNION SELECT dst FROM e
+        |        UNION SELECT node FROM sd) n
         |  LEFT JOIN sd ON sd.node = n.node),
         |r0 AS (SELECT node, s, CAST(s * 1000 AS BIGINT) AS r FROM nodes),
         |c1 AS (

@@ -191,6 +191,12 @@ class GraphSpec extends SparkSpec {
     val global = Graph.pageRankMilli(e, iters = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(global(4L) > 0L)
+    // an ISOLATED seed (no edges at all) still gets a row holding its
+    // teleport floor — distinguishable from an unreachable non-seed's 0
+    val iso = Graph.personalizedPageRankMilli(e, Seq(1L, 99L).toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(99L) === 150L, s"isolated seed must hold the teleport floor, got $iso")
+    assert(iso(2L) === 127L, "edge-connected ranks unchanged by the isolated seed")
   }
 
   test("commonNeighborRecs: hand-checked path graph, adjacency excluded, hub middle capped") {

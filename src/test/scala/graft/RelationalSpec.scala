@@ -1124,6 +1124,17 @@ class RelationalSpec extends SparkSpec {
         .scd2Apply(hist(Seq((8L, "a", Some(0L), None))), nullTs, "k", Seq("attr"))
         .collect())
     assert(err.getMessage.contains("null change timestamp"), err.getMessage)
+    // and the same guard on an OPEN history row's valid_from_us: a null
+    // would sort engine-dependently (Spark nulls-first, DuckDB nulls-last)
+    val nullOpen = intercept[Exception](
+      graft.ops.Relational
+        .scd2Apply(
+          hist(Seq((8L, "a", None, None))),
+          ch(Seq((8L, "b", 10L))),
+          "k",
+          Seq("attr"))
+        .collect())
+    assert(nullOpen.getMessage.contains("open history row"), nullOpen.getMessage)
   }
 
   test("Stats.chiSquareDrift: hand-computed terms; identical cohorts score zero") {
@@ -1200,6 +1211,17 @@ class RelationalSpec extends SparkSpec {
     // edges: incomplete window -> null trend and residual, never zero-padded
     assert(got(0L)._2 === None && got(0L)._4 === None)
     assert(got(4L)._2 === None && got(4L)._4 === None)
+    // ODD season length uses the SYMMETRIC L-point frame (-half..+half),
+    // never the forward-biased -half..+(L-half): for L=3 over the same
+    // series the trend is the 3-row centered mean, not a 4-row lookahead
+    val odd = graft.ops.Anomaly.seasonalDecompose(rows, "g", "p", "v", seasonLen = 3)
+      .collect()
+      .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(odd(1L) === Some(13333L), s"odd-L trend must be the symmetric 3-row MA, got $odd")
+    assert(odd(2L) === Some(16666L))
+    assert(odd(3L) === Some(13333L))
+    assert(odd(0L) === None && odd(4L) === None, "edges stay honestly null at odd L")
   }
 
   test("Funnel.conversionLags: per-edge lags under greedy sequential semantics") {
