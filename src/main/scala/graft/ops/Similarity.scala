@@ -1893,6 +1893,49 @@ object Similarity {
       k)
   }
 
+  /** Recall@k of the COMPOSED IVF-PQ probe ([[probeIvfPqIndex]]) — the
+    * face where BOTH approximations stack: cell pruning can drop a true
+    * neighbor's cell AND coded distances can misrank within a probed
+    * cell, so the composed recall is the number a production IVFADC
+    * deployment actually ships, and is ≤ either stage's recall alone
+    * ([[ivfRecallAudit]] measures pruning only, the flat ADC audit
+    * coding only). PQ codes are lossy, so ground truth needs the caller's
+    * full-precision `corpus` (the [[retrainPqIndex]] system-of-record
+    * contract): exact brute force runs over corpus restricted to the
+    * index's LIVE id set (tombstones subtracted), through the
+    * [[annRecallAudit]] comparator. nProbe ≥ the cell count AND a
+    * codebook fine enough to preserve the exact ranking make the probe
+    * exhaustive — recall_milli = 1000, the calibration point the spec
+    * pins.
+    *
+    * Scale shape: probe side prunes to nProbe cells with ADC lookups;
+    * exact side is one |sample|×|live| scan — the audit price, bounded by
+    * a small deterministic query sample (tens of queries audit an index;
+    * the corpus is never self-joined).
+    */
+  def ivfPqRecallAudit(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val liveIds = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
+      .select("vec_id").distinct()
+    val live = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(liveIds.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_semi")
+    annRecallAudit(
+      probeIvfPqIndex(spark, path, queries, k, nProbe, m, ksub, dim, idCol, vecCol),
+      bruteForceTopK(queries, live, k, idCol, vecCol),
+      k)
+  }
+
   /** Drift audit for a persisted IVF index — the operational "rebuild
     * yet?" signal for the ingest loop: the stored cells' population vs an
     * incoming batch assigned against the SAME frozen centroids ([[

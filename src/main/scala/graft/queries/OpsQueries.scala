@@ -932,6 +932,17 @@ object OpsQueries {
         Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5),
         k = 5)
     },
+    // the COMPOSED recall dial: cell pruning AND coded distances stacked —
+    // the number an IVFADC deployment actually ships (<= either stage's
+    // recall alone). Ground truth is exact brute force over the
+    // full-precision corpus restricted to the index's live ids, through
+    // the same comparator; per-query recall hash-checked end to end.
+    "ann_recall_audit_ivfpq" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_recall_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfPqIndex(e, idx)
+      Similarity.ivfPqRecallAudit(s, idx, e, e.filter(col("vec_id") < 8), k = 5, nProbe = 4)
+    },
     "embedding_diversity" -> { (s, dir) => Similarity.diversity(embs(s, dir)) },
     "dedup_url" -> { (s, dir) => TextAnalysis.urlCanonicalGroups(urlDupDocs(s, dir)) },
     // containment fixture: every 10th doc fully re-inserted (all chunks
@@ -3654,6 +3665,69 @@ object OpsQueries {
          |FROM bk
          |LEFT JOIN pqk p
          |  ON p.query_id = bk.query_id AND p.neighbor_id = bk.neighbor_id
+         |GROUP BY 1""".stripMargin,
+    // recall@k of the COMPOSED IVF-PQ probe: the similarity_topk_ivfpq
+    // chain (3-round integer-milli Lloyd routes candidates to top-4
+    // cells, the global PQ codebook ADC-scores only those cells' codes)
+    // set-intersected per query against exact brute force over the full
+    // corpus — both approximations' stacked recall, hash-checked
+    "ann_recall_audit_ivfpq" ->
+      s"""WITH $kmeansCellsCtes,
+         |$pqCtes,
+         |codes AS (
+         |  SELECT vec_id, subspace, code
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace
+         |                                     ORDER BY dist, code) AS rn FROM pqd)
+         |  WHERE rn = 1),
+         |ccodes AS (
+         |  SELECT codes.vec_id, codes.subspace, codes.code, cells.cid
+         |  FROM codes JOIN cells ON cells.id = codes.vec_id),
+         |probes AS (
+         |  SELECT id AS query_id, cid FROM (
+         |    SELECT q.id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+         |    FROM e q CROSS JOIN c3 c WHERE q.id < 8)
+         |  WHERE prn <= 4),
+         |dt AS (
+         |  SELECT s.vec_id AS query_id, s.subspace, cb.code,
+         |         list_sum(list_transform(range(1, 17),
+         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS qdist
+         |  FROM sv s JOIN cb ON cb.subspace = s.subspace
+         |  WHERE s.vec_id < 8),
+         |adc AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |         CAST(SUM(dt.qdist) AS BIGINT) AS adc_dist
+         |  FROM ccodes c
+         |  JOIN probes p ON p.cid = c.cid AND p.query_id <> c.vec_id
+         |  JOIN dt ON dt.query_id = p.query_id AND dt.subspace = c.subspace
+         |         AND dt.code = c.code
+         |  GROUP BY 1, 2),
+         |ipqk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id) AS rank
+         |    FROM adc)
+         |  WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+         |bk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5)
+         |SELECT bk.query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hit,
+         |       CAST((1000 * SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         |            // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM bk
+         |LEFT JOIN ipqk i
+         |  ON i.query_id = bk.query_id AND i.neighbor_id = bk.neighbor_id
          |GROUP BY 1""".stripMargin,
     // Mirrors Similarity.diversity: milli-int normalized vectors, mean
     // pairwise cosine per label via the sum-vector identity.

@@ -249,6 +249,50 @@ class OpsSpec extends SparkSpec {
       z.getAs[Long]("recall_milli") === 0L)
   }
 
+  test("ivfPqRecallAudit: lossless codebook + exhaustive nProbe -> 1000 milli; tombstones bound truth") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrecall").toString
+    // 6 unit-norm vectors fanned across the (d0, d1) plane at distinct
+    // angles: equal norms make the cosine and L2 rankings agree, and with
+    // ksub >= |corpus| every vector seeds its own codebook entry per
+    // subspace, so ADC distances are EXACT — at exhaustive nProbe the
+    // composed probe has no approximation left and must equal brute force
+    def vec(theta: Double): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(0) = math.cos(theta).toFloat
+      a(1) = math.sin(theta).toFloat
+      a
+    }
+    val e = (0 until 6).map(i => (i.toLong, vec(i * 0.25))).toDF("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(e, dir, nCentroids = 4)
+    val nCells = spark.read.parquet(s"$dir/centroids").count().toInt
+    val q = e.filter(col("vec_id") < 2)
+    def audit(nProbe: Int) = Similarity
+      .ivfPqRecallAudit(spark, dir, e, q, k = 3, nProbe = nProbe)
+      .collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"), r.getAs[Long]("recall_milli"))))
+      .toMap
+    val full = audit(nCells)
+    assert(full.keySet === Set(0L, 1L))
+    full.foreach { case (qid, (ne, nh, rm)) =>
+      assert(ne === 3L && nh === 3L && rm === 1000L, s"query $qid: ($ne, $nh, $rm)")
+    }
+    // a starved probe (1 cell) can only do worse or equal, never better
+    audit(1).foreach { case (qid, (_, _, rm)) =>
+      assert(rm <= 1000L && rm >= 0L, s"query $qid: $rm")
+    }
+    // ground truth is bounded by the LIVE id set: tombstone a vector, keep
+    // it in the supplied corpus — neither side may see it, so the
+    // exhaustive probe still recovers every exact neighbor
+    Similarity.deleteFromIndex(Seq(5L).toDF("vec_id"), dir)
+    audit(nCells).foreach { case (qid, (ne, nh, rm)) =>
+      assert(ne === 3L && nh === 3L && rm === 1000L,
+        s"query $qid after tombstone: ($ne, $nh, $rm)")
+    }
+  }
+
   test("ingest claim rule: an EMPTY batch 0 wipes a previous run's store (LSH, IVF, PQ)") {
     val s = spark
     import s.implicits._
