@@ -1890,6 +1890,99 @@ object Dedup {
         expr("(CAST(1000000 AS BIGINT) * cand_frozen) div greatest(cand_fresh, 1)").cast("long"))
   }
 
+  /** CLOSE the staleness→rebuild loop: measure [[setJoinDriftAudit]],
+    * rebuild the frozen order only when the measured candidate inflation
+    * crosses the caller's threshold, and return the decision as a 1-row
+    * report — the conditional face an unattended ingest loop calls after
+    * every batch, the exact-join twin of
+    * [[graft.ops.Similarity.retrainIvfIfDrifted]]. The rebuild re-derives
+    * the df order from the index's own LIVE stored content (tombstones
+    * subtracted): `otks` is each doc's distinct shingle-digest set, so
+    * exploding it reproduces exactly the df a clean [[writeSetJoinIndex]]
+    * over the live corpus would compute by re-shingling — the store
+    * afterwards is content-equal to that clean build (docs re-ordered
+    * under the fresh df, prefixes re-cut, df replaced, tombstones
+    * cleared; the spec pins the equivalence), and the original text is
+    * never needed, which at 100 TB it may no longer be. Returns
+    * `(n_docs, cand_frozen, cand_fresh, inflation_ppm, threshold_ppm,
+    * rebuilt)`. Retry contract: below-threshold calls are pure reads;
+    * the rebuild materializes its live snapshot up front and
+    * tmp-and-swaps docs → prefix → df, so every directory stays READABLE
+    * at every instant, and a crash anywhere before the df swap leaves
+    * the OLD df in place — a re-run re-measures the same inflation and
+    * redoes the whole rebuild, converging. The one degraded window is
+    * between the prefix and df swaps (new postings under the old batch
+    * order — possible false negatives for probes in that instant); as
+    * with [[graft.ops.Similarity.retrainPqIndex]], treat an interrupted
+    * rebuild as an incident and re-run.
+    *
+    * Scale shape: the decision costs one [[setJoinDriftAudit]] (two
+    * batch-bounded orderings; run it on a sampled slice) plus a 1-row
+    * collect; the rebuild streams the stored digest arrays through one
+    * df aggregation and one per-doc re-sort — corpus text never moves.
+    */
+  def rebuildSetJoinIfDrifted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      thresholdPpm: Long = 2000000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(
+      thresholdPpm >= 1000000L,
+      s"rebuildSetJoinIfDrifted: inflation parity is 10^6 ppm; a threshold below it " +
+        s"($thresholdPpm) would rebuild on noise")
+    import spark.implicits._
+    val p0 = spark.read.parquet(s"$path/params").select("threshold_milli", "n").head()
+    val (tMilli, nGram) = (p0.getInt(0), p0.getInt(1))
+    // 1-row bounded collect (the decision itself), never data-volume
+    val a = setJoinDriftAudit(spark, path, batch, tMilli, nGram, textCol, idCol).head()
+    val inflation = a.getAs[Long]("inflation_ppm")
+    val rebuilt = inflation > thresholdPpm
+    if (rebuilt) {
+      val docsRaw = spark.read.parquet(s"$path/docs")
+      val hasBatchDirs = docsRaw.columns.contains("batch_id")
+      // live snapshot materialized up front: the swaps below must not
+      // pull the rug from under their own input (retrainIvfIndex's move)
+      val live = Similarity.minusTombstones(spark, path, docsRaw, "id")
+        .select("id", "otks")
+        .localCheckpoint()
+      val dfs = live
+        .select(explode(col("otks")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .localCheckpoint() // consumed by the re-order and its own swap
+      val ordered = live
+        .select(col("id"), explode(col("otks")).as("tok"))
+        .join(dfs, Seq("tok")) // every tok is in dfs by construction
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+        .select(col("id"), transform(col("ord"), s => s.getField("tok")).as("otks"))
+        .withColumn("n", size(col("otks")).cast("long"))
+        .withColumn("plen", expr(s"CAST(n - (n * $tMilli + 999) div 1000 + 1 AS INT)"))
+        .localCheckpoint() // two subtree writes below
+      def swap(df: DataFrame, sub: String): Unit =
+        if (hasBatchDirs)
+          Similarity.rewriteDir(
+            spark, df.withColumn("batch_id", lit(-1L)), s"$path/$sub", Seq("batch_id"))
+        else Similarity.rewriteDir(spark, df, s"$path/$sub", Nil)
+      swap(ordered.select("id", "otks", "n"), "docs")
+      swap(setJoinPrefix(ordered), "prefix")
+      Similarity.rewriteDir(spark, dfs, s"$path/df", Nil)
+      // the rebuild physically dropped the tombstoned docs: spent
+      // tombstones must die, or they would suppress a future re-insert
+      Similarity.clearTombstones(spark, path)
+    }
+    Seq((
+      a.getAs[Long]("n_docs"),
+      a.getAs[Long]("cand_frozen"),
+      a.getAs[Long]("cand_fresh"),
+      inflation,
+      thresholdPpm,
+      rebuilt))
+      .toDF("n_docs", "cand_frozen", "cand_fresh", "inflation_ppm", "threshold_ppm", "rebuilt")
+  }
+
   /** Physically drop tombstoned docs from both subtrees and clear the
     * tombstones — probe results unchanged by contract.
     */

@@ -1295,7 +1295,7 @@ object Similarity {
     * `<dir>.compacting` before the old tree is dropped, so a crashed
     * compaction leaves the live index untouched (re-run to finish).
     */
-  private def rewriteDir(
+  private[ops] def rewriteDir(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,
       dir: String,
@@ -1655,6 +1655,56 @@ object Similarity {
     // else it re-assigned: spent tombstones must die, or they would
     // suppress a future re-insert of the same id
     clearTombstones(spark, path)
+  }
+
+  /** CLOSE the drift→retrain loop: measure [[indexDriftReport]], retrain
+    * only when the measured drift crosses the caller's threshold, and
+    * return the decision as a 1-row report — the conditional face an
+    * unattended ingest loop calls after every batch (SCALE.md's "retrain
+    * on sustained drift" prose, now executable). The decision statistic
+    * is the TOTAL VARIATION distance between the index's and the batch's
+    * cell-population distributions, `tv_milli = Σ|index_ppm − batch_ppm|
+    * div 2000` (0 = identical populations, 1000 = disjoint) — a weighted
+    * whole-distribution score, deliberately NOT the max per-cell ratio,
+    * which any sparse batch trips by leaving cells untouched. Returns
+    * `(n_cells, tv_milli, threshold_milli, retrained)`; below threshold
+    * the store is untouched (byte-for-byte — the spec pins it), above it
+    * [[retrainIvfIndex]] runs, so the store afterwards hash-equals a
+    * clean [[writeIvfIndex]] over the live content. Retry contract:
+    * below-threshold calls are pure reads (re-run at will); an
+    * interrupted retrain leaves each directory readable but the pair
+    * mixed, and a RE-RUN may then measure low drift against the mixed
+    * ruler and no-op — treat an interrupted retrain as an incident and
+    * re-run [[retrainIvfIndex]] directly (the [[retrainPqIndex]]
+    * contract), not this conditional.
+    *
+    * Scale shape: the decision adds one ≤|cells|-row aggregate and a
+    * driver-side 1-row collect on top of the audit — nothing beyond
+    * [[indexDriftReport]]'s cost unless the rebuild actually runs.
+    */
+  def retrainIvfIfDrifted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      thresholdMilli: Long = 300L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(
+      thresholdMilli >= 0L && thresholdMilli <= 1000L,
+      s"retrainIvfIfDrifted: threshold is a TV distance in [0, 1000] milli, got $thresholdMilli")
+    import spark.implicits._
+    // 1-row bounded collect (the decision itself), never data-volume
+    val d = indexDriftReport(spark, path, batch, idCol, vecCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_cells"),
+        sum(abs(col("index_ppm") - col("batch_ppm"))).cast("long").as("l1_ppm"))
+      .head()
+    val nCells = d.getLong(0)
+    val tvMilli = d.getLong(1) / 2000L
+    val retrained = tvMilli > thresholdMilli
+    if (retrained) retrainIvfIndex(spark, path)
+    Seq((nCells, tvMilli, thresholdMilli, retrained))
+      .toDF("n_cells", "tv_milli", "threshold_milli", "retrained")
   }
 
   /** The compressed-domain retrain — with one honest difference from

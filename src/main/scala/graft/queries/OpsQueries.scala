@@ -298,6 +298,22 @@ object OpsQueries {
           concat(col("text"), lit(" breaking news update breaking news update")).as("text"))
       Dedup.setJoinDriftAudit(s, p, drifted)
     },
+    // the audit ACTED ON: same planted-drift fixture, threshold below the
+    // measured inflation, so the conditional face measures, decides,
+    // REBUILDS the frozen order from the live stored digests, and returns
+    // the decision row — the whole unattended loop in one driver-checked
+    // query (store ≡ clean rebuild is pinned by SetJoinSpec)
+    "dedup_setjoin_rebuild" -> { (s, dir) =>
+      val p = s"${sys.props("java.io.tmpdir")}/graft_setjoin_rb_${ProcessHandle.current().pid()}"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      Dedup.writeSetJoinIndex(d, p)
+      val drifted = d
+        .filter(col("doc_id") % 3 === 0)
+        .select(
+          col("doc_id"),
+          concat(col("text"), lit(" breaking news update breaking news update")).as("text"))
+      Dedup.rebuildSetJoinIfDrifted(s, p, drifted, thresholdPpm = 1500000L)
+    },
     // incremental exact token-edit: same lifecycle over the signature
     // index — probe pairs must equal the union batch join's batch slice
     "dedup_token_edit_incremental" -> { (s, dir) =>
@@ -907,6 +923,22 @@ object OpsQueries {
           .select((col("vec_id") + 2000000).as("vec_id"), col("embedding")),
         idx, 2L)
       Similarity.annIndexAudit(s, idx, e.filter(col("vec_id") % 10 === 3))
+    },
+    // the drift signal ACTED ON: a planted distribution collapse (every
+    // batch vector lands on one constant direction → one cell) pushes the
+    // total-variation score over the threshold at every scale, so the
+    // conditional face measures, decides, and RETRAINS the quantizer from
+    // live content, returning the decision row — the unattended retrain
+    // loop end to end (store ≡ clean build is pinned by OpsSpec)
+    "ann_retrain_if_drifted" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_rbd_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(e, idx)
+      val e1 = array((0 until 64).map(i => lit(if (i == 0) 1.0f else 0.0f)): _*)
+      val drifted = e
+        .filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), e1.as("embedding"))
+      Similarity.retrainIvfIfDrifted(s, idx, drifted, thresholdMilli = 300L)
     },
     // measured recall@k at the configured nProbe — the quality dial next
     // to ann_index_audit's freshness dial: build the persisted k-means
@@ -1648,7 +1680,15 @@ object OpsQueries {
       "similarity_topk_ivfpq_retrained" -> ivfPqOracleSql,
       // the persisted cluster map IS clusterPairs' output round-tripped
       // through parquet — one oracle for both faces
-      "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"))
+      "dedup_clusters_persisted" -> baseOracleSql("dedup_clusters"),
+      // the conditional rebuild's report IS the drift audit's numbers
+      // plus the threshold decision — the rebuild side effect is pinned
+      // by SetJoinSpec (store ≡ clean writeSetJoinIndex), not the hash
+      "dedup_setjoin_rebuild" ->
+        s"""SELECT n_docs, cand_frozen, cand_fresh, inflation_ppm,
+           |       CAST(1500000 AS BIGINT) AS threshold_ppm,
+           |       inflation_ppm > 1500000 AS rebuilt
+           |FROM (${baseOracleSql("dedup_setjoin_drift")})""".stripMargin)
 
   // composed IVF-PQ: the 3-iteration integer-milli Lloyd chain routes
   // candidates (top-4 cells per query), the global PQ codebook ADC-
@@ -2739,6 +2779,40 @@ object OpsQueries {
          |            ELSE CAST(-1 AS BIGINT) END AS drift_milli
          |FROM idx i LEFT JOIN b ON b.cid = i.cid
          |CROSS JOIN ti CROSS JOIN tb""".stripMargin,
+    // the conditional retrain's decision: the collapsed batch (constant
+    // e1 direction) assigned against the same frozen kmeans quantizer,
+    // per-cell ppm on both sides, total-variation score, threshold
+    // compare — the retrain side effect is pinned by OpsSpec (store ≡
+    // clean writeIvfIndex), not the hash
+    "ann_retrain_if_drifted" ->
+      s"""WITH $kmeansCellsCtes,
+         |bq AS (
+         |  SELECT id,
+         |         list_transform(range(1, 65),
+         |           i -> CASE WHEN i = 1 THEN CAST(1.0 AS FLOAT) ELSE CAST(0.0 AS FLOAT) END) AS v,
+         |         CAST(1.0 AS DOUBLE) AS nrm
+         |  FROM e WHERE id % 10 = 3),
+         |bc AS (
+         |  SELECT id, cid FROM (
+         |    SELECT q.id, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS rn
+         |    FROM bq q CROSS JOIN c3 c)
+         |  WHERE rn = 1),
+         |idx AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_index FROM cells GROUP BY 1),
+         |b AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_batch FROM bc GROUP BY 1),
+         |ti AS (SELECT CAST(SUM(n_index) AS BIGINT) AS t FROM idx),
+         |tb AS (SELECT CAST(SUM(n_batch) AS BIGINT) AS t FROM b),
+         |rep AS (
+         |  SELECT COALESCE(i.n_index * 1000000 // ti.t, 0) AS index_ppm,
+         |         COALESCE(b.n_batch * 1000000 // tb.t, 0) AS batch_ppm
+         |  FROM idx i FULL OUTER JOIN b ON b.cid = i.cid
+         |  CROSS JOIN ti CROSS JOIN tb)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |       CAST(SUM(abs(index_ppm - batch_ppm)) // 2000 AS BIGINT) AS tv_milli,
+         |       CAST(300 AS BIGINT) AS threshold_milli,
+         |       (SUM(abs(index_ppm - batch_ppm)) // 2000) > 300 AS retrained
+         |FROM rep""".stripMargin,
     // recall@k: the persisted IVF probe (the kmeansIvfTopkSql chain, same
     // frozen quantizer) set-intersected per query against exact brute
     // force over the indexed corpus — hits match on neighbor membership,

@@ -249,6 +249,45 @@ class OpsSpec extends SparkSpec {
       z.getAs[Long]("recall_milli") === 0L)
   }
 
+  test("retrainIvfIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfifd").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // stale quantizer: trained over 2/3 of the corpus, the rest appended
+    // frozen (the similarity_topk_ivf_retrained fixture)
+    Similarity.writeIvfIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendIvfIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    def store() = (
+      spark.read.parquet(s"$dir/centroids").collect().toSet,
+      spark.read.parquet(s"$dir/cells").collect().toSet)
+    val before = store()
+    // a same-distribution slice carries little drift: max threshold
+    // guarantees the no-op branch, and the store must be untouched
+    val sameDist = e.filter(col("vec_id") % 10 === 3)
+    val no = Similarity.retrainIvfIfDrifted(spark, dir, sameDist, thresholdMilli = 1000L).head()
+    assert(!no.getAs[Boolean]("retrained"))
+    assert(no.getAs[Long]("tv_milli") < 1000L)
+    assert(store() === before, "a below-threshold decision must not touch the store")
+    // a collapsed batch (every vector on one constant direction) crosses
+    // any reasonable threshold; the retrained store must probe-equal a
+    // clean writeIvfIndex over the same corpus
+    val e1 = array((0 until 64).map(i => lit(if (i == 0) 1.0f else 0.0f)): _*)
+    val collapsed = sameDist.select(col("vec_id"), e1.as("embedding"))
+    val yes = Similarity.retrainIvfIfDrifted(spark, dir, collapsed, thresholdMilli = 300L).head()
+    assert(yes.getAs[Boolean]("retrained"))
+    assert(yes.getAs[Long]("tv_milli") > 300L)
+    val clean = java.nio.file.Files.createTempDirectory("ivfifdclean").toString
+    Similarity.writeIvfIndex(e, clean)
+    val q = e.filter(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos_r")))
+      .toSet
+    assert(
+      rows(Similarity.probeIvfIndex(spark, dir, q, k = 5)) ===
+        rows(Similarity.probeIvfIndex(spark, clean, q, k = 5)),
+      "the acted-on retrain must equal a clean build over the live corpus")
+  }
+
   test("ivfPqRecallAudit: lossless codebook + exhaustive nProbe -> 1000 milli; tombstones bound truth") {
     val s = spark
     import s.implicits._

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Exact set-similarity join (prefix filtering): hand-checked pairs plus a
@@ -286,6 +286,60 @@ class SetJoinSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Dedup.setJoinDriftAudit(spark, dir, corpus, thresholdMilli = 800))
     assert(err.getMessage.contains("was built with"))
+  }
+
+  test("rebuildSetJoinIfDrifted: below threshold no-op; above, store == clean rebuild over live") {
+    def store(path: String): (Set[Row], Set[Row], Set[Row]) = (
+      spark.read.parquet(s"$path/df").collect().toSet,
+      spark.read.parquet(s"$path/docs").select("id", "otks", "n").collect().toSet,
+      spark.read.parquet(s"$path/prefix").select("id", "n", "tok").collect().toSet)
+    // the planted-drift fixture from the audit test: unique corpus, every
+    // batch doc sharing a phrase the build never saw
+    val dir = java.nio.file.Files.createTempDirectory("sjrebuild").toString
+    val uniq = df((1L to 12L).map(i => i -> (1 to 20).map(j => s"w${i}x$j").mkString(" ")))
+    Dedup.writeSetJoinIndex(uniq, dir, thresholdMilli = 800)
+    val drifted = uniq.select(
+      col("doc_id"),
+      concat(col("text"), lit(" breaking news update breaking news update")).as("text"))
+    // below threshold (inflation measured ~5.5e6; Long.MaxValue clears it):
+    // pure read, store byte-identical
+    val before = store(dir)
+    val no = Dedup.rebuildSetJoinIfDrifted(spark, dir, drifted, thresholdPpm = Long.MaxValue).head()
+    assert(!no.getAs[Boolean]("rebuilt"))
+    assert(no.getAs[Long]("inflation_ppm") > 1000000L)
+    assert(store(dir) === before, "a below-threshold decision must not touch the store")
+    // above threshold: rebuilt store must equal a clean writeSetJoinIndex
+    // over the live corpus — here an APPENDED + partially TOMBSTONED one,
+    // so live = build ∪ batch2 minus the tombstoned doc
+    val batch2 = df(Seq(
+      21L -> "breaking news update breaking news update plus twenty fresh tokens of body text here",
+      22L -> "breaking news update breaking news update and another body that shares the new phrase"))
+    Dedup.appendSetJoinIndex(batch2, dir, thresholdMilli = 800)
+    graft.ops.Similarity.deleteFromIndex(
+      batch2.filter(col("doc_id") === 22L).select("doc_id"), dir, idCol = "doc_id")
+    val yes = Dedup.rebuildSetJoinIfDrifted(spark, dir, drifted, thresholdPpm = 1500000L).head()
+    assert(yes.getAs[Boolean]("rebuilt"))
+    val clean = java.nio.file.Files.createTempDirectory("sjclean").toString
+    Dedup.writeSetJoinIndex(
+      uniq.unionAll(batch2.filter(col("doc_id") === 21L)), clean, thresholdMilli = 800)
+    val (gotDf, gotDocs, gotPref) = store(dir)
+    val (wantDf, wantDocs, wantPref) = store(clean)
+    assert(gotDf === wantDf, "rebuilt df must equal the clean build's df")
+    assert(gotDocs === wantDocs, "rebuilt doc orders must equal the clean build's")
+    assert(gotPref === wantPref, "rebuilt prefixes must equal the clean build's")
+    // tombstones folded: the dropped doc never resurfaces, and a re-insert
+    // of its id is no longer suppressed
+    assert(!gotDocs.exists(_.getLong(0) == 22L))
+    // the rebuilt order is exact for its own live traffic: auditing with
+    // the live corpus itself reads EXACTLY parity (rebuilt df == fresh
+    // df), so the conditional no-ops — the drift loop has converged
+    val again = Dedup.rebuildSetJoinIfDrifted(
+      spark, dir, uniq.unionAll(batch2.filter(col("doc_id") === 21L)),
+      thresholdPpm = 1500000L).head()
+    assert(!again.getAs[Boolean]("rebuilt"))
+    assert(again.getAs[Long]("cand_frozen") === again.getAs[Long]("cand_fresh"),
+      s"identical traffic over the rebuilt order must generate identical candidates, got $again")
+    assert(store(dir)._1 === wantDf, "the no-op re-run must leave the rebuilt store alone")
   }
 
   test("exactDupSurvivors: history pairs drop, in-batch min id survives, no kept-kept pair") {
