@@ -2305,6 +2305,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Entity resolution end to end — the [[blockingPairs]] →
+    * verify → connected-components composition as ONE face, so a caller
+    * gets (id, entity_id) without hand-wiring the three stages: records
+    * sharing any blocking key are candidate pairs (hot blocks capped at
+    * `maxBlock`, null keys never block), `verify(a, b)` — a predicate
+    * over the two full record STRUCTS — gates each candidate exactly,
+    * and verified pairs collapse to entities via the O(log n)
+    * star-contraction components, entity_id = the component's smallest
+    * record id. Records matching nothing are their OWN entity
+    * (entity_id = id) — the singleton contract, so the output is a total
+    * map over the input ids and `groupBy(entity_id)` is the merge.
+    * Transitivity is deliberate: A~B and B~C put A and C in one entity
+    * even if verify(A, C) fails — that is what resolution means; gate
+    * harder in `verify` if chaining is unwanted.
+    *
+    * Scale shape: inherits [[blockingPairs]]' bounds (per-blocker
+    * equi-self-joins, sum-of-block² candidates, capped hot blocks), two
+    * id-keyed joins pulling record structs onto the candidate-bounded
+    * pair table for the verify, and the fixed-round CC — records never
+    * all-pairs join anywhere.
+    */
+  def resolveEntities(
+      records: DataFrame,
+      idCol: String,
+      blockers: Seq[Column],
+      verify: (Column, Column) => Column,
+      maxBlock: Long = 1000L): DataFrame = {
+    // one snapshot feeds the blockers' self-joins, both verify sides, and
+    // the final id spine
+    val recs = records.localCheckpoint()
+    val sided = recs.select(
+      col(idCol).cast("long").as("__id"),
+      struct(recs.columns.map(col): _*).as("__r"))
+    val verified = blockingPairs(recs, idCol, blockers, maxBlock)
+      .join(sided.select(col("__id").as("doc_a"), col("__r").as("__ra")), Seq("doc_a"))
+      .join(sided.select(col("__id").as("doc_b"), col("__r").as("__rb")), Seq("doc_b"))
+      .filter(verify(col("__ra"), col("__rb")))
+      .select("doc_a", "doc_b")
+    sided
+      .select(col("__id").as("id"))
+      .join(clusterPairs(verified).withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("entity_id"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH blocking (bucket = sign bits of the
     * first 8 dimensions) then exact cosine within bucket, kept when
     * round(cos, 4) >= threshold. Blocking bounds the pair count to

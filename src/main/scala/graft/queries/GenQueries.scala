@@ -183,29 +183,16 @@ object GenQueries {
       val planted = base
         .filter(col("id") % 9 === 0)
         .select((col("id") + 1000000L).as("id"), col("nat"), (col("cents") + 1L).as("cents"))
-      val recs = base.unionByName(planted).localCheckpoint()
-      val pairs = graft.ops.Dedup.blockingPairs(
+      val recs = base.unionByName(planted)
+      graft.ops.Dedup.resolveEntities(
         recs,
         "id",
         Seq(
           struct(col("nat"), expr("cents div 10000").as("g")),
-          struct(col("nat"), expr("(cents + 5000) div 10000").as("g"))))
-      val verified = pairs
-        .join(
-          recs.select(col("id").as("doc_a"), col("nat").as("na"), col("cents").as("ca")),
-          Seq("doc_a"))
-        .join(
-          recs.select(col("id").as("doc_b"), col("nat").as("nb"), col("cents").as("cb")),
-          Seq("doc_b"))
-        .filter(col("na") === col("nb") && abs(col("ca") - col("cb")) <= 2)
-        .select("doc_a", "doc_b")
-      recs
-        .select("id")
-        .join(
-          graft.ops.Dedup.clusterPairs(verified).withColumnRenamed("doc_id", "id"),
-          Seq("id"),
-          "left")
-        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("entity_id"))
+          struct(col("nat"), expr("(cents + 5000) div 10000").as("g"))),
+        (a, b) =>
+          a.getField("nat") === b.getField("nat") &&
+            abs(a.getField("cents") - b.getField("cents")) <= 2L)
     },
     // SCD Type-2 apply over the customer dimension: closed history passes
     // through, no-op re-crawls collapse, real changes close the open

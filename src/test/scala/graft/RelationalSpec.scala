@@ -1272,6 +1272,35 @@ class RelationalSpec extends SparkSpec {
     assert(capped.isEmpty, "an 11-record block above maxBlock=10 must be excluded")
   }
 
+  test("Dedup.resolveEntities: cross-boundary merge, verify gates, no-match singletons, transitivity") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      (1L, 1L, 9999L),  // crosses the first grid's boundary vs 2: offset grid blocks them
+      (2L, 1L, 10001L), // |diff| = 2 -> verify passes -> one entity with 1
+      (3L, 1L, 55L), (4L, 1L, 56L), (9L, 1L, 57L), // chain 3~4~9: one entity (|55-57|=2 also direct)
+      (5L, 2L, 55L),    // same cents as 3 but different nat: blocked apart -> singleton
+      (6L, 1L, 300L),   // no neighbor at all -> singleton
+      (7L, 1L, 9996L))  // blocked with 1 (same cell) but |9999-9996| = 3 -> verify rejects -> singleton
+      .toDF("id", "nat", "cents")
+    val got = graft.ops.Dedup.resolveEntities(
+      recs,
+      "id",
+      Seq(
+        struct(col("nat"), expr("cents div 10").as("g")),
+        struct(col("nat"), expr("(cents + 5) div 10").as("g"))),
+      (a, b) =>
+        a.getField("nat") === b.getField("nat") &&
+          abs(a.getField("cents") - b.getField("cents")) <= 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L), "total map over the input ids")
+    assert(got(1L) === 1L && got(2L) === 1L, s"boundary crosser must merge under the min id: $got")
+    assert(got(3L) === 3L && got(4L) === 3L && got(9L) === 3L, s"chained trio is one entity: $got")
+    assert(got(5L) === 5L, "different blocking key -> own entity")
+    assert(got(6L) === 6L, "no candidate at all -> own entity")
+    assert(got(7L) === 7L, "blocked but verify-rejected -> own entity")
+  }
+
   test("Stats.corrMatrixMilli: hand correlations, per-pair null masks, zero-variance null") {
     val s = spark
     import s.implicits._
