@@ -1300,4 +1300,60 @@ object Relational {
           col("__to").isNull.as("is_current"): _*)
       .unionByName(closed)
   }
+
+  /** SCD2 POINT-IN-TIME join — the query every [[scd2Apply]] consumer
+    * writes next: each fact row joined to the dimension VERSION that was
+    * true at the fact's own time, `valid_from_us <= ts < valid_to_us`
+    * (open version = no upper bound). Implemented as the bucketed
+    * backward as-of join on `valid_from_us` ([[asOfJoinBucketed]]'s
+    * per-(key, bucket) partitioning — no whole-key window at fact-table
+    * volume) plus the validity cut: a fact landing in a COVERAGE GAP
+    * (after a closed version's end, before the next start) or before the
+    * key's first version gets NULL attributes, never a stale carry-over.
+    * The matched version rides as ONE struct payload — per-column as-of
+    * carry would let a null attribute silently inherit an OLDER
+    * version's value, which is exactly the bug SCD2 exists to prevent.
+    * Boundary semantics: `ts == valid_from_us` reads the NEW version;
+    * `ts == valid_to_us` reads the next (half-open intervals, the
+    * [[scd2Apply]] contract). Assumes non-overlapping version intervals
+    * per key (what scd2Apply emits, modulo its documented
+    * late-prepend caveat); among several valid candidates the latest
+    * `valid_from_us` wins. Null fact timestamps match nothing (NULL
+    * attributes). Dimension rows with null `valid_from_us` refuse
+    * in-plan, as in [[scd2Apply]].
+    *
+    * Scale shape: inherits [[asOfJoinBucketed]] — per-(key, time-bucket)
+    * windows over facts + versions, carry-in from a |key·bucket|-sized
+    * aggregate, no fact-table-wide per-key window and no interval
+    * cross-product; the dimension is orders smaller than the facts and
+    * only its (key, ts)-bucketed slices meet them.
+    */
+  def scd2AsOf(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCols: Seq[String],
+      bucketUnits: Long = 86400000000L): DataFrame = {
+    require(attrCols.nonEmpty, "scd2AsOf needs at least one attribute column")
+    val overlap = attrCols.toSet.intersect(facts.columns.toSet)
+    require(overlap.isEmpty, s"attribute columns collide with the fact side: $overlap")
+    val ver = dim
+      .filter(expr(
+        "assert_true(valid_from_us IS NOT NULL, " +
+          "'scd2AsOf: dimension version with null valid_from_us') IS NULL"))
+      .select(
+        col(keyCol),
+        col("valid_from_us").cast("long").as(tsCol),
+        col("valid_from_us").cast("long").as("__ord"),
+        struct(
+          attrCols.map(col) :+ col("valid_to_us").cast("long").as("__vt"): _*).as("__ver"))
+    val joined =
+      asOfJoinBucketed(facts, ver, keyCol, tsCol, "__ord", Seq("__ver"), bucketUnits)
+    val live = col("__ver").isNotNull &&
+      (col("__ver").getField("__vt").isNull || col(tsCol) < col("__ver").getField("__vt"))
+    joined.select(
+      facts.columns.toSeq.map(col) ++
+        attrCols.map(c => when(live, col("__ver").getField(c)).as(c)): _*)
+  }
 }

@@ -15,6 +15,109 @@ object GenQueries {
   private def t(s: SparkSession, dir: String, n: String) =
     s.read.parquet(s"$dir/$n.parquet")
 
+  /** Mirrors Relational.scd2Apply over the [[scd2Dim]] fixture: the open
+    * version + the key's changes form one (ts, src, attrs)-ordered
+    * timeline, no-op entries collapse via null-safe per-field compare
+    * (rn=1 mirrors Spark's lag-null first-row rule), lead() closes each
+    * surviving version. Shared by the `etl_scd2` oracle and, as a nested
+    * subquery, the `etl_scd2_asof` interval join.
+    */
+  private lazy val scd2DimSql: String =
+    """WITH open0 AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+      |         CASE WHEN c_custkey % 13 = 0 THEN 500 ELSE 0 END AS ts,
+      |         0 AS src
+      |  FROM customer),
+      |closed AS (
+      |  SELECT c_custkey, 'OLDSEG' AS c_mktsegment, c_acctbal,
+      |         CAST(0 AS BIGINT) AS valid_from_us, CAST(500 AS BIGINT) AS valid_to_us,
+      |         false AS is_current
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |ch AS (
+      |  SELECT c_custkey AS k, 'SEG' || CAST(c_custkey % 5 AS VARCHAR) AS seg,
+      |         c_acctbal AS bal, 1000 AS ts, 1 AS src
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal, 2000, 1
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_acctbal + 1.0, 3000, 1
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal, 1500, 1
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |tl AS (SELECT * FROM open0 UNION ALL SELECT * FROM ch),
+      |d AS (
+      |  SELECT *,
+      |         LAG(seg) OVER w AS pseg, LAG(bal) OVER w AS pbal,
+      |         ROW_NUMBER() OVER w AS rn
+      |  FROM tl WINDOW w AS (PARTITION BY k ORDER BY ts, src, seg, bal)),
+      |s AS (
+      |  SELECT k, seg, bal, ts, src FROM d
+      |  WHERE rn = 1 OR seg IS DISTINCT FROM pseg OR bal IS DISTINCT FROM pbal),
+      |v AS (
+      |  SELECT k, seg, bal, ts,
+      |         LEAD(ts) OVER (PARTITION BY k ORDER BY ts, src, seg, bal) AS vto
+      |  FROM s)
+      |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+      |       CAST(ts AS BIGINT) AS valid_from_us, CAST(vto AS BIGINT) AS valid_to_us,
+      |       vto IS NULL AS is_current
+      |FROM v
+      |WHERE vto IS NULL OR vto <> ts
+      |UNION ALL SELECT * FROM closed""".stripMargin
+
+  /** The SCD2 customer-dimension fixture shared by `etl_scd2` (the apply)
+    * and `etl_scd2_asof` (the point-in-time consumer): closed history for
+    * %13 keys, changes at ts 1000/2000/3000 (segment, no-op, balance),
+    * brand-new %11 keys at 1500.
+    */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val open = cust.select(
+      col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_acctbal"),
+      when(col("c_custkey") % 13 === 0, 500L).otherwise(0L).as("valid_from_us"),
+      lit(null).cast("long").as("valid_to_us"))
+    val closedRows = cust
+      .filter(col("c_custkey") % 13 === 0)
+      .select(
+        col("c_custkey"),
+        lit("OLDSEG").as("c_mktsegment"),
+        col("c_acctbal"),
+        lit(0L).as("valid_from_us"),
+        lit(500L).as("valid_to_us"))
+    val ch1 = cust
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        col("c_custkey"),
+        concat(lit("SEG"), (col("c_custkey") % 5).cast("string")).as("c_mktsegment"),
+        col("c_acctbal"),
+        lit(1000L).as("ts_us"))
+    val noop = cust
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), lit(2000L).as("ts_us"))
+    val ch2 = cust
+      .filter(col("c_custkey") % 7 === 0)
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        (col("c_acctbal") + 1.0).as("c_acctbal"),
+        lit(3000L).as("ts_us"))
+    val fresh = cust
+      .filter(col("c_custkey") % 11 === 0)
+      .select(
+        (col("c_custkey") + 10000000L).as("c_custkey"),
+        col("c_mktsegment"),
+        col("c_acctbal"),
+        lit(1500L).as("ts_us"))
+    graft.ops.Relational.scd2Apply(
+      open.unionByName(closedRows),
+      ch1.unionByName(noop).unionByName(ch2).unionByName(fresh),
+      "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: grouped decimal aggregation
     "gen_pricing_summary" -> { (s, dir) =>
@@ -198,51 +301,23 @@ object GenQueries {
     // through, no-op re-crawls collapse, real changes close the open
     // version and chain (two changes to %21 keys), %11 keys arrive brand
     // new — the warehouse pattern behind every as-of dimension join
-    "etl_scd2" -> { (s, dir) =>
-      val cust = t(s, dir, "customer")
-      val open = cust.select(
-        col("c_custkey"),
-        col("c_mktsegment"),
-        col("c_acctbal"),
-        when(col("c_custkey") % 13 === 0, 500L).otherwise(0L).as("valid_from_us"),
-        lit(null).cast("long").as("valid_to_us"))
-      val closedRows = cust
-        .filter(col("c_custkey") % 13 === 0)
-        .select(
-          col("c_custkey"),
-          lit("OLDSEG").as("c_mktsegment"),
-          col("c_acctbal"),
-          lit(0L).as("valid_from_us"),
-          lit(500L).as("valid_to_us"))
-      val ch1 = cust
-        .filter(col("c_custkey") % 3 === 0)
-        .select(
-          col("c_custkey"),
-          concat(lit("SEG"), (col("c_custkey") % 5).cast("string")).as("c_mktsegment"),
-          col("c_acctbal"),
-          lit(1000L).as("ts_us"))
-      val noop = cust
-        .filter(col("c_custkey") % 5 === 0)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"), lit(2000L).as("ts_us"))
-      val ch2 = cust
-        .filter(col("c_custkey") % 7 === 0)
-        .select(
-          col("c_custkey"),
-          col("c_mktsegment"),
-          (col("c_acctbal") + 1.0).as("c_acctbal"),
-          lit(3000L).as("ts_us"))
-      val fresh = cust
-        .filter(col("c_custkey") % 11 === 0)
-        .select(
-          (col("c_custkey") + 10000000L).as("c_custkey"),
-          col("c_mktsegment"),
-          col("c_acctbal"),
-          lit(1500L).as("ts_us"))
-      graft.ops.Relational.scd2Apply(
-        open.unionByName(closedRows),
-        ch1.unionByName(noop).unionByName(ch2).unionByName(fresh),
+    "etl_scd2" -> { (s, dir) => scd2Dim(s, dir) },
+    // the dimension USED: every order joined to the customer version that
+    // was true at the order's own event time — half-open intervals, exact
+    // boundary semantics (ts == valid_from reads the new version), the
+    // bucketed as-of shape underneath
+    "etl_scd2_asof" -> { (s, dir) =>
+      val facts = t(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_custkey").cast("long").as("c_custkey"),
+        (col("o_orderkey") % 4000).cast("long").as("ts_us"))
+      graft.ops.Relational.scd2AsOf(
+        facts,
+        scd2Dim(s, dir),
         "c_custkey",
-        Seq("c_mktsegment", "c_acctbal"))
+        "ts_us",
+        Seq("c_mktsegment", "c_acctbal"),
+        bucketUnits = 1000L)
     },
     // the 100 TB face of the profile: distincts via the deterministic
     // m=256 HLL (bounded per-task state) instead of |cols| exact dedup
@@ -520,49 +595,22 @@ object GenQueries {
     // form one (ts, src, attrs)-ordered timeline, no-op entries collapse
     // via null-safe per-field compare (rn=1 mirrors Spark's lag-null
     // first-row rule), lead() closes each surviving version
-    "etl_scd2" ->
-      """WITH open0 AS (
-        |  SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
-        |         CASE WHEN c_custkey % 13 = 0 THEN 500 ELSE 0 END AS ts,
-        |         0 AS src
-        |  FROM customer),
-        |closed AS (
-        |  SELECT c_custkey, 'OLDSEG' AS c_mktsegment, c_acctbal,
-        |         CAST(0 AS BIGINT) AS valid_from_us, CAST(500 AS BIGINT) AS valid_to_us,
-        |         false AS is_current
-        |  FROM customer WHERE c_custkey % 13 = 0),
-        |ch AS (
-        |  SELECT c_custkey AS k, 'SEG' || CAST(c_custkey % 5 AS VARCHAR) AS seg,
-        |         c_acctbal AS bal, 1000 AS ts, 1 AS src
-        |  FROM customer WHERE c_custkey % 3 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, c_acctbal, 2000, 1
-        |  FROM customer WHERE c_custkey % 5 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, c_acctbal + 1.0, 3000, 1
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 10000000, c_mktsegment, c_acctbal, 1500, 1
-        |  FROM customer WHERE c_custkey % 11 = 0),
-        |tl AS (SELECT * FROM open0 UNION ALL SELECT * FROM ch),
-        |d AS (
-        |  SELECT *,
-        |         LAG(seg) OVER w AS pseg, LAG(bal) OVER w AS pbal,
-        |         ROW_NUMBER() OVER w AS rn
-        |  FROM tl WINDOW w AS (PARTITION BY k ORDER BY ts, src, seg, bal)),
-        |s AS (
-        |  SELECT k, seg, bal, ts, src FROM d
-        |  WHERE rn = 1 OR seg IS DISTINCT FROM pseg OR bal IS DISTINCT FROM pbal),
-        |v AS (
-        |  SELECT k, seg, bal, ts,
-        |         LEAD(ts) OVER (PARTITION BY k ORDER BY ts, src, seg, bal) AS vto
-        |  FROM s)
-        |SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
-        |       CAST(ts AS BIGINT) AS valid_from_us, CAST(vto AS BIGINT) AS valid_to_us,
-        |       vto IS NULL AS is_current
-        |FROM v
-        |WHERE vto IS NULL OR vto <> ts
-        |UNION ALL SELECT * FROM closed""".stripMargin,
+    "etl_scd2" -> scd2DimSql,
+    // the point-in-time read over the same version chains: plain interval
+    // LEFT JOIN in the oracle (valid_from <= ts < valid_to, open = no
+    // bound) — Spark's bucketed as-of + validity cut must agree exactly,
+    // boundary timestamps included
+    "etl_scd2_asof" ->
+      s"""WITH f AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |         CAST(o_custkey AS BIGINT) AS c_custkey,
+         |         CAST(o_orderkey % 4000 AS BIGINT) AS ts_us
+         |  FROM orders)
+         |SELECT f.o_orderkey, f.c_custkey, f.ts_us, d.c_mktsegment, d.c_acctbal
+         |FROM f LEFT JOIN ($scd2DimSql) d
+         |  ON d.c_custkey = f.c_custkey
+         | AND d.valid_from_us <= f.ts_us
+         | AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)""".stripMargin,
     // mirrors Checks.profileApprox: per-column string-cast union, then
     // the deterministic HLL register chain (RelQueries' stats_hll shape)
     // with the small-range rule folded into the selected estimate

@@ -1137,6 +1137,51 @@ class RelationalSpec extends SparkSpec {
     assert(nullOpen.getMessage.contains("open history row"), nullOpen.getMessage)
   }
 
+  test("Relational.scd2AsOf: boundary hits, gap nulls, atomic version structs, bucketed carry") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq(
+      // key 1: contiguous chain a[0,100) b[100,200) c[200,inf)
+      (1L, Some("a"), 0L, Some(100L)),
+      (1L, Some("b"), 100L, Some(200L)),
+      (1L, Some("c"), 200L, Option.empty[Long]),
+      // key 2: coverage only starts at 100
+      (2L, Some("x"), 100L, Option.empty[Long]),
+      // key 3: coverage gap [100, 500)
+      (3L, Some("g1"), 0L, Some(100L)),
+      (3L, Some("g2"), 500L, Option.empty[Long]),
+      // key 4: the CURRENT version's attr is genuinely null — a
+      // per-column carry would wrongly inherit v1's value here
+      (4L, Some("old"), 0L, Some(100L)),
+      (4L, Option.empty[String], 100L, Option.empty[Long]))
+      .toDF("k", "attr", "valid_from_us", "valid_to_us")
+    val facts = Seq(
+      (10L, 1L, 50L),   // mid v1 -> a
+      (11L, 1L, 100L),  // ts == valid_from -> the NEW version b
+      (12L, 1L, 199L),  // last covered instant of b
+      (13L, 1L, 200L),  // ts == valid_to of b -> the next version c
+      (14L, 1L, 5000L), // far future -> open version c, carried across ~50 buckets
+      (20L, 2L, 50L),   // before the key's first version -> null
+      (30L, 3L, 300L),  // inside the coverage gap -> null, never a stale carry
+      (40L, 4L, 150L),  // current version's attr is null -> null, not "old"
+      (50L, 9L, 100L))  // key absent from the dimension -> null
+      .toDF("fid", "k", "ts")
+    val got = graft.ops.Relational
+      .scd2AsOf(facts, dim, "k", "ts", Seq("attr"), bucketUnits = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(3)))
+      .toMap
+    assert(got === Map(
+      10L -> Some("a"), 11L -> Some("b"), 12L -> Some("b"), 13L -> Some("c"),
+      14L -> Some("c"), 20L -> None, 30L -> None, 40L -> None, 50L -> None), got.toString)
+    // dimension versions with null valid_from_us refuse in-plan
+    val badDim = Seq((1L, Some("z"), Option.empty[Long], Option.empty[Long]))
+      .toDF("k", "attr", "valid_from_us", "valid_to_us")
+    val err = intercept[Exception](
+      graft.ops.Relational.scd2AsOf(facts, badDim, "k", "ts", Seq("attr")).collect())
+    assert(err.getMessage.contains("null valid_from_us"), err.getMessage)
+  }
+
   test("Stats.chiSquareDrift: hand-computed terms; identical cohorts score zero") {
     val s = spark
     import s.implicits._
