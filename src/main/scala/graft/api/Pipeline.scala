@@ -218,14 +218,21 @@ final class Pipeline(
     *     recall to ZERO FALSE NEGATIVES at the index's Jaccard
     *     threshold (the banding stage stays first: it is cheaper and
     *     shrinks what the exact probe must verify);
-    *  5. the same quality/language gate, hash-split rule (stable under
+    *  5. OPT-IN exact token-edit dedup (`tokenEditPath = Some(p)`): the
+    *     survivors additionally probe the persisted signature index
+    *     ([[graft.ops.Dedup.tokenEditSurvivors]]) — the re-crawled
+    *     one-word-changed page, which Jaccard at 0.8 already catches but
+    *     a LOWER set-join threshold would not, gets its own exact
+    *     guarantee (every ed≤1 pair, by the pigeonhole theorem);
+    *  6. the same quality/language gate, hash-split rule (stable under
     *     corpus growth by construction), and per-batch packing layout as
     *     [[prepare]], so the returned manifest rows are column-compatible
     *     with a full run's.
     *
     * The caller lands the survivors, appends their fingerprints, and
     * grows the indexes ([[graft.ops.Dedup.appendLshIndex]] +
-    * [[graft.ops.Dedup.appendSetJoinIndex]];
+    * [[graft.ops.Dedup.appendSetJoinIndex]] +
+    * [[graft.ops.Dedup.appendTokenEditIndex]];
     * [[graft.streaming.CorpusIngest.nearDedupIngest]] automates the LSH
     * loop); [[graft.ops.Dedup.clusterMergeAudit]] and
     * [[graft.ops.Dedup.setJoinDriftAudit]] are the matching rebuild
@@ -237,7 +244,8 @@ final class Pipeline(
       seenFingerprints: DataFrame,
       lshPath: String,
       setJoinPath: Option[String] = None,
-      setJoinThresholdMilli: Int = 800): DataFrame = {
+      setJoinThresholdMilli: Int = 800,
+      tokenEditPath: Option[String] = None): DataFrame = {
     val base0 = cleaned(batch)
     val base =
       if (blocklist.isEmpty) base0 else Corpus.blocklistFilter(base0, blocklist)
@@ -252,9 +260,13 @@ final class Pipeline(
       .select("doc_id")
     val fresh = base.join(exactNew, "doc_id")
     val lshSurvivors = Dedup.nearDupSurvivors(fresh, lshPath)
-    val survivors = setJoinPath match {
+    val setSurvivors = setJoinPath match {
       case None => lshSurvivors
       case Some(p) => Dedup.exactDupSurvivors(lshSurvivors, p, setJoinThresholdMilli)
+    }
+    val survivors = tokenEditPath match {
+      case None => setSurvivors
+      case Some(p) => Dedup.tokenEditSurvivors(setSurvivors, p)
     }
     val gate = filtered(survivors)
     val split = Corpus.splitAssign(survivors).select(col("doc_id"), col("split"))

@@ -535,14 +535,24 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     val spark = batch.sparkSession
     val pairs =
-      (if (Similarity.storeExists(spark, s"$path/params"))
-         probeSetJoinIndex(spark, path, batch, thresholdMilli, n, textCol, idCol)
-       else setSimilarityJoin(batch, thresholdMilli, n, textCol, idCol))
-        .localCheckpoint() // consumed by both drop rules
+      if (Similarity.storeExists(spark, s"$path/params"))
+        probeSetJoinIndex(spark, path, batch, thresholdMilli, n, textCol, idCol)
+      else setSimilarityJoin(batch, thresholdMilli, n, textCol, idCol)
+    survivorsFromPairs(batch, pairs, idCol)
+  }
+
+  /** The drop rule shared by [[exactDupSurvivors]] and
+    * [[tokenEditSurvivors]]: given (doc_a < doc_b) duplicate pairs, every
+    * pair's larger end that is a batch doc drops (its partner is either
+    * history or a smaller batch doc); the smaller end drops only when the
+    * larger end is history.
+    */
+  private def survivorsFromPairs(
+      batch: DataFrame,
+      pairsRaw: DataFrame,
+      idCol: String): DataFrame = {
+    val pairs = pairsRaw.localCheckpoint() // consumed by both drop rules
     val bids = batch.select(col(idCol).cast("long").as("bid")).distinct().localCheckpoint()
-    // every pair's larger end that is a batch doc drops (its partner is
-    // either history or a smaller batch doc); the smaller end drops only
-    // when the larger end is history
     val dropB = pairs
       .join(bids, col("doc_b") === col("bid"), "left_semi")
       .select(col("doc_b").as("drop_id"))
@@ -554,6 +564,29 @@ object Dedup {
       dropB.unionAll(dropA).distinct(),
       col(idCol).cast("long") === col("drop_id"),
       "left_anti")
+  }
+
+  /** [[exactDupSurvivors]]' TOKEN-EDIT sibling — the re-crawled
+    * one-word-changed page, the token-edit join's whole reason to exist,
+    * gets the same zero-false-negative incremental guarantee: probe the
+    * persisted signature index at `path` ([[probeTokenEditIndex]] — every
+    * ed≤1 pair touching the batch, exactly), or fall back to the in-batch
+    * [[tokenEditJoin]] when no store exists, then apply the shared drop
+    * rule (larger batch end drops; smaller end drops only to history).
+    * Same cost shape as the set-join stage: |batch| signing + equi-joins
+    * against the posting store, history never self-joins.
+    */
+  def tokenEditSurvivors(
+      batch: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = batch.sparkSession
+    val pairs =
+      if (Similarity.storeExists(spark, s"$path/params"))
+        probeTokenEditIndex(spark, path, batch, textCol, idCol)
+      else tokenEditJoin(batch, textCol, idCol)
+    survivorsFromPairs(batch, pairs, idCol)
   }
 
   /** One micro-batch of STREAMING near-dup ingest (the foreachBatch body

@@ -394,6 +394,40 @@ class PipelineSpec extends SparkSpec {
     assert(withExact.subsetOf(manual), s"facade kept $withExact beyond the manual stage $manual")
   }
 
+  test("prepareIncremental tokenEditPath: the ed-1 re-crawl invisible to Jaccard still drops") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    val p = new Pipeline(minQuality = 0.0)
+    // SHORT doc: one substituted word rewrites 3 of its 8 interior
+    // shingles, so the re-crawl sits near Jaccard 0.45 — below the
+    // 0.8-grade banding's reach — while staying at token edit distance 1,
+    // the signature index's home turf
+    val baseText = "the cat sat on the mat near the old door"
+    val history = Seq((1L, baseText)).toDF("doc_id", "text")
+    val lshDir = java.nio.file.Files.createTempDirectory("incplsh2").toString
+    val teDir = java.nio.file.Files.createTempDirectory("incpte").toString
+    Dedup.writeLshIndex(history, lshDir)
+    Dedup.writeTokenEditIndex(history, teDir)
+    val recrawl = (1000L, baseText.split(" ").updated(5, "carpet").mkString(" "))
+    val freshDoc = (1001L, "a completely different sentence about query planning and shuffles")
+    val batch = Seq(recrawl, freshDoc).toDF("doc_id", "text")
+    val seen = history.select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    val without = p.prepareIncremental(batch, seen, lshDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(without === Set(1000L, 1001L),
+      s"fixture premise: the banding stage must miss the ed-1 re-crawl, got $without")
+    val withTe = p.prepareIncremental(batch, seen, lshDir, tokenEditPath = Some(teDir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withTe === Set(1001L),
+      s"the token-edit stage must drop the re-crawl and keep the fresh doc, got $withTe")
+    // agreement with the manual stage composition, the documented contract
+    val manual = Dedup
+      .tokenEditSurvivors(Dedup.nearDupSurvivors(p.cleaned(batch), lshDir), teDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withTe.subsetOf(manual), s"facade kept $withTe beyond the manual stage $manual")
+    assert(manual === Set(1001L), s"manual stage must agree with probeTokenEditIndex: $manual")
+  }
+
   test("prepareVectors: audit → conditional debias → semantic prune → live IVF index") {
     val s = SparkSpec.spark
     val e = s.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
