@@ -158,6 +158,115 @@ object Rollup {
       keyCols)
   }
 
+  /** Streaming maintenance round for the EXACT cumulative-distinct store —
+    * [[cumulativeDistinct]]'s first-seen trick as an ingest face, so "unique
+    * users since launch, by day" stays exact on an unbounded stream without
+    * ever re-deduplicating history: each batch's per-(group, id) minimum
+    * period anti-joins the store's strictly-earlier generations, and only
+    * ids the stream has NEVER delivered before land (once, under their
+    * first batch, keyed `firstseen/batch_id=N`); the batch's observed
+    * (group, period) pairs land beside them (`observed/batch_id=N`) so
+    * zero-new periods still report 0, not a gap. Checkpoint-retried
+    * batches probe only generations `< batchId` and overwrite their own
+    * dirs — exactly-once without a transaction log, the
+    * [[graft.ops.Dedup.ingestTokenEditBatch]] protocol. Params pin the
+    * (group, period, id) column triple; two streams' stores never merge.
+    *
+    * Semantics contract: an id's first period is its first ARRIVAL's
+    * minimum period. When batches respect event-time order (each id's
+    * earliest period arrives first — the watermark discipline), the
+    * readback is exactly [[cumulativeDistinct]] over the union of all
+    * batches; an out-of-order RECURRENCE of an already-seen id with an
+    * earlier period keeps the first arrival's period (the stream face
+    * trades late-recurrence rewrites for never re-reading history —
+    * rebuild from the raw lake if that correction matters).
+    *
+    * Scale shape: per batch, one map-side-combinable min-aggregate over
+    * the batch plus one id-keyed anti-join against the stored first-seen
+    * rows (≤ |all-time distinct ids|, each id exactly once — orders below
+    * the event stream); the readback never touches raw events.
+    */
+  def ingestCumulativeDistinctBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      groupCol: String,
+      periodCol: String,
+      idCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val spec = s"$groupCol|$periodCol|$idCol"
+    StoreLifecycle.claim(
+      spark,
+      path,
+      Seq("firstseen", "observed"),
+      batchId,
+      () => Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val s0 = spark.read.parquet(s"$path/params").head.getString(0)
+        require(s0 == spec, s"cumulative-distinct store at $path maintains $s0, got $spec")
+      })
+    if (batch.isEmpty) return // nothing to probe or land
+    val base = batch
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(periodCol).cast("long").as("p"),
+        col(idCol).as("id"))
+      .localCheckpoint() // first-seen aggregate + the observed write
+    val firstInBatch = base.groupBy("grp", "id").agg(min("p").as("p"))
+    val seen =
+      if (Similarity.storeExists(spark, s"$path/firstseen")) {
+        val raw = spark.read.parquet(s"$path/firstseen")
+        // strictly-earlier generations only: a checkpoint-retried batch
+        // must never probe its own half-written rows and drop itself
+        (if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw)
+          .select("grp", "id")
+      } else firstInBatch.select("grp", "id").limit(0)
+    firstInBatch
+      .join(seen, Seq("grp", "id"), "left_anti")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/firstseen/batch_id=$batchId")
+    base.select("grp", "p").distinct()
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/observed/batch_id=$batchId")
+  }
+
+  /** The live since-launch report: [[cumulativeDistinct]]'s tail over the
+    * STORED first-seen rows — per-period first-arrival counts plus the
+    * cumulative window over observed (group, period) rows. Output shape
+    * (`groupCol`, `period`, `n_new`, `n_total`) matches the batch
+    * operator exactly; scans |distinct ids| + |group·period| stored rows,
+    * never raw history.
+    */
+  def readCumulativeDistinct(
+      spark: SparkSession,
+      path: String,
+      groupCol: String): DataFrame = {
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"no cumulative-distinct store at $path — ingest at least one batch first")
+    import spark.implicits._
+    // an idle stream (only empty batches so far) reads as EMPTY, not as
+    // an error — the StoreLifecycle contract
+    if (!Similarity.storeExists(spark, s"$path/firstseen"))
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF(groupCol, "period", "n_new", "n_total")
+    val firstSeen = spark.read.parquet(s"$path/firstseen")
+      .groupBy("grp", "p")
+      .agg(count(lit(1)).cast("long").as("n_new"))
+    val observed = spark.read.parquet(s"$path/observed").select("grp", "p").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp")
+      .orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    observed
+      .join(firstSeen, Seq("grp", "p"), "left")
+      .select(col("grp"), col("p"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", sum("n_new").over(w).cast("long"))
+      .select(col("grp").as(groupCol), col("p").as("period"), col("n_new"), col("n_total"))
+  }
+
   /** Period-over-period deltas — the reporting primitive every dashboard
     * leads with ("vs yesterday / vs last week"): per key and period, the
     * measure plus its value `lag` and `seasonLag` periods back and the

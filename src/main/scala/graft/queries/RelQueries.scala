@@ -637,6 +637,26 @@ object RelQueries {
         "day",
         "user_id")
     },
+    // the same report maintained INCREMENTALLY: three period-ordered
+    // ingest rounds land only never-seen-before (type, user) first
+    // arrivals batch-keyed, the read face windows the stored rows — which
+    // must hash-equal the batch operator over all events (the first-seen
+    // trick's merge law under event-time-ordered arrival)
+    "events_cumulative_streamed" -> { (s, dir) =>
+      val root = s"${sys.props("java.io.tmpdir")}/graft_cumdist_${ProcessHandle.current().pid()}"
+      val ev = events(s, dir).withColumn("day", expr("ts_us div 86400000000"))
+      // 1-row bounded collect: day-range thirds keep arrival period-ordered
+      val mm = ev.agg(min("day").as("lo"), max("day").as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (c1, c2) = (lo + (hi - lo + 1) / 3, lo + 2 * (hi - lo + 1) / 3)
+      Rollup.ingestCumulativeDistinctBatch(
+        ev.filter(col("day") < c1), root, 0L, "event_type", "day", "user_id")
+      Rollup.ingestCumulativeDistinctBatch(
+        ev.filter(col("day") >= c1 && col("day") < c2), root, 1L, "event_type", "day", "user_id")
+      Rollup.ingestCumulativeDistinctBatch(
+        ev.filter(col("day") >= c2), root, 2L, "event_type", "day", "user_id")
+      Rollup.readCumulativeDistinct(s, root, "event_type")
+    },
     // sliding distinct users per (type, day): per-day HLL registers merged
     // by MAX over a 7-day RANGE frame — no re-scan of raw events per
     // window, the mergeability law doing dashboard work
@@ -1869,6 +1889,9 @@ object RelQueries {
     "stats_hll_streamed" -> hllSql,
     "stats_hll_sliding" -> hllSlidingSql,
     "events_cumulative_users" -> cumulativeUsersSql,
+    // readback ≡ the batch operator over the union of the (period-ordered)
+    // ingest rounds — one oracle for both faces
+    "events_cumulative_streamed" -> cumulativeUsersSql,
     "stats_rank_normalize" ->
       """WITH vm AS (
         |  SELECT event_type AS grp,

@@ -122,4 +122,32 @@ object SketchIngest {
       }
       .start()
 
+  /** Streaming face of the EXACT since-launch distinct count
+    * ([[graft.ops.Rollup.ingestCumulativeDistinctBatch]]): each
+    * micro-batch lands only the ids the stream has never delivered before
+    * (once, under their first batch — the first-seen trick as state), and
+    * [[graft.ops.Rollup.readCumulativeDistinct]] serves "unique since
+    * launch, by period" from the stored rows without ever
+    * re-deduplicating history. State grows with |all-time distinct ids|,
+    * each exactly once — the exact complement of [[hllIngest]]'s
+    * fixed-size approximate registers; under event-time-ordered arrival
+    * the readback equals the batch operator over everything ingested.
+    */
+  def cumulativeDistinctIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      groupCol: String,
+      periodCol: String,
+      idCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Rollup
+          .ingestCumulativeDistinctBatch(batch.toDF(), path, batchId, groupCol, periodCol, idCol)
+        ()
+      }
+      .start()
+
 }

@@ -170,6 +170,71 @@ class RollupSpec extends SparkSpec {
     assert(got(("b", 5L)) === ((1L, 1L)), "first-seen is per group")
   }
 
+  test("cumulative-distinct store: readback == batch operator; retry exactly-once; stale reclaim") {
+    val s = spark
+    import s.implicits._
+    def cdf(rows: Seq[(String, Long, String)]) = rows.toDF("g", "p", "u")
+    val dir = java.nio.file.Files.createTempDirectory("cumdist").toString
+    // stale store from a previous run: batch 0 must reclaim it
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(
+      cdf(Seq(("zzz", 1L, "old"))), dir, 0L, "g", "p", "u")
+    val b0 = Seq(("a", 1L, "u1"), ("a", 1L, "u2"), ("b", 1L, "u1"))
+    val b1 = Seq(("a", 2L, "u1"), ("a", 2L, "u3")) // u1 recurs: must not re-land
+    val b2 = Seq(("a", 3L, "u2"), ("b", 3L, "u9")) // a@3 is a zero-new observed period
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b0), dir, 0L, "g", "p", "u")
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b1), dir, 1L, "g", "p", "u")
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b2), dir, 2L, "g", "p", "u")
+    def read() = graft.ops.Rollup.readCumulativeDistinct(spark, dir, "g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = graft.ops.Rollup.cumulativeDistinct(cdf(b0 ++ b1 ++ b2), "g", "p", "u")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val got = read()
+    assert(got === want, s"readback must equal the batch operator on the union: $got vs $want")
+    assert(!got.keySet.exists(_._1 == "zzz"), "batch 0 reclaims the stale store")
+    assert(got(("a", 3L)) === ((0L, 3L)), "a zero-new observed period is a row, not a gap")
+    // exactly-once under checkpoint retry: re-running batch 2 (same id)
+    // probes only strictly-earlier generations and overwrites itself
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b2), dir, 2L, "g", "p", "u")
+    assert(read() === want, "a retried batch must not double-count or drop itself")
+    // spec pin: a different column triple refuses
+    val e = intercept[IllegalArgumentException](
+      graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b2), dir, 3L, "g", "u", "p"))
+    assert(e.getMessage.contains("maintains"))
+  }
+
+  test("cumulativeDistinctIngest streaming face: readback == batch operator over both batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cumdiststream").toString
+    def add(rows: Seq[(String, Long, String)]): Unit =
+      rows.toDF("g", "p", "u").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .cumulativeDistinctIngest(
+          spark.readStream.schema("g STRING, p LONG, u STRING").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          "g", "p", "u")
+        .awaitTermination()
+    val b1 = Seq(("a", 1L, "u1"), ("a", 1L, "u2"))
+    val b2 = Seq(("a", 2L, "u1"), ("a", 2L, "u3"), ("b", 2L, "u1"))
+    add(b1); run()
+    add(b2); run()
+    val got = graft.ops.Rollup.readCumulativeDistinct(spark, s"$dir/store", "g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = graft.ops.Rollup.cumulativeDistinct((b1 ++ b2).toDF("g", "p", "u"), "g", "p", "u")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+  }
+
   test("periodOverPeriod: fractional measures are milli-scaled, not floored") {
     val s = spark
     import s.implicits._
