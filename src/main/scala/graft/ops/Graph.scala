@@ -154,6 +154,65 @@ object Graph {
     r.select("node", "rank_milli")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge list —
+    * the bipartite-flavored ranking PageRank can't express: a good HUB
+    * points at good authorities, a good AUTHORITY is pointed at by good
+    * hubs (buyers vs suppliers, crawlers vs canonical pages). Integer
+    * milli with MAX-normalization per half-step (the L2 norm's sqrt would
+    * break engine-exactness; max-norm preserves the ordering, which is
+    * what HITS is for — the top hub/authority always reads exactly 1000):
+    * per iteration `auth(v) = Σ hub(u) over in-edges` then normalize,
+    * then `hub(u) = Σ auth(v) over out-edges` from the FRESH authorities,
+    * then normalize — Kleinberg's authority-first sweep. Nodes with no
+    * in-edges hold authority 0, no out-edges hub 0; both scores are
+    * relative, not a distribution. Fixed `iters`, so the result is
+    * deterministic and oracle-hashable.
+    *
+    * Scale shape: identical to [[pageRankMilli]] — edges and the node
+    * table materialized once, each half-step is one edge join + one
+    * map-side-combinable aggregation plus a broadcast 1-row max, every
+    * iteration's table `localCheckpoint`ed (lineage stays linear).
+    */
+  def hitsMilli(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1, 20], got $iters")
+    val e = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e
+      .select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val m = raw.agg(max("raw").as("__m"))
+      nodes
+        .join(
+          raw.crossJoin(broadcast(m))
+            .select(col("node"), expr("CAST((1000 * raw) div __m AS BIGINT)").as(out)),
+          Seq("node"),
+          "left")
+        .select(col("node"), coalesce(col(out), lit(0L)).as(out))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("node"), lit(1000L).as("hub_milli"))
+    var auth = nodes.select(col("node"), lit(1000L).as("auth_milli"))
+    for (_ <- 1 to iters) {
+      auth = normalize(
+        e.join(hub.select(col("node").as("src"), col("hub_milli")), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum("hub_milli").as("raw")),
+        "auth_milli")
+      hub = normalize(
+        e.join(auth.select(col("node").as("dst"), col("auth_milli")), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum("auth_milli").as("raw")),
+        "hub_milli")
+    }
+    hub.join(auth, Seq("node")).select("node", "hub_milli", "auth_milli")
+  }
+
   /** Per-node triangle counts over an undirected graph given as a (src,
     * dst) edge list (direction ignored, self-loops and duplicate edges
     * dropped). Returns one row per node that closes at least one triangle.

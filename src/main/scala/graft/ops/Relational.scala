@@ -1301,6 +1301,67 @@ object Relational {
       .unionByName(closed)
   }
 
+  /** Gaps-and-islands: merge a key's overlapping-or-near-adjacent
+    * half-open intervals `[start, end)` into coverage ISLANDS — the
+    * uptime/session-stitching primitive ("how long was the user actually
+    * active", "which windows had continuous coverage"): intervals whose
+    * start is within `gapUnits` of the running maximum end so far join
+    * the current island; a larger gap opens a new one. `gapUnits = 0`
+    * merges touching intervals (`[1,5)+[5,9)` → `[1,9)` — half-open
+    * adjacency IS continuity); positive values tolerate small holes
+    * (session stitching), in which case `island_units = end − start` may
+    * exceed the summed interval lengths, also reported as
+    * `sum_interval_units` so the caller can read the tolerated slack.
+    * Empty and negative intervals (`end <= start`) are dropped — a
+    * zero-width interval covers nothing (the half-open convention every
+    * interval operator here shares). Output one row per island:
+    * (key, island_start, island_end, n_intervals, island_units,
+    * sum_interval_units).
+    *
+    * Scale shape: the classic running-max island detection — windows
+    * partition by KEY over that key's INTERVAL rows (session grain,
+    * orders below raw events); islands then form by one
+    * map-side-combinable aggregate. No self-join, no interval
+    * cross-product.
+    */
+  def mergeIntervals(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String,
+      gapUnits: Long = 0L): DataFrame = {
+    require(gapUnits >= 0L, s"gapUnits must be >= 0, got $gapUnits")
+    val base = intervals
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(
+        col(keyCol).as("k"),
+        col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .filter(col("e") > col("s"))
+    val w = Window.partitionBy("k").orderBy(col("s"), col("e"))
+    base
+      .withColumn(
+        "__pmax",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn(
+        "__new",
+        when(col("__pmax").isNull || col("s") > col("__pmax") + gapUnits, 1L).otherwise(0L))
+      .withColumn("__island", sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("k"), col("__island"))
+      .agg(
+        min("s").as("island_start"),
+        max("e").as("island_end"),
+        count(lit(1)).cast("long").as("n_intervals"),
+        sum(col("e") - col("s")).cast("long").as("sum_interval_units"))
+      .select(
+        col("k").as(keyCol),
+        col("island_start"),
+        col("island_end"),
+        col("n_intervals"),
+        (col("island_end") - col("island_start")).as("island_units"),
+        col("sum_interval_units"))
+  }
+
   /** SCD2 POINT-IN-TIME join — the query every [[scd2Apply]] consumer
     * writes next: each fact row joined to the dimension VERSION that was
     * true at the fact's own time, `valid_from_us <= ts < valid_to_us`

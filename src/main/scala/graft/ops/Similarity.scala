@@ -1913,6 +1913,68 @@ object Similarity {
       .withColumn("recall_milli", expr("(1000 * n_hit) div n_exact").cast("long"))
   }
 
+  /** The NDCG@k position weights as INTEGER micro literals —
+    * `round(10⁶ / log2(rank + 1))` computed ONCE driver-side, so no
+    * engine `log`/float ever enters a plan or an oracle: both sides
+    * consume the same pinned integers and the whole metric stays
+    * hash-exact (the Benford-expectations move applied to ranking).
+    */
+  def ndcgWeightsMicro(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 100, s"ndcg weights support k in [1, 100], got $k")
+    (1 to k).map(r => Math.round(1e6 / (Math.log(r + 1.0) / Math.log(2.0))))
+  }
+
+  /** Order-aware ranking quality — MRR and NDCG@k — the dial
+    * [[annRecallAudit]] deliberately ignores (recall is set-membership;
+    * two probes with equal recall can rank the true best neighbor first
+    * vs last). Binary relevance: `truth` is the per-query relevant set
+    * (e.g. the exact top-k), `approx` the ranked results `(query_id,
+    * rank, neighbor_id)`. Per query: `n_truth`, `first_hit_rank` (null
+    * when nothing relevant surfaced), `mrr_micro = 10⁶ div
+    * first_hit_rank` (0 on a miss), `dcg_micro = Σ_hits W(rank)` and
+    * `ndcg_ppm = 10⁶·dcg div idcg` with `W` the [[ndcgWeightsMicro]]
+    * pinned integers and `idcg` the best-possible prefix sum at
+    * `min(n_truth, k)` — so every number is integer-exact and
+    * oracle-hashable. A query with an empty truth set reports
+    * `ndcg_ppm` null (no ideal exists), not a fabricated 0.
+    *
+    * Scale shape: both inputs are |queries|·k rows; one equi-join + one
+    * map-side-combinable aggregate; the weights ride as an O(1)-indexed
+    * literal array (never a literal map — the element_at linear-scan
+    * trap).
+    */
+  def rankingAudit(approx: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val wts = ndcgWeightsMicro(k)
+    val cum = wts.scanLeft(0L)(_ + _).tail // cumulative ideal prefix sums
+    val wArr = array(wts.map(lit): _*)
+    val cArr = array(cum.map(lit): _*)
+    val tr = truth.select(col("query_id"), col("neighbor_id")).distinct()
+    val nt = tr.groupBy("query_id").agg(count(lit(1)).cast("long").as("n_truth"))
+    val perQ = approx
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"), col("neighbor_id"))
+      .join(tr.withColumn("__rel", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        min(when(col("__rel").isNotNull, col("rank"))).cast("long").as("first_hit_rank"),
+        coalesce(
+          sum(when(col("__rel").isNotNull, element_at(wArr, col("rank")))),
+          lit(0L)).cast("long").as("dcg_micro"))
+    perQ
+      .join(nt, Seq("query_id"), "left")
+      .withColumn("__nt", coalesce(col("n_truth"), lit(0L)))
+      .withColumn(
+        "__idcg",
+        when(col("__nt") > 0, element_at(cArr, least(col("__nt"), lit(k.toLong)).cast("int"))))
+      .select(
+        col("query_id"),
+        col("__nt").as("n_truth"),
+        col("first_hit_rank"),
+        coalesce(expr("1000000 div first_hit_rank"), lit(0L)).cast("long").as("mrr_micro"),
+        col("dcg_micro"),
+        expr("CAST((1000000 * dcg_micro) div __idcg AS BIGINT)").as("ndcg_ppm"))
+  }
+
   /** Recall@k of a PERSISTED IVF index's probe at `nProbe` against exact
     * brute force over the index's own LIVE content (tombstones
     * subtracted) — the per-index face of [[annRecallAudit]]: feed it a

@@ -957,6 +957,74 @@ object Stats {
       .reduce(_ unionAll _)
   }
 
+  /** Per-group AUTOCORRELATION function (integer-exact moments) — the
+    * seasonality detector run before picking [[graft.ops.Anomaly
+    * .seasonalDecompose]]'s season length: lag-k Pearson r of a
+    * pre-aggregated series against itself, for k = 1..maxLag, so a daily
+    * cycle reads as a spike at the 24-hour lag. Input is one row per
+    * (group, consecutive period) — the [[graft.ops.Rollup
+    * .periodOverPeriod]] contract: lags are by POSITION in the ordered
+    * series, so feed gap-filled periods when calendar gaps exist. Same
+    * exactness discipline as [[corrMatrixMilli]]: milli-scaled values,
+    * all moment sums in decimal(38,0) (cast BEFORE the sum), one
+    * correctly-rounded double conversion + sqrt/divide per (group, lag);
+    * zero-variance windows yield null `acf_r`, and a lag with fewer than
+    * 2 aligned pairs reports no row at all (nothing to correlate).
+    *
+    * Scale shape: ONE window pass adds all maxLag lag columns (a single
+    * Window node, series-grain rows), an in-plan `stack` unpivots to
+    * (group, lag) pairs, and one map-side-combinable aggregate computes
+    * every moment — the raw fact table never enters.
+    */
+  def autocorrMilli(
+      counted: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valCol: String,
+      maxLag: Int = 24): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000, s"maxLag must be in [1, 1000], got $maxLag")
+    val w = Window.partitionBy("grp").orderBy("p")
+    val base = counted
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(valCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(periodCol).cast("long").as("p"),
+        round(col(valCol).cast("double") * 1000, 0).cast("long").as("x"))
+    val lagged = (1 to maxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"__l$k", lag("x", k).over(w))
+    }
+    val pairs = lagged
+      .select(
+        col("grp"),
+        col("x"),
+        expr(s"stack($maxLag, ${(1 to maxLag).map(k => s"${k}L, __l$k").mkString(", ")}) " +
+          "AS (lag, y)"))
+      .filter(col("y").isNotNull)
+    pairs
+      .groupBy("grp", "lag")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .filter(col("n") >= 2)
+      .select(
+        col("grp").as(groupCol),
+        col("lag"),
+        col("n"),
+        expr(
+          """CAST(round(
+            |  CASE WHEN (n * sxx - sx * sx) > 0
+            |        AND (n * syy - sy * sy) > 0
+            |  THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+            |       sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+            |            CAST(n * syy - sy * sy AS DOUBLE))
+            |  END, 6) AS DOUBLE)""".stripMargin)
+          .as("acf_r"))
+  }
+
   /** Pearson chi-square contingency drift between two cohorts'
     * CATEGORICAL distributions — the discrete sibling of [[ksDrift]] (KS
     * needs an ordered value; event types, languages, label sets have

@@ -415,6 +415,20 @@ object GenQueries {
         .select((col("c_custkey") * 2).cast("long").as("node"))
       graft.ops.Graph.personalizedPageRankMilli(e, seeds, iters = 3)
     },
+    // HITS over the DIRECTED customer→supplier trade graph: customers are
+    // hubs (they point), suppliers authorities (they are pointed at) —
+    // the bipartite ranking the symmetrized PageRank blurs; integer
+    // max-normalized half-steps, 3 iterations unrolled in the oracle
+    "graph_hits" -> { (s, dir) =>
+      val d = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+          t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.ops.Graph.hitsMilli(d, iters = 3)
+    },
     // feature-redundancy screen: pairwise Pearson r over the lineitem
     // numerics in one pass, exact integer moments, one final sqrt/divide
     "gen_correlation" -> { (s, dir) =>
@@ -902,6 +916,33 @@ object GenQueries {
          |c0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core FROM sym GROUP BY 1),
          |${(1 to 4).map(round).mkString(",\n")}
          |SELECT node, core FROM c4""".stripMargin
+    },
+    // mirrors Graph.hitsMilli: authority-first max-normalized half-steps
+    // over the directed trade graph, 3 rounds unrolled
+    "graph_hits" -> {
+      def round(k: Int) =
+        s"""a$k AS (
+           |  SELECT e.dst AS node, CAST(SUM(hn${k - 1}.v) AS BIGINT) AS raw
+           |  FROM e JOIN hn${k - 1} ON hn${k - 1}.node = e.src GROUP BY 1),
+           |am$k AS (SELECT MAX(raw) AS m FROM a$k),
+           |an$k AS (
+           |  SELECT n.node, CAST(COALESCE((1000 * a$k.raw) // am$k.m, 0) AS BIGINT) AS v
+           |  FROM nodes n LEFT JOIN a$k USING (node) CROSS JOIN am$k),
+           |h$k AS (
+           |  SELECT e.src AS node, CAST(SUM(an$k.v) AS BIGINT) AS raw
+           |  FROM e JOIN an$k ON an$k.node = e.dst GROUP BY 1),
+           |hm$k AS (SELECT MAX(raw) AS m FROM h$k),
+           |hn$k AS (
+           |  SELECT n.node, CAST(COALESCE((1000 * h$k.raw) // hm$k.m, 0) AS BIGINT) AS v
+           |  FROM nodes n LEFT JOIN h$k USING (node) CROSS JOIN hm$k)"""
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |hn0 AS (SELECT node, CAST(1000 AS BIGINT) AS v FROM nodes),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT hn3.node, hn3.v AS hub_milli, an3.v AS auth_milli
+         |FROM hn3 JOIN an3 USING (node)""".stripMargin
     },
     // graph_pagerank's unrolled chain with the teleport pinned to seeds:
     // r0 = 1000 on seeds else 0; r = s*150 + (850*inb)//1000

@@ -964,6 +964,21 @@ object OpsQueries {
         Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5),
         k = 5)
     },
+    // the ORDER-AWARE quality dial recall ignores: MRR + NDCG@5 of the
+    // IVF probe against the exact top-5 as binary relevance — two probes
+    // with equal recall can still rank the best neighbor first vs last;
+    // position weights are driver-pinned integers, so the whole metric
+    // hash-checks
+    "ann_ranking_audit" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivf_rank_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfIndex(e, idx)
+      Similarity.rankingAudit(
+        Similarity.probeIvfIndex(s, idx, e.filter(col("vec_id") < 8), k = 5),
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
+          .select("query_id", "neighbor_id"),
+        k = 5)
+    },
     // the COMPOSED recall dial: cell pruning AND coded distances stacked —
     // the number an IVFADC deployment actually ships (<= either stage's
     // recall alone). Ground truth is exact brute force over the
@@ -3740,6 +3755,63 @@ object OpsQueries {
          |LEFT JOIN pqk p
          |  ON p.query_id = bk.query_id AND p.neighbor_id = bk.neighbor_id
          |GROUP BY 1""".stripMargin,
+    // the IVF probe's rank order scored against the exact top-5 with
+    // driver-pinned integer NDCG weights — same probe/truth chains as
+    // ann_recall_audit, metric arithmetic in exact integers
+    "ann_ranking_audit" -> {
+      val w = graft.ops.Similarity.ndcgWeightsMicro(5)
+      val cum = w.scanLeft(0L)(_ + _).tail
+      val wLst = w.mkString("[", ", ", "]")
+      val cLst = cum.mkString("[", ", ", "]")
+      s"""WITH $kmeansCellsCtes,
+         |probes AS (
+         |  SELECT id AS query_id, v AS qv, nrm AS qnrm, cid FROM (
+         |    SELECT q.id, q.v, q.nrm, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+         |    FROM e q CROSS JOIN c3 c WHERE q.id < 8)
+         |  WHERE prn <= 4),
+         |iscored AS (
+         |  SELECT p.query_id, m.id AS neighbor_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |                 i -> CAST(p.qv[i] AS DOUBLE) * m.v[i])) / (p.qnrm * m.nrm), 6) AS cos_r
+         |  FROM probes p JOIN cells m ON p.cid = m.cid AND m.id <> p.query_id),
+         |ivfk AS (
+         |  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 5),
+         |bscored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+         |bk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM bscored)
+         |  WHERE rank <= 5),
+         |nt AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM bk GROUP BY 1),
+         |h AS (
+         |  SELECT i.query_id, i.rank,
+         |         CASE WHEN b.neighbor_id IS NOT NULL THEN 1 END AS rel
+         |  FROM ivfk i LEFT JOIN bk b
+         |    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id),
+         |pq AS (
+         |  SELECT query_id,
+         |         CAST(MIN(CASE WHEN rel IS NOT NULL THEN rank END) AS BIGINT)
+         |           AS first_hit_rank,
+         |         CAST(COALESCE(SUM(CASE WHEN rel IS NOT NULL THEN ($wLst)[rank] END), 0)
+         |           AS BIGINT) AS dcg_micro
+         |  FROM h GROUP BY 1)
+         |SELECT pq.query_id, nt.n_truth, pq.first_hit_rank,
+         |       CAST(COALESCE(1000000 // pq.first_hit_rank, 0) AS BIGINT) AS mrr_micro,
+         |       pq.dcg_micro,
+         |       CAST((1000000 * pq.dcg_micro)
+         |            // ($cLst)[CAST(LEAST(nt.n_truth, 5) AS INT)] AS BIGINT) AS ndcg_ppm
+         |FROM pq JOIN nt ON nt.query_id = pq.query_id""".stripMargin
+    },
     // recall@k of the COMPOSED IVF-PQ probe: the similarity_topk_ivfpq
     // chain (3-round integer-milli Lloyd routes candidates to top-4
     // cells, the global PQ codebook ADC-scores only those cells' codes)

@@ -615,6 +615,16 @@ object RelQueries {
     "stats_benford" -> { (s, dir) =>
       Stats.benfordAudit(events(s, dir), "event_type", "value")
     },
+    // autocorrelation of the hourly count series per type, lags 1..30 —
+    // the season-length detector (a daily cycle spikes at lag 24); one
+    // window pass + stack unpivot + exact decimal moments
+    "events_autocorr" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .withColumn("hour", expr("ts_us div 3600000000"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).cast("long").as("n"))
+      Stats.autocorrMilli(hourly, "event_type", "hour", "n", maxLag = 30)
+    },
     // two-sample KS distance between the even/odd user cohorts' value
     // distributions per type — the integer-exact drift monitor (a healthy
     // randomized split should score near zero; the score IS the check)
@@ -892,6 +902,19 @@ object RelQueries {
     // deterministic argmax, share in ppm
     "stats_mode" -> { (s, dir) =>
       Stats.modeByGroup(events(s, dir).filter(col("user_id").isNotNull), "user_id", "event_type")
+    },
+    // gaps-and-islands: each event opens a value-minutes activity
+    // interval; per user, intervals within 6h of the running coverage
+    // edge stitch into islands — uptime math over session-grain rows,
+    // zero-width intervals dropped (the half-open convention)
+    "events_islands" -> { (s, dir) =>
+      val iv = events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .select(
+          col("user_id"),
+          col("ts_us").as("s_us"),
+          (col("ts_us") + expr("CAST(round(value * 60000000, 0) AS BIGINT)")).as("e_us"))
+      graft.ops.Relational.mergeIntervals(iv, "user_id", "s_us", "e_us", gapUnits = 21600000000L)
     },
     // robust outliers: exact median/MAD per lang, integer decision —
     // immune to the very outliers the mean/sigma test is skewed by
@@ -1892,6 +1915,72 @@ object RelQueries {
     // readback ≡ the batch operator over the union of the (period-ordered)
     // ingest rounds — one oracle for both faces
     "events_cumulative_streamed" -> cumulativeUsersSql,
+    // mirrors Stats.autocorrMilli: 30 LAG columns in one window, unpivoted
+    // per lag, HUGEINT moment sums, one rounded double conversion per
+    // (type, lag)
+    "events_autocorr" -> {
+      val lags = 1 to 30
+      val lagCols = lags.map(k => s"LAG(x, $k) OVER w AS l$k").mkString(", ")
+      val unions = lags
+        .map(k =>
+          s"SELECT grp, CAST($k AS BIGINT) AS lag, x, l$k AS y FROM l WHERE l$k IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH srs AS (
+         |  SELECT event_type AS grp, epoch_us(ts) // 3600000000 AS p,
+         |         CAST(COUNT(*) * 1000 AS BIGINT) AS x
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |l AS (
+         |  SELECT grp, x,
+         |         $lagCols
+         |  FROM srs WINDOW w AS (PARTITION BY grp ORDER BY p)),
+         |pr AS (
+         |  $unions),
+         |a AS (
+         |  SELECT grp, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT grp AS event_type, lag, n,
+         |       CAST(round(
+         |         CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |         THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+         |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |                   CAST(n * syy - sy * sy AS DOUBLE))
+         |         END, 6) AS DOUBLE) AS acf_r
+         |FROM a WHERE n >= 2""".stripMargin
+    },
+    // mirrors Relational.mergeIntervals: running-max island detection over
+    // per-user interval rows, islands aggregated; empty intervals dropped
+    "events_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS s,
+        |         epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS e
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+        |f AS (SELECT * FROM iv WHERE e > s),
+        |m AS (
+        |  SELECT k, s, e,
+        |         MAX(e) OVER (PARTITION BY k ORDER BY s, e
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM f),
+        |n AS (
+        |  SELECT k, s, e,
+        |         CASE WHEN pmax IS NULL OR s > pmax + 21600000000 THEN 1 ELSE 0 END AS nw
+        |  FROM m),
+        |i AS (
+        |  SELECT k, s, e,
+        |         SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM n)
+        |SELECT k AS user_id,
+        |       CAST(MIN(s) AS BIGINT) AS island_start,
+        |       CAST(MAX(e) AS BIGINT) AS island_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |       CAST(MAX(e) - MIN(s) AS BIGINT) AS island_units,
+        |       CAST(SUM(e - s) AS BIGINT) AS sum_interval_units
+        |FROM i GROUP BY k, island""".stripMargin,
     "stats_rank_normalize" ->
       """WITH vm AS (
         |  SELECT event_type AS grp,

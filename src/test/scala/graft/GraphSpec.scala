@@ -199,6 +199,22 @@ class GraphSpec extends SparkSpec {
     assert(iso(2L) === 127L, "edge-connected ranks unchanged by the isolated seed")
   }
 
+  test("hitsMilli: bipartite hand case — top hub/authority read 1000, one-sided nodes read 0") {
+    val s = spark
+    import s.implicits._
+    // hubs {1, 2} point at authorities {10, 11}: 1 covers both, 2 only 10
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hitsMilli(e, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // hand-unrolled: a=(2000,1000)->(1000,500); h=(1500,1000)->(1000,666)
+    //  a=(1666,1000)->(1000,600);  h=(1600,1000)->(1000,625)
+    //  a=(1625,1000)->(1000,615);  h=(1615,1000)->(1000,619)
+    assert(got(1L) === ((1000L, 0L)), got.toString)
+    assert(got(2L) === ((619L, 0L)))
+    assert(got(10L) === ((0L, 1000L)))
+    assert(got(11L) === ((0L, 615L)))
+  }
+
   test("commonNeighborRecs: hand-checked path graph, adjacency excluded, hub middle capped") {
     val s = spark
     import s.implicits._

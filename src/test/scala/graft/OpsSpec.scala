@@ -249,6 +249,32 @@ class OpsSpec extends SparkSpec {
       z.getAs[Long]("recall_milli") === 0L)
   }
 
+  test("rankingAudit: hand NDCG/MRR, perfect ranking reads exactly 1e6 ppm, empty truth null") {
+    val s = spark
+    import s.implicits._
+    val w = Similarity.ndcgWeightsMicro(3)
+    val ap = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), // truth {11, 12}: hits at ranks 2, 3
+      (2L, 1, 20L), (2L, 2, 21L),               // truth {20, 21}: perfect order
+      (3L, 1, 30L))                             // truth {}: no ideal exists
+      .toDF("query_id", "rank", "neighbor_id")
+    val tr = Seq((1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val got = Similarity.rankingAudit(ap, tr, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3), r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // q1: first hit at rank 2 -> mrr 500000; dcg = W2 + W3, ideal = W1 + W2
+    assert(got(1L) === ((2L, Some(2L), 500000L, w(1) + w(2),
+      Some(1000000L * (w(1) + w(2)) / (w(0) + w(1))))), got.toString)
+    // q2: perfect ranking of the full truth set reads exactly 10^6 ppm
+    assert(got(2L) === ((2L, Some(1L), 1000000L, w(0) + w(1), Some(1000000L))))
+    // q3: empty truth -> mrr 0, dcg 0, ndcg null (no ideal), never a fake 0
+    assert(got(3L) === ((0L, None, 0L, 0L, None)))
+    // weight pinning: rank-1 weight is exactly 10^6 (log2(2) = 1)
+    assert(w.head === 1000000L)
+  }
+
   test("retrainIvfIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
     val dir = java.nio.file.Files.createTempDirectory("ivfifd").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")

@@ -48,6 +48,7 @@ class RegistryPlanSpec extends SparkSpec {
     "ann_recall_audit", // centroid broadcast (probe side) + |queries|-row broadcast on the exact ground-truth side — the audited sample is bounded by contract (8 ids)
     "ann_recall_audit_pq", // codebook broadcast (ADC probe) + the same bounded exact-side broadcast
     "ann_recall_audit_ivfpq", // centroid + codebook broadcasts (composed probe) + the same bounded exact-side broadcast (8-id sample)
+    "ann_ranking_audit", // centroid broadcast (IVF probe) + the bounded exact-truth-side broadcast (8-id sample)
     "embedding_cell_balance", // centroid broadcast
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "dedup_setjoin_drift", // crossJoin(broadcast(1-row candidate/prefix counts)) ×4

@@ -1137,6 +1137,30 @@ class RelationalSpec extends SparkSpec {
     assert(nullOpen.getMessage.contains("open history row"), nullOpen.getMessage)
   }
 
+  test("Relational.mergeIntervals: overlap/adjacency merge, gap tolerance, zero-width dropped") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("a", 1L, 5L), ("a", 3L, 7L),   // overlap -> one island [1,7)
+      ("a", 7L, 9L),                  // touching (half-open): continuity at gap=0
+      ("a", 20L, 30L), ("a", 22L, 25L), // contained interval extends nothing
+      ("a", 40L, 40L),                // zero-width: covers nothing, dropped
+      ("b", 1L, 2L))                  // keys independent
+      .toDF("k", "s", "e")
+    def run(gap: Long) = graft.ops.Relational.mergeIntervals(iv, "k", "s", "e", gap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(run(0L) === Set(
+      ("a", 1L, 9L, 3L, 8L, 10L), // summed units double-count the [3,7) overlap
+      ("a", 20L, 30L, 2L, 10L, 13L), // contained interval double-counts summed units only
+      ("b", 1L, 2L, 1L, 1L, 1L)), run(0L).toString)
+    // gap tolerance 11 bridges [9 -> 20); island_units exceeds the sum
+    assert(run(11L) === Set(
+      ("a", 1L, 30L, 5L, 29L, 23L),
+      ("b", 1L, 2L, 1L, 1L, 1L)), run(11L).toString)
+  }
+
   test("Relational.scd2AsOf: boundary hits, gap nulls, atomic version structs, bucketed carry") {
     val s = spark
     import s.implicits._
@@ -1233,6 +1257,25 @@ class RelationalSpec extends SparkSpec {
     assert(got("duo") === ((2L, 2L, 500000L, 500000L)))
     // shares 3/4 and 1/4: HHI = 9/16 + 1/16 = 0.625
     assert(got("skew") === ((2L, 4L, 625000L, 750000L)))
+  }
+
+  test("Stats.autocorrMilli: periodic series reads ±1 at its lags; constant series reads null") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L to 5L).map(p => ("a", p, if (p % 2 == 0) 10.0 else 20.0)) ++
+      (0L to 5L).map(p => ("c", p, 7.0))
+    val got = graft.ops.Stats.autocorrMilli(rows.toDF("g", "p", "v"), "g", "p", "v", maxLag = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // period-2 alternation: perfect anti-correlation at odd lags, perfect
+    // correlation at even ones; n shrinks by one pair per lag
+    assert(got(("a", 1L)) === ((5L, Some(-1.0))), got.toString)
+    assert(got(("a", 2L)) === ((4L, Some(1.0))))
+    assert(got(("a", 3L)) === ((3L, Some(-1.0))))
+    // zero variance: no correlation is defined, null not NaN
+    (1L to 3L).foreach(k => assert(got(("c", k))._2 === None, s"lag $k"))
   }
 
   test("Anomaly.seasonalDecompose: hand-computed trend/seasonal/residual, honest null edges") {
