@@ -226,4 +226,63 @@ object Funnel {
     n.join(broadcast(tot), Seq("from_type"))
       .withColumn("p_milli", expr("n * 1000 div n_from").cast("long"))
   }
+
+  /** Marketing ATTRIBUTION — for every conversion, which touch gets the
+    * credit: the LAST touch (the closer) and the FIRST touch (the opener)
+    * within `windowUs` before (inclusive of) the conversion instant, per
+    * user. One row per distinct (user, conversion ts) with both
+    * attributions — type and its timestamp — null when no touch landed in
+    * the window ("organic", honestly distinguishable from attributed).
+    * Determinism under ties: touches collapse to ONE row per (user, ts)
+    * first (max type string on a same-instant tie), so the range-frame
+    * `last`/`first` never depends on intra-tie row order; a touch at
+    * EXACTLY the conversion's timestamp is in the window (inclusive
+    * frame), the standard same-session convention.
+    *
+    * Scale shape: one per-user range-framed window over the touch+conv
+    * rows (events already filtered to the named types), no self-join —
+    * the windowed-aggregation shape every attribution query degenerates
+    * to when written naively as a per-conversion subquery.
+    */
+  def attribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      windowUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(touchTypes.nonEmpty, "attribution needs at least one touch type")
+    require(!touchTypes.contains(convType), s"conversion type $convType cannot also be a touch")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("ts"), col(typeCol).as("ty"))
+    val touches = base
+      .filter(col("ty").isin(touchTypes: _*))
+      .groupBy("u", "ts")
+      .agg(max("ty").as("touch"))
+      .withColumn("__conv", lit(0L))
+    val convs = base
+      .filter(col("ty") === convType)
+      .select("u", "ts")
+      .distinct()
+      .withColumn("touch", lit(null).cast("string"))
+      .withColumn("__conv", lit(1L))
+    val w = Window.partitionBy("u").orderBy("ts").rangeBetween(-windowUs, 0)
+    val t = when(col("touch").isNotNull, struct(col("ts").as("t"), col("touch").as("ty")))
+    touches
+      .unionByName(convs)
+      .withColumn("__lt", last(t, ignoreNulls = true).over(w))
+      .withColumn("__ft", first(t, ignoreNulls = true).over(w))
+      .filter(col("__conv") === 1L)
+      .select(
+        col("u").as(userCol),
+        col("ts").as("conv_ts"),
+        col("__lt.ty").as("last_touch_type"),
+        col("__lt.t").as("last_touch_ts"),
+        col("__ft.ty").as("first_touch_type"),
+        col("__ft.t").as("first_touch_ts"))
+  }
 }

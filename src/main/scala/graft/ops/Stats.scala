@@ -1025,6 +1025,65 @@ object Stats {
           .as("acf_r"))
   }
 
+  /** Welch's two-sample t statistic per group — the parametric mean-shift
+    * companion of [[ksDrift]] (KS detects ANY distributional change;
+    * Welch answers "did the MEAN move, and by how much relative to
+    * noise", robust to unequal variances and sizes — the A/B-test
+    * default). Moments are exact decimal(38,0) over milli values (cast
+    * BEFORE the sum, the [[corrMatrixMilli]] rule); the only float ops
+    * are the final conversions, written with ONE parenthesization that
+    * the oracle mirrors token-for-token, so `t_stat` (round 6) and the
+    * Welch–Satterthwaite `df` (round 2) are engine-exact. Groups missing
+    * from a cohort count n=0 (full-outer); t/df are null unless both
+    * sides have n ≥ 2 and the pooled standard error is positive — "not
+    * testable" is not "no effect". Exact integer per-side means
+    * (trunc-div milli) ride along for the effect-size readout.
+    *
+    * Scale shape: one map-side-combinable aggregate per cohort, then a
+    * ≤|groups|-row join — raw rows never meet, the [[chiSquareDrift]]
+    * shape.
+    */
+  def welchTTest(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    def m(df: DataFrame, tag: String) =
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          round(col(valueCol).cast("double") * 1000, 0).cast("long").as("x"))
+        .groupBy("grp")
+        .agg(
+          count(lit(1)).cast("long").as(s"n_$tag"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as(s"sx_$tag"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as(s"sxx_$tag"))
+    def v(t: String) =
+      s"((CAST(sxx_$t AS DOUBLE) - CAST(sx_$t AS DOUBLE) * CAST(sx_$t AS DOUBLE) / n_$t) " +
+        s"/ (n_$t - 1))"
+    val se2 = s"(${v("a")} / n_a + ${v("b")} / n_b)"
+    m(a, "a")
+      .join(m(b, "b"), Seq("grp"), "full_outer")
+      .select(
+        col("grp").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        expr("CAST(sx_a div n_a AS BIGINT)").as("mean_a_milli"),
+        expr("CAST(sx_b div n_b AS BIGINT)").as("mean_b_milli"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+             |  THEN (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / sqrt($se2)
+             |  END, 6) AS DOUBLE)""".stripMargin).as("t_stat"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+             |  THEN $se2 * $se2 /
+             |       ((${v("a")} / n_a) * (${v("a")} / n_a) / (n_a - 1) +
+             |        (${v("b")} / n_b) * (${v("b")} / n_b) / (n_b - 1))
+             |  END, 2) AS DOUBLE)""".stripMargin).as("df"))
+  }
+
   /** Pearson chi-square contingency drift between two cohorts'
     * CATEGORICAL distributions — the discrete sibling of [[ksDrift]] (KS
     * needs an ordered value; event types, languages, label sets have

@@ -636,6 +636,17 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // Welch's t over the same cohorts: the parametric mean-shift reading
+    // next to KS's any-change reading — exact decimal moments, one
+    // token-mirrored float conversion for t and the Satterthwaite df
+    "stats_welch_ttest" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      Stats.welchTTest(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type",
+        "value")
+    },
     // since-launch unique users per (type, day), EXACT via the first-seen
     // trick — one min-aggregate + a cumulative window over period rows,
     // never a dedup-to-date re-scan; the exact complement of the sliding
@@ -902,6 +913,16 @@ object RelQueries {
     // deterministic argmax, share in ppm
     "stats_mode" -> { (s, dir) =>
       Stats.modeByGroup(events(s, dir).filter(col("user_id").isNotNull), "user_id", "event_type")
+    },
+    // first/last-touch attribution: every purchase credited to the
+    // opener and closer touch (view/click/signup) within 3 days, per
+    // user — one range-framed window, organic conversions read null
+    "events_attribution" -> { (s, dir) =>
+      graft.ops.Funnel.attribution(
+        events(s, dir),
+        touchTypes = Seq("view", "click", "signup"),
+        convType = "purchase",
+        windowUs = 259200000000L)
     },
     // gaps-and-islands: each event opens a value-minutes activity
     // interval; per user, intervals within 6h of the running coverage
@@ -1915,6 +1936,35 @@ object RelQueries {
     // readback ≡ the batch operator over the union of the (period-ordered)
     // ingest rounds — one oracle for both faces
     "events_cumulative_streamed" -> cumulativeUsersSql,
+    // mirrors Funnel.attribution: per-(user, ts) touch collapse, then one
+    // range-framed IGNORE NULLS first/last window over touch+conv rows
+    "events_attribution" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS ty
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |tch AS (
+        |  SELECT u, ts, MAX(ty) AS touch FROM b
+        |  WHERE ty IN ('view', 'click', 'signup') GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT u, ts FROM b WHERE ty = 'purchase'),
+        |uni AS (
+        |  SELECT u, ts, touch, 0 AS isconv FROM tch
+        |  UNION ALL SELECT u, ts, NULL AS touch, 1 FROM c),
+        |wnd AS (
+        |  SELECT u, ts, isconv,
+        |    LAST_VALUE(CASE WHEN touch IS NOT NULL
+        |                    THEN struct_pack(t := ts, ty := touch) END IGNORE NULLS)
+        |      OVER (PARTITION BY u ORDER BY ts
+        |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS lt,
+        |    FIRST_VALUE(CASE WHEN touch IS NOT NULL
+        |                     THEN struct_pack(t := ts, ty := touch) END IGNORE NULLS)
+        |      OVER (PARTITION BY u ORDER BY ts
+        |            RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS ft
+        |  FROM uni)
+        |SELECT u AS user_id, CAST(ts AS BIGINT) AS conv_ts,
+        |       lt.ty AS last_touch_type, CAST(lt.t AS BIGINT) AS last_touch_ts,
+        |       ft.ty AS first_touch_type, CAST(ft.t AS BIGINT) AS first_touch_ts
+        |FROM wnd WHERE isconv = 1""".stripMargin,
     // mirrors Stats.autocorrMilli: 30 LAG columns in one window, unpivoted
     // per lag, HUGEINT moment sums, one rounded double conversion per
     // (type, lag)
@@ -2048,6 +2098,44 @@ object RelQueries {
         |       CAST(MAX(abs(obs_ppm - expected_ppm))
         |            OVER (PARTITION BY event_type) AS BIGINT) AS dev_max_ppm
         |FROM g""".stripMargin,
+    // mirrors Stats.welchTTest token-for-token past the HUGEINT moments:
+    // identical parenthesization keeps every double op correctly-rounded
+    // to the same bits in both engines
+    "stats_welch_ttest" -> {
+      def v(t: String) =
+        s"((CAST(sxx_$t AS DOUBLE) - CAST(sx_$t AS DOUBLE) * CAST(sx_$t AS DOUBLE) / n_$t) " +
+          s"/ (n_$t - 1))"
+      val se2 = s"(${v("a")} / n_a + ${v("b")} / n_b)"
+      s"""WITH ev AS (
+         |  SELECT event_type AS grp, user_id,
+         |         CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS x
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+         |ma AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_a, SUM(CAST(x AS HUGEINT)) AS sx_a,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx_a
+         |  FROM ev WHERE user_id % 2 = 0 GROUP BY 1),
+         |mb AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_b, SUM(CAST(x AS HUGEINT)) AS sx_b,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx_b
+         |  FROM ev WHERE user_id % 2 = 1 GROUP BY 1)
+         |SELECT COALESCE(ma.grp, mb.grp) AS event_type,
+         |       CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+         |       CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+         |       CAST(sx_a // n_a AS BIGINT) AS mean_a_milli,
+         |       CAST(sx_b // n_b AS BIGINT) AS mean_b_milli,
+         |       CAST(round(
+         |         CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+         |         THEN (CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b) / sqrt($se2)
+         |         END, 6) AS DOUBLE) AS t_stat,
+         |       CAST(round(
+         |         CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0
+         |         THEN $se2 * $se2 /
+         |              ((${v("a")} / n_a) * (${v("a")} / n_a) / (n_a - 1) +
+         |               (${v("b")} / n_b) * (${v("b")} / n_b) / (n_b - 1))
+         |         END, 2) AS DOUBLE) AS df
+         |FROM ma FULL OUTER JOIN mb ON mb.grp = ma.grp""".stripMargin
+    },
     "stats_ks_drift" ->
       """WITH va AS (
         |  SELECT event_type AS grp, CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v

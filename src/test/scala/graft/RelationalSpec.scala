@@ -1259,6 +1259,50 @@ class RelationalSpec extends SparkSpec {
     assert(got("skew") === ((2L, 4L, 625000L, 750000L)))
   }
 
+  test("Funnel.attribution: last/first touch in window, organic nulls, same-instant tie collapse") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "ad"), (1L, 20L, "email"), (1L, 25L, "purchase"), // last email, first ad
+      (1L, 100L, "purchase"),                                     // window empty: organic
+      (2L, 50L, "ad"), (2L, 50L, "push"), (2L, 50L, "purchase"),  // tie collapses to max type
+      (3L, 7L, "purchase"))                                       // never touched
+      .toDF("user_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel
+      .attribution(ev, Seq("ad", "email", "push"), "purchase", windowUs = 15L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((
+        Option(r.getString(2)), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)), Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(got((1L, 25L)) === ((Some("email"), Some(20L), Some("ad"), Some(10L))), got.toString)
+    assert(got((1L, 100L)) === ((None, None, None, None)), "organic reads null, not stale carry")
+    assert(got((2L, 50L)) === ((Some("push"), Some(50L), Some("push"), Some(50L))),
+      "same-instant touches collapse deterministically and count (inclusive window)")
+    assert(got((3L, 7L)) === ((None, None, None, None)))
+  }
+
+  test("Stats.welchTTest: hand t/df, zero-variance null, one-sided group null") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("z", 5.0), ("z", 5.0), ("only_a", 1.0))
+      .toDF("grp", "v")
+    val b = Seq(("g", 2.0), ("g", 4.0), ("z", 5.0), ("z", 5.0)).toDF("grp", "v")
+    val got = graft.ops.Stats.welchTTest(a, b, "grp", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // g: means 2000 vs 3000 milli; va = 1e6, vb = 2e6;
+    // se2 = 1e6/3 + 2e6/2; t = -1000/sqrt(se2) = -0.866025; Welch df = 1.68
+    assert(got("g") === ((3L, 2L, Some(-0.866025), Some(1.68))), got.toString)
+    // identical constants on both sides: se2 = 0 -> not testable, null
+    assert(got("z") === ((2L, 2L, None, None)))
+    // a group missing from one cohort: n_b = 0, never a fabricated t
+    assert(got("only_a") === ((1L, 0L, None, None)))
+  }
+
   test("Stats.autocorrMilli: periodic series reads ±1 at its lags; constant series reads null") {
     val s = spark
     import s.implicits._
