@@ -1985,14 +1985,13 @@ object Dedup {
         .groupBy("tok")
         .agg(count(lit(1)).cast("long").as("df"))
         .localCheckpoint() // consumed by the re-order and its own swap
-      val ordered = live
-        .select(col("id"), explode(col("otks")).as("tok"))
-        .join(dfs, Seq("tok")) // every tok is in dfs by construction
-        .groupBy("id")
-        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
-        .select(col("id"), transform(col("ord"), s => s.getField("tok")).as("otks"))
-        .withColumn("n", size(col("otks")).cast("long"))
-        .withColumn("plen", expr(s"CAST(n - (n * $tMilli + 999) div 1000 + 1 AS INT)"))
+      // the ONE ordering kernel: re-ordering stored digests goes through
+      // setJoinOrdered exactly like a clean build, so the plen formula
+      // and (df, digest) tie-break can never diverge between the two
+      val ordered = setJoinOrdered(
+        live.select(col("id"), explode(col("otks")).as("tok")),
+        dfs,
+        tMilli)
         .localCheckpoint() // two subtree writes below
       def swap(df: DataFrame, sub: String): Unit =
         if (hasBatchDirs)

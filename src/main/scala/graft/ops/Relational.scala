@@ -1400,6 +1400,12 @@ object Relational {
     val overlap = attrCols.toSet.intersect(facts.columns.toSet)
     require(overlap.isEmpty, s"attribute columns collide with the fact side: $overlap")
     val ver = dim
+      // a null-key version can never equi-match a fact; dropping it here
+      // also keeps the as-of window's NULL partition version-free, so a
+      // null-key FACT reads null attributes like the interval join would
+      // (window partitioning would otherwise match NULL to NULL — the
+      // documented window-vs-join null trap)
+      .filter(col(keyCol).isNotNull)
       .filter(expr(
         "assert_true(valid_from_us IS NOT NULL, " +
           "'scd2AsOf: dimension version with null valid_from_us') IS NULL"))

@@ -206,7 +206,9 @@ object Rollup {
         val s0 = spark.read.parquet(s"$path/params").head.getString(0)
         require(s0 == spec, s"cumulative-distinct store at $path maintains $s0, got $spec")
       })
-    if (batch.isEmpty) return // nothing to probe or land
+    // an empty batch still lands its (empty) generation dirs: they carry
+    // the real column TYPES, so the read face on an idle stream returns
+    // a correctly-typed empty frame instead of a placeholder schema
     val base = batch
       .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(idCol).isNotNull)
       .select(

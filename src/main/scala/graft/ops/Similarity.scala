@@ -1693,6 +1693,12 @@ object Similarity {
       thresholdMilli >= 0L && thresholdMilli <= 1000L,
       s"retrainIvfIfDrifted: threshold is a TV distance in [0, 1000] milli, got $thresholdMilli")
     import spark.implicits._
+    // an idle micro-batch carries no drift signal: report "not measured"
+    // (n_cells 0) and no-op rather than inherit indexDriftReport's
+    // fail-fast — this face IS the unattended loop's every-batch call
+    if (batch.isEmpty)
+      return Seq((0L, 0L, thresholdMilli, false))
+        .toDF("n_cells", "tv_milli", "threshold_milli", "retrained")
     // 1-row bounded collect (the decision itself), never data-volume
     val d = indexDriftReport(spark, path, batch, idCol, vecCol)
       .agg(

@@ -3805,12 +3805,16 @@ object OpsQueries {
          |         CAST(COALESCE(SUM(CASE WHEN rel IS NOT NULL THEN ($wLst)[rank] END), 0)
          |           AS BIGINT) AS dcg_micro
          |  FROM h GROUP BY 1)
-         |SELECT pq.query_id, nt.n_truth, pq.first_hit_rank,
+         |SELECT pq.query_id,
+         |       CAST(COALESCE(nt.n_truth, 0) AS BIGINT) AS n_truth,
+         |       pq.first_hit_rank,
          |       CAST(COALESCE(1000000 // pq.first_hit_rank, 0) AS BIGINT) AS mrr_micro,
          |       pq.dcg_micro,
-         |       CAST((1000000 * pq.dcg_micro)
-         |            // ($cLst)[CAST(LEAST(nt.n_truth, 5) AS INT)] AS BIGINT) AS ndcg_ppm
-         |FROM pq JOIN nt ON nt.query_id = pq.query_id""".stripMargin
+         |       CASE WHEN COALESCE(nt.n_truth, 0) > 0
+         |            THEN CAST((1000000 * pq.dcg_micro)
+         |                 // ($cLst)[CAST(LEAST(nt.n_truth, 5) AS INT)] AS BIGINT)
+         |       END AS ndcg_ppm
+         |FROM pq LEFT JOIN nt ON nt.query_id = pq.query_id""".stripMargin
     },
     // recall@k of the COMPOSED IVF-PQ probe: the similarity_topk_ivfpq
     // chain (3-round integer-milli Lloyd routes candidates to top-4

@@ -293,6 +293,13 @@ class OpsSpec extends SparkSpec {
     assert(!no.getAs[Boolean]("retrained"))
     assert(no.getAs[Long]("tv_milli") < 1000L)
     assert(store() === before, "a below-threshold decision must not touch the store")
+    // the unattended loop's idle batch: no drift signal -> "not measured"
+    // no-op row, never the drift report's fail-fast
+    val idle = Similarity
+      .retrainIvfIfDrifted(spark, dir, e.filter(col("vec_id") < 0), thresholdMilli = 0L)
+      .head()
+    assert(!idle.getAs[Boolean]("retrained") && idle.getAs[Long]("n_cells") === 0L)
+    assert(store() === before, "an idle batch must not touch the store")
     // a collapsed batch (every vector on one constant direction) crosses
     // any reasonable threshold; the retrained store must probe-equal a
     // clean writeIvfIndex over the same corpus

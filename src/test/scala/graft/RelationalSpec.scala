@@ -1204,6 +1204,18 @@ class RelationalSpec extends SparkSpec {
     val err = intercept[Exception](
       graft.ops.Relational.scd2AsOf(facts, badDim, "k", "ts", Seq("attr")).collect())
     assert(err.getMessage.contains("null valid_from_us"), err.getMessage)
+    // NULL never equi-matches (the window-vs-join null trap): a null-key
+    // fact reads null attributes even when a null-key version exists
+    val nullDim = Seq(
+      (Option(1L), "a", 0L, Option.empty[Long]),
+      (Option.empty[Long], "ghost", 0L, Option.empty[Long]))
+      .toDF("k", "attr", "valid_from_us", "valid_to_us")
+    val nullFacts = Seq((60L, Option(1L), 10L), (61L, Option.empty[Long], 10L))
+      .toDF("fid", "k", "ts")
+    val nk = graft.ops.Relational.scd2AsOf(nullFacts, nullDim, "k", "ts", Seq("attr"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(nk(60L) === Some("a"))
+    assert(nk(61L) === None, "a null-key fact must never attach the null-key version")
   }
 
   test("Stats.chiSquareDrift: hand-computed terms; identical cohorts score zero") {

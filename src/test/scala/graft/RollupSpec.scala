@@ -204,6 +204,15 @@ class RollupSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.ops.Rollup.ingestCumulativeDistinctBatch(cdf(b2), dir, 3L, "g", "u", "p"))
     assert(e.getMessage.contains("maintains"))
+    // an idle stream (only empty batches) reads back a correctly-TYPED
+    // empty frame: empty generations land with the real column schema
+    val dir2 = java.nio.file.Files.createTempDirectory("cumdistidle").toString
+    val longKeyed = Seq.empty[(Long, Long, String)].toDF("g", "p", "u")
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(longKeyed, dir2, 0L, "g", "p", "u")
+    val idle = graft.ops.Rollup.readCumulativeDistinct(spark, dir2, "g")
+    assert(idle.isEmpty)
+    assert(idle.schema("g").dataType === org.apache.spark.sql.types.LongType,
+      s"idle readback must carry the ingested group type, got ${idle.schema}")
   }
 
   test("cumulativeDistinctIngest streaming face: readback == batch operator over both batches") {
