@@ -933,28 +933,28 @@ object Stats {
         s(expr(s"CAST($b AS DECIMAL(38,0)) * $b"), "syy"),
         s(expr(s"CAST($a AS DECIMAL(38,0)) * $b"), "sxy"))
     }
-    // the 1-row aggregate is consumed by C(|cols|,2) union branches;
-    // checkpoint it so the corpus is scanned exactly once (scan-once is
-    // structural, not left to ReuseExchange canonicalization)
-    val row = milli.agg(aggs.head, aggs.tail: _*).localCheckpoint()
-    pairs.zipWithIndex
+    // ONE stack projection over the 1-row aggregate fans it to C(n,2)
+    // output rows — scan-once is structural (a single plan, no
+    // multiply-referenced producer, nothing left to ReuseExchange; the
+    // union-branch shape this replaced either relied on exchange reuse
+    // or, checkpointed, paid ~2 s of materialization for one row)
+    val items = pairs.zipWithIndex
       .map { case ((a, b), k) =>
-        row.select(
-          lit(a).as("col_a"),
-          lit(b).as("col_b"),
-          col(s"n_$k").as("n"),
-          expr(
-            s"""CAST(round(
-               |  CASE WHEN n_$k >= 2
-               |        AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0
-               |        AND (n_$k * syy_$k - sy_$k * sy_$k) > 0
-               |  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /
-               |       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *
-               |            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))
-               |  END, 6) AS DOUBLE)""".stripMargin)
-            .as("corr_r"))
+        val corr =
+          s"""CAST(round(
+             |  CASE WHEN n_$k >= 2
+             |        AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0
+             |        AND (n_$k * syy_$k - sy_$k * sy_$k) > 0
+             |  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /
+             |       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *
+             |            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))
+             |  END, 6) AS DOUBLE)""".stripMargin
+        s"'$a', '$b', n_$k, $corr"
       }
-      .reduce(_ unionAll _)
+      .mkString(", ")
+    milli
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $items) AS (col_a, col_b, n, corr_r)"))
   }
 
   /** Per-group AUTOCORRELATION function (integer-exact moments) — the
