@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,12 +20,14 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     graft.etl.NessusSynth(spark, sfDir)
     graft.etl.Docs.cached(spark, sfDir)
-    for (i <- 1 to reps) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[timequery] $name run $i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    for (name <- names) {
+      for (i <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"[timequery] $name run $i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      if (names.size == 1) SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
-    SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
