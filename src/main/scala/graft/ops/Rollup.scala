@@ -196,12 +196,18 @@ object Rollup {
     val spark = batch.sparkSession
     import spark.implicits._
     val spec = s"$groupCol|$periodCol|$idCol"
+    // the group column's TYPE rides in params too: if a crash lands
+    // between this write and the first generation dirs, the read face's
+    // empty fallback can still produce a correctly-typed frame instead
+    // of assuming StringType
+    val grpType = batch.schema(groupCol).dataType.sql
     StoreLifecycle.claim(
       spark,
       path,
       Seq("firstseen", "observed"),
       batchId,
-      () => Seq(spec).toDF("spec").coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => Seq((spec, grpType)).toDF("spec", "grp_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
       () => {
         val s0 = spark.read.parquet(s"$path/params").head.getString(0)
         require(s0 == spec, s"cumulative-distinct store at $path maintains $s0, got $spec")
@@ -250,10 +256,23 @@ object Rollup {
       s"no cumulative-distinct store at $path — ingest at least one batch first")
     import spark.implicits._
     // an idle stream (only empty batches so far) reads as EMPTY, not as
-    // an error — the StoreLifecycle contract
-    if (!Similarity.storeExists(spark, s"$path/firstseen"))
-      return Seq.empty[(String, Long, Long, Long)]
-        .toDF(groupCol, "period", "n_new", "n_total")
+    // an error — the StoreLifecycle contract. Reachable only when a crash
+    // landed between the params write and the first generation dirs (a
+    // landed batch, even empty, writes typed dirs), so the group type
+    // comes from params — never an assumed StringType
+    if (!Similarity.storeExists(spark, s"$path/firstseen")) {
+      val pdf = spark.read.parquet(s"$path/params")
+      val grpType =
+        if (pdf.columns.contains("grp_type"))
+          org.apache.spark.sql.types.DataType.fromDDL(pdf.head.getAs[String]("grp_type"))
+        else org.apache.spark.sql.types.StringType // pre-typed-params store
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(groupCol, grpType),
+        org.apache.spark.sql.types.StructField("period", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_new", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType)))
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
     val firstSeen = spark.read.parquet(s"$path/firstseen")
       .groupBy("grp", "p")
       .agg(count(lit(1)).cast("long").as("n_new"))

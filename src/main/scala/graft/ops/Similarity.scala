@@ -1942,7 +1942,10 @@ object Similarity {
     * pinned integers and `idcg` the best-possible prefix sum at
     * `min(n_truth, k)` — so every number is integer-exact and
     * oracle-hashable. A query with an empty truth set reports
-    * `ndcg_ppm` null (no ideal exists), not a fabricated 0.
+    * `ndcg_ppm` null (no ideal exists), not a fabricated 0; a query
+    * present in truth with ZERO probe rows (the degenerate probe) still
+    * reports a row — first_hit_rank null, mrr 0, dcg 0, ndcg 0 — the
+    * full-outer contract.
     *
     * Scale shape: both inputs are |queries|·k rows; one equi-join + one
     * map-side-combinable aggregate; the weights ride as an O(1)-indexed
@@ -1966,9 +1969,13 @@ object Similarity {
         coalesce(
           sum(when(col("__rel").isNotNull, element_at(wArr, col("rank")))),
           lit(0L)).cast("long").as("dcg_micro"))
+    // FULL outer: a query present in truth with ZERO probe rows is the
+    // degenerate probe an audit exists to surface — it reports
+    // first_hit_rank null / mrr 0 / dcg 0 / ndcg 0 instead of vanishing
     perQ
-      .join(nt, Seq("query_id"), "left")
+      .join(nt, Seq("query_id"), "full")
       .withColumn("__nt", coalesce(col("n_truth"), lit(0L)))
+      .withColumn("__dcg", coalesce(col("dcg_micro"), lit(0L)))
       .withColumn(
         "__idcg",
         when(col("__nt") > 0, element_at(cArr, least(col("__nt"), lit(k.toLong)).cast("int"))))
@@ -1977,8 +1984,8 @@ object Similarity {
         col("__nt").as("n_truth"),
         col("first_hit_rank"),
         coalesce(expr("1000000 div first_hit_rank"), lit(0L)).cast("long").as("mrr_micro"),
-        col("dcg_micro"),
-        expr("CAST((1000000 * dcg_micro) div __idcg AS BIGINT)").as("ndcg_ppm"))
+        col("__dcg").as("dcg_micro"),
+        expr("CAST((1000000 * __dcg) div __idcg AS BIGINT)").as("ndcg_ppm"))
   }
 
   /** Recall@k of a PERSISTED IVF index's probe at `nProbe` against exact

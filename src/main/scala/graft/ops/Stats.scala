@@ -911,6 +911,15 @@ object Stats {
     require(cols.size >= 2, s"correlation needs at least two columns, got ${cols.size}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"corrMatrixMilli: columns not in schema: ${missing.mkString(", ")}")
+    // names are interpolated into SQL below (the stack literals and the
+    // decimal casts): validate against a safe-identifier pattern at
+    // entry so a quoted/spaced name fails HERE with a clear message, not
+    // deep in the parser — rename via select(...as...) before calling
+    val unsafe = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(
+      unsafe.isEmpty,
+      s"corrMatrixMilli: column names must match [A-Za-z_][A-Za-z0-9_]* " +
+        s"(interpolated into SQL; alias first): ${unsafe.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     val milli = df.select(cols.map(c =>

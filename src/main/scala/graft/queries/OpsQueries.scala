@@ -3805,16 +3805,16 @@ object OpsQueries {
          |         CAST(COALESCE(SUM(CASE WHEN rel IS NOT NULL THEN ($wLst)[rank] END), 0)
          |           AS BIGINT) AS dcg_micro
          |  FROM h GROUP BY 1)
-         |SELECT pq.query_id,
+         |SELECT COALESCE(pq.query_id, nt.query_id) AS query_id,
          |       CAST(COALESCE(nt.n_truth, 0) AS BIGINT) AS n_truth,
          |       pq.first_hit_rank,
          |       CAST(COALESCE(1000000 // pq.first_hit_rank, 0) AS BIGINT) AS mrr_micro,
-         |       pq.dcg_micro,
+         |       CAST(COALESCE(pq.dcg_micro, 0) AS BIGINT) AS dcg_micro,
          |       CASE WHEN COALESCE(nt.n_truth, 0) > 0
-         |            THEN CAST((1000000 * pq.dcg_micro)
+         |            THEN CAST((1000000 * COALESCE(pq.dcg_micro, 0))
          |                 // ($cLst)[CAST(LEAST(nt.n_truth, 5) AS INT)] AS BIGINT)
          |       END AS ndcg_ppm
-         |FROM pq LEFT JOIN nt ON nt.query_id = pq.query_id""".stripMargin
+         |FROM pq FULL JOIN nt ON nt.query_id = pq.query_id""".stripMargin
     },
     // recall@k of the COMPOSED IVF-PQ probe: the similarity_topk_ivfpq
     // chain (3-round integer-milli Lloyd routes candidates to top-4

@@ -258,7 +258,10 @@ class OpsSpec extends SparkSpec {
       (2L, 1, 20L), (2L, 2, 21L),               // truth {20, 21}: perfect order
       (3L, 1, 30L))                             // truth {}: no ideal exists
       .toDF("query_id", "rank", "neighbor_id")
-    val tr = Seq((1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    // q4 is truth-ONLY (zero probe rows): the degenerate probe the audit
+    // must surface as a row, not silently drop
+    val tr = Seq((1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (4L, 40L))
+      .toDF("query_id", "neighbor_id")
     val got = Similarity.rankingAudit(ap, tr, k = 3)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
@@ -271,6 +274,9 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, Some(1L), 1000000L, w(0) + w(1), Some(1000000L))))
     // q3: empty truth -> mrr 0, dcg 0, ndcg null (no ideal), never a fake 0
     assert(got(3L) === ((0L, None, 0L, 0L, None)))
+    // q4: truth-only (no probe rows at all) still reports — ndcg an
+    // honest 0 (an ideal exists and nothing was ranked), mrr 0
+    assert(got(4L) === ((1L, None, 0L, 0L, Some(0L))))
     // weight pinning: rank-1 weight is exactly 10^6 (log2(2) = 1)
     assert(w.head === 1000000L)
   }
