@@ -1759,13 +1759,94 @@ object Similarity {
       s"retrainPqIndex: corpus carries duplicate rows for live ids ($nLive rows, $nIds ids) — " +
         "a duplicate would encode twice")
     val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
-    val codes = pqEncode(live, cb, m, dim / m, "vec_id", "embedding")
-      .select("vec_id", "subspace", "code")
+    val enc = pqEncode(live, cb, m, dim / m, "vec_id", "embedding").localCheckpoint()
+    val codes = enc.select("vec_id", "subspace", "code")
     if (hasBatchDirs)
       rewriteDir(spark, codes.withColumn("batch_id", lit(-1L)), s"$path/codes", Seq("batch_id"))
     else rewriteDir(spark, codes, s"$path/codes", Nil)
     rewriteDir(spark, cb.coalesce(1), s"$path/codebook", Nil)
+    // the retrained codebook gets a fresh drift ruler: its own training
+    // set's reconstruction error
+    writePqErrBase(spark, path, enc, m)
     clearTombstones(spark, path)
+  }
+
+  /** CLOSE the codebook-drift→retrain loop — [[retrainIvfIfDrifted]]'s
+    * compressed-domain twin, the face an unattended embedding pipeline
+    * calls after every batch, because the PQ codebook is the index whose
+    * recall decays SILENTLY (appends encode against the frozen codebook;
+    * nothing else notices when new vectors stopped fitting it). The
+    * decision statistic is reconstruction-error INFLATION: encode the
+    * batch under the stored codebook, take its mean per-vector ADC error
+    * (integer milli², [[pqErrAgg]]), and compare against the store's
+    * `errbase` — the error the codebook delivered on its own TRAINING
+    * set ([[writePqErrBase]]) — as `inflation_ppm = 10⁶·batch_err div
+    * max(base_err, 1)`. Parity is 10⁶ (batch quantizes exactly as well
+    * as the training data did); the default 1.5·10⁶ threshold retrains
+    * when the batch's error runs 1.5× the training error. Unlike
+    * [[retrainIvfIfDrifted]] this face REQUIRES the full-precision
+    * `corpus` (the system of record): PQ codes are lossy, so an
+    * above-threshold decision can only act through
+    * [[retrainPqIndex]]'s corpus contract — the IVF conditional
+    * self-retrains because its cells store full vectors; a codebook
+    * cannot be retrained from its own reconstructions. Returns
+    * `(n_batch, base_err, batch_err, inflation_ppm, threshold_ppm,
+    * retrained)`; an idle batch reports a "not measured" no-op row
+    * (n_batch 0, retrained false) so an unattended loop survives an
+    * empty trigger. Below threshold the store is untouched
+    * (byte-for-byte — the spec pins it); above it the store afterwards
+    * content-equals a clean [[writePqIndex]] over the live corpus. A
+    * pre-baseline store (built before errbase existed) is backfilled
+    * first from the corpus' live vectors under the STORED codebook —
+    * an approximation of the training-time ruler (post-append live
+    * content includes any already-drifted vectors), correct from the
+    * next retrain on.
+    *
+    * Scale shape: the decision costs one batch encode (map-side
+    * broadcast join, |batch|·m rows) folded to 1 row plus a 1-row
+    * collect; nothing beyond [[retrainPqIndex]]'s cost unless the
+    * retrain actually runs.
+    */
+  def retrainPqIfDrifted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      thresholdPpm: Long = 1500000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(
+      thresholdPpm >= 1000000L,
+      s"retrainPqIfDrifted: inflation parity is 10^6 ppm; a threshold below it " +
+        s"($thresholdPpm) would retrain on noise")
+    import spark.implicits._
+    // an idle micro-batch carries no drift signal: report "not measured"
+    // and no-op — this face IS the unattended loop's every-batch call
+    if (batch.isEmpty)
+      return Seq((0L, 0L, 0L, 0L, thresholdPpm, false))
+        .toDF("n_batch", "base_err", "batch_err", "inflation_ppm", "threshold_ppm", "retrained")
+    val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
+    val (m, dim) = (p.getInt(0), p.getInt(2))
+    val cb = spark.read.parquet(s"$path/codebook")
+    if (!storeExists(spark, s"$path/errbase")) {
+      // pre-baseline store: backfill the ruler from the live corpus
+      // under the stored codebook (see scaladoc caveat)
+      val liveIds = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
+        .select("vec_id").distinct()
+      val live = corpus
+        .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        .join(liveIds, Seq("vec_id"), "left_semi")
+      writePqErrBase(spark, path, pqEncode(live, cb, m, dim / m, "vec_id", "embedding"), m)
+    }
+    val baseErr = spark.read.parquet(s"$path/errbase").select("err_q").head().getLong(0)
+    // 1-row bounded collect (the decision itself), never data-volume
+    val b = pqErrAgg(pqEncode(batch, cb, m, dim / m, idCol, vecCol), m).head()
+    val (batchErr, nBatch) = (b.getLong(0), b.getLong(1))
+    val inflation = (BigInt(1000000) * batchErr / BigInt(baseErr.max(1L))).toLong
+    val retrained = inflation > thresholdPpm
+    if (retrained) retrainPqIndex(spark, path, corpus, idCol, vecCol)
+    Seq((nBatch, baseErr, batchErr, inflation, thresholdPpm, retrained))
+      .toDF("n_batch", "base_err", "batch_err", "inflation_ppm", "threshold_ppm", "retrained")
   }
 
   /** Retrain the COMPOSED IVF-PQ index — both quantizers at once, the op
@@ -2578,14 +2659,51 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc_dist")
   }
 
+  /** Mean per-vector quantization (reconstruction) error of an encoded
+    * set — the 1-row statistic behind the stored PQ baseline and the
+    * [[retrainPqIfDrifted]] decision: `err_q = Σ qdist div n_vecs`
+    * (integer milli² ADC units, exact — the decimal(38,0) cast happens
+    * BEFORE the sum), `n_vecs = rows div m` (every vector contributes
+    * exactly m subspace rows, so no countDistinct expand is needed).
+    */
+  private def pqErrAgg(enc: DataFrame, m: Int): DataFrame =
+    enc
+      .agg(
+        sum(col("qdist").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).cast("long").as("rows"))
+      .select(
+        expr(s"CAST(CASE WHEN rows > 0 THEN s div (rows div $m) ELSE 0 END AS BIGINT)")
+          .as("err_q"),
+        expr(s"CAST(rows div $m AS BIGINT)").as("n_vecs"))
+
+  /** Persist the codebook-drift BASELINE beside a PQ store: the mean
+    * reconstruction error of the vectors the codebook was TRAINED on,
+    * measured at train time — the ruler [[retrainPqIfDrifted]] holds new
+    * batches against. Written by [[writePqIndex]], [[retrainPqIndex]],
+    * and [[ingestPqBatch]]'s training claim; deliberately NOT refreshed
+    * by [[appendPqIndex]] (appends encode against the frozen codebook —
+    * moving the ruler with them would mask exactly the drift the
+    * baseline exists to expose).
+    */
+  private def writePqErrBase(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      enc: DataFrame,
+      m: Int): Unit =
+    pqErrAgg(enc, m).coalesce(1).write.mode("overwrite").parquet(s"$path/errbase")
+
   /** Persist a PQ index: the m·ksub `codebook`, the relational `codes`
-    * table, and a one-row `params` parquet — build-once/probe-many for
+    * table, a one-row `params` parquet, and the 1-row `errbase` drift
+    * baseline (mean training reconstruction error — see
+    * [[writePqErrBase]]) — build-once/probe-many for
     * the compressed-domain ANN, completing the lifecycle family
     * ([[writeIvfIndex]], [[graft.ops.Dedup.writeLshIndex]]). The codebook
     * FREEZES at build: [[appendPqIndex]] encodes new batches against it,
     * and [[probePqIndex]] REFUSES (m, ksub, dim) callers that differ from
     * the build — a mismatched distance table scores garbage silently
-    * otherwise.
+    * otherwise. The encode is materialized once (localCheckpoint — m
+    * skinny rows per vector) to feed both the code write and the
+    * baseline aggregate without a second encode pass.
     */
   def writePqIndex(
       corpus: DataFrame,
@@ -2602,9 +2720,11 @@ object Similarity {
     deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
     val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    pqEncode(corpus, cb, m, subDim, idCol, vecCol)
+    val enc = pqEncode(corpus, cb, m, subDim, idCol, vecCol).localCheckpoint()
+    enc
       .select("vec_id", "subspace", "code")
       .write.mode("overwrite").parquet(s"$path/codes")
+    writePqErrBase(spark, path, enc, m)
     Seq((m, ksub, dim))
       .toDF("m", "ksub", "dim")
       .coalesce(1)
@@ -2637,13 +2757,15 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+    val trainedHere = batchId == 0L || !storeExists(spark, s"$path/params")
+    if (trainedHere) {
       // Wipe BEFORE the empty check (the StoreLifecycle rule); the
       // codebook needs content to train, so it defers to the first
       // non-empty batch — params come down too, so that batch re-claims.
       deleteDir(spark, s"$path/codes")
       deleteDir(spark, s"$path/tombstones")
       deleteDir(spark, s"$path/codebook")
+      deleteDir(spark, s"$path/errbase")
       deleteDir(spark, s"$path/params")
       if (batch.isEmpty) return
       pqCodebook(batch, m, subDim, ksub, idCol, vecCol)
@@ -2657,9 +2779,16 @@ object Similarity {
       if (batch.isEmpty) return // nothing to encode
     }
     val cb = spark.read.parquet(s"$path/codebook")
-    pqEncode(batch, cb, m, subDim, idCol, vecCol)
+    val encRaw = pqEncode(batch, cb, m, subDim, idCol, vecCol)
+    // only the training claim needs the encode twice (codes + baseline);
+    // steady-state batches keep the straight-through single-pass write
+    val enc = if (trainedHere) encRaw.localCheckpoint() else encRaw
+    enc
       .select("vec_id", "subspace", "code")
       .write.mode("overwrite").parquet(s"$path/codes/batch_id=$batchId")
+    // the training batch IS the codebook's training set: its encode is
+    // the drift baseline (frozen across later appends, like writePqIndex)
+    if (trainedHere) writePqErrBase(spark, path, enc, m)
   }
 
   private def requirePqParams(

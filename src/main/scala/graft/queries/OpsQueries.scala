@@ -940,6 +940,24 @@ object OpsQueries {
         .select(col("vec_id"), e1.as("embedding"))
       Similarity.retrainIvfIfDrifted(s, idx, drifted, thresholdMilli = 300L)
     },
+    // the CODEBOOK's drift loop (the index whose recall decays silently):
+    // a planted norm shift (every batch vector scaled 3x — an upstream
+    // encoder changed its scale) inflates the batch's reconstruction
+    // error far past the stored training baseline at every sf, so the
+    // conditional face measures, decides, and retrains the codebook from
+    // the full-precision corpus, returning the decision row (store ≡
+    // clean build pinned by OpsSpec)
+    "ann_pq_retrain_if_drifted" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_pq_rbd_${ProcessHandle.current().pid()}"
+      Similarity.writePqIndex(e, idx)
+      val drifted = e
+        .filter(col("vec_id") % 10 === 3)
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+      Similarity.retrainPqIfDrifted(s, idx, drifted, e)
+    },
     // measured recall@k at the configured nProbe — the quality dial next
     // to ann_index_audit's freshness dial: build the persisted k-means
     // IVF index, probe a bounded deterministic query sample (vec_id < 8)
@@ -2828,6 +2846,40 @@ object OpsQueries {
          |       CAST(300 AS BIGINT) AS threshold_milli,
          |       (SUM(abs(index_ppm - batch_ppm)) // 2000) > 300 AS retrained
          |FROM rep""".stripMargin,
+    // the codebook-drift decision: per-(vector, subspace) minimum
+    // quantization distance under the stored codebook, averaged per
+    // vector — baseline over the training corpus vs the 3x-scaled batch,
+    // exact-integer inflation ratio and threshold compare (the retrain
+    // side effect is pinned by OpsSpec, not the hash)
+    "ann_pq_retrain_if_drifted" ->
+      s"""WITH $pqCtes,
+         |mind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM pqd GROUP BY 1, 2),
+         |base AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM mind),
+         |bpe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(CAST(x * CAST(3.0 AS FLOAT) AS FLOAT) AS DOUBLE)
+         |                           * 1000, 0) AS BIGINT)) AS vm
+         |  FROM embeddings WHERE vec_id % 10 = 3),
+         |bsv AS (
+         |  SELECT vec_id, CAST(j AS BIGINT) AS subspace, vm[(j*16+1):(j*16+16)] AS sub
+         |  FROM bpe, range(0, 4) t(j)),
+         |bqd AS (
+         |  SELECT s.vec_id, s.subspace,
+         |         list_sum(list_transform(range(1, 17),
+         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS dist
+         |  FROM bsv s JOIN cb ON cb.subspace = s.subspace),
+         |bmind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM bqd GROUP BY 1, 2),
+         |bb AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM bmind)
+         |SELECT bb.n AS n_batch,
+         |       CAST(base.s // base.n AS BIGINT) AS base_err,
+         |       CAST(bb.s // bb.n AS BIGINT) AS batch_err,
+         |       CAST((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1) AS BIGINT)
+         |         AS inflation_ppm,
+         |       CAST(1500000 AS BIGINT) AS threshold_ppm,
+         |       ((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1)) > 1500000
+         |         AS retrained
+         |FROM base CROSS JOIN bb""".stripMargin,
     // recall@k: the persisted IVF probe (the kmeansIvfTopkSql chain, same
     // frozen quantizer) set-intersected per query against exact brute
     // force over the indexed corpus — hits match on neighbor membership,

@@ -327,6 +327,55 @@ class OpsSpec extends SparkSpec {
       "the acted-on retrain must equal a clean build over the live corpus")
   }
 
+  test("retrainPqIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
+    val dir = java.nio.file.Files.createTempDirectory("pqifd").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    // stale codebook: trained over 2/3 of the corpus, the rest appended
+    // frozen (the retrainPqIndex fixture)
+    Similarity.writePqIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendPqIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    def store() = (
+      spark.read.parquet(s"$dir/codebook").collect().toSet,
+      spark.read.parquet(s"$dir/codes").collect().toSet)
+    val before = store()
+    // a same-distribution slice quantizes about as well as the training
+    // set: a generous threshold guarantees the no-op branch
+    val sameDist = e.filter(col("vec_id") % 10 === 3)
+    val no = Similarity.retrainPqIfDrifted(spark, dir, sameDist, e, thresholdPpm = 3000000L).head()
+    assert(!no.getAs[Boolean]("retrained"))
+    assert(no.getAs[Long]("inflation_ppm") < 3000000L)
+    assert(store() === before, "a below-threshold decision must not touch the store")
+    // the unattended loop's idle batch: no drift signal -> "not measured"
+    // no-op row, never a fail-fast
+    val idle = Similarity
+      .retrainPqIfDrifted(spark, dir, e.filter(col("vec_id") < 0), e, thresholdPpm = 1000000L)
+      .head()
+    assert(!idle.getAs[Boolean]("retrained") && idle.getAs[Long]("n_batch") === 0L)
+    assert(store() === before, "an idle batch must not touch the store")
+    // a 3x norm shift (an upstream encoder changed scale) inflates the
+    // batch's reconstruction error far past the training baseline; the
+    // retrained store must equal a clean writePqIndex over the corpus
+    val scaled = sameDist.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val yes = Similarity.retrainPqIfDrifted(spark, dir, scaled, e, thresholdPpm = 1500000L).head()
+    assert(yes.getAs[Boolean]("retrained"))
+    assert(yes.getAs[Long]("inflation_ppm") > 1500000L)
+    val clean = java.nio.file.Files.createTempDirectory("pqifdclean").toString
+    Similarity.writePqIndex(e, clean)
+    assert(
+      spark.read.parquet(s"$dir/codebook").collect().toSet ===
+        spark.read.parquet(s"$clean/codebook").collect().toSet)
+    assert(
+      spark.read.parquet(s"$dir/codes").select("vec_id", "subspace", "code").collect().toSet ===
+        spark.read.parquet(s"$clean/codes").collect().toSet,
+      "the acted-on retrain must equal a clean build over the corpus")
+    // and the baseline moved with the retrain: the fresh ruler scores
+    // the same-distribution slice at parity again
+    val after = Similarity.retrainPqIfDrifted(spark, dir, sameDist, e, thresholdPpm = 3000000L).head()
+    assert(!after.getAs[Boolean]("retrained"))
+  }
+
   test("ivfPqRecallAudit: lossless codebook + exhaustive nProbe -> 1000 milli; tombstones bound truth") {
     val s = spark
     import s.implicits._
