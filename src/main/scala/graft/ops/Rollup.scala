@@ -162,9 +162,11 @@ object Rollup {
     * [[cumulativeDistinct]]'s first-seen trick as an ingest face, so "unique
     * users since launch, by day" stays exact on an unbounded stream without
     * ever re-deduplicating history: each batch's per-(group, id) minimum
-    * period anti-joins the store's strictly-earlier generations, and only
-    * ids the stream has NEVER delivered before land (once, under their
-    * first batch, keyed `firstseen/batch_id=N`); the batch's observed
+    * period joins the store's strictly-earlier generations' per-id
+    * minimum, and ids the stream has never delivered before — plus
+    * late-event CORRECTIONS, ids recurring with a strictly earlier
+    * period — land under the current batch (keyed
+    * `firstseen/batch_id=N`); the batch's observed
     * (group, period) pairs land beside them (`observed/batch_id=N`) so
     * zero-new periods still report 0, not a gap. Checkpoint-retried
     * batches probe only generations `< batchId` and overwrite their own
@@ -172,18 +174,19 @@ object Rollup {
     * [[graft.ops.Dedup.ingestTokenEditBatch]] protocol. Params pin the
     * (group, period, id) column triple; two streams' stores never merge.
     *
-    * Semantics contract: an id's first period is its first ARRIVAL's
-    * minimum period. When batches respect event-time order (each id's
-    * earliest period arrives first — the watermark discipline), the
-    * readback is exactly [[cumulativeDistinct]] over the union of all
-    * batches; an out-of-order RECURRENCE of an already-seen id with an
-    * earlier period keeps the first arrival's period (the stream face
-    * trades late-recurrence rewrites for never re-reading history —
-    * rebuild from the raw lake if that correction matters).
+    * Semantics contract: the readback is exactly [[cumulativeDistinct]]
+    * over the union of all batches REGARDLESS of arrival order. A late
+    * RECURRENCE of an already-seen id with a strictly earlier event
+    * period lands a correction row under the LATE batch's own dir
+    * (history is never rewritten — the exactly-once discipline holds),
+    * and [[readCumulativeDistinct]] min-collapses per id before
+    * counting, so the stored state converges to the true event-time
+    * first period; a same-or-later recurrence lands nothing.
     *
     * Scale shape: per batch, one map-side-combinable min-aggregate over
-    * the batch plus one id-keyed anti-join against the stored first-seen
-    * rows (≤ |all-time distinct ids|, each id exactly once — orders below
+    * the batch plus one id-keyed min-aggregate + left join against the
+    * stored first-seen rows (≤ |all-time distinct ids| + |corrections|,
+    * corrections bounded by genuinely-late first arrivals — orders below
     * the event stream); the readback never touches raw events.
     */
   def ingestCumulativeDistinctBatch(
@@ -223,16 +226,25 @@ object Rollup {
         col(idCol).as("id"))
       .localCheckpoint() // first-seen aggregate + the observed write
     val firstInBatch = base.groupBy("grp", "id").agg(min("p").as("p"))
-    val seen =
+    val seenMin =
       if (Similarity.storeExists(spark, s"$path/firstseen")) {
         val raw = spark.read.parquet(s"$path/firstseen")
         // strictly-earlier generations only: a checkpoint-retried batch
         // must never probe its own half-written rows and drop itself
         (if (raw.columns.contains("batch_id")) raw.filter(col("batch_id") < batchId) else raw)
-          .select("grp", "id")
-      } else firstInBatch.select("grp", "id").limit(0)
+          .groupBy("grp", "id")
+          .agg(min("p").as("p0"))
+      } else firstInBatch.select(col("grp"), col("id"), col("p").as("p0")).limit(0)
+    // land never-seen ids AND late-event corrections: an id already
+    // stored under a LATER period gets a correction row in THIS batch's
+    // dir (history is never rewritten — the batch-id-keyed exactly-once
+    // discipline holds), and the read face min-collapses per id, so the
+    // stored state converges to the true event-time first period no
+    // matter the arrival order
     firstInBatch
-      .join(seen, Seq("grp", "id"), "left_anti")
+      .join(seenMin, Seq("grp", "id"), "left")
+      .filter(col("p0").isNull || col("p") < col("p0"))
+      .select("grp", "id", "p")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$path/firstseen/batch_id=$batchId")
     base.select("grp", "p").distinct()
@@ -273,7 +285,12 @@ object Rollup {
         org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType)))
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
+    // min-collapse per id FIRST: late-event correction rows (an id
+    // re-landed under an earlier period by a later batch) supersede the
+    // original, so the count below reads the true event-time first period
     val firstSeen = spark.read.parquet(s"$path/firstseen")
+      .groupBy("grp", "id")
+      .agg(min("p").as("p"))
       .groupBy("grp", "p")
       .agg(count(lit(1)).cast("long").as("n_new"))
     val observed = spark.read.parquet(s"$path/observed").select("grp", "p").distinct()

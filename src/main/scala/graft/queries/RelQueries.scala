@@ -658,22 +658,22 @@ object RelQueries {
         "day",
         "user_id")
     },
-    // the same report maintained INCREMENTALLY: three period-ordered
-    // ingest rounds land only never-seen-before (type, user) first
-    // arrivals batch-keyed, the read face windows the stored rows — which
-    // must hash-equal the batch operator over all events (the first-seen
-    // trick's merge law under event-time-ordered arrival)
+    // the same report maintained INCREMENTALLY — and OUT OF ORDER: the
+    // middle day-range third arrives FIRST, so every id whose true first
+    // period lives in the earliest third arrives as a late recurrence;
+    // the min-reconciling correction rows make the read face hash-equal
+    // the batch operator over all events regardless of arrival order
     "events_cumulative_streamed" -> { (s, dir) =>
       val root = s"${sys.props("java.io.tmpdir")}/graft_cumdist_${ProcessHandle.current().pid()}"
       val ev = events(s, dir).withColumn("day", expr("ts_us div 86400000000"))
-      // 1-row bounded collect: day-range thirds keep arrival period-ordered
+      // 1-row bounded collect: day-range thirds define the batches
       val mm = ev.agg(min("day").as("lo"), max("day").as("hi")).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val (c1, c2) = (lo + (hi - lo + 1) / 3, lo + 2 * (hi - lo + 1) / 3)
       Rollup.ingestCumulativeDistinctBatch(
-        ev.filter(col("day") < c1), root, 0L, "event_type", "day", "user_id")
+        ev.filter(col("day") >= c1 && col("day") < c2), root, 0L, "event_type", "day", "user_id")
       Rollup.ingestCumulativeDistinctBatch(
-        ev.filter(col("day") >= c1 && col("day") < c2), root, 1L, "event_type", "day", "user_id")
+        ev.filter(col("day") < c1), root, 1L, "event_type", "day", "user_id")
       Rollup.ingestCumulativeDistinctBatch(
         ev.filter(col("day") >= c2), root, 2L, "event_type", "day", "user_id")
       Rollup.readCumulativeDistinct(s, root, "event_type")

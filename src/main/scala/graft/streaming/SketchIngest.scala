@@ -128,10 +128,12 @@ object SketchIngest {
     * (once, under their first batch — the first-seen trick as state), and
     * [[graft.ops.Rollup.readCumulativeDistinct]] serves "unique since
     * launch, by period" from the stored rows without ever
-    * re-deduplicating history. State grows with |all-time distinct ids|,
-    * each exactly once — the exact complement of [[hllIngest]]'s
-    * fixed-size approximate registers; under event-time-ordered arrival
-    * the readback equals the batch operator over everything ingested.
+    * re-deduplicating history. State grows with |all-time distinct ids|
+    * (plus a correction row per genuinely-late first arrival) — the
+    * exact complement of [[hllIngest]]'s fixed-size approximate
+    * registers; the readback equals the batch operator over everything
+    * ingested regardless of arrival order (late earlier-period
+    * recurrences land min-reconciling correction rows).
     */
   def cumulativeDistinctIngest(
       stream: DataFrame,

@@ -244,6 +244,38 @@ class RollupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("cumulative distinct late-event reconcile: out-of-order batches still equal the batch operator") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cumdistlate").toString
+    // ARRIVAL order deliberately violates event-time order:
+    //  batch 0: u1 first lands at period 3 (its true first is 1 — late)
+    //  batch 1: u1 recurs at period 1 (earlier -> correction row),
+    //           u2 lands fresh at 2
+    //  batch 2: u1 recurs at period 2 (later than the reconciled 1 ->
+    //           lands nothing), u3 fresh at 1
+    val b0 = Seq(("a", 3L, "u1"), ("b", 3L, "u9"))
+    val b1 = Seq(("a", 1L, "u1"), ("a", 2L, "u2"))
+    val b2 = Seq(("a", 2L, "u1"), ("a", 1L, "u3"))
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(b0.toDF("g", "p", "u"), dir, 0L, "g", "p", "u")
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(b1.toDF("g", "p", "u"), dir, 1L, "g", "p", "u")
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(b2.toDF("g", "p", "u"), dir, 2L, "g", "p", "u")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val got = toMap(graft.ops.Rollup.readCumulativeDistinct(spark, dir, "g"))
+    val want = toMap(
+      graft.ops.Rollup.cumulativeDistinct((b0 ++ b1 ++ b2).toDF("g", "p", "u"), "g", "p", "u"))
+    assert(got === want)
+    // the state converged: u1 counts once, at its TRUE first period 1
+    assert(got(("a", 1L))._1 === 2L, "u1's correction + u3 both count at period 1")
+    assert(got(("a", 3L))._1 === 0L, "u1 no longer counts at its arrival period")
+    // exactly-once under retry: re-running the late batch (same batch id)
+    // overwrites its own dir and changes nothing
+    graft.ops.Rollup.ingestCumulativeDistinctBatch(b1.toDF("g", "p", "u"), dir, 1L, "g", "p", "u")
+    assert(toMap(graft.ops.Rollup.readCumulativeDistinct(spark, dir, "g")) === want)
+  }
+
   test("periodOverPeriod: fractional measures are milli-scaled, not floored") {
     val s = spark
     import s.implicits._
