@@ -1657,7 +1657,8 @@ object Dedup {
     requireSetJoinArgs(thresholdMilli, n)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Similarity.clearTombstones(spark, path)
+    Similarity.clearTombstones(spark, path) // full rebuild: stale deletes die
+    Similarity.clearInflight(spark, path) // ...and a stale crash marker resolves
     val tok = setJoinShingles(corpus, n, textCol, idCol)
     val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
     dfs.write.mode("overwrite").parquet(s"$path/df")
@@ -1724,6 +1725,7 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
     requireSetJoinParams(spark, path, thresholdMilli, n)
     val bord = setJoinOrdered(
       setJoinShingles(batch, n, textCol, idCol),
@@ -1893,6 +1895,7 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
     requireSetJoinParams(spark, path, thresholdMilli, n)
     val tm = lit(thresholdMilli.toLong)
     // shingled once; consumed by the fresh df count and both orderings
@@ -1945,9 +1948,10 @@ object Dedup {
     * the OLD df in place — a re-run re-measures the same inflation and
     * redoes the whole rebuild, converging. The one degraded window is
     * between the prefix and df swaps (new postings under the old batch
-    * order — possible false negatives for probes in that instant); as
-    * with [[graft.ops.Similarity.retrainPqIndex]], treat an interrupted
-    * rebuild as an incident and re-run.
+    * order — possible false negatives); the inflight marker written by
+    * [[rebuildSetJoinIndex]] makes probes and audits refuse a store
+    * crashed in that window — re-run [[rebuildSetJoinIndex]] directly
+    * to completion, which clears it.
     *
     * Scale shape: the decision costs one [[setJoinDriftAudit]] (two
     * batch-bounded orderings; run it on a sampled slice) plus a 1-row
@@ -1972,39 +1976,7 @@ object Dedup {
     val a = setJoinDriftAudit(spark, path, batch, tMilli, nGram, textCol, idCol).head()
     val inflation = a.getAs[Long]("inflation_ppm")
     val rebuilt = inflation > thresholdPpm
-    if (rebuilt) {
-      val docsRaw = spark.read.parquet(s"$path/docs")
-      val hasBatchDirs = docsRaw.columns.contains("batch_id")
-      // live snapshot materialized up front: the swaps below must not
-      // pull the rug from under their own input (retrainIvfIndex's move)
-      val live = Similarity.minusTombstones(spark, path, docsRaw, "id")
-        .select("id", "otks")
-        .localCheckpoint()
-      val dfs = live
-        .select(explode(col("otks")).as("tok"))
-        .groupBy("tok")
-        .agg(count(lit(1)).cast("long").as("df"))
-        .localCheckpoint() // consumed by the re-order and its own swap
-      // the ONE ordering kernel: re-ordering stored digests goes through
-      // setJoinOrdered exactly like a clean build, so the plen formula
-      // and (df, digest) tie-break can never diverge between the two
-      val ordered = setJoinOrdered(
-        live.select(col("id"), explode(col("otks")).as("tok")),
-        dfs,
-        tMilli)
-        .localCheckpoint() // two subtree writes below
-      def swap(df: DataFrame, sub: String): Unit =
-        if (hasBatchDirs)
-          Similarity.rewriteDir(
-            spark, df.withColumn("batch_id", lit(-1L)), s"$path/$sub", Seq("batch_id"))
-        else Similarity.rewriteDir(spark, df, s"$path/$sub", Nil)
-      swap(ordered.select("id", "otks", "n"), "docs")
-      swap(setJoinPrefix(ordered), "prefix")
-      Similarity.rewriteDir(spark, dfs, s"$path/df", Nil)
-      // the rebuild physically dropped the tombstoned docs: spent
-      // tombstones must die, or they would suppress a future re-insert
-      Similarity.clearTombstones(spark, path)
-    }
+    if (rebuilt) rebuildSetJoinIndex(spark, path)
     Seq((
       a.getAs[Long]("n_docs"),
       a.getAs[Long]("cand_frozen"),
@@ -2013,6 +1985,60 @@ object Dedup {
       thresholdPpm,
       rebuilt))
       .toDF("n_docs", "cand_frozen", "cand_fresh", "inflation_ppm", "threshold_ppm", "rebuilt")
+  }
+
+  /** UNCONDITIONAL rebuild of a set-join index's frozen global order from
+    * its own LIVE stored content (tombstones subtracted) — the action arm
+    * of [[rebuildSetJoinIfDrifted]], public so an interrupted rebuild can
+    * be re-run directly: `otks` is each doc's distinct shingle-digest
+    * set, so exploding it reproduces exactly the df a clean
+    * [[writeSetJoinIndex]] over the live corpus would compute by
+    * re-shingling — the store afterwards is content-equal to that clean
+    * build (docs re-ordered under the fresh df, prefixes re-cut, df
+    * replaced, tombstones cleared), and the original text is never
+    * needed, which at 100 TB it may no longer be. Crash contract: the
+    * inflight marker ([[graft.ops.Similarity.markInflight]]) is written
+    * before the first swap and cleared after the last, so probes and
+    * audits REFUSE a store crashed mid-swap (new postings under the old
+    * batch order — false negatives otherwise silent) instead of
+    * mis-scoring; every directory stays READABLE at every instant, and
+    * re-running this face to completion converges and clears the marker.
+    */
+  def rebuildSetJoinIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tMilli = spark.read.parquet(s"$path/params").select("threshold_milli").head().getInt(0)
+    val docsRaw = spark.read.parquet(s"$path/docs")
+    val hasBatchDirs = docsRaw.columns.contains("batch_id")
+    // live snapshot materialized up front: the swaps below must not
+    // pull the rug from under their own input (retrainIvfIndex's move)
+    val live = Similarity.minusTombstones(spark, path, docsRaw, "id")
+      .select("id", "otks")
+      .localCheckpoint()
+    val dfs = live
+      .select(explode(col("otks")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).cast("long").as("df"))
+      .localCheckpoint() // consumed by the re-order and its own swap
+    // the ONE ordering kernel: re-ordering stored digests goes through
+    // setJoinOrdered exactly like a clean build, so the plen formula
+    // and (df, digest) tie-break can never diverge between the two
+    val ordered = setJoinOrdered(
+      live.select(col("id"), explode(col("otks")).as("tok")),
+      dfs,
+      tMilli)
+      .localCheckpoint() // two subtree writes below
+    def swap(df: DataFrame, sub: String): Unit =
+      if (hasBatchDirs)
+        Similarity.rewriteDir(
+          spark, df.withColumn("batch_id", lit(-1L)), s"$path/$sub", Seq("batch_id"))
+      else Similarity.rewriteDir(spark, df, s"$path/$sub", Nil)
+    Similarity.markInflight(spark, path, "rebuildSetJoinIndex") // docs ↔ prefix ↔ df window
+    swap(ordered.select("id", "otks", "n"), "docs")
+    swap(setJoinPrefix(ordered), "prefix")
+    Similarity.rewriteDir(spark, dfs, s"$path/df", Nil)
+    // the rebuild physically dropped the tombstoned docs: spent
+    // tombstones must die, or they would suppress a future re-insert
+    Similarity.clearTombstones(spark, path)
+    Similarity.clearInflight(spark, path)
   }
 
   /** Physically drop tombstoned docs from both subtrees and clear the
@@ -2182,6 +2208,7 @@ object Dedup {
       batch: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
     requireTokenEditParams(spark, path)
     val btoks = editTokens(batch, textCol, idCol).localCheckpoint() // sig + verify consumers
     tokenEditProbeCore(

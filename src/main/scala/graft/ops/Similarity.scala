@@ -1079,9 +1079,10 @@ object Similarity {
       vecCol: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // a full rebuild REPLACES the index: stale tombstones from a prior
-    // generation must not subtract freshly-written vectors
+    // a full rebuild REPLACES the index: stale tombstones (and a stale
+    // inflight marker — the rebuild resolves the incident) must die
     deleteDir(spark, s"$path/tombstones")
+    clearInflight(spark, path)
     val dim = cents.select(size(col("centroid"))).head().getInt(0)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     flatCells(corpus, cents, idCol, vecCol)
@@ -1219,6 +1220,7 @@ object Similarity {
       // — params come down too, so that batch re-enters this branch.
       deleteDir(spark, s"$path/cells")
       deleteDir(spark, s"$path/tombstones")
+      clearInflight(spark, path)
       deleteDir(spark, s"$path/centroids")
       deleteDir(spark, s"$path/params")
       if (n == 0) return
@@ -1346,6 +1348,41 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     deleteDir(spark, s"$path/tombstones")
 
+  /** Crash INTENT marker for multi-directory rewrites: a retrain/rebuild
+    * that tmp-and-swaps several subtrees writes `$path/inflight` before
+    * its FIRST swap and clears it after the LAST, so the degraded window
+    * (each directory readable but the set mutually inconsistent — new
+    * codes under an old codebook, new postings under an old df) is
+    * DETECTABLE: probes and drift audits [[requireNotInflight]] and
+    * refuse instead of silently mis-scoring. A crash before the first
+    * swap leaves the store untouched with a stale marker; re-running the
+    * interrupted retrain (or a full write) clears it either way.
+    */
+  private[ops] def markInflight(
+      spark: org.apache.spark.sql.SparkSession, path: String, op: String): Unit = {
+    import spark.implicits._
+    Seq(op).toDF("op").coalesce(1).write.mode("overwrite").parquet(s"$path/inflight")
+  }
+
+  private[ops] def clearInflight(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    deleteDir(spark, s"$path/inflight")
+
+  /** Refuse to read a store whose last multi-directory rewrite never
+    * finished — the [[markInflight]] contract's read side. One FS
+    * existence check per call; the marker's stored op name is read only
+    * on the failure path.
+    */
+  private[ops] def requireNotInflight(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    if (storeExists(spark, s"$path/inflight")) {
+      val op = spark.read.parquet(s"$path/inflight").head().getString(0)
+      throw new IllegalStateException(
+        s"index at $path has an interrupted '$op' rewrite (inflight marker present) — " +
+          s"its directories may be mutually inconsistent; re-run $op to completion " +
+          "(or rebuild the store) before probing")
+    }
+
   /** Compact a persisted IVF index: fold every generation — the base
     * build, [[appendIvfIndex]] appends, and all `cells/batch_id=N` dirs a
     * streaming ingest accumulated — into ONE consolidated cell tree
@@ -1406,6 +1443,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     deleteDir(spark, s"$path/tombstones")
+    clearInflight(spark, path)
     val cents = ivfCentroids(corpus, nCentroids, iters, idCol, vecCol)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cb = pqCodebook(corpus, m, dim / m, ksub, idCol, vecCol)
@@ -1512,6 +1550,7 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNotInflight(spark, path)
     requireIvfPqParams(spark, path, m, ksub, dim)
     requireIvfPqDim(queries, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
@@ -1579,6 +1618,7 @@ object Similarity {
       // non-empty batch — params come down too, so that batch re-claims.
       deleteDir(spark, s"$path/codes")
       deleteDir(spark, s"$path/tombstones")
+      clearInflight(spark, path)
       deleteDir(spark, s"$path/centroids")
       deleteDir(spark, s"$path/codebook")
       deleteDir(spark, s"$path/params")
@@ -1643,6 +1683,7 @@ object Similarity {
       if (kind == "flat") flatCents(live, nCentroids, "vec_id", "embedding").localCheckpoint()
       else ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
     val cells = flatCells(live, cents, "vec_id", "embedding")
+    markInflight(spark, path, "retrainIvfIndex") // cells ↔ centroids window
     if (hasBatchDirs)
       rewriteDir(
         spark,
@@ -1655,6 +1696,7 @@ object Similarity {
     // else it re-assigned: spent tombstones must die, or they would
     // suppress a future re-insert of the same id
     clearTombstones(spark, path)
+    clearInflight(spark, path)
   }
 
   /** CLOSE the drift→retrain loop: measure [[indexDriftReport]], retrain
@@ -1673,10 +1715,10 @@ object Similarity {
     * clean [[writeIvfIndex]] over the live content. Retry contract:
     * below-threshold calls are pure reads (re-run at will); an
     * interrupted retrain leaves each directory readable but the pair
-    * mixed, and a RE-RUN may then measure low drift against the mixed
-    * ruler and no-op — treat an interrupted retrain as an incident and
-    * re-run [[retrainIvfIndex]] directly (the [[retrainPqIndex]]
-    * contract), not this conditional.
+    * mixed — and DETECTED: the [[markInflight]] marker written before
+    * the first swap makes this face (via [[indexDriftReport]]) and every
+    * probe refuse the mixed store; re-run [[retrainIvfIndex]] directly
+    * to completion, which clears it.
     *
     * Scale shape: the decision adds one ≤|cells|-row aggregate and a
     * driver-side 1-row collect on top of the audit — nothing beyond
@@ -1724,8 +1766,9 @@ object Similarity {
     * re-encodes, and tmp-and-swaps BOTH the code table and the codebook
     * (codes first — each dir stays readable at every instant; a crash
     * between the two swaps leaves new codes under the old codebook,
-    * which mis-scores until the retrain is re-run, so treat an
-    * interrupted retrain as an incident, not a curiosity). Fails fast if
+    * which would mis-score — the [[markInflight]] marker written before
+    * the first swap makes probes refuse until this retrain is re-run to
+    * completion, which clears it). Fails fast if
     * the corpus is missing any live id — checked by ANTI-JOIN on the id
     * sets, not by row counts, so duplicate corpus rows cannot mask a
     * hole — or if it carries duplicate rows for a live id (which would
@@ -1761,6 +1804,7 @@ object Similarity {
     val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
     val enc = pqEncode(live, cb, m, dim / m, "vec_id", "embedding").localCheckpoint()
     val codes = enc.select("vec_id", "subspace", "code")
+    markInflight(spark, path, "retrainPqIndex") // codes ↔ codebook window
     if (hasBatchDirs)
       rewriteDir(spark, codes.withColumn("batch_id", lit(-1L)), s"$path/codes", Seq("batch_id"))
     else rewriteDir(spark, codes, s"$path/codes", Nil)
@@ -1769,6 +1813,7 @@ object Similarity {
     // set's reconstruction error
     writePqErrBase(spark, path, enc, m)
     clearTombstones(spark, path)
+    clearInflight(spark, path)
   }
 
   /** CLOSE the codebook-drift→retrain loop — [[retrainIvfIfDrifted]]'s
@@ -1825,6 +1870,7 @@ object Similarity {
     if (batch.isEmpty)
       return Seq((0L, 0L, 0L, 0L, thresholdPpm, false))
         .toDF("n_batch", "base_err", "batch_err", "inflation_ppm", "threshold_ppm", "retrained")
+    requireNotInflight(spark, path) // a crashed store must not be measured
     val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
     val (m, dim) = (p.getInt(0), p.getInt(2))
     val cb = spark.read.parquet(s"$path/codebook")
@@ -1860,8 +1906,8 @@ object Similarity {
     * vector is re-routed + re-encoded. Swap order: codes first, then
     * codebook, then centroids (each dir stays readable at every instant;
     * a crash between swaps leaves new codes under stale quantizers —
-    * mis-routed probes until the retrain is re-run, so treat an
-    * interrupted retrain as an incident). Stream-built stores keep their
+    * the [[markInflight]] marker makes probes refuse until the retrain
+    * is re-run to completion). Stream-built stores keep their
     * batch-keyed layout (`batch_id=-1` fold), so the op is valid
     * mid-stream; spent tombstones are cleared with the rewrite.
     * Idempotent under crash-rerun: every output derives from the live id
@@ -1898,6 +1944,7 @@ object Similarity {
     val cents = ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
     val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
     val codes = encodeToCells(live, cents, cb, m, dim / m, "vec_id", "embedding")
+    markInflight(spark, path, "retrainIvfPqIndex") // codes ↔ codebook ↔ centroids window
     if (hasBatchDirs)
       rewriteDir(
         spark,
@@ -1908,6 +1955,7 @@ object Similarity {
     rewriteDir(spark, cb.coalesce(1), s"$path/codebook", Nil)
     rewriteDir(spark, cents.coalesce(1), s"$path/centroids", Nil)
     clearTombstones(spark, path)
+    clearInflight(spark, path)
   }
 
   /** Persisted-index freshness/census audit — the operational dashboard
@@ -2161,6 +2209,7 @@ object Similarity {
     // an empty batch carries no drift signal — fail fast rather than
     // return an all-zero report a monitoring gate would read as healthy
     require(!batch.isEmpty, "indexDriftReport: empty batch has no drift signal")
+    requireNotInflight(spark, path)
     requireIvfDim(batch, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
     def ppm(counts: DataFrame, nCol: String, pCol: String) = {
@@ -2214,6 +2263,7 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNotInflight(spark, path)
     requireIvfDim(queries, path, vecCol)
     val cents = spark.read.parquet(s"$path/centroids")
     val cells = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
@@ -2718,6 +2768,7 @@ object Similarity {
     import spark.implicits._
     val subDim = dim / m
     deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
+    clearInflight(spark, path)
     val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     val enc = pqEncode(corpus, cb, m, subDim, idCol, vecCol).localCheckpoint()
@@ -2764,6 +2815,7 @@ object Similarity {
       // non-empty batch — params come down too, so that batch re-claims.
       deleteDir(spark, s"$path/codes")
       deleteDir(spark, s"$path/tombstones")
+      clearInflight(spark, path)
       deleteDir(spark, s"$path/codebook")
       deleteDir(spark, s"$path/errbase")
       deleteDir(spark, s"$path/params")
@@ -2839,6 +2891,7 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNotInflight(spark, path)
     requirePqParams(spark, path, m, ksub, dim)
     val cb = spark.read.parquet(s"$path/codebook")
     adcRank(

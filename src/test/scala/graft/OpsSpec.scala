@@ -327,6 +327,50 @@ class OpsSpec extends SparkSpec {
       "the acted-on retrain must equal a clean build over the live corpus")
   }
 
+  test("inflight crash marker: IVF/PQ probes and drift faces refuse a mid-swap store; retrain clears it") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 4)
+    // IVF: a crash between the cells and centroids swaps
+    val ivf = java.nio.file.Files.createTempDirectory("ivfinflight").toString
+    Similarity.writeIvfIndex(e, ivf)
+    val healthy = Similarity.probeIvfIndex(spark, ivf, q, k = 3).collect().toSet
+    Seq("retrainIvfIndex").toDF("op").write.parquet(s"$ivf/inflight")
+    val e1 = intercept[IllegalStateException] {
+      Similarity.probeIvfIndex(spark, ivf, q, k = 3).count()
+    }
+    assert(e1.getMessage.contains("interrupted") && e1.getMessage.contains("retrainIvfIndex"))
+    intercept[IllegalStateException] {
+      Similarity.indexDriftReport(spark, ivf, q).count()
+    }
+    // the conditional face inherits the refusal for any REAL batch (an
+    // idle batch stays a no-op — it never reads the store)
+    intercept[IllegalStateException] {
+      Similarity.retrainIvfIfDrifted(spark, ivf, q).count()
+    }
+    // re-running the interrupted retrain to completion clears the marker
+    Similarity.retrainIvfIndex(spark, ivf)
+    assert(Similarity.probeIvfIndex(spark, ivf, q, k = 3).collect().toSet === healthy)
+    // PQ: a crash between the codes and codebook swaps
+    val pq = java.nio.file.Files.createTempDirectory("pqinflight").toString
+    Similarity.writePqIndex(e, pq)
+    val pqHealthy = Similarity.probePqIndex(spark, pq, q, k = 3).collect().toSet
+    Seq("retrainPqIndex").toDF("op").write.parquet(s"$pq/inflight")
+    intercept[IllegalStateException] {
+      Similarity.probePqIndex(spark, pq, q, k = 3).count()
+    }
+    intercept[IllegalStateException] {
+      Similarity.retrainPqIfDrifted(spark, pq, q, e).count()
+    }
+    Similarity.retrainPqIndex(spark, pq, e)
+    assert(Similarity.probePqIndex(spark, pq, q, k = 3).collect().toSet === pqHealthy)
+    // a full write also resolves a stale marker
+    Seq("retrainPqIndex").toDF("op").write.parquet(s"$pq/inflight")
+    Similarity.writePqIndex(e, pq)
+    assert(Similarity.probePqIndex(spark, pq, q, k = 3).collect().toSet === pqHealthy)
+  }
+
   test("retrainPqIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
     val dir = java.nio.file.Files.createTempDirectory("pqifd").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")

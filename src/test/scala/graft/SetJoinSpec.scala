@@ -342,6 +342,44 @@ class SetJoinSpec extends SparkSpec {
     assert(store(dir)._1 === wantDf, "the no-op re-run must leave the rebuilt store alone")
   }
 
+  test("inflight crash marker: probes and audits refuse a mid-swap store; rebuild clears it") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sjinflight").toString
+    val uniq = df((1L to 8L).map(i => i -> (1 to 20).map(j => s"w${i}x$j").mkString(" ")))
+    Dedup.writeSetJoinIndex(uniq, dir, thresholdMilli = 800)
+    val batch = df(Seq(9L -> (1 to 20).map(j => s"w9x$j").mkString(" ")))
+    // healthy store probes fine
+    Dedup.probeSetJoinIndex(spark, dir, batch, thresholdMilli = 800).count()
+    // simulate a crash after the FIRST swap of a rebuild: the on-disk
+    // state is exactly "inflight marker present, directories possibly
+    // mutually inconsistent"
+    Seq("rebuildSetJoinIndex").toDF("op").write.parquet(s"$dir/inflight")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.probeSetJoinIndex(spark, dir, batch, thresholdMilli = 800).count()
+    }
+    assert(e1.getMessage.contains("interrupted") && e1.getMessage.contains("rebuildSetJoinIndex"))
+    intercept[IllegalStateException] {
+      Dedup.setJoinDriftAudit(spark, dir, batch, thresholdMilli = 800).count()
+    }
+    // ...which also stops the conditional face (it measures via the audit)
+    intercept[IllegalStateException] {
+      Dedup.rebuildSetJoinIfDrifted(spark, dir, batch).count()
+    }
+    // re-running the interrupted rebuild TO COMPLETION clears the marker
+    // and converges the store to the clean build
+    Dedup.rebuildSetJoinIndex(spark, dir)
+    val clean = java.nio.file.Files.createTempDirectory("sjinflightclean").toString
+    Dedup.writeSetJoinIndex(uniq, clean, thresholdMilli = 800)
+    def probe(p: String) = Dedup.probeSetJoinIndex(spark, p, batch, thresholdMilli = 800)
+      .collect().toSet
+    assert(probe(dir) === probe(clean))
+    // a full write also resolves a stale marker (rebuild-from-scratch path)
+    Seq("rebuildSetJoinIndex").toDF("op").write.parquet(s"$dir/inflight")
+    Dedup.writeSetJoinIndex(uniq, dir, thresholdMilli = 800)
+    assert(probe(dir) === probe(clean))
+  }
+
   test("exactDupSurvivors: history pairs drop, in-batch min id survives, no kept-kept pair") {
     val dir = java.nio.file.Files.createTempDirectory("exsurv").toString
     val hist = df(Seq(1L -> "the quick brown fox jumps over the lazy dog today and tonight"))
