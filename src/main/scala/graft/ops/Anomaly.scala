@@ -264,4 +264,51 @@ object Anomaly {
         col("seasonal_milli"),
         (col("x_milli") - col("trend_milli") - col("seasonal_milli")).as("residual_milli"))
   }
+
+  /** AUTO-tuned seasonal decomposition — the composition
+    * [[graft.ops.Stats.autocorrMilli]]'s scaladoc promises: detect the
+    * season length from the ACF peak, then [[seasonalDecompose]] with it,
+    * so nobody hand-wires the two. Detection: per-lag score = the
+    * integer mean across keys of `round(acf_r · 10⁶)` (acf_r is a
+    * round-6 double, so the micro conversion is exact in any engine and
+    * the mean is trunc-div integer — no order-dependent float
+    * accumulation in the DECISION), restricted to lags ≥ 2 (lag 1 is
+    * trend autocorrelation, not a season); the peak lag wins (smaller
+    * lag on ties), and when no peak clears `minAcfMilli` the caller's
+    * `fallbackSeasonLen` is used — a flat series is decomposed under an
+    * explicit default, never under a noise-picked period. Output is
+    * [[seasonalDecompose]]'s shape plus the decided `season_len`, so the
+    * decision itself is part of the hash-checked result.
+    *
+    * Scale shape: one [[graft.ops.Stats.autocorrMilli]] pass
+    * (series-grain window + one aggregate) folded to ≤ maxLag rows and a
+    * 1-row bounded collect for the decision; the decomposition itself is
+    * unchanged.
+    */
+  def seasonalAuto(
+      counted: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valCol: String,
+      maxLag: Int = 36,
+      minAcfMilli: Long = 300L,
+      fallbackSeasonLen: Int = 24): DataFrame = {
+    require(maxLag >= 2, s"maxLag must be >= 2 to contain any season, got $maxLag")
+    require(
+      minAcfMilli >= 0L && minAcfMilli <= 1000L,
+      s"minAcfMilli is an ACF level in [0, 1000] milli, got $minAcfMilli")
+    val acf = graft.ops.Stats.autocorrMilli(counted, keyCol, periodCol, valCol, maxLag)
+    val scored = acf
+      .filter(col("lag") >= 2 && col("acf_r").isNotNull)
+      .select(col("lag"), round(col("acf_r") * 1000000, 0).cast("long").as("am"))
+      .groupBy("lag")
+      .agg(expr("sum(am) div count(1)").cast("long").as("score_micro"))
+    // bounded <= maxLag rows: the decision is a 1-row collect, never data
+    val top = scored.orderBy(col("score_micro").desc, col("lag").asc).limit(1).collect()
+    val detected =
+      if (top.nonEmpty && top(0).getLong(1) > minAcfMilli * 1000L) top(0).getLong(0).toInt
+      else fallbackSeasonLen
+    seasonalDecompose(counted, keyCol, periodCol, valCol, detected)
+      .withColumn("season_len", lit(detected.toLong))
+  }
 }

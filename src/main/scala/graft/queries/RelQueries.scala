@@ -698,6 +698,28 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       graft.ops.Anomaly.seasonalDecompose(hourly, "event_type", "p", "n", seasonLen = 24)
     },
+    // the ACF→decompose composition, auto-tuned: a planted hour-of-day
+    // sawtooth (count + (hour%24)*5 — the deterministic cycle fixture)
+    // peaks the cross-key ACF score at lag 24 at every sf, so the
+    // detector picks 24 and feeds the decomposition; season_len rides in
+    // the hash-checked output, so a mis-detection cannot hide
+    "events_seasonal_auto" -> { (s, dir) =>
+      // positional index (row_number over calendar hours) rather than the
+      // raw hour: autocorrMilli lags by POSITION, so the planted cycle
+      // must ride the gap-free index — which is also seasonalDecompose's
+      // gap-filled input contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy("p0")
+      val hourly = events(s, dir)
+        .filter(col("ts_us").isNotNull)
+        .groupBy(expr("ts_us div 3600000000").cast("long").as("p0"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .withColumn("p", row_number().over(w).cast("long") - 1)
+        .select(col("event_type"), col("p"), (col("c") + (col("p") % 24) * 5).as("n"))
+      graft.ops.Anomaly.seasonalAuto(
+        hourly, "event_type", "p", "n", maxLag = 36, minAcfMilli = 300L, fallbackSeasonLen = 7)
+    },
     // categorical drift between the same even/odd cohorts: per event_type
     // the exact-integral chi-square term (which category drifted); the
     // statistic is the consumer's sum
@@ -2191,6 +2213,71 @@ object RelQueries {
         |       se.seasonal AS seasonal_milli,
         |       CAST(tr.xm - tr.trend - se.seasonal AS BIGINT) AS residual_milli
         |FROM tr LEFT JOIN se ON se.k = tr.k AND se.ph = tr.p % 24""".stripMargin,
+    // the ACF detector (lags 2..36, integer micro mean across keys,
+    // argmax smaller-lag-on-ties) picks 24 from the planted sawtooth;
+    // the decomposition mirrors events_seasonal over the planted series
+    // with the detected length riding along
+    "events_seasonal_auto" -> {
+      val lags = 2 to 36
+      val lagCols = lags.map(k => s"LAG(x, $k) OVER w AS l$k").mkString(", ")
+      val unions = lags
+        .map(k =>
+          s"SELECT k, CAST($k AS BIGINT) AS lag, x, l$k AS y FROM l WHERE l$k IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH c0 AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS p0, event_type AS k,
+         |         CAST(COUNT(*) AS BIGINT) AS cnt0
+         |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |rn AS (
+         |  SELECT k, CAST(ROW_NUMBER() OVER (PARTITION BY k ORDER BY p0) - 1 AS BIGINT) AS p,
+         |         cnt0
+         |  FROM c0),
+         |srs AS (
+         |  SELECT k, p, (cnt0 + (p % 24) * 5) * 1000 AS x
+         |  FROM rn),
+         |l AS (
+         |  SELECT k, x, $lagCols
+         |  FROM srs WHERE k IS NOT NULL WINDOW w AS (PARTITION BY k ORDER BY p)),
+         |pr AS (
+         |  $unions),
+         |a AS (
+         |  SELECT k, lag, CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |         SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |         SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM pr GROUP BY 1, 2),
+         |r AS (
+         |  SELECT lag,
+         |         CAST(round(
+         |           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |           THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+         |                sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |                     CAST(n * syy - sy * sy AS DOUBLE))
+         |           END, 6) AS DOUBLE) AS acf_r
+         |  FROM a WHERE n >= 2),
+         |sc AS (
+         |  SELECT lag,
+         |         CAST(SUM(CAST(round(acf_r * 1000000, 0) AS HUGEINT)) // COUNT(*) AS BIGINT)
+         |           AS score
+         |  FROM r WHERE acf_r IS NOT NULL GROUP BY 1),
+         |det AS (SELECT CAST(lag AS BIGINT) AS sl FROM sc ORDER BY score DESC, lag LIMIT 1),
+         |b AS (SELECT k, p, x AS xm FROM srs),
+         |t AS (
+         |  SELECT k, p, xm, COUNT(*) OVER w AS cnt, SUM(xm) OVER w AS s
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY k ORDER BY p ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         |tr AS (SELECT k, p, xm, CASE WHEN cnt = 25 THEN s // cnt END AS trend FROM t),
+         |se AS (
+         |  SELECT k, p % 24 AS ph, CAST(SUM(xm - trend) // COUNT(*) AS BIGINT) AS seasonal
+         |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2)
+         |SELECT tr.k AS event_type, tr.p, CAST(tr.xm AS BIGINT) AS x_milli,
+         |       CAST(tr.trend AS BIGINT) AS trend_milli,
+         |       se.seasonal AS seasonal_milli,
+         |       CAST(tr.xm - tr.trend - se.seasonal AS BIGINT) AS residual_milli,
+         |       det.sl AS season_len
+         |FROM tr LEFT JOIN se ON se.k = tr.k AND se.ph = tr.p % 24
+         |CROSS JOIN det""".stripMargin
+    },
     // 2xm chi-square in the exact cross-product form: D = o_a*nb - na*o_b,
     // term = 1e6*D^2 // (na*nb*(o_a+o_b)) per category, HUGEINT throughout
     "stats_chisq_drift" ->

@@ -1368,6 +1368,28 @@ class RelationalSpec extends SparkSpec {
     assert(odd(0L) === None && odd(4L) === None, "edges stay honestly null at odd L")
   }
 
+  test("Anomaly.seasonalAuto: a planted 24-period cycle is auto-detected; flat series falls back") {
+    val s = spark
+    import s.implicits._
+    // two keys, 96 periods, a clean period-24 sawtooth (phase * 10 + a
+    // key-specific offset) — the ACF peaks hard at lag 24
+    val rows = (for {
+      k <- Seq("a", "b")
+      p <- 0L until 96L
+    } yield (k, p, ((p % 24) * 10 + (if (k == "a") 0 else 3)).toDouble)).toDF("g", "p", "v")
+    val got = graft.ops.Anomaly.seasonalAuto(rows, "g", "p", "v", maxLag = 36, fallbackSeasonLen = 7)
+    assert(got.select("season_len").distinct().head().getLong(0) === 24L,
+      "the planted 24-period cycle must be auto-detected")
+    // ...and the decomposition IS seasonalDecompose at the detected length
+    val want = graft.ops.Anomaly.seasonalDecompose(rows, "g", "p", "v", seasonLen = 24)
+    assert(got.drop("season_len").collect().toSet === want.collect().toSet)
+    // a flat (zero-variance) series has no defined ACF anywhere: the
+    // explicit fallback decides, never a noise-picked period
+    val flat = (0L until 40L).map(p => ("a", p, 5.0)).toDF("g", "p", "v")
+    val fb = graft.ops.Anomaly.seasonalAuto(flat, "g", "p", "v", maxLag = 10, fallbackSeasonLen = 5)
+    assert(fb.select("season_len").distinct().head().getLong(0) === 5L)
+  }
+
   test("Funnel.conversionLags: per-edge lags under greedy sequential semantics") {
     val s = spark
     import s.implicits._
