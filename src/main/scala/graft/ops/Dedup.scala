@@ -2364,6 +2364,47 @@ object Dedup {
       .distinct()
   }
 
+  /** The hot-block DROP report — [[blockingPairs]]' no-silent-caps
+    * companion: blocks above `maxBlock` are excluded from pairing up
+    * front (the canopy cap that keeps sum-of-block² bounded; a
+    * 10⁶-record "unknown" block would otherwise cost 10¹² candidates),
+    * and this face reports what that cap cost, per blocker — one row per
+    * blocker position with `n_blocks_dropped` and `n_records_affected`
+    * (memberships in dropped blocks; within one blocker each record has
+    * exactly one key, so records count once). A caller whose report
+    * shows a fat dropped block is being told the BLOCKING KEY is too
+    * coarse, not that the cap should rise.
+    *
+    * Scale shape: one map-side-combinable (blocker, key) count per
+    * blocker folded to 1 row — strictly cheaper than the pairing it
+    * audits; no joins, no pairs.
+    */
+  def blockingDropReport(
+      records: DataFrame,
+      idCol: String,
+      blockers: Seq[Column],
+      maxBlock: Long = 1000L): DataFrame = {
+    require(blockers.nonEmpty, "blockingDropReport needs at least one blocking key")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    blockers.zipWithIndex
+      .map { case (b, i) =>
+        records
+          .select(col(idCol).cast("long").as("id"), b.as("bk"))
+          .filter(col("bk").isNotNull)
+          .groupBy("bk")
+          .agg(count(lit(1)).as("__c"))
+          .agg(
+            count(when(col("__c") > maxBlock, lit(1))).cast("long").as("n_blocks_dropped"),
+            coalesce(sum(when(col("__c") > maxBlock, col("__c"))), lit(0L))
+              .cast("long").as("n_records_affected"))
+          .select(
+            lit(i.toLong).as("blocker"),
+            col("n_blocks_dropped"),
+            col("n_records_affected"))
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** Entity resolution end to end — the [[blockingPairs]] →
     * verify → connected-components composition as ONE face, so a caller
     * gets (id, entity_id) without hand-wiring the three stages: records
@@ -2383,17 +2424,30 @@ object Dedup {
     * equi-self-joins, sum-of-block² candidates, capped hot blocks), two
     * id-keyed joins pulling record structs onto the candidate-bounded
     * pair table for the verify, and the fixed-round CC — records never
-    * all-pairs join anywhere.
+    * all-pairs join anywhere. The cap's cost is never silent: read
+    * [[blockingDropReport]] with the same blockers for
+    * n_blocks_dropped / n_records_affected per blocker.
+    *
+    * `materialize` (default true) localCheckpoints the input once for
+    * its 4+ consumers (blocker self-joins, both verify sides, the id
+    * spine) — right when `records` is a computed frame whose lineage is
+    * expensive to re-run. At 100 TB OFF is usually right for a plain
+    * columnar scan: re-reading the source per consumer (with column
+    * pruning per use) beats duplicating the full record structs to
+    * executor-local disk before any blocking happens — the same trade
+    * the `fit: Option` pattern documents elsewhere. Output is identical
+    * either way (the spec pins it).
     */
   def resolveEntities(
       records: DataFrame,
       idCol: String,
       blockers: Seq[Column],
       verify: (Column, Column) => Column,
-      maxBlock: Long = 1000L): DataFrame = {
+      maxBlock: Long = 1000L,
+      materialize: Boolean = true): DataFrame = {
     // one snapshot feeds the blockers' self-joins, both verify sides, and
     // the final id spine
-    val recs = records.localCheckpoint()
+    val recs = if (materialize) records.localCheckpoint() else records
     val sided = recs.select(
       col(idCol).cast("long").as("__id"),
       struct(recs.columns.map(col): _*).as("__r"))

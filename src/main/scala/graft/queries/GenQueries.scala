@@ -297,6 +297,23 @@ object GenQueries {
           a.getField("nat") === b.getField("nat") &&
             abs(a.getField("cents") - b.getField("cents")) <= 2L)
     },
+    // the no-silent-caps report for ER blocking: per blocker, how many
+    // hot blocks the maxBlock canopy cap excluded and how many records
+    // sat in them — maxBlock=5 guarantees dropped nation blocks at every
+    // sf (25 nations over >=150 customers), while the fine cents grid
+    // stays mostly under the cap
+    "er_block_report" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val recs = c.select(
+        col("c_custkey").cast("long").as("id"),
+        col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
+      graft.ops.Dedup.blockingDropReport(
+        recs,
+        "id",
+        Seq(col("nat"), expr("cents div 100000")),
+        maxBlock = 5L)
+    },
     // SCD Type-2 apply over the customer dimension: closed history passes
     // through, no-op re-crawls collapse, real changes close the open
     // version and chain (two changes to %21 keys), %11 keys arrive brand
@@ -605,6 +622,27 @@ object GenQueries {
         |labels AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id)
         |SELECT recs.id, COALESCE(labels.ent, recs.id) AS entity_id
         |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
+    // per-blocker block-size histogram folded to dropped-block counts —
+    // the cap audit, exact integers throughout
+    "er_block_report" ->
+      """WITH recs AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat,
+        |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+        |  FROM customer),
+        |b0 AS (SELECT nat AS bk, CAST(COUNT(*) AS BIGINT) AS c FROM recs
+        |       WHERE nat IS NOT NULL GROUP BY 1),
+        |b1 AS (SELECT cents // 100000 AS bk, CAST(COUNT(*) AS BIGINT) AS c FROM recs
+        |       WHERE cents IS NOT NULL GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS blocker,
+        |       CAST(COUNT(CASE WHEN c > 5 THEN 1 END) AS BIGINT) AS n_blocks_dropped,
+        |       CAST(COALESCE(SUM(CASE WHEN c > 5 THEN c END), 0) AS BIGINT)
+        |         AS n_records_affected
+        |FROM b0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |       CAST(COUNT(CASE WHEN c > 5 THEN 1 END) AS BIGINT),
+        |       CAST(COALESCE(SUM(CASE WHEN c > 5 THEN c END), 0) AS BIGINT)
+        |FROM b1""".stripMargin,
     // mirrors Relational.scd2Apply: the open version + the key's changes
     // form one (ts, src, attrs)-ordered timeline, no-op entries collapse
     // via null-safe per-field compare (rn=1 mirrors Spark's lag-null

@@ -1465,6 +1465,44 @@ class RelationalSpec extends SparkSpec {
     assert(got(5L) === 5L, "different blocking key -> own entity")
     assert(got(6L) === 6L, "no candidate at all -> own entity")
     assert(got(7L) === 7L, "blocked but verify-rejected -> own entity")
+    // materialize=false (the 100 TB plain-scan path): identical output
+    val unmaterialized = graft.ops.Dedup.resolveEntities(
+      recs,
+      "id",
+      Seq(
+        struct(col("nat"), expr("cents div 10").as("g")),
+        struct(col("nat"), expr("(cents + 5) div 10").as("g"))),
+      (a, b) =>
+        a.getField("nat") === b.getField("nat") &&
+          abs(a.getField("cents") - b.getField("cents")) <= 2L,
+      materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unmaterialized === got, "the materialize knob must not change the resolution")
+  }
+
+  test("Dedup.blockingDropReport: over-cap blocks and their records counted per blocker; nothing dropped reads zero") {
+    val s = spark
+    import s.implicits._
+    // blocker 0 (v div 10): cell 4 holds 11 records (over maxBlock=10,
+    // dropped), cell 1 holds 2 (kept); blocker 1 (constant key): one
+    // 13-record block, dropped
+    val recs = ((10L to 20L).map(i => (i, Some(42L))) ++ Seq((1L, Some(11L)), (2L, Some(12L))))
+      .toDF("id", "v")
+    val got = graft.ops.Dedup.blockingDropReport(
+      recs, "id", Seq(expr("v div 10"), lit(0L)), maxBlock = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) === ((1L, 11L)), s"one over-cap cell with 11 records: $got")
+    assert(got(1L) === ((1L, 13L)), "the constant blocker drops everything as one block")
+    // a generous cap drops nothing: zeros, not missing rows
+    val none = graft.ops.Dedup.blockingDropReport(
+      recs, "id", Seq(expr("v div 10")), maxBlock = 1000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(none(0L) === ((0L, 0L)))
+    // ...and the report's cap semantics match blockingPairs' exclusion:
+    // the dropped 11-record block generates no pairs
+    assert(graft.ops.Dedup.blockingPairs(
+      recs, "id", Seq(expr("v div 10")), maxBlock = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
   }
 
   test("Stats.corrMatrixMilli: hand correlations, per-pair null masks, zero-variance null") {
