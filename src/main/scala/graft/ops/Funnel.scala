@@ -285,4 +285,64 @@ object Funnel {
         col("__ft.ty").as("first_touch_type"),
         col("__ft.t").as("first_touch_ts"))
   }
+
+  /** MULTI-touch attribution with rank-linear recency decay — the credit
+    * model between [[attribution]]'s two extremes (first/last give one
+    * touch everything): every touch inside the lookback window shares
+    * the conversion's credit, weighted by recency RANK — with m touches,
+    * the most recent gets m shares, the oldest 1, so
+    * `credit_ppm = 10⁶·2·(m − rank + 1) div (m·(m+1))` (shares sum to
+    * m(m+1)/2 — exact integers, no float, no overflow however long the
+    * window). One output row per (user, conversion, touch) with the
+    * credit; summing credit_ppm per touch type is the channel report.
+    * Same tie rule as [[attribution]]: same-timestamp touches collapse
+    * to one row first (max type), so ranks are total. A conversion with
+    * NO touch in the window emits nothing here — the untouched-conversion
+    * share is [[attribution]]'s null-touch row.
+    *
+    * Scale shape: one user-keyed equi-join of collapsed touches to
+    * conversions filtered to the window — candidate-bounded by the
+    * OUTPUT grain (every surviving row is a reported credit), the
+    * [[graft.ops.Dedup.blockingPairs]] argument — plus one window over
+    * per-conversion touches.
+    */
+  def attributionCredit(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      windowUs: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(touchTypes.nonEmpty, "attributionCredit needs at least one touch type")
+    require(!touchTypes.contains(convType), s"conversion type $convType cannot also be a touch")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    import org.apache.spark.sql.expressions.Window
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("u"), col(tsCol).cast("long").as("ts"), col(typeCol).as("ty"))
+    val touches = base
+      .filter(col("ty").isin(touchTypes: _*))
+      .groupBy("u", "ts")
+      .agg(max("ty").as("touch"))
+    val convs = base
+      .filter(col("ty") === convType)
+      .select(col("u"), col("ts").as("conv_ts"))
+      .distinct()
+    val w = Window.partitionBy("u", "conv_ts")
+    val wr = w.orderBy(col("ts").desc)
+    touches
+      .join(convs, Seq("u"))
+      .filter(col("ts") >= col("conv_ts") - windowUs && col("ts") <= col("conv_ts"))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select(
+        col("u").as(userCol),
+        col("conv_ts"),
+        col("ts").as("touch_ts"),
+        col("touch").as("touch_type"),
+        col("rank"),
+        expr("CAST((1000000 * 2 * (m - rank + 1)) div (m * (m + 1)) AS BIGINT)")
+          .as("credit_ppm"))
+  }
 }

@@ -1093,6 +1093,74 @@ object Stats {
              |  END, 2) AS DOUBLE)""".stripMargin).as("df"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) per group — the NONPARAMETRIC
+    * companion of [[welchTTest]]: "does one cohort stochastically
+    * dominate the other", robust to outliers and any monotone transform
+    * of the value, the right default when means are meaningless (heavy
+    * tails, bounded scores). Everything rank-side is EXACT integer:
+    * values compact to per-(group, value) tie blocks, the doubled
+    * midrank of a block is `2F + c + 1` (F = strictly-smaller count,
+    * c = block size — doubling keeps tie midranks integral), cohort A's
+    * doubled rank sum `r2a = Σ ca·(2F + c + 1)` gives the doubled
+    * statistic `u2_a = r2a − n_a·(n_a+1)` (= 2·U_A, so `u2_a div 2` is
+    * the textbook U; A and B sum to `2·n_a·n_b`). The normal
+    * approximation's z uses the tie-corrected variance
+    * `Var = n_a·n_b·((n³−n) − Σ(t³−t)) / (12·n·(n−1))` — numerator and
+    * denominator are exact decimal(38,0) integers, and the one float
+    * conversion `z = (u2_a − n_a·n_b) / (2·sqrt(vn / vd))` is written
+    * with ONE parenthesization the oracle mirrors token-for-token
+    * (round 6). z is null unless both cohorts are non-empty and some
+    * variance survives the ties ("not testable" is not "no shift").
+    * Exact-arithmetic headroom: n³·n_a·n_b must fit decimal(38) —
+    * groups to ~10⁷ rows per cohort, the [[chiSquareDrift]] posture.
+    *
+    * Scale shape: one union + one (group, value) tie-block aggregate
+    * (map-side combinable), one distinct-value-grain window, one
+    * per-group fold — raw cohorts never join, the [[ksDrift]] shape.
+    */
+  def mannWhitneyU(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    def side(df: DataFrame, isA: Int) =
+      df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          round(col(valueCol).cast("double") * 1000, 0).cast("long").as("v"),
+          lit(isA.toLong).as("sa"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("v")
+    val vn = "(CAST(n_a AS DECIMAL(38,0)) * n_b) * " +
+      "((CAST(n_a + n_b AS DECIMAL(38,0)) + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties)"
+    val vd = "(CAST(12 AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b - 1))"
+    side(a, 1)
+      .unionByName(side(b, 0))
+      .groupBy("grp", "v")
+      .agg(
+        sum(col("sa")).cast("long").as("ca"),
+        sum(lit(1L) - col("sa")).cast("long").as("cb"),
+        count(lit(1)).cast("long").as("c"))
+      .withColumn("f", sum("c").over(w) - col("c"))
+      .groupBy("grp")
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum(expr("CAST(ca AS DECIMAL(38,0)) * (2 * f + c + 1)")).as("r2a"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("ties"))
+      .select(
+        col("grp").as(groupCol),
+        col("n_a"),
+        col("n_b"),
+        expr("CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1) AS BIGINT)").as("u2_a"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN n_a >= 1 AND n_b >= 1 AND $vn > 0
+             |  THEN CAST(r2a - CAST(n_a AS DECIMAL(38,0)) * (n_a + 1)
+             |            - CAST(n_a AS DECIMAL(38,0)) * n_b AS DOUBLE) /
+             |       (2 * sqrt(CAST($vn AS DOUBLE) / CAST($vd AS DOUBLE)))
+             |  END, 6) AS DOUBLE)""".stripMargin).as("z_stat"))
+  }
+
   /** Pearson chi-square contingency drift between two cohorts'
     * CATEGORICAL distributions — the discrete sibling of [[ksDrift]] (KS
     * needs an ordered value; event types, languages, label sets have

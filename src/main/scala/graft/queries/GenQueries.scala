@@ -314,6 +314,19 @@ object GenQueries {
         Seq(col("nat"), expr("cents div 100000")),
         maxBlock = 5L)
     },
+    // degree assortativity of the bipartite trade graph: hubs (busy
+    // customers) link suppliers of every degree, so r reads negative —
+    // the one-number structure readout next to clustering; exact decimal
+    // moments over the doubled edge list, corr-kernel float conversion
+    "graph_assortativity" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+          t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.ops.Graph.assortativityMilli(e)
+    },
     // SCD Type-2 apply over the customer dimension: closed history passes
     // through, no-op re-crawls collapse, real changes close the open
     // version and chain (two changes to %21 keys), %11 keys arrive brand
@@ -624,6 +637,39 @@ object GenQueries {
         |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
     // per-blocker block-size histogram folded to dropped-block counts —
     // the cap audit, exact integers throughout
+    // endpoint-degree Pearson over both orientations of the undirected
+    // trade edges — HUGEINT moments, corr-kernel conversion
+    "graph_assortativity" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey * 2 AS s0, l_suppkey * 2 + 1 AS d0
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |und AS (SELECT DISTINCT least(s0, d0) AS u, greatest(s0, d0) AS v
+        |        FROM d WHERE s0 <> d0),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+        |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |bp AS (
+        |  SELECT du.dg AS dx, dv.dg AS dy
+        |  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v
+        |  UNION ALL
+        |  SELECT dv.dg, du.dg
+        |  FROM und JOIN deg du ON du.node = und.u JOIN deg dv ON dv.node = und.v),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+        |         SUM(CAST(dx AS HUGEINT)) AS sx, SUM(CAST(dy AS HUGEINT)) AS sy,
+        |         SUM(CAST(dx AS HUGEINT) * dx) AS sxx, SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+        |         SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+        |  FROM bp)
+        |SELECT CAST(n2 // 2 AS BIGINT) AS n_edges,
+        |       CAST(round(
+        |         CASE WHEN n2 >= 2
+        |               AND (n2 * sxx - sx * sx) > 0
+        |               AND (n2 * syy - sy * sy) > 0
+        |         THEN CAST(n2 * sxy - sx * sy AS DOUBLE) /
+        |              sqrt(CAST(n2 * sxx - sx * sx AS DOUBLE) *
+        |                   CAST(n2 * syy - sy * sy AS DOUBLE))
+        |         END, 6) AS DOUBLE) AS r
+        |FROM m""".stripMargin,
     "er_block_report" ->
       """WITH recs AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat,

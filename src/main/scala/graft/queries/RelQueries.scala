@@ -647,6 +647,18 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // Mann-Whitney U over the same cohorts: the nonparametric rank-sum
+    // reading next to Welch's mean-shift — doubled midranks keep ties
+    // integral, tie-corrected variance in exact decimal, one
+    // token-mirrored float conversion for z
+    "stats_mannwhitney" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id").isNotNull)
+      Stats.mannWhitneyU(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type",
+        "value")
+    },
     // since-launch unique users per (type, day), EXACT via the first-seen
     // trick — one min-aggregate + a cumulative window over period rows,
     // never a dedup-to-date re-scan; the exact complement of the sliding
@@ -941,6 +953,16 @@ object RelQueries {
     // user — one range-framed window, organic conversions read null
     "events_attribution" -> { (s, dir) =>
       graft.ops.Funnel.attribution(
+        events(s, dir),
+        touchTypes = Seq("view", "click", "signup"),
+        convType = "purchase",
+        windowUs = 259200000000L)
+    },
+    // the MULTI-touch credit split over the same funnel: every touch in
+    // the 3-day window shares the conversion, rank-linear recency decay,
+    // exact-integer ppm credits per (conversion, touch) row
+    "events_attribution_credit" -> { (s, dir) =>
+      graft.ops.Funnel.attributionCredit(
         events(s, dir),
         touchTypes = Seq("view", "click", "signup"),
         convType = "purchase",
@@ -1987,6 +2009,31 @@ object RelQueries {
         |       lt.ty AS last_touch_type, CAST(lt.t AS BIGINT) AS last_touch_ts,
         |       ft.ty AS first_touch_type, CAST(ft.t AS BIGINT) AS first_touch_ts
         |FROM wnd WHERE isconv = 1""".stripMargin,
+    // per-(conversion, touch) join bounded by the output grain, recency
+    // rank by touch ts desc, exact-integer linear-decay shares
+    "events_attribution_credit" ->
+      """WITH b AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS ty
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |tch AS (
+        |  SELECT u, ts, MAX(ty) AS touch FROM b
+        |  WHERE ty IN ('view', 'click', 'signup') GROUP BY 1, 2),
+        |c AS (SELECT DISTINCT u, ts AS conv_ts FROM b WHERE ty = 'purchase'),
+        |j AS (
+        |  SELECT t.u, c.conv_ts, t.ts, t.touch
+        |  FROM tch t JOIN c ON c.u = t.u
+        |  WHERE t.ts >= c.conv_ts - 259200000000 AND t.ts <= c.conv_ts),
+        |r AS (
+        |  SELECT u, conv_ts, ts, touch,
+        |         CAST(COUNT(*) OVER (PARTITION BY u, conv_ts) AS BIGINT) AS m,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY u, conv_ts ORDER BY ts DESC)
+        |              AS BIGINT) AS rank
+        |  FROM j)
+        |SELECT u AS user_id, CAST(conv_ts AS BIGINT) AS conv_ts,
+        |       CAST(ts AS BIGINT) AS touch_ts, touch AS touch_type, rank,
+        |       CAST((1000000 * 2 * (m - rank + 1)) // (m * (m + 1)) AS BIGINT) AS credit_ppm
+        |FROM r""".stripMargin,
     // mirrors Stats.autocorrMilli: 30 LAG columns in one window, unpivoted
     // per lag, HUGEINT moment sums, one rounded double conversion per
     // (type, lag)
@@ -2157,6 +2204,44 @@ object RelQueries {
          |               (${v("b")} / n_b) * (${v("b")} / n_b) / (n_b - 1))
          |         END, 2) AS DOUBLE) AS df
          |FROM ma FULL OUTER JOIN mb ON mb.grp = ma.grp""".stripMargin
+    },
+    // tie-block doubled midranks (2F + c + 1), doubled rank sum, doubled
+    // U, tie-corrected variance — HUGEINT mirrors of the decimal moments
+    "stats_mannwhitney" -> {
+      val vn = "(CAST(n_a AS HUGEINT) * n_b) * " +
+        "((CAST(n_a + n_b AS HUGEINT) + 1) * (n_a + n_b) * (n_a + n_b - 1) - ties)"
+      val vd = "(CAST(12 AS HUGEINT) * (n_a + n_b) * (n_a + n_b - 1))"
+      s"""WITH ev AS (
+         |  SELECT event_type AS grp, user_id,
+         |         CAST(round(CAST(value AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL),
+         |h AS (
+         |  SELECT grp, v,
+         |         CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS ca,
+         |         CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS cb,
+         |         CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ev GROUP BY 1, 2),
+         |f AS (
+         |  SELECT grp, v, ca, cb, c,
+         |         SUM(c) OVER (PARTITION BY grp ORDER BY v) - c AS f
+         |  FROM h),
+         |g AS (
+         |  SELECT grp,
+         |         CAST(SUM(ca) AS BIGINT) AS n_a,
+         |         CAST(SUM(cb) AS BIGINT) AS n_b,
+         |         SUM(CAST(ca AS HUGEINT) * (2 * f + c + 1)) AS r2a,
+         |         SUM(CAST(c AS HUGEINT) * c * c - c) AS ties
+         |  FROM f GROUP BY 1)
+         |SELECT grp AS event_type, n_a, n_b,
+         |       CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1) AS BIGINT) AS u2_a,
+         |       CAST(round(
+         |         CASE WHEN n_a >= 1 AND n_b >= 1 AND $vn > 0
+         |         THEN CAST(r2a - CAST(n_a AS HUGEINT) * (n_a + 1)
+         |                   - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+         |              (2 * sqrt(CAST($vn AS DOUBLE) / CAST($vd AS DOUBLE)))
+         |         END, 6) AS DOUBLE) AS z_stat
+         |FROM g""".stripMargin
     },
     "stats_ks_drift" ->
       """WITH va AS (

@@ -242,4 +242,20 @@ class GraphSpec extends SparkSpec {
     val uncapped = Graph.commonNeighborRecs(star, k = 3, maxMiddleDeg = 64L)
     assert(uncapped.filter(org.apache.spark.sql.functions.col("node") === 1L).count() === 3L)
   }
+
+  test("assortativityMilli: star reads exactly -1; regular cycle reads null; n_edges undirected") {
+    // star: hub degree 3, leaves degree 1 -> every edge pairs (3,1):
+    // perfectly disassortative, r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.assortativityMilli(star).head()
+    assert(got.getLong(0) === 3L)
+    assert(got.getDouble(1) === -1.0, got.toString)
+    // 4-cycle: every degree is 2 -> zero variance, null not NaN
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = Graph.assortativityMilli(cycle).head()
+    assert(c.getLong(0) === 4L && c.isNullAt(1))
+    // duplicate + reversed edges collapse before degrees are counted
+    val dup = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    assert(Graph.assortativityMilli(dup).head().getDouble(1) === -1.0)
+  }
 }

@@ -1294,6 +1294,31 @@ class RelationalSpec extends SparkSpec {
     assert(got((3L, 7L)) === ((None, None, None, None)))
   }
 
+  test("Funnel.attributionCredit: linear-decay shares sum to ~1e6, window cut, tie collapse, organic absent") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, 10L, "ad"), (1L, 20L, "email"), (1L, 22L, "push"), (1L, 25L, "purchase"),
+      (1L, 2L, "email"),                                        // outside the 15-unit window
+      (2L, 50L, "ad"), (2L, 50L, "push"), (2L, 50L, "purchase"), // tie collapses to one touch
+      (3L, 7L, "purchase"))                                      // organic: no rows at all
+      .toDF("user_id", "ts_us", "event_type")
+    val got = graft.ops.Funnel
+      .attributionCredit(ev, Seq("ad", "email", "push"), "purchase", windowUs = 15L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getString(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // m = 3 in conversion (1, 25): shares 3:2:1 of 6 -> 500000 / 333333 / 166666
+    assert(got((1L, 25L, 22L)) === (("push", 1L, 500000L)), got.toString)
+    assert(got((1L, 25L, 20L)) === (("email", 2L, 333333L)))
+    assert(got((1L, 25L, 10L)) === (("ad", 3L, 166666L)))
+    assert(!got.contains((1L, 25L, 2L)), "outside the window: no credit")
+    // same-instant touches collapse first: ONE full-credit row (m = 1)
+    assert(got((2L, 50L, 50L)) === (("push", 1L, 1000000L)))
+    assert(!got.exists(_._1._1 == 3L), "an untouched conversion emits nothing here")
+  }
+
   test("Stats.welchTTest: hand t/df, zero-variance null, one-sided group null") {
     val s = spark
     import s.implicits._
@@ -1313,6 +1338,30 @@ class RelationalSpec extends SparkSpec {
     assert(got("z") === ((2L, 2L, None, None)))
     // a group missing from one cohort: n_b = 0, never a fabricated t
     assert(got("only_a") === ((1L, 0L, None, None)))
+  }
+
+  test("Stats.mannWhitneyU: hand U with ties, all-tied null, one-sided group null") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("g", 0.001), ("g", 0.002), ("g", 0.003), ("z", 5.0), ("z", 5.0), ("only_a", 1.0))
+      .toDF("grp", "v")
+    val b = Seq(("g", 0.002), ("g", 0.004), ("z", 5.0), ("z", 5.0)).toDF("grp", "v")
+    val got = graft.ops.Stats.mannWhitneyU(a, b, "grp", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // g pooled milli {1,2,2,3,4}: midranks 1, 2.5, 2.5, 4, 5 ->
+    // R_A = 7.5, U_A = 1.5 -> u2_a = 3; ties = 2^3-2 = 6;
+    // Var = 3*2*((5^3-5) - 6) / (12*5*4) = 684/240 = 2.85;
+    // z = (3 - 6) / (2*sqrt(2.85))
+    val zg = BigDecimal(-3.0 / (2 * math.sqrt(684.0 / 240.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("g") === ((3L, 2L, 3L, Some(zg))), got.toString)
+    // every observation tied: tie correction kills the variance -> null
+    assert(got("z")._4 === None)
+    // a group missing from one cohort: n_b = 0, u2 = 0, never a fake z
+    assert(got("only_a") === ((1L, 0L, 0L, None)))
   }
 
   test("Stats.autocorrMilli: periodic series reads ±1 at its lags; constant series reads null") {
