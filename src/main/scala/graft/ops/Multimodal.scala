@@ -33,6 +33,9 @@ case class WavZc(doc_id: Long, n_samples: Long, zero_crossings: Long)
 
 case class WavFp(doc_id: Long, hash_hi: Long, hash_lo: Long)
 
+/** Per-clip audio-quality counters (exact integers over decoded samples). */
+case class WavQuality(doc_id: Long, n_samples: Long, n_clipped: Long, n_silent: Long, sum_s: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed batch-wise per partition.
   *
@@ -555,6 +558,53 @@ object Multimodal {
         col("n_samples"),
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 4).as("rms"),
         col("peak"))
+  }
+
+  /** Audio QUALITY audit of a media table — the gate a training-data
+    * pipeline runs before wasting feature-extraction on broken clips:
+    * per PCM16-mono clip, `clipped_ppm` (samples at or above `clipLevel`
+    * in magnitude — a recording driven past its converter reads near
+    * ±32767 for whole stretches), `silent_ppm` (at or below
+    * `silenceLevel` — dead air, disconnected mics), and `dc_milli`
+    * (1000·mean sample, trunc-div — a DC-offset clip wastes headroom and
+    * flags a broken recording chain). Every number is exact integer
+    * arithmetic over the decoded samples (no float anywhere), so the
+    * audit oracle-hashes; same RIFF walk and partition-parallel batch
+    * loop as [[decodeWav]].
+    */
+  def wavQuality(
+      media: DataFrame,
+      clipLevel: Int = 32440,
+      silenceLevel: Int = 327): DataFrame = {
+    require(
+      clipLevel > silenceLevel && clipLevel <= 32767 && silenceLevel >= 0,
+      s"need 0 <= silenceLevel < clipLevel <= 32767, got ($silenceLevel, $clipLevel)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    mediaPairs(media)
+      .mapPartitions(rows =>
+        rows.map { case (id, bytes) =>
+          parsePcm16(id, bytes) { (buf, dataOff, n) =>
+            var nc = 0L; var ns = 0L; var sum = 0L
+            var i = 0
+            while (i < n) {
+              val s = buf.getShort(dataOff + 2 * i).toLong
+              val a = math.abs(s)
+              if (a >= clipLevel) nc += 1
+              if (a <= silenceLevel) ns += 1
+              sum += s
+              i += 1
+            }
+            WavQuality(id, n.toLong, nc, ns, sum)
+          }
+        })
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("n_samples"),
+        expr("CAST((1000000 * n_clipped) div n_samples AS BIGINT)").as("clipped_ppm"),
+        expr("CAST((1000000 * n_silent) div n_samples AS BIGINT)").as("silent_ppm"),
+        expr("CAST((1000 * sum_s) div n_samples AS BIGINT)").as("dc_milli"))
   }
 
   // ---- persisted media fingerprint index (near-dup media at ingest) ----

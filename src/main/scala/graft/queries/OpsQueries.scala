@@ -678,6 +678,11 @@ object OpsQueries {
     "multimodal_decode_wav" -> { (s, dir) =>
       Multimodal.wavFeatures(wavMedia(s, dir))
     },
+    // the audio-quality gate: clipping / silence / DC-offset shares per
+    // clip, exact integer arithmetic over the decoded PCM16 samples
+    "multimodal_wav_quality" -> { (s, dir) =>
+      Multimodal.wavQuality(wavMedia(s, dir))
+    },
     "multimodal_ahash" -> { (s, dir) =>
       Multimodal.bmpAHashes(bmpMedia(s, dir))
     },
@@ -3584,6 +3589,21 @@ object OpsQueries {
         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
         |       round(sqrt(CAST(list_sum(list_transform(smp, v -> v*v)) AS DOUBLE) / n), 4) AS rms,
         |       CAST(list_max(list_transform(smp, v -> abs(v))) AS BIGINT) AS peak
+        |FROM s""".stripMargin,
+    // same analytic sample regeneration, quality counters folded to ppm
+    // shares and the trunc-div DC offset — all exact integers
+    "multimodal_wav_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n,
+        |         list_transform(range(0, 64 + doc_id % 64),
+        |                        i -> (doc_id*73 + i*179) % 65536 - 32768) AS smp
+        |  FROM documents)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST((1000000 * len(list_filter(smp, v -> abs(v) >= 32440))) // n AS BIGINT)
+        |         AS clipped_ppm,
+        |       CAST((1000000 * len(list_filter(smp, v -> abs(v) <= 327))) // n AS BIGINT)
+        |         AS silent_ppm,
+        |       CAST((1000 * list_sum(smp)) // n AS BIGINT) AS dc_milli
         |FROM s""".stripMargin,
     "events_session_window" ->
       """WITH ev AS (

@@ -52,6 +52,21 @@ class MultimodalSpec extends SparkSpec {
     assert(s2 == s.copy())
   }
 
+  test("wavQuality: hand clip/silence/DC counts over a built WAV; trunc-div DC on a negative mean") {
+    val s = spark
+    import s.implicits._
+    // 8 samples: 2 clipped (|v| >= 32440), 4 silent (|v| <= 327: 0, 100,
+    // -327, 300); sum = 32767 - 32440 + 0 + 100 - 327 - 500 + 300 - 560
+    // = -660 -> dc_milli = (1000 * -660) div 8 = -82500
+    val samples = Array[Short](32767, -32440, 0, 100, -327, -500, 300, -560)
+    val media = Seq((5L, MediaSynth.wav(samples), "wav")).toDF("doc_id", "media", "kind")
+    val got = Multimodal.wavQuality(media).head()
+    assert(got.getLong(0) === 5L && got.getLong(1) === 8L)
+    assert(got.getLong(2) === (1000000L * 2 / 8), "32767 and -32440 are clipped")
+    assert(got.getLong(3) === (1000000L * 4 / 8), "0, 100, -327, 300 are silent")
+    assert(got.getLong(4) === (1000L * -660 / 8), "trunc-div DC offset, negative mean")
+  }
+
   test("decodeWav rejects malformed chunk sizes instead of looping or overreading") {
     val bytes = MediaSynth.wav(Array[Short](1, 2, 3))
     // negative size: would make the chunk walk non-advancing
