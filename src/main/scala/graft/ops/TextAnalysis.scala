@@ -529,6 +529,81 @@ object TextAnalysis {
                   s.getField("w").cast("string"))))).as("vec_md5"))
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") in exact integers: candidate
+    * phrases are the maximal stopword-free token runs of a document
+    * (runs longer than `maxPhraseLen` dropped, the RAKE convention),
+    * each member word scores `wscore_micro = 10⁶·degree div freq` over
+    * the document's candidates (degree = Σ length of phrases containing
+    * it — co-occurrence reach; freq = its occurrences), and a phrase
+    * scores the sum of its members' scores — so multi-word technical
+    * terms outrank frequent single words. Identical phrases collapse
+    * with an occurrence count; top-`topK` per document by (score desc,
+    * phrase asc). The trunc-div per word is the deterministic
+    * integer reading of RAKE's deg/freq ratio — engine-portable where
+    * the float ratio is not.
+    *
+    * Scale shape: one posexplode (the `_outer` + generated-attribute
+    * filter probe rule), one running-sum window at TOKEN grain
+    * (per-document ordering — the same grain sessionization windows),
+    * then hash aggregates at phrase/word grain and one id-keyed join;
+    * no corpus-wide state, every stage map-side combinable.
+    */
+  def keyphrases(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      topK: Int = 5,
+      maxPhraseLen: Int = 4): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxPhraseLen >= 1, s"maxPhraseLen must be >= 1, got $maxPhraseLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        posexplode_outer(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isNotNull) // _outer + generated-attr filter: the explode probe rule
+      .withColumn("stop", col("tok").isin(Stopwords: _*).cast("long"))
+    // gaps-and-islands on the stopword markers: ph = stopwords seen so
+    // far, so each maximal stopword-free run is one candidate phrase
+    val seg = base
+      .withColumn("ph", sum("stop").over(Window.partitionBy("id").orderBy("pos")))
+      .filter(col("stop") === 0)
+    val phr = seg
+      .groupBy("id", "ph")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s.getField("tok"))
+          .as("wds"))
+      .filter(size(col("wds")) <= maxPhraseLen)
+      .localCheckpoint() // word-stat explode + the phrase-score join spine
+    val members = phr.select(
+      col("id"), col("ph"), size(col("wds")).cast("long").as("plen"), explode(col("wds")).as("wd"))
+    val wstats = members
+      .groupBy("id", "wd")
+      .agg(count(lit(1)).cast("long").as("freq"), sum("plen").cast("long").as("deg"))
+      .withColumn("wscore", expr("CAST((1000000 * deg) div freq AS BIGINT)"))
+    val pscores = members
+      .join(wstats.select("id", "wd", "wscore"), Seq("id", "wd"))
+      .groupBy("id", "ph")
+      .agg(sum("wscore").cast("long").as("score_micro"))
+    phr
+      .join(pscores, Seq("id", "ph"))
+      .groupBy(col("id"), array_join(col("wds"), " ").as("phrase"))
+      .agg(
+        max(size(col("wds"))).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_occurrences"),
+        max("score_micro").cast("long").as("score_micro"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy("id").orderBy(col("score_micro").desc, col("phrase").asc))
+          .cast("long"))
+      .filter(col("rank") <= topK)
+      .select(
+        col("id").as(idCol), col("phrase"), col("n_words"),
+        col("n_occurrences"), col("score_micro"), col("rank"))
+  }
+
   /** Bigram collocation mining: the corpus's top-k adjacent token pairs by
     * integer lift, `lift_milli = (1000 * N * c_xy) div (c_x * c_y)` — the
     * PMI ordering without the log, usable for tokenizer-merge candidates

@@ -582,6 +582,9 @@ object OpsQueries {
     "text_winnow" -> { (s, dir) => TextAnalysis.winnowFingerprints(docs(s, dir)) },
     "text_reuse_pairs" -> { (s, dir) => TextAnalysis.winnowReusePairs(docs(s, dir)) },
     "text_collocations" -> { (s, dir) => TextAnalysis.collocations(docs(s, dir)) },
+    // RAKE keyphrases: stopword-delimited candidate runs, integer
+    // degree-div-freq word scores, phrase = sum of members, top-5/doc
+    "text_keyphrases" -> { (s, dir) => TextAnalysis.keyphrases(docs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // BPE tokenizer induction: 3 learn rounds unrolled into the oracle
     // (pair-count aggregate → arg-max → ·-delimited replace, like the
@@ -1851,6 +1854,47 @@ object OpsQueries {
          |             list(CAST(bucket AS VARCHAR) || ':' || CAST(w AS VARCHAR) ORDER BY bucket),
          |             ',')) AS vec_md5
          |FROM w GROUP BY doc_id""".stripMargin,
+    // the RAKE chain unrolled: position-indexed tokens, running-sum
+    // stopword segmentation, per-doc word degree/freq, trunc-div scores
+    "text_keyphrases" ->
+      s"""WITH $tokCtes,
+         |base AS (
+         |  SELECT id, u.pos AS pos, u.tok AS tok,
+         |         CASE WHEN u.tok IN ($stopList) THEN 1 ELSE 0 END AS stop
+         |  FROM (
+         |    SELECT doc_id AS id,
+         |           unnest(list_transform(range(1, len(tk) + 1),
+         |                  j -> struct_pack(pos := j, tok := tk[j]))) AS u
+         |    FROM tks) t),
+         |seg AS (
+         |  SELECT * FROM (
+         |    SELECT id, pos, tok, stop,
+         |           SUM(stop) OVER (PARTITION BY id ORDER BY pos) AS ph
+         |    FROM base)
+         |  WHERE stop = 0),
+         |phr0 AS (SELECT id, ph, list(tok ORDER BY pos) AS wds FROM seg GROUP BY 1, 2),
+         |phr AS (SELECT * FROM phr0 WHERE len(wds) <= 4),
+         |mem AS (SELECT id, ph, CAST(len(wds) AS BIGINT) AS plen, unnest(wds) AS wd FROM phr),
+         |ws AS (
+         |  SELECT id, wd, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+         |  FROM mem GROUP BY 1, 2),
+         |wsc AS (SELECT id, wd, CAST((1000000 * deg) // freq AS BIGINT) AS wscore FROM ws),
+         |ps AS (
+         |  SELECT m.id, m.ph, CAST(SUM(w.wscore) AS BIGINT) AS score_micro
+         |  FROM mem m JOIN wsc w ON w.id = m.id AND w.wd = m.wd
+         |  GROUP BY 1, 2),
+         |coll AS (
+         |  SELECT p.id, array_to_string(p.wds, ' ') AS phrase,
+         |         CAST(MAX(len(p.wds)) AS BIGINT) AS n_words,
+         |         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |         CAST(MAX(s.score_micro) AS BIGINT) AS score_micro
+         |  FROM phr p JOIN ps s ON s.id = p.id AND s.ph = p.ph
+         |  GROUP BY 1, 2)
+         |SELECT id AS doc_id, phrase, n_words, n_occurrences, score_micro,
+         |       CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |        ORDER BY score_micro DESC, phrase) AS rank FROM coll)
+         |WHERE rank <= 5""".stripMargin,
     "text_collocations" ->
       s"""WITH $tokCtes,
          |pr0 AS (

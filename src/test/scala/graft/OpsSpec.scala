@@ -787,6 +787,32 @@ class OpsSpec extends SparkSpec {
         Dedup.keepBestRepresentatives(d, pairs, score).collect().map(_.getLong(0)).toSet)
   }
 
+  test("keyphrases: hand RAKE scores, dup-phrase collapse, over-long run dropped, singletons") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // phrases: [deep learning], [deep net] -> deep deg 4 freq 2,
+      // learning/net deg 2 freq 1 -> wscores all 2e6 -> both phrases 4e6
+      (1L, "deep learning of the deep net"),
+      // the same phrase twice collapses with n_occurrences = 2
+      (2L, "a deep net is a deep net"),
+      // a 5-token stopword-free run exceeds maxPhraseLen=4: dropped
+      // entirely; the singleton after 'the' survives
+      (3L, "alpha beta gamma delta epsilon the omega"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.keyphrases(docs, topK = 5, maxPhraseLen = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got((1L, "deep learning")) === ((2L, 1L, 4000000L, 1L)), got.toString)
+    assert(got((1L, "deep net")) === ((2L, 1L, 4000000L, 2L)), "tie breaks by phrase asc")
+    assert(got((2L, "deep net")) === ((2L, 2L, 4000000L, 1L)), "dup phrase collapses, scored once")
+    assert(got.keySet.filter(_._1 == 3L) === Set((3L, "omega")),
+      "the over-long run is dropped; the surviving singleton scores")
+    assert(got((3L, "omega")) === ((1L, 1L, 1000000L, 1L)))
+  }
+
   test("collocations: hand-computed integer lift, minCount prunes the tail") {
     val s = spark
     import s.implicits._
