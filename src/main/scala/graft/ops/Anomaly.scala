@@ -297,7 +297,11 @@ object Anomaly {
     require(
       minAcfMilli >= 0L && minAcfMilli <= 1000L,
       s"minAcfMilli is an ACF level in [0, 1000] milli, got $minAcfMilli")
-    val acf = graft.ops.Stats.autocorrMilli(counted, keyCol, periodCol, valCol, maxLag)
+    // the series feeds TWO full passes (the ACF decision and the
+    // decomposition): materialize its lineage once — it is (key, period)
+    // grain, so the checkpoint is orders below the fact table
+    val series = counted.localCheckpoint()
+    val acf = graft.ops.Stats.autocorrMilli(series, keyCol, periodCol, valCol, maxLag)
     val scored = acf
       .filter(col("lag") >= 2 && col("acf_r").isNotNull)
       .select(col("lag"), round(col("acf_r") * 1000000, 0).cast("long").as("am"))
@@ -308,7 +312,7 @@ object Anomaly {
     val detected =
       if (top.nonEmpty && top(0).getLong(1) > minAcfMilli * 1000L) top(0).getLong(0).toInt
       else fallbackSeasonLen
-    seasonalDecompose(counted, keyCol, periodCol, valCol, detected)
+    seasonalDecompose(series, keyCol, periodCol, valCol, detected)
       .withColumn("season_len", lit(detected.toLong))
   }
 }

@@ -1695,6 +1695,7 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
+    Similarity.requireNotInflight(spark, path) // crashed rebuild: refuse, never land
     requireSetJoinParams(spark, path, thresholdMilli, n)
     val ordered = setJoinOrdered(
       setJoinShingles(batch, n, textCol, idCol),
@@ -1817,6 +1818,7 @@ object Dedup {
       Similarity.deleteDir(spark, s"$path/df")
       Similarity.deleteDir(spark, s"$path/params")
       Similarity.clearTombstones(spark, path)
+      Similarity.clearInflight(spark, path) // fresh stream resolves a crashed rebuild
       if (batch.isEmpty) return
       setJoinShingles(batch, n, textCol, idCol)
         .groupBy("tok")
@@ -1827,6 +1829,10 @@ object Dedup {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
     } else {
+      // a crashed rebuild's mixed docs/prefix/df must not be probed
+      // against and LANDED (pairs written here are permanent) — the same
+      // refusal probeSetJoinIndex applies
+      Similarity.requireNotInflight(spark, path)
       requireSetJoinParams(spark, path, thresholdMilli, n)
       if (batch.isEmpty) return // nothing to probe or land
     }
@@ -2370,8 +2376,10 @@ object Dedup {
     * 10⁶-record "unknown" block would otherwise cost 10¹² candidates),
     * and this face reports what that cap cost, per blocker — one row per
     * blocker position with `n_blocks_dropped` and `n_records_affected`
-    * (memberships in dropped blocks; within one blocker each record has
-    * exactly one key, so records count once). A caller whose report
+    * (ROW memberships in dropped blocks — within one blocker each input
+    * row carries one key, so a row counts once per blocker; feed
+    * id-distinct records, as [[blockingPairs]] effectively does, for a
+    * per-record reading). A caller whose report
     * shows a fat dropped block is being told the BLOCKING KEY is too
     * coarse, not that the cap should rise.
     *
@@ -2381,7 +2389,6 @@ object Dedup {
     */
   def blockingDropReport(
       records: DataFrame,
-      idCol: String,
       blockers: Seq[Column],
       maxBlock: Long = 1000L): DataFrame = {
     require(blockers.nonEmpty, "blockingDropReport needs at least one blocking key")
@@ -2389,7 +2396,7 @@ object Dedup {
     blockers.zipWithIndex
       .map { case (b, i) =>
         records
-          .select(col(idCol).cast("long").as("id"), b.as("bk"))
+          .select(b.as("bk"))
           .filter(col("bk").isNotNull)
           .groupBy("bk")
           .agg(count(lit(1)).as("__c"))

@@ -1149,6 +1149,7 @@ object Similarity {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    requireNotInflight(batch.sparkSession, path) // crashed retrain: refuse, never land
     requireIvfDim(batch, path, vecCol)
     val cents = batch.sparkSession.read.parquet(s"$path/centroids")
     flatCells(batch, cents, idCol, vecCol)
@@ -1237,6 +1238,9 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$path/params")
     } else {
       if (n == 0) return // nothing to assign
+      // a crashed retrain's mixed cells/centroids must not be assigned
+      // against and LANDED — the same refusal probeIvfIndex applies
+      requireNotInflight(spark, path)
       require(nulls == 0, s"IVF ingest batch $batchId carries $nulls null '$vecCol' vectors (of $n rows)")
       require(
         dmin == dmax,
@@ -1520,6 +1524,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    requireNotInflight(spark, path) // crashed retrain: refuse, never land
     requireIvfPqParams(spark, path, m, ksub, dim)
     requireIvfPqDim(batch, path, vecCol)
     encodeToCells(
@@ -1634,6 +1639,7 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$path/params")
     } else {
       if (n == 0) return // nothing to encode
+      requireNotInflight(spark, path) // crashed retrain: refuse, never land
       requireCleanBatch()
       requireIvfPqParams(spark, path, m, ksub, dim)
     }
@@ -1801,6 +1807,7 @@ object Similarity {
       nLive == nIds,
       s"retrainPqIndex: corpus carries duplicate rows for live ids ($nLive rows, $nIds ids) — " +
         "a duplicate would encode twice")
+    requirePqDim(live, dim, "embedding", "retrainPqIndex")
     val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
     val enc = pqEncode(live, cb, m, dim / m, "vec_id", "embedding").localCheckpoint()
     val codes = enc.select("vec_id", "subspace", "code")
@@ -1885,6 +1892,9 @@ object Similarity {
       writePqErrBase(spark, path, pqEncode(live, cb, m, dim / m, "vec_id", "embedding"), m)
     }
     val baseErr = spark.read.parquet(s"$path/errbase").select("err_q").head().getLong(0)
+    // a wrong-dim batch would zip-truncate to a DEFLATED error and mask
+    // the very drift this face measures — fail fast instead
+    requirePqDim(batch, dim, vecCol, "retrainPqIfDrifted")
     // 1-row bounded collect (the decision itself), never data-volume
     val b = pqErrAgg(pqEncode(batch, cb, m, dim / m, idCol, vecCol), m).head()
     val (batchErr, nBatch) = (b.getLong(0), b.getLong(1))
@@ -2769,6 +2779,7 @@ object Similarity {
     val subDim = dim / m
     deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
     clearInflight(spark, path)
+    requirePqDim(corpus, dim, vecCol, "writePqIndex")
     val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     val enc = pqEncode(corpus, cb, m, subDim, idCol, vecCol).localCheckpoint()
@@ -2827,9 +2838,11 @@ object Similarity {
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$path/params")
     } else {
+      requireNotInflight(spark, path) // crashed retrain: refuse, never land
       requirePqParams(spark, path, m, ksub, dim)
       if (batch.isEmpty) return // nothing to encode
     }
+    requirePqDim(batch, dim, vecCol, s"ingestPqBatch (batch $batchId)")
     val cb = spark.read.parquet(s"$path/codebook")
     val encRaw = pqEncode(batch, cb, m, subDim, idCol, vecCol)
     // only the training claim needs the encode twice (codes + baseline);
@@ -2841,6 +2854,26 @@ object Similarity {
     // the training batch IS the codebook's training set: its encode is
     // the drift baseline (frozen across later appends, like writePqIndex)
     if (trainedHere) writePqErrBase(spark, path, enc, m)
+  }
+
+  /** Fail fast when a PQ caller's vector set is null-bearing, mixed-width,
+    * or differs from the declared `dim` — [[requireIvfDim]]'s flat-PQ twin.
+    * Without it a wrong-dim batch silently zip-truncates inside the
+    * subspace distance loop and every qdist DEFLATES (empty subvectors
+    * score 0), which would mask exactly the drift
+    * [[retrainPqIfDrifted]] exists to catch. Empty sets pass (no
+    * dimension to check; downstream work on zero rows is a no-op).
+    */
+  private def requirePqDim(df: DataFrame, dim: Int, vecCol: String, what: String): Unit = {
+    val (n, nulls, dmin, dmax) = vecDimProfile(df, vecCol)
+    if (n == 0) return
+    require(nulls == 0, s"$what passed $nulls null vectors in '$vecCol' (of $n rows)")
+    require(
+      dmin == dmax,
+      s"$what passed mixed vector widths in '$vecCol': ${dmin.get}..${dmax.get}")
+    require(
+      dmin.contains(dim),
+      s"$what: PQ codebook is $dim-dim, caller passed ${dmin.get}-dim vectors")
   }
 
   private def requirePqParams(
@@ -2868,7 +2901,9 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
+    requireNotInflight(batch.sparkSession, path) // crashed retrain: refuse, never land
     requirePqParams(batch.sparkSession, path, m, ksub, dim)
+    requirePqDim(batch, dim, vecCol, "appendPqIndex")
     val cb = batch.sparkSession.read.parquet(s"$path/codebook")
     pqEncode(batch, cb, m, dim / m, idCol, vecCol)
       .select("vec_id", "subspace", "code")

@@ -310,7 +310,6 @@ object GenQueries {
         expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"))
       graft.ops.Dedup.blockingDropReport(
         recs,
-        "id",
         Seq(col("nat"), expr("cents div 100000")),
         maxBlock = 5L)
     },

@@ -2345,7 +2345,9 @@ object RelQueries {
          |         CAST(SUM(CAST(round(acf_r * 1000000, 0) AS HUGEINT)) // COUNT(*) AS BIGINT)
          |           AS score
          |  FROM r WHERE acf_r IS NOT NULL GROUP BY 1),
-         |det AS (SELECT CAST(lag AS BIGINT) AS sl FROM sc ORDER BY score DESC, lag LIMIT 1),
+         |det AS (
+         |  SELECT CAST(CASE WHEN score > 300000 THEN lag ELSE 7 END AS BIGINT) AS sl
+         |  FROM sc ORDER BY score DESC, lag LIMIT 1),
          |b AS (SELECT k, p, x AS xm FROM srs),
          |t AS (
          |  SELECT k, p, xm, COUNT(*) OVER w AS cnt, SUM(xm) OVER w AS s

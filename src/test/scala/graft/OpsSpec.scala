@@ -369,6 +369,14 @@ class OpsSpec extends SparkSpec {
     Seq("retrainPqIndex").toDF("op").write.parquet(s"$pq/inflight")
     Similarity.writePqIndex(e, pq)
     assert(Similarity.probePqIndex(spark, pq, q, k = 3).collect().toSet === pqHealthy)
+    // probe-and-land faces refuse too: appends and steady-state stream
+    // batches must never encode against a crashed store's mixed dirs
+    Seq("retrainPqIndex").toDF("op").write.parquet(s"$pq/inflight")
+    intercept[IllegalStateException] { Similarity.appendPqIndex(q, pq) }
+    intercept[IllegalStateException] { Similarity.ingestPqBatch(q, pq, 3L) }
+    // a fresh stream's batch-0 claim resolves the incident
+    Similarity.ingestPqBatch(e, pq, 0L)
+    Similarity.probePqIndex(spark, pq, q, k = 3).count()
   }
 
   test("retrainPqIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {

@@ -1538,13 +1538,13 @@ class RelationalSpec extends SparkSpec {
     val recs = ((10L to 20L).map(i => (i, Some(42L))) ++ Seq((1L, Some(11L)), (2L, Some(12L))))
       .toDF("id", "v")
     val got = graft.ops.Dedup.blockingDropReport(
-      recs, "id", Seq(expr("v div 10"), lit(0L)), maxBlock = 10L)
+      recs, Seq(expr("v div 10"), lit(0L)), maxBlock = 10L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got(0L) === ((1L, 11L)), s"one over-cap cell with 11 records: $got")
     assert(got(1L) === ((1L, 13L)), "the constant blocker drops everything as one block")
     // a generous cap drops nothing: zeros, not missing rows
     val none = graft.ops.Dedup.blockingDropReport(
-      recs, "id", Seq(expr("v div 10")), maxBlock = 1000L)
+      recs, Seq(expr("v div 10")), maxBlock = 1000L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(none(0L) === ((0L, 0L)))
     // ...and the report's cap semantics match blockingPairs' exclusion:

@@ -378,6 +378,18 @@ class SetJoinSpec extends SparkSpec {
     Seq("rebuildSetJoinIndex").toDF("op").write.parquet(s"$dir/inflight")
     Dedup.writeSetJoinIndex(uniq, dir, thresholdMilli = 800)
     assert(probe(dir) === probe(clean))
+    // steady-state stream batches and appends refuse too (probe-AND-LAND
+    // faces — landing pairs against mixed dirs would be permanent)...
+    Seq("rebuildSetJoinIndex").toDF("op").write.parquet(s"$dir/inflight")
+    intercept[IllegalStateException] {
+      Dedup.ingestSetJoinBatch(batch, dir, 5L, thresholdMilli = 800)
+    }
+    intercept[IllegalStateException] {
+      Dedup.appendSetJoinIndex(batch, dir, thresholdMilli = 800)
+    }
+    // ...while a FRESH stream's batch-0 wipe resolves the incident
+    Dedup.ingestSetJoinBatch(uniq, dir, 0L, thresholdMilli = 800)
+    Dedup.probeSetJoinIndex(spark, dir, batch, thresholdMilli = 800).count()
   }
 
   test("exactDupSurvivors: history pairs drop, in-batch min id survives, no kept-kept pair") {
