@@ -585,6 +585,9 @@ object OpsQueries {
     // RAKE keyphrases: stopword-delimited candidate runs, integer
     // degree-div-freq word scores, phrase = sum of members, top-5/doc
     "text_keyphrases" -> { (s, dir) => TextAnalysis.keyphrases(docs(s, dir)) },
+    // Flesch reading-ease over the lined corpus (the one with sentence
+    // punctuation): exact integer milli, vowel-group syllables
+    "text_readability" -> { (s, dir) => TextAnalysis.readability(linedDocs(s, dir)) },
     "text_hash_vectors" -> { (s, dir) => TextAnalysis.hashingVectors(docs(s, dir)) },
     // BPE tokenizer induction: 3 learn rounds unrolled into the oracle
     // (pair-count aggregate → arg-max → ·-delimited replace, like the
@@ -1854,6 +1857,29 @@ object OpsQueries {
          |             list(CAST(bucket AS VARCHAR) || ':' || CAST(w AS VARCHAR) ORDER BY bucket),
          |             ',')) AS vec_md5
          |FROM w GROUP BY doc_id""".stripMargin,
+    // lined-corpus token/sentence/syllable counts folded to the Flesch
+    // milli formula — trunc division, vowel-group runs, min-1 clamps
+    "text_readability" ->
+      s"""WITH $tokCtes,
+         |$linedCte,
+         |r AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ltk,
+         |         CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT) AS s0
+         |  FROM lined),
+         |c AS (
+         |  SELECT doc_id,
+         |         CAST(len(ltk) AS BIGINT) AS n_words,
+         |         s0 AS n_sentences,
+         |         CAST(COALESCE(list_sum(list_transform(ltk,
+         |                t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1))), 0)
+         |              AS BIGINT) AS n_syllables
+         |  FROM r)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |       CAST(206835 - (1015 * n_words) // greatest(n_sentences, 1)
+         |            - (84600 * n_syllables) // greatest(n_words, 1) AS BIGINT)
+         |         AS flesch_milli
+         |FROM c""".stripMargin,
     // the RAKE chain unrolled: position-indexed tokens, running-sum
     // stopword segmentation, per-doc word degree/freq, trunc-div scores
     "text_keyphrases" ->

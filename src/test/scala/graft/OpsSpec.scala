@@ -795,6 +795,30 @@ class OpsSpec extends SparkSpec {
         Dedup.keepBestRepresentatives(d, pairs, score).collect().map(_.getLong(0)).toSet)
   }
 
+  test("readability: hand Flesch counts, min-1 clamps, vowel-group syllables") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // 4 words, 2 sentence runs ('.' and '!?'), syllables: the=1,
+      // cat=1, sat=1, rhythm=1 (y) -> 4
+      (1L, "The cat sat. Rhythm!?"),
+      // no terminator: sentences clamps to 1; "audio" = au+io = 2 groups
+      (2L, "audio video"),
+      // empty text: all counts 0, flesch = 206835 under the clamps
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.readability(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // flesch = 206835 - (1015*4) div 2 - (84600*4) div 4 = 206835 - 2030 - 84600
+    assert(got(1L) === ((4L, 2L, 4L, 206835L - 2030L - 84600L)), got.toString)
+    // 2 words, 1 (clamped) sentence, audio=2 + video=2 = 4 syllables:
+    // 206835 - 2030 - (84600*4) div 2
+    assert(got(2L) === ((2L, 0L, 4L, 206835L - 2030L - 169200L)))
+    assert(got(3L) === ((0L, 0L, 0L, 206835L)))
+  }
+
   test("keyphrases: hand RAKE scores, dup-phrase collapse, over-long run dropped, singletons") {
     val s = spark
     import s.implicits._
