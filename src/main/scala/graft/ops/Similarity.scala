@@ -1452,8 +1452,17 @@ object Similarity {
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cb = pqCodebook(corpus, m, dim / m, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    encodeToCells(corpus, cents, cb, m, dim / m, idCol, vecCol)
+    // one encode pass (localCheckpoint) feeds the cell-routed codes AND
+    // the drift baseline — the writePqIndex discipline
+    val enc = pqEncode(corpus, cb, m, dim / m, idCol, vecCol).localCheckpoint()
+    enc
+      .join(
+        flatCells(corpus, cents, idCol, vecCol)
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select("vec_id", "subspace", "code", "centroid_id")
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    writePqErrBase(spark, path, enc, m)
     Seq(("ivfpq", nCentroids, iters, m, ksub, dim))
       .toDF("kind", "n_centroids", "iters", "m", "ksub", "dim")
       .coalesce(1)
@@ -1617,7 +1626,8 @@ object Similarity {
         dmin.contains(dim),
         s"IVF-PQ ingest batch $batchId carries ${dmin.get}-dim vectors, caller declared dim=$dim")
     }
-    if (batchId == 0L || !storeExists(spark, s"$path/params")) {
+    val trainedHere = batchId == 0L || !storeExists(spark, s"$path/params")
+    if (trainedHere) {
       // Wipe BEFORE the empty check (the StoreLifecycle rule); both
       // quantizers need content to train, so they defer to the first
       // non-empty batch — params come down too, so that batch re-claims.
@@ -1626,6 +1636,7 @@ object Similarity {
       clearInflight(spark, path)
       deleteDir(spark, s"$path/centroids")
       deleteDir(spark, s"$path/codebook")
+      deleteDir(spark, s"$path/errbase")
       deleteDir(spark, s"$path/params")
       if (n == 0) return
       requireCleanBatch()
@@ -1643,14 +1654,22 @@ object Similarity {
       requireCleanBatch()
       requireIvfPqParams(spark, path, m, ksub, dim)
     }
-    encodeToCells(
-      batch,
-      spark.read.parquet(s"$path/centroids"),
-      spark.read.parquet(s"$path/codebook"),
-      m, dim / m, idCol, vecCol)
+    val cbStored = spark.read.parquet(s"$path/codebook")
+    val encRaw = pqEncode(batch, cbStored, m, dim / m, idCol, vecCol)
+    // only the training claim needs the encode twice (codes + baseline)
+    val enc = if (trainedHere) encRaw.localCheckpoint() else encRaw
+    enc
+      .join(
+        flatCells(batch, spark.read.parquet(s"$path/centroids"), idCol, vecCol)
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select("vec_id", "subspace", "code", "centroid_id")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("centroid_id")
       .parquet(s"$path/codes/batch_id=$batchId")
+    // the training batch IS the codebook's training set: its encode is
+    // the drift baseline (frozen across later appends)
+    if (trainedHere) writePqErrBase(spark, path, enc, m)
   }
 
   /** ACT on the drift signal: rebuild a persisted IVF index's quantizer
@@ -1866,10 +1885,48 @@ object Similarity {
       corpus: DataFrame,
       thresholdPpm: Long = 1500000L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    codebookDriftDecision(spark, path, batch, corpus, thresholdPpm, idCol, vecCol,
+      "retrainPqIfDrifted")(retrainPqIndex(spark, path, corpus, idCol, vecCol))
+
+  /** [[retrainPqIfDrifted]] for the COMPOSED IVF-PQ store — the same
+    * codebook-drift statistic over the same global codebook (the coarse
+    * quantizer plays no part in reconstruction error: qdist is
+    * subspace-local), acting through [[retrainIvfPqIndex]], which
+    * retrains BOTH quantizers — a batch whose codebook no longer fits
+    * has usually outgrown the cell layout too. Same contract end to
+    * end: `errbase` ruler frozen across appends, idle-batch "not
+    * measured" no-op, pre-baseline backfill, byte-for-byte no-op below
+    * threshold, store ≡ clean [[writeIvfPqIndex]] above it.
+    */
+  def retrainIvfPqIfDrifted(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      thresholdPpm: Long = 1500000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    codebookDriftDecision(spark, path, batch, corpus, thresholdPpm, idCol, vecCol,
+      "retrainIvfPqIfDrifted")(retrainIvfPqIndex(spark, path, corpus, idCol, vecCol))
+
+  /** The ONE codebook-drift decision kernel behind [[retrainPqIfDrifted]]
+    * and [[retrainIvfPqIfDrifted]] (both store kinds carry `codebook`,
+    * `codes`, `errbase`, and (m, ksub, dim) params — only the ACTION
+    * differs): measure, compare, act, report.
+    */
+  private def codebookDriftDecision(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      corpus: DataFrame,
+      thresholdPpm: Long,
+      idCol: String,
+      vecCol: String,
+      what: String)(retrain: => Unit): DataFrame = {
     require(
       thresholdPpm >= 1000000L,
-      s"retrainPqIfDrifted: inflation parity is 10^6 ppm; a threshold below it " +
+      s"$what: inflation parity is 10^6 ppm; a threshold below it " +
         s"($thresholdPpm) would retrain on noise")
     import spark.implicits._
     // an idle micro-batch carries no drift signal: report "not measured"
@@ -1894,13 +1951,13 @@ object Similarity {
     val baseErr = spark.read.parquet(s"$path/errbase").select("err_q").head().getLong(0)
     // a wrong-dim batch would zip-truncate to a DEFLATED error and mask
     // the very drift this face measures — fail fast instead
-    requirePqDim(batch, dim, vecCol, "retrainPqIfDrifted")
+    requirePqDim(batch, dim, vecCol, what)
     // 1-row bounded collect (the decision itself), never data-volume
     val b = pqErrAgg(pqEncode(batch, cb, m, dim / m, idCol, vecCol), m).head()
     val (batchErr, nBatch) = (b.getLong(0), b.getLong(1))
     val inflation = (BigInt(1000000) * batchErr / BigInt(baseErr.max(1L))).toLong
     val retrained = inflation > thresholdPpm
-    if (retrained) retrainPqIndex(spark, path, corpus, idCol, vecCol)
+    if (retrained) retrain
     Seq((nBatch, baseErr, batchErr, inflation, thresholdPpm, retrained))
       .toDF("n_batch", "base_err", "batch_err", "inflation_ppm", "threshold_ppm", "retrained")
   }
@@ -1953,7 +2010,13 @@ object Similarity {
         "a duplicate would encode twice")
     val cents = ivfCentroids(live, nCentroids, iters, "vec_id", "embedding")
     val cb = pqCodebook(live, m, dim / m, ksub, "vec_id", "embedding").localCheckpoint()
-    val codes = encodeToCells(live, cents, cb, m, dim / m, "vec_id", "embedding")
+    val enc = pqEncode(live, cb, m, dim / m, "vec_id", "embedding").localCheckpoint()
+    val codes = enc
+      .join(
+        flatCells(live, cents, "vec_id", "embedding")
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select("vec_id", "subspace", "code", "centroid_id")
     markInflight(spark, path, "retrainIvfPqIndex") // codes ↔ codebook ↔ centroids window
     if (hasBatchDirs)
       rewriteDir(
@@ -1964,6 +2027,8 @@ object Similarity {
     else rewriteDir(spark, codes, s"$path/codes", Seq("centroid_id"))
     rewriteDir(spark, cb.coalesce(1), s"$path/codebook", Nil)
     rewriteDir(spark, cents.coalesce(1), s"$path/centroids", Nil)
+    // the retrained codebook gets a fresh drift ruler
+    writePqErrBase(spark, path, enc, m)
     clearTombstones(spark, path)
     clearInflight(spark, path)
   }

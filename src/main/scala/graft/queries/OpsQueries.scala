@@ -969,6 +969,22 @@ object OpsQueries {
           transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
       Similarity.retrainPqIfDrifted(s, idx, drifted, e)
     },
+    // the COMPOSED store's codebook-drift loop: same global codebook,
+    // same 3x norm-shift fixture, but the action retrains BOTH
+    // quantizers through retrainIvfPqIndex (store ≡ clean build pinned
+    // by OpsSpec); the decision row is identical to the flat-PQ face by
+    // construction, and the shared oracle asserts exactly that
+    "ann_ivfpq_retrain_if_drifted" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_rbd_${ProcessHandle.current().pid()}"
+      Similarity.writeIvfPqIndex(e, idx)
+      val drifted = e
+        .filter(col("vec_id") % 10 === 3)
+        .select(
+          col("vec_id"),
+          transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+      Similarity.retrainIvfPqIfDrifted(s, idx, drifted, e)
+    },
     // measured recall@k at the configured nProbe — the quality dial next
     // to ann_index_audit's freshness dial: build the persisted k-means
     // IVF index, probe a bounded deterministic query sample (vec_id < 8)
@@ -1210,6 +1226,36 @@ object OpsQueries {
        |${bpeRoundCte(1)},
        |${bpeRoundCte(2)},
        |${bpeRoundCte(3)}""".stripMargin
+
+    private lazy val pqDriftOracleSql: String =
+    s"""WITH $pqCtes,
+         |mind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM pqd GROUP BY 1, 2),
+         |base AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM mind),
+         |bpe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(CAST(x * CAST(3.0 AS FLOAT) AS FLOAT) AS DOUBLE)
+         |                           * 1000, 0) AS BIGINT)) AS vm
+         |  FROM embeddings WHERE vec_id % 10 = 3),
+         |bsv AS (
+         |  SELECT vec_id, CAST(j AS BIGINT) AS subspace, vm[(j*16+1):(j*16+16)] AS sub
+         |  FROM bpe, range(0, 4) t(j)),
+         |bqd AS (
+         |  SELECT s.vec_id, s.subspace,
+         |         list_sum(list_transform(range(1, 17),
+         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS dist
+         |  FROM bsv s JOIN cb ON cb.subspace = s.subspace),
+         |bmind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM bqd GROUP BY 1, 2),
+         |bb AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM bmind)
+         |SELECT bb.n AS n_batch,
+         |       CAST(base.s // base.n AS BIGINT) AS base_err,
+         |       CAST(bb.s // bb.n AS BIGINT) AS batch_err,
+         |       CAST((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1) AS BIGINT)
+         |         AS inflation_ppm,
+         |       CAST(1500000 AS BIGINT) AS threshold_ppm,
+         |       ((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1)) > 1500000
+         |         AS retrained
+         |FROM base CROSS JOIN bb""".stripMargin
 
   private val pqCtes =
     """pe AS (
@@ -2926,35 +2972,11 @@ object OpsQueries {
     // vector — baseline over the training corpus vs the 3x-scaled batch,
     // exact-integer inflation ratio and threshold compare (the retrain
     // side effect is pinned by OpsSpec, not the hash)
-    "ann_pq_retrain_if_drifted" ->
-      s"""WITH $pqCtes,
-         |mind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM pqd GROUP BY 1, 2),
-         |base AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM mind),
-         |bpe AS (
-         |  SELECT vec_id,
-         |         list_transform(embedding,
-         |           x -> CAST(round(CAST(CAST(x * CAST(3.0 AS FLOAT) AS FLOAT) AS DOUBLE)
-         |                           * 1000, 0) AS BIGINT)) AS vm
-         |  FROM embeddings WHERE vec_id % 10 = 3),
-         |bsv AS (
-         |  SELECT vec_id, CAST(j AS BIGINT) AS subspace, vm[(j*16+1):(j*16+16)] AS sub
-         |  FROM bpe, range(0, 4) t(j)),
-         |bqd AS (
-         |  SELECT s.vec_id, s.subspace,
-         |         list_sum(list_transform(range(1, 17),
-         |                  i -> (s.sub[i] - cb.cm[i]) * (s.sub[i] - cb.cm[i]))) AS dist
-         |  FROM bsv s JOIN cb ON cb.subspace = s.subspace),
-         |bmind AS (SELECT vec_id, subspace, MIN(dist) AS d FROM bqd GROUP BY 1, 2),
-         |bb AS (SELECT SUM(d) AS s, CAST(COUNT(*) // 4 AS BIGINT) AS n FROM bmind)
-         |SELECT bb.n AS n_batch,
-         |       CAST(base.s // base.n AS BIGINT) AS base_err,
-         |       CAST(bb.s // bb.n AS BIGINT) AS batch_err,
-         |       CAST((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1) AS BIGINT)
-         |         AS inflation_ppm,
-         |       CAST(1500000 AS BIGINT) AS threshold_ppm,
-         |       ((1000000 * (bb.s // bb.n)) // greatest(base.s // base.n, 1)) > 1500000
-         |         AS retrained
-         |FROM base CROSS JOIN bb""".stripMargin,
+    "ann_pq_retrain_if_drifted" -> pqDriftOracleSql,
+    // the composed store trains the SAME global codebook over the same
+    // corpus (flat seed rule), so the decision row is identical — one
+    // oracle serves both conditional faces
+    "ann_ivfpq_retrain_if_drifted" -> pqDriftOracleSql,
     // recall@k: the persisted IVF probe (the kmeansIvfTopkSql chain, same
     // frozen quantizer) set-intersected per query against exact brute
     // force over the indexed corpus — hits match on neighbor membership,

@@ -428,6 +428,48 @@ class OpsSpec extends SparkSpec {
     assert(!after.getAs[Boolean]("retrained"))
   }
 
+  test("retrainIvfPqIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqifd").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 3 =!= 2), dir)
+    Similarity.appendIvfPqIndex(e.filter(col("vec_id") % 3 === 2), dir)
+    def store() = (
+      spark.read.parquet(s"$dir/centroids").collect().toSet,
+      spark.read.parquet(s"$dir/codebook").collect().toSet,
+      spark.read.parquet(s"$dir/codes").select("vec_id", "subspace", "code", "centroid_id")
+        .collect().toSet)
+    val before = store()
+    val sameDist = e.filter(col("vec_id") % 10 === 3)
+    val no = Similarity
+      .retrainIvfPqIfDrifted(spark, dir, sameDist, e, thresholdPpm = 3000000L).head()
+    assert(!no.getAs[Boolean]("retrained"))
+    assert(store() === before, "a below-threshold decision must not touch the store")
+    val idle = Similarity
+      .retrainIvfPqIfDrifted(spark, dir, e.filter(col("vec_id") < 0), e, thresholdPpm = 1000000L)
+      .head()
+    assert(!idle.getAs[Boolean]("retrained") && idle.getAs[Long]("n_batch") === 0L)
+    // a 3x norm shift retrains BOTH quantizers; the store must equal a
+    // clean writeIvfPqIndex over the corpus
+    val scaled = sameDist.select(
+      col("vec_id"),
+      transform(col("embedding"), x => x * lit(3.0f)).as("embedding"))
+    val yes = Similarity
+      .retrainIvfPqIfDrifted(spark, dir, scaled, e, thresholdPpm = 1500000L).head()
+    assert(yes.getAs[Boolean]("retrained"))
+    val clean = java.nio.file.Files.createTempDirectory("ivfpqifdclean").toString
+    Similarity.writeIvfPqIndex(e, clean)
+    val (gc, gb, gcd) = store()
+    assert(gc === spark.read.parquet(s"$clean/centroids").collect().toSet)
+    assert(gb === spark.read.parquet(s"$clean/codebook").collect().toSet)
+    assert(gcd === spark.read.parquet(s"$clean/codes")
+      .select("vec_id", "subspace", "code", "centroid_id").collect().toSet,
+      "the acted-on retrain must equal a clean composed build")
+    // fresh ruler: the same-distribution slice reads parity again
+    val after = Similarity
+      .retrainIvfPqIfDrifted(spark, dir, sameDist, e, thresholdPpm = 3000000L).head()
+    assert(!after.getAs[Boolean]("retrained"))
+  }
+
   test("ivfPqRecallAudit: lossless codebook + exhaustive nProbe -> 1000 milli; tombstones bound truth") {
     val s = spark
     import s.implicits._
