@@ -504,6 +504,56 @@ object Graph {
             |  END, 6) AS DOUBLE)""".stripMargin).as("r"))
   }
 
+  /** Two-hop reach per node — |{nodes within ≤ 2 hops}|, the local
+    * influence-radius readout (how much of the graph a node can touch in
+    * two steps; the denominator for "friend-of-friend audience"
+    * estimates). Exact by construction: the 1-hop set is the adjacency,
+    * the 2-hop candidates come from one middle-keyed self-join of the
+    * symmetrized adjacency, self excluded, and the union is
+    * distinct-counted — so a node reached both directly and through a
+    * middle counts once. Middles above `maxMiddleDeg` are excluded from
+    * the WEDGE step only (their direct edges still count): the
+    * [[commonNeighborRecs]] hub discipline — Σ deg² through a celebrity
+    * node is the classic two-hop explosion, and reach THROUGH a hub is
+    * exactly the number this cap documents as suppressed. Output:
+    * `(node, n_1hop, n_reach2)` with the cap echoed.
+    *
+    * Scale shape: degree aggregate + one equi-self-join bounded by
+    * maxMiddleDeg·|edges| wedge rows + distinct + count — the FoF plan
+    * without the window.
+    */
+  def twoHopReach(edges: DataFrame, maxMiddleDeg: Long = 64L): DataFrame = {
+    require(maxMiddleDeg >= 1, s"maxMiddleDeg must be >= 1, got $maxMiddleDeg")
+    val und = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // adjacency + degree + wedge spine
+    val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
+    val okMid = deg.filter(col("d") <= maxMiddleDeg).select(col("node").as("m"))
+    val two = adj
+      .select(col("v").as("m"), col("u").as("a"))
+      .join(okMid, Seq("m"), "left_semi")
+      .join(adj.select(col("u").as("m"), col("v").as("c")), Seq("m"))
+      .filter(col("a") =!= col("c"))
+      .select("a", "c")
+    val reach = adj.select(col("u").as("a"), col("v").as("c"))
+      .unionAll(two)
+      .distinct()
+      .groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("long").as("n_reach2"))
+    deg
+      .join(reach, Seq("node"), "left")
+      .select(
+        col("node"),
+        col("d").as("n_1hop"),
+        coalesce(col("n_reach2"), col("d")).as("n_reach2"),
+        lit(maxMiddleDeg).as("max_middle_deg"))
+  }
+
   /** Friend-of-friend recommendations: for each node, the top-`k`
     * NON-adjacent nodes ranked by common-neighbor count (ties by smaller
     * candidate id) — the classic link-prediction / "users also bought"

@@ -313,6 +313,14 @@ object GenQueries {
         Seq(col("nat"), expr("cents div 100000")),
         maxBlock = 5L)
     },
+    // two-hop reach over the chord graph (n -> n+1, n -> n+2): local
+    // influence radius, hub-capped wedge step, exact distinct union
+    "graph_two_hop_reach" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k.select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.twoHopReach(e, maxMiddleDeg = 64L)
+    },
     // degree assortativity of the bipartite trade graph: hubs (busy
     // customers) link suppliers of every degree, so r reads negative —
     // the one-number structure readout next to clustering; exact decimal
@@ -636,6 +644,32 @@ object GenQueries {
         |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
     // per-blocker block-size histogram folded to dropped-block counts —
     // the cap audit, exact integers throughout
+    // adjacency ∪ hub-capped wedge endpoints, distinct-counted per node
+    "graph_two_hop_reach" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e0 AS (SELECT n AS src, n + 1 AS dst FROM k
+        |       UNION ALL SELECT n, n + 2 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |okm AS (SELECT node AS m FROM deg WHERE d <= 64),
+        |two AS (
+        |  SELECT l.u AS a, r.v AS c
+        |  FROM adj l
+        |  JOIN okm ON okm.m = l.v
+        |  JOIN adj r ON r.u = l.v
+        |  WHERE l.u <> r.v),
+        |reach AS (
+        |  SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM (
+        |    SELECT u AS a, v AS c FROM adj
+        |    UNION
+        |    SELECT a, c FROM two) t
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.d AS n_1hop,
+        |       CAST(COALESCE(reach.n_reach2, deg.d) AS BIGINT) AS n_reach2,
+        |       CAST(64 AS BIGINT) AS max_middle_deg
+        |FROM deg LEFT JOIN reach ON reach.node = deg.node""".stripMargin,
     // endpoint-degree Pearson over both orientations of the undirected
     // trade edges — HUGEINT moments, corr-kernel conversion
     "graph_assortativity" ->

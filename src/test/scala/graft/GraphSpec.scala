@@ -258,4 +258,26 @@ class GraphSpec extends SparkSpec {
     val dup = Seq((0L, 1L), (1L, 0L), (0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     assert(Graph.assortativityMilli(dup).head().getDouble(1) === -1.0)
   }
+
+  test("twoHopReach: hand path graph, hub cap suppresses through-hub reach but keeps direct edges") {
+    // path 1-2-3-4: reach2(1) = {2,3}, reach2(2) = {1,3,4}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.twoHopReach(path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) === ((1L, 2L)), got.toString)
+    assert(got(2L) === ((2L, 3L)))
+    assert(got(3L) === ((2L, 3L)))
+    assert(got(4L) === ((1L, 2L)))
+    // star: hub 0 with 10 spokes. Uncapped, each spoke reaches the hub +
+    // 9 siblings; capping middles at deg <= 4 removes the through-hub
+    // wedges, leaving each spoke only its direct edge
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val capped = Graph.twoHopReach(star, maxMiddleDeg = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped(1L) === 1L, "through-hub reach suppressed under the cap")
+    assert(capped(0L) === 10L, "the hub's own direct edges all count")
+    val full = Graph.twoHopReach(star, maxMiddleDeg = 64L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(full(1L) === 10L, "uncapped: hub + 9 siblings")
+  }
 }
