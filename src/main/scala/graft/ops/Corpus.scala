@@ -609,6 +609,65 @@ object Corpus {
         rankCol = "shuffle_pos")
       .select(col("doc_id"), col("shuffle_pos"))
 
+  /** Deterministic negative sampling for contrastive pairs: every
+    * (query, positive) row gets `k` pseudo-random negatives drawn
+    * uniformly from the candidate corpus — the in-batch-negatives
+    * alternative a contrastive-embedding pipeline needs when batches
+    * are assembled distributed. Fully reproducible across runs and
+    * cluster sizes (the [[shuffleOrder]] promise): candidates take a
+    * salted-md5 ring position via [[graft.ops.Relational.globalRank]]
+    * (range shuffle + offsets, never a single-partition window), and
+    * probe j of query q lands at `fold8(md5(salt:p:q:j)) mod n` — an
+    * 8-hex-digit integer fold, so the draw is uniform to a mod bias of
+    * n/2³² (extend the fold before sampling corpora past ~10⁸ docs).
+    * A draw that hits the row's own positive (or the query id itself)
+    * is DROPPED, not redrawn — k is a target, short rows signal the
+    * collision honestly (expected loss ≤ 2k/n pairs; redraw chains
+    * would make each row's sample depend on corpus size). Output:
+    * `(query_id, pos_id, j, neg_id)`.
+    *
+    * Scale shape: one distinct + globalRank over the candidate ids, a
+    * bounded 1-row count (the modulus itself), then ONE equi-join of
+    * |pairs|·k probe rows against the ranked ring — no windows over
+    * data grain, no per-query corpus pass.
+    */
+  def negativeSample(
+      pairs: DataFrame,
+      corpus: DataFrame,
+      k: Int = 4,
+      queryCol: String = "query_id",
+      posCol: String = "pos_id",
+      idCol: String = "doc_id",
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val ranked = Relational
+      .globalRank(
+        corpus.select(col(idCol).cast("long").as("__nid")).distinct()
+          .withColumn("__key", md5(concat(lit(s"$salt:c:"), col("__nid").cast("string")))),
+        Seq(col("__key"), col("__nid")),
+        rankCol = "__pos")
+      .select(col("__nid"), (col("__pos") - 1).cast("long").as("__idx"))
+      .localCheckpoint() // consumers: the modulus count and the probe join
+    val n = ranked.count()
+    require(n > 0, "negativeSample: candidate corpus is empty")
+    // each digit long-typed BEFORE the fold: the 8-digit value tops out
+    // at 2^32-1, past 31-bit int arithmetic
+    val digits = (1 to 8)
+      .map(i => s"CAST(locate(substring(__h, $i, 1), '0123456789abcdef') - 1 AS BIGINT)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    pairs
+      .select(col(queryCol).cast("long").as("query_id"), col(posCol).cast("long").as("pos_id"))
+      .withColumn("j", explode(array((1 to k).map(j => lit(j.toLong)): _*)))
+      .withColumn(
+        "__h",
+        md5(concat(
+          lit(s"$salt:p:"), col("query_id").cast("string"), lit(":"), col("j").cast("string"))))
+      .withColumn("__idx", expr(s"CAST($digits AS BIGINT) % ${n}L"))
+      .join(ranked, Seq("__idx"))
+      .filter(col("__nid") =!= col("pos_id") && col("__nid") =!= col("query_id"))
+      .select(col("query_id"), col("pos_id"), col("j"), col("__nid").as("neg_id"))
+  }
+
   /** Corpus snapshot diff — the change-data-capture audit between two
     * corpus versions: every doc id present in either snapshot is classified
     * `added` (new id), `removed` (gone), `changed` (same id, different

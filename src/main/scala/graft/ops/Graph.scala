@@ -571,6 +571,68 @@ object Graph {
     * only. The cap is an explicit, documented knob — results list it so
     * an audit can see what a hub-heavy graph suppressed.
     */
+  /** Link prediction by the resource-allocation index (Zhou, Lü & Zhang
+    * 2009): for each NON-adjacent pair, `ra_ppm = Σ_{m ∈ Γ(u)∩Γ(v)}
+    * 1_000_000 div deg(m)` — common neighbors weighted down by how
+    * promiscuous they are, the log-free twin of Adamic–Adar (RA divides
+    * by deg where AA divides by log deg; RA is integer-exact and
+    * measured at least as accurate on dense graphs, so it's the
+    * hashable choice). Each node's top-`k` predicted partners, ranked
+    * ra_ppm desc, common-neighbor count desc, candidate id asc.
+    * Middles above `maxMiddleDeg` are excluded from the wedge step (the
+    * [[commonNeighborRecs]] hub discipline — a celebrity middle's Σ deg²
+    * wedge explosion buys RA weight ≤ 10⁶/maxMiddleDeg per pair anyway);
+    * the weight uses the middle's TRUE degree, never the capped table.
+    *
+    * Scale shape: identical to [[commonNeighborRecs]] — degree aggregate,
+    * one middle-keyed self-join bounded by maxMiddleDeg·|edges| wedge
+    * rows, map-side-combinable pair aggregate, adjacency anti-join, ONE
+    * window over candidate-pair grain.
+    */
+  def resourceAllocationRecs(
+      edges: DataFrame,
+      k: Int = 5,
+      maxMiddleDeg: Long = 64L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxMiddleDeg >= 2, s"maxMiddleDeg must be >= 2, got $maxMiddleDeg")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges
+      .select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // consumers: degree, wedge both sides, anti-join
+    val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val middles = sym
+      .groupBy("u")
+      .agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxMiddleDeg)
+      .select(col("u").as("m"), expr("1000000 div d").as("w_ppm"))
+    val spokes = sym.select(col("u").as("m"), col("v").as("x")).join(middles, Seq("m"))
+    val cand = spokes
+      .select(col("m"), col("w_ppm"), col("x").as("a"))
+      .join(spokes.select(col("m"), col("x").as("b")), Seq("m"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(
+        sum(col("w_ppm")).cast("long").as("ra_ppm"),
+        count(lit(1)).cast("long").as("cn"))
+      .join(und.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"), "left_anti")
+      .localCheckpoint() // both union branches consume the wedge subtree
+    val both = cand
+      .select(col("a").as("node"), col("b").as("rec"), col("ra_ppm"), col("cn"))
+      .unionAll(cand.select(col("b").as("node"), col("a").as("rec"), col("ra_ppm"), col("cn")))
+    both
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("node")
+            .orderBy(col("ra_ppm").desc, col("cn").desc, col("rec").asc)))
+      .filter(col("rank") <= k)
+      .select(col("node"), col("rank").cast("long").as("rank"), col("rec"), col("ra_ppm"), col("cn"))
+  }
+
   def commonNeighborRecs(edges: DataFrame, k: Int = 5, maxMiddleDeg: Long = 64L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxMiddleDeg >= 2, s"maxMiddleDeg must be >= 2, got $maxMiddleDeg")

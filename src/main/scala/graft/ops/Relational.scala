@@ -1147,6 +1147,109 @@ object Relational {
         (col("__next_start") - col(endCol)).as("gap_len"))
   }
 
+  /** Time-weighted average per key over an irregularly-sampled STEP
+    * series (gauges, prices, config values — anything that HOLDS between
+    * observations): each sample weighs `value · (next_ts − ts)`, so a
+    * gauge that sat at 9 for an hour and spiked to 100 for a second
+    * reads ~9, where a plain mean would read the row count's opinion.
+    * The last sample per key holds until `endTs` when given (the audit
+    * horizon), else it is weightless (no known holding interval — the
+    * honest default). Exact integers end-to-end: milli values × μs
+    * durations summed in decimal(38,0), `twap_milli = Σ(v·dur) div
+    * Σ(dur)`, null when no sample holds for a positive duration.
+    * Output: `(key, n, ts_first, ts_last, held_us, twap_milli)`.
+    *
+    * Scale shape: ONE per-key lead window + one map-side-combinable
+    * aggregate. The window sorts each key's full series serially — the
+    * [[asOfJoin]] hot-key caveat; keys with very long series should take
+    * [[timeWeightedAvgBucketed]], which bounds serial work by bucket
+    * width at the price of one extra (key, bucket)-grain window.
+    */
+  def timeWeightedAvg(
+      samples: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      endTs: Option[Long] = None): DataFrame = {
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__v"))
+    samples
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("__v"))
+      .withColumn("__next", coalesce(lead(col("__t"), 1).over(w), endTs.map(lit).getOrElse(lit(null))))
+      .withColumn("__dur", greatest(col("__next") - col("__t"), lit(0L)))
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        min(col("__t")).as("ts_first"),
+        max(col("__t")).as("ts_last"),
+        coalesce(sum(col("__dur")), lit(0L)).cast("long").as("held_us"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __dur")).as("__wsum"))
+      .withColumn(
+        "twap_milli",
+        expr("CAST(CASE WHEN held_us > 0 THEN __wsum div held_us END AS BIGINT)"))
+      .drop("__wsum")
+  }
+
+  /** [[timeWeightedAvg]] with hot-key serial work bounded by bucket
+    * width — the [[asOfJoinBucketed]] discipline applied to the TWAP
+    * window. Samples sort within (key, `ts div bucketUs`) only; the
+    * cross-bucket holding interval of each bucket's LAST sample closes
+    * against the key's next non-empty bucket via one lead window over
+    * the (key, bucket)-grain firsts table (aggregate grain, never raw
+    * rows). Same output and exact arithmetic as the plain face —
+    * byte-identical results (the spec pins equality), different
+    * worst-case: a key with a billion samples costs max(samples in one
+    * bucket) serial, not a billion.
+    */
+  def timeWeightedAvgBucketed(
+      samples: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketUs: Long,
+      endTs: Option[Long] = None): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val base = samples
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"),
+        col(tsCol).cast("long").as("__t"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("__v"))
+      .withColumn("__b", expr(s"__t div ${bucketUs}L"))
+      .localCheckpoint() // consumers: in-bucket window + bucket firsts
+    val wb = Window.partitionBy("__k", "__b").orderBy(col("__t"), col("__v"))
+    // first sample ts per non-empty (key, bucket); lead over BUCKET order
+    // = the ts the bucket's last sample holds until
+    val firsts = base
+      .groupBy("__k", "__b")
+      .agg(min(col("__t")).as("__bfirst"))
+      .withColumn(
+        "__carry",
+        lead(col("__bfirst"), 1).over(Window.partitionBy("__k").orderBy(col("__b"))))
+      .drop("__bfirst")
+    base
+      .withColumn("__lead", lead(col("__t"), 1).over(wb))
+      .join(firsts, Seq("__k", "__b"))
+      .withColumn(
+        "__next",
+        coalesce(col("__lead"), col("__carry"), endTs.map(lit).getOrElse(lit(null))))
+      .withColumn("__dur", greatest(col("__next") - col("__t"), lit(0L)))
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        min(col("__t")).as("ts_first"),
+        max(col("__t")).as("ts_last"),
+        coalesce(sum(col("__dur")), lit(0L)).cast("long").as("held_us"),
+        sum(expr("CAST(__v AS DECIMAL(38,0)) * __dur")).as("__wsum"))
+      .withColumn(
+        "twap_milli",
+        expr("CAST(CASE WHEN held_us > 0 THEN __wsum div held_us END AS BIGINT)"))
+      .drop("__wsum")
+  }
+
   /** Batch MERGE / CDC-apply: apply a change feed onto a snapshot and
     * return the post-merge snapshot (the semantics of SQL `MERGE INTO` /
     * a Delta-style upsert, expressed as one declarative plan).

@@ -2192,6 +2192,68 @@ object Similarity {
         expr("CAST((1000000 * __dcg) div __idcg AS BIGINT)").as("ndcg_ppm"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: given per-source rankings
+    * `(source, query_id, doc_id, rank)`, each document scores
+    * `Σ_sources 1_000_000 div (rrfK + rank)` and the top `k` per query
+    * survive. RRF is rank-only (score scales never meet), so a lexical
+    * BM25 list and a dense-ANN list fuse without calibration — the
+    * production hybrid-search shape. Integer ppm contributions keep the
+    * fused score engine-portable and hashable. A (source, query, doc)
+    * triple listed more than once keeps its BEST (minimum) rank first —
+    * duplicate postings must not double-vote. Ties break by fused score
+    * desc, more sources first, then doc_id asc. Output:
+    * `(query_id, rank, doc_id, score_ppm, n_sources, best_rank)`.
+    *
+    * Scale shape: two map-side-combinable aggregates (dedup to
+    * per-source best rank, then fuse per (query, doc)) + ONE window over
+    * the per-query candidate grain — bounded by Σ per-source list
+    * lengths, never the corpus; no joins, no explode.
+    */
+  def rrfFuse(
+      rankings: DataFrame,
+      k: Int = 10,
+      rrfK: Int = 60,
+      queryCol: String = "query_id",
+      docCol: String = "doc_id",
+      rankCol: String = "rank",
+      sourceCol: String = "source"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    import org.apache.spark.sql.expressions.Window
+    val fused = rankings
+      .select(
+        col(sourceCol).as("__src"),
+        col(queryCol).cast("long").as("query_id"),
+        col(docCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("__rank"))
+      .groupBy("__src", "query_id", "doc_id")
+      .agg(min(col("__rank")).as("__best"))
+      .groupBy("query_id", "doc_id")
+      .agg(
+        sum(expr(s"1000000 div (${rrfK.toLong} + __best)")).cast("long").as("score_ppm"),
+        count(lit(1)).cast("long").as("n_sources"),
+        min(col("__best")).as("best_rank"))
+    fused
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window
+            .partitionBy("query_id")
+            .orderBy(
+              col("score_ppm").desc,
+              col("n_sources").desc,
+              col("doc_id").asc)))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("int").as("rank"),
+        col("doc_id"),
+        col("score_ppm"),
+        col("n_sources"),
+        col("best_rank"))
+  }
+
   /** Recall@k of a PERSISTED IVF index's probe at `nProbe` against exact
     * brute force over the index's own LIVE content (tombstones
     * subtracted) — the per-index face of [[annRecallAudit]]: feed it a

@@ -966,6 +966,66 @@ object Stats {
       .select(expr(s"stack(${pairs.size}, $items) AS (col_a, col_b, n, corr_r)"))
   }
 
+  /** Spearman rank-correlation matrix — [[corrMatrixMilli]]'s robust
+    * twin: Pearson over midranks, so it reads MONOTONE association and
+    * shrugs at outliers and any order-preserving transform (the
+    * dependency monitor you want when columns are heavy-tailed).
+    * Tie-exact and integer-exact: each column's DOUBLED midrank is
+    * `2F + c + 1` (F = strictly-smaller count, c = tie-block size — the
+    * [[mannWhitneyU]] doubling, keeping tie midranks integral), and
+    * Pearson's scale invariance makes rho over doubled ranks THE
+    * tie-corrected Spearman rho. Rows with a null in ANY listed column
+    * drop listwise first (ranks are column-global, so pairwise deletion
+    * would need a re-rank per pair — a different, quadratic statistic).
+    * Decimal(38) headroom: n·(2000n)² per square sum → n up to ~10¹⁰
+    * rows. Output `(col_a, col_b, n, rho_r)`, one row per pair.
+    *
+    * Scale shape: one in-plan stack unpivot (k× rows, no join), a
+    * map-side-combinable tie-block aggregate, ONE window over the
+    * distinct-value grain per column, an equi-join back, and a k-column
+    * conditional-agg pivot on the frozen row id — then the
+    * [[corrMatrixMilli]] one-scan kernel. Two shuffles of k× data buy
+    * exact global ranks with no single-partition sort anywhere.
+    */
+  def spearmanMatrixMilli(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"correlation needs at least two columns, got ${cols.size}")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"spearmanMatrixMilli: columns not in schema: ${missing.mkString(", ")}")
+    val unsafe = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(
+      unsafe.isEmpty,
+      s"spearmanMatrixMilli: column names must match [A-Za-z_][A-Za-z0-9_]* " +
+        s"(interpolated into SQL; alias first): ${unsafe.mkString(", ")}")
+    // freeze the row id: rank derivation and the pivot both re-align on
+    // it, and it must not be re-rolled between the two consumers
+    val milli = df
+      .select(cols.map(c => round(col(c).cast("double") * 1000, 0).cast("long").as(c)): _*)
+      .na.drop()
+      .withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val items = cols.zipWithIndex.map { case (c, i) => s"${i}L, $c" }.mkString(", ")
+    val long = milli.select(col("__rid"), expr(s"stack(${cols.size}, $items) AS (cid, x)"))
+    val wv = Window.partitionBy("cid").orderBy("x")
+    val dr = long
+      .groupBy("cid", "x")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .withColumn(
+        "dr",
+        lit(2L) * coalesce(
+          sum(col("c")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)) + col("c") + 1L)
+      .select("cid", "x", "dr")
+    val wide = long
+      .join(dr, Seq("cid", "x"))
+      .groupBy("__rid")
+      .agg(
+        max(when(col("cid") === 0, col("dr"))).as(cols.head),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          max(when(col("cid") === (i + 1), col("dr"))).as(c)
+        }: _*)
+    corrMatrixMilli(wide, cols).withColumnRenamed("corr_r", "rho_r")
+  }
+
   /** Per-group AUTOCORRELATION function (integer-exact moments) — the
     * seasonality detector run before picking [[graft.ops.Anomaly
     * .seasonalDecompose]]'s season length: lag-k Pearson r of a
@@ -1032,6 +1092,126 @@ object Stats {
             |            CAST(n * syy - sy * sy AS DOUBLE))
             |  END, 6) AS DOUBLE)""".stripMargin)
           .as("acf_r"))
+  }
+
+  /** Mann–Kendall trend test per group — "is this series monotonically
+    * drifting?", the NONPARAMETRIC trend monitor (Mann 1945, Kendall
+    * 1975): `S = Σ_{i<j} sgn(x_j − x_i)` over the time-ordered series,
+    * robust to outliers and any monotone transform — the right default
+    * for volume/quality drift where [[linearTrend]]'s least-squares
+    * slope chases spikes. Everything is EXACT integer: values land as
+    * milli longs, `S` is an integer sum of signs, the tie-corrected
+    * 18-scaled variance `var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)` stays
+    * integral (t = tie-block sizes), and the continuity-corrected
+    * squared z-score ships as `z2_milli = 18000·(|S|−1)² div var18`
+    * (monotone in |z|, so thresholding it IS thresholding z: the 5%
+    * two-sided cut z² > 3.8415 becomes `z2_milli > 3841`, baked into
+    * `significant`). z2 is null when var18 ≤ 0 (constant series or
+    * n < 2) — "not testable" is not "flat". Duplicate rows per
+    * (group, period) are summed first: the series grain is one value
+    * per period, and summing is the one aggregation a count/volume
+    * series means by default (pass a pre-aggregated frame for anything
+    * else).
+    *
+    * Scale shape: one (group, period) aggregate, then the pair
+    * self-join equi-keyed on group with `t_i < t_j` — quadratic in the
+    * SERIES length, never the raw rows; series are calendar-bounded
+    * (the [[autocorrMilli]] grain contract: hundreds of periods →
+    * ~10⁴-10⁵ pair rows per group), ties/count ride two more tiny
+    * aggregates off the same checkpointed series.
+    */
+  def mannKendall(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valueCol: String): DataFrame = {
+    val series = df
+      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(valueCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(periodCol).cast("long").as("t"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("x"))
+      .groupBy("grp", "t")
+      .agg(sum(col("x")).as("x"))
+      .localCheckpoint() // consumers: pair join both sides, n, tie blocks
+    val s = series.as("l")
+      .join(series.as("r"), col("l.grp") === col("r.grp") && col("l.t") < col("r.t"))
+      .groupBy(col("l.grp").as("grp"))
+      .agg(
+        sum(
+          when(col("r.x") > col("l.x"), 1L)
+            .when(col("r.x") < col("l.x"), -1L)
+            .otherwise(0L)).cast("long").as("s"))
+    val ties = series
+      .groupBy("grp", "x")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy("grp")
+      .agg(sum(expr("c * (c - 1) * (2 * c + 5)")).cast("long").as("tsum"))
+    val n = series.groupBy("grp").agg(count(lit(1)).cast("long").as("n"))
+    n.join(ties, Seq("grp"))
+      .join(s, Seq("grp"), "left")
+      .withColumn("__s", coalesce(col("s"), lit(0L)))
+      .withColumn("__var18", expr("n * (n - 1) * (2 * n + 5) - tsum"))
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        col("__s").as("s"),
+        col("__var18").as("var18"),
+        expr(
+          """CAST(CASE WHEN __var18 > 0 THEN
+            |  (18000 * greatest(abs(__s) - 1, 0) * greatest(abs(__s) - 1, 0)) div __var18
+            |END AS BIGINT)""".stripMargin).as("z2_milli"),
+        expr("CASE WHEN __s > 0 THEN 'up' WHEN __s < 0 THEN 'down' ELSE 'flat' END")
+          .as("trend"),
+        expr(
+          """CASE WHEN __var18 > 0 THEN
+            |  (18000 * greatest(abs(__s) - 1, 0) * greatest(abs(__s) - 1, 0)) div __var18 > 3841
+            |END""".stripMargin).as("significant"))
+  }
+
+  /** Calibration (reliability-diagram) bins for a probability-like score
+    * against a binary outcome — "when the model says 0.8, does the event
+    * happen 80% of the time?", the audit every model-based quality
+    * filter ([[graft.ops.TextAnalysis.linearScore]] and friends) owes its
+    * keep-threshold. Scores clamp to [0, 1] milli, land in `nBins`
+    * equal-width bins, and each bin reports its confidence (mean score),
+    * observed accuracy (positive rate), and the |gap| between them —
+    * all exact integer milli (`conf_milli = Σs div n`,
+    * `acc_milli = 1000·n_pos div n`); the expected-calibration-error
+    * fold is `Σ n·gap_milli / Σn`, left to the caller so the per-bin
+    * table stays the one artifact. Empty bins produce no rows (a
+    * reliability diagram plots what it saw, not zeros it invented).
+    *
+    * Scale shape: ONE map-side-combinable aggregate over ≤ nBins keys —
+    * nothing else; the [[benfordAudit]] envelope.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2, 1000], got $nBins")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(
+          greatest(round(col(scoreCol).cast("double") * 1000, 0).cast("long"), lit(0L)),
+          lit(1000L)).as("s"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("y"))
+      .withColumn("bin", least(expr(s"(s * $nBins) div 1000"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("s")).cast("long").as("__ssum"))
+      .select(
+        col("bin"),
+        expr(s"(bin * 1000) div $nBins").as("lo_milli"),
+        expr(s"((bin + 1) * 1000) div $nBins").as("hi_milli"),
+        col("n"),
+        col("n_pos"),
+        expr("__ssum div n").as("conf_milli"),
+        expr("(1000 * n_pos) div n").as("acc_milli"),
+        expr("abs(__ssum div n - (1000 * n_pos) div n)").as("gap_milli"))
   }
 
   /** Welch's two-sample t statistic per group — the parametric mean-shift

@@ -321,6 +321,15 @@ object GenQueries {
         .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
       graft.ops.Graph.twoHopReach(e, maxMiddleDeg = 64L)
     },
+    // resource-allocation link prediction over the same chord graph:
+    // non-adjacent pairs scored 1e6 div deg(common neighbor), top-3 per
+    // node — exact integer ppm, the log-free Adamic-Adar twin
+    "graph_link_prediction" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k.select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.resourceAllocationRecs(e, k = 3, maxMiddleDeg = 64L)
+    },
     // degree assortativity of the bipartite trade graph: hubs (busy
     // customers) link suppliers of every degree, so r reads negative —
     // the one-number structure readout next to clustering; exact decimal
@@ -470,6 +479,14 @@ object GenQueries {
     // numerics in one pass, exact integer moments, one final sqrt/divide
     "gen_correlation" -> { (s, dir) =>
       graft.ops.Stats.corrMatrixMilli(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+    // Spearman twin of gen_correlation: tie-exact doubled midranks, then
+    // the same one-scan Pearson kernel — monotone association, outlier-
+    // proof, integer-exact end to end
+    "gen_spearman" -> { (s, dir) =>
+      graft.ops.Stats.spearmanMatrixMilli(
         t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
@@ -644,6 +661,37 @@ object GenQueries {
         |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
     // per-blocker block-size histogram folded to dropped-block counts —
     // the cap audit, exact integers throughout
+    // hub-capped wedges weighted 1e6 // deg(middle), summed per
+    // non-adjacent pair, top-3 per node
+    "graph_link_prediction" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e0 AS (SELECT n AS src, n + 1 AS dst FROM k
+        |       UNION ALL SELECT n, n + 2 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |adj AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+        |mid AS (SELECT u AS m, 1000000 // COUNT(*) AS w_ppm
+        |        FROM adj GROUP BY 1 HAVING COUNT(*) <= 64),
+        |sp AS (SELECT adj.u AS m, adj.v AS x, mid.w_ppm
+        |       FROM adj JOIN mid ON mid.m = adj.u),
+        |cand AS (
+        |  SELECT l.x AS a, r.x AS b,
+        |         CAST(SUM(l.w_ppm) AS BIGINT) AS ra_ppm,
+        |         CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM sp l JOIN sp r ON r.m = l.m AND l.x < r.x
+        |  GROUP BY 1, 2),
+        |nonadj AS (
+        |  SELECT cand.* FROM cand
+        |  LEFT JOIN und ON und.u = cand.a AND und.v = cand.b
+        |  WHERE und.u IS NULL),
+        |bidir AS (
+        |  SELECT a AS node, b AS rec, ra_ppm, cn FROM nonadj
+        |  UNION ALL SELECT b, a, ra_ppm, cn FROM nonadj)
+        |SELECT node, CAST(rank AS BIGINT) AS rank, rec, ra_ppm, cn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY ra_ppm DESC, cn DESC, rec) AS rank
+        |  FROM bidir)
+        |WHERE rank <= 3""".stripMargin,
     // adjacency ∪ hub-capped wedge endpoints, distinct-counted per node
     "graph_two_hop_reach" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
@@ -1132,6 +1180,47 @@ object GenQueries {
         }
         .mkString("\nUNION ALL\n")
       s"WITH m AS (\n  SELECT $milli\n  FROM lineitem),\nag AS (\n  SELECT $aggs\n  FROM m)\n$sels"
+    },
+    // doubled midranks via RANK + tie COUNT windows (2R + c - 1 ==
+    // 2F + c + 1), then the gen_correlation kernel over rank-millis
+    "gen_spearman" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val milli = cs.zipWithIndex
+        .map { case (c, i) => s"CAST(round(CAST($c AS DOUBLE) * 1000, 0) AS BIGINT) AS v$i" }
+        .mkString(",\n       ")
+      val notNull = cs.indices.map(i => s"v$i IS NOT NULL").mkString(" AND ")
+      val ranks = cs.indices
+        .map(i =>
+          s"CAST((2 * RANK() OVER (ORDER BY v$i) + COUNT(*) OVER (PARTITION BY v$i) - 1) " +
+            s"* 1000 AS BIGINT) AS r$i")
+        .mkString(",\n       ")
+      val pairs = for { i <- cs.indices; j <- (i + 1) until cs.size } yield (i, j)
+      val aggs = pairs.zipWithIndex
+        .flatMap { case ((i, j), k) =>
+          Seq(
+            s"CAST(COUNT(*) AS BIGINT) AS n_$k",
+            s"CAST(SUM(CAST(r$i AS HUGEINT)) AS HUGEINT) AS sx_$k",
+            s"CAST(SUM(CAST(r$j AS HUGEINT)) AS HUGEINT) AS sy_$k",
+            s"CAST(SUM(CAST(r$i AS HUGEINT) * r$i) AS HUGEINT) AS sxx_$k",
+            s"CAST(SUM(CAST(r$j AS HUGEINT) * r$j) AS HUGEINT) AS syy_$k",
+            s"CAST(SUM(CAST(r$i AS HUGEINT) * r$j) AS HUGEINT) AS sxy_$k")
+        }
+        .mkString(",\n       ")
+      val sels = pairs.zipWithIndex
+        .map { case ((i, j), k) =>
+          s"SELECT '${cs(i)}' AS col_a, '${cs(j)}' AS col_b, n_$k AS n,\n" +
+            s"  CAST(round(CASE WHEN n_$k >= 2\n" +
+            s"    AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0\n" +
+            s"    AND (n_$k * syy_$k - sy_$k * sy_$k) > 0\n" +
+            s"  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /\n" +
+            s"       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *\n" +
+            s"            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))\n" +
+            s"  END, 6) AS DOUBLE) AS rho_r\nFROM ag"
+        }
+        .mkString("\nUNION ALL\n")
+      s"WITH m0 AS (\n  SELECT $milli\n  FROM lineitem),\n" +
+        s"m1 AS (SELECT * FROM m0 WHERE $notNull),\n" +
+        s"r AS (\n  SELECT $ranks\n  FROM m1),\nag AS (\n  SELECT $aggs\n  FROM r)\n$sels"
     },
     // NTILE over exact cents, cumulative share via the 10-row window
     "gen_pareto" ->

@@ -394,6 +394,16 @@ object OpsQueries {
     "text_url_domains" -> { (s, dir) => TextAnalysis.urlDomains(urlDocs(s, dir)) },
     "corpus_sample_quota" -> { (s, dir) => Corpus.sampleQuota(docs(s, dir), n = 10) },
     "corpus_shuffle_order" -> { (s, dir) => Corpus.shuffleOrder(docs(s, dir)) },
+    // contrastive negatives: 4 deterministic uniform draws from the md5
+    // ring per (query, positive) pair; own-positive/self collisions drop
+    "corpus_negative_sample" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = d.filter(col("doc_id") < 16)
+        .select(
+          col("doc_id").cast("long").as("query_id"),
+          expr("CAST((doc_id * 7 + 13) % 500 AS BIGINT)").as("pos_id"))
+      Corpus.negativeSample(pairs, d, k = 4)
+    },
     "corpus_split" -> { (s, dir) => Corpus.splitAssign(docs(s, dir)) },
     "corpus_sample" -> { (s, dir) => Corpus.sampleStratified(docs(s, dir)) },
     "corpus_quality_gate" -> { (s, dir) => Corpus.qualityGate(docs(s, dir)) },
@@ -452,6 +462,36 @@ object OpsQueries {
     "similarity_topk" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 5)
+    },
+    // hybrid retrieval: a dense ranking (exact cosine top-10) and a
+    // lexical ranking (distinct-token overlap top-10, doc_id==vec_id id
+    // space) fused by reciprocal rank — rank-only, so the two scores
+    // never need calibrating; integer ppm fused score
+    "search_rrf_hybrid" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val dense = Similarity
+        .bruteForceTopK(e.filter(col("vec_id") < 8), e, k = 10)
+        .select(lit("dense").as("source"), col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct()
+      val lex0 = tok
+        .filter(col("doc_id") < 8)
+        .withColumnRenamed("doc_id", "query_id")
+        .join(tok, Seq("tok"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).cast("long").as("ov"))
+      val lex = lex0
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("query_id")
+              .orderBy(col("ov").desc, col("doc_id").asc)))
+        .filter(col("rank") <= 10)
+        .select(lit("lex").as("source"), col("query_id"), col("doc_id"), col("rank"))
+      Similarity.rrfFuse(dense.unionAll(lex), k = 5)
     },
     "similarity_topk_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -794,6 +834,21 @@ object OpsQueries {
       TextAnalysis.boilerplateLines(linedDocs(s, dir), maxDocs = 20)
     },
     "text_quality_classifier" -> { (s, dir) => TextAnalysis.linearScore(docs(s, dir)) },
+    // reliability diagram of "stopword density as P(english)" against the
+    // actual lang tag: the score is an exact trunc-div milli ratio (so the
+    // bin edge never rides a float), 10 equal bins, conf-vs-accuracy gap
+    "quality_calibration" -> { (s, dir) =>
+      val tk = TextAnalysis.tokens(col("text"))
+      val sm = expr(
+        s"(1000 * size(filter(__tk, t -> t IN (${TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")})))) " +
+          "div greatest(size(__tk), 1)")
+      val scored = docs(s, dir)
+        .withColumn("__tk", tk)
+        .select(
+          (sm.cast("double") / 1000.0).as("score"),
+          (col("lang") === "en").as("label"))
+      graft.ops.Stats.calibrationBins(scored, "score", "label", nBins = 10)
+    },
     "corpus_datacard" -> { (s, dir) => Corpus.datacard(docs(s, dir)) },
     "embedding_pq" -> { (s, dir) => Similarity.pqCodes(embs(s, dir)) },
     "similarity_topk_pq" -> { (s, dir) =>
@@ -2207,6 +2262,32 @@ object OpsQueries {
         |       CAST(ROW_NUMBER() OVER (
         |         ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos
         |FROM documents""".stripMargin,
+    // md5-ring rank join + 8-hex-digit probe fold mod n, collisions drop
+    "corpus_negative_sample" -> {
+      val fold = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+      s"""WITH cand AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS nid FROM documents),
+         |ranked AS (
+         |  SELECT nid, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY md5('neg:c:' || CAST(nid AS VARCHAR)), nid) - 1 AS BIGINT) AS idx
+         |  FROM cand),
+         |p0 AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS query_id,
+         |         CAST((doc_id * 7 + 13) % 500 AS BIGINT) AS pos_id
+         |  FROM documents WHERE doc_id < 16),
+         |probes AS (
+         |  SELECT query_id, pos_id, CAST(j AS BIGINT) AS j,
+         |         md5('neg:p:' || CAST(query_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+         |  FROM p0, (SELECT unnest(range(1, 5)) AS j)),
+         |ix AS (
+         |  SELECT query_id, pos_id, j,
+         |         CAST($fold AS BIGINT) % (SELECT COUNT(*) FROM cand) AS idx
+         |  FROM probes)
+         |SELECT query_id, pos_id, j, ranked.nid AS neg_id
+         |FROM ix JOIN ranked USING (idx)
+         |WHERE ranked.nid <> ix.pos_id AND ranked.nid <> ix.query_id""".stripMargin
+    },
     "corpus_sample_quota" ->
       """SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket FROM (
         |  SELECT doc_id, source, bucket,
@@ -2669,6 +2750,49 @@ object OpsQueries {
          |SELECT a.vec_id, a.n_hits, b.best_cosine, CAST(b.best_bench_id AS BIGINT) AS best_bench_id
          |FROM agg a JOIN best b USING (vec_id)""".stripMargin
     },
+    // both rankers mirrored (exact-cosine top-10, distinct-token overlap
+    // top-10), then the integer RRF combine: 1000000 // (60 + best rank)
+    "search_rrf_hybrid" ->
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |dense AS (
+         |  SELECT query_id, neighbor_id AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rank
+         |    FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id)
+         |  WHERE rank <= 10),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |                                      t -> t <> '')) AS tok
+         |    FROM documents)),
+         |lex0 AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id, CAST(COUNT(*) AS BIGINT) AS ov
+         |  FROM tok q JOIN tok c ON c.tok = q.tok AND q.doc_id < 8 AND c.doc_id <> q.doc_id
+         |  GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ov DESC, doc_id) AS rank
+         |    FROM lex0)
+         |  WHERE rank <= 10),
+         |best AS (
+         |  SELECT src, query_id, doc_id, MIN(rank) AS best FROM (
+         |    SELECT 'dense' AS src, * FROM dense
+         |    UNION ALL SELECT 'lex', * FROM lex)
+         |  GROUP BY 1, 2, 3),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(SUM(1000000 // (60 + best)) AS BIGINT) AS score_ppm,
+         |         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         |         MIN(best) AS best_rank
+         |  FROM best GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_ppm, n_sources, best_rank
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score_ppm DESC, n_sources DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 5""".stripMargin,
     "similarity_topk" ->
       s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
          |scored AS (
@@ -3220,6 +3344,27 @@ object OpsQueries {
          |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
          |       CAST(ps[1] - 1 AS BIGINT) AS first_pos
          |FROM hits WHERE len(ps) > 0""".stripMargin,
+    // integer milli score (1000*stop_hits // n_tokens) -> 10 bins ->
+    // conf/acc/gap, every division a trunc-div on non-negative ints
+    "quality_calibration" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents),
+         |sc AS (
+         |  SELECT (1000 * len(list_filter(tk, t -> t IN ($stopList)))) // greatest(len(tk), 1) AS s,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM d),
+         |b AS (SELECT least((s * 10) // 1000, 9) AS bin, s, y FROM sc)
+         |SELECT CAST(bin AS BIGINT) AS bin,
+         |       CAST((bin * 1000) // 10 AS BIGINT) AS lo_milli,
+         |       CAST(((bin + 1) * 1000) // 10 AS BIGINT) AS hi_milli,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(y) AS BIGINT) AS n_pos,
+         |       CAST(SUM(s) // COUNT(*) AS BIGINT) AS conf_milli,
+         |       CAST((1000 * SUM(y)) // COUNT(*) AS BIGINT) AS acc_milli,
+         |       CAST(abs(SUM(s) // COUNT(*) - (1000 * SUM(y)) // COUNT(*)) AS BIGINT) AS gap_milli
+         |FROM b GROUP BY bin""".stripMargin,
     "text_quality" ->
       s"""WITH $tokCtes
          |SELECT doc_id,

@@ -625,6 +625,29 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       Stats.autocorrMilli(hourly, "event_type", "hour", "n", maxLag = 30)
     },
+    // time-weighted average of each type's gauge value: samples hold
+    // until the next sample (step series), last sample weightless; exact
+    // milli·us products in decimal(38)
+    "events_twap" -> { (s, dir) =>
+      Relational.timeWeightedAvg(events(s, dir), "event_type", "ts_us", "value")
+    },
+    // same answer, hot-key-safe plan: in-bucket lead + cross-bucket carry
+    // from the (key, bucket)-grain firsts table — serial work bounded by
+    // one hour of samples, results byte-identical to events_twap
+    "events_twap_bucketed" -> { (s, dir) =>
+      Relational.timeWeightedAvgBucketed(
+        events(s, dir), "event_type", "ts_us", "value", bucketUs = 3600000000L)
+    },
+    // Mann-Kendall monotone-trend test over each type's daily volume:
+    // exact integer S / tie-corrected var18 / continuity-corrected
+    // z2_milli — the drift alarm a volume dashboard actually wants
+    "events_trend_mk" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).cast("long").as("n"))
+      Stats.mannKendall(daily, "event_type", "day", "n")
+    },
     // two-sample KS distance between the even/odd user cohorts' value
     // distributions per type — the integer-exact drift monitor (a healthy
     // randomized split should score near zero; the score IS the check)
@@ -1278,6 +1301,24 @@ object RelQueries {
   // unusable; the O(n^2) prefix fold is exact and fixture-cheap). The
   // `s` field binds BEFORE `k` so it reads the still-old accumulator
   // under struct_pack's let-chaining (the events_cusum lesson).
+  // step-series TWAP: LEAD per type (ties by value, matching the Spark
+  // window), last sample weightless, trunc-div milli result
+  private val twapSql =
+    """WITH s AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS t,
+      |         CAST(round(value * 1000, 0) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |l AS (
+      |  SELECT k, t, v, LEAD(t) OVER (PARTITION BY k ORDER BY t, v) AS nxt FROM s),
+      |d AS (SELECT k, t, v, COALESCE(nxt - t, 0) AS dur FROM l)
+      |SELECT k AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       MIN(t) AS ts_first, MAX(t) AS ts_last,
+      |       CAST(SUM(dur) AS BIGINT) AS held_us,
+      |       CAST(CASE WHEN SUM(dur) > 0
+      |            THEN SUM(CAST(v AS HUGEINT) * dur) // SUM(dur) END AS BIGINT) AS twap_milli
+      |FROM d GROUP BY 1""".stripMargin
+
   private val ewmaSql =
     """WITH c AS (
       |  SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ts_us, event_type,
@@ -2070,6 +2111,45 @@ object RelQueries {
          |         END, 6) AS DOUBLE) AS acf_r
          |FROM a WHERE n >= 2""".stripMargin
     },
+    // lead window per type, value holds to next sample, exact HUGEINT
+    // milli·us weighting; both Spark faces mirror THIS one SQL
+    "events_twap" -> twapSql,
+    "events_twap_bucketed" -> twapSql,
+    // pairwise sgn sum + tie-corrected var18 + integer z2_milli, token-
+    // mirrored from Stats.mannKendall (// == div on the non-negative num)
+    "events_trend_mk" ->
+      """WITH srs AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS t,
+        |         CAST(COUNT(*) * 1000 AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sgn AS (
+        |  SELECT l.grp,
+        |         CAST(SUM(CASE WHEN r.x > l.x THEN 1
+        |                       WHEN r.x < l.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM srs l JOIN srs r ON r.grp = l.grp AND l.t < r.t
+        |  GROUP BY 1),
+        |tb AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM srs GROUP BY grp, x),
+        |ties AS (
+        |  SELECT grp, CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tsum
+        |  FROM tb GROUP BY 1),
+        |cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM srs GROUP BY 1),
+        |j AS (
+        |  SELECT cnt.grp, cnt.n, COALESCE(sgn.s, 0) AS s,
+        |         cnt.n * (cnt.n - 1) * (2 * cnt.n + 5) - ties.tsum AS var18
+        |  FROM cnt JOIN ties ON ties.grp = cnt.grp
+        |  LEFT JOIN sgn ON sgn.grp = cnt.grp)
+        |SELECT grp AS event_type, n, s, var18,
+        |       CAST(CASE WHEN var18 > 0 THEN
+        |         (18000 * greatest(abs(s) - 1, 0) * greatest(abs(s) - 1, 0)) // var18
+        |       END AS BIGINT) AS z2_milli,
+        |       CASE WHEN s > 0 THEN 'up' WHEN s < 0 THEN 'down' ELSE 'flat' END AS trend,
+        |       CASE WHEN var18 > 0 THEN
+        |         (18000 * greatest(abs(s) - 1, 0) * greatest(abs(s) - 1, 0)) // var18 > 3841
+        |       END AS significant
+        |FROM j""".stripMargin,
     // mirrors Relational.mergeIntervals: running-max island detection over
     // per-user interval rows, islands aggregated; empty intervals dropped
     "events_islands" ->

@@ -196,6 +196,31 @@ class CorpusSpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("negativeSample: deterministic uniform draws, collision drop, invariants") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 50L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (2L, 7L), (9L, 40L)).toDF("query_id", "pos_id")
+    val a = Corpus.negativeSample(pairs, corpus, k = 3).collect()
+    val b = Corpus.negativeSample(pairs, corpus, k = 3).collect()
+    assert(a.toSet === b.toSet, "two runs must agree byte for byte")
+    val byPair = a.groupBy(r => (r.getLong(0), r.getLong(1)))
+    assert(byPair.keySet === Set((1L, 3L), (2L, 7L), (9L, 40L)))
+    a.foreach { r =>
+      val (q, p, j, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n >= 0L && n < 50L, "negative must come from the corpus")
+      assert(n !== p, "never the row's own positive")
+      assert(n !== q, "never the query itself")
+      assert(j >= 1L && j <= 3L)
+    }
+    assert(byPair.values.forall(_.length <= 3), "k is a ceiling")
+    // 2-doc corpus where every draw hits the query or the positive:
+    // all draws drop, honestly short instead of redrawn
+    val tiny = Seq(5L, 6L).toDF("doc_id")
+    val collide = Seq((5L, 6L)).toDF("query_id", "pos_id")
+    assert(Corpus.negativeSample(collide, tiny, k = 4).count() === 0L)
+  }
+
   test("paragraphDedupText is idempotent on its own output") {
     val s = spark
     import s.implicits._

@@ -259,6 +259,31 @@ class GraphSpec extends SparkSpec {
     assert(Graph.assortativityMilli(dup).head().getDouble(1) === -1.0)
   }
 
+  test("resourceAllocationRecs: hand RA weights, hub cap empties the star, ties by id") {
+    // path 1-2-3-4-5: each skip-pair (i, i+2) shares exactly its middle,
+    // every interior degree is 2 -> ra = 500000, cn = 1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.resourceAllocationRecs(path, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got((1L, 1L)) === ((3L, 500000L, 1L)), got.toString)
+    assert(got((3L, 1L)) === ((1L, 500000L, 1L)))
+    assert(got((3L, 2L)) === ((5L, 500000L, 1L)))
+    assert(!got.keySet.map(_._1).contains(2L) || got((2L, 1L)) === ((4L, 500000L, 1L)))
+    // star hub 0, spokes 1..5: every spoke pair scores 1e6/5 through the
+    // hub (TRUE degree in the weight); capping middles at 4 removes the
+    // hub from the wedge step entirely -> no predictions at all
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val full = Graph.resourceAllocationRecs(star, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(full((1L, 1L)) === ((2L, 200000L)), "tie by candidate id")
+    assert(full((1L, 2L)) === ((3L, 200000L)))
+    assert(Graph.resourceAllocationRecs(star, k = 2, maxMiddleDeg = 4L).count() === 0L)
+  }
+
   test("twoHopReach: hand path graph, hub cap suppresses through-hub reach but keeps direct edges") {
     // path 1-2-3-4: reach2(1) = {2,3}, reach2(2) = {1,3,4}
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")

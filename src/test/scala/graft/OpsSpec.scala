@@ -281,6 +281,31 @@ class OpsSpec extends SparkSpec {
     assert(w.head === 1000000L)
   }
 
+  test("rrfFuse: hand RRF math, duplicate posting keeps best rank, ties by doc_id") {
+    val s = spark
+    import s.implicits._
+    val rankings = Seq(
+      // query 1 — source a top-3 (+ a duplicate posting of doc 10 at a
+      // worse rank that must NOT double-vote), source b top-3
+      ("a", 1L, 10L, 1L), ("a", 1L, 11L, 2L), ("a", 1L, 12L, 3L), ("a", 1L, 10L, 5L),
+      ("b", 1L, 11L, 1L), ("b", 1L, 13L, 2L), ("b", 1L, 10L, 3L),
+      // query 2 — two single-source docs with identical fused scores
+      ("a", 2L, 21L, 1L), ("b", 2L, 20L, 1L))
+      .toDF("source", "query_id", "doc_id", "rank")
+    val got = Similarity.rrfFuse(rankings, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // doc11: 1e6/62 + 1e6/61 = 16129 + 16393; doc10: 1e6/61 + 1e6/63
+    assert(got((1L, 1)) === ((11L, 32522L, 2L, 1L)), got.toString)
+    assert(got((1L, 2)) === ((10L, 32266L, 2L, 1L)))
+    assert(got((1L, 3)) === ((13L, 16129L, 1L, 2L)))
+    assert(!got.contains((1L, 4)), "k=3 cuts doc 12")
+    // identical score + n_sources -> doc_id ascending breaks the tie
+    assert(got((2L, 1)) === ((20L, 16393L, 1L, 1L)))
+    assert(got((2L, 2)) === ((21L, 16393L, 1L, 1L)))
+  }
+
   test("retrainIvfIfDrifted: below threshold byte-for-byte no-op; above, store == clean build") {
     val dir = java.nio.file.Files.createTempDirectory("ivfifd").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")

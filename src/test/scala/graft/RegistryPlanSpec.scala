@@ -31,6 +31,7 @@ class RegistryPlanSpec extends SparkSpec {
     */
   private val deliberateBnlj: Set[String] = Set(
     "similarity_topk", // crossJoin(broadcast(query-norms row)) — |queries| rows
+    "search_rrf_hybrid", // dense arm is bruteForceTopK's reviewed |queries|-row broadcast (8 ids); the lexical arm and the fusion are equi-joins/aggregates
     "similarity_topk_debiased", // crossJoin(broadcast(debiased query rows)) — |queries| rows
     // (similarity_topk_mmr's brute pool materializes at construction, so
     // its final plan carries no BNLJ; no allowlist entry needed)

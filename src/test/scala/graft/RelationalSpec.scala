@@ -1340,6 +1340,92 @@ class RelationalSpec extends SparkSpec {
     assert(got("only_a") === ((1L, 0L, None, None)))
   }
 
+  test("Stats.calibrationBins: hand conf/acc/gap, clamping, top-edge bin, empty bins absent") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0.05, false), (0.05, true), (-0.2, false), // bin 0 (clamped negative)
+      (0.25, true),                               // bin 2
+      (0.95, true), (1.0, true))                  // bin 9 (1.0 clamps into the top bin)
+      .toDF("score", "label")
+    val got = graft.ops.Stats.calibrationBins(df, "score", "label", nBins = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    // bin 0: scores {50, 50, 0}, 1 positive -> conf 33, acc 333, gap 300
+    assert(got(0L) === ((0L, 100L, 3L, 1L, 33L, 333L, 300L)), got.toString)
+    assert(got(2L) === ((200L, 300L, 1L, 1L, 250L, 1000L, 750L)))
+    // bin 9: {950, 1000} both positive -> conf 975, acc 1000, gap 25
+    assert(got(9L) === ((900L, 1000L, 2L, 2L, 975L, 1000L, 25L)))
+    assert(got.size === 3, "empty bins produce no rows")
+  }
+
+  test("timeWeightedAvg: hand step weighting, weightless last, endTs horizon, tie order") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("g", 0L, 9.0), ("g", 100L, 100.0), ("g", 101L, 9.0), ("g", 201L, 1.0),
+      ("one", 5L, 7.0),
+      ("tie", 0L, 1.0), ("tie", 0L, 2.0), ("tie", 10L, 3.0))
+      .toDF("k", "t", "v")
+    def asMap(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    val got = asMap(graft.ops.Relational.timeWeightedAvg(df, "k", "t", "v"))
+    // spike of 100 for 1us out of 201us held barely moves the 9-level:
+    // (9000*100 + 100000*1 + 9000*100) div 201 = 9452
+    assert(got("g") === ((4L, 0L, 201L, 201L, Some(9452L))), got.toString)
+    // a single sample holds for no known interval -> null, never a guess
+    assert(got("one") === ((1L, 5L, 5L, 0L, None)))
+    // same-ts ties order by value: only the last of the tie spans forward
+    assert(got("tie") === ((3L, 0L, 10L, 10L, Some(2000L))))
+    // endTs horizon: the last sample holds to the horizon
+    val h = asMap(graft.ops.Relational.timeWeightedAvg(df, "k", "t", "v", endTs = Some(301L)))
+    assert(h("g") === ((4L, 0L, 201L, 301L, Some(2000000L / 301L))))
+    assert(h("one") === ((1L, 5L, 5L, 296L, Some(7000L))))
+    // bucketed face: byte-identical at a bucket width that splits the
+    // series and leaves empty buckets between samples
+    val plain = graft.ops.Relational.timeWeightedAvg(df, "k", "t", "v").collect().toSet
+    val buck = graft.ops.Relational
+      .timeWeightedAvgBucketed(df, "k", "t", "v", bucketUs = 7L).collect().toSet
+    assert(buck === plain)
+    val buckH = graft.ops.Relational
+      .timeWeightedAvgBucketed(df, "k", "t", "v", bucketUs = 7L, endTs = Some(301L))
+      .collect().toSet
+    assert(buckH === graft.ops.Relational
+      .timeWeightedAvg(df, "k", "t", "v", endTs = Some(301L)).collect().toSet)
+  }
+
+  test("Stats.mannKendall: hand S/var18/z2, constant-series null, duplicate periods sum") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("up", 1L, 1.0), ("up", 2L, 2.0), ("up", 3L, 3.0), ("up", 4L, 4.0), ("up", 5L, 5.0),
+      ("down", 1L, 5.0), ("down", 2L, 4.0), ("down", 3L, 3.0), ("down", 4L, 2.0), ("down", 5L, 1.0),
+      ("flat", 1L, 7.0), ("flat", 2L, 7.0), ("flat", 3L, 7.0), ("flat", 4L, 7.0), ("flat", 5L, 7.0),
+      ("dup", 1L, 1.0), ("dup", 1L, 1.0), ("dup", 2L, 3.0),
+      ("wob", 1L, 1.0), ("wob", 2L, 2.0), ("wob", 3L, 1.0))
+      .toDF("grp", "t", "v")
+    val got = graft.ops.Stats.mannKendall(df, "grp", "t", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5),
+        Option(r.get(6)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    // strictly increasing 5-pointer: S = 10, var18 = 5*4*15 = 300,
+    // z2 = 18000*81/300 = 4860 > 3841 -> significant
+    assert(got("up") === ((5L, 10L, 300L, Some(4860L), "up", Some(true))), got.toString)
+    assert(got("down") === ((5L, -10L, 300L, Some(4860L), "down", Some(true))))
+    // constant series: var18 = 300 - 300 = 0 -> not testable, never false
+    assert(got("flat") === ((5L, 0L, 0L, None, "flat", None)))
+    // duplicate rows in period 1 sum to 2000 milli: S = 1, continuity
+    // correction zeroes z2 at |S| = 1
+    assert(got("dup") === ((2L, 1L, 18L, Some(0L), "up", Some(false))))
+    // 1,2,1: +1 and -1 cancel -> S = 0, tie block {1,1} corrects var18
+    assert(got("wob") === ((3L, 0L, 48L, Some(0L), "flat", Some(false))))
+  }
+
   test("Stats.mannWhitneyU: hand U with ties, all-tied null, one-sided group null") {
     val s = spark
     import s.implicits._
@@ -1575,6 +1661,32 @@ class RelationalSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       graft.ops.Stats.corrMatrixMilli(rows, Seq("a")))
     assert(err.getMessage.contains("at least two"))
+  }
+
+  test("Stats.spearmanMatrixMilli: monotone reads 1, outlier-proof, tie midranks, listwise drop") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1.0, 1.0, 8.0, Some(5.0), 7.0),
+      (2.0, 10.0, 6.0, Some(5.0), 7.0),
+      (3.0, 100.0, 4.0, Some(7.0), 7.0),
+      (4.0, 1000.0, -1.0, Some(8.0), 7.0),
+      (5.0, 9999.0, -2.0, Option.empty[Double], 7.0)) // null ANYWHERE drops the row listwise
+      .toDF("a", "expo", "neg", "tied", "const")
+    val got = graft.ops.Stats
+      .spearmanMatrixMilli(rows, Seq("a", "expo", "neg", "tied", "const"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // exponential growth is perfectly monotone: rho = 1 where Pearson < 1
+    assert(got(("a", "expo")) === ((4L, Some(1.0))), got.toString)
+    // the -1000-style outlier can't bend a rank: still exactly -1
+    assert(got(("a", "neg"))._2 === Some(-1.0))
+    // tie block {5, 5} midranks: Pearson((2,4,6,8),(3,3,6,8)) = 18/sqrt(360)
+    assert(got(("a", "tied"))._2 === Some(0.948683))
+    assert(got(("a", "const"))._2 === None, "constant column: no defined rho")
+    assert(got.values.forall(_._1 === 4L), "listwise deletion: every pair sees 4 rows")
   }
 
   test("Stats.benfordAudit: digit extraction across magnitudes, ppm shares, sup deviation") {
