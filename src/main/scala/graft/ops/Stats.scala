@@ -980,12 +980,13 @@ object Stats {
     * Decimal(38) headroom: n·(2000n)² per square sum → n up to ~10¹⁰
     * rows. Output `(col_a, col_b, n, rho_r)`, one row per pair.
     *
-    * Scale shape: one in-plan stack unpivot (k× rows, no join), a
-    * map-side-combinable tie-block aggregate, ONE window over the
-    * distinct-value grain per column, an equi-join back, and a k-column
-    * conditional-agg pivot on the frozen row id — then the
-    * [[corrMatrixMilli]] one-scan kernel. Two shuffles of k× data buy
-    * exact global ranks with no single-partition sort anywhere.
+    * Scale shape: per column, one map-side-combinable tie-block
+    * aggregate off ONE frozen scan, a DISTRIBUTED prefix scan over the
+    * tie blocks ([[graft.ops.Relational.globalCumSum]]: range shuffle +
+    * partition offsets — a near-unique column never lands in one
+    * window partition), and an equi-join of the dr table back on the
+    * value; then the [[corrMatrixMilli]] one-scan kernel. k value-keyed
+    * shuffles of 1× data buy exact global ranks with no hot sort.
     */
   def spearmanMatrixMilli(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"correlation needs at least two columns, got ${cols.size}")
@@ -996,34 +997,25 @@ object Stats {
       unsafe.isEmpty,
       s"spearmanMatrixMilli: column names must match [A-Za-z_][A-Za-z0-9_]* " +
         s"(interpolated into SQL; alias first): ${unsafe.mkString(", ")}")
-    // freeze the row id: rank derivation and the pivot both re-align on
-    // it, and it must not be re-rolled between the two consumers
+    // frozen once: the join spine plus every column's tie-block aggregate
     val milli = df
       .select(cols.map(c => round(col(c).cast("double") * 1000, 0).cast("long").as(c)): _*)
       .na.drop()
-      .withColumn("__rid", monotonically_increasing_id())
       .localCheckpoint()
-    val items = cols.zipWithIndex.map { case (c, i) => s"${i}L, $c" }.mkString(", ")
-    val long = milli.select(col("__rid"), expr(s"stack(${cols.size}, $items) AS (cid, x)"))
-    val wv = Window.partitionBy("cid").orderBy("x")
-    val dr = long
-      .groupBy("cid", "x")
-      .agg(count(lit(1)).cast("long").as("c"))
-      .withColumn(
-        "dr",
-        lit(2L) * coalesce(
-          sum(col("c")).over(wv.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)) + col("c") + 1L)
-      .select("cid", "x", "dr")
-    val wide = long
-      .join(dr, Seq("cid", "x"))
-      .groupBy("__rid")
-      .agg(
-        max(when(col("cid") === 0, col("dr"))).as(cols.head),
-        cols.tail.zipWithIndex.map { case (c, i) =>
-          max(when(col("cid") === (i + 1), col("dr"))).as(c)
-        }: _*)
-    corrMatrixMilli(wide, cols).withColumnRenamed("corr_r", "rho_r")
+    // inclusive cumsum over tie blocks: F = cum - c, dr = 2F + c + 1
+    val ranked = cols.foldLeft(milli) { (acc, c) =>
+      val dr = Relational
+        .globalCumSum(
+          milli.groupBy(col(c)).agg(count(lit(1)).cast("long").as("__c")),
+          Seq(col(c)),
+          "__c",
+          cumCol = "__cum")
+        .select(col(c), (lit(2L) * col("__cum") - col("__c") + 1L).as(s"__dr_$c"))
+      acc.join(dr, Seq(c))
+    }
+    corrMatrixMilli(
+      ranked.select(cols.map(c => col(s"__dr_$c").as(c)): _*),
+      cols).withColumnRenamed("corr_r", "rho_r")
   }
 
   /** Per-group AUTOCORRELATION function (integer-exact moments) — the
@@ -1120,20 +1112,32 @@ object Stats {
     * ~10⁴-10⁵ pair rows per group), ties/count ride two more tiny
     * aggregates off the same checkpointed series.
     */
-  def mannKendall(
+  /** Shared per-(group, period) series reduction of the trend family
+    * ([[mannKendall]], [[theilSenSlope]]): milli values, duplicate rows
+    * per period SUMMED (the count/volume-series default — pass a
+    * pre-aggregated frame for anything else), checkpointed because every
+    * consumer reads it at least twice (pair join both sides + counts).
+    */
+  private def trendSeries(
       df: DataFrame,
       groupCol: String,
       periodCol: String,
-      valueCol: String): DataFrame = {
-    val series = df
-      .filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(valueCol).isNotNull)
+      valueCol: String): DataFrame =
+    df.filter(col(groupCol).isNotNull && col(periodCol).isNotNull && col(valueCol).isNotNull)
       .select(
         col(groupCol).as("grp"),
         col(periodCol).cast("long").as("t"),
         round(col(valueCol).cast("double") * 1000, 0).cast("long").as("x"))
       .groupBy("grp", "t")
       .agg(sum(col("x")).as("x"))
-      .localCheckpoint() // consumers: pair join both sides, n, tie blocks
+      .localCheckpoint()
+
+  def mannKendall(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valueCol: String): DataFrame = {
+    val series = trendSeries(df, groupCol, periodCol, valueCol)
     val s = series.as("l")
       .join(series.as("r"), col("l.grp") === col("r.grp") && col("l.t") < col("r.t"))
       .groupBy(col("l.grp").as("grp"))
@@ -1167,6 +1171,63 @@ object Stats {
           """CASE WHEN __var18 > 0 THEN
             |  (18000 * greatest(abs(__s) - 1, 0) * greatest(abs(__s) - 1, 0)) div __var18 > 3841
             |END""".stripMargin).as("significant"))
+  }
+
+  /** Theil–Sen slope per group — the robust trend MAGNITUDE beside
+    * [[mannKendall]]'s direction/significance: the median of all
+    * pairwise slopes `(x_j − x_i)/(t_j − t_i)`, up to 29% outliers
+    * before it budges (Sen 1968), where [[linearTrend]]'s least squares
+    * chases a single spike. Exact integers: per-pair
+    * `sl = (1000·Δx_milli) div Δt` — micro RAW-value units per period (trunc toward zero, engine-portable),
+    * and the DOUBLED median `med2_slope_micro = sl_⌈n/2⌉ + sl_⌈(n+1)/2⌉`
+    * (the [[mannWhitneyU]] doubling — an even pair count averages two
+    * middles, doubling keeps it integral; halve for the textbook
+    * value). Same series contract as [[mannKendall]] (one value per
+    * (group, period), duplicates summed); groups with a single period
+    * report n_pairs 0 and a null slope. Long headroom: |Δvalue| must stay under ~9·10¹².
+    *
+    * Scale shape: the [[mannKendall]] pair join (quadratic in the
+    * calendar-bounded SERIES, never raw rows), then ONE window over the
+    * pair grain for rank-selection of the median and a per-group fold.
+    */
+  def theilSenSlope(
+      df: DataFrame,
+      groupCol: String,
+      periodCol: String,
+      valueCol: String): DataFrame = {
+    val series = trendSeries(df, groupCol, periodCol, valueCol)
+    val slopes = series.as("l")
+      .join(series.as("r"), col("l.grp") === col("r.grp") && col("l.t") < col("r.t"))
+      .select(
+        col("l.grp").as("grp"),
+        ((col("r.x") - col("l.x")) * lit(1000L)).as("__num"),
+        (col("r.t") - col("l.t")).as("__den"))
+      .select(col("grp"), expr("__num div __den").as("sl"))
+    val cnt = slopes.groupBy("grp").agg(count(lit(1)).cast("long").as("n_pairs"))
+    val ranked = slopes
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("sl"))))
+      .join(cnt, Seq("grp"))
+      // lo == hi for odd counts: the two conditional sums below each pick
+      // the middle once, so the doubled median still counts it twice
+      .withColumn("__lo", expr("(n_pairs + 1) div 2"))
+      .withColumn("__hi", expr("(n_pairs + 2) div 2"))
+      .groupBy("grp")
+      .agg(
+        max(col("n_pairs")).as("n_pairs"),
+        (sum(when(col("rn") === col("__lo"), col("sl"))) +
+          sum(when(col("rn") === col("__hi"), col("sl")))).cast("long").as("med2_slope_micro"))
+    series
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .join(ranked, Seq("grp"), "left")
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("med2_slope_micro"))
   }
 
   /** Calibration (reliability-diagram) bins for a probability-like score

@@ -588,6 +588,15 @@ object GenQueries {
         .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
       graft.ops.Graph.triangleCounts(e)
     },
+    // Watts-Strogatz local clustering per node over the same chord graph:
+    // 2e6*tri div d(d-1) ppm, degree-1 nodes null, triangle-free nodes 0
+    "graph_clustering" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.clusteringCoeff(e)
+    },
     // friend-of-friend link prediction over the same chord graph: top-3
     // non-adjacent nodes per node by common-neighbor count (n+-3 shares
     // two middles, n+-4 one), hub middles capped — all integer, so the
@@ -1296,6 +1305,38 @@ object GenQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY cn DESC, rec) AS rank
         |  FROM bo) t
         |WHERE rank <= 3""".stripMargin,
+    // graph_triangles' oracle chain + degree join + trunc-div ppm
+    "graph_clustering" ->
+      """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e0 AS (SELECT n AS src, n + 1 AS dst FROM k
+        |       UNION ALL SELECT n, n + 2 FROM k),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |        FROM e0 WHERE src <> dst),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        |        GROUP BY 1),
+        |o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+        |                  THEN un.u ELSE un.v END AS a,
+        |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND un.u < un.v)
+        |                  THEN un.v ELSE un.u END AS b
+        |      FROM und un
+        |      JOIN deg du ON du.node = un.u
+        |      JOIN deg dv ON dv.node = un.v),
+        |w AS (SELECT e1.a AS a, e1.b AS w1, e2.b AS w2
+        |      FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b),
+        |t AS (SELECT w.a, w.w1, w.w2
+        |      FROM w JOIN und ON und.u = w.w1 AND und.v = w.w2),
+        |tri AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |  FROM (SELECT a AS node FROM t
+        |        UNION ALL SELECT w1 FROM t
+        |        UNION ALL SELECT w2 FROM t)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.d, CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri,
+        |       CAST(CASE WHEN deg.d >= 2
+        |            THEN (2000000 * COALESCE(tri.n_tri, 0)) // (deg.d * (deg.d - 1))
+        |            END AS BIGINT) AS lcc_ppm
+        |FROM deg LEFT JOIN tri ON tri.node = deg.node""".stripMargin,
     "graph_triangles" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
         |e0 AS (SELECT n AS src, n + 1 AS dst FROM k

@@ -648,6 +648,16 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       Stats.mannKendall(daily, "event_type", "day", "n")
     },
+    // Theil-Sen median pairwise slope over the same daily series: the
+    // robust how-fast next to trend_mk's is-it-drifting, doubled-median
+    // micro units per day-index
+    "events_trend_theilsen" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).cast("long").as("n"))
+      Stats.theilSenSlope(daily, "event_type", "day", "n")
+    },
     // two-sample KS distance between the even/odd user cohorts' value
     // distributions per type — the integer-exact drift monitor (a healthy
     // randomized split should score near zero; the score IS the check)
@@ -2115,6 +2125,33 @@ object RelQueries {
     // milli·us weighting; both Spark faces mirror THIS one SQL
     "events_twap" -> twapSql,
     "events_twap_bucketed" -> twapSql,
+    // pairwise micro slopes (trunc // toward zero both engines), doubled
+    // median by two rank picks so odd counts double the single middle
+    "events_trend_theilsen" ->
+      """WITH srs AS (
+        |  SELECT event_type AS grp, epoch_us(ts) // 86400000000 AS t,
+        |         CAST(COUNT(*) * 1000 AS BIGINT) AS x
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT l.grp, CAST((1000 * (r.x - l.x)) // (r.t - l.t) AS BIGINT) AS sl
+        |  FROM srs l JOIN srs r ON r.grp = l.grp AND l.t < r.t),
+        |cnt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM sl GROUP BY 1),
+        |rk AS (
+        |  SELECT grp, sl, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY sl) AS rn
+        |  FROM sl),
+        |med AS (
+        |  SELECT rk.grp, cnt.n_pairs,
+        |         CAST(SUM(CASE WHEN rn = (n_pairs + 1) // 2 THEN sl END) +
+        |              SUM(CASE WHEN rn = (n_pairs + 2) // 2 THEN sl END) AS BIGINT)
+        |           AS med2_slope_micro
+        |  FROM rk JOIN cnt ON cnt.grp = rk.grp
+        |  GROUP BY 1, 2),
+        |n AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM srs GROUP BY 1)
+        |SELECT n.grp AS event_type, n.n,
+        |       CAST(COALESCE(med.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |       med.med2_slope_micro
+        |FROM n LEFT JOIN med ON med.grp = n.grp""".stripMargin,
     // pairwise sgn sum + tie-corrected var18 + integer z2_milli, token-
     // mirrored from Stats.mannKendall (// == div on the non-negative num)
     "events_trend_mk" ->

@@ -259,6 +259,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.assortativityMilli(dup).head().getDouble(1) === -1.0)
   }
 
+  test("clusteringCoeff: triangle + pendant hand values, degree-1 null, triangle-free 0") {
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoeff(g)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // node 1: deg 3, 1 triangle of 3 possible wedge closures -> 1/3
+    assert(got(1L) === ((3L, 1L, Some(333333L))), got.toString)
+    assert(got(2L) === ((2L, 1L, Some(1000000L))))
+    assert(got(3L) === ((2L, 1L, Some(1000000L))))
+    // pendant: degree 1 has no wedge to close -> null, never a fake 0
+    assert(got(4L) === ((1L, 0L, None)))
+    // path graph: wedges exist but none close -> honest zeros
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = Graph.clusteringCoeff(path).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(p(2L) === Some(0L))
+  }
+
   test("resourceAllocationRecs: hand RA weights, hub cap empties the star, ties by id") {
     // path 1-2-3-4-5: each skip-pair (i, i+2) shares exactly its middle,
     // every interior degree is 2 -> ra = 500000, cn = 1

@@ -1340,6 +1340,32 @@ class RelationalSpec extends SparkSpec {
     assert(got("only_a") === ((1L, 0L, None, None)))
   }
 
+  test("Stats.theilSenSlope: hand medians, outlier resistance, doubled odd/even, single-point null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("lin", 0L, 1.0), ("lin", 1L, 3.0), ("lin", 2L, 5.0),
+      ("out", 0L, 0.0), ("out", 1L, 1.0), ("out", 2L, 2.0), ("out", 3L, 300.0),
+      ("two", 0L, 1.0), ("two", 1L, 4.0),
+      ("one", 0L, 7.0))
+      .toDF("grp", "t", "v")
+    val got = graft.ops.Stats.theilSenSlope(df, "grp", "t", "v")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // perfectly linear slope 2/period: every pair slope 2e6, med2 = 4e6
+    assert(got("lin") === ((3L, 3L, Some(4000000L))), got.toString)
+    // slopes sorted [1e6 x3, 1e8, 1.495e8, 2.98e8]: even count averages
+    // ranks 3 and 4 -> med2 = 1e6 + 1e8 (the spike barely registers;
+    // least squares would be dragged two orders up)
+    assert(got("out") === ((4L, 6L, Some(101000000L))))
+    // a single pair: the one middle counts twice
+    assert(got("two") === ((2L, 1L, Some(6000000L))))
+    // one period: nothing to slope, honest null
+    assert(got("one") === ((1L, 0L, None)))
+  }
+
   test("Stats.calibrationBins: hand conf/acc/gap, clamping, top-edge bin, empty bins absent") {
     val s = spark
     import s.implicits._
