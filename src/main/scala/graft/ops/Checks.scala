@@ -105,6 +105,62 @@ object Checks {
       col("__n").as("n_rows"))
   }
 
+  /** Per-class classification report — precision / recall / F1 for any
+    * (truth, prediction) label pair, the scoreboard every classifier-
+    * shaped operator in the repo (language ID, quality gates, the
+    * linear filter) owes its threshold: per label `tp`, truth/pred
+    * totals, and the three ratios in exact trunc-div ppm — F1 folds to
+    * ONE division, `f1_ppm = (2·10⁶·tp) div (n_truth + n_pred)` (the
+    * 2PR/(P+R) identity: n_truth + n_pred = 2tp + fp + fn), so no
+    * intermediate float ever forms. A label seen only in truth or only
+    * in predictions still reports (full outer over the class axis);
+    * undefined ratios (empty denominator) read null, never a fake 0.
+    * Null truth/prediction rows are EXCLUDED (score what was labeled;
+    * audit nulls with [[audit]]). Output:
+    * `(label, n_truth, n_pred, tp, precision_ppm, recall_ppm, f1_ppm)`.
+    *
+    * Scale shape: one (truth, pred) pair aggregate (map-side combined,
+    * ≤ |classes|² rows survive), folded along each axis — raw rows
+    * shuffle once, everything after is class-grain.
+    */
+  def classificationReport(
+      df: DataFrame,
+      truthCol: String,
+      predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .select(col(truthCol).cast("string").as("t"), col(predCol).cast("string").as("p"))
+      .groupBy("t", "p")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint() // consumers: truth axis, pred axis, diagonal
+    val byTruth = cells.groupBy(col("t").as("label"))
+      .agg(sum(col("n")).cast("long").as("n_truth"))
+    val byPred = cells.groupBy(col("p").as("label"))
+      .agg(sum(col("n")).cast("long").as("n_pred"))
+    val diag = cells
+      .filter(col("t") === col("p"))
+      .select(col("t").as("label"), col("n").as("tp"))
+    byTruth
+      .join(byPred, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .withColumn("n_truth", coalesce(col("n_truth"), lit(0L)))
+      .withColumn("n_pred", coalesce(col("n_pred"), lit(0L)))
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+      .select(
+        col("label"),
+        col("n_truth"),
+        col("n_pred"),
+        col("tp"),
+        expr("CAST(CASE WHEN n_pred > 0 THEN (1000000 * tp) div n_pred END AS BIGINT)")
+          .as("precision_ppm"),
+        expr("CAST(CASE WHEN n_truth > 0 THEN (1000000 * tp) div n_truth END AS BIGINT)")
+          .as("recall_ppm"),
+        expr(
+          """CAST(CASE WHEN n_truth + n_pred > 0
+            |THEN (2000000 * tp) div (n_truth + n_pred) END AS BIGINT)""".stripMargin)
+          .as("f1_ppm"))
+  }
+
   /** Join-key skew profile: the `topK` hottest values of `keyCol` with
     * row counts and integer ppm shares, plus the column's total row and
     * distinct-key counts on every row. This is the measurement step the

@@ -1230,6 +1230,76 @@ object Stats {
         col("med2_slope_micro"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the experimentation workhorse: adjust each variant's metric by a
+    * pre-experiment covariate, `y' = y − θ(x − x̄)`, shrinking metric
+    * variance by the squared pre/post correlation so an A/B test needs
+    * ~1/(1−ρ²) times less traffic. θ is POOLED across variants
+    * (`θ = cov(x,y)/var(x)` over all rows — the standard estimator;
+    * per-variant θ would bias the contrast). Moments are exact
+    * decimal(38,0) over milli values (cast BEFORE the sum, the
+    * [[corrMatrixMilli]] rule); per-variant means ship exact
+    * (trunc-div milli), and the three float readouts — `theta_r`
+    * (round 6), the adjusted mean `mean_adj_milli_r` (round 4), and
+    * `rho2_r` (round 6, the fraction of variance CUPED removes) — are
+    * each written with ONE parenthesization the oracle mirrors
+    * token-for-token. Zero pre-period variance reads null θ/adjusted
+    * (not testable ≠ no effect), with the raw means still reported.
+    *
+    * Scale shape: one map-side-combinable per-variant aggregate + one
+    * 1-row pooled aggregate broadcast back (the [[chiSquareDrift]]
+    * 1-row crossJoin pattern) — raw rows shuffle once.
+    */
+  def cupedAdjust(
+      df: DataFrame,
+      variantCol: String,
+      preCol: String,
+      postCol: String): DataFrame = {
+    val base = df
+      .filter(col(variantCol).isNotNull && col(preCol).isNotNull && col(postCol).isNotNull)
+      .select(
+        col(variantCol).as("grp"),
+        round(col(preCol).cast("double") * 1000, 0).cast("long").as("x"),
+        round(col(postCol).cast("double") * 1000, 0).cast("long").as("y"))
+    val perVariant = base
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx_v"),
+        sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy_v"))
+    val pooled = base.agg(
+      count(lit(1)).cast("long").as("nn"),
+      sum(expr("CAST(x AS DECIMAL(38,0))")).as("sx"),
+      sum(expr("CAST(y AS DECIMAL(38,0))")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+    val theta = "(CAST(nn * sxy - sx * sy AS DOUBLE) / CAST(nn * sxx - sx * sx AS DOUBLE))"
+    val testable = "nn >= 2 AND (nn * sxx - sx * sx) > 0"
+    perVariant
+      .crossJoin(broadcast(pooled))
+      .select(
+        col("grp").as(variantCol),
+        col("n"),
+        expr("CAST(sy_v div n AS BIGINT)").as("mean_post_milli"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN $testable
+             |  THEN CAST(sy_v AS DOUBLE) / n -
+             |       $theta * (CAST(sx_v AS DOUBLE) / n - CAST(sx AS DOUBLE) / nn)
+             |  END, 4) AS DOUBLE)""".stripMargin).as("mean_adj_milli_r"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN $testable THEN $theta END, 6) AS DOUBLE)""".stripMargin)
+          .as("theta_r"),
+        expr(
+          s"""CAST(round(
+             |  CASE WHEN $testable AND (nn * syy - sy * sy) > 0
+             |  THEN (CAST(nn * sxy - sx * sy AS DOUBLE) * CAST(nn * sxy - sx * sy AS DOUBLE)) /
+             |       (CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE))
+             |  END, 6) AS DOUBLE)""".stripMargin).as("rho2_r"))
+  }
+
   /** Calibration (reliability-diagram) bins for a probability-like score
     * against a binary outcome — "when the model says 0.8, does the event
     * happen 80% of the time?", the audit every model-based quality

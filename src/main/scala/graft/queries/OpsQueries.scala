@@ -693,6 +693,15 @@ object OpsQueries {
     "text_repetition" -> { (s, dir) => TextAnalysis.repetition(docs(s, dir)) },
     "text_top_terms" -> { (s, dir) => TextAnalysis.topTerms(docs(s, dir)) },
     "text_langid" -> { (s, dir) => TextAnalysis.langId(docs(s, dir)) },
+    // per-class precision/recall/F1 of the marker-token language ID
+    // against the lang tag — zh has no latin markers, so its rows fall to
+    // the declaration-order tie ('en') and show up as en false positives
+    "text_langid_report" -> { (s, dir) =>
+      graft.ops.Checks.classificationReport(
+        TextAnalysis.langId(docs(s, dir), keepCols = Seq("lang")),
+        truthCol = "lang",
+        predCol = "lang_pred")
+    },
     "text_script" -> { (s, dir) => TextAnalysis.scriptProfile(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
     "events_window_agg" -> { (s, dir) =>
@@ -3424,6 +3433,38 @@ object OpsQueries {
          |SELECT doc_id, s_en, s_de, s_es, s_fr,
          |       $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
+    // langid chain + (truth, pred) cells + per-axis folds; f1 via the
+    // single-division identity 2tp // (n_truth + n_pred)
+    "text_langid_report" ->
+      s"""WITH lt AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang,
+         |  $langScoresSql
+         |  FROM lt),
+         |pr AS (
+         |  SELECT lang AS t, $langCaseSql AS p FROM scored
+         |  WHERE lang IS NOT NULL),
+         |cells AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+         |bt AS (SELECT t AS label, CAST(SUM(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1),
+         |bp AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+         |dg AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
+         |j AS (
+         |  SELECT COALESCE(bt.label, bp.label) AS label,
+         |         COALESCE(bt.n_truth, 0) AS n_truth,
+         |         COALESCE(bp.n_pred, 0) AS n_pred
+         |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label)
+         |SELECT j.label, j.n_truth, j.n_pred,
+         |       CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp,
+         |       CAST(CASE WHEN j.n_pred > 0
+         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_pred END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN j.n_truth > 0
+         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_truth END AS BIGINT) AS recall_ppm,
+         |       CAST(CASE WHEN j.n_truth + j.n_pred > 0
+         |            THEN (2000000 * COALESCE(dg.tp, 0)) // (j.n_truth + j.n_pred) END AS BIGINT) AS f1_ppm
+         |FROM j LEFT JOIN dg ON dg.label = j.label""".stripMargin,
     "text_script" ->
       s"""WITH c AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,

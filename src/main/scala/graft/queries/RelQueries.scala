@@ -648,6 +648,22 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       Stats.mannKendall(daily, "event_type", "day", "n")
     },
+    // CUPED: adjust each cohort's second-half spend by its first-half
+    // covariate — pooled theta, exact decimal moments over per-user
+    // integer milli sums (summed as ints so no float order enters)
+    "events_cuped" -> { (s, dir) =>
+      val byUser = events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull && col("ts_us").isNotNull)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < 19738L, expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+            .otherwise(0L)).cast("long").as("pre"),
+          sum(when(col("day") >= 19738L, expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+            .otherwise(0L)).cast("long").as("post"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      Stats.cupedAdjust(byUser, "variant", "pre", "post")
+    },
     // Theil-Sen median pairwise slope over the same daily series: the
     // robust how-fast next to trend_mk's is-it-drifting, doubled-median
     // micro units per day-index
@@ -2125,6 +2141,47 @@ object RelQueries {
     // milli·us weighting; both Spark faces mirror THIS one SQL
     "events_twap" -> twapSql,
     "events_twap_bucketed" -> twapSql,
+    // per-user integer milli sums -> pooled HUGEINT moments -> the three
+    // token-mirrored float readouts (theta, adjusted mean, rho^2)
+    "events_cuped" -> {
+      val theta = "(CAST(nn * sxy - sx * sy AS DOUBLE) / CAST(nn * sxx - sx * sx AS DOUBLE))"
+      val testable = "nn >= 2 AND (nn * sxx - sx * sx) > 0"
+      s"""WITH bu AS (
+         |  SELECT user_id,
+         |         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 < 19738
+         |                  THEN CAST(round(value * 1000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre,
+         |         CAST(SUM(CASE WHEN epoch_us(ts) // 86400000000 >= 19738
+         |                  THEN CAST(round(value * 1000, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS post
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1),
+         |b AS (SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+         |             pre * 1000 AS x, post * 1000 AS y FROM bu),
+         |pv AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         |              SUM(CAST(x AS HUGEINT)) AS sx_v, SUM(CAST(y AS HUGEINT)) AS sy_v
+         |       FROM b GROUP BY 1),
+         |pl AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         |              SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |              SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |              SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         |              SUM(CAST(y AS HUGEINT) * y) AS syy
+         |       FROM b)
+         |SELECT grp AS variant, n,
+         |       CAST(sy_v // n AS BIGINT) AS mean_post_milli,
+         |       CAST(round(
+         |         CASE WHEN $testable
+         |         THEN CAST(sy_v AS DOUBLE) / n -
+         |              $theta * (CAST(sx_v AS DOUBLE) / n - CAST(sx AS DOUBLE) / nn)
+         |         END, 4) AS DOUBLE) AS mean_adj_milli_r,
+         |       CAST(round(
+         |         CASE WHEN $testable THEN $theta END, 6) AS DOUBLE) AS theta_r,
+         |       CAST(round(
+         |         CASE WHEN $testable AND (nn * syy - sy * sy) > 0
+         |         THEN (CAST(nn * sxy - sx * sy AS DOUBLE) * CAST(nn * sxy - sx * sy AS DOUBLE)) /
+         |              (CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE))
+         |         END, 6) AS DOUBLE) AS rho2_r
+         |FROM pv, pl""".stripMargin
+    },
     // pairwise micro slopes (trunc // toward zero both engines), doubled
     // median by two rank picks so odd counts double the single middle
     "events_trend_theilsen" ->

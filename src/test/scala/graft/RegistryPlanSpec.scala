@@ -57,6 +57,7 @@ class RegistryPlanSpec extends SparkSpec {
     "audit_join_cardinality", // crossJoin(broadcast(1-row grand total))
     "skew_key_profile", // crossJoin(broadcast(1-row totals))
     "stats_chisq_drift", // crossJoin(broadcast(1-row cohort totals))
+    "events_cuped", // crossJoin(broadcast(1-row pooled moments)) onto per-variant rows
     "gen_pareto", // crossJoin(broadcast(1-row revenue total)) onto ten decile rows
     "text_lm_backoff" // crossJoin(broadcast(1-row reference token total))
   )

@@ -1340,6 +1340,61 @@ class RelationalSpec extends SparkSpec {
     assert(got("only_a") === ((1L, 0L, None, None)))
   }
 
+  test("Stats.cupedAdjust: perfectly-correlated covariate equalizes variants, zero-variance null") {
+    val s = spark
+    import s.implicits._
+    // y = 2x exactly: theta = 2, rho2 = 1, and the adjustment moves both
+    // variants' means to the SAME point — the covariate explains the
+    // entire between-variant gap
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0),
+      ("b", 3.0, 6.0), ("b", 4.0, 8.0))
+      .toDF("variant", "pre", "post")
+    val got = graft.ops.Stats.cupedAdjust(df, "variant", "pre", "post")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got("a") === ((2L, 3000L, Some(5000.0), Some(2.0), Some(1.0))), got.toString)
+    assert(got("b") === ((2L, 7000L, Some(5000.0), Some(2.0), Some(1.0))))
+    // constant covariate: theta undefined, raw means still ship
+    val flat = Seq(("a", 5.0, 2.0), ("b", 5.0, 8.0)).toDF("variant", "pre", "post")
+    val f = graft.ops.Stats.cupedAdjust(flat, "variant", "pre", "post")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), Option(r.get(4))))).toMap
+    assert(f("a") === ((2000L, None)))
+    assert(f("b") === ((8000L, None)))
+  }
+
+  test("Checks.classificationReport: hand P/R/F1, truth-only and pred-only labels, null drop") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: 3 truth, 2 tp
+      ("b", "a"),                         // b: 1 truth, 0 tp; a gets an fp
+      ("c", "c"),                         // c: perfect singleton
+      ("d", "a"),                         // d: truth-only label
+      (null.asInstanceOf[String], "a"), ("a", null.asInstanceOf[String])) // dropped
+      .toDF("truth", "pred")
+    val got = graft.ops.Checks.classificationReport(df, "truth", "pred")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // a: truth 3, pred 4 (2 tp + b's and d's misfires), P 500000, R 666666,
+    // F1 = 4e6 // 7 = 571428
+    assert(got("a") === ((3L, 4L, 2L, Some(500000L), Some(666666L), Some(571428L))), got.toString)
+    assert(got("b") === ((1L, 1L, 0L, Some(0L), Some(0L), Some(0L))))
+    assert(got("c") === ((1L, 1L, 1L, Some(1000000L), Some(1000000L), Some(1000000L))))
+    // truth-only label: precision undefined (never predicted), not 0
+    assert(got("d") === ((1L, 0L, 0L, None, Some(0L), Some(0L))))
+    assert(got.size === 4, "null truth/pred rows are excluded")
+  }
+
   test("Stats.theilSenSlope: hand medians, outlier resistance, doubled odd/even, single-point null") {
     val s = spark
     import s.implicits._
