@@ -2192,6 +2192,65 @@ object Similarity {
         expr("CAST((1000000 * __dcg) div __idcg AS BIGINT)").as("ndcg_ppm"))
   }
 
+  /** Simplified (centroid-based) silhouette audit of a flat coarse
+    * quantizer — "how cleanly do the cells separate": per vector,
+    * `a` = squared L2 to its OWN (nearest) centroid and `b` = squared L2
+    * to the runner-up, `s_ppm = 10⁶·(b − a) div max(a, b)` — the
+    * centroid variant of Rousseeuw 1987 (pairwise-mean silhouette is
+    * O(n²); against centroids it is the standard large-scale
+    * simplification, and with own = argmin it reads in [0, 10⁶]: low
+    * mean = blurry cell boundaries, the re-train smell
+    * [[ivfCellDrift]] can't see because populations alone look fine).
+    * Exact integers end-to-end: milli vectors, native long squared
+    * distances ([[graft.functions.SquaredDistanceLong]]), trunc-div
+    * ppm; duplicate centroids that tie a vector at distance 0 read
+    * null (max(a,b) = 0 — degenerate, not "perfectly separated").
+    * Centroids are the FLAT seed (`id < nCentroids`, the
+    * [[ivfFlatTopK]] contract) so the audit is deterministic and
+    * hash-checkable end-to-end. Output per cell:
+    * `(centroid_id, n, mean_s_ppm, min_s_ppm)`.
+    *
+    * Scale shape: one |corpus|·nCentroids broadcast cross join (the
+    * [[ivfFlatTopK]] assign envelope), ONE rank-2 window per vector
+    * over its nCentroids-bounded candidate rows, one map-side cell
+    * aggregate.
+    */
+  def silhouetteAudit(
+      corpus: DataFrame,
+      nCentroids: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nCentroids >= 2, s"silhouette needs >= 2 centroids, got $nCentroids")
+    val c = corpus.select(col(idCol).cast("long").as("vec_id"), milliVec(col(vecCol)).as("vm"))
+    val cents = c
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("vm").as("cm"))
+    val ranked = c
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", graft.functions.functions.l2sq_long(col("vm"), col("cm")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("vec_id")
+            .orderBy(col("d2"), col("centroid_id"))))
+      .filter(col("rn") <= 2)
+    ranked
+      .groupBy("vec_id")
+      .agg(
+        min(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        min(when(col("rn") === 1, col("d2"))).as("a"),
+        min(when(col("rn") === 2, col("d2"))).as("b"))
+      .withColumn(
+        "s_ppm",
+        expr("CAST(CASE WHEN greatest(a, b) > 0 THEN (1000000 * (b - a)) div greatest(a, b) END AS BIGINT)"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        expr("CAST(sum(s_ppm) div count(s_ppm) AS BIGINT)").as("mean_s_ppm"),
+        min(col("s_ppm")).as("min_s_ppm"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: given per-source rankings
     * `(source, query_id, doc_id, rank)`, each document scores

@@ -1230,6 +1230,92 @@ object Stats {
         col("med2_slope_micro"))
   }
 
+  /** Poisson bootstrap confidence interval per group — THE resampling
+    * scheme that works distributed (Chamandy et al., Google 2012;
+    * classic bootstrap needs n draws WITH replacement from n rows — a
+    * global operation — while Poisson(1) weights per (row, replicate)
+    * are embarrassingly row-local and match it asymptotically). Fully
+    * deterministic and engine-portable: replicate r of row id draws
+    * `u = fold8(md5(boot:id:r)) mod 10⁶` and inverts the Poisson(1) CDF
+    * through nine driver-literal ppm thresholds (exact to the printed
+    * digit, no engine RNG or exp() anywhere), so the same CI comes back
+    * on every run, engine, and cluster size. Replicate means are exact
+    * trunc-div milli over decimal(38,0) weighted sums; the 95% interval
+    * is the percentile pick `lo = (m·25) div 1000 + 1`-th /
+    * `hi = m − lo + 1`-th smallest of the m non-degenerate replicate
+    * means (a replicate whose weights all land 0 is dropped, not read
+    * as mean 0). Output:
+    * `(group, n, mean_milli, n_reps, ci_lo_milli, ci_hi_milli)`.
+    *
+    * Scale shape: the explode is the honest bootstrap price — |rows|·reps
+    * probe rows, immediately map-side-combined into ≤ |groups|·reps
+    * aggregate rows; the CI selection is ONE window over that
+    * reps-bounded grain. reps scales the shuffle linearly; 30–50 is the
+    * usual sweet spot.
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      reps: Int = 40): DataFrame = {
+    require(reps >= 8 && reps <= 1000, s"reps must be in [8, 1000], got $reps")
+    // cumulative Poisson(1) ppm: P(X <= k), k = 0..8 (tail above 9 is
+    // < 1.1e-7 — below the ppm grid)
+    val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L,
+      999999L)
+    val fold = (1 to 8)
+      .map(i => s"CAST(locate(substring(__h, $i, 1), '0123456789abcdef') - 1 AS BIGINT)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(
+        col(groupCol).as("grp"),
+        col(idCol).cast("string").as("id"),
+        round(col(valueCol).cast("double") * 1000, 0).cast("long").as("x"))
+      .localCheckpoint() // consumers: the point estimate and the explode
+    val repMeans = base
+      .withColumn("r", explode(array((1 to reps).map(lit): _*)))
+      .withColumn("__h", md5(concat(lit("boot:"), col("id"), lit(":"), col("r").cast("string"))))
+      .withColumn("__u", expr(s"($fold) % 1000000L"))
+      .withColumn("w", cdf.map(t => (col("__u") >= t).cast("long")).reduce(_ + _))
+      .groupBy("grp", "r")
+      .agg(
+        sum(expr("CAST(w AS DECIMAL(38,0)) * x")).as("mw"),
+        sum(col("w")).cast("long").as("ww"))
+      .filter(col("ww") > 0)
+      .select(col("grp"), col("r"), expr("CAST(mw div ww AS BIGINT)").as("m"))
+    val ci = repMeans
+      .withColumn(
+        "rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("grp")
+            .orderBy(col("m"), col("r"))))
+      .join(repMeans.groupBy("grp").agg(count(lit(1)).cast("long").as("n_reps")), Seq("grp"))
+      .withColumn("__lo", expr("(n_reps * 25) div 1000 + 1"))
+      .withColumn("__hi", expr("n_reps - (n_reps * 25) div 1000"))
+      .groupBy("grp")
+      .agg(
+        max(col("n_reps")).as("n_reps"),
+        min(when(col("rn") === col("__lo"), col("m"))).as("ci_lo_milli"),
+        min(when(col("rn") === col("__hi"), col("m"))).as("ci_hi_milli"))
+    base
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0))")).as("__sx"))
+      .withColumn("mean_milli", expr("CAST(__sx div n AS BIGINT)"))
+      .join(ci, Seq("grp"), "left")
+      .select(
+        col("grp").as(groupCol),
+        col("n"),
+        col("mean_milli"),
+        coalesce(col("n_reps"), lit(0L)).as("n_reps"),
+        col("ci_lo_milli"),
+        col("ci_hi_milli"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
     * the experimentation workhorse: adjust each variant's metric by a
     * pre-experiment covariate, `y' = y − θ(x − x̄)`, shrinking metric

@@ -493,6 +493,11 @@ object OpsQueries {
         .select(lit("lex").as("source"), col("query_id"), col("doc_id"), col("rank"))
       Similarity.rrfFuse(dense.unionAll(lex), k = 5)
     },
+    // simplified silhouette over the flat 8-cell quantizer: low mean =
+    // blurry cell boundaries, the retrain smell cell POPULATIONS miss
+    "ann_silhouette" -> { (s, dir) =>
+      Similarity.silhouetteAudit(embs(s, dir), nCentroids = 8)
+    },
     "similarity_topk_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
@@ -2759,6 +2764,38 @@ object OpsQueries {
          |SELECT a.vec_id, a.n_hits, b.best_cosine, CAST(b.best_bench_id AS BIGINT) AS best_bench_id
          |FROM agg a JOIN best b USING (vec_id)""".stripMargin
     },
+    // milli vectors, exact integer squared distances, rank-2 pick per
+    // vector, trunc-div ppm silhouette, per-cell fold
+    "ann_silhouette" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(range(1, 65),
+        |           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, vm AS cm FROM m WHERE vec_id < 8),
+        |d AS (
+        |  SELECT m.vec_id, c.centroid_id,
+        |         CAST(list_sum(list_transform(range(1, 65),
+        |           i -> (m.vm[i] - c.cm[i]) * (m.vm[i] - c.cm[i]))) AS BIGINT) AS d2
+        |  FROM m, cents c),
+        |rk AS (
+        |  SELECT vec_id, centroid_id, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rn
+        |  FROM d),
+        |ab AS (
+        |  SELECT vec_id,
+        |         MIN(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+        |         MIN(CASE WHEN rn = 1 THEN d2 END) AS a,
+        |         MIN(CASE WHEN rn = 2 THEN d2 END) AS b
+        |  FROM rk WHERE rn <= 2 GROUP BY 1),
+        |sv AS (
+        |  SELECT centroid_id,
+        |         CASE WHEN greatest(a, b) > 0
+        |              THEN CAST((1000000 * (b - a)) // greatest(a, b) AS BIGINT) END AS s_ppm
+        |  FROM ab)
+        |SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(s_ppm) // COUNT(s_ppm) AS BIGINT) AS mean_s_ppm,
+        |       CAST(MIN(s_ppm) AS BIGINT) AS min_s_ppm
+        |FROM sv GROUP BY 1""".stripMargin,
     // both rankers mirrored (exact-cosine top-10, distinct-token overlap
     // top-10), then the integer RRF combine: 1000000 // (60 + best rank)
     "search_rrf_hybrid" ->

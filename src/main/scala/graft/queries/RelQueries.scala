@@ -648,6 +648,11 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       Stats.mannKendall(daily, "event_type", "day", "n")
     },
+    // Poisson-bootstrap 95% CI on each type's mean value: deterministic
+    // md5-fold Poisson(1) weights, 40 replicates, percentile picks
+    "events_bootstrap_ci" -> { (s, dir) =>
+      Stats.poissonBootstrap(events(s, dir), "event_type", "value", "event_id", reps = 40)
+    },
     // CUPED: adjust each cohort's second-half spend by its first-half
     // covariate — pooled theta, exact decimal moments over per-user
     // integer milli sums (summed as ints so no float order enters)
@@ -2141,6 +2146,46 @@ object RelQueries {
     // milli·us weighting; both Spark faces mirror THIS one SQL
     "events_twap" -> twapSql,
     "events_twap_bucketed" -> twapSql,
+    // md5 hex fold mod 1e6 -> nine driver-literal Poisson(1) CDF ppm
+    // thresholds -> exact weighted replicate means -> percentile picks
+    "events_bootstrap_ci" -> {
+      val fold = (1 to 8)
+        .map(i => s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)")
+        .reduce((a, b) => s"($a * 16 + $b)")
+      val cdf = Seq(367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999)
+      val w = cdf.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS id,
+         |         CAST(round(value * 1000, 0) AS BIGINT) AS x
+         |  FROM events
+         |  WHERE event_type IS NOT NULL AND value IS NOT NULL AND event_id IS NOT NULL),
+         |pr AS (
+         |  SELECT grp, x, CAST(r AS INT) AS r,
+         |         md5('boot:' || id || ':' || CAST(r AS VARCHAR)) AS h
+         |  FROM b, (SELECT unnest(range(1, 41)) AS r)),
+         |uu AS (SELECT grp, r, x, CAST($fold AS BIGINT) % 1000000 AS u FROM pr),
+         |ww AS (SELECT grp, r, x, CAST($w AS BIGINT) AS w FROM uu),
+         |rm AS (
+         |  SELECT grp, r, CAST(SUM(CAST(w AS HUGEINT) * x) // SUM(w) AS BIGINT) AS m
+         |  FROM ww GROUP BY 1, 2 HAVING SUM(w) > 0),
+         |rk AS (
+         |  SELECT grp, m, r, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m, r) AS rn
+         |  FROM rm),
+         |nr AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_reps FROM rm GROUP BY 1),
+         |ci AS (
+         |  SELECT rk.grp, nr.n_reps,
+         |         MIN(CASE WHEN rn = (n_reps * 25) // 1000 + 1 THEN m END) AS ci_lo_milli,
+         |         MIN(CASE WHEN rn = n_reps - (n_reps * 25) // 1000 THEN m END) AS ci_hi_milli
+         |  FROM rk JOIN nr ON nr.grp = rk.grp GROUP BY 1, 2),
+         |pt AS (
+         |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x AS HUGEINT)) // COUNT(*) AS BIGINT) AS mean_milli
+         |  FROM b GROUP BY 1)
+         |SELECT pt.grp AS event_type, pt.n, pt.mean_milli,
+         |       CAST(COALESCE(ci.n_reps, 0) AS BIGINT) AS n_reps,
+         |       ci.ci_lo_milli, ci.ci_hi_milli
+         |FROM pt LEFT JOIN ci ON ci.grp = pt.grp""".stripMargin
+    },
     // per-user integer milli sums -> pooled HUGEINT moments -> the three
     // token-mirrored float readouts (theta, adjusted mean, rho^2)
     "events_cuped" -> {

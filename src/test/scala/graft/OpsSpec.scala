@@ -281,6 +281,31 @@ class OpsSpec extends SparkSpec {
     assert(w.head === 1000000L)
   }
 
+  test("silhouetteAudit: hand squared-L2 silhouettes, centroid self-rows, degenerate null") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 0f)), // the two flat centroids
+      (2L, Seq(1f, 0f)), (3L, Seq(4f, 0f)), (4L, Seq(10f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.silhouetteAudit(e, nCentroids = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // cell 0 = {0 (s=1e6), 2 (80/81), 3 (20/36)}: mean trunc 847736
+    assert(got(0L) === ((3L, Some(847736L), Some(555555L))), got.toString)
+    // cell 1 = {1 (1e6), 4 (100/101)}: mean trunc 995049
+    assert(got(1L) === ((2L, Some(995049L), Some(990099L))))
+    // every vector at one point: a = b = 0 everywhere -> degenerate null
+    val dup = Seq((0L, Seq(1f, 1f)), (1L, Seq(1f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.silhouetteAudit(dup, nCentroids = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(d(0L) === ((3L, None)), "ties to the lower centroid id, silhouette undefined")
+  }
+
   test("rrfFuse: hand RRF math, duplicate posting keeps best rank, ties by doc_id") {
     val s = spark
     import s.implicits._

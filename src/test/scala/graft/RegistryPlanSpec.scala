@@ -51,6 +51,7 @@ class RegistryPlanSpec extends SparkSpec {
     "ann_recall_audit_ivfpq", // centroid + codebook broadcasts (composed probe) + the same bounded exact-side broadcast (8-id sample)
     "ann_ranking_audit", // centroid broadcast (IVF probe) + the bounded exact-truth-side broadcast (8-id sample)
     "embedding_cell_balance", // centroid broadcast
+    "ann_silhouette", // crossJoin(broadcast(flat centroids)) — nCentroids rows, the ivfFlatTopK assign envelope
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "dedup_setjoin_drift", // crossJoin(broadcast(1-row candidate/prefix counts)) ×4
     "audit_orders", // crossJoin(broadcast(1-row totals summary))

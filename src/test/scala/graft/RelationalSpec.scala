@@ -1340,6 +1340,27 @@ class RelationalSpec extends SparkSpec {
     assert(got("only_a") === ((1L, 0L, None, None)))
   }
 
+  test("Stats.poissonBootstrap: deterministic, exact point estimate, constant values pin the CI") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 60L).map(i => ("g", i, (i % 3 + 1).toDouble)) // values 1,2,3 repeating
+      .toDF("grp", "id", "v")
+    val a = graft.ops.Stats.poissonBootstrap(df, "grp", "v", "id", reps = 40).collect()
+    val b = graft.ops.Stats.poissonBootstrap(df, "grp", "v", "id", reps = 40).collect()
+    assert(a.toSeq === b.toSeq, "two runs must agree byte for byte")
+    val r = a.head
+    assert(r.getLong(1) === 60L)
+    assert(r.getLong(2) === 2000L, "exact unweighted mean")
+    assert(r.getLong(3) === 40L, "no replicate degenerates on 60 rows")
+    val (lo, hi) = (r.getLong(4), r.getLong(5))
+    assert(lo <= hi && lo >= 1000L && hi <= 3000L, s"CI must sit inside the value range, got ($lo, $hi)")
+    assert(lo <= 2000L && hi >= 2000L, "95% interval should straddle the true mean here")
+    // constant metric: every replicate mean is exactly the constant
+    val const = (1L to 30L).map(i => ("c", i, 5.0)).toDF("grp", "id", "v")
+    val c = graft.ops.Stats.poissonBootstrap(const, "grp", "v", "id", reps = 20).collect().head
+    assert((c.getLong(2), c.getLong(4), c.getLong(5)) === ((5000L, 5000L, 5000L)))
+  }
+
   test("Stats.cupedAdjust: perfectly-correlated covariate equalizes variants, zero-variance null") {
     val s = spark
     import s.implicits._
