@@ -345,4 +345,63 @@ object Funnel {
         expr("CAST((1000000 * 2 * (m - rank + 1)) div (m * (m + 1)) AS BIGINT)")
           .as("credit_ppm"))
   }
+
+  /** Market-basket co-occurrence with lift — "users who touched A also
+    * touched B": every unordered item pair's shared-user count and
+    * `lift_milli = (1000·n_ab·N) div (n_a·n_b)` (>1000 = together more
+    * than independence predicts; the association strength behind
+    * recommendations and bundling). The universe is DISTINCT
+    * (user, item) — volume never inflates affinity. Users with more
+    * than `maxUserItems` distinct items are excluded from PAIRING and
+    * from every count (the [[graft.ops.Graph.commonNeighborRecs]] hub
+    * discipline: a do-everything account contributes Σdeg² pair rows
+    * and no signal; the cap is echoed in the output so the exclusion
+    * is auditable, and totals/N stay consistent with the capped
+    * universe so lift remains a probability ratio). Pairs below
+    * `minCount` shared users drop. Output: `(item_a, item_b, n_ab,
+    * n_a, n_b, lift_milli, max_user_items)` with `item_a < item_b`.
+    *
+    * Scale shape: one distinct + per-user count + the user-keyed
+    * self-join bounded by maxUserItems·|rows| pair rows
+    * (map-side-combined per pair), item totals joined back, the
+    * 1-row user total broadcast (the chiSquareDrift crossJoin
+    * pattern).
+    */
+  def coOccurrence(
+      events: DataFrame,
+      userCol: String,
+      itemCol: String,
+      maxUserItems: Long = 64L,
+      minCount: Long = 1L): DataFrame = {
+    require(maxUserItems >= 2, s"maxUserItems must be >= 2, got $maxUserItems")
+    val ui = events
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).cast("long").as("u"), col(itemCol).cast("string").as("i"))
+      .distinct()
+    val kept = ui
+      .join(
+        ui.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") <= maxUserItems)
+          .select("u"),
+        Seq("u"),
+        "left_semi")
+      .localCheckpoint() // consumers: pair join both sides, totals, N
+    val totals = kept.groupBy(col("i")).agg(count(lit(1)).cast("long").as("n_i"))
+    val nUsers = kept.select(col("u")).distinct().agg(count(lit(1)).cast("long").as("nu"))
+    kept.as("l")
+      .join(kept.as("r"), col("l.u") === col("r.u") && col("l.i") < col("r.i"))
+      .groupBy(col("l.i").as("item_a"), col("r.i").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .join(totals.select(col("i").as("item_a"), col("n_i").as("n_a")), Seq("item_a"))
+      .join(totals.select(col("i").as("item_b"), col("n_i").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(
+        col("item_a"),
+        col("item_b"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        expr("CAST((1000 * n_ab * nu) div (n_a * n_b) AS BIGINT)").as("lift_milli"),
+        lit(maxUserItems).as("max_user_items"))
+  }
 }

@@ -1147,6 +1147,110 @@ object Relational {
         (col("__next_start") - col(endCol)).as("gap_len"))
   }
 
+  /** Peak concurrency per key — the sweep-line classic ("how many
+    * sessions/transfers/locks were open at once, and when"): each
+    * interval `[s, e)` contributes a +1 delta at `s` and a −1 at `e`,
+    * the running sum per key is the live count, and the answer is its
+    * maximum with the EARLIEST timestamp attaining it. Half-open
+    * semantics: at equal timestamps the −1 sorts first, so an interval
+    * ending exactly when another starts never counts as overlap (the
+    * [[coalesceIntervals]] abutting rule inverted). Empty/inverted
+    * intervals (`e <= s`) drop. Exact integers throughout. Output:
+    * `(key, n_intervals, peak, peak_ts)`.
+    *
+    * Scale shape: one union (2 rows per interval) + ONE per-key running
+    * window + a struct-argmax aggregate. The window sorts each key's
+    * full delta stream serially — [[maxConcurrencyBucketed]] bounds
+    * that by bucket width for hot keys.
+    */
+  def maxConcurrency(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val iv = intervals
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .filter(col("__e") > col("__s"))
+    val deltas = iv
+      .select(col("__k"), col("__s").as("__t"), lit(1L).as("__d"))
+      .unionAll(iv.select(col("__k"), col("__e").as("__t"), lit(-1L).as("__d")))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__d"))
+    deltas
+      .withColumn(
+        "__run",
+        sum(col("__d")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        expr("count(1) div 2").cast("long").as("n_intervals"),
+        max(struct(col("__run"), (-col("__t")).as("nt"))).as("__best"))
+      .select(
+        col(keyCol),
+        col("n_intervals"),
+        col("__best.__run").cast("long").as("peak"),
+        (-col("__best.nt")).cast("long").as("peak_ts"))
+  }
+
+  /** [[maxConcurrency]] with hot-key serial work bounded by bucket
+    * width — the [[timeWeightedAvgBucketed]] discipline applied to the
+    * sweep line: deltas prefix-sum WITHIN (key, `t div bucketUs`) only,
+    * and each bucket adds the running total of all earlier buckets'
+    * delta sums, computed by one lead-free cumsum window over the
+    * (key, bucket)-grain aggregate (never raw rows). Byte-identical
+    * results (the spec pins equality); a key with a billion deltas
+    * costs max(deltas in one bucket) serial, not a billion.
+    */
+  def maxConcurrencyBucketed(
+      intervals: DataFrame,
+      keyCol: String,
+      startCol: String,
+      endCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be >= 1, got $bucketUs")
+    val iv = intervals
+      .filter(col(keyCol).isNotNull && col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(
+        col(keyCol).as("__k"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e"))
+      .filter(col("__e") > col("__s"))
+    val deltas = iv
+      .select(col("__k"), col("__s").as("__t"), lit(1L).as("__d"))
+      .unionAll(iv.select(col("__k"), col("__e").as("__t"), lit(-1L).as("__d")))
+      .withColumn("__b", expr(s"__t div ${bucketUs}L"))
+      .localCheckpoint() // consumers: in-bucket prefix + bucket offsets
+    val wb = Window.partitionBy("__k", "__b").orderBy(col("__t"), col("__d"))
+    val offsets = deltas
+      .groupBy("__k", "__b")
+      .agg(sum(col("__d")).as("__bd"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum(col("__bd")).over(
+            Window.partitionBy("__k").orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__k", "__b", "__off")
+    deltas
+      .withColumn(
+        "__lrun",
+        sum(col("__d")).over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(offsets, Seq("__k", "__b"))
+      .withColumn("__run", col("__off") + col("__lrun"))
+      .groupBy(col("__k").as(keyCol))
+      .agg(
+        expr("count(1) div 2").cast("long").as("n_intervals"),
+        max(struct(col("__run"), (-col("__t")).as("nt"))).as("__best"))
+      .select(
+        col(keyCol),
+        col("n_intervals"),
+        col("__best.__run").cast("long").as("peak"),
+        (-col("__best.nt")).cast("long").as("peak_ts"))
+  }
+
   /** Time-weighted average per key over an irregularly-sampled STEP
     * series (gauges, prices, config values — anything that HOLDS between
     * observations): each sample weighs `value · (next_ts − ts)`, so a

@@ -1035,6 +1035,32 @@ object RelQueries {
           (col("ts_us") + expr("CAST(round(value * 60000000, 0) AS BIGINT)")).as("e_us"))
       graft.ops.Relational.mergeIntervals(iv, "user_id", "s_us", "e_us", gapUnits = 21600000000L)
     },
+    // sweep-line peak concurrency per type over the same value-minutes
+    // intervals: +-1 deltas, running sum, earliest-peak argmax
+    "events_concurrency" -> { (s, dir) =>
+      val iv = events(s, dir)
+        .select(
+          col("event_type"),
+          col("ts_us").as("s_us"),
+          (col("ts_us") + expr("CAST(round(value * 60000000, 0) AS BIGINT)")).as("e_us"))
+      graft.ops.Relational.maxConcurrency(iv, "event_type", "s_us", "e_us")
+    },
+    // same answer with hot-key serial work bounded by one-hour buckets:
+    // in-bucket prefix sums + bucket-grain offset cumsum
+    "events_concurrency_bucketed" -> { (s, dir) =>
+      val iv = events(s, dir)
+        .select(
+          col("event_type"),
+          col("ts_us").as("s_us"),
+          (col("ts_us") + expr("CAST(round(value * 60000000, 0) AS BIGINT)")).as("e_us"))
+      graft.ops.Relational
+        .maxConcurrencyBucketed(iv, "event_type", "s_us", "e_us", bucketUs = 3600000000L)
+    },
+    // users-who-did-A-also-did-B over distinct (user, type) baskets:
+    // hub-capped pairing, integer lift vs independence
+    "events_cobasket" -> { (s, dir) =>
+      graft.ops.Funnel.coOccurrence(events(s, dir), "user_id", "event_type")
+    },
     // robust outliers: exact median/MAD per lang, integer decision —
     // immune to the very outliers the mean/sigma test is skewed by
     "stats_mad_outliers" -> { (s, dir) =>
@@ -1332,6 +1358,30 @@ object RelQueries {
   // unusable; the O(n^2) prefix fold is exact and fixture-cheap). The
   // `s` field binds BEFORE `k` so it reads the still-old accumulator
   // under struct_pack's let-chaining (the events_cusum lesson).
+  // sweep line: value-minutes intervals, half-open delta ordering,
+  // running concurrency, earliest timestamp attaining the peak
+  private val concurrencySql =
+    """WITH iv AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(round(value * 60000000, 0) AS BIGINT) AS e
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |f AS (SELECT * FROM iv WHERE e > s),
+      |d AS (SELECT k, s AS t, CAST(1 AS BIGINT) AS dd FROM f
+      |      UNION ALL SELECT k, e, -1 FROM f),
+      |r AS (
+      |  SELECT k, t,
+      |         SUM(dd) OVER (PARTITION BY k ORDER BY t, dd
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM d),
+      |best AS (
+      |  SELECT k, run, t, ROW_NUMBER() OVER (PARTITION BY k ORDER BY run DESC, t) AS rn
+      |  FROM r),
+      |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM f GROUP BY 1)
+      |SELECT n.k AS event_type, n.n_intervals,
+      |       CAST(best.run AS BIGINT) AS peak, CAST(best.t AS BIGINT) AS peak_ts
+      |FROM n JOIN best ON best.k = n.k AND best.rn = 1""".stripMargin
+
   // step-series TWAP: LEAD per type (ties by value, matching the Spark
   // window), last sample weightless, trunc-div milli result
   private val twapSql =
@@ -2289,6 +2339,32 @@ object RelQueries {
         |         (18000 * greatest(abs(s) - 1, 0) * greatest(abs(s) - 1, 0)) // var18 > 3841
         |       END AS significant
         |FROM j""".stripMargin,
+    // +-1 deltas (ends sort first at equal t: half-open), running sum per
+    // type, earliest peak; one SQL for both Spark faces
+    "events_concurrency" -> concurrencySql,
+    "events_concurrency_bucketed" -> concurrencySql,
+    // distinct (user, type) -> hub cap semi-join -> per-user pair join ->
+    // integer lift (1000 * n_ab * N) // (n_a * n_b)
+    "events_cobasket" ->
+      """WITH ui AS (
+        |  SELECT DISTINCT CAST(user_id AS BIGINT) AS u, event_type AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |kept AS (
+        |  SELECT ui.* FROM ui
+        |  JOIN (SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 64) ok ON ok.u = ui.u),
+        |tot AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM kept GROUP BY 1),
+        |nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS nu FROM kept),
+        |pr AS (
+        |  SELECT l.i AS item_a, r.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM kept l JOIN kept r ON r.u = l.u AND l.i < r.i
+        |  GROUP BY 1, 2)
+        |SELECT pr.item_a, pr.item_b, pr.n_ab, ta.n_i AS n_a, tb.n_i AS n_b,
+        |       CAST((1000 * pr.n_ab * nu.nu) // (ta.n_i * tb.n_i) AS BIGINT) AS lift_milli,
+        |       CAST(64 AS BIGINT) AS max_user_items
+        |FROM pr
+        |JOIN tot ta ON ta.i = pr.item_a
+        |JOIN tot tb ON tb.i = pr.item_b, nu
+        |WHERE pr.n_ab >= 1""".stripMargin,
     // mirrors Relational.mergeIntervals: running-max island detection over
     // per-user interval rows, islands aggregated; empty intervals dropped
     "events_islands" ->

@@ -59,6 +59,7 @@ class RegistryPlanSpec extends SparkSpec {
     "skew_key_profile", // crossJoin(broadcast(1-row totals))
     "stats_chisq_drift", // crossJoin(broadcast(1-row cohort totals))
     "events_cuped", // crossJoin(broadcast(1-row pooled moments)) onto per-variant rows
+    "events_cobasket", // crossJoin(broadcast(1-row capped-universe user total)) onto item-pair rows
     "gen_pareto", // crossJoin(broadcast(1-row revenue total)) onto ten decile rows
     "text_lm_backoff" // crossJoin(broadcast(1-row reference token total))
   )

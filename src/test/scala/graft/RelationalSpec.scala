@@ -1340,6 +1340,56 @@ class RelationalSpec extends SparkSpec {
     assert(got("only_a") === ((1L, 0L, None, None)))
   }
 
+  test("maxConcurrency: sweep-line peak, abutting intervals never overlap, bucketed identical") {
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      ("g", 0L, 10L), ("g", 5L, 15L), ("g", 10L, 20L), ("g", 12L, 13L),
+      ("h", 5L, 6L),
+      ("z", 9L, 9L)) // empty interval: dropped, key vanishes
+      .toDF("k", "s", "e")
+    val got = graft.ops.Relational.maxConcurrency(iv, "k", "s", "e")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // [0,10) ends exactly when [10,20) starts: the -1 sorts first, so
+    // the peak is 3 (at t=12 when the sliver opens), never 4
+    assert(got("g") === ((4L, 3L, 12L)), got.toString)
+    assert(got("h") === ((1L, 1L, 5L)))
+    assert(!got.contains("z"))
+    val buck = graft.ops.Relational
+      .maxConcurrencyBucketed(iv, "k", "s", "e", bucketUs = 7L).collect().toSet
+    assert(buck === graft.ops.Relational.maxConcurrency(iv, "k", "s", "e").collect().toSet)
+  }
+
+  test("Funnel.coOccurrence: hand lift vs independence, distinct baskets, hub cap") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, "A"), (1L, "B"), (1L, "A"), // duplicate touch: distinct basket
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "A"),
+      (5L, "B"))
+      .toDF("user_id", "item")
+    val got = graft.ops.Funnel.coOccurrence(ev, "user_id", "item")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // N=5, n_A=4, n_B=3, n_C=1: (A,B) lift 1000*2*5/(4*3) = 833 (below
+    // independence), (A,C) 1000*1*5/4 = 1250 (above)
+    assert(got(("A", "B")) === ((2L, 4L, 3L, 833L)), got.toString)
+    assert(got(("A", "C")) === ((1L, 4L, 1L, 1250L)))
+    assert(!got.contains(("B", "C")), "never co-touched")
+    // cap 2: a 3-item user is excluded from pairs AND totals
+    val hub = ev.unionAll(Seq((6L, "A"), (6L, "B"), (6L, "C")).toDF("user_id", "item"))
+    val capped = graft.ops.Funnel.coOccurrence(hub, "user_id", "item", maxUserItems = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped(("A", "B")) === 2L, "the hub user's pairs are suppressed")
+  }
+
   test("Stats.poissonBootstrap: deterministic, exact point estimate, constant values pin the CI") {
     val s = spark
     import s.implicits._
