@@ -126,12 +126,71 @@ object Checks {
   def classificationReport(
       df: DataFrame,
       truthCol: String,
-      predCol: String): DataFrame = {
-    val cells = df
-      .filter(col(truthCol).isNotNull && col(predCol).isNotNull)
+      predCol: String): DataFrame =
+    reportFromCells(confusionCells(df, truthCol, predCol))
+
+  /** The (truth, pred, n) cell aggregate under [[classificationReport]] —
+    * mergeable by plain addition, which is what makes the streaming
+    * store ([[ingestConfusionBatch]]) exact.
+    */
+  private def confusionCells(df: DataFrame, truthCol: String, predCol: String): DataFrame =
+    df.filter(col(truthCol).isNotNull && col(predCol).isNotNull)
       .select(col(truthCol).cast("string").as("t"), col(predCol).cast("string").as("p"))
       .groupBy("t", "p")
       .agg(count(lit(1)).cast("long").as("n"))
+
+  /** Land one micro-batch's confusion cells under a batch-id-keyed
+    * directory — the [[graft.ops.Stats.ingestKmvBatch]] exactly-once
+    * recipe (claim-before-empty, retried batches overwrite themselves);
+    * cells add, so the store folds to the one-pass report with no
+    * history rewrite. Column names pin in params: a stream that switches
+    * label columns mid-flight fails fast instead of silently mixing
+    * matrices.
+    */
+  def ingestConfusionBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      truthCol: String,
+      predCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    StoreLifecycle.claim(
+      spark,
+      path,
+      "cells",
+      batchId,
+      () =>
+        Seq((truthCol, predCol)).toDF("truth_col", "pred_col")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/params"),
+      () => {
+        val p0 = spark.read.parquet(s"$path/params").head
+        require(
+          p0.getString(0) == truthCol && p0.getString(1) == predCol,
+          s"confusion store at $path pins (${p0.getString(0)}, ${p0.getString(1)}), " +
+            s"got ($truthCol, $predCol)")
+      })
+    confusionCells(batch, truthCol, predCol)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/cells/batch_id=$batchId")
+  }
+
+  /** Fold every landed batch's cells into the live per-class report —
+    * by cell additivity exactly [[classificationReport]] over the union
+    * of all ingested batches, reading |batches|·|classes|² cell rows,
+    * never raw data.
+    */
+  def readClassificationReport(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    reportFromCells(
+      spark.read.parquet(s"$path/cells")
+        .groupBy("t", "p")
+        .agg(sum(col("n")).cast("long").as("n")))
+
+  private def reportFromCells(rawCells: DataFrame): DataFrame = {
+    val cells = rawCells
       .localCheckpoint() // consumers: truth axis, pred axis, diagonal
     val byTruth = cells.groupBy(col("t").as("label"))
       .agg(sum(col("n")).cast("long").as("n_truth"))

@@ -707,6 +707,21 @@ object OpsQueries {
         truthCol = "lang",
         predCol = "lang_pred")
     },
+    // the SAME report served from the streaming confusion-cell store:
+    // three batches delivered out of order fold to the one-pass answer
+    // (cell additivity), so this shares text_langid_report's oracle
+    "text_langid_report_streamed" -> { (s, dir) =>
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_confusion_${ProcessHandle.current().pid()}"
+      val scored = TextAnalysis.langId(docs(s, dir), keepCols = Seq("lang"))
+      graft.ops.Checks.ingestConfusionBatch(
+        scored.filter(col("doc_id") % 3 === 1), root, 0L, "lang", "lang_pred")
+      graft.ops.Checks.ingestConfusionBatch(
+        scored.filter(col("doc_id") % 3 === 0), root, 1L, "lang", "lang_pred")
+      graft.ops.Checks.ingestConfusionBatch(
+        scored.filter(col("doc_id") % 3 === 2), root, 2L, "lang", "lang_pred")
+      graft.ops.Checks.readClassificationReport(s, root)
+    },
     "text_script" -> { (s, dir) => TextAnalysis.scriptProfile(docs(s, dir)) },
     "text_tokens" -> { (s, dir) => TextAnalysis.tokenStats(docs(s, dir)) },
     "events_window_agg" -> { (s, dir) =>
@@ -1529,6 +1544,40 @@ object OpsQueries {
       .mkString(" ")
     s"CASE $chain ELSE '${langs.last}' END"
   }
+
+  // langid chain + (truth, pred) cells + per-axis folds; f1 via the
+  // single-division identity 2tp // (n_truth + n_pred) — shared by the
+  // batch query and its streamed twin (cell additivity)
+  private val langidReportSql =
+      s"""WITH lt AS (
+         |  SELECT lang,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+         |  FROM documents),
+         |scored AS (
+         |  SELECT lang,
+         |  $langScoresSql
+         |  FROM lt),
+         |pr AS (
+         |  SELECT lang AS t, $langCaseSql AS p FROM scored
+         |  WHERE lang IS NOT NULL),
+         |cells AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+         |bt AS (SELECT t AS label, CAST(SUM(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1),
+         |bp AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+         |dg AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
+         |j AS (
+         |  SELECT COALESCE(bt.label, bp.label) AS label,
+         |         COALESCE(bt.n_truth, 0) AS n_truth,
+         |         COALESCE(bp.n_pred, 0) AS n_pred
+         |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label)
+         |SELECT j.label, j.n_truth, j.n_pred,
+         |       CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp,
+         |       CAST(CASE WHEN j.n_pred > 0
+         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_pred END AS BIGINT) AS precision_ppm,
+         |       CAST(CASE WHEN j.n_truth > 0
+         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_truth END AS BIGINT) AS recall_ppm,
+         |       CAST(CASE WHEN j.n_truth + j.n_pred > 0
+         |            THEN (2000000 * COALESCE(dg.tp, 0)) // (j.n_truth + j.n_pred) END AS BIGINT) AS f1_ppm
+         |FROM j LEFT JOIN dg ON dg.label = j.label""".stripMargin
 
   /** Shared by `dedup_minhash_lsh` and (as a nested CTE body) by
     * `dedup_clusters`' recursive closure.
@@ -3471,37 +3520,10 @@ object OpsQueries {
          |       $langCaseSql AS lang_pred
          |FROM scored""".stripMargin,
     // langid chain + (truth, pred) cells + per-axis folds; f1 via the
-    // single-division identity 2tp // (n_truth + n_pred)
-    "text_langid_report" ->
-      s"""WITH lt AS (
-         |  SELECT lang,
-         |         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
-         |  FROM documents),
-         |scored AS (
-         |  SELECT lang,
-         |  $langScoresSql
-         |  FROM lt),
-         |pr AS (
-         |  SELECT lang AS t, $langCaseSql AS p FROM scored
-         |  WHERE lang IS NOT NULL),
-         |cells AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
-         |bt AS (SELECT t AS label, CAST(SUM(n) AS BIGINT) AS n_truth FROM cells GROUP BY 1),
-         |bp AS (SELECT p AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
-         |dg AS (SELECT t AS label, n AS tp FROM cells WHERE t = p),
-         |j AS (
-         |  SELECT COALESCE(bt.label, bp.label) AS label,
-         |         COALESCE(bt.n_truth, 0) AS n_truth,
-         |         COALESCE(bp.n_pred, 0) AS n_pred
-         |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label)
-         |SELECT j.label, j.n_truth, j.n_pred,
-         |       CAST(COALESCE(dg.tp, 0) AS BIGINT) AS tp,
-         |       CAST(CASE WHEN j.n_pred > 0
-         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_pred END AS BIGINT) AS precision_ppm,
-         |       CAST(CASE WHEN j.n_truth > 0
-         |            THEN (1000000 * COALESCE(dg.tp, 0)) // j.n_truth END AS BIGINT) AS recall_ppm,
-         |       CAST(CASE WHEN j.n_truth + j.n_pred > 0
-         |            THEN (2000000 * COALESCE(dg.tp, 0)) // (j.n_truth + j.n_pred) END AS BIGINT) AS f1_ppm
-         |FROM j LEFT JOIN dg ON dg.label = j.label""".stripMargin,
+    // single-division identity 2tp // (n_truth + n_pred); the streamed
+    // variant folds its batch cells to the identical answer
+    "text_langid_report" -> langidReportSql,
+    "text_langid_report_streamed" -> langidReportSql,
     "text_script" ->
       s"""WITH c AS (
          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,

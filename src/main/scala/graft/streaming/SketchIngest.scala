@@ -122,6 +122,32 @@ object SketchIngest {
       }
       .start()
 
+  /** Streaming face of the per-class classification report
+    * ([[graft.ops.Checks.classificationReport]]): each micro-batch lands
+    * its own ≤ |classes|²-row confusion-cell table batch-id-keyed
+    * (retried batches overwrite themselves), and
+    * [[graft.ops.Checks.readClassificationReport]] folds the store to
+    * the exact one-pass report — cells are plain-additive, so the
+    * readback equals scoring all ingested rows at once regardless of
+    * arrival order. The always-on model-quality dashboard: a drifting
+    * classifier shows up in per-class recall without ever re-reading
+    * scored history.
+    */
+  def confusionIngest(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      truthCol: String,
+      predCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        graft.ops.Checks.ingestConfusionBatch(batch.toDF(), path, batchId, truthCol, predCol)
+        ()
+      }
+      .start()
+
   /** Streaming face of the EXACT since-launch distinct count
     * ([[graft.ops.Rollup.ingestCumulativeDistinctBatch]]): each
     * micro-batch lands only the ids the stream has never delivered before

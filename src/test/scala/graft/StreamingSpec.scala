@@ -1154,6 +1154,47 @@ class StreamingSpec extends SparkSpec {
     assert(rollup().isEmpty, "stale sketches survived a fresh batch-0 claim")
   }
 
+  test("confusionIngest: folded cells == one-pass report, retry idempotent, columns pinned") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("conf").toString
+    val b1 = Seq(("a", "a"), ("a", "b"), ("b", "b"))
+    val b2 = Seq(("a", "a"), ("b", "a"), ("c", "c"))
+    def addRows(rows: Seq[(String, String)]): Unit =
+      rows.toDF("truth", "pred").write.mode("append").parquet(s"$dir/in")
+    def run(): Unit =
+      graft.streaming.SketchIngest
+        .confusionIngest(
+          spark.readStream.schema("truth STRING, pred STRING").parquet(s"$dir/in"),
+          s"$dir/store",
+          s"$dir/cp",
+          "truth",
+          "pred")
+        .awaitTermination()
+    def report() =
+      graft.ops.Checks.readClassificationReport(spark, s"$dir/store")
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    addRows(b1)
+    run()
+    addRows(b2)
+    run()
+    val want = graft.ops.Checks
+      .classificationReport((b1 ++ b2).toDF("truth", "pred"), "truth", "pred")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val got = report()
+    assert(got === want, s"folded store $got != one-pass $want")
+    // retried batch overwrites its own cells: no double counting
+    graft.ops.Checks.ingestConfusionBatch(
+      b2.toDF("truth", "pred"), s"$dir/store", 1L, "truth", "pred")
+    assert(report() === got, "retried batch must be idempotent")
+    // the store pins the label columns
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Checks.ingestConfusionBatch(
+        b2.toDF("other", "pred"), s"$dir/store", 2L, "other", "pred")
+    }
+    assert(err.getMessage.contains("pins"))
+  }
+
   test("cmsIngest: summed batch counters == one-pass sketch, retry idempotent, depth pinned") {
     val s = spark
     import s.implicits._
