@@ -86,6 +86,107 @@ object Stats {
       .agg(max("tot").cast("long").as("n_rows"), qCols: _*)
   }
 
+  /** Quantile–quantile shift curve between two cohorts — the SHAPE
+    * readout next to [[ksDrift]]'s one-number verdict: per group and
+    * requested percentile, cohort A's and B's exact values and their
+    * difference, so "the median moved 2 points but the p90 moved 40"
+    * is one scan instead of a forensic session. Composes
+    * [[quantilesByGroup]] on each side (integer-valued measures, exact
+    * nearest-rank, bit-identical across engines); groups present in
+    * only one cohort drop (a shift needs both ends — audit presence
+    * with [[welchTTest]]'s full-outer face). Output one row per
+    * (group, p): `(group, n_a, n_b, p, q_a, q_b, shift)`.
+    *
+    * Scale shape: two histogram-compact quantile passes + one
+    * group-keyed join + an in-plan stack unpivot — nothing beyond
+    * [[quantilesByGroup]]'s envelope.
+    */
+  def qqShift(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    val qa = quantilesByGroup(a, groupCol, valueCol, percents)
+      .select(
+        col(groupCol) +: col("n_rows").as("n_a") +:
+          percents.map(p => col(s"p$p").as(s"a_p$p")): _*)
+    val qb = quantilesByGroup(b, groupCol, valueCol, percents)
+      .select(
+        col(groupCol) +: col("n_rows").as("n_b") +:
+          percents.map(p => col(s"p$p").as(s"b_p$p")): _*)
+    val items = percents.map(p => s"${p}L, a_p$p, b_p$p").mkString(", ")
+    qa.join(qb, Seq(groupCol))
+      .select(
+        col(groupCol),
+        col("n_a"),
+        col("n_b"),
+        expr(s"stack(${percents.size}, $items) AS (p, q_a, q_b)"))
+      .withColumn("shift", col("q_b") - col("q_a"))
+  }
+
+  /** Two-proportion z-test per group — "did the conversion rate really
+    * move": cohort success counts against pooled expectation, the
+    * categorical twin of [[welchTTest]]. ENTIRELY integer: the squared
+    * z-statistic has the closed rational form
+    * `z² = (x_a·n_b − x_b·n_a)²·(n_a+n_b) /
+    *       (n_a·n_b·(x_a+x_b)·(n_a+n_b−x_a−x_b))`
+    * (pooled-variance algebra multiplied through), shipped as
+    * `z2_milli = 1000·num div den` over decimal(38,0) — no sqrt, no
+    * float, monotone in |z| so the 5% two-sided cut is
+    * `significant = z2_milli > 3841` (the [[mannKendall]] constant).
+    * Degenerate groups (a side empty, or all-success/all-failure
+    * pooled) read null — "not testable" is not "no lift". Exact
+    * headroom: n⁵ must fit decimal(38) → cohorts to ~10⁷ rows per
+    * group; past that, rates are so precise the test is moot. Output:
+    * `(group, n_a, x_a, n_b, x_b, p_a_ppm, p_b_ppm, z2_milli,
+    * significant)`.
+    *
+    * Scale shape: one map-side-combinable aggregate per cohort + a
+    * ≤|groups|-row full-outer join — raw rows never meet
+    * (the [[chiSquareDrift]] shape).
+    */
+  def twoProportionTest(
+      a: DataFrame,
+      b: DataFrame,
+      groupCol: String,
+      successCol: String): DataFrame = {
+    def m(df: DataFrame, tag: String) =
+      df.filter(col(groupCol).isNotNull && col(successCol).isNotNull)
+        .select(
+          col(groupCol).as("grp"),
+          when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("s"))
+        .groupBy("grp")
+        .agg(
+          count(lit(1)).cast("long").as(s"n_$tag"),
+          sum(col("s")).cast("long").as(s"x_$tag"))
+    val num = "(CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a) * " +
+      "(CAST(x_a AS DECIMAL(38,0)) * n_b - CAST(x_b AS DECIMAL(38,0)) * n_a) * (n_a + n_b)"
+    val den = "CAST(n_a AS DECIMAL(38,0)) * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b)"
+    m(a, "a")
+      .join(m(b, "b"), Seq("grp"), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("x_a", coalesce(col("x_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+      .withColumn("x_b", coalesce(col("x_b"), lit(0L)))
+      .select(
+        col("grp").as(groupCol),
+        col("n_a"),
+        col("x_a"),
+        col("n_b"),
+        col("x_b"),
+        expr("CAST(CASE WHEN n_a > 0 THEN (1000000 * x_a) div n_a END AS BIGINT)")
+          .as("p_a_ppm"),
+        expr("CAST(CASE WHEN n_b > 0 THEN (1000000 * x_b) div n_b END AS BIGINT)")
+          .as("p_b_ppm"),
+        expr(s"CAST(CASE WHEN $den > 0 THEN (1000 * $num) div ($den) END AS BIGINT)")
+          .as("z2_milli"),
+        expr(s"CASE WHEN $den > 0 THEN (1000 * $num) div ($den) > 3841 END")
+          .as("significant"))
+  }
+
   /** Sketch-path quantiles for unbounded/continuous domains where the
     * value histogram of [[quantilesByGroup]] would not compact:
     * `approx_percentile` (Greenwald-Khanna) is a bounded-size mergeable

@@ -690,6 +690,30 @@ object RelQueries {
         "event_type",
         "value")
     },
+    // QQ shift over the same cohorts: WHERE the distribution moved, per
+    // exact decile — the shape readout next to KS's one number
+    "stats_qq_shift" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("v_milli", expr("CAST(round(value * 1000, 0) AS BIGINT)"))
+      Stats.qqShift(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type",
+        "v_milli")
+    },
+    // two-proportion z^2 on a high-value-event rate between the cohorts:
+    // the conversion-lift test, exact rational z^2 in milli
+    "stats_two_proportion" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .withColumn("hit", col("value") >= 100.0)
+      Stats.twoProportionTest(
+        ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1),
+        "event_type",
+        "hit")
+    },
     // Welch's t over the same cohorts: the parametric mean-shift reading
     // next to KS's any-change reading — exact decimal moments, one
     // token-mirrored float conversion for t and the Satterthwaite df
@@ -3020,6 +3044,68 @@ object RelQueries {
         |       CAST(CASE WHEN 1000 * abs(r.x_milli - med.med_milli) > 3000 * mad.mad_milli
         |            THEN 1 ELSE 0 END AS BIGINT) AS outlier
         |FROM r JOIN med ON r.lang = med.lang JOIN mad ON r.lang = mad.lang""".stripMargin,
+    // per-cohort exact nearest-rank deciles (the stats_quantiles chain
+    // twice) joined on the group, unpivoted one row per percentile
+    "stats_qq_shift" -> {
+      val ps = Seq(10, 25, 50, 75, 90)
+      def side(c: Int, tag: String) = {
+        val qcols = ps
+          .map(p =>
+            s"CAST(MIN(CASE WHEN cum * 100 >= tot * $p THEN v END) AS BIGINT) AS ${tag}_p$p")
+          .mkString(",\n  ")
+        s"""h$c AS (SELECT g, v, COUNT(*) AS cnt FROM e WHERE c = $c GROUP BY 1, 2),
+           |c$c AS (
+           |  SELECT g, v,
+           |         SUM(cnt) OVER (PARTITION BY g ORDER BY v
+           |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |         SUM(cnt) OVER (PARTITION BY g) AS tot
+           |  FROM h$c),
+           |q$c AS (
+           |  SELECT g, CAST(MAX(tot) AS BIGINT) AS n_$tag,
+           |  $qcols
+           |  FROM c$c GROUP BY g)""".stripMargin
+      }
+      val rows = ps
+        .map(p =>
+          s"SELECT g AS event_type, n_a, n_b, CAST($p AS BIGINT) AS p, " +
+            s"a_p$p AS q_a, b_p$p AS q_b, b_p$p - a_p$p AS shift FROM j")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(user_id % 2 AS INT) AS c,
+         |         CAST(round(value * 1000, 0) AS BIGINT) AS v
+         |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |${side(0, "a")},
+         |${side(1, "b")},
+         |j AS (SELECT * FROM q0 JOIN q1 USING (g))
+         |$rows""".stripMargin
+    },
+    // pooled-variance z^2 multiplied through to one exact rational:
+    // (x_a*n_b - x_b*n_a)^2*(n_a+n_b) over n_a*n_b*(x)*(n-x), in milli
+    "stats_two_proportion" -> {
+      val num = "(CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) * " +
+        "(CAST(x_a AS HUGEINT) * n_b - CAST(x_b AS HUGEINT) * n_a) * (n_a + n_b)"
+      val den = "CAST(n_a AS HUGEINT) * n_b * (x_a + x_b) * (n_a + n_b - x_a - x_b)"
+      s"""WITH e AS (
+         |  SELECT event_type AS g, CAST(user_id % 2 AS INT) AS c,
+         |         CASE WHEN value >= 100 THEN 1 ELSE 0 END AS s
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+         |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(s) AS BIGINT) AS x_a
+         |      FROM e WHERE c = 0 GROUP BY 1),
+         |b AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(s) AS BIGINT) AS x_b
+         |      FROM e WHERE c = 1 GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(a.g, b.g) AS g,
+         |         COALESCE(n_a, 0) AS n_a, COALESCE(x_a, 0) AS x_a,
+         |         COALESCE(n_b, 0) AS n_b, COALESCE(x_b, 0) AS x_b
+         |  FROM a FULL OUTER JOIN b ON b.g = a.g)
+         |SELECT g AS event_type, n_a, x_a, n_b, x_b,
+         |       CAST(CASE WHEN n_a > 0 THEN (1000000 * x_a) // n_a END AS BIGINT) AS p_a_ppm,
+         |       CAST(CASE WHEN n_b > 0 THEN (1000000 * x_b) // n_b END AS BIGINT) AS p_b_ppm,
+         |       CAST(CASE WHEN $den > 0 THEN (1000 * $num) // ($den) END AS BIGINT) AS z2_milli,
+         |       CASE WHEN $den > 0 THEN (1000 * $num) // ($den) > 3841 END AS significant
+         |FROM j""".stripMargin
+    },
     "stats_quantiles" ->
       """WITH h AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),

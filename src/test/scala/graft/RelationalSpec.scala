@@ -1411,6 +1411,53 @@ class RelationalSpec extends SparkSpec {
     assert((c.getLong(2), c.getLong(4), c.getLong(5)) === ((5000L, 5000L, 5000L)))
   }
 
+  test("Stats.qqShift: hand deciles, uniform +10 shift, one-sided group drops") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 10L).map(v => ("g", v)) :+ (("only_a", 1L))
+    val b = (11L to 20L).map(v => ("g", v))
+    val got = graft.ops.Stats
+      .qqShift(a.toDF("grp", "v"), b.toDF("grp", "v"), "grp", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // nearest-rank deciles of 1..10: p10=1, p25=3, p50=5, p75=8, p90=9;
+    // the b cohort is the same shape shifted +10 everywhere
+    assert(got(("g", 10L)) === ((10L, 10L, 1L, 11L, 10L)), got.toString)
+    assert(got(("g", 25L)) === ((10L, 10L, 3L, 13L, 10L)))
+    assert(got(("g", 50L)) === ((10L, 10L, 5L, 15L, 10L)))
+    assert(got(("g", 75L)) === ((10L, 10L, 8L, 18L, 10L)))
+    assert(got(("g", 90L)) === ((10L, 10L, 9L, 19L, 10L)))
+    assert(!got.keySet.map(_._1).contains("only_a"), "a shift needs both ends")
+  }
+
+  test("Stats.twoProportionTest: hand z^2, significance cut, degenerate nulls") {
+    val s = spark
+    import s.implicits._
+    val a = (1 to 10).map(i => ("g", i <= 3)) ++ (1 to 5).map(_ => ("h", true)) ++
+      Seq(("z", true), ("only_a", true))
+    val b = (1 to 10).map(i => ("g", i <= 7)) ++ (1 to 5).map(_ => ("h", false)) ++
+      Seq(("z", true))
+    val got = graft.ops.Stats
+      .twoProportionTest(a.toDF("grp", "ok"), b.toDF("grp", "ok"), "grp", "ok")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(7)).map(_.asInstanceOf[Long]),
+        Option(r.get(8)).map(_.asInstanceOf[Boolean]))))
+      .toMap
+    // 3/10 vs 7/10: z^2 = 1600*20/10000 = 3.2 — a 40-point swing on 10v10
+    // is NOT significant at 5%
+    assert(got("g") === ((10L, 10L, Some(300000L), Some(3200L), Some(false))), got.toString)
+    // 5/5 vs 0/5: z^2 = 10 — significant
+    assert(got("h") === ((5L, 5L, Some(1000000L), Some(10000L), Some(true))))
+    // pooled all-success: zero pooled variance, not testable
+    assert(got("z")._4 === None)
+    // a group missing from one cohort: never a fabricated verdict
+    assert(got("only_a")._4 === None)
+  }
+
   test("Stats.cupedAdjust: perfectly-correlated covariate equalizes variants, zero-variance null") {
     val s = spark
     import s.implicits._
