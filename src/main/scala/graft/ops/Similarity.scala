@@ -2251,6 +2251,61 @@ object Similarity {
         min(col("s_ppm")).as("min_s_ppm"))
   }
 
+  /** Rank-biased overlap at depth k (Webber, Moffat & Zobel 2010) — "do
+    * two RANKINGS agree", the comparison [[rankingAudit]] can't do
+    * (NDCG needs a relevance truth set; RBO compares two rankers
+    * head-to-head — exact vs probed, yesterday's index vs today's):
+    * `RBO@k = Σ_{d=1..k} (1−p)p^{d−1} · |A_d ∩ B_d| / d`, top-weighted
+    * by the persistence parameter (p = 0.9 ≈ the top 10 carry ~86% of
+    * the weight). Integer-exact by the contribution flip: a doc in
+    * both lists first co-appears at depth `m = max(rank_a, rank_b)`
+    * and contributes `Σ_{d=m..k} w_d/d` — a DRIVER-literal ppm array
+    * indexed by m (BigDecimal-computed, identical in the oracle), so
+    * the whole metric is one equi-join + one map-side aggregate, no
+    * per-depth window. Truncated lower-bound form (mass beyond k
+    * unassigned): identical prefixes read ~p-truncated 10⁶·(1−p^k)
+    * mass, disjoint lists 0. Queries with no shared docs still report
+    * (left join from A's query set). Output:
+    * `(query_id, n_overlap, rbo_ppm)`.
+    */
+  def rankOverlapAudit(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      pMilli: Int = 900): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(pMilli >= 1 && pMilli <= 999, s"pMilli must be in [1, 999], got $pMilli")
+    // W(m) = round(10^6 Σ_{d=m..k} (1-p) p^(d-1) / d), exact BigDecimal
+    val p = BigDecimal(pMilli) / 1000
+    val wd = (1 to k).map(d => (1 - p) * p.pow(d - 1) / d)
+    val wArr = (1 to k)
+      .map(m => (wd.drop(m - 1).sum * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    def side(df: DataFrame, tag: String) =
+      df.filter(col("rank") <= k)
+        .select(
+          col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as(s"rank_$tag"))
+    val matches = side(a, "a")
+      .join(side(b, "b"), Seq("query_id", "neighbor_id"))
+      .select(
+        col("query_id"),
+        element_at(array(wArr.map(lit): _*), greatest(col("rank_a"), col("rank_b")).cast("int"))
+          .as("w"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_overlap"),
+        sum(col("w")).cast("long").as("rbo_ppm"))
+    side(a, "a")
+      .select("query_id")
+      .distinct()
+      .join(matches, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("rbo_ppm"), lit(0L)).as("rbo_ppm"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard hybrid-retrieval combiner: given per-source rankings
     * `(source, query_id, doc_id, rank)`, each document scores

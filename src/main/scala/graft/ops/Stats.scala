@@ -86,6 +86,67 @@ object Stats {
       .agg(max("tot").cast("long").as("n_rows"), qCols: _*)
   }
 
+  /** Cramér's V² — association strength between two CATEGORICAL columns
+    * ("does source determine language?"), the effect size
+    * [[chiSquareDrift]]'s test statistic doesn't give (χ² grows with n;
+    * V² ∈ [0, 1] doesn't): `V² = χ² / (n·min(r−1, c−1))`. Squared form
+    * so everything stays integer — χ² per cell has the exact rational
+    * form `(O·n − r·c)² / (n·r·c)` (expected-count algebra multiplied
+    * through), shipped as per-cell trunc-div milli and summed;
+    * `v2_ppm = 1000·χ²_milli div (n·m)`. A single-level column reads
+    * null V² (no association is measurable), with χ² still reported.
+    * Exact headroom: n⁴ must fit decimal(38) milli → ~10⁸ rows. Output
+    * 1 row: `(n, levels_a, levels_b, chi2_milli, v2_ppm)`.
+    *
+    * Scale shape: one (a, b) cell aggregate (map-side combined,
+    * ≤ r·c rows survive), two level-keyed joins pulling margins onto
+    * cells, the 1-row totals broadcast, one fold.
+    */
+  def cramersV2(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("string").as("a"), col(colB).cast("string").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("o"))
+      .localCheckpoint() // consumers: row margins, col margins, totals, fold
+    val ra = cells.groupBy("a").agg(sum(col("o")).cast("long").as("r"))
+    val cb = cells.groupBy("b").agg(sum(col("o")).cast("long").as("c"))
+    val tot = cells.agg(
+      sum(col("o")).cast("long").as("n"),
+      countDistinct(col("a")).cast("long").as("levels_a"),
+      countDistinct(col("b")).cast("long").as("levels_b"))
+    cells
+      .join(ra, Seq("a"))
+      .join(cb, Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n"),
+        col("levels_a"),
+        col("levels_b"),
+        expr(
+          """(1000 * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c) *
+            |        (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c))
+            |div (CAST(n AS DECIMAL(38,0)) * r * c)""".stripMargin).as("term"),
+        expr("CAST(r AS DECIMAL(38,0)) * c").as("rc"))
+      .groupBy("n", "levels_a", "levels_b")
+      // UNOBSERVED cells still owe their expected mass E = r·c/n: the
+      // closed form Σ_empty E = (n² − Σ_observed r·c)/n avoids ever
+      // materializing the r×c grid
+      .agg(
+        (sum(col("term")) +
+          expr("(1000 * (CAST(n AS DECIMAL(38,0)) * n - sum(rc)) div n)"))
+          .cast("long").as("chi2_milli"))
+      .select(
+        col("n"),
+        col("levels_a"),
+        col("levels_b"),
+        col("chi2_milli"),
+        expr(
+          """CAST(CASE WHEN least(levels_a - 1, levels_b - 1) > 0
+            |THEN (1000 * chi2_milli) div (n * least(levels_a - 1, levels_b - 1))
+            |END AS BIGINT)""".stripMargin).as("v2_ppm"))
+  }
+
   /** Quantile–quantile shift curve between two cohorts — the SHAPE
     * readout next to [[ksDrift]]'s one-number verdict: per group and
     * requested percentile, cohort A's and B's exact values and their

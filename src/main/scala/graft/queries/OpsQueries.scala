@@ -498,6 +498,17 @@ object OpsQueries {
     "ann_silhouette" -> { (s, dir) =>
       Similarity.silhouetteAudit(embs(s, dir), nCentroids = 8)
     },
+    // rank-biased overlap of the pruned IVF-flat ranking against exact
+    // brute force at k=10, p=0.9 — do the two RANKERS agree, no truth
+    // set needed (the head-to-head complement of the recall audit)
+    "ann_rbo_audit" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.rankOverlapAudit(
+        Similarity.ivfFlatTopK(q, e, k = 10),
+        Similarity.bruteForceTopK(q, e, k = 10),
+        k = 10)
+    },
     "similarity_topk_lsh" -> { (s, dir) =>
       val e = embs(s, dir)
       Similarity.signLshTopK(e.filter(col("vec_id") < 8), e, k = 5)
@@ -866,6 +877,12 @@ object OpsQueries {
     // reliability diagram of "stopword density as P(english)" against the
     // actual lang tag: the score is an exact trunc-div milli ratio (so the
     // bin edge never rides a float), 10 equal bins, conf-vs-accuracy gap
+    // Cramer's V^2 between the lang tag and the source id: does source
+    // determine language — effect size, not just a chi^2 that grows
+    // with n; exact per-cell rational milli terms
+    "stats_cramers_v" -> { (s, dir) =>
+      graft.ops.Stats.cramersV2(docs(s, dir), "lang", "source")
+    },
     "quality_calibration" -> { (s, dir) =>
       val tk = TextAnalysis.tokens(col("text"))
       val sm = expr(
@@ -2813,6 +2830,59 @@ object OpsQueries {
          |SELECT a.vec_id, a.n_hits, b.best_cosine, CAST(b.best_bench_id AS BIGINT) AS best_bench_id
          |FROM agg a JOIN best b USING (vec_id)""".stripMargin
     },
+    // both rankers' oracle chains at k=10 + the contribution flip: each
+    // shared doc contributes the driver-literal tail weight W(max rank)
+    "ann_rbo_audit" -> {
+      val p = BigDecimal(900) / 1000
+      val wd = (1 to 10).map(d => (1 - p) * p.pow(d - 1) / d)
+      val wArr = (1 to 10)
+        .map(m =>
+          (wd.drop(m - 1).sum * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+        .mkString(", ")
+      s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+         |asg AS (
+         |  SELECT q.id AS vid, c.id AS cid,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY q.id
+         |           ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rn
+         |  FROM e q JOIN e c ON c.id < 16),
+         |cells AS (SELECT vid, cid FROM asg WHERE rn = 1),
+         |probes AS (SELECT vid AS query_id, cid FROM asg WHERE vid < 8 AND rn <= 4),
+         |iscored AS (
+         |  SELECT p.query_id, m.vid AS neighbor_id,
+         |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+         |  FROM probes p
+         |  JOIN cells m ON p.cid = m.cid AND m.vid <> p.query_id
+         |  JOIN e q ON q.id = p.query_id
+         |  JOIN e c ON c.id = m.vid),
+         |ra AS (
+         |  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank_a FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |    FROM iscored)
+         |  WHERE rank <= 10),
+         |rb AS (
+         |  SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank_b FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.id
+         |             ORDER BY round($dotSql / (q.nrm * c.nrm), 6) DESC, c.id) AS rank
+         |    FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id)
+         |  WHERE rank <= 10),
+         |mt AS (
+         |  SELECT ra.query_id,
+         |         ([$wArr])[CAST(greatest(ra.rank_a, rb.rank_b) AS INT)] AS w
+         |  FROM ra JOIN rb ON rb.query_id = ra.query_id
+         |                 AND rb.neighbor_id = ra.neighbor_id),
+         |agg AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |         CAST(SUM(w) AS BIGINT) AS rbo_ppm
+         |  FROM mt GROUP BY 1)
+         |SELECT qs.query_id,
+         |       CAST(COALESCE(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |       CAST(COALESCE(agg.rbo_ppm, 0) AS BIGINT) AS rbo_ppm
+         |FROM (SELECT DISTINCT query_id FROM ra) qs
+         |LEFT JOIN agg ON agg.query_id = qs.query_id""".stripMargin
+    },
     // milli vectors, exact integer squared distances, rank-2 pick per
     // vector, trunc-div ppm silhouette, per-cell fold
     "ann_silhouette" ->
@@ -3439,6 +3509,38 @@ object OpsQueries {
          |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
          |       CAST(ps[1] - 1 AS BIGINT) AS first_pos
          |FROM hits WHERE len(ps) > 0""".stripMargin,
+    // (O*n - r*c)^2 per-cell rational milli terms over the lang x source
+    // contingency cells, folded; v^2 = 1000*chi2 // (n*min(r-1,c-1))
+    "stats_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |               CAST(COUNT(DISTINCT a) AS BIGINT) AS levels_a,
+        |               CAST(COUNT(DISTINCT b) AS BIGINT) AS levels_b
+        |        FROM cells),
+        |terms AS (
+        |  SELECT tot.n, tot.levels_a, tot.levels_b,
+        |         (1000 * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) *
+        |                 (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+        |           // (CAST(n AS HUGEINT) * r * c) AS term,
+        |         CAST(r AS HUGEINT) * c AS rc
+        |  FROM cells
+        |  JOIN ra ON ra.a = cells.a
+        |  JOIN cb ON cb.b = cells.b, tot),
+        |f AS (
+        |  SELECT n, levels_a, levels_b,
+        |         CAST(SUM(term) +
+        |              (1000 * (CAST(n AS HUGEINT) * n - SUM(rc)) // n) AS BIGINT) AS chi2_milli
+        |  FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, levels_a, levels_b, chi2_milli,
+        |       CAST(CASE WHEN least(levels_a - 1, levels_b - 1) > 0
+        |            THEN (1000 * chi2_milli) // (n * least(levels_a - 1, levels_b - 1))
+        |            END AS BIGINT) AS v2_ppm
+        |FROM f""".stripMargin,
     // integer milli score (1000*stop_hits // n_tokens) -> 10 bins ->
     // conf/acc/gap, every division a trunc-div on non-negative ints
     "quality_calibration" ->

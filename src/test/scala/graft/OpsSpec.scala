@@ -281,6 +281,33 @@ class OpsSpec extends SparkSpec {
     assert(w.head === 1000000L)
   }
 
+  test("rankOverlapAudit: hand RBO weights, identical/partial/disjoint lists, A-only query") {
+    val s = spark
+    import s.implicits._
+    // k=3, p=0.9: w_d = (0.1, 0.045, 0.027); tail weights W(m) =
+    // (172000, 72000, 27000) ppm
+    val a = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L),
+      (2L, 1, 20L), (2L, 2, 21L), (2L, 3, 22L),
+      (3L, 1, 30L), (3L, 2, 31L), (3L, 3, 32L),
+      (4L, 1, 40L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val b = Seq(
+      (1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L), // identical
+      (2L, 1, 21L), (2L, 2, 20L), (2L, 3, 99L), // top-2 swapped
+      (3L, 1, 80L), (3L, 2, 81L), (3L, 3, 82L)) // disjoint
+      .toDF("query_id", "rank", "neighbor_id")
+    val got = Similarity.rankOverlapAudit(a, b, k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === ((3L, 271000L)), got.toString) // full truncated mass
+    // swapped pair: both docs first co-appear at depth 2 -> 2 * 72000
+    assert(got(2L) === ((2L, 144000L)))
+    assert(got(3L) === ((0L, 0L)))
+    assert(got(4L) === ((0L, 0L)), "a query B never ranked still reports")
+  }
+
   test("silhouetteAudit: hand squared-L2 silhouettes, centroid self-rows, degenerate null") {
     val s = spark
     import s.implicits._

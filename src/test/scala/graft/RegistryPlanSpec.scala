@@ -52,6 +52,8 @@ class RegistryPlanSpec extends SparkSpec {
     "ann_ranking_audit", // centroid broadcast (IVF probe) + the bounded exact-truth-side broadcast (8-id sample)
     "embedding_cell_balance", // centroid broadcast
     "ann_silhouette", // crossJoin(broadcast(flat centroids)) — nCentroids rows, the ivfFlatTopK assign envelope
+    "ann_rbo_audit", // both arms are reviewed bounded broadcasts: the flat-centroid assign + bruteForceTopK's |queries|-row (8-id) broadcast
+    "stats_cramers_v", // crossJoin(broadcast(1-row n/levels totals)) onto contingency cells
     "embedding_cell_drift", // centroid broadcast (two epochs)
     "dedup_setjoin_drift", // crossJoin(broadcast(1-row candidate/prefix counts)) ×4
     "audit_orders", // crossJoin(broadcast(1-row totals summary))

@@ -1411,6 +1411,24 @@ class RelationalSpec extends SparkSpec {
     assert((c.getLong(2), c.getLong(4), c.getLong(5)) === ((5000L, 5000L, 5000L)))
   }
 
+  test("Stats.cramersV2: perfect association reads 1e6, independence 0, single-level null") {
+    val s = spark
+    import s.implicits._
+    // perfect 2x2: chi^2 = n = 4 (the two EMPTY cells owe their expected
+    // mass), V^2 = 1
+    val perfect = Seq(("x", "1"), ("x", "1"), ("y", "2"), ("y", "2")).toDF("a", "b")
+    val p = graft.ops.Stats.cramersV2(perfect, "a", "b").head()
+    assert((p.getLong(0), p.getLong(3), p.getLong(4)) === ((4L, 4000L, 1000000L)), p.toString)
+    // uniform independence: every cell exactly at expectation
+    val ind = Seq(("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")).toDF("a", "b")
+    val i = graft.ops.Stats.cramersV2(ind, "a", "b").head()
+    assert((i.getLong(3), i.getLong(4)) === ((0L, 0L)))
+    // a single-level column: association unmeasurable, null not 0
+    val one = Seq(("x", "1"), ("y", "1")).toDF("a", "b")
+    val o = graft.ops.Stats.cramersV2(one, "a", "b").head()
+    assert(o.isNullAt(4) && o.getLong(3) === 0L)
+  }
+
   test("Stats.qqShift: hand deciles, uniform +10 shift, one-sided group drops") {
     val s = spark
     import s.implicits._
