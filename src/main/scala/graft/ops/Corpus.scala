@@ -650,11 +650,7 @@ object Corpus {
       .localCheckpoint() // consumers: the modulus count and the probe join
     val n = ranked.count()
     require(n > 0, "negativeSample: candidate corpus is empty")
-    // each digit long-typed BEFORE the fold: the 8-digit value tops out
-    // at 2^32-1, past 31-bit int arithmetic
-    val digits = (1 to 8)
-      .map(i => s"CAST(locate(substring(__h, $i, 1), '0123456789abcdef') - 1 AS BIGINT)")
-      .reduce((a, b) => s"($a * 16 + $b)")
+    val digits = Relational.md5Fold8Sql("__h")
     pairs
       .select(col(queryCol).cast("long").as("query_id"), col(posCol).cast("long").as("pos_id"))
       .withColumn("j", explode(array((1 to k).map(j => lit(j.toLong)): _*)))

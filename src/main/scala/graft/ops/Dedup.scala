@@ -1657,8 +1657,13 @@ object Dedup {
     requireSetJoinArgs(thresholdMilli, n)
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the full build rewrites df ↔ docs ↔ prefix ↔ params: marker up
+    // before the first overwrite, cleared after the last — a crash
+    // mid-way (new df under old postings) is REFUSED by probes instead
+    // of silently scoring against mixed directories; completing the
+    // build (re-run) resolves a stale marker either way
+    Similarity.markInflight(spark, path, "writeSetJoinIndex")
     Similarity.clearTombstones(spark, path) // full rebuild: stale deletes die
-    Similarity.clearInflight(spark, path) // ...and a stale crash marker resolves
     val tok = setJoinShingles(corpus, n, textCol, idCol)
     val dfs = tok.groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
     dfs.write.mode("overwrite").parquet(s"$path/df")
@@ -1670,6 +1675,7 @@ object Dedup {
       .toDF("threshold_milli", "n")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    Similarity.clearInflight(spark, path)
   }
 
   private def requireSetJoinParams(

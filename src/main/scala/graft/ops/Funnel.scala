@@ -401,7 +401,11 @@ object Funnel {
         col("n_ab"),
         col("n_a"),
         col("n_b"),
-        expr("CAST((1000 * n_ab * nu) div (n_a * n_b) AS BIGINT)").as("lift_milli"),
+        // widened through decimal(38,0) (the chiSquareDrift rule): the
+        // raw BIGINT product 1000·n_ab·nu wraps silently past ~10⁷
+        // distinct users on a hot pair
+        expr("CAST((1000 * CAST(n_ab AS DECIMAL(38,0)) * nu) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_milli"),
         lit(maxUserItems).as("max_user_items"))
   }
 }

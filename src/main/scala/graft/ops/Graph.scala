@@ -414,13 +414,21 @@ object Graph {
     c
   }
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges
+  /** The undirected SIMPLE edge set (`u < v`, self-loops and duplicate
+    * orientations dropped) every structural op normalizes to first — one
+    * definition so the family can never disagree about what "the graph"
+    * is. Callers localCheckpoint when they fan out over it.
+    */
+  private def undirectedEdges(edges: DataFrame): DataFrame =
+    edges
       .select(
         least(col("src").cast("long"), col("dst").cast("long")).as("u"),
         greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = undirectedEdges(edges)
       .localCheckpoint()
     val deg = und
       .select(col("u").as("node"))
@@ -465,12 +473,7 @@ object Graph {
     * nothing new shuffles more than the edge list.
     */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = undirectedEdges(edges)
     val deg = und
       .select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -502,12 +505,7 @@ object Graph {
     * pairs beyond the edge list itself.
     */
   def assortativityMilli(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = undirectedEdges(edges)
       .localCheckpoint() // degree aggregate + the doubled join spine
     val deg = und
       .select(col("u").as("node"))
@@ -559,12 +557,7 @@ object Graph {
     */
   def twoHopReach(edges: DataFrame, maxMiddleDeg: Long = 64L): DataFrame = {
     require(maxMiddleDeg >= 1, s"maxMiddleDeg must be >= 1, got $maxMiddleDeg")
-    val und = edges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = undirectedEdges(edges)
       .localCheckpoint() // adjacency + degree + wedge spine
     val adj = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("d"))
@@ -631,12 +624,7 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxMiddleDeg >= 2, s"maxMiddleDeg must be >= 2, got $maxMiddleDeg")
     import org.apache.spark.sql.expressions.Window
-    val und = edges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = undirectedEdges(edges)
       .localCheckpoint() // consumers: degree, wedge both sides, anti-join
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val middles = sym
@@ -672,12 +660,7 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxMiddleDeg >= 2, s"maxMiddleDeg must be >= 2, got $maxMiddleDeg")
     import org.apache.spark.sql.expressions.Window
-    val und = edges
-      .select(
-        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
-        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val und = undirectedEdges(edges)
       .localCheckpoint() // consumers: degree, wedge both sides, anti-join
     val sym = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
     val middles = sym

@@ -646,6 +646,18 @@ object Relational {
     *
     * Returns probe columns + interval columns, one row per containment.
     */
+  /** SQL folding the first 8 hex digits of an md5 column into a
+    * non-negative BIGINT in [0, 2³²) — the deterministic, engine-portable
+    * uniform draw shared by [[graft.ops.Corpus.negativeSample]] and
+    * [[graft.ops.Stats.poissonBootstrap]]. Each digit is long-typed
+    * BEFORE the fold: the 8-digit value tops out at 2³²−1, past 31-bit
+    * int arithmetic.
+    */
+  private[ops] def md5Fold8Sql(hexCol: String): String =
+    (1 to 8)
+      .map(i => s"CAST(locate(substring($hexCol, $i, 1), '0123456789abcdef') - 1 AS BIGINT)")
+      .reduce((a, b) => s"($a * 16 + $b)")
+
   /** Exact global ranking WITHOUT a single-partition window. A global
     * `row_number() over (order by ...)` forces every row through one
     * partition — the pattern SCALE.md forbids. Instead:

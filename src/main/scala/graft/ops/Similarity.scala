@@ -1079,10 +1079,14 @@ object Similarity {
       vecCol: String): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // a full rebuild REPLACES the index: stale tombstones (and a stale
-    // inflight marker — the rebuild resolves the incident) must die
+    // a full rebuild REPLACES the index and spans several directory
+    // overwrites (tombstones ↔ centroids ↔ cells ↔ params): the inflight
+    // marker covers the whole window — a crash mid-write leaves a store
+    // probes REFUSE instead of silently mis-routing against mixed dirs,
+    // and completing the rebuild (re-run) clears it. Stale tombstones
+    // from a prior generation must not subtract freshly-written vectors.
+    markInflight(spark, path, "writeIvfIndex")
     deleteDir(spark, s"$path/tombstones")
-    clearInflight(spark, path)
     val dim = cents.select(size(col("centroid"))).head().getInt(0)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     flatCells(corpus, cents, idCol, vecCol)
@@ -1094,6 +1098,7 @@ object Similarity {
       .toDF("kind", "n_centroids", "iters", "dim")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    clearInflight(spark, path)
   }
 
   /** (rows, nulls, minDim, maxDim) of a vector column in ONE aggregation
@@ -1446,8 +1451,11 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the full build rewrites every subtree: marker up before the first
+    // overwrite, cleared after the last — a crash mid-way is REFUSED by
+    // probes, never silently probed as new-codes-under-old-codebook
+    markInflight(spark, path, "writeIvfPqIndex")
     deleteDir(spark, s"$path/tombstones")
-    clearInflight(spark, path)
     val cents = ivfCentroids(corpus, nCentroids, iters, idCol, vecCol)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val cb = pqCodebook(corpus, m, dim / m, ksub, idCol, vecCol)
@@ -1467,6 +1475,7 @@ object Similarity {
       .toDF("kind", "n_centroids", "iters", "m", "ksub", "dim")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    clearInflight(spark, path)
   }
 
   /** Cell-routed PQ codes `(vec_id, subspace, code, centroid_id)` — the
@@ -1929,12 +1938,15 @@ object Similarity {
       s"$what: inflation parity is 10^6 ppm; a threshold below it " +
         s"($thresholdPpm) would retrain on noise")
     import spark.implicits._
+    // a crashed store must not be measured — checked BEFORE the idle
+    // early-return, so an unattended loop whose stream went quiet still
+    // hears about the incident instead of reading healthy no-op rows
+    requireNotInflight(spark, path)
     // an idle micro-batch carries no drift signal: report "not measured"
     // and no-op — this face IS the unattended loop's every-batch call
     if (batch.isEmpty)
       return Seq((0L, 0L, 0L, 0L, thresholdPpm, false))
         .toDF("n_batch", "base_err", "batch_err", "inflation_ppm", "threshold_ppm", "retrained")
-    requireNotInflight(spark, path) // a crashed store must not be measured
     val p = spark.read.parquet(s"$path/params").select("m", "ksub", "dim").head()
     val (m, dim) = (p.getInt(0), p.getInt(2))
     val cb = spark.read.parquet(s"$path/codebook")
@@ -3018,9 +3030,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
-    clearInflight(spark, path)
     requirePqDim(corpus, dim, vecCol, "writePqIndex")
+    // full rebuild spans codebook ↔ codes ↔ errbase ↔ params: marker up
+    // before the first overwrite, cleared after the last — a crash
+    // mid-way is refused, never probed as old-codes-under-new-codebook
+    markInflight(spark, path, "writePqIndex")
+    deleteDir(spark, s"$path/tombstones") // full rebuild: stale deletes die
     val cb = pqCodebook(corpus, m, subDim, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     val enc = pqEncode(corpus, cb, m, subDim, idCol, vecCol).localCheckpoint()
@@ -3032,6 +3047,7 @@ object Similarity {
       .toDF("m", "ksub", "dim")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    clearInflight(spark, path)
   }
 
   /** One micro-batch of STREAMING PQ maintenance — the compressed-domain

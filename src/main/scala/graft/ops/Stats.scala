@@ -243,9 +243,10 @@ object Stats {
         expr("CAST(CASE WHEN n_b > 0 THEN (1000000 * x_b) div n_b END AS BIGINT)")
           .as("p_b_ppm"),
         expr(s"CAST(CASE WHEN $den > 0 THEN (1000 * $num) div ($den) END AS BIGINT)")
-          .as("z2_milli"),
-        expr(s"CASE WHEN $den > 0 THEN (1000 * $num) div ($den) > 3841 END")
-          .as("significant"))
+          .as("z2_milli"))
+      // derived from the ONE z2 computation (null z2 -> null verdict),
+      // so the statistic and its cut can never diverge
+      .withColumn("significant", col("z2_milli") > 3841L)
   }
 
   /** Sketch-path quantiles for unbounded/continuous domains where the
@@ -1328,11 +1329,10 @@ object Stats {
             |  (18000 * greatest(abs(__s) - 1, 0) * greatest(abs(__s) - 1, 0)) div __var18
             |END AS BIGINT)""".stripMargin).as("z2_milli"),
         expr("CASE WHEN __s > 0 THEN 'up' WHEN __s < 0 THEN 'down' ELSE 'flat' END")
-          .as("trend"),
-        expr(
-          """CASE WHEN __var18 > 0 THEN
-            |  (18000 * greatest(abs(__s) - 1, 0) * greatest(abs(__s) - 1, 0)) div __var18 > 3841
-            |END""".stripMargin).as("significant"))
+          .as("trend"))
+      // derived from the ONE z2 computation (null z2 -> null verdict),
+      // so the statistic and its cut can never diverge
+      .withColumn("significant", col("z2_milli") > 3841L)
   }
 
   /** Theil–Sen slope per group — the robust trend MAGNITUDE beside
@@ -1426,9 +1426,7 @@ object Stats {
     // < 1.1e-7 — below the ppm grid)
     val cdf = Seq(367879L, 735759L, 919699L, 981012L, 996340L, 999406L, 999917L, 999990L,
       999999L)
-    val fold = (1 to 8)
-      .map(i => s"CAST(locate(substring(__h, $i, 1), '0123456789abcdef') - 1 AS BIGINT)")
-      .reduce((a, b) => s"($a * 16 + $b)")
+    val fold = graft.ops.Relational.md5Fold8Sql("__h")
     val base = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(
