@@ -427,6 +427,82 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
 
+  /** Per-EDGE triangle support over an undirected simple graph — each
+    * triangle credits its three edges once; edges in no triangle report
+    * 0 (left join, never dropped). The edge-grain complement of
+    * [[triangleCounts]]' node credit and the inner step of [[kTruss]].
+    * Input must already be (u < v)-normalized distinct edges (the
+    * [[kTruss]] loop calls this per round on its surviving set).
+    */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val deg = und
+      .select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v"))
+          .as("a"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u"))
+          .as("b"))
+      .localCheckpoint()
+    val tri = oriented
+      .select(col("a"), col("b").as("w1"))
+      .join(oriented.select(col("a"), col("b").as("w2")), Seq("a"))
+      .filter(col("w1") < col("w2"))
+      .join(und, col("u") === col("w1") && col("v") === col("w2"))
+      .select("a", "w1", "w2")
+    val credits = tri.select(
+      explode(
+        array(
+          struct(least(col("a"), col("w1")).as("u"), greatest(col("a"), col("w1")).as("v")),
+          struct(least(col("a"), col("w2")).as("u"), greatest(col("a"), col("w2")).as("v")),
+          struct(col("w1").as("u"), col("w2").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).cast("long").as("support"))
+    und.join(credits, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** k-truss (Cohen 2008) — the cohesive-subgraph workhorse between
+    * "connected" (too loose) and "clique" (too strict): the maximal
+    * subgraph where EVERY edge sits in ≥ k−2 triangles of the subgraph
+    * itself. Computed by the standard peel: drop under-supported edges,
+    * recount support on the survivors (removals cascade — a triangle
+    * dies with any of its edges), repeat. `rounds` is FIXED (no
+    * data-dependent early exit), so the result is deterministic and the
+    * oracle unrolls the same count; the peel is monotone, so extra
+    * rounds past the fixpoint are no-ops and too few rounds yield a
+    * documented superset ("k-truss after `rounds` peels"). Most graphs
+    * converge in a handful of rounds; raise `rounds` for adversarial
+    * chains. Output: the surviving edges with their FINAL recounted
+    * support (≥ k−2 only at the fixpoint).
+    *
+    * Scale shape: `rounds`+1 [[edgeSupport]] passes, each the
+    * [[triangleCounts]] wedge join (Σ min-degree-bounded) over a
+    * shrinking edge set, each round's survivors localCheckpointed (the
+    * [[pageRankMilli]] iterative discipline — round N never re-evaluates
+    * rounds 1..N−1).
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 is every edge), got $k")
+    require(rounds >= 1 && rounds <= 20, s"rounds must be in [1, 20], got $rounds")
+    var cur = undirectedEdges(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      cur = edgeSupport(cur)
+        .filter(col("support") >= (k - 2).toLong)
+        .select("u", "v")
+        .localCheckpoint()
+    }
+    edgeSupport(cur).withColumn("k", lit(k.toLong))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = undirectedEdges(edges)
       .localCheckpoint()

@@ -588,6 +588,15 @@ object GenQueries {
         .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
       graft.ops.Graph.triangleCounts(e)
     },
+    // 3-truss of the chord graph after 2 peel rounds: edges outside any
+    // triangle die, survivors report their recounted support
+    "graph_ktruss" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.kTruss(e, k = 3, rounds = 2)
+    },
     // Watts-Strogatz local clustering per node over the same chord graph:
     // 2e6*tri div d(d-1) ppm, degree-1 nodes null, triangle-free nodes 0
     "graph_clustering" -> { (s, dir) =>
@@ -1305,6 +1314,44 @@ object GenQueries {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY node ORDER BY cn DESC, rec) AS rank
         |  FROM bo) t
         |WHERE rank <= 3""".stripMargin,
+    // 2 unrolled peel rounds + a final support recount, each round the
+    // graph_triangles chain with per-EDGE credit
+    "graph_ktruss" -> {
+      val kk = 3
+      def sup(i: Int, src: String) =
+        s"""dg$i AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+           |        FROM (SELECT u AS node FROM $src UNION ALL SELECT v FROM $src)
+           |        GROUP BY 1),
+           |o$i AS MATERIALIZED (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+           |                    THEN e.u ELSE e.v END AS a,
+           |               CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+           |                    THEN e.v ELSE e.u END AS b
+           |        FROM $src e
+           |        JOIN dg$i du ON du.node = e.u
+           |        JOIN dg$i dv ON dv.node = e.v),
+           |t$i AS MATERIALIZED (SELECT w.a, w.w1, w.w2 FROM (
+           |          SELECT e1.a, e1.b AS w1, e2.b AS w2
+           |          FROM o$i e1 JOIN o$i e2 ON e1.a = e2.a AND e1.b < e2.b) w
+           |        JOIN $src s ON s.u = w.w1 AND s.v = w.w2),
+           |cr$i AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+           |           SELECT least(a, w1) AS u, greatest(a, w1) AS v FROM t$i
+           |           UNION ALL SELECT least(a, w2), greatest(a, w2) FROM t$i
+           |           UNION ALL SELECT w1, w2 FROM t$i)
+           |         GROUP BY 1, 2),
+           |s$i AS MATERIALIZED (SELECT e.u, e.v, CAST(COALESCE(cr$i.support, 0) AS BIGINT) AS support
+           |        FROM $src e LEFT JOIN cr$i ON cr$i.u = e.u AND cr$i.v = e.v)""".stripMargin
+      s"""WITH kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+         |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys
+         |        UNION ALL SELECT n, n + 2 FROM kys),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |       FROM e00 WHERE src <> dst),
+         |${sup(1, "e0")},
+         |e1 AS MATERIALIZED (SELECT u, v FROM s1 WHERE support >= ${kk - 2}),
+         |${sup(2, "e1")},
+         |e2 AS MATERIALIZED (SELECT u, v FROM s2 WHERE support >= ${kk - 2}),
+         |${sup(3, "e2")}
+         |SELECT u, v, support, CAST($kk AS BIGINT) AS k FROM s3""".stripMargin
+    },
     // graph_triangles' oracle chain + degree join + trunc-div ppm
     "graph_clustering" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),

@@ -259,6 +259,24 @@ class GraphSpec extends SparkSpec {
     assert(Graph.assortativityMilli(dup).head().getDouble(1) === -1.0)
   }
 
+  test("kTruss: K4 survives, pendant peels, shared-edge cascade under fixed rounds") {
+    // K4 on {1,2,3,4} + pendant (4,5): every K4 edge sits in 2 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kTruss(k4, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 6, got.toString)
+    assert(got.values.forall(_ === 2L), "K4: every surviving edge in 2 triangles")
+    assert(!got.contains((4L, 5L)), "the pendant peels in round 1")
+    // bowtie cascade: two triangles share (2,3); k=4 kills the outer
+    // edges round 1, which kills (2,3)'s triangles — round 2 peels it
+    val bow = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val r1 = Graph.kTruss(bow, k = 4, rounds = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(r1.toSeq === Seq(((2L, 3L), 0L)), "after 1 round only the shared edge remains, support recounted to 0")
+    assert(Graph.kTruss(bow, k = 4, rounds = 2).count() === 0L, "round 2 finishes the cascade")
+  }
+
   test("clusteringCoeff: triangle + pendant hand values, degree-1 null, triangle-free 0") {
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
     val got = Graph.clusteringCoeff(g)
