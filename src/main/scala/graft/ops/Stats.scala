@@ -200,8 +200,8 @@ object Stats {
     * `significant = z2_milli > 3841` (the [[mannKendall]] constant).
     * Degenerate groups (a side empty, or all-success/all-failure
     * pooled) read null — "not testable" is not "no lift". Exact
-    * headroom: n⁵ must fit decimal(38) → cohorts to ~10⁷ rows per
-    * group; past that, rates are so precise the test is moot. Output:
+    * headroom: 1000·n⁵ must fit decimal(38) → cohorts to ~3·10⁶ rows
+    * per group; past that, rates are so precise the test is moot. Output:
     * `(group, n_a, x_a, n_b, x_b, p_a_ppm, p_b_ppm, z2_milli,
     * significant)`.
     *

@@ -550,9 +550,12 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tk = tokens(col(textCol))
+    // coalesce to '': Spark's legacy size(null) = -1 would otherwise ship
+    // a negative n_words for a null text instead of the honest zero-counts
+    val safe = coalesce(col(textCol), lit(""))
+    val tk = tokens(safe)
     val w0 = size(tk).cast("long")
-    val s0 = size(regexp_extract_all(lower(col(textCol)), lit("[.!?]+"), lit(0))).cast("long")
+    val s0 = size(regexp_extract_all(lower(safe), lit("[.!?]+"), lit(0))).cast("long")
     val syl = aggregate(
       tk,
       lit(0L),

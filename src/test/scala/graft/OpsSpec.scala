@@ -924,7 +924,9 @@ class OpsSpec extends SparkSpec {
       // no terminator: sentences clamps to 1; "audio" = au+io = 2 groups
       (2L, "audio video"),
       // empty text: all counts 0, flesch = 206835 under the clamps
-      (3L, ""))
+      (3L, ""),
+      // null text reads as empty (never size(null) = -1 word counts)
+      (4L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val got = graft.ops.TextAnalysis.readability(docs)
       .collect()
@@ -936,6 +938,7 @@ class OpsSpec extends SparkSpec {
     // 206835 - 2030 - (84600*4) div 2
     assert(got(2L) === ((2L, 0L, 4L, 206835L - 2030L - 169200L)))
     assert(got(3L) === ((0L, 0L, 0L, 206835L)))
+    assert(got(4L) === ((0L, 0L, 0L, 206835L)))
   }
 
   test("keyphrases: hand RAKE scores, dup-phrase collapse, over-long run dropped, singletons") {
