@@ -315,4 +315,48 @@ object Anomaly {
     seasonalDecompose(series, keyCol, periodCol, valCol, detected)
       .withColumn("season_len", lit(detected.toLong))
   }
+
+  /** Seasonal-adjusted anomaly flags — the composition a raw-count
+    * monitor gets wrong twice: [[countAnomalies]]' trailing sigma fires
+    * on every daily peak (seasonality IS deviation to a flat baseline),
+    * and a mean/sigma test is skewed by the very outliers it hunts.
+    * This runs [[seasonalDecompose]] first (trend + seasonal removed),
+    * then [[graft.ops.Stats.madOutliers]] per key on the RESIDUALS —
+    * median/MAD, so a fat-fingered 100× hour can't hide itself by
+    * inflating the threshold. Edge periods with no defined trend (the
+    * centered-MA window) carry no residual and are excluded — honest
+    * "not scoreable", not silent normals. Output one row per scoreable
+    * (key, period): `(key, p, residual_milli, med_milli, mad_milli,
+    * outlier)`.
+    *
+    * Scale shape: [[seasonalDecompose]]'s series-grain window + phase
+    * aggregate, then [[graft.ops.Stats.madOutliers]]' histogram-compact
+    * exact medians over the same series grain — nothing touches raw
+    * events beyond the caller's counting aggregate.
+    */
+  def seasonalOutliers(
+      counted: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valCol: String,
+      seasonLen: Int = 24,
+      kMilli: Long = 3000L): DataFrame = {
+    val res = seasonalDecompose(counted, keyCol, periodCol, valCol, seasonLen)
+      .filter(col("residual_milli").isNotNull)
+      // madOutliers re-millis its value column; feeding residual/1000
+      // makes its x_milli EXACTLY the residual (|res| ≪ 2^52, so the
+      // double round-trip is lossless)
+      .select(
+        col(keyCol),
+        col("p"),
+        (col("residual_milli").cast("double") / 1000.0).as("__res"))
+    Stats.madOutliers(res, keyCol, "__res", idCol = "p", kMilli = kMilli)
+      .select(
+        col(keyCol),
+        col("p"),
+        col("x_milli").as("residual_milli"),
+        col("med_milli"),
+        col("mad_milli"),
+        col("outlier"))
+  }
 }

@@ -788,6 +788,15 @@ object RelQueries {
         .agg(count(lit(1)).cast("long").as("n"))
       graft.ops.Anomaly.seasonalDecompose(hourly, "event_type", "p", "n", seasonLen = 24)
     },
+    // deseasonalize, THEN flag: median/MAD on the residuals, so the daily
+    // cycle stops tripping the alarm and an outlier can't inflate its
+    // own threshold
+    "events_seasonal_outliers" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(expr("ts_us div 3600000000").cast("long").as("p"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      graft.ops.Anomaly.seasonalOutliers(hourly, "event_type", "p", "n", seasonLen = 24)
+    },
     // the ACF→decompose composition, auto-tuned: a planted hour-of-day
     // sawtooth (count + (hour%24)*5 — the deterministic cycle fixture)
     // peaks the cross-key ACF score at lag 24 at every sf, so the
@@ -2598,6 +2607,56 @@ object RelQueries {
         |FROM d""".stripMargin,
     // mirrors Anomaly.seasonalDecompose: 25-row centered MA (null unless
     // complete), trunc-div seasonal means per hour-of-day phase
+    // the events_seasonal residual chain, then the mad-outlier chain on
+    // the residuals (group = type, id = period)
+    "events_seasonal_outliers" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS p, event_type AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT k, CAST(p AS BIGINT) AS p, n * 1000 AS xm FROM c),
+        |t AS (
+        |  SELECT k, p, xm, COUNT(*) OVER w AS cnt, SUM(xm) OVER w AS s
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY k ORDER BY p ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |tr AS (SELECT k, p, xm, CASE WHEN cnt = 25 THEN s // cnt END AS trend FROM t),
+        |se AS (
+        |  SELECT k, p % 24 AS ph, CAST(SUM(xm - trend) // COUNT(*) AS BIGINT) AS seasonal
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT tr.k, tr.p, CAST(tr.xm - tr.trend - se.seasonal AS BIGINT) AS x_milli
+        |  FROM tr LEFT JOIN se ON se.k = tr.k AND se.ph = tr.p % 24
+        |  WHERE tr.xm - tr.trend - se.seasonal IS NOT NULL),
+        |h AS (SELECT k, x_milli, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT k, x_milli,
+        |         SUM(cnt) OVER (PARTITION BY k ORDER BY x_milli
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY k) AS tot
+        |  FROM h),
+        |med AS (
+        |  SELECT k,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN x_milli END) AS BIGINT) AS med_milli
+        |  FROM cc GROUP BY 1),
+        |dv AS (
+        |  SELECT r.k, abs(r.x_milli - med.med_milli) AS adev
+        |  FROM r JOIN med ON r.k = med.k),
+        |h2 AS (SELECT k, adev, COUNT(*) AS cnt FROM dv GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT k, adev,
+        |         SUM(cnt) OVER (PARTITION BY k ORDER BY adev
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY k) AS tot
+        |  FROM h2),
+        |mad AS (
+        |  SELECT k,
+        |         CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN adev END) AS BIGINT) AS mad_milli
+        |  FROM c2 GROUP BY 1)
+        |SELECT r.k AS event_type, r.p, r.x_milli AS residual_milli,
+        |       med.med_milli, mad.mad_milli,
+        |       CAST(CASE WHEN 1000 * abs(r.x_milli - med.med_milli) > 3000 * mad.mad_milli
+        |            THEN 1 ELSE 0 END AS BIGINT) AS outlier
+        |FROM r JOIN med ON r.k = med.k JOIN mad ON r.k = mad.k""".stripMargin,
     "events_seasonal" ->
       """WITH c AS (
         |  SELECT epoch_us(ts) // 3600000000 AS p, event_type AS k,

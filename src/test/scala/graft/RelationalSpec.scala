@@ -1429,6 +1429,31 @@ class RelationalSpec extends SparkSpec {
     assert(o.isNullAt(4) && o.getLong(3) === 0L)
   }
 
+  test("Anomaly.seasonalOutliers: spike flagged through the cycle, edges unscored, cycle itself quiet") {
+    val s = spark
+    import s.implicits._
+    // 4 days of a clean 24-period cycle + deterministic jitter, with one
+    // planted 100x spike at p=50; a raw trailing-sigma monitor would
+    // fire on every daily peak — the deseasonalized MAD must fire ONLY
+    // around the spike
+    val series = (0L until 96L).map { p =>
+      val base = 10.0 + (p % 24).toDouble + (p % 7).toDouble
+      ("g", p, if (p == 50L) 1000.0 else base)
+    }.toDF("k", "p", "v")
+    val got = graft.ops.Anomaly.seasonalOutliers(series, "k", "p", "v", seasonLen = 24)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(5))
+      .toMap
+    // centered 25-point MA: only p in [12, 83] carries a trend
+    assert(got.keySet === (12L to 83L).toSet, "edge periods are unscored, not silent normals")
+    assert(got(50L) === 1L, "the planted spike must flag")
+    // the daily cycle itself must NOT light up the board: the spike
+    // contaminates its own MA window (+-12), so allow that neighborhood
+    val quiet = got.filterNot { case (p, _) => p >= 38L && p <= 62L }
+    assert(quiet.values.sum <= quiet.size / 4,
+      s"cycle should be mostly quiet outside the spike's MA window, got ${quiet.values.sum}/${quiet.size}")
+  }
+
   test("Stats.qqShift: hand deciles, uniform +10 shift, one-sided group drops") {
     val s = spark
     import s.implicits._
