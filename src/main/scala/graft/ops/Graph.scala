@@ -503,9 +503,16 @@ object Graph {
     edgeSupport(cur).withColumn("k", lit(k.toLong))
   }
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = undirectedEdges(edges)
-      .localCheckpoint()
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsOn(undirectedEdges(edges).localCheckpoint())
+
+  /** [[triangleCounts]] over an ALREADY (u < v)-normalized, checkpointed
+    * edge set — the fan-out face (the [[edgeSupport]] pattern): callers
+    * that also need the normalized edges for a degree aggregate
+    * ([[clusteringCoeff]]) normalize + checkpoint once and thread it in,
+    * instead of re-evaluating the distinct() subtree per consumer.
+    */
+  private def triangleCountsOn(und: DataFrame): DataFrame = {
     val deg = und
       .select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -550,13 +557,14 @@ object Graph {
     */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
     val und = undirectedEdges(edges)
+      .localCheckpoint() // one normalization feeds both the degree aggregate and the wedge join
     val deg = und
       .select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
       .groupBy("node")
       .agg(count(lit(1)).cast("long").as("d"))
     deg
-      .join(triangleCounts(edges), Seq("node"), "left")
+      .join(triangleCountsOn(und), Seq("node"), "left")
       .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
       .withColumn(
         "lcc_ppm",

@@ -1366,31 +1366,58 @@ object Similarity {
     * refuse instead of silently mis-scoring. A crash before the first
     * swap leaves the store untouched with a stale marker; re-running the
     * interrupted retrain (or a full write) clears it either way.
+    *
+    * The marker is a PLAIN FILE holding the op name (one driver-side FS
+    * `create`, ~ms), NOT a Spark write: a 1-row parquet job costs a full
+    * job-schedule + commit round (~hundreds of ms per lifecycle call,
+    * measured round 15) and leaves the first swap unprotected for that
+    * long. [[requireNotInflight]] still reads the round-14 1-row-parquet
+    * directory form, so stores marked by an older binary stay detectable.
     */
   private[ops] def markInflight(
       spark: org.apache.spark.sql.SparkSession, path: String, op: String): Unit = {
-    import spark.implicits._
-    Seq(op).toDF("op").coalesce(1).write.mode("overwrite").parquet(s"$path/inflight")
+    val p = new org.apache.hadoop.fs.Path(s"$path/inflight")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a re-run over a crashed legacy (directory-form) marker must replace
+    // it — create(overwrite) only replaces FILES
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
+    val out = fs.create(p, true)
+    try out.write(op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private[ops] def clearInflight(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    deleteDir(spark, s"$path/inflight")
+    deleteDir(spark, s"$path/inflight") // recursive: clears file and legacy dir forms alike
 
   /** Refuse to read a store whose last multi-directory rewrite never
     * finished — the [[markInflight]] contract's read side. One FS
     * existence check per call; the marker's stored op name is read only
-    * on the failure path.
+    * on the failure path (plain-file form, with the legacy 1-row-parquet
+    * directory form still honored).
     */
   private[ops] def requireNotInflight(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    if (storeExists(spark, s"$path/inflight")) {
-      val op = spark.read.parquet(s"$path/inflight").head().getString(0)
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/inflight")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val op =
+        if (fs.getFileStatus(p).isDirectory)
+          spark.read.parquet(s"$path/inflight").head().getString(0)
+        else {
+          val in = fs.open(p)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        }
       throw new IllegalStateException(
         s"index at $path has an interrupted '$op' rewrite (inflight marker present) — " +
           s"its directories may be mutually inconsistent; re-run $op to completion " +
           "(or rebuild the store) before probing")
     }
+  }
 
   /** Compact a persisted IVF index: fold every generation — the base
     * build, [[appendIvfIndex]] appends, and all `cells/batch_id=N` dirs a

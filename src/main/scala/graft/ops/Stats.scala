@@ -170,6 +170,8 @@ object Stats {
       percents: Seq[Int] = Seq(10, 25, 50, 75, 90)): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100], got $percents")
+    require(percents.distinct.size == percents.size,
+      s"percents must be distinct (duplicates would alias the same a_p/b_p column twice), got $percents")
     val qa = quantilesByGroup(a, groupCol, valueCol, percents)
       .select(
         col(groupCol) +: col("n_rows").as("n_a") +:
@@ -198,6 +200,12 @@ object Stats {
     * `z2_milli = 1000·num div den` over decimal(38,0) — no sqrt, no
     * float, monotone in |z| so the 5% two-sided cut is
     * `significant = z2_milli > 3841` (the [[mannKendall]] constant).
+    * Trunc-div makes the realized cut z² ≥ 3.842, a ~0.0005-wide
+    * conservative band vs the exact 3.8415: true z² in
+    * (3.8415, 3.842) reads not-significant. The oracle mirrors the
+    * same milli arithmetic, so both engines agree; callers who need
+    * the exact boundary should compare `z2_milli` to their own
+    * finer-scaled constant.
     * Degenerate groups (a side empty, or all-success/all-failure
     * pooled) read null — "not testable" is not "no lift". Exact
     * headroom: 1000·n⁵ must fit decimal(38) → cohorts to ~3·10⁶ rows
@@ -1261,7 +1269,10 @@ object Stats {
     * squared z-score ships as `z2_milli = 18000·(|S|−1)² div var18`
     * (monotone in |z|, so thresholding it IS thresholding z: the 5%
     * two-sided cut z² > 3.8415 becomes `z2_milli > 3841`, baked into
-    * `significant`). z2 is null when var18 ≤ 0 (constant series or
+    * `significant`; trunc-div makes the realized cut z² ≥ 3.842 — a
+    * ~0.0005-wide conservative band, mirrored identically by the
+    * oracle, see [[twoProportionTest]]). z2 is null when var18 ≤ 0
+    * (constant series or
     * n < 2) — "not testable" is not "flat". Duplicate rows per
     * (group, period) are summed first: the series grain is one value
     * per period, and summing is the one aggregation a count/volume

@@ -677,8 +677,6 @@ object GenQueries {
         |labels AS (SELECT id, MIN(r) AS ent FROM reach GROUP BY id)
         |SELECT recs.id, COALESCE(labels.ent, recs.id) AS entity_id
         |FROM recs LEFT JOIN labels ON labels.id = recs.id""".stripMargin,
-    // per-blocker block-size histogram folded to dropped-block counts —
-    // the cap audit, exact integers throughout
     // hub-capped wedges weighted 1e6 // deg(middle), summed per
     // non-adjacent pair, top-3 per node
     "graph_link_prediction" ->
@@ -769,6 +767,8 @@ object GenQueries {
         |                   CAST(n2 * syy - sy * sy AS DOUBLE))
         |         END, 6) AS DOUBLE) AS r
         |FROM m""".stripMargin,
+    // per-blocker block-size histogram folded to dropped-block counts —
+    // the cap audit, exact integers throughout
     "er_block_report" ->
       """WITH recs AS (
         |  SELECT CAST(c_custkey AS BIGINT) AS id, CAST(c_nationkey AS BIGINT) AS nat,
