@@ -768,6 +768,83 @@ object RelQueries {
         ev.filter(col("day") >= c2), root, 2L, "event_type", "day", "user_id")
       Rollup.readCumulativeDistinct(s, root, "event_type")
     },
+    // the windowed stream's drop contract MEASURED (no silent drops), in
+    // the shape late data really takes: run 1 (Trigger.AvailableNow)
+    // processes the on-time generation (last 3 hours) and checkpoints —
+    // its trailing no-data batch emits every window the watermark
+    // finalized (window_end <= max(t) - 1h, the <= boundary StreamingSpec
+    // pins at equality); run 2 RESTARTS from the checkpoint onto a
+    // late-arrived file whose every row sits >= 2 hours past the
+    // checkpointed watermark. The engine's own per-operator accounting
+    // (numRowsDroppedByWatermark, surfaced by lateDropCount) must then
+    // equal the late (window, event_type) GROUP count — aggregation drops
+    // are counted at the stateful operator's input, which sits after the
+    // partial aggregate, so the grain is groups-per-batch, not raw rows
+    // (raw-row loss = n_late, bounded below by the group count; both are
+    // reported). Within one run, Spark filters late events with the
+    // PREVIOUS batch's watermark (the two-value tracker), which is why
+    // the late file must arrive behind a checkpoint boundary — a
+    // same-run second batch would be filtered against the not-yet-moved
+    // value and silently accepted.
+    "events_stream_late_drops" -> { (s, dir) =>
+      import s.implicits._
+      val root = s"${sys.props("java.io.tmpdir")}/graft_latedrop_${ProcessHandle.current().pid()}"
+      val ev = eventsT(s, dir, "event_type")
+      // 1-row bounded collect: the arrival-generation split point
+      val hi = ev.agg(max(col("t").cast("long"))).head().getLong(0)
+      val cut = hi - 10800L
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      // land each generation as ONE file with a pinned mtime, so the file
+      // source's arrival order (on-time first, late second) is
+      // deterministic, never racy
+      def land(df: DataFrame, n: Int): Unit = {
+        val tmp = s"$root/tmp_$n"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+        if (parts.nonEmpty) {
+          val dst = new org.apache.hadoop.fs.Path(s"$root/in/gen_$n.parquet")
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(parts.head.getPath, dst), s"landing rename to $dst failed")
+          fs.setTimes(dst, 1000L * (n + 1), -1L)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      // one AvailableNow pass over whatever files currently exist; the
+      // shared checkpoint carries watermark + sink idempotence across runs
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = graft.streaming.EventsStream
+          .windowedCounts(s.readStream.schema(ev.schema).parquet(s"$root/in"))
+          .writeStream
+          .option("checkpointLocation", s"$root/ck")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+              batch.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$root/out/batch_id=$batchId")
+              ()
+          }
+          .start()
+        q.awaitTermination()
+        q
+      }
+      val onTime = ev.filter(col("t").cast("long") > cut)
+      val late = ev.filter(col("t").cast("long") <= cut)
+      land(onTime, 0)
+      runOnce()
+      land(late, 1)
+      val dropped = graft.streaming.EventsStream.lateDropCount(runOnce())
+      val out = s.read.parquet(s"$root/out")
+        .agg(
+          count(lit(1)).cast("long").as("n_windows_out"),
+          coalesce(sum("n"), lit(0L)).cast("long").as("n_events_out"))
+        .head()
+      Seq((onTime.count(), late.count(), dropped, out.getLong(0), out.getLong(1)))
+        .toDF("n_ontime", "n_late", "n_dropped_groups", "n_windows_out", "n_events_out")
+    },
     // sliding distinct users per (type, day): per-day HLL registers merged
     // by MAX over a 7-day RANGE frame — no re-scan of raw events per
     // window, the mergeability law doing dashboard work
@@ -2135,6 +2212,27 @@ object RelQueries {
     // readback ≡ the batch operator over the union of the (period-ordered)
     // ingest rounds — one oracle for both faces
     "events_cumulative_streamed" -> cumulativeUsersSql,
+    // mirrors the two-run stream: run-1 watermark = hi - 3600; every late
+    // row (secs <= hi - 10800) has window_end <= hi - 7200 < watermark, so
+    // the restarted run drops ALL late groups — the engine counts drops at
+    // the stateful operator's post-partial-agg input, hence the DISTINCT
+    // (window, event_type) grain; emitted windows are the on-time ones
+    // with window_end <= watermark (the <= boundary StreamingSpec pins)
+    "events_stream_late_drops" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 1000000 AS secs FROM events),
+        |mx AS (SELECT MAX(secs) AS hi FROM ev),
+        |ontime AS (SELECT secs, event_type FROM ev, mx WHERE secs > hi - 10800),
+        |late AS (SELECT secs, event_type FROM ev, mx WHERE secs <= hi - 10800),
+        |lateg AS (SELECT DISTINCT (secs // 3600) * 3600 AS ws, event_type FROM late),
+        |fin AS (SELECT (secs // 3600) * 3600 AS ws, event_type,
+        |               CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM ontime GROUP BY 1, 2),
+        |emitted AS (SELECT f.* FROM fin f, mx WHERE ws + 3600 <= hi - 3600)
+        |SELECT CAST((SELECT COUNT(*) FROM ontime) AS BIGINT) AS n_ontime,
+        |       CAST((SELECT COUNT(*) FROM late) AS BIGINT) AS n_late,
+        |       CAST((SELECT COUNT(*) FROM lateg) AS BIGINT) AS n_dropped_groups,
+        |       CAST((SELECT COUNT(*) FROM emitted) AS BIGINT) AS n_windows_out,
+        |       CAST((SELECT COALESCE(SUM(n), 0) FROM emitted) AS BIGINT) AS n_events_out""".stripMargin,
     // mirrors Funnel.attribution: per-(user, ts) touch collapse, then one
     // range-framed IGNORE NULLS first/last window over touch+conv rows
     "events_attribution" ->

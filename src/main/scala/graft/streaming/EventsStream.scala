@@ -7,6 +7,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Evt(user_id: Long, ts_secs: Long)
 case class SessionState(start: Long, last: Long, n: Int)
 
+/** Lifetime late-drop accounting for LONG-RUNNING streaming queries —
+  * [[EventsStream.lateDropCount]] without the `recentProgress` retention
+  * bound: register once (`spark.streams.addListener(acc)`), and every
+  * progress event folds its per-operator
+  * `numRowsDroppedByWatermark` into a per-run total as batches complete,
+  * so a month-old query's cumulative data loss is still one exact number
+  * (`acc.total(q.runId)`). Keyed by runId (a restart is a new
+  * accounting epoch — drops before the restart belong to the old run's
+  * ledger); memory is one counter per run that ever dropped a row.
+  */
+class LateDropAccumulator extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val totals = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val d = event.progress.stateOperators.iterator.map(_.numRowsDroppedByWatermark).sum
+    if (d != 0L)
+      totals.merge(event.progress.runId, java.lang.Long.valueOf(d),
+        (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  /** Cumulative watermark-dropped rows for one query run (0 when the run
+    * never dropped — or was never seen by this listener).
+    */
+  def total(runId: java.util.UUID): Long =
+    Option(totals.get(runId)).map(_.longValue).getOrElse(0L)
+}
+
 /** Per-user state: the open session fragments, disjoint and sorted by
   * start. Size is bounded by the number of sessions IN FLIGHT (batch time
   * span / gap), never by event count — a hot user (bot traffic) with
@@ -163,6 +195,37 @@ object EventsStream {
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"),
         col("n"))
+
+  /** Rows dropped PAST the watermark over a streaming query's reported
+    * progress — the OBSERVABLE face of [[windowedCounts]]/[[slidingCounts]]/
+    * [[purchaseAttribution]]'s drop contract ("late rows beyond the
+    * watermark are dropped"): the house no-silent-caps rule says a drop
+    * must be measurable, not assumed, and the engine already accounts for
+    * it per stateful operator (`stateOperators[].numRowsDroppedByWatermark`
+    * in every `StreamingQueryProgress`) — this sums that, so data loss is
+    * a number a dashboard alarms on instead of a docstring clause. Reads
+    * `recentProgress`, which retains the last
+    * `spark.sql.streaming.numRecentProgressUpdates` batches (default 100) —
+    * exact for bounded runs (`Trigger.AvailableNow`, tests, backfills);
+    * a long-running query wants the listener-based
+    * [[LateDropAccumulator]], which survives retention.
+    *
+    * Two accounting facts a caller must know (both pinned by the
+    * `events_stream_late_drops` oracle row): (1) the count's GRAIN is the
+    * stateful operator's input — for windowed aggregations that sits
+    * after the per-batch partial aggregate, so drops count late
+    * (window, key) GROUPS per batch, a lower bound on raw late rows;
+    * (2) Spark filters late events with the PREVIOUS micro-batch's
+    * watermark (the two-value tracker — eviction uses the current one),
+    * so rows arriving in the first batch after the watermark-advancing
+    * one are still accepted; only from the next batch (or a restart,
+    * which seeds both values from the checkpoint) do they count as drops.
+    */
+  def lateDropCount(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark)
+      .sum
 
   /** Sliding (hopping) window counts on the stream: 1-hour windows every
     * `slide`, so each event contributes to size/slide windows. Same

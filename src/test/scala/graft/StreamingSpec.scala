@@ -37,6 +37,76 @@ class StreamingSpec extends SparkSpec {
     got.foreach { case (k, n) => assert(batch(k) == n, s"window $k") }
   }
 
+  test("watermark late-drops are OBSERVABLE: lateDropCount and the lifetime accumulator agree") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val acc = new graft.streaming.LateDropAccumulator
+    spark.streams.addListener(acc)
+    try {
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+      val events = input
+        .toDF()
+        .select(col("_1").as("event_type"), timestamp_seconds(col("_2")).as("t"))
+      val q = EventsStream
+        .windowedCounts(events)
+        .writeStream
+        .format("memory")
+        .queryName("late_drop_stream")
+        .outputMode("append")
+        .start()
+      // batch 0: max t = 100000 → watermark = 96400 (processAllAvailable
+      // lets the trailing no-data batch carry it into the LATE-event
+      // filter — within a run that filter lags one batch behind eviction)
+      input.addData(("click", 90000L), ("click", 95000L), ("view", 100000L))
+      q.processAllAvailable()
+      // next data batch: two rows hours past the watermark — two late
+      // (window, event_type) groups, the grain the engine counts drops
+      // at — plus one row above it (kept in state, window not finalized)
+      input.addData(("click", 80000L), ("view", 80500L), ("click", 99500L))
+      q.processAllAvailable()
+      val runId = q.runId
+      q.stop()
+      assert(EventsStream.lateDropCount(q) == 2L)
+      assert(acc.total(runId) == 2L)
+      assert(acc.total(java.util.UUID.randomUUID()) == 0L) // unseen run: zero, not a crash
+      // emission check (pins the oracle's boundary rule): batch 1 runs under
+      // watermark 96400, so exactly the [90000, 93600) window finalizes —
+      // the held windows and the dropped rows contribute nothing
+      val out = spark.table("late_drop_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set((90000000000L, "click", 1L)))
+    } finally spark.streams.removeListener(acc)
+  }
+
+  test("append-mode emission boundary: a window whose end EQUALS the watermark finalizes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val events = input
+      .toDF()
+      .select(col("_1").as("event_type"), timestamp_seconds(col("_2")).as("t"))
+    val q = EventsStream
+      .windowedCounts(events)
+      .writeStream
+      .format("memory")
+      .queryName("wm_boundary_stream")
+      .outputMode("append")
+      .start()
+    // max t = 104400 (hour-aligned) → watermark after batch 0 = 100800,
+    // EXACTLY the end of 99000's window [97200, 100800)
+    input.addData(("click", 99000L), ("click", 104400L))
+    q.processAllAvailable()
+    input.addData(("view", 104500L)) // just advances a batch under wm = 100800
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_boundary_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the oracle mirrors this exact rule: window_end <= watermark finalizes
+    assert(out == Set((97200000000L, "click", 1L)))
+  }
+
   test("stream-static enrichment join broadcasts the dimension, no stream state") {
     val s = spark
     import s.implicits._
