@@ -1141,14 +1141,48 @@ object TextAnalysis {
       docs: DataFrame,
       nMerges: Int = 10,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bpeMergesBatched(docs, nMerges, batch = 1, textCol, idCol)
+
+  /** [[bpeMerges]] with BATCHED rounds — the change that makes
+    * tokenizer-scale induction (10³-10⁴ merges) feasible: instead of one
+    * pair-count aggregate + one vocabulary rewrite PER MERGE (that many
+    * sequential Spark jobs), each round counts once, greedily picks up to
+    * `batch` pairwise SYMBOL-DISJOINT pairs from that one count table
+    * (in count-desc/pair-asc order — a pair sharing a symbol with an
+    * earlier pick is skipped, because its occurrences and count are the
+    * ones the earlier merge rewrites), and applies all of them in one
+    * rewrite — `nMerges div batch` aggregate passes instead of
+    * `nMerges`. Disjoint same-round merges commute (each replace
+    * preserves the boundary delimiters the others match on), so the
+    * round result is order-free; when no chosen pair interacts with the
+    * pairs a previous pick's merge would have created or destroyed, the
+    * batched result IS the sequential result (the spec pins the classic
+    * fixture), and otherwise it is the standard batched-BPE
+    * approximation every distributed tokenizer trainer makes — ranks
+    * within a round are claim order, counts are the round's shared
+    * (pre-rewrite) table. `batch = 1` is exactly [[bpeMerges]]'
+    * sequential loop. The greedy picks cost `batch` single-row arg-max
+    * collects over the round's checkpointed count table (tiny —
+    * |pair vocabulary| rows), so driver traffic stays one row per merge,
+    * same as sequential.
+    */
+  def bpeMergesBatched(
+      docs: DataFrame,
+      nMerges: Int = 10,
+      batch: Int = 4,
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(nMerges >= 1, s"nMerges must be positive (got $nMerges)")
+    require(batch >= 1 && batch <= 256, s"batch must be in [1, 256], got $batch")
     var words = bpeWordTable(docs, textCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    for (i <- 1 to nMerges) {
-      val top = words
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
+      val m = math.min(batch, nMerges - merges.size)
+      val countsRaw = words
         // the symbol array is a NAMED attribute before element_at reads
         // it per pair — an inline filter(split(...)) producer would be
         // re-evaluated per element (the plan sweep's banned pattern)
@@ -1156,15 +1190,35 @@ object TextAnalysis {
         .select(col("freq"), explode(symbolPairs(col("syms"))).as("pair"))
         .groupBy("pair")
         .agg(sum("freq").as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
-        .collect()
-      if (top.nonEmpty) {
-        val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
-        val Array(l, r) = pair.split(" ", 2)
-        merges += ((i.toLong, l, r, cnt))
+      // the m > 1 picks re-probe this table, so it materializes once;
+      // the m = 1 path keeps the original single-pass plan byte-identical
+      val counts = if (m > 1) countsRaw.localCheckpoint() else countsRaw
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var rem = counts
+      var open = true
+      while (open && chosen.size < m) {
+        val top = rem.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+        if (top.isEmpty) open = false
+        else {
+          val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
+          val Array(l, r) = pair.split(" ", 2)
+          chosen += ((l, r, cnt))
+          rem = rem.filter(
+            !element_at(split(col("pair"), " "), 1).isin(l, r) &&
+              !element_at(split(col("pair"), " "), 2).isin(l, r))
+        }
+      }
+      if (chosen.isEmpty) exhausted = true
+      else {
+        chosen.foreach { case (l, r, cnt) =>
+          merges += (((merges.size + 1).toLong, l, r, cnt))
+        }
         words = words
-          .withColumn("s", replace(col("s"), lit(s"·${l}·${r}·"), lit(s"·${l}${r}·")))
+          .withColumn(
+            "s",
+            chosen.foldLeft(col("s")) { case (s, (l, r, _)) =>
+              replace(s, lit(s"·${l}·${r}·"), lit(s"·${l}${r}·"))
+            })
           .localCheckpoint()
       }
     }

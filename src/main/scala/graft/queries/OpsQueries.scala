@@ -649,6 +649,12 @@ object OpsQueries {
     // (pair-count aggregate → arg-max → ·-delimited replace, like the
     // Lloyd loop — every round is engine-portable by construction)
     "text_bpe_merges" -> { (s, dir) => TextAnalysis.bpeMerges(docs(s, dir), nMerges = 3) },
+    // the batched learner at batch = 2: 4 merges in 2 aggregate rounds,
+    // greedy symbol-disjoint picks per round — the shape that makes
+    // 10^3-merge tokenizer induction nMerges/batch jobs, not nMerges
+    "text_bpe_merges_batched" -> { (s, dir) =>
+      TextAnalysis.bpeMergesBatched(docs(s, dir), nMerges = 4, batch = 2)
+    },
     // the learned merges APPLIED: per-doc BPE token counts (the honest
     // tokens-per-doc measure once a tokenizer exists; whitespace-proxy
     // counting stays text_tokens). The 3-row merge list is a plan literal.
@@ -1305,6 +1311,44 @@ object OpsQueries {
        |    '·' || (SELECT split_part(pair, ' ', 1) FROM m$k) || '·' ||
        |           (SELECT split_part(pair, ' ', 2) FROM m$k) || '·',
        |    '·' || (SELECT replace(pair, ' ', '') FROM m$k) || '·') AS s
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** One unrolled BATCHED BPE round K (mirrors
+    * TextAnalysis.bpeMergesBatched at batch = 2): the round's shared pair
+    * counts, greedy pick A (count desc, pair asc), greedy pick B — the
+    * best pair sharing NO symbol with A — and one rewrite applying both
+    * (A then B, commuting by disjointness). CTEs are MATERIALIZED:
+    * a/b are referenced several times each and DuckDB inlines CTEs by
+    * default, which re-expands the whole prior-round chain per reference
+    * (the round-14 fd-exhaustion lesson). An absent B (no disjoint pair)
+    * degrades to a no-op replace via a sentinel no-match pattern.
+    */
+  private def bpeBatchedRoundCte(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"bs${k - 1}"
+    s"""bp$k AS MATERIALIZED (
+       |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq,
+       |           unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pair
+       |    FROM (SELECT freq, list_filter(string_split(s, '·'), x -> x <> '') AS sy
+       |          FROM $prev) t) u
+       |  GROUP BY 1),
+       |ba$k AS MATERIALIZED (SELECT pair, cnt FROM bp$k ORDER BY cnt DESC, pair LIMIT 1),
+       |bb$k AS MATERIALIZED (
+       |  SELECT pair, cnt FROM bp$k
+       |  WHERE split_part(pair, ' ', 1) NOT IN
+       |          (SELECT split_part(pair, ' ', 1) FROM ba$k
+       |           UNION ALL SELECT split_part(pair, ' ', 2) FROM ba$k)
+       |    AND split_part(pair, ' ', 2) NOT IN
+       |          (SELECT split_part(pair, ' ', 1) FROM ba$k
+       |           UNION ALL SELECT split_part(pair, ' ', 2) FROM ba$k)
+       |  ORDER BY cnt DESC, pair LIMIT 1),
+       |bs$k AS MATERIALIZED (
+       |  SELECT freq, replace(replace(s,
+       |    (SELECT '·' || split_part(pair, ' ', 1) || '·' || split_part(pair, ' ', 2) || '·' FROM ba$k),
+       |    (SELECT '·' || replace(pair, ' ', '') || '·' FROM ba$k)),
+       |    COALESCE((SELECT '·' || split_part(pair, ' ', 1) || '·' || split_part(pair, ' ', 2) || '·' FROM bb$k), chr(1)),
+       |    COALESCE((SELECT '·' || replace(pair, ' ', '') || '·' FROM bb$k), chr(1))) AS s
        |  FROM $prev)""".stripMargin
   }
 
@@ -1997,6 +2041,31 @@ object OpsQueries {
          |  SELECT CAST(2 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m2
          |  UNION ALL
          |  SELECT CAST(3 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM m3) t""".stripMargin,
+    // two unrolled BATCHED rounds × two greedy symbol-disjoint picks,
+    // ranks in claim order, counts from each round's shared table
+    "text_bpe_merges_batched" ->
+      s"""WITH $tokCtes,
+         |wf AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(tk) AS w FROM tks) t
+         |  WHERE w NOT LIKE '%·%' AND w NOT LIKE '%<%' AND w NOT LIKE '%>%'
+         |  GROUP BY 1),
+         |s0 AS (
+         |  SELECT freq,
+         |         '·' || array_to_string(list_append(list_transform(range(1, len(w) + 1),
+         |                i -> w[i:i]), '</w>'), '·') || '·' AS s
+         |  FROM wf),
+         |${bpeBatchedRoundCte(1)},
+         |${bpeBatchedRoundCte(2)}
+         |SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+         |  SELECT CAST(1 AS BIGINT) AS merge_rank, split_part(pair, ' ', 1) AS left_sym,
+         |         split_part(pair, ' ', 2) AS right_sym, cnt AS pair_count FROM ba1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM bb1
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM ba2
+         |  UNION ALL
+         |  SELECT CAST(4 AS BIGINT), split_part(pair, ' ', 1), split_part(pair, ' ', 2), cnt FROM bb2) t""".stripMargin,
     // the learned merges applied per word occurrence, summed per doc;
     // delimiter/marker-unsafe words count 1, as in the operator
     "text_bpe_tokens" ->

@@ -1112,6 +1112,50 @@ class OpsSpec extends SparkSpec {
     assert(cnt.toSeq == Seq((9L, 18L)), cnt.toSeq)
   }
 
+  test("bpeMergesBatched: one batched round equals the sequential merges when picks don't interact") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest newest newest widest")).toDF("doc_id", "text")
+    val seq3 = TextAnalysis.bpeMerges(docs, nMerges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // greedy disjoint picks over the ROUND-0 counts: (w,e) first; every
+    // e-carrier is then banned, so (l,o) claims rank 2 and (s,t) rank 3 —
+    // exactly the sequential merges, because no pick's rewrite creates or
+    // destroys another pick's occurrences on this fixture
+    val bat = TextAnalysis.bpeMergesBatched(docs, nMerges = 3, batch = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(bat == seq3, s"batched $bat vs sequential $seq3")
+    // pair_count differs by contract (the round's shared pre-rewrite
+    // table), so compare the learned VOCABULARY effect instead: applying
+    // either merge list tokenizes identically
+    val apply9 = Seq((9L, "low lower newest widest")).toDF("doc_id", "text")
+    val cntSeq = TextAnalysis
+      .bpeTokenCount(apply9, seq3.map(t => (t._2, t._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cntBat = TextAnalysis
+      .bpeTokenCount(apply9, bat.map(t => (t._2, t._3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cntSeq == cntBat && cntSeq == Seq((9L, 18L)), s"$cntSeq vs $cntBat")
+  }
+
+  test("bpeMergesBatched: batch = 1 is byte-identical to the sequential face; interacting picks skip") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abab abab cdcd")).toDF("doc_id", "text")
+    val seq2 = TextAnalysis.bpeMerges(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val bat1 = TextAnalysis.bpeMergesBatched(docs, nMerges = 2, batch = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(bat1 == seq2, s"batch=1 $bat1 vs sequential $seq2")
+    // batch=2 on ·a·b·a·b·</w>·: pick 1 = (a,b); (b,a) shares BOTH symbols
+    // and is skipped, so pick 2 falls to the best {a,b}-free pair — the
+    // cd words' (c,d) — never a same-round re-pick of overlapping text
+    val bat2 = TextAnalysis.bpeMergesBatched(docs, nMerges = 2, batch = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(bat2 == Seq((1L, "a", "b"), (2L, "c", "d")), bat2.toString)
+  }
+
   test("bpeMerges: a fully-merged one-char word survives later rounds (no pairs, no crash)") {
     val s = spark
     import s.implicits._
