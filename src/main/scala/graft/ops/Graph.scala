@@ -776,4 +776,180 @@ object Graph {
       .filter(col("rank") <= k)
       .select(col("node"), col("rank").cast("long").as("rank"), col("rec"), col("cn"))
   }
+
+  // ---- persisted incremental edge store (append / tombstone / compact) ----
+
+  /** [[edgeSupport]] as a public batch face: per-edge triangle support
+    * over an arbitrary src/dst frame — the recompute the incremental
+    * store's invariant is checked against.
+    */
+  def triangleSupport(edges: DataFrame): DataFrame =
+    edgeSupport(undirectedEdges(edges).localCheckpoint())
+
+  /** Persist an EDGE STORE with incrementally-maintained per-edge
+    * triangle support — the graph family's entry into the repo's
+    * store-lifecycle discipline (every other index family already has
+    * one): a daily-growing interaction graph at 100 TB cannot recompute
+    * support from scratch per churn batch. Layout: `edges` (u < v simple
+    * edges, append-grown), `tombstones` (removed pairs, subtracted on
+    * read — the metadata-only delete, space reclaimed by
+    * [[compactEdgeStore]]), `support` (one row per LIVE edge, rewritten
+    * by tmp-and-swap per mutation). Mutations span `edges`/`tombstones`
+    * and `support`, so each wraps the window in the
+    * [[graft.ops.Similarity.markInflight]] crash marker; reads refuse a
+    * mid-crash store. A full write replaces everything and clears any
+    * stale marker (the [[graft.ops.Similarity.writePqIndex]] contract).
+    */
+  def writeEdgeStore(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    val und = undirectedEdges(edges).localCheckpoint()
+    Similarity.markInflight(spark, path, "writeEdgeStore")
+    Similarity.deleteDir(spark, s"$path/tombstones")
+    Similarity.deleteDir(spark, s"$path/edges")
+    und.write.mode("overwrite").parquet(s"$path/edges")
+    Similarity.rewriteDir(spark, edgeSupport(und), s"$path/support", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Grow the edge store with a churn batch, maintaining support
+    * INCREMENTALLY: only triangles through actually-new edges are
+    * enumerated (the [[edgeSupport]] wedge join restricted to the delta —
+    * each new triangle found once regardless of how many new edges it
+    * contains, then credited to all three of its edges), so the cost is
+    * `|delta| · avg-degree` wedge candidates plus one id-keyed join-back,
+    * never a full recompute. Batch edges already live are ignored; a
+    * batch edge sitting in the tombstones is REFUSED (re-inserting a
+    * deleted edge requires [[compactEdgeStore]] first — the
+    * [[graft.ops.Similarity.deleteFromIndex]] contract, because the
+    * tombstone would silently eat the re-insert on read).
+    *
+    * Scale shape: delta normalize + one left-anti against live, the
+    * delta-restricted wedge join (AQE broadcasts the delta side when
+    * small), a distinct over touched triangles, and ONE support-table
+    * rewrite — the store's corpus-sized tables are touched once each.
+    */
+  def appendEdgeStore(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    Similarity.requireNotInflight(spark, path)
+    val liveOld = liveEdges(spark, path).localCheckpoint()
+    val delta = undirectedEdges(batch)
+      .join(liveOld, Seq("u", "v"), "left_anti")
+      .localCheckpoint()
+    if (Similarity.storeExists(spark, s"$path/tombstones")) {
+      val nTomb = delta
+        .join(spark.read.parquet(s"$path/tombstones"), Seq("u", "v"), "left_semi")
+        .count()
+      require(
+        nTomb == 0,
+        s"appendEdgeStore: $nTomb batch edges are tombstoned in $path — " +
+          "compact the store before re-inserting a deleted edge")
+    }
+    if (delta.isEmpty) return // nothing new: store untouched byte-for-byte
+    val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    val supportNew = liveNew
+      .join(spark.read.parquet(s"$path/support"), Seq("u", "v"), "left")
+      .join(touchedTriangleCredits(delta, liveNew), Seq("u", "v"), "left")
+      .select(
+        col("u"),
+        col("v"),
+        (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
+    Similarity.markInflight(spark, path, "appendEdgeStore") // edges ↔ support window
+    delta.write.mode("append").parquet(s"$path/edges")
+    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Remove edges from the store: the removed pairs land in `tombstones`
+    * (metadata-only — no edge-table rewrite on the removal path) and the
+    * support table decrements incrementally — triangles of the
+    * PRE-REMOVAL live graph through actually-removed edges, each
+    * destroyed triangle found once and debited from all three of its
+    * edges; removed edges leave the support table entirely.
+    */
+  def removeFromEdgeStore(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    Similarity.requireNotInflight(spark, path)
+    val liveOld = liveEdges(spark, path).localCheckpoint()
+    val rem = undirectedEdges(batch)
+      .join(liveOld, Seq("u", "v"), "left_semi")
+      .localCheckpoint()
+    if (rem.isEmpty) return // nothing live to remove: store untouched
+    val liveNew = liveOld.join(rem, Seq("u", "v"), "left_anti")
+    val supportNew = liveNew
+      .join(spark.read.parquet(s"$path/support"), Seq("u", "v"), "left")
+      .join(touchedTriangleCredits(rem, liveOld), Seq("u", "v"), "left")
+      .select(
+        col("u"),
+        col("v"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("c"), lit(0L))).as("support"))
+    Similarity.markInflight(spark, path, "removeFromEdgeStore") // tombstones ↔ support window
+    rem.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Fold the store: rewrite `edges` to the live set (tombstoned pairs
+    * physically dropped) and clear the tombstones. Support is unchanged
+    * by contract — compaction reorganizes storage, it never recounts.
+    */
+  def compactEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    Similarity.requireNotInflight(spark, path)
+    val live = liveEdges(spark, path).localCheckpoint()
+    Similarity.markInflight(spark, path, "compactEdgeStore") // edges ↔ tombstones window
+    Similarity.rewriteDir(spark, live, s"$path/edges", Nil)
+    Similarity.clearTombstones(spark, path)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** The store's read face: per-live-edge triangle support, refusing a
+    * mid-crash store. Matches [[triangleSupport]] over the live edge set
+    * exactly (the invariant the spec and the driver row pin).
+    */
+  def readEdgeSupport(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
+    spark.read.parquet(s"$path/support")
+  }
+
+  private def liveEdges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val e = spark.read.parquet(s"$path/edges")
+    if (Similarity.storeExists(spark, s"$path/tombstones"))
+      e.join(spark.read.parquet(s"$path/tombstones"), Seq("u", "v"), "left_anti")
+    else e
+  }
+
+  /** Triangles of `live` containing at least one `delta` edge, found ONCE
+    * each (wedges from each delta edge's u endpoint, closed against the
+    * live edge list, then deduped by sorted node triple — a triangle with
+    * two or three delta edges must not double-credit), credited +1 to all
+    * three edges: `(u, v, c)`. Both inputs must be (u < v)-normalized and
+    * checkpointed; delta ⊆ live.
+    */
+  private def touchedTriangleCredits(delta: DataFrame, live: DataFrame): DataFrame = {
+    val adj = live
+      .select(col("u").as("x"), col("v").as("w"))
+      .unionAll(live.select(col("v").as("x"), col("u").as("w")))
+    val tris = adj
+      .join(delta.select(col("u").as("x"), col("v").as("dv")), Seq("x"))
+      .filter(col("w") =!= col("dv"))
+      .join(
+        live.select(col("u").as("cu"), col("v").as("cv")),
+        least(col("dv"), col("w")) === col("cu") && greatest(col("dv"), col("w")) === col("cv"),
+        "left_semi")
+      .select(array_sort(array(col("x"), col("dv"), col("w"))).as("t"))
+      .distinct()
+      .select(
+        element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+    tris
+      .select(
+        explode(
+          array(
+            struct(col("a").as("u"), col("b").as("v")),
+            struct(col("a").as("u"), col("c").as("v")),
+            struct(col("b").as("u"), col("c").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).cast("long").as("c"))
+  }
 }

@@ -606,6 +606,28 @@ object GenQueries {
         .unionAll(k.select(col("n").as("src"), (col("n") + 2).as("dst")))
       graft.ops.Graph.clusteringCoeff(e)
     },
+    // the persisted edge store's full lifecycle, driver-verified: base
+    // build (chord graph missing every n%3==0 second chord), an append
+    // batch completing it, a removal batch tombstoning the n%7==0 first
+    // chords — support maintained INCREMENTALLY (only wedges through the
+    // churned edges), readback must hash-equal the batch recompute over
+    // the final live set, which the oracle derives directly
+    "graph_support_incremental" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_edgestore_${ProcessHandle.current().pid()}"
+      val base = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 3 =!= 0).select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.writeEdgeStore(base, idx)
+      graft.ops.Graph.appendEdgeStore(
+        k.filter(col("n") % 3 === 0).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx)
+      graft.ops.Graph.removeFromEdgeStore(
+        k.filter(col("n") % 7 === 0).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx)
+      graft.ops.Graph.readEdgeSupport(s, idx)
+    },
     // friend-of-friend link prediction over the same chord graph: top-3
     // non-adjacent nodes per node by common-neighbor count (n+-3 shares
     // two middles, n+-4 one), hub middles capped — all integer, so the
@@ -1352,6 +1374,31 @@ object GenQueries {
          |${sup(3, "e2")}
          |SELECT u, v, support, CAST($kk AS BIGINT) AS k FROM s3""".stripMargin
     },
+    // the FINAL live edge set derived directly (first chords minus the
+    // n%7 removals, all second chords), then one graph_ktruss-style
+    // support pass — the batch recompute the incremental store must equal
+    "graph_support_incremental" ->
+      """WITH kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
+        |        UNION ALL SELECT n, n + 2 FROM kys),
+        |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e00 WHERE src <> dst),
+        |dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        |       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |o1 AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS b
+        |  FROM e0 e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+        |t1 AS MATERIALIZED (SELECT w.a, w.w1, w.w2 FROM (
+        |         SELECT e1.a, e1.b AS w1, e2.b AS w2
+        |         FROM o1 e1 JOIN o1 e2 ON e1.a = e2.a AND e1.b < e2.b) w
+        |       JOIN e0 s ON s.u = w.w1 AND s.v = w.w2),
+        |cr AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+        |         SELECT least(a, w1) AS u, greatest(a, w1) AS v FROM t1
+        |         UNION ALL SELECT least(a, w2), greatest(a, w2) FROM t1
+        |         UNION ALL SELECT w1, w2 FROM t1) GROUP BY 1, 2)
+        |SELECT e.u, e.v, CAST(COALESCE(cr.support, 0) AS BIGINT) AS support
+        |FROM e0 e LEFT JOIN cr ON cr.u = e.u AND cr.v = e.v""".stripMargin,
     // graph_triangles' oracle chain + degree join + trunc-div ppm
     "graph_clustering" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),

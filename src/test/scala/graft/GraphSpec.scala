@@ -343,4 +343,59 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(full(1L) === 10L, "uncapped: hub + 9 siblings")
   }
+
+  private def supMap(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("edge store: incremental support equals the batch recompute through append and remove") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("edgestore").toString
+    // K4 minus edge (1,4): triangles {1,2,3} and {2,3,4}
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+    assert(supMap(Graph.readEdgeSupport(spark, dir))((2L, 3L)) === 2L)
+    // append (1,4) — completes K4; the new triangles {1,2,4} and {1,3,4}
+    // both contain the ONE new edge: found once each, credited to all
+    // three of their edges. Also re-sends a live duplicate (ignored).
+    Graph.appendEdgeStore(Seq((4L, 1L), (1L, 2L)).toDF("src", "dst"), dir)
+    val k4 = base.unionAll(Seq((1L, 4L)).toDF("src", "dst"))
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(k4)))
+    assert(supMap(Graph.readEdgeSupport(spark, dir))((1L, 4L)) === 2L)
+    // remove (2,3) — destroys {1,2,3} and {2,3,4} in one batch; both
+    // found through the one removed edge, debited from their other edges
+    Graph.removeFromEdgeStore(Seq((2L, 3L)).toDF("src", "dst"), dir)
+    val fin = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(fin)))
+    // re-inserting the tombstoned edge is refused until compaction
+    val err = intercept[IllegalArgumentException] {
+      Graph.appendEdgeStore(Seq((2L, 3L)).toDF("src", "dst"), dir)
+    }
+    assert(err.getMessage.contains("compact"), err.getMessage)
+    Graph.compactEdgeStore(spark, dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(fin)),
+      "compaction preserves support by contract")
+    Graph.appendEdgeStore(Seq((2L, 3L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(k4)),
+      "post-compaction re-insert restores the K4 support")
+  }
+
+  test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("edgestorecrash").toString
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    // plant the marker in the legacy 1-row-parquet directory form (also
+    // keeps that read path covered)
+    Seq("appendEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
+    val e1 = intercept[IllegalStateException](Graph.readEdgeSupport(spark, dir))
+    assert(e1.getMessage.contains("appendEdgeStore"))
+    intercept[IllegalStateException](
+      Graph.appendEdgeStore(Seq((3L, 4L)).toDF("src", "dst"), dir))
+    intercept[IllegalStateException](
+      Graph.removeFromEdgeStore(Seq((1L, 2L)).toDF("src", "dst"), dir))
+    intercept[IllegalStateException](Graph.compactEdgeStore(spark, dir))
+    Graph.writeEdgeStore(base, dir) // full rebuild resolves the crash
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+  }
 }
