@@ -2480,6 +2480,78 @@ object Similarity {
       k)
   }
 
+  /** CLOSE the ANN parameter loop — [[ivfRecallAudit]] measures what a
+    * GIVEN nProbe delivers; this picks the SMALLEST nProbe that meets a
+    * caller's recall target, so the knob is driven by the SLO instead of
+    * folklore: a store whose quantizer no longer fits the corpus (stale
+    * after drift) needs more cells probed for the same recall, and the
+    * tuner finds that out instead of a dashboard reader. Recall here is
+    * the micro-average over the query sample (`1000·Σ n_hit div
+    * Σ n_exact` — one integer, deterministic). Correctness of the search:
+    * per-query recall is MONOTONE non-decreasing in nProbe — a true
+    * top-k neighbor returned at nProbe = p is still a candidate at p+1,
+    * and only globally-closer vectors (themselves true top-k) can rank
+    * above it — so "smallest passing nProbe" is well-defined and binary
+    * search applies. nProbe = nCentroids is exhaustive (recall 1000 by
+    * construction), so the target is always reachable; the `exhaustive`
+    * flag still reports honestly. Returns ONE row: `(n_centroids,
+    * n_probe, recall_milli, target_milli, n_queries, exhaustive)`.
+    *
+    * Scale shape: the exact baseline (one |sample|×|live| scan — the
+    * ground-truth price, bounded by a small deterministic sample) is
+    * materialized ONCE; the search then costs O(log nCentroids)
+    * partition-pruned probes, each folded to a 1-row decision read.
+    */
+  def autoTuneNProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      targetRecallMilli: Long = 950L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(
+      targetRecallMilli >= 1 && targetRecallMilli <= 1000,
+      s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
+    requireNotInflight(spark, path)
+    requireIvfDim(queries, path, vecCol)
+    val nCent = spark.read.parquet(s"$path/centroids").count().toInt
+    val live = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
+      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
+    val q = queries.localCheckpoint() // probed once per search rung
+    val exact = bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint()
+    val nQueries = exact.select("query_id").distinct().count()
+    def recallAt(p: Int): Long = {
+      // 1-row decision read per rung (the ivfCentroids collect discipline)
+      val r = annRecallAudit(probeIvfIndex(spark, path, q, k, p, idCol, vecCol), exact, k)
+        .agg(
+          sum("n_hit").cast("long").as("h"),
+          sum("n_exact").cast("long").as("e"))
+        .head()
+      if (r.getLong(1) == 0L) 1000L else (1000L * r.getLong(0)) / r.getLong(1)
+    }
+    // exponential ladder to the first passing rung ...
+    var lo = 0 // largest known-failing nProbe
+    var hi = 1
+    var rHi = recallAt(hi)
+    while (rHi < targetRecallMilli && hi < nCent) {
+      lo = hi
+      hi = math.min(hi * 2, nCent)
+      rHi = recallAt(hi)
+    }
+    // ... then binary search pins the exact minimum in (lo, hi]
+    if (rHi >= targetRecallMilli) {
+      while (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        if (recallAt(mid) >= targetRecallMilli) hi = mid else lo = mid
+      }
+      rHi = recallAt(hi)
+    }
+    Seq((nCent.toLong, hi.toLong, rHi, targetRecallMilli, nQueries, hi == nCent))
+      .toDF("n_centroids", "n_probe", "recall_milli", "target_milli", "n_queries", "exhaustive")
+  }
+
   /** Drift audit for a persisted IVF index — the operational "rebuild
     * yet?" signal for the ingest loop: the stored cells' population vs an
     * incoming batch assigned against the SAME frozen centroids ([[

@@ -1104,6 +1104,34 @@ object OpsQueries {
       Similarity.writeIvfIndex(e, idx)
       Similarity.ivfRecallAudit(s, idx, e.filter(col("vec_id") < 8), k = 5, nProbe = 4)
     },
+    // the recall dial CLOSED-LOOP: autoTuneNProbe picks the minimal
+    // nProbe meeting a 950-milli recall target on a fresh store AND on a
+    // deliberately stale one (quantizer trained on coordinate-rotated
+    // vectors, the real corpus appended frozen, rotated content
+    // tombstoned) — the stale store must need MORE cells probed for the
+    // same target, and the oracle derives both minima by scanning every
+    // p in 1..16 (equivalent to the operator's ladder + binary search by
+    // recall monotonicity in nProbe)
+    "ann_autotune_nprobe" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 8)
+      val pid = ProcessHandle.current().pid()
+      val fresh = s"${sys.props("java.io.tmpdir")}/graft_tune_f_$pid"
+      val stale = s"${sys.props("java.io.tmpdir")}/graft_tune_s_$pid"
+      Similarity.writeIvfIndex(e, fresh)
+      val rot = e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))").as("embedding"))
+      Similarity.writeIvfIndex(rot, stale)
+      Similarity.appendIvfIndex(e, stale)
+      Similarity.deleteFromIndex(rot.select("vec_id"), stale)
+      Similarity.autoTuneNProbe(s, fresh, qs, k = 5).withColumn("store", lit("fresh"))
+        .unionAll(
+          Similarity.autoTuneNProbe(s, stale, qs, k = 5).withColumn("store", lit("stale")))
+        .select(
+          "store", "n_centroids", "n_probe", "recall_milli",
+          "target_milli", "n_queries", "exhaustive")
+    },
     // the PQ face of the recall dial: the compressed-domain ADC probe
     // scored against exact brute force over the same corpus — what the
     // 16x memory cut actually costs in recall, per query, hash-checked
@@ -1870,28 +1898,39 @@ object OpsQueries {
   private val kmeansDotCv =
     "list_sum(list_transform(range(1, 65), i -> CAST(q.v[i] AS DOUBLE) * c.cv[i]))"
 
-  private def kmeansAssignCte(name: String, cents: String) =
+  private def kmeansAssignCteOn(name: String, cents: String, src: String) =
     s"""$name AS (
        |  SELECT id, v, nrm, cid FROM (
        |    SELECT q.id, q.v, q.nrm, c.cid,
        |           ROW_NUMBER() OVER (PARTITION BY q.id
        |             ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS rn
-       |    FROM e q CROSS JOIN $cents c)
+       |    FROM $src q CROSS JOIN $cents c)
        |  WHERE rn = 1)""".stripMargin
 
-  private def kmeansLloydCtes(k: Int) =
-    s"""${kmeansAssignCte(s"a$k", s"c${k - 1}")},
-       |m$k AS (
+  private def kmeansAssignCte(name: String, cents: String) =
+    kmeansAssignCteOn(name, cents, "e")
+
+  /** One Lloyd iteration with CTE names prefixed `pfx` and the TRAINING
+    * set `src` — the parameterization that lets ann_autotune_nprobe train
+    * a second (deliberately stale) quantizer on rotated vectors in the
+    * same query; the default ("", "e") emits the original names
+    * byte-for-byte.
+    */
+  private def kmeansLloydCtesOn(k: Int, src: String = "e", pfx: String = "") =
+    s"""${kmeansAssignCteOn(s"${pfx}a$k", s"${pfx}c${k - 1}", src)},
+       |${pfx}m$k AS (
        |  SELECT cid, i,
        |         CAST(floor(CAST(SUM(CAST(round(CAST(v[i] AS DOUBLE) * 1000, 0) AS BIGINT)) AS DOUBLE)
        |                    / COUNT(*)) AS BIGINT) AS m
-       |  FROM a$k, range(1, 65) t(i) GROUP BY 1, 2),
-       |c$k AS (
+       |  FROM ${pfx}a$k, range(1, 65) t(i) GROUP BY 1, 2),
+       |${pfx}c$k AS (
        |  SELECT cid, cv,
        |         sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * cv[i]))) AS cnrm
        |  FROM (SELECT cid,
        |               list_transform(list(m ORDER BY i), mm -> CAST(CAST(mm AS DOUBLE) / 1000.0 AS FLOAT)) AS cv
-       |        FROM m$k GROUP BY cid))""".stripMargin
+       |        FROM ${pfx}m$k GROUP BY cid))""".stripMargin
+
+  private def kmeansLloydCtes(k: Int) = kmeansLloydCtesOn(k)
 
   private lazy val kmeansCellsCtes: String =
     s"""${embCte("SELECT vec_id, embedding FROM embeddings")},
@@ -1900,6 +1939,78 @@ object OpsQueries {
        |${kmeansLloydCtes(2)},
        |${kmeansLloydCtes(3)},
        |${kmeansAssignCte("cells", "c3")}""".stripMargin
+
+  /** One store's nProbe-tuning block for ann_autotune_nprobe: the
+    * query sample's FULL cell ranking, every candidate with its cell's
+    * probe rank, probe top-5 at EVERY p in 1..16 in one pass (a
+    * neighbor is retrieved at p iff its cell ranks <= p), micro-average
+    * recall per p against the shared exact baseline `bk`, and the
+    * MINIMAL passing p — equivalent to the operator's ladder + binary
+    * search because per-query recall is monotone in nProbe.
+    */
+  private def tuneBlockCtes(pfx: String, cells: String, cents: String): String =
+    s"""${pfx}prbs AS (
+       |  SELECT q.id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY q.id
+       |           ORDER BY round($kmeansDotCv / (q.nrm * c.cnrm), 6) DESC, c.cid) AS prn
+       |  FROM e q CROSS JOIN $cents c WHERE q.id < 8),
+       |${pfx}cand AS MATERIALIZED (
+       |  SELECT p.query_id, m.id AS neighbor_id, p.prn,
+       |         round(list_sum(list_transform(range(1, 65),
+       |                 i -> CAST(p.qv[i] AS DOUBLE) * m.v[i])) / (p.qnrm * m.nrm), 6) AS cos_r
+       |  FROM ${pfx}prbs p JOIN $cells m ON p.cid = m.cid AND m.id <> p.query_id),
+       |${pfx}byp AS MATERIALIZED (
+       |  SELECT p, query_id, neighbor_id FROM (
+       |    SELECT pp.p, c.query_id, c.neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY pp.p, c.query_id
+       |             ORDER BY c.cos_r DESC, c.neighbor_id) AS rnk
+       |    FROM ${pfx}cand c JOIN range(1, 17) pp(p) ON c.prn <= pp.p)
+       |  WHERE rnk <= 5),
+       |${pfx}rec AS MATERIALIZED (
+       |  SELECT pp.p,
+       |         CAST((1000 * COUNT(i.neighbor_id)) // COUNT(*) AS BIGINT) AS recall_milli
+       |  FROM bk CROSS JOIN range(1, 17) pp(p)
+       |  LEFT JOIN ${pfx}byp i ON i.p = pp.p AND i.query_id = bk.query_id
+       |        AND i.neighbor_id = bk.neighbor_id
+       |  GROUP BY 1),
+       |${pfx}sel AS (SELECT MIN(p) AS np FROM ${pfx}rec WHERE recall_milli >= 950)""".stripMargin
+
+  private lazy val autoTuneOracleSql: String = {
+    def row(label: String, pfx: String) =
+      s"""SELECT '$label' AS store, CAST(16 AS BIGINT) AS n_centroids,
+         |       CAST(t.np AS BIGINT) AS n_probe,
+         |       (SELECT recall_milli FROM ${pfx}rec WHERE p = t.np) AS recall_milli,
+         |       CAST(950 AS BIGINT) AS target_milli,
+         |       (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bk) AS n_queries,
+         |       t.np = 16 AS exhaustive
+         |FROM ${pfx}sel t""".stripMargin
+    s"""WITH $kmeansCellsCtes,
+       |er AS (
+       |  SELECT vec_id AS id, list_concat(embedding[2:64], embedding[1:1]) AS v,
+       |         sqrt(list_sum(list_transform(range(1, 65),
+       |              i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+       |  FROM embeddings),
+       |rc0 AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM er WHERE id < 16),
+       |${kmeansLloydCtesOn(1, "er", "r")},
+       |${kmeansLloydCtesOn(2, "er", "r")},
+       |${kmeansLloydCtesOn(3, "er", "r")},
+       |${kmeansAssignCteOn("rcells", "rc3", "e")},
+       |bscored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+       |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+       |bk AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |    FROM bscored)
+       |  WHERE rank <= 5),
+       |${tuneBlockCtes("f", "cells", "c3")},
+       |${tuneBlockCtes("s", "rcells", "rc3")}
+       |${row("fresh", "f")}
+       |UNION ALL
+       |${row("stale", "s")}""".stripMargin
+  }
 
   private lazy val kmeansIvfTopkSql: String =
     s"""WITH $kmeansCellsCtes,
@@ -3339,6 +3450,7 @@ object OpsQueries {
     // frozen quantizer) set-intersected per query against exact brute
     // force over the indexed corpus — hits match on neighbor membership,
     // not rank order
+    "ann_autotune_nprobe" -> autoTuneOracleSql,
     "ann_recall_audit" ->
       s"""WITH $kmeansCellsCtes,
          |probes AS (

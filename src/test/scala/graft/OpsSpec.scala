@@ -249,6 +249,30 @@ class OpsSpec extends SparkSpec {
       z.getAs[Long]("recall_milli") === 0L)
   }
 
+  test("autoTuneNProbe: chosen nProbe is MINIMAL for the target; trivial target tunes to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("ivftune").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.writeIvfIndex(e, dir)
+    def microRecallAt(p: Int): Long = {
+      val r = Similarity.ivfRecallAudit(spark, dir, q, k = 5, nProbe = p)
+        .agg(sum("n_hit").cast("long"), sum("n_exact").cast("long")).head()
+      (1000L * r.getLong(0)) / r.getLong(1)
+    }
+    val row = Similarity.autoTuneNProbe(spark, dir, q, k = 5, targetRecallMilli = 950L).head()
+    val chosen = row.getAs[Long]("n_probe").toInt
+    assert(row.getAs[Long]("recall_milli") === microRecallAt(chosen))
+    assert(row.getAs[Long]("recall_milli") >= 950L)
+    // minimality: one probe fewer must miss the target (the audited
+    // recall function IS the ground truth the tuner searched over)
+    if (chosen > 1) assert(microRecallAt(chosen - 1) < 950L, s"chosen $chosen not minimal")
+    assert(!row.getAs[Boolean]("exhaustive") || chosen === 16)
+    // any probe at all clears a 1-milli target: the tuner must not
+    // overshoot past the first rung
+    val trivial = Similarity.autoTuneNProbe(spark, dir, q, k = 5, targetRecallMilli = 1L).head()
+    assert(trivial.getAs[Long]("n_probe") === 1L, trivial.toString)
+  }
+
   test("rankingAudit: hand NDCG/MRR, perfect ranking reads exactly 1e6 ppm, empty truth null") {
     val s = spark
     import s.implicits._
