@@ -1360,8 +1360,18 @@ object Stats {
     * report n_pairs 0 and a null slope. Long headroom: |Δvalue| must stay under ~9·10¹².
     *
     * Scale shape: the [[mannKendall]] pair join (quadratic in the
-    * calendar-bounded SERIES, never raw rows), then ONE window over the
-    * pair grain for rank-selection of the median and a per-group fold.
+    * calendar-bounded SERIES, never raw rows), then the median selection
+    * rides [[graft.ops.Relational.globalRank]] over (grp, slope) — a
+    * range shuffle + driver prefix of |partitions| offsets, with
+    * in-group rank = global rank − the group's first rank (one
+    * |groups|-row aggregate + equi-join back). NO `Window.partitionBy
+    * (grp)` anywhere: the pair grain is O(series²) rows per group, and a
+    * per-group window would sort a 10³-period series' 5·10⁵ pairs in
+    * ONE partition — exactly the near-unique-window hot sort
+    * `globalRank` exists to avoid (SCALE.md's rule; the r14 verdict's
+    * ask 6). Ranks at tied slopes depend on placement, but the VALUES
+    * selected at the median positions are multiset-determined, so
+    * `med2` is deterministic regardless.
     */
   def theilSenSlope(
       df: DataFrame,
@@ -1377,11 +1387,11 @@ object Stats {
         (col("r.t") - col("l.t")).as("__den"))
       .select(col("grp"), expr("__num div __den").as("sl"))
     val cnt = slopes.groupBy("grp").agg(count(lit(1)).cast("long").as("n_pairs"))
-    val ranked = slopes
-      .withColumn(
-        "rn",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy(col("sl"))))
+    val granked = graft.ops.Relational.globalRank(slopes, Seq(col("grp"), col("sl")), "__gr")
+    val firsts = granked.groupBy("grp").agg(min(col("__gr")).as("__first"))
+    val ranked = granked
+      .join(firsts, Seq("grp"))
+      .withColumn("rn", col("__gr") - col("__first") + lit(1L))
       .join(cnt, Seq("grp"))
       // lo == hi for odd counts: the two conditional sums below each pick
       // the middle once, so the doubled median still counts it twice
