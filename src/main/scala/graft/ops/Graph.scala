@@ -831,6 +831,7 @@ object Graph {
   def appendEdgeStore(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     Similarity.requireNotInflight(spark, path)
+    requireBatchBuilt(spark, path, "appendEdgeStore")
     val liveOld = liveEdges(spark, path).localCheckpoint()
     val delta = undirectedEdges(batch)
       .join(liveOld, Seq("u", "v"), "left_anti")
@@ -859,6 +860,83 @@ object Graph {
     Similarity.clearInflight(spark, path)
   }
 
+  /** One micro-batch of STREAMING edge-store maintenance (the foreachBatch
+    * body a growing interaction graph runs): batch 0 — or a store with no
+    * params pin, including a batch-built one being re-pointed — CLAIMS the
+    * root (stale state dies first, the [[graft.ops.StoreLifecycle]] rule;
+    * an empty claim defers training of nothing — edges need no fit — but
+    * still wipes); every later batch lands ONLY its actually-new edges
+    * under `edges/batch_id=N` and swaps a support table stamped
+    * `as_of_batch = N`. EXACTLY-ONCE without a transaction log: the
+    * support swap is atomic (tmp + rename), so after any crash the store
+    * is either entirely pre-N or entirely post-N — a checkpoint-retried
+    * batch reads the stamp, recomputes its delta against the edges dirs
+    * EXCLUDING its own generation (so a half-landed gen N never hides its
+    * own delta), re-overwrites gen N idempotently, and applies credits
+    * only if the stamp says they never landed. The crash marker spans the
+    * edges↔support window for PROBE safety ([[readEdgeSupport]] refuses a
+    * mid-crash store); the retried batch itself RESOLVES the marker —
+    * re-running the interrupted op is the documented repair. Stream
+    * stores are additions-only: [[appendEdgeStore]]/[[removeFromEdgeStore]]
+    * refuse them (route additions through the stream; removals want a
+    * batch-built store).
+    */
+  def ingestEdgeBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val und = undirectedEdges(batch).localCheckpoint()
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
+      // batch 0 must still retire a previous run's store
+      Seq("edges", "support", "tombstones").foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
+      Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
+      Similarity.deleteDir(spark, s"$path/params")
+      if (und.isEmpty) return
+      Seq("edges-stream").toDF("kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      Similarity.markInflight(spark, path, "ingestEdgeBatch")
+      und.write.mode("overwrite").parquet(s"$path/edges/batch_id=$batchId")
+      Similarity.rewriteDir(
+        spark,
+        edgeSupport(und).withColumn("as_of_batch", lit(batchId)),
+        s"$path/support",
+        Nil)
+      Similarity.clearInflight(spark, path)
+      return
+    }
+    if (und.isEmpty) return // nothing to merge: store untouched
+    // the stamp decides whether this batch's credits already landed —
+    // the swap's atomicity means it is never half-true (1-row read)
+    val asOf = spark.read.parquet(s"$path/support")
+      .select(max(col("as_of_batch")).cast("long")).head().getLong(0)
+    if (asOf >= batchId) {
+      // support already post-N: the crash (if any) was between the swap
+      // and the marker clear — gen N is re-landed below, nothing recounts
+      Similarity.clearInflight(spark, path)
+      return
+    }
+    val liveOld = spark.read.parquet(s"$path/edges")
+      .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
+      .select("u", "v")
+      .localCheckpoint()
+    val delta = und.join(liveOld, Seq("u", "v"), "left_anti").localCheckpoint()
+    if (delta.isEmpty) return // pure-duplicate batch: no new generation, no recount
+    val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    val supportNew = liveNew
+      .join(spark.read.parquet(s"$path/support").select("u", "v", "support"),
+        Seq("u", "v"), "left")
+      .join(touchedTriangleCredits(delta, liveNew), Seq("u", "v"), "left")
+      .select(
+        col("u"),
+        col("v"),
+        (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
+      .withColumn("as_of_batch", lit(batchId))
+    Similarity.markInflight(spark, path, "ingestEdgeBatch") // edges ↔ support window
+    delta.write.mode("overwrite").parquet(s"$path/edges/batch_id=$batchId")
+    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
   /** Remove edges from the store: the removed pairs land in `tombstones`
     * (metadata-only — no edge-table rewrite on the removal path) and the
     * support table decrements incrementally — triangles of the
@@ -869,6 +947,7 @@ object Graph {
   def removeFromEdgeStore(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
     Similarity.requireNotInflight(spark, path)
+    requireBatchBuilt(spark, path, "removeFromEdgeStore")
     val liveOld = liveEdges(spark, path).localCheckpoint()
     val rem = undirectedEdges(batch)
       .join(liveOld, Seq("u", "v"), "left_semi")
@@ -888,26 +967,41 @@ object Graph {
     Similarity.clearInflight(spark, path)
   }
 
-  /** Fold the store: rewrite `edges` to the live set (tombstoned pairs
-    * physically dropped) and clear the tombstones. Support is unchanged
-    * by contract — compaction reorganizes storage, it never recounts.
+  /** Fold the store. Batch-built: rewrite `edges` to the live set
+    * (tombstoned pairs physically dropped) and clear the tombstones.
+    * Stream-built: fold every `edges/batch_id=N` generation into ONE
+    * `batch_id=-1` generation (real micro-batch ids are >= 0 — the
+    * [[graft.ops.Similarity]] compaction convention), so a long-running
+    * stream's per-batch file census collapses while the next ingest
+    * batch keeps a consistent layout. Support is unchanged by contract —
+    * compaction reorganizes storage, it never recounts.
     */
   def compactEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     Similarity.requireNotInflight(spark, path)
-    val live = liveEdges(spark, path).localCheckpoint()
+    val raw = spark.read.parquet(s"$path/edges")
     Similarity.markInflight(spark, path, "compactEdgeStore") // edges ↔ tombstones window
-    Similarity.rewriteDir(spark, live, s"$path/edges", Nil)
-    Similarity.clearTombstones(spark, path)
+    if (raw.columns.contains("batch_id"))
+      Similarity.rewriteDir(
+        spark,
+        raw.select("u", "v").withColumn("batch_id", lit(-1L)),
+        s"$path/edges",
+        Seq("batch_id"))
+    else {
+      val live = liveEdges(spark, path).localCheckpoint()
+      Similarity.rewriteDir(spark, live, s"$path/edges", Nil)
+      Similarity.clearTombstones(spark, path)
+    }
     Similarity.clearInflight(spark, path)
   }
 
   /** The store's read face: per-live-edge triangle support, refusing a
     * mid-crash store. Matches [[triangleSupport]] over the live edge set
-    * exactly (the invariant the spec and the driver row pin).
+    * exactly (the invariant the spec and the driver row pin); the stream
+    * store's `as_of_batch` bookkeeping column never reaches a reader.
     */
   def readEdgeSupport(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     Similarity.requireNotInflight(spark, path)
-    spark.read.parquet(s"$path/support")
+    spark.read.parquet(s"$path/support").select("u", "v", "support")
   }
 
   private def liveEdges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
@@ -916,6 +1010,18 @@ object Graph {
       e.join(spark.read.parquet(s"$path/tombstones"), Seq("u", "v"), "left_anti")
     else e
   }
+
+  /** A params pin marks a STREAM-maintained store ([[ingestEdgeBatch]]);
+    * the batch mutators refuse it — a flat append beside `batch_id=N`
+    * generation dirs breaks partition discovery, and removals on a
+    * stream store would race its ingest.
+    */
+  private def requireBatchBuilt(
+      spark: org.apache.spark.sql.SparkSession, path: String, what: String): Unit =
+    require(
+      !Similarity.storeExists(spark, s"$path/params"),
+      s"$what: the edge store at $path is stream-maintained (params pin present) — " +
+        "route additions through ingestEdgeBatch; removals need a batch-built store")
 
   /** Triangles of `live` containing at least one `delta` edge, found ONCE
     * each (wedges from each delta edge's u endpoint, closed against the

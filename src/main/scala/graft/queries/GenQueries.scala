@@ -628,6 +628,23 @@ object GenQueries {
         idx)
       graft.ops.Graph.readEdgeSupport(s, idx)
     },
+    // the STREAMED edge store: three ingest generations (first chords,
+    // then the second chords split by parity with deliberate duplicate
+    // resends, with a checkpoint-retry of batch 1) — exactly-once support
+    // maintenance must leave the readback hash-equal to the batch
+    // recompute over the union
+    "graph_support_streamed" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_edgestream_${ProcessHandle.current().pid()}"
+      val c1 = k.select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val c2 = k.select(col("n").as("src"), (col("n") + 2).as("dst"))
+      val b1 = c2.filter(col("src") % 2 === 0).unionAll(c1.filter(col("src") % 5 === 0))
+      graft.ops.Graph.ingestEdgeBatch(c1, idx, 0L)
+      graft.ops.Graph.ingestEdgeBatch(b1, idx, 1L)
+      graft.ops.Graph.ingestEdgeBatch(b1, idx, 1L) // checkpoint retry: must not recount
+      graft.ops.Graph.ingestEdgeBatch(c2.filter(col("src") % 2 =!= 0), idx, 2L)
+      graft.ops.Graph.readEdgeSupport(s, idx)
+    },
     // friend-of-friend link prediction over the same chord graph: top-3
     // non-adjacent nodes per node by common-neighbor count (n+-3 shares
     // two middles, n+-4 one), hub middles capped — all integer, so the
@@ -644,6 +661,32 @@ object GenQueries {
   private val discPrice =
     """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))""".stripMargin
+
+  /** Per-edge triangle support over a chord-graph edge source `e00Sql`
+    * (which may reference `kys`) — one graph_ktruss-style pass: the batch
+    * recompute both edge-store readback oracles compare against.
+    */
+  private def edgeSupportOracle(e00Sql: String): String =
+    s"""WITH kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+       |e00 AS ($e00Sql),
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e00 WHERE src <> dst),
+       |dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+       |       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+       |o1 AS MATERIALIZED (
+       |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+       |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS b
+       |  FROM e0 e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
+       |t1 AS MATERIALIZED (SELECT w.a, w.w1, w.w2 FROM (
+       |         SELECT e1.a, e1.b AS w1, e2.b AS w2
+       |         FROM o1 e1 JOIN o1 e2 ON e1.a = e2.a AND e1.b < e2.b) w
+       |       JOIN e0 s ON s.u = w.w1 AND s.v = w.w2),
+       |cr AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
+       |         SELECT least(a, w1) AS u, greatest(a, w1) AS v FROM t1
+       |         UNION ALL SELECT least(a, w2), greatest(a, w2) FROM t1
+       |         UNION ALL SELECT w1, w2 FROM t1) GROUP BY 1, 2)
+       |SELECT e.u, e.v, CAST(COALESCE(cr.support, 0) AS BIGINT) AS support
+       |FROM e0 e LEFT JOIN cr ON cr.u = e.u AND cr.v = e.v""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "audit_profile" -> {
@@ -1377,28 +1420,14 @@ object GenQueries {
     // the FINAL live edge set derived directly (first chords minus the
     // n%7 removals, all second chords), then one graph_ktruss-style
     // support pass — the batch recompute the incremental store must equal
-    "graph_support_incremental" ->
-      """WITH kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
-        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
-        |        UNION ALL SELECT n, n + 2 FROM kys),
-        |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-        |       FROM e00 WHERE src <> dst),
-        |dg AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-        |       FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
-        |o1 AS MATERIALIZED (
-        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
-        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS b
-        |  FROM e0 e JOIN dg du ON du.node = e.u JOIN dg dv ON dv.node = e.v),
-        |t1 AS MATERIALIZED (SELECT w.a, w.w1, w.w2 FROM (
-        |         SELECT e1.a, e1.b AS w1, e2.b AS w2
-        |         FROM o1 e1 JOIN o1 e2 ON e1.a = e2.a AND e1.b < e2.b) w
-        |       JOIN e0 s ON s.u = w.w1 AND s.v = w.w2),
-        |cr AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support FROM (
-        |         SELECT least(a, w1) AS u, greatest(a, w1) AS v FROM t1
-        |         UNION ALL SELECT least(a, w2), greatest(a, w2) FROM t1
-        |         UNION ALL SELECT w1, w2 FROM t1) GROUP BY 1, 2)
-        |SELECT e.u, e.v, CAST(COALESCE(cr.support, 0) AS BIGINT) AS support
-        |FROM e0 e LEFT JOIN cr ON cr.u = e.u AND cr.v = e.v""".stripMargin,
+    "graph_support_incremental" -> edgeSupportOracle(
+      """SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
+        |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
+    // the streamed store's readback over the union of its three ingest
+    // generations (duplicate resends land nothing) = the full chord graph
+    "graph_support_streamed" -> edgeSupportOracle(
+      """SELECT n AS src, n + 1 AS dst FROM kys
+        |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
     // graph_triangles' oracle chain + degree join + trunc-div ppm
     "graph_clustering" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),

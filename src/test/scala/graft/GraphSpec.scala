@@ -380,6 +380,49 @@ class GraphSpec extends SparkSpec {
       "post-compaction re-insert restores the K4 support")
   }
 
+  test("edge store streaming ingest: exactly-once across retries, crash repair, mid-stream compact") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("edgeingest").toString
+    val b0 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst") // triangle {1,2,3}
+    val b1 = Seq((2L, 4L), (3L, 4L), (2L, 3L)).toDF("src", "dst") // adds {2,3,4}; resends (2,3)
+    val b2 = Seq((1L, 4L)).toDF("src", "dst") // completes K4
+    Graph.ingestEdgeBatch(b0, dir, 0L)
+    Graph.ingestEdgeBatch(b1, dir, 1L)
+    Graph.ingestEdgeBatch(b1, dir, 1L) // checkpoint retry: must not double-credit
+    Graph.ingestEdgeBatch(b2, dir, 2L)
+    val all = b0.unionAll(b1).unionAll(b2)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all)))
+    // crash window AFTER the support swap: marker present, stamp already
+    // at the batch — the retried batch resolves the marker, recounts nothing
+    Seq("ingestEdgeBatch").toDF("op").write.parquet(s"$dir/inflight")
+    intercept[IllegalStateException](Graph.readEdgeSupport(spark, dir))
+    Graph.ingestEdgeBatch(b2, dir, 2L)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all)))
+    // crash window BEFORE the swap: gen 3 half-landed, support still at
+    // batch 2 — the retry recomputes its delta EXCLUDING its own
+    // generation, so the credits land exactly once
+    Seq((1L, 5L), (2L, 5L)).toDF("u", "v").write.parquet(s"$dir/edges/batch_id=3")
+    Seq("ingestEdgeBatch").toDF("op").write.mode("overwrite").parquet(s"$dir/inflight")
+    val b3 = Seq((1L, 5L), (2L, 5L), (1L, 2L)).toDF("src", "dst") // adds triangle {1,2,5}
+    Graph.ingestEdgeBatch(b3, dir, 3L)
+    val all3 = all.unionAll(b3)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all3)))
+    // batch mutators refuse the stream-maintained store
+    val err = intercept[IllegalArgumentException](Graph.appendEdgeStore(b2, dir))
+    assert(err.getMessage.contains("stream-maintained"), err.getMessage)
+    intercept[IllegalArgumentException](
+      Graph.removeFromEdgeStore(Seq((1L, 2L)).toDF("src", "dst"), dir))
+    // mid-stream compact folds generations; support unchanged; ingest continues
+    Graph.compactEdgeStore(spark, dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all3)))
+    Graph.ingestEdgeBatch(Seq((4L, 5L)).toDF("src", "dst"), dir, 4L) // closes {1,4,5} and {2,4,5}
+    val all4 = all3.unionAll(Seq((4L, 5L)).toDF("src", "dst"))
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all4)))
+    // re-pointing: a fresh stream's batch 0 replaces the whole store
+    Graph.ingestEdgeBatch(b0, dir, 0L)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(b0)))
+  }
+
   test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("edgestorecrash").toString
