@@ -2520,11 +2520,73 @@ object Similarity {
     val live = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
       .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
     val q = queries.localCheckpoint() // probed once per search rung
+    nProbeSearch(
+      spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
+      p => probeIvfIndex(spark, path, q, k, p, idCol, vecCol))
+  }
+
+  /** [[autoTuneNProbe]] for the COMPOSED IVF-PQ store — the same SLO-driven
+    * minimal-nProbe search over [[probeIvfPqIndex]], where BOTH
+    * approximations stack: more cells can only add candidates, and a true
+    * top-k neighbor's ADC distance is fixed, so composed recall stays
+    * monotone in nProbe and the search remains valid — but it may never
+    * reach a high target (coding error misranks WITHIN probed cells;
+    * exhaustive probing does not undo it), so the exhaustive row reports
+    * the honest ceiling instead of looping. PQ codes are lossy: ground
+    * truth needs the caller's full-precision `corpus` restricted to the
+    * live id set (the [[ivfPqRecallAudit]] contract). Search kernel,
+    * output shape, and decision-read discipline shared with the flat
+    * tuner (one oracle-checked kernel, two probe faces).
+    */
+  def autoTuneNProbeIvfPq(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetRecallMilli: Long = 950L,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(
+      targetRecallMilli >= 1 && targetRecallMilli <= 1000,
+      s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
+    requireNotInflight(spark, path)
+    requireIvfPqParams(spark, path, m, ksub, dim)
+    val nCent = spark.read.parquet(s"$path/centroids").count().toInt
+    val liveIds = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
+      .select("vec_id").distinct()
+    val live = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(liveIds.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_semi")
+    val q = queries.localCheckpoint()
+    nProbeSearch(
+      spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
+      p => probeIvfPqIndex(spark, path, q, k, p, m, ksub, dim, idCol, vecCol))
+  }
+
+  /** The shared minimal-nProbe search: exponential ladder + binary search
+    * over a monotone recall curve, exact baseline materialized once, one
+    * 1-row decision read per rung.
+    */
+  private def nProbeSearch(
+      spark: org.apache.spark.sql.SparkSession,
+      q: DataFrame,
+      live: DataFrame,
+      k: Int,
+      targetRecallMilli: Long,
+      nCent: Int,
+      idCol: String,
+      vecCol: String,
+      probe: Int => DataFrame): DataFrame = {
+    import spark.implicits._
     val exact = bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint()
     val nQueries = exact.select("query_id").distinct().count()
     def recallAt(p: Int): Long = {
       // 1-row decision read per rung (the ivfCentroids collect discipline)
-      val r = annRecallAudit(probeIvfIndex(spark, path, q, k, p, idCol, vecCol), exact, k)
+      val r = annRecallAudit(probe(p), exact, k)
         .agg(
           sum("n_hit").cast("long").as("h"),
           sum("n_exact").cast("long").as("e"))

@@ -273,6 +273,33 @@ class OpsSpec extends SparkSpec {
     assert(trivial.getAs[Long]("n_probe") === 1L, trivial.toString)
   }
 
+  test("autoTuneNProbeIvfPq: minimal composed nProbe against the corpus-backed recall audit") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqtune").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+    Similarity.writeIvfPqIndex(e, dir)
+    def microRecallAt(p: Int): Long = {
+      val r = Similarity.ivfPqRecallAudit(spark, dir, e, q, k = 5, nProbe = p)
+        .agg(sum("n_hit").cast("long"), sum("n_exact").cast("long")).head()
+      (1000L * r.getLong(0)) / r.getLong(1)
+    }
+    // a modest target the lossy codes can reach on this fixture; the
+    // exhaustive ceiling is echoed honestly either way
+    val row = Similarity
+      .autoTuneNProbeIvfPq(spark, dir, e, q, k = 5, targetRecallMilli = 700L)
+      .head()
+    val chosen = row.getAs[Long]("n_probe").toInt
+    assert(row.getAs[Long]("recall_milli") === microRecallAt(chosen))
+    if (!row.getAs[Boolean]("exhaustive")) {
+      assert(row.getAs[Long]("recall_milli") >= 700L)
+      if (chosen > 1) assert(microRecallAt(chosen - 1) < 700L, s"chosen $chosen not minimal")
+    } else {
+      // unreachable target: the ceiling is the exhaustive probe's recall
+      assert(chosen === 16)
+    }
+  }
+
   test("rankingAudit: hand NDCG/MRR, perfect ranking reads exactly 1e6 ppm, empty truth null") {
     val s = spark
     import s.implicits._
