@@ -93,7 +93,15 @@ object Bench {
     // always rebuilds + persists its own map (the honest-build face),
     // so it is the heaviest CC-family entry
     "dedup_clusters_persisted",
-    "graph_pagerank")
+    "graph_pagerank",
+    // round-15 lifecycle faces: two streaming runs over a checkpoint
+    // (late-drop audit), three support passes each (edge stores), and the
+    // heaviest by construction — the two-store nProbe tuner (two builds,
+    // two ground truths, ~14 probe rungs)
+    "events_stream_late_drops",
+    "graph_support_incremental",
+    "graph_support_streamed",
+    "ann_autotune_nprobe")
 
   /** Drop every block the previous query left in the block manager
     * (localCheckpoint/persist intermediates are per-query scratch — nothing
