@@ -79,6 +79,40 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(acc)
   }
 
+  test("lateDropCount also observes stream-stream join state drops (no aggregation required)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, Long)]
+    val events = input
+      .toDF()
+      .select(
+        col("_1").as("user_id"),
+        col("_2").as("event_type"),
+        timestamp_seconds(col("_3")).as("t"),
+        col("_4").as("value"))
+      .withColumn("event_id", col("value"))
+    val q = EventsStream
+      .purchaseAttribution(events)
+      .writeStream
+      .format("memory")
+      .queryName("late_join_stream")
+      .outputMode("append")
+      .start()
+    // batch 0 advances both sides' watermarks to 96400
+    input.addData((1L, "click", 99000L, 1L), (1L, "purchase", 100000L, 2L))
+    q.processAllAvailable()
+    input.addData((1L, "click", 99500L, 3L)) // in-band: watermark filter warms
+    q.processAllAvailable()
+    // hours-late rows on BOTH sides: the join's state-store input filters
+    // drop them, and the same engine accounting surfaces it
+    input.addData((1L, "click", 50000L, 4L), (1L, "purchase", 50500L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    assert(EventsStream.lateDropCount(q) >= 2L,
+      s"join drops observable, got ${EventsStream.lateDropCount(q)}")
+  }
+
   test("append-mode emission boundary: a window whose end EQUALS the watermark finalizes") {
     val s = spark
     import s.implicits._
