@@ -805,6 +805,10 @@ object Graph {
     val und = undirectedEdges(edges).localCheckpoint()
     Similarity.markInflight(spark, path, "writeEdgeStore")
     Similarity.deleteDir(spark, s"$path/tombstones")
+    // a full write really replaces EVERYTHING: the params pin too, so a
+    // formerly stream-maintained path becomes a plain batch store whose
+    // mutators work again (the writePqIndex contract)
+    Similarity.deleteDir(spark, s"$path/params")
     Similarity.deleteDir(spark, s"$path/edges")
     und.write.mode("overwrite").parquet(s"$path/edges")
     Similarity.rewriteDir(spark, edgeSupport(und), s"$path/support", Nil)
@@ -836,6 +840,9 @@ object Graph {
     val delta = undirectedEdges(batch)
       .join(liveOld, Seq("u", "v"), "left_anti")
       .localCheckpoint()
+    if (delta.isEmpty) return // nothing new: store untouched byte-for-byte
+    // a tombstoned edge is by definition not live, so it always lands in
+    // delta — checking after the empty short-circuit loses no refusal
     if (Similarity.storeExists(spark, s"$path/tombstones")) {
       val nTomb = delta
         .join(spark.read.parquet(s"$path/tombstones"), Seq("u", "v"), "left_semi")
@@ -845,7 +852,6 @@ object Graph {
         s"appendEdgeStore: $nTomb batch edges are tombstoned in $path — " +
           "compact the store before re-inserting a deleted edge")
     }
-    if (delta.isEmpty) return // nothing new: store untouched byte-for-byte
     val liveNew = liveOld.unionAll(delta).localCheckpoint()
     val supportNew = liveNew
       .join(spark.read.parquet(s"$path/support"), Seq("u", "v"), "left")
@@ -868,9 +874,11 @@ object Graph {
     * still wipes); every later batch lands ONLY its actually-new edges
     * under `edges/batch_id=N` and swaps a support table stamped
     * `as_of_batch = N`. EXACTLY-ONCE without a transaction log: the
-    * support swap is atomic (tmp + rename), so after any crash the store
-    * is either entirely pre-N or entirely post-N — a checkpoint-retried
-    * batch reads the stamp, recomputes its delta against the edges dirs
+    * support swap is tmp-write + delete + rename, so after any crash the
+    * store is entirely pre-N, entirely post-N, or (crash inside the
+    * delete→rename window) missing-with-a-complete-tmp — the retry rolls
+    * that last case forward before reading the stamp, then recomputes
+    * its delta against the edges dirs
     * EXCLUDING its own generation (so a half-landed gen N never hides its
     * own delta), re-overwrites gen N idempotently, and applies credits
     * only if the stamp says they never landed. The crash marker spans the
@@ -905,6 +913,18 @@ object Graph {
       return
     }
     if (und.isEmpty) return // nothing to merge: store untouched
+    // rewriteDir's one non-atomic window is delete-old → rename-new: a
+    // crash there leaves NO support dir but a COMPLETE `.compacting` tree
+    // (it is fully written before the old dir dies) — roll it forward so
+    // the stamp read below always has a table, and the retry's repair
+    // contract holds through that window too
+    locally {
+      val sup = new org.apache.hadoop.fs.Path(s"$path/support")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/support.compacting")
+      val fs = sup.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(sup) && fs.exists(tmp))
+        require(fs.rename(tmp, sup), s"rolling forward $tmp -> $sup failed")
+    }
     // the stamp decides whether this batch's credits already landed —
     // the swap's atomicity means it is never half-true (1-row read)
     val asOf = spark.read.parquet(s"$path/support")

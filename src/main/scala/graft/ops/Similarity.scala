@@ -1405,11 +1405,18 @@ object Similarity {
         if (fs.getFileStatus(p).isDirectory)
           spark.read.parquet(s"$path/inflight").head().getString(0)
         else {
+          // drain fully: the FS contract allows short reads, and a
+          // truncated op name would misdirect the re-run instruction
           val in = fs.open(p)
           try {
-            val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8)
+            val buf = new java.io.ByteArrayOutputStream(256)
+            val chunk = new Array[Byte](256)
+            var n = in.read(chunk)
+            while (n >= 0 && buf.size < 4096) {
+              buf.write(chunk, 0, n)
+              n = in.read(chunk)
+            }
+            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
           } finally in.close()
         }
       throw new IllegalStateException(
@@ -2584,7 +2591,11 @@ object Similarity {
     import spark.implicits._
     val exact = bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint()
     val nQueries = exact.select("query_id").distinct().count()
-    def recallAt(p: Int): Long = {
+    // memoized: the search re-asks about its final rung (ladder exit /
+    // last binary-search hi), and a probe + audit job is the expensive
+    // unit here — never pay for the same p twice
+    val seen = scala.collection.mutable.Map.empty[Int, Long]
+    def recallAt(p: Int): Long = seen.getOrElseUpdate(p, {
       // 1-row decision read per rung (the ivfCentroids collect discipline)
       val r = annRecallAudit(probe(p), exact, k)
         .agg(
@@ -2592,7 +2603,7 @@ object Similarity {
           sum("n_exact").cast("long").as("e"))
         .head()
       if (r.getLong(1) == 0L) 1000L else (1000L * r.getLong(0)) / r.getLong(1)
-    }
+    })
     // exponential ladder to the first passing rung ...
     var lo = 0 // largest known-failing nProbe
     var hi = 1

@@ -1148,18 +1148,23 @@ object TextAnalysis {
     * tokenizer-scale induction (10³-10⁴ merges) feasible: instead of one
     * pair-count aggregate + one vocabulary rewrite PER MERGE (that many
     * sequential Spark jobs), each round counts once, greedily picks up to
-    * `batch` pairwise SYMBOL-DISJOINT pairs from that one count table
-    * (in count-desc/pair-asc order — a pair sharing a symbol with an
-    * earlier pick is skipped, because its occurrences and count are the
-    * ones the earlier merge rewrites), and applies all of them in one
+    * `batch` NON-INTERACTING pairs from that one count table (in
+    * count-desc/pair-asc order), and applies all of them in one
     * rewrite — `nMerges div batch` aggregate passes instead of
-    * `nMerges`. Disjoint same-round merges commute (each replace
-    * preserves the boundary delimiters the others match on), so the
-    * round result is order-free; when no chosen pair interacts with the
-    * pairs a previous pick's merge would have created or destroyed, the
-    * batched result IS the sequential result (the spec pins the classic
-    * fixture), and otherwise it is the standard batched-BPE
-    * approximation every distributed tokenizer trainer makes — ranks
+    * `nMerges`. The ban that makes same-round merges genuinely commute
+    * covers each pick's INPUT symbols and its MERGED OUTPUT: a candidate
+    * is skipped when either of its symbols OR its concatenation collides
+    * with any earlier pick's symbols or concatenation — plain
+    * symbol-disjointness is not enough, because a pick whose symbol
+    * equals another pick's merged output (`a`,`b` vs `ab`,`x`) matches
+    * occurrences the other replace CREATES, making the round
+    * order-dependent. Under the full ban no replace can touch what
+    * another produces or consumes, each preserves the boundary
+    * delimiters the others match on, and the round result is
+    * order-free; when additionally no pick's merge changes a later
+    * pick's count, the batched result IS the sequential result (the
+    * spec pins the classic fixture) — otherwise it is the standard
+    * batched-BPE approximation every distributed trainer makes — ranks
     * within a round are claim order, counts are the round's shared
     * (pre-rewrite) table. `batch = 1` is exactly [[bpeMerges]]'
     * sequential loop. The greedy picks cost `batch` single-row arg-max
@@ -1203,9 +1208,14 @@ object TextAnalysis {
           val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
           val Array(l, r) = pair.split(" ", 2)
           chosen += ((l, r, cnt))
+          // the full non-interaction ban: the pick's inputs AND its merged
+          // output — a later pair touching `l+r` (or producing `l`/`r`)
+          // would match occurrences this replace creates or consumes
+          val banned = Seq(l, r, l + r)
           rem = rem.filter(
-            !element_at(split(col("pair"), " "), 1).isin(l, r) &&
-              !element_at(split(col("pair"), " "), 2).isin(l, r))
+            !element_at(split(col("pair"), " "), 1).isin(banned: _*) &&
+              !element_at(split(col("pair"), " "), 2).isin(banned: _*) &&
+              !replace(col("pair"), lit(" "), lit("")).isin(banned: _*))
         }
       }
       if (chosen.isEmpty) exhausted = true

@@ -1345,8 +1345,10 @@ object OpsQueries {
   /** One unrolled BATCHED BPE round K (mirrors
     * TextAnalysis.bpeMergesBatched at batch = 2): the round's shared pair
     * counts, greedy pick A (count desc, pair asc), greedy pick B — the
-    * best pair sharing NO symbol with A — and one rewrite applying both
-    * (A then B, commuting by disjointness). CTEs are MATERIALIZED:
+    * best pair whose symbols AND concatenation avoid A's symbols and
+    * concatenation (the full non-interaction ban) — and one rewrite
+    * applying both (A then B, commuting under the ban). CTEs are
+    * MATERIALIZED:
     * a/b are referenced several times each and DuckDB inlines CTEs by
     * default, which re-expands the whole prior-round chain per reference
     * (the round-14 fd-exhaustion lesson). An absent B (no disjoint pair)
@@ -1362,14 +1364,15 @@ object OpsQueries {
        |          FROM $prev) t) u
        |  GROUP BY 1),
        |ba$k AS MATERIALIZED (SELECT pair, cnt FROM bp$k ORDER BY cnt DESC, pair LIMIT 1),
+       |ban$k AS MATERIALIZED (
+       |  SELECT split_part(pair, ' ', 1) AS s FROM ba$k
+       |  UNION ALL SELECT split_part(pair, ' ', 2) FROM ba$k
+       |  UNION ALL SELECT replace(pair, ' ', '') FROM ba$k),
        |bb$k AS MATERIALIZED (
        |  SELECT pair, cnt FROM bp$k
-       |  WHERE split_part(pair, ' ', 1) NOT IN
-       |          (SELECT split_part(pair, ' ', 1) FROM ba$k
-       |           UNION ALL SELECT split_part(pair, ' ', 2) FROM ba$k)
-       |    AND split_part(pair, ' ', 2) NOT IN
-       |          (SELECT split_part(pair, ' ', 1) FROM ba$k
-       |           UNION ALL SELECT split_part(pair, ' ', 2) FROM ba$k)
+       |  WHERE split_part(pair, ' ', 1) NOT IN (SELECT s FROM ban$k)
+       |    AND split_part(pair, ' ', 2) NOT IN (SELECT s FROM ban$k)
+       |    AND replace(pair, ' ', '') NOT IN (SELECT s FROM ban$k)
        |  ORDER BY cnt DESC, pair LIMIT 1),
        |bs$k AS MATERIALIZED (
        |  SELECT freq, replace(replace(s,

@@ -421,6 +421,24 @@ class GraphSpec extends SparkSpec {
     // re-pointing: a fresh stream's batch 0 replaces the whole store
     Graph.ingestEdgeBatch(b0, dir, 0L)
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(b0)))
+    // the delete→rename crash window: support gone, a COMPLETE
+    // .compacting tree left behind — the retry rolls it forward before
+    // reading the stamp instead of path-not-found-looping forever
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/support"),
+      new org.apache.hadoop.fs.Path(s"$dir/support.compacting")))
+    Seq("ingestEdgeBatch").toDF("op").write.mode("overwrite").parquet(s"$dir/inflight")
+    Graph.ingestEdgeBatch(b1, dir, 1L)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(b0.unionAll(b1))))
+    // a FULL batch write over the stream store retires the params pin:
+    // the store becomes batch-built and its mutators work again
+    Graph.writeEdgeStore(b0, dir)
+    Graph.appendEdgeStore(b1, dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(b0.unionAll(b1))))
   }
 
   test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
