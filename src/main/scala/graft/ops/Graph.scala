@@ -1024,6 +1024,25 @@ object Graph {
     spark.read.parquet(s"$path/support").select("u", "v", "support")
   }
 
+  /** Per-NODE triangle counts served straight from the store's maintained
+    * support — no wedge join at read time: a triangle contributes +1
+    * support to each of its three edges, and each of those edges is
+    * incident to exactly two of its corners, so for every node
+    * `Σ_{e ∋ v} support(e) = 2·tri(v)` and one explode + one aggregate
+    * over the (edge-count-sized) support table recovers
+    * [[triangleCounts]] exactly. This is the store's dividend: the
+    * expensive enumeration already happened incrementally at ingest;
+    * serving node counts costs a scan of |edges| rows.
+    */
+  def readTriangleCounts(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readEdgeSupport(spark, path)
+      .select(explode(array(col("u"), col("v"))).as("node"), col("support"))
+      .groupBy("node")
+      .agg((sum("support") / 2).cast("long").as("n_tri"))
+      // triangleCounts reports only nodes IN a triangle; isolated-corner
+      // rows (support sum 0) would differ from the batch face
+      .filter(col("n_tri") > 0L)
+
   private def liveEdges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val e = spark.read.parquet(s"$path/edges")
     if (Similarity.storeExists(spark, s"$path/tombstones"))

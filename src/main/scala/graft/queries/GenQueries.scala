@@ -628,6 +628,26 @@ object GenQueries {
         idx)
       graft.ops.Graph.readEdgeSupport(s, idx)
     },
+    // the store's read-side dividend: per-node triangle counts served
+    // from the incrementally-maintained support (sum of incident edge
+    // supports = 2·tri(v)) — no wedge join at read time; must hash-equal
+    // the direct per-node recompute over the final live set
+    "graph_tricount_served" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_edgetric_${ProcessHandle.current().pid()}"
+      val base = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 3 =!= 0).select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.writeEdgeStore(base, idx)
+      graft.ops.Graph.appendEdgeStore(
+        k.filter(col("n") % 3 === 0).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx)
+      graft.ops.Graph.removeFromEdgeStore(
+        k.filter(col("n") % 7 === 0).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx)
+      graft.ops.Graph.readTriangleCounts(s, idx)
+    },
     // the STREAMED edge store: three ingest generations (first chords,
     // then the second chords split by parity with deliberate duplicate
     // resends, with a checkpoint-retry of batch 1) — exactly-once support
@@ -1428,6 +1448,16 @@ object GenQueries {
     "graph_support_streamed" -> edgeSupportOracle(
       """SELECT n AS src, n + 1 AS dst FROM kys
         |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
+    // per-node fold of the same support recompute: Σ incident supports
+    // over both endpoints = 2·tri(v); triangle-free nodes drop, as in
+    // the batch triangleCounts face
+    "graph_tricount_served" ->
+      s"""SELECT node, CAST(SUM(support) // 2 AS BIGINT) AS n_tri FROM (
+         |  SELECT unnest([u, v]) AS node, support
+         |  FROM (${edgeSupportOracle(
+               """SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
+                 |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin)}) s)
+         |GROUP BY 1 HAVING SUM(support) > 0""".stripMargin,
     // graph_triangles' oracle chain + degree join + trunc-div ppm
     "graph_clustering" ->
       """WITH k AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),

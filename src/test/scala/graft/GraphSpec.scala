@@ -439,6 +439,13 @@ class GraphSpec extends SparkSpec {
     Graph.appendEdgeStore(b1, dir)
     assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
       supMap(Graph.triangleSupport(b0.unionAll(b1))))
+    // node triangle counts served from the maintained support equal the
+    // batch wedge enumeration (sum of incident supports = 2*tri(v))
+    val fromStore = Graph.readTriangleCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchTri = Graph.triangleCounts(b0.unionAll(b1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromStore === batchTri, s"$fromStore vs $batchTri")
   }
 
   test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
