@@ -1239,26 +1239,52 @@ object TextAnalysis {
     * count each doc's BPE tokens — the honest tokens-per-doc measure for
     * budget math once a tokenizer exists, vs the whitespace proxy of
     * [[tokenCounts]]. Merges apply as the same `·`-delimited replaces the
-    * learner used, as one composed column program per word (no per-merge
-    * pass over data; the merge list is a plan literal). Excluded words
+    * learner used. Up to `chunk` merges compose into ONE column program
+    * per word (no per-merge pass; the list is a plan literal — the
+    * original single-pass plan, byte-identical); a LONGER list — the
+    * [[bpeMergesBatched]] tokenizer-scale case, 10³-10⁴ merges — would
+    * otherwise build a 10³-deep expression tree that codegen cannot
+    * compile, so it applies chunk-by-chunk with the symbol strings
+    * materialized between chunks: `ceil(nMerges/chunk)` narrow passes
+    * over the token grain, plan depth O(chunk) always. Excluded words
     * (delimiter/bracket carriers) count as 1 token each.
     */
   def bpeTokenCount(
       docs: DataFrame,
       merges: Seq[(String, String)],
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val sym0 = bpeSymbols(col("w"))
-    val folded = merges.foldLeft(sym0) { case (s, (l, r)) =>
-      replace(s, lit(s"·${l}·${r}·"), lit(s"·${l}${r}·"))
-    }
-    docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
-      .withColumn(
-        "n",
-        when(bpeEligible(col("w")), size(filter(split(folded, "·"), x => x =!= "")))
-          .otherwise(lit(1))
-          .cast("long"))
+      idCol: String = "doc_id",
+      chunk: Int = 64): DataFrame = {
+    require(chunk >= 1 && chunk <= 256, s"chunk must be in [1, 256], got $chunk")
+    def rep(s: Column, m: (String, String)): Column =
+      replace(s, lit(s"·${m._1}·${m._2}·"), lit(s"·${m._1}${m._2}·"))
+    val counted =
+      if (merges.size <= chunk) {
+        val folded = merges.foldLeft(bpeSymbols(col("w")))(rep)
+        docs
+          .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+          .withColumn(
+            "n",
+            when(bpeEligible(col("w")), size(filter(split(folded, "·"), x => x =!= "")))
+              .otherwise(lit(1))
+              .cast("long"))
+      } else {
+        var cur = docs
+          .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+          .select(
+            col("doc_id"),
+            bpeEligible(col("w")).as("el"),
+            when(bpeEligible(col("w")), bpeSymbols(col("w"))).as("s"))
+        merges.grouped(chunk).foreach { g =>
+          cur = cur.withColumn("s", g.foldLeft(col("s"))(rep)).localCheckpoint()
+        }
+        cur.withColumn(
+          "n",
+          when(col("el"), size(filter(split(col("s"), "·"), x => x =!= "")))
+            .otherwise(lit(1))
+            .cast("long"))
+      }
+    counted
       .groupBy("doc_id")
       .agg(sum("n").as("n_bpe_tokens"))
   }

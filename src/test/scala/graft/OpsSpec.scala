@@ -1161,6 +1161,16 @@ class OpsSpec extends SparkSpec {
         Seq(("w", "e"), ("l", "o"), ("s", "t")))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cnt.toSeq == Seq((9L, 18L)), cnt.toSeq)
+    // the chunked path (merge list longer than `chunk`) materializes
+    // between chunks but must count identically — tokenizer-scale lists
+    // ride this branch
+    val cntChunked = TextAnalysis
+      .bpeTokenCount(
+        Seq((9L, "low lower newest widest")).toDF("doc_id", "text"),
+        Seq(("w", "e"), ("l", "o"), ("s", "t")),
+        chunk = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cntChunked.toSeq == Seq((9L, 18L)), cntChunked.toSeq)
   }
 
   test("bpeMergesBatched: one batched round equals the sequential merges when picks don't interact") {
