@@ -1043,6 +1043,84 @@ object Graph {
       // rows (support sum 0) would differ from the batch face
       .filter(col("n_tri") > 0L)
 
+  // ---- persisted incremental connected-components label store ----
+
+  /** Persist a CONNECTED-COMPONENTS label store: one row per node,
+    * `comp` = the minimum node id of its component (the
+    * [[graft.ops.Dedup.clusterPairs]] contract — that O(log n)
+    * star-contraction IS the solver). The other half of the edge-store's
+    * incremental analytics: [[appendCcStore]] folds edge ADDITIONS in
+    * without ever re-solving the corpus.
+    */
+  def writeCcStore(edges: DataFrame, path: String): Unit = {
+    val spark = edges.sparkSession
+    val und = undirectedEdges(edges).localCheckpoint()
+    val labels = Dedup.clusterPairs(und, "u", "v")
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    Similarity.markInflight(spark, path, "writeCcStore")
+    Similarity.rewriteDir(spark, labels, s"$path/cclabels", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Fold an edge-ADDITION batch into the label store incrementally.
+    * Additions are MONOTONE — components only merge — so the whole
+    * update derives from a LABEL GRAPH the size of the batch: map each
+    * delta edge to its endpoints' current labels (a node the store has
+    * never seen labels itself), star-contract those |delta|-bounded
+    * label edges (merged groups resolve to the minimum involved label,
+    * which is the merged component's true minimum node id, because every
+    * old label already was its component's min), and apply the resulting
+    * label→label remap to the store with one equi-join whose remap side
+    * is ≤ 2·|delta| rows (AQE broadcasts it) — the corpus-sized label
+    * table is scanned once, never re-solved. REMOVALS are refused by
+    * construction: a cut can SPLIT a component, which labels alone
+    * cannot witness — that case is [[writeCcStore]]'s batch recompute,
+    * stated instead of silently wrong.
+    */
+  def appendCcStore(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    Similarity.requireNotInflight(spark, path)
+    val delta = undirectedEdges(batch).localCheckpoint()
+    if (delta.isEmpty) return // nothing to merge: store untouched
+    val labels = spark.read.parquet(s"$path/cclabels")
+    val labeled = delta
+      .join(labels.select(col("node").as("u"), col("comp").as("cu")), Seq("u"), "left")
+      .join(labels.select(col("node").as("v"), col("comp").as("cv")), Seq("v"), "left")
+      .select(
+        col("u"),
+        col("v"),
+        coalesce(col("cu"), col("u")).as("cu"),
+        coalesce(col("cv"), col("v")).as("cv"))
+      .localCheckpoint()
+    // the label graph: |delta|-bounded, solved by the same O(log) kernel
+    val remap = Dedup.clusterPairs(
+      labeled.filter(col("cu") =!= col("cv")), "cu", "cv")
+      .select(col("doc_id").as("comp"), col("cluster_id").as("comp_new"))
+    // nodes the store has never seen enter with their (possibly remapped)
+    // self label; known nodes keep their row and take the remap
+    val newNodes = labeled
+      .select(col("u").as("node"), col("cu").as("comp"))
+      .unionAll(labeled.select(col("v").as("node"), col("cv").as("comp")))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .distinct()
+    val labelsNew = labels
+      .unionAll(newNodes)
+      .join(remap, Seq("comp"), "left")
+      .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
+    Similarity.markInflight(spark, path, "appendCcStore")
+    Similarity.rewriteDir(spark, labelsNew, s"$path/cclabels", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** The label store's read face, refusing a mid-crash store. Matches
+    * [[graft.ops.Dedup.clusterPairs]] over the union of everything ever
+    * written/appended (the invariant the spec and driver row pin).
+    */
+  def readCcLabels(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
+    spark.read.parquet(s"$path/cclabels")
+  }
+
   private def liveEdges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     val e = spark.read.parquet(s"$path/edges")
     if (Similarity.storeExists(spark, s"$path/tombstones"))

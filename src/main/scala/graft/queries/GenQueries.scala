@@ -628,6 +628,22 @@ object GenQueries {
         idx)
       graft.ops.Graph.readEdgeSupport(s, idx)
     },
+    // the incremental CC label store: decade chains (n%10<=7 first
+    // chords) built batch, then a bridge batch (n%30==8 second chords)
+    // merges neighboring components INCREMENTALLY — a label-graph
+    // contraction the size of the batch, never a corpus re-solve; the
+    // readback must hash-equal the closure over the union
+    "graph_cc_incremental" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccstore_${ProcessHandle.current().pid()}"
+      graft.ops.Graph.writeCcStore(
+        k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx)
+      graft.ops.Graph.appendCcStore(
+        k.filter(col("n") % 30 === 8).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx)
+      graft.ops.Graph.readCcLabels(s, idx)
+    },
     // the store's read-side dividend: per-node triangle counts served
     // from the incrementally-maintained support (sum of incident edge
     // supports = 2·tri(v)) — no wedge join at read time; must hash-equal
@@ -1448,6 +1464,22 @@ object GenQueries {
     "graph_support_streamed" -> edgeSupportOracle(
       """SELECT n AS src, n + 1 AS dst FROM kys
         |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
+    // min-label transitive closure over the union of both generations —
+    // components are calendar-bounded (<= ~19 nodes: decade chains plus
+    // one bridge per 30), so the closure stays tiny per component
+    "graph_cc_incremental" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e00 WHERE src <> dst),
+        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
     // per-node fold of the same support recompute: Σ incident supports
     // over both endpoints = 2·tri(v); triangle-free nodes drop, as in
     // the batch triangleCounts face

@@ -448,6 +448,43 @@ class GraphSpec extends SparkSpec {
     assert(fromStore === batchTri, s"$fromStore vs $batchTri")
   }
 
+  test("cc label store: incremental merges equal the batch star contraction through appends") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccstore").toString
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def batchCc(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.Dedup.clusterPairs(
+        edges.selectExpr("src AS u", "dst AS v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two components: the chain {1,2,3} and the pair {10,11}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    Graph.writeCcStore(base, dir)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(base))
+    // one append: a bridge merging the two components, a fully-unseen
+    // pair, and a redundant in-component edge (must be a no-op)
+    val b1 = Seq((3L, 10L), (20L, 21L), (1L, 2L)).toDF("src", "dst")
+    Graph.appendCcStore(b1, dir)
+    val all1 = base.unionAll(b1)
+    val got1 = labelMap(Graph.readCcLabels(spark, dir))
+    assert(got1 === batchCc(all1), s"$got1")
+    assert(got1(11L) === 1L && got1(21L) === 20L)
+    // a second append merges THROUGH existing labels: 11 (comp 1) to 20
+    // (comp 20) folds the unseen-pair component into component 1
+    Graph.appendCcStore(Seq((11L, 20L)).toDF("src", "dst"), dir)
+    val all2 = all1.unionAll(Seq((11L, 20L)).toDF("src", "dst"))
+    val got2 = labelMap(Graph.readCcLabels(spark, dir))
+    assert(got2 === batchCc(all2), s"$got2")
+    assert(got2(21L) === 1L)
+    // crash marker refusal + full-write resolution
+    Seq("appendCcStore").toDF("op").write.parquet(s"$dir/inflight")
+    intercept[IllegalStateException](Graph.readCcLabels(spark, dir))
+    intercept[IllegalStateException](
+      Graph.appendCcStore(Seq((30L, 31L)).toDF("src", "dst"), dir))
+    Graph.writeCcStore(all2, dir)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all2))
+  }
+
   test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("edgestorecrash").toString
