@@ -101,6 +101,8 @@ object Bench {
     "events_stream_late_drops",
     "graph_support_incremental",
     "graph_support_streamed",
+    "graph_tricount_served",
+    "graph_cc_incremental",
     "ann_autotune_nprobe")
 
   /** Drop every block the previous query left in the block manager
