@@ -786,6 +786,24 @@ object Graph {
   def triangleSupport(edges: DataFrame): DataFrame =
     edgeSupport(undirectedEdges(edges).localCheckpoint())
 
+  /** Fixed bucket count of the support table's hash layout. 64 buckets
+    * cap a churn batch's support write amplification at 1/64 of the
+    * table when the touched edges cluster (the usual daily-delta case);
+    * a production deployment sizes this with the store (the IVF cell
+    * layout's precedent) — changing it requires a [[writeEdgeStore]]
+    * rebuild, because the partial-rewrite mutators assume every
+    * generation used the same bucket function.
+    */
+  private[graft] val supportBuckets = 64
+
+  /** The support table's bucket of an edge: a deterministic hash of BOTH
+    * endpoints, so a hub node's edges still spread across buckets (a
+    * u-only layout would send a celebrity node's whole adjacency to one
+    * bucket and make every batch touching it rewrite that hot bucket).
+    */
+  private[graft] def supportBucket(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
+    pmod(hash(u, v), lit(supportBuckets))
+
   /** Persist an EDGE STORE with incrementally-maintained per-edge
     * triangle support — the graph family's entry into the repo's
     * store-lifecycle discipline (every other index family already has
@@ -793,12 +811,17 @@ object Graph {
     * support from scratch per churn batch. Layout: `edges` (u < v simple
     * edges, append-grown), `tombstones` (removed pairs, subtracted on
     * read — the metadata-only delete, space reclaimed by
-    * [[compactEdgeStore]]), `support` (one row per LIVE edge, rewritten
-    * by tmp-and-swap per mutation). Mutations span `edges`/`tombstones`
-    * and `support`, so each wraps the window in the
-    * [[graft.ops.Similarity.markInflight]] crash marker; reads refuse a
-    * mid-crash store. A full write replaces everything and clears any
-    * stale marker (the [[graft.ops.Similarity.writePqIndex]] contract).
+    * [[compactEdgeStore]]), `support` (one row per LIVE edge,
+    * HASH-BUCKETED by [[supportBucket]] so churn batches rewrite only
+    * the buckets holding touched edges — O(|delta|·avg-degree) write
+    * cost, never O(|edges|)). Mutations commit through ONE staged tree
+    * whose rename is the atomic commit point ([[stageAndApply]]), with
+    * the [[graft.ops.Similarity.markInflight]] crash marker spanning the
+    * apply window; reads refuse a mid-crash store, mutators SELF-REPAIR
+    * it ([[repairEdgeStore]] — re-running the interrupted op is the
+    * documented and now-followable recovery). A full write replaces
+    * everything and clears any stale marker or staged tree (the
+    * [[graft.ops.Similarity.writePqIndex]] contract).
     */
   def writeEdgeStore(edges: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
@@ -807,11 +830,18 @@ object Graph {
     Similarity.deleteDir(spark, s"$path/tombstones")
     // a full write really replaces EVERYTHING: the params pin too, so a
     // formerly stream-maintained path becomes a plain batch store whose
-    // mutators work again (the writePqIndex contract)
+    // mutators work again (the writePqIndex contract) — and any staged
+    // tree from a crashed mutation dies unapplied
     Similarity.deleteDir(spark, s"$path/params")
+    Similarity.deleteDir(spark, s"$path/staged")
+    Similarity.deleteDir(spark, s"$path/staged.compacting")
     Similarity.deleteDir(spark, s"$path/edges")
     und.write.mode("overwrite").parquet(s"$path/edges")
-    Similarity.rewriteDir(spark, edgeSupport(und), s"$path/support", Nil)
+    Similarity.rewriteDir(
+      spark,
+      edgeSupport(und).withColumn("bucket", supportBucket(col("u"), col("v"))),
+      s"$path/support",
+      Seq("bucket"))
     Similarity.clearInflight(spark, path)
   }
 
@@ -829,12 +859,14 @@ object Graph {
     *
     * Scale shape: delta normalize + one left-anti against live, the
     * delta-restricted wedge join (AQE broadcasts the delta side when
-    * small), a distinct over touched triangles, and ONE support-table
-    * rewrite — the store's corpus-sized tables are touched once each.
+    * small), a distinct over touched triangles, and a support rewrite of
+    * ONLY the buckets holding delta or credited edges (partition-pruned
+    * read, per-bucket swap) — per-batch write cost is
+    * O(|delta|·avg-degree), never the edge-count-sized table.
     */
   def appendEdgeStore(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    Similarity.requireNotInflight(spark, path)
+    repairEdgeStore(spark, path)
     requireBatchBuilt(spark, path, "appendEdgeStore")
     val liveOld = liveEdges(spark, path).localCheckpoint()
     val delta = undirectedEdges(batch)
@@ -853,17 +885,18 @@ object Graph {
           "compact the store before re-inserting a deleted edge")
     }
     val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    val credits = touchedTriangleCredits(delta, liveNew).localCheckpoint()
+    val touched = touchedBucketIds(delta, credits)
     val supportNew = liveNew
-      .join(spark.read.parquet(s"$path/support"), Seq("u", "v"), "left")
-      .join(touchedTriangleCredits(delta, liveNew), Seq("u", "v"), "left")
+      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
+      .join(credits, Seq("u", "v"), "left")
       .select(
         col("u"),
         col("v"),
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
-    Similarity.markInflight(spark, path, "appendEdgeStore") // edges ↔ support window
-    delta.write.mode("append").parquet(s"$path/edges")
-    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
-    Similarity.clearInflight(spark, path)
+    stageAndApply(spark, path, "appendEdgeStore", "edges", replaceTarget = false,
+      delta, supportNew, touched)
   }
 
   /** One micro-batch of STREAMING edge-store maintenance (the foreachBatch
@@ -896,7 +929,8 @@ object Graph {
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
       // batch 0 must still retire a previous run's store
-      Seq("edges", "support", "tombstones").foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
+      Seq("edges", "support", "tombstones", "staged", "staged.compacting")
+        .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
       Similarity.deleteDir(spark, s"$path/params")
       if (und.isEmpty) return
@@ -906,35 +940,27 @@ object Graph {
       und.write.mode("overwrite").parquet(s"$path/edges/batch_id=$batchId")
       Similarity.rewriteDir(
         spark,
-        edgeSupport(und).withColumn("as_of_batch", lit(batchId)),
+        edgeSupport(und)
+          .withColumn("as_of_batch", lit(batchId))
+          .withColumn("bucket", supportBucket(col("u"), col("v"))),
         s"$path/support",
-        Nil)
+        Seq("bucket"))
       Similarity.clearInflight(spark, path)
       return
     }
     if (und.isEmpty) return // nothing to merge: store untouched
-    // rewriteDir's one non-atomic window is delete-old → rename-new: a
-    // crash there leaves NO support dir but a COMPLETE `.compacting` tree
-    // (it is fully written before the old dir dies) — roll it forward so
-    // the stamp read below always has a table, and the retry's repair
-    // contract holds through that window too
-    locally {
-      val sup = new org.apache.hadoop.fs.Path(s"$path/support")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/support.compacting")
-      val fs = sup.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(sup) && fs.exists(tmp))
-        require(fs.rename(tmp, sup), s"rolling forward $tmp -> $sup failed")
-    }
+    // a crashed prior attempt left either a committed staged tree (roll
+    // it forward — the store becomes wholly post-crash-op), an
+    // uncommitted tmp (discard — the op never happened), or a bare
+    // marker over a consistent store (clear it); the stamp read below
+    // then always sees a whole table, so the retry's repair contract
+    // holds through every window
+    repairEdgeStore(spark, path)
     // the stamp decides whether this batch's credits already landed —
     // the swap's atomicity means it is never half-true (1-row read)
     val asOf = spark.read.parquet(s"$path/support")
       .select(max(col("as_of_batch")).cast("long")).head().getLong(0)
-    if (asOf >= batchId) {
-      // support already post-N: the crash (if any) was between the swap
-      // and the marker clear — gen N is re-landed below, nothing recounts
-      Similarity.clearInflight(spark, path)
-      return
-    }
+    if (asOf >= batchId) return // support already post-N: nothing recounts
     val liveOld = spark.read.parquet(s"$path/edges")
       .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
       .select("u", "v")
@@ -942,19 +968,19 @@ object Graph {
     val delta = und.join(liveOld, Seq("u", "v"), "left_anti").localCheckpoint()
     if (delta.isEmpty) return // pure-duplicate batch: no new generation, no recount
     val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    val credits = touchedTriangleCredits(delta, liveNew).localCheckpoint()
+    val touched = touchedBucketIds(delta, credits)
     val supportNew = liveNew
-      .join(spark.read.parquet(s"$path/support").select("u", "v", "support"),
-        Seq("u", "v"), "left")
-      .join(touchedTriangleCredits(delta, liveNew), Seq("u", "v"), "left")
+      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
+      .join(credits, Seq("u", "v"), "left")
       .select(
         col("u"),
         col("v"),
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
       .withColumn("as_of_batch", lit(batchId))
-    Similarity.markInflight(spark, path, "ingestEdgeBatch") // edges ↔ support window
-    delta.write.mode("overwrite").parquet(s"$path/edges/batch_id=$batchId")
-    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
-    Similarity.clearInflight(spark, path)
+    stageAndApply(spark, path, "ingestEdgeBatch", s"edges/batch_id=$batchId",
+      replaceTarget = true, delta, supportNew, touched)
   }
 
   /** Remove edges from the store: the removed pairs land in `tombstones`
@@ -966,7 +992,7 @@ object Graph {
     */
   def removeFromEdgeStore(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    Similarity.requireNotInflight(spark, path)
+    repairEdgeStore(spark, path)
     requireBatchBuilt(spark, path, "removeFromEdgeStore")
     val liveOld = liveEdges(spark, path).localCheckpoint()
     val rem = undirectedEdges(batch)
@@ -974,17 +1000,20 @@ object Graph {
       .localCheckpoint()
     if (rem.isEmpty) return // nothing live to remove: store untouched
     val liveNew = liveOld.join(rem, Seq("u", "v"), "left_anti")
+    val credits = touchedTriangleCredits(rem, liveOld).localCheckpoint()
+    // removed edges leave their buckets (rewritten without them), debited
+    // edges get their buckets rewritten with the new support
+    val touched = touchedBucketIds(rem, credits)
     val supportNew = liveNew
-      .join(spark.read.parquet(s"$path/support"), Seq("u", "v"), "left")
-      .join(touchedTriangleCredits(rem, liveOld), Seq("u", "v"), "left")
+      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
+      .join(credits, Seq("u", "v"), "left")
       .select(
         col("u"),
         col("v"),
         (coalesce(col("support"), lit(0L)) - coalesce(col("c"), lit(0L))).as("support"))
-    Similarity.markInflight(spark, path, "removeFromEdgeStore") // tombstones ↔ support window
-    rem.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-    Similarity.rewriteDir(spark, supportNew, s"$path/support", Nil)
-    Similarity.clearInflight(spark, path)
+    stageAndApply(spark, path, "removeFromEdgeStore", "tombstones", replaceTarget = false,
+      rem.coalesce(1), supportNew, touched)
   }
 
   /** Fold the store. Batch-built: rewrite `edges` to the live set
@@ -997,7 +1026,7 @@ object Graph {
     * compaction reorganizes storage, it never recounts.
     */
   def compactEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    Similarity.requireNotInflight(spark, path)
+    repairEdgeStore(spark, path)
     val raw = spark.read.parquet(s"$path/edges")
     Similarity.markInflight(spark, path, "compactEdgeStore") // edges ↔ tombstones window
     if (raw.columns.contains("batch_id"))
@@ -1038,7 +1067,10 @@ object Graph {
     readEdgeSupport(spark, path)
       .select(explode(array(col("u"), col("v"))).as("node"), col("support"))
       .groupBy("node")
-      .agg((sum("support") / 2).cast("long").as("n_tri"))
+      // integer `div`, not `/` (which promotes to double and would lose
+      // exactness past 2^53): the per-node sum is provably even — every
+      // triangle credits exactly two of the node's incident edges
+      .agg(expr("sum(support) div 2").as("n_tri"))
       // triangleCounts reports only nodes IN a triangle; isolated-corner
       // rows (support sum 0) would differ from the batch face
       .filter(col("n_tri") > 0L)
@@ -1072,14 +1104,14 @@ object Graph {
     * old label already was its component's min), and apply the resulting
     * label→label remap to the store with one equi-join whose remap side
     * is ≤ 2·|delta| rows (AQE broadcasts it) — the corpus-sized label
-    * table is scanned once, never re-solved. REMOVALS are refused by
-    * construction: a cut can SPLIT a component, which labels alone
-    * cannot witness — that case is [[writeCcStore]]'s batch recompute,
-    * stated instead of silently wrong.
+    * table is scanned once, never re-solved. REMOVALS take
+    * [[removeFromCcStore]]'s touched-component re-solve (a cut can SPLIT
+    * a component, which labels alone cannot witness — that path needs
+    * the caller's live edges).
     */
   def appendCcStore(batch: DataFrame, path: String): Unit = {
     val spark = batch.sparkSession
-    Similarity.requireNotInflight(spark, path)
+    repairCcStore(spark, path)
     val delta = undirectedEdges(batch).localCheckpoint()
     if (delta.isEmpty) return // nothing to merge: store untouched
     val labels = spark.read.parquet(s"$path/cclabels")
@@ -1112,13 +1144,282 @@ object Graph {
     Similarity.clearInflight(spark, path)
   }
 
+  /** Fold an edge-REMOVAL batch into the label store with a
+    * TOUCHED-COMPONENT re-solve — the bounded middle between "refuse all
+    * removals" and a corpus recompute: labels alone cannot witness a cut
+    * (a removed bridge SPLITS a component), but they DO bound where the
+    * split can land — only the components containing a removed edge's
+    * endpoint can change, and every other label is untouched by
+    * definition. So: semi-join the label table to the removed edges'
+    * current components, re-run the [[graft.ops.Dedup.clusterPairs]]
+    * star contraction on just the live edges INSIDE those components
+    * (`liveAfter`, the caller's post-removal live edge set — e.g.
+    * [[readEdgeSupport]]'s key set, or the source-of-truth edge table;
+    * it must cover at least the touched components), and splice: nodes
+    * of touched components take the re-solved label, nodes left with no
+    * live edge keep a row as their own singleton (the store never
+    * forgets a node it labeled), everyone else is carried unchanged.
+    * New labels stay component-minimum node ids — a re-solved label is
+    * the min of a SUBSET of the old component's nodes, so it can never
+    * collide with an untouched component's min.
+    *
+    * Scale shape: one broadcast-sized semi-join to find touched
+    * components, the O(log n) contraction over only their induced
+    * subgraph (corpus-scan cost only when a touched component is itself
+    * corpus-sized), and one full label rewrite (node-count rows — the
+    * label table is the store's whole state; bucketing it like the edge
+    * store's support is the next write-amplification step if node-grain
+    * churn ever dominates). Removed edges never seen by the store (or
+    * with unlabeled endpoints) touch nothing.
+    */
+  def removeFromCcStore(removed: DataFrame, liveAfter: DataFrame, path: String): Unit = {
+    val spark = removed.sparkSession
+    repairCcStore(spark, path)
+    val rem = undirectedEdges(removed).localCheckpoint()
+    if (rem.isEmpty) return // nothing removed: store untouched
+    val labels = spark.read.parquet(s"$path/cclabels").localCheckpoint()
+    val touchedComps = labels
+      .join(
+        rem.select(col("u").as("node")).unionAll(rem.select(col("v").as("node"))).distinct(),
+        Seq("node"),
+        "left_semi")
+      .select("comp")
+      .distinct()
+      .localCheckpoint()
+    if (touchedComps.isEmpty) return // no removed endpoint was ever labeled
+    val touchedNodes = labels
+      .join(touchedComps, Seq("comp"), "left_semi")
+      .localCheckpoint()
+    // a surviving live edge inside a touched component has BOTH endpoints
+    // in it (they shared the old label), so anchoring on u suffices
+    val induced = undirectedEdges(liveAfter)
+      .join(touchedNodes.select(col("node").as("u")), Seq("u"), "left_semi")
+      .localCheckpoint()
+    val resolved = Dedup.clusterPairs(induced, "u", "v")
+      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    val isolated = touchedNodes
+      .select("node")
+      .join(resolved.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("comp"))
+    val labelsNew = labels
+      .join(touchedComps, Seq("comp"), "left_anti")
+      .select("node", "comp")
+      .unionAll(resolved.select("node", "comp"))
+      .unionAll(isolated)
+    Similarity.markInflight(spark, path, "removeFromCcStore")
+    Similarity.rewriteDir(spark, labelsNew, s"$path/cclabels", Nil)
+    Similarity.clearInflight(spark, path)
+  }
+
   /** The label store's read face, refusing a mid-crash store. Matches
     * [[graft.ops.Dedup.clusterPairs]] over the union of everything ever
-    * written/appended (the invariant the spec and driver row pin).
+    * written/appended (minus removals re-solved against the caller's
+    * live set) — the invariant the spec and driver rows pin.
     */
   def readCcLabels(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     Similarity.requireNotInflight(spark, path)
     spark.read.parquet(s"$path/cclabels")
+  }
+
+  /** The label store's single-tree repair, run by every mutator first:
+    * the store is one directory swapped by [[graft.ops.Similarity
+    * .rewriteDir]], so after ANY crash it is either untouched (tmp
+    * garbage — the op never happened; discard and re-run) or one rename
+    * from done (labels missing, `.compacting` complete — roll forward).
+    * Either way the store is then consistent, the marker clears, and
+    * re-running the interrupted op completes it: every cc mutation is
+    * idempotent (a re-merged append remaps nothing; a re-run removal
+    * re-solves to the same labels). Readers still refuse the marker.
+    */
+  private def repairCcStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    if (Similarity.inflightOp(spark, path).isDefined) {
+      val fs = hfs(spark, path)
+      val live = new org.apache.hadoop.fs.Path(s"$path/cclabels")
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting")
+      if (fs.exists(tmp)) {
+        if (!fs.exists(live))
+          require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+        else fs.delete(tmp, true)
+      }
+      Similarity.clearInflight(spark, path)
+    }
+
+  // ---- the edge store's staged commit protocol ----
+  //
+  // Every incremental mutation spans two trees (edges-or-tombstones AND
+  // the bucketed support), so it commits through ONE staged directory:
+  //   1. the op's full output lands under `staged.compacting`
+  //      (edges_delta/, support/bucket=K/ for every touched bucket —
+  //      emptied buckets as explicit empty dirs — and an `op` manifest);
+  //   2. `rename(staged.compacting, staged)` is the ATOMIC COMMIT POINT;
+  //   3. the apply phase folds the staged tree into the live dirs
+  //      (file-moves and per-bucket swaps, each idempotent) and deletes it.
+  // A crash before (2) leaves the store untouched (tmp is garbage); a
+  // crash after it leaves a committed staged tree any later mutator rolls
+  // forward. Hence the self-repair invariant the mutators rely on:
+  // MARKER WITHOUT A STAGED TREE ⇒ THE STORE IS CONSISTENT.
+
+  private def hfs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The buckets a mutation must rewrite: every bucket holding a churned
+    * edge or a credited edge. The collect is a bounded decision read —
+    * at most [[supportBuckets]] rows ever.
+    */
+  private def touchedBucketIds(churned: DataFrame, credits: DataFrame): Seq[Int] =
+    churned.select(col("u"), col("v"))
+      .unionAll(credits.select(col("u"), col("v")))
+      .select(supportBucket(col("u"), col("v")).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+      .sorted
+
+  /** The old support rows of the touched buckets only — the bucket filter
+    * is on the partition column, so the scan prunes to those directories.
+    */
+  private def readSupportBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String, touched: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/support")
+      .filter(col("bucket").isin(touched: _*))
+      .select("u", "v", "support")
+
+  /** Steps 1-3 of the protocol above: build, commit, apply. `edgesDelta`
+    * lands under `$path/$deltaTarget` — appended file-by-file
+    * (`replaceTarget` false: the batch store's `edges`/`tombstones`
+    * grow), or as a whole-directory swap (`replaceTarget` true: the
+    * stream store's `edges/batch_id=N` generation, where a retry must
+    * replace its own half-landed files). `supportNew` must NOT carry a
+    * bucket column; every touched bucket is staged even when its new
+    * content is empty, so the apply can retire emptied buckets.
+    */
+  private def stageAndApply(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      op: String,
+      deltaTarget: String,
+      replaceTarget: Boolean,
+      edgesDelta: DataFrame,
+      supportNew: DataFrame,
+      touched: Seq[Int]): Unit = {
+    val fs = hfs(spark, path)
+    val tmp = s"$path/staged.compacting"
+    Similarity.deleteDir(spark, tmp)
+    edgesDelta.write.mode("overwrite").parquet(s"$tmp/edges_delta")
+    supportNew
+      .withColumn("bucket", supportBucket(col("u"), col("v")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/support")
+    touched.foreach { b =>
+      val d = new org.apache.hadoop.fs.Path(s"$tmp/support/bucket=$b")
+      if (!fs.exists(d)) fs.mkdirs(d) // emptied bucket: swap an empty dir in
+    }
+    val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/op"), true)
+    try manifest.write(
+      s"$op\n$deltaTarget\n${if (replaceTarget) "replace" else "append"}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally manifest.close()
+    Similarity.markInflight(spark, path, op) // refuse probes through the apply window
+    require(
+      fs.rename(
+        new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/staged")),
+      s"staged commit rename $tmp -> $path/staged failed")
+    applyStaged(spark, path)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Fold a COMMITTED staged tree into the live dirs; idempotent, so a
+    * crash anywhere inside re-applies cleanly on the next call. Appended
+    * delta files keep their job-unique part names (a moved file vanishes
+    * from the staged side — re-runs move only the remainder); a replace
+    * target is delete-then-rename (a re-run after the delete just
+    * renames); each support bucket is delete-then-rename likewise.
+    */
+  private def applyStaged(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    val staged = s"$path/staged"
+    val opPath = new org.apache.hadoop.fs.Path(s"$staged/op")
+    val manifest = {
+      val in = fs.open(opPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val Array(_, deltaTarget, mode) = manifest.split("\n", 3)
+    val deltaDir = new org.apache.hadoop.fs.Path(s"$staged/edges_delta")
+    if (fs.exists(deltaDir)) {
+      val target = new org.apache.hadoop.fs.Path(s"$path/$deltaTarget")
+      if (mode == "replace") {
+        if (fs.exists(target)) fs.delete(target, true)
+        require(fs.rename(deltaDir, target), s"apply rename $deltaDir -> $target failed")
+      } else {
+        if (!fs.exists(target)) fs.mkdirs(target)
+        fs.listStatus(deltaDir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(target, f.getPath.getName)
+            require(fs.rename(f.getPath, dst), s"apply move ${f.getPath} -> $dst failed")
+          }
+        fs.delete(deltaDir, true)
+      }
+    }
+    val supDir = new org.apache.hadoop.fs.Path(s"$staged/support")
+    if (fs.exists(supDir)) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/support")))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/support"))
+      fs.listStatus(supDir)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+        .foreach { d =>
+          val dst = new org.apache.hadoop.fs.Path(s"$path/support/${d.getPath.getName}")
+          if (fs.exists(dst)) fs.delete(dst, true)
+          require(fs.rename(d.getPath, dst), s"apply swap ${d.getPath} -> $dst failed")
+        }
+    }
+    Similarity.deleteDir(spark, staged)
+  }
+
+  /** Entry-point repair every incremental mutator runs first — the
+    * followable form of "re-run the interrupted op": a committed staged
+    * tree rolls forward (completing the crashed mutation), an
+    * uncommitted tmp is discarded (the crashed mutation never happened),
+    * a [[compactEdgeStore]] `.compacting` swap rolls forward, and the
+    * then-consistent store has its marker cleared, so the caller's own
+    * work proceeds. The ONE unrepairable marker is an interrupted
+    * [[writeEdgeStore]]: a full rebuild deletes and rewrites several
+    * trees with no staging, so only re-running the rebuild itself
+    * recovers — stated in the refusal instead of a dead-end loop.
+    */
+  private def repairEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    Similarity.inflightOp(spark, path) match {
+      case None =>
+        // no marker ⇒ any tmp is pre-mark garbage from a crashed build
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+      case Some(op) if op.contains("writeEdgeStore") =>
+        throw new IllegalStateException(
+          s"edge store at $path has an interrupted 'writeEdgeStore' (inflight marker " +
+            "present) — a full rebuild stages nothing, so its partial state is not " +
+            "incrementally repairable; re-run writeEdgeStore to completion")
+      case Some(_) =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
+          applyStaged(spark, path)
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+        // compactEdgeStore's rewriteDir window (and a legacy support
+        // swap): a live dir missing with a COMPLETE .compacting tree
+        // rolls forward; a tmp beside a live dir is pre-swap garbage
+        Seq("edges", "support").foreach { sub =>
+          val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compacting")
+          if (fs.exists(tmp)) {
+            if (!fs.exists(live))
+              require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+            else fs.delete(tmp, true)
+          }
+        }
+        Similarity.clearInflight(spark, path)
+    }
   }
 
   private def liveEdges(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
@@ -1140,25 +1441,55 @@ object Graph {
       s"$what: the edge store at $path is stream-maintained (params pin present) — " +
         "route additions through ingestEdgeBatch; removals need a batch-built store")
 
-  /** Triangles of `live` containing at least one `delta` edge, found ONCE
-    * each (wedges from each delta edge's u endpoint, closed against the
-    * live edge list, then deduped by sorted node triple — a triangle with
-    * two or three delta edges must not double-credit), credited +1 to all
-    * three edges: `(u, v, c)`. Both inputs must be (u < v)-normalized and
-    * checkpointed; delta ⊆ live.
+  /** Each delta edge's wedge candidates `(x, y, w)` — the edge oriented
+    * so the SCAN ANCHOR `x` is its lower-degree endpoint in `live` (ties
+    * by id, the [[edgeSupport]] orientation), `y` the other endpoint, and
+    * `w` one of x's live neighbors: a delta edge landing on a hub must
+    * enumerate the SMALL endpoint's adjacency, not the hub's million
+    * neighbors (the same reason the batch recompute degree-orients).
+    * Exposed to the spec so the candidate-count shrink is a logged,
+    * asserted number, never a silent assumption. Both inputs must be
+    * (u < v)-normalized and checkpointed; delta ⊆ live.
     */
-  private def touchedTriangleCredits(delta: DataFrame, live: DataFrame): DataFrame = {
+  private[graft] def wedgeCandidates(delta: DataFrame, live: DataFrame): DataFrame = {
+    val deg = live
+      .select(col("u").as("node"))
+      .unionAll(live.select(col("v").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("d"))
+    val oriented = delta
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v"))
+          .as("x"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u"))
+          .as("y"))
     val adj = live
       .select(col("u").as("x"), col("v").as("w"))
       .unionAll(live.select(col("v").as("x"), col("u").as("w")))
-    val tris = adj
-      .join(delta.select(col("u").as("x"), col("v").as("dv")), Seq("x"))
-      .filter(col("w") =!= col("dv"))
+    adj
+      .join(oriented, Seq("x"))
+      .filter(col("w") =!= col("y"))
+  }
+
+  /** Triangles of `live` containing at least one `delta` edge, found ONCE
+    * each ([[wedgeCandidates]] closed against the live edge list, then
+    * deduped by sorted node triple — a triangle with two or three delta
+    * edges must not double-credit, and the dedup also makes the result
+    * independent of which endpoint anchored the wedge), credited +1 to
+    * all three edges: `(u, v, c)`. Both inputs must be (u < v)-normalized
+    * and checkpointed; delta ⊆ live.
+    */
+  private def touchedTriangleCredits(delta: DataFrame, live: DataFrame): DataFrame = {
+    val tris = wedgeCandidates(delta, live)
       .join(
         live.select(col("u").as("cu"), col("v").as("cv")),
-        least(col("dv"), col("w")) === col("cu") && greatest(col("dv"), col("w")) === col("cv"),
+        least(col("y"), col("w")) === col("cu") && greatest(col("y"), col("w")) === col("cv"),
         "left_semi")
-      .select(array_sort(array(col("x"), col("dv"), col("w"))).as("t"))
+      .select(array_sort(array(col("x"), col("y"), col("w"))).as("t"))
       .distinct()
       .select(
         element_at(col("t"), 1).as("a"),

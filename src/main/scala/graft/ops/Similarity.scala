@@ -1396,35 +1396,44 @@ object Similarity {
     * on the failure path (plain-file form, with the legacy 1-row-parquet
     * directory form still honored).
     */
-  private[ops] def requireNotInflight(
-      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  /** The stored op name of a pending [[markInflight]] marker, or None —
+    * the read half the self-repairing mutators ([[graft.ops.Graph]]'s
+    * store family) share with [[requireNotInflight]]. Honors both the
+    * plain-file form and the legacy round-14 1-row-parquet directory
+    * form.
+    */
+  private[ops] def inflightOp(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/inflight")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val op =
-        if (fs.getFileStatus(p).isDirectory)
-          spark.read.parquet(s"$path/inflight").head().getString(0)
-        else {
-          // drain fully: the FS contract allows short reads, and a
-          // truncated op name would misdirect the re-run instruction
-          val in = fs.open(p)
-          try {
-            val buf = new java.io.ByteArrayOutputStream(256)
-            val chunk = new Array[Byte](256)
-            var n = in.read(chunk)
-            while (n >= 0 && buf.size < 4096) {
-              buf.write(chunk, 0, n)
-              n = in.read(chunk)
-            }
-            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
-          } finally in.close()
+    if (!fs.exists(p)) None
+    else if (fs.getFileStatus(p).isDirectory)
+      Some(spark.read.parquet(s"$path/inflight").head().getString(0))
+    else {
+      // drain fully: the FS contract allows short reads, and a
+      // truncated op name would misdirect the re-run instruction
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val chunk = new Array[Byte](256)
+        var n = in.read(chunk)
+        while (n >= 0 && buf.size < 4096) {
+          buf.write(chunk, 0, n)
+          n = in.read(chunk)
         }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  private[ops] def requireNotInflight(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    inflightOp(spark, path).foreach { op =>
       throw new IllegalStateException(
         s"index at $path has an interrupted '$op' rewrite (inflight marker present) — " +
           s"its directories may be mutually inconsistent; re-run $op to completion " +
           "(or rebuild the store) before probing")
     }
-  }
 
   /** Compact a persisted IVF index: fold every generation — the base
     * build, [[appendIvfIndex]] appends, and all `cells/batch_id=N` dirs a

@@ -644,6 +644,34 @@ object GenQueries {
         idx)
       graft.ops.Graph.readCcLabels(s, idx)
     },
+    // the CC store's REMOVAL path: decade chains with cycle chords at
+    // n%10<=1; removing the n%10==4 chain edge genuinely SPLITS its
+    // decade while the n%10==0 one is cycle-protected, plus an edge the
+    // store never saw (no-op by contract) — only the touched components
+    // re-solve, nodes stripped of every edge stay as singletons, and the
+    // readback must hash-equal the closure over the live set seeded at
+    // every node the store ever labeled
+    "graph_cc_removal" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccremove_${ProcessHandle.current().pid()}"
+      val base = k
+        .filter(col("n") % 10 <= 8)
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 10 <= 1).select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.writeCcStore(base, idx)
+      val rem = k
+        .filter(col("n") % 10 === 4 || col("n") % 10 === 0)
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 100 === 3).select(col("n").as("src"), (col("n") + 77).as("dst")))
+      val liveAfter = base.join(
+        rem.select(col("src").as("rs"), col("dst").as("rd")),
+        col("src") === col("rs") && col("dst") === col("rd"),
+        "left_anti")
+      graft.ops.Graph.removeFromCcStore(rem, liveAfter, idx)
+      graft.ops.Graph.readCcLabels(s, idx)
+    },
     // the store's read-side dividend: per-node triangle counts served
     // from the incrementally-maintained support (sum of incident edge
     // supports = 2·tri(v)) — no wedge join at read time; must hash-equal
@@ -1475,6 +1503,25 @@ object GenQueries {
         |       FROM e00 WHERE src <> dst),
         |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
         |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // min-label closure over the POST-REMOVAL live set, seeded at every
+    // node of the BASE set (the store never forgets a labeled node —
+    // isolated survivors label themselves); the n%10==4 cuts split,
+    // the n%10==0 cuts are bridged by the n%10<=1 chords
+    "graph_cc_removal" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |b00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 8
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 10 <= 1),
+        |b0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM b00 WHERE src <> dst),
+        |l0 AS (SELECT u, v FROM b0
+        |       WHERE NOT (v = u + 1 AND (u % 10 = 4 OR u % 10 = 0))),
+        |edges AS (SELECT u AS a, v AS b FROM l0 UNION SELECT v, u FROM l0),
+        |nodes AS (SELECT u AS id FROM b0 UNION SELECT v FROM b0),
         |reach(id, r) AS (
         |  SELECT id, id FROM nodes
         |  UNION

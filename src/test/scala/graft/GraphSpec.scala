@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Graph
+import org.apache.spark.sql.functions.col
 
 /** Hand-computed integer-PageRank semantics + iteration-materialization
   * plan guard.
@@ -476,31 +477,225 @@ class GraphSpec extends SparkSpec {
     val got2 = labelMap(Graph.readCcLabels(spark, dir))
     assert(got2 === batchCc(all2), s"$got2")
     assert(got2(21L) === 1L)
-    // crash marker refusal + full-write resolution
+    // crash marker: readers refuse; a mutator SELF-REPAIRS (the store is
+    // one rewriteDir tree, so marker-present is always either untouched
+    // or one rename from done) and then applies its own batch
     Seq("appendCcStore").toDF("op").write.parquet(s"$dir/inflight")
     intercept[IllegalStateException](Graph.readCcLabels(spark, dir))
-    intercept[IllegalStateException](
-      Graph.appendCcStore(Seq((30L, 31L)).toDF("src", "dst"), dir))
+    Graph.appendCcStore(Seq((30L, 31L)).toDF("src", "dst"), dir)
+    val all3 = all2.unionAll(Seq((30L, 31L)).toDF("src", "dst"))
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all3))
+    // the delete→rename window: labels gone, a COMPLETE .compacting tree
+    // left — the next mutator rolls it forward before its own work
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/cclabels"),
+      new org.apache.hadoop.fs.Path(s"$dir/cclabels.compacting")))
+    Seq("appendCcStore").toDF("op").write.parquet(s"$dir/inflight")
+    Graph.appendCcStore(Seq((40L, 41L)).toDF("src", "dst"), dir)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) ===
+      batchCc(all3.unionAll(Seq((40L, 41L)).toDF("src", "dst"))))
     Graph.writeCcStore(all2, dir)
     assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all2))
   }
 
-  test("edge store: a mid-crash store is refused by reads and mutations; a full write clears it") {
+  test("cc label store: a removal re-solves only the touched components and splices") {
+    val spark = SparkSpec.spark
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccremove").toString
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // component A: chain 1-2-3-4 (bridge 2-3); component B: triangle
+    // {10,11,12} (cycle-protected); component C: pair {20,21}
+    val base = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    Graph.writeCcStore(base, dir)
+    // remove the bridge (A genuinely splits) and one triangle side (B
+    // stays connected through the other two edges)
+    val rem = Seq((2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val liveAfter = Seq(
+      (1L, 2L), (3L, 4L),
+      (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("src", "dst")
+    Graph.removeFromCcStore(rem, liveAfter, dir)
+    val got = labelMap(Graph.readCcLabels(spark, dir))
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L), got.toString)
+    // equals the batch recompute over the live set (plus retained nodes)
+    val batch = graft.ops.Dedup.clusterPairs(
+      liveAfter.selectExpr("src AS u", "dst AS v"), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (n, c) => if (batch.contains(n)) assert(c === batch(n), s"node $n") }
+    // a node stripped of its last edge stays, as its own singleton
+    Graph.removeFromCcStore(
+      Seq((20L, 21L)).toDF("src", "dst"),
+      Seq((1L, 2L), (3L, 4L), (11L, 12L), (10L, 12L)).toDF("src", "dst"),
+      dir)
+    val got2 = labelMap(Graph.readCcLabels(spark, dir))
+    assert(got2(20L) === 20L && got2(21L) === 21L, got2.toString)
+    assert(got2(1L) === 1L && got2(4L) === 3L, "untouched components carried verbatim")
+    // removing an edge the store never saw (or already removed) is a no-op
+    Graph.removeFromCcStore(
+      Seq((500L, 501L)).toDF("src", "dst"),
+      Seq((1L, 2L), (3L, 4L), (11L, 12L), (10L, 12L)).toDF("src", "dst"),
+      dir)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === got2)
+    // marker + removal: the mutator repairs, then removes
+    Seq("removeFromCcStore").toDF("op").write.parquet(s"$dir/inflight")
+    Graph.removeFromCcStore(
+      Seq((3L, 4L)).toDF("src", "dst"),
+      Seq((1L, 2L), (11L, 12L), (10L, 12L)).toDF("src", "dst"),
+      dir)
+    val got3 = labelMap(Graph.readCcLabels(spark, dir))
+    assert(got3(3L) === 3L && got3(4L) === 4L, got3.toString)
+  }
+
+  test("edge store: readers refuse a mid-crash store; mutators self-repair every staged window") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("edgestorecrash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val base = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     Graph.writeEdgeStore(base, dir)
     // plant the marker in the legacy 1-row-parquet directory form (also
-    // keeps that read path covered)
+    // keeps that read path covered): readers refuse...
     Seq("appendEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
     val e1 = intercept[IllegalStateException](Graph.readEdgeSupport(spark, dir))
     assert(e1.getMessage.contains("appendEdgeStore"))
-    intercept[IllegalStateException](
-      Graph.appendEdgeStore(Seq((3L, 4L)).toDF("src", "dst"), dir))
-    intercept[IllegalStateException](
-      Graph.removeFromEdgeStore(Seq((1L, 2L)).toDF("src", "dst"), dir))
-    intercept[IllegalStateException](Graph.compactEdgeStore(spark, dir))
+    // ...but a mutator repairs: marker-without-staged means the crashed
+    // op never committed, so the store is consistent and the append runs
+    Graph.appendEdgeStore(Seq((3L, 4L)).toDF("src", "dst"), dir)
+    val now = base.unionAll(Seq((3L, 4L)).toDF("src", "dst"))
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(now)))
+    // crash AFTER the staged commit: a complete staged tree + marker —
+    // the next mutator (here with an already-live duplicate batch, so
+    // only the repair itself changes the store) rolls it forward.
+    // The tree is built exactly as stageAndApply lays it out, for an
+    // append of (1,4), which closes triangle {1,3,4} and so credits the
+    // delta edge plus (1,3) and (3,4).
+    val delta = Seq((1L, 4L)).toDF("u", "v")
+    val liveNew = now.unionAll(Seq((1L, 4L)).toDF("src", "dst"))
+    val tmp = s"$dir/staged.compacting"
+    delta.write.parquet(s"$tmp/edges_delta")
+    val touchedEdges = Seq((1L, 4L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val touched = touchedEdges
+      .select(Graph.supportBucket(col("u"), col("v")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    Graph.triangleSupport(liveNew)
+      .filter(Graph.supportBucket(col("u"), col("v")).isin(touched: _*))
+      .withColumn("bucket", Graph.supportBucket(col("u"), col("v")))
+      .write.partitionBy("bucket").parquet(s"$tmp/support")
+    val out = fs.create(p(s"$tmp/op"), true)
+    out.write("appendEdgeStore\nedges\nappend".getBytes("UTF-8"))
+    out.close()
+    Seq("appendEdgeStore").toDF("op").write.mode("overwrite").parquet(s"$dir/inflight")
+    assert(fs.rename(p(tmp), p(s"$dir/staged")))
+    intercept[IllegalStateException](Graph.readEdgeSupport(spark, dir))
+    Graph.appendEdgeStore(Seq((1L, 2L)).toDF("src", "dst"), dir) // duplicate: repair only
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(liveNew)))
+    assert(!fs.exists(p(s"$dir/staged")) && !fs.exists(p(s"$dir/inflight")))
+    // crash BEFORE the staged commit: uncommitted tmp + marker — the op
+    // never happened; the next mutator discards the tmp and proceeds
+    fs.mkdirs(p(s"$tmp/edges_delta"))
+    Seq("removeFromEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
+    Graph.removeFromEdgeStore(Seq((1L, 4L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(now)))
+    assert(!fs.exists(p(tmp)))
+    // compactEdgeStore's delete→rename window: edges gone, a complete
+    // .compacting tree left — any mutator rolls it forward
+    Graph.compactEdgeStore(spark, dir)
+    assert(fs.rename(p(s"$dir/edges"), p(s"$dir/edges.compacting")))
+    Seq("compactEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
+    Graph.appendEdgeStore(Seq((2L, 4L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(now.unionAll(Seq((2L, 4L)).toDF("src", "dst")))))
+    // the ONE unrepairable marker: an interrupted full rebuild — stated,
+    // and re-running the rebuild resolves it
+    Seq("writeEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
+    val e2 = intercept[IllegalStateException](
+      Graph.appendEdgeStore(Seq((5L, 6L)).toDF("src", "dst"), dir))
+    assert(e2.getMessage.contains("writeEdgeStore"), e2.getMessage)
     Graph.writeEdgeStore(base, dir) // full rebuild resolves the crash
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+  }
+
+  test("edge store: a churn batch rewrites ONLY the buckets holding touched edges") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("edgebuckets").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a 200-edge path graph spreads over many of the 64 hash buckets
+    val base = (1L to 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    def census(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/support"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    val before = census()
+    // append (1,3): closes triangle {1,2,3} -> touched edges are the
+    // delta plus the two credited edges
+    Graph.appendEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+    val after = census()
+    val touched = Seq((1L, 3L), (1L, 2L), (2L, 3L)).toDF("u", "v")
+      .select(Graph.supportBucket(col("u"), col("v")).as("b")).distinct()
+      .collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    def bucketOf(path: String): String =
+      path.split("/").find(_.startsWith("bucket=")).getOrElse(sys.error(s"no bucket in $path"))
+    // every file that changed (new, gone, or rewritten) lives in a
+    // touched bucket; untouched buckets are byte-identical file sets
+    val changed = (after.keySet -- before.keySet) ++ (before.keySet -- after.keySet) ++
+      before.keySet.intersect(after.keySet).filter(k => before(k) != after(k))
+    assert(changed.nonEmpty, "the append must rewrite its touched buckets")
+    assert(changed.map(bucketOf).subsetOf(touched),
+      s"untouched buckets rewritten: ${changed.map(bucketOf) -- touched}")
+    val allBuckets = after.keySet.map(bucketOf)
+    info(s"buckets present: ${allBuckets.size}, rewritten: ${touched.size}")
+    assert(allBuckets.size > touched.size * 4,
+      s"fixture too small to witness partial rewrite: ${allBuckets.size} vs $touched")
+    // and the store still reads back as the batch recompute
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(base.unionAll(Seq((1L, 3L)).toDF("src", "dst")))))
+    // a removal likewise: drop (1,3), debiting {1,2} and {2,3}
+    val before2 = census()
+    Graph.removeFromEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+    val after2 = census()
+    val changed2 = (after2.keySet -- before2.keySet) ++ (before2.keySet -- after2.keySet) ++
+      before2.keySet.intersect(after2.keySet).filter(k => before2(k) != after2(k))
+    assert(changed2.map(bucketOf).subsetOf(touched),
+      s"removal rewrote untouched buckets: ${changed2.map(bucketOf) -- touched}")
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+  }
+
+  test("wedgeCandidates: a delta edge onto a hub scans the SMALL endpoint's adjacency") {
+    val s = spark
+    import s.implicits._
+    // hub 0 with spokes 1..100; tail 200-201-202; delta edge (0, 200)
+    val live = ((1L to 100L).map(i => (0L, i)) ++
+      Seq((0L, 200L), (200L, 201L), (201L, 202L))).toDF("src", "dst")
+      .selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v")
+      .localCheckpoint()
+    val delta = Seq((0L, 200L)).toDF("u", "v").localCheckpoint()
+    val n = Graph.wedgeCandidates(delta, live).count()
+    info(s"oriented wedge candidates: $n (hub-anchored would be ${101L})")
+    // deg(200) = 2 -> anchor x = 200, candidates = its OTHER neighbor 201
+    // (the delta partner 0 is filtered); anchoring at the hub would have
+    // enumerated 100+ spokes
+    assert(n === 1L, s"expected 1 candidate, got $n")
+    // correctness unchanged: no triangle closes, so no credits anywhere
+    assert(supMap(Graph.triangleSupport(live.selectExpr("u AS src", "v AS dst")))
+      .values.forall(_ === 0L))
   }
 }
