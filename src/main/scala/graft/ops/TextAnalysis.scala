@@ -1167,10 +1167,18 @@ object TextAnalysis {
     * batched-BPE approximation every distributed trainer makes — ranks
     * within a round are claim order, counts are the round's shared
     * (pre-rewrite) table. `batch = 1` is exactly [[bpeMerges]]'
-    * sequential loop. The greedy picks cost `batch` single-row arg-max
-    * collects over the round's checkpointed count table (tiny —
-    * |pair vocabulary| rows), so driver traffic stays one row per merge,
-    * same as sequential.
+    * sequential loop. The greedy runs DRIVER-SIDE over ONE bounded
+    * prefix collect per round (`4·batch` rows in count-desc/pair-asc
+    * order): scanning that prefix in order and skipping banned
+    * candidates picks exactly what `batch` sequential filtered arg-max
+    * probes would — bans only REMOVE rows, so the filtered table's top-1
+    * is always the first unbanned row in the global order — at one
+    * aggregate + one collect per round instead of `batch` sequential
+    * tiny jobs (64 driver round-trips per round at tokenizer batch
+    * sizes, the round-15 tail). Only if the prefix exhausts before
+    * `batch` picks (pathological ban overlap) does a re-probe re-filter
+    * the checkpointed table and collect the next prefix; driver traffic
+    * stays O(batch) rows per round.
     */
   def bpeMergesBatched(
       docs: DataFrame,
@@ -1195,27 +1203,47 @@ object TextAnalysis {
         .select(col("freq"), explode(symbolPairs(col("syms"))).as("pair"))
         .groupBy("pair")
         .agg(sum("freq").as("cnt"))
-      // the m > 1 picks re-probe this table, so it materializes once;
-      // the m = 1 path keeps the original single-pass plan byte-identical
+      // a rare prefix-exhaustion re-probe re-reads this table, so the
+      // multi-pick path materializes it once; the m = 1 path keeps the
+      // original single-pass plan byte-identical
       val counts = if (m > 1) countsRaw.localCheckpoint() else countsRaw
       val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var rem = counts
+      val banned = scala.collection.mutable.Set.empty[String]
       var open = true
+      var prefixFrom = counts
       while (open && chosen.size < m) {
-        val top = rem.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
-        if (top.isEmpty) open = false
+        // ONE bounded collect per round (prefix 4·m rows, driver-greedy
+        // over it) — re-probing with the accumulated ban filter only on
+        // exhaustion. The ban check mirrors the former per-pick filter:
+        // a candidate is skipped when either symbol OR its concatenation
+        // collides with any earlier pick's inputs or merged output.
+        val prefix = prefixFrom.orderBy(col("cnt").desc, col("pair").asc).limit(4 * m).collect()
+        if (prefix.isEmpty) open = false
         else {
-          val (pair, cnt) = (top.head.getString(0), top.head.getLong(1))
-          val Array(l, r) = pair.split(" ", 2)
-          chosen += ((l, r, cnt))
-          // the full non-interaction ban: the pick's inputs AND its merged
-          // output — a later pair touching `l+r` (or producing `l`/`r`)
-          // would match occurrences this replace creates or consumes
-          val banned = Seq(l, r, l + r)
-          rem = rem.filter(
-            !element_at(split(col("pair"), " "), 1).isin(banned: _*) &&
-              !element_at(split(col("pair"), " "), 2).isin(banned: _*) &&
-              !replace(col("pair"), lit(" "), lit("")).isin(banned: _*))
+          var i = 0
+          while (i < prefix.length && chosen.size < m) {
+            val (pair, cnt) = (prefix(i).getString(0), prefix(i).getLong(1))
+            val Array(l, r) = pair.split(" ", 2)
+            if (!banned(l) && !banned(r) && !banned(l + r)) {
+              chosen += ((l, r, cnt))
+              // the full non-interaction ban: the pick's inputs AND its
+              // merged output — a later pair touching `l+r` (or producing
+              // `l`/`r`) would match occurrences this replace creates or
+              // consumes
+              banned ++= Seq(l, r, l + r)
+            }
+            i += 1
+          }
+          if (chosen.size < m) {
+            if (prefix.length < 4 * m) open = false // prefix WAS the whole table
+            else {
+              val b = banned.toSeq
+              prefixFrom = counts.filter(
+                !element_at(split(col("pair"), " "), 1).isin(b: _*) &&
+                  !element_at(split(col("pair"), " "), 2).isin(b: _*) &&
+                  !replace(col("pair"), lit(" "), lit("")).isin(b: _*))
+            }
+          }
         }
       }
       if (chosen.isEmpty) exhausted = true

@@ -1217,6 +1217,46 @@ class OpsSpec extends SparkSpec {
     assert(bat2 == Seq((1L, "a", "b"), (2L, "c", "d")), bat2.toString)
   }
 
+  test("bpeMergesBatched: a round is ONE aggregate + ONE bounded collect, not `batch` probes") {
+    val s = spark
+    import s.implicits._
+    // eight disjoint-alphabet words with strictly decreasing counts, so
+    // each of the two batch=4 rounds picks exactly 4 non-interacting
+    // merges: round 1 the char pairs (the (x,</w>) twins tie but lose the
+    // pair-asc tiebreak and are then symbol-banned); round 2 (ab,</w>)
+    // first, which bans the SHARED `</w>` symbol for the round, so the
+    // remaining picks fall to the unmerged char pairs
+    val words = Seq("ab" -> 9, "cd" -> 8, "ef" -> 7, "gh" -> 6,
+      "ij" -> 5, "kl" -> 4, "mn" -> 3, "op" -> 2)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val m =
+      try {
+        val r = TextAnalysis.bpeMergesBatched(docs, nMerges = 8, batch = 4).collect()
+        org.apache.spark.graft.TestShim.drainListenerBus(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(m.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(
+      ("a", "b"), ("c", "d"), ("e", "f"), ("g", "h"),
+      ("ab", "</w>"), ("i", "j"), ("k", "l"), ("m", "n")), m.mkString(","))
+    // job budget: the word-table checkpoint (2 — AQE materializes the
+    // groupBy's shuffle stage as its own job) + per round the count
+    // checkpoint (2, same AQE split), ONE prefix collect (1), and the
+    // vocabulary-rewrite checkpoint (1) = 2 + 2·4. The retired per-pick
+    // picker paid `batch` sequential collect jobs per round (16 total
+    // here, 64 per round at tokenizer batch sizes) — the bound fails if
+    // any per-pick probing creeps back in
+    info(s"jobs for 2 batched rounds: ${jobs.get()}")
+    assert(jobs.get() <= 10, s"driver-side greedy must not re-probe per pick: ${jobs.get()} jobs")
+  }
+
   test("bpeMerges: a fully-merged one-char word survives later rounds (no pairs, no crash)") {
     val s = spark
     import s.implicits._
