@@ -2511,12 +2511,20 @@ object Similarity {
     * search applies. nProbe = nCentroids is exhaustive (recall 1000 by
     * construction), so the target is always reachable; the `exhaustive`
     * flag still reports honestly. Returns ONE row: `(n_centroids,
-    * n_probe, recall_milli, target_milli, n_queries, exhaustive)`.
+    * n_probe, recall_milli, target_milli, n_queries, exhaustive,
+    * candidates_scored, n_rungs)` — `candidates_scored` is the
+    * (query, candidate) pairs the probe exact-scores at the chosen
+    * nProbe, so the SLO loop reports what the recall COSTS, not just
+    * that it passed; `n_rungs` the probe evaluations the search itself
+    * paid. `nProbeHint` >= 1 warm-starts the search (seed a drifted
+    * store's tuner from its fresh sibling's `n_probe` — a perfect hint
+    * closes in two rungs instead of re-climbing the ladder).
     *
     * Scale shape: the exact baseline (one |sample|×|live| scan — the
     * ground-truth price, bounded by a small deterministic sample) is
     * materialized ONCE; the search then costs O(log nCentroids)
-    * partition-pruned probes, each folded to a 1-row decision read.
+    * partition-pruned probes, each folded to a 1-row decision read,
+    * plus one candidate count at the winning rung.
     */
   def autoTuneNProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -2524,6 +2532,7 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       targetRecallMilli: Long = 950L,
+      nProbeHint: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
@@ -2532,13 +2541,19 @@ object Similarity {
       s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
     requireNotInflight(spark, path)
     requireIvfDim(queries, path, vecCol)
-    val nCent = spark.read.parquet(s"$path/centroids").count().toInt
-    val live = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
-      .select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
+    val cents = spark.read.parquet(s"$path/centroids")
+    val nCent = cents.count().toInt
+    val cells = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
+    val live = cells.select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
     val q = queries.localCheckpoint() // probed once per search rung
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
-      p => probeIvfIndex(spark, path, q, k, p, idCol, vecCol))
+      p => probeIvfIndex(spark, path, q, k, p, idCol, vecCol),
+      p => flatProbes(q, cents, p, idCol, vecCol)
+        .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .count(),
+      nProbeHint)
   }
 
   /** [[autoTuneNProbe]] for the COMPOSED IVF-PQ store — the same SLO-driven
@@ -2561,6 +2576,7 @@ object Similarity {
       queries: DataFrame,
       k: Int,
       targetRecallMilli: Long = 950L,
+      nProbeHint: Int = 0,
       m: Int = 4,
       ksub: Int = 8,
       dim: Int = 64,
@@ -2571,21 +2587,41 @@ object Similarity {
       s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
     requireNotInflight(spark, path)
     requireIvfPqParams(spark, path, m, ksub, dim)
-    val nCent = spark.read.parquet(s"$path/centroids").count().toInt
-    val liveIds = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
-      .select("vec_id").distinct()
+    val cents = spark.read.parquet(s"$path/centroids")
+    val nCent = cents.count().toInt
+    val codes = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
+    val liveIds = codes.select("vec_id").distinct()
     val live = corpus
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .join(liveIds.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_semi")
     val q = queries.localCheckpoint()
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
-      p => probeIvfPqIndex(spark, path, q, k, p, m, ksub, dim, idCol, vecCol))
+      p => probeIvfPqIndex(spark, path, q, k, p, m, ksub, dim, idCol, vecCol),
+      // candidates = (query, vector) pairs ADC-scored in the probed
+      // cells; codes hold m rows per vector, so count one subspace
+      p => flatProbes(q, cents, p, idCol, vecCol)
+        .select("query_id", "centroid_id")
+        .join(codes.filter(col("subspace") === 0).select("vec_id", "centroid_id"),
+          Seq("centroid_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .count(),
+      nProbeHint)
   }
 
   /** The shared minimal-nProbe search: exponential ladder + binary search
     * over a monotone recall curve, exact baseline materialized once, one
-    * 1-row decision read per rung.
+    * 1-row decision read per rung. `hint` >= 1 WARM-STARTS the search
+    * (seed it from a sibling store's tuned nProbe, or an operator's
+    * previous run): a failing hint ladders up from where it stands; a
+    * passing hint verifies minimality downward, trying `hint - 1` first
+    * so a PERFECT hint closes in two rungs instead of re-climbing the
+    * whole ladder. `hint` = 0 is the cold search, rung-for-rung identical
+    * to before. The returned row also reports what the chosen rung
+    * COSTS — `candidates_scored`, the (query, candidate) pairs the probe
+    * actually scored at the chosen nProbe via `candidatesAt` — and
+    * `n_rungs`, the distinct recall evaluations the search paid (the
+    * spec's warm-start assertion; driver rows leave it unselected).
     */
   private def nProbeSearch(
       spark: org.apache.spark.sql.SparkSession,
@@ -2596,7 +2632,9 @@ object Similarity {
       nCent: Int,
       idCol: String,
       vecCol: String,
-      probe: Int => DataFrame): DataFrame = {
+      probe: Int => DataFrame,
+      candidatesAt: Int => Long,
+      hint: Int = 0): DataFrame = {
     import spark.implicits._
     val exact = bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint()
     val nQueries = exact.select("query_id").distinct().count()
@@ -2613,25 +2651,42 @@ object Similarity {
         .head()
       if (r.getLong(1) == 0L) 1000L else (1000L * r.getLong(0)) / r.getLong(1)
     })
-    // exponential ladder to the first passing rung ...
     var lo = 0 // largest known-failing nProbe
-    var hi = 1
+    var hi = math.min(math.max(hint, 1), nCent)
     var rHi = recallAt(hi)
-    while (rHi < targetRecallMilli && hi < nCent) {
-      lo = hi
-      hi = math.min(hi * 2, nCent)
-      rHi = recallAt(hi)
+    if (rHi < targetRecallMilli) {
+      // exponential ladder to the first passing rung (cold starts and
+      // failing hints land here — a stale store seeded from a fresh
+      // sibling's answer climbs from the hint, not from 1)
+      while (rHi < targetRecallMilli && hi < nCent) {
+        lo = hi
+        hi = math.min(hi * 2, nCent)
+        rHi = recallAt(hi)
+      }
+    } else if (hi > 1) {
+      // a passing warm hint: establish a failing lower bound downward
+      if (recallAt(hi - 1) >= targetRecallMilli) {
+        hi -= 1
+        var down = hi / 2
+        while (down >= 1 && recallAt(down) >= targetRecallMilli) {
+          hi = down
+          down /= 2
+        }
+        lo = down // 0, or the first failing halving rung
+      } else lo = hi - 1 // hint - 1 fails: the hint IS the minimum
     }
     // ... then binary search pins the exact minimum in (lo, hi]
-    if (rHi >= targetRecallMilli) {
+    if (recallAt(hi) >= targetRecallMilli) {
       while (hi - lo > 1) {
         val mid = lo + (hi - lo) / 2
         if (recallAt(mid) >= targetRecallMilli) hi = mid else lo = mid
       }
-      rHi = recallAt(hi)
     }
-    Seq((nCent.toLong, hi.toLong, rHi, targetRecallMilli, nQueries, hi == nCent))
-      .toDF("n_centroids", "n_probe", "recall_milli", "target_milli", "n_queries", "exhaustive")
+    rHi = recallAt(hi)
+    Seq((nCent.toLong, hi.toLong, rHi, targetRecallMilli, nQueries, hi == nCent,
+      candidatesAt(hi), seen.size.toLong))
+      .toDF("n_centroids", "n_probe", "recall_milli", "target_milli", "n_queries",
+        "exhaustive", "candidates_scored", "n_rungs")
   }
 
   /** Drift audit for a persisted IVF index — the operational "rebuild

@@ -1109,9 +1109,12 @@ object OpsQueries {
     // deliberately stale one (quantizer trained on coordinate-rotated
     // vectors, the real corpus appended frozen, rotated content
     // tombstoned) — the stale store must need MORE cells probed for the
-    // same target, and the oracle derives both minima by scanning every
-    // p in 1..16 (equivalent to the operator's ladder + binary search by
-    // recall monotonicity in nProbe)
+    // same target, its search WARM-STARTED from the fresh store's answer
+    // (the operational loop: yesterday's knob seeds today's), and each
+    // row echoes what the recall costs (candidates_scored, the pairs the
+    // chosen probe exact-scores); the oracle derives minima and costs by
+    // scanning every p in 1..16 (equivalent to the operator's
+    // hint-seeded ladder + binary search by recall monotonicity)
     "ann_autotune_nprobe" -> { (s, dir) =>
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val qs = e.filter(col("vec_id") < 8)
@@ -1125,12 +1128,17 @@ object OpsQueries {
       Similarity.writeIvfIndex(rot, stale)
       Similarity.appendIvfIndex(e, stale)
       Similarity.deleteFromIndex(rot.select("vec_id"), stale)
-      Similarity.autoTuneNProbe(s, fresh, qs, k = 5).withColumn("store", lit("fresh"))
+      val freshRow = Similarity.autoTuneNProbe(s, fresh, qs, k = 5)
+      // the tuner's output is a 1-row LOCAL relation (the search already
+      // ran), so this hint read costs no job — bounded by contract
+      val hint = freshRow.select("n_probe").head().getLong(0).toInt
+      freshRow.withColumn("store", lit("fresh"))
         .unionAll(
-          Similarity.autoTuneNProbe(s, stale, qs, k = 5).withColumn("store", lit("stale")))
+          Similarity.autoTuneNProbe(s, stale, qs, k = 5, nProbeHint = hint)
+            .withColumn("store", lit("stale")))
         .select(
           "store", "n_centroids", "n_probe", "recall_milli",
-          "target_milli", "n_queries", "exhaustive")
+          "target_milli", "n_queries", "exhaustive", "candidates_scored")
     },
     // the PQ face of the recall dial: the compressed-domain ADC probe
     // scored against exact brute force over the same corpus — what the
@@ -1985,7 +1993,9 @@ object OpsQueries {
          |       (SELECT recall_milli FROM ${pfx}rec WHERE p = t.np) AS recall_milli,
          |       CAST(950 AS BIGINT) AS target_milli,
          |       (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM bk) AS n_queries,
-         |       t.np = 16 AS exhaustive
+         |       t.np = 16 AS exhaustive,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM ${pfx}cand
+         |        WHERE prn <= t.np) AS candidates_scored
          |FROM ${pfx}sel t""".stripMargin
     s"""WITH $kmeansCellsCtes,
        |er AS (

@@ -267,6 +267,28 @@ class OpsSpec extends SparkSpec {
     // recall function IS the ground truth the tuner searched over)
     if (chosen > 1) assert(microRecallAt(chosen - 1) < 950L, s"chosen $chosen not minimal")
     assert(!row.getAs[Boolean]("exhaustive") || chosen === 16)
+    // the cost echo: the chosen rung scored a positive, bounded number of
+    // (query, candidate) pairs — 8 queries against at most the live set
+    val cand = row.getAs[Long]("candidates_scored")
+    assert(cand > 0L && cand <= 8L * e.count(), s"candidates_scored $cand")
+    // warm start: a PERFECT hint re-finds the same answer (same recall,
+    // same cost) in at most two rungs — hint passes, hint-1 fails —
+    // where the cold search pays the full ladder + binary climb
+    val warm = Similarity.autoTuneNProbe(spark, dir, q, k = 5, targetRecallMilli = 950L,
+      nProbeHint = chosen).head()
+    assert(warm.getAs[Long]("n_probe") === chosen.toLong)
+    assert(warm.getAs[Long]("recall_milli") === row.getAs[Long]("recall_milli"))
+    assert(warm.getAs[Long]("candidates_scored") === cand)
+    assert(warm.getAs[Long]("n_rungs") <= 2L, s"perfect hint paid ${warm.getAs[Long]("n_rungs")}")
+    if (chosen > 1)
+      assert(row.getAs[Long]("n_rungs") > warm.getAs[Long]("n_rungs"),
+        s"cold ${row.getAs[Long]("n_rungs")} vs warm ${warm.getAs[Long]("n_rungs")}")
+    // a FAILING hint ladders up from where it stands, same minimal answer
+    if (chosen > 1) {
+      val low = Similarity.autoTuneNProbe(spark, dir, q, k = 5, targetRecallMilli = 950L,
+        nProbeHint = 1).head()
+      assert(low.getAs[Long]("n_probe") === chosen.toLong, low.toString)
+    }
     // any probe at all clears a 1-milli target: the tuner must not
     // overshoot past the first rung
     val trivial = Similarity.autoTuneNProbe(spark, dir, q, k = 5, targetRecallMilli = 1L).head()
