@@ -198,7 +198,7 @@ object EventsStream {
 
   /** Rows dropped PAST the watermark over a streaming query's reported
     * progress — the OBSERVABLE face of [[windowedCounts]]/[[slidingCounts]]/
-    * [[purchaseAttribution]]'s drop contract ("late rows beyond the
+    * [[sessionCounts]]/[[purchaseAttribution]]'s drop contract ("late rows beyond the
     * watermark are dropped"): the house no-silent-caps rule says a drop
     * must be measurable, not assumed, and the engine already accounts for
     * it per stateful operator (`stateOperators[].numRowsDroppedByWatermark`
@@ -377,6 +377,15 @@ object EventsStream {
     * their correct session via fragment merging; a cross-batch straggler
     * older than (open session start - gap) becomes its own session rather
     * than buffering unbounded history.
+    *
+    * Late-data accounting: this face carries NO watermark (NoTimeout, no
+    * `withWatermark`), so nothing is ever watermark-dropped and
+    * [[lateDropCount]] honestly reads 0 — stragglers are KEPT under the
+    * own-session policy above, spec-pinned against the same hours-late
+    * row that [[sessionCounts]]'s watermark counts as a drop. The price
+    * of keep-everything is per-user state only the fragment bound
+    * limits; a pipeline wanting bounded lateness uses [[sessionCounts]],
+    * where the drop IS a number.
     */
   def sessionize(events: Dataset[Evt], gapSecs: Long): Dataset[Session] = {
     val spark = events.sparkSession
@@ -407,7 +416,10 @@ object EventsStream {
     * [[sessionize]] — engine-managed merging state, bounded by the
     * watermark horizon; the custom flatMapGroupsWithState variant remains
     * for semantics the built-in can't express (fragment-level emission,
-    * custom straggler policy).
+    * custom straggler policy). Rows later than the horizon are dropped
+    * by the session store's input filter and COUNTED — the engine
+    * reports them in `numRowsDroppedByWatermark` exactly as for tumbling
+    * windows, so [[lateDropCount]] covers this face too (spec-pinned).
     */
   def sessionCounts(
       events: DataFrame,

@@ -113,6 +113,62 @@ class StreamingSpec extends SparkSpec {
       s"join drops observable, got ${EventsStream.lateDropCount(q)}")
   }
 
+  test("late drops against the SESSION state faces: built-in windows count, the custom face keeps") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // --- built-in session_window + watermark (sessionCounts): the session
+    // store's pre-aggregate input filter drops late rows and the engine
+    // accounts for them in numRowsDroppedByWatermark, same as tumbling
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(col("_1").as("user_id"), timestamp_seconds(col("_2")).as("t"))
+    val q = EventsStream.sessionCounts(events, gap = "5 minutes", horizon = "1 hour")
+      .writeStream
+      .format("memory")
+      .queryName("late_session_stream")
+      .outputMode("append")
+      .start()
+    // batch 0: watermark advances to 100000 - 3600 = 96400; the trailing
+    // no-data batch carries it into the late filter (two-value tracker)
+    input.addData((1L, 95000L), (1L, 100000L))
+    q.processAllAvailable()
+    // one row hours past the watermark, one above it
+    input.addData((2L, 50000L), (1L, 99000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(EventsStream.lateDropCount(q) == 1L,
+      s"session_window drops must be observable, got ${EventsStream.lateDropCount(q)}")
+    // the late user's session never surfaces
+    assert(spark.table("late_session_stream").filter(col("user_id") === 2L).count() === 0L)
+    // --- custom flatMapGroupsWithState sessionization (sessionize): NO
+    // watermark anywhere, so nothing is ever watermark-dropped — a
+    // straggler becomes its own session (the documented policy) and
+    // lateDropCount honestly reads 0 (nothing silently vanished)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Evt]
+    val q2 = EventsStream.sessionize(input2.toDS(), gapSecs = 300L)
+      .writeStream
+      .format("memory")
+      .queryName("late_sessionize_stream")
+      .outputMode("append")
+      .start()
+    input2.addData(Evt(1L, 95000L), Evt(1L, 100000L))
+    q2.processAllAvailable()
+    // the same hours-late straggler: kept, closed as its own session once
+    // a newer fragment exists for the user
+    input2.addData(Evt(1L, 50000L), Evt(1L, 100100L))
+    q2.processAllAvailable()
+    input2.addData(Evt(1L, 101000L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(EventsStream.lateDropCount(q2) == 0L,
+      s"sessionize has no watermark: got ${EventsStream.lateDropCount(q2)} phantom drops")
+    val sess = spark.table("late_sessionize_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(sess.exists { case (u, st, en, n) => u == 1L && st == 50000L && en == 50000L && n == 1 },
+      s"the straggler must surface as its own session, got ${sess.mkString(",")}")
+  }
+
   test("append-mode emission boundary: a window whose end EQUALS the watermark finalizes") {
     val s = spark
     import s.implicits._
