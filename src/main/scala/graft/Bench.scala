@@ -103,6 +103,9 @@ object Bench {
     "graph_support_streamed",
     "graph_tricount_served",
     "graph_cc_incremental",
+    // round-16: a store build + touched-component re-solve (two star
+    // contractions), same family weight as the cc store above
+    "graph_cc_removal",
     "ann_autotune_nprobe")
 
   /** Drop every block the previous query left in the block manager

@@ -896,7 +896,7 @@ object Graph {
         col("v"),
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
     stageAndApply(spark, path, "appendEdgeStore", "edges", replaceTarget = false,
-      delta, supportNew, touched)
+      Some(delta), withSupportBucket(supportNew), touched)
   }
 
   /** One micro-batch of STREAMING edge-store maintenance (the foreachBatch
@@ -980,7 +980,7 @@ object Graph {
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
       .withColumn("as_of_batch", lit(batchId))
     stageAndApply(spark, path, "ingestEdgeBatch", s"edges/batch_id=$batchId",
-      replaceTarget = true, delta, supportNew, touched)
+      replaceTarget = true, Some(delta), withSupportBucket(supportNew), touched)
   }
 
   /** Remove edges from the store: the removed pairs land in `tombstones`
@@ -1013,7 +1013,7 @@ object Graph {
         col("v"),
         (coalesce(col("support"), lit(0L)) - coalesce(col("c"), lit(0L))).as("support"))
     stageAndApply(spark, path, "removeFromEdgeStore", "tombstones", replaceTarget = false,
-      rem.coalesce(1), supportNew, touched)
+      Some(rem.coalesce(1)), withSupportBucket(supportNew), touched)
   }
 
   /** Fold the store. Batch-built: rewrite `edges` to the live set
@@ -1077,12 +1077,25 @@ object Graph {
 
   // ---- persisted incremental connected-components label store ----
 
+  /** The label store's bucket of a row: a hash of its COMPONENT label,
+    * not its node id — mutations move whole components (a merge remaps
+    * every row of the losing components; a removal re-labels every row
+    * of the touched ones), so comp-keyed buckets make the touched-row
+    * set land in a bounded set of directories while node-keyed buckets
+    * would smear every merge across the whole table.
+    */
+  private[graft] def labelBucket(comp: org.apache.spark.sql.Column) =
+    pmod(hash(comp), lit(supportBuckets))
+
   /** Persist a CONNECTED-COMPONENTS label store: one row per node,
     * `comp` = the minimum node id of its component (the
     * [[graft.ops.Dedup.clusterPairs]] contract — that O(log n)
-    * star-contraction IS the solver). The other half of the edge-store's
-    * incremental analytics: [[appendCcStore]] folds edge ADDITIONS in
-    * without ever re-solving the corpus.
+    * star-contraction IS the solver), HASH-BUCKETED by [[labelBucket]]
+    * so the incremental mutators rewrite only the buckets holding
+    * churned components. The other half of the edge-store's incremental
+    * analytics: [[appendCcStore]] folds edge ADDITIONS in without ever
+    * re-solving the corpus, [[removeFromCcStore]] re-solves only the cut
+    * components.
     */
   def writeCcStore(edges: DataFrame, path: String): Unit = {
     val spark = edges.sparkSession
@@ -1090,7 +1103,13 @@ object Graph {
     val labels = Dedup.clusterPairs(und, "u", "v")
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
     Similarity.markInflight(spark, path, "writeCcStore")
-    Similarity.rewriteDir(spark, labels, s"$path/cclabels", Nil)
+    Similarity.deleteDir(spark, s"$path/staged")
+    Similarity.deleteDir(spark, s"$path/staged.compacting")
+    Similarity.rewriteDir(
+      spark,
+      labels.withColumn("bucket", labelBucket(col("comp"))),
+      s"$path/cclabels",
+      Seq("bucket"))
     Similarity.clearInflight(spark, path)
   }
 
@@ -1102,9 +1121,11 @@ object Graph {
     * label edges (merged groups resolve to the minimum involved label,
     * which is the merged component's true minimum node id, because every
     * old label already was its component's min), and apply the resulting
-    * label→label remap to the store with one equi-join whose remap side
-    * is ≤ 2·|delta| rows (AQE broadcasts it) — the corpus-sized label
-    * table is scanned once, never re-solved. REMOVALS take
+    * label→label remap with one equi-join whose remap side is
+    * ≤ 2·|delta| rows (AQE broadcasts it) — reading AND rewriting only
+    * the buckets holding a remap source, a remap target, or a new
+    * node's component ([[labelBucket]] partition pruning), never
+    * re-solving or rewriting the corpus. REMOVALS take
     * [[removeFromCcStore]]'s touched-component re-solve (a cut can SPLIT
     * a component, which labels alone cannot witness — that path needs
     * the caller's live edges).
@@ -1128,6 +1149,8 @@ object Graph {
     val remap = Dedup.clusterPairs(
       labeled.filter(col("cu") =!= col("cv")), "cu", "cv")
       .select(col("doc_id").as("comp"), col("cluster_id").as("comp_new"))
+      .filter(col("comp") =!= col("comp_new")) // roots: trivial, no move
+      .localCheckpoint()
     // nodes the store has never seen enter with their (possibly remapped)
     // self label; known nodes keep their row and take the remap
     val newNodes = labeled
@@ -1135,13 +1158,24 @@ object Graph {
       .unionAll(labeled.select(col("v").as("node"), col("cv").as("comp")))
       .join(labels.select("node"), Seq("node"), "left_anti")
       .distinct()
-    val labelsNew = labels
-      .unionAll(newNodes)
       .join(remap, Seq("comp"), "left")
       .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
-    Similarity.markInflight(spark, path, "appendCcStore")
-    Similarity.rewriteDir(spark, labelsNew, s"$path/cclabels", Nil)
-    Similarity.clearInflight(spark, path)
+      .localCheckpoint()
+    // only buckets holding a remap SOURCE (rows leave), a remap TARGET
+    // (rows arrive), or a new node's final component change — everything
+    // else is carried by not being rewritten
+    val touched = touchedLabelBuckets(
+      spark,
+      remap.select(col("comp")).unionAll(remap.select(col("comp_new")))
+        .unionAll(newNodes.select(col("comp"))))
+    if (touched.isEmpty) return // batch repeated known in-component edges
+    val content = labels
+      .filter(labelBucket(col("comp")).isin(touched: _*)) // partition-pruned
+      .join(remap, Seq("comp"), "left")
+      .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
+      .unionAll(newNodes)
+    stageAndApply(spark, path, "appendCcStore", "", replaceTarget = false,
+      None, content.withColumn("bucket", labelBucket(col("comp"))), touched, "cclabels")
   }
 
   /** Fold an edge-REMOVAL batch into the label store with a
@@ -1163,21 +1197,25 @@ object Graph {
     * the min of a SUBSET of the old component's nodes, so it can never
     * collide with an untouched component's min.
     *
-    * Scale shape: one broadcast-sized semi-join to find touched
-    * components, the O(log n) contraction over only their induced
-    * subgraph (corpus-scan cost only when a touched component is itself
-    * corpus-sized), and one full label rewrite (node-count rows — the
-    * label table is the store's whole state; bucketing it like the edge
-    * store's support is the next write-amplification step if node-grain
-    * churn ever dominates). Removed edges never seen by the store (or
-    * with unlabeled endpoints) touch nothing.
+    * Scale shape: one node-grain semi-join to find touched components
+    * (a full label READ — comp-keyed buckets cannot prune a node
+    * lookup), the O(log n) contraction over only their induced subgraph
+    * (corpus-scan cost only when a touched component is itself
+    * corpus-sized), and a label WRITE of only the buckets losing or
+    * gaining rows ([[labelBucket]] — the edge-store support treatment,
+    * so a small cut never rewrites the node-count-sized table). Removed
+    * edges never seen by the store (or with unlabeled endpoints) touch
+    * nothing.
     */
   def removeFromCcStore(removed: DataFrame, liveAfter: DataFrame, path: String): Unit = {
     val spark = removed.sparkSession
     repairCcStore(spark, path)
     val rem = undirectedEdges(removed).localCheckpoint()
     if (rem.isEmpty) return // nothing removed: store untouched
-    val labels = spark.read.parquet(s"$path/cclabels").localCheckpoint()
+    val labels = spark.read.parquet(s"$path/cclabels")
+    // node-grain lookup: one full label scan (the bucket layout is
+    // comp-keyed, so node membership cannot prune) — read-only; every
+    // WRITE below is bucket-bounded
     val touchedComps = labels
       .join(
         rem.select(col("u").as("node")).unionAll(rem.select(col("v").as("node"))).distinct(),
@@ -1187,8 +1225,11 @@ object Graph {
       .distinct()
       .localCheckpoint()
     if (touchedComps.isEmpty) return // no removed endpoint was ever labeled
+    val tcBuckets = touchedLabelBuckets(spark, touchedComps)
     val touchedNodes = labels
+      .filter(labelBucket(col("comp")).isin(tcBuckets: _*)) // partition-pruned
       .join(touchedComps, Seq("comp"), "left_semi")
+      .select("node", "comp")
       .localCheckpoint()
     // a surviving live edge inside a touched component has BOTH endpoints
     // in it (they shared the old label), so anchoring on u suffices
@@ -1197,18 +1238,27 @@ object Graph {
       .localCheckpoint()
     val resolved = Dedup.clusterPairs(induced, "u", "v")
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+      .localCheckpoint()
     val isolated = touchedNodes
       .select("node")
       .join(resolved.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("comp"))
-    val labelsNew = labels
+      .localCheckpoint()
+    // buckets losing rows (the touched comps') plus buckets gaining the
+    // re-solved and singleton labels
+    val touched = touchedLabelBuckets(
+      spark,
+      touchedComps
+        .unionAll(resolved.select("comp"))
+        .unionAll(isolated.select("comp")))
+    val content = labels
+      .filter(labelBucket(col("comp")).isin(touched: _*)) // partition-pruned
       .join(touchedComps, Seq("comp"), "left_anti")
       .select("node", "comp")
       .unionAll(resolved.select("node", "comp"))
-      .unionAll(isolated)
-    Similarity.markInflight(spark, path, "removeFromCcStore")
-    Similarity.rewriteDir(spark, labelsNew, s"$path/cclabels", Nil)
-    Similarity.clearInflight(spark, path)
+      .unionAll(isolated.select("node", "comp"))
+    stageAndApply(spark, path, "removeFromCcStore", "", replaceTarget = false,
+      None, content.withColumn("bucket", labelBucket(col("comp"))), touched, "cclabels")
   }
 
   /** The label store's read face, refusing a mid-crash store. Matches
@@ -1218,22 +1268,40 @@ object Graph {
     */
   def readCcLabels(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     Similarity.requireNotInflight(spark, path)
-    spark.read.parquet(s"$path/cclabels")
+    spark.read.parquet(s"$path/cclabels").select("node", "comp")
   }
 
-  /** The label store's single-tree repair, run by every mutator first:
-    * the store is one directory swapped by [[graft.ops.Similarity
-    * .rewriteDir]], so after ANY crash it is either untouched (tmp
-    * garbage — the op never happened; discard and re-run) or one rename
-    * from done (labels missing, `.compacting` complete — roll forward).
-    * Either way the store is then consistent, the marker clears, and
-    * re-running the interrupted op completes it: every cc mutation is
-    * idempotent (a re-merged append remaps nothing; a re-run removal
-    * re-solves to the same labels). Readers still refuse the marker.
+  /** The distinct [[labelBucket]] values of a `comp` column — the
+    * mutation's write set. Bounded decision read: ≤ [[supportBuckets]]
+    * rows ever.
+    */
+  private def touchedLabelBuckets(
+      spark: org.apache.spark.sql.SparkSession, comps: DataFrame): Seq[Int] =
+    comps
+      .select(labelBucket(col("comp")).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+      .sorted
+
+  /** The label store's repair, run by every mutator first — the
+    * edge-store protocol on one tree: a COMMITTED staged tree rolls
+    * forward (completing the crashed mutation), an uncommitted tmp is
+    * discarded (the mutation never happened), a full write's
+    * `.compacting` swap rolls forward, and the then-consistent store has
+    * its marker cleared so the caller's own work proceeds. Every cc
+    * mutation is idempotent (a re-merged append remaps nothing; a re-run
+    * removal re-solves to the same labels), so re-running the
+    * interrupted op is always the complete recovery. Readers still
+    * refuse the marker mid-apply.
     */
   private def repairCcStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
     if (Similarity.inflightOp(spark, path).isDefined) {
       val fs = hfs(spark, path)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
+        applyStaged(spark, path)
+      Similarity.deleteDir(spark, s"$path/staged.compacting")
       val live = new org.apache.hadoop.fs.Path(s"$path/cclabels")
       val tmp = new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting")
       if (fs.exists(tmp)) {
@@ -1277,6 +1345,9 @@ object Graph {
       .toSeq
       .sorted
 
+  private def withSupportBucket(supportNew: DataFrame): DataFrame =
+    supportNew.withColumn("bucket", supportBucket(col("u"), col("v")))
+
   /** The old support rows of the touched buckets only — the bucket filter
     * is on the partition column, so the scan prunes to those directories.
     */
@@ -1287,13 +1358,16 @@ object Graph {
       .select("u", "v", "support")
 
   /** Steps 1-3 of the protocol above: build, commit, apply. `edgesDelta`
-    * lands under `$path/$deltaTarget` — appended file-by-file
-    * (`replaceTarget` false: the batch store's `edges`/`tombstones`
-    * grow), or as a whole-directory swap (`replaceTarget` true: the
-    * stream store's `edges/batch_id=N` generation, where a retry must
-    * replace its own half-landed files). `supportNew` must NOT carry a
-    * bucket column; every touched bucket is staged even when its new
-    * content is empty, so the apply can retire emptied buckets.
+    * (when present) lands under `$path/$deltaTarget` — appended
+    * file-by-file (`replaceTarget` false: the batch store's
+    * `edges`/`tombstones` grow), or as a whole-directory swap
+    * (`replaceTarget` true: the stream store's `edges/batch_id=N`
+    * generation, where a retry must replace its own half-landed files).
+    * `bucketed` is the new content of the touched buckets of
+    * `$path/$bucketSub`, WITH its bucket column already attached; every
+    * touched bucket is staged even when its new content is empty, so the
+    * apply can retire emptied buckets. The CC label store reuses the
+    * whole protocol with `bucketSub = "cclabels"` and no delta tree.
     */
   private def stageAndApply(
       spark: org.apache.spark.sql.SparkSession,
@@ -1301,23 +1375,22 @@ object Graph {
       op: String,
       deltaTarget: String,
       replaceTarget: Boolean,
-      edgesDelta: DataFrame,
-      supportNew: DataFrame,
-      touched: Seq[Int]): Unit = {
+      edgesDelta: Option[DataFrame],
+      bucketed: DataFrame,
+      touched: Seq[Int],
+      bucketSub: String = "support"): Unit = {
     val fs = hfs(spark, path)
     val tmp = s"$path/staged.compacting"
     Similarity.deleteDir(spark, tmp)
-    edgesDelta.write.mode("overwrite").parquet(s"$tmp/edges_delta")
-    supportNew
-      .withColumn("bucket", supportBucket(col("u"), col("v")))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/support")
+    edgesDelta.foreach(_.write.mode("overwrite").parquet(s"$tmp/edges_delta"))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$bucketSub")
     touched.foreach { b =>
-      val d = new org.apache.hadoop.fs.Path(s"$tmp/support/bucket=$b")
+      val d = new org.apache.hadoop.fs.Path(s"$tmp/$bucketSub/bucket=$b")
       if (!fs.exists(d)) fs.mkdirs(d) // emptied bucket: swap an empty dir in
     }
     val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/op"), true)
     try manifest.write(
-      s"$op\n$deltaTarget\n${if (replaceTarget) "replace" else "append"}"
+      s"$op\n$deltaTarget\n${if (replaceTarget) "replace" else "append"}\n$bucketSub"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally manifest.close()
     Similarity.markInflight(spark, path, op) // refuse probes through the apply window
@@ -1346,7 +1419,9 @@ object Graph {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     }
-    val Array(_, deltaTarget, mode) = manifest.split("\n", 3)
+    val lines = manifest.split("\n", 4)
+    val (deltaTarget, mode) = (lines(1), lines(2))
+    val bucketSub = if (lines.length > 3 && lines(3).nonEmpty) lines(3) else "support"
     val deltaDir = new org.apache.hadoop.fs.Path(s"$staged/edges_delta")
     if (fs.exists(deltaDir)) {
       val target = new org.apache.hadoop.fs.Path(s"$path/$deltaTarget")
@@ -1365,14 +1440,14 @@ object Graph {
         fs.delete(deltaDir, true)
       }
     }
-    val supDir = new org.apache.hadoop.fs.Path(s"$staged/support")
+    val supDir = new org.apache.hadoop.fs.Path(s"$staged/$bucketSub")
     if (fs.exists(supDir)) {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/support")))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/support"))
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$bucketSub")))
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$bucketSub"))
       fs.listStatus(supDir)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
         .foreach { d =>
-          val dst = new org.apache.hadoop.fs.Path(s"$path/support/${d.getPath.getName}")
+          val dst = new org.apache.hadoop.fs.Path(s"$path/$bucketSub/${d.getPath.getName}")
           if (fs.exists(dst)) fs.delete(dst, true)
           require(fs.rename(d.getPath, dst), s"apply swap ${d.getPath} -> $dst failed")
         }

@@ -679,6 +679,62 @@ class GraphSpec extends SparkSpec {
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
   }
 
+  test("cc label store: a merge batch rewrites ONLY the buckets of remapped components") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccbuckets").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 100 two-node components spread over the 64 comp-hash buckets
+    val base = (0L until 200L by 2L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeCcStore(base, dir)
+    def census(): Map[String, Long] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/cclabels"), true)
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_"))
+          b += f.getPath.toString -> f.getModificationTime
+      }
+      b.result()
+    }
+    def bucketOf(path: String): String =
+      path.split("/").find(_.startsWith("bucket=")).getOrElse(sys.error(s"no bucket in $path"))
+    val before = census()
+    // merge components {4,5} and {6,7}: comp 6 remaps into comp 4 — the
+    // write set is exactly {bucket(4), bucket(6)}
+    Graph.appendCcStore(Seq((5L, 6L)).toDF("src", "dst"), dir)
+    val after = census()
+    val touched = Seq(4L, 6L).toDF("comp")
+      .select(Graph.labelBucket(col("comp")).as("b")).distinct()
+      .collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    val changed = (after.keySet -- before.keySet) ++ (before.keySet -- after.keySet) ++
+      before.keySet.intersect(after.keySet).filter(k => before(k) != after(k))
+    assert(changed.nonEmpty, "the merge must rewrite its touched buckets")
+    assert(changed.map(bucketOf).subsetOf(touched),
+      s"untouched buckets rewritten: ${changed.map(bucketOf) -- touched}")
+    info(s"cc buckets present: ${after.keySet.map(bucketOf).size}, rewritten: ${touched.size}")
+    assert(after.keySet.map(bucketOf).size > touched.size * 4, "fixture too small")
+    // labels still correct end to end
+    val got = Graph.readCcLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) === 4L && got(5L) === 4L && got(0L) === 0L, got.toString)
+    // a removal's write set is likewise the touched + re-solved buckets
+    val before2 = census()
+    Graph.removeFromCcStore(
+      Seq((5L, 6L)).toDF("src", "dst"),
+      base,
+      dir)
+    val after2 = census()
+    val changed2 = (after2.keySet -- before2.keySet) ++ (before2.keySet -- after2.keySet) ++
+      before2.keySet.intersect(after2.keySet).filter(k => before2(k) != after2(k))
+    // touched comp 4 re-solves to comps {4, 6}: write set ⊆ their buckets
+    assert(changed2.map(bucketOf).subsetOf(touched),
+      s"removal rewrote untouched buckets: ${changed2.map(bucketOf) -- touched}")
+    val got2 = Graph.readCcLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(5L) === 4L && got2(6L) === 6L && got2(7L) === 6L, got2.toString)
+  }
+
   test("wedgeCandidates: a delta edge onto a hub scans the SMALL endpoint's adjacency") {
     val s = spark
     import s.implicits._
