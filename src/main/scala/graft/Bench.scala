@@ -106,7 +106,10 @@ object Bench {
     // round-16: a store build + touched-component re-solve (two star
     // contractions), same family weight as the cc store above
     "graph_cc_removal",
-    "ann_autotune_nprobe")
+    "ann_autotune_nprobe",
+    // round-16: three real index builds + three warm-started searches
+    // over one shared ground truth — the build-knob ladder's honest price
+    "ann_autotune_build")
 
   /** Drop every block the previous query left in the block manager
     * (localCheckpoint/persist intermediates are per-query scratch — nothing

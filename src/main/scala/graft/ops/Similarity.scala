@@ -2609,6 +2609,83 @@ object Similarity {
       nProbeHint)
   }
 
+  /** Close the BUILD-TIME knob the nProbe tuner cannot reach: nCentroids
+    * is fixed at index-build time and folklore-set everywhere, yet it is
+    * the knob that decides what a recall SLO COSTS — coarser quantizers
+    * reach the target with fewer, fatter cells (many candidates scored
+    * per probe), finer ones with more, thinner cells. This runs the
+    * honest closed loop a production IVF deployment runs offline: for
+    * each rung of a small explicit `ladder` of centroid counts, build a
+    * real index under `workDir/nc_<n>`, run the [[autoTuneNProbe]]
+    * search against the SAME shared exact baseline (materialized once —
+    * the expensive part does not scale with the ladder) warm-started
+    * from the previous rung's answer, and record the minimal passing
+    * nProbe and its `candidates_scored`. The CHOSEN rung minimizes
+    * (candidates_scored, nCentroids) — the cheapest probe meeting the
+    * SLO, ties to the coarser build whose centroid scan is smaller.
+    * Every rung is eligible by construction (flat IVF probing all cells
+    * is exhaustive, recall 1000). An explicit ladder, not a search:
+    * probe cost is NOT monotone in nCentroids, so scanning a handful of
+    * real builds is the claim that holds, and the per-rung rows are all
+    * returned so the trade-off table is auditable, never a silent pick.
+    * Returns one row per rung: `(n_centroids, n_probe, recall_milli,
+    * candidates_scored, chosen)`.
+    *
+    * Scale shape: |ladder| index builds (each the [[writeIvfIndex]]
+    * assign + partitioned write — the deliberate, offline price of
+    * tuning a build knob) + ONE exact ground truth + |ladder|
+    * warm-started nProbe searches of 1-row decision reads each.
+    */
+  def autoTuneIvfBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetRecallMilli: Long = 950L,
+      ladder: Seq[Int] = Seq(4, 8, 16),
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(
+      targetRecallMilli >= 1 && targetRecallMilli <= 1000,
+      s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
+    require(
+      ladder.nonEmpty && ladder == ladder.distinct.sorted && ladder.forall(_ >= 1),
+      s"ladder must be distinct ascending positive centroid counts, got $ladder")
+    val corpusN = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint()
+    val q = queries.localCheckpoint()
+    val exact = bruteForceTopK(q, corpusN, k, idCol, vecCol).localCheckpoint()
+    var hint = 0
+    val rungs = ladder.map { nc =>
+      val p = s"$workDir/nc_$nc"
+      writeIvfIndex(corpusN, p, nc, iters, idCol, vecCol)
+      val cents = spark.read.parquet(s"$p/centroids")
+      val cells = spark.read.parquet(s"$p/cells") // fresh build: no tombstones
+      // the tuner's output is a 1-row local relation (the search already
+      // ran), so this read is a bounded decision read
+      val row = nProbeSearch(
+        spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
+        pp => probeIvfIndex(spark, p, q, k, pp, idCol, vecCol),
+        pp => flatProbes(q, cents, pp, idCol, vecCol)
+          .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .count(),
+        hint,
+        Some(exact)).head()
+      hint = row.getAs[Long]("n_probe").toInt // seed the next rung's search
+      (nc.toLong, row.getAs[Long]("n_probe"), row.getAs[Long]("recall_milli"),
+        row.getAs[Long]("candidates_scored"))
+    }
+    val best = rungs.minBy { case (nc, _, _, cand) => (cand, nc) }._1
+    rungs
+      .map { case (nc, np, rec, cand) => (nc, np, rec, cand, nc == best) }
+      .toDF("n_centroids", "n_probe", "recall_milli", "candidates_scored", "chosen")
+  }
+
   /** The shared minimal-nProbe search: exponential ladder + binary search
     * over a monotone recall curve, exact baseline materialized once, one
     * 1-row decision read per rung. `hint` >= 1 WARM-STARTS the search
@@ -2634,9 +2711,13 @@ object Similarity {
       vecCol: String,
       probe: Int => DataFrame,
       candidatesAt: Int => Long,
-      hint: Int = 0): DataFrame = {
+      hint: Int = 0,
+      exactOpt: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val exact = bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint()
+    // the exact baseline depends only on (queries, live corpus, k) — a
+    // caller tuning SEVERAL stores over the same corpus (the build-knob
+    // ladder) materializes it once and shares it across rungs
+    val exact = exactOpt.getOrElse(bruteForceTopK(q, live, k, idCol, vecCol).localCheckpoint())
     val nQueries = exact.select("query_id").distinct().count()
     // memoized: the search re-asks about its final rung (ladder exit /
     // last binary-search hi), and a probe + audit job is the expensive

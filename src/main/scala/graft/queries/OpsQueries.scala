@@ -1140,6 +1140,19 @@ object OpsQueries {
           "store", "n_centroids", "n_probe", "recall_milli",
           "target_milli", "n_queries", "exhaustive", "candidates_scored")
     },
+    // the BUILD-TIME knob closed: three real IVF builds (4/8/16
+    // centroids), each nProbe-tuned to the same 950-milli target against
+    // ONE shared exact baseline (warm-started rung to rung), and the
+    // chosen rung is the cheapest probe meeting the SLO (min
+    // candidates_scored, ties to the coarser build) — the full
+    // trade-off table is returned, and the oracle re-derives every rung
+    // by scanning p in 1..nc over its own Lloyd chain
+    "ann_autotune_build" -> { (s, dir) =>
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 8)
+      val work = s"${sys.props("java.io.tmpdir")}/graft_tune_build_${ProcessHandle.current().pid()}"
+      Similarity.autoTuneIvfBuild(s, work, e, qs, k = 5)
+    },
     // the PQ face of the recall dial: the compressed-domain ADC probe
     // scored against exact brute force over the same corpus — what the
     // 16x memory cut actually costs in recall, per query, hash-checked
@@ -1959,7 +1972,8 @@ object OpsQueries {
     * MINIMAL passing p — equivalent to the operator's ladder + binary
     * search because per-query recall is monotone in nProbe.
     */
-  private def tuneBlockCtes(pfx: String, cells: String, cents: String): String =
+  private def tuneBlockCtes(
+      pfx: String, cells: String, cents: String, maxP: Int = 16): String =
     s"""${pfx}prbs AS (
        |  SELECT q.id AS query_id, q.v AS qv, q.nrm AS qnrm, c.cid,
        |         ROW_NUMBER() OVER (PARTITION BY q.id
@@ -1975,12 +1989,12 @@ object OpsQueries {
        |    SELECT pp.p, c.query_id, c.neighbor_id,
        |           ROW_NUMBER() OVER (PARTITION BY pp.p, c.query_id
        |             ORDER BY c.cos_r DESC, c.neighbor_id) AS rnk
-       |    FROM ${pfx}cand c JOIN range(1, 17) pp(p) ON c.prn <= pp.p)
+       |    FROM ${pfx}cand c JOIN range(1, ${maxP + 1}) pp(p) ON c.prn <= pp.p)
        |  WHERE rnk <= 5),
        |${pfx}rec AS MATERIALIZED (
        |  SELECT pp.p,
        |         CAST((1000 * COUNT(i.neighbor_id)) // COUNT(*) AS BIGINT) AS recall_milli
-       |  FROM bk CROSS JOIN range(1, 17) pp(p)
+       |  FROM bk CROSS JOIN range(1, ${maxP + 1}) pp(p)
        |  LEFT JOIN ${pfx}byp i ON i.p = pp.p AND i.query_id = bk.query_id
        |        AND i.neighbor_id = bk.neighbor_id
        |  GROUP BY 1),
@@ -2023,6 +2037,48 @@ object OpsQueries {
        |${row("fresh", "f")}
        |UNION ALL
        |${row("stale", "s")}""".stripMargin
+  }
+
+  /** One build-ladder rung's CTE chain for ann_autotune_build: Lloyd
+    * k-means seeded from the first `nc` ids (the [[kmeansCellsCtes]]
+    * chain, prefix-scoped), plus the shared tune block scanning every
+    * p in 1..nc.
+    */
+  private def buildRungCtes(nc: Int): String = {
+    val pfx = s"b$nc"
+    s"""${pfx}c0 AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM e WHERE id < $nc),
+       |${kmeansLloydCtesOn(1, "e", pfx)},
+       |${kmeansLloydCtesOn(2, "e", pfx)},
+       |${kmeansLloydCtesOn(3, "e", pfx)},
+       |${kmeansAssignCteOn(s"${pfx}cells", s"${pfx}c3", "e")},
+       |${tuneBlockCtes(pfx, s"${pfx}cells", s"${pfx}c3", maxP = nc)}""".stripMargin
+  }
+
+  private lazy val autoTuneBuildOracleSql: String = {
+    def rung(nc: Int) =
+      s"""SELECT CAST($nc AS BIGINT) AS n_centroids, CAST(t.np AS BIGINT) AS n_probe,
+         |       (SELECT recall_milli FROM b${nc}rec WHERE p = t.np) AS recall_milli,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM b${nc}cand
+         |        WHERE prn <= t.np) AS candidates_scored
+         |FROM b${nc}sel t""".stripMargin
+    s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+       |bscored AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r
+       |  FROM e q JOIN e c ON q.id < 8 AND c.id <> q.id),
+       |bk AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+       |    FROM bscored)
+       |  WHERE rank <= 5),
+       |${buildRungCtes(4)},
+       |${buildRungCtes(8)},
+       |${buildRungCtes(16)},
+       |rungs AS (${rung(4)} UNION ALL ${rung(8)} UNION ALL ${rung(16)})
+       |SELECT n_centroids, n_probe, recall_milli, candidates_scored,
+       |       ROW_NUMBER() OVER (ORDER BY candidates_scored, n_centroids) = 1 AS chosen
+       |FROM rungs""".stripMargin
   }
 
   private lazy val kmeansIvfTopkSql: String =
@@ -3464,6 +3520,7 @@ object OpsQueries {
     // force over the indexed corpus — hits match on neighbor membership,
     // not rank order
     "ann_autotune_nprobe" -> autoTuneOracleSql,
+    "ann_autotune_build" -> autoTuneBuildOracleSql,
     "ann_recall_audit" ->
       s"""WITH $kmeansCellsCtes,
          |probes AS (

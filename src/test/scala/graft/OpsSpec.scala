@@ -295,6 +295,36 @@ class OpsSpec extends SparkSpec {
     assert(trivial.getAs[Long]("n_probe") === 1L, trivial.toString)
   }
 
+  test("autoTuneIvfBuild: every rung meets the target; chosen = cheapest probe, ties coarser") {
+    val work = java.nio.file.Files.createTempDirectory("ivfbuild").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+    val rows = Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("n_centroids"), r.getAs[Long]("n_probe"),
+        r.getAs[Long]("recall_milli"), r.getAs[Long]("candidates_scored"),
+        r.getAs[Boolean]("chosen")))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L), rows.mkString(","))
+    // flat IVF always reaches the target (probing all cells is exact)
+    rows.foreach { case (nc, np, rec, cand, _) =>
+      assert(rec >= 950L, s"rung $nc missed: $rec")
+      assert(np >= 1L && np <= nc, s"rung $nc tuned np=$np")
+      assert(cand > 0L, s"rung $nc scored nothing")
+    }
+    // the chosen rung is the (candidates, nc)-minimum, and unique
+    val want = rows.minBy { case (nc, _, _, cand, _) => (cand, nc) }._1
+    assert(rows.filter(_._5).map(_._1).toSeq == Seq(want), rows.mkString(","))
+    // each rung's tuned nProbe agrees with tuning that store directly
+    // (the per-store search is the oracle-pinned kernel)
+    val direct = Similarity.autoTuneNProbe(spark, s"$work/nc_8", q, k = 5).head()
+    assert(direct.getAs[Long]("n_probe") === rows(1)._2, direct.toString)
+    assert(direct.getAs[Long]("candidates_scored") === rows(1)._4)
+    // ladder validation fails fast
+    intercept[IllegalArgumentException](
+      Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5, ladder = Seq(8, 4)))
+  }
+
   test("autoTuneNProbeIvfPq: minimal composed nProbe against the corpus-backed recall audit") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpqtune").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
