@@ -1061,6 +1061,32 @@ object Similarity {
       ivfCentroids(corpus, nCentroids, iters, idCol, vecCol),
       corpus, path, "kmeans", nCentroids, iters, idCol, vecCol)
 
+  /** [[writeIvfIndex]] with the TRAIN/ADD split every corpus-scale IVF
+    * deployment runs (FAISS's `train` vs `add`): the coarse quantizer
+    * trains on `trainSet` — a bounded sample, yesterday's corpus, or a
+    * domain snapshot — and the CELLS hold `corpus` assigned against
+    * those frozen centroids. At 100 TB you cannot Lloyd over the full
+    * corpus (each iteration is a corpus-wide aggregate with a
+    * driver-side centroid collect); you train on a sample and bulk-load
+    * the rest, exactly this face. Identical layout and probe semantics
+    * to [[writeIvfIndex]]; equivalent to build-on-train + append-corpus
+    * + tombstone-train + compact, minus the wasted writes (the spec pins
+    * the equivalence). A `trainSet` that no longer matches the corpus
+    * distribution shows up in [[indexDriftReport]] and costs probes in
+    * [[autoTuneNProbe]] — the stale-quantizer audit pair.
+    */
+  def writeIvfIndexTrained(
+      corpus: DataFrame,
+      trainSet: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    writeIvfWith(
+      ivfCentroids(trainSet, nCentroids, iters, idCol, vecCol),
+      corpus, path, "kmeans", nCentroids, iters, idCol, vecCol)
+
   /** Shared IVF index writer: `centroids` (tiny, one file), `cells`
     * (partitioned by centroid_id — the physical layout dynamic partition
     * pruning needs at probe time), and a one-row `params` parquet (kind,
@@ -2519,12 +2545,18 @@ object Similarity {
     * paid. `nProbeHint` >= 1 warm-starts the search (seed a drifted
     * store's tuner from its fresh sibling's `n_probe` — a perfect hint
     * closes in two rungs instead of re-climbing the ladder).
+    * `exactTopK` shares a caller-materialized [[bruteForceTopK]] ground
+    * truth across SEVERAL tuner calls — valid only when the stores'
+    * LIVE sets match this store's (the fresh-vs-stale audit and the
+    * [[autoTuneIvfBuild]] ladder both tune over one corpus, so the
+    * expensive scan needn't repeat per store); omit it and the tuner
+    * derives its own.
     *
     * Scale shape: the exact baseline (one |sample|×|live| scan — the
     * ground-truth price, bounded by a small deterministic sample) is
-    * materialized ONCE; the search then costs O(log nCentroids)
-    * partition-pruned probes, each folded to a 1-row decision read,
-    * plus one candidate count at the winning rung.
+    * materialized ONCE per corpus; the search then costs
+    * O(log nCentroids) partition-pruned probes, each folded to a 1-row
+    * decision read, plus one candidate count at the winning rung.
     */
   def autoTuneNProbe(
       spark: org.apache.spark.sql.SparkSession,
@@ -2533,6 +2565,7 @@ object Similarity {
       k: Int,
       targetRecallMilli: Long = 950L,
       nProbeHint: Int = 0,
+      exactTopK: Option[DataFrame] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
@@ -2553,7 +2586,8 @@ object Similarity {
         .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .count(),
-      nProbeHint)
+      nProbeHint,
+      exactTopK)
   }
 
   /** [[autoTuneNProbe]] for the COMPOSED IVF-PQ store — the same SLO-driven

@@ -1125,16 +1125,23 @@ object OpsQueries {
       val rot = e.select(
         (col("vec_id") + 1000000L).as("vec_id"),
         expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))").as("embedding"))
-      Similarity.writeIvfIndex(rot, stale)
-      Similarity.appendIvfIndex(e, stale)
-      Similarity.deleteFromIndex(rot.select("vec_id"), stale)
-      val freshRow = Similarity.autoTuneNProbe(s, fresh, qs, k = 5)
+      // the stale store via the train/add split: quantizer trained on
+      // the rotated vectors, cells holding the REAL corpus — the same
+      // final state the old build+append+tombstone construction reached,
+      // minus the wasted writes (that lifecycle is pinned by the
+      // similarity_topk_ivf_* rows and the writeIvfIndexTrained spec)
+      Similarity.writeIvfIndexTrained(e, rot, stale)
+      // both stores' LIVE set is exactly e, so the exact ground truth is
+      // shared — one |sample|×|corpus| scan, not one per store
+      val exact = Similarity.bruteForceTopK(qs, e, k = 5).localCheckpoint()
+      val freshRow = Similarity.autoTuneNProbe(s, fresh, qs, k = 5, exactTopK = Some(exact))
       // the tuner's output is a 1-row LOCAL relation (the search already
       // ran), so this hint read costs no job — bounded by contract
       val hint = freshRow.select("n_probe").head().getLong(0).toInt
       freshRow.withColumn("store", lit("fresh"))
         .unionAll(
-          Similarity.autoTuneNProbe(s, stale, qs, k = 5, nProbeHint = hint)
+          Similarity.autoTuneNProbe(s, stale, qs, k = 5, nProbeHint = hint,
+            exactTopK = Some(exact))
             .withColumn("store", lit("stale")))
         .select(
           "store", "n_centroids", "n_probe", "recall_milli",

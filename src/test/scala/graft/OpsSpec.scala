@@ -295,6 +295,24 @@ class OpsSpec extends SparkSpec {
     assert(trivial.getAs[Long]("n_probe") === 1L, trivial.toString)
   }
 
+  test("writeIvfIndexTrained: the train/add split equals build + append + tombstone") {
+    val a = java.nio.file.Files.createTempDirectory("ivftrainA").toString
+    val b = java.nio.file.Files.createTempDirectory("ivftrainB").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rot = e.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      expr("concat(slice(embedding, 2, 63), slice(embedding, 1, 1))").as("embedding"))
+    Similarity.writeIvfIndexTrained(e, rot, a)
+    Similarity.writeIvfIndex(rot, b)
+    Similarity.appendIvfIndex(e, b)
+    Similarity.deleteFromIndex(rot.select("vec_id"), b)
+    val q = e.filter(col("vec_id") < 8)
+    def probe(dir: String) = Similarity.probeIvfIndex(spark, dir, q, k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probe(a) === probe(b), "train/add must reach the lifecycle construction's state")
+  }
+
   test("autoTuneIvfBuild: every rung meets the target; chosen = cheapest probe, ties coarser") {
     val work = java.nio.file.Files.createTempDirectory("ivfbuild").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
