@@ -839,7 +839,9 @@ object Graph {
     und.write.mode("overwrite").parquet(s"$path/edges")
     Similarity.rewriteDir(
       spark,
-      edgeSupport(und).withColumn("bucket", supportBucket(col("u"), col("v"))),
+      edgeSupport(und)
+        .withColumn("bucket", supportBucket(col("u"), col("v")))
+        .repartition(col("bucket")), // one file per bucket, not per task x bucket
       s"$path/support",
       Seq("bucket"))
     Similarity.clearInflight(spark, path)
@@ -942,7 +944,8 @@ object Graph {
         spark,
         edgeSupport(und)
           .withColumn("as_of_batch", lit(batchId))
-          .withColumn("bucket", supportBucket(col("u"), col("v"))),
+          .withColumn("bucket", supportBucket(col("u"), col("v")))
+          .repartition(col("bucket")), // one file per bucket, not per task x bucket
         s"$path/support",
         Seq("bucket"))
       Similarity.clearInflight(spark, path)
@@ -1107,7 +1110,9 @@ object Graph {
     Similarity.deleteDir(spark, s"$path/staged.compacting")
     Similarity.rewriteDir(
       spark,
-      labels.withColumn("bucket", labelBucket(col("comp"))),
+      labels
+        .withColumn("bucket", labelBucket(col("comp")))
+        .repartition(col("bucket")), // one file per bucket, not per task x bucket
       s"$path/cclabels",
       Seq("bucket"))
     Similarity.clearInflight(spark, path)
@@ -1383,7 +1388,13 @@ object Graph {
     val tmp = s"$path/staged.compacting"
     Similarity.deleteDir(spark, tmp)
     edgesDelta.foreach(_.write.mode("overwrite").parquet(s"$tmp/edges_delta"))
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$bucketSub")
+    bucketed
+      // one shuffle on the partition column so each bucket lands as ONE
+      // file — a plain partitionBy write emits a file per (task, bucket)
+      // pair, and 32 tasks x 64 buckets of tiny files taxes every later
+      // pruned read (measured 2-3x on the store rows at sf0.1)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$bucketSub")
     touched.foreach { b =>
       val d = new org.apache.hadoop.fs.Path(s"$tmp/$bucketSub/bucket=$b")
       if (!fs.exists(d)) fs.mkdirs(d) // emptied bucket: swap an empty dir in
