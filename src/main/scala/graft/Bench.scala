@@ -104,8 +104,10 @@ object Bench {
     "graph_tricount_served",
     "graph_cc_incremental",
     // round-16: a store build + touched-component re-solve (two star
-    // contractions), same family weight as the cc store above
+    // contractions), same family weight as the cc store above; the
+    // streamed face runs three claim/append generations
     "graph_cc_removal",
+    "graph_cc_streamed",
     "ann_autotune_nprobe",
     // round-16: three real index builds + three warm-started searches
     // over one shared ground truth — the build-knob ladder's honest price

@@ -1106,6 +1106,10 @@ object Graph {
     val labels = Dedup.clusterPairs(und, "u", "v")
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
     Similarity.markInflight(spark, path, "writeCcStore")
+    // a full write really replaces EVERYTHING, the stream pin included
+    // (the writeEdgeStore contract): a later ingest batch re-claims the
+    // root instead of appending to a replaced base
+    Similarity.deleteDir(spark, s"$path/params")
     Similarity.deleteDir(spark, s"$path/staged")
     Similarity.deleteDir(spark, s"$path/staged.compacting")
     Similarity.rewriteDir(
@@ -1264,6 +1268,48 @@ object Graph {
       .unionAll(isolated.select("node", "comp"))
     stageAndApply(spark, path, "removeFromCcStore", "", replaceTarget = false,
       None, content.withColumn("bucket", labelBucket(col("comp"))), touched, "cclabels")
+  }
+
+  /** One micro-batch of STREAMING label-store maintenance (the
+    * foreachBatch body a growing interaction graph runs beside
+    * [[ingestEdgeBatch]]): batch 0 — or a store with no params pin,
+    * including a batch-built one being re-pointed — CLAIMS the root
+    * (stale state dies first, the [[graft.ops.StoreLifecycle]] rule; an
+    * empty batch 0 still wipes); every later batch folds through
+    * [[appendCcStore]]. EXACTLY-ONCE here needs NO `as_of_batch` stamp,
+    * unlike the edge store's support counts: min-label merging is
+    * MONOTONE and IDEMPOTENT — re-delivering an already-merged batch
+    * finds every edge's endpoints sharing a label (empty remap, no new
+    * nodes) and leaves the store untouched byte-for-byte, and a crash
+    * mid-apply rolls forward via [[repairCcStore]]'s staged protocol
+    * before the retry re-merges — where a re-credited support count
+    * would double. The asymmetry is the design note: streams
+    * maintaining COUNTS must derive retry state (a stamp); streams
+    * maintaining a MONOTONE JOIN-SEMILATTICE (min labels) get
+    * exactly-once from idempotence alone. Layout is identical to the
+    * batch store (bucketed labels, no per-batch generations), so the
+    * batch mutators keep working on a stream-pointed store — the
+    * single-writer discipline is the caller's, as everywhere.
+    */
+  def ingestCcBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
+      // batch 0 must still retire a previous run's store
+      Seq("cclabels", "staged", "staged.compacting", "cclabels.compacting", "params")
+        .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
+      Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
+      if (undirectedEdges(batch).isEmpty) return
+      // the pin lands AFTER the write (which deletes params by the
+      // full-write contract): a crash between the two leaves a pinless
+      // batch store the retry re-claims — never a pinned empty root
+      writeCcStore(batch, path)
+      Seq("cclabels-stream").toDF("kind")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      return
+    }
+    appendCcStore(batch, path) // self-repairing + idempotent (doc above)
   }
 
   /** The label store's read face, refusing a mid-crash store. Matches

@@ -644,6 +644,25 @@ object GenQueries {
         idx)
       graft.ops.Graph.readCcLabels(s, idx)
     },
+    // the STREAMED label store: three ingest generations (decade chains,
+    // then the %30 bridges with a deliberate duplicate resend, then the
+    // %10<=1 chords) — exactly-once WITHOUT a stamp, because min-label
+    // merging is monotone and idempotent; readback must hash-equal the
+    // closure over the union
+    "graph_cc_streamed" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccstream_${ProcessHandle.current().pid()}"
+      val b1 = k.filter(col("n") % 30 === 8).select(col("n").as("src"), (col("n") + 2).as("dst"))
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx, 0L)
+      graft.ops.Graph.ingestCcBatch(b1, idx, 1L)
+      graft.ops.Graph.ingestCcBatch(b1, idx, 1L) // checkpoint retry: must merge nothing
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 1).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx, 2L)
+      graft.ops.Graph.readCcLabels(s, idx)
+    },
     // the CC store's REMOVAL path: decade chains with cycle chords at
     // n%10<=1; removing the n%10==4 chain edge genuinely SPLITS its
     // decade while the n%10==0 one is cycle-protected, plus an edge the
@@ -1499,6 +1518,22 @@ object GenQueries {
       """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
         |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
         |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e00 WHERE src <> dst),
+        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // min-label closure over the union of the three ingest generations
+    // (the duplicate resend lands nothing)
+    "graph_cc_streamed" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 10 <= 1),
         |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         |       FROM e00 WHERE src <> dst),
         |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),

@@ -679,6 +679,59 @@ class GraphSpec extends SparkSpec {
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
   }
 
+  test("cc store streaming ingest: idempotent resends, crash retry, re-point, pin retirement") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccingest").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def batchCc(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.Dedup.clusterPairs(
+        edges.selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val b1 = Seq((3L, 10L), (20L, 21L)).toDF("src", "dst") // merge + fresh pair
+    Graph.ingestCcBatch(b0, dir, 0L)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(b0))
+    Graph.ingestCcBatch(b1, dir, 1L)
+    val all1 = b0.unionAll(b1)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all1))
+    // a checkpoint-retried batch merges NOTHING and touches no bytes —
+    // exactly-once from idempotence alone (no stamp): file census
+    def census(): Set[(String, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/cclabels"), true)
+      val b = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_"))
+          b += ((f.getPath.toString, f.getModificationTime))
+      }
+      b.result()
+    }
+    val before = census()
+    Graph.ingestCcBatch(b1, dir, 1L)
+    assert(census() === before, "a duplicate resend must leave the store byte-untouched")
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all1))
+    // crash mid-apply window (marker + labels renamed to .compacting):
+    // the retried batch repairs, then re-merges idempotently
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/cclabels"),
+      new org.apache.hadoop.fs.Path(s"$dir/cclabels.compacting")))
+    Seq("appendCcStore").toDF("op").write.parquet(s"$dir/inflight")
+    Graph.ingestCcBatch(b1, dir, 1L)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(all1))
+    // a full batch write RETIRES the stream pin: the next ingest batch
+    // re-claims the root instead of appending to the replaced base
+    Graph.writeCcStore(b0, dir)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(b0))
+    Graph.ingestCcBatch(b1, dir, 7L) // no pin -> claim, not append
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(b1))
+    // re-pointing: a fresh stream's batch 0 replaces the whole store
+    Graph.ingestCcBatch(b0, dir, 0L)
+    assert(labelMap(Graph.readCcLabels(spark, dir)) === batchCc(b0))
+  }
+
   test("cc label store: a merge batch rewrites ONLY the buckets of remapped components") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("ccbuckets").toString
