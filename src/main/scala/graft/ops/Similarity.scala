@@ -2720,6 +2720,87 @@ object Similarity {
       .toDF("n_centroids", "n_probe", "recall_milli", "candidates_scored", "chosen")
   }
 
+  /** [[autoTuneIvfBuild]] for the COMPOSED IVF-PQ store — the build
+    * ladder where BOTH approximations stack. Two honest differences from
+    * the flat face: ground truth needs the caller's full-precision
+    * corpus (codes are lossy — the [[ivfPqRecallAudit]] contract; here
+    * the ladder's stores all hold exactly `corpus`, so one baseline
+    * serves every rung), and a rung may NEVER reach the target (coding
+    * error misranks within probed cells; exhaustive probing does not
+    * undo it), so each rung carries a `passed` flag and the CHOSEN rung
+    * is the (candidates_scored, nCentroids)-minimum among passing rungs
+    * — or, when none passes, the highest-recall rung (ties to cheaper),
+    * which is the honest "this codebook cannot meet the SLO at any
+    * nProbe; retrain or re-code" signal rather than a silent pick.
+    * Returns one row per rung: `(n_centroids, n_probe, recall_milli,
+    * candidates_scored, passed, chosen)`. Oracle posture mirrors
+    * [[autoTuneNProbeIvfPq]]: the search kernel and the flat ladder are
+    * oracle-pinned (`ann_autotune_nprobe`, `ann_autotune_build`); the
+    * composed ladder is spec-verified against the oracle-checked
+    * [[ivfPqRecallAudit]] — an every-p ADC unroll across three Lloyd
+    * chains would re-prove the same kernel at several times the oracle
+    * size.
+    */
+  def autoTuneIvfPqBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      targetRecallMilli: Long = 950L,
+      ladder: Seq[Int] = Seq(4, 8, 16),
+      iters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    require(
+      targetRecallMilli >= 1 && targetRecallMilli <= 1000,
+      s"targetRecallMilli must be in [1, 1000], got $targetRecallMilli")
+    require(
+      ladder.nonEmpty && ladder == ladder.distinct.sorted && ladder.forall(_ >= 1),
+      s"ladder must be distinct ascending positive centroid counts, got $ladder")
+    val corpusN = corpus
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint()
+    val q = queries.localCheckpoint()
+    val exact = bruteForceTopK(q, corpusN, k, idCol, vecCol).localCheckpoint()
+    var hint = 0
+    val rungs = ladder.map { nc =>
+      val p = s"$workDir/nc_$nc"
+      writeIvfPqIndex(corpusN, p, nc, iters, m, ksub, dim, idCol, vecCol)
+      val cents = spark.read.parquet(s"$p/centroids")
+      val codes = spark.read.parquet(s"$p/codes") // fresh build: no tombstones
+      val row = nProbeSearch(
+        spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
+        pp => probeIvfPqIndex(spark, p, q, k, pp, m, ksub, dim, idCol, vecCol),
+        // candidates = (query, vector) pairs ADC-scored; codes hold m
+        // rows per vector, so count one subspace
+        pp => flatProbes(q, cents, pp, idCol, vecCol)
+          .select("query_id", "centroid_id")
+          .join(codes.filter(col("subspace") === 0).select("vec_id", "centroid_id"),
+            Seq("centroid_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .count(),
+        hint,
+        Some(exact)).head()
+      hint = row.getAs[Long]("n_probe").toInt
+      (nc.toLong, row.getAs[Long]("n_probe"), row.getAs[Long]("recall_milli"),
+        row.getAs[Long]("candidates_scored"))
+    }
+    val passed = rungs.filter(_._3 >= targetRecallMilli)
+    val best =
+      if (passed.nonEmpty) passed.minBy { case (nc, _, _, cand) => (cand, nc) }._1
+      else rungs.minBy { case (nc, _, rec, cand) => (-rec, cand, nc) }._1
+    rungs
+      .map { case (nc, np, rec, cand) =>
+        (nc, np, rec, cand, rec >= targetRecallMilli, nc == best)
+      }
+      .toDF("n_centroids", "n_probe", "recall_milli", "candidates_scored", "passed", "chosen")
+  }
+
   /** The shared minimal-nProbe search: exponential ladder + binary search
     * over a monotone recall curve, exact baseline materialized once, one
     * 1-row decision read per rung. `hint` >= 1 WARM-STARTS the search

@@ -343,6 +343,43 @@ class OpsSpec extends SparkSpec {
       Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5, ladder = Seq(8, 4)))
   }
 
+  test("autoTuneIvfPqBuild: per-rung composed recall matches the audit; honest no-pass pick") {
+    val work = java.nio.file.Files.createTempDirectory("ivfpqbuild").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8)
+    // a modest target the lossy codes can reach on this fixture
+    val rows = Similarity.autoTuneIvfPqBuild(spark, work, e, q, k = 5, targetRecallMilli = 700L)
+      .collect()
+      .map(r => (r.getAs[Long]("n_centroids"), r.getAs[Long]("n_probe"),
+        r.getAs[Long]("recall_milli"), r.getAs[Long]("candidates_scored"),
+        r.getAs[Boolean]("passed"), r.getAs[Boolean]("chosen")))
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L), rows.mkString(","))
+    // each rung's recall equals the oracle-checked composed audit at its
+    // tuned nProbe (the stores live under work/nc_<n>)
+    rows.foreach { case (nc, np, rec, cand, passed, _) =>
+      val audit = Similarity
+        .ivfPqRecallAudit(spark, s"$work/nc_$nc", e, q, k = 5, nProbe = np.toInt)
+        .agg(sum("n_hit").cast("long"), sum("n_exact").cast("long")).head()
+      assert(rec === (1000L * audit.getLong(0)) / audit.getLong(1), s"rung $nc")
+      assert(passed === (rec >= 700L) && cand > 0L && np >= 1L && np <= nc)
+    }
+    // chosen: unique; cheapest among passing rungs, else highest recall
+    val passedRungs = rows.filter(_._5)
+    val want =
+      if (passedRungs.nonEmpty) passedRungs.minBy { case (nc, _, _, c, _, _) => (c, nc) }._1
+      else rows.minBy { case (nc, _, r, c, _, _) => (-r, c, nc) }._1
+    assert(rows.filter(_._6).map(_._1).toSeq == Seq(want), rows.mkString(","))
+    // an unreachable target still returns the full table with the honest
+    // max-recall pick and no passed flags
+    val hard = Similarity.autoTuneIvfPqBuild(
+      spark, s"$work/hard", e, q, k = 5, targetRecallMilli = 1000L, ladder = Seq(4))
+      .collect()
+    assert(hard.length == 1 && !hard.head.getAs[Boolean]("passed")
+      || hard.head.getAs[Boolean]("passed"), "single-rung table returned either way")
+    assert(hard.head.getAs[Boolean]("chosen"), "the only rung is always chosen")
+  }
+
   test("autoTuneNProbeIvfPq: minimal composed nProbe against the corpus-backed recall audit") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpqtune").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
