@@ -350,4 +350,28 @@ class PlanShapeSpec extends SparkSpec {
       "the debiased ANN face must never fall back to all-pairs:\n" + p.take(1500))
     assert(p.contains("WindowGroupLimit"), "per-query top-k must prune map-side")
   }
+
+  test("bucketed stores: a bucket-filtered read PRUNES partitions at the scan") {
+    val s = spark
+    import s.implicits._
+    // the exact read shape the edge-store mutators and CC mutators use:
+    // a filter on the bucket PARTITION column must land in the scan's
+    // PartitionFilters (directory pruning), never as a post-scan Filter
+    // over all buckets — the claim SCALE.md makes for the O(delta)
+    // write-set computation
+    val dir = java.nio.file.Files.createTempDirectory("bucketprune").toString
+    graft.ops.Graph.writeEdgeStore(
+      (1L to 300L).map(i => (i, i + 1)).toDF("src", "dst"), dir)
+    val pruned = spark.read.parquet(s"$dir/support")
+      .filter(col("bucket").isin(3, 7))
+      .select("u", "v", "support")
+    pruned.count()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("bucket"), p.take(1500))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned <= 2, s"bucket filter must prune to <= 2 directories, scanned $scanned")
+  }
 }
