@@ -777,6 +777,90 @@ object Graph {
       .select(col("node"), col("rank").cast("long").as("rank"), col("rec"), col("cn"))
   }
 
+  /** Multi-source BFS over the undirected simple graph: one row
+    * `(node, src, dist)` per (reached node, source) pair — the distance
+    * primitive the family lacked (reach counted hops ≤ 2 only).
+    * `sources` is caller-chosen (landmarks, seed users, known-bad
+    * accounts), restricted to nodes actually in the graph; distances are
+    * exact hop counts, so every value is integer and oracle-mirrorable.
+    * Fails fast if the frontier has not emptied within `maxRounds` (the
+    * [[kCore]] contract) — rounds needed = the largest source
+    * eccentricity, bounded by the component diameter.
+    *
+    * Scale shape — textbook frontier BFS on joins: per round ONE
+    * frontier⋈adjacency equi-join (frontier shrinks as the wave passes),
+    * a per-(node, src) min to dedup multi-parent arrivals map-side, and
+    * one anti-join against the known set; every round's state is
+    * localCheckpointed (the [[pageRankMilli]] iterative discipline).
+    * Total state is |reachable pairs| ≤ |V|·|sources| — the caller
+    * bounds |sources| (landmark selection), never the engine. A hub's
+    * million-edge frontier expansion pre-reduces in the partial min.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxRounds: Int = 16): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64, s"maxRounds must be in [1, 64], got $maxRounds")
+    val und = undirectedEdges(edges).localCheckpoint()
+    val adj = und
+      .select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    val nodes = adj.select("node").distinct()
+    val seed = sources
+      .select(col(sources.columns.head).cast("long").as("node"))
+      .distinct()
+      .join(nodes, Seq("node"), "left_semi") // a source outside the graph reaches nothing
+      .select(col("node"), col("node").as("src"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var dist = seed
+    var frontier = seed
+    var rounds = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      rounds += 1
+      require(
+        rounds <= maxRounds,
+        s"bfsDistances did not converge within maxRounds=$maxRounds (frontier still live) — " +
+          "raise maxRounds toward the component diameter")
+      val next = frontier
+        .join(adj, Seq("node"))
+        .select(col("nbr").as("node"), col("src"), (col("dist") + 1).as("dist"))
+        .groupBy("node", "src")
+        .agg(min("dist").as("dist"))
+        .join(dist.select("node", "src"), Seq("node", "src"), "left_anti")
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionAll(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** Landmark closeness from [[bfsDistances]]: per node, how many of the
+    * caller's landmark sources it reaches (`n_reached`, including itself
+    * when it IS one), the hop sum (`d_sum`), and the integer closeness
+    * proxy `closeness_ppm = 1e6·n_reached div d_sum` (null when d_sum is
+    * 0 — a landmark reaching no OTHER landmark has no defined rate, and
+    * null beats a fake 0, the [[clusteringCoeff]] rule). On an
+    * undirected graph d(v, landmark) = d(landmark, v), so the landmark
+    * wave computes every node's value in |landmarks| BFS waves — the
+    * standard bounded stand-in for exact closeness centrality, whose
+    * all-pairs truth is quadratic and does not survive 100x.
+    */
+  def landmarkCloseness(
+      edges: DataFrame, sources: DataFrame, maxRounds: Int = 16): DataFrame =
+    bfsDistances(edges, sources, maxRounds)
+      .groupBy("node")
+      .agg(
+        count(lit(1)).cast("long").as("n_reached"),
+        sum("dist").as("d_sum"))
+      .select(
+        col("node"),
+        col("n_reached"),
+        col("d_sum"),
+        when(col("d_sum") > 0L, expr("(1000000 * n_reached) div d_sum"))
+          .as("closeness_ppm"))
+
   // ---- persisted incremental edge store (append / tombstone / compact) ----
 
   /** [[edgeSupport]] as a public batch face: per-edge triangle support

@@ -728,6 +728,24 @@ object GenQueries {
       graft.ops.Graph.ingestEdgeBatch(c2.filter(col("src") % 2 =!= 0), idx, 2L)
       graft.ops.Graph.readEdgeSupport(s, idx)
     },
+    // multi-source BFS over the decade chains (component diameter <= 8,
+    // so the wave converges in <= 16 rounds): landmarks at n%50 in {0,3}
+    // give most touched components TWO sources — every (node, source)
+    // hop distance must hash-equal the oracle's capped recursive walk
+    "graph_bfs_distances" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val lm = k.filter(col("n") % 50 === 0 || col("n") % 50 === 3).select(col("n").as("node"))
+      graft.ops.Graph.bfsDistances(e, lm)
+    },
+    // landmark closeness over the same waves: reached-count, hop sum, and
+    // the integer ppm rate (null when a landmark reaches no other)
+    "graph_closeness" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val e = k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val lm = k.filter(col("n") % 50 === 0 || col("n") % 50 === 3).select(col("n").as("node"))
+      graft.ops.Graph.landmarkCloseness(e, lm)
+    },
     // friend-of-friend link prediction over the same chord graph: top-3
     // non-adjacent nodes per node by common-neighbor count (n+-3 shares
     // two middles, n+-4 one), hub middles capped — all integer, so the
@@ -770,6 +788,26 @@ object GenQueries {
        |         UNION ALL SELECT w1, w2 FROM t1) GROUP BY 1, 2)
        |SELECT e.u, e.v, CAST(COALESCE(cr.support, 0) AS BIGINT) AS support
        |FROM e0 e LEFT JOIN cr ON cr.u = e.u AND cr.v = e.v""".stripMargin
+
+  /** Shared walk CTEs for the BFS family: decade-chain edges, both-way
+    * adjacency, landmarks at n%50 in {0,3} restricted to graph nodes,
+    * and the depth-capped recursive wave (the cap never binds — the
+    * fixture's components have diameter <= 8 — it just bounds the
+    * recursion the way the operator's maxRounds does).
+    */
+  private def bfsOracle(finalSelect: String): String =
+    s"""WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+       |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7),
+       |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM e00 WHERE src <> dst),
+       |adj AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+       |srcs AS (SELECT DISTINCT n AS s FROM kys
+       |         WHERE (n % 50 = 0 OR n % 50 = 3) AND n IN (SELECT a FROM adj)),
+       |walk(node, src, d) AS (
+       |  SELECT s, s, 0 FROM srcs
+       |  UNION
+       |  SELECT a.b, w.src, w.d + 1 FROM walk w JOIN adj a ON a.a = w.node WHERE w.d < 16)
+       |$finalSelect""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "audit_profile" -> {
@@ -1527,6 +1565,20 @@ object GenQueries {
         |  UNION
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // capped recursive walk from the landmark set; UNION dedups exact
+    // (node, src, d) triples so rows stay bounded by |V|x|srcs|x cap,
+    // MIN collapses multi-path arrivals to the hop distance
+    "graph_bfs_distances" -> bfsOracle(
+      "SELECT node, src, CAST(MIN(d) AS BIGINT) AS dist FROM walk GROUP BY 1, 2"),
+    // the per-node fold of the same walk: trunc-div ppm, null when no
+    // other landmark is reachable (d_sum 0)
+    "graph_closeness" -> bfsOracle(
+      """SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+        |       CAST(SUM(md) AS BIGINT) AS d_sum,
+        |       CASE WHEN SUM(md) > 0
+        |            THEN CAST((1000000 * COUNT(*)) // SUM(md) AS BIGINT) END AS closeness_ppm
+        |FROM (SELECT node, src, MIN(d) AS md FROM walk GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin),
     // min-label closure over the union of the three ingest generations
     // (the duplicate resend lands nothing)
     "graph_cc_streamed" ->

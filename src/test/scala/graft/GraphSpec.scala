@@ -679,6 +679,44 @@ class GraphSpec extends SparkSpec {
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
   }
 
+  test("bfsDistances/landmarkCloseness: hand path graph, unreached comps, source outside graph") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 plus isolated pair 10-11; sources {1, 4, 99}
+    // (99 is not a graph node: contributes nothing, not a phantom row)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)).toDF("src", "dst")
+    val lm = Seq(1L, 4L, 99L).toDF("node")
+    val d = Graph.bfsDistances(e, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(d((1L, 1L)) === 0L && d((1L, 4L)) === 3L)
+    assert(d((3L, 1L)) === 2L && d((3L, 4L)) === 1L)
+    assert(d((5L, 1L)) === 4L && d((5L, 4L)) === 1L)
+    assert(!d.keySet.exists(_._2 == 99L), "a source outside the graph reaches nothing")
+    assert(!d.keySet.exists(_._1 == 10L), "the isolated pair is honestly unreached")
+    assert(d.size === 10L, d.toString)
+    // closeness: node 3 reaches both at 2+1 -> ppm = 2e6 div 3 = 666666;
+    // node 1 reaches itself (0) and 4 (3) -> 2e6 div 3 as well; node 5:
+    // 2 reached, d_sum 5 -> 400000
+    val c = Graph.landmarkCloseness(e, lm)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(c(3L) === ((2L, 3L, Some(666666L))), c.toString)
+    assert(c(5L) === ((2L, 5L, Some(400000L))))
+    assert(c(1L) === ((2L, 3L, Some(666666L))))
+    // a lone landmark in its own component: d_sum 0 -> null, never 0
+    val lone = Graph.landmarkCloseness(e, Seq(10L).toDF("node"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(lone(10L).isEmpty, lone.toString)
+    assert(lone(11L) === Some(1000000L), "11 reaches the one landmark at d=1")
+    // fail-fast: a 20-chain from one end needs 19 rounds; 4 are not enough
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](
+      Graph.bfsDistances(chain, Seq(1L).toDF("node"), maxRounds = 4).count())
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
   test("cc store streaming ingest: idempotent resends, crash retry, re-point, pin retirement") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("ccingest").toString
