@@ -815,11 +815,6 @@ object Graph {
     var rounds = 0
     var done = frontier.isEmpty
     while (!done) {
-      rounds += 1
-      require(
-        rounds <= maxRounds,
-        s"bfsDistances did not converge within maxRounds=$maxRounds (frontier still live) — " +
-          "raise maxRounds toward the component diameter")
       val next = frontier
         .join(adj, Seq("node"))
         .select(col("nbr").as("node"), col("src"), (col("dist") + 1).as("dist"))
@@ -829,6 +824,14 @@ object Graph {
         .localCheckpoint()
       if (next.isEmpty) done = true
       else {
+        // count only EXPANDING rounds, so maxRounds = the largest source
+        // eccentricity suffices exactly (the trailing empty-frontier
+        // check is free of the budget)
+        rounds += 1
+        require(
+          rounds <= maxRounds,
+          s"bfsDistances did not converge within maxRounds=$maxRounds (frontier still " +
+            "live) — raise maxRounds toward the component diameter")
         dist = dist.unionAll(next).localCheckpoint()
         frontier = next
       }
@@ -1229,6 +1232,7 @@ object Graph {
     val delta = undirectedEdges(batch).localCheckpoint()
     if (delta.isEmpty) return // nothing to merge: store untouched
     val labels = spark.read.parquet(s"$path/cclabels")
+    requireBucketedStore(labels, path, "cclabels", "writeCcStore")
     val labeled = delta
       .join(labels.select(col("node").as("u"), col("comp").as("cu")), Seq("u"), "left")
       .join(labels.select(col("node").as("v"), col("comp").as("cv")), Seq("v"), "left")
@@ -1263,7 +1267,7 @@ object Graph {
         .unionAll(newNodes.select(col("comp"))))
     if (touched.isEmpty) return // batch repeated known in-component edges
     val content = labels
-      .filter(labelBucket(col("comp")).isin(touched: _*)) // partition-pruned
+      .filter(col("bucket").isin(touched: _*)) // prunes on the PARTITION column
       .join(remap, Seq("comp"), "left")
       .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
       .unionAll(newNodes)
@@ -1306,6 +1310,7 @@ object Graph {
     val rem = undirectedEdges(removed).localCheckpoint()
     if (rem.isEmpty) return // nothing removed: store untouched
     val labels = spark.read.parquet(s"$path/cclabels")
+    requireBucketedStore(labels, path, "cclabels", "writeCcStore")
     // node-grain lookup: one full label scan (the bucket layout is
     // comp-keyed, so node membership cannot prune) — read-only; every
     // WRITE below is bucket-bounded
@@ -1320,13 +1325,24 @@ object Graph {
     if (touchedComps.isEmpty) return // no removed endpoint was ever labeled
     val tcBuckets = touchedLabelBuckets(spark, touchedComps)
     val touchedNodes = labels
-      .filter(labelBucket(col("comp")).isin(tcBuckets: _*)) // partition-pruned
+      .filter(col("bucket").isin(tcBuckets: _*)) // prunes on the PARTITION column
       .join(touchedComps, Seq("comp"), "left_semi")
       .select("node", "comp")
       .localCheckpoint()
     // a surviving live edge inside a touched component has BOTH endpoints
-    // in it (they shared the old label), so anchoring on u suffices
-    val induced = undirectedEdges(liveAfter)
+    // in it (they shared the old label) — prune the caller's live set to
+    // touched-endpoint rows BEFORE the normalize/distinct shuffle, so a
+    // small cut never pays a corpus-wide shuffle (the scan itself is
+    // unavoidable; the shuffle is not)
+    val liveRaw = liveAfter
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    val induced = undirectedEdges(
+      liveRaw
+        .join(touchedNodes.select(col("node").as("src")), Seq("src"), "left_semi")
+        .unionAll(
+          liveRaw
+            .join(touchedNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+            .select("src", "dst")))
       .join(touchedNodes.select(col("node").as("u")), Seq("u"), "left_semi")
       .localCheckpoint()
     val resolved = Dedup.clusterPairs(induced, "u", "v")
@@ -1345,7 +1361,7 @@ object Graph {
         .unionAll(resolved.select("comp"))
         .unionAll(isolated.select("comp")))
     val content = labels
-      .filter(labelBucket(col("comp")).isin(touched: _*)) // partition-pruned
+      .filter(col("bucket").isin(touched: _*)) // prunes on the PARTITION column
       .join(touchedComps, Seq("comp"), "left_anti")
       .select("node", "comp")
       .unionAll(resolved.select("node", "comp"))
@@ -1423,29 +1439,45 @@ object Graph {
   /** The label store's repair, run by every mutator first — the
     * edge-store protocol on one tree: a COMMITTED staged tree rolls
     * forward (completing the crashed mutation), an uncommitted tmp is
-    * discarded (the mutation never happened), a full write's
-    * `.compacting` swap rolls forward, and the then-consistent store has
-    * its marker cleared so the caller's own work proceeds. Every cc
-    * mutation is idempotent (a re-merged append remaps nothing; a re-run
-    * removal re-solves to the same labels), so re-running the
-    * interrupted op is always the complete recovery. Readers still
-    * refuse the marker mid-apply.
+    * discarded (the mutation never happened), a full write's COMPLETE
+    * `.compacting` swap rolls forward (its `_SUCCESS` is the
+    * completeness witness — a half-written tmp must never be promoted
+    * to live), and the then-consistent store has its marker cleared so
+    * the caller's own work proceeds. Every cc mutation is idempotent
+    * (a re-merged append remaps nothing; a re-run removal re-solves to
+    * the same labels), so re-running the interrupted op is always the
+    * complete recovery. The ONE unrepairable marker is an interrupted
+    * [[writeCcStore]] — a full rebuild of an EXISTING store that never
+    * committed cannot be finished by an incremental mutator (proceeding
+    * against the old base would silently discard the rebuild), so only
+    * re-running the rebuild recovers, stated in the refusal. Readers
+    * still refuse any marker mid-apply.
     */
-  private def repairCcStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
-    if (Similarity.inflightOp(spark, path).isDefined) {
-      val fs = hfs(spark, path)
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
-        applyStaged(spark, path)
-      Similarity.deleteDir(spark, s"$path/staged.compacting")
-      val live = new org.apache.hadoop.fs.Path(s"$path/cclabels")
-      val tmp = new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting")
-      if (fs.exists(tmp)) {
-        if (!fs.exists(live))
-          require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
-        else fs.delete(tmp, true)
-      }
-      Similarity.clearInflight(spark, path)
+  private def repairCcStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = hfs(spark, path)
+    Similarity.inflightOp(spark, path) match {
+      case None =>
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+      case Some(op) if op.contains("writeCcStore") =>
+        throw new IllegalStateException(
+          s"cc label store at $path has an interrupted 'writeCcStore' (inflight marker " +
+            "present) — a full rebuild is not incrementally repairable; re-run " +
+            "writeCcStore to completion")
+      case Some(_) =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
+          applyStaged(spark, path)
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+        val live = new org.apache.hadoop.fs.Path(s"$path/cclabels")
+        val tmp = new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting")
+        if (fs.exists(tmp)) {
+          if (!fs.exists(live) &&
+            fs.exists(new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting/_SUCCESS")))
+            require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+          else fs.delete(tmp, true)
+        }
+        Similarity.clearInflight(spark, path)
     }
+  }
 
   // ---- the edge store's staged commit protocol ----
   //
@@ -1483,14 +1515,30 @@ object Graph {
   private def withSupportBucket(supportNew: DataFrame): DataFrame =
     supportNew.withColumn("bucket", supportBucket(col("u"), col("v")))
 
+  /** Fail fast, with the repair named, when a store predates the
+    * bucketed layout (a flat table from an older binary): the mutators'
+    * per-bucket swaps would otherwise land partition dirs beside flat
+    * part-files — mixed layouts Spark refuses to read, AFTER a committed
+    * corruption. A full rebuild re-lays the store.
+    */
+  private def requireBucketedStore(
+      df: DataFrame, path: String, sub: String, rebuildOp: String): Unit =
+    require(
+      df.columns.contains("bucket"),
+      s"$sub at $path predates the hash-bucketed layout (no bucket partition column) — " +
+        s"rebuild the store with $rebuildOp before mutating it")
+
   /** The old support rows of the touched buckets only — the bucket filter
     * is on the partition column, so the scan prunes to those directories.
     */
   private def readSupportBuckets(
-      spark: org.apache.spark.sql.SparkSession, path: String, touched: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/support")
+      spark: org.apache.spark.sql.SparkSession, path: String, touched: Seq[Int]): DataFrame = {
+    val support = spark.read.parquet(s"$path/support")
+    requireBucketedStore(support, path, "support", "writeEdgeStore")
+    support
       .filter(col("bucket").isin(touched: _*))
       .select("u", "v", "support")
+  }
 
   /** Steps 1-3 of the protocol above: build, commit, apply. `edgesDelta`
     * (when present) lands under `$path/$deltaTarget` — appended
@@ -1624,14 +1672,20 @@ object Graph {
         Similarity.deleteDir(spark, s"$path/staged.compacting")
         // compactEdgeStore's rewriteDir window (and a legacy support
         // swap): a live dir missing with a COMPLETE .compacting tree
-        // rolls forward; a tmp beside a live dir is pre-swap garbage
+        // (its `_SUCCESS` is the completeness witness) rolls forward; a
+        // tmp beside a live dir, or a half-written tmp, is pre-swap
+        // garbage that must never be promoted
         Seq("edges", "support").foreach { sub =>
           val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
           val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compacting")
           if (fs.exists(tmp)) {
-            if (!fs.exists(live))
+            if (!fs.exists(live) &&
+              fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub.compacting/_SUCCESS")))
               require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
-            else fs.delete(tmp, true)
+            else if (fs.exists(live)) fs.delete(tmp, true)
+            else throw new IllegalStateException(
+              s"edge store at $path lost $sub mid-rewrite and the .compacting tree is " +
+                "incomplete — rebuild with writeEdgeStore")
           }
         }
         Similarity.clearInflight(spark, path)

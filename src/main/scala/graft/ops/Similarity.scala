@@ -2582,10 +2582,7 @@ object Similarity {
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
       p => probeIvfIndex(spark, path, q, k, p, idCol, vecCol),
-      p => flatProbes(q, cents, p, idCol, vecCol)
-        .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .count(),
+      ivfCandidateCount(q, cents, cells, idCol, vecCol),
       nProbeHint,
       exactTopK)
   }
@@ -2632,14 +2629,7 @@ object Similarity {
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
       p => probeIvfPqIndex(spark, path, q, k, p, m, ksub, dim, idCol, vecCol),
-      // candidates = (query, vector) pairs ADC-scored in the probed
-      // cells; codes hold m rows per vector, so count one subspace
-      p => flatProbes(q, cents, p, idCol, vecCol)
-        .select("query_id", "centroid_id")
-        .join(codes.filter(col("subspace") === 0).select("vec_id", "centroid_id"),
-          Seq("centroid_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .count(),
+      ivfPqCandidateCount(q, cents, codes, idCol, vecCol),
       nProbeHint)
   }
 
@@ -2704,10 +2694,7 @@ object Similarity {
       val row = nProbeSearch(
         spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
         pp => probeIvfIndex(spark, p, q, k, pp, idCol, vecCol),
-        pp => flatProbes(q, cents, pp, idCol, vecCol)
-          .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .count(),
+        ivfCandidateCount(q, cents, cells, idCol, vecCol),
         hint,
         Some(exact)).head()
       hint = row.getAs[Long]("n_probe").toInt // seed the next rung's search
@@ -2776,14 +2763,7 @@ object Similarity {
       val row = nProbeSearch(
         spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
         pp => probeIvfPqIndex(spark, p, q, k, pp, m, ksub, dim, idCol, vecCol),
-        // candidates = (query, vector) pairs ADC-scored; codes hold m
-        // rows per vector, so count one subspace
-        pp => flatProbes(q, cents, pp, idCol, vecCol)
-          .select("query_id", "centroid_id")
-          .join(codes.filter(col("subspace") === 0).select("vec_id", "centroid_id"),
-            Seq("centroid_id"))
-          .filter(col("query_id") =!= col("vec_id"))
-          .count(),
+        ivfPqCandidateCount(q, cents, codes, idCol, vecCol),
         hint,
         Some(exact)).head()
       hint = row.getAs[Long]("n_probe").toInt
@@ -2800,6 +2780,32 @@ object Similarity {
       }
       .toDF("n_centroids", "n_probe", "recall_milli", "candidates_scored", "passed", "chosen")
   }
+
+  /** (query, candidate) pairs a flat-IVF probe at `p` exact-scores —
+    * the `candidates_scored` cost echo, one definition for every tuner
+    * face (the oracle pins it through `ann_autotune_nprobe`).
+    */
+  private def ivfCandidateCount(
+      q: DataFrame, cents: DataFrame, cells: DataFrame,
+      idCol: String, vecCol: String)(p: Int): Long =
+    flatProbes(q, cents, p, idCol, vecCol)
+      .join(cells.select("neighbor_id", "centroid_id"), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .count()
+
+  /** (query, vector) pairs an IVF-PQ probe at `p` ADC-scores: codes hold
+    * `m` rows per vector, so exactly one subspace is counted — the
+    * non-obvious invariant lives in ONE place.
+    */
+  private def ivfPqCandidateCount(
+      q: DataFrame, cents: DataFrame, codes: DataFrame,
+      idCol: String, vecCol: String)(p: Int): Long =
+    flatProbes(q, cents, p, idCol, vecCol)
+      .select("query_id", "centroid_id")
+      .join(codes.filter(col("subspace") === 0).select("vec_id", "centroid_id"),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .count()
 
   /** The shared minimal-nProbe search: exponential ladder + binary search
     * over a monotone recall curve, exact baseline materialized once, one

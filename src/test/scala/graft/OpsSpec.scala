@@ -371,13 +371,14 @@ class OpsSpec extends SparkSpec {
       else rows.minBy { case (nc, _, r, c, _, _) => (-r, c, nc) }._1
     assert(rows.filter(_._6).map(_._1).toSeq == Seq(want), rows.mkString(","))
     // an unreachable target still returns the full table with the honest
-    // max-recall pick and no passed flags
+    // max-recall pick; a single-rung ladder's rung is always chosen
     val hard = Similarity.autoTuneIvfPqBuild(
       spark, s"$work/hard", e, q, k = 5, targetRecallMilli = 1000L, ladder = Seq(4))
       .collect()
-    assert(hard.length == 1 && !hard.head.getAs[Boolean]("passed")
-      || hard.head.getAs[Boolean]("passed"), "single-rung table returned either way")
+    assert(hard.length == 1, hard.mkString(","))
     assert(hard.head.getAs[Boolean]("chosen"), "the only rung is always chosen")
+    assert(hard.head.getAs[Boolean]("passed") ===
+      (hard.head.getAs[Long]("recall_milli") >= 1000L), hard.head.toString)
   }
 
   test("autoTuneNProbeIvfPq: minimal composed nProbe against the corpus-backed recall audit") {
