@@ -101,6 +101,8 @@ object Bench {
     "events_stream_late_drops",
     "graph_support_incremental",
     "graph_support_streamed",
+    // three-generation ingest + an as-of recompute on top
+    "graph_support_asof",
     "graph_tricount_served",
     "graph_cc_incremental",
     // round-16: a store build + touched-component re-solve (two star

@@ -1165,6 +1165,39 @@ object Graph {
       // rows (support sum 0) would differ from the batch face
       .filter(col("n_tri") > 0L)
 
+  /** TIME-TRAVEL read of a STREAM edge store: the live edge set as of
+    * generation `batchId` — the `edges/batch_id=N` layout the ingest
+    * already writes IS a retention log, so "what did the graph look like
+    * when batch N landed" is one partition-pruned filter, no snapshots
+    * kept. Batch-built stores are refused (flat edges carry no
+    * generation lineage). Resolution is bounded by compaction:
+    * [[compactEdgeStore]] folds history into the `batch_id=-1`
+    * generation, which every as-of includes as an indivisible prefix —
+    * compact up to your retention horizon, never past it.
+    */
+  def liveEdgesAsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String, batchId: Long): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
+    require(
+      Similarity.storeExists(spark, s"$path/params"),
+      s"liveEdgesAsOf: the edge store at $path is batch-built (no params pin) — " +
+        "only stream stores carry per-batch generation lineage")
+    spark.read.parquet(s"$path/edges")
+      .filter(col("batch_id") <= batchId)
+      .select("u", "v")
+  }
+
+  /** Per-edge triangle support AS OF generation `batchId` — an honest
+    * RECOMPUTE over [[liveEdgesAsOf]] (the maintained support table holds
+    * only the latest state; history is derived, not stored), for
+    * debugging a drifted metric or auditing when a triangle appeared.
+    * Generations are disjoint actually-new edge sets by the ingest
+    * contract, so their union is already (u < v)-normalized distinct.
+    */
+  def triangleSupportAsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String, batchId: Long): DataFrame =
+    edgeSupport(liveEdgesAsOf(spark, path, batchId).localCheckpoint())
+
   // ---- persisted incremental connected-components label store ----
 
   /** The label store's bucket of a row: a hash of its COMPONENT label,

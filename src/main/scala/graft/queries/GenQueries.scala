@@ -746,6 +746,20 @@ object GenQueries {
       val lm = k.filter(col("n") % 50 === 0 || col("n") % 50 === 3).select(col("n").as("node"))
       graft.ops.Graph.landmarkCloseness(e, lm)
     },
+    // TIME-TRAVEL over the streamed store's generation log: the same
+    // three-generation ingest as graph_support_streamed, read AS OF
+    // batch 1 — support must hash-equal the batch recompute over just
+    // the first two generations (the later chords invisible)
+    "graph_support_asof" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_edgeasof_${ProcessHandle.current().pid()}"
+      val c1 = k.select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val c2 = k.select(col("n").as("src"), (col("n") + 2).as("dst"))
+      graft.ops.Graph.ingestEdgeBatch(c1, idx, 0L)
+      graft.ops.Graph.ingestEdgeBatch(c2.filter(col("src") % 2 === 0), idx, 1L)
+      graft.ops.Graph.ingestEdgeBatch(c2.filter(col("src") % 2 =!= 0), idx, 2L)
+      graft.ops.Graph.triangleSupportAsOf(s, idx, 1L)
+    },
     // friend-of-friend link prediction over the same chord graph: top-3
     // non-adjacent nodes per node by common-neighbor count (n+-3 shares
     // two middles, n+-4 one), hub middles capped — all integer, so the
@@ -1565,6 +1579,12 @@ object GenQueries {
         |  UNION
         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
         |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // the first two generations' union (all first chords, even second
+    // chords) through the same support recompute — generation 2 must be
+    // invisible to the as-of read
+    "graph_support_asof" -> edgeSupportOracle(
+      """SELECT n AS src, n + 1 AS dst FROM kys
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 2 = 0""".stripMargin),
     // capped recursive walk from the landmark set; UNION dedups exact
     // (node, src, d) triples so rows stay bounded by |V|x|srcs|x cap,
     // MIN collapses multi-path arrivals to the hop distance

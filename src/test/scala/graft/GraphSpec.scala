@@ -393,6 +393,12 @@ class GraphSpec extends SparkSpec {
     Graph.ingestEdgeBatch(b2, dir, 2L)
     val all = b0.unionAll(b1).unionAll(b2)
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all)))
+    // time-travel over the generation log: as-of batch 1 sees only the
+    // first two generations, as-of 0 only the claim
+    assert(supMap(Graph.triangleSupportAsOf(spark, dir, 1L)) ===
+      supMap(Graph.triangleSupport(b0.unionAll(b1))))
+    assert(supMap(Graph.triangleSupportAsOf(spark, dir, 0L)) ===
+      supMap(Graph.triangleSupport(b0)))
     // crash window AFTER the support swap: marker present, stamp already
     // at the batch — the retried batch resolves the marker, recounts nothing
     Seq("ingestEdgeBatch").toDF("op").write.parquet(s"$dir/inflight")
@@ -416,6 +422,10 @@ class GraphSpec extends SparkSpec {
     // mid-stream compact folds generations; support unchanged; ingest continues
     Graph.compactEdgeStore(spark, dir)
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all3)))
+    // compaction bounds as-of resolution: the folded batch_id=-1 prefix
+    // is indivisible, so as-of 0 now reads the whole compacted history
+    assert(supMap(Graph.triangleSupportAsOf(spark, dir, 0L)) ===
+      supMap(Graph.triangleSupport(all3)))
     Graph.ingestEdgeBatch(Seq((4L, 5L)).toDF("src", "dst"), dir, 4L) // closes {1,4,5} and {2,4,5}
     val all4 = all3.unionAll(Seq((4L, 5L)).toDF("src", "dst"))
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(all4)))
@@ -616,6 +626,9 @@ class GraphSpec extends SparkSpec {
     Graph.appendEdgeStore(Seq((2L, 4L)).toDF("src", "dst"), dir)
     assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
       supMap(Graph.triangleSupport(now.unionAll(Seq((2L, 4L)).toDF("src", "dst")))))
+    // a batch-built store has no generation lineage: as-of reads refuse
+    val e3 = intercept[IllegalArgumentException](Graph.triangleSupportAsOf(spark, dir, 1L))
+    assert(e3.getMessage.contains("batch-built"), e3.getMessage)
     // the ONE unrepairable marker: an interrupted full rebuild — stated,
     // and re-running the rebuild resolves it
     Seq("writeEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
