@@ -873,23 +873,88 @@ object Graph {
   def triangleSupport(edges: DataFrame): DataFrame =
     edgeSupport(undirectedEdges(edges).localCheckpoint())
 
-  /** Fixed bucket count of the support table's hash layout. 64 buckets
-    * cap a churn batch's support write amplification at 1/64 of the
-    * table when the touched edges cluster (the usual daily-delta case);
-    * a production deployment sizes this with the store (the IVF cell
-    * layout's precedent) — changing it requires a [[writeEdgeStore]]
-    * rebuild, because the partial-rewrite mutators assume every
-    * generation used the same bucket function.
+  /** DEFAULT bucket count for NEW stores. 64 buckets cap a churn batch's
+    * support write amplification at 1/64 of the table when the touched
+    * edges cluster (the usual daily-delta case); a production deployment
+    * sizes it with the store by passing `buckets` to [[writeEdgeStore]] /
+    * [[writeCcStore]] (the IVF cell layout's precedent). The chosen count
+    * is PERSISTED in the store's `bucketing` pin and every mutator reads
+    * it from there — resizing is a rebuild with a different argument,
+    * never a code edit, and a binary can never swap against the wrong
+    * layout (the partial-rewrite mutators assume every generation used
+    * the same bucket function, so the pin also carries the hash-function
+    * version and [[storeBuckets]] refuses a version this binary does not
+    * speak).
     */
   private[graft] val supportBuckets = 64
+
+  /** Version pin of the bucket FUNCTION (`pmod(hash(cols), n)`): a store
+    * laid out by a different hash must be refused, not silently read —
+    * the bucket count alone cannot witness that.
+    */
+  private val bucketingVersion = "v1"
 
   /** The support table's bucket of an edge: a deterministic hash of BOTH
     * endpoints, so a hub node's edges still spread across buckets (a
     * u-only layout would send a celebrity node's whole adjacency to one
     * bucket and make every batch touching it rewrite that hot bucket).
     */
-  private[graft] def supportBucket(u: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) =
-    pmod(hash(u, v), lit(supportBuckets))
+  private[graft] def supportBucket(
+      u: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column,
+      n: Int = supportBuckets) =
+    pmod(hash(u, v), lit(n))
+
+  private def writeTextFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Persist the store's bucket layout pin: hash-function version + count
+    * (a plain FS file — the [[graft.ops.Similarity.markInflight]] lesson:
+    * a 1-row parquet would cost a whole Spark job per lifecycle call).
+    */
+  private def writeBucketing(
+      spark: org.apache.spark.sql.SparkSession, path: String, n: Int): Unit =
+    writeTextFile(
+      hfs(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/bucketing"),
+      s"$bucketingVersion\n$n")
+
+  /** The bucket count a store was laid out with — what every mutator and
+    * census uses (never the compile-time default). A store without the
+    * pin predates it and is by construction the original fixed 64-bucket
+    * layout; a pin with a hash-function version this binary does not
+    * speak is refused with the rebuild named (reading it would silently
+    * swap the wrong buckets).
+    */
+  private[graft] def storeBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/bucketing")
+    if (!fs.exists(p)) supportBuckets
+    else {
+      val lines = readTextFile(fs, p).trim.split("\n").map(_.trim)
+      require(
+        lines.length >= 2 && lines(0) == bucketingVersion,
+        s"store at $path is bucketed with hash-function version '${lines.headOption.getOrElse("")}' " +
+          s"but this binary speaks '$bucketingVersion' — rebuild the store before mutating it")
+      val n = lines(1).toInt
+      require(n >= 1, s"store at $path pins a non-positive bucket count $n — rebuild it")
+      n
+    }
+  }
 
   /** Persist an EDGE STORE with incrementally-maintained per-edge
     * triangle support — the graph family's entry into the repo's
@@ -910,7 +975,9 @@ object Graph {
     * everything and clears any stale marker or staged tree (the
     * [[graft.ops.Similarity.writePqIndex]] contract).
     */
-  def writeEdgeStore(edges: DataFrame, path: String): Unit = {
+  def writeEdgeStore(
+      edges: DataFrame, path: String, buckets: Int = supportBuckets): Unit = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
     val spark = edges.sparkSession
     val und = undirectedEdges(edges).localCheckpoint()
     Similarity.markInflight(spark, path, "writeEdgeStore")
@@ -920,14 +987,16 @@ object Graph {
     // mutators work again (the writePqIndex contract) — and any staged
     // tree from a crashed mutation dies unapplied
     Similarity.deleteDir(spark, s"$path/params")
+    Similarity.deleteDir(spark, s"$path/support_stamp")
     Similarity.deleteDir(spark, s"$path/staged")
     Similarity.deleteDir(spark, s"$path/staged.compacting")
     Similarity.deleteDir(spark, s"$path/edges")
+    writeBucketing(spark, path, buckets)
     und.write.mode("overwrite").parquet(s"$path/edges")
     Similarity.rewriteDir(
       spark,
       edgeSupport(und)
-        .withColumn("bucket", supportBucket(col("u"), col("v")))
+        .withColumn("bucket", supportBucket(col("u"), col("v"), buckets))
         .repartition(col("bucket")), // one file per bucket, not per task x bucket
       s"$path/support",
       Seq("bucket"))
@@ -957,27 +1026,44 @@ object Graph {
     val spark = batch.sparkSession
     repairEdgeStore(spark, path)
     requireBatchBuilt(spark, path, "appendEdgeStore")
+    val nb = storeBuckets(spark, path)
     val liveOld = liveEdges(spark, path).localCheckpoint()
-    val delta = undirectedEdges(batch)
-      .join(liveOld, Seq("u", "v"), "left_anti")
-      .localCheckpoint()
-    if (delta.isEmpty) return // nothing new: store untouched byte-for-byte
+    // the tombstone-conflict probe rides IN the delta materialization
+    // (one left join instead of a second tombstone-scan job afterwards —
     // a tombstoned edge is by definition not live, so it always lands in
-    // delta — checking after the empty short-circuit loses no refusal
-    if (Similarity.storeExists(spark, s"$path/tombstones")) {
-      val nTomb = delta
-        .join(spark.read.parquet(s"$path/tombstones"), Seq("u", "v"), "left_semi")
-        .count()
-      require(
-        nTomb == 0,
-        s"appendEdgeStore: $nTomb batch edges are tombstoned in $path — " +
-          "compact the store before re-inserting a deleted edge")
-    }
-    val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    // delta and the flag loses no refusal)
+    val deltaFlagged = {
+      val d0 = undirectedEdges(batch).join(liveOld, Seq("u", "v"), "left_anti")
+      if (Similarity.storeExists(spark, s"$path/tombstones"))
+        d0.join(
+          spark.read.parquet(s"$path/tombstones")
+            .select(col("u"), col("v"), lit(1).as("__tomb")),
+          Seq("u", "v"),
+          "left")
+      else d0.withColumn("__tomb", lit(null).cast("int"))
+    }.localCheckpoint()
+    // ONE decision read answers both "anything new?" and "any re-insert
+    // of a tombstoned pair?" (two separate probes in round 16) — and its
+    // count sizes the delta-bounded tail's shuffle width
+    val probe = deltaFlagged
+      .agg(count(lit(1)).as("n"), count(col("__tomb")).as("n_tomb"))
+      .head()
+    if (probe.getLong(0) == 0L) return () // nothing new: store untouched byte-for-byte
+    require(
+      probe.getLong(1) == 0L,
+      s"appendEdgeStore: ${probe.getLong(1)} batch edges are tombstoned in $path — " +
+        "compact the store before re-inserting a deleted edge")
+    val delta = deltaFlagged.select("u", "v")
+    deltaScoped(spark, probe.getLong(0)) {
+    // liveNew is a union of two CHECKPOINTED frames: each consumer rescans
+    // the checkpoint blocks, which is what reading a third materialized
+    // copy would cost anyway — so no localCheckpoint here (it would add a
+    // full |edges|-sized write per mutation for nothing)
+    val liveNew = liveOld.unionAll(delta)
     val credits = touchedTriangleCredits(delta, liveNew).localCheckpoint()
-    val touched = touchedBucketIds(delta, credits)
+    val touched = touchedBucketIds(delta, credits, nb)
     val supportNew = liveNew
-      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .filter(supportBucket(col("u"), col("v"), nb).isin(touched: _*))
       .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
       .join(credits, Seq("u", "v"), "left")
       .select(
@@ -985,7 +1071,8 @@ object Graph {
         col("v"),
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
     stageAndApply(spark, path, "appendEdgeStore", "edges", replaceTarget = false,
-      Some(delta), withSupportBucket(supportNew), touched)
+      Some(delta), Seq(("support", withSupportBucket(supportNew, nb), touched)))
+    }
   }
 
   /** One micro-batch of STREAMING edge-store maintenance (the foreachBatch
@@ -994,16 +1081,18 @@ object Graph {
     * root (stale state dies first, the [[graft.ops.StoreLifecycle]] rule;
     * an empty claim defers training of nothing — edges need no fit — but
     * still wipes); every later batch lands ONLY its actually-new edges
-    * under `edges/batch_id=N` and swaps a support table stamped
-    * `as_of_batch = N`. EXACTLY-ONCE without a transaction log: the
-    * support swap is tmp-write + delete + rename, so after any crash the
-    * store is entirely pre-N, entirely post-N, or (crash inside the
-    * delete→rename window) missing-with-a-complete-tmp — the retry rolls
-    * that last case forward before reading the stamp, then recomputes
-    * its delta against the edges dirs
+    * under `edges/batch_id=N` and swaps the touched support buckets plus
+    * the plain-file `support_stamp = N` through ONE staged apply.
+    * EXACTLY-ONCE without a transaction log: the staged rename is the
+    * atomic commit, so after any crash the store is entirely pre-N,
+    * entirely post-N, or committed-but-unapplied — the retry rolls that
+    * last case forward before reading the stamp, then recomputes its
+    * delta against the edges dirs
     * EXCLUDING its own generation (so a half-landed gen N never hides its
     * own delta), re-overwrites gen N idempotently, and applies credits
-    * only if the stamp says they never landed. The crash marker spans the
+    * only if the stamp says they never landed (a FILE open, not the
+    * full-support `max(as_of_batch)` scan the round-16 layout paid per
+    * ingest). The crash marker spans the
     * edges↔support window for PROBE safety ([[readEdgeSupport]] refuses a
     * mid-crash store); the retried batch itself RESOLVES the marker —
     * re-running the interrupted op is the documented repair. Stream
@@ -1018,7 +1107,8 @@ object Graph {
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
       // batch 0 must still retire a previous run's store
-      Seq("edges", "support", "tombstones", "staged", "staged.compacting")
+      Seq("edges", "support", "support_stamp", "tombstones", "staged",
+        "staged.compacting", "bucketing")
         .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
       Similarity.deleteDir(spark, s"$path/params")
@@ -1026,15 +1116,23 @@ object Graph {
       Seq("edges-stream").toDF("kind")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
       Similarity.markInflight(spark, path, "ingestEdgeBatch")
+      writeBucketing(spark, path, supportBuckets)
       und.write.mode("overwrite").parquet(s"$path/edges/batch_id=$batchId")
       Similarity.rewriteDir(
         spark,
         edgeSupport(und)
-          .withColumn("as_of_batch", lit(batchId))
           .withColumn("bucket", supportBucket(col("u"), col("v")))
           .repartition(col("bucket")), // one file per bucket, not per task x bucket
         s"$path/support",
         Seq("bucket"))
+      // the exactly-once stamp is a PLAIN FS FILE swapped inside the same
+      // staged apply as the support buckets (below, for every later
+      // batch): reading it costs an open, never the full-support
+      // max(as_of_batch) scan the round-16 layout paid per ingest
+      writeTextFile(
+        hfs(spark, path),
+        new org.apache.hadoop.fs.Path(s"$path/support_stamp"),
+        batchId.toString)
       Similarity.clearInflight(spark, path)
       return
     }
@@ -1043,34 +1141,41 @@ object Graph {
     // it forward — the store becomes wholly post-crash-op), an
     // uncommitted tmp (discard — the op never happened), or a bare
     // marker over a consistent store (clear it); the stamp read below
-    // then always sees a whole table, so the retry's repair contract
-    // holds through every window
+    // then always sees a post-apply value, so the retry's repair
+    // contract holds through every window
     repairEdgeStore(spark, path)
+    val nb = storeBuckets(spark, path)
     // the stamp decides whether this batch's credits already landed —
-    // the swap's atomicity means it is never half-true (1-row read)
-    val asOf = spark.read.parquet(s"$path/support")
-      .select(max(col("as_of_batch")).cast("long")).head().getLong(0)
+    // its swap rides the staged apply, so it is never half-true
+    val asOf = readTextFile(
+      hfs(spark, path), new org.apache.hadoop.fs.Path(s"$path/support_stamp")).trim.toLong
     if (asOf >= batchId) return // support already post-N: nothing recounts
     val liveOld = spark.read.parquet(s"$path/edges")
       .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
       .select("u", "v")
       .localCheckpoint()
     val delta = und.join(liveOld, Seq("u", "v"), "left_anti").localCheckpoint()
-    if (delta.isEmpty) return // pure-duplicate batch: no new generation, no recount
-    val liveNew = liveOld.unionAll(delta).localCheckpoint()
+    val nDelta = delta.count() // the decision read also sizes the tail's width
+    if (nDelta == 0L) return // pure-duplicate batch: no new generation, no recount
+    deltaScoped(spark, nDelta) {
+    // union of checkpointed frames — no third materialization (see
+    // appendEdgeStore)
+    val liveNew = liveOld.unionAll(delta)
     val credits = touchedTriangleCredits(delta, liveNew).localCheckpoint()
-    val touched = touchedBucketIds(delta, credits)
+    val touched = touchedBucketIds(delta, credits, nb)
     val supportNew = liveNew
-      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .filter(supportBucket(col("u"), col("v"), nb).isin(touched: _*))
       .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
       .join(credits, Seq("u", "v"), "left")
       .select(
         col("u"),
         col("v"),
         (coalesce(col("support"), lit(0L)) + coalesce(col("c"), lit(0L))).as("support"))
-      .withColumn("as_of_batch", lit(batchId))
     stageAndApply(spark, path, "ingestEdgeBatch", s"edges/batch_id=$batchId",
-      replaceTarget = true, Some(delta), withSupportBucket(supportNew), touched)
+      replaceTarget = true, Some(delta),
+      Seq(("support", withSupportBucket(supportNew, nb), touched)),
+      stamp = Some(batchId))
+    }
   }
 
   /** Remove edges from the store: the removed pairs land in `tombstones`
@@ -1084,18 +1189,21 @@ object Graph {
     val spark = batch.sparkSession
     repairEdgeStore(spark, path)
     requireBatchBuilt(spark, path, "removeFromEdgeStore")
+    val nb = storeBuckets(spark, path)
     val liveOld = liveEdges(spark, path).localCheckpoint()
     val rem = undirectedEdges(batch)
       .join(liveOld, Seq("u", "v"), "left_semi")
       .localCheckpoint()
-    if (rem.isEmpty) return // nothing live to remove: store untouched
+    val nRem = rem.count() // the decision read also sizes the tail's width
+    if (nRem == 0L) return // nothing live to remove: store untouched
+    deltaScoped(spark, nRem) {
     val liveNew = liveOld.join(rem, Seq("u", "v"), "left_anti")
     val credits = touchedTriangleCredits(rem, liveOld).localCheckpoint()
     // removed edges leave their buckets (rewritten without them), debited
     // edges get their buckets rewritten with the new support
-    val touched = touchedBucketIds(rem, credits)
+    val touched = touchedBucketIds(rem, credits, nb)
     val supportNew = liveNew
-      .filter(supportBucket(col("u"), col("v")).isin(touched: _*))
+      .filter(supportBucket(col("u"), col("v"), nb).isin(touched: _*))
       .join(readSupportBuckets(spark, path, touched), Seq("u", "v"), "left")
       .join(credits, Seq("u", "v"), "left")
       .select(
@@ -1103,7 +1211,8 @@ object Graph {
         col("v"),
         (coalesce(col("support"), lit(0L)) - coalesce(col("c"), lit(0L))).as("support"))
     stageAndApply(spark, path, "removeFromEdgeStore", "tombstones", replaceTarget = false,
-      Some(rem.coalesce(1)), withSupportBucket(supportNew), touched)
+      Some(rem.coalesce(1)), Seq(("support", withSupportBucket(supportNew, nb), touched)))
+    }
   }
 
   /** Fold the store. Batch-built: rewrite `edges` to the live set
@@ -1118,25 +1227,33 @@ object Graph {
   def compactEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     repairEdgeStore(spark, path)
     val raw = spark.read.parquet(s"$path/edges")
-    Similarity.markInflight(spark, path, "compactEdgeStore") // edges ↔ tombstones window
-    if (raw.columns.contains("batch_id"))
+    if (raw.columns.contains("batch_id")) {
+      // stream store: no tombstones by construction, so the fold is one
+      // self-repairing rewriteDir swap under the marker
+      Similarity.markInflight(spark, path, "compactEdgeStore")
       Similarity.rewriteDir(
         spark,
         raw.select("u", "v").withColumn("batch_id", lit(-1L)),
         s"$path/edges",
         Seq("batch_id"))
-    else {
+      Similarity.clearInflight(spark, path)
+    } else {
+      // batch store: the tombstones clear rides the SAME staged apply as
+      // the edges swap — the round-16 two-step (rewrite, then clear)
+      // left a crash window in which already-subtracted tombstones
+      // survived repair and refused later re-inserts of physically-gone
+      // edges
       val live = liveEdges(spark, path).localCheckpoint()
-      Similarity.rewriteDir(spark, live, s"$path/edges", Nil)
-      Similarity.clearTombstones(spark, path)
+      stageAndApply(spark, path, "compactEdgeStore", "edges", replaceTarget = true,
+        Some(live), Nil, clearTombs = true)
     }
-    Similarity.clearInflight(spark, path)
   }
 
   /** The store's read face: per-live-edge triangle support, refusing a
     * mid-crash store. Matches [[triangleSupport]] over the live edge set
     * exactly (the invariant the spec and the driver row pin); the stream
-    * store's `as_of_batch` bookkeeping column never reaches a reader.
+    * store's exactly-once stamp lives in the plain `support_stamp` file,
+    * so the table itself is pure (u, v, support) in every layout.
     */
   def readEdgeSupport(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     Similarity.requireNotInflight(spark, path)
@@ -1207,8 +1324,23 @@ object Graph {
     * set land in a bounded set of directories while node-keyed buckets
     * would smear every merge across the whole table.
     */
-  private[graft] def labelBucket(comp: org.apache.spark.sql.Column) =
-    pmod(hash(comp), lit(supportBuckets))
+  private[graft] def labelBucket(comp: org.apache.spark.sql.Column, n: Int = supportBuckets) =
+    pmod(hash(comp), lit(n))
+
+  /** The SECONDARY index's bucket of a row: a hash of the NODE id. The
+    * `nodeidx` tree holds the same (node, comp) rows as `cclabels` laid
+    * out by node, so a node-grain membership probe (which component holds
+    * this node — [[removeFromCcStore]]'s first question) prunes to the
+    * probed nodes' buckets instead of scanning every label row. The cost
+    * side of the trade is honest: a mutation rewrites the nodeidx rows of
+    * every node whose label changed — the SAME row set the cclabels
+    * rewrite already pays, but spread over up to every node bucket when a
+    * big component remaps (comp-keyed buckets cluster those rows; node
+    * keys scatter them) — still bounded by the bucket count, priced in
+    * SCALE.md.
+    */
+  private[graft] def nodeBucket(node: org.apache.spark.sql.Column, n: Int = supportBuckets) =
+    pmod(hash(node), lit(n))
 
   /** Persist a CONNECTED-COMPONENTS label store: one row per node,
     * `comp` = the minimum node id of its component (the
@@ -1220,24 +1352,71 @@ object Graph {
     * re-solving the corpus, [[removeFromCcStore]] re-solves only the cut
     * components.
     */
-  def writeCcStore(edges: DataFrame, path: String): Unit = {
+  def writeCcStore(edges: DataFrame, path: String, buckets: Int = supportBuckets): Unit =
+    writeCcStoreInternal(edges, path, buckets, None)
+
+  private def writeCcStoreInternal(
+      edges: DataFrame, path: String, buckets: Int, logBatch: Option[Long]): Unit = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
     val spark = edges.sparkSession
     val und = undirectedEdges(edges).localCheckpoint()
-    val labels = Dedup.clusterPairs(und, "u", "v")
+    val labels0 = Dedup.clusterPairs(und, "u", "v")
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    // only the stream claim has a second consumer (the gen-0 log) worth a
+    // materialization; the plain batch write stays single-pass
+    val labels = if (logBatch.isDefined) labels0.localCheckpoint() else labels0
     Similarity.markInflight(spark, path, "writeCcStore")
     // a full write really replaces EVERYTHING, the stream pin included
     // (the writeEdgeStore contract): a later ingest batch re-claims the
-    // root instead of appending to a replaced base
+    // root instead of appending to a replaced base — plus the generation
+    // log and the node index, which no longer describe the replaced store
     Similarity.deleteDir(spark, s"$path/params")
+    Similarity.deleteDir(spark, s"$path/cclog")
+    Similarity.deleteDir(spark, s"$path/nodeidx")
+    Similarity.deleteDir(spark, s"$path/nodeidx.compacting")
     Similarity.deleteDir(spark, s"$path/staged")
     Similarity.deleteDir(spark, s"$path/staged.compacting")
+    writeBucketing(spark, path, buckets)
     Similarity.rewriteDir(
       spark,
       labels
-        .withColumn("bucket", labelBucket(col("comp")))
+        .withColumn("bucket", labelBucket(col("comp"), buckets))
         .repartition(col("bucket")), // one file per bucket, not per task x bucket
       s"$path/cclabels",
+      Seq("bucket"))
+    // gen-0 of the stream's remap log, written from the checkpointed
+    // labels (no read-back): every initial label is a new-node row
+    logBatch.foreach { n =>
+      labels
+        .select(lit("node").as("kind"), col("node").as("a"), col("comp").as("b"))
+        .write.mode("overwrite").parquet(s"$path/cclog/batch_id=$n")
+    }
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** OPT-IN build of the node-keyed secondary index ([[nodeBucket]]) a
+    * removal-heavy deployment wants: one rewrite of the current labels
+    * laid out by node. [[removeFromCcStore]] uses it when present (its
+    * membership probe then prunes to the probed nodes' buckets instead
+    * of scanning every label row) and both mutators maintain it through
+    * the same staged protocol; stores that never see removals skip the
+    * second tree entirely — the index's write cost lands only where its
+    * read benefit is. Idempotent (a rebuild swaps atomically); a full
+    * [[writeCcStore]] retires it with the store.
+    */
+  def buildCcNodeIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    repairCcStore(spark, path)
+    val nb = storeBuckets(spark, path)
+    val labels = spark.read.parquet(s"$path/cclabels")
+    requireBucketedStore(labels, path, "cclabels", "writeCcStore")
+    Similarity.markInflight(spark, path, "buildCcNodeIndex")
+    Similarity.rewriteDir(
+      spark,
+      labels
+        .select("node", "comp")
+        .withColumn("bucket", nodeBucket(col("node"), nb))
+        .repartition(col("bucket")),
+      s"$path/nodeidx",
       Seq("bucket"))
     Similarity.clearInflight(spark, path)
   }
@@ -1259,11 +1438,29 @@ object Graph {
     * a component, which labels alone cannot witness — that path needs
     * the caller's live edges).
     */
-  def appendCcStore(batch: DataFrame, path: String): Unit = {
+  def appendCcStore(batch: DataFrame, path: String): Unit =
+    appendCcInternal(batch, path, None)
+
+  /** The append worker. `logBatch = Some(n)` ([[ingestCcBatch]]) lands
+    * the batch's remap pairs + new-node rows under `cclog/batch_id=n` in
+    * the SAME staged apply as the label rewrite — the generation log
+    * [[readCcLabelsAsOf]] replays; `None` (a direct batch append) instead
+    * TRUNCATES any existing log first, because an unlogged mutation means
+    * the log no longer describes the store's evolution.
+    */
+  private def appendCcInternal(
+      batch: DataFrame, path: String, logBatch: Option[Long]): Unit = {
     val spark = batch.sparkSession
     repairCcStore(spark, path)
+    // NOTE: unlike the edge mutators, the cc mutators run WITH adaptive
+    // execution — their hot kernel is the clusterPairs star contraction
+    // over potentially corpus-sized induced subgraphs, exactly the shape
+    // AQE's runtime broadcasts and coalescing are for (measured: AQE off
+    // cost +3 s on the removal bench row; the edge mutators' frames are
+    // all |delta|-bounded, where AQE only adds scheduling rounds)
     val delta = undirectedEdges(batch).localCheckpoint()
     if (delta.isEmpty) return // nothing to merge: store untouched
+    val nb = storeBuckets(spark, path)
     val labels = spark.read.parquet(s"$path/cclabels")
     requireBucketedStore(labels, path, "cclabels", "writeCcStore")
     val labeled = delta
@@ -1297,15 +1494,51 @@ object Graph {
     val touched = touchedLabelBuckets(
       spark,
       remap.select(col("comp")).unionAll(remap.select(col("comp_new")))
-        .unionAll(newNodes.select(col("comp"))))
+        .unionAll(newNodes.select(col("comp"))),
+      nb)
     if (touched.isEmpty) return // batch repeated known in-component edges
+    // an UNLOGGED mutation on a logged store: the log stops describing
+    // the evolution, so truncate it (idempotent — a crash right after
+    // leaves exactly the truncated state this mutation implies)
+    if (logBatch.isEmpty) Similarity.deleteDir(spark, s"$path/cclog")
     val content = labels
       .filter(col("bucket").isin(touched: _*)) // prunes on the PARTITION column
       .join(remap, Seq("comp"), "left")
       .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
       .unionAll(newNodes)
-    stageAndApply(spark, path, "appendCcStore", "", replaceTarget = false,
-      None, content.withColumn("bucket", labelBucket(col("comp"))), touched, "cclabels")
+    val trees = Seq(
+      ("cclabels", content.withColumn("bucket", labelBucket(col("comp"), nb)), touched)) ++
+      (if (!Similarity.storeExists(spark, s"$path/nodeidx")) Nil
+       else {
+         // the changed rows are exactly the remapped components' rows plus
+         // the new nodes — their NODE buckets are the secondary index's
+         // write set (the remap-source buckets are ⊆ touched, so the
+         // pruned read below covers every changed row)
+         val changedNodes = labels
+           .filter(col("bucket").isin(touched: _*))
+           .join(remap.select("comp"), Seq("comp"), "left_semi")
+           .select("node")
+           .unionAll(newNodes.select("node"))
+         val nTouched = changedNodes
+           .select(nodeBucket(col("node"), nb).as("b"))
+           .distinct()
+           .collect().map(_.getInt(0)).toSeq.sorted
+         val idxContent = spark.read.parquet(s"$path/nodeidx")
+           .filter(col("bucket").isin(nTouched: _*))
+           .select("node", "comp")
+           .join(remap, Seq("comp"), "left")
+           .select(col("node"), coalesce(col("comp_new"), col("comp")).as("comp"))
+           .unionAll(newNodes)
+         Seq(("nodeidx", idxContent.withColumn("bucket", nodeBucket(col("node"), nb)), nTouched))
+       })
+    val logDelta = logBatch.map { _ =>
+      remap.select(lit("remap").as("kind"), col("comp").as("a"), col("comp_new").as("b"))
+        .unionAll(
+          newNodes.select(lit("node").as("kind"), col("node").as("a"), col("comp").as("b")))
+    }
+    stageAndApply(spark, path, "appendCcStore",
+      logBatch.map(n => s"cclog/batch_id=$n").getOrElse(""), replaceTarget = true,
+      logDelta, trees)
   }
 
   /** Fold an edge-REMOVAL batch into the label store with a
@@ -1340,23 +1573,21 @@ object Graph {
   def removeFromCcStore(removed: DataFrame, liveAfter: DataFrame, path: String): Unit = {
     val spark = removed.sparkSession
     repairCcStore(spark, path)
+    // AQE stays ON here (see appendCcInternal): the induced-subgraph
+    // re-solve is corpus-shaped work
     val rem = undirectedEdges(removed).localCheckpoint()
     if (rem.isEmpty) return // nothing removed: store untouched
+    val nb = storeBuckets(spark, path)
     val labels = spark.read.parquet(s"$path/cclabels")
     requireBucketedStore(labels, path, "cclabels", "writeCcStore")
-    // node-grain lookup: one full label scan (the bucket layout is
-    // comp-keyed, so node membership cannot prune) — read-only; every
-    // WRITE below is bucket-bounded
-    val touchedComps = labels
-      .join(
-        rem.select(col("u").as("node")).unionAll(rem.select(col("v").as("node"))).distinct(),
-        Seq("node"),
-        "left_semi")
-      .select("comp")
+    val endpoints = rem
+      .select(col("u").as("node")).unionAll(rem.select(col("v").as("node")))
+      .distinct()
+    val touchedComps = ccCompsOfNodes(spark, path, endpoints, labels, nb)
       .distinct()
       .localCheckpoint()
     if (touchedComps.isEmpty) return // no removed endpoint was ever labeled
-    val tcBuckets = touchedLabelBuckets(spark, touchedComps)
+    val tcBuckets = touchedLabelBuckets(spark, touchedComps, nb)
     val touchedNodes = labels
       .filter(col("bucket").isin(tcBuckets: _*)) // prunes on the PARTITION column
       .join(touchedComps, Seq("comp"), "left_semi")
@@ -1376,8 +1607,29 @@ object Graph {
           liveRaw
             .join(touchedNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
             .select("src", "dst")))
-      .join(touchedNodes.select(col("node").as("u")), Seq("u"), "left_semi")
       .localCheckpoint()
+    // fail-fast contract check (round-17 advisory): an induced edge whose
+    // OTHER endpoint the store never labeled inside a touched component —
+    // either a node the store never saw, or a label row in an untouched
+    // component — means liveAfter and the store disagree about the graph;
+    // silently dropping the edge would lose connectivity, keeping it
+    // would duplicate a label row. Refuse symmetrically on BOTH endpoints
+    // (the round-16 code semi-joined only the lower one).
+    val nUnknown = induced
+      .join(touchedNodes.select(col("node").as("u")), Seq("u"), "left_anti")
+      .select(col("u").as("n"))
+      .unionAll(
+        induced
+          .join(touchedNodes.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select(col("v").as("n")))
+      .count()
+    require(
+      nUnknown == 0,
+      s"removeFromCcStore: $nUnknown liveAfter edge endpoints touch a re-solved component " +
+        s"but are not labeled inside it in $path — liveAfter must cover the touched " +
+        "components with store-labeled nodes only (an unknown endpoint would either drop " +
+        "connectivity or leave a node two label rows); rebuild with writeCcStore if the " +
+        "store and the live edge set have diverged")
     val resolved = Dedup.clusterPairs(induced, "u", "v")
       .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
       .localCheckpoint()
@@ -1392,16 +1644,67 @@ object Graph {
       spark,
       touchedComps
         .unionAll(resolved.select("comp"))
-        .unionAll(isolated.select("comp")))
+        .unionAll(isolated.select("comp")),
+      nb)
     val content = labels
       .filter(col("bucket").isin(touched: _*)) // prunes on the PARTITION column
       .join(touchedComps, Seq("comp"), "left_anti")
       .select("node", "comp")
       .unionAll(resolved.select("node", "comp"))
       .unionAll(isolated.select("node", "comp"))
+    val trees = Seq(
+      ("cclabels", content.withColumn("bucket", labelBucket(col("comp"), nb)), touched)) ++
+      (if (!Similarity.storeExists(spark, s"$path/nodeidx")) Nil
+       else {
+         // every changed row's node is a touched-component member, so the
+         // secondary index's write set is their node buckets
+         val nTouched = touchedNodes
+           .select(nodeBucket(col("node"), nb).as("b"))
+           .distinct()
+           .collect().map(_.getInt(0)).toSeq.sorted
+         val idxContent = spark.read.parquet(s"$path/nodeidx")
+           .filter(col("bucket").isin(nTouched: _*))
+           .select("node", "comp")
+           .join(touchedNodes.select("node"), Seq("node"), "left_anti")
+           .unionAll(resolved.select("node", "comp"))
+           .unionAll(isolated.select("node", "comp"))
+         Seq(("nodeidx", idxContent.withColumn("bucket", nodeBucket(col("node"), nb)), nTouched))
+       })
+    // a removal cannot be replayed from remap pairs (splits re-assign
+    // labels wholesale), so it truncates the generation log: as-of reads
+    // refuse afterwards instead of replaying a log that stopped being true
+    Similarity.deleteDir(spark, s"$path/cclog")
     stageAndApply(spark, path, "removeFromCcStore", "", replaceTarget = false,
-      None, content.withColumn("bucket", labelBucket(col("comp"))), touched, "cclabels")
+      None, trees)
   }
+
+  /** The components holding `nodes` — [[removeFromCcStore]]'s membership
+    * probe. With the node-bucketed secondary index the read prunes to the
+    * probed nodes' buckets ([[nodeBucket]] partition pruning — the plan
+    * spec pins it); a legacy store without `nodeidx` falls back to the
+    * full label scan the comp-keyed layout forces. Exposed private[graft]
+    * so the plan spec can assert the pruning on the exact frame the
+    * mutator runs.
+    */
+  private[graft] def ccCompsOfNodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nodes: DataFrame,
+      labels: DataFrame,
+      nb: Int): DataFrame =
+    if (Similarity.storeExists(spark, s"$path/nodeidx")) {
+      val nodeBuckets = nodes
+        .select(nodeBucket(col("node"), nb).as("b"))
+        .distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      spark.read.parquet(s"$path/nodeidx")
+        .filter(col("bucket").isin(nodeBuckets: _*)) // prunes on the PARTITION column
+        .join(nodes, Seq("node"), "left_semi")
+        .select("comp")
+    } else
+      labels
+        .join(nodes, Seq("node"), "left_semi")
+        .select("comp")
 
   /** One micro-batch of STREAMING label-store maintenance (the
     * foreachBatch body a growing interaction graph runs beside
@@ -1430,19 +1733,78 @@ object Graph {
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
       // batch 0 must still retire a previous run's store
-      Seq("cclabels", "staged", "staged.compacting", "cclabels.compacting", "params")
+      Seq("cclabels", "nodeidx", "nodeidx.compacting", "cclog", "bucketing",
+        "staged", "staged.compacting", "cclabels.compacting", "params")
         .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
       if (undirectedEdges(batch).isEmpty) return
       // the pin lands AFTER the write (which deletes params by the
       // full-write contract): a crash between the two leaves a pinless
-      // batch store the retry re-claims — never a pinned empty root
-      writeCcStore(batch, path)
+      // batch store the retry re-claims — never a pinned empty root; the
+      // write also logs generation 0 (log included in any re-claim)
+      writeCcStoreInternal(batch, path, supportBuckets, Some(batchId))
       Seq("cclabels-stream").toDF("kind")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
       return
     }
-    appendCcStore(batch, path) // self-repairing + idempotent (doc above)
+    appendCcInternal(batch, path, Some(batchId)) // self-repairing + idempotent (doc above)
+  }
+
+  /** TIME-TRAVEL read of a STREAM label store: the (node, comp) labels as
+    * of generation `batchId` — the edge store's [[liveEdgesAsOf]] closing
+    * its round-16 asymmetry. The live table cannot answer this (merges
+    * fold labels in place), so [[ingestCcBatch]] logs each generation's
+    * REMAP PAIRS (old comp → merged comp, ≤ 2·|delta| rows) and NEW-NODE
+    * rows under `cclog/batch_id=N`, and this read replays the log:
+    * restrict to `batch_id <= N`, resolve every logged insertion label
+    * through the remap closure, done — no per-batch snapshots kept.
+    *
+    * Why one [[graft.ops.Dedup.clusterPairs]] pass resolves the chains
+    * exactly, with no per-batch loop: in the append-only stream, remap
+    * TARGETS are merged-set minima, so every remap strictly DECREASES the
+    * label and a retired label can never reappear as a live component
+    * (its node now sits inside a smaller-minimum component, and merging
+    * is monotone) — hence each label is a remap SOURCE at most once
+    * across all generations, the restricted log is a functional acyclic
+    * graph, every weakly-connected set funnels into its unique sink, and
+    * that sink IS the set's minimum (any other member has a decreasing
+    * path onto it). So cluster-min = chain-terminal, which is exactly the
+    * label as of N. A node logged at batch b carries its post-batch-b
+    * label, and no remap of batch ≤ b can have it as a source (the label
+    * was live at b), so replaying the WHOLE restricted log over every
+    * node is safe. Mutations outside the stream (a direct batch append, a
+    * removal — whose splits re-assign labels wholesale and cannot be
+    * expressed as remap pairs) TRUNCATE the log, and this read then
+    * refuses with that stated instead of replaying a log that stopped
+    * being true.
+    *
+    * Scale shape: one partition-pruned log read (`batch_id <= N`), the
+    * O(log n) contraction over cumulative-merge-count rows, one
+    * broadcastable equi-join onto the logged insertions.
+    */
+  def readCcLabelsAsOf(
+      spark: org.apache.spark.sql.SparkSession, path: String, batchId: Long): DataFrame = {
+    Similarity.requireNotInflight(spark, path)
+    require(
+      Similarity.storeExists(spark, s"$path/cclog"),
+      s"readCcLabelsAsOf: the label store at $path keeps no generation log — only " +
+        "ingestCcBatch-maintained stores do, and a batch append or a removal truncates " +
+        "it (merges fold labels in place and splits re-assign them, so history is not " +
+        "reconstructable from the live table)")
+    val log = spark.read.parquet(s"$path/cclog").filter(col("batch_id") <= batchId)
+    val nodes0 = log.filter(col("kind") === "node")
+      .select(col("a").as("node"), col("b").as("comp0"))
+    val remaps = log.filter(col("kind") === "remap")
+      .select(col("a").as("cu"), col("b").as("cv"))
+      .localCheckpoint()
+    if (remaps.isEmpty) nodes0.select(col("node"), col("comp0").as("comp"))
+    else {
+      val resolved = Dedup.clusterPairs(remaps, "cu", "cv")
+        .select(col("doc_id").as("comp0"), col("cluster_id").as("comp_new"))
+      nodes0
+        .join(resolved, Seq("comp0"), "left")
+        .select(col("node"), coalesce(col("comp_new"), col("comp0")).as("comp"))
+    }
   }
 
   /** The label store's read face, refusing a mid-crash store. Matches
@@ -1460,9 +1822,9 @@ object Graph {
     * rows ever.
     */
   private def touchedLabelBuckets(
-      spark: org.apache.spark.sql.SparkSession, comps: DataFrame): Seq[Int] =
+      spark: org.apache.spark.sql.SparkSession, comps: DataFrame, n: Int): Seq[Int] =
     comps
-      .select(labelBucket(col("comp")).as("b"))
+      .select(labelBucket(col("comp"), n).as("b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
@@ -1500,13 +1862,15 @@ object Graph {
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
           applyStaged(spark, path)
         Similarity.deleteDir(spark, s"$path/staged.compacting")
-        val live = new org.apache.hadoop.fs.Path(s"$path/cclabels")
-        val tmp = new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting")
-        if (fs.exists(tmp)) {
-          if (!fs.exists(live) &&
-            fs.exists(new org.apache.hadoop.fs.Path(s"$path/cclabels.compacting/_SUCCESS")))
-            require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
-          else fs.delete(tmp, true)
+        Seq("cclabels", "nodeidx").foreach { sub =>
+          val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compacting")
+          if (fs.exists(tmp)) {
+            if (!fs.exists(live) &&
+              fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub.compacting/_SUCCESS")))
+              require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+            else fs.delete(tmp, true)
+          }
         }
         Similarity.clearInflight(spark, path)
     }
@@ -1531,22 +1895,73 @@ object Graph {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run the DELTA-BOUNDED tail of an incremental edge-store mutation
+    * without adaptive execution and at a shuffle width sized from the
+    * measured delta. Two coupled fixes for the round-16 "+4 s per store
+    * row", both scheduling overhead, neither data:
+    *
+    *  - AQE schedules every shuffle stage as its own driver job
+    *    (re-optimizing between them) — right for one big exploratory
+    *    query, wrong for a mutation protocol of many SMALL
+    *    materializations (one append was 25 driver jobs with AQE, 15
+    *    without; the counted-jobs spec pins the ceiling). The tail gives
+    *    up nothing AQE would buy: its plans are structurally skew-proof
+    *    (delta wedges anchor at the low-degree endpoint, store reads
+    *    prune on the bucket partition column, every frame is
+    *    |delta|·avg-degree-bounded by construction).
+    *  - the session's `shuffle.partitions` is sized for corpus work; a
+    *    small churn batch through full-width shuffles pays task-launch
+    *    latency per stage for nothing (measured ~0.9 s of the append).
+    *    The width here is `min(session, max(8, deltaRows/50k))` — what
+    *    AQE's coalescing would pick, without its per-stage job rounds —
+    *    so a 10M-edge daily delta at 100 TB still fans out while the
+    *    bench's 9k-edge batch runs 8-wide.
+    *
+    * The CORPUS-SHAPED work stays outside: full builds keep AQE (one big
+    * solve — its use case), and each mutator materializes its delta
+    * (anti-join against the live corpus) under session conf BEFORE
+    * entering the tail, which is also what supplies `deltaRows`. The
+    * third knob: a >32-bucket store trips Spark's parallel
+    * partition-discovery threshold, turning every pruned read's listing
+    * into its own distributed job — driver-side listing of a few
+    * thousand bucket dirs is microseconds. All keys restore on exit even
+    * on failure; they are session-scoped, so a concurrent reader
+    * planning inside the window merely plans non-adaptively (a perf
+    * nuance, never a correctness one).
+    */
+  private def deltaScoped[T](
+      spark: org.apache.spark.sql.SparkSession, deltaRows: Long)(f: => T): T = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val width = math.min(session.toLong, math.max(8L, deltaRows / 50000L + 1L))
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> width.toString,
+      "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "4096")
+    val olds = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** The buckets a mutation must rewrite: every bucket holding a churned
     * edge or a credited edge. The collect is a bounded decision read —
     * at most [[supportBuckets]] rows ever.
     */
-  private def touchedBucketIds(churned: DataFrame, credits: DataFrame): Seq[Int] =
+  private def touchedBucketIds(churned: DataFrame, credits: DataFrame, n: Int): Seq[Int] =
     churned.select(col("u"), col("v"))
       .unionAll(credits.select(col("u"), col("v")))
-      .select(supportBucket(col("u"), col("v")).as("b"))
+      .select(supportBucket(col("u"), col("v"), n).as("b"))
       .distinct()
       .collect()
       .map(_.getInt(0))
       .toSeq
       .sorted
 
-  private def withSupportBucket(supportNew: DataFrame): DataFrame =
-    supportNew.withColumn("bucket", supportBucket(col("u"), col("v")))
+  private def withSupportBucket(supportNew: DataFrame, n: Int): DataFrame =
+    supportNew.withColumn("bucket", supportBucket(col("u"), col("v"), n))
 
   /** Fail fast, with the repair named, when a store predates the
     * bucketed layout (a flat table from an older binary): the mutators'
@@ -1578,12 +1993,20 @@ object Graph {
     * file-by-file (`replaceTarget` false: the batch store's
     * `edges`/`tombstones` grow), or as a whole-directory swap
     * (`replaceTarget` true: the stream store's `edges/batch_id=N`
-    * generation, where a retry must replace its own half-landed files).
-    * `bucketed` is the new content of the touched buckets of
-    * `$path/$bucketSub`, WITH its bucket column already attached; every
-    * touched bucket is staged even when its new content is empty, so the
-    * apply can retire emptied buckets. The CC label store reuses the
-    * whole protocol with `bucketSub = "cclabels"` and no delta tree.
+    * generation, where a retry must replace its own half-landed files;
+    * also the batch compaction's flat `edges` rewrite). `bucketed` is a
+    * list of `(sub, content, touched)` trees — the new content of the
+    * touched buckets of each `$path/$sub`, WITH the bucket column
+    * already attached; every touched bucket is staged even when its new
+    * content is empty, so the apply can retire emptied buckets (with ONE
+    * schema-bearing empty file seeded, so a mutation emptying every
+    * populated bucket never leaves a tree parquet schema inference
+    * cannot read). The CC label store reuses the whole protocol with
+    * subs `cclabels` + `nodeidx` and its remap log as the delta tree.
+    * `stamp` (stream stores) swaps the plain-file exactly-once stamp in
+    * the same apply; `clearTombs` (batch compaction) deletes the
+    * tombstones inside the apply, so no crash window can separate the
+    * edges rewrite from the tombstone clear.
     */
   private def stageAndApply(
       spark: org.apache.spark.sql.SparkSession,
@@ -1592,29 +2015,43 @@ object Graph {
       deltaTarget: String,
       replaceTarget: Boolean,
       edgesDelta: Option[DataFrame],
-      bucketed: DataFrame,
-      touched: Seq[Int],
-      bucketSub: String = "support"): Unit = {
+      bucketed: Seq[(String, DataFrame, Seq[Int])],
+      stamp: Option[Long] = None,
+      clearTombs: Boolean = false): Unit = {
     val fs = hfs(spark, path)
     val tmp = s"$path/staged.compacting"
     Similarity.deleteDir(spark, tmp)
     edgesDelta.foreach(_.write.mode("overwrite").parquet(s"$tmp/edges_delta"))
-    bucketed
-      // one shuffle on the partition column so each bucket lands as ONE
-      // file — a plain partitionBy write emits a file per (task, bucket)
-      // pair, and 32 tasks x 64 buckets of tiny files taxes every later
-      // pruned read (measured 2-3x on the store rows at sf0.1)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$bucketSub")
-    touched.foreach { b =>
-      val d = new org.apache.hadoop.fs.Path(s"$tmp/$bucketSub/bucket=$b")
-      if (!fs.exists(d)) fs.mkdirs(d) // emptied bucket: swap an empty dir in
+    bucketed.foreach { case (sub, df, touched) =>
+      df
+        // one shuffle on the partition column so each bucket lands as ONE
+        // file — a plain partitionBy write emits a file per (task, bucket)
+        // pair, and 32 tasks x 64 buckets of tiny files taxes every later
+        // pruned read (measured 2-3x on the store rows at sf0.1)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/$sub")
+      var schemaSeeded = false
+      touched.foreach { b =>
+        val d = new org.apache.hadoop.fs.Path(s"$tmp/$sub/bucket=$b")
+        if (!fs.exists(d)) {
+          // emptied bucket: swap an empty dir in — but seed the FIRST one
+          // with a schema-bearing empty parquet (limit 0 collapses to an
+          // empty relation, nothing evaluates), so a mutation emptying
+          // every populated bucket still leaves a readable tree
+          if (!schemaSeeded) {
+            df.drop("bucket").limit(0).write.parquet(d.toString)
+            schemaSeeded = true
+          } else fs.mkdirs(d)
+        }
+      }
     }
-    val manifest = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/op"), true)
-    try manifest.write(
-      s"$op\n$deltaTarget\n${if (replaceTarget) "replace" else "append"}\n$bucketSub"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally manifest.close()
+    stamp.foreach(n =>
+      writeTextFile(fs, new org.apache.hadoop.fs.Path(s"$tmp/stamp"), n.toString))
+    writeTextFile(
+      fs,
+      new org.apache.hadoop.fs.Path(s"$tmp/op"),
+      s"$op\n$deltaTarget\n${if (replaceTarget) "replace" else "append"}\n" +
+        s"${bucketed.map(_._1).mkString(",")}\n${if (clearTombs) "clear_tombstones" else "-"}")
     Similarity.markInflight(spark, path, op) // refuse probes through the apply window
     require(
       fs.rename(
@@ -1635,15 +2072,16 @@ object Graph {
   private def applyStaged(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = hfs(spark, path)
     val staged = s"$path/staged"
-    val opPath = new org.apache.hadoop.fs.Path(s"$staged/op")
-    val manifest = {
-      val in = fs.open(opPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val lines = manifest.split("\n", 4)
+    val manifest = readTextFile(fs, new org.apache.hadoop.fs.Path(s"$staged/op"))
+    val lines = manifest.split("\n", 5)
     val (deltaTarget, mode) = (lines(1), lines(2))
-    val bucketSub = if (lines.length > 3 && lines(3).nonEmpty) lines(3) else "support"
+    // line 4: comma-joined bucketed subs — absent (a legacy 3-line
+    // manifest) means the original single "support" tree; explicitly
+    // empty (the compaction path) means none
+    val bucketSubs: Seq[String] =
+      if (lines.length <= 3) Seq("support")
+      else lines(3).split(",").filter(_.nonEmpty).toSeq
+    val flags = if (lines.length > 4) lines(4) else "-"
     val deltaDir = new org.apache.hadoop.fs.Path(s"$staged/edges_delta")
     if (fs.exists(deltaDir)) {
       val target = new org.apache.hadoop.fs.Path(s"$path/$deltaTarget")
@@ -1662,18 +2100,29 @@ object Graph {
         fs.delete(deltaDir, true)
       }
     }
-    val supDir = new org.apache.hadoop.fs.Path(s"$staged/$bucketSub")
-    if (fs.exists(supDir)) {
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$bucketSub")))
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$bucketSub"))
-      fs.listStatus(supDir)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
-        .foreach { d =>
-          val dst = new org.apache.hadoop.fs.Path(s"$path/$bucketSub/${d.getPath.getName}")
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(d.getPath, dst), s"apply swap ${d.getPath} -> $dst failed")
-        }
+    bucketSubs.foreach { bucketSub =>
+      val supDir = new org.apache.hadoop.fs.Path(s"$staged/$bucketSub")
+      if (fs.exists(supDir)) {
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/$bucketSub")))
+          fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$bucketSub"))
+        fs.listStatus(supDir)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+          .foreach { d =>
+            val dst = new org.apache.hadoop.fs.Path(s"$path/$bucketSub/${d.getPath.getName}")
+            if (fs.exists(dst)) fs.delete(dst, true)
+            require(fs.rename(d.getPath, dst), s"apply swap ${d.getPath} -> $dst failed")
+          }
+        fs.delete(supDir, true)
+      }
     }
+    // the stream store's exactly-once stamp swaps inside the same apply
+    val stampFile = new org.apache.hadoop.fs.Path(s"$staged/stamp")
+    if (fs.exists(stampFile)) {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/support_stamp")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(stampFile, dst), s"apply stamp swap -> $dst failed")
+    }
+    if (flags.contains("clear_tombstones")) Similarity.clearTombstones(spark, path)
     Similarity.deleteDir(spark, staged)
   }
 
@@ -1755,9 +2204,17 @@ object Graph {
     * (u < v)-normalized and checkpointed; delta ⊆ live.
     */
   private[graft] def wedgeCandidates(delta: DataFrame, live: DataFrame): DataFrame = {
+    // orientation needs degrees of DELTA ENDPOINTS only (<= 2|delta|
+    // nodes), so the adjacency is semi-joined down BEFORE the count —
+    // the round-16 version shuffled the full 2|E|-row degree aggregate
+    // per mutation, the one corpus-sized shuffle in the delta tail
+    val ends = delta
+      .select(col("u").as("node")).unionAll(delta.select(col("v").as("node")))
+      .distinct()
     val deg = live
       .select(col("u").as("node"))
       .unionAll(live.select(col("v").as("node")))
+      .join(ends, Seq("node"), "left_semi")
       .groupBy("node")
       .agg(count(lit(1)).as("d"))
     val oriented = delta

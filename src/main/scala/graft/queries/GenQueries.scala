@@ -691,6 +691,53 @@ object GenQueries {
       graft.ops.Graph.removeFromCcStore(rem, liveAfter, idx)
       graft.ops.Graph.readCcLabels(s, idx)
     },
+    // the INDEXED removal — the regime the node-keyed secondary index
+    // exists for: a SMALL cut (n%1000==4 first chords, ~1/100 of the
+    // decades) against a big store. buildCcNodeIndex opts the store in; the
+    // removal's membership probe then PRUNES to the removed endpoints'
+    // node buckets instead of scanning every label row, and the mutation
+    // maintains cclabels + nodeidx through ONE staged apply (the
+    // mirror-consistency spec pins their equality)
+    "graph_cc_removal_indexed" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccremidx_${ProcessHandle.current().pid()}"
+      val base = k
+        .filter(col("n") % 10 <= 8)
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 10 <= 1).select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.writeCcStore(base, idx)
+      graft.ops.Graph.buildCcNodeIndex(s, idx)
+      val rem = k
+        .filter(col("n") % 1000 === 4)
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+      val liveAfter = base.join(
+        rem.select(col("src").as("rs"), col("dst").as("rd")),
+        col("src") === col("rs") && col("dst") === col("rd"),
+        "left_anti")
+      graft.ops.Graph.removeFromCcStore(rem, liveAfter, idx)
+      graft.ops.Graph.readCcLabels(s, idx)
+    },
+    // TIME-TRAVEL over the streamed label store's remap log: the same
+    // three-generation ingest as graph_cc_streamed, labels read AS OF
+    // batch 1 — the third generation's merges must be invisible, and the
+    // replay (insertion labels resolved through the remap closure) must
+    // hash-equal the min-label closure over just the first two
+    // generations
+    "graph_cc_asof" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccasof_${ProcessHandle.current().pid()}"
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx, 0L)
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 30 === 8).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx, 1L)
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 1).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx, 2L)
+      graft.ops.Graph.readCcLabelsAsOf(s, idx, 1L)
+    },
     // the store's read-side dividend: per-node triangle counts served
     // from the incrementally-maintained support (sum of incident edge
     // supports = 2·tri(v)) — no wedge join at read time; must hash-equal
@@ -1629,6 +1676,39 @@ object GenQueries {
         |       WHERE NOT (v = u + 1 AND (u % 10 = 4 OR u % 10 = 0))),
         |edges AS (SELECT u AS a, v AS b FROM l0 UNION SELECT v, u FROM l0),
         |nodes AS (SELECT u AS id FROM b0 UNION SELECT v FROM b0),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // the indexed removal's oracle is the same post-removal min-label
+    // closure seeded at every base node — only the cut differs (the
+    // n%1000==4 first chords), the index never changes answers
+    "graph_cc_removal_indexed" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |b00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 8
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 10 <= 1),
+        |b0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM b00 WHERE src <> dst),
+        |l0 AS (SELECT u, v FROM b0
+        |       WHERE NOT (v = u + 1 AND u % 1000 = 4)),
+        |edges AS (SELECT u AS a, v AS b FROM l0 UNION SELECT v, u FROM l0),
+        |nodes AS (SELECT u AS id FROM b0 UNION SELECT v FROM b0),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // labels as of batch 1 = the min-label closure over the first TWO
+    // generations' union — the replay must make generation 2 invisible
+    "graph_cc_asof" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e00 WHERE src <> dst),
+        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
         |reach(id, r) AS (
         |  SELECT id, id FROM nodes
         |  UNION

@@ -858,4 +858,187 @@ class GraphSpec extends SparkSpec {
     assert(supMap(Graph.triangleSupport(live.selectExpr("u AS src", "v AS dst")))
       .values.forall(_ === 0L))
   }
+
+  test("edge store: the bucket count is a store pin — 16-bucket layout mutates green") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("bucketpin").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (1L to 100L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir, buckets = 16)
+    // the layout really is 16-wide, and the mutators read the pin (a
+    // 64-bucket binary default would scatter the swap across alien dirs)
+    def bucketDirs(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/support"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(bucketDirs().forall(d => d.stripPrefix("bucket=").toInt < 16), bucketDirs().toString)
+    assert(Graph.storeBuckets(spark, dir) === 16)
+    Graph.appendEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+    Graph.removeFromEdgeStore(Seq((7L, 8L)).toDF("src", "dst"), dir)
+    val want = base.unionAll(Seq((1L, 3L)).toDF("src", "dst"))
+      .filter(!(col("src") === 7L && col("dst") === 8L))
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(want)))
+    assert(bucketDirs().forall(d => d.stripPrefix("bucket=").toInt < 16))
+    // an alien bucket-FUNCTION version must refuse, never silently swap
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/bucketing"), true)
+    out.write("v0\n16".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](
+      Graph.appendEdgeStore(Seq((2L, 4L)).toDF("src", "dst"), dir))
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the cc store pins likewise
+    val cdir = java.nio.file.Files.createTempDirectory("ccbucketpin").toString
+    Graph.writeCcStore((0L until 40L by 2L).map(i => (i, i + 1)).toDF("src", "dst"),
+      cdir, buckets = 16)
+    assert(Graph.storeBuckets(spark, cdir) === 16)
+    Graph.appendCcStore(Seq((1L, 2L)).toDF("src", "dst"), cdir)
+    val got = Graph.readCcLabels(spark, cdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) === 0L && got(2L) === 0L && got(4L) === 4L, got.toString)
+  }
+
+  test("cc store: nodeidx mirrors cclabels exactly; membership probes prune to node buckets") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("nodeidx").toString
+    val base = (0L until 200L by 2L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeCcStore(base, dir)
+    // the index is OPT-IN (stores that never remove skip the second
+    // tree); building it backfills from the current labels
+    Graph.buildCcNodeIndex(spark, dir)
+    def rows(sub: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$dir/$sub").select("node", "comp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows("nodeidx") === rows("cclabels"))
+    // a merge keeps the mirror in lockstep (remapped rows + new nodes)
+    Graph.appendCcStore(Seq((5L, 6L), (300L, 301L)).toDF("src", "dst"), dir)
+    assert(rows("nodeidx") === rows("cclabels"))
+    // a removal splices both trees identically
+    Graph.removeFromCcStore(
+      Seq((5L, 6L)).toDF("src", "dst"),
+      base.unionAll(Seq((300L, 301L)).toDF("src", "dst")),
+      dir)
+    assert(rows("nodeidx") === rows("cclabels"))
+    // the membership probe (removeFromCcStore's first read) PRUNES: the
+    // comp-keyed primary cannot answer a node lookup without a full scan;
+    // the node-keyed secondary reads only the probed nodes' buckets
+    val probe = Seq(4L, 17L).toDF("node").localCheckpoint()
+    val lookup = Graph.ccCompsOfNodes(
+      spark, dir, probe, spark.read.parquet(s"$dir/cclabels"),
+      Graph.storeBuckets(spark, dir))
+    lookup.count()
+    val p = lookup.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(1500))
+    val scanned = lookup.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned <= 2, s"node probe must prune to <= 2 node buckets, scanned $scanned")
+  }
+
+  test("edge store: one append mutation stays inside the fused driver-job budget") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("jobbudget").toString
+    val base = (1L to 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Graph.appendEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+      org.apache.spark.graft.TestShim.drainListenerBus(spark.sparkContext)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    info(s"jobs for one appendEdgeStore: ${jobs.get()}")
+    // the round-16 protocol paid 25 driver-scheduled jobs per append (AQE
+    // materialized every shuffle stage as its own job, plus two separate
+    // decision probes and a full liveNew materialization); the two-phase
+    // path runs ~17: the corpus-shaped delta materialization under AQE,
+    // then a non-adaptive delta-sized tail — three checkpoints, ONE fused
+    // probe, one bucket collect, three writes — with the remainder
+    // broadcast-exchange builds, which schedule off-thread and are the
+    // cheap kind. The bound fails if AQE creeps back into the tail or a
+    // per-step probe returns
+    assert(jobs.get() <= 20, s"append exceeded the fused job budget: ${jobs.get()}")
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(base.unionAll(Seq((1L, 3L)).toDF("src", "dst")))))
+  }
+
+  test("cc stream store: as-of reads replay the remap log; any unlogged mutation refuses") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccasof").toString
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def batchCc(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ops.Dedup.clusterPairs(
+        edges.selectExpr("least(src, dst) AS u", "greatest(src, dst) AS v"), "u", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val b1 = Seq((2L, 3L), (20L, 21L)).toDF("src", "dst") // merges {1,2}+{3,4}
+    val b2 = Seq((11L, 20L)).toDF("src", "dst") // merges {10,11}+{20,21}
+    Graph.ingestCcBatch(b0, dir, 0L)
+    Graph.ingestCcBatch(b1, dir, 1L)
+    Graph.ingestCcBatch(b2, dir, 2L)
+    // each generation's labels reconstruct from the log alone
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 0L)) === batchCc(b0))
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 1L)) === batchCc(b0.unionAll(b1)))
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) ===
+      batchCc(b0.unionAll(b1).unionAll(b2)))
+    // ... and the latest as-of equals the live read
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) ===
+      labelMap(Graph.readCcLabels(spark, dir)))
+    // an UNLOGGED batch append truncates the log: as-of must refuse with
+    // the truncation stated, not replay a log that stopped being true
+    Graph.appendCcStore(Seq((4L, 10L)).toDF("src", "dst"), dir)
+    val e1 = intercept[IllegalArgumentException](Graph.readCcLabelsAsOf(spark, dir, 1L))
+    assert(e1.getMessage.contains("generation log"), e1.getMessage)
+    // a batch-built store never had one
+    val bdir = java.nio.file.Files.createTempDirectory("ccasofbatch").toString
+    Graph.writeCcStore(b0, bdir)
+    val e2 = intercept[IllegalArgumentException](Graph.readCcLabelsAsOf(spark, bdir, 0L))
+    assert(e2.getMessage.contains("generation log"), e2.getMessage)
+  }
+
+  test("edge store: removing every live edge leaves a READABLE empty support tree") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("emptystore").toString
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    // every populated bucket empties: without a schema-bearing seed file
+    // the support tree would be all-bare dirs and parquet schema
+    // inference would throw on the next read (round-17 advisory)
+    Graph.removeFromEdgeStore(base, dir)
+    assert(Graph.readEdgeSupport(spark, dir).count() === 0L)
+    assert(Graph.readTriangleCounts(spark, dir).count() === 0L)
+  }
+
+  test("edge store: a compact crash window cannot strand already-applied tombstones") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("compactcrash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    Graph.removeFromEdgeStore(Seq((2L, 3L)).toDF("src", "dst"), dir)
+    // simulate a compactEdgeStore crash AFTER its staged commit: the
+    // tree is laid out exactly as stageAndApply stages it (flat live
+    // edges + a clear_tombstones manifest), marker planted, committed.
+    // The round-16 two-step protocol's repair would have cleared the
+    // marker but LEFT the tombstones, refusing this re-insert forever.
+    val tmp = s"$dir/staged.compacting"
+    Seq((1L, 2L), (1L, 3L)).toDF("u", "v").write.parquet(s"$tmp/edges_delta")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/op"), true)
+    out.write("compactEdgeStore\nedges\nreplace\n\nclear_tombstones".getBytes("UTF-8"))
+    out.close()
+    Seq("compactEdgeStore").toDF("op").write.parquet(s"$dir/inflight")
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/staged")))
+    // the next mutator rolls the compact forward — edges rewritten AND
+    // tombstones cleared in the same apply — so re-inserting the
+    // physically-gone edge succeeds
+    Graph.appendEdgeStore(Seq((2L, 3L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
+  }
 }
