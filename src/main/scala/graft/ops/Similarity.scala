@@ -1516,7 +1516,45 @@ object Similarity {
       ksub: Int = 8,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit =
+    writeIvfPqWith(corpus, corpus, path, nCentroids, iters, m, ksub, dim, idCol, vecCol)
+
+  /** [[writeIvfPqIndex]] with the TRAIN/ADD split on BOTH quantizers —
+    * the composed twin of [[writeIvfIndexTrained]]: the coarse k-means
+    * chain AND the PQ codebook seeds derive from `trainSet` (a bounded
+    * sample or snapshot), while `codes/` holds the full `corpus` encoded
+    * and cell-routed against those frozen quantizers. At 100 TB a Lloyd
+    * iteration is a corpus-wide aggregate and the codebook seed collect
+    * is a corpus sort — both belong on a sample; the one full-corpus
+    * pass left is the assign+encode write, which any build must pay.
+    * Identical layout, params, and probe semantics to the untrained
+    * build; a `trainSet` drifting from the corpus shows up in
+    * [[indexDriftReport]] and costs probes in [[autoTuneNProbeIvfPq]].
+    */
+  def writeIvfPqIndexTrained(
+      corpus: DataFrame,
+      trainSet: DataFrame,
+      path: String,
+      nCentroids: Int = 16,
+      iters: Int = 3,
+      m: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit =
+    writeIvfPqWith(corpus, trainSet, path, nCentroids, iters, m, ksub, dim, idCol, vecCol)
+
+  private def writeIvfPqWith(
+      corpus: DataFrame,
+      trainSet: DataFrame,
+      path: String,
+      nCentroids: Int,
+      iters: Int,
+      m: Int,
+      ksub: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String): Unit = {
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1525,9 +1563,9 @@ object Similarity {
     // probes, never silently probed as new-codes-under-old-codebook
     markInflight(spark, path, "writeIvfPqIndex")
     deleteDir(spark, s"$path/tombstones")
-    val cents = ivfCentroids(corpus, nCentroids, iters, idCol, vecCol)
+    val cents = ivfCentroids(trainSet, nCentroids, iters, idCol, vecCol)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val cb = pqCodebook(corpus, m, dim / m, ksub, idCol, vecCol)
+    val cb = pqCodebook(trainSet, m, dim / m, ksub, idCol, vecCol)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     // one encode pass (localCheckpoint) feeds the cell-routed codes AND
     // the drift baseline — the writePqIndex discipline
@@ -2655,10 +2693,15 @@ object Similarity {
     * Returns one row per rung: `(n_centroids, n_probe, recall_milli,
     * candidates_scored, chosen)`.
     *
-    * Scale shape: |ladder| index builds (each the [[writeIvfIndex]]
-    * assign + partitioned write — the deliberate, offline price of
-    * tuning a build knob) + ONE exact ground truth + |ladder|
-    * warm-started nProbe searches of 1-row decision reads each.
+    * Scale shape: |ladder| index builds + ONE exact ground truth +
+    * |ladder| warm-started nProbe searches of 1-row decision reads each.
+    * Each rung builds via the [[writeIvfIndexTrained]] split: its Lloyd
+    * chain runs over `trainSet` (a caller-bounded sample — at 100 TB a
+    * ladder must NOT pay |ladder| full-corpus Lloyd runs when the
+    * train/add split exists precisely to avoid one), and the corpus pays
+    * exactly one assign + partitioned write per rung, the irreducible
+    * price of materializing a real store to tune. `trainSet` = None
+    * trains on the full corpus (the small-corpus default).
     */
   def autoTuneIvfBuild(
       spark: org.apache.spark.sql.SparkSession,
@@ -2669,6 +2712,7 @@ object Similarity {
       targetRecallMilli: Long = 950L,
       ladder: Seq[Int] = Seq(4, 8, 16),
       iters: Int = 3,
+      trainSet: Option[DataFrame] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
@@ -2681,12 +2725,17 @@ object Similarity {
     val corpusN = corpus
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
+    // the ladder re-reads the train set |ladder|·iters times (one Lloyd
+    // chain per rung) — checkpoint it once, not per rung
+    val train = trainSet
+      .map(_.select(col(idCol).cast("long").as(idCol), col(vecCol)).localCheckpoint())
+      .getOrElse(corpusN)
     val q = queries.localCheckpoint()
     val exact = bruteForceTopK(q, corpusN, k, idCol, vecCol).localCheckpoint()
     var hint = 0
     val rungs = ladder.map { nc =>
       val p = s"$workDir/nc_$nc"
-      writeIvfIndex(corpusN, p, nc, iters, idCol, vecCol)
+      writeIvfIndexTrained(corpusN, train, p, nc, iters, idCol, vecCol)
       val cents = spark.read.parquet(s"$p/centroids")
       val cells = spark.read.parquet(s"$p/cells") // fresh build: no tombstones
       // the tuner's output is a 1-row local relation (the search already
@@ -2720,7 +2769,11 @@ object Similarity {
     * which is the honest "this codebook cannot meet the SLO at any
     * nProbe; retrain or re-code" signal rather than a silent pick.
     * Returns one row per rung: `(n_centroids, n_probe, recall_milli,
-    * candidates_scored, passed, chosen)`. Oracle posture mirrors
+    * candidates_scored, passed, chosen)`. Rungs build via
+    * [[writeIvfPqIndexTrained]]: BOTH quantizers (coarse Lloyd chain,
+    * PQ codebook seeds) train on `trainSet` when given — the composed
+    * ladder otherwise pays 2·|ladder| corpus-scale training passes at
+    * 100 TB. Oracle posture mirrors
     * [[autoTuneNProbeIvfPq]]: the search kernel and the flat ladder are
     * oracle-pinned (`ann_autotune_nprobe`, `ann_autotune_build`); the
     * composed ladder is spec-verified against the oracle-checked
@@ -2740,6 +2793,7 @@ object Similarity {
       m: Int = 4,
       ksub: Int = 8,
       dim: Int = 64,
+      trainSet: Option[DataFrame] = None,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import spark.implicits._
@@ -2752,12 +2806,17 @@ object Similarity {
     val corpusN = corpus
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .localCheckpoint()
+    // same rent argument as the flat ladder: both quantizers' training
+    // re-reads this frame per rung — checkpoint once
+    val train = trainSet
+      .map(_.select(col(idCol).cast("long").as(idCol), col(vecCol)).localCheckpoint())
+      .getOrElse(corpusN)
     val q = queries.localCheckpoint()
     val exact = bruteForceTopK(q, corpusN, k, idCol, vecCol).localCheckpoint()
     var hint = 0
     val rungs = ladder.map { nc =>
       val p = s"$workDir/nc_$nc"
-      writeIvfPqIndex(corpusN, p, nc, iters, m, ksub, dim, idCol, vecCol)
+      writeIvfPqIndexTrained(corpusN, train, p, nc, iters, m, ksub, dim, idCol, vecCol)
       val cents = spark.read.parquet(s"$p/centroids")
       val codes = spark.read.parquet(s"$p/codes") // fresh build: no tombstones
       val row = nProbeSearch(

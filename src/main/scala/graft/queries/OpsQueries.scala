@@ -1152,13 +1152,19 @@ object OpsQueries {
     // ONE shared exact baseline (warm-started rung to rung), and the
     // chosen rung is the cheapest probe meeting the SLO (min
     // candidates_scored, ties to the coarser build) — the full
-    // trade-off table is returned, and the oracle re-derives every rung
-    // by scanning p in 1..nc over its own Lloyd chain
+    // trade-off table is returned. Every rung TRAINS on the bounded
+    // vec_id%3!=0 sample and assigns the full corpus (the
+    // writeIvfIndexTrained split — at 100 TB the ladder must not pay
+    // |ladder| full-corpus Lloyd runs); the oracle re-derives every rung
+    // by running its Lloyd chain over the SAME sample, assigning the
+    // full corpus, and scanning p in 1..nc
     "ann_autotune_build" -> { (s, dir) =>
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val qs = e.filter(col("vec_id") < 8)
       val work = s"${sys.props("java.io.tmpdir")}/graft_tune_build_${ProcessHandle.current().pid()}"
-      Similarity.autoTuneIvfBuild(s, work, e, qs, k = 5)
+      Similarity.autoTuneIvfBuild(
+        s, work, e, qs, k = 5,
+        trainSet = Some(e.filter(col("vec_id") % 3 =!= 0)))
     },
     // the PQ face of the recall dial: the compressed-domain ADC probe
     // scored against exact brute force over the same corpus — what the
@@ -2047,16 +2053,18 @@ object OpsQueries {
   }
 
   /** One build-ladder rung's CTE chain for ann_autotune_build: Lloyd
-    * k-means seeded from the first `nc` ids (the [[kmeansCellsCtes]]
-    * chain, prefix-scoped), plus the shared tune block scanning every
-    * p in 1..nc.
+    * k-means seeded from the lowest `nc` ids of the TRAIN SAMPLE `et`
+    * (vec_id%3!=0 — mirroring the operator's writeIvfIndexTrained
+    * split) and iterated over `et`, with the FULL corpus `e` assigned
+    * against the trained centroids, plus the shared tune block scanning
+    * every p in 1..nc.
     */
   private def buildRungCtes(nc: Int): String = {
     val pfx = s"b$nc"
-    s"""${pfx}c0 AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM e WHERE id < $nc),
-       |${kmeansLloydCtesOn(1, "e", pfx)},
-       |${kmeansLloydCtesOn(2, "e", pfx)},
-       |${kmeansLloydCtesOn(3, "e", pfx)},
+    s"""${pfx}c0 AS (SELECT id AS cid, v AS cv, nrm AS cnrm FROM et ORDER BY id LIMIT $nc),
+       |${kmeansLloydCtesOn(1, "et", pfx)},
+       |${kmeansLloydCtesOn(2, "et", pfx)},
+       |${kmeansLloydCtesOn(3, "et", pfx)},
        |${kmeansAssignCteOn(s"${pfx}cells", s"${pfx}c3", "e")},
        |${tuneBlockCtes(pfx, s"${pfx}cells", s"${pfx}c3", maxP = nc)}""".stripMargin
   }
@@ -2069,6 +2077,7 @@ object OpsQueries {
          |        WHERE prn <= t.np) AS candidates_scored
          |FROM b${nc}sel t""".stripMargin
     s"""WITH ${embCte("SELECT vec_id, embedding FROM embeddings")},
+       |et AS (SELECT id, v, nrm FROM e WHERE id % 3 <> 0),
        |bscored AS (
        |  SELECT q.id AS query_id, c.id AS neighbor_id,
        |         round($dotSql / (q.nrm * c.nrm), 6) AS cos_r

@@ -318,7 +318,10 @@ class OpsSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 8)
-    val rows = Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5)
+    // the registry's bounded train sample: each rung's Lloyd chain runs
+    // over it, the store's cells hold the full corpus
+    val train = e.filter(col("vec_id") % 3 =!= 0)
+    val rows = Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5, trainSet = Some(train))
       .collect()
       .map(r => (r.getAs[Long]("n_centroids"), r.getAs[Long]("n_probe"),
         r.getAs[Long]("recall_milli"), r.getAs[Long]("candidates_scored"),
@@ -338,6 +341,15 @@ class OpsSpec extends SparkSpec {
     val direct = Similarity.autoTuneNProbe(spark, s"$work/nc_8", q, k = 5).head()
     assert(direct.getAs[Long]("n_probe") === rows(1)._2, direct.toString)
     assert(direct.getAs[Long]("candidates_scored") === rows(1)._4)
+    // the rung's store IS the trained-split build: its centroids equal a
+    // direct writeIvfIndexTrained over the same sample (the quantizer
+    // trained on the sample, never the corpus — the 100 TB contract)
+    val trainedDir = java.nio.file.Files.createTempDirectory("ivfbuildtr").toString
+    Similarity.writeIvfIndexTrained(e, train, trainedDir, nCentroids = 8)
+    def cents(dir: String) = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(cents(s"$work/nc_8") === cents(trainedDir),
+      "rung centroids must equal the trained-split build's")
     // ladder validation fails fast
     intercept[IllegalArgumentException](
       Similarity.autoTuneIvfBuild(spark, work, e, q, k = 5, ladder = Seq(8, 4)))
@@ -348,8 +360,11 @@ class OpsSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 8)
-    // a modest target the lossy codes can reach on this fixture
-    val rows = Similarity.autoTuneIvfPqBuild(spark, work, e, q, k = 5, targetRecallMilli = 700L)
+    // both quantizers train on the bounded sample; a modest target the
+    // lossy codes can reach on this fixture
+    val train = e.filter(col("vec_id") % 3 =!= 0)
+    val rows = Similarity.autoTuneIvfPqBuild(
+      spark, work, e, q, k = 5, targetRecallMilli = 700L, trainSet = Some(train))
       .collect()
       .map(r => (r.getAs[Long]("n_centroids"), r.getAs[Long]("n_probe"),
         r.getAs[Long]("recall_milli"), r.getAs[Long]("candidates_scored"),
@@ -370,6 +385,17 @@ class OpsSpec extends SparkSpec {
       if (passedRungs.nonEmpty) passedRungs.minBy { case (nc, _, _, c, _, _) => (c, nc) }._1
       else rows.minBy { case (nc, _, r, c, _, _) => (-r, c, nc) }._1
     assert(rows.filter(_._6).map(_._1).toSeq == Seq(want), rows.mkString(","))
+    // the rung stores ARE trained-split builds: centroids AND codebook
+    // equal a direct writeIvfPqIndexTrained over the same sample
+    val trainedDir = java.nio.file.Files.createTempDirectory("ivfpqbuildtr").toString
+    Similarity.writeIvfPqIndexTrained(e, train, trainedDir, nCentroids = 8)
+    def tbl(dir: String, sub: String) = spark.read.parquet(s"$dir/$sub")
+      .collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case x => x
+      }).toSet
+    assert(tbl(s"$work/nc_8", "centroids") === tbl(trainedDir, "centroids"))
+    assert(tbl(s"$work/nc_8", "codebook") === tbl(trainedDir, "codebook"))
     // an unreachable target still returns the full table with the honest
     // max-recall pick; a single-rung ladder's rung is always chosen
     val hard = Similarity.autoTuneIvfPqBuild(
