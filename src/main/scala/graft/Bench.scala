@@ -104,12 +104,23 @@ object Bench {
     // three-generation ingest + an as-of recompute on top
     "graph_support_asof",
     "graph_tricount_served",
+    // round-17: the incremental lifecycle PLUS a full-table relayout
+    "graph_support_rebucketed",
     "graph_cc_incremental",
     // round-16: a store build + touched-component re-solve (two star
     // contractions), same family weight as the cc store above; the
     // streamed face runs three claim/append generations
     "graph_cc_removal",
+    // round-17: the indexed removal builds the store AND the node-keyed
+    // secondary, then splices both — heavier than the unindexed face's
+    // single tree; the as-of face runs three ingest generations plus the
+    // remap-log replay
+    "graph_cc_removal_indexed",
     "graph_cc_streamed",
+    "graph_cc_asof",
+    // the fold face: the same three-generation ingest + the fold + the
+    // across-the-fold replay
+    "graph_cc_asof_compacted",
     "ann_autotune_nprobe",
     // round-16: three real index builds + three warm-started searches
     // over one shared ground truth — the build-knob ladder's honest price

@@ -1249,6 +1249,78 @@ object Graph {
     }
   }
 
+  /** RESIZE the support table's bucket layout in place — the lifecycle
+    * face of the [[storeBuckets]] pin: a store whose churn outgrew its
+    * bucket count (write amplification is capped at 1/buckets of the
+    * table, so a table that grew 100x wants more buckets) relayouts
+    * WITHOUT the full triangle recount a [[writeEdgeStore]] rebuild
+    * pays — support VALUES are layout-independent, so this is one
+    * content-preserving shuffle of the existing table plus the pin
+    * update, never a wedge join. Works on batch and stream stores alike
+    * (the support schema is identical; quiesce a live ingest first —
+    * administrative ops do not race mutations).
+    *
+    * Crash posture: the op is NOT generically repairable (rolling the
+    * relayout forward without its pin would leave layout and pin
+    * disagreeing — [[repairEdgeStore]] refuses with the re-run named);
+    * instead the op itself recovers from every window, because the
+    * relayout is content-preserving over (u, v, support) REGARDLESS of
+    * the current layout: re-reading a half-old, all-old, or all-new
+    * tree and re-bucketing it to the target count yields the same
+    * table, and the pin lands last.
+    *
+    * Scale shape: one full-table read + one shuffle on the new bucket
+    * column + one partitioned write per run — O(|edges|) rows moved,
+    * zero recomputation; the rare administrative cost that buys every
+    * subsequent mutation its 1/buckets write-set cap.
+    */
+  def rebucketEdgeStore(
+      spark: org.apache.spark.sql.SparkSession, path: String, buckets: Int): Unit = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    val fs = hfs(spark, path)
+    Similarity.inflightOp(spark, path) match {
+      case None => ()
+      case Some(op) if op.contains("rebucketEdgeStore") => () // our own re-run IS the repair
+      case Some(_) => repairEdgeStore(spark, path)
+    }
+    Similarity.markInflight(spark, path, "rebucketEdgeStore")
+    // a prior interrupted relayout: a COMPLETE tmp with the live dir gone
+    // rolls forward (it holds the only copy of the content); anything
+    // else is pre-swap garbage
+    rollForwardOrDrop(fs, s"$path/support")
+    val supDir = new org.apache.hadoop.fs.Path(s"$path/support")
+    require(
+      fs.exists(supDir),
+      s"rebucketEdgeStore: $path has no support tree — rebuild with writeEdgeStore")
+    val support = spark.read.parquet(s"$path/support")
+    requireBucketedStore(support, path, "support", "writeEdgeStore")
+    Similarity.rewriteDir(
+      spark,
+      support
+        .select("u", "v", "support")
+        .withColumn("bucket", supportBucket(col("u"), col("v"), buckets))
+        .repartition(col("bucket")), // one file per bucket (the write discipline)
+      s"$path/support",
+      Seq("bucket"))
+    writeBucketing(spark, path, buckets)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** A live dir missing with a COMPLETE `.compacting` twin (its
+    * `_SUCCESS` is the completeness witness) rolls forward; any other
+    * tmp is pre-swap garbage. The relayout ops' window cleaner.
+    */
+  private def rollForwardOrDrop(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir.compacting/_SUCCESS")))
+        require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+      else fs.delete(tmp, true)
+    }
+  }
+
   /** The store's read face: per-live-edge triangle support, refusing a
     * mid-crash store. Matches [[triangleSupport]] over the live edge set
     * exactly (the invariant the spec and the driver row pin); the stream
@@ -1372,6 +1444,8 @@ object Graph {
     // log and the node index, which no longer describe the replaced store
     Similarity.deleteDir(spark, s"$path/params")
     Similarity.deleteDir(spark, s"$path/cclog")
+    Similarity.deleteDir(spark, s"$path/cclog.compacting")
+    Similarity.deleteDir(spark, s"$path/cclog_folded")
     Similarity.deleteDir(spark, s"$path/nodeidx")
     Similarity.deleteDir(spark, s"$path/nodeidx.compacting")
     Similarity.deleteDir(spark, s"$path/staged")
@@ -1418,6 +1492,54 @@ object Graph {
         .repartition(col("bucket")),
       s"$path/nodeidx",
       Seq("bucket"))
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** RESIZE the label store's bucket layout in place — the CC face of
+    * [[rebucketEdgeStore]], with the same crash posture (content-
+    * preserving, re-runnable from every window, generically unrepairable
+    * so [[repairCcStore]] refuses with the re-run named). Relays BOTH
+    * trees when the node index exists (labels by component hash, the
+    * index by node hash — one shuffle each, zero re-solving); the remap
+    * log is layout-independent and untouched, so as-of reads survive a
+    * resize. Scale shape: O(|nodes|) rows moved per tree, never a star
+    * contraction.
+    */
+  def rebucketCcStore(
+      spark: org.apache.spark.sql.SparkSession, path: String, buckets: Int): Unit = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    val fs = hfs(spark, path)
+    Similarity.inflightOp(spark, path) match {
+      case None => ()
+      case Some(op) if op.contains("rebucketCcStore") => () // our own re-run IS the repair
+      case Some(_) => repairCcStore(spark, path)
+    }
+    Similarity.markInflight(spark, path, "rebucketCcStore")
+    rollForwardOrDrop(fs, s"$path/cclabels")
+    rollForwardOrDrop(fs, s"$path/nodeidx")
+    require(
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/cclabels")),
+      s"rebucketCcStore: $path has no cclabels tree — rebuild with writeCcStore")
+    val labels = spark.read.parquet(s"$path/cclabels")
+    requireBucketedStore(labels, path, "cclabels", "writeCcStore")
+    Similarity.rewriteDir(
+      spark,
+      labels
+        .select("node", "comp")
+        .withColumn("bucket", labelBucket(col("comp"), buckets))
+        .repartition(col("bucket")),
+      s"$path/cclabels",
+      Seq("bucket"))
+    if (Similarity.storeExists(spark, s"$path/nodeidx"))
+      Similarity.rewriteDir(
+        spark,
+        spark.read.parquet(s"$path/nodeidx")
+          .select("node", "comp")
+          .withColumn("bucket", nodeBucket(col("node"), buckets))
+          .repartition(col("bucket")),
+        s"$path/nodeidx",
+        Seq("bucket"))
+    writeBucketing(spark, path, buckets)
     Similarity.clearInflight(spark, path)
   }
 
@@ -1500,7 +1622,10 @@ object Graph {
     // an UNLOGGED mutation on a logged store: the log stops describing
     // the evolution, so truncate it (idempotent — a crash right after
     // leaves exactly the truncated state this mutation implies)
-    if (logBatch.isEmpty) Similarity.deleteDir(spark, s"$path/cclog")
+    if (logBatch.isEmpty) {
+      Similarity.deleteDir(spark, s"$path/cclog")
+      Similarity.deleteDir(spark, s"$path/cclog_folded")
+    }
     val content = labels
       .filter(col("bucket").isin(touched: _*)) // prunes on the PARTITION column
       .join(remap, Seq("comp"), "left")
@@ -1674,6 +1799,7 @@ object Graph {
     // labels wholesale), so it truncates the generation log: as-of reads
     // refuse afterwards instead of replaying a log that stopped being true
     Similarity.deleteDir(spark, s"$path/cclog")
+    Similarity.deleteDir(spark, s"$path/cclog_folded")
     stageAndApply(spark, path, "removeFromCcStore", "", replaceTarget = false,
       None, trees)
   }
@@ -1733,7 +1859,8 @@ object Graph {
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       // wipe BEFORE the empty check (the StoreLifecycle rule): an empty
       // batch 0 must still retire a previous run's store
-      Seq("cclabels", "nodeidx", "nodeidx.compacting", "cclog", "bucketing",
+      Seq("cclabels", "nodeidx", "nodeidx.compacting", "cclog", "cclog.compacting",
+        "cclog_folded", "bucketing",
         "staged", "staged.compacting", "cclabels.compacting", "params")
         .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
@@ -1791,7 +1918,25 @@ object Graph {
         "ingestCcBatch-maintained stores do, and a batch append or a removal truncates " +
         "it (merges fold labels in place and splits re-assign them, so history is not " +
         "reconstructable from the live table)")
-    val log = spark.read.parquet(s"$path/cclog").filter(col("batch_id") <= batchId)
+    val fs = hfs(spark, path)
+    val foldPin = new org.apache.hadoop.fs.Path(s"$path/cclog_folded")
+    if (fs.exists(foldPin)) {
+      val folded = readTextFile(fs, foldPin).trim.toLong
+      require(
+        batchId >= folded,
+        s"readCcLabelsAsOf: generations <= $folded of $path were folded by compactCcLog " +
+          s"(asked for $batchId) — the folded prefix is indivisible, the liveEdgesAsOf " +
+          "contract; compaction bounds resolution")
+    }
+    // batch_id <= N naturally includes a folded prefix (batch_id = -1)
+    replayCcLog(spark.read.parquet(s"$path/cclog").filter(col("batch_id") <= batchId))
+  }
+
+  /** Resolve a (restricted) remap log to labels: logged insertion labels
+    * chased through the remap closure — one [[graft.ops.Dedup.clusterPairs]]
+    * pass, exact by the monotone argument in [[readCcLabelsAsOf]]'s doc.
+    */
+  private def replayCcLog(log: DataFrame): DataFrame = {
     val nodes0 = log.filter(col("kind") === "node")
       .select(col("a").as("node"), col("b").as("comp0"))
     val remaps = log.filter(col("kind") === "remap")
@@ -1805,6 +1950,60 @@ object Graph {
         .join(resolved, Seq("comp0"), "left")
         .select(col("node"), coalesce(col("comp_new"), col("comp0")).as("comp"))
     }
+  }
+
+  /** Bound the remap log's replay cost AND its generation count: fold
+    * every generation `<= upTo` into ONE synthetic `batch_id = -1`
+    * holding the RESOLVED labels as of `upTo` (kind=node rows only — the
+    * prefix's remaps are applied away), keeping later generations
+    * verbatim. As-of reads above the fold stay exact: a later remap's
+    * source was a live label at its batch, so replaying (folded nodes +
+    * later log) composes by the same monotone argument; as-of reads
+    * BELOW the fold refuse — the folded prefix is indivisible, exactly
+    * [[compactEdgeStore]]'s `batch_id = -1` contract on the edge store.
+    * `-1` can never collide with a replayed stream batch (real ids are
+    * >= 0), and a duplicate resend of an already-folded batch still
+    * lands nothing (its edges are folded into the live labels, so its
+    * delta remaps nothing — idempotence survives the fold). A fold can
+    * only move FORWARD (`upTo` >= any prior fold point).
+    *
+    * Crash posture: the fold pin lands BEFORE the tree swap, so every
+    * window is conservative — pin-without-fold only over-refuses
+    * below-pin reads; the swap itself is [[graft.ops.Similarity.rewriteDir]]
+    * under the marker, and [[repairCcStore]] rolls a complete tmp
+    * forward. Scale shape: one replay of the prefix (O(log n)
+    * contraction over its remaps) + one partitioned rewrite of the log —
+    * rows bounded by |nodes| + Σ later deltas, never the corpus graph.
+    */
+  def compactCcLog(
+      spark: org.apache.spark.sql.SparkSession, path: String, upTo: Long): Unit = {
+    require(upTo >= 0, s"upTo must be >= 0, got $upTo")
+    repairCcStore(spark, path)
+    require(
+      Similarity.storeExists(spark, s"$path/cclog"),
+      s"compactCcLog: the label store at $path keeps no generation log")
+    val fs = hfs(spark, path)
+    val foldPin = new org.apache.hadoop.fs.Path(s"$path/cclog_folded")
+    if (fs.exists(foldPin)) {
+      val prior = readTextFile(fs, foldPin).trim.toLong
+      require(
+        upTo >= prior,
+        s"compactCcLog: $path is already folded through generation $prior — a fold can " +
+          s"only move forward (got $upTo); resolution below a fold point is gone")
+    }
+    Similarity.markInflight(spark, path, "compactCcLog")
+    rollForwardOrDrop(fs, s"$path/cclog")
+    val log = spark.read.parquet(s"$path/cclog")
+    val folded = replayCcLog(log.filter(col("batch_id") <= upTo))
+      .select(lit("node").as("kind"), col("node").as("a"), col("comp").as("b"))
+      .withColumn("batch_id", lit(-1L))
+      .localCheckpoint() // the rewrite must not re-read the tree it replaces
+    val rest = log.filter(col("batch_id") > upTo)
+      .select(col("kind"), col("a"), col("b"), col("batch_id"))
+      .localCheckpoint()
+    writeTextFile(fs, foldPin, upTo.toString)
+    Similarity.rewriteDir(spark, folded.unionAll(rest), s"$path/cclog", Seq("batch_id"))
+    Similarity.clearInflight(spark, path)
   }
 
   /** The label store's read face, refusing a mid-crash store. Matches
@@ -1858,11 +2057,18 @@ object Graph {
           s"cc label store at $path has an interrupted 'writeCcStore' (inflight marker " +
             "present) — a full rebuild is not incrementally repairable; re-run " +
             "writeCcStore to completion")
+      case Some(op) if op.contains("rebucketCcStore") =>
+        // see repairEdgeStore: a generic roll-forward would promote the
+        // relayout without its pin — only the re-run knows the target
+        throw new IllegalStateException(
+          s"cc label store at $path has an interrupted 'rebucketCcStore' — re-run " +
+            "rebucketCcStore to completion (content-preserving, re-runnable from every " +
+            "crash window; other mutators cannot know its target layout)")
       case Some(_) =>
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
           applyStaged(spark, path)
         Similarity.deleteDir(spark, s"$path/staged.compacting")
-        Seq("cclabels", "nodeidx").foreach { sub =>
+        Seq("cclabels", "nodeidx", "cclog").foreach { sub =>
           val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
           val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compacting")
           if (fs.exists(tmp)) {
@@ -2148,6 +2354,17 @@ object Graph {
           s"edge store at $path has an interrupted 'writeEdgeStore' (inflight marker " +
             "present) — a full rebuild stages nothing, so its partial state is not " +
             "incrementally repairable; re-run writeEdgeStore to completion")
+      case Some(op) if op.contains("rebucketEdgeStore") =>
+        // the generic roll-forward below would promote a completed
+        // relayout tree WITHOUT updating the bucketing pin — wrong layout
+        // under the old pin; only the relayout op itself (which carries
+        // the target count and re-runs content-preservingly from any
+        // window) can finish this
+        throw new IllegalStateException(
+          s"edge store at $path has an interrupted 'rebucketEdgeStore' — re-run " +
+            "rebucketEdgeStore to completion (the relayout is content-preserving and " +
+            "re-runnable from every crash window; other mutators cannot know its target " +
+            "layout)")
       case Some(_) =>
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
           applyStaged(spark, path)

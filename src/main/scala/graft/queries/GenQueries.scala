@@ -738,6 +738,49 @@ object GenQueries {
         idx, 2L)
       graft.ops.Graph.readCcLabelsAsOf(s, idx, 1L)
     },
+    // the remap log FOLDED through generation 1 (compactCcLog: gens 0-1
+    // collapse into resolved batch_id=-1 node rows, gen 2 kept verbatim),
+    // then read as of 2 — the replay must compose the folded prefix with
+    // the surviving generation's remaps and hash-equal the closure over
+    // all three generations (= what the unfolded log answered); reads
+    // below the fold refuse, spec-pinned
+    "graph_cc_asof_compacted" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_ccfold_${ProcessHandle.current().pid()}"
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 7).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx, 0L)
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 30 === 8).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx, 1L)
+      graft.ops.Graph.ingestCcBatch(
+        k.filter(col("n") % 10 <= 1).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx, 2L)
+      graft.ops.Graph.compactCcLog(s, idx, 1L)
+      graft.ops.Graph.readCcLabelsAsOf(s, idx, 2L)
+    },
+    // RESIZE mid-lifecycle: the incremental edge store relaid 64 -> 16
+    // buckets between its mutations (one content-preserving shuffle +
+    // the pin update — never a triangle recount), with the removal then
+    // pruning against the NEW layout; the readback must hash-equal the
+    // batch recompute exactly as if the resize never happened
+    "graph_support_rebucketed" -> { (s, dir) =>
+      val k = t(s, dir, "orders").select(col("o_custkey").cast("long").as("n")).distinct()
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_rebucket_${ProcessHandle.current().pid()}"
+      val base = k
+        .select(col("n").as("src"), (col("n") + 1).as("dst"))
+        .unionAll(
+          k.filter(col("n") % 3 =!= 0).select(col("n").as("src"), (col("n") + 2).as("dst")))
+      graft.ops.Graph.writeEdgeStore(base, idx)
+      graft.ops.Graph.appendEdgeStore(
+        k.filter(col("n") % 3 === 0).select(col("n").as("src"), (col("n") + 2).as("dst")),
+        idx)
+      graft.ops.Graph.rebucketEdgeStore(s, idx, 16)
+      graft.ops.Graph.removeFromEdgeStore(
+        k.filter(col("n") % 7 === 0).select(col("n").as("src"), (col("n") + 1).as("dst")),
+        idx)
+      graft.ops.Graph.readEdgeSupport(s, idx)
+    },
     // the store's read-side dividend: per-node triangle counts served
     // from the incrementally-maintained support (sum of incident edge
     // supports = 2·tri(v)) — no wedge join at read time; must hash-equal
@@ -1605,6 +1648,11 @@ object GenQueries {
     "graph_support_incremental" -> edgeSupportOracle(
       """SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
         |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
+    // the resize is INVISIBLE to content: same final live set, same
+    // support recompute as the incremental store
+    "graph_support_rebucketed" -> edgeSupportOracle(
+      """SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 7 <> 0
+        |        UNION ALL SELECT n, n + 2 FROM kys""".stripMargin),
     // the streamed store's readback over the union of its three ingest
     // generations (duplicate resends land nothing) = the full chord graph
     "graph_support_streamed" -> edgeSupportOracle(
@@ -1705,6 +1753,23 @@ object GenQueries {
       """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
         |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
         |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM e00 WHERE src <> dst),
+        |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS node, CAST(MIN(r) AS BIGINT) AS comp FROM reach GROUP BY id""".stripMargin,
+    // folding the log through generation 1 must leave as-of-2 reads
+    // exact: the oracle is the closure over ALL THREE generations — what
+    // the unfolded log answered
+    "graph_cc_asof_compacted" ->
+      """WITH RECURSIVE kys AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS n FROM orders),
+        |e00 AS (SELECT n AS src, n + 1 AS dst FROM kys WHERE n % 10 <= 7
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 30 = 8
+        |        UNION ALL SELECT n, n + 2 FROM kys WHERE n % 10 <= 1),
         |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         |       FROM e00 WHERE src <> dst),
         |edges AS (SELECT u AS a, v AS b FROM e0 UNION SELECT v, u FROM e0),

@@ -1041,4 +1041,98 @@ class GraphSpec extends SparkSpec {
     assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
+
+  test("edge store: rebucket relays the layout content-preservingly; windows re-run") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("rebucket").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (1L to 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    Graph.writeEdgeStore(base, dir)
+    Graph.appendEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+    val before = supMap(Graph.readEdgeSupport(spark, dir))
+    Graph.rebucketEdgeStore(spark, dir, 16)
+    // content identical, layout + pin resized — never a recount
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === before)
+    assert(Graph.storeBuckets(spark, dir) === 16)
+    def bucketDirs(): Set[Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/support"))
+        .filter(_.isDirectory).map(_.getPath.getName.stripPrefix("bucket=").toInt).toSet
+    assert(bucketDirs().forall(_ < 16), bucketDirs().toString)
+    // mutations after the resize prune against the NEW layout
+    Graph.removeFromEdgeStore(Seq((1L, 3L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+    // an interrupted relayout refuses OTHER mutators with the re-run
+    // named (a generic roll-forward would split layout from pin)...
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/inflight"), true)
+    out.write("rebucketEdgeStore".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException](
+      Graph.appendEdgeStore(Seq((9L, 11L)).toDF("src", "dst"), dir))
+    assert(e.getMessage.contains("rebucketEdgeStore"), e.getMessage)
+    // ...and the re-run itself recovers from the window, any target count
+    Graph.rebucketEdgeStore(spark, dir, 8)
+    assert(Graph.storeBuckets(spark, dir) === 8)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) === supMap(Graph.triangleSupport(base)))
+    Graph.appendEdgeStore(Seq((9L, 11L)).toDF("src", "dst"), dir)
+    assert(supMap(Graph.readEdgeSupport(spark, dir)) ===
+      supMap(Graph.triangleSupport(base.unionAll(Seq((9L, 11L)).toDF("src", "dst")))))
+  }
+
+  test("cc store: rebucket relays labels and nodeidx together; the remap log survives") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccrebucket").toString
+    val b0 = (0L until 100L by 2L).map(i => (i, i + 1)).toDF("src", "dst")
+    val b1 = Seq((1L, 2L), (51L, 52L)).toDF("src", "dst")
+    Graph.ingestCcBatch(b0, dir, 0L)
+    Graph.ingestCcBatch(b1, dir, 1L)
+    Graph.buildCcNodeIndex(spark, dir)
+    def rows(sub: String): Set[(Long, Long)] =
+      spark.read.parquet(s"$dir/$sub").select("node", "comp")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = rows("cclabels")
+    val asof0 = Graph.readCcLabelsAsOf(spark, dir, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Graph.rebucketCcStore(spark, dir, 16)
+    assert(Graph.storeBuckets(spark, dir) === 16)
+    assert(rows("cclabels") === before)
+    assert(rows("nodeidx") === before)
+    // the log is layout-independent: as-of reads survive the resize
+    assert(Graph.readCcLabelsAsOf(spark, dir, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === asof0)
+    // mutations after the resize keep both trees in lockstep
+    Graph.ingestCcBatch(Seq((3L, 4L)).toDF("src", "dst"), dir, 2L)
+    assert(rows("nodeidx") === rows("cclabels"))
+  }
+
+  test("cc log: compactCcLog folds the prefix exactly; below-fold reads refuse") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("ccfold").toString
+    def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val b1 = Seq((2L, 3L), (20L, 21L)).toDF("src", "dst")
+    val b2 = Seq((11L, 20L)).toDF("src", "dst")
+    Graph.ingestCcBatch(b0, dir, 0L)
+    Graph.ingestCcBatch(b1, dir, 1L)
+    Graph.ingestCcBatch(b2, dir, 2L)
+    val asof1 = labelMap(Graph.readCcLabelsAsOf(spark, dir, 1L))
+    val asof2 = labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L))
+    Graph.compactCcLog(spark, dir, 1L)
+    // the fold point itself and everything above stay exact
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 1L)) === asof1)
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) === asof2)
+    // below the fold: resolution is gone, stated
+    val e0 = intercept[IllegalArgumentException](Graph.readCcLabelsAsOf(spark, dir, 0L))
+    assert(e0.getMessage.contains("folded"), e0.getMessage)
+    // a fold can only move forward
+    val eb = intercept[IllegalArgumentException](Graph.compactCcLog(spark, dir, 0L))
+    assert(eb.getMessage.contains("forward"), eb.getMessage)
+    // a duplicate resend of an already-folded batch still lands nothing
+    Graph.ingestCcBatch(b1, dir, 1L)
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) === asof2)
+    // folding everything leaves the live read intact
+    Graph.compactCcLog(spark, dir, 2L)
+    assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) ===
+      labelMap(Graph.readCcLabels(spark, dir)))
+  }
 }
