@@ -48,6 +48,9 @@ object Bench {
     // media-index lifecycle: both decode families + build/append/
     // tombstone/compact/probe in one timed query
     "media_index_probe",
+    // round-17: the persisted search lifecycle (build + append +
+    // tombstone + compact + probe) in one timed query
+    "text_search_persisted",
     "dedup_simhash_pairs",
     // corpus self-join on chunk fingerprints — pair volume bounded by the
     // posting cap, but the chunking explode alone scans every token

@@ -1306,20 +1306,9 @@ object Graph {
     Similarity.clearInflight(spark, path)
   }
 
-  /** A live dir missing with a COMPLETE `.compacting` twin (its
-    * `_SUCCESS` is the completeness witness) rolls forward; any other
-    * tmp is pre-swap garbage. The relayout ops' window cleaner.
-    */
-  private def rollForwardOrDrop(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
-    if (fs.exists(tmp)) {
-      if (!fs.exists(live) &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$dir.compacting/_SUCCESS")))
-        require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
-      else fs.delete(tmp, true)
-    }
-  }
+  /** The relayout ops' window cleaner — [[graft.ops.Similarity.rollForwardOrDrop]]. */
+  private def rollForwardOrDrop(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    Similarity.rollForwardOrDrop(fs, dir)
 
   /** The store's read face: per-live-edge triangle support, refusing a
     * mid-crash store. Matches [[triangleSupport]] over the live edge set

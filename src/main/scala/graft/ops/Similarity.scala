@@ -1327,6 +1327,23 @@ object Similarity {
         "left_anti")
     else df
 
+  /** A live dir missing with a COMPLETE `.compacting` twin (its
+    * `_SUCCESS` is the completeness witness) rolls forward; any other
+    * tmp is pre-swap garbage. The [[rewriteDir]] window cleaner shared
+    * by the store repairs.
+    */
+  private[ops] def rollForwardOrDrop(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.compacting")
+    if (fs.exists(tmp)) {
+      if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir.compacting/_SUCCESS")))
+        require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
+      else fs.delete(tmp, true)
+    }
+  }
+
   /** Rewrite `dir` with the (materialized) content of `df` via a
     * tmp-dir + rename swap: the new generation lands completely in
     * `<dir>.compacting` before the old tree is dropped, so a crashed

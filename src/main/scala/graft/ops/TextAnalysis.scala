@@ -303,6 +303,16 @@ object TextAnalysis {
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).cast("long").as("tf"))
+    scoredTopK(postings, n, k)
+  }
+
+  /** The search scoring kernel shared by [[searchTopK]] (tokenize-per-
+    * query) and [[searchTextIndex]] (persisted postings): per-term df →
+    * integer Robertson-shaped idf_milli → per-doc weighted sum →
+    * TakeOrderedAndProject top-k. ONE kernel, two faces, so the
+    * persisted ≡ in-memory contract is structural.
+    */
+  private def scoredTopK(postings: DataFrame, n: Long, k: Int): DataFrame = {
     val weights = postings
       .groupBy("tok")
       .agg(count(lit(1)).cast("long").as("df"))
@@ -365,6 +375,301 @@ object TextAnalysis {
       .agg(
         count(lit(1)).cast("long").as("n_hits"),
         min("base").cast("long").as("first_pos"))
+  }
+
+  // ---- persisted lexical search index (tokenize once, search many) ----
+  //
+  // [[searchTopK]] re-tokenizes the corpus per query — right for ad-hoc
+  // analysis, wrong for SERVING search at corpus scale, where the scan
+  // must be proportional to the query, not the corpus. The store writes
+  // postings ONCE, hash-bucketed by TOKEN (`postings/bucket=K`), so a
+  // query's read prunes at the scan to its own terms' buckets — the
+  // lexical twin of the IVF cell layout and the edge store's support
+  // buckets. Trees: `postings` (doc_id, tok, tf; bucketed), `docids`
+  // (one row per indexed doc — the idf N and the append dedupe base),
+  // `tombstones` (standard [[graft.ops.Similarity.deleteFromIndex]]
+  // lifecycle), `bucketing` (count pin, the graph-store rule), `params`.
+  // Appends commit through a staged tree (write staged.compacting,
+  // rename = atomic commit, apply = move uniquely-named part files into
+  // the live dirs), so postings and docids can never disagree: a crashed
+  // append either never happened or rolls forward, and the re-run's
+  // delta anti-joins `docids` so an applied batch is never re-posted.
+
+  /** Version pin of the token bucket function (`pmod(hash(tok), n)`). */
+  private val textBucketingVersion = "v1"
+
+  private[graft] def tokBucket(tok: Column, n: Int) = pmod(hash(tok), lit(n))
+
+  private def textFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeTextFileAt(
+      fs: org.apache.hadoop.fs.FileSystem, p: String, text: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTextFileAt(
+      fs: org.apache.hadoop.fs.FileSystem, p: String): String = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(p))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The bucket count the index was laid out with (pin absent = legacy
+    * default); an alien bucket-function version refuses with the rebuild
+    * named — the [[graft.ops.Graph.storeBuckets]] contract.
+    */
+  private[graft] def textIndexBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = textFs(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bucketing"))) 64
+    else {
+      val lines = readTextFileAt(fs, s"$path/bucketing").trim.split("\n").map(_.trim)
+      require(
+        lines.length >= 2 && lines(0) == textBucketingVersion,
+        s"text index at $path is bucketed with hash-function version " +
+          s"'${lines.headOption.getOrElse("")}' but this binary speaks " +
+          s"'$textBucketingVersion' — rebuild with writeTextIndex before using it")
+      lines(1).toInt
+    }
+  }
+
+  /** (doc_id, tok, tf) postings of a document frame — the one tokenize
+    * pass the store amortizes.
+    */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Build the persisted search index: one tokenize pass, postings
+    * bucketed by token hash, the doc-id table beside them. A full write
+    * REPLACES everything (tombstones, staged trees, pin — the
+    * [[graft.ops.Graph.writeEdgeStore]] contract); interrupted full
+    * writes refuse incrementally and re-run to completion.
+    *
+    * Scale shape: one corpus tokenize + one shuffle onto the bucket
+    * column (one file per bucket — the pruned-read discipline); queries
+    * then scan |terms| buckets of the store, never the corpus.
+    */
+  def writeTextIndex(
+      docs: DataFrame,
+      path: String,
+      buckets: Int = 64,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Similarity.markInflight(spark, path, "writeTextIndex")
+    Seq("tombstones", "staged", "staged.compacting", "params")
+      .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
+    writeTextFileAt(textFs(spark, path), s"$path/bucketing", s"$textBucketingVersion\n$buckets")
+    Similarity.rewriteDir(
+      spark,
+      postingsOf(docs, textCol, idCol)
+        .withColumn("bucket", tokBucket(col("tok"), buckets))
+        .repartition(col("bucket")), // one file per bucket, not per task x bucket
+      s"$path/postings",
+      Seq("bucket"))
+    Similarity.rewriteDir(
+      spark,
+      docs.select(col(idCol).cast("long").as("doc_id")).distinct(),
+      s"$path/docids",
+      Nil)
+    Seq(("text", buckets)).toDF("kind", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Grow the index with a new document batch: ONE staged commit carries
+    * the batch's postings (into their token buckets) AND its doc ids, so
+    * the two trees can never disagree. The delta anti-joins `docids`
+    * first — a crashed append's re-run (the documented repair) re-posts
+    * nothing its staged tree already applied, and a duplicate resend is
+    * a no-op. Re-inserting a tombstoned doc refuses (compact first, the
+    * edge-store rule). Scale shape: tokenize + shuffle of the BATCH
+    * only; the live tree is touched file-move-wise, never rewritten.
+    */
+  def appendTextIndex(
+      batch: DataFrame,
+      path: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    repairTextIndex(spark, path)
+    val nb = textIndexBuckets(spark, path)
+    val fs = textFs(spark, path)
+    // dedupe against the LIVE id set (docids minus tombstones): a
+    // tombstoned doc must land in the delta so the refusal below fires —
+    // an all-docids anti-join would silently swallow the re-insert as
+    // "already known" while the doc stays deleted (the edge-store rule)
+    val delta = batch
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(
+        Similarity.minusTombstones(
+          spark, path, spark.read.parquet(s"$path/docids"), "doc_id"),
+        Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint()
+    if (delta.isEmpty) return
+    if (Similarity.storeExists(spark, s"$path/tombstones")) {
+      val nTomb = spark.read.parquet(s"$path/tombstones")
+        .join(delta.select(col("doc_id").as("del_id")), Seq("del_id"), "left_semi")
+        .count()
+      require(
+        nTomb == 0,
+        s"appendTextIndex: $nTomb batch docs are tombstoned in $path — compact the " +
+          "index before re-inserting a deleted document")
+    }
+    val tmp = s"$path/staged.compacting"
+    Similarity.deleteDir(spark, tmp)
+    postingsOf(delta, "text", "doc_id")
+      .withColumn("bucket", tokBucket(col("tok"), nb))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$tmp/postings")
+    delta.select("doc_id").coalesce(1).write.parquet(s"$tmp/docids")
+    Similarity.markInflight(spark, path, "appendTextIndex")
+    require(
+      fs.rename(
+        new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/staged")),
+      s"staged commit rename failed for $path") // the atomic commit point
+    applyTextStaged(spark, path)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** Fold the staged append into the live trees: every staged part file
+    * moves under its own (unique) name, so a re-applied half-moved tree
+    * just moves the remainder — idempotent by construction.
+    */
+  private def applyTextStaged(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = textFs(spark, path)
+    val staged = s"$path/staged"
+    def moveFiles(fromDir: String, toDir: String): Unit = {
+      val from = new org.apache.hadoop.fs.Path(fromDir)
+      if (fs.exists(from)) {
+        val to = new org.apache.hadoop.fs.Path(toDir)
+        if (!fs.exists(to)) fs.mkdirs(to)
+        fs.listStatus(from).foreach { f =>
+          if (f.isDirectory && f.getPath.getName.startsWith("bucket="))
+            moveFiles(f.getPath.toString, s"$toDir/${f.getPath.getName}")
+          else if (f.isFile && f.getPath.getName.startsWith("part-")) {
+            val dst = new org.apache.hadoop.fs.Path(s"$toDir/${f.getPath.getName}")
+            if (fs.exists(dst)) fs.delete(dst, true) // same attempt re-applied
+            require(fs.rename(f.getPath, dst), s"apply move ${f.getPath} -> $dst failed")
+          }
+        }
+      }
+    }
+    moveFiles(s"$staged/postings", s"$path/postings")
+    moveFiles(s"$staged/docids", s"$path/docids")
+    Similarity.deleteDir(spark, staged)
+  }
+
+  /** Retract documents: ids land in `tombstones`
+    * ([[graft.ops.Similarity.deleteFromIndex]]) and every read subtracts
+    * them; [[compactTextIndex]] reclaims.
+    */
+  def deleteFromTextIndex(ids: DataFrame, path: String, idCol: String = "doc_id"): Unit = {
+    repairTextIndex(ids.sparkSession, path)
+    Similarity.deleteFromIndex(ids, path, idCol)
+  }
+
+  /** Fold the index: rewrite postings and docids without tombstoned
+    * docs, clear the tombstones. Every step is an idempotent anti-join
+    * rewrite, so a crashed compact re-runs to completion from any window
+    * (unlike the edge store's support arithmetic, re-subtracting an
+    * already-subtracted doc is a no-op — no staged flag needed).
+    */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    repairTextIndex(spark, path)
+    Similarity.markInflight(spark, path, "compactTextIndex")
+    Similarity.rewriteDir(
+      spark,
+      Similarity.minusTombstones(
+        spark, path, spark.read.parquet(s"$path/postings"), "doc_id"),
+      s"$path/postings",
+      Seq("bucket"))
+    Similarity.rewriteDir(
+      spark,
+      Similarity.minusTombstones(
+        spark, path, spark.read.parquet(s"$path/docids"), "doc_id"),
+      s"$path/docids",
+      Nil)
+    Similarity.clearTombstones(spark, path)
+    Similarity.clearInflight(spark, path)
+  }
+
+  /** The index's repair, run by every mutator first: a COMMITTED staged
+    * append rolls forward, an uncommitted tmp is discarded, a crashed
+    * compact's complete `.compacting` swaps roll forward (re-running
+    * compact finishes the rest — all its steps are idempotent), and the
+    * marker clears. Only an interrupted full [[writeTextIndex]] refuses
+    * (a half-replaced store is not incrementally repairable — the
+    * graph-store rule).
+    */
+  private def repairTextIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = textFs(spark, path)
+    Similarity.inflightOp(spark, path) match {
+      case None =>
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+      case Some(op) if op.contains("writeTextIndex") =>
+        throw new IllegalStateException(
+          s"text index at $path has an interrupted 'writeTextIndex' — a full rebuild " +
+            "is not incrementally repairable; re-run writeTextIndex to completion")
+      case Some(_) =>
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
+          applyTextStaged(spark, path)
+        Similarity.deleteDir(spark, s"$path/staged.compacting")
+        Similarity.rollForwardOrDrop(fs, s"$path/postings")
+        Similarity.rollForwardOrDrop(fs, s"$path/docids")
+        Similarity.clearInflight(spark, path)
+    }
+  }
+
+  /** Serve [[searchTopK]] from the persisted index: the postings read
+    * prunes at the scan to the QUERY TERMS' buckets (PartitionFilters on
+    * the bucket column — the plan spec pins it), tombstoned docs
+    * subtract, and the [[scoredTopK]] kernel makes the result
+    * bit-identical to [[searchTopK]] over the live document set (the
+    * persisted ≡ in-memory contract, shared oracle). Scale shape: a
+    * query against a corpus-scale store reads |terms| buckets ≈
+    * |terms|/buckets of the postings, one bounded |terms|-row local
+    * job derives the bucket set with THE Spark hash (never
+    * re-implemented driver-side), and idf's N is one count over the
+    * 1-column docids table.
+    */
+  def searchTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query term set must not be empty")
+    import spark.implicits._
+    Similarity.requireNotInflight(spark, path)
+    val nb = textIndexBuckets(spark, path)
+    val termBuckets = terms.toDF("tok")
+      .select(tokBucket(col("tok"), nb).as("b"))
+      .distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= |terms| rows
+    val postings = Similarity.minusTombstones(
+      spark,
+      path,
+      spark.read.parquet(s"$path/postings")
+        .filter(col("bucket").isin(termBuckets: _*)) // prunes on the PARTITION column
+        .filter(col("tok").isin(terms: _*))
+        .select("doc_id", "tok", "tf"),
+      "doc_id")
+    val n = Similarity.minusTombstones(
+      spark, path, spark.read.parquet(s"$path/docids"), "doc_id").count()
+    scoredTopK(postings, n, k)
   }
 
   /** Keep-predicate for one line of text, C4-style (Raffel et al. 2020, the

@@ -706,6 +706,22 @@ object OpsQueries {
     "text_search" -> { (s, dir) =>
       TextAnalysis.searchTopK(docs(s, dir), Seq("window", "merge", "scan"), k = 20)
     },
+    // the PERSISTED search lifecycle: tokenize once into token-hash
+    // bucketed postings, grow with a decoy batch through the staged
+    // commit, tombstone the decoys, compact — the served query (whose
+    // scan prunes to the query terms' buckets) must then be bit-identical
+    // to tokenizing the corpus per query, so both faces share one oracle
+    "text_search_persisted" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textidx_${ProcessHandle.current().pid()}"
+      TextAnalysis.writeTextIndex(d, idx)
+      val decoys = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      TextAnalysis.appendTextIndex(decoys, idx)
+      TextAnalysis.deleteFromTextIndex(decoys.select("doc_id"), idx)
+      TextAnalysis.compactTextIndex(s, idx)
+      TextAnalysis.searchTextIndex(s, idx, Seq("window", "merge", "scan"), k = 20)
+    },
     // exact phrase occurrences per doc from positional postings of the
     // phrase's own terms — no positional self-join chain, one
     // distinct-slot aggregate over (doc, rebased position)
@@ -2124,6 +2140,10 @@ object OpsQueries {
     baseOracleSql ++ Map(
       "similarity_topk_ivf_persisted" -> baseOracleSql("similarity_topk_ivf"),
       "similarity_topk_pq_persisted" -> baseOracleSql("similarity_topk_pq"),
+      // the persisted search lifecycle (build + append + tombstone +
+      // compact + pruned probe) is CONTRACTED bit-identical to
+      // tokenize-per-query over the same live docs — one oracle, two faces
+      "text_search_persisted" -> baseOracleSql("text_search"),
       // append + tombstone-delete + compact must be invisible to the
       // probe (the appended rows were exactly the deleted ones), so the
       // compacted faces share their in-memory twins' oracles too

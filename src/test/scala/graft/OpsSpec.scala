@@ -2129,6 +2129,80 @@ class OpsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("text index: persisted lifecycle ≡ tokenize-per-query; pruned probe; staged append repairs") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val docsDf = Seq(
+      (1L, "rare common common"),
+      (2L, "common"),
+      (3L, "common common common"),
+      (4L, "common other words")
+    ).toDF("doc_id", "text")
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // build + grow + retract + compact lands exactly the in-memory answer
+    TextAnalysis.writeTextIndex(docsDf, dir, buckets = 16)
+    TextAnalysis.appendTextIndex(
+      Seq((100L, "rare rare decoy")).toDF("doc_id", "text"), dir)
+    TextAnalysis.deleteFromTextIndex(Seq(100L).toDF("doc_id"), dir)
+    TextAnalysis.compactTextIndex(s, dir)
+    val served = TextAnalysis.searchTextIndex(s, dir, Seq("rare", "common"), k = 3)
+    assert(asRows(served) === asRows(
+      TextAnalysis.searchTopK(docsDf, Seq("rare", "common"), k = 3)))
+    // the probe PRUNES to the query terms' buckets at the scan
+    served.count()
+    val plan = served.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters"), plan.toString.take(1500))
+    val scanned = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString.contains("postings") =>
+        f.selectedPartitions.partitionCount
+    }.sum
+    assert(scanned <= 2, s"2-term probe must scan <= 2 token buckets, scanned $scanned")
+    // a duplicate resend posts nothing (delta anti-joins docids)
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docids")).length
+    TextAnalysis.appendTextIndex(docsDf, dir)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docids")).length === before)
+    // re-inserting a tombstoned doc refuses until compact reclaims
+    TextAnalysis.deleteFromTextIndex(Seq(3L).toDF("doc_id"), dir)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.appendTextIndex(Seq((3L, "common again")).toDF("doc_id", "text"), dir))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    // ... and the tombstone is live until then: doc 3 gone from results, N drops
+    val minus3 = TextAnalysis.searchTextIndex(s, dir, Seq("rare", "common"), k = 3)
+    assert(asRows(minus3) === asRows(
+      TextAnalysis.searchTopK(docsDf.filter(col("doc_id") =!= 3L), Seq("rare", "common"), k = 3)))
+    // a COMMITTED staged append (crash before apply) rolls forward on the
+    // next mutation — postings and docids land together, never one of the
+    // two — after which the new doc is served
+    TextAnalysis.compactTextIndex(s, dir)
+    val tmp = s"$dir/staged.compacting"
+    Seq((7L, "rare rare rare")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", TextAnalysis.tokBucket(col("tok"), 16))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$tmp/postings")
+    Seq(7L).toDF("doc_id").coalesce(1).write.parquet(s"$tmp/docids")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/inflight"), true)
+    out.write("appendTextIndex".getBytes("UTF-8")); out.close()
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(s"$dir/staged")))
+    // readers refuse the mid-crash store; a mutation repairs it
+    intercept[IllegalStateException](
+      TextAnalysis.searchTextIndex(s, dir, Seq("rare"), k = 3))
+    TextAnalysis.appendTextIndex(Seq((1L, "already known")).toDF("doc_id", "text"), dir)
+    // live set = {1, 2, 4} (doc 3 compacted away) + the rolled-forward 7
+    assert(asRows(TextAnalysis.searchTextIndex(s, dir, Seq("rare", "common"), k = 3)) ===
+      asRows(TextAnalysis.searchTopK(
+        docsDf.filter(col("doc_id") =!= 3L)
+          .unionAll(Seq((7L, "rare rare rare")).toDF("doc_id", "text")),
+        Seq("rare", "common"), k = 3)))
+  }
+
   test("semanticContamination: flags sources, argmax tiebreak on lowest bench id") {
     val s = spark
     import s.implicits._
