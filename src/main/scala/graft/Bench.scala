@@ -49,8 +49,10 @@ object Bench {
     // tombstone/compact/probe in one timed query
     "media_index_probe",
     // round-17: the persisted search lifecycle (build + append +
-    // tombstone + compact + probe) in one timed query
+    // tombstone + compact + probe) in one timed query; the streamed face
+    // runs three deduped generations + a mid-stream fold
     "text_search_persisted",
+    "text_search_streamed",
     "dedup_simhash_pairs",
     // corpus self-join on chunk fingerprints — pair volume bounded by the
     // posting cap, but the chunking explode alone scans every token

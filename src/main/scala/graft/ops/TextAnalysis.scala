@@ -502,6 +502,7 @@ object TextAnalysis {
       idCol: String = "doc_id"): Unit = {
     val spark = batch.sparkSession
     repairTextIndex(spark, path)
+    requireTextBatchBuilt(spark, path, "appendTextIndex")
     val nb = textIndexBuckets(spark, path)
     val fs = textFs(spark, path)
     // dedupe against the LIVE id set (docids minus tombstones): a
@@ -590,21 +591,52 @@ object TextAnalysis {
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     repairTextIndex(spark, path)
     Similarity.markInflight(spark, path, "compactTextIndex")
-    Similarity.rewriteDir(
-      spark,
-      Similarity.minusTombstones(
-        spark, path, spark.read.parquet(s"$path/postings"), "doc_id"),
-      s"$path/postings",
-      Seq("bucket"))
-    Similarity.rewriteDir(
-      spark,
-      Similarity.minusTombstones(
-        spark, path, spark.read.parquet(s"$path/docids"), "doc_id"),
-      s"$path/docids",
-      Nil)
+    val postings = Similarity.minusTombstones(
+      spark, path, spark.read.parquet(s"$path/postings"), "doc_id")
+    // a STREAM store stays batch-keyed after the fold: everything lands
+    // under the synthetic batch_id=-1 generation (real ids are >= 0), so
+    // the next ingest batch's dir sits beside it and compaction is safe
+    // MID-stream — the compactIndexDir rule
+    if (postings.columns.contains("batch_id")) {
+      Similarity.rewriteDir(
+        spark,
+        postings.select("doc_id", "tok", "tf", "bucket").withColumn("batch_id", lit(-1L)),
+        s"$path/postings",
+        Seq("batch_id", "bucket"))
+      Similarity.rewriteDir(
+        spark,
+        Similarity.minusTombstones(
+          spark, path, spark.read.parquet(s"$path/docids"), "doc_id")
+          .select("doc_id").withColumn("batch_id", lit(-1L)),
+        s"$path/docids",
+        Seq("batch_id"))
+    } else {
+      Similarity.rewriteDir(spark, postings, s"$path/postings", Seq("bucket"))
+      Similarity.rewriteDir(
+        spark,
+        Similarity.minusTombstones(
+          spark, path, spark.read.parquet(s"$path/docids"), "doc_id"),
+        s"$path/docids",
+        Nil)
+    }
     Similarity.clearTombstones(spark, path)
     Similarity.clearInflight(spark, path)
   }
+
+  /** A params pin of kind `text-stream` marks an [[ingestTextBatch]]-
+    * maintained store; the batch mutators refuse it — a flat staged
+    * append beside `batch_id=N` generations would corrupt partition
+    * discovery (the [[graft.ops.Graph]] batch/stream split).
+    */
+  private def requireTextBatchBuilt(
+      spark: org.apache.spark.sql.SparkSession, path: String, op: String): Unit =
+    if (Similarity.storeExists(spark, s"$path/params")) {
+      val kind = spark.read.parquet(s"$path/params").select("kind").head().getString(0)
+      require(
+        kind == "text",
+        s"$op: the index at $path is maintained by ingestTextBatch (kind '$kind') — " +
+          "stream stores grow through their stream, not batch appends")
+    }
 
   /** The index's repair, run by every mutator first: a COMMITTED staged
     * append rolls forward, an uncommitted tmp is discarded, a crashed
@@ -624,6 +656,15 @@ object TextAnalysis {
         throw new IllegalStateException(
           s"text index at $path has an interrupted 'writeTextIndex' — a full rebuild " +
             "is not incrementally repairable; re-run writeTextIndex to completion")
+      case Some(op) if op.contains("ingestTextBatch") =>
+        // a half-landed stream generation (postings without docids) is
+        // repaired ONLY by its own retry, which overwrites the whole
+        // generation; folding or appending around it would bake the
+        // inconsistency in
+        throw new IllegalStateException(
+          s"text index at $path has an interrupted 'ingestTextBatch' — re-run the " +
+            "stream (the retried batch overwrites its own generation); other mutators " +
+            "cannot repair a half-landed generation")
       case Some(_) =>
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
           applyTextStaged(spark, path)
@@ -632,6 +673,92 @@ object TextAnalysis {
         Similarity.rollForwardOrDrop(fs, s"$path/docids")
         Similarity.clearInflight(spark, path)
     }
+  }
+
+  /** One micro-batch of STREAMING index maintenance (the foreachBatch
+    * body of [[graft.streaming.TextIngest.textIngest]]): batch 0 — or a
+    * store with no params pin — CLAIMS the root (stale state dies first,
+    * the StoreLifecycle rule; an empty claim defers nothing — postings
+    * need no training — but still wipes); every later batch lands ONLY
+    * its actually-new documents' postings under
+    * `postings/batch_id=N/bucket=K` and their ids under
+    * `docids/batch_id=N`, both with OVERWRITE semantics. EXACTLY-ONCE
+    * from idempotence, no stamp needed (the [[graft.ops.Graph.ingestCcBatch]]
+    * argument's shape): postings are per-document data, never a
+    * cross-batch aggregate, so a retried batch recomputes its delta
+    * against the docids EXCLUDING its own generation (a half-landed gen
+    * never hides its own delta) and re-overwrites gen N — nothing
+    * double-counts. The crash marker spans the postings↔docids window
+    * for PROBE safety; the retried batch itself resolves it (re-running
+    * the interrupted op is the documented repair — [[repairTextIndex]]
+    * refuses every OTHER mutator meanwhile). A pure-duplicate batch
+    * deletes any half-landed garbage of its own generation and lands
+    * nothing. Bucket pruning survives the generation split: `bucket` is
+    * a partition column at every generation, so a probe's term filter
+    * still drops unprobed buckets of every gen at the scan.
+    */
+  def ingestTextBatch(
+      batch: DataFrame,
+      path: String,
+      batchId: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
+      // wipe BEFORE the empty check (the StoreLifecycle rule)
+      Seq("postings", "docids", "tombstones", "staged", "staged.compacting",
+        "bucketing", "params")
+        .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
+      Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
+      val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      if (b.isEmpty) return
+      Similarity.markInflight(spark, path, "ingestTextBatch")
+      writeTextFileAt(textFs(spark, path), s"$path/bucketing", s"$textBucketingVersion\n64")
+      postingsOf(b, "text", "doc_id")
+        .withColumn("bucket", tokBucket(col("tok"), 64))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/postings/batch_id=$batchId")
+      b.select("doc_id").distinct().coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/docids/batch_id=$batchId")
+      Seq(("text-stream", 64)).toDF("kind", "buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+      Similarity.clearInflight(spark, path)
+      return
+    }
+    // a marker from our own crashed attempt is resolved by THIS retry
+    // (we overwrite the whole generation); any other op's marker refuses
+    Similarity.inflightOp(spark, path) match {
+      case Some(op) if op.contains("ingestTextBatch") => ()
+      case _ => repairTextIndex(spark, path)
+    }
+    val nb = textIndexBuckets(spark, path)
+    val known = spark.read.parquet(s"$path/docids")
+      .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
+      .select("doc_id")
+    val delta = batch
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(known, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (delta.isEmpty) {
+      // pure duplicate: no new generation — but a CRASHED earlier attempt
+      // of this very batch may have half-landed it; deleting gen N is the
+      // idempotent way to retire that garbage
+      Similarity.deleteDir(spark, s"$path/postings/batch_id=$batchId")
+      Similarity.deleteDir(spark, s"$path/docids/batch_id=$batchId")
+      Similarity.clearInflight(spark, path)
+      return
+    }
+    Similarity.markInflight(spark, path, "ingestTextBatch")
+    postingsOf(delta, "text", "doc_id")
+      .withColumn("bucket", tokBucket(col("tok"), nb))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings/batch_id=$batchId")
+    delta.select("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/docids/batch_id=$batchId")
+    Similarity.clearInflight(spark, path)
   }
 
   /** Serve [[searchTopK]] from the persisted index: the postings read

@@ -722,6 +722,20 @@ object OpsQueries {
       TextAnalysis.compactTextIndex(s, idx)
       TextAnalysis.searchTextIndex(s, idx, Seq("window", "merge", "scan"), k = 20)
     },
+    // the STREAMED index: three ingest generations with overlapping
+    // resends (each batch re-sends part of the previous — the dedupe must
+    // land every doc exactly once), then a mid-stream fold, then the same
+    // served query — bit-identical to tokenize-per-query over the full
+    // corpus, one oracle for all three faces
+    "text_search_streamed" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textstream_${ProcessHandle.current().pid()}"
+      TextAnalysis.ingestTextBatch(d.filter(col("doc_id") % 3 === 0), idx, 0L)
+      TextAnalysis.ingestTextBatch(d.filter(col("doc_id") % 3 <= 1), idx, 1L)
+      TextAnalysis.compactTextIndex(s, idx)
+      TextAnalysis.ingestTextBatch(d, idx, 2L)
+      TextAnalysis.searchTextIndex(s, idx, Seq("window", "merge", "scan"), k = 20)
+    },
     // exact phrase occurrences per doc from positional postings of the
     // phrase's own terms — no positional self-join chain, one
     // distinct-slot aggregate over (doc, rebased position)
@@ -2144,6 +2158,9 @@ object OpsQueries {
       // compact + pruned probe) is CONTRACTED bit-identical to
       // tokenize-per-query over the same live docs — one oracle, two faces
       "text_search_persisted" -> baseOracleSql("text_search"),
+      // the streamed index's three deduped generations + mid-stream fold
+      // land exactly the corpus — same contract, same oracle
+      "text_search_streamed" -> baseOracleSql("text_search"),
       // append + tombstone-delete + compact must be invisible to the
       // probe (the appended rows were exactly the deleted ones), so the
       // compacted faces share their in-memory twins' oracles too

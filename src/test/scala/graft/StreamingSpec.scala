@@ -410,6 +410,66 @@ class StreamingSpec extends SparkSpec {
     assert(rows() == before)
   }
 
+  test("textIngest: streamed index ≡ batch build through growth, dedupe, and a crash window") {
+    val dir = java.nio.file.Files.createTempDirectory("textstream").toString
+    val s2 = spark
+    import s2.implicits._
+    val d0 = Seq((1L, "rare common common"), (2L, "common")).toDF("doc_id", "text")
+    val d1 = Seq((2L, "common"), (3L, "common common common")).toDF("doc_id", "text") // resends 2
+    val schema = d0.schema
+    def run(): Unit =
+      graft.streaming.TextIngest
+        .textIngest(
+          spark.readStream.schema(schema).parquet(s"$dir/in"),
+          s"$dir/idx",
+          s"$dir/cp")
+        .awaitTermination()
+    def served(terms: Seq[String]) =
+      graft.ops.TextAnalysis.searchTextIndex(spark, s"$dir/idx", terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def direct(docs: org.apache.spark.sql.DataFrame, terms: Seq[String]) =
+      graft.ops.TextAnalysis.searchTopK(docs, terms, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    d0.write.mode("append").parquet(s"$dir/in")
+    run()
+    assert(served(Seq("rare", "common")) === direct(d0, Seq("rare", "common")))
+    // growth batch re-sends doc 2: the dedupe must land only doc 3
+    d1.write.mode("append").parquet(s"$dir/in")
+    run()
+    val union = d0.unionAll(d1.filter(col("doc_id") === 3L))
+    assert(served(Seq("rare", "common")) === direct(union, Seq("rare", "common")))
+    // a CRASHED generation (postings landed, docids not, marker up):
+    // readers refuse, other mutators refuse, the retried batch repairs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, "rare rare")).toDF("doc_id", "text")
+      .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).cast("long").as("tf"))
+      .withColumn("bucket", graft.ops.TextAnalysis.tokBucket(col("tok"), 64))
+      .write.partitionBy("bucket").parquet(s"$dir/idx/postings/batch_id=7")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/idx/inflight"), true)
+    out.write("ingestTextBatch".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException](
+      graft.ops.TextAnalysis.searchTextIndex(spark, s"$dir/idx", Seq("rare"), k = 5))
+    intercept[IllegalStateException](
+      graft.ops.TextAnalysis.compactTextIndex(spark, s"$dir/idx"))
+    // the retried batch overwrites its own half-landed generation
+    graft.ops.TextAnalysis.ingestTextBatch(
+      Seq((9L, "rare rare")).toDF("doc_id", "text"), s"$dir/idx", 7L)
+    val withNine = union.unionAll(Seq((9L, "rare rare")).toDF("doc_id", "text"))
+    assert(served(Seq("rare", "common")) === direct(withNine, Seq("rare", "common")))
+    // a mid-stream fold changes nothing served; a batch append refuses
+    graft.ops.TextAnalysis.compactTextIndex(spark, s"$dir/idx")
+    assert(served(Seq("rare", "common")) === direct(withNine, Seq("rare", "common")))
+    val e = intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.appendTextIndex(
+        Seq((50L, "x")).toDF("doc_id", "text"), s"$dir/idx"))
+    assert(e.getMessage.contains("stream"), e.getMessage)
+  }
+
   test("ivfIngest: an empty leading batch neither crashes nor leaves the index untrained") {
     val dir = java.nio.file.Files.createTempDirectory("annempty").toString
     val e = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
