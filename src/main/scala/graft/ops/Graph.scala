@@ -908,18 +908,11 @@ object Graph {
   private def writeTextFile(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
-      text: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      text: String): Unit = Similarity.writeSmallFile(fs, p, text)
 
   private def readTextFile(
-      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String =
+    Similarity.readSmallFile(fs, p)
 
   /** Persist the store's bucket layout pin: hash-function version + count
     * (a plain FS file — the [[graft.ops.Similarity.markInflight]] lesson:
@@ -1146,9 +1139,18 @@ object Graph {
     repairEdgeStore(spark, path)
     val nb = storeBuckets(spark, path)
     // the stamp decides whether this batch's credits already landed —
-    // its swap rides the staged apply, so it is never half-true
-    val asOf = readTextFile(
-      hfs(spark, path), new org.apache.hadoop.fs.Path(s"$path/support_stamp")).trim.toLong
+    // its swap rides the staged apply, so it is never half-true. A store
+    // from the previous layout (stamp = an as_of_batch column inside the
+    // support table) refuses BY NAME rather than crashing on the missing
+    // file: migrating it implicitly mid-mutation would mix pure and
+    // stamped bucket schemas across a partial swap
+    val stampP = new org.apache.hadoop.fs.Path(s"$path/support_stamp")
+    if (!hfs(spark, path).exists(stampP))
+      throw new IllegalStateException(
+        s"stream edge store at $path predates the plain-file exactly-once stamp " +
+          "(its stamp was an as_of_batch column) — restart the stream from batch 0 " +
+          "with a fresh checkpoint (the claim rebuilds the store under this layout)")
+    val asOf = readTextFile(hfs(spark, path), stampP).trim.toLong
     if (asOf >= batchId) return // support already post-N: nothing recounts
     val liveOld = spark.read.parquet(s"$path/edges")
       .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
@@ -2057,16 +2059,14 @@ object Graph {
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/staged")))
           applyStaged(spark, path)
         Similarity.deleteDir(spark, s"$path/staged.compacting")
-        Seq("cclabels", "nodeidx", "cclog").foreach { sub =>
-          val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-          val tmp = new org.apache.hadoop.fs.Path(s"$path/$sub.compacting")
-          if (fs.exists(tmp)) {
-            if (!fs.exists(live) &&
-              fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub.compacting/_SUCCESS")))
-              require(fs.rename(tmp, live), s"rolling forward $tmp -> $live failed")
-            else fs.delete(tmp, true)
-          }
-        }
+        // drop-on-incomplete is CORRECT for all three trees (unlike the
+        // edge store's edges/support, where a lost live dir means lost
+        // data): cclabels is only full-rewritten under refusing markers
+        // (writeCcStore/rebucketCcStore), a lost nodeidx degrades to the
+        // documented unindexed fallback, and a lost cclog makes as-of
+        // reads refuse — conservative, never wrong
+        Seq("cclabels", "nodeidx", "cclog").foreach(sub =>
+          Similarity.rollForwardOrDrop(fs, s"$path/$sub"))
         Similarity.clearInflight(spark, path)
     }
   }

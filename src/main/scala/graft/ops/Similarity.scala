@@ -1327,6 +1327,31 @@ object Similarity {
         "left_anti")
     else df
 
+  /** Whole-file UTF-8 write of a small store pin/stamp (bucket pins,
+    * exactly-once stamps, fold points) — one place for the plain-FS-file
+    * discipline (a 1-row parquet would cost a Spark job per lifecycle
+    * call, the [[markInflight]] lesson).
+    */
+  private[ops] def writeSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Whole-file UTF-8 read of a small pin/stamp — drains fully (the FS
+    * contract allows short reads; a truncated stamp would misdirect the
+    * exactly-once decision, the [[inflightOp]] lesson).
+    */
+  private[ops] def readSmallFile(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** A live dir missing with a COMPLETE `.compacting` twin (its
     * `_SUCCESS` is the completeness witness) rolls forward; any other
     * tmp is pre-swap garbage. The [[rewriteDir]] window cleaner shared

@@ -405,18 +405,12 @@ object TextAnalysis {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def writeTextFileAt(
-      fs: org.apache.hadoop.fs.FileSystem, p: String, text: String): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      fs: org.apache.hadoop.fs.FileSystem, p: String, text: String): Unit =
+    Similarity.writeSmallFile(fs, new org.apache.hadoop.fs.Path(p), text)
 
   private def readTextFileAt(
-      fs: org.apache.hadoop.fs.FileSystem, p: String): String = {
-    val in = fs.open(new org.apache.hadoop.fs.Path(p))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      fs: org.apache.hadoop.fs.FileSystem, p: String): String =
+    Similarity.readSmallFile(fs, new org.apache.hadoop.fs.Path(p))
 
   /** The bucket count the index was laid out with (pin absent = legacy
     * default); an alien bucket-function version refuses with the rebuild
@@ -435,6 +429,24 @@ object TextAnalysis {
           s"'$textBucketingVersion' — rebuild with writeTextIndex before using it")
       lines(1).toInt
     }
+  }
+
+  /** The store's id contract, checked at every write face: one row per
+    * doc_id. A duplicated id would double every tf it carries and
+    * inflate idf's N — silently and, because later resends anti-join as
+    * "already known", UNREPAIRABLY — so it refuses up front. One bounded
+    * aggregation over the batch (the [[graft.ops.Similarity]]
+    * vecDimProfile posture: the whole batch is seen, a limit-probe
+    * would wave duplicates through).
+    */
+  private def requireUniqueDocIds(df: DataFrame, idCol: String, op: String): Unit = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("nd")).head()
+    require(
+      r.getLong(0) == r.getLong(1),
+      s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicated '$idCol' rows — " +
+        "the index keys postings by doc id; dedupe the batch before indexing it")
   }
 
   /** (doc_id, tok, tf) postings of a document frame — the one tokenize
@@ -465,6 +477,7 @@ object TextAnalysis {
     require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
     val spark = docs.sparkSession
     import spark.implicits._
+    requireUniqueDocIds(docs, idCol, "writeTextIndex")
     Similarity.markInflight(spark, path, "writeTextIndex")
     Seq("tombstones", "staged", "staged.compacting", "params")
       .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
@@ -503,6 +516,7 @@ object TextAnalysis {
     val spark = batch.sparkSession
     repairTextIndex(spark, path)
     requireTextBatchBuilt(spark, path, "appendTextIndex")
+    requireUniqueDocIds(batch, idCol, "appendTextIndex")
     val nb = textIndexBuckets(spark, path)
     val fs = textFs(spark, path)
     // dedupe against the LIVE id set (docids minus tombstones): a
@@ -713,6 +727,7 @@ object TextAnalysis {
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
       val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       if (b.isEmpty) return
+      requireUniqueDocIds(b, "doc_id", "ingestTextBatch")
       Similarity.markInflight(spark, path, "ingestTextBatch")
       writeTextFileAt(textFs(spark, path), s"$path/bucketing", s"$textBucketingVersion\n64")
       postingsOf(b, "text", "doc_id")
@@ -733,6 +748,17 @@ object TextAnalysis {
       case Some(op) if op.contains("ingestTextBatch") => ()
       case _ => repairTextIndex(spark, path)
     }
+    // the reverse of requireTextBatchBuilt: a resumed stream (checkpoint
+    // past batch 0) pointed at a batch-built store must refuse by name,
+    // not fall over on the missing batch_id column
+    locally {
+      val kind = spark.read.parquet(s"$path/params").select("kind").head().getString(0)
+      require(
+        kind == "text-stream",
+        s"ingestTextBatch: the index at $path is batch-built (kind '$kind') — a stream " +
+          "claims the root at batch 0; point a FRESH stream (new checkpoint) at it")
+    }
+    requireUniqueDocIds(batch, idCol, "ingestTextBatch")
     val nb = textIndexBuckets(spark, path)
     val known = spark.read.parquet(s"$path/docids")
       .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta

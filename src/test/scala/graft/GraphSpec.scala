@@ -1042,6 +1042,19 @@ class GraphSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tombstones")))
   }
 
+  test("stream edge store: a legacy store without the plain-file stamp refuses by name") {
+    val spark = SparkSpec.spark
+    val dir = java.nio.file.Files.createTempDirectory("legacystamp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Graph.ingestEdgeBatch(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), dir, 0L)
+    // simulate a round-16 layout: the stamp file does not exist
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/support_stamp"), false)
+    val e = intercept[IllegalStateException](
+      Graph.ingestEdgeBatch(Seq((3L, 4L)).toDF("src", "dst"), dir, 1L))
+    assert(e.getMessage.contains("batch 0"), e.getMessage)
+  }
+
   test("edge store: rebucket relays the layout content-preservingly; windows re-run") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("rebucket").toString

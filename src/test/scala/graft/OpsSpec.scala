@@ -2166,6 +2166,17 @@ class OpsSpec extends SparkSpec {
     val before = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docids")).length
     TextAnalysis.appendTextIndex(docsDf, dir)
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/docids")).length === before)
+    // a WITHIN-batch duplicated id refuses up front — it would double tf
+    // and inflate idf's N, silently and unrepairably
+    val dup = intercept[IllegalArgumentException](
+      TextAnalysis.appendTextIndex(
+        Seq((60L, "a"), (60L, "b")).toDF("doc_id", "text"), dir))
+    assert(dup.getMessage.contains("duplicated"), dup.getMessage)
+    // a stream batch >= 1 pointed at this BATCH-built store refuses by
+    // name instead of falling over on the missing batch_id column
+    val wrongKind = intercept[IllegalArgumentException](
+      TextAnalysis.ingestTextBatch(Seq((61L, "x")).toDF("doc_id", "text"), dir, 5L))
+    assert(wrongKind.getMessage.contains("batch-built"), wrongKind.getMessage)
     // re-inserting a tombstoned doc refuses until compact reclaims
     TextAnalysis.deleteFromTextIndex(Seq(3L).toDF("doc_id"), dir)
     val e = intercept[IllegalArgumentException](
