@@ -53,6 +53,8 @@ object Bench {
     // runs three deduped generations + a mid-stream fold
     "text_search_persisted",
     "text_search_streamed",
+    // the as-of face runs the same three generations + the restricted read
+    "text_search_asof",
     "dedup_simhash_pairs",
     // corpus self-join on chunk fingerprints — pair volume bounded by the
     // posting cap, but the chunking explode alone scans every token

@@ -479,7 +479,7 @@ object TextAnalysis {
     import spark.implicits._
     requireUniqueDocIds(docs, idCol, "writeTextIndex")
     Similarity.markInflight(spark, path, "writeTextIndex")
-    Seq("tombstones", "staged", "staged.compacting", "params")
+    Seq("tombstones", "staged", "staged.compacting", "fold_pin", "params")
       .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
     writeTextFileAt(textFs(spark, path), s"$path/bucketing", s"$textBucketingVersion\n$buckets")
     Similarity.rewriteDir(
@@ -612,6 +612,13 @@ object TextAnalysis {
     // the next ingest batch's dir sits beside it and compaction is safe
     // MID-stream — the compactIndexDir rule
     if (postings.columns.contains("batch_id")) {
+      // record the fold point FIRST (the compactCcLog rule: a crash
+      // between pin and rewrite only over-refuses below-pin as-of reads):
+      // generations <= the current max collapse into batch_id=-1, so
+      // [[searchTextIndexAsOf]] below that point must refuse
+      val maxGen = spark.read.parquet(s"$path/docids")
+        .agg(max(col("batch_id")).cast("long")).head().getLong(0)
+      writeTextFileAt(textFs(spark, path), s"$path/fold_pin", maxGen.toString)
       Similarity.rewriteDir(
         spark,
         postings.select("doc_id", "tok", "tf", "bucket").withColumn("batch_id", lit(-1L)),
@@ -722,7 +729,7 @@ object TextAnalysis {
     if (batchId == 0L || !Similarity.storeExists(spark, s"$path/params")) {
       // wipe BEFORE the empty check (the StoreLifecycle rule)
       Seq("postings", "docids", "tombstones", "staged", "staged.compacting",
-        "bucketing", "params")
+        "bucketing", "fold_pin", "params")
         .foreach(d => Similarity.deleteDir(spark, s"$path/$d"))
       Similarity.clearInflight(spark, path) // a fresh stream resolves a crashed run
       val b = batch.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
@@ -822,6 +829,68 @@ object TextAnalysis {
       "doc_id")
     val n = Similarity.minusTombstones(
       spark, path, spark.read.parquet(s"$path/docids"), "doc_id").count()
+    scoredTopK(postings, n, k)
+  }
+
+  /** TIME-TRAVEL read of a STREAM text index: [[searchTextIndex]] as of
+    * generation `batchId` — the text store closing the as-of symmetry
+    * the edge store ([[graft.ops.Graph.liveEdgesAsOf]]) and the label
+    * store ([[graft.ops.Graph.readCcLabelsAsOf]]) already answer. The
+    * batch-id-keyed generation layout IS the retention log: restrict
+    * postings AND docids to `batch_id <= N` (one partition-pruned
+    * filter each — a folded `batch_id=-1` prefix rides in naturally)
+    * and score with the same kernel, so the answer equals serving the
+    * index as it stood after generation N — idf's historical N
+    * included. Refusals are explicit: a batch-built store keeps no
+    * generations; a fold ([[compactTextIndex]]) makes resolution below
+    * its pinned point indivisible; and a TOMBSTONED store refuses
+    * outright, because deletes are not generation-stamped — "as of N"
+    * with retroactive deletes is a different question than this store
+    * records (compaction reclaims and clears, after which as-of
+    * answers again above the fold).
+    */
+  def searchTextIndexAsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      batchId: Long,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "query term set must not be empty")
+    import spark.implicits._
+    Similarity.requireNotInflight(spark, path)
+    val kind = spark.read.parquet(s"$path/params").select("kind").head().getString(0)
+    require(
+      kind == "text-stream",
+      s"searchTextIndexAsOf: the index at $path is batch-built (kind '$kind') — only " +
+        "ingestTextBatch-maintained stores keep batch_id generations to travel over")
+    require(
+      !Similarity.storeExists(spark, s"$path/tombstones"),
+      s"searchTextIndexAsOf: $path carries tombstones, which are not generation-" +
+        "stamped — an as-of read cannot know whether a delete precedes generation " +
+        s"$batchId; compact the store (reclaim + clear) and as-of reads resume above " +
+        "the fold")
+    val fs = textFs(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/fold_pin"))) {
+      val folded = readTextFileAt(fs, s"$path/fold_pin").trim.toLong
+      require(
+        batchId >= folded,
+        s"searchTextIndexAsOf: generations <= $folded of $path were folded by " +
+          s"compactTextIndex (asked for $batchId) — the folded prefix is indivisible; " +
+          "compaction bounds resolution")
+    }
+    val nb = textIndexBuckets(spark, path)
+    val termBuckets = terms.toDF("tok")
+      .select(tokBucket(col("tok"), nb).as("b"))
+      .distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("batch_id") <= batchId) // prunes generations at the scan
+      .filter(col("bucket").isin(termBuckets: _*)) // ... and unqueried buckets
+      .filter(col("tok").isin(terms: _*))
+      .select("doc_id", "tok", "tf")
+    val n = spark.read.parquet(s"$path/docids")
+      .filter(col("batch_id") <= batchId)
+      .count()
     scoredTopK(postings, n, k)
   }
 

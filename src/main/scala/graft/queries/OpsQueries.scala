@@ -736,6 +736,18 @@ object OpsQueries {
       TextAnalysis.ingestTextBatch(d, idx, 2L)
       TextAnalysis.searchTextIndex(s, idx, Seq("window", "merge", "scan"), k = 20)
     },
+    // TIME-TRAVEL over the streamed index's generations: the same query
+    // served as of generation 1 — generation 2's documents must be
+    // invisible, INCLUDING in idf's N (historical doc count), so the
+    // oracle scores over the doc_id%3<=1 prefix corpus only
+    "text_search_asof" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val idx = s"${sys.props("java.io.tmpdir")}/graft_textasof_${ProcessHandle.current().pid()}"
+      TextAnalysis.ingestTextBatch(d.filter(col("doc_id") % 3 === 0), idx, 0L)
+      TextAnalysis.ingestTextBatch(d.filter(col("doc_id") % 3 === 1), idx, 1L)
+      TextAnalysis.ingestTextBatch(d, idx, 2L)
+      TextAnalysis.searchTextIndexAsOf(s, idx, Seq("window", "merge", "scan"), 1L, k = 20)
+    },
     // exact phrase occurrences per doc from positional postings of the
     // phrase's own terms — no positional self-join chain, one
     // distinct-slot aggregate over (doc, rebased position)
@@ -2161,6 +2173,28 @@ object OpsQueries {
       // the streamed index's three deduped generations + mid-stream fold
       // land exactly the corpus — same contract, same oracle
       "text_search_streamed" -> baseOracleSql("text_search"),
+      // as-of generation 1 = the same scoring over ONLY the first two
+      // generations' corpus (doc_id%3<=1), historical idf N included
+      "text_search_asof" ->
+        """WITH traw AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          |  FROM documents WHERE doc_id % 3 <= 1),
+          |p AS (
+          |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          |  FROM traw WHERE tok IN ('window', 'merge', 'scan') GROUP BY 1, 2),
+          |w AS (
+          |  SELECT tok,
+          |         CAST(round(1000.0 * ((SELECT COUNT(*) FROM documents WHERE doc_id % 3 <= 1)
+          |                              - COUNT(*) + 0.5)
+          |                    / (COUNT(*) + 0.5), 0) AS BIGINT) AS idf_milli
+          |  FROM p GROUP BY tok)
+          |SELECT p.doc_id,
+          |       CAST(SUM(p.tf * w.idf_milli) AS BIGINT) AS score_milli,
+          |       CAST(COUNT(*) AS BIGINT) AS n_terms
+          |FROM p JOIN w ON p.tok = w.tok
+          |GROUP BY p.doc_id
+          |ORDER BY score_milli DESC, p.doc_id
+          |LIMIT 20""".stripMargin,
       // append + tombstone-delete + compact must be invisible to the
       // probe (the appended rows were exactly the deleted ones), so the
       // compacted faces share their in-memory twins' oracles too

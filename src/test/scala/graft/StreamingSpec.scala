@@ -461,13 +461,38 @@ class StreamingSpec extends SparkSpec {
       Seq((9L, "rare rare")).toDF("doc_id", "text"), s"$dir/idx", 7L)
     val withNine = union.unionAll(Seq((9L, "rare rare")).toDF("doc_id", "text"))
     assert(served(Seq("rare", "common")) === direct(withNine, Seq("rare", "common")))
-    // a mid-stream fold changes nothing served; a batch append refuses
+    // TIME TRAVEL: serving as of generation 0 sees only d0's corpus —
+    // idf's historical N included (the direct twin over d0 alone)
+    def servedAsOf(n: Long) =
+      graft.ops.TextAnalysis.searchTextIndexAsOf(spark, s"$dir/idx", Seq("rare", "common"), n, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(servedAsOf(0L) === direct(d0, Seq("rare", "common")))
+    assert(servedAsOf(1L) === direct(union, Seq("rare", "common")))
+    assert(servedAsOf(7L) === direct(withNine, Seq("rare", "common")))
+    // a mid-stream fold changes nothing served; a batch append refuses;
+    // below-fold as-of reads refuse with the fold stated, above resumes
     graft.ops.TextAnalysis.compactTextIndex(spark, s"$dir/idx")
     assert(served(Seq("rare", "common")) === direct(withNine, Seq("rare", "common")))
+    val ef = intercept[IllegalArgumentException](servedAsOf(1L))
+    assert(ef.getMessage.contains("folded"), ef.getMessage)
+    assert(servedAsOf(7L) === direct(withNine, Seq("rare", "common")))
+    // a tombstoned stream store refuses as-of (deletes are not
+    // generation-stamped); compaction reclaims and as-of resumes
+    graft.ops.TextAnalysis.deleteFromTextIndex(Seq(9L).toDF("doc_id"), s"$dir/idx")
+    val et = intercept[IllegalArgumentException](servedAsOf(7L))
+    assert(et.getMessage.contains("tombstones"), et.getMessage)
+    graft.ops.TextAnalysis.compactTextIndex(spark, s"$dir/idx")
+    assert(servedAsOf(7L) === direct(union, Seq("rare", "common")))
     val e = intercept[IllegalArgumentException](
       graft.ops.TextAnalysis.appendTextIndex(
         Seq((50L, "x")).toDF("doc_id", "text"), s"$dir/idx"))
     assert(e.getMessage.contains("stream"), e.getMessage)
+    // a batch-built store has no generations to travel over
+    val bdir = java.nio.file.Files.createTempDirectory("textasofbatch").toString
+    graft.ops.TextAnalysis.writeTextIndex(d0, bdir)
+    val eb = intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.searchTextIndexAsOf(spark, bdir, Seq("rare"), 0L))
+    assert(eb.getMessage.contains("batch-built"), eb.getMessage)
   }
 
   test("ivfIngest: an empty leading batch neither crashes nor leaves the index untrained") {
