@@ -398,6 +398,12 @@ object TextAnalysis {
   /** Version pin of the token bucket function (`pmod(hash(tok), n)`). */
   private val textBucketingVersion = "v1"
 
+  /** Default bucket count for new text indexes (batch builds take a
+    * `buckets` argument; stream claims use this — the count is PINNED in
+    * the store either way, so the default only matters at claim time).
+    */
+  private val defaultTextBuckets = 64
+
   private[graft] def tokBucket(tok: Column, n: Int) = pmod(hash(tok), lit(n))
 
   private def textFs(spark: org.apache.spark.sql.SparkSession, path: String) =
@@ -419,7 +425,14 @@ object TextAnalysis {
   private[graft] def textIndexBuckets(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     val fs = textFs(spark, path)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bucketing"))) 64
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bucketing")))
+      // unlike Graph.storeBuckets there are NO legacy pinless text
+      // stores (every write face pins), so a missing pin only ever
+      // means a damaged tree — defaulting would make a non-64-bucket
+      // store silently return near-empty results
+      throw new IllegalStateException(
+        s"text index at $path has no bucketing pin — the store is damaged or " +
+          "partially copied; rebuild with writeTextIndex (or restart the stream)")
     else {
       val lines = readTextFileAt(fs, s"$path/bucketing").trim.split("\n").map(_.trim)
       require(
@@ -440,9 +453,12 @@ object TextAnalysis {
     * would wave duplicates through).
     */
   private def requireUniqueDocIds(df: DataFrame, idCol: String, op: String): Unit = {
+    // over the CAST id — postings key by doc_id.cast(long), so ids
+    // distinct pre-cast but equal post-cast ("7"/" 7", 7.2/7.9) are
+    // duplicates to the store and must refuse too
     val r = df.agg(
       count(lit(1)).as("n"),
-      count_distinct(col(idCol)).as("nd")).head()
+      count_distinct(col(idCol).cast("long")).as("nd")).head()
     require(
       r.getLong(0) == r.getLong(1),
       s"$op: batch carries ${r.getLong(0) - r.getLong(1)} duplicated '$idCol' rows — " +
@@ -471,7 +487,7 @@ object TextAnalysis {
   def writeTextIndex(
       docs: DataFrame,
       path: String,
-      buckets: Int = 64,
+      buckets: Int = defaultTextBuckets,
       textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
@@ -611,6 +627,18 @@ object TextAnalysis {
     // under the synthetic batch_id=-1 generation (real ids are >= 0), so
     // the next ingest batch's dir sits beside it and compaction is safe
     // MID-stream — the compactIndexDir rule
+    // a compact that empties a PARTITIONED tree (every doc tombstoned)
+    // would otherwise swap in a dir with no parquet files — the next
+    // read fails schema inference instead of serving empty results; one
+    // limit-0 seed file under a synthetic partition keeps it readable
+    // (the Graph.stageAndApply precedent)
+    def seedIfEmpty(dir: String, leafPath: String, schemaDf: DataFrame): Unit = {
+      val fs0 = textFs(spark, path)
+      val hasParts = fs0.exists(new org.apache.hadoop.fs.Path(dir)) &&
+        fs0.listStatus(new org.apache.hadoop.fs.Path(dir)).exists(_.isDirectory)
+      if (!hasParts)
+        schemaDf.limit(0).write.mode("overwrite").parquet(s"$dir/$leafPath")
+    }
     if (postings.columns.contains("batch_id")) {
       // record the fold point FIRST (the compactCcLog rule: a crash
       // between pin and rewrite only over-refuses below-pin as-of reads):
@@ -618,12 +646,23 @@ object TextAnalysis {
       // [[searchTextIndexAsOf]] below that point must refuse
       val maxGen = spark.read.parquet(s"$path/docids")
         .agg(max(col("batch_id")).cast("long")).head().getLong(0)
-      writeTextFileAt(textFs(spark, path), s"$path/fold_pin", maxGen.toString)
+      // forward-only: a re-fold of an ALREADY-folded store sees
+      // maxGen = -1 and must keep the prior pin — overwriting it with -1
+      // would silently re-admit below-fold as-of reads over folded data
+      val fs0 = textFs(spark, path)
+      val prior =
+        if (fs0.exists(new org.apache.hadoop.fs.Path(s"$path/fold_pin")))
+          readTextFileAt(fs0, s"$path/fold_pin").trim.toLong
+        else Long.MinValue
+      val pin = math.max(maxGen, prior)
+      if (pin >= 0L) writeTextFileAt(fs0, s"$path/fold_pin", pin.toString)
       Similarity.rewriteDir(
         spark,
         postings.select("doc_id", "tok", "tf", "bucket").withColumn("batch_id", lit(-1L)),
         s"$path/postings",
         Seq("batch_id", "bucket"))
+      seedIfEmpty(s"$path/postings", "batch_id=-1/bucket=0",
+        postings.select("doc_id", "tok", "tf"))
       Similarity.rewriteDir(
         spark,
         Similarity.minusTombstones(
@@ -631,8 +670,12 @@ object TextAnalysis {
           .select("doc_id").withColumn("batch_id", lit(-1L)),
         s"$path/docids",
         Seq("batch_id"))
+      seedIfEmpty(s"$path/docids", "batch_id=-1",
+        postings.select("doc_id"))
     } else {
       Similarity.rewriteDir(spark, postings, s"$path/postings", Seq("bucket"))
+      seedIfEmpty(s"$path/postings", "bucket=0",
+        postings.select("doc_id", "tok", "tf"))
       Similarity.rewriteDir(
         spark,
         Similarity.minusTombstones(
@@ -736,15 +779,17 @@ object TextAnalysis {
       if (b.isEmpty) return
       requireUniqueDocIds(b, "doc_id", "ingestTextBatch")
       Similarity.markInflight(spark, path, "ingestTextBatch")
-      writeTextFileAt(textFs(spark, path), s"$path/bucketing", s"$textBucketingVersion\n64")
+      writeTextFileAt(
+        textFs(spark, path), s"$path/bucketing",
+        s"$textBucketingVersion\n$defaultTextBuckets")
       postingsOf(b, "text", "doc_id")
-        .withColumn("bucket", tokBucket(col("tok"), 64))
+        .withColumn("bucket", tokBucket(col("tok"), defaultTextBuckets))
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/postings/batch_id=$batchId")
       b.select("doc_id").distinct().coalesce(1)
         .write.mode("overwrite").parquet(s"$path/docids/batch_id=$batchId")
-      Seq(("text-stream", 64)).toDF("kind", "buckets")
+      Seq(("text-stream", defaultTextBuckets)).toDF("kind", "buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
       Similarity.clearInflight(spark, path)
       return
@@ -767,13 +812,32 @@ object TextAnalysis {
     }
     requireUniqueDocIds(batch, idCol, "ingestTextBatch")
     val nb = textIndexBuckets(spark, path)
-    val known = spark.read.parquet(s"$path/docids")
-      .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
-      .select("doc_id")
+    // dedupe against the LIVE set (docids minus tombstones, excluding our
+    // own possibly-half-landed generation): a tombstoned doc must land in
+    // the delta so the refusal below fires — the appendTextIndex rule;
+    // swallowing the re-insert as "already known" would leave the doc
+    // deleted while the producer believes it re-indexed
+    val known = Similarity.minusTombstones(
+      spark,
+      path,
+      spark.read.parquet(s"$path/docids")
+        .filter(col("batch_id") =!= batchId) // a half-landed retry must not hide its own delta
+        .select("doc_id"),
+      "doc_id")
     val delta = batch
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .join(known, Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    if (Similarity.storeExists(spark, s"$path/tombstones")) {
+      val nTomb = spark.read.parquet(s"$path/tombstones")
+        .join(delta.select(col("doc_id").as("del_id")), Seq("del_id"), "left_semi")
+        .count()
+      require(
+        nTomb == 0,
+        s"ingestTextBatch: $nTomb stream docs are tombstoned in $path — compact the " +
+          "index before re-inserting a deleted document (the stream fails fast rather " +
+          "than silently keeping the doc deleted)")
+    }
     if (delta.isEmpty) {
       // pure duplicate: no new generation — but a CRASHED earlier attempt
       // of this very batch may have half-landed it; deleting gen N is the
@@ -814,21 +878,39 @@ object TextAnalysis {
     require(terms.nonEmpty, "query term set must not be empty")
     import spark.implicits._
     Similarity.requireNotInflight(spark, path)
+    serveTextIndex(spark, path, terms, k, None)
+  }
+
+  /** ONE pruned-serving tail for both read faces ([[searchTextIndex]]
+    * live, [[searchTextIndexAsOf]] generation-restricted): term-bucket
+    * derivation with THE Spark hash, partition-pruned postings read,
+    * tombstone subtraction (a no-op on the as-of face, which refused
+    * tombstoned stores already), the docids N, the scoring kernel.
+    */
+  private def serveTextIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int,
+      asOf: Option[Long]): DataFrame = {
+    import spark.implicits._
     val nb = textIndexBuckets(spark, path)
     val termBuckets = terms.toDF("tok")
       .select(tokBucket(col("tok"), nb).as("b"))
       .distinct()
       .collect().map(_.getInt(0)).toSeq.sorted // bounded: <= |terms| rows
+    def gen(df: DataFrame): DataFrame =
+      asOf.map(n => df.filter(col("batch_id") <= n)).getOrElse(df)
     val postings = Similarity.minusTombstones(
       spark,
       path,
-      spark.read.parquet(s"$path/postings")
+      gen(spark.read.parquet(s"$path/postings"))
         .filter(col("bucket").isin(termBuckets: _*)) // prunes on the PARTITION column
         .filter(col("tok").isin(terms: _*))
         .select("doc_id", "tok", "tf"),
       "doc_id")
     val n = Similarity.minusTombstones(
-      spark, path, spark.read.parquet(s"$path/docids"), "doc_id").count()
+      spark, path, gen(spark.read.parquet(s"$path/docids")), "doc_id").count()
     scoredTopK(postings, n, k)
   }
 
@@ -878,20 +960,7 @@ object TextAnalysis {
           s"compactTextIndex (asked for $batchId) — the folded prefix is indivisible; " +
           "compaction bounds resolution")
     }
-    val nb = textIndexBuckets(spark, path)
-    val termBuckets = terms.toDF("tok")
-      .select(tokBucket(col("tok"), nb).as("b"))
-      .distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("batch_id") <= batchId) // prunes generations at the scan
-      .filter(col("bucket").isin(termBuckets: _*)) // ... and unqueried buckets
-      .filter(col("tok").isin(terms: _*))
-      .select("doc_id", "tok", "tf")
-    val n = spark.read.parquet(s"$path/docids")
-      .filter(col("batch_id") <= batchId)
-      .count()
-    scoredTopK(postings, n, k)
+    serveTextIndex(spark, path, terms, k, Some(batchId))
   }
 
   /** Keep-predicate for one line of text, C4-style (Raffel et al. 2020, the

@@ -2172,11 +2172,32 @@ class OpsSpec extends SparkSpec {
       TextAnalysis.appendTextIndex(
         Seq((60L, "a"), (60L, "b")).toDF("doc_id", "text"), dir))
     assert(dup.getMessage.contains("duplicated"), dup.getMessage)
+    // ... including ids distinct only BEFORE the store's long cast
+    val dup2 = intercept[IllegalArgumentException](
+      TextAnalysis.appendTextIndex(
+        Seq((62.2, "a"), (62.9, "b")).toDF("doc_id", "text"), dir))
+    assert(dup2.getMessage.contains("duplicated"), dup2.getMessage)
     // a stream batch >= 1 pointed at this BATCH-built store refuses by
     // name instead of falling over on the missing batch_id column
     val wrongKind = intercept[IllegalArgumentException](
       TextAnalysis.ingestTextBatch(Seq((61L, "x")).toDF("doc_id", "text"), dir, 5L))
     assert(wrongKind.getMessage.contains("batch-built"), wrongKind.getMessage)
+    // a store whose bucketing pin is gone is damaged — refuse, never
+    // serve silently near-empty results under the wrong bucket count
+    val pinDir = java.nio.file.Files.createTempDirectory("textnopin").toString
+    TextAnalysis.writeTextIndex(docsDf, pinDir, buckets = 16)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$pinDir/bucketing"), false)
+    val noPin = intercept[IllegalStateException](
+      TextAnalysis.searchTextIndex(s, pinDir, Seq("rare"), k = 3))
+    assert(noPin.getMessage.contains("bucketing"), noPin.getMessage)
+    // compacting away EVERY doc leaves a readable (empty-serving) store
+    val wipeDir = java.nio.file.Files.createTempDirectory("textwipe").toString
+    TextAnalysis.writeTextIndex(docsDf, wipeDir)
+    TextAnalysis.deleteFromTextIndex(docsDf.select("doc_id"), wipeDir)
+    TextAnalysis.compactTextIndex(s, wipeDir)
+    assert(TextAnalysis.searchTextIndex(s, wipeDir, Seq("rare"), k = 3).count() === 0L)
+    TextAnalysis.appendTextIndex(Seq((70L, "rare")).toDF("doc_id", "text"), wipeDir)
+    assert(TextAnalysis.searchTextIndex(s, wipeDir, Seq("rare"), k = 3).count() === 1L)
     // re-inserting a tombstoned doc refuses until compact reclaims
     TextAnalysis.deleteFromTextIndex(Seq(3L).toDF("doc_id"), dir)
     val e = intercept[IllegalArgumentException](

@@ -477,12 +477,23 @@ class StreamingSpec extends SparkSpec {
     assert(ef.getMessage.contains("folded"), ef.getMessage)
     assert(servedAsOf(7L) === direct(withNine, Seq("rare", "common")))
     // a tombstoned stream store refuses as-of (deletes are not
-    // generation-stamped); compaction reclaims and as-of resumes
+    // generation-stamped); a STREAMED re-insert of the tombstoned doc
+    // refuses too (the appendTextIndex rule — never silently swallowed
+    // as already-known); compaction reclaims and as-of resumes
     graft.ops.TextAnalysis.deleteFromTextIndex(Seq(9L).toDF("doc_id"), s"$dir/idx")
     val et = intercept[IllegalArgumentException](servedAsOf(7L))
     assert(et.getMessage.contains("tombstones"), et.getMessage)
+    val er = intercept[IllegalArgumentException](
+      graft.ops.TextAnalysis.ingestTextBatch(
+        Seq((9L, "rare rare")).toDF("doc_id", "text"), s"$dir/idx", 12L))
+    assert(er.getMessage.contains("compact"), er.getMessage)
     graft.ops.TextAnalysis.compactTextIndex(spark, s"$dir/idx")
     assert(servedAsOf(7L) === direct(union, Seq("rare", "common")))
+    // the RE-fold of an already-folded store must keep the fold pin —
+    // regressing it to -1 would silently re-admit below-fold reads over
+    // folded data
+    val ef2 = intercept[IllegalArgumentException](servedAsOf(1L))
+    assert(ef2.getMessage.contains("folded"), ef2.getMessage)
     val e = intercept[IllegalArgumentException](
       graft.ops.TextAnalysis.appendTextIndex(
         Seq((50L, "x")).toDF("doc_id", "text"), s"$dir/idx"))
