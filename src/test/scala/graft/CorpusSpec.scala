@@ -30,15 +30,43 @@ class CorpusSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     // a 128-node path: flooding needs ~127 rounds (one per hop); the
-    // large-star/small-star pair must land within the log bound
+    // large-star/small-star pair must land within the log bound. The
+    // small-graph fast path is DISABLED here so the distributed rounds
+    // are what this test exercises.
     val n = 128L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val (stars, rounds) = Dedup.ccStarContraction(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-    assert(rounds <= 14, s"chain-of-$n took $rounds rounds (log2(n)=7)")
-    val lbl = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((2L to n).forall(lbl(_) == 1L), "every non-root points at the component min")
-    assert(!lbl.contains(1L), "the root carries no child edge")
+    s.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+    try {
+      val (stars, rounds) = Dedup.ccStarContraction(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      assert(rounds >= 1, "cutoff 0 must force the distributed contraction")
+      assert(rounds <= 14, s"chain-of-$n took $rounds rounds (log2(n)=7)")
+      val lbl = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((2L to n).forall(lbl(_) == 1L), "every non-root points at the component min")
+      assert(!lbl.contains(1L), "the root carries no child edge")
+    } finally s.conf.unset("spark.graft.cc.localEdgeCutoff")
+  }
+
+  test("ccStarContraction small-graph fast path ≡ distributed contraction") {
+    val s = spark
+    import s.implicits._
+    // random multigraphs with self-loops and duplicates: the single-task
+    // union-find (default cutoff) and the distributed star contraction
+    // (cutoff 0) must return the same converged star edges — canonical
+    // component-minimum labels are algorithm-independent, and this pins it
+    for (seed <- Seq(3, 11, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      val df = edges.toDF("u", "v")
+      val local = Dedup.ccStarContraction(df)._1.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      s.conf.set("spark.graft.cc.localEdgeCutoff", "0")
+      val dist =
+        try Dedup.ccStarContraction(df)._1.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally s.conf.unset("spark.graft.cc.localEdgeCutoff")
+      assert(local == dist, s"seed $seed: local and distributed stars differ")
+    }
   }
 
   test("clusterPairs equals union-find on random graphs") {
