@@ -391,17 +391,10 @@ object Similarity {
       cents: DataFrame,
       idCol: String,
       vecCol: String): DataFrame =
-    corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
-      .withColumn(
-        "rn",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol))
-            .orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+    corpus.select(
+      col(idCol),
+      col(vecCol),
+      element_at(topCentroids(col(vecCol), centArrayLit(cents), 1), 1).as("centroid_id"))
 
   /** IVF top-k with a FLAT deterministic coarse quantizer: the seed
     * centroids are the corpus vectors with `id < nCentroids`, no Lloyd
@@ -439,28 +432,76 @@ object Similarity {
       .orderBy(col("centroid_id"))
       .limit(nCentroids)
 
+  /** The centroid table as ONE in-plan array literal, ordered by
+    * centroid_id — a bounded decision read (≤ nCentroids rows, the
+    * [[ivfCentroids]] collect discipline). Feeding assignment/probing an
+    * array literal turns the old `crossJoin(broadcast) + row_number`
+    * window — which multiplied every input row × nCentroids and then
+    * SHUFFLED that product to sort per key — into a per-row array scan:
+    * zero exchanges at any corpus size (guide §2.4, remove shuffles
+    * outright), with the window's exact ordering contract
+    * (csim desc NULLS LAST, centroid_id asc) moved into one explicit
+    * comparator ([[centOrder]]).
+    */
+  private def centArrayLit(cents: DataFrame): Column = {
+    val rows = cents
+      .select(col("centroid_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "centroid table is empty — build the index first")
+    array(rows.map { case (id, v) =>
+      struct(lit(id).as("centroid_id"), typedLit(v).as("centroid"))
+    }: _*)
+  }
+
+  /** (csim desc NULLS LAST, centroid_id asc) over scored centroid structs —
+    * bit-for-bit the ordering of the replaced `row_number` window
+    * (`orderBy(csim.desc, centroid_id)`): [[cosine]] yields null (never
+    * NaN) on degenerate vectors, and desc ordering puts nulls last.
+    */
+  private def centOrder(l: Column, r: Column): Column = {
+    val (ls, rs) = (l.getField("csim"), r.getField("csim"))
+    val (li, ri) = (l.getField("centroid_id"), r.getField("centroid_id"))
+    when(ls.isNull && rs.isNotNull, 1)
+      .when(ls.isNotNull && rs.isNull, -1)
+      .when(ls > rs, -1)
+      .when(ls < rs, 1)
+      .when(li < ri, -1)
+      .when(li > ri, 1)
+      .otherwise(0)
+  }
+
+  /** Top-`p` centroid ids of one vector against the centroid array
+    * literal, in probe order — the shuffle-free core of assignment
+    * (p = 1) and probing (p = nProbe).
+    */
+  private def topCentroids(v: Column, centsArr: Column, p: Int): Column =
+    slice(
+      transform(
+        array_sort(
+          transform(centsArr, c =>
+            struct(
+              round(cosine(v, c.getField("centroid")), 6).as("csim"),
+              c.getField("centroid_id").as("centroid_id"))),
+          (l, r) => centOrder(l, r)),
+        s => s.getField("centroid_id")),
+      1,
+      p)
+
   /** Corpus assigned to nearest-centroid cells (rounded cosine, lower
-    * centroid id breaks ties).
+    * centroid id breaks ties) — one narrow projection, no shuffle.
     */
   private def flatCells(
       corpus: DataFrame,
       cents: DataFrame,
       idCol: String,
       vecCol: String,
-      carry: Seq[(String, String)] = Nil) = {
-    import org.apache.spark.sql.expressions.Window
-    corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", round(cosine(col(vecCol), col("centroid")), 6))
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(
-        col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +: col("centroid_id") +:
-          carry.map { case (c, a) => col(c).as(a) }: _*)
-  }
+      carry: Seq[(String, String)] = Nil) =
+    corpus.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        element_at(topCentroids(col(vecCol), centArrayLit(cents), 1), 1).as("centroid_id") +:
+        carry.map { case (c, a) => col(c).as(a) }: _*)
 
   /** Each query paired with its `nProbe` nearest cells. */
   private def flatProbes(
@@ -469,21 +510,32 @@ object Similarity {
       nProbe: Int,
       idCol: String,
       vecCol: String,
-      carry: Seq[(String, String)] = Nil) = {
-    import org.apache.spark.sql.expressions.Window
+      carry: Seq[(String, String)] = Nil): DataFrame =
+    flatProbesArr(queries, centArrayLit(cents), nProbe, idCol, vecCol, carry)
+
+  /** [[flatProbes]] over a PRE-BUILT centroid array literal — the rung
+    * loops ([[nProbeSearch]] callers) probe the same store many times and
+    * must not pay the bounded centroid collect per rung.
+    */
+  private def flatProbesArr(
+      queries: DataFrame,
+      centsArr: Column,
+      nProbe: Int,
+      idCol: String,
+      vecCol: String,
+      carry: Seq[(String, String)] = Nil): DataFrame =
     queries
       .select(
         col(idCol).as("query_id") +: col(vecCol).as("qv") +:
           carry.map { case (c, a) => col(c).as(a) }: _*)
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
-      .withColumn(
-        "prn",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("csim").desc, col("centroid_id"))))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id") +: col("qv") +: col("centroid_id") +: carry.map(c => col(c._2)): _*)
-  }
+      .withColumn("__cells", topCentroids(col("qv"), centsArr, nProbe))
+      // explode_outer + null guard, never plain explode over a computed
+      // array: InferFiltersFromGenerate would re-evaluate the scoring
+      // chain per row (the round-10 DSIR lesson)
+      .select(
+        col("query_id") +: col("qv") +: explode_outer(col("__cells")).as("centroid_id") +:
+          carry.map(c => col(c._2)): _*)
+      .filter(col("centroid_id").isNotNull)
 
   private def rerank(probes: DataFrame, cells: DataFrame, k: Int): DataFrame =
     rank(
@@ -2659,9 +2711,13 @@ object Similarity {
     val cells = minusTombstones(spark, path, spark.read.parquet(s"$path/cells"), "neighbor_id")
     val live = cells.select(col("neighbor_id").as(idCol), col("cv").as(vecCol))
     val q = queries.localCheckpoint() // probed once per search rung
+    // the rung loop re-probes the SAME store: validation and the store
+    // reads (params head, dim profile, centroid collect) happen once
+    // here, not once per rung — the closure is the bare probe kernel
+    val centsArr = centArrayLit(cents)
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
-      p => probeIvfIndex(spark, path, q, k, p, idCol, vecCol),
+      p => rerank(flatProbesArr(q, centsArr, p, idCol, vecCol), cells, k),
       ivfCandidateCount(q, cents, cells, idCol, vecCol),
       nProbeHint,
       exactTopK)
@@ -2780,11 +2836,12 @@ object Similarity {
       writeIvfIndexTrained(corpusN, train, p, nc, iters, idCol, vecCol)
       val cents = spark.read.parquet(s"$p/centroids")
       val cells = spark.read.parquet(s"$p/cells") // fresh build: no tombstones
+      val centsArr = centArrayLit(cents) // once per rung store, not per probe
       // the tuner's output is a 1-row local relation (the search already
       // ran), so this read is a bounded decision read
       val row = nProbeSearch(
         spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
-        pp => probeIvfIndex(spark, p, q, k, pp, idCol, vecCol),
+        pp => rerank(flatProbesArr(q, centsArr, pp, idCol, vecCol), cells, k),
         ivfCandidateCount(q, cents, cells, idCol, vecCol),
         hint,
         Some(exact)).head()
@@ -3107,18 +3164,7 @@ object Similarity {
     val cents = ivfCentroids(corpus, nCentroids, iters = 3, idCol, vecCol)
     val cells = assign(corpus, cents, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col("qv"), col("centroid")), 6))
-      .withColumn(
-        "prn",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("query_id")
-            .orderBy(col("csim").desc, col("centroid_id"))))
-      .filter(col("prn") <= nProbe)
-      .select("query_id", "qv", "centroid_id")
+    val probes = flatProbes(queries, cents, nProbe, idCol, vecCol)
     rank(
       probes
         .join(cells, Seq("centroid_id"))
