@@ -2756,15 +2756,31 @@ object Similarity {
     requireIvfPqParams(spark, path, m, ksub, dim)
     val cents = spark.read.parquet(s"$path/centroids")
     val nCent = cents.count().toInt
+    requireIvfPqDim(queries, path, vecCol)
     val codes = minusTombstones(spark, path, spark.read.parquet(s"$path/codes"), "vec_id")
     val liveIds = codes.select("vec_id").distinct()
     val live = corpus
       .select(col(idCol).cast("long").as(idCol), col(vecCol))
       .join(liveIds.withColumnRenamed("vec_id", idCol), Seq(idCol), "left_semi")
     val q = queries.localCheckpoint()
+    // store reads, query validation, and the query-side ADC distance
+    // table are rung-invariant: build them once, probe many (the flat
+    // tuner's discipline) — only the probed-cell set varies with p
+    val centsArr = centArrayLit(cents)
+    val dtab = pqDistTable(q, spark.read.parquet(s"$path/codebook"), m, dim / m, idCol, vecCol)
+      .localCheckpoint()
     nProbeSearch(
       spark, q, live, k, targetRecallMilli, nCent, idCol, vecCol,
-      p => probeIvfPqIndex(spark, path, q, k, p, m, ksub, dim, idCol, vecCol),
+      p =>
+        adcTail(
+          codes
+            .join(
+              broadcast(flatProbesArr(q, centsArr, p, idCol, vecCol)
+                .select("query_id", "centroid_id")),
+              Seq("centroid_id"))
+            .filter(col("query_id") =!= col("vec_id"))
+            .join(broadcast(dtab), Seq("query_id", "subspace", "code")),
+          k),
       ivfPqCandidateCount(q, cents, codes, idCol, vecCol),
       nProbeHint)
   }
@@ -2918,9 +2934,23 @@ object Similarity {
       writeIvfPqIndexTrained(corpusN, train, p, nc, iters, m, ksub, dim, idCol, vecCol)
       val cents = spark.read.parquet(s"$p/centroids")
       val codes = spark.read.parquet(s"$p/codes") // fresh build: no tombstones
+      // rung-invariant pieces built once per rung store (the flat
+      // ladder's discipline): centroid literal + query ADC table
+      val centsArr = centArrayLit(cents)
+      val dtab = pqDistTable(q, spark.read.parquet(s"$p/codebook"), m, dim / m, idCol, vecCol)
+        .localCheckpoint()
       val row = nProbeSearch(
         spark, q, corpusN, k, targetRecallMilli, nc, idCol, vecCol,
-        pp => probeIvfPqIndex(spark, p, q, k, pp, m, ksub, dim, idCol, vecCol),
+        pp =>
+          adcTail(
+            codes
+              .join(
+                broadcast(flatProbesArr(q, centsArr, pp, idCol, vecCol)
+                  .select("query_id", "centroid_id")),
+                Seq("centroid_id"))
+              .filter(col("query_id") =!= col("vec_id"))
+              .join(broadcast(dtab), Seq("query_id", "subspace", "code")),
+            k),
         ivfPqCandidateCount(q, cents, codes, idCol, vecCol),
         hint,
         Some(exact)).head()
@@ -3447,7 +3477,28 @@ object Similarity {
       m: Int,
       subDim: Int,
       idCol: String,
-      vecCol: String): DataFrame =
+      vecCol: String): DataFrame = {
+    // The codebook is m·ksub rows by construction — collect it (bounded
+    // decision read, the pqCodebook discipline) and fold the per-subspace
+    // argmin INTO the row projection: the old broadcast join + groupBy
+    // min(struct) shuffled |corpus|·m rows just to pick each subvector's
+    // best of ksub codes. One in-plan literal per subspace, zero
+    // exchanges (guide §2.4); the fold keeps min(struct(dist, code))'s
+    // exact contract — strictly-smaller distance wins, ties keep the
+    // lower code (codes iterate in ascending order).
+    val bySub = cb
+      .select(col("subspace").cast("long"), col("code").cast("long"), col("cm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .groupBy(_._1)
+    require(
+      (0L until m.toLong).forall(bySub.contains),
+      s"pqEncode: codebook covers subspaces ${bySub.keys.toSeq.sorted}, need 0..${m - 1}")
+    val cbArr = array((0L until m.toLong).map { j =>
+      array(bySub(j).sortBy(_._2).map { case (_, code, cm) =>
+        struct(lit(code).as("code"), typedLit(cm).as("cm"))
+      }: _*)
+    }: _*)
     vecs
       .select(col(idCol).as("vec_id"), milliVec(col(vecCol)).as("vm"))
       .select(
@@ -3455,19 +3506,25 @@ object Similarity {
         posexplode(
           transform(sequence(lit(0), lit(m - 1)), j => slice(col("vm"), j * subDim + 1, lit(subDim))))
           .as(Seq("subspace", "sv")))
-      .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("sv"))
-      .join(broadcast(cb), Seq("subspace"))
-      // native codegen loop ([[graft.functions.SquaredDistanceLong]]) — the
-      // HOF zip_with+aggregate form is interpreter-bound at |corpus|·m·ksub
-      // evaluations
-      .withColumn("dist", graft.functions.functions.l2sq_long(col("sv"), col("cm")))
-      .groupBy("vec_id", "subspace")
-      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("subspace").cast("long").as("subspace"),
+        aggregate(
+          element_at(cbArr, col("subspace").cast("int") + 1),
+          struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("code")),
+          (acc, c) => {
+            // native codegen distance ([[graft.functions.SquaredDistanceLong]])
+            // inside the fold — still one fused loop per (subvector, code)
+            val d = graft.functions.functions.l2sq_long(col("sv"), c.getField("cm"))
+            when(d < acc.getField("dist"),
+              struct(d.as("dist"), c.getField("code").as("code"))).otherwise(acc)
+          }).as("best"))
       .select(
         col("vec_id"),
         col("subspace"),
         col("best.code").as("code"),
         col("best.dist").as("qdist"))
+  }
 
   /** PQ asymmetric-distance top-k (ADC): queries stay full-precision; each
     * candidate's distance is the sum over subspaces of a precomputed
