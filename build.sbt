@@ -34,5 +34,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at sf0.1 with it on, <2 s off). All our filters are explicit; the
   // inferred-filter optimization buys nothing here.
   "-Dspark.sql.constraintPropagation.enabled=false",
+  // The bucketed stores (support/cclabels/nodeidx/postings) are 64-dir
+  // partition trees: Spark's default threshold (32) turns EVERY read of
+  // one into a distributed file-listing job (~0.1 s of pure scheduling
+  // per read, many reads per lifecycle query). Driver-side listing of a
+  // few thousand dirs is microseconds on any FS; 4096 still bounds the
+  // driver's work at cluster scale (beyond it the distributed listing
+  // takes over again). deltaScoped already sets this inside mutations —
+  // this lifts it for the read faces too.
+  "-Dspark.sql.sources.parallelPartitionDiscovery.threshold=4096",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -58,6 +58,9 @@ object ProfileCc {
       }
       println(s"[profcc] labels=${labels.count()}")
       // full store lifecycle for comparison
+      phase("triangleSupport(base)") {
+        graft.ops.Graph.triangleSupport(cbase).write.format("noop").mode("overwrite").save()
+      }
       val cidx = s"${sys.props("java.io.tmpdir")}/graft_profcc2_${ProcessHandle.current().pid()}_$rep"
       phase("writeCcStore")(graft.ops.Graph.writeCcStore(cbase, cidx))
       val rem = k

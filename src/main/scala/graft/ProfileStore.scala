@@ -20,10 +20,17 @@ object ProfileStore {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.etl.NessusSynth(spark, sfDir)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     def phase[T](name: String)(f: => T): T = {
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[profile] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[profile] $name ${(System.nanoTime() - t0) / 1e9}%.2f s  jobs=${jobs.get() - j0}")
       r
     }
     for (rep <- 1 to 2) {

@@ -434,7 +434,65 @@ object Graph {
     * Input must already be (u < v)-normalized distinct edges (the
     * [[kTruss]] loop calls this per round on its surviving set).
     */
+  /** Small-graph cutoff for the triangle kernels' single-task fast path,
+    * in (u < v)-normalized edge rows — the [[graft.ops.Dedup.ccStarContraction]]
+    * discipline applied to support counting: the distributed wedge join is
+    * ~5 exchanges / 14 driver jobs (measured sf0.1, all scheduling), while
+    * an edge set inside one task's memory answers the SAME canonical
+    * counts (per-edge support and per-node triangle counts are
+    * algorithm-independent) with one adjacency-intersection pass. 1M edges
+    * ≈ tens of MB of hash-set state; corpus-scale graphs keep the
+    * degree-oriented distributed enumeration. Conf-settable; 0 disables.
+    */
+  private def graphLocalCutoff(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.graph.localEdgeCutoff", "1000000").toLong
+
+  private def isLongPair(df: DataFrame): Boolean =
+    df.schema("u").dataType == org.apache.spark.sql.types.LongType &&
+      df.schema("v").dataType == org.apache.spark.sql.types.LongType
+
+  /** Single-task per-edge support: triangles through (u, v) are exactly
+    * the common neighbors of u and v, so one adjacency build + one
+    * smaller-set-probes-larger intersection per edge — Σ min(d(u), d(v))
+    * work, the same envelope as the distributed enumeration. Input must
+    * be the deduped (u < v)-normalized edge set, checkpointed (coalesce
+    * reads materialized blocks into the one task).
+    */
+  private def localEdgeSupport(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val adj = new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+        def add(a: Long, b: Long): Unit = {
+          var s = adj.get(a)
+          if (s == null) { s = new java.util.HashSet[java.lang.Long](); adj.put(a, s) }
+          s.add(b); ()
+        }
+        edges.foreach { case (u, v) => add(u, v); add(v, u) }
+        edges.iterator.map { case (u, v) =>
+          val su = adj.get(u)
+          val sv = adj.get(v)
+          val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+          var c = 0L
+          val i = small.iterator()
+          while (i.hasNext) {
+            val w = i.next().longValue()
+            if (w != u && w != v && big.contains(w)) c += 1L
+          }
+          (u, v, c)
+        }
+      }
+      .toDF("u", "v", "support")
+  }
+
   private def edgeSupport(und: DataFrame): DataFrame = {
+    if (isLongPair(und)) {
+      val n = und.count() // cheap: callers pass checkpointed sets by contract
+      if (n > 0L && n <= graphLocalCutoff(und.sparkSession)) return localEdgeSupport(und)
+    }
     val deg = und
       .select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -512,7 +570,51 @@ object Graph {
     * ([[clusteringCoeff]]) normalize + checkpoint once and thread it in,
     * instead of re-evaluating the distinct() subtree per consumer.
     */
+  /** Single-task per-node triangle counts (the [[localEdgeSupport]]
+    * discipline): each triangle {a < b < c} is found once from its (a, b)
+    * edge as a common neighbor w > b, credited to all three corners;
+    * triangle-free nodes emit nothing — exactly the distributed
+    * aggregation's contract.
+    */
+  private def localTriangleCounts(und: DataFrame): DataFrame = {
+    val spark = und.sparkSession
+    import spark.implicits._
+    und.select(col("u"), col("v")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val adj = new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+        def add(a: Long, b: Long): Unit = {
+          var s = adj.get(a)
+          if (s == null) { s = new java.util.HashSet[java.lang.Long](); adj.put(a, s) }
+          s.add(b); ()
+        }
+        edges.foreach { case (u, v) => add(u, v); add(v, u) }
+        val cnt = new java.util.HashMap[Long, Long]()
+        def credit(x: Long): Unit = { cnt.merge(x, 1L, (a, b) => a + b); () }
+        edges.foreach { case (u, v) =>
+          val su = adj.get(u)
+          val sv = adj.get(v)
+          val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+          val i = small.iterator()
+          while (i.hasNext) {
+            val w = i.next().longValue()
+            if (w > v && big.contains(w)) { credit(u); credit(v); credit(w) }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val keys = cnt.entrySet().iterator()
+        while (keys.hasNext) { val e = keys.next(); out += ((e.getKey, e.getValue)) }
+        out.iterator
+      }
+      .toDF("node", "n_tri")
+  }
+
   private def triangleCountsOn(und: DataFrame): DataFrame = {
+    if (isLongPair(und)) {
+      val n = und.count() // cheap: callers pass checkpointed sets by contract
+      if (n > 0L && n <= graphLocalCutoff(und.sparkSession)) return localTriangleCounts(und)
+    }
     val deg = und
       .select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -2449,7 +2551,78 @@ object Graph {
     * all three edges: `(u, v, c)`. Both inputs must be (u < v)-normalized
     * and checkpointed; delta ⊆ live.
     */
+  /** Single-task fast path for [[touchedTriangleCredits]] (the
+    * [[localEdgeSupport]] discipline): adjacency of `live`, one
+    * common-neighbor walk per delta edge. A triangle holding SEVERAL
+    * delta edges is counted exactly once — at its lexicographically
+    * smallest delta edge (the canonical representative), which needs only
+    * the delta SET, never a triple set, so memory stays O(|live|). Both
+    * inputs ride one tagged union into the task (no driver collect).
+    */
+  private def localTriangleCredits(delta: DataFrame, live: DataFrame): DataFrame = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    delta.select(lit(0).as("t"), col("u"), col("v"))
+      .unionAll(live.select(lit(1).as("t"), col("u"), col("v")))
+      .as[(Int, Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val deltaEdges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val deltaSet = new java.util.HashSet[(Long, Long)]()
+        val adj = new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+        def add(a: Long, b: Long): Unit = {
+          var s = adj.get(a)
+          if (s == null) { s = new java.util.HashSet[java.lang.Long](); adj.put(a, s) }
+          s.add(b); ()
+        }
+        it.foreach {
+          case (0, u, v) => deltaEdges += ((u, v)); deltaSet.add((u, v)); ()
+          case (_, u, v) => add(u, v); add(v, u)
+        }
+        def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+          a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+        val credits = new java.util.HashMap[(Long, Long), Long]()
+        def credit(a: Long, b: Long): Unit = {
+          credits.merge(if (a < b) (a, b) else (b, a), 1L, (x, y) => x + y); ()
+        }
+        deltaEdges.foreach { case (u, v) =>
+          val su = adj.get(u)
+          val sv = adj.get(v)
+          if (su != null && sv != null) {
+            val (small, big) = if (su.size <= sv.size) (su, sv) else (sv, su)
+            val i = small.iterator()
+            while (i.hasNext) {
+              val w = i.next().longValue()
+              if (w != u && w != v && big.contains(w)) {
+                val e = (u, v)
+                val uw = if (u < w) (u, w) else (w, u)
+                val vw = if (v < w) (v, w) else (w, v)
+                val minDelta = (deltaSet.contains(uw) && lt(uw, e)) ||
+                  (deltaSet.contains(vw) && lt(vw, e))
+                if (!minDelta) { credit(u, v); credit(u, w); credit(v, w) }
+              }
+            }
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val es = credits.entrySet().iterator()
+        while (es.hasNext) {
+          val e = es.next()
+          out += ((e.getKey._1, e.getKey._2, e.getValue))
+        }
+        out.iterator
+      }
+      .toDF("u", "v", "c")
+  }
+
   private def touchedTriangleCredits(delta: DataFrame, live: DataFrame): DataFrame = {
+    if (isLongPair(delta) && isLongPair(live)) {
+      // live is checkpointed (or a union of checkpointed frames) by the
+      // mutators' contract, so the gate count is cheap
+      val nl = live.count()
+      if (nl > 0L && nl <= graphLocalCutoff(live.sparkSession))
+        return localTriangleCredits(delta, live)
+    }
     val tris = wedgeCandidates(delta, live)
       .join(
         live.select(col("u").as("cu"), col("v").as("cv")),

@@ -381,6 +381,34 @@ class GraphSpec extends SparkSpec {
       "post-compaction re-insert restores the K4 support")
   }
 
+  test("edge store: mutation credits — small-graph fast path ≡ distributed wedge enumeration") {
+    val spark = SparkSpec.spark
+    // random churn on a random graph: the single-task credits kernel
+    // (default cutoff) and the distributed wedge enumeration (cutoff 0)
+    // must leave BYTE-IDENTICAL support — triangles with several batch
+    // edges credit once under both
+    for (seed <- Seq(9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val all = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val (batch, base) = all.partition(_ => rnd.nextBoolean())
+      def lifecycle(): Map[(Long, Long), Long] = {
+        val dir = java.nio.file.Files.createTempDirectory("credab").toString
+        Graph.writeEdgeStore(base.toDF("src", "dst"), dir)
+        Graph.appendEdgeStore(batch.toDF("src", "dst"), dir)
+        Graph.removeFromEdgeStore(batch.take(batch.size / 2).toDF("src", "dst"), dir)
+        supMap(Graph.readEdgeSupport(spark, dir))
+      }
+      val local = lifecycle()
+      spark.conf.set("spark.graft.graph.localEdgeCutoff", "0")
+      val dist =
+        try lifecycle()
+        finally spark.conf.unset("spark.graft.graph.localEdgeCutoff")
+      assert(local == dist, s"seed $seed: store support differs between kernels")
+      assert(local.nonEmpty)
+    }
+  }
+
   test("edge store streaming ingest: exactly-once across retries, crash repair, mid-stream compact") {
     val spark = SparkSpec.spark
     val dir = java.nio.file.Files.createTempDirectory("edgeingest").toString
@@ -1147,5 +1175,31 @@ class GraphSpec extends SparkSpec {
     Graph.compactCcLog(spark, dir, 2L)
     assert(labelMap(Graph.readCcLabelsAsOf(spark, dir, 2L)) ===
       labelMap(Graph.readCcLabels(spark, dir)))
+  }
+
+  test("triangle kernels: small-graph fast path ≡ distributed enumeration") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    // random multigraphs with duplicates and self-loops: the single-task
+    // adjacency-intersection kernels (default cutoff) and the distributed
+    // degree-oriented wedge joins (cutoff 0) must agree exactly — support
+    // counts and per-node triangle counts are algorithm-independent
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .toDF("src", "dst")
+      def supportMap() = Graph.triangleSupport(edges).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def triMap() = Graph.triangleCounts(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (supLocal, triLocal) = (supportMap(), triMap())
+      s.conf.set("spark.graft.graph.localEdgeCutoff", "0")
+      val (supDist, triDist) =
+        try (supportMap(), triMap())
+        finally s.conf.unset("spark.graft.graph.localEdgeCutoff")
+      assert(supLocal == supDist, s"seed $seed: per-edge supports differ")
+      assert(triLocal == triDist, s"seed $seed: per-node triangle counts differ")
+      assert(supLocal.nonEmpty && triLocal.nonEmpty)
+    }
   }
 }

@@ -286,18 +286,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand"), "rollup grouping sets plan as Expand:\n" + p.take(1500))
   }
 
-  test("PQ: codebook broadcasts, assignment is a partial-min agg, ADC joins are equi") {
+  test("PQ: encode is a zero-exchange projection, ADC joins are equi") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
     val pCodes = plan(graft.ops.Similarity.pqCodes(embs))
     assert(!pCodes.contains("CartesianProduct"), pCodes.take(1500))
-    assert(pCodes.contains("BroadcastExchange"), "m·ksub codebook must broadcast:\n" + pCodes.take(1500))
-    assert(pCodes.contains("partial_min") || pCodes.contains("HashAggregate"),
-      "nearest-centroid pick must partial-aggregate map-side (min struct), not window:\n" +
-        pCodes.take(1500))
+    // round-17: the m·ksub codebook rides as a per-subspace array literal
+    // and the argmin folds into the projection — no broadcast, no
+    // shuffle, no aggregation anywhere in the encode
+    assert(!pCodes.contains("Exchange"),
+      "PQ encode must not shuffle (argmin folds into the projection):\n" + pCodes.take(1500))
+    assert(!pCodes.contains("Window") && !pCodes.contains("HashAggregate"), pCodes.take(1500))
     val pTopK = plan(graft.ops.Similarity.pqTopK(embs.filter(col("vec_id") < 8), embs, k = 5))
     assert(!pTopK.contains("CartesianProduct"), pTopK.take(1500))
-    assert("BroadcastExchange".r.findAllIn(pTopK).size >= 2,
-      "both the codebook and the query distance table must broadcast:\n" + pTopK.take(1500))
+    assert("BroadcastExchange".r.findAllIn(pTopK).size >= 1,
+      "the query distance table must broadcast into the ADC join:\n" + pTopK.take(1500))
   }
 
   test("diversity: linear aggregation path — no pairs, no window, no single partition") {
@@ -312,11 +314,19 @@ class PlanShapeSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
-    val p = plan(graft.ops.Graph.triangleCounts(edges))
+    // pin the DISTRIBUTED kernel's shape (the small-graph fast path takes
+    // over below the cutoff; its equivalence is pinned in GraphSpec)
+    s.conf.set("spark.graft.graph.localEdgeCutoff", "0")
+    val p =
+      try plan(graft.ops.Graph.triangleCounts(edges))
+      finally s.conf.unset("spark.graft.graph.localEdgeCutoff")
     assert(!p.contains("CartesianProduct"), "wedges must equi-join on the apex:\n" + p.take(1500))
     assert(!p.contains("Window"), p.take(1500))
     // canonical + oriented edge tables each feed multiple consumers
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(1500))
+    // the fast path itself: one task, zero exchanges
+    val pLocal = plan(graft.ops.Graph.triangleCounts(edges))
+    assert(!pLocal.contains("Exchange") && !pLocal.contains("Join"), pLocal.take(1500))
   }
 
   test("urlCanonicalGroups: one hash aggregation over per-row regex projections") {
