@@ -34,9 +34,9 @@ class CorpusSpec extends SparkSpec {
     // small-graph fast path is DISABLED here so the distributed rounds
     // are what this test exercises.
     val n = 128L
-    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    s.conf.set("spark.graft.cc.localEdgeCutoff", "0")
-    try {
+    SparkSpec.withIsolatedConf("spark.graft.cc.localEdgeCutoff" -> "0") { s2 =>
+      import s2.implicits._
+      val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
       val (stars, rounds) = Dedup.ccStarContraction(
         pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       assert(rounds >= 1, "cutoff 0 must force the distributed contraction")
@@ -44,7 +44,7 @@ class CorpusSpec extends SparkSpec {
       val lbl = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert((2L to n).forall(lbl(_) == 1L), "every non-root points at the component min")
       assert(!lbl.contains(1L), "the root carries no child edge")
-    } finally s.conf.unset("spark.graft.cc.localEdgeCutoff")
+    }
   }
 
   test("ccStarContraction small-graph fast path ≡ distributed contraction") {
@@ -57,14 +57,13 @@ class CorpusSpec extends SparkSpec {
     for (seed <- Seq(3, 11, 42)) {
       val rnd = new scala.util.Random(seed)
       val edges = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
-      val df = edges.toDF("u", "v")
-      val local = Dedup.ccStarContraction(df)._1.collect()
+      val local = Dedup.ccStarContraction(edges.toDF("u", "v"))._1.collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      s.conf.set("spark.graft.cc.localEdgeCutoff", "0")
-      val dist =
-        try Dedup.ccStarContraction(df)._1.collect()
+      val dist = SparkSpec.withIsolatedConf("spark.graft.cc.localEdgeCutoff" -> "0") { s2 =>
+        import s2.implicits._
+        Dedup.ccStarContraction(edges.toDF("u", "v"))._1.collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        finally s.conf.unset("spark.graft.cc.localEdgeCutoff")
+      }
       assert(local == dist, s"seed $seed: local and distributed stars differ")
     }
   }

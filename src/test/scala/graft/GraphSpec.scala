@@ -392,18 +392,17 @@ class GraphSpec extends SparkSpec {
       val all = Seq.fill(400)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
         .filter(p => p._1 != p._2).distinct
       val (batch, base) = all.partition(_ => rnd.nextBoolean())
-      def lifecycle(): Map[(Long, Long), Long] = {
+      def lifecycle(s: org.apache.spark.sql.SparkSession): Map[(Long, Long), Long] = {
+        import s.implicits._
         val dir = java.nio.file.Files.createTempDirectory("credab").toString
         Graph.writeEdgeStore(base.toDF("src", "dst"), dir)
         Graph.appendEdgeStore(batch.toDF("src", "dst"), dir)
         Graph.removeFromEdgeStore(batch.take(batch.size / 2).toDF("src", "dst"), dir)
-        supMap(Graph.readEdgeSupport(spark, dir))
+        supMap(Graph.readEdgeSupport(s, dir))
       }
-      val local = lifecycle()
-      spark.conf.set("spark.graft.graph.localEdgeCutoff", "0")
-      val dist =
-        try lifecycle()
-        finally spark.conf.unset("spark.graft.graph.localEdgeCutoff")
+      val local = lifecycle(spark)
+      val dist = SparkSpec.withIsolatedConf(
+        "spark.graft.graph.localEdgeCutoff" -> "0")(lifecycle)
       assert(local == dist, s"seed $seed: store support differs between kernels")
       assert(local.nonEmpty)
     }
@@ -1178,25 +1177,25 @@ class GraphSpec extends SparkSpec {
   }
 
   test("triangle kernels: small-graph fast path ≡ distributed enumeration") {
-    val s = SparkSpec.spark
-    import s.implicits._
     // random multigraphs with duplicates and self-loops: the single-task
     // adjacency-intersection kernels (default cutoff) and the distributed
     // degree-oriented wedge joins (cutoff 0) must agree exactly — support
     // counts and per-node triangle counts are algorithm-independent
     for (seed <- Seq(5, 23)) {
       val rnd = new scala.util.Random(seed)
-      val edges = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
-        .toDF("src", "dst")
-      def supportMap() = Graph.triangleSupport(edges).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-      def triMap() = Graph.triangleCounts(edges).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val (supLocal, triLocal) = (supportMap(), triMap())
-      s.conf.set("spark.graft.graph.localEdgeCutoff", "0")
-      val (supDist, triDist) =
-        try (supportMap(), triMap())
-        finally s.conf.unset("spark.graft.graph.localEdgeCutoff")
+      val pairs = Seq.fill(500)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      def maps(s: org.apache.spark.sql.SparkSession) = {
+        import s.implicits._
+        val edges = pairs.toDF("src", "dst")
+        val sup = Graph.triangleSupport(edges).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val tri = Graph.triangleCounts(edges).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (sup, tri)
+      }
+      val (supLocal, triLocal) = maps(spark)
+      val (supDist, triDist) = SparkSpec.withIsolatedConf(
+        "spark.graft.graph.localEdgeCutoff" -> "0")(maps)
       assert(supLocal == supDist, s"seed $seed: per-edge supports differ")
       assert(triLocal == triDist, s"seed $seed: per-node triangle counts differ")
       assert(supLocal.nonEmpty && triLocal.nonEmpty)

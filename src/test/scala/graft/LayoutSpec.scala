@@ -47,24 +47,27 @@ class LayoutSpec extends SparkSpec {
     Layout.bucketedWrite(left, "bk_left", "k", nBuckets = 8)
     Layout.bucketedWrite(right, "bk_right", "k", nBuckets = 8)
     try {
-      // force a non-broadcast join so co-location is what avoids the shuffle
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
-      joined.count()
-      val p = joined.queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin"), p.take(1200))
-      assert(
-        !p.contains("Exchange hashpartitioning"),
-        "bucketed join must be exchange-free:\n" + p.take(1500))
-      // and an aggregation on the bucket key is exchange-free too
-      val agg = spark.table("bk_left").groupBy("k").agg(sum("l_val"))
-      agg.count()
-      val pa = agg.queryExecution.executedPlan.toString
-      assert(
-        !pa.contains("Exchange hashpartitioning"),
-        "bucketed aggregation must be exchange-free:\n" + pa.take(1500))
+      // force a non-broadcast join so co-location is what avoids the
+      // shuffle — on a conf-isolated clone so the broadcast-off window
+      // never leaks into concurrently-running suites' plans (the catalog
+      // is shared state, so the clone sees the bucketed tables)
+      SparkSpec.withIsolatedConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") { s2 =>
+        val joined = s2.table("bk_left").join(s2.table("bk_right"), "k")
+        joined.count()
+        val p = joined.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"), p.take(1200))
+        assert(
+          !p.contains("Exchange hashpartitioning"),
+          "bucketed join must be exchange-free:\n" + p.take(1500))
+        // and an aggregation on the bucket key is exchange-free too
+        val agg = s2.table("bk_left").groupBy("k").agg(sum("l_val"))
+        agg.count()
+        val pa = agg.queryExecution.executedPlan.toString
+        assert(
+          !pa.contains("Exchange hashpartitioning"),
+          "bucketed aggregation must be exchange-free:\n" + pa.take(1500))
+      }
     } finally {
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS bk_left")
       spark.sql("DROP TABLE IF EXISTS bk_right")
     }

@@ -313,19 +313,21 @@ class PlanShapeSpec extends SparkSpec {
   test("triangleCounts: wedge and closing joins are equi, edge tables materialized, no window") {
     val s = spark
     import s.implicits._
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
     // pin the DISTRIBUTED kernel's shape (the small-graph fast path takes
-    // over below the cutoff; its equivalence is pinned in GraphSpec)
-    s.conf.set("spark.graft.graph.localEdgeCutoff", "0")
-    val p =
-      try plan(graft.ops.Graph.triangleCounts(edges))
-      finally s.conf.unset("spark.graft.graph.localEdgeCutoff")
+    // over below the cutoff; its equivalence is pinned in GraphSpec).
+    // Conf-isolated clone: the cutoff must not leak into concurrent suites.
+    val p = SparkSpec.withIsolatedConf("spark.graft.graph.localEdgeCutoff" -> "0") { s2 =>
+      import s2.implicits._
+      plan(graft.ops.Graph.triangleCounts(
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")))
+    }
     assert(!p.contains("CartesianProduct"), "wedges must equi-join on the apex:\n" + p.take(1500))
     assert(!p.contains("Window"), p.take(1500))
     // canonical + oriented edge tables each feed multiple consumers
     assert("Scan ExistingRDD".r.findAllIn(p).size >= 2, p.take(1500))
     // the fast path itself: one task, zero exchanges
-    val pLocal = plan(graft.ops.Graph.triangleCounts(edges))
+    val pLocal = plan(graft.ops.Graph.triangleCounts(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")))
     assert(!pLocal.contains("Exchange") && !pLocal.contains("Join"), pLocal.take(1500))
   }
 

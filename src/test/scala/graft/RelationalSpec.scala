@@ -584,15 +584,15 @@ class RelationalSpec extends SparkSpec {
     // SCALE.md leans on AQE for skew the explicit salting doesn't cover;
     // pin that the mechanism actually engages: one hot key, broadcast off,
     // thresholds lowered so the skew is visible at test size
-    val confs = Seq(
+    // conf-isolated clone: broadcast-off + skew thresholds must not leak
+    // into concurrently-running suites' plans
+    SparkSpec.withIsolatedConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
-      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") { s2 =>
+      import s2.implicits._
       val left = (1L to 200000L)
         .map(i => (if (i % 100 == 0) "cold" + i % 7 else "hot", i))
         .toDF("k", "l_val")
@@ -606,11 +606,6 @@ class RelationalSpec extends SparkSpec {
       joined.queryExecution.toRdd.count()
       val p = joined.queryExecution.executedPlan.toString
       assert(p.contains("skew=true"), "AQE should mark the hot partition skewed:\n" + p.take(1500))
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
     }
   }
 
