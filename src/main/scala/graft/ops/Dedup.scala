@@ -719,14 +719,21 @@ object Dedup {
     * for a 15k-node graph at sf0.1, all scheduling, no data); a graph
     * whose edge set fits one task's memory answers the SAME canonical
     * labels (component-minimum ids are algorithm-independent) in ONE job
-    * via path-compressed union-find. 1M edges ≈ tens of MB of hash-map
-    * state — far inside a task's memory on any sane executor; corpus-
-    * scale inputs keep the O(log n) distributed rounds. Conf-settable so
-    * a deployment sizes it with its executors (0 disables the fast path;
-    * the specs pin local ≡ distributed on the same graphs).
+    * via path-compressed union-find. Default 500k edges (the round-17
+    * advisory's boxed-map arithmetic, applied here too): the
+    * HashMap[Long, Long] parent table costs ~70-90 bytes per NODE (boxed
+    * keys + values + table slack), and e edges can touch up to 2e nodes,
+    * so 500k edges ≈ ≤1M nodes ≈ 80-90 MB of one-task state — inside any
+    * sane executor, where the old 1M-edge default's worst case (~180 MB)
+    * was optimistic as "tens of MB". Union-find work is near-linear
+    * (inverse-Ackermann), so unlike the triangle kernels there is no
+    * quadratic compute cliff — memory is the only sizing concern; raise
+    * the conf with executor memory to spare. Corpus-scale inputs keep
+    * the O(log n) distributed rounds. Conf-settable (0 disables the fast
+    * path; the specs pin local ≡ distributed on the same graphs).
     */
   private def ccLocalCutoff(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("spark.graft.cc.localEdgeCutoff", "1000000").toLong
+    spark.conf.get("spark.graft.cc.localEdgeCutoff", "500000").toLong
 
   /** The single-task CC solve behind the fast path: path-compressed
     * union-find whose unions always point the larger root at the smaller,
@@ -2188,6 +2195,19 @@ object Dedup {
     * InferFiltersFromGenerate re-evaluate the whole signature chain per
     * row in a non-codegen Filter (see SCALE.md); the array is non-empty
     * by construction, so the variants differ only in the suppressed rule.
+    *
+    * The digest is `xxhash64` STRAIGHT OVER THE TOKEN ARRAY (8-byte long
+    * keys), not the set-join family's md5-of-concat hex strings: here the
+    * hash function is entirely fungible — equal sequences always collide
+    * (completeness needs nothing more), and unequal-sequence collisions
+    * only add candidates the EXACT [[editVerify]] rejects — so results
+    * are byte-identical under any digest while the deletion neighborhood
+    * is the write kernel's dominant cost ((n_tokens+1) signatures/doc,
+    * O(T²) hashed bytes). xxhash64 hashes the array elements in one
+    * codegen pass with no concat-string or hex allocation, and the long
+    * keys shuffle/compare ~5x narrower than 32-char hex through the
+    * candidate self-join. (Unlike [[setJoinShingles]], whose md5 the
+    * drift audit's oracle mirrors digit-for-digit — that order is pinned.)
     */
   private def editSignatures(toks: DataFrame): DataFrame =
     toks
@@ -2199,11 +2219,9 @@ object Dedup {
             transform(
               sequence(lit(0), size(col("tks"))),
               i =>
-                md5(
-                  concat_ws(
-                    " ",
-                    when(i === 0, col("tks"))
-                      .otherwise(filter(col("tks"), (_, j) => j =!= i - 1)))))))
+                xxhash64(
+                  when(i === 0, col("tks"))
+                    .otherwise(filter(col("tks"), (_, j) => j =!= i - 1))))))
           .as("sig"))
       .filter(col("sig").isNotNull)
 

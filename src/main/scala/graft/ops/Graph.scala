@@ -440,12 +440,24 @@ object Graph {
     * ~5 exchanges / 14 driver jobs (measured sf0.1, all scheduling), while
     * an edge set inside one task's memory answers the SAME canonical
     * counts (per-edge support and per-node triangle counts are
-    * algorithm-independent) with one adjacency-intersection pass. 1M edges
-    * ≈ tens of MB of hash-set state; corpus-scale graphs keep the
-    * degree-oriented distributed enumeration. Conf-settable; 0 disables.
+    * algorithm-independent) with one adjacency-intersection pass.
+    *
+    * Default 200k edges (round-17 advisory — the old 1M default's "tens
+    * of MB" claim was wrong): the boxed
+    * HashMap[Long, HashSet[Long]] adjacency costs ~100-150 bytes per
+    * DIRECTED edge entry (2 entries per edge: boxed Longs, set nodes,
+    * table slack), so 200k edges ≈ 40-60 MB of one-task state — safe in
+    * any sanely-sized executor, where 1M edges' ~0.5 GB was not. The
+    * compute side is the same trade: below the cutoff all Σ min(d(u),d(v))
+    * intersection work serializes onto one core, which at 200k edges is
+    * bounded by ~2·|E|^1.5 ≈ 2e8 probes worst-case (skew-independent
+    * bound) — about a second, the scheduling cost it replaces. Raise the
+    * conf only with executor memory to spare; corpus-scale graphs keep
+    * the degree-oriented distributed enumeration. Conf-settable; 0
+    * disables.
     */
   private def graphLocalCutoff(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get("spark.graft.graph.localEdgeCutoff", "1000000").toLong
+    spark.conf.get("spark.graft.graph.localEdgeCutoff", "200000").toLong
 
   private def isLongPair(df: DataFrame): Boolean =
     df.schema("u").dataType == org.apache.spark.sql.types.LongType &&

@@ -442,6 +442,16 @@ object Similarity {
     * outright), with the window's exact ordering contract
     * (csim desc NULLS LAST, centroid_id asc) moved into one explicit
     * comparator ([[centOrder]]).
+    *
+    * CONTRACT (round-17 advisory, deliberate): an EMPTY centroid table
+    * fails fast here — it can only arise from building/probing over an
+    * empty corpus or an empty train set, and the pre-literal behavior
+    * (crossJoin against the empty broadcast) silently returned ZERO
+    * rows, reading as "index built, nothing matched" instead of "you
+    * built an index over nothing". Every IVF build/probe face inherits
+    * this refusal, and the driver-side collect makes it surface at
+    * plan-construction time — eagerly, by design: the bad call dies at
+    * its own stack frame, not inside a later action.
     */
   private def centArrayLit(cents: DataFrame): Column = {
     val rows = cents
@@ -449,7 +459,11 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    require(rows.nonEmpty, "centroid table is empty — build the index first")
+    require(
+      rows.nonEmpty,
+      "centroid table is empty — IVF builds/probes over an empty corpus or train set " +
+        "are refused (an empty index would silently answer every query with zero rows); " +
+        "build the index over a non-empty corpus first")
     array(rows.map { case (id, v) =>
       struct(lit(id).as("centroid_id"), typedLit(v).as("centroid"))
     }: _*)
@@ -3509,16 +3523,19 @@ object Similarity {
       .select(
         col("vec_id"),
         col("subspace").cast("long").as("subspace"),
-        aggregate(
-          element_at(cbArr, col("subspace").cast("int") + 1),
-          struct(lit(Long.MaxValue).as("dist"), lit(Long.MaxValue).as("code")),
-          (acc, c) => {
-            // native codegen distance ([[graft.functions.SquaredDistanceLong]])
-            // inside the fold — still one fused loop per (subvector, code)
-            val d = graft.functions.functions.l2sq_long(col("sv"), c.getField("cm"))
-            when(d < acc.getField("dist"),
-              struct(d.as("dist"), c.getField("code").as("code"))).otherwise(acc)
-          }).as("best"))
+        // bind the native distance ([[graft.functions.SquaredDistanceLong]])
+        // ONCE per (subvector, code) — the previous fold referenced it in
+        // both the comparison and the winning struct, so interpreted
+        // higher-order evaluation could pay it twice — and take the argmin
+        // as array_min over (dist, code) structs: lexicographic struct
+        // ordering IS the contract (strictly-smaller distance wins, ties
+        // keep the lower code)
+        array_min(
+          transform(
+            element_at(cbArr, col("subspace").cast("int") + 1),
+            c => struct(
+              graft.functions.functions.l2sq_long(col("sv"), c.getField("cm")).as("dist"),
+              c.getField("code").as("code")))).as("best"))
       .select(
         col("vec_id"),
         col("subspace"),
