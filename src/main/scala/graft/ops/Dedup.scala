@@ -780,7 +780,51 @@ object Dedup {
       .toDF("u", "v")
   }
 
+  /** [[clusterPairs]] for a PRE-NORMALIZED edge table — the graph-store
+    * mutators' entry ([[graft.ops.Graph]] writeCcStore / removeFromCcStore
+    * hand it their already undirected-normalized, deduped, LOCALLY
+    * CHECKPOINTED edge sets): the generic path would re-derive a nodes
+    * table (union + distinct + checkpoint) and re-normalize inside the
+    * contraction (another distinct shuffle + checkpoint) — 4-5 driver
+    * jobs of pure re-work per call at store scale. Here the orientation
+    * flip is one projection over the checkpointed blocks (distinctness
+    * and u != v survive a flip), and the labels come straight off the
+    * converged stars: every component of an EDGE table has >= 2 nodes,
+    * so stars hold every non-root and the distinct star parents are
+    * exactly the roots, each seating itself — identical rows to
+    * `clusterPairs(und)` by the kernel contract (one row per node,
+    * comp = component minimum).
+    *
+    * Input contract: columns (u, v) LongType, u != v, distinct rows,
+    * locally checkpointed.
+    */
+  private[graft] def ccLabelsOfEdges(und: DataFrame): DataFrame = {
+    val flipped = und.select(
+      greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val stars = ccStarsOnNormalized(flipped)._1
+    stars
+      .select(col("u").as("node"), col("v").as("comp"))
+      .unionAll(stars.select(col("v").as("node"), col("v").as("comp")).distinct())
+  }
+
   private[graft] def ccStarContraction(
+      edges0: DataFrame,
+      maxRounds: Int = 60): (DataFrame, Int) =
+    ccStarsOnNormalized(
+      edges0
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(),
+      maxRounds)
+
+  /** The contraction loop over an already (u > v)-oriented, deduped,
+    * materialized edge set — shared by [[ccStarContraction]] (which
+    * normalizes first) and [[ccLabelsOfEdges]] (whose callers already
+    * did).
+    */
+  private def ccStarsOnNormalized(
       edges0: DataFrame,
       maxRounds: Int = 60): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
@@ -805,10 +849,6 @@ object Dedup {
         .distinct()
     }
     var e = edges0
-      .filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
     var n = e.count()
     // scale-adaptive kernel choice (the AQE-broadcast move, one level up):
     // a deduped edge set inside one task's memory takes the single-job

@@ -1537,8 +1537,10 @@ object Graph {
     require(buckets >= 1 && buckets <= 65536, s"buckets must be in [1, 65536], got $buckets")
     val spark = edges.sparkSession
     val und = undirectedEdges(edges).localCheckpoint()
-    val labels0 = Dedup.clusterPairs(und, "u", "v")
-      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    // pre-normalized entry: und is already (u < v)-deduped and
+    // checkpointed, so the generic clusterPairs path's nodes derivation
+    // and re-normalize (4-5 driver jobs) are pure re-work here
+    val labels0 = Dedup.ccLabelsOfEdges(und)
     // only the stream claim has a second consumer (the gen-0 log) worth a
     // materialization; the plain batch write stays single-pass
     val labels = if (logBatch.isDefined) labels0.localCheckpoint() else labels0
@@ -1699,11 +1701,15 @@ object Graph {
         coalesce(col("cu"), col("u")).as("cu"),
         coalesce(col("cv"), col("v")).as("cv"))
       .localCheckpoint()
-    // the label graph: |delta|-bounded, solved by the same O(log) kernel
-    val remap = Dedup.clusterPairs(
-      labeled.filter(col("cu") =!= col("cv")), "cu", "cv")
-      .select(col("doc_id").as("comp"), col("cluster_id").as("comp_new"))
-      .filter(col("comp") =!= col("comp_new")) // roots: trivial, no move
+    // the label graph: |delta|-bounded, solved by the same O(log) kernel.
+    // The converged STARS are the remap verbatim — one row per non-root
+    // label, target = component min — and the roots clusterPairs would
+    // re-seat are exactly the rows the old `comp != comp_new` filter
+    // dropped, so the nodes derivation + root join were pure re-work
+    val remap = Dedup.ccStarContraction(
+      labeled.filter(col("cu") =!= col("cv"))
+        .select(col("cu").as("u"), col("cv").as("v")))._1
+      .select(col("u").as("comp"), col("v").as("comp_new"))
       .localCheckpoint()
     // nodes the store has never seen enter with their (possibly remapped)
     // self label; known nodes keep their row and take the remap
@@ -1860,8 +1866,10 @@ object Graph {
         "components with store-labeled nodes only (an unknown endpoint would either drop " +
         "connectivity or leave a node two label rows); rebuild with writeCcStore if the " +
         "store and the live edge set have diverged")
-    val resolved = Dedup.clusterPairs(induced, "u", "v")
-      .select(col("doc_id").as("node"), col("cluster_id").as("comp"))
+    // pre-normalized entry (induced is undirectedEdges-normalized and
+    // checkpointed): skips the generic path's nodes derivation and
+    // re-normalize shuffle
+    val resolved = Dedup.ccLabelsOfEdges(induced)
       .localCheckpoint()
     val isolated = touchedNodes
       .select("node")

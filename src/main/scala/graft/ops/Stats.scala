@@ -1078,7 +1078,39 @@ object Stats {
     * C(|cols|,2) rows — nothing else moves; profile wide tables in
     * column subsets like [[graft.ops.Checks.profile]].
     */
-  def corrMatrixMilli(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corrMatrixMilli(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrMatrixMilliImpl(df, cols, knownBounds = None)
+
+  /** The moment kernel behind [[corrMatrixMilli]] / [[spearmanMatrixMilli]],
+    * with a SCALE-ADAPTIVE arithmetic choice (the localEdgeCutoff
+    * discipline applied to expression types): the exact integer moments
+    * can be computed two ways —
+    *
+    *  - the DECIMAL kernel (always correct): every multiply and sum in
+    *    decimal(38,0) — never wraps, but each per-row op is a Decimal
+    *    object op (measured 2.8 s warm for the 600k-row 4-column matrix);
+    *  - the LONG kernel: per-row products as native long multiplies, each
+    *    square/cross moment accumulated as TWO long sums (hi = p div 2³¹,
+    *    lo = p % 2³¹ — `p = hi·2³¹ + lo` holds exactly per row under
+    *    truncating div/rem, so `Σp = 2³¹·Σhi + Σlo` reconstructs the
+    *    exact decimal moment on the 1-row result; measured 0.3 s warm,
+    *    ~10x) — legal ONLY when proven not to wrap.
+    *
+    * The proof is a driver-side BigInt check over (n, max|value|): per-row
+    * products, linear sums, and both partial sums must fit within 2⁶² (a
+    * whole bit of slack). The bounds come from `knownBounds` when the
+    * caller has them analytically (Spearman: ranks ≤ 2n+1), else from one
+    * cheap pre-pass of native long min/max/count over the input — a
+    * second scan, priced: ~0.25 s against the ~2.5 s the long kernel
+    * saves at sf0.1, and the input here is a plain projection, never a
+    * join tree. Both kernels produce identical integers, so the choice
+    * can never change results — inputs too large for the proof simply
+    * keep the decimal kernel.
+    */
+  private[graft] def corrMatrixMilliImpl(
+      df: DataFrame,
+      cols: Seq[String],
+      knownBounds: Option[(Long, Long)]): DataFrame = {
     require(cols.size >= 2, s"correlation needs at least two columns, got ${cols.size}")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"corrMatrixMilli: columns not in schema: ${missing.mkString(", ")}")
@@ -1091,43 +1123,93 @@ object Stats {
       unsafe.isEmpty,
       s"corrMatrixMilli: column names must match [A-Za-z_][A-Za-z0-9_]* " +
         s"(interpolated into SQL; alias first): ${unsafe.mkString(", ")}")
-    val spark = df.sparkSession
-    import spark.implicits._
     val milli = df.select(cols.map(c =>
       round(col(c).cast("double") * 1000, 0).cast("long").as(c)): _*)
     val pairs = for {
       i <- cols.indices
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
-      val both = col(a).isNotNull && col(b).isNotNull
-      def s(e: Column, name: String) =
-        sum(when(both, e).otherwise(lit(null))).cast("decimal(38,0)").as(s"${name}_$k")
-      Seq(
-        count(when(both, lit(1))).cast("long").as(s"n_$k"),
-        // linear sums cast to decimal BEFORE the sum, like the square
-        // terms — a bigint sum of milli values wraps past 2^63 rows·val
-        s(expr(s"CAST($a AS DECIMAL(38,0))"), "sx"),
-        s(expr(s"CAST($b AS DECIMAL(38,0))"), "sy"),
-        s(expr(s"CAST($a AS DECIMAL(38,0)) * $a"), "sxx"),
-        s(expr(s"CAST($b AS DECIMAL(38,0)) * $b"), "syy"),
-        s(expr(s"CAST($a AS DECIMAL(38,0)) * $b"), "sxy"))
+    // (rows, max |value| over all listed columns) — analytic when the
+    // caller knows them, else one native-long pre-pass (bounded decision
+    // read: 1 row). max|x| via BigInt over (min, max) so Long.MinValue
+    // cannot wrap an abs().
+    val (nRows, maxAbs) = knownBounds.getOrElse {
+      val aggs = Seq(count(lit(1)).as("__n")) ++
+        cols.flatMap(c => Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      val r = milli.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("__n")
+      val m = cols.flatMap { c =>
+        Seq(Option(r.getAs[java.lang.Long](s"__mn_$c")), Option(r.getAs[java.lang.Long](s"__mx_$c")))
+      }.flatten.map(v => BigInt(v.longValue()).abs).foldLeft(BigInt(0))(_ max _)
+      (n, if (m.isValidLong) m.toLong else Long.MaxValue)
     }
+    val slack = BigInt(1) << 62
+    val mA = BigInt(maxAbs)
+    val nB = BigInt(nRows)
+    val shift = 1L << 31
+    val longSafe =
+      maxAbs < Long.MaxValue &&
+        mA * mA <= slack && // per-row product
+        nB * mA <= slack && // linear long sums
+        nB * BigInt(shift) <= slack && // lo partial sums
+        nB * (mA * mA / BigInt(shift) + 1) <= slack // hi partial sums
+    val aggs =
+      if (longSafe)
+        pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+          val both = col(a).isNotNull && col(b).isNotNull
+          def s(e: String, name: String) =
+            sum(when(both, expr(e)).otherwise(lit(null))).as(s"${name}_$k")
+          Seq(
+            count(when(both, lit(1))).cast("long").as(s"n_$k"),
+            s(a, "sx"),
+            s(b, "sy"),
+            s(s"($a * $a) div $shift", "sxxhi"),
+            s(s"($a * $a) % $shift", "sxxlo"),
+            s(s"($b * $b) div $shift", "syyhi"),
+            s(s"($b * $b) % $shift", "syylo"),
+            s(s"($a * $b) div $shift", "sxyhi"),
+            s(s"($a * $b) % $shift", "sxylo"))
+        }
+      else
+        pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+          val both = col(a).isNotNull && col(b).isNotNull
+          def s(e: Column, name: String) =
+            sum(when(both, e).otherwise(lit(null))).cast("decimal(38,0)").as(s"${name}_$k")
+          Seq(
+            count(when(both, lit(1))).cast("long").as(s"n_$k"),
+            // linear sums cast to decimal BEFORE the sum, like the square
+            // terms — a bigint sum of milli values wraps past 2^63 rows·val
+            s(expr(s"CAST($a AS DECIMAL(38,0))"), "sx"),
+            s(expr(s"CAST($b AS DECIMAL(38,0))"), "sy"),
+            s(expr(s"CAST($a AS DECIMAL(38,0)) * $a"), "sxx"),
+            s(expr(s"CAST($b AS DECIMAL(38,0)) * $b"), "syy"),
+            s(expr(s"CAST($a AS DECIMAL(38,0)) * $b"), "sxy"))
+        }
     // ONE stack projection over the 1-row aggregate fans it to C(n,2)
     // output rows — scan-once is structural (a single plan, no
     // multiply-referenced producer, nothing left to ReuseExchange; the
     // union-branch shape this replaced either relied on exchange reuse
-    // or, checkpointed, paid ~2 s of materialization for one row)
+    // or, checkpointed, paid ~2 s of materialization for one row).
+    // Under the long kernel the per-pair moments reconstruct to the SAME
+    // decimal values on this one row (hi·2³¹ + lo; linear sums cast),
+    // so the corr formula below is shared verbatim.
+    def moment(name: String, k: Int): String =
+      if (longSafe) s"(CAST(${name}hi_$k AS DECIMAL(38,0)) * $shift + ${name}lo_$k)"
+      else s"${name}_$k"
+    def linear(name: String, k: Int): String =
+      if (longSafe) s"CAST(${name}_$k AS DECIMAL(38,0))" else s"${name}_$k"
     val items = pairs.zipWithIndex
       .map { case ((a, b), k) =>
+        val (sxx, syy, sxy) = (moment("sxx", k), moment("syy", k), moment("sxy", k))
+        val (sx, sy) = (linear("sx", k), linear("sy", k))
         val corr =
           s"""CAST(round(
              |  CASE WHEN n_$k >= 2
-             |        AND (n_$k * sxx_$k - sx_$k * sx_$k) > 0
-             |        AND (n_$k * syy_$k - sy_$k * sy_$k) > 0
-             |  THEN CAST(n_$k * sxy_$k - sx_$k * sy_$k AS DOUBLE) /
-             |       sqrt(CAST(n_$k * sxx_$k - sx_$k * sx_$k AS DOUBLE) *
-             |            CAST(n_$k * syy_$k - sy_$k * sy_$k AS DOUBLE))
+             |        AND (n_$k * $sxx - $sx * $sx) > 0
+             |        AND (n_$k * $syy - $sy * $sy) > 0
+             |  THEN CAST(n_$k * $sxy - $sx * $sy AS DOUBLE) /
+             |       sqrt(CAST(n_$k * $sxx - $sx * $sx AS DOUBLE) *
+             |            CAST(n_$k * $syy - $sy * $sy AS DOUBLE))
              |  END, 6) AS DOUBLE)""".stripMargin
         s"'$a', '$b', n_$k, $corr"
       }
@@ -1184,9 +1266,20 @@ object Stats {
         .select(col(c), (lit(2L) * col("__cum") - col("__c") + 1L).as(s"__dr_$c"))
       acc.join(dr, Seq(c))
     }
-    corrMatrixMilli(
+    // the moment kernel's bounds are ANALYTIC here — doubled midranks sit
+    // in [1, 2n] (dr = 2F + c + 1 with F + c <= n), and the kernel's
+    // milli-scaling multiplies them by 1000 — so the long-kernel proof
+    // needs no pre-pass over the rank-join tree, just the row count of
+    // the already-materialized milli blocks (one cheap job); saturate
+    // instead of wrapping for absurd n, which simply keeps the decimal
+    // kernel
+    val n = milli.count()
+    val maxRank = if (n > (Long.MaxValue - 2000L) / 2002L) Long.MaxValue else 2002L * n + 2000L
+    corrMatrixMilliImpl(
       ranked.select(cols.map(c => col(s"__dr_$c").as(c)): _*),
-      cols).withColumnRenamed("corr_r", "rho_r")
+      cols,
+      knownBounds = Some((n, maxRank)))
+      .withColumnRenamed("corr_r", "rho_r")
   }
 
   /** Per-group AUTOCORRELATION function (integer-exact moments) — the

@@ -68,6 +68,33 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("ccLabelsOfEdges ≡ clusterPairs on pre-normalized random edge sets, both kernels") {
+    val s = spark
+    import s.implicits._
+    // the graph-store mutators' pre-normalized entry must return the
+    // exact clusterPairs rows (one per node, comp = component min) —
+    // on the union-find fast path AND the distributed contraction
+    for (seed <- Seq(2, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+        .filter(p => p._1 != p._2)
+      def labels(sess: org.apache.spark.sql.SparkSession): Map[Long, Long] = {
+        import sess.implicits._
+        val und = raw.toDF("a", "b")
+          .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+          .distinct()
+          .localCheckpoint()
+        Dedup.ccLabelsOfEdges(und).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val want = Dedup.clusterPairs(raw.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels(s) === want, s"seed $seed: fast-path labels differ from clusterPairs")
+      val dist = SparkSpec.withIsolatedConf("spark.graft.cc.localEdgeCutoff" -> "0")(labels)
+      assert(dist === want, s"seed $seed: distributed labels differ from clusterPairs")
+    }
+  }
+
   test("clusterPairs equals union-find on random graphs") {
     val s = spark
     import s.implicits._

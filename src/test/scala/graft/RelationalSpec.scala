@@ -1900,6 +1900,36 @@ class RelationalSpec extends SparkSpec {
     assert(err.getMessage.contains("at least two"))
   }
 
+  test("Stats corr kernel: long hi/lo path ≡ decimal path on random data with nulls") {
+    val s = spark
+    import s.implicits._
+    // the scale-adaptive moment kernel must be invisible: force each
+    // arithmetic via knownBounds (tight true bound -> long kernel;
+    // Long.MaxValue fails the overflow proof -> decimal kernel) and
+    // require byte-identical output on data with nulls, negatives, ties,
+    // and magnitudes spanning the milli scale
+    for (seed <- Seq(1, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(300)((
+        rnd.nextInt(2000000) - 1000000.0,
+        if (rnd.nextInt(10) == 0) Option.empty[Double] else Some(rnd.nextDouble() * 9999),
+        (rnd.nextInt(7) - 3).toDouble,
+        if (rnd.nextInt(8) == 0) Option.empty[Double] else Some(-rnd.nextInt(500) * 1.5)))
+        .toDF("a", "b", "c", "d")
+      def run(bounds: Option[(Long, Long)]) = graft.ops.Stats
+        .corrMatrixMilliImpl(rows, Seq("a", "b", "c", "d"), bounds)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .sortBy(t => (t._1, t._2))
+      val viaLong = run(Some((300L, 2000000000L)))
+      val viaDecimal = run(Some((300L, Long.MaxValue)))
+      val inferred = run(None) // the pre-pass must prove the long path here
+      assert(viaLong.toSeq == viaDecimal.toSeq, s"seed $seed: kernels disagree")
+      assert(inferred.toSeq == viaDecimal.toSeq, s"seed $seed: pre-pass path disagrees")
+    }
+  }
+
   test("Stats.spearmanMatrixMilli: monotone reads 1, outlier-proof, tie midranks, listwise drop") {
     val s = spark
     import s.implicits._
