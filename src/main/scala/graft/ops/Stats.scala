@@ -1255,25 +1255,38 @@ object Stats {
       .select(cols.map(c => round(col(c).cast("double") * 1000, 0).cast("long").as(c)): _*)
       .na.drop()
       .localCheckpoint()
-    // inclusive cumsum over tie blocks: F = cum - c, dr = 2F + c + 1
+    // one cheap job over the materialized blocks; drives BOTH
+    // scale-adaptive choices below (cumsum machinery and moment
+    // arithmetic)
+    val n = milli.count()
+    // inclusive cumsum over tie blocks: F = cum - c, dr = 2F + c + 1.
+    // The tie-block table has at most n rows, so when n is provably
+    // small a single-partition window computes the SAME cumulative
+    // sums with zero driver round-trips — all four rank chains stay
+    // lazy and fuse into the final moment plan, where the
+    // [[graft.ops.Relational.globalCumSum]] path pays a range-sample
+    // job, a checkpoint, and a driver offsets collect PER COLUMN,
+    // serialized. Corpus-scale inputs (distinct values can approach n)
+    // keep the distributed prefix scan — the single-partition sort is
+    // exactly what it exists to avoid. Same integers either way; the
+    // kernel-choice spec pins it.
+    val smallBlocks = n <= (1L << 21)
     val ranked = cols.foldLeft(milli) { (acc, c) =>
-      val dr = Relational
-        .globalCumSum(
-          milli.groupBy(col(c)).agg(count(lit(1)).cast("long").as("__c")),
-          Seq(col(c)),
-          "__c",
-          cumCol = "__cum")
+      val blocks = milli.groupBy(col(c)).agg(count(lit(1)).cast("long").as("__c"))
+      val dr = (if (smallBlocks) {
+        val w = Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        blocks.withColumn("__cum", sum(col("__c")).over(w))
+      } else
+        Relational.globalCumSum(blocks, Seq(col(c)), "__c", cumCol = "__cum"))
         .select(col(c), (lit(2L) * col("__cum") - col("__c") + 1L).as(s"__dr_$c"))
       acc.join(dr, Seq(c))
     }
     // the moment kernel's bounds are ANALYTIC here — doubled midranks sit
     // in [1, 2n] (dr = 2F + c + 1 with F + c <= n), and the kernel's
     // milli-scaling multiplies them by 1000 — so the long-kernel proof
-    // needs no pre-pass over the rank-join tree, just the row count of
-    // the already-materialized milli blocks (one cheap job); saturate
-    // instead of wrapping for absurd n, which simply keeps the decimal
-    // kernel
-    val n = milli.count()
+    // needs no pre-pass over the rank-join tree; saturate instead of
+    // wrapping for absurd n, which simply keeps the decimal kernel
     val maxRank = if (n > (Long.MaxValue - 2000L) / 2002L) Long.MaxValue else 2002L * n + 2000L
     corrMatrixMilliImpl(
       ranked.select(cols.map(c => col(s"__dr_$c").as(c)): _*),
